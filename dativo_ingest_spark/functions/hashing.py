@@ -1,0 +1,67 @@
+"""Deterministic, engine-portable hashing for fingerprints / MinHash / LSH.
+
+Everything is built on ``md5`` over strings because md5 is bit-identical in
+Spark, DuckDB, and any other engine — which makes near-dup results
+oracle-checkable. Hash *ordering* uses the hex-string values directly
+(fixed-width lowercase hex compares lexicographically the same everywhere),
+avoiding engine-specific hex→int conversions.
+
+MinHash scheme (standard broder-style minwise hashing; public algorithm):
+  h_s(x) = md5(s || '|' || x)            -- s = seed index, x = shingle
+  sig[s] = min over shingles of h_s(x)   -- lexicographic min of hex strings
+  band b = md5(concat(sig[b*r .. b*r+r-1]))  -- LSH banding, r rows/band
+Docs sharing any (b, band_hash) are candidate pairs; candidates are then
+verified with exact n-gram Jaccard. At 100 TB this is the classic
+shuffle-light pipeline: explode bands → shuffle by band key → pair join
+within small buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.functions.text import normalize_ws
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of whitespace-normalized lowercase text (exact-dup key)."""
+    return F.md5(normalize_ws(col))
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """array<string> of ``num_hashes`` minwise md5-hex values.
+
+    Empty shingle sets produce ``md5(seed + '|')``-free sentinel: the min of
+    an empty transformed array is NULL; callers should filter empty docs
+    first (array_min of empty array is NULL in both Spark and DuckDB, so
+    parity holds either way).
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda x, s=s: F.md5(F.concat_ws("|", F.lit(str(s)), x)),
+            )
+        )
+        for s in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_band_hashes(signature: Column, num_hashes: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:string>> LSH band keys for a signature."""
+    assert num_hashes % rows_per_band == 0
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        parts = [
+            F.element_at(signature, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    return F.array(*bands)

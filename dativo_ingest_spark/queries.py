@@ -1,0 +1,682 @@
+"""Declared query surface: named queries + DuckDB oracle SQL.
+
+Each entry is a (Spark builder, oracle SQL) pair over the driver's synthetic
+tables (region nation customer supplier part orders lineitem events documents
+embeddings). The driver's correctness gate runs both at sf=0.01 and compares
+row count + schema + order-insensitive value hash (see __spark_entry__.py).
+
+Conventions for hash parity:
+- every computed/aggregate column is aliased identically on both sides;
+- double *aggregates* are rounded (sum→2dp, avg/ratio→4dp) because floating
+  addition order differs between engines; raw column values and exact
+  arithmetic (same operands, same op) pass through unrounded;
+- computed integers are cast to BIGINT on both sides (Spark lengths are int,
+  DuckDB's are bigint);
+- top-k queries rank by (rounded measure, unique key) so ordering is
+  deterministic across engines.
+
+Dates/filters use fixed literals derived from the generated data ranges
+(orders 1995-2001, events 2024-01) — never ``now()`` — so runs are
+deterministic.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dativo_ingest_spark.config.contracts import AssetDefinition, Field
+from dativo_ingest_spark.functions import coercion
+from dativo_ingest_spark.operators import incremental, validation
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+#: columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+#: reader rejects; read as long nanos and truncate to micros (identical to
+#: DuckDB's nanos→micros narrowing on positive epochs).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    nanos_cols = _NANOS_TS_COLS.get(table, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = Query(fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (Spark-native surface the ingested tables are queried with;
+# SURVEY §2.6/§2.9 — absent in the reference engine, declared here).
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 analog: wide aggregate with map-side partial aggregation.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_dt.datetime(2000, 12, 1)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analog: selective join + top-k; customer side broadcasts.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = _dt.datetime(1998, 3, 15)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(cutoff))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(cutoff))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 analog: star join; all dims broadcast, one fact shuffle.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_dt.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(_dt.datetime(1997, 1, 1)))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 analog: pure scan-filter-aggregate; fully pushed down.",
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(_dt.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(_dt.datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_semi_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'O')
+    """,
+    doc="left-semi join (EXISTS).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left-anti join (NOT EXISTS).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_left_order_nation",
+    """
+    SELECT o_orderkey, o_totalprice, n_name
+    FROM orders
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_totalprice > 300000
+    """,
+    doc="left outer joins through a dim chain; dims broadcast.",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+        .select("o_orderkey", "o_totalprice", "n_name")
+    )
+
+
+@register(
+    "agg_distinct_users_by_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)         AS n_users,
+           count(*)                        AS n_events,
+           round(sum(value), 2)            AS total_value,
+           round(avg(value), 4)            AS avg_value,
+           round(min(value), 2)            AS min_value,
+           round(max(value), 2)            AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="groupBy with count-distinct (two-phase aggregate).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "window_topn_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    doc="per-group top-N via row_number window.",
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value
+    FROM events
+    """,
+    doc="running sum window (explicit ROWS frame).",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "window_lag_value_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), 2) AS delta
+    FROM events
+    """,
+    doc="lag window; NULL delta on each user's first event.",
+)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+
+@register(
+    "set_union_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="UNION DISTINCT then EXCEPT.",
+)
+def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    c = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return a.union(b).distinct().exceptAll(c).distinct()
+
+
+@register(
+    "set_intersect_segments",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    INTERSECT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000
+    """,
+    doc="INTERSECT DISTINCT.",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).select(
+        "c_custkey"
+    )
+    b = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    doc="global top-k (TakeOrderedAndProject — no full sort at scale).",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference contract semantics (SURVEY §1.2/§1.3/§2.2/§2.3/§2.8).
+# ---------------------------------------------------------------------------
+
+_EVENTS_CONTRACT = AssetDefinition(
+    name="events_contract",
+    fields=[
+        Field("event_id", "integer", required=True),
+        Field("ts", "timestamp", required=True),
+        Field("value", "integer"),
+        Field("event_type", "string"),
+        Field("props", "string"),
+    ],
+)
+
+
+@register(
+    "contract_cast_strict_events",
+    """
+    SELECT event_id, ts,
+           CAST(trunc(value) AS BIGINT) AS value,
+           event_type, props
+    FROM events
+    """,
+    doc="strict contract cast: float→integer truncates toward zero; "
+        "contract column order (reference schema_validator.py:196-209).",
+)
+def contract_cast_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return validation.validate(ev, _EVENTS_CONTRACT, mode="strict").valid
+
+
+@register(
+    "coerce_boolean_tokens",
+    """
+    WITH tok AS (
+      SELECT event_id,
+             CASE (event_id % 8)
+               WHEN 0 THEN 'true'  WHEN 1 THEN '1'   WHEN 2 THEN 'YES'
+               WHEN 3 THEN 'on'    WHEN 4 THEN 'False' WHEN 5 THEN '0'
+               WHEN 6 THEN 'no'    ELSE 'off' END AS token
+      FROM events)
+    SELECT event_id, token,
+           CASE WHEN lower(token) IN ('true','1','yes','on') THEN TRUE
+                WHEN lower(token) IN ('false','0','no','off') THEN FALSE
+                END AS flag
+    FROM tok
+    """,
+    doc="boolean token-set coercion (reference schema_validator.py:222-235).",
+)
+def coerce_boolean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    token = (
+        F.when(F.col("event_id") % 8 == 0, F.lit("true"))
+        .when(F.col("event_id") % 8 == 1, F.lit("1"))
+        .when(F.col("event_id") % 8 == 2, F.lit("YES"))
+        .when(F.col("event_id") % 8 == 3, F.lit("on"))
+        .when(F.col("event_id") % 8 == 4, F.lit("False"))
+        .when(F.col("event_id") % 8 == 5, F.lit("0"))
+        .when(F.col("event_id") % 8 == 6, F.lit("no"))
+        .otherwise(F.lit("off"))
+    )
+    df = ev.select("event_id", token.alias("token"))
+    return df.withColumn("flag", coercion.coerce_boolean(F.col("token")))
+
+
+@register(
+    "coerce_timestamp_ladder",
+    """
+    WITH s AS (
+      SELECT event_id, ts,
+             CASE (event_id % 3)
+               WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f')
+               WHEN 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+               ELSE strftime(ts, '%Y-%m-%d') END AS raw
+      FROM events)
+    SELECT event_id, raw,
+           CASE (event_id % 3)
+             WHEN 0 THEN ts
+             WHEN 1 THEN date_trunc('second', ts)
+             ELSE date_trunc('day', ts) END AS parsed
+    FROM s
+    """,
+    doc="strptime format-ladder parse; oracle derives the semantically "
+        "expected truncation (reference schema_validator.py:238-260).",
+)
+def coerce_timestamp_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    raw = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        )
+        .when(F.col("event_id") % 3 == 1, F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd"))
+    )
+    df = ev.select("event_id", raw.alias("raw"))
+    return df.withColumn("parsed", coercion.coerce_timestamp(F.col("raw")))
+
+
+@register(
+    "na_sentinel_required_filter",
+    """
+    WITH raw AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN ''
+                  WHEN event_id % 11 = 0 THEN 'NULL'
+                  WHEN event_id % 13 = 0 THEN 'None'
+                  ELSE event_type END AS s
+      FROM events)
+    SELECT event_id, s FROM raw
+    WHERE s NOT IN ('', 'NULL', 'null', 'None')
+    """,
+    doc="CSV NA-sentinel nulling + required-field drop "
+        "(reference csv_extractor.py:171-173, schema_validator.py:76-93).",
+)
+def na_sentinel_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = (
+        F.when(F.col("event_id") % 7 == 0, F.lit(""))
+        .when(F.col("event_id") % 11 == 0, F.lit("NULL"))
+        .when(F.col("event_id") % 13 == 0, F.lit("None"))
+        .otherwise(F.col("event_type"))
+    )
+    df = ev.select("event_id", coercion.null_na_sentinels(s).alias("s"))
+    return df.filter(F.col("s").isNotNull())
+
+
+_CURSOR_STATE = _dt.datetime(2024, 1, 20)
+_CURSOR_ASOF = _dt.datetime(2024, 1, 30)
+
+
+@register(
+    "incremental_cursor_filter",
+    """
+    SELECT event_id, ts, event_type FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="stored-state cursor predicate `cursor >= last_value`, pushed to scan "
+        "(reference postgres_extractor.py:186-197).",
+)
+def incremental_cursor_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return incremental.cursor_filter(
+        ev, "ts", last_value=_CURSOR_STATE, lookback_days=7, as_of=_CURSOR_ASOF
+    ).select("event_id", "ts", "event_type")
+
+
+@register(
+    "incremental_lookback_filter",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts >= TIMESTAMP '2024-01-23 00:00:00'
+    """,
+    doc="no-state lookback window `cursor >= as_of - lookback_days` "
+        "(reference postgres_extractor.py:194-197).",
+)
+def incremental_lookback_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return incremental.cursor_filter(
+        ev, "ts", last_value=None, lookback_days=7, as_of=_CURSOR_ASOF
+    ).select("event_id", "ts")
+
+
+@register(
+    "incremental_state_update",
+    """
+    SELECT max(ts) AS last_value, count(*) AS n_records
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="commit-then-state: next cursor = max(cursor) of written rows "
+        "(replaces reference ORDER-BY-take-last, postgres_extractor.py:284-328).",
+)
+def incremental_state_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    filtered = incremental.cursor_filter(ev, "ts", last_value=_CURSOR_STATE)
+    return incremental.state_update_frame(filtered, "ts")
+
+
+@register(
+    "partition_value_sanitize",
+    """
+    SELECT doc_id,
+           coalesce(regexp_replace(lower(
+               CASE WHEN doc_id % 10 = 0 THEN NULL ELSE source END),
+               '[^a-z0-9_-]', '_', 'g'), 'unknown') AS partition_value,
+           DATE '2026-08-13' AS ingest_date
+    FROM documents
+    """,
+    doc="hive partition-value derivation: sanitize [^a-z0-9_-]→_, NULL→"
+        "'unknown', injected ingest_date (reference parquet_writer.py:88-158).",
+)
+def partition_value_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    src = F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(F.col("source"))
+    sanitized = F.regexp_replace(F.lower(src), "[^a-z0-9_-]", "_")
+    return docs.select(
+        "doc_id",
+        F.coalesce(sanitized, F.lit("unknown")).alias("partition_value"),
+        F.lit(_dt.date(2026, 8, 13)).alias("ingest_date"),
+    )
+
+
+@register(
+    "warn_union_columns",
+    """
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, CAST(NULL AS VARCHAR) AS event_type, value
+    FROM events WHERE event_type = 'view'
+    """,
+    doc="warn-mode column union: unionByName(allowMissingColumns=True) "
+        "(reference schema_validator.py:114-123, parquet_writer.py:202-285).",
+)
+def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    b = ev.filter(F.col("event_type") == "view").select("event_id", "value")
+    return a.unionByName(b, allowMissingColumns=True)

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query: run the Spark plan and the DuckDB oracle SQL on
+the same parquet tables, then compare row count + column names + the exact
+multiset of values (columns sorted by name, floats compared bit-exact —
+the same discipline as the driver's order-insensitive value hash).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from collections import Counter
+
+import duckdb
+import pytest
+
+from dativo_ingest_spark.queries import QUERIES, TABLES
+from tests.conftest import SF_DIR
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    """Normalize a cell to a hashable, engine-neutral value."""
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    data = df.select(*cols).collect()
+    return cols, Counter(tuple(_norm(r[c]) for c in cols) for r in data)
+
+
+def _duck_rows(con, sql):
+    res = con.execute(sql)
+    names = [d[0] for d in res.description]
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    cols = [names[i] for i in order]
+    data = res.fetchall()
+    return cols, Counter(tuple(_norm(row[i]) for i in order) for row in data)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_parity(spark, name):
+    q = QUERIES[name]
+    sdf = q.fn(spark, SF_DIR)
+    s_cols, s_rows = _spark_rows(sdf)
+    if q.oracle is None:
+        assert sum(s_rows.values()) >= 0  # rows-only check (driver's weak path)
+        return
+    d_cols, d_rows = _duck_rows(_duck(), q.oracle)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert sum(s_rows.values()) == sum(d_rows.values()), (
+        f"{name}: row count {sum(s_rows.values())} vs {sum(d_rows.values())}"
+    )
+    if s_rows != d_rows:
+        only_s = list((s_rows - d_rows).items())[:5]
+        only_d = list((d_rows - s_rows).items())[:5]
+        pytest.fail(
+            f"{name}: value mismatch\n  spark-only: {only_s}\n  duck-only:  {only_d}"
+        )

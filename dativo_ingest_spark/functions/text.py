@@ -48,7 +48,10 @@ def word_ngrams(words_col: Column, n: int) -> Column:
     1-indexed ``element_at`` so the equivalent DuckDB list expression (also
     1-indexed) is symmetrical for oracle parity.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - (n - 1), F.lit(0)))
+    idx = F.when(
+        F.size(words_col) >= n,
+        F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words_col, i + k) for k in range(n)]
     )

@@ -1,0 +1,155 @@
+"""Deduplication operators for large-scale text corpora.
+
+Exact, n-gram-Jaccard, and MinHash+LSH dedup as DataFrame pipelines. These
+are beyond the reference's own surface (it has no dedup; its `>=` cursor
+re-reads even *require* one downstream — SURVEY §2.8) and are first-class
+operators of this engine for training-data curation at 100 TB.
+
+Scale notes (the whole point of each design):
+
+- **exact_dedup**: md5-of-normalized-text fingerprint + min-id-per-group.
+  One shuffle on a 16-byte key; partial aggregation makes it map-side cheap.
+- **ngram_jaccard_pairs**: inverted-index candidate generation — explode
+  distinct n-grams, self-join on the gram, count shared grams per pair, then
+  exact Jaccard from set sizes. Never materializes the O(n²) pair space;
+  common-gram skew is bounded with ``max_gram_df`` (drop grams appearing in
+  more than N docs — standard df-cut, also kills stopword-gram hot keys).
+- **minhash_lsh_pairs**: minwise signatures (md5, engine-portable — see
+  functions/hashing.py) → banded LSH buckets → pair join within buckets →
+  exact-Jaccard verification of candidates only. Shuffle volume is
+  O(docs × bands), independent of pair count; this is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.functions import hashing, text
+
+
+def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, hashing.content_fingerprint(F.col(text_col)))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivor per exact-content group: min id per fingerprint.
+
+    Returns (fingerprint, survivor_id, n_dups).
+    """
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def gram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, grams) with grams = distinct word n-gram set of the doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        text.distinct_word_ngrams(F.col(text_col), n).alias("grams"),
+    ).filter(F.size("grams") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    ``max_gram_df`` drops grams occurring in more than that many documents
+    before the self-join (skew guard; changes candidate recall, not the
+    verified metric).
+    """
+    grams = gram_sets(df, id_col, text_col, n)
+    sizes = grams.select("id", F.size("grams").alias("n_grams"))
+    inv = grams.select("id", F.explode("grams").alias("gram"))
+    if max_gram_df is not None:
+        hot = (
+            inv.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram")
+        )
+        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs, verified with exact n-gram Jaccard.
+
+    Returns (id_a, id_b, jaccard) for candidates whose true Jaccard >=
+    threshold. ``max_bucket_size`` skips degenerate LSH buckets (skew guard
+    for adversarial/boilerplate corpora).
+    """
+    grams = gram_sets(df, id_col, text_col, n).cache()
+    sig = grams.select(
+        "id", hashing.minhash_signature(F.col("grams"), num_hashes).alias("sig")
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            hashing.lsh_band_hashes(F.col("sig"), num_hashes, rows_per_band)
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        big = (
+            bands.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands = bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size("grams_a") + F.size("grams_b") - inter
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

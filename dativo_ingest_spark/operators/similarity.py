@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>), UDF-free.
+
+Brute-force cosine top-k as the correctness baseline, and an IVF-style
+bucketed variant as the scale path: restrict comparisons to rows sharing a
+coarse partition (here the precomputed cluster label; in production the
+assignment comes from a centroid model — the join/shuffle shape is what
+matters and is identical).
+
+Scale notes: brute-force is O(Q·N·d) per query batch — fine when Q is small
+and the corpus is broadcast-partitioned; the bucketed variant turns the
+all-pairs join into a co-partitioned equi-join on the bucket key, which is
+the standard 100 TB ANN shape (IVF/LSH cells → shuffle by cell → local
+scoring). Scoring itself is a Catalyst higher-order-function fold (see
+functions/vectors.py) that stays JVM-side; a vectorized pandas-UDF scorer is
+a drop-in swap when d gets large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dativo_ingest_spark.functions import vectors
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        vectors.as_double_array(F.col(vec_col)).alias(f"{prefix}_vec"),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self).
+
+    Returns (query_id, neighbor_id, cosine, rank). Ranking key is
+    (rounded cosine desc, neighbor_id) so results are deterministic.
+    """
+    q = _prep(queries, id_col, vec_col, "query")
+    c = _prep(corpus, id_col, vec_col, "neighbor")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(vectors.cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bucketed_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """IVF-style near-dup pairs: cosine >= threshold within coarse buckets.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b. The equi-join on the
+    bucket key co-partitions both sides, so each task scores only its own
+    cell — no all-pairs shuffle.
+    """
+    side = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("id"),
+        vectors.as_double_array(F.col(vec_col)).alias("vec"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(vectors.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -680,3 +680,253 @@ def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
     b = ev.filter(F.col("event_type") == "view").select("event_id", "value")
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (BASELINE.json north star: dedup,
+# similarity search, text analysis — designed for 100 TB, oracle-checked).
+# ---------------------------------------------------------------------------
+
+from dativo_ingest_spark.operators import dedup, similarity, textops  # noqa: E402
+
+# Shared DuckDB prelude: normalized text / word / distinct-trigram sets.
+_DOC_GRAMS_CTE = """
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, text, t, string_split(t, ' ') AS words
+      FROM norm WHERE t <> ''),
+    g AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+      FROM w WHERE len(words) >= 3)
+"""
+
+
+@register(
+    "text_quality_features",
+    """
+    WITH
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+    f AS (
+      SELECT doc_id, text, t, words,
+             len(list_filter(words, x -> list_contains(
+               ['the','a','and','of','to','in','is','it'], x))) AS stop_hits
+      FROM w)
+    SELECT doc_id AS id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(words) AS BIGINT) AS n_words,
+           round(CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE length(replace(t, ' ', '')) / len(words) END, 4) AS avg_word_len,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE len(regexp_extract_all(text, '[.,;:!?]')) / length(text) END, 4)
+             AS punct_ratio,
+           round(CASE WHEN len(words) = 0 THEN 0.0
+                 ELSE stop_hits / len(words) END, 4) AS stopword_ratio,
+           (len(words) >= 20 AND
+            (CASE WHEN len(words) = 0 THEN 0.0
+             ELSE stop_hits / len(words) END) <= 0.5) AS quality_ok
+    FROM f
+    """,
+    doc="per-doc quality scoring: char/word counts, avg word length, "
+        "punct + stopword ratios, keep/drop flag. Pure scan-stage exprs.",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.quality_features(docs, "doc_id", "text")
+
+
+@register(
+    "lang_id_markers",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(list_filter(words, x -> list_contains(['the','a','and','of'], x))) AS BIGINT) AS score_en,
+        CAST(len(list_filter(words, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS score_de,
+        CAST(len(list_filter(words, x -> list_contains(['el','la','los','que'], x))) AS BIGINT) AS score_es,
+        CAST(len(list_filter(words, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS score_fr
+      FROM w)
+    SELECT doc_id AS id, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+    doc="marker-word language-ID heuristic with deterministic argmax.",
+)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.language_id(docs, "doc_id", "text")
+
+
+@register(
+    "token_counts_docs",
+    """
+    SELECT doc_id AS id,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="whitespace + BPE-ish regex token counting (regexp_extract_all).",
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.token_counts(docs, "doc_id", "text")
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id AS id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 4)
+             AS fp_bucket
+    FROM documents
+    """,
+    doc="md5 content fingerprint + 16-bit shard bucket (dedup partition key).",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on content fingerprint, min-id survivor.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_DOC_GRAMS_CTE},
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(grams) AS ng FROM g)
+    SELECT s.id_a, s.id_b,
+           round(s.shared / (sa.ng + sb.ng - s.shared), 6) AS jaccard
+    FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                  JOIN sz sb ON s.id_b = sb.doc_id
+    WHERE round(s.shared / (sa.ng + sb.ng - s.shared), 6) >= 0.35
+    """,
+    doc="exact n-gram Jaccard near-dup pairs via inverted-index join "
+        "(no O(n^2) pair space).",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.35)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_DOC_GRAMS_CTE},
+    sig AS (
+      SELECT doc_id, list_transform(range(0, 8),
+               s -> list_min(list_transform(grams,
+                     x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+      FROM g),
+    bands AS (
+      SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bucket
+      FROM sig, range(0, 4) t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+    ver AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(ga.grams, gb.grams)) /
+                   (len(ga.grams) + len(gb.grams)
+                    - len(list_intersect(ga.grams, gb.grams))), 6) AS jaccard
+      FROM cand c JOIN g ga ON c.id_a = ga.doc_id
+                  JOIN g gb ON c.id_b = gb.doc_id)
+    SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.35
+    """,
+    doc="MinHash(8 md5 minwise hashes) + LSH(4 bands x 2 rows) candidates, "
+        "verified with exact n-gram Jaccard. Shuffle O(docs x bands).",
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, rows_per_band=2, threshold=0.35
+    )
+
+
+_COS_SQL = """round(
+      list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]),
+                  (x, y) -> x + y)
+      / (sqrt(list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{a}[i]),
+                          (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len({b})+1), i -> {b}[i]*{b}[i]),
+                          (x, y) -> x + y))), 6)"""
+
+
+@register(
+    "ann_topk_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT qid AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qv", b="c.v")} AS cosine
+      FROM q, e c WHERE c.vec_id <> qid)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    doc="brute-force cosine top-k (correctness baseline for ANN); "
+        "queries broadcast, corpus scanned once.",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+
+
+@register(
+    "embedding_neardup_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_SQL.format(a="a.v", b="b.v")} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.3
+    """,
+    doc="IVF-style embedding near-dup: cosine pairs within coarse cluster "
+        "buckets (co-partitioned equi-join, no all-pairs shuffle).",
+)
+def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.bucketed_neardup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    )

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into the noop sink (full plan runs, nothing
+collected to the driver), which measures engine throughput rather than
+driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dativo_ingest_spark import get_spark  # noqa: E402
+from dativo_ingest_spark.queries import QUERIES  # noqa: E402
+
+#: headline subset: scan-agg, selective join, star join, windows, distinct,
+#: dedup (exact + minhash-LSH), ANN, and scan-stage text analytics.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "agg_distinct_users_by_type",
+    "window_topn_orders_per_customer",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_topk_bruteforce",
+    "text_quality_features",
+    "token_counts_docs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(
+        "dativo-ingest-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once on the smallest table so per-query
+    # numbers measure the plan, not first-call JIT.
+    QUERIES["q6_revenue_forecast"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

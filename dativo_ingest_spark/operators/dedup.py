@@ -47,12 +47,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the scan produced fewer partitions than
+    cores (tiny/single-file inputs) so expression-heavy pipelines use the
+    whole executor pool. No-op at scale, where scans already have ample
+    partitions."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def gram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, grams) with grams = distinct word n-gram set of the doc."""
-    return df.select(
+    """(id, grams) with grams = distinct word n-gram set of the doc.
+
+    Docs with fewer than ``n`` words yield an empty gram set (kept — explode
+    and pair joins drop them naturally; callers needing them gone must filter
+    *above* a materialization barrier, never here: a ``size(grams) > 0``
+    filter gets predicate-pushed below these projections and re-inlines the
+    whole normalize+split+ngram expression per row, a measured >20x slowdown).
+
+    The token array is materialized through a projection boundary before the
+    n-gram lambda: higher-order-function lambdas get no common-subexpression
+    elimination, so inlining ``words`` would re-run the full normalize+split
+    per element_at (~3x grams per doc).
+    """
+    tokens = _widen(df).select(
         F.col(id_col).alias("id"),
-        text.distinct_word_ngrams(F.col(text_col), n).alias("grams"),
-    ).filter(F.size("grams") > 0)
+        text.words(F.col(text_col)).alias("_words"),
+    )
+    return tokens.select(
+        "id",
+        F.array_distinct(text.word_ngrams(F.col("_words"), n)).alias("grams"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -114,7 +141,10 @@ def minhash_lsh_pairs(
     threshold. ``max_bucket_size`` skips degenerate LSH buckets (skew guard
     for adversarial/boilerplate corpora).
     """
+    # Cache is the materialization barrier: the emptiness filter sits above
+    # it so it can't be predicate-pushed into the gram expressions.
     grams = gram_sets(df, id_col, text_col, n).cache()
+    grams = grams.filter(F.size("grams") > 0)
     sig = grams.select(
         "id", hashing.minhash_signature(F.col("grams"), num_hashes).alias("sig")
     )

@@ -25,9 +25,26 @@ from dativo_ingest_spark.functions import vectors
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
+    """Project (id, vec, norm) — the norm is computed once per *row* here so
+    the pair join multiplies only the dot product, not the norms (an O(N)
+    saving per query/bucket partner at scale)."""
+    staged = df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         vectors.as_double_array(F.col(vec_col)).alias(f"{prefix}_vec"),
+    )
+    return staged.select(
+        "*", vectors.l2_norm(F.col(f"{prefix}_vec")).alias(f"{prefix}_norm")
+    )
+
+
+def _pair_cosine(a_vec: str, b_vec: str, a_norm: str, b_norm: str):
+    d = vectors.dot(F.col(a_vec), F.col(b_vec))
+    na, nb = F.col(a_norm), F.col(b_norm)
+    return F.round(
+        F.when((na == 0) | (nb == 0), F.lit(None).cast("double")).otherwise(
+            d / (na * nb)
+        ),
+        6,
     )
 
 
@@ -52,9 +69,8 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(vectors.cosine(F.col("query_vec"), F.col("neighbor_vec")), 6).alias(
-                "cosine"
-            ),
+            _pair_cosine("query_vec", "neighbor_vec", "query_norm", "neighbor_norm")
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -84,7 +100,16 @@ def bucketed_neardup_pairs(
         F.col(id_col).alias("id"),
         vectors.as_double_array(F.col(vec_col)).alias("vec"),
     )
+    side = side.select("*", vectors.l2_norm(F.col("vec")).alias("norm"))
     a, b = side.alias("a"), side.alias("b")
+    d = vectors.dot(F.col("a.vec"), F.col("b.vec"))
+    cos = F.round(
+        F.when(
+            (F.col("a.norm") == 0) | (F.col("b.norm") == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(d / (F.col("a.norm") * F.col("b.norm"))),
+        6,
+    )
     return (
         a.join(
             b,
@@ -94,7 +119,7 @@ def bucketed_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(vectors.cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

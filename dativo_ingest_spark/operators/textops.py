@@ -4,6 +4,11 @@ document fingerprinting.
 All pure-expression pipelines over functions/text.py building blocks — they
 run inside the scan stage (no shuffle, no Python) and so cost ~nothing at
 100 TB beyond the read itself.
+
+Intermediate arrays (token lists) are materialized through projection
+boundaries: lambdas in higher-order functions get no common-subexpression
+elimination, so re-using an inlined normalize+split expression multiplies
+the per-row cost (measured >40x on gram pipelines).
 """
 
 from __future__ import annotations
@@ -24,8 +29,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 PUNCT_PATTERN = r"[.,;:!?]"
 
 
-def _marker_score(words_col: Column, markers: tuple[str, ...]) -> Column:
-    return F.size(F.filter(words_col, lambda w: w.isin(*markers))).cast("long")
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _text, _norm, _words) with each stage materialized once."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        text.normalize_ws(F.col(text_col)).alias("_norm"),
+    ).select(
+        "id",
+        "_text",
+        "_norm",
+        F.when(F.col("_norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("_norm", " "))
+        .alias("_words"),
+    )
 
 
 def quality_features(
@@ -37,28 +54,41 @@ def quality_features(
     (id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
     quality_ok)
     """
-    t = F.col(text_col)
-    w = text.words(t)
-    n_words = F.size(w).cast("long")
-    n_chars = F.length(t).cast("long")
-    # letters-only length over word count (normalized text has single spaces)
-    letters = F.length(F.regexp_replace(text.normalize_ws(t), " ", ""))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(PUNCT_PATTERN), 0))
-    return df.select(
-        F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
+    staged = _tokenized(df, id_col, text_col).select(
+        "id",
+        F.length("_text").cast("long").alias("n_chars"),
+        F.size("_words").cast("long").alias("n_words"),
+        F.length(F.regexp_replace("_norm", " ", "")).alias("_letters"),
+        F.size(F.regexp_extract_all("_text", F.lit(PUNCT_PATTERN), 0)).alias(
+            "_n_punct"
+        ),
+        F.size(
+            F.filter(F.col("_words"), lambda w: w.isin(*text.STOPWORDS))
+        ).alias("_stop_hits"),
+    )
+    stop_ratio = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        F.col("_stop_hits") / F.col("n_words")
+    )
+    return staged.select(
+        "id",
+        "n_chars",
+        "n_words",
         F.round(
-            F.when(n_words == 0, F.lit(0.0)).otherwise(letters / n_words), 4
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.col("_letters") / F.col("n_words")
+            ),
+            4,
         ).alias("avg_word_len"),
         F.round(
-            F.when(n_chars == 0, F.lit(0.0)).otherwise(n_punct / n_chars), 4
+            F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+                F.col("_n_punct") / F.col("n_chars")
+            ),
+            4,
         ).alias("punct_ratio"),
-        F.round(text.stopword_ratio(w), 4).alias("stopword_ratio"),
-        (
-            (n_words >= min_words)
-            & (text.stopword_ratio(w) <= max_stopword_ratio)
-        ).alias("quality_ok"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        ((F.col("n_words") >= min_words) & (stop_ratio <= max_stopword_ratio)).alias(
+            "quality_ok"
+        ),
     )
 
 
@@ -68,36 +98,43 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (id, score_en, score_de, score_es, score_fr, predicted_lang) — argmax
     tie-break follows the declaration order en > de > es > fr.
     """
-    w = text.words(F.col(text_col))
-    scores = {
-        lang: _marker_score(w, markers) for lang, markers in LANG_MARKERS.items()
-    }
     langs = list(LANG_MARKERS)
+
+    def _marker_filter(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
+    scored = _tokenized(df, id_col, text_col).select(
+        "id",
+        *[
+            F.size(F.filter(F.col("_words"), _marker_filter(m)))
+            .cast("long")
+            .alias(f"score_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
     pred = None
     for i, lang in enumerate(langs):
         cond = None
         for other in langs[i + 1:]:
-            c = scores[lang] >= scores[other]
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
             cond = c if cond is None else (cond & c)
-        branch = F.lit(lang)
-        if pred is None:
-            pred = F.when(cond, branch) if cond is not None else branch
+        if cond is None:
+            pred = pred.otherwise(F.lit(lang))
+        elif pred is None:
+            pred = F.when(cond, F.lit(lang))
         else:
-            pred = pred.when(cond, branch) if cond is not None else pred.otherwise(branch)
-    return df.select(
-        F.col(id_col).alias("id"),
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        pred.alias("predicted_lang"),
+            pred = pred.when(cond, F.lit(lang))
+    return scored.select(
+        "id", *[f"score_{lang}" for lang in langs], pred.alias("predicted_lang")
     )
 
 
 def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_ws_tokens, n_bpe_tokens): whitespace + BPE-ish regex counts."""
-    t = F.col(text_col)
-    return df.select(
-        F.col(id_col).alias("id"),
-        text.word_count(t).alias("n_ws_tokens"),
-        text.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+    return _tokenized(df, id_col, text_col).select(
+        "id",
+        F.size("_words").cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("_text")).alias("n_bpe_tokens"),
     )
 
 
@@ -107,9 +144,10 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     The short bucket prefix is the natural shard/partition key for
     dedup-at-scale (uniform 16-bit fanout).
     """
-    fp = hashing.content_fingerprint(F.col(text_col))
-    return df.select(
+    staged = df.select(
         F.col(id_col).alias("id"),
-        fp.alias("fingerprint"),
-        F.substring(fp, 1, 4).alias("fp_bucket"),
+        hashing.content_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+    return staged.select(
+        "id", "fingerprint", F.substring("fingerprint", 1, 4).alias("fp_bucket")
     )

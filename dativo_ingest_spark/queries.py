@@ -688,6 +688,7 @@ def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from dativo_ingest_spark.operators import dedup, similarity, textops  # noqa: E402
+from dativo_ingest_spark.operators import mdkv as mdkv_ops  # noqa: E402
 
 # Shared DuckDB prelude: normalized text / word / distinct-trigram sets.
 _DOC_GRAMS_CTE = """
@@ -929,4 +930,85 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return similarity.bucketed_neardup_pairs(
         emb, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markdown-KV storage shapes (reference §2.4: markdown_kv.py encode/parse)
+# ---------------------------------------------------------------------------
+
+_MDKV_EXTRACTED_AT = "2026-01-01T00:00:00"
+
+#: the exact compact rendering encode() emits for the documents table
+#: (front matter = doc_id only; body cols in table order).
+_MDKV_ENCODE_SQL = (
+    "'---' || chr(10) || 'doc_id: ' || doc_id || chr(10) || '---' || chr(10)"
+    " || chr(10) || 'text:: ' || text || chr(10) || 'lang:: ' || lang"
+    " || chr(10) || 'source:: ' || source || chr(10) || 'n_chars:: ' || n_chars"
+)
+
+
+@register(
+    "mdkv_encode_docs",
+    f"""
+    SELECT doc_id, {_MDKV_ENCODE_SQL} AS mdkv FROM documents
+    """,
+    doc="record → markdown-kv compact encode (pure concat_ws expression, "
+        "codegen'd in the scan stage).",
+)
+def mdkv_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return mdkv_ops.encode(docs).select("doc_id", "mdkv")
+
+
+@register(
+    "mdkv_row_per_kv",
+    f"""
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS did, text, lang, source,
+                      CAST(n_chars AS VARCHAR) AS nc FROM documents)
+    SELECT did AS doc_id, '_front_matter' AS section, 'doc_id' AS key,
+           did AS value, did AS value_json, CAST(0 AS BIGINT) AS ord,
+           '{_MDKV_EXTRACTED_AT}' AS extracted_at FROM d
+    UNION ALL SELECT did, '_default', 'text', text, NULL, 1,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', 'lang', lang, NULL, 2,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', 'source', source, NULL, 3,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', 'n_chars', nc, nc, 4,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    """,
+    doc="markdown-kv row_per_kv storage shape: encode → Arrow-batched parse "
+        "explode (1 doc → 5 rows; value_json set only for JSON-parseable "
+        "values — here the numeric ones).",
+)
+def mdkv_row_per_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    enc = mdkv_ops.encode(docs)
+    return mdkv_ops.rows_from_markdown(enc, "doc_id", "mdkv", _MDKV_EXTRACTED_AT)
+
+
+@register(
+    "mdkv_document_level_stats",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, '_default' AS title,
+           CAST(2 AS BIGINT) AS n_sections, CAST(5 AS BIGINT) AS n_kv
+    FROM documents
+    """,
+    doc="markdown-kv document_level nested shape, summarized (title chain + "
+        "section/kv cardinalities) so the nested struct is hash-checkable.",
+)
+def mdkv_document_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    enc = mdkv_ops.encode(docs)
+    nested = mdkv_ops.documents_from_markdown(
+        enc, "doc_id", "mdkv", _MDKV_EXTRACTED_AT
+    )
+    return nested.select(
+        "doc_id",
+        "title",
+        F.size("sections").cast("long").alias("n_sections"),
+        F.expr(
+            "aggregate(sections, 0L, (acc, s) -> acc + size(s.kv))"
+        ).alias("n_kv"),
     )

@@ -689,6 +689,7 @@ def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dativo_ingest_spark.operators import dedup, similarity, textops  # noqa: E402
 from dativo_ingest_spark.operators import mdkv as mdkv_ops  # noqa: E402
+from dativo_ingest_spark.streaming import pipeline as streaming_pipeline  # noqa: E402
 
 # Shared DuckDB prelude: normalized text / word / distinct-trigram sets.
 _DOC_GRAMS_CTE = """
@@ -1011,4 +1012,61 @@ def mdkv_document_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(sections, 0L, (acc, s) -> acc + size(s.kv))"
         ).alias("n_kv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-window operators (batch forms; streaming/pipeline.py runs the same
+# plans on readStream — tests assert batch/stream equivalence)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+    """,
+    doc="tumbling 1h windowed agg by event_type (streaming-equivalent plan; "
+        "single shuffle on (key, window)).",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return streaming_pipeline.windowed_agg(
+        ev, "ts", "1 hour", keys=["event_type"], value_col="value",
+        watermark=None,
+    )
+
+
+@register(
+    "events_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="gap-based sessionization via built-in session_window (30 min gap); "
+        "oracle re-derives sessions with lag + cumulative-sum.",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return streaming_pipeline.session_window_agg(
+        ev, "ts", "30 minutes", keys=["user_id"], watermark=None,
     )

@@ -1,0 +1,214 @@
+"""Structured Streaming surface.
+
+The reference is batch-only — "streaming" there is scheduled re-runs over
+cursor/mtime state (SURVEY §2.8). This module supplies the real streaming
+counterparts on Spark primitives:
+
+* file streams (``readStream`` with an explicit schema — never infer on a
+  stream) as the Auto-Loader-style continuation of the mtime-skip source;
+* watermarked tumbling/sliding window aggregations for late data;
+* built-in ``session_window`` gap sessionization;
+* a custom stateful sessionizer on ``applyInPandasWithState`` — the pattern
+  for operators Spark lacks (per-key state machine, Arrow-batched).
+
+Scale notes: windowed aggs shuffle once on (key, window) and keep state
+bounded by the watermark horizon; ``applyInPandasWithState`` partitions by
+the grouping key so state is sharded across executors — both survive a
+1000-executor deployment as long as keys aren't pathologically skewed
+(events data: user_id keys, uniform).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_files(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """File-source stream (one micro-batch per new file set)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str | None = None,
+    watermark: str | None = "10 minutes",
+    keys: list[str] | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, with ``slide``) windowed count/sum.
+
+    Works identically on batch and streaming frames — the batch run is the
+    oracle for the streaming run in tests. Output: keys + window_start /
+    window_end + n_events (+ sum_value when ``value_col``)."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window, slide) if slide else \
+        F.window(F.col(ts_col), window)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 2).alias("sum_value"))
+    grouped = df.groupBy(win.alias("w"), *[F.col(k) for k in (keys or [])])
+    return grouped.agg(*aggs).select(
+        *(keys or []),
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        *(["sum_value"] if value_col is not None else []),
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Built-in gap sessionization: a session extends while successive
+    events arrive within ``gap``; ``session_end`` = last event + gap."""
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    grouped = df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
+                         *[F.col(k) for k in keys])
+    return grouped.agg(F.count(F.lit(1)).alias("n_events")).select(
+        *keys,
+        F.col("s.start").alias("session_start"),
+        F.col("s.end").alias("session_end"),
+        "n_events",
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start", T.LongType()),   # epoch nanoseconds (exact)
+    T.StructField("last", T.LongType()),
+    T.StructField("count", T.LongType()),
+])
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    flush_on_timeout: bool = False,
+) -> DataFrame:
+    """Custom per-key session state machine via ``applyInPandasWithState``.
+
+    Emits a session row whenever a key's gap is exceeded by a newly arrived
+    event. Demonstrates the escape hatch for stateful operators the
+    built-ins can't express (e.g. sessions with per-event dynamic gaps); for
+    the fixed-gap case prefer :func:`session_window_agg` (JVM-side state
+    store, RocksDB-backed).
+
+    ``flush_on_timeout=True`` additionally closes idle sessions after
+    ``gap_seconds`` of *processing* time — for continuously running
+    deployments. Leave it off for bounded/Trigger.AvailableNow runs:
+    processing-time timeouts keep scheduling wake-up micro-batches, so an
+    AvailableNow query never terminates (observed on Spark 4.1: endless
+    empty epochs).
+
+    ``session_end`` is the last event time + gap, matching
+    ``session_window`` semantics so both operators are interchangeable.
+    """
+    import pandas as pd  # executor-side
+
+    gap_ns = int(gap_seconds * 1_000_000_000)
+
+    def emit(user, sessions: list[tuple[int, int, int]]) -> "pd.DataFrame":
+        return pd.DataFrame({
+            "user_id": [user] * len(sessions),
+            "session_start": [pd.Timestamp(s, unit="ns") for s, _, _ in sessions],
+            "session_end": [pd.Timestamp(e + gap_ns, unit="ns")
+                            for _, e, _ in sessions],
+            "n_events": [c for _, _, c in sessions],
+        })
+
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
+           state: GroupState) -> Iterator["pd.DataFrame"]:
+        (user,) = key
+        if state.hasTimedOut:
+            start, last, count = state.get
+            state.remove()
+            yield emit(user, [(start, last, count)])
+            return
+        ts_values: list[int] = []
+        for pdf in pdfs:
+            # exact integer ns regardless of the pandas datetime unit
+            ns = pdf[ts_col].to_numpy().astype("datetime64[ns]").astype("int64")
+            ts_values.extend(int(v) for v in ns)
+        ts_values.sort()
+        start, last, count = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_values:
+            if start is None:
+                start, last, count = t, t, 1
+            elif t - last >= gap_ns:
+                closed.append((start, last, count))
+                start, last, count = t, t, 1
+            else:
+                last, count = t, count + 1
+        state.update((start, last, count))
+        if flush_on_timeout:
+            state.setTimeoutDuration(int(gap_seconds * 1000))
+        if closed:
+            yield emit(user, closed)
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if flush_on_timeout else GroupStateTimeout.NoTimeout),
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a stream into a memory sink with Trigger.AvailableNow and block
+    until done (test/CI helper; production writes go to parquet/Kafka sinks
+    with the same trigger for incremental batch)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,118 @@
+"""Structured Streaming: file-stream windowed aggs match the batch plan;
+applyInPandasWithState sessionization matches gap semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.queries import load
+from dativo_ingest_spark.streaming import pipeline
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """events (sf tiny) written as several files so AvailableNow sees
+    multiple splits; returns (path, schema, batch_df)."""
+    ev = load(spark, SF_DIR, "events").select("event_id", "ts", "user_id",
+                                              "event_type", "value")
+    path = str(tmp_path / "events_stream")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return path, back.schema, back
+
+
+def _norm(rows):
+    return sorted(
+        tuple(v.isoformat() if isinstance(v, datetime.datetime) else v
+              for v in row) for row in rows
+    )
+
+
+def test_stream_windowed_agg_matches_batch(spark, events_dir, tmp_path):
+    path, schema, batch = events_dir
+    stream = pipeline.stream_from_files(spark, path, schema,
+                                        max_files_per_trigger=2)
+    agg = pipeline.windowed_agg(stream, "ts", "1 hour",
+                                keys=["event_type"], value_col="value")
+    pipeline.run_available_now(agg, "win_agg", str(tmp_path / "ckpt"))
+    got = spark.sql("SELECT * FROM win_agg").collect()
+
+    expected = pipeline.windowed_agg(batch, "ts", "1 hour",
+                                     keys=["event_type"], value_col="value",
+                                     watermark=None).collect()
+    assert _norm(got) == _norm(expected)
+    assert len(got) > 0
+
+
+def test_stream_sliding_window(spark, events_dir, tmp_path):
+    path, schema, batch = events_dir
+    stream = pipeline.stream_from_files(spark, path, schema)
+    agg = pipeline.windowed_agg(stream, "ts", "2 hours", slide="1 hour")
+    pipeline.run_available_now(agg, "slide_agg", str(tmp_path / "ckpt2"))
+    got = spark.sql("SELECT * FROM slide_agg").collect()
+    expected = pipeline.windowed_agg(batch, "ts", "2 hours", slide="1 hour",
+                                     watermark=None).collect()
+    assert _norm(got) == _norm(expected)
+
+
+def test_stateful_sessionize_closes_on_gap(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, at(0)), (1, at(10)),            # session A: 2 events
+        (1, at(120)), (1, at(125)),         # session B (gap 110m > 30m), open
+        (2, at(5)),                         # session C: 1 event, then gap
+        (2, at(90)),                        # session D, open
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    src = str(tmp_path / "sess_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = pipeline.stream_from_files(spark, src,
+                                        spark.read.parquet(src).schema)
+    sessions = pipeline.stateful_sessionize(stream, gap_seconds=1800)
+    pipeline.run_available_now(sessions, "sessions", str(tmp_path / "ckpt3"),
+                               output_mode="append")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    # only gap-closed sessions are emitted in a bounded run
+    assert got == {
+        (1, at(0), at(10 + 30), 2),
+        (2, at(5), at(5 + 30), 1),
+    }
+
+
+def test_stateful_sessionize_matches_session_window(spark, tmp_path):
+    """Closed sessions from the custom operator == built-in session_window
+    rows (dropping each user's final/open session)."""
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts")
+    src = str(tmp_path / "sess_all")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    back = spark.read.parquet(src)
+
+    stream = pipeline.stream_from_files(spark, src, back.schema)
+    sessions = pipeline.stateful_sessionize(stream, gap_seconds=1800)
+    pipeline.run_available_now(sessions, "sessions_all",
+                               str(tmp_path / "ckpt4"), output_mode="append")
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("SELECT * FROM sessions_all").collect()}
+
+    batch = pipeline.session_window_agg(back, "ts", "30 minutes",
+                                        keys=["user_id"], watermark=None)
+    w_last = F.max("session_start").over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy("user_id"))
+    expected_df = batch.withColumn("_last", w_last).filter(
+        F.col("session_start") < F.col("_last")).drop("_last")
+    expected = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in expected_df.collect()}
+    assert got == expected
+    assert len(got) > 0

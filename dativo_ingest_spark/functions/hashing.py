@@ -65,3 +65,57 @@ def lsh_band_hashes(signature: Column, num_hashes: int, rows_per_band: int) -> C
             )
         )
     return F.array(*bands)
+
+
+def token_md5s(words_col: Column) -> Column:
+    """array<string> md5 per distinct token (materialize through a
+    projection boundary before feeding simhash — no CSE in lambdas)."""
+    return F.transform(F.array_distinct(words_col), lambda w: F.md5(w))
+
+
+def simhash_bitstring(md5s: Column, bits: int = 32) -> Column:
+    """Engine-portable SimHash: '0'/'1' bitstring of length ``bits``.
+
+    Bit ``b`` of a token = bit ``b % 4`` of the hex nibble at md5 position
+    ``b // 4`` — decoded with pure arithmetic (conv/strpos + div + mod), so
+    any engine with md5 reproduces it bit-identically. Votes (+1/-1) are
+    summed across tokens in ONE pass: the accumulator is an int array
+    combined per-token with ``zip_with`` (vs. the naive one-aggregate-per-
+    bit form, which re-scans the token array ``bits`` times).
+
+    Empty token sets produce the all-zero string — filter empty docs before
+    pairing or every pair of them collides.
+    """
+    nibble_div = F.array(*[F.lit(1 << k) for k in range(4)])
+
+    def token_bits(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                (
+                    F.conv(F.substring(h, (b / 4).cast("int") + 1, 1), 16, 10)
+                    .cast("int")
+                    / F.element_at(nibble_div, (b % 4) + 1)
+                ).cast("int") % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+
+    sums = F.aggregate(
+        md5s,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, token_bits(h), lambda x, y: x + y),
+    )
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, "1").otherwise("0")), ""
+    )
+
+
+def hamming_distance(a: Column, b: Column, bits: int) -> Column:
+    """Differing-position count between two equal-length bitstrings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: a.substr(i, F.lit(1)) != b.substr(i, F.lit(1)),
+        )
+    ).cast("long")

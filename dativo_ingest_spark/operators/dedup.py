@@ -183,3 +183,80 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, n: int = 3
+) -> DataFrame:
+    """(id, simhash) — portable bitstring SimHash over distinct word
+    ``n``-gram shingles (shingles, not unigrams: same-vocabulary corpora
+    share most token *sets*, which collapses unigram SimHash).
+
+    Shingle md5s are materialized through a projection boundary (no CSE
+    inside higher-order lambdas), then folded in one array pass. Runs
+    entirely in the scan stage: no shuffle, no Python.
+    """
+    grams = gram_sets(df, id_col, text_col, n)
+    md5s = grams.select(
+        "id", F.transform(F.col("grams"), F.md5).alias("_md5s")
+    )
+    sig = md5s.select(
+        "id",
+        F.size("_md5s").alias("_n"),
+        hashing.simhash_bitstring(F.col("_md5s"), bits).alias("simhash"),
+    )
+    return sig.filter(F.col("_n") > 0).drop("_n")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 8,
+    max_hamming: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join + hamming verification.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming.
+    Pigeonhole guarantee: with ``bands`` > ``max_hamming`` every qualifying
+    pair shares at least one exact band, so banding loses no recall. Shuffle
+    volume is O(docs × bands) — the same scale shape as MinHash-LSH; the
+    all-pairs hamming join never materializes.
+    """
+    assert bits % bands == 0 and bands > max_hamming
+    width = bits // bands
+    sig = simhash_signatures(df, id_col, text_col, bits, n).cache()
+    bands_df = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).alias("band"),
+                    F.substring("simhash", 1 + k * width, width).alias("chunk"),
+                )
+                for k in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.chunk")
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = hashing.hamming_distance(F.col("sh_a"), F.col("sh_b"), bits)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -689,6 +689,7 @@ def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from dativo_ingest_spark.operators import dedup, similarity, textops  # noqa: E402
 from dativo_ingest_spark.operators import mdkv as mdkv_ops  # noqa: E402
+from dativo_ingest_spark.operators import multimodal  # noqa: E402
 from dativo_ingest_spark.streaming import pipeline as streaming_pipeline  # noqa: E402
 
 # Shared DuckDB prelude: normalized text / word / distinct-trigram sets.
@@ -1069,4 +1070,82 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return streaming_pipeline.session_window_agg(
         ev, "ts", "30 minutes", keys=["user_id"], watermark=None,
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_DOC_GRAMS_CTE},
+    tok AS (
+      SELECT doc_id, md5(gram) AS h
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+            WHERE len(grams) > 0) x),
+    votes AS (
+      SELECT doc_id, bits.b AS bit,
+             sum(CASE WHEN
+                   ((strpos('0123456789abcdef',
+                            substr(h, (bits.b // 4) + 1, 1)) - 1)
+                    // (CASE bits.b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                        WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
+      GROUP BY doc_id, bits.b),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY bit) AS sh
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i]))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i])) <= 4
+    """,
+    doc="SimHash near-dup pairs (32-bit shingle simhash, banded candidate "
+        "join + hamming<=4 verify); oracle recomputes the identical md5-"
+        "nibble simhash brute-force.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text",
+                               bits=32, bands=8, max_hamming=4, n=3)
+
+
+@register(
+    "multimodal_byte_stats",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN from_hex('89504E47') || encode(text)
+                  ELSE encode(text) END AS media
+      FROM documents)
+    SELECT doc_id AS id,
+           CAST(octet_length(media) AS BIGINT) AS n_bytes,
+           md5(hex(media)) AS content_md5,
+           CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'unknown' END AS format
+    FROM m
+    """,
+    doc="multimodal binary-column plumbing: opaque media bytes + "
+        "expression-only byte stats (octet_length/md5/magic sniff). Media "
+        "synthesized from text bytes (no media libs in env); decode kernels "
+        "are stubbed in operators/multimodal.py.",
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.unhex(F.lit("89504E47")), F.encode("text", "UTF-8")),
+        ).otherwise(F.encode("text", "UTF-8")).alias("media"),
+    )
+    # oracle portability: DuckDB's md5 takes VARCHAR only, so the checked
+    # digest is md5(hex(bytes)) on both sides (byte_stats keeps true md5)
+    return media.select(
+        F.col("doc_id").alias("id"),
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5(F.hex("media")).alias("content_md5"),
+        multimodal.sniff_format(F.col("media")).alias("format"),
     )

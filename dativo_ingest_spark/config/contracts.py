@@ -80,6 +80,11 @@ class AssetDefinition:
     fields: list[Field] = dc_field(default_factory=list)
     governance: dict[str, Any] = dc_field(default_factory=dict)
     finops: dict[str, Any] = dc_field(default_factory=dict)
+    #: ODCS compliance block: classification (list), retention_days,
+    #: regulations (list) — reference config.py:195-247
+    compliance: dict[str, Any] = dc_field(default_factory=dict)
+    #: team block: owner, ... — reference config.py:195-247
+    team: dict[str, Any] = dc_field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "AssetDefinition":
@@ -97,6 +102,8 @@ class AssetDefinition:
             fields=[Field.from_dict(f) for f in raw_schema],
             governance=d.get("governance") or d.get("team") or {},
             finops=d.get("finops") or {},
+            compliance=d.get("compliance") or {},
+            team=d.get("team") or {},
         )
 
     def required_fields(self) -> list[Field]:

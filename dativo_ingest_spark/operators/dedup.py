@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.functions import hashing, text
+from dativo_ingest_spark.operators.util import widen as _widen
 
 
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
@@ -38,24 +39,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Returns (fingerprint, survivor_id, n_dups).
     """
     return (
-        with_fingerprint(df, text_col)
+        with_fingerprint(_widen(df), text_col)
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("survivor_id"),
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
-
-
-def _widen(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the scan produced fewer partitions than
-    cores (tiny/single-file inputs) so expression-heavy pipelines use the
-    whole executor pool. No-op at scale, where scans already have ample
-    partitions."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def gram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -97,7 +87,10 @@ def ngram_jaccard_pairs(
     before the self-join (skew guard; changes candidate recall, not the
     verified metric).
     """
-    grams = gram_sets(df, id_col, text_col, n)
+    # cache: grams feed both the size lookup and the inverted index, and
+    # the explode below re-evaluates an uncached child per OUTPUT row (see
+    # simhash_signatures — measured ~75x).
+    grams = gram_sets(df, id_col, text_col, n).cache()
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     inv = grams.select("id", F.explode("grams").alias("gram"))
     if max_gram_df is not None:
@@ -192,20 +185,49 @@ def simhash_signatures(
     ``n``-gram shingles (shingles, not unigrams: same-vocabulary corpora
     share most token *sets*, which collapses unigram SimHash).
 
-    Shingle md5s are materialized through a projection boundary (no CSE
-    inside higher-order lambdas), then folded in one array pass. Runs
-    entirely in the scan stage: no shuffle, no Python.
+    Bit ``b`` of a shingle = bit ``b % 4`` of md5 hex nibble ``b // 4``,
+    decoded with conv/div/mod arithmetic any engine reproduces. Computed as
+    explode → groupBy(id) with ``bits`` conditional sums: flat expressions
+    that stay inside whole-stage codegen with map-side partial aggregation.
+    (The alternative — a scan-stage ``aggregate``/``zip_with`` fold over an
+    int-array accumulator — avoids the shuffle but generates a single
+    megamorphic expression that took ~20 s to JIT cold and fell out of
+    codegen; the shuffle here is (id, 16-byte md5) per shingle, the same
+    volume MinHash-LSH already moves.)
+
+    Empty-shingle docs are excluded by a *cheap* pre-filter on the word
+    count (``>= n`` words ⟺ ≥1 shingle) — a post-hoc ``size(grams) > 0``
+    filter gets predicate-pushed below the widening exchange and re-inlines
+    the gram pipeline on the scan\'s single partition.
     """
-    grams = gram_sets(df, id_col, text_col, n)
-    md5s = grams.select(
-        "id", F.transform(F.col("grams"), F.md5).alias("_md5s")
-    )
-    sig = md5s.select(
+    eligible = df.filter(F.size(text.words(F.col(text_col))) >= n)
+    # cache() before explode is mandatory, not an optimization: Generate
+    # re-evaluates its child expression per OUTPUT row, so exploding
+    # directly over the gram pipeline re-runs tokenize+ngram per gram
+    # (measured ~75x: 17.9s vs 0.2s at sf0.1; a repartition barrier does
+    # NOT stop it — only materialization does). At 100 TB use
+    # persist(DISK_ONLY) or a staged temp table; the volume equals the
+    # shingle sets, which MinHash-LSH also materializes.
+    grams = gram_sets(eligible, id_col, text_col, n).cache()
+    hashed = grams.select(
+        "id", F.explode("grams").alias("gram")
+    ).select("id", F.md5("gram").alias("h"))
+
+    votes = []
+    for b in range(bits):
+        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_b{b}")
+        )
+    summed = hashed.groupBy("id").agg(*votes)
+    return summed.select(
         "id",
-        F.size("_md5s").alias("_n"),
-        hashing.simhash_bitstring(F.col("_md5s"), bits).alias("simhash"),
+        F.concat(
+            *[F.when(F.col(f"_b{b}") > 0, "1").otherwise("0")
+              for b in range(bits)]
+        ).alias("simhash"),
     )
-    return sig.filter(F.col("_n") > 0).drop("_n")
 
 
 def simhash_pairs(
@@ -213,8 +235,8 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     bits: int = 32,
-    bands: int = 8,
-    max_hamming: int = 4,
+    bands: int = 4,
+    max_hamming: int = 3,
     n: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + hamming verification.
@@ -224,6 +246,13 @@ def simhash_pairs(
     pair shares at least one exact band, so banding loses no recall. Shuffle
     volume is O(docs × bands) — the same scale shape as MinHash-LSH; the
     all-pairs hamming join never materializes.
+
+    Band *width* is the selectivity knob: bucket count per band is
+    ``2^(bits/bands)``, so more bands (pigeonhole headroom for a higher
+    ``max_hamming``) means exponentially coarser buckets and a candidate
+    blow-up — 8 bands of 4 bits over this corpus produced 5.1M candidates
+    where 4 bands of 8 bits produce ~200k for the same verified output.
+    Raise ``bits`` (64) before raising ``bands`` past 4-6.
     """
     assert bits % bands == 0 and bands > max_hamming
     width = bits // bands

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dativo_ingest_spark.operators.util import widen as _widen
+
 #: doc_id inference order of the reference driver loop (``cli.py:856-931``).
 DOC_ID_FIELDS = (
     "businessentityid", "productid", "customerid", "salesorderid",
@@ -276,7 +278,9 @@ def _map_in_pandas_parse(df: DataFrame, doc_id_col: str, content_col: str,
 
     projected = df.select(F.col(doc_id_col).cast("string").alias(doc_id_col),
                           F.col(content_col))
-    return projected.mapInPandas(run, schema)
+    # Python parse is the bottleneck stage: widen tiny scans so the Arrow
+    # batches fan out across the executor pool instead of one task.
+    return _widen(projected).mapInPandas(run, schema)
 
 
 def rows_from_markdown(df: DataFrame, doc_id_col: str, content_col: str,

@@ -1100,16 +1100,16 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i]))
                 AS BIGINT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i])) <= 4
+    WHERE len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i])) <= 3
     """,
     doc="SimHash near-dup pairs (32-bit shingle simhash, banded candidate "
-        "join + hamming<=4 verify); oracle recomputes the identical md5-"
+        "join + hamming<=3 verify); oracle recomputes the identical md5-"
         "nibble simhash brute-force.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, "doc_id", "text",
-                               bits=32, bands=8, max_hamming=4, n=3)
+                               bits=32, bands=4, max_hamming=3, n=3)
 
 
 @register(

@@ -86,7 +86,7 @@ def test_simhash_identical_docs_zero_hamming(spark):
                 "and state stores everywhere")]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     pairs = {(r.id_a, r.id_b): r.hamming for r in
-             dedup.simhash_pairs(df, "doc_id", "text", max_hamming=4).collect()}
+             dedup.simhash_pairs(df, "doc_id", "text").collect()}
     assert pairs == {(1, 2): 0}
     sigs = {r.id: r.simhash for r in
             dedup.simhash_signatures(df, "doc_id", "text").collect()}

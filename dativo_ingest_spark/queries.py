@@ -1149,3 +1149,160 @@ def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.hex("media")).alias("content_md5"),
         multimodal.sniff_format(F.col("media")).alias("format"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface widening: subqueries, grouping sets, HAVING, scalar
+# function coverage (Catalyst decorrelates; all single-shuffle shapes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 analog: EXISTS subquery → left-semi join (Catalyst "
+        "decorrelates; no row explosion).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_dt.datetime(1996, 7, 1)))
+        & (F.col("o_orderdate") < F.lit(_dt.datetime(1996, 10, 1)))
+    )
+    late = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount") > 0.05
+    ).select("l_orderkey")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="GROUPING SETS (flag+status, flag, grand total) — single expand+"
+        "shuffle plan.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@register(
+    "agg_cube_events",
+    """
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
+    """,
+    doc="CUBE over (event_type, user bucket): all 4 grouping combinations "
+        "in one expand pass.",
+)
+def agg_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).cast("long").alias("user_bucket")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "agg_having_big_customers",
+    """
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 10
+    """,
+    doc="groupBy + HAVING (post-aggregation filter).",
+)
+def agg_having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "subquery_above_avg_balance",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+    doc="uncorrelated scalar subquery: avg computed once, broadcast as a "
+        "literal into the filter.",
+)
+def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_cust_sq")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM _cust_sq
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM _cust_sq)
+    """)
+
+
+@register(
+    "scalar_functions_orders",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           round(o_totalprice / 1000.0, 3) AS price_k,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CASE WHEN o_totalprice >= 200000 THEN 'large'
+                WHEN o_totalprice >= 50000 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM orders
+    """,
+    doc="scalar function coverage: string ops, date parts/trunc, "
+        "arithmetic, CASE ladder — all codegen'd in the scan stage.",
+)
+def scalar_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.when(F.col("o_totalprice") >= 200000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small").alias("size_class"),
+    )

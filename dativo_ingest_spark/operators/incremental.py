@@ -138,6 +138,35 @@ class StateStore:
             json.dump(doc, fh, indent=2)
         os.replace(tmp, path)  # atomic on POSIX
 
+    def get_file_mtimes(self, key: StateKey) -> dict[str, float]:
+        """Per-file modified-time map (reference ``file_<id>: last_modified``
+        entries, validator.py:309-349)."""
+        path = self._path(key)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            doc = json.load(fh)
+        return {
+            k[len("file_"):]: v["last_modified"]
+            for k, v in doc.items()
+            if k.startswith("file_") and isinstance(v, dict)
+        }
+
+    def set_file_mtimes(self, key: StateKey, mtimes: dict[str, float]) -> None:
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        doc: dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                doc = json.load(fh)
+        now = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        for p, m in mtimes.items():
+            doc[f"file_{p}"] = {"last_modified": m, "updated_at": now}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        os.replace(tmp, path)  # atomic on POSIX
+
     def commit_from(self, df: DataFrame, key: StateKey, cursor_field: str) -> Any | None:
         """Commit-then-state: persist max(cursor) of the *written* frame."""
         row = state_update_frame(df, cursor_field).collect()[0]

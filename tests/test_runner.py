@@ -1,0 +1,159 @@
+"""End-to-end job runner: extract → validate → partitioned write → state,
+with the reference's exit-code contract."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dativo_ingest_spark import runner
+from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
+
+
+def job_dict(src_path, out_path, mode="strict", incremental=None,
+             partition_by=None):
+    return {
+        "tenant_id": "acme",
+        "schema_validation_mode": mode,
+        "source": {"type": "csv", "path": src_path,
+                   **({"incremental": incremental} if incremental else {})},
+        "target": {"type": "parquet", "path": out_path,
+                   "partition_by": partition_by or [],
+                   "options": {"mode": "overwrite"}},
+        "asset": {
+            "name": "people", "version": "1.0", "domain": "hr",
+            "schema": [
+                {"name": "id", "type": "integer", "required": True},
+                {"name": "name", "type": "string", "required": True,
+                 "classification": "pii"},
+                {"name": "active", "type": "boolean"},
+            ],
+            "compliance": {"classification": ["internal"],
+                           "retention_days": 30},
+        },
+    }
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("id,name,active\n1,alice,true\n2,bob,no\n3,carol,1\n")
+    return str(p)
+
+
+def test_strict_success_writes_and_tags(spark, csv_file, tmp_path):
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(job_dict(csv_file, out))
+    res = runner.run_job(spark, job)
+    assert res.exit_code == runner.EXIT_SUCCESS
+    assert (res.records_in, res.records_valid, res.records_invalid) == (3, 3, 0)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string",
+                                 "active": "boolean"}
+    props = json.load(open(f"{out}/_dativo_properties.json"))
+    assert props["classification.fields.name"] == "pii"
+    assert props["classification.default"] == "internal"
+    assert props["governance.retention_days"] == "30"
+    assert res.records_per_second > 0
+
+
+def test_strict_failure_exit_2(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("id,name\n1,alice\n,missing_id\nx,carol\n")
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(job_dict(str(p), out))
+    res = runner.run_job(spark, job)
+    assert res.exit_code == runner.EXIT_FAILURE
+    assert res.records_invalid == 2
+    assert res.error_sample  # capped error taxonomy
+    kinds = {e["error"] for e in res.error_sample}
+    assert any("missing_required" in k or "type_mismatch" in k for k in kinds)
+
+
+def test_warn_partial_exit_1(spark, tmp_path):
+    p = tmp_path / "warn.csv"
+    p.write_text("id,name,extra\n1,alice,x\n,missing,y\n")
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(job_dict(str(p), out, mode="warn"))
+    res = runner.run_job(spark, job)
+    assert res.exit_code == runner.EXIT_PARTIAL
+    assert res.records_valid == 2  # warn: everything passes through
+    back = spark.read.parquet(out)
+    assert "extra" in back.columns  # warn mode preserves observed columns
+
+
+def test_mtime_skip_second_run(spark, csv_file, tmp_path):
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    inc = {"enabled": True, "strategy": "file_modified_time"}
+    job = JobConfig.from_dict(job_dict(csv_file, out, incremental=inc))
+    r1 = runner.run_job(spark, job, state_root=state)
+    assert r1.exit_code == 0 and not r1.skipped
+    r2 = runner.run_job(spark, job, state_root=state)
+    assert r2.skipped and r2.exit_code == 0
+
+
+def test_parquet_cursor_incremental(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id bigint, cursor bigint"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    d = job_dict(src, out, incremental={
+        "enabled": True, "strategy": "updated_at", "cursor_field": "cursor"})
+    d["source"]["type"] = "parquet"
+    d["asset"]["schema"] = [
+        {"name": "id", "type": "integer", "required": True},
+        {"name": "cursor", "type": "integer", "required": True},
+    ]
+    # updated_at strategy is jdbc-family; parquet source uses cursor too
+    d["source"]["incremental"]["strategy"] = None
+    job = JobConfig.from_dict(d)
+    r1 = runner.run_job(spark, job, state_root=state)
+    assert r1.records_valid == 3 and r1.state_value == 30
+    # append two newer rows; next run reads cursor >= 30 (re-reads boundary)
+    spark.createDataFrame([(4, 40), (3, 30)], "id bigint, cursor bigint")\
+        .write.mode("append").parquet(src)
+    r2 = runner.run_job(spark, job, state_root=state)
+    assert r2.state_value == 40
+    assert r2.records_valid == 3  # 30 (x2, >= re-read) + 40
+
+
+def test_partitioned_output(spark, csv_file, tmp_path):
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(
+        job_dict(csv_file, out, partition_by=["ingest_date", "active"]))
+    res = runner.run_job(spark, job)
+    assert res.partition_cols == ["_p_ingest_date", "_p_active"]
+    from dativo_ingest_spark.sinks.parquet_sink import list_partitions
+    vals = {p["value"] for p in list_partitions(out) if p["column"] == "_p_active"}
+    assert vals == {"true", "false"}
+
+
+def test_markdown_kv_job(spark, tmp_path):
+    (tmp_path / "d1.md").write_text("a:: 1\nb:: two\n")
+    out = str(tmp_path / "out")
+    d = job_dict(str(tmp_path / "*.md"), out)
+    d["source"]["type"] = "markdown_kv"
+    d["source"]["options"] = {"storage": "row_per_kv"}
+    job = JobConfig.from_dict(d)
+    res = runner.run_job(spark, job)
+    assert res.exit_code == 0
+    back = spark.read.parquet(out)
+    assert {r.key for r in back.collect()} == {"a", "b"}
+
+
+def test_job_dir_and_config_error(spark, tmp_path, csv_file):
+    jobs = tmp_path / "jobs"
+    jobs.mkdir()
+    import yaml
+    (jobs / "j1.yaml").write_text(yaml.dump(
+        job_dict(csv_file, str(tmp_path / "o1"))))
+    results = runner.run_job_dir(spark, str(jobs))
+    assert all(r.exit_code == 0 for r in results.values())
+    with pytest.raises(ConfigError):
+        JobConfig.from_dict({"tenant_id": "t", "source": {"type": "csv"},
+                             "target": {}, "asset": {"name": "x",
+                                                     "schema": []}})

@@ -1,0 +1,84 @@
+"""``dativo check`` / ``dativo discover`` analogs.
+
+Reference: connection tests (``cli.py:1243-1599``) and stream listing
+(``cli.py:1602-1846``). Driver-side probes — no job execution, no writes;
+each source type answers "can I connect?" and "what streams/columns exist?".
+JDBC sources get a config-level check only in this environment (no live
+endpoints); the generated query/options from ``sources/jdbc.py`` are
+returned so an operator can eyeball what would run.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from dativo_ingest_spark.config.contracts import SourceConfig
+from dativo_ingest_spark.sources import csv_source, jdbc, mdkv_source
+
+
+def check_source(spark: SparkSession, src: SourceConfig) -> dict[str, Any]:
+    """Connection/readability probe. Never raises — returns
+    ``{"ok": bool, "source_type": ..., "details"/"error": ...}``."""
+    try:
+        if src.type == "csv":
+            files = [p for p, _ in csv_source.list_csv_files(src.path)]
+            if not files:
+                return {"ok": False, "source_type": "csv",
+                        "error": f"no files match {src.path}"}
+            cols = csv_source._header_columns(spark, files[0], {
+                **csv_source.DEFAULT_OPTIONS, **src.options})
+            return {"ok": True, "source_type": "csv",
+                    "details": {"files": len(files), "columns": cols}}
+        if src.type == "parquet":
+            df = spark.read.parquet(src.path)
+            return {"ok": True, "source_type": "parquet",
+                    "details": {"columns": df.columns}}
+        if src.type == "markdown_kv":
+            files = mdkv_source.list_markdown_files(src.path)
+            return {"ok": bool(files), "source_type": "markdown_kv",
+                    **({"details": {"files": len(files)}} if files
+                       else {"error": f"no .md/.mdkv files match {src.path}"})}
+        if src.type in ("postgres", "mysql", "jdbc"):
+            dialect = "mysql" if src.type == "mysql" else "postgres"
+            q = jdbc.build_query(
+                dialect,
+                src.options.get("table", "<table>"),
+                schema=src.options.get("schema"),
+            )
+            return {"ok": False, "source_type": src.type,
+                    "error": "no live database endpoint in this environment",
+                    "details": {"would_run": q}}
+        return {"ok": False, "source_type": src.type,
+                "error": f"unsupported source type '{src.type}'"}
+    except Exception as exc:  # probe must never raise
+        return {"ok": False, "source_type": src.type, "error": str(exc)}
+
+
+def discover(spark: SparkSession, src: SourceConfig) -> list[dict[str, Any]]:
+    """Stream listing: one entry per discoverable stream with its columns."""
+    if src.type == "csv":
+        streams = []
+        for path, mtime in csv_source.list_csv_files(src.path):
+            cols = csv_source._header_columns(spark, path, {
+                **csv_source.DEFAULT_OPTIONS, **src.options})
+            streams.append({
+                "stream": os.path.splitext(os.path.basename(path))[0],
+                "path": path, "modified_at": mtime, "columns": cols,
+            })
+        return streams
+    if src.type == "parquet":
+        return [{
+            "stream": os.path.basename(p).removesuffix(".parquet"),
+            "path": p,
+            "columns": spark.read.parquet(p).columns,
+        } for p in sorted(_glob.glob(src.path))]
+    if src.type == "markdown_kv":
+        return [{
+            "stream": os.path.splitext(os.path.basename(p))[0],
+            "path": p, "modified_at": m,
+        } for p, m in mdkv_source.list_markdown_files(src.path)]
+    return []

@@ -1,0 +1,89 @@
+"""Retry policy classification/backoff + check/discover probes."""
+
+from __future__ import annotations
+
+import pytest
+
+from dativo_ingest_spark import inspect_cmd
+from dativo_ingest_spark.config.contracts import SourceConfig
+from dativo_ingest_spark.retry import RetryConfig, RetryPolicy
+from dativo_ingest_spark.runner import JobResult
+
+
+def test_retry_classification():
+    p = RetryPolicy(RetryConfig(max_retries=2))
+    assert p.should_retry(1, attempt=0)
+    assert p.should_retry(2, attempt=1)
+    assert not p.should_retry(2, attempt=2)       # retries exhausted
+    assert not p.should_retry(0, attempt=0)       # success not retryable
+    assert not p.should_retry(3, attempt=0)       # unknown exit code
+
+
+def test_retry_error_patterns():
+    p = RetryPolicy(RetryConfig(
+        retryable_error_patterns=("timeout", "connection re(fused|set)",
+                                  "[invalid")))
+    assert p.should_retry(2, "Read TIMEOUT after 30s", 0)   # case-insensitive
+    assert p.should_retry(2, "connection refused", 0)
+    assert not p.should_retry(2, "schema mismatch", 0)
+    # invalid regex skipped, not fatal
+    assert p.should_retry(2, "timeout", 0)
+    # no message with patterns configured → retryable (pattern gate only
+    # applies when a message is present, like the reference)
+    assert p.should_retry(2, None, 0)
+
+
+def test_backoff_curve():
+    p = RetryPolicy(RetryConfig(initial_delay_seconds=2,
+                                backoff_multiplier=3, max_delay_seconds=25))
+    assert [p.calculate_delay(a) for a in range(4)] == [2, 6, 18, 25]
+
+
+def test_run_with_retries():
+    calls = []
+    outcomes = [JobResult(exit_code=2), JobResult(exit_code=2),
+                JobResult(exit_code=0)]
+
+    def fn():
+        calls.append(1)
+        return outcomes[len(calls) - 1]
+
+    slept = []
+    result, attempts = RetryPolicy(RetryConfig(initial_delay_seconds=0.01))\
+        .run_with_retries(fn, sleep=slept.append)
+    assert result.exit_code == 0 and attempts == 3
+    assert len(slept) == 2
+
+    # non-retryable path: strict failure with patterns that don't match
+    policy = RetryPolicy(RetryConfig(retryable_error_patterns=("timeout",)))
+    bad = JobResult(exit_code=2, error_sample=[{"error": "type_mismatch"}])
+    result, attempts = policy.run_with_retries(lambda: bad, sleep=slept.append)
+    assert result.exit_code == 2 and attempts == 1
+
+
+def test_check_and_discover(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("id,name\n1,x\n")
+    (tmp_path / "b.csv").write_text("id,name\n2,y\n")
+    src = SourceConfig.from_dict({"type": "csv",
+                                  "path": str(tmp_path / "*.csv")})
+    chk = inspect_cmd.check_source(spark, src)
+    assert chk["ok"] and chk["details"] == {"files": 2,
+                                            "columns": ["id", "name"]}
+    streams = inspect_cmd.discover(spark, src)
+    assert [s["stream"] for s in streams] == ["a", "b"]
+
+    missing = SourceConfig.from_dict({"type": "csv",
+                                      "path": str(tmp_path / "*.tsv")})
+    assert not inspect_cmd.check_source(spark, missing)["ok"]
+
+    pg = SourceConfig.from_dict({"type": "postgres",
+                                 "options": {"table": "users",
+                                             "schema": "app"}})
+    chk = inspect_cmd.check_source(spark, pg)
+    assert not chk["ok"] and 'FROM "app"."users"' in chk["details"]["would_run"]
+
+    (tmp_path / "d.md").write_text("k:: v\n")
+    md = SourceConfig.from_dict({"type": "markdown_kv",
+                                 "path": str(tmp_path / "*")})
+    assert inspect_cmd.check_source(spark, md)["ok"]
+    assert inspect_cmd.discover(spark, md)[0]["stream"] == "d"

@@ -123,3 +123,88 @@ def bucketed_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the 100 TB ANN path.
+
+    Cells come from a small centroid set (here: the ``n_centroids``
+    lowest-id vectors — a deterministic stand-in for offline k-means; the
+    plan shape is identical). Centroids are collected to the driver and
+    inlined as literal arrays, so cell assignment is a pure scan-stage
+    expression — zero shuffle over the corpus. Each query probes its
+    ``n_probe`` nearest cells; scoring happens only inside probed cells via
+    a cell-key equi-join, so compute drops from O(Q·N) to
+    O(Q·N·n_probe/n_centroids) and the join shuffles on a low-cardinality
+    key AQE can rebalance.
+
+    Returns (query_id, neighbor_id, cosine, rank) — recall < brute force by
+    construction; pair with :func:`brute_force_topk` to measure it.
+    """
+    import math
+
+    prepped = _prep(corpus, id_col, vec_col, "c")
+    cents = sorted(
+        (r["c_id"], r["c_vec"])
+        for r in prepped.filter(F.col("c_id") < n_centroids)
+        .select("c_id", "c_vec").collect()
+    )
+    if not cents:
+        raise ValueError("empty centroid set")
+
+    def cell_scores(vec: str, norm: str) -> F.Column:
+        """array<struct<a: cos-to-centroid (9dp), i: centroid id>>."""
+        entries = []
+        for cid, cvec in cents:
+            clit = F.array(*[F.lit(float(x)) for x in cvec])
+            cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+            cos = F.round(
+                vectors.dot(F.col(vec), clit) / (F.col(norm) * cnorm), 9
+            )
+            entries.append(F.struct(cos.alias("a"),
+                                    F.lit(int(cid)).alias("i")))
+        return F.array(*entries)
+
+    assigned = prepped.select(
+        "c_id", "c_vec", "c_norm",
+        F.array_max(cell_scores("c_vec", "c_norm"))["i"].alias("cell"),
+    )
+
+    qp = _prep(queries, id_col, vec_col, "q")
+    probes = qp.select(
+        "q_id", "q_vec", "q_norm",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(cell_scores("q_vec", "q_norm"), asc=False),
+                    1, n_probe,
+                ),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+
+    scored = (
+        probes.join(assigned, "cell")
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            _pair_cosine("q_vec", "c_vec", "q_norm", "c_norm").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1306,3 +1306,51 @@ def scalar_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") >= 50000, "medium")
         .otherwise("small").alias("size_class"),
     )
+
+
+_COS9_SQL = _COS_SQL.replace(", 6)", ", 9)")
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS9_SQL.format(a="e.v", b="c.cv")} DESC, c.cid DESC
+               ) AS rn
+        FROM e CROSS JOIN c) x
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT qid, qv, cid FROM (
+        SELECT q.qid, q.qv, c.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_COS9_SQL.format(a="q.qv", b="c.cv")} DESC, c.cid DESC
+               ) AS rn
+        FROM q CROSS JOIN c) x
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="p.qv", b="a.v")} AS cosine
+      FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid)
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    doc="IVF approximate top-k: deterministic centroid set (ids < 8), "
+        "scan-stage cell assignment from inlined centroid literals, "
+        "2-probe cell-join scoring. Oracle replicates the identical IVF, "
+        "so parity checks the approximation itself.",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, "vec_id", "embedding",
+                               k=10, n_centroids=8, n_probe=2)

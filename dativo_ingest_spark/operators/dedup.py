@@ -289,3 +289,86 @@ def simhash_pairs(
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) — connected components over a near-dup pair list via
+    iterative min-label propagation (alternating large-star rounds).
+
+    Each round joins every node's current label against its neighbors' and
+    keeps the minimum; convergence is reached when no label changes
+    (checked with a cheap count). Rounds needed = graph diameter ≤
+    ``max_iterations`` — near-dup graphs are overwhelmingly tiny cliques,
+    so 2-3 rounds is typical. Each round is one shuffle join on the edge
+    list; labels are checkpoint-cached per round to keep lineage flat
+    (without it the plan doubles per iteration and the job dies on plan
+    explosion long before data size matters).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup group resolution: keep the min-id survivor of every
+    connected component, pass through all unpaired docs.
+
+    Returns the deduplicated corpus (original columns). The anti-join drops
+    only non-survivor members of components — the common 100 TB shape:
+    pair list ≪ corpus, so the component labels broadcast.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        F.broadcast(losers),
+        df[id_col] == losers.id,
+        "left_anti",
+    )

@@ -1354,3 +1354,44 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(emb, q, "vec_id", "embedding",
                                k=10, n_centroids=8, n_probe=2)
+
+
+@register(
+    "dedup_corpus_resolved",
+    f"""
+    WITH RECURSIVE {_DOC_GRAMS_CTE},
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                    JOIN sz sb ON s.id_b = sb.doc_id
+      WHERE round(s.shared / (sa.ng + sb.ng - s.shared), 6) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    """,
+    doc="end-to-end corpus dedup: n-gram-Jaccard pairs → connected "
+        "components (iterative min-label propagation) → min-id survivor "
+        "per component; oracle resolves components with a recursive CTE "
+        "transitive closure.",
+)
+def dedup_corpus_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.35)
+    return dedup.dedup_corpus(docs, pairs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

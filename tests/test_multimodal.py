@@ -98,3 +98,21 @@ def test_simhash_short_docs_filtered(spark):
     df = spark.createDataFrame([(1, "only two"), (2, "")],
                                "doc_id bigint, text string")
     assert dedup.simhash_signatures(df, "doc_id", "text").count() == 0
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4-5 plus isolated pair (10,11): multi-hop propagation
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a bigint, id_b bigint")
+    comp = {r.id: r.component for r in
+            dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_dedup_corpus_keeps_survivors_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], "doc_id bigint, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    out = sorted(r.doc_id for r in
+                 dedup.dedup_corpus(docs, pairs, "doc_id").collect())
+    assert out == [1, 7, 9]  # 2,3 collapse into component 1; singletons stay

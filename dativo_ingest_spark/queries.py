@@ -1395,3 +1395,74 @@ def dedup_corpus_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_corpus(docs, pairs, "doc_id").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE {_DOC_GRAMS_CTE},
+    f AS (
+      SELECT doc_id, len(words) AS n_words,
+             len(list_filter(words, x -> list_contains(
+               ['the','a','and','of','to','in','is','it'], x))) AS stop_hits,
+             CAST(len(list_filter(words, x -> list_contains(
+               ['the','a','and','of'], x))) AS BIGINT) AS score_en,
+             CAST(len(list_filter(words, x -> list_contains(
+               ['der','die','das','und'], x))) AS BIGINT) AS score_de,
+             CAST(len(list_filter(words, x -> list_contains(
+               ['el','la','los','que'], x))) AS BIGINT) AS score_es,
+             CAST(len(list_filter(words, x -> list_contains(
+               ['le','les','des','et'], x))) AS BIGINT) AS score_fr
+      FROM w),
+    keep AS (
+      SELECT doc_id FROM f
+      WHERE n_words >= 20 AND stop_hits / n_words <= 0.5
+        AND score_en >= score_de AND score_en >= score_es
+        AND score_en >= score_fr),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                    JOIN sz sb ON s.id_b = sb.doc_id
+      WHERE round(s.shared / (sa.ng + sb.ng - s.shared), 6) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d
+    JOIN keep k ON d.doc_id = k.doc_id
+    LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    """,
+    doc="composite training-data curation: quality gate (length + stopword "
+        "ratio) ∧ language gate (en argmax) ∧ near-dup removal (Jaccard "
+        "components). Dedup runs over the full corpus and the gates are "
+        "applied as semi-joins on the survivors — a deterministic ordering "
+        "the oracle mirrors exactly.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    quality = textops.quality_features(docs, "doc_id", "text").filter(
+        F.col("quality_ok")
+    ).select("id")
+    lang = textops.language_id(docs, "doc_id", "text").filter(
+        F.col("predicted_lang") == "en"
+    ).select("id")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.35)
+    deduped = dedup.dedup_corpus(docs, pairs, "doc_id")
+    return (
+        deduped.join(quality, deduped.doc_id == quality.id, "left_semi")
+        .join(lang, deduped.doc_id == lang.id, "left_semi")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+    )

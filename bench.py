@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "text_quality_features",
     "token_counts_docs",
     "mdkv_row_per_kv",
@@ -66,7 +67,7 @@ def main() -> None:
         "overwrite"
     ).save()
     for warm in ("mdkv_row_per_kv", "dedup_exact_docs", "dedup_minhash_lsh",
-                 "dedup_simhash"):
+                 "dedup_simhash", "ann_topk_ivf"):
         QUERIES[warm].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

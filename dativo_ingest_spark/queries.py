@@ -1466,3 +1466,37 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lang, deduped.doc_id == lang.id, "left_semi")
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+@register(
+    "stats_summary_lineitem",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS price_median,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90,
+           round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           round(min(l_extendedprice), 2) AS price_min,
+           round(max(l_extendedprice), 2) AS price_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="statistical aggregate coverage: stddev/variance, exact "
+        "interpolated percentiles (percentile == quantile_cont), "
+        "correlation, min/max.",
+)
+def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "price_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "price_p90"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_corr"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+    )

@@ -68,25 +68,46 @@ def read_csv(
     options: dict | None = None,
     na_sentinels: tuple[str, ...] = NA_SENTINELS,
 ) -> DataFrame:
-    """All-string CSV read with sentinel nulling.
+    """All-string CSV read with sentinel nulling and header-drift handling.
 
-    With an ``asset``, the read schema is the contract's field list (plus
-    any extra header columns, all string) so missing trailing columns
-    surface as nulls instead of load errors.
+    Files are grouped by header signature (one cheap header-line probe per
+    file, driver-side — the same listing pass the mtime skip already does)
+    and each group reads as one ``spark.read.csv`` with an explicit
+    all-string schema; groups combine with
+    ``unionByName(allowMissingColumns=True)``. That reproduces the
+    reference's per-file read + warn-mode column union (csv_extractor.py:
+    110-194, schema_validator.py:114-123): a column absent from some files
+    is null there, never positionally misparsed. With an ``asset``, the
+    contract's fields are appended to every group's schema so missing
+    trailing columns surface as nulls instead of load errors.
     """
     opts = {**DEFAULT_OPTIONS, **(options or {})}
     if isinstance(paths, str):
         paths = [paths]
+    expanded: list[str] = []
+    for p in paths:
+        hits = sorted(_glob.glob(p)) if _glob.has_magic(p) else [p]
+        expanded.extend(hits)
+    paths = expanded
     if not paths:
         raise ValueError("read_csv: empty path list (all files skipped?)")
 
-    header_cols = _header_columns(spark, paths[0], opts)
-    names = list(header_cols)
-    if asset is not None:
-        names += [f for f in asset.field_names() if f not in names]
-    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for p in paths:
+        sig = tuple(_header_columns(spark, p, opts))
+        groups.setdefault(sig, []).append(p)
 
-    df = spark.read.options(**opts).schema(schema).csv(paths)
+    frames = []
+    for header_cols, group_paths in groups.items():
+        names = list(header_cols)
+        if asset is not None:
+            names += [f for f in asset.field_names() if f not in names]
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        frames.append(spark.read.options(**opts).schema(schema).csv(group_paths))
+
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
     for c in df.columns:
         df = df.withColumn(c, null_na_sentinels(df[c], na_sentinels))
     return df

@@ -212,3 +212,40 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partitioning: list[str] | None = None,
+    target_file_size_mb: int = 150,
+    available_now: bool = True,
+) -> None:
+    """Continuous ingestion into the same size-targeted hive layout the
+    batch sink writes (sinks/parquet_sink.py), via ``foreachBatch``.
+
+    The checkpoint makes file ingestion exactly-once across restarts: a
+    re-run only processes files the source hasn't committed yet — the
+    streaming-native upgrade of the reference's mtime-skip state
+    (validator.py:309-349). Blocks until drained under AvailableNow.
+    """
+    from dativo_ingest_spark.sinks import parquet_sink
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parquet_sink.write_partitioned(
+            batch_df, path, partitioning or [],
+            target_file_size_mb=target_file_size_mb, mode="append",
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()

@@ -141,3 +141,17 @@ def test_mdkv_source_shapes(spark, mdkv_dir):
     # mtime skip: everything seen → None
     seen = dict(mdkv_source.list_markdown_files(pattern))
     assert mdkv_source.extract(spark, pattern, seen=seen) is None
+
+
+def test_csv_header_drift_union(spark, tmp_path):
+    """Files with different headers union by NAME, never positionally."""
+    (tmp_path / "v1.csv").write_text("id,name\n1,alice\n")
+    (tmp_path / "v2.csv").write_text("name,id,city\nbob,2,berlin\n")
+    (tmp_path / "v3.csv").write_text("id,city\n3,paris\n")
+    df = csv_source.read_csv(spark, str(tmp_path / "*.csv"), ASSET)
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].name == "alice" and rows["1"].city is None
+    assert rows["2"].name == "bob" and rows["2"].city == "berlin"
+    assert rows["3"].name is None and rows["3"].city == "paris"
+    # contract columns appended everywhere
+    assert "hired" in df.columns and "active" in df.columns

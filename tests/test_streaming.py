@@ -116,3 +116,28 @@ def test_stateful_sessionize_matches_session_window(spark, tmp_path):
                 for r in expected_df.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_to_parquet_exactly_once(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_sink")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = pipeline.stream_from_files(spark, src, schema)
+    pipeline.stream_to_partitioned_parquet(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # second drain with no new files: nothing re-ingested
+    stream = pipeline.stream_from_files(spark, src, schema)
+    pipeline.stream_to_partitioned_parquet(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # new file arrives → only it is appended
+    spark.createDataFrame([(3, "c")], "id bigint, v string")\
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = pipeline.stream_from_files(spark, src, schema)
+    pipeline.stream_to_partitioned_parquet(stream, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3]

@@ -1500,3 +1500,72 @@ def stats_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("price_min"),
         F.round(F.max("l_extendedprice"), 2).alias("price_max"),
     )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="JSON column surface: path extraction, typed cast, missing-path "
+        "null, predicate on extracted value (reference JSON-encodes complex "
+        "values into strings — markdown_kv.py:129-134 — so JSON pushback "
+        "is a first-class need).",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k"),
+            (k % 7).alias("k_mod"),
+            F.get_json_object("props", "$.missing").alias("missing"),
+        )
+        .filter(F.col("k") > 50)
+    )
+
+
+@register(
+    "pivot_event_type_by_user_bucket",
+    """
+    SELECT CAST(user_id % 5 AS BIGINT) AS user_bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="pivot: event_type columns per user bucket (Spark groupBy().pivot "
+        "with explicit value list = one pass, no per-value scans; oracle "
+        "uses FILTER conditional aggregation).",
+)
+def pivot_event_type_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).cast("long").alias("user_bucket"),
+        "event_type", "value",
+    )
+    counts = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    click_val = ev.filter(F.col("event_type") == "click").groupBy(
+        "user_bucket"
+    ).agg(F.round(F.sum("value"), 2).alias("click_value"))
+    return (
+        counts.join(click_val, "user_bucket", "left")
+        .select(
+            "user_bucket",
+            F.coalesce("click", F.lit(0)).cast("long").alias("click"),
+            F.coalesce("view", F.lit(0)).cast("long").alias("view"),
+            F.coalesce("purchase", F.lit(0)).cast("long").alias("purchase"),
+            "click_value",
+        )
+    )

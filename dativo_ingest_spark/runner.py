@@ -32,6 +32,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dativo_ingest_spark import catalog as catalog_mod
 from dativo_ingest_spark.config import tags as tags_mod
 from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
 from dativo_ingest_spark.operators import incremental, validation
@@ -56,6 +57,7 @@ class JobResult:
     state_value: Any | None = None
     duration_s: float = 0.0
     skipped: bool = False  # every source file unchanged (mtime skip)
+    catalog_status: dict[str, Any] = dc_field(default_factory=dict)
 
     @property
     def records_per_second(self) -> float:
@@ -119,6 +121,7 @@ def run_job(
     classification_overrides: dict[str, str] | None = None,
     governance_overrides: dict[str, Any] | None = None,
     finops_overrides: dict[str, Any] | None = None,
+    catalog: "catalog_mod.BaseCatalog | None" = None,
 ) -> JobResult:
     """Execute one job end-to-end; never raises for data errors — the
     exit code carries the outcome (config errors raise ConfigError before
@@ -183,6 +186,11 @@ def run_job(
                        else mdkv_source.list_markdown_files(job.source.path))
             store.set_file_mtimes(key, dict(listing))
 
+    # Catalog push after commit+state; failures never fail the job
+    # (reference cli.py:1194-1205).
+    catalog_status = (catalog_mod.push_after_commit(catalog, job, props)
+                      if catalog is not None else {})
+
     return JobResult(
         exit_code=EXIT_PARTIAL if invalid_count else EXIT_SUCCESS,
         records_in=n_in,
@@ -194,6 +202,7 @@ def run_job(
         table_properties=props,
         state_value=state_value,
         duration_s=time.perf_counter() - t0,
+        catalog_status=catalog_status,
     )
 
 

@@ -87,3 +87,28 @@ def test_check_and_discover(spark, tmp_path):
                                  "path": str(tmp_path / "*")})
     assert inspect_cmd.check_source(spark, md)["ok"]
     assert inspect_cmd.discover(spark, md)[0]["stream"] == "d"
+
+
+def test_catalog_push_after_commit(spark, tmp_path):
+    from dativo_ingest_spark import catalog, runner
+    from dativo_ingest_spark.config.contracts import JobConfig
+    from tests.test_runner import job_dict
+
+    p = tmp_path / "c.csv"
+    p.write_text("id,name\n1,x\n")
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(job_dict(str(p), out))
+    rec = catalog.RecordingCatalog()
+    res = runner.run_job(spark, job, catalog=rec)
+    assert res.exit_code == 0
+    assert res.catalog_status == {"ensure_source": "ok", "ensure_target": "ok",
+                                  "metadata": "ok", "lineage": "ok"}
+    assert rec.lineage == [("acme.csv.people", "acme.parquet.people")]
+    meta = rec.metadata["acme.parquet.people"]
+    assert meta["properties"]["classification.fields.name"] == "pii"
+    assert {f["name"] for f in meta["schema"]} == {"id", "name", "active"}
+
+    # backend outage: job still succeeds, status records errors
+    res = runner.run_job(spark, job, catalog=catalog.RecordingCatalog(fail=True))
+    assert res.exit_code == 0
+    assert all(v.startswith("error") for v in res.catalog_status.values())

@@ -1569,3 +1569,80 @@ def pivot_event_type_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFra
             "click_value",
         )
     )
+
+
+@register(
+    "embedding_dedup_resolved",
+    f"""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT ed.src, reach.r FROM edges ed JOIN reach ON reach.id = ed.dst),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+    FROM embeddings em LEFT JOIN losers l ON em.vec_id = l.id
+    WHERE l.id IS NULL
+    """,
+    doc="embedding-cosine near-dup removal: bucketed cosine pairs (>=0.3 "
+        "within coarse cluster) → connected components → survivor per "
+        "component; the embedding-side counterpart of the text dedup "
+        "resolution.",
+)
+def embedding_dedup_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.bucketed_neardup_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.3
+    ).select("id_a", "id_b")
+    return dedup.dedup_corpus(emb, pairs, "vec_id").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(list_reduce(embedding::DOUBLE[], (x, y) -> x + y), 4) AS val_sum,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)
+             AS n_positive,
+           round(list_max(embedding::DOUBLE[]), 6) AS max_val,
+           round(list_min(embedding::DOUBLE[]), 6) AS min_val,
+           round(list_reduce(list_transform(list_slice(embedding::DOUBLE[], 1, 8),
+                                            x -> x * x), (x, y) -> x + y), 6)
+             AS head_sq_sum
+    FROM embeddings
+    """,
+    doc="array-function surface over embedding columns: size, index, fold "
+        "sum, filter count, min/max, slice+transform composition — all "
+        "higher-order Catalyst expressions in the scan stage.",
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fold_sum = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    head_sq = F.aggregate(
+        F.transform(F.slice("v", 1, 8), lambda x: x * x),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("v").cast("long").alias("dim"),
+        F.round(F.element_at("v", 1), 6).alias("first_val"),
+        F.round(fold_sum, 4).alias("val_sum"),
+        F.size(F.filter("v", lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.round(F.array_max("v"), 6).alias("max_val"),
+        F.round(F.array_min("v"), 6).alias("min_val"),
+        F.round(head_sq, 6).alias("head_sq_sum"),
+    )

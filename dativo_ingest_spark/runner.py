@@ -151,7 +151,15 @@ def run_job(
                 error_sample=sample,
                 duration_s=time.perf_counter() - t0,
             )
-        valid = result.valid.drop(validation.ERRORS_COL, validation.RAW_COL)
+        if job.validation_mode == "warn":
+            # warn mode keeps the original (pre-coercion) values alongside
+            # the coerced columns (reference schema_validator.py:114-123
+            # preserves originals on coercion failure) — the raw struct
+            # column travels into the sink so nothing is lost.
+            valid = result.valid.drop(validation.ERRORS_COL)
+        else:
+            valid = result.valid.drop(validation.ERRORS_COL,
+                                      validation.RAW_COL)
 
     props = tags_mod.derive_table_properties(
         job.asset,

@@ -81,6 +81,11 @@ def test_warn_partial_exit_1(spark, tmp_path):
     assert res.records_valid == 2  # warn: everything passes through
     back = spark.read.parquet(out)
     assert "extra" in back.columns  # warn mode preserves observed columns
+    # original pre-coercion values preserved (reference warn semantics)
+    from dativo_ingest_spark.operators.validation import RAW_COL
+    assert RAW_COL in back.columns
+    raws = {r[RAW_COL]["id"] for r in back.collect()}
+    assert "" in raws or None in raws  # the failed empty-id original
 
 
 def test_mtime_skip_second_run(spark, csv_file, tmp_path):

@@ -74,10 +74,42 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # per-query isolation: drop caches left by prior queries (dedup
+        # pipelines cache their gram/signature frames)
+        spark.catalog.clearCache()
         df = QUERIES[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Ingestion throughput vs BASELINE.md rows 1/3 (CSV scan, Parquet
+    # write). Data prep (CSV materialization) happens outside the timers.
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.queries import load
+
+    work = tempfile.mkdtemp(prefix="dativo_bench_")
+    try:
+        li = load(spark, sf_dir, "lineitem")
+        n_rows = li.count() * 4
+        quad = li.union(li).union(li.union(li))
+        csv_dir = f"{work}/lineitem_csv"
+        quad.repartition(32).write.option("header", "true").csv(csv_dir)
+
+        t0 = time.perf_counter()
+        spark.read.option("header", "true").csv(csv_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        csv_scan_s = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        quad.repartition(32).write.option("compression", "snappy").parquet(
+            f"{work}/pq_out"
+        )
+        pq_write_s = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +120,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "ingest": {
+                    "rows": n_rows,
+                    "csv_scan_s": round(csv_scan_s, 3),
+                    "csv_scan_rows_per_s": round(n_rows / csv_scan_s),
+                    "parquet_write_s": round(pq_write_s, 3),
+                    "parquet_write_rows_per_s": round(n_rows / pq_write_s),
+                },
             }
         )
     )

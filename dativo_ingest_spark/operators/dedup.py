@@ -185,8 +185,9 @@ def simhash_signatures(
     ``n``-gram shingles (shingles, not unigrams: same-vocabulary corpora
     share most token *sets*, which collapses unigram SimHash).
 
-    Bit ``b`` of a shingle = bit ``b % 4`` of md5 hex nibble ``b // 4``,
-    decoded with conv/div/mod arithmetic any engine reproduces. Computed as
+    Bit ``b`` of a shingle = bit ``b`` of the unsigned 32-bit integer value
+    of the md5's leading 8 hex chars — decoded with arithmetic (hex-digit
+    positional sum + div/mod) any engine reproduces. Computed as
     explode → groupBy(id) with ``bits`` conditional sums: flat expressions
     that stay inside whole-stage codegen with map-side partial aggregation.
     (The alternative — a scan-stage ``aggregate``/``zip_with`` fold over an
@@ -200,6 +201,7 @@ def simhash_signatures(
     filter gets predicate-pushed below the widening exchange and re-inlines
     the gram pipeline on the scan\'s single partition.
     """
+    assert bits <= 32
     eligible = df.filter(F.size(text.words(F.col(text_col))) >= n)
     # cache() before explode is mandatory, not an optimization: Generate
     # re-evaluates its child expression per OUTPUT row, so exploding
@@ -209,14 +211,20 @@ def simhash_signatures(
     # persist(DISK_ONLY) or a staged temp table; the volume equals the
     # shingle sets, which MinHash-LSH also materializes.
     grams = gram_sets(eligible, id_col, text_col, n).cache()
+    # One hex→int decode per shingle (md5's leading 8 hex chars as an
+    # unsigned 32-bit value); the per-bit votes are then pure shifts on a
+    # long — 1 conv instead of 32 substring+conv per row.
     hashed = grams.select(
         "id", F.explode("grams").alias("gram")
-    ).select("id", F.md5("gram").alias("h"))
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long").alias("hv"),
+    )
 
     votes = []
     for b in range(bits):
-        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.shiftright(nibble, b % 4).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))
         votes.append(
             F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"_b{b}")
         )

@@ -1078,16 +1078,20 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_DOC_GRAMS_CTE},
     tok AS (
-      SELECT doc_id, md5(gram) AS h
-      FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+      SELECT doc_id,
+             (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+           + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+           + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) AS hv
+      FROM (SELECT doc_id, md5(unnest(grams)) AS h FROM g
             WHERE len(grams) > 0) x),
     votes AS (
       SELECT doc_id, bits.b AS bit,
-             sum(CASE WHEN
-                   ((strpos('0123456789abcdef',
-                            substr(h, (bits.b // 4) + 1, 1)) - 1)
-                    // (CASE bits.b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-                        WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+             sum(CASE WHEN (hv // CAST(pow(2, bits.b) AS BIGINT)) % 2 = 1
                  THEN 1 ELSE -1 END) AS v
       FROM tok CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
       GROUP BY doc_id, bits.b),
@@ -1102,9 +1106,9 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE len(list_filter(range(1, 33), i -> a.sh[i] <> b.sh[i])) <= 3
     """,
-    doc="SimHash near-dup pairs (32-bit shingle simhash, banded candidate "
-        "join + hamming<=3 verify); oracle recomputes the identical md5-"
-        "nibble simhash brute-force.",
+    doc="SimHash near-dup pairs (32-bit shingle simhash from the md5's "
+        "leading 8 hex chars, banded candidate join + hamming<=3 verify); "
+        "oracle recomputes the identical hash arithmetic brute-force.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

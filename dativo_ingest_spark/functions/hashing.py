@@ -30,7 +30,10 @@ def content_fingerprint(col: Column) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """array<string> of ``num_hashes`` minwise md5-hex values.
+    """array<string> of ``num_hashes`` minwise md5-hex values (per-row HOF
+    form; prefer :func:`chunked_gram_hashes` + groupBy(min) on exploded
+    shingles for large corpora — the 8 transformed md5-string arrays this
+    allocates per doc are measurable GC pressure at scale).
 
     Empty shingle sets produce ``md5(seed + '|')``-free sentinel: the min of
     an empty transformed array is NULL; callers should filter empty docs
@@ -47,6 +50,25 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
         for s in range(num_hashes)
     ]
     return F.array(*sigs)
+
+
+def chunked_gram_hashes(col: Column, num_hashes: int) -> Column:
+    """Concatenated-md5 hex string whose 8-char chunks are ``num_hashes``
+    independent 32-bit minwise hash values for ``col``.
+
+    Chunk ``s`` (``substring(h, s*8+1, 8)``) is hash function ``s``; the min
+    over a doc's shingles of each chunk is the minwise signature. Fixed-width
+    lowercase hex compares lexicographically like the 32-bit value, so
+    ``min()`` needs no hex→int conversion anywhere. ceil(num_hashes/4) md5
+    calls per shingle (vs one md5 per hash function in the per-seed scheme),
+    and the flat expression stays in whole-stage codegen on exploded rows.
+    """
+    n_md5 = -(-num_hashes // 4)  # 32 hex chars = 4 chunks per md5
+    parts = [
+        F.md5(col) if i == 0 else F.md5(F.concat(F.lit("x" * i), col))
+        for i in range(n_md5)
+    ]
+    return parts[0] if n_md5 == 1 else F.concat(*parts)
 
 
 def lsh_band_hashes(signature: Column, num_hashes: int, rows_per_band: int) -> Column:

@@ -133,18 +133,52 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) for candidates whose true Jaccard >=
     threshold. ``max_bucket_size`` skips degenerate LSH buckets (skew guard
     for adversarial/boilerplate corpora).
+
+    Signatures are computed explode-first: (id, gram) rows → one flat
+    chunked-md5 expression (``hashing.chunked_gram_hashes``; ceil(H/4) md5
+    per gram, not H) → ``groupBy(id)`` with ``num_hashes`` ``min`` aggs.
+    Map-side partial aggregation collapses each doc's grams before the
+    shuffle, so the exchange carries one (id, H×8-char) row per doc per
+    partition — and the whole hash path is whole-stage-codegen'd scalar
+    code. The per-row HOF alternative (8 ``transform``→``array_min`` md5
+    arrays per doc) allocates ~4× the garbage; under bench-session heap
+    pressure that showed 0.7→14.8 s swings at sf0.1 from GC alone.
     """
     # Cache is the materialization barrier: the emptiness filter sits above
     # it so it can't be predicate-pushed into the gram expressions.
     grams = gram_sets(df, id_col, text_col, n).cache()
     grams = grams.filter(F.size("grams") > 0)
-    sig = grams.select(
-        "id", hashing.minhash_signature(F.col("grams"), num_hashes).alias("sig")
+    hashed = grams.select("id", F.explode("grams").alias("gram")).select(
+        "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
     )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    num_bands = num_hashes // rows_per_band
+    assert num_bands * rows_per_band == num_hashes
     bands = sig.select(
         "id",
         F.explode(
-            hashing.lsh_band_hashes(F.col("sig"), num_hashes, rows_per_band)
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"_s{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
     if max_bucket_size is not None:

@@ -856,7 +856,7 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig AS (
       SELECT doc_id, list_transform(range(0, 8),
                s -> list_min(list_transform(grams,
-                     x -> md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+                     x -> substr(md5(x) || md5('x' || x), s*8+1, 8)))) AS sig
       FROM g),
     bands AS (
       SELECT doc_id, b, md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bucket
@@ -874,7 +874,8 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN g gb ON c.id_b = gb.doc_id)
     SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.35
     """,
-    doc="MinHash(8 md5 minwise hashes) + LSH(4 bands x 2 rows) candidates, "
+    doc="MinHash(8 chunked-md5 32-bit minwise hashes) + LSH(4 bands x 2 "
+        "rows) candidates, "
         "verified with exact n-gram Jaccard. Shuffle O(docs x bands).",
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/test/val splits that are
+(a) reproducible across runs, retries, and engines — a task re-run after an
+executor loss must land every row in the same split — and (b) free of
+coordination. ``df.sample``/``rand()`` give neither: the draw depends on
+seed + partition layout, and changes whenever the scan splits differently.
+
+The scalable design is a pure function of the row key: a row's uniform
+value is ``u(id) = int(md5(salt|id)[:8 hex]) / 2^32`` — a scan-stage
+projection (no shuffle, no state, no Python) that any engine reproduces
+bit-identically. Splits are threshold intervals over ``u``; sampling is the
+predicate ``u < fraction``; stratified sampling salts the hash with the
+stratum so per-stratum draws are independent.
+
+At 100 TB: assignment and filter both live inside the parquet scan stage —
+the sample is applied before any exchange, so downstream shuffles see only
+the sampled fraction. No reference analog (the reference has no sampling
+surface); standard technique (e.g. mod-hash holdout splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32_SPAN = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) value for a key: the md5's leading
+    8 hex chars as a 32-bit integer, scaled by 2^-32.
+
+    2^-32 scaling is exact in IEEE doubles (<= 32-bit mantissa, power-of-two
+    divisor), so threshold comparisons are engine-portable.
+    """
+    keyed = F.concat(F.lit(salt), F.lit("|"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
+        / F.lit(_U32_SPAN)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-thresholding its id.
+
+    ``weights`` maps split name -> weight (normalized internally; iteration
+    order fixes the interval layout, so pass an ordered dict). Adding rows
+    never moves existing rows between splits; changing ``salt`` re-deals.
+    """
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    u = hash_uniform(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows with u(id) < fraction."""
+    return df.filter(hash_uniform(F.col(id_col), salt) < F.lit(fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum deterministic sample.
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    keep ``default_fraction``. The hash is salted with the stratum value so
+    draws are independent across strata (a row moving between strata gets a
+    fresh draw). Pure scan-stage predicate — no per-stratum pass, no
+    shuffle; contrast with ``DataFrame.sampleBy`` which is seed- but not
+    layout-stable.
+    """
+    u = hash_uniform(F.col(id_col), salt)
+    frac = None
+    for value, f in fractions.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = (
+        F.lit(float(default_fraction))
+        if frac is None
+        else frac.otherwise(F.lit(float(default_fraction)))
+    )
+    # salt the draw with the stratum: u over md5(salt|stratum|id)
+    u = hash_uniform(
+        F.concat(F.col(stratum_col), F.lit("|"), F.col(id_col).cast("string")),
+        salt,
+    )
+    return df.filter(u < frac)

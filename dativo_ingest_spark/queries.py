@@ -1651,3 +1651,83 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min("v"), 6).alias("min_val"),
         F.round(head_sq, 6).alias("head_sq_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / dataset splitting (operators/sampling.py) —
+# training-data pipeline surface: reproducible, shuffle-free, engine-portable.
+# ---------------------------------------------------------------------------
+
+def _hex32_sql(expr: str) -> str:
+    """DuckDB SQL: leading 8 hex chars of md5(expr) as a uint32 value."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        + (f" * {1 << (4 * (7 - i))}" if i < 7 else "")
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+#: cumulative split thresholds computed with the same float accumulation the
+#: Spark side performs, inlined with full precision into the oracle (0.8+0.1
+#: is 0.9000000000000001 in IEEE doubles; a literal 0.9 would re-deal the
+#: boundary rows).
+_SPLIT_T1 = 0.8
+_SPLIT_T2 = 0.8 + 0.1
+
+@register(
+    "sample_hash_split",
+    f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             {_hex32_sql("'split|' || CAST(doc_id AS VARCHAR)")} / 4294967296.0
+               AS u
+      FROM documents)
+    SELECT CASE WHEN u < {_SPLIT_T1!r} THEN 'train'
+                WHEN u < {_SPLIT_T2!r} THEN 'test'
+                ELSE 'val' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM u GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/test/val split by md5 hash threshold "
+        "on doc_id — scan-stage projection, stable under re-runs, retries, "
+        "and partition-layout changes (unlike rand()/sample).",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        sampling.hash_split(
+            docs, "doc_id", {"train": 0.8, "test": 0.1, "val": 0.1}, salt="split"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_hex32_sql("'strata|' || lang || '|' || CAST(doc_id AS VARCHAR)")}
+            / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+    """,
+    doc="Per-stratum deterministic sample (en 50%, de 25%, rest 10%): the "
+        "draw is salted with the stratum so strata are independent; pure "
+        "scan-stage predicate vs sampleBy's layout-dependent draw.",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25},
+        default_fraction=0.1, salt="strata",
+    ).select("doc_id", "lang")

@@ -1,0 +1,73 @@
+"""Deterministic-sampling invariants: layout independence, split coverage,
+stratified independence. These are the properties rand()/sample() lack and
+the reason the operator exists (operators/sampling.py docstring)."""
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import sampling
+from dativo_ingest_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_partition_layout_invariant(spark):
+    docs = load(spark, SF, "documents")
+    a = sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.2})
+    b = sampling.hash_split(
+        docs.repartition(7), "doc_id", {"train": 0.8, "val": 0.2}
+    )
+    left = {(r.doc_id, r.split) for r in a.select("doc_id", "split").collect()}
+    right = {(r.doc_id, r.split) for r in b.select("doc_id", "split").collect()}
+    assert left == right
+
+
+def test_split_covers_every_row_exactly_once(spark):
+    docs = load(spark, SF, "documents")
+    out = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "test": 0.1, "val": 0.1}
+    )
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+    names = {r.split for r in out.select("split").distinct().collect()}
+    assert names <= {"train", "test", "val"}
+    # weights are roughly respected (hash uniformity; generous tolerance
+    # for the tiny sf0.001 corpus)
+    n = out.count()
+    train = out.filter(F.col("split") == "train").count()
+    assert 0.6 * n < train < 0.95 * n
+
+
+def test_sample_is_subset_and_deterministic(spark):
+    docs = load(spark, SF, "documents")
+    s1 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2
+    assert s1 <= {r.doc_id for r in docs.select("doc_id").collect()}
+    # growing the fraction only adds rows (thresholds nest)
+    s_half = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 <= s_half
+
+
+def test_stratified_fractions_differ_by_stratum(spark):
+    docs = load(spark, SF, "documents")
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0
+    )
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert out.count() == n_en
+
+
+def test_stratified_salt_independence(spark):
+    """A row's draw changes with its stratum value: sampling must not reuse
+    the bare-id draw across strata, or per-stratum fractions correlate."""
+    docs = load(spark, SF, "documents")
+    flat = sampling.hash_sample(docs, "doc_id", 0.3, salt="strata")
+    strat = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {r.lang: 0.3 for r in docs.select("lang").distinct().collect()},
+    )
+    assert {r.doc_id for r in flat.collect()} != {
+        r.doc_id for r in strat.collect()
+    }

@@ -1731,3 +1731,39 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", {"en": 0.5, "de": 0.25},
         default_fraction=0.1, salt="strata",
     ).select("doc_id", "lang")
+
+
+@register(
+    "asof_last_purchase_before_click",
+    """
+    WITH purch AS (
+      SELECT user_id, ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_r, p.purchase_value AS purchase_value_r
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    doc="As-of join: latest purchase at-or-before each click per user "
+        "(operators/temporal.py union-sort-fill form — one shuffle on the "
+        "key, no pair blow-up); oracle is DuckDB's native ASOF LEFT JOIN. "
+        "Right side pre-aggregated to unique (user, ts) so tie-breaks are "
+        "deterministic in both engines.",
+)
+def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return temporal.asof_join(clicks, purch, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts", "ts_r", "purchase_value_r"
+    )

@@ -94,7 +94,6 @@ def stratified_hash_sample(
     shuffle; contrast with ``DataFrame.sampleBy`` which is seed- but not
     layout-stable.
     """
-    u = hash_uniform(F.col(id_col), salt)
     frac = None
     for value, f in fractions.items():
         cond = F.col(stratum_col) == F.lit(value)

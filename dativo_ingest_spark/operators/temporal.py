@@ -44,45 +44,50 @@ def asof_join(
     by = list(by)
     rp = [c for c in right.columns if c not in by and c != on]
     l_cols = [c for c in left.columns if c not in by]
+    matched = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in rp]
+    # The whole matched right row travels as ONE struct so the forward fill
+    # can never tear it: last(_m, ignorenulls) picks a single right row per
+    # left row even when individual right payload columns are NULL (a
+    # per-column fill would mix values from different right rows).
+    m_struct = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rp],
+    )
+    m_type = right.select(m_struct.alias("_m")).schema["_m"].dataType
     lpart = left.select(
         *by,
         *[F.col(c) for c in l_cols],
         F.col(on).alias("_t"),
         F.lit(1).alias("_is_l"),
-        F.lit(None).cast(dict(right.dtypes)[on]).alias(f"{on}{suffix}"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}")
-            for c in rp
-        ],
+        F.lit(None).cast(m_type).alias("_m"),
     )
     rpart = right.select(
         *by,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_cols],
         F.col(on).alias("_t"),
         F.lit(0).alias("_is_l"),
-        F.col(on).alias(f"{on}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in rp],
+        m_struct.alias("_m"),
     )
     w = (
         Window.partitionBy(*by)
         .orderBy("_t", "_is_l")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = [f"{on}{suffix}"] + [f"{c}{suffix}" for c in rp]
     filled = lpart.unionByName(rpart).select(
         *by,
         *l_cols,
         "_is_l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in matched],
+        F.last("_m", ignorenulls=True).over(w).alias("_m"),
     )
-    out = filled.filter(F.col("_is_l") == 1).drop("_is_l")
+    out = filled.filter(F.col("_is_l") == 1)
     if tolerance is not None:
-        ok = F.col(f"{on}{suffix}") >= F.col(on) - F.expr(
+        # Null the whole struct — all matched columns drop together.
+        ok = F.col("_m")[f"{on}{suffix}"] >= F.col(on) - F.expr(
             f"INTERVAL {tolerance}"
         )
-        out = out.select(
-            *by,
-            *l_cols,
-            *[F.when(ok, F.col(c)).otherwise(F.lit(None)).alias(c) for c in matched],
-        )
-    return out
+        out = out.withColumn("_m", F.when(ok, F.col("_m")))
+    return out.select(
+        *by,
+        *l_cols,
+        *[F.col("_m")[c].alias(c) for c in matched],
+    )

@@ -19,13 +19,19 @@ concurrent writers and any executor can die mid-write):
   dir; they become visible only when a manifest referencing them is
   published. A crash before publish leaves invisible orphans, never a
   partial table.
-- **Exactly-one-winner**: the manifest for version N is created with
-  ``O_CREAT|O_EXCL`` — the filesystem arbitrates concurrent committers;
-  losers get :class:`CommitConflict` and retry on the next version with the
-  same staged files (Iceberg's optimistic concurrency).
+- **Exactly-one-winner (base-tracking CAS)**: advancing a branch from base
+  version B is arbitrated by an exclusive *claim file*
+  ``refs/.{branch}.{B}.next`` created atomically (hard-link of a
+  pre-written temp file, so it can never be observed empty). Exactly one
+  writer per (branch, base) wins; a loser's base is provably stale — it
+  re-reads the head and recomputes its file list, so a concurrent commit
+  can never be silently dropped (Iceberg's base-unchanged optimistic CAS).
+  The ``O_CREAT|O_EXCL`` manifest create only keeps the global version
+  numbers unique; losing *that* race just renumbers, it is not a conflict.
 - **Time travel**: every snapshot is immutable and readable by version.
-- **Branches**: named refs (Nessie-branch analog) are one-line pointer
-  files updated by atomic rename.
+- **Branches**: the claim-file chain is the branch's commit log (source of
+  truth); ``refs/{branch}`` is a fast-path cache repaired on read, so a
+  crash between claim and cache update loses nothing.
 
 Readers plan from a manifest's explicit file list — a 1000-executor scan
 never lists directories (object-store LIST is both slow and eventually
@@ -88,11 +94,46 @@ class FsTable:
         return os.path.join(self._meta, f"v{version}.json")
 
     def current_version(self, branch: str = "main") -> int | None:
+        """Branch head = cached ref, advanced along the claim-file chain
+        (the chain is authoritative; the ref file is repaired if stale)."""
         try:
             with open(os.path.join(self._refs, branch)) as fh:
+                cached = int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+        head = cached
+        while (nxt := self._read_claim(branch, head)) is not None:
+            head = nxt
+        if head != cached:
+            self._set_ref(branch, head)
+        return head
+
+    def _claim_path(self, branch: str, base_v: int) -> str:
+        return os.path.join(self._refs, f".{branch}.{base_v}.next")
+
+    def _read_claim(self, branch: str, base_v: int) -> int | None:
+        try:
+            with open(self._claim_path(branch, base_v)) as fh:
                 return int(fh.read().strip())
         except FileNotFoundError:
             return None
+
+    def _claim(self, branch: str, base_v: int, next_v: int) -> bool:
+        """Atomically advance ``branch`` from ``base_v`` to ``next_v``.
+        Returns False when another writer already advanced from this base
+        — the caller's base is stale. Hard-linking a pre-written temp file
+        is create-exclusive WITH content, so readers never see an empty
+        claim."""
+        tmp = os.path.join(self._refs, f".claim.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(next_v))
+        try:
+            os.link(tmp, self._claim_path(branch, base_v))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def _next_version(self) -> int:
         versions = [
@@ -157,29 +198,42 @@ class FsTable:
         any stats) as a new snapshot on ``branch``.
 
         ``append`` keeps the parent's file list; ``overwrite`` replaces it.
-        Retries :class:`CommitConflict` by re-reading the branch head —
-        staged files never change, only the base snapshot does.
+        A stale base (another writer advanced the branch between our read
+        and our claim) is retried by re-reading the head and recomputing
+        the file list — staged files never change, only the base snapshot
+        does, so no concurrent commit is ever dropped.
         """
         for _ in range(max_retries):
             base_v = self.current_version(branch)
             assert base_v is not None, f"unknown branch {branch!r}"
             base = self.snapshot(base_v)
             files = staged if operation == "overwrite" else base.files + staged
-            # version numbers are a single global sequence across branches
-            # (lineage lives in the parent pointer, Nessie-style): claim the
-            # next unpublished number, which may be > branch head + 1.
-            snap = Snapshot(
-                version=self._next_version(), parent=base_v,
-                operation=operation, files=files,
-                schema_json=schema_json or base.schema_json,
-                properties={**base.properties, **(properties or {})},
-            )
-            try:
-                self._publish(snap)
-            except CommitConflict:
-                continue
-            self._set_ref(branch, snap.version)
-            return snap
+            # Version numbers are a single global sequence across branches
+            # (lineage lives in the parent pointer, Nessie-style). Losing
+            # the number race to a writer on ANY branch is benign — the
+            # manifest content is base-correct — so just renumber.
+            snap = None
+            for _ in range(1000):
+                cand = Snapshot(
+                    version=self._next_version(), parent=base_v,
+                    operation=operation, files=files,
+                    schema_json=schema_json or base.schema_json,
+                    properties={**base.properties, **(properties or {})},
+                )
+                try:
+                    self._publish(cand)
+                    snap = cand
+                    break
+                except CommitConflict:
+                    continue
+            if snap is None:  # pragma: no cover - pathological contention
+                raise CommitConflict("could not allocate a version number")
+            if self._claim(branch, base_v, snap.version):
+                self._set_ref(branch, snap.version)
+                return snap
+            # Stale base: the branch advanced under us. Our published
+            # manifest is unreachable from any ref (a metadata orphan,
+            # like Iceberg's); retry against the new head.
         raise CommitConflict(
             f"gave up after {max_retries} retries on branch {branch!r}"
         )

@@ -223,25 +223,98 @@ def stream_to_partitioned_parquet(
     available_now: bool = True,
 ) -> None:
     """Continuous ingestion into the same size-targeted hive layout the
-    batch sink writes (sinks/parquet_sink.py), via ``foreachBatch``.
-
-    The checkpoint makes file ingestion exactly-once across restarts: a
-    re-run only processes files the source hasn't committed yet — the
+    batch sink writes (sinks/parquet_sink.py), via ``foreachBatch`` — the
     streaming-native upgrade of the reference's mtime-skip state
     (validator.py:309-349). Blocks until drained under AvailableNow.
+
+    Delivery: ``foreachBatch`` is at-least-once, so replayed epochs are
+    suppressed with a per-epoch marker file (written after the append,
+    atomic rename). A restart replays only already-marked epochs and
+    skips them; the residual window — a crash after the parquet append
+    completes but before the marker lands — can duplicate that one epoch.
+    For strict exactly-once use :func:`stream_to_table`, whose staged
+    snapshot commit closes that window.
     """
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(hive_epoch_writer(path, partitioning,
+                                        target_file_size_mb))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+
+
+def hive_epoch_writer(path, partitioning, target_file_size_mb=150):
+    """foreachBatch callable: size-targeted hive append with marker-based
+    epoch replay suppression (module-level so tests can drive replays)."""
+    import os
+
     from dativo_ingest_spark.sinks import parquet_sink
 
+    marker_dir = os.path.join(path, "_epochs")
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        marker = os.path.join(marker_dir, f"{epoch_id}.committed")
+        if os.path.exists(marker):  # replayed epoch: already appended
             return
-        parquet_sink.write_partitioned(
-            batch_df, path, partitioning or [],
-            target_file_size_mb=target_file_size_mb, mode="append",
+        if not batch_df.isEmpty():
+            parquet_sink.write_partitioned(
+                batch_df, path, partitioning or [],
+                target_file_size_mb=target_file_size_mb, mode="append",
+            )
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("1")
+        os.rename(tmp, marker)
+
+    return write_batch
+
+
+def table_epoch_writer(table, branch: str = "main",
+                       properties: dict[str, str] | None = None):
+    """foreachBatch callable committing each epoch as one FsTable snapshot,
+    idempotently: the committed epoch id rides in snapshot properties, and
+    a replayed epoch (at-least-once delivery) sees ``stream.last_epoch >=
+    epoch_id`` at the branch head and skips. Every crash window is safe —
+    parquet files staged before a crash stay invisible (FsTable's atomic
+    visibility), and a crash after commit but before the checkpoint lands
+    hits the skip."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        head = table.snapshot(table.current_version(branch))
+        last = head.properties.get("stream.last_epoch")
+        if last is not None and int(last) >= epoch_id:
+            return
+        table.write_append(
+            batch_df, branch=branch,
+            properties={**(properties or {}),
+                        "stream.last_epoch": str(epoch_id)},
         )
 
+    return write_batch
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    branch: str = "main",
+    available_now: bool = True,
+) -> None:
+    """Exactly-once streaming ingestion into an FsTable (snapshot-commit
+    sink): staged-then-committed epochs + epoch-id dedup make the
+    at-least-once ``foreachBatch`` contract exactly-once end-to-end."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(table_root)
     writer = (
-        stream_df.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream
+        .foreachBatch(table_epoch_writer(table, branch))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

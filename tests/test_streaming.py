@@ -141,3 +141,51 @@ def test_stream_to_parquet_exactly_once(spark, tmp_path):
     stream = pipeline.stream_from_files(spark, src, schema)
     pipeline.stream_to_partitioned_parquet(stream, out, ckpt)
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_hive_epoch_writer_suppresses_replayed_epoch(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed (epoch_id, batch) must not
+    append twice."""
+    out = str(tmp_path / "out")
+    wb = pipeline.hive_epoch_writer(out, [])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    wb(df, 0)
+    wb(df, 0)  # crash-after-checkpoint-miss replay
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+    wb(df, 1)  # a genuinely new epoch still appends
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_table_epoch_writer_exactly_once(spark, tmp_path):
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "t"))
+    wb = pipeline.table_epoch_writer(table)
+    df = spark.createDataFrame([(1,), (2,)], "id bigint")
+    wb(df, 0)
+    wb(df, 0)   # replay of committed epoch: skipped
+    assert table.read(spark).count() == 2
+    wb(df, 1)
+    assert table.read(spark).count() == 4
+    # replay of an OLDER epoch after newer commits is also skipped
+    wb(df, 0)
+    assert table.read(spark).count() == 4
+
+
+def test_stream_to_table_end_to_end(spark, tmp_path):
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt_tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")\
+        .coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    pipeline.stream_to_table(
+        pipeline.stream_from_files(spark, src, schema), root, ckpt)
+    assert FsTable(root).read(spark).count() == 2
+    # re-drain with no new input: no new snapshot rows
+    pipeline.stream_to_table(
+        pipeline.stream_from_files(spark, src, schema), root, ckpt)
+    assert FsTable(root).read(spark).count() == 2

@@ -6,7 +6,11 @@ import os
 
 import pytest
 
-from dativo_ingest_spark.sinks.table_commit import CommitConflict, FsTable
+from dativo_ingest_spark.sinks.table_commit import (
+    CommitConflict,
+    FsTable,
+    Snapshot,
+)
 
 
 def _df(spark, lo, hi):
@@ -63,6 +67,52 @@ def test_concurrent_commit_single_winner(spark, tmp_path):
     racer._set_ref("main", 2)
     snap = t.add_files([], operation="append")
     assert snap.version == 3
+
+
+def test_stale_base_never_drops_concurrent_commit(spark, tmp_path):
+    """The lost-update race: B reads base v1, A commits f2, then B commits
+    f3. B's CAS from the stale base must fail, and the retried commit must
+    contain A's file — never silently drop it."""
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    t.add_files([{"path": "data/x/f1.parquet"}])
+    a, b = FsTable(root), FsTable(root)
+    base_b = b.current_version()            # B reads base = 1
+    a.add_files([{"path": "data/x/f2.parquet"}])   # A advances to f1+f2
+    # B drives the raw sequence from its stale base: manifest publish
+    # succeeds (numbers are global) but the branch CAS must reject it.
+    stale = b.snapshot(base_b)
+    cand = Snapshot(version=b._next_version(), parent=base_b,
+                    operation="append",
+                    files=stale.files + [{"path": "data/x/f3.parquet"}])
+    b._publish(cand)
+    assert not b._claim("main", base_b, cand.version)
+    # the public path retries onto the new head and keeps everything
+    snap = b.add_files([{"path": "data/x/f3.parquet"}])
+    assert {f["path"] for f in snap.files} == {
+        "data/x/f1.parquet", "data/x/f2.parquet", "data/x/f3.parquet"}
+    assert t.current_version() == snap.version
+
+
+def test_crash_between_claim_and_ref_update_loses_nothing(spark, tmp_path):
+    """The claim chain is authoritative: a writer that died after claiming
+    but before updating the ref cache still committed."""
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    s1 = t.add_files([{"path": "data/x/f1.parquet"}])
+    # simulate the crash: publish + claim, but no _set_ref
+    w = FsTable(root)
+    cand = Snapshot(version=w._next_version(), parent=s1.version,
+                    operation="append",
+                    files=s1.files + [{"path": "data/x/f2.parquet"}])
+    w._publish(cand)
+    assert w._claim("main", s1.version, cand.version)
+    # a fresh reader follows the chain past the stale cache
+    assert FsTable(root).current_version() == cand.version
+    # and the next commit builds on the recovered head
+    snap = FsTable(root).add_files([{"path": "data/x/f3.parquet"}])
+    assert {f["path"] for f in snap.files} == {
+        "data/x/f1.parquet", "data/x/f2.parquet", "data/x/f3.parquet"}
 
 
 def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path):

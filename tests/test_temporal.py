@@ -45,6 +45,31 @@ def test_tolerance_nulls_stale_matches(spark):
     assert out[3] is None
 
 
+def test_nullable_right_payload_never_tears_rows(spark):
+    """A NULL payload column in the matched right row must stay NULL — not
+    forward-fill from an older right row (the torn-row bug: per-column fill
+    mixed values from different right rows)."""
+    left = spark.createDataFrame(
+        [(1, "a", _ts(20))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 7.0, "old"), ("a", _ts(15), None, "new")],
+        "k string, ts timestamp, v double, tag string",
+    )
+    row = asof_join(left, right, on="ts", by=["k"]).collect()[0]
+    assert row.ts_r == _ts(15) and row.tag_r == "new"
+    assert row.v_r is None        # from the matched row, not filled from 7.0
+
+
+def test_tolerance_nulls_all_matched_columns_together(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(30))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(5), 7.0, "old")], "k string, ts timestamp, v double, tag string")
+    row = asof_join(left, right, on="ts", by=["k"],
+                    tolerance="1 MINUTE").collect()[0]
+    assert row.ts_r is None and row.v_r is None and row.tag_r is None
+
+
 def test_right_rows_never_leak(spark):
     left, right = _frames(spark)
     got = asof_join(left, right, on="ts", by=["k"])

@@ -51,6 +51,9 @@ class ValidationResult:
     valid: DataFrame
     invalid: DataFrame
     mode: str
+    #: full frame with ERRORS_COL attached, pre-split — single-pass callers
+    #: (runner.run_job) attach observe() counters here and filter themselves
+    annotated: DataFrame | None = None
 
     def error_summary(self, cap: int = 100) -> list[dict]:
         """First ``cap`` validation errors (reference caps at 100)."""
@@ -130,7 +133,8 @@ def validate(
     if mode == "warn":
         valid = annotated  # warn mode: everything passes, errors attached
     invalid = annotated.filter(~ok)
-    return ValidationResult(valid=valid, invalid=invalid, mode=mode)
+    return ValidationResult(valid=valid, invalid=invalid, mode=mode,
+                            annotated=annotated)
 
 
 def enforce_strict(result: ValidationResult, cap: int = 100) -> DataFrame:

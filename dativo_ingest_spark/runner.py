@@ -26,11 +26,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from dativo_ingest_spark import catalog as catalog_mod
 from dativo_ingest_spark.config import tags as tags_mod
@@ -135,31 +138,57 @@ def run_job(
         return JobResult(exit_code=EXIT_SUCCESS, skipped=True,
                          duration_s=time.perf_counter() - t0)
 
+    # Single-pass lifecycle: validation counters, the max-cursor state value
+    # and the write all ride ONE source scan — observe() metrics on the
+    # annotated frame, evaluated by the write action itself. The write goes
+    # to a staging dir first so strict mode can abort without a pre-count;
+    # publish is a same-filesystem rename (the production path swaps in the
+    # FsTable/Iceberg manifest commit, sinks/table_commit.py).
+    #
     # markdown_kv structured shapes bypass the contract cast (their schema
     # is fixed by the parser), everything else validates against the asset.
-    if job.source.type == "markdown_kv" and \
-            job.source.options.get("storage", "row_per_kv") != "string":
-        valid, invalid_count, sample = df, 0, []
+    mode = job.validation_mode
+    bypass = job.source.type == "markdown_kv" and \
+        job.source.options.get("storage", "row_per_kv") != "string"
+    if bypass:
+        result = None
+        annotated = df.withColumn(
+            validation.ERRORS_COL,
+            F.array().cast(
+                "array<struct<field:string,error:string,value:string>>"),
+        )
     else:
-        result = validation.validate(df, job.asset, job.validation_mode)
-        invalid_count = result.invalid.count()
-        sample = result.error_summary() if invalid_count else []
-        if job.validation_mode == "strict" and invalid_count:
-            return JobResult(
-                exit_code=EXIT_FAILURE,
-                records_invalid=invalid_count,
-                error_sample=sample,
-                duration_s=time.perf_counter() - t0,
-            )
-        if job.validation_mode == "warn":
-            # warn mode keeps the original (pre-coercion) values alongside
-            # the coerced columns (reference schema_validator.py:114-123
-            # preserves originals on coercion failure) — the raw struct
-            # column travels into the sink so nothing is lost.
-            valid = result.valid.drop(validation.ERRORS_COL)
-        else:
-            valid = result.valid.drop(validation.ERRORS_COL,
-                                      validation.RAW_COL)
+        result = validation.validate(df, job.asset, mode)
+        annotated = result.annotated
+
+    ok = F.size(F.col(validation.ERRORS_COL)) == 0
+    inc = job.source.incremental
+    cursor = (inc.cursor_field
+              if store is not None and inc.enabled and inc.cursor_field
+              else None)
+    metrics = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("n_invalid"),
+    ]
+    if cursor:
+        # max cursor over VALID rows only — invalid rows are not written,
+        # so they must not advance the incremental state.
+        metrics.append(F.max(F.when(ok, F.col(cursor))).alias("max_cursor"))
+    obs = Observation()
+    observed = annotated.observe(obs, *metrics)
+
+    if mode == "strict" or bypass:
+        to_write = observed.filter(ok).drop(validation.ERRORS_COL,
+                                            validation.RAW_COL)
+        probe = annotated.filter(ok).drop(validation.ERRORS_COL,
+                                          validation.RAW_COL)
+    else:
+        # warn mode keeps the original (pre-coercion) values alongside the
+        # coerced columns (reference schema_validator.py:114-123 preserves
+        # originals on coercion failure) — the raw struct column travels
+        # into the sink so nothing is lost.
+        to_write = observed.drop(validation.ERRORS_COL)
+        probe = annotated.drop(validation.ERRORS_COL)
 
     props = tags_mod.derive_table_properties(
         job.asset,
@@ -169,25 +198,49 @@ def run_job(
     )
 
     out_path = job.target.path
+    write_mode = str(job.target.options.get("mode", "append"))
+    stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
     pcols = parquet_sink.write_partitioned(
-        valid,
-        out_path,
+        to_write,
+        stage,
         job.target.partition_by,
         target_file_size_mb=job.target.target_file_size_mb,
-        mode=str(job.target.options.get("mode", "append")),
+        mode="overwrite",
+        probe_df=probe,  # the probe must not consume the observation
     )
+    m = obs.get
+    n_rows = int(m["n_rows"])
+    invalid_count = int(m["n_invalid"] or 0)
+    n_valid = n_rows - invalid_count
+
+    if mode == "strict" and invalid_count:
+        shutil.rmtree(stage, ignore_errors=True)
+        _prune_staging(out_path)
+        return JobResult(
+            exit_code=EXIT_FAILURE,
+            records_in=n_rows,
+            records_valid=n_valid,
+            records_invalid=invalid_count,
+            # failure path only: one extra capped scan for the sample
+            error_sample=result.error_summary(),
+            duration_s=time.perf_counter() - t0,
+        )
+
+    _publish_staging(stage, out_path, write_mode)
     with open(os.path.join(out_path, "_dativo_properties.json"), "w") as fh:
         json.dump(props, fh, indent=2, sort_keys=True)
 
-    n_valid = valid.count()
-    n_in = n_valid + invalid_count
+    # informational warn-mode sample: capped scan, only when errors exist
+    sample = result.error_summary() if (invalid_count and result) else []
 
-    # Commit-then-state: only after the write succeeded.
+    # Commit-then-state: only after the write succeeded. The state value
+    # came off the write pass's observation — no extra aggregation scan.
     state_value = None
-    inc = job.source.incremental
     if store is not None and inc.enabled:
-        if inc.cursor_field:
-            state_value = store.commit_from(valid, key, inc.cursor_field)
+        if cursor:
+            state_value = m.get("max_cursor")
+            if state_value is not None:
+                store.set(key, cursor, state_value)
         if inc.strategy == "file_modified_time" and job.source.path:
             listing = (csv_source.list_csv_files(job.source.path)
                        if job.source.type == "csv"
@@ -201,7 +254,7 @@ def run_job(
 
     return JobResult(
         exit_code=EXIT_PARTIAL if invalid_count else EXIT_SUCCESS,
-        records_in=n_in,
+        records_in=n_rows,
         records_valid=n_valid,
         records_invalid=invalid_count,
         error_sample=sample,
@@ -212,6 +265,35 @@ def run_job(
         duration_s=time.perf_counter() - t0,
         catalog_status=catalog_status,
     )
+
+
+def _publish_staging(stage: str, out_path: str, mode: str) -> None:
+    """Move staged part files into the final hive layout (same-filesystem
+    rename; committer files like _SUCCESS stay behind). ``overwrite``
+    clears previous table contents first."""
+    if mode == "overwrite":
+        for entry in os.listdir(out_path):
+            if entry == "_staging":
+                continue
+            full = os.path.join(out_path, entry)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+    for root, _dirs, files in os.walk(stage):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            src = os.path.join(root, fname)
+            dst = os.path.join(out_path, os.path.relpath(src, stage))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    _prune_staging(out_path)
+
+
+def _prune_staging(out_path: str) -> None:
+    try:
+        os.rmdir(os.path.join(out_path, "_staging"))
+    except OSError:
+        pass
 
 
 def run_job_file(spark: SparkSession, config_path: str,

@@ -87,17 +87,21 @@ def with_partition_columns(
 
 def _estimate_bytes_per_row(df: DataFrame, compression: str) -> float | None:
     """Reference's sizing trick (``parquet_writer.py:355-386``), Spark-side:
-    write a ≤1000-row sample as parquet, measure, extrapolate."""
+    write a ≤1000-row sample as parquet, measure, extrapolate. Row count
+    comes from the written files' footers (no extra Spark action)."""
+    import pyarrow.parquet as pq
+
     with tempfile.TemporaryDirectory(prefix="dativo_size_probe_") as tmp:
         probe = Path(tmp) / f"probe_{uuid.uuid4().hex}"
         sample = df.limit(_SAMPLE_ROWS)
         sample.coalesce(1).write.option("compression", compression).parquet(
             str(probe)
         )
-        n = sample.sparkSession.read.parquet(str(probe)).count()
+        files = list(probe.rglob("*.parquet"))
+        n = sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
         if n == 0:
             return None
-        size = sum(f.stat().st_size for f in probe.rglob("*.parquet"))
+        size = sum(f.stat().st_size for f in files)
         return size / n
 
 
@@ -110,14 +114,25 @@ def write_partitioned(
     compression: str = "snappy",
     ingest_date: datetime.date | None = None,
     colocate: bool = False,
+    probe_df: DataFrame | None = None,
 ) -> list[str]:
     """Write ``df`` as Hive-partitioned parquet; returns the partition
     column names used. ``colocate=True`` adds a ``repartition`` on the
-    partition keys (one shuffle) for high-cardinality partitioning."""
+    partition keys (one shuffle) for high-cardinality partitioning.
+
+    ``probe_df``: frame to run the file-size probe on instead of ``df``.
+    Pass a plan-equivalent frame when ``df`` carries ``observe()`` metrics
+    — the probe is a separate (limited) action and would otherwise consume
+    the observation with partial, 1000-row numbers."""
     partitioning = partitioning or []
     out, pcols = with_partition_columns(df, partitioning, ingest_date)
 
-    bpr = _estimate_bytes_per_row(out, compression)
+    if probe_df is not None:
+        probe_out, _ = with_partition_columns(probe_df, partitioning,
+                                              ingest_date)
+    else:
+        probe_out = out
+    bpr = _estimate_bytes_per_row(probe_out, compression)
     writer = out.write.mode(mode).option("compression", compression)
     if bpr:
         max_records = max(1, math.floor(target_file_size_mb * 1024 * 1024 / bpr))

@@ -78,7 +78,11 @@ def test_warn_partial_exit_1(spark, tmp_path):
     job = JobConfig.from_dict(job_dict(str(p), out, mode="warn"))
     res = runner.run_job(spark, job)
     assert res.exit_code == runner.EXIT_PARTIAL
-    assert res.records_valid == 2  # warn: everything passes through
+    # warn: everything passes through to the sink, but the counters report
+    # actual input rows and error-free rows (mirrors validation.split_counts)
+    assert res.records_in == 2
+    assert res.records_valid == 1
+    assert res.records_invalid == 1
     back = spark.read.parquet(out)
     assert "extra" in back.columns  # warn mode preserves observed columns
     # original pre-coercion values preserved (reference warn semantics)
@@ -86,6 +90,41 @@ def test_warn_partial_exit_1(spark, tmp_path):
     assert RAW_COL in back.columns
     raws = {r[RAW_COL]["id"] for r in back.collect()}
     assert "" in raws or None in raws  # the failed empty-id original
+
+
+def test_run_job_is_single_pass(spark, csv_file, tmp_path, monkeypatch):
+    """Scale regression: a clean job = ONE source scan. Counters, state
+    cursor and the write all ride the observe() metrics of the write
+    action; the only other action is the bounded (<=1000-row) size probe.
+    No count/collect anywhere on the success path."""
+    import pyspark.sql.dataframe as df_mod
+    import pyspark.sql.readwriter as rw_mod
+
+    actions: list[str] = []
+    for name in ("count", "collect", "toPandas", "toLocalIterator",
+                 "isEmpty"):
+        orig = getattr(df_mod.DataFrame, name)
+
+        def wrapper(self, *a, _n=name, _o=orig, **k):
+            actions.append(_n)
+            return _o(self, *a, **k)
+
+        monkeypatch.setattr(df_mod.DataFrame, name, wrapper)
+    orig_parquet = rw_mod.DataFrameWriter.parquet
+
+    def parquet_spy(self, *a, **k):
+        actions.append("write")
+        return orig_parquet(self, *a, **k)
+
+    monkeypatch.setattr(rw_mod.DataFrameWriter, "parquet", parquet_spy)
+
+    out = str(tmp_path / "out")
+    inc = {"enabled": True, "strategy": "cursor", "cursor_field": "id"}
+    job = JobConfig.from_dict(job_dict(csv_file, out, incremental=inc))
+    res = runner.run_job(spark, job, state_root=str(tmp_path / "state"))
+    assert res.exit_code == runner.EXIT_SUCCESS
+    assert res.state_value == 3          # cursor came from the write pass
+    assert actions == ["write", "write"]  # size probe + staged write — only
 
 
 def test_mtime_skip_second_run(spark, csv_file, tmp_path):

@@ -39,7 +39,7 @@ from dativo_ingest_spark import catalog as catalog_mod
 from dativo_ingest_spark.config import tags as tags_mod
 from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
 from dativo_ingest_spark.operators import incremental, validation
-from dativo_ingest_spark.sinks import parquet_sink
+from dativo_ingest_spark.sinks import parquet_sink, table_commit
 from dativo_ingest_spark.sources import csv_source, mdkv_source
 
 EXIT_SUCCESS = 0
@@ -171,9 +171,16 @@ def run_job(
         F.sum(F.when(ok, 0).otherwise(1)).alias("n_invalid"),
     ]
     if cursor:
-        # max cursor over VALID rows only — invalid rows are not written,
-        # so they must not advance the incremental state.
-        metrics.append(F.max(F.when(ok, F.col(cursor))).alias("max_cursor"))
+        # Strict/bypass filter invalid rows out of the sink, so only valid
+        # rows may advance the incremental state. Warn mode writes EVERY
+        # row (invalid ones carry their error struct), so state must cover
+        # them all — otherwise rows already in the sink sit above the
+        # cursor and are re-ingested forever.
+        if mode == "warn" and not bypass:
+            metrics.append(F.max(F.col(cursor)).alias("max_cursor"))
+        else:
+            metrics.append(
+                F.max(F.when(ok, F.col(cursor))).alias("max_cursor"))
     obs = Observation()
     observed = annotated.observe(obs, *metrics)
 
@@ -199,15 +206,36 @@ def run_job(
 
     out_path = job.target.path
     write_mode = str(job.target.options.get("mode", "append"))
-    stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
-    pcols = parquet_sink.write_partitioned(
-        to_write,
-        stage,
-        job.target.partition_by,
-        target_file_size_mb=job.target.target_file_size_mb,
-        mode="overwrite",
-        probe_df=probe,  # the probe must not consume the observation
-    )
+    commit_mode = str(job.target.options.get("commit", "hive"))
+    table = None
+    if commit_mode == "table":
+        # Snapshot-commit sink: staged files are invisible until the
+        # manifest lands, so strict-mode abort and crash-at-any-point both
+        # leave the table exactly as it was (no rename loop, no delete
+        # window). Partition values ride as sanitized ``_p_*`` DATA columns
+        # (Iceberg-style: values in table metadata/files, not dir names).
+        table = table_commit.FsTable.create(out_path)
+        stage_rel = table.new_stage()
+        stage = os.path.join(out_path, stage_rel)
+        staged_df, pcols = parquet_sink.with_partition_columns(
+            to_write, job.target.partition_by)
+        probe_staged, _ = parquet_sink.with_partition_columns(
+            probe, job.target.partition_by)
+        parquet_sink.write_partitioned(
+            staged_df, stage, [],
+            target_file_size_mb=job.target.target_file_size_mb,
+            mode="overwrite", probe_df=probe_staged,
+        )
+    else:
+        stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
+        pcols = parquet_sink.write_partitioned(
+            to_write,
+            stage,
+            job.target.partition_by,
+            target_file_size_mb=job.target.target_file_size_mb,
+            mode="overwrite",
+            probe_df=probe,  # the probe must not consume the observation
+        )
     m = obs.get
     n_rows = int(m["n_rows"])
     invalid_count = int(m["n_invalid"] or 0)
@@ -215,7 +243,8 @@ def run_job(
 
     if mode == "strict" and invalid_count:
         shutil.rmtree(stage, ignore_errors=True)
-        _prune_staging(out_path)
+        if table is None:
+            _prune_staging(out_path)
         return JobResult(
             exit_code=EXIT_FAILURE,
             records_in=n_rows,
@@ -226,7 +255,15 @@ def run_job(
             duration_s=time.perf_counter() - t0,
         )
 
-    _publish_staging(stage, out_path, write_mode)
+    if table is not None:
+        table.add_files(
+            table.staged_files(stage_rel),
+            operation="overwrite" if write_mode == "overwrite" else "append",
+            schema_json=staged_df.schema.json(),
+            properties=props,  # the Iceberg TBLPROPERTIES analog
+        )
+    else:
+        _publish_staging(stage, out_path, write_mode)
     with open(os.path.join(out_path, "_dativo_properties.json"), "w") as fh:
         json.dump(props, fh, indent=2, sort_keys=True)
 
@@ -269,14 +306,20 @@ def run_job(
 
 def _publish_staging(stage: str, out_path: str, mode: str) -> None:
     """Move staged part files into the final hive layout (same-filesystem
-    rename; committer files like _SUCCESS stay behind). ``overwrite``
-    clears previous table contents first."""
+    rename; committer files like _SUCCESS stay behind).
+
+    ``overwrite`` tombstones the previous contents *after* the new files
+    land: a crash mid-publish can briefly expose old+new together (a
+    duplicate window), never an empty or new-only-partial table. True
+    atomic overwrite is the snapshot sink (``target.options.commit:
+    "table"``), where visibility flips on one manifest rename."""
+    old_files: list[str] = []
     if mode == "overwrite":
-        for entry in os.listdir(out_path):
-            if entry == "_staging":
+        for root, _dirs, files in os.walk(out_path):
+            rel = os.path.relpath(root, out_path)
+            if rel.split(os.sep)[0] == "_staging":
                 continue
-            full = os.path.join(out_path, entry)
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+            old_files.extend(os.path.join(root, f) for f in files)
     for root, _dirs, files in os.walk(stage):
         for fname in files:
             if fname.startswith(("_", ".")):
@@ -285,7 +328,18 @@ def _publish_staging(stage: str, out_path: str, mode: str) -> None:
             dst = os.path.join(out_path, os.path.relpath(src, stage))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
+    for f in old_files:  # sweep tombstoned files (names never collide:
+        try:             # committer part files are uuid-unique)
+            os.remove(f)
+        except FileNotFoundError:
+            pass
     shutil.rmtree(stage, ignore_errors=True)
+    for root, _dirs, _files in os.walk(out_path, topdown=False):
+        if root != out_path:
+            try:
+                os.rmdir(root)  # prunes dirs emptied by the sweep only
+            except OSError:
+                pass
     _prune_staging(out_path)
 
 

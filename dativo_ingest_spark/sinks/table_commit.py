@@ -28,7 +28,12 @@ concurrent writers and any executor can die mid-write):
   can never be silently dropped (Iceberg's base-unchanged optimistic CAS).
   The ``O_CREAT|O_EXCL`` manifest create only keeps the global version
   numbers unique; losing *that* race just renumbers, it is not a conflict.
-- **Time travel**: every snapshot is immutable and readable by version.
+- **Time travel**: snapshots are immutable; a *committed* snapshot is any
+  version reachable from a branch ref via parent pointers. A writer that
+  loses the branch CAS leaves its already-published manifest as an orphan
+  in the global version sequence — never reachable from any ref — so
+  version reads are validated against the branch's parent chain
+  (``read(version=...)`` raises ``LookupError`` for orphans).
 - **Branches**: the claim-file chain is the branch's commit log (source of
   truth); ``refs/{branch}`` is a fast-path cache repaired on read, so a
   crash between claim and cache update loses nothing.
@@ -135,13 +140,20 @@ class FsTable:
         finally:
             os.unlink(tmp)
 
+    _version_hint = 0
+
     def _next_version(self) -> int:
-        versions = [
-            int(n[1:-5])
-            for n in os.listdir(self._meta)
-            if n.startswith("v") and n.endswith(".json")
-        ]
-        return (max(versions) + 1) if versions else 0
+        """First unallocated version: probe forward from a per-instance
+        hint instead of listing the whole metadata dir (O(#snapshots) per
+        commit otherwise — at 100k commits that listdir dominates). The
+        hint only ever lags reality; ``_publish``'s O_EXCL create is the
+        real arbiter, so a stale hint costs extra probes, never a
+        collision."""
+        v = self._version_hint
+        while os.path.exists(self._manifest_path(v)):
+            v += 1
+        self._version_hint = v
+        return v
 
     def snapshot(self, version: int) -> Snapshot:
         with open(self._manifest_path(version)) as fh:
@@ -238,29 +250,58 @@ class FsTable:
             f"gave up after {max_retries} retries on branch {branch!r}"
         )
 
+    def new_stage(self) -> str:
+        """Reserve an unreferenced data dir (relative to root) for staging.
+        Files written there are invisible until a manifest references them."""
+        return f"data/{uuid.uuid4().hex}"
+
+    def staged_files(self, stage: str) -> list[dict[str, Any]]:
+        """Enumerate parquet files under a stage dir as ``add_files``
+        entries (driver-side, once per commit — not on the read path)."""
+        base = os.path.join(self.root, stage)
+        staged = []
+        for root, _dirs, files in os.walk(base):
+            rel_root = os.path.relpath(root, self.root)
+            for name in sorted(files):
+                if name.endswith(".parquet"):
+                    full = os.path.join(root, name)
+                    staged.append({"path": f"{rel_root}/{name}",
+                                   "size_bytes": os.path.getsize(full)})
+        return staged
+
     def write_append(
         self,
         df: DataFrame,
         branch: str = "main",
         properties: dict[str, str] | None = None,
+        operation: str = "append",
     ) -> Snapshot:
         """Stage ``df`` as parquet under an unreferenced uuid dir, then
         commit the written files. Crash between write and commit leaves
-        invisible orphans only."""
-        stage = f"data/{uuid.uuid4().hex}"
-        out = os.path.join(self.root, stage)
-        df.write.option("compression", "snappy").parquet(out)
-        staged = [
-            {"path": f"{stage}/{name}", "size_bytes": os.path.getsize(os.path.join(out, name))}
-            for name in sorted(os.listdir(out))
-            if name.endswith(".parquet")
-        ]
+        invisible orphans only. ``operation="overwrite"`` replaces the
+        table contents atomically (manifest swap, old files untouched)."""
+        stage = self.new_stage()
+        df.write.option("compression", "snappy").parquet(
+            os.path.join(self.root, stage))
         return self.add_files(
-            staged, operation="append", branch=branch,
+            self.staged_files(stage), operation=operation, branch=branch,
             schema_json=df.schema.json(), properties=properties,
         )
 
     # -- reads --------------------------------------------------------------
+
+    def history(self, branch: str = "main") -> list[int]:
+        """Committed versions reachable from the branch head via parent
+        pointers, newest first. Orphaned manifests (published by a writer
+        that then lost the branch CAS) are excluded by construction — no
+        parent pointer ever reaches them."""
+        v = self.current_version(branch)
+        assert v is not None, f"unknown branch {branch!r}"
+        out: list[int] = []
+        while v is not None:
+            out.append(v)
+            v = self.snapshot(v).parent
+        return out
 
     def read(
         self,
@@ -269,9 +310,23 @@ class FsTable:
         branch: str = "main",
     ) -> DataFrame:
         """Scan a snapshot (branch head by default) from its explicit file
-        list — no directory listing anywhere in the plan."""
-        v = self.current_version(branch) if version is None else version
-        assert v is not None, f"unknown branch {branch!r}"
+        list — no directory listing anywhere in the plan.
+
+        Time-travel reads (``version=N``) are validated against the
+        branch's parent chain so an orphaned manifest from a lost CAS race
+        can never be surfaced as if it were committed (one O(history)
+        manifest walk, on this path only)."""
+        if version is None:
+            v = self.current_version(branch)
+            assert v is not None, f"unknown branch {branch!r}"
+        else:
+            if version not in self.history(branch):
+                raise LookupError(
+                    f"version {version} is not reachable from branch "
+                    f"{branch!r} — either it never existed or it is an "
+                    "orphaned manifest from a lost commit race"
+                )
+            v = version
         snap = self.snapshot(v)
         paths = snap.paths(self.root)
         if not paths:

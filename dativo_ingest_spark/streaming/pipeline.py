@@ -238,7 +238,8 @@ def stream_to_partitioned_parquet(
     writer = (
         stream_df.writeStream
         .foreachBatch(hive_epoch_writer(path, partitioning,
-                                        target_file_size_mb))
+                                        target_file_size_mb,
+                                        checkpoint_dir=checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
@@ -248,16 +249,46 @@ def stream_to_partitioned_parquet(
         writer.start()
 
 
-def hive_epoch_writer(path, partitioning, target_file_size_mb=150):
+def _query_id_resolver(query_id: str | None, checkpoint_dir: str | None):
+    """Stable per-query identity for epoch dedup (Delta's ``txnAppId``).
+
+    Epoch ids are checkpoint-scoped: a fresh checkpoint restarts at 0, so a
+    bare ``epoch_id`` marker written by an earlier query on the same output
+    would silently swallow the new query's first batches. Scope every marker
+    by the streaming query id Spark persists in ``<checkpoint>/metadata`` —
+    it survives restarts from the same checkpoint (replays dedup) and is
+    regenerated for a fresh checkpoint (no false skip). Resolution is lazy:
+    the metadata file exists by the time the first micro-batch runs."""
+    if (query_id is None) == (checkpoint_dir is None):
+        raise ValueError("pass exactly one of query_id / checkpoint_dir")
+
+    def resolve() -> str:
+        nonlocal query_id
+        if query_id is None:
+            import json as _json
+            import os as _os
+            with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+                query_id = _json.loads(fh.read())["id"]
+        return query_id
+
+    return resolve
+
+
+def hive_epoch_writer(path, partitioning, target_file_size_mb=150,
+                      query_id: str | None = None,
+                      checkpoint_dir: str | None = None):
     """foreachBatch callable: size-targeted hive append with marker-based
-    epoch replay suppression (module-level so tests can drive replays)."""
+    epoch replay suppression (module-level so tests can drive replays).
+    Markers live under ``_epochs/{query_id}/`` so two queries (or a rebuilt
+    checkpoint) on the same output path never suppress each other."""
     import os
 
     from dativo_ingest_spark.sinks import parquet_sink
 
-    marker_dir = os.path.join(path, "_epochs")
+    qid = _query_id_resolver(query_id, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker_dir = os.path.join(path, "_epochs", qid())
         marker = os.path.join(marker_dir, f"{epoch_id}.committed")
         if os.path.exists(marker):  # replayed epoch: already appended
             return
@@ -276,24 +307,31 @@ def hive_epoch_writer(path, partitioning, target_file_size_mb=150):
 
 
 def table_epoch_writer(table, branch: str = "main",
-                       properties: dict[str, str] | None = None):
+                       properties: dict[str, str] | None = None,
+                       query_id: str | None = None,
+                       checkpoint_dir: str | None = None):
     """foreachBatch callable committing each epoch as one FsTable snapshot,
-    idempotently: the committed epoch id rides in snapshot properties, and
-    a replayed epoch (at-least-once delivery) sees ``stream.last_epoch >=
-    epoch_id`` at the branch head and skips. Every crash window is safe —
-    parquet files staged before a crash stay invisible (FsTable's atomic
-    visibility), and a crash after commit but before the checkpoint lands
-    hits the skip."""
+    idempotently: the committed epoch id rides in snapshot properties under
+    ``stream.epoch.{query_id}`` (Delta's txnAppId+txnVersion), and a
+    replayed epoch (at-least-once delivery) sees a recorded epoch >= its own
+    at the branch head and skips. Properties merge parent→child on commit
+    (table_commit.add_files), so interleaved commits from other queries on
+    the same branch never erase this query's watermark. Every crash window
+    is safe — parquet files staged before a crash stay invisible (FsTable's
+    atomic visibility), and a crash after commit but before the checkpoint
+    lands hits the skip."""
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
         head = table.snapshot(table.current_version(branch))
-        last = head.properties.get("stream.last_epoch")
+        last = head.properties.get(key)
         if last is not None and int(last) >= epoch_id:
             return
         table.write_append(
             batch_df, branch=branch,
-            properties={**(properties or {}),
-                        "stream.last_epoch": str(epoch_id)},
+            properties={**(properties or {}), key: str(epoch_id)},
         )
 
     return write_batch
@@ -314,7 +352,8 @@ def stream_to_table(
     table = FsTable.create(table_root)
     writer = (
         stream_df.writeStream
-        .foreachBatch(table_epoch_writer(table, branch))
+        .foreachBatch(table_epoch_writer(table, branch,
+                                         checkpoint_dir=checkpoint_dir))
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

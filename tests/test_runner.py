@@ -92,6 +92,23 @@ def test_warn_partial_exit_1(spark, tmp_path):
     assert "" in raws or None in raws  # the failed empty-id original
 
 
+def test_warn_mode_cursor_covers_written_invalid_rows(spark, tmp_path):
+    """Warn mode writes EVERY row to the sink, so the cursor state must
+    advance over invalid rows too — otherwise rows already in the sink sit
+    above the stored cursor and are re-ingested on every subsequent run."""
+    p = tmp_path / "w.csv"
+    p.write_text("id,name\n1,alice\n2,bob\n3,\n")  # highest cursor invalid
+    out = str(tmp_path / "out")
+    inc = {"enabled": True, "strategy": "cursor", "cursor_field": "id"}
+    job = JobConfig.from_dict(
+        job_dict(str(p), out, mode="warn", incremental=inc))
+    res = runner.run_job(spark, job, state_root=str(tmp_path / "state"))
+    assert res.exit_code == runner.EXIT_PARTIAL
+    assert res.records_invalid == 1
+    assert spark.read.parquet(out).count() == 3  # all rows written
+    assert res.state_value == 3  # state covers the written invalid row
+
+
 def test_run_job_is_single_pass(spark, csv_file, tmp_path, monkeypatch):
     """Scale regression: a clean job = ONE source scan. Counters, state
     cursor and the write all ride the observe() metrics of the write
@@ -125,6 +142,112 @@ def test_run_job_is_single_pass(spark, csv_file, tmp_path, monkeypatch):
     assert res.exit_code == runner.EXIT_SUCCESS
     assert res.state_value == 3          # cursor came from the write pass
     assert actions == ["write", "write"]  # size probe + staged write — only
+
+
+def test_table_commit_mode_snapshot_publish(spark, csv_file, tmp_path):
+    """commit: table routes publish through the FsTable snapshot sink:
+    partition values ride as _p_* data columns, table properties land in
+    the snapshot, and overwrite is a manifest swap."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    out = str(tmp_path / "t")
+    d = job_dict(csv_file, out, partition_by=["ingest_date"])
+    d["target"]["options"]["commit"] = "table"
+    res = runner.run_job(spark, JobConfig.from_dict(d))
+    assert res.exit_code == runner.EXIT_SUCCESS
+    table = FsTable(out)
+    back = table.read(spark)
+    assert back.count() == 3
+    assert "_p_ingest_date" in back.columns
+    snap = table.snapshot(table.current_version())
+    assert snap.properties["classification.fields.name"] == "pii"
+    # second run overwrites via manifest swap; old version still readable
+    res2 = runner.run_job(spark, JobConfig.from_dict(d))
+    assert res2.exit_code == 0
+    assert table.read(spark).count() == 3
+    assert table.read(spark, version=1).count() == 3
+
+
+def test_table_commit_mode_strict_abort_leaves_table_unchanged(
+        spark, csv_file, tmp_path):
+    """Strict-mode failure after staging must not change the table: staged
+    files are unreferenced orphans until the manifest commit."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    out = str(tmp_path / "t")
+    d = job_dict(csv_file, out)
+    d["target"]["options"]["commit"] = "table"
+    runner.run_job(spark, JobConfig.from_dict(d))
+    v0 = FsTable(out).current_version()
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name\n1,alice\n,missing_id\n")
+    d_bad = job_dict(str(bad), out)
+    d_bad["target"]["options"]["commit"] = "table"
+    res = runner.run_job(spark, JobConfig.from_dict(d_bad))
+    assert res.exit_code == runner.EXIT_FAILURE
+    assert FsTable(out).current_version() == v0
+    assert FsTable(out).read(spark).count() == 3
+
+
+def test_table_commit_mode_crash_before_commit(spark, csv_file, tmp_path,
+                                               monkeypatch):
+    """A crash between the staged write and add_files leaves the table
+    unchanged; the retried job lands the data exactly once."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    out = str(tmp_path / "t")
+    d = job_dict(csv_file, out)
+    d["target"]["options"]["commit"] = "table"
+    runner.run_job(spark, JobConfig.from_dict(d))
+
+    orig = FsTable.add_files
+
+    def crash(self, *a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(FsTable, "add_files", crash)
+    d2 = dict(d)
+    d2["target"] = {**d["target"], "options": {"mode": "append",
+                                               "commit": "table"}}
+    with pytest.raises(RuntimeError):
+        runner.run_job(spark, JobConfig.from_dict(d2))
+    monkeypatch.setattr(FsTable, "add_files", orig)
+    assert FsTable(out).read(spark).count() == 3  # unchanged
+    res = runner.run_job(spark, JobConfig.from_dict(d2))
+    assert res.exit_code == 0
+    assert FsTable(out).read(spark).count() == 6  # exactly one append
+
+
+def test_hive_overwrite_publish_never_empty(spark, csv_file, tmp_path,
+                                            monkeypatch):
+    """Overwrite publish tombstones old files only AFTER the new ones are
+    in place — a crash mid-publish may briefly duplicate, never truncate."""
+    out = str(tmp_path / "out")
+    job = JobConfig.from_dict(job_dict(csv_file, out))
+    runner.run_job(spark, job)
+
+    import os as _os
+    real_replace = _os.replace
+    moved = []
+
+    def counting_replace(src, dst):
+        moved.append(dst)
+        real_replace(src, dst)
+
+    monkeypatch.setattr(runner.os, "replace", counting_replace)
+    real_remove = _os.remove
+
+    def crashing_remove(path):
+        raise RuntimeError("crash during tombstone sweep")
+
+    monkeypatch.setattr(runner.os, "remove", crashing_remove)
+    with pytest.raises(RuntimeError):
+        runner.run_job(spark, job)
+    monkeypatch.setattr(runner.os, "remove", real_remove)
+    # new files fully landed before any delete was attempted
+    assert moved and all(_os.path.exists(p) for p in moved)
+    assert spark.read.parquet(out).count() >= 3
 
 
 def test_mtime_skip_second_run(spark, csv_file, tmp_path):

@@ -147,7 +147,7 @@ def test_hive_epoch_writer_suppresses_replayed_epoch(spark, tmp_path):
     """foreachBatch is at-least-once: a replayed (epoch_id, batch) must not
     append twice."""
     out = str(tmp_path / "out")
-    wb = pipeline.hive_epoch_writer(out, [])
+    wb = pipeline.hive_epoch_writer(out, [], query_id="q1")
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
     wb(df, 0)
     wb(df, 0)  # crash-after-checkpoint-miss replay
@@ -156,11 +156,22 @@ def test_hive_epoch_writer_suppresses_replayed_epoch(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_hive_epoch_writer_new_query_not_suppressed(spark, tmp_path):
+    """A NEW query (fresh checkpoint → epochs restart at 0) on the same
+    output path must not have its first batches swallowed by another
+    query's markers — that would be silent data loss."""
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    pipeline.hive_epoch_writer(out, [], query_id="q1")(df, 0)
+    pipeline.hive_epoch_writer(out, [], query_id="q2")(df, 0)
+    assert spark.read.parquet(out).count() == 4
+
+
 def test_table_epoch_writer_exactly_once(spark, tmp_path):
     from dativo_ingest_spark.sinks.table_commit import FsTable
 
     table = FsTable.create(str(tmp_path / "t"))
-    wb = pipeline.table_epoch_writer(table)
+    wb = pipeline.table_epoch_writer(table, query_id="q1")
     df = spark.createDataFrame([(1,), (2,)], "id bigint")
     wb(df, 0)
     wb(df, 0)   # replay of committed epoch: skipped
@@ -170,6 +181,26 @@ def test_table_epoch_writer_exactly_once(spark, tmp_path):
     # replay of an OLDER epoch after newer commits is also skipped
     wb(df, 0)
     assert table.read(spark).count() == 4
+
+
+def test_table_epoch_writer_independent_queries(spark, tmp_path):
+    """Two independent streaming queries appending to one table/branch:
+    each dedups its own replays without suppressing the other, even with
+    interleaved commits (properties merge parent→child)."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "t"))
+    a = pipeline.table_epoch_writer(table, query_id="qa")
+    b = pipeline.table_epoch_writer(table, query_id="qb")
+    df = spark.createDataFrame([(1,), (2,)], "id bigint")
+    a(df, 0)
+    b(df, 0)            # new query, epoch 0 again: must append
+    assert table.read(spark).count() == 4
+    a(df, 0)            # qa replay after qb's commit: still skipped
+    b(df, 0)            # qb replay: skipped
+    assert table.read(spark).count() == 4
+    a(df, 1)
+    assert table.read(spark).count() == 6
 
 
 def test_stream_to_table_end_to_end(spark, tmp_path):

@@ -144,3 +144,40 @@ def test_properties_merge_through_commits(spark, tmp_path):
                                "classification": "internal"}
     manifest = json.load(open(os.path.join(t._meta, "v1.json")))
     assert manifest["parent"] == 0
+
+
+def test_orphan_manifest_not_time_travelable(spark, tmp_path):
+    """A manifest published by a writer that then lost the branch CAS is an
+    orphan: history() never lists it and read(version=orphan) refuses."""
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    t.add_files([{"path": "data/x/f1.parquet"}])
+    b = FsTable(root)
+    base_b = b.current_version()
+    t.add_files([{"path": "data/x/f2.parquet"}])       # branch advances
+    stale = b.snapshot(base_b)
+    orphan = Snapshot(version=b._next_version(), parent=base_b,
+                      operation="append",
+                      files=stale.files + [{"path": "data/x/f3.parquet"}])
+    b._publish(orphan)
+    assert not b._claim("main", base_b, orphan.version)
+    retried = b.add_files([{"path": "data/x/f3.parquet"}])
+    hist = t.history()
+    assert orphan.version not in hist
+    assert retried.version in hist and hist == sorted(hist, reverse=True)
+    with pytest.raises(LookupError):
+        t.read(spark, version=orphan.version)
+    # committed ancestors remain readable
+    assert t.read(spark, version=0).count() == 0
+
+
+def test_version_allocation_skips_past_foreign_manifests(tmp_path):
+    """_next_version probes forward from a hint; manifests created by other
+    writers (fresh handles) are detected without a metadata listdir."""
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    t.add_files([{"path": "a"}])
+    other = FsTable(root)            # fresh handle, hint = 0
+    s = other.add_files([{"path": "b"}])
+    assert s.version == 2
+    assert t.add_files([{"path": "c"}]).version == 3

@@ -72,20 +72,61 @@ def gram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
     )
 
 
+#: Skew-guard defaults — ON because a single corpus-wide boilerplate gram
+#: (or one degenerate LSH bucket) turns the candidate self-join quadratic on
+#: that key: df docs sharing a gram contribute df²/2 join rows, so one
+#: licence header shared by 1M docs is 5×10¹¹ rows on ONE shuffle key. The
+#: defaults only engage on keys that are boilerplate by construction (a gram
+#: in >1000 docs / an LSH bucket holding >500 docs carries no pair-specific
+#: signal); pass ``None`` explicitly to disable.
+MAX_GRAM_DF_DEFAULT = 1000
+MAX_BUCKET_SIZE_DEFAULT = 500
+
+
+def drop_hot_grams(inv: DataFrame, max_gram_df: int) -> DataFrame:
+    """Document-frequency cut over an inverted index (id, gram): remove
+    grams occurring in more than ``max_gram_df`` documents. The hot-gram
+    list is tiny by construction (heavy-hitter tail) → broadcast anti-join,
+    no extra shuffle of the index itself."""
+    hot = (
+        inv.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_gram_df)
+        .select("gram")
+    )
+    return inv.join(F.broadcast(hot), "gram", "left_anti")
+
+
+def drop_hot_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Degenerate-bucket cut over LSH band rows (id, band, bucket): remove
+    (band, bucket) cells holding more than ``max_bucket_size`` docs."""
+    big = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    return bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_gram_df: int | None = None,
+    max_gram_df: int | None = MAX_GRAM_DF_DEFAULT,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
-    ``max_gram_df`` drops grams occurring in more than that many documents
-    before the self-join (skew guard; changes candidate recall, not the
-    verified metric).
+    ``max_gram_df`` (default on) drops grams occurring in more than that
+    many documents before the self-join — the skew guard that keeps the
+    join from going quadratic on a boilerplate gram. Dropped grams are
+    excluded from the shared-gram counts (set sizes stay exact), so pairs
+    whose overlap is *only* corpus-wide boilerplate score lower — the
+    standard df-cut semantics, and the wanted ones: boilerplate overlap is
+    not duplication evidence.
     """
     # cache: grams feed both the size lookup and the inverted index, and
     # the explode below re-evaluates an uncached child per OUTPUT row (see
@@ -94,13 +135,7 @@ def ngram_jaccard_pairs(
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     inv = grams.select("id", F.explode("grams").alias("gram"))
     if max_gram_df is not None:
-        hot = (
-            inv.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_gram_df)
-            .select("gram")
-        )
-        inv = inv.join(F.broadcast(hot), "gram", "left_anti")
+        inv = drop_hot_grams(inv, max_gram_df)
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
@@ -126,13 +161,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE_DEFAULT,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs, verified with exact n-gram Jaccard.
 
     Returns (id_a, id_b, jaccard) for candidates whose true Jaccard >=
-    threshold. ``max_bucket_size`` skips degenerate LSH buckets (skew guard
-    for adversarial/boilerplate corpora).
+    threshold. ``max_bucket_size`` (default on) skips degenerate LSH
+    buckets — the skew guard for boilerplate corpora, where one bucket
+    holding B docs contributes B²/2 candidate rows on a single shuffle
+    key. Verification stays exact (full gram sets), so the guard affects
+    candidate recall only, never a surviving pair's jaccard value.
 
     Signatures are computed explode-first: (id, gram) rows → one flat
     chunked-md5 expression (``hashing.chunked_gram_hashes``; ceil(H/4) md5
@@ -182,13 +220,7 @@ def minhash_lsh_pairs(
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
     if max_bucket_size is not None:
-        big = (
-            bands.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        bands = bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        bands = drop_hot_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

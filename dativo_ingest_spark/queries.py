@@ -1548,31 +1548,31 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="pivot: event_type columns per user bucket (Spark groupBy().pivot "
-        "with explicit value list = one pass, no per-value scans; oracle "
-        "uses FILTER conditional aggregation).",
+        "with explicit value list and BOTH aggregates in one pivot agg = "
+        "ONE events scan and one shuffle; oracle uses FILTER conditional "
+        "aggregation).",
 )
 def pivot_event_type_by_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         (F.col("user_id") % 5).cast("long").alias("user_bucket"),
         "event_type", "value",
     )
-    counts = (
+    # multi-agg pivot emits {value}_{alias} columns: click_n .. purchase_v.
+    # click_v IS the click_value sum; the unused view_v/purchase_v slots
+    # cost two agg buffers per bucket — nothing next to the second scan +
+    # join this replaced.
+    piv = (
         ev.groupBy("user_bucket")
         .pivot("event_type", ["click", "view", "purchase"])
-        .agg(F.count(F.lit(1)))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("v"))
     )
-    click_val = ev.filter(F.col("event_type") == "click").groupBy(
-        "user_bucket"
-    ).agg(F.round(F.sum("value"), 2).alias("click_value"))
-    return (
-        counts.join(click_val, "user_bucket", "left")
-        .select(
-            "user_bucket",
-            F.coalesce("click", F.lit(0)).cast("long").alias("click"),
-            F.coalesce("view", F.lit(0)).cast("long").alias("view"),
-            F.coalesce("purchase", F.lit(0)).cast("long").alias("purchase"),
-            "click_value",
-        )
+    return piv.select(
+        "user_bucket",
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("click"),
+        F.coalesce("view_n", F.lit(0)).cast("long").alias("view"),
+        F.coalesce("purchase_n", F.lit(0)).cast("long").alias("purchase"),
+        F.col("click_v").alias("click_value"),
     )
 
 

@@ -167,6 +167,35 @@ class StateStore:
             json.dump(doc, fh, indent=2)
         os.replace(tmp, path)  # atomic on POSIX
 
+    def get_engine_state(self, key: StateKey) -> dict[str, Any]:
+        """Opaque engine (Airbyte/Singer) STATE blob for this object."""
+        path = self._path(key)
+        if not os.path.exists(path):
+            return {}
+        with open(path) as fh:
+            doc = json.load(fh)
+        return doc.get("engine_state", {})
+
+    def merge_engine_state(self, key: StateKey, state: dict[str, Any]) -> None:
+        """Merge an engine STATE message into the stored blob (reference
+        engine_framework.py:254-303: read-update-write of the state file;
+        here the update is atomic via tmp+rename like every other write)."""
+        path = self._path(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        doc: dict[str, Any] = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                doc = json.load(fh)
+        merged = doc.get("engine_state", {})
+        merged.update(state)
+        doc["engine_state"] = merged
+        doc["engine_state_updated_at"] = _dt.datetime.now(
+            _dt.timezone.utc).isoformat()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        os.replace(tmp, path)  # atomic on POSIX
+
     def commit_from(self, df: DataFrame, key: StateKey, cursor_field: str) -> Any | None:
         """Commit-then-state: persist max(cursor) of the *written* frame."""
         row = state_update_frame(df, cursor_field).collect()[0]

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from dativo_ingest_spark import catalog as catalog_mod
 from dativo_ingest_spark.config import tags as tags_mod
+from dativo_ingest_spark.config import registry
 from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
 from dativo_ingest_spark.operators import incremental, validation
 from dativo_ingest_spark.sinks import parquet_sink, table_commit
@@ -125,10 +126,16 @@ def run_job(
     governance_overrides: dict[str, Any] | None = None,
     finops_overrides: dict[str, Any] | None = None,
     catalog: "catalog_mod.BaseCatalog | None" = None,
+    mode: str = "self_hosted",
 ) -> JobResult:
     """Execute one job end-to-end; never raises for data errors — the
     exit code carries the outcome (config errors raise ConfigError before
-    any data is touched, matching the reference's fail-at-startup)."""
+    any data is touched, matching the reference's fail-at-startup).
+
+    ``mode`` gates connectors against the registry (reference
+    validator.py:88-241): in ``cloud`` mode database connectors are
+    rejected before extraction."""
+    registry.gate_job(job, mode)
     t0 = time.perf_counter()
     store = incremental.StateStore(state_root) if state_root else None
     key = _state_key(job)

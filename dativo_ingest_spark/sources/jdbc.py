@@ -45,7 +45,11 @@ class Dialect:
 
 POSTGRES = Dialect("postgres", '"', "CURRENT_DATE - INTERVAL '{days} days'")
 MYSQL = Dialect("mysql", "`", "DATE_SUB(CURDATE(), INTERVAL {days} DAY)")
-DIALECTS = {d.name: d for d in (POSTGRES, MYSQL)}
+#: embedded Derby — ships in Spark's own jars, so the whole read path
+#: (cursor predicate pushdown, partitioned range scans) is exercisable
+#: end-to-end in tests with no external database.
+DERBY = Dialect("derby", '"', "CURRENT_DATE - {days} DAYS")
+DIALECTS = {d.name: d for d in (POSTGRES, MYSQL, DERBY)}
 
 
 def _sql_literal(value: Any) -> str:

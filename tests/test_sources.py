@@ -155,3 +155,42 @@ def test_csv_header_drift_union(spark, tmp_path):
     assert rows["3"].name is None and rows["3"].city == "paris"
     # contract columns appended everywhere
     assert "hired" in df.columns and "active" in df.columns
+
+
+def test_jdbc_end_to_end_embedded_derby(spark, tmp_path):
+    """The LIVE read path over embedded Derby (ships in Spark's jars):
+    cursor predicate pushed into the source SQL, partitioned range scan
+    fanning out to N concurrent queries, and a JDBC write creating the
+    table — no external database needed."""
+    from pyspark.sql import functions as F
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("ID"), (F.col("id") * 2).alias("CURSOR_V"))
+    src.write.format("jdbc").option("url", url) \
+        .option("dbtable", "EVENTS").save()
+
+    q = jdbc.build_query("derby", "EVENTS", columns=["ID", "CURSOR_V"],
+                         cursor_field="CURSOR_V", cursor_start=1000)
+    assert q == ('SELECT "ID", "CURSOR_V" FROM "EVENTS" '
+                 'WHERE "CURSOR_V" >= 1000')
+
+    # single-cursor read: predicate evaluated DB-side
+    df = jdbc.read(spark, jdbc.reader_options(url, q))
+    assert df.count() == 500
+    assert df.agg(F.min("ID")).first()[0] == 500
+
+    # partitioned read: 4 concurrent range scans over the same pushed query
+    opts = jdbc.reader_options(
+        url, q, partition_column="ID", lower_bound=0, upper_bound=1000,
+        num_partitions=4)
+    df4 = jdbc.read(spark, opts)
+    assert df4.rdd.getNumPartitions() == 4
+    assert df4.count() == 500
+    plan = df4._jdf.queryExecution().executedPlan().toString()
+    assert "JDBCRelation" in plan and "numPartitions=4" in plan
+
+    # incremental resume from the observed max: only new rows come back
+    nxt = jdbc.build_query("derby", "EVENTS", cursor_field="CURSOR_V",
+                           cursor_start=1998)
+    assert jdbc.read(spark, jdbc.reader_options(url, nxt)).count() == 1

@@ -137,6 +137,138 @@ class HttpJsonCatalog(BaseCatalog):
                                "job": job_name})
 
 
+#: contract type → OpenMetadata column dataType
+#: (reference catalog/openmetadata.py:176-196)
+_OM_TYPES = {
+    "string": "STRING", "integer": "INT", "float": "FLOAT",
+    "double": "DOUBLE", "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+    "datetime": "TIMESTAMP", "date": "DATE",
+}
+
+
+def _urllib_transport(method: str, url: str, doc: dict | None,
+                      headers: dict, timeout: float) -> tuple[int, dict]:
+    """Default HTTP transport (no requests dependency in this env)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, method=method,
+        data=json.dumps(doc).encode() if doc is not None else None,
+        headers=headers,
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+            return resp.status, json.loads(body) if body else {}
+    except urllib.error.HTTPError as e:
+        return e.code, {}
+
+
+class OpenMetadataCatalog(BaseCatalog):
+    """OpenMetadata REST backend (reference ``catalog/openmetadata.py``,
+    352 LoC): get-or-create database service → table entities under
+    ``{service}.{database}.{table}`` FQNs → columns typed via the contract
+    mapping with NOT_NULL constraints → table tags from properties →
+    lineage edges PUT at the target table.
+
+    ``transport`` is injectable (``(method, url, json, headers, timeout) →
+    (status, body)``) — tests record the exact request sequence; production
+    uses the stdlib urllib transport. All errors propagate and are
+    swallowed by :func:`push_after_commit` (the reference's non-fatal
+    contract, cli.py:1194-1205)."""
+
+    def __init__(self, api_url: str, token: str | None = None,
+                 service_name: str = "dativo-ingest",
+                 transport=None, timeout_s: float = 10.0):
+        self.api_url = api_url.rstrip("/")
+        self.service_name = service_name
+        self.timeout_s = timeout_s
+        self._transport = transport or _urllib_transport
+        self.headers = {"Content-Type": "application/json",
+                        **({"Authorization": f"Bearer {token}"}
+                           if token else {})}
+        self._service_fqn: str | None = None
+
+    def _call(self, method: str, path: str,
+              doc: dict | None = None) -> tuple[int, dict]:
+        return self._transport(method, f"{self.api_url}/{path}", doc,
+                               self.headers, self.timeout_s)
+
+    def _service(self) -> str:
+        """Get-or-create the database service, cached per catalog instance
+        (reference :49-93)."""
+        if self._service_fqn:
+            return self._service_fqn
+        status, body = self._call(
+            "GET", f"v1/services/databaseService/name/{self.service_name}")
+        if status != 200:
+            status, body = self._call(
+                "POST", "v1/services/databaseService",
+                {"name": self.service_name,
+                 "serviceType": "CustomDatabase"})
+            if status not in (200, 201):
+                raise ConnectionError(
+                    f"service create failed with HTTP {status}")
+        self._service_fqn = body.get("fullyQualifiedName", self.service_name)
+        return self._service_fqn
+
+    def _fqn(self, entity: Entity) -> str:
+        return f"{self._service()}.{entity.namespace}.{entity.name}"
+
+    def ensure_entity_exists(self, entity: Entity) -> None:
+        """GET by name; POST a bare table when absent (reference :95-174 —
+        columns arrive with push_metadata)."""
+        fqn = self._fqn(entity)
+        status, _ = self._call("GET", f"v1/tables/name/{fqn}")
+        if status == 200:
+            return
+        status, _ = self._call("POST", "v1/tables", {
+            "name": entity.name,
+            "database": {"name": entity.namespace,
+                         "service": {"name": self._service()}},
+            "tableType": "Regular",
+        })
+        if status not in (200, 201):
+            raise ConnectionError(f"table create failed with HTTP {status}")
+
+    def push_metadata(self, entity: Entity, properties: dict[str, str],
+                      schema: list[dict[str, Any]] | None = None) -> None:
+        """createOrUpdate with typed columns + properties as classification
+        tag labels ``key:value`` (reference :197-290)."""
+        columns = [
+            {"name": f["name"],
+             "dataType": _OM_TYPES.get(str(f.get("type", "string")).lower(),
+                                       "STRING"),
+             "constraint": "NOT_NULL" if f.get("required") else "NULL"}
+            for f in (schema or [])
+        ]
+        tag_labels = [{"tagFQN": f"{k}:{v}", "source": "Classification"}
+                      for k, v in sorted(properties.items())]
+        status, _ = self._call("PUT", "v1/tables", {
+            "name": entity.name,
+            "database": {"name": entity.namespace,
+                         "service": {"name": self._service()}},
+            "columns": columns,
+            "tags": tag_labels,
+        })
+        if status not in (200, 201):
+            raise ConnectionError(f"metadata push failed with HTTP {status}")
+
+    def push_lineage(self, source: Entity, target: Entity,
+                     job_name: str | None = None) -> None:
+        """Edge list PUT at the target table (reference :292-350)."""
+        target_fqn = self._fqn(target)
+        status, _ = self._call(
+            "PUT", f"v1/lineage/table/name/{target_fqn}",
+            {"description": f"Lineage from {job_name or 'ingest'}",
+             "edges": [{"fromEntity": source.fqn, "toEntity": target_fqn,
+                        "description": f"{job_name or 'ingest'} operation"}]},
+        )
+        if status not in (200, 201):
+            raise ConnectionError(f"lineage push failed with HTTP {status}")
+
+
 def push_after_commit(
     catalog: BaseCatalog,
     job: JobConfig,

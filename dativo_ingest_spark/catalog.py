@@ -273,20 +273,27 @@ def push_after_commit(
     catalog: BaseCatalog,
     job: JobConfig,
     properties: dict[str, str],
+    source_tags: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """Post-commit catalog hook: entities → metadata → lineage, each step
     individually non-fatal (reference ``cli.py:1194-1205``). Returns a
-    status dict ``{step: "ok" | "error: ..."}`` for the job log."""
+    status dict ``{step: "ok" | "error: ..."}`` for the job log.
+    ``source_tags`` (e.g. CSV header columns marked ``"column"``, JDBC
+    comment tags) attach to the *source* entity as structural metadata."""
     src, dst = source_entity(job), target_entity(job)
     schema = [{"name": f.name, "type": f.type, "required": f.required}
               for f in job.asset.fields]
-    status: dict[str, Any] = {}
-    for step, call in (
+    steps = [
         ("ensure_source", lambda: catalog.ensure_entity_exists(src)),
         ("ensure_target", lambda: catalog.ensure_entity_exists(dst)),
         ("metadata", lambda: catalog.push_metadata(dst, properties, schema)),
         ("lineage", lambda: catalog.push_lineage(src, dst, job.asset.name)),
-    ):
+    ]
+    if source_tags:
+        steps.insert(2, ("source_metadata",
+                         lambda: catalog.push_metadata(src, source_tags)))
+    status: dict[str, Any] = {}
+    for step, call in steps:
         try:
             call()
             status[step] = "ok"

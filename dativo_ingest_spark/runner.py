@@ -292,9 +292,17 @@ def run_job(
             store.set_file_mtimes(key, dict(listing))
 
     # Catalog push after commit+state; failures never fail the job
-    # (reference cli.py:1194-1205).
-    catalog_status = (catalog_mod.push_after_commit(catalog, job, props)
-                      if catalog is not None else {})
+    # (reference cli.py:1194-1205). File-family sources contribute their
+    # observed columns as structural source tags (reference
+    # csv_extractor.py:260-316) — taken from the extracted frame's schema,
+    # zero extra I/O.
+    catalog_status: dict[str, Any] = {}
+    if catalog is not None:
+        source_tags = None
+        if job.source.type in ("csv", "parquet", "markdown_kv"):
+            source_tags = {c: "column" for c in df.columns}
+        catalog_status = catalog_mod.push_after_commit(
+            catalog, job, props, source_tags=source_tags)
 
     return JobResult(
         exit_code=EXIT_PARTIAL if invalid_count else EXIT_SUCCESS,

@@ -130,3 +130,31 @@ def extract(
         return None
     df = read_csv(spark, files, asset, options)
     return validation.validate(df, asset, mode)
+
+
+def extract_source_tags(
+    spark: SparkSession,
+    pattern_or_paths: list[str] | str,
+    options: dict | None = None,
+) -> dict[str, str]:
+    """Naturally-available CSV metadata (reference csv_extractor.py:260-316):
+    column names from each file's header row, marked ``"column"``. One
+    driver-side header-line probe per file — the same probe read_csv's
+    header-drift grouping performs; unreadable files are skipped like the
+    reference. Feeds the catalog's source-entity metadata (structural tags,
+    NOT classifications — those come from explicit contract/override/JDBC-
+    comment levels only; reference tag_derivation.py:59-70 does no
+    auto-detection either)."""
+    opts = {**DEFAULT_OPTIONS, **(options or {})}
+    if isinstance(pattern_or_paths, str):
+        paths = [p for p, _ in list_csv_files(pattern_or_paths)]
+    else:
+        paths = list(pattern_or_paths)
+    tags: dict[str, str] = {}
+    for p in paths:
+        try:
+            for col in _header_columns(spark, p, opts):
+                tags[col] = "column"
+        except Exception:
+            continue  # unreadable file: skip (reference :312-314)
+    return tags

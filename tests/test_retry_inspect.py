@@ -102,6 +102,7 @@ def test_catalog_push_after_commit(spark, tmp_path):
     res = runner.run_job(spark, job, catalog=rec)
     assert res.exit_code == 0
     assert res.catalog_status == {"ensure_source": "ok", "ensure_target": "ok",
+                                  "source_metadata": "ok",
                                   "metadata": "ok", "lineage": "ok"}
     assert rec.lineage == [("acme.csv.people", "acme.parquet.people")]
     meta = rec.metadata["acme.parquet.people"]
@@ -112,3 +113,30 @@ def test_catalog_push_after_commit(spark, tmp_path):
     res = runner.run_job(spark, job, catalog=catalog.RecordingCatalog(fail=True))
     assert res.exit_code == 0
     assert all(v.startswith("error") for v in res.catalog_status.values())
+
+
+def test_catalog_source_tags_pushed(spark, tmp_path):
+    """File-source column names ride to the catalog as source-entity
+    structural metadata (never classifications)."""
+    from dativo_ingest_spark import catalog, runner
+    from dativo_ingest_spark.config.contracts import JobConfig
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,surprise_col\n1,alice,x\n")
+    rec = catalog.RecordingCatalog()
+    job = JobConfig.from_dict({
+        "tenant_id": "acme", "schema_validation_mode": "warn",
+        "source": {"type": "csv", "path": str(p)},
+        "target": {"type": "parquet", "path": str(tmp_path / "out"),
+                   "options": {"mode": "overwrite"}},
+        "asset": {"name": "people",
+                  "schema": [{"name": "id", "type": "integer"},
+                             {"name": "name", "type": "string"}]},
+    })
+    res = runner.run_job(spark, job, catalog=rec)
+    assert res.catalog_status.get("source_metadata") == "ok"
+    src_fqn = "acme.csv.people"
+    assert rec.metadata[src_fqn]["properties"]["surprise_col"] == "column"
+    # target properties untouched by structural tags
+    tgt_fqn = [k for k in rec.metadata if k != src_fqn][0]
+    assert "surprise_col" not in rec.metadata[tgt_fqn]["properties"]

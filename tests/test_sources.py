@@ -194,3 +194,10 @@ def test_jdbc_end_to_end_embedded_derby(spark, tmp_path):
     nxt = jdbc.build_query("derby", "EVENTS", cursor_field="CURSOR_V",
                            cursor_start=1998)
     assert jdbc.read(spark, jdbc.reader_options(url, nxt)).count() == 1
+
+
+def test_csv_source_tag_extraction(spark, tmp_path):
+    (tmp_path / "a.csv").write_text("id,email\n1,x@y\n")
+    (tmp_path / "b.csv").write_text("id,phone\n2,555\n")
+    tags = csv_source.extract_source_tags(spark, str(tmp_path / "*.csv"))
+    assert tags == {"id": "column", "email": "column", "phone": "column"}

@@ -81,10 +81,18 @@ CONNECTORS: dict[str, ConnectorSpec] = {
         ConnectorSpec("minio", ("source", "target")),
         ConnectorSpec("azure_blob", ("source", "target")),
         # engine-native types of this repo, absent from the reference
-        # registry (parquet rides the same file family as csv)
+        # registry (parquet rides the same file family as csv; derby/jdbc
+        # are the embedded-testable database family — cloud-blocked like
+        # postgres/mysql)
         ConnectorSpec("parquet", ("source", "target"), "files", "native",
                       ("native",), True, True, "file_modified_time",
                       ("file",)),
+        ConnectorSpec("derby", ("source", "target"), "database", "jdbc",
+                      ("jdbc",), False, True, "updated_at",
+                      extra={"requires_tables": True}),
+        ConnectorSpec("jdbc", ("source", "target"), "database", "jdbc",
+                      ("jdbc",), False, True, "updated_at",
+                      extra={"requires_tables": True}),
     ]
 }
 

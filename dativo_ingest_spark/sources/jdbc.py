@@ -48,7 +48,9 @@ MYSQL = Dialect("mysql", "`", "DATE_SUB(CURDATE(), INTERVAL {days} DAY)")
 #: embedded Derby — ships in Spark's own jars, so the whole read path
 #: (cursor predicate pushdown, partitioned range scans) is exercisable
 #: end-to-end in tests with no external database.
-DERBY = Dialect("derby", '"', "CURRENT_DATE - {days} DAYS")
+DERBY = Dialect(
+    "derby", '"',
+    "{{fn TIMESTAMPADD(SQL_TSI_DAY, -{days}, CURRENT_DATE)}}")
 DIALECTS = {d.name: d for d in (POSTGRES, MYSQL, DERBY)}
 
 

@@ -324,3 +324,51 @@ def test_job_dir_and_config_error(spark, tmp_path, csv_file):
         JobConfig.from_dict({"tenant_id": "t", "source": {"type": "csv"},
                              "target": {}, "asset": {"name": "x",
                                                      "schema": []}})
+
+
+def test_jdbc_job_end_to_end_derby(spark, tmp_path):
+    """Full job lifecycle from a JDBC source over embedded Derby: pushed
+    cursor predicate, partitioned read, contract cast, parquet sink,
+    commit-then-state, and incremental resume on the second run."""
+    from pyspark.sql import functions as F
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    spark.range(0, 100).select(
+        F.col("id").alias("ID"), (F.col("id") * 3).alias("UPDATED")
+    ).write.format("jdbc").option("url", url).option("dbtable", "T").save()
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    d = {
+        "tenant_id": "acme",
+        "source": {
+            "type": "derby",
+            "options": {"url": url, "table": "T",
+                        "partition_column": "ID", "lower_bound": 0,
+                        "upper_bound": 100, "num_partitions": 4},
+            "incremental": {"enabled": True, "strategy": "cursor",
+                            "cursor_field": "UPDATED"},
+        },
+        "target": {"type": "parquet", "path": out,
+                   "options": {"mode": "overwrite"}},
+        "asset": {"name": "t", "schema": [
+            {"name": "ID", "type": "integer", "required": True},
+            {"name": "UPDATED", "type": "integer", "required": True},
+        ]},
+    }
+    job = JobConfig.from_dict(d)
+    r1 = runner.run_job(spark, job, state_root=state)
+    assert r1.exit_code == runner.EXIT_SUCCESS
+    assert r1.records_valid == 100 and r1.state_value == 297
+
+    # new rows land in the DB; resume reads only cursor >= 297
+    spark.createDataFrame([(100, 300), (101, 303)], "ID bigint, UPDATED bigint")\
+        .write.format("jdbc").option("url", url).option("dbtable", "T")\
+        .mode("append").save()
+    r2 = runner.run_job(spark, job, state_root=state)
+    assert r2.records_valid == 3  # 297 boundary re-read + 300 + 303
+    assert r2.state_value == 303
+
+    # cloud mode refuses the database connector before touching it
+    with pytest.raises(ConfigError, match="not allowed in cloud mode"):
+        runner.run_job(spark, job, state_root=state, mode="cloud")

@@ -59,6 +59,66 @@ class CommitConflict(Exception):
     current version (staged files remain valid)."""
 
 
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
+    """Per-column min/max from the parquet footer (metadata only, no data
+    pages). Columns missing stats are omitted — absent stats must mean
+    'cannot prune', never 'matches nothing'."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, Any] = {}
+    for col in columns:
+        i = idx.get(col)
+        if i is None:
+            continue
+        mins: list[Any] = []
+        maxs: list[Any] = []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if ok and mins:
+            out[col] = {"min": _json_safe(min(mins)),
+                        "max": _json_safe(max(maxs))}
+    return out
+
+
+#: predicate ops usable against [min, max] file ranges
+_PRUNE_OPS = {
+    "==": lambda lo, hi, v: v < lo or v > hi,
+    ">=": lambda lo, hi, v: hi < v,
+    ">": lambda lo, hi, v: hi <= v,
+    "<=": lambda lo, hi, v: lo > v,
+    "<": lambda lo, hi, v: lo >= v,
+}
+
+
+def file_excluded(stats: dict[str, Any] | None,
+                  predicates: list[tuple[str, str, Any]]) -> bool:
+    """True iff the file's [min,max] ranges PROVE no row can satisfy the
+    AND of ``predicates`` (conservative: missing stats keep the file)."""
+    for col, op, value in predicates:
+        rng = (stats or {}).get(col)
+        if not rng:
+            continue
+        if _PRUNE_OPS[op](rng["min"], rng["max"], value):
+            return True
+    return False
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -255,9 +315,18 @@ class FsTable:
         Files written there are invisible until a manifest references them."""
         return f"data/{uuid.uuid4().hex}"
 
-    def staged_files(self, stage: str) -> list[dict[str, Any]]:
+    def staged_files(self, stage: str,
+                     stats_columns: list[str] | None = None
+                     ) -> list[dict[str, Any]]:
         """Enumerate parquet files under a stage dir as ``add_files``
-        entries (driver-side, once per commit — not on the read path)."""
+        entries (driver-side, once per commit — not on the read path).
+
+        ``stats_columns`` records per-file min/max for those columns from
+        the parquet footers (no data read — footer metadata only), the
+        Iceberg manifest-stats analog that lets :meth:`read` skip files
+        before Spark ever sees them. Stats cost is paid once at commit;
+        at 100 TB the win is the scan that plans 200 files instead of
+        200 000."""
         base = os.path.join(self.root, stage)
         staged = []
         for root, _dirs, files in os.walk(base):
@@ -265,8 +334,13 @@ class FsTable:
             for name in sorted(files):
                 if name.endswith(".parquet"):
                     full = os.path.join(root, name)
-                    staged.append({"path": f"{rel_root}/{name}",
-                                   "size_bytes": os.path.getsize(full)})
+                    entry: dict[str, Any] = {
+                        "path": f"{rel_root}/{name}",
+                        "size_bytes": os.path.getsize(full),
+                    }
+                    if stats_columns:
+                        entry["stats"] = _footer_stats(full, stats_columns)
+                    staged.append(entry)
         return staged
 
     def write_append(
@@ -275,17 +349,20 @@ class FsTable:
         branch: str = "main",
         properties: dict[str, str] | None = None,
         operation: str = "append",
+        stats_columns: list[str] | None = None,
     ) -> Snapshot:
         """Stage ``df`` as parquet under an unreferenced uuid dir, then
         commit the written files. Crash between write and commit leaves
         invisible orphans only. ``operation="overwrite"`` replaces the
-        table contents atomically (manifest swap, old files untouched)."""
+        table contents atomically (manifest swap, old files untouched);
+        ``stats_columns`` records per-file min/max for pruned reads."""
         stage = self.new_stage()
         df.write.option("compression", "snappy").parquet(
             os.path.join(self.root, stage))
         return self.add_files(
-            self.staged_files(stage), operation=operation, branch=branch,
-            schema_json=df.schema.json(), properties=properties,
+            self.staged_files(stage, stats_columns), operation=operation,
+            branch=branch, schema_json=df.schema.json(),
+            properties=properties,
         )
 
     # -- reads --------------------------------------------------------------
@@ -303,14 +380,34 @@ class FsTable:
             v = self.snapshot(v).parent
         return out
 
+    def matching_files(
+        self,
+        snap: Snapshot,
+        where: list[tuple[str, str, Any]] | None,
+    ) -> list[dict[str, Any]]:
+        """Manifest-level file skipping (Iceberg's core scan-planning win):
+        drop files whose recorded [min,max] ranges prove the conjunctive
+        ``where`` (``[(col, op, value), ...]``) can't match. Driver-side
+        over the manifest list only — at 100 TB this is what turns a
+        200k-file table scan into the 200 files that can contain the key.
+        Files without stats always survive (conservative)."""
+        if not where:
+            return snap.files
+        return [f for f in snap.files
+                if not file_excluded(f.get("stats"), where)]
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         branch: str = "main",
+        where: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame:
         """Scan a snapshot (branch head by default) from its explicit file
-        list — no directory listing anywhere in the plan.
+        list — no directory listing anywhere in the plan. ``where`` prunes
+        by manifest stats first (see :meth:`matching_files`); pass the same
+        predicate to Spark afterwards for row-level filtering — stats
+        pruning is file-granular, not row-exact.
 
         Time-travel reads (``version=N``) are validated against the
         branch's parent chain so an orphaned manifest from a lost CAS race
@@ -328,7 +425,8 @@ class FsTable:
                 )
             v = version
         snap = self.snapshot(v)
-        paths = snap.paths(self.root)
+        paths = [os.path.join(self.root, f["path"])
+                 for f in self.matching_files(snap, where)]
         if not paths:
             from pyspark.sql.types import StructType
 

@@ -181,3 +181,49 @@ def test_version_allocation_skips_past_foreign_manifests(tmp_path):
     s = other.add_files([{"path": "b"}])
     assert s.version == 2
     assert t.add_files([{"path": "c"}]).version == 3
+
+
+def test_manifest_stats_recorded_and_pruned(spark, tmp_path):
+    """Iceberg-style scan planning: per-file min/max from parquet footers
+    at commit; reads with a predicate plan only the files whose range can
+    match — checked at the manifest level AND in the resulting frame."""
+    t = FsTable.create(str(tmp_path / "t"))
+    # three commits with disjoint id ranges → one file each, known stats
+    for lo in (0, 1000, 2000):
+        t.write_append(_df(spark, lo, lo + 100).coalesce(1),
+                       stats_columns=["v"])
+    snap = t.snapshot(t.current_version())
+    assert len(snap.files) == 3
+    assert all("stats" in f and "v" in f["stats"] for f in snap.files)
+
+    kept = t.matching_files(snap, [("v", ">=", 2000)])
+    assert [f["stats"]["v"] for f in kept] == [{"min": 2000, "max": 2099}]
+
+    df = t.read(spark, where=[("v", ">=", 2000)])
+    assert df.count() == 100 and df.agg({"v": "min"}).first()[0] == 2000
+
+    # equality point lookup prunes to one file's range
+    assert len(t.matching_files(snap, [("v", "==", 1050)])) == 1
+    # a predicate matching nothing reads an empty (schema-stable) frame
+    assert t.read(spark, where=[("v", ">", 99999)]).count() == 0
+
+
+def test_stats_pruning_is_conservative(spark, tmp_path):
+    """Files without stats (older commits, unstated columns) always
+    survive pruning; operators behave per range semantics."""
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(_df(spark, 0, 10).coalesce(1))          # no stats
+    t.write_append(_df(spark, 50, 60).coalesce(1), stats_columns=["v"])
+    snap = t.snapshot(t.current_version())
+    kept = t.matching_files(snap, [("v", ">=", 55)])
+    # stats-less file kept; stats file kept because max >= 55
+    assert len(kept) == len(snap.files)
+    kept2 = t.matching_files(snap, [("v", ">", 59)])
+    assert len(kept2) == len(snap.files) - 1  # stats file provably out
+    from dativo_ingest_spark.sinks.table_commit import file_excluded
+    st = {"v": {"min": 10, "max": 20}}
+    assert file_excluded(st, [("v", "<", 10)])
+    assert not file_excluded(st, [("v", "<=", 10)])
+    assert file_excluded(st, [("v", ">", 20)])
+    assert not file_excluded(st, [("v", ">=", 20)])
+    assert not file_excluded(None, [("v", "==", 999)])

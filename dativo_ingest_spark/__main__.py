@@ -1,0 +1,99 @@
+"""``python -m dativo_ingest_spark`` — the ``dativo`` CLI analog.
+
+Reference surface (``/root/reference/src/dativo_ingest/cli.py:285-1228``):
+``dativo run --config job.yaml`` / ``--job-dir dir`` with exit codes
+0 = success, 1 = partial (warn-mode invalids), 2 = failure (config/
+validation/source error); ``dativo check`` / ``dativo discover`` probe a
+source without ingesting. The 2,084-LoC reference CLI collapses to thin
+argument routing here because the lifecycle lives in ``runner.py`` and
+Spark replaces the hand-rolled batch loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from dativo_ingest_spark import get_spark
+from dativo_ingest_spark.config.contracts import ConfigError, SourceConfig
+from dativo_ingest_spark.runner import (
+    EXIT_FAILURE,
+    run_job_dir,
+    run_job_file,
+)
+
+
+def _spark(args):
+    return get_spark(
+        "dativo-ingest-spark",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _result_doc(res) -> dict:
+    return {
+        "exit_code": res.exit_code,
+        "records_in": res.records_in,
+        "records_valid": res.records_valid,
+        "records_invalid": res.records_invalid,
+        "output_path": res.output_path,
+        "state_value": res.state_value,
+        "skipped": res.skipped,
+        "duration_s": round(res.duration_s, 3),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dativo-ingest-spark")
+    ap.add_argument("--master", default="local[*]")
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="execute job(s) (cli.py:285 analog)")
+    g = run_p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--config")
+    g.add_argument("--job-dir")
+    run_p.add_argument("--state-root")
+
+    for name in ("check", "discover"):
+        p = sub.add_parser(name)
+        p.add_argument("--type", required=True)
+        p.add_argument("--path")
+        p.add_argument("--option", action="append", default=[],
+                       metavar="K=V")
+
+    args = ap.parse_args(argv)
+    try:
+        spark = _spark(args)
+        if args.cmd == "run":
+            if args.config:
+                res = run_job_file(spark, args.config, args.state_root)
+                print(json.dumps(_result_doc(res)))
+                return res.exit_code
+            results = run_job_dir(spark, args.job_dir, args.state_root)
+            print(json.dumps({p: _result_doc(r)
+                              for p, r in results.items()}, indent=1))
+            # combined exit = worst job (reference cli.py:121-323)
+            return max((r.exit_code for r in results.values()), default=0)
+
+        from dativo_ingest_spark import inspect_cmd
+
+        opts = dict(kv.split("=", 1) for kv in args.option)
+        src = SourceConfig.from_dict(
+            {"type": args.type, "path": args.path, "options": opts})
+        if args.cmd == "check":
+            doc = inspect_cmd.check_source(spark, src)
+            print(json.dumps(doc))
+            return 0 if doc.get("ok") else EXIT_FAILURE
+        doc = inspect_cmd.discover(spark, src)
+        print(json.dumps(doc))
+        return 0
+    except ConfigError as exc:
+        print(f"config error: {exc}", file=sys.stderr)
+        return EXIT_FAILURE
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

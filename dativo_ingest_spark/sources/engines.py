@@ -341,3 +341,23 @@ class SingerSource(AirbyteSource):
             parse=singer_message, batch_size=self.batch_size,
             state_callback=state_callback,
         )
+
+
+class MeltanoSource(SingerSource):
+    """Meltano tap runner — the reference's other stubbed engine
+    (engine_framework.py:308-347: "running meltano invoke tap-<name>,
+    parsing Singer-compatible output"). ``meltano invoke`` emits the Singer
+    protocol on stdout, so this is the Singer parser over the meltano argv;
+    ``project_dir`` maps to ``--cwd``."""
+
+    connector_type = "meltano"
+
+    def __init__(self, tap: str, project_dir: str | None = None,
+                 argv: list[str] | None = None, **kw):
+        if argv is None:
+            argv = ["meltano"]
+            if project_dir:
+                argv += ["--cwd", project_dir]
+            argv += ["invoke", tap]
+        super().__init__(argv=argv, **kw)
+        self.tap = tap

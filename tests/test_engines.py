@@ -177,3 +177,14 @@ def test_airbyte_requires_image_without_argv():
         engines.AirbyteSource()
     argv = engines.docker_argv("airbyte/source-faker")
     assert argv[:4] == ["docker", "run", "--rm", "-i"]
+
+
+def test_meltano_source_invokes_singer_protocol(spark, tmp_path):
+    """MeltanoSource = Singer parser over `meltano invoke tap-x` argv;
+    default argv assembled from tap + project dir, injectable for tests."""
+    m = engines.MeltanoSource(tap="tap-postgres", project_dir="/proj")
+    assert m.argv == ["meltano", "--cwd", "/proj", "invoke", "tap-postgres"]
+    m2 = engines.MeltanoSource(tap="tap-x", argv=_argv(FAKE_SINGER))
+    res = m2.extract(str(tmp_path / "spool"))
+    assert res.n_records == 4
+    assert res.states == [{"bookmarks": {"t": {"k": 3}}}]

@@ -140,3 +140,50 @@ def test_catalog_source_tags_pushed(spark, tmp_path):
     # target properties untouched by structural tags
     tgt_fqn = [k for k in rec.metadata if k != src_fqn][0]
     assert "surprise_col" not in rec.metadata[tgt_fqn]["properties"]
+
+
+def test_cli_main_run_check_discover(spark, tmp_path, capsys):
+    """CLI routing: run --config (exit codes + JSON doc), run --job-dir
+    (worst-exit combination), check/discover probes, config error → 2."""
+    import json as _json
+
+    import yaml
+
+    from dativo_ingest_spark import __main__ as cli
+    from tests.test_runner import job_dict
+
+    good = tmp_path / "good.csv"
+    good.write_text("id,name\n1,x\n")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name\n,missing\n")
+
+    j1 = tmp_path / "j1.yaml"
+    j1.write_text(yaml.dump(job_dict(str(good), str(tmp_path / "o1"))))
+    rc = cli.main(["--master", "local[2]", "run", "--config", str(j1)])
+    assert rc == 0
+    doc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert doc["records_valid"] == 1 and doc["exit_code"] == 0
+
+    jobs = tmp_path / "jobs"
+    jobs.mkdir()
+    (jobs / "a.yaml").write_text(yaml.dump(
+        job_dict(str(good), str(tmp_path / "o2"))))
+    (jobs / "b.yaml").write_text(yaml.dump(
+        job_dict(str(bad), str(tmp_path / "o3"))))
+    rc = cli.main(["run", "--job-dir", str(jobs)])
+    assert rc == 2  # worst job wins (strict failure)
+    capsys.readouterr()
+
+    rc = cli.main(["check", "--type", "csv", "--path", str(good)])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out.strip())["ok"]
+    rc = cli.main(["check", "--type", "csv",
+                   "--path", str(tmp_path / "none*.csv")])
+    assert rc == 2
+    capsys.readouterr()
+
+    rc = cli.main(["discover", "--type", "csv",
+                   "--path", str(tmp_path / "*.csv")])
+    assert rc == 0
+    streams = _json.loads(capsys.readouterr().out.strip())
+    assert {s["stream"] for s in streams} == {"good", "bad"}

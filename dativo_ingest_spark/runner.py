@@ -311,7 +311,9 @@ def run_job(
 
     if table is not None:
         table.add_files(
-            table.staged_files(stage_rel),
+            # partition-column min/max land in the manifest so reads with a
+            # partition predicate plan only the matching files
+            table.staged_files(stage_rel, stats_columns=pcols),
             operation="overwrite" if write_mode == "overwrite" else "append",
             schema_json=staged_df.schema.json(),
             properties=props,  # the Iceberg TBLPROPERTIES analog

@@ -372,3 +372,22 @@ def test_jdbc_job_end_to_end_derby(spark, tmp_path):
     # cloud mode refuses the database connector before touching it
     with pytest.raises(ConfigError, match="not allowed in cloud mode"):
         runner.run_job(spark, job, state_root=state, mode="cloud")
+
+
+def test_table_commit_mode_records_partition_stats(spark, csv_file,
+                                                   tmp_path):
+    """commit: table records partition-column stats in the manifest so a
+    partition-predicate read prunes files driver-side."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    out = str(tmp_path / "t")
+    d = job_dict(csv_file, out, partition_by=["ingest_date"])
+    d["target"]["options"]["commit"] = "table"
+    runner.run_job(spark, JobConfig.from_dict(d))
+    table = FsTable(out)
+    snap = table.snapshot(table.current_version())
+    assert all("_p_ingest_date" in f.get("stats", {}) for f in snap.files)
+    # a predicate on a future date prunes every file
+    assert table.matching_files(snap, [("_p_ingest_date", ">", "9999")]) == []
+    assert table.read(spark,
+                      where=[("_p_ingest_date", ">", "9999")]).count() == 0

@@ -189,6 +189,11 @@ def minhash_lsh_pairs(
     hashed = grams.select("id", F.explode("grams").alias("gram")).select(
         "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
     )
+    # NOT cached deliberately: the band frame is consumed by the hot-bucket
+    # aggregate, its anti-join probe, and both self-join sides, but
+    # ReusedExchange already shares the shuffled signature across them —
+    # measured best-of-3 with a sig.cache() barrier was equal at best and
+    # up to 7x worse under heap pressure (cache-write + GC swings).
     sig = hashed.groupBy("id").agg(
         *[
             F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")

@@ -269,6 +269,138 @@ class OpenMetadataCatalog(BaseCatalog):
             raise ConnectionError(f"lineage push failed with HTTP {status}")
 
 
+#: contract type → Glue/Hive data type (reference catalog/aws_glue.py:153-172)
+_GLUE_TYPES = {
+    "string": "string", "integer": "bigint", "float": "float",
+    "double": "double", "boolean": "boolean", "timestamp": "timestamp",
+    "datetime": "timestamp", "date": "date",
+}
+
+#: Glue Table-response keys that are read-only and must not ride back into
+#: TableInput on update (reference aws_glue.py:174-208)
+_GLUE_READONLY = {
+    "DatabaseName", "CreateTime", "UpdateTime", "CreatedBy",
+    "IsRegisteredWithLakeFormation", "CatalogId", "VersionId",
+}
+
+
+def _glue_not_found(exc: Exception) -> bool:
+    """botocore ClientError duck-check (no boto3 in this environment)."""
+    resp = getattr(exc, "response", None)
+    return bool(resp) and resp.get("Error", {}).get(
+        "Code") == "EntityNotFoundException"
+
+
+class GlueCatalog(BaseCatalog):
+    """AWS Glue Data Catalog backend (reference ``catalog/aws_glue.py``,
+    316 LoC): database get-or-create, EXTERNAL parquet tables with typed
+    columns, metadata in table Parameters, lineage in
+    ``lineage_sources``/``lineage_operation`` parameters (Glue has no
+    native lineage). The client is injectable (boto3's ``client("glue")``
+    surface: get_database/create_database/get_table/create_table/
+    update_table); errors propagate and are swallowed by
+    :func:`push_after_commit`."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def _ensure_database(self, name: str) -> None:
+        try:
+            self.client.get_database(Name=name)
+        except Exception as e:
+            if not _glue_not_found(e):
+                raise
+            self.client.create_database(
+                DatabaseInput={"Name": name,
+                               "Description": f"Database for {name}"})
+
+    def ensure_entity_exists(self, entity: Entity) -> None:
+        self._ensure_database(entity.namespace)
+        try:
+            self.client.get_table(DatabaseName=entity.namespace,
+                                  Name=entity.name)
+            return
+        except Exception as e:
+            if not _glue_not_found(e):
+                raise
+        self.client.create_table(
+            DatabaseName=entity.namespace,
+            TableInput={
+                "Name": entity.name,
+                "TableType": "EXTERNAL_TABLE",
+                "StorageDescriptor": {
+                    "Location": entity.location or "",
+                    "SerdeInfo": {"SerializationLibrary":
+                                  "org.apache.hadoop.hive.ql.io.parquet."
+                                  "serde.ParquetHiveSerDe"},
+                },
+                "Parameters": {},
+            },
+        )
+
+    def _table_input(self, database: str, name: str) -> dict[str, Any]:
+        table = self.client.get_table(DatabaseName=database,
+                                      Name=name)["Table"]
+        return {k: v for k, v in table.items() if k not in _GLUE_READONLY}
+
+    def push_metadata(self, entity: Entity, properties: dict[str, str],
+                      schema: list[dict[str, Any]] | None = None) -> None:
+        ti = self._table_input(entity.namespace, entity.name)
+        if schema:
+            ti.setdefault("StorageDescriptor", {})["Columns"] = [
+                {"Name": f["name"],
+                 "Type": _GLUE_TYPES.get(
+                     str(f.get("type", "string")).lower(), "string"),
+                 "Comment": f.get("description") or ""}
+                for f in schema
+            ]
+        ti["Parameters"] = {**ti.get("Parameters", {}), **properties}
+        self.client.update_table(DatabaseName=entity.namespace,
+                                 TableInput=ti)
+
+    def push_lineage(self, source: Entity, target: Entity,
+                     job_name: str | None = None) -> None:
+        ti = self._table_input(target.namespace, target.name)
+        ti["Parameters"] = {
+            **ti.get("Parameters", {}),
+            "lineage_sources": source.fqn,
+            "lineage_operation": job_name or "ingest",
+        }
+        self.client.update_table(DatabaseName=target.namespace,
+                                 TableInput=ti)
+
+
+class TablePropertiesCatalog(BaseCatalog):
+    """Nessie-analog backend (reference ``catalog/nessie.py``: "lineage is
+    stored in Iceberg table properties" — table existence belongs to the
+    committer): metadata and lineage commit as property-only snapshots on
+    the target :class:`~dativo_ingest_spark.sinks.table_commit.FsTable`,
+    so the lineage record is versioned, branch-scoped, and time-travels
+    with the data it describes."""
+
+    def __init__(self, table, branch: str = "main"):
+        self.table = table
+        self.branch = branch
+
+    def ensure_entity_exists(self, entity: Entity) -> None:
+        return  # the snapshot commit created the table (reference :32-56)
+
+    def push_metadata(self, entity: Entity, properties: dict[str, str],
+                      schema: list[dict[str, Any]] | None = None) -> None:
+        self.table.add_files([], operation="append", branch=self.branch,
+                             properties=dict(properties))
+
+    def push_lineage(self, source: Entity, target: Entity,
+                     job_name: str | None = None) -> None:
+        # reference nessie.py:108-118 lineage_info keys
+        self.table.add_files([], operation="append", branch=self.branch,
+                             properties={
+                                 "lineage.sources": source.fqn,
+                                 "lineage.operation": job_name or "ingest",
+                                 "lineage.target": target.fqn,
+                             })
+
+
 def push_after_commit(
     catalog: BaseCatalog,
     job: JobConfig,

@@ -114,3 +114,88 @@ def test_outage_is_non_fatal_via_push_after_commit():
     assert all(v.startswith("error:") for v in status.values())
     assert set(status) == {"ensure_source", "ensure_target", "metadata",
                            "lineage"}
+
+
+class _GlueError(Exception):
+    def __init__(self, code):
+        self.response = {"Error": {"Code": code}}
+
+
+class FakeGlue:
+    """Dict-backed Glue surface with botocore-shaped not-found errors."""
+
+    def __init__(self):
+        self.databases: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+
+    def get_database(self, Name):
+        if Name not in self.databases:
+            raise _GlueError("EntityNotFoundException")
+        return {"Database": self.databases[Name]}
+
+    def create_database(self, DatabaseInput):
+        self.databases[DatabaseInput["Name"]] = DatabaseInput
+
+    def get_table(self, DatabaseName, Name):
+        key = (DatabaseName, Name)
+        if key not in self.tables:
+            raise _GlueError("EntityNotFoundException")
+        # responses carry read-only fields that must not ride back
+        return {"Table": {**self.tables[key], "DatabaseName": DatabaseName,
+                          "CreateTime": "2026-01-01", "CatalogId": "123"}}
+
+    def create_table(self, DatabaseName, TableInput):
+        self.tables[(DatabaseName, TableInput["Name"])] = TableInput
+
+    def update_table(self, DatabaseName, TableInput):
+        assert "CreateTime" not in TableInput  # read-only keys stripped
+        assert "CatalogId" not in TableInput
+        self.tables[(DatabaseName, TableInput["Name"])] = TableInput
+
+
+def test_glue_catalog_create_metadata_lineage():
+    glue = FakeGlue()
+    cat = catalog.GlueCatalog(glue)
+    e = _entity()
+    cat.ensure_entity_exists(e)
+    assert "acme" in glue.databases
+    t = glue.tables[("acme", "people")]
+    assert t["TableType"] == "EXTERNAL_TABLE"
+    cat.ensure_entity_exists(e)  # idempotent: no error, still one table
+
+    cat.push_metadata(e, {"classification.default": "internal"},
+                      schema=[{"name": "id", "type": "integer"},
+                              {"name": "ts", "type": "timestamp"}])
+    t = glue.tables[("acme", "people")]
+    assert t["StorageDescriptor"]["Columns"] == [
+        {"Name": "id", "Type": "bigint", "Comment": ""},
+        {"Name": "ts", "Type": "timestamp", "Comment": ""}]
+    assert t["Parameters"]["classification.default"] == "internal"
+
+    cat.push_lineage(_entity("raw", "acme"), e, "people_job")
+    t = glue.tables[("acme", "people")]
+    assert t["Parameters"]["lineage_sources"] == "acme.parquet.raw"
+    assert t["Parameters"]["lineage_operation"] == "people_job"
+    # metadata params survived the lineage update
+    assert t["Parameters"]["classification.default"] == "internal"
+
+
+def test_table_properties_catalog_versions_lineage(spark, tmp_path):
+    """Nessie-analog: lineage/metadata commit as property-only snapshots
+    on the FsTable — versioned and readable via time travel."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(spark.range(3).withColumnRenamed("id", "v").coalesce(1))
+    cat = catalog.TablePropertiesCatalog(t)
+    cat.ensure_entity_exists(_entity())  # no-op
+    cat.push_metadata(_entity(), {"governance.retention_days": "30"})
+    cat.push_lineage(_entity("raw", "acme"), _entity(), "j1")
+    head = t.snapshot(t.current_version())
+    assert head.properties["lineage.sources"] == "acme.parquet.raw"
+    assert head.properties["governance.retention_days"] == "30"
+    assert head.files  # property commits never drop data files
+    assert t.read(spark).count() == 3
+    # the pre-lineage snapshot is still readable without the lineage keys
+    hist = t.history()
+    assert "lineage.sources" not in t.snapshot(hist[2]).properties

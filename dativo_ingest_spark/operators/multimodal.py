@@ -5,12 +5,17 @@ sane representation at 100 TB: Spark shuffles/spills binary efficiently,
 parquet stores it chunked, and partition pruning works on the metadata
 columns while the bytes stay untouched until a mapInPandas stage needs them.
 
-The decode/resize/feature kernels are STUBBED: the container has no
-image/audio libraries, so each kernel either raises ``NotImplementedError``
-(``engine="real"``) or produces a clearly-marked deterministic fake derived
-from the bytes (``engine="fake"``, default — used by tests to prove the
-Spark-side plumbing: schemas, Arrow batch shapes, partitioning). Swapping in
-Pillow/librosa/pyav is a kernel-local change; the distributed plan is final.
+Decode kernels, by honesty level:
+
+* **Real, dependency-free**: WAV PCM audio (stdlib ``wave``;
+  :func:`decode_audio`) and netpbm P5/P6 images (pure byte parsing +
+  numpy; ``decode_images(engine="netpbm")``) decode actual media —
+  channels/rate/duration/RMS and dims/mean/histogram features.
+* **Fake**: ``engine="fake"`` produces a clearly-marked deterministic
+  stand-in derived from the bytes (tests of batch shape/partitioning).
+* **Stubbed**: general JPEG/PNG/video decode needs Pillow/pyav, absent
+  from this container — ``engine="real"`` raises ``NotImplementedError``.
+  Swapping a kernel in is local; the distributed plan is final.
 
 Magic-byte sniffing and byte-level stats are real (pure expressions).
 """
@@ -84,6 +89,45 @@ def _fake_image_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, features
 
 
+def decode_netpbm(payload: bytes) -> tuple[int, int, int, list[float]] | None:
+    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB — the
+    public netpbm spec): header tokens (magic, width, height, maxval, with
+    ``#`` comments), then raw big-endian samples. Returns (width, height,
+    channels, features) where features = [mean_intensity] + 7-bin
+    histogram, all normalized to [0,1]; None when not netpbm."""
+    import numpy as np
+
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # tokenizer: whitespace-separated header fields, '#' to EOL is comment
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        return None
+    width, height, maxval = tokens
+    pos += 1  # single whitespace byte after maxval per spec
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = width * height * channels
+    pix = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    norm = pix.astype("float64") / maxval
+    hist, _ = np.histogram(norm, bins=7, range=(0.0, 1.0))
+    feats = [float(norm.mean())] + [float(v) / max(len(norm), 1)
+                                    for v in hist]
+    return width, height, channels, [round(f, 6) for f in feats]
+
+
 def decode_images(
     df: DataFrame,
     id_col: str,
@@ -93,12 +137,14 @@ def decode_images(
 ) -> DataFrame:
     """Arrow-batched image decode + feature extraction.
 
-    ``engine="real"`` is the integration point for an actual decoder and
-    raises ``NotImplementedError`` in this environment. The plumbing —
-    column pruning to (id, bytes), mapInPandas batch iteration, typed
-    output schema — is the production path either way.
+    ``engine="netpbm"`` decodes real P5/P6 payloads (rows that aren't
+    netpbm come back with null dims). ``engine="real"`` is the integration
+    point for a general decoder (Pillow) and raises ``NotImplementedError``
+    in this environment. The plumbing — column pruning to (id, bytes),
+    mapInPandas batch iteration, typed output schema — is the production
+    path for every engine.
     """
-    if engine not in ("fake", "real"):
+    if engine not in ("fake", "netpbm", "real"):
         raise ValueError(f"unknown decode engine: {engine}")
 
     import pandas as pd  # executor-side
@@ -107,13 +153,17 @@ def decode_images(
         for pdf in batches:
             if engine == "real":
                 raise NotImplementedError(
-                    "real image decode requires an image library absent "
-                    "from this environment; use engine='fake'"
+                    "general image decode requires Pillow, absent from "
+                    "this environment; use engine='netpbm' or 'fake'"
                 )
             out = []
             for rid, payload in zip(pdf["id"], pdf["media"]):
                 payload = bytes(payload) if payload is not None else b""
-                w, h, ch, feats = _fake_image_decode(payload)
+                if engine == "netpbm":
+                    decoded = decode_netpbm(payload)
+                    w, h, ch, feats = decoded or (None, None, None, None)
+                else:
+                    w, h, ch, feats = _fake_image_decode(payload)
                 out.append((rid, w, h, ch, feats))
             yield pd.DataFrame(
                 out, columns=["id", "width", "height", "channels", "features"]
@@ -123,6 +173,75 @@ def decode_images(
         F.col(id_col).cast("string").alias("id"), F.col(media_col).alias("media")
     )
     return pruned.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def decode_wav(payload: bytes) -> tuple | None:
+    """REAL audio decode for PCM WAV via stdlib ``wave`` + numpy: channels,
+    sample rate, frame count, duration, and amplitude stats (RMS + peak,
+    normalized to [-1,1]). None when the payload isn't a parseable WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            channels = w.getnchannels()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError):
+        return None
+    dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(width)
+    if dtype is None or rate <= 0:
+        return None
+    x = np.frombuffer(raw, dtype=dtype).astype("float64")
+    if width == 1:
+        x = (x - 128.0) / 128.0  # 8-bit WAV is unsigned
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    duration_ms = int(round(n_frames * 1000 / rate))
+    rms = float(np.sqrt((x ** 2).mean())) if x.size else 0.0
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    return (channels, rate, n_frames, duration_ms,
+            round(rms, 6), round(peak, 6))
+
+
+def decode_audio(df: DataFrame, id_col: str, media_col: str) -> DataFrame:
+    """Arrow-batched REAL audio decode (PCM WAV — stdlib-only): non-WAV
+    rows come back with null metrics, so mixed-media corpora stream
+    through without a pre-filter."""
+    import pandas as pd  # executor-side
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                decoded = decode_wav(payload) or (None,) * 6
+                out.append((rid, *decoded))
+            yield pd.DataFrame(
+                out, columns=["id", "channels", "sample_rate", "n_frames",
+                              "duration_ms", "rms", "peak"]
+            )
+
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(media_col).alias("media"),
+    )
+    return pruned.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_offsets(

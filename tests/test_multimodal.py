@@ -116,3 +116,73 @@ def test_dedup_corpus_keeps_survivors_and_singletons(spark):
     out = sorted(r.doc_id for r in
                  dedup.dedup_corpus(docs, pairs, "doc_id").collect())
     assert out == [1, 7, 9]  # 2,3 collapse into component 1; singletons stay
+
+
+def _wav_bytes(freq_frames=8000, rate=8000, channels=1, width=2,
+               amplitude=0.5):
+    """Synthesize a 1-second PCM WAV (stdlib only): constant-amplitude
+    square wave so RMS == peak == amplitude exactly."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        a = int(amplitude * (2 ** (8 * width - 1)))
+        frames = b"".join(
+            struct.pack("<h", a if (i // 4) % 2 == 0 else -a) * channels
+            for i in range(freq_frames))
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def _ppm_bytes(width=4, height=2, maxval=255):
+    """P6 RGB image with a comment header; pixel k has intensity k*16."""
+    header = f"P6\n# test image\n{width} {height}\n{maxval}\n".encode()
+    pix = bytes((i * 16) % 256 for i in range(width * height * 3))
+    return header + pix
+
+
+def test_decode_wav_real(spark):
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    wav = _wav_bytes()
+    df = spark.createDataFrame(
+        [("a", wav), ("b", b"not audio at all")],
+        "doc_id string, media binary")
+    got = {r.id: r for r in mm.decode_audio(df, "doc_id", "media").collect()}
+    a = got["a"]
+    assert (a.channels, a.sample_rate, a.n_frames) == (1, 8000, 8000)
+    assert a.duration_ms == 1000
+    assert abs(a.rms - 0.5) < 1e-4 and abs(a.peak - 0.5) < 1e-4
+    b = got["b"]
+    assert b.sample_rate is None and b.rms is None  # non-WAV → nulls
+
+
+def test_decode_netpbm_real(spark):
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    ppm = _ppm_bytes()
+    df = spark.createDataFrame(
+        [("img", ppm), ("junk", b"\x00\x01")],
+        "doc_id string, media binary")
+    got = {r.id: r for r in
+           mm.decode_images(df, "doc_id", "media",
+                            engine="netpbm").collect()}
+    img = got["img"]
+    assert (img.width, img.height, img.channels) == (4, 2, 3)
+    # 24 samples of intensity k*16/255: exact mean
+    exp_mean = sum((i * 16) % 256 for i in range(24)) / 24 / 255
+    assert abs(img.features[0] - exp_mean) < 1e-5
+    assert abs(sum(img.features[1:]) - 1.0) < 1e-6  # histogram sums to 1
+    assert got["junk"].width is None
+
+    # 16-bit P5 grayscale exercises the >u2 path
+    p5 = b"P5\n2 2\n65535\n" + (b"\xff\xff" b"\x00\x00") * 2
+    df2 = spark.createDataFrame([("g", p5)], "doc_id string, media binary")
+    g = mm.decode_images(df2, "doc_id", "media", engine="netpbm").first()
+    assert (g.width, g.height, g.channels) == (2, 2, 1)
+    assert abs(g.features[0] - 0.5) < 1e-5

@@ -310,6 +310,12 @@ def run_job(
         )
 
     if table is not None:
+        # branch-per-tenant (the reference's Nessie default: branch =
+        # tenant_id, contracts.TargetConfig.from_dict) — created at the
+        # current main head on first use
+        branch = job.target.branch or "main"
+        if branch != "main" and table.current_version(branch) is None:
+            table.create_branch(branch)
         table.add_files(
             # partition-column min/max land in the manifest so reads with a
             # partition predicate plan only the matching files
@@ -317,6 +323,7 @@ def run_job(
             operation="overwrite" if write_mode == "overwrite" else "append",
             schema_json=staged_df.schema.json(),
             properties=props,  # the Iceberg TBLPROPERTIES analog
+            branch=branch,
         )
     else:
         _publish_staging(stage, out_path, write_mode)

@@ -156,16 +156,18 @@ def test_table_commit_mode_snapshot_publish(spark, csv_file, tmp_path):
     res = runner.run_job(spark, JobConfig.from_dict(d))
     assert res.exit_code == runner.EXIT_SUCCESS
     table = FsTable(out)
-    back = table.read(spark)
+    # branch-per-tenant: commits land on the tenant branch (Nessie default)
+    back = table.read(spark, branch="acme")
     assert back.count() == 3
     assert "_p_ingest_date" in back.columns
-    snap = table.snapshot(table.current_version())
+    assert table.read(spark).count() == 0  # main untouched
+    snap = table.snapshot(table.current_version("acme"))
     assert snap.properties["classification.fields.name"] == "pii"
     # second run overwrites via manifest swap; old version still readable
     res2 = runner.run_job(spark, JobConfig.from_dict(d))
     assert res2.exit_code == 0
-    assert table.read(spark).count() == 3
-    assert table.read(spark, version=1).count() == 3
+    assert table.read(spark, branch="acme").count() == 3
+    assert table.read(spark, version=1, branch="acme").count() == 3
 
 
 def test_table_commit_mode_strict_abort_leaves_table_unchanged(
@@ -178,7 +180,7 @@ def test_table_commit_mode_strict_abort_leaves_table_unchanged(
     d = job_dict(csv_file, out)
     d["target"]["options"]["commit"] = "table"
     runner.run_job(spark, JobConfig.from_dict(d))
-    v0 = FsTable(out).current_version()
+    v0 = FsTable(out).current_version("acme")
 
     bad = tmp_path / "bad.csv"
     bad.write_text("id,name\n1,alice\n,missing_id\n")
@@ -186,8 +188,8 @@ def test_table_commit_mode_strict_abort_leaves_table_unchanged(
     d_bad["target"]["options"]["commit"] = "table"
     res = runner.run_job(spark, JobConfig.from_dict(d_bad))
     assert res.exit_code == runner.EXIT_FAILURE
-    assert FsTable(out).current_version() == v0
-    assert FsTable(out).read(spark).count() == 3
+    assert FsTable(out).current_version("acme") == v0
+    assert FsTable(out).read(spark, branch="acme").count() == 3
 
 
 def test_table_commit_mode_crash_before_commit(spark, csv_file, tmp_path,
@@ -213,10 +215,11 @@ def test_table_commit_mode_crash_before_commit(spark, csv_file, tmp_path,
     with pytest.raises(RuntimeError):
         runner.run_job(spark, JobConfig.from_dict(d2))
     monkeypatch.setattr(FsTable, "add_files", orig)
-    assert FsTable(out).read(spark).count() == 3  # unchanged
+    assert FsTable(out).read(spark, branch="acme").count() == 3  # unchanged
     res = runner.run_job(spark, JobConfig.from_dict(d2))
     assert res.exit_code == 0
-    assert FsTable(out).read(spark).count() == 6  # exactly one append
+    assert FsTable(out).read(spark,
+                             branch="acme").count() == 6  # one append
 
 
 def test_hive_overwrite_publish_never_empty(spark, csv_file, tmp_path,
@@ -385,9 +388,9 @@ def test_table_commit_mode_records_partition_stats(spark, csv_file,
     d["target"]["options"]["commit"] = "table"
     runner.run_job(spark, JobConfig.from_dict(d))
     table = FsTable(out)
-    snap = table.snapshot(table.current_version())
+    snap = table.snapshot(table.current_version("acme"))
     assert all("_p_ingest_date" in f.get("stats", {}) for f in snap.files)
     # a predicate on a future date prunes every file
     assert table.matching_files(snap, [("_p_ingest_date", ">", "9999")]) == []
-    assert table.read(spark,
+    assert table.read(spark, branch="acme",
                       where=[("_p_ingest_date", ">", "9999")]).count() == 0

@@ -99,6 +99,30 @@ def session_window_agg(
     )
 
 
+def dedup_stream(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within the
+    watermark horizon — the streaming counterpart of
+    ``operators/dedup.exact_dedup`` for at-least-once upstream sources
+    (file redelivery, Kafka replays).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event time:
+    state for a key is dropped once the watermark passes it, so memory is
+    O(keys per horizon) instead of O(all keys ever) — the property that
+    keeps this runnable forever on a 1000-executor cluster. On a batch
+    frame it falls back to plain ``dropDuplicates`` (same result set when
+    all data is in hand), so batch runs remain the oracle for streaming
+    runs in tests."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("session_start", T.TimestampType()),

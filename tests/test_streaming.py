@@ -220,3 +220,32 @@ def test_stream_to_table_end_to_end(spark, tmp_path):
     pipeline.stream_to_table(
         pipeline.stream_from_files(spark, src, schema), root, ckpt)
     assert FsTable(root).read(spark).count() == 2
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """At-least-once upstream: the same event_id arriving twice (file
+    redelivery) must reach the sink once; batch run is the oracle."""
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(1, "2024-01-20 10:00:00", 5.0), (2, "2024-01-20 10:01:00", 7.0)],
+        "event_id bigint, ts_s string, value double",
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "value")
+    base.coalesce(1).write.mode("append").parquet(src)
+    # redelivery: same events again, plus one genuinely new
+    dup = base.union(spark.createDataFrame(
+        [(3, "2024-01-20 10:02:00", 9.0)],
+        "event_id bigint, ts_s string, value double",
+    ).selectExpr("event_id", "cast(ts_s as timestamp) as ts", "value"))
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = pipeline.dedup_stream(
+        pipeline.stream_from_files(spark, src, schema), ["event_id"])
+    pipeline.run_available_now(stream, "dedup_sink",
+                               str(tmp_path / "ckpt"), output_mode="append")
+    got = sorted(r.event_id
+                 for r in spark.sql("SELECT * FROM dedup_sink").collect())
+    assert got == [1, 2, 3]
+    # batch oracle: same key set
+    batch = pipeline.dedup_stream(spark.read.parquet(src), ["event_id"])
+    assert sorted(r.event_id for r in batch.collect()) == got

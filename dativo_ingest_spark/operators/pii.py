@@ -1,0 +1,101 @@
+"""PII detection and redaction over text columns.
+
+The reference's governance model stops at declared classification tags
+(``tag_derivation.py:72-129`` — "no automatic PII detection"); a
+training-data pipeline needs the complement: *content-level* scanning so
+undeclared PII can be found, counted, and scrubbed before a corpus ships.
+
+All detection/redaction is regex `pyspark.sql.functions` expressions —
+JVM-side, whole-stage codegen, zero shuffle — so a scrub pass costs the
+scan it rides on even at 100 TB. Patterns are restricted to the syntax
+subset shared by Java regex (Spark) and RE2 (DuckDB), which keeps every
+output oracle-checkable.
+
+Redaction applies the pattern classes in the fixed order of
+``PII_PATTERNS`` (email before phone/ssn before ipv4) so digit-bearing
+matches are claimed by the most specific class first; the order is part of
+the contract and mirrored in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Detection patterns per PII class, in redaction-precedence order.
+#: Java-regex / RE2 common subset only (no lookaround, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,2}[- ]\(?\d{3}\)?[- ]\d{3}[- ]\d{4}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: Replacement token per class.
+REDACTIONS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "phone": "[PHONE]",
+    "ssn": "[SSN]",
+    "ipv4": "[IP]",
+}
+
+
+def pii_count(col: Column, pii_class: str) -> Column:
+    """Number of matches of one PII class (long)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[pii_class])).cast("long")
+
+
+def redact(col: Column, classes: tuple[str, ...] | None = None) -> Column:
+    """Replace every match of each class with its redaction token.
+
+    Classes apply in ``PII_PATTERNS`` order regardless of the order given,
+    so redaction output is deterministic for any class subset.
+    """
+    wanted = set(classes) if classes is not None else set(PII_PATTERNS)
+    out = col
+    for name, pattern in PII_PATTERNS.items():
+        if name in wanted:
+            out = F.regexp_replace(out, pattern, REDACTIONS[name])
+    return out
+
+
+def pii_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc PII counts + total + flag.
+
+    (id, n_email, n_phone, n_ssn, n_ipv4, n_pii, has_pii) — one scan-stage
+    projection, no shuffle.
+    """
+    counted = df.select(
+        F.col(id_col).alias("id"),
+        *[
+            pii_count(F.col(text_col), name).alias(f"n_{name}")
+            for name in PII_PATTERNS
+        ],
+    )
+    total = sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0))
+    return counted.select(
+        "id",
+        *[f"n_{name}" for name in PII_PATTERNS],
+        total.cast("long").alias("n_pii"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Counts + redacted text in one projection.
+
+    (id, n_email, n_phone, n_ssn, n_ipv4, n_pii, redacted) — detection and
+    redaction share the scan; the redacted column replaces the original in
+    a shipping corpus.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[
+            pii_count(F.col(text_col), name).alias(f"n_{name}")
+            for name in PII_PATTERNS
+        ],
+        redact(F.col(text_col)).alias("redacted"),
+    ).withColumn(
+        "n_pii",
+        sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)).cast("long"),
+    )

@@ -138,6 +138,81 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_word_ratio: float = 0.6,
+    max_dup_bigram_ratio: float = 0.4,
+) -> DataFrame:
+    """Gopher-style repetition stats + keep/drop flag, scan-stage only.
+
+    (id, n_words, dup_word_ratio, dup_bigram_ratio, repetition_ok) where
+    dup_X_ratio = 1 - distinct/total (0.0 for docs too short to form X).
+    Heavily repeated boilerplate — nav bars, SEO spam, generation loops —
+    scores high and gets ``repetition_ok = false``.
+
+    Pure array expressions over the token list (no shuffle, no Python);
+    the bigram transform allocates short space-joined strings per row,
+    which profiling shows is safe at this width — unlike per-row *hash*
+    array HOFs, which are banned in this package for GC reasons.
+    """
+    staged = _tokenized(df, id_col, text_col).select(
+        "id",
+        F.size("_words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_words")).cast("long").alias("_n_distinct"),
+        text.word_ngrams(F.col("_words"), 2).alias("_bigrams"),
+    ).select(
+        "id",
+        "n_words",
+        "_n_distinct",
+        F.size("_bigrams").cast("long").alias("_n_bi"),
+        F.size(F.array_distinct("_bigrams")).cast("long").alias("_n_bi_distinct"),
+    )
+    dup_word = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+        1 - F.col("_n_distinct") / F.col("n_words")
+    )
+    dup_bigram = F.when(F.col("_n_bi") == 0, F.lit(0.0)).otherwise(
+        1 - F.col("_n_bi_distinct") / F.col("_n_bi")
+    )
+    return staged.select(
+        "id",
+        "n_words",
+        F.round(dup_word, 4).alias("dup_word_ratio"),
+        F.round(dup_bigram, 4).alias("dup_bigram_ratio"),
+        (
+            (dup_word <= max_dup_word_ratio)
+            & (dup_bigram <= max_dup_bigram_ratio)
+        ).alias("repetition_ok"),
+    )
+
+
+def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Most-frequent-word share per doc: (id, top_word_count, top_word_fraction).
+
+    The one repetition metric that needs a mode, so it is the classic
+    two-level word-count: explode → partial-aggregated groupBy(id, word) →
+    groupBy(id). Both aggregations combine map-side; the shuffles carry one
+    row per (doc, distinct word) then one per doc — linear at corpus scale.
+    Empty docs keep top_word_count = 0, fraction 0.0.
+    """
+    exploded = _tokenized(df, id_col, text_col).select(
+        "id", F.explode_outer("_words").alias("word")
+    )
+    per_word = exploded.groupBy("id", "word").agg(
+        F.count(F.when(F.col("word").isNotNull(), 1)).alias("_n")
+    )
+    return per_word.groupBy("id").agg(
+        F.max("_n").cast("long").alias("top_word_count"),
+        F.round(
+            F.when(F.sum("_n") == 0, F.lit(0.0)).otherwise(
+                F.max("_n") / F.sum("_n")
+            ),
+            4,
+        ).alias("top_word_fraction"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint, fp_bucket): md5 content hash + 4-hex shard key.
 

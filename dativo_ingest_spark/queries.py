@@ -687,7 +687,7 @@ def warn_union_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search, text analysis — designed for 100 TB, oracle-checked).
 # ---------------------------------------------------------------------------
 
-from dativo_ingest_spark.operators import dedup, similarity, textops  # noqa: E402
+from dativo_ingest_spark.operators import dedup, pii, similarity, textops  # noqa: E402
 from dativo_ingest_spark.operators import mdkv as mdkv_ops  # noqa: E402
 from dativo_ingest_spark.operators import multimodal  # noqa: E402
 from dativo_ingest_spark.streaming import pipeline as streaming_pipeline  # noqa: E402
@@ -807,6 +807,147 @@ def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return textops.fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "pii_scrub_docs",
+    """
+    WITH dec AS (
+      SELECT doc_id,
+             text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' +1 (555) 123-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' ssn 987-65-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+                ELSE '' END AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t,
+             '\\+?\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\+?\\d{1,2}[- ]\\(?\\d{3}\\)?[- ]\\d{3}[- ]\\d{4}', '[PHONE]', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+           ) AS redacted_md5
+    FROM dec
+    """,
+    doc="PII scrub (operators/pii.py): the corpus text is decorated with "
+        "deterministically derived emails/phones/SSNs/IPs (the synthetic "
+        "corpus carries none), then per-class regexp counts + ordered "
+        "redaction run as one scan-stage projection; redacted output is "
+        "md5-compared. Java-regex/RE2 common-subset patterns.",
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" user"), d.cast("string"), F.lit("@example.com"),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" +1 (555) 123-"), (d % 9000 + 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" ssn 987-65-"), (d % 9000 + 1000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" from 10."), (d % 200).cast("string"), F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return pii.scrub(decorated, "doc_id", "t").select(
+        F.col("id").alias("doc_id"),
+        "n_email",
+        "n_phone",
+        "n_ssn",
+        "n_ipv4",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "repetition_quality_docs",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+    b AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(generate_series(1, len(words) - 1),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS bigrams
+      FROM w),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             len(list_distinct(words)) AS nd,
+             len(bigrams) AS nb,
+             len(list_distinct(bigrams)) AS nbd
+      FROM b),
+    rep AS (
+      SELECT doc_id, n_words,
+             round(CASE WHEN n_words = 0 THEN 0.0
+                   ELSE 1 - nd / n_words END, 4) AS dup_word_ratio,
+             round(CASE WHEN nb = 0 THEN 0.0
+                   ELSE 1 - nbd / nb END, 4) AS dup_bigram_ratio,
+             ((CASE WHEN n_words = 0 THEN 0.0 ELSE 1 - nd / n_words END) <= 0.6
+              AND
+              (CASE WHEN nb = 0 THEN 0.0 ELSE 1 - nbd / nb END) <= 0.4)
+               AS repetition_ok
+      FROM feat),
+    tw AS (
+      SELECT doc_id, word, count(*) AS n
+      FROM (SELECT doc_id, unnest(words) AS word FROM w)
+      GROUP BY doc_id, word),
+    tws AS (
+      SELECT doc_id,
+             CAST(max(n) AS BIGINT) AS top_word_count,
+             round(max(n) / sum(n), 4) AS top_word_fraction
+      FROM tw GROUP BY doc_id)
+    SELECT r.doc_id AS id, r.n_words, r.dup_word_ratio, r.dup_bigram_ratio,
+           r.repetition_ok, t.top_word_count, t.top_word_fraction
+    FROM rep r JOIN tws t ON r.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition filters (operators/textops.py): "
+        "duplicate-word/bigram ratios as scan-stage array expressions plus "
+        "the top-word share via the classic two-level word-count (explode "
+        "-> partial-agg groupBy(id, word) -> groupBy(id)); joined on doc.",
+)
+def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rep = textops.repetition_features(docs, "doc_id", "text")
+    top = textops.top_word_stats(docs, "doc_id", "text")
+    return rep.join(top, "id").select(
+        "id",
+        "n_words",
+        "dup_word_ratio",
+        "dup_bigram_ratio",
+        "repetition_ok",
+        "top_word_count",
+        "top_word_fraction",
+    )
 
 
 @register(
@@ -1784,12 +1925,16 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 # in the window: coercion (contract_cast_strict_events,
 # coerce_timestamp_ladder stay), windows (topn, running stay), set ops
 # (union_except stays), grouped aggregates (rollup, grouping_sets stay),
-# joins (semi, left stay), incremental (cursor_filter, state_update stay).
+# joins (semi, left stay), incremental (cursor_filter, state_update stay),
+# text analysis (quality_features, lang_id stay; token_counts/fingerprints
+# demoted r3 to admit the new pii_scrub/repetition_quality queries).
 # Every demoted query still runs, value-checked against DuckDB, in the local
 # parity suite. Register any NEW query above this block so it lands inside
 # the driver window.
 # ---------------------------------------------------------------------------
 _GATE_DEMOTED = [
+    "token_counts_docs",
+    "doc_fingerprints",
     "coerce_boolean_tokens",
     "window_lag_value_delta",
     "set_intersect_segments",

@@ -1,0 +1,108 @@
+"""PII scrub + repetition-quality operator tests (real-PII examples the
+synthetic corpus can't provide — the oracle queries exercise the same
+expressions over decorated corpus text)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import pii, textops
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact Jo.Smith+spam@example.co.uk or call +1 (415) 555-1234 now"),
+        (2, "server at 10.0.255.7 logged ssn 123-45-6789 twice: 123-45-6789"),
+        (3, "clean document, nothing sensitive here"),
+        (4, ""),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_counts(pii_docs):
+    got = {
+        r["id"]: r.asDict()
+        for r in pii.pii_features(pii_docs, "doc_id", "text").collect()
+    }
+    assert got[1]["n_email"] == 1
+    assert got[1]["n_phone"] == 1
+    assert got[1]["n_pii"] == 2 and got[1]["has_pii"]
+    assert got[2]["n_ipv4"] == 1
+    assert got[2]["n_ssn"] == 2
+    assert got[2]["n_pii"] == 3
+    assert got[3]["n_pii"] == 0 and not got[3]["has_pii"]
+    assert got[4]["n_pii"] == 0
+    # null text propagates null counts, not errors
+    assert got[5]["n_email"] is None
+
+
+def test_redaction_replaces_every_class(pii_docs):
+    got = {r["id"]: r["redacted"] for r in pii.scrub(pii_docs, "doc_id", "text").collect()}
+    assert got[1] == "contact [EMAIL] or call [PHONE] now"
+    assert got[2] == "server at [IP] logged ssn [SSN] twice: [SSN]"
+    assert got[3] == "clean document, nothing sensitive here"
+
+
+def test_redaction_class_arg_order_is_irrelevant(pii_docs):
+    # classes apply in PII_PATTERNS order however the caller lists them
+    a = pii_docs.select(
+        pii.redact(F.col("text"), classes=("ipv4", "ssn", "phone", "email")).alias("r")
+    ).collect()
+    b = pii_docs.select(
+        pii.redact(F.col("text"), classes=("email", "phone", "ssn", "ipv4")).alias("r")
+    ).collect()
+    assert [r["r"] for r in a] == [r["r"] for r in b]
+
+
+def test_redact_subset_only_touches_requested_classes(pii_docs):
+    out = (
+        pii_docs.filter("doc_id = 2")
+        .select(pii.redact(F.col("text"), classes=("ssn",)).alias("r"))
+        .first()["r"]
+    )
+    assert "[SSN]" in out and "10.0.255.7" in out
+
+
+def test_repetition_features(spark):
+    rows = [
+        (1, "spam spam spam spam spam"),            # 1 distinct word, 1 distinct bigram
+        (2, "all words here are fully distinct"),   # no repetition
+        (3, "ab"),                                  # single word: no bigrams
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in textops.repetition_features(df, "doc_id", "text").collect()
+    }
+    assert got[1]["dup_word_ratio"] == 0.8
+    assert got[1]["dup_bigram_ratio"] == 0.75
+    assert not got[1]["repetition_ok"]
+    assert got[2]["dup_word_ratio"] == 0.0
+    assert got[2]["repetition_ok"]
+    assert got[3]["dup_bigram_ratio"] == 0.0  # too short to form bigrams
+    assert got[4]["n_words"] == 0 and got[4]["repetition_ok"]
+
+
+def test_top_word_stats(spark):
+    rows = [(1, "a a a b c"), (2, ""), (3, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in textops.top_word_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1]["top_word_count"] == 3
+    assert got[1]["top_word_fraction"] == 0.6
+    assert got[2]["top_word_count"] == 0 and got[2]["top_word_fraction"] == 0.0
+    assert got[3]["top_word_fraction"] == 0.5
+
+
+def test_repetition_plan_is_scan_stage(spark):
+    """No exchange in the repetition-features plan — it must ride the scan."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("w w w").alias("text")
+    )
+    plan = textops.repetition_features(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

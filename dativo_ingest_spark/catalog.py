@@ -370,6 +370,116 @@ class GlueCatalog(BaseCatalog):
                                  TableInput=ti)
 
 
+#: contract type → Databricks SQL data type (reference
+#: catalog/databricks_unity.py:148-159)
+_UNITY_TYPES = {
+    "string": "STRING", "integer": "BIGINT", "float": "FLOAT",
+    "double": "DOUBLE", "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+    "datetime": "TIMESTAMP", "date": "DATE",
+}
+
+
+def _sql_str(value: str | None) -> str:
+    """SQL string-literal escape: double the single quotes (reference
+    databricks_unity.py:124-138 — user-controlled values reach ALTER/CREATE
+    statements as literals)."""
+    return "" if value is None else str(value).replace("'", "''")
+
+
+class UnityCatalog(BaseCatalog):
+    """Databricks Unity Catalog backend (reference
+    ``catalog/databricks_unity.py``, 300 LoC). Two API surfaces, as in the
+    reference: the Unity REST tables endpoint (existence GET, owner PATCH)
+    and the SQL-statements endpoint for everything DDL-shaped —
+    ``CREATE TABLE IF NOT EXISTS ... USING DELTA`` with contract-typed
+    columns, ``ALTER TABLE ... SET TBLPROPERTIES`` for metadata, and
+    lineage recorded as ``lineage_sources``/``lineage_operation``
+    properties (Unity's own lineage graph is workflow-managed, so the
+    reference stores edges as table properties — mirrored here).
+
+    ``transport`` is injectable exactly like :class:`OpenMetadataCatalog`;
+    tests record the request sequence including the generated SQL text.
+    Errors propagate and are swallowed by :func:`push_after_commit`."""
+
+    def __init__(self, workspace_url: str, access_token: str,
+                 catalog: str = "main", warehouse_id: str | None = None,
+                 transport=None, timeout_s: float = 10.0):
+        if not workspace_url or not access_token:
+            raise ValueError(
+                "Unity catalog needs workspace_url and access_token")
+        self.workspace_url = workspace_url.rstrip("/")
+        self.catalog = catalog
+        self.warehouse_id = warehouse_id
+        self.timeout_s = timeout_s
+        self._transport = transport or _urllib_transport
+        self.headers = {"Content-Type": "application/json",
+                        "Authorization": f"Bearer {access_token}"}
+
+    def _call(self, method: str, path: str,
+              doc: dict | None = None) -> tuple[int, dict]:
+        return self._transport(method, f"{self.workspace_url}/{path}", doc,
+                               self.headers, self.timeout_s)
+
+    def _sql(self, statement: str) -> None:
+        doc: dict[str, Any] = {"statement": statement}
+        if self.warehouse_id:
+            doc["warehouse_id"] = self.warehouse_id
+        status, _ = self._call("POST", "api/2.0/sql/statements", doc)
+        if status not in (200, 201):
+            raise ConnectionError(f"SQL statement failed with HTTP {status}")
+
+    def _full_name(self, entity: Entity) -> str:
+        return f"{self.catalog}.{entity.namespace}.{entity.name}"
+
+    def ensure_entity_exists(
+            self, entity: Entity,
+            schema: list[dict[str, Any]] | None = None) -> None:
+        """GET the three-level name; absent ⇒ CREATE TABLE IF NOT EXISTS
+        USING DELTA [LOCATION] (reference :49-122; bare ``id string``
+        column when no contract schema is at hand, as the reference does)."""
+        full = self._full_name(entity)
+        status, _ = self._call(
+            "GET", f"api/2.1/unity-catalog/tables/{full}")
+        if status == 200:
+            return
+        cols = ", ".join(
+            f"{f['name']} "
+            f"{_UNITY_TYPES.get(str(f.get('type', 'string')).lower(), 'STRING')}"
+            f"{' NOT NULL' if f.get('required') else ''}"
+            for f in (schema or [])
+        ) or "id STRING"
+        location = (f" LOCATION '{_sql_str(entity.location)}'"
+                    if entity.location else "")
+        self._sql(f"CREATE TABLE IF NOT EXISTS {full} ({cols})"
+                  f" USING DELTA{location}")
+
+    def push_metadata(self, entity: Entity, properties: dict[str, str],
+                      schema: list[dict[str, Any]] | None = None) -> None:
+        """One ALTER ... SET TBLPROPERTIES with every property (sorted for
+        deterministic statements); ``owner`` property becomes the PATCH the
+        reference sends (:190-201)."""
+        full = self._full_name(entity)
+        props = dict(properties)
+        owner = props.pop("governance.owner", None)
+        if owner:
+            self._call("PATCH",
+                       f"api/2.1/unity-catalog/tables/{full}",
+                       {"owner": owner})
+        if props:
+            pairs = ", ".join(
+                f"'{_sql_str(k)}' = '{_sql_str(v)}'"
+                for k, v in sorted(props.items()))
+            self._sql(f"ALTER TABLE {full} SET TBLPROPERTIES ({pairs})")
+
+    def push_lineage(self, source: Entity, target: Entity,
+                     job_name: str | None = None) -> None:
+        full = self._full_name(target)
+        self._sql(
+            f"ALTER TABLE {full} SET TBLPROPERTIES ("
+            f"'lineage_sources' = '{_sql_str(source.fqn)}', "
+            f"'lineage_operation' = '{_sql_str(job_name or 'ingest')}')")
+
+
 class TablePropertiesCatalog(BaseCatalog):
     """Nessie-analog backend (reference ``catalog/nessie.py``: "lineage is
     stored in Iceberg table properties" — table existence belongs to the

@@ -199,3 +199,114 @@ def test_table_properties_catalog_versions_lineage(spark, tmp_path):
     # the pre-lineage snapshot is still readable without the lineage keys
     hist = t.history()
     assert "lineage.sources" not in t.snapshot(hist[2]).properties
+
+
+class FakeUnityTransport:
+    """Scripted Databricks surface: Unity tables GET/PATCH + SQL statements."""
+
+    def __init__(self, existing_tables=()):
+        self.requests: list[tuple[str, str, dict | None]] = []
+        self.existing = set(existing_tables)
+        self.down = False
+
+    def __call__(self, method, url, doc, headers, timeout):
+        self.requests.append((method, url, doc))
+        if self.down:
+            raise ConnectionError("connection refused")
+        assert headers["Authorization"].startswith("Bearer ")
+        if "/api/2.1/unity-catalog/tables/" in url:
+            full = url.rsplit("/", 1)[-1]
+            if method == "GET":
+                return (200, {"name": full}) if full in self.existing else (404, {})
+            if method == "PATCH":
+                return 200, {}
+        if url.endswith("/api/2.0/sql/statements"):
+            if doc["statement"].lstrip().startswith("CREATE TABLE"):
+                # CREATE TABLE IF NOT EXISTS main.ns.tbl (...)
+                full = doc["statement"].split()[5]
+                self.existing.add(full.split("(")[0])
+            return 200, {"status": {"state": "SUCCEEDED"}}
+        return 500, {}
+
+    def sql_statements(self):
+        return [d["statement"] for m, u, d in self.requests
+                if u.endswith("/api/2.0/sql/statements")]
+
+
+def test_unity_ensure_creates_delta_table_with_typed_columns():
+    t = FakeUnityTransport()
+    uc = catalog.UnityCatalog("https://dbx.example", "tok",
+                              warehouse_id="wh1", transport=t)
+    uc.ensure_entity_exists(
+        _entity(),
+        schema=[{"name": "id", "type": "integer", "required": True},
+                {"name": "name", "type": "string"}])
+    (sql,) = t.sql_statements()
+    assert sql.startswith("CREATE TABLE IF NOT EXISTS main.acme.people")
+    assert "id BIGINT NOT NULL" in sql and "name STRING" in sql
+    assert "USING DELTA" in sql and "LOCATION '/data/people'" in sql
+    # warehouse rode the statement
+    assert t.requests[-1][2]["warehouse_id"] == "wh1"
+    # second ensure: table known → GET only, no new SQL
+    uc.ensure_entity_exists(_entity())
+    assert len(t.sql_statements()) == 1
+
+
+def test_unity_ensure_without_schema_uses_bare_column():
+    t = FakeUnityTransport()
+    uc = catalog.UnityCatalog("https://dbx.example", "tok", transport=t)
+    uc.ensure_entity_exists(_entity())
+    (sql,) = t.sql_statements()
+    assert "(id STRING)" in sql
+    assert "warehouse_id" not in t.requests[-1][2]
+
+
+def test_unity_metadata_owner_patch_and_single_alter():
+    t = FakeUnityTransport(existing_tables=["main.acme.people"])
+    uc = catalog.UnityCatalog("https://dbx.example", "tok", transport=t)
+    uc.push_metadata(_entity(), {
+        "governance.owner": "data-eng",
+        "classification.fields.name": "pii",
+        "finops.cost_center": "cc-42",
+    })
+    patches = [r for r in t.requests if r[0] == "PATCH"]
+    assert len(patches) == 1 and patches[0][2] == {"owner": "data-eng"}
+    (sql,) = t.sql_statements()
+    assert sql.startswith("ALTER TABLE main.acme.people SET TBLPROPERTIES")
+    # sorted, owner not duplicated as a property
+    assert sql.index("classification.fields.name") < sql.index(
+        "finops.cost_center")
+    assert "governance.owner" not in sql
+
+
+def test_unity_sql_literals_are_escaped():
+    t = FakeUnityTransport(existing_tables=["main.acme.people"])
+    uc = catalog.UnityCatalog("https://dbx.example", "tok", transport=t)
+    uc.push_metadata(_entity(), {"note": "it's 'quoted'"})
+    (sql,) = t.sql_statements()
+    assert "'it''s ''quoted'''" in sql
+
+
+def test_unity_lineage_as_table_properties():
+    t = FakeUnityTransport(existing_tables=["main.acme.people"])
+    uc = catalog.UnityCatalog("https://dbx.example", "tok", transport=t)
+    src = catalog.Entity(kind="csv", name="people_raw", namespace="acme")
+    uc.push_lineage(src, _entity(), job_name="nightly")
+    (sql,) = t.sql_statements()
+    assert "'lineage_sources' = 'acme.csv.people_raw'" in sql
+    assert "'lineage_operation' = 'nightly'" in sql
+
+
+def test_unity_outage_is_non_fatal_via_push_after_commit():
+    t = FakeUnityTransport()
+    t.down = True
+    uc = catalog.UnityCatalog("https://dbx.example", "tok", transport=t)
+    job = JobConfig.from_dict({
+        "tenant_id": "acme",
+        "source": {"type": "csv", "path": "/tmp/x"},
+        "target": {"type": "parquet", "path": "/tmp/out"},
+        "asset": {"name": "people",
+                  "schema": [{"name": "id", "type": "integer"}]},
+    })
+    status = catalog.push_after_commit(uc, job, {"k": "v"})
+    assert all(v.startswith("error:") for v in status.values())

@@ -39,3 +39,32 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na == 0) | (nb == 0), F.lit(None).cast("double")).otherwise(
         d / (na * nb)
     )
+
+
+def int8_scale(a: Column) -> Column:
+    """Symmetric per-vector int8 scale: max(|x|) / 127 (0.0 for the zero
+    vector)."""
+    return F.array_max(F.transform(a, F.abs)) / F.lit(127.0)
+
+
+def quantize_int8(a: Column) -> Column:
+    """Per-vector symmetric int8 quantization: round(x / scale) as long.
+
+    The zero vector quantizes to zeros (guarded — no division by zero).
+    round() is half-away-from-zero in both Spark and DuckDB, so quantized
+    codes are engine-portable; all downstream integer arithmetic is then
+    exact.
+    """
+    s = int8_scale(a)
+    return F.when(
+        s == 0, F.transform(a, lambda x: F.lit(0).cast("long"))
+    ).otherwise(F.transform(a, lambda x: F.round(x / s).cast("long")))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two code arrays (long fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

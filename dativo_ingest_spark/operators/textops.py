@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import hashing, text
 
@@ -210,6 +211,122 @@ def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
             4,
         ).alias("top_word_fraction"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per doc by TF-IDF.
+
+    (id, term, tf, df_docs, tfidf, term_rank) — tf = in-doc occurrences,
+    df_docs = docs containing the term, tfidf = tf * ln(n_docs / df_docs)
+    rounded to 4dp.
+
+    Ranking uses the *rational* score tf * n_docs / df_docs (exact in
+    doubles for counts < 2^53, so bit-identical across engines) with the
+    term string as tie-break; ln is monotonic in n_docs/df_docs at fixed
+    tf but not across tf levels, so the rational rank is a deliberate,
+    documented linear-idf variant — deterministic rank beats a
+    transcendental-equality footgun at the oracle boundary.
+
+    Distributed shape: explode → groupBy(id, term) [tf] → groupBy(term)
+    [df] → term-keyed join (reuses the term partitioning) → per-doc
+    window top-k. All aggregates partial; the corpus-size scalar rides a
+    broadcast cross join.
+    """
+    exploded = _tokenized(df, id_col, text_col).select(
+        "id", F.explode("_words").alias("term")
+    )
+    tf = exploded.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df_t = exploded.groupBy("term").agg(
+        F.countDistinct("id").alias("df_docs")
+    )
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n_docs")
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_docs").cast("long").alias("df_docs"),
+            (F.col("tf") * F.col("_n_docs") / F.col("df_docs")).alias("_lin"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df_docs")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_lin").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("id", "term", "tf", "df_docs", "tfidf", "term_rank")
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_df: int = 20,
+    max_fraction: float = 0.5,
+) -> DataFrame:
+    """C4-style cross-document boilerplate detection at n-gram granularity.
+
+    An n-gram is *boilerplate* when it appears in ≥ ``min_df`` distinct
+    docs (nav bars, license headers, SEO footers). Per doc:
+    (id, n_distinct_grams, n_boilerplate_grams, boilerplate_fraction,
+    boilerplate_ok) — fraction over the doc's distinct grams, 0.0 for
+    docs too short to form any.
+
+    Distributed shape: explode *distinct* grams per doc → groupBy(gram)
+    document-frequency [partial-agg] → the hot-gram set joins back on the
+    gram key (reusing the gram partitioning) → groupBy(id). Never a
+    doc×doc join, so a gram shared by every doc costs one hot key in a
+    count — linear, unlike candidate-pair self-joins which need the skew
+    guards in operators/dedup.py.
+    """
+    base = _tokenized(df, id_col, text_col).select(
+        "id",
+        F.array_distinct(text.word_ngrams(F.col("_words"), n)).alias("_dgrams"),
+    )
+    totals = base.select(
+        "id", F.size("_dgrams").cast("long").alias("n_distinct_grams"), "_dgrams"
+    )
+    exploded = totals.select("id", "n_distinct_grams", F.explode("_dgrams").alias("gram"))
+    hot = (
+        exploded.groupBy("gram")
+        .agg(F.countDistinct("id").alias("_gram_docs"))
+        .filter(F.col("_gram_docs") >= min_df)
+        .select("gram")
+    )
+    hits = exploded.join(hot, "gram").groupBy("id").agg(
+        F.count("*").alias("n_boilerplate_grams")
+    )
+    joined = totals.select("id", "n_distinct_grams").join(
+        hits, "id", "left"
+    ).select(
+        "id",
+        "n_distinct_grams",
+        F.coalesce(F.col("n_boilerplate_grams"), F.lit(0))
+        .cast("long")
+        .alias("n_boilerplate_grams"),
+    )
+    frac = F.when(F.col("n_distinct_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_boilerplate_grams") / F.col("n_distinct_grams")
+    )
+    return joined.select(
+        "id",
+        "n_distinct_grams",
+        "n_boilerplate_grams",
+        F.round(frac, 4).alias("boilerplate_fraction"),
+        (frac <= max_fraction).alias("boilerplate_ok"),
     )
 
 

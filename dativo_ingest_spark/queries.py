@@ -951,6 +951,94 @@ def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM w GROUP BY doc_id, term),
+    dfq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+      FROM w GROUP BY term),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM documents),
+    scored AS (
+      SELECT tf.doc_id AS id, tf.term, tf.tf, dfq.df_docs,
+             tf.tf * n.n_docs / dfq.df_docs AS lin,
+             round(tf.tf * ln(n.n_docs / dfq.df_docs), 4) AS tfidf
+      FROM tf JOIN dfq USING (term), n)
+    SELECT id, term, tf, df_docs, tfidf,
+           CAST(row_number() OVER (PARTITION BY id
+                 ORDER BY lin DESC, term) AS BIGINT) AS term_rank
+    FROM scored QUALIFY term_rank <= 3
+    """,
+    doc="top-3 characteristic terms per doc by TF-IDF "
+        "(operators/textops.py:tfidf_top_terms): explode -> tf groupBy -> "
+        "df groupBy -> term-keyed join -> per-doc window top-k; ranking "
+        "uses the exact rational linear-idf score (engine-portable), the "
+        "reported tfidf column is the ln variant rounded 4dp.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "boilerplate_ngram_filter",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+    g AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(words) >= 2
+                    THEN list_transform(generate_series(1, len(words) - 1),
+                                        i -> words[i] || ' ' || words[i + 1])
+                    ELSE [] END) AS dgrams
+      FROM w),
+    tot AS (
+      SELECT doc_id, CAST(len(dgrams) AS BIGINT) AS n_distinct_grams, dgrams
+      FROM g),
+    e AS (SELECT doc_id, unnest(dgrams) AS gram FROM g),
+    hot AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS gd FROM e GROUP BY gram)
+      WHERE gd >= 20),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate_grams
+      FROM e JOIN hot USING (gram) GROUP BY doc_id)
+    SELECT t.doc_id AS id, t.n_distinct_grams,
+           CAST(coalesce(h.n_boilerplate_grams, 0) AS BIGINT)
+             AS n_boilerplate_grams,
+           round(CASE WHEN t.n_distinct_grams = 0 THEN 0.0
+                 ELSE coalesce(h.n_boilerplate_grams, 0) / t.n_distinct_grams
+                 END, 4) AS boilerplate_fraction,
+           ((CASE WHEN t.n_distinct_grams = 0 THEN 0.0
+              ELSE coalesce(h.n_boilerplate_grams, 0) / t.n_distinct_grams
+              END) <= 0.5) AS boilerplate_ok
+    FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    doc="C4-style boilerplate detection "
+        "(operators/textops.py:boilerplate_stats): bigrams appearing in "
+        ">= 20 distinct docs are boilerplate; per-doc fraction over "
+        "distinct grams + keep flag. Linear shape (df count + gram-keyed "
+        "join back), never a doc-pair self-join.",
+)
+def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.boilerplate_stats(
+        docs, "doc_id", "text", n=2, min_df=20, max_fraction=0.5
+    )
+
+
+@register(
     "dedup_exact_docs",
     """
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
@@ -1075,6 +1163,50 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_neardup_pairs(
         emb, "vec_id", "embedding", "label", threshold=0.3
     )
+
+
+#: int8 code array: symmetric per-vector scale max(|x|)/127, zero-vector
+#: guarded; all downstream arithmetic is exact integer math.
+_QUANT_SQL = """CASE WHEN list_max(list_transform({v}, x -> abs(x))) = 0
+      THEN list_transform({v}, x -> CAST(0 AS BIGINT))
+      ELSE list_transform({v}, x -> CAST(round(
+             x / (list_max(list_transform({v}, y -> abs(y))) / 127.0))
+             AS BIGINT)) END"""
+
+_INT_DOT_SQL = """list_reduce(list_transform(range(1, len({a})+1),
+      i -> {a}[i]*{b}[i]), (x, y) -> x + y)"""
+
+
+@register(
+    "ann_topk_quantized",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qz AS (SELECT vec_id, {_QUANT_SQL.format(v="v")} AS q FROM e),
+    codes AS (SELECT vec_id, q, {_INT_DOT_SQL.format(a="q", b="q")} AS qq
+              FROM qz),
+    qs AS (SELECT vec_id AS qid, q AS qv, qq AS qvv FROM codes
+           WHERE vec_id < 5),
+    scored AS (
+      SELECT qid AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN qvv = 0 OR c.qq = 0 THEN NULL
+                   ELSE {_INT_DOT_SQL.format(a="qv", b="c.q")}
+                        / (sqrt(qvv) * sqrt(c.qq)) END, 6) AS qcosine
+      FROM qs, codes c WHERE c.vec_id <> qid)
+    SELECT query_id, neighbor_id, qcosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY qcosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    doc="int8-quantized cosine top-k (operators/similarity.py): per-vector "
+        "symmetric scales cancel out of the cosine, so scoring is exact "
+        "integer dot products normalized by integer self-dots — an 8x "
+        "memory cut on the similarity working set with engine-portable "
+        "(oracle-checkable) arithmetic.",
+)
+def ann_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.quantized_topk(emb, q, "vec_id", "embedding", k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -1935,6 +2067,9 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 _GATE_DEMOTED = [
     "token_counts_docs",
     "doc_fingerprints",
+    "agg_having_big_customers",
+    "mdkv_document_level_stats",
+    "join_left_order_nation",
     "coerce_boolean_tokens",
     "window_lag_value_delta",
     "set_intersect_segments",

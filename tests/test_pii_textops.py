@@ -106,3 +106,41 @@ def test_repetition_plan_is_scan_stage(spark):
     )
     plan = textops.repetition_features(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple apple apple common"),
+        (2, "banana common common"),
+        (3, "cherry common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.tfidf_top_terms(df, "doc_id", "text", k=1)
+    got = {r["id"]: r for r in out.collect()}
+    # the doc-unique term always outranks 'common' (df = 3 → idf 0)
+    assert got[1]["term"] == "apple" and got[1]["tf"] == 3
+    assert got[2]["term"] == "banana"
+    assert got[3]["term"] == "cherry"
+    assert got[1]["df_docs"] == 1
+    # ln(3/3) = 0 exactly for the shared term; unique terms positive
+    assert got[1]["tfidf"] > 0
+
+
+def test_boilerplate_stats(spark):
+    # 'nav bar' appears in 3 docs → boilerplate at min_df=3; doc 4 clean
+    rows = [
+        (1, "nav bar home page alpha beta"),
+        (2, "nav bar login gamma delta"),
+        (3, "nav bar epsilon"),
+        (4, "completely original content here"),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r.asDict() for r in textops.boilerplate_stats(
+        df, "doc_id", "text", n=2, min_df=3, max_fraction=0.4).collect()}
+    assert out[1]["n_boilerplate_grams"] == 1          # 'nav bar'
+    assert out[3]["n_boilerplate_grams"] == 1
+    assert out[3]["boilerplate_fraction"] == 0.5       # 1 of 2 grams
+    assert not out[3]["boilerplate_ok"]
+    assert out[4]["n_boilerplate_grams"] == 0 and out[4]["boilerplate_ok"]
+    assert out[5]["n_distinct_grams"] == 0 and out[5]["boilerplate_ok"]

@@ -57,3 +57,34 @@ def test_zero_norm_vectors_null_cosine(spark):
                                         k=5).collect()}
     assert rows[1] is None  # zero-norm → NULL, not division error
     assert rows[2] == 0.0
+
+
+def test_quantized_recall_vs_bruteforce(spark):
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                         k=10).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in
+             similarity.quantized_topk(emb, q, "vec_id", "embedding",
+                                       k=10).collect()}
+    # int8 quantization distorts scores only slightly: demand recall >= 0.9
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 recall too low: {recall}"
+
+
+def test_quantize_codes_bounded_and_zero_guarded(spark):
+    from dativo_ingest_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, -1.5, 0.75]), (2, [0.0, 0.0, 0.0])],
+        "id long, v array<double>")
+    out = {r["id"]: r for r in df.select(
+        "id",
+        vectors.quantize_int8(F.col("v")).alias("q"),
+        vectors.int_dot(vectors.quantize_int8(F.col("v")),
+                        vectors.quantize_int8(F.col("v"))).alias("qq"),
+    ).collect()}
+    assert out[1]["q"] == [127, -64, 32]   # max |x| maps to ±127
+    assert out[2]["q"] == [0, 0, 0] and out[2]["qq"] == 0
+    assert all(-127 <= c <= 127 for c in out[1]["q"])

@@ -1318,6 +1318,50 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, c.click_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL '1 hour'
+    """,
+    doc="interval join (streaming/pipeline.py:interval_join): purchases "
+        "within 1 hour after each click per user — the canonical "
+        "stream-stream attribution join; on batch frames one shuffle per "
+        "side on the key, event-time bound = streaming state expiry.",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = streaming_pipeline.interval_join(
+        clicks, purch, ["user_id"], "click_ts", "purchase_ts",
+        upper="1 hour",
+    )
+    return joined.select(
+        clicks["user_id"], "click_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value",
+    )
+
+
+@register(
     "events_session_windows",
     """
     WITH flagged AS (
@@ -2070,6 +2114,7 @@ _GATE_DEMOTED = [
     "agg_having_big_customers",
     "mdkv_document_level_stats",
     "join_left_order_nation",
+    "agg_distinct_users_by_type",
     "coerce_boolean_tokens",
     "window_lag_value_delta",
     "set_intersect_segments",

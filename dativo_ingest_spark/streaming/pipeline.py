@@ -99,6 +99,46 @@ def session_window_agg(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    upper: str = "1 hour",
+    lower: str = "0 seconds",
+    watermark: str | None = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair rows sharing ``keys``
+    where ``right_ts ∈ [left_ts - lower, left_ts + upper]``.
+
+    The canonical Structured Streaming two-stream pattern (click ⋈
+    purchase attribution): both sides get event-time watermarks and the
+    join condition bounds event-time distance, which is exactly what lets
+    Spark expire join state — without the time bound a stream-stream join
+    must buffer both streams forever. State per side is O(rows within
+    watermark + interval), independent of stream age.
+
+    On batch frames the same equi-join + range predicate shuffles both
+    sides once on ``keys`` (SMJ under AQE) — no pair blow-up beyond the
+    true output; batch runs are the oracle for streaming runs in tests.
+    Column collisions are the caller's concern: pre-select/alias sides.
+    """
+    if left.isStreaming and watermark is not None:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming and watermark is not None:
+        right = right.withWatermark(right_ts, watermark)
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    cond = (
+        (rts >= lts - F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    for k in keys:
+        cond = (left[k] == right[k]) & cond
+    return left.join(right, cond, how)
+
+
 def dedup_stream(
     df: DataFrame,
     keys: list[str],

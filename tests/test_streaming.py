@@ -249,3 +249,32 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
     # batch oracle: same key set
     batch = pipeline.dedup_stream(spark.read.parquet(src), ["event_id"])
     assert sorted(r.event_id for r in batch.collect()) == got
+
+
+def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    path, schema, batch = events_dir
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"))
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"))
+        return clicks, purch
+
+    sc, sp = sides(pipeline.stream_from_files(spark, path, schema))
+    joined = pipeline.interval_join(
+        sc, sp, ["user_id"], "click_ts", "purchase_ts",
+        upper="1 hour", watermark="30 days",
+    ).select(sc["user_id"], "click_id", "purchase_id")
+    pipeline.run_available_now(joined, "ij", str(tmp_path / "ckpt_ij"),
+                               output_mode="append")
+    got = spark.sql("SELECT * FROM ij").collect()
+
+    bc, bp = sides(batch)
+    expected = pipeline.interval_join(
+        bc, bp, ["user_id"], "click_ts", "purchase_ts", upper="1 hour",
+    ).select(bc["user_id"], "click_id", "purchase_id").collect()
+    assert _norm(got) == _norm(expected)
+    assert len(got) > 0

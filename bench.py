@@ -38,8 +38,12 @@ HEADLINE = [
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_topk_ivf",
+    "ann_topk_quantized",
     "text_quality_features",
     "token_counts_docs",
+    "pii_scrub_docs",
+    "tfidf_top_terms",
+    "events_interval_join",
     "mdkv_row_per_kv",
     "multimodal_byte_stats",
 ]

@@ -451,3 +451,43 @@ def dedup_corpus(
         df[id_col] == losers.id,
         "left_anti",
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 2,
+    max_gram_df: int | None = MAX_GRAM_DF_DEFAULT,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs overlapping an eval set.
+
+    Returns (id, bench_id, shared_grams) for every corpus doc sharing at
+    least ``min_shared`` distinct word n-grams with a benchmark doc — the
+    standard pre-training hygiene pass (a training corpus must not contain
+    the eval set it will be judged on).
+
+    Scale shape: the benchmark is small by definition (eval sets are
+    thousands of docs), so its inverted index **broadcasts** and the corpus
+    index never shuffles for the join — the probe rides the corpus scan.
+    The groupBy(id, bench_id) is partial-aggregated. ``max_gram_df``
+    (default on) df-cuts corpus-hot grams first: boilerplate shared with a
+    benchmark doc is not contamination evidence, and one stopword gram
+    would otherwise fan out |corpus-df| × |bench-df| join rows.
+    """
+    c_inv = gram_sets(corpus, id_col, text_col, n).select(
+        "id", F.explode("grams").alias("gram")
+    )
+    if max_gram_df is not None:
+        c_inv = drop_hot_grams(c_inv, max_gram_df)
+    b_inv = gram_sets(benchmark, id_col, text_col, n).select(
+        F.col("id").alias("bench_id"), F.explode("grams").alias("gram")
+    )
+    return (
+        c_inv.join(F.broadcast(b_inv), "gram")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )

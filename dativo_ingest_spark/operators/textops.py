@@ -239,9 +239,16 @@ def tfidf_top_terms(
         "id", F.explode("_words").alias("term")
     )
     tf = exploded.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    df_t = exploded.groupBy("term").agg(
-        F.countDistinct("id").alias("df_docs")
-    )
+    # df_docs derives from tf ((id, term) is unique there, so a plain row
+    # count per term == distinct docs). This recomputes the scan→explode→
+    # partial-agg subtree once more (self-join dedup re-aliases the
+    # branches, so the exchange is not reused) — a deliberate trade: the
+    # alternative, a count window over partitionBy(term), buffers every
+    # (doc, term) row of a hot term (stopwords ≈ every doc) in ONE task
+    # with no partial aggregation, which is unbounded skew at corpus
+    # scale. 2× linear compute beats that; the tf⋈df join's own hot-term
+    # skew is split by AQE (the df side is one row per term).
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("_n_docs")
     )

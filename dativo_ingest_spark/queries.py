@@ -1079,6 +1079,35 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benchmark_decontamination",
+    f"""
+    WITH {_DOC_GRAMS_CTE},
+    b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+          WHERE doc_id % 50 = 0),
+    c AS (SELECT doc_id AS id, unnest(grams) AS gram FROM g
+          WHERE doc_id % 50 <> 0)
+    SELECT c.id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_grams
+    FROM c JOIN b USING (gram)
+    GROUP BY c.id, b.bench_id
+    HAVING count(*) >= 2
+    """,
+    doc="training-data decontamination "
+        "(operators/dedup.py:benchmark_contamination): corpus docs sharing "
+        ">= 2 distinct trigrams with any doc of a small benchmark set "
+        "(every 50th doc here). Benchmark inverted index broadcasts, so "
+        "the probe rides the corpus scan — zero corpus shuffle before the "
+        "partial-aggregated pair count; corpus-hot grams df-cut first.",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.benchmark_contamination(
+        corpus, bench, "doc_id", "text", n=3, min_shared=2
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     f"""
     WITH {_DOC_GRAMS_CTE},
@@ -2103,7 +2132,9 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 # (union_except stays), grouped aggregates (rollup, grouping_sets stay),
 # joins (semi, left stay), incremental (cursor_filter, state_update stay),
 # text analysis (quality_features, lang_id stay; token_counts/fingerprints
-# demoted r3 to admit the new pii_scrub/repetition_quality queries).
+# demoted r3 to admit the new pii_scrub/repetition_quality queries), dedup
+# (exact/ngram/minhash/corpus/curation — five rows — stay; simhash demoted
+# r3 to admit benchmark_decontamination).
 # Every demoted query still runs, value-checked against DuckDB, in the local
 # parity suite. Register any NEW query above this block so it lands inside
 # the driver window.
@@ -2115,6 +2146,7 @@ _GATE_DEMOTED = [
     "mdkv_document_level_stats",
     "join_left_order_nation",
     "agg_distinct_users_by_type",
+    "dedup_simhash",
     "coerce_boolean_tokens",
     "window_lag_value_delta",
     "set_intersect_segments",

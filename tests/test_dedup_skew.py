@@ -96,3 +96,29 @@ def test_minhash_bucket_guard_drops_degenerate_corpus(spark):
     # exact dedup catches the same mass-dup group cheaply
     groups = dedup.exact_dedup(docs, "doc_id", "body")
     assert [(r.survivor_id, r.n_dups) for r in groups.collect()] == [(0, 30)]
+
+
+def test_benchmark_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "intro text then the quick brown fox jumps away"),   # 2 shared trigrams
+         (2, "quick brown cat sleeps all day"),                   # 0 shared
+         (3, "over the lazy dog and nothing else")],              # 2 shared
+        "doc_id long, text string")
+    got = {(r.id, r.bench_id): r.shared_grams
+           for r in dedup.benchmark_contamination(
+               corpus, bench, "doc_id", "text", n=3, min_shared=2).collect()}
+    assert (1, 1000) in got and got[(1, 1000)] >= 2
+    assert (3, 1000) in got
+    assert all(cid != 2 for cid, _ in got)
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark):
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = dedup.benchmark_contamination(
+        corpus, bench, "doc_id", "text")._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

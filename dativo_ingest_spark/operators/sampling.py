@@ -109,3 +109,54 @@ def stratified_hash_sample(
         salt,
     )
     return df.filter(u < frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column | str,
+    budget_tokens: int = 512,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style batch construction).
+
+    Documents are concatenated in a deterministic order and cut into
+    training sequences every ``budget_tokens`` tokens; a doc's ``pack_id``
+    is the sequence its first token lands in. Returns
+    (id, shard, n_tokens, pack_id) with pack ids unique per (shard, pack).
+
+    Determinism/scale: docs shard by ``id % n_shards`` (layout-stable,
+    engine-portable), and each shard's packing is a running sum over the
+    id order — WindowExec keeps a running accumulator for an
+    unbounded-preceding frame, so memory is O(1) per task and the only
+    cost is the per-shard sort. ``n_shards`` bounds sort width and sets
+    packing parallelism: packs never span shards, so each shard is an
+    independently constructible unit of training data (the property that
+    lets 1000 executors build batches without coordination).
+    """
+    from pyspark.sql.window import Window
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return staged.select(
+        "id",
+        "shard",
+        "n_tokens",
+        F.floor(cum_before / budget_tokens).cast("long").alias("pack_id"),
+    )

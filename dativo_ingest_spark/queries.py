@@ -2080,6 +2080,42 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_training_sequences",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    tok AS (
+      SELECT doc_id,
+             CAST(doc_id % 8 AS BIGINT) AS shard,
+             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+      FROM norm)
+    SELECT doc_id AS id, shard, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256) AS BIGINT) AS pack_id
+    FROM tok
+    """,
+    doc="GPT-style concat-and-chunk sequence packing "
+        "(operators/sampling.py:pack_sequences): docs shard by id, each "
+        "shard's running token sum cuts a sequence boundary every 256 "
+        "tokens (power-of-two budget -> exact double division). Running "
+        "window frame = O(1) accumulator per task; packs never span "
+        "shards, so shards are independently constructible batch units.",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.functions import text as text_fns
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        docs, "doc_id", text_fns.word_count(F.col("text")),
+        budget_tokens=256, n_shards=8,
+    )
+
+
+@register(
     "asof_last_purchase_before_click",
     """
     WITH purch AS (
@@ -2134,7 +2170,9 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 # text analysis (quality_features, lang_id stay; token_counts/fingerprints
 # demoted r3 to admit the new pii_scrub/repetition_quality queries), dedup
 # (exact/ngram/minhash/corpus/curation — five rows — stay; simhash demoted
-# r3 to admit benchmark_decontamination).
+# r3 to admit benchmark_decontamination), scalar library (json_props +
+# array HOFs stay as the family reps; scalar_functions_orders demoted r3
+# to admit pack_training_sequences).
 # Every demoted query still runs, value-checked against DuckDB, in the local
 # parity suite. Register any NEW query above this block so it lands inside
 # the driver window.
@@ -2147,6 +2185,7 @@ _GATE_DEMOTED = [
     "join_left_order_nation",
     "agg_distinct_users_by_type",
     "dedup_simhash",
+    "scalar_functions_orders",
     "coerce_boolean_tokens",
     "window_lag_value_delta",
     "set_intersect_segments",

@@ -71,3 +71,36 @@ def test_stratified_salt_independence(spark):
     assert {r.doc_id for r in flat.collect()} != {
         r.doc_id for r in strat.collect()
     }
+
+
+def test_pack_sequences_chunks_on_budget(spark):
+    from pyspark.sql import functions as F
+
+    # one shard (n_shards=1): docs in id order with 60 tokens each,
+    # budget 100 -> packs break when the running sum crosses 100
+    df = spark.createDataFrame([(i, 60) for i in range(5)], "id long, toks long")
+    out = {r["id"]: r.asDict() for r in sampling.pack_sequences(
+        df, "id", "toks", budget_tokens=100, n_shards=1).collect()}
+    # cum-before: 0, 60, 120, 180, 240 -> packs 0, 0, 1, 1, 2
+    assert [out[i]["pack_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+    assert all(out[i]["shard"] == 0 for i in range(5))
+
+
+def test_pack_sequences_packs_never_span_shards(spark):
+    df = spark.createDataFrame([(i, 10) for i in range(40)], "id long, toks long")
+    rows = sampling.pack_sequences(df, "id", "toks",
+                                   budget_tokens=50, n_shards=4).collect()
+    # every (shard, pack) group draws only from its own shard's ids
+    for r in rows:
+        assert r["shard"] == r["id"] % 4
+    # shard-local packing: 10 docs x 10 tokens per shard, budget 50 -> 2 packs
+    packs = {(r["shard"], r["pack_id"]) for r in rows}
+    assert len(packs) == 8
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5)], "id long, toks long")
+    with _pytest.raises(ValueError):
+        sampling.pack_sequences(df, "id", "toks", budget_tokens=0)

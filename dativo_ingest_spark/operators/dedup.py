@@ -477,14 +477,21 @@ def benchmark_contamination(
     benchmark doc is not contamination evidence, and one stopword gram
     would otherwise fan out |corpus-df| × |bench-df| join rows.
     """
+    # explode_outer, NOT explode: a plain explode makes Spark push a
+    # ``size(grams) > 0`` pre-filter below these projections, re-inlining
+    # the whole normalize+split+ngram expression into the scan filter (the
+    # trap documented on gram_sets; the dedup self-joins block it with a
+    # cache barrier, which a 100 TB corpus scan cannot afford). The outer
+    # explode needs no pre-filter; the null rows drop on a cheap
+    # post-Generate column filter instead.
     c_inv = gram_sets(corpus, id_col, text_col, n).select(
-        "id", F.explode("grams").alias("gram")
-    )
+        "id", F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     if max_gram_df is not None:
         c_inv = drop_hot_grams(c_inv, max_gram_df)
     b_inv = gram_sets(benchmark, id_col, text_col, n).select(
-        F.col("id").alias("bench_id"), F.explode("grams").alias("gram")
-    )
+        F.col("id").alias("bench_id"), F.explode_outer("grams").alias("gram")
+    ).filter(F.col("gram").isNotNull())
     return (
         c_inv.join(F.broadcast(b_inv), "gram")
         .groupBy("id", "bench_id")

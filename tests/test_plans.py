@@ -109,3 +109,49 @@ def test_dedup_guard_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pii_scrub_is_scan_stage(spark):
+    # detection + redaction ride the scan: no shuffle anywhere
+    plan = plan_of(spark, "pii_scrub_docs")
+    assert n_exchanges(plan) == 0, plan[:600]
+
+
+def test_decontamination_broadcasts_benchmark_index(spark):
+    # the bench inverted index broadcasts; the only hash exchange is the
+    # pair-count aggregation (the round-robin widen below it is the
+    # gram_sets parallelism repartition, not a key shuffle)
+    plan = plan_of(spark, "benchmark_decontamination")
+    assert "BroadcastHashJoin" in plan
+    # exactly two hash exchanges: the (partial-aggregated) hot-gram df
+    # count and the final pair count — never a corpus shuffle for the
+    # bench join itself
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:900]
+    # the explode must not push a size() pre-filter that re-inlines the
+    # gram expression into the scan filter (gram_sets' documented trap)
+    m = re.search(r"Filter \(+isnotnull\(doc_id[^\n]*", plan)
+    if m:
+        assert "array_distinct" not in m.group(0)
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    # one exchange (shard partitioning for the running window), nothing else
+    plan = plan_of(spark, "pack_training_sequences")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "Window" in plan
+
+
+def test_quantized_topk_broadcasts_queries(spark):
+    # corpus never shuffles for scoring: query codes broadcast; the only
+    # exchange is the per-query top-k window
+    plan = plan_of(spark, "ann_topk_quantized")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert n_exchanges(plan) <= 1, plan[:800]
+
+
+def test_interval_join_shuffles_each_side_once(spark):
+    # equi-join on user_id + range predicate: SMJ/SHJ with one exchange
+    # per side, no nested-loop blow-up
+    plan = plan_of(spark, "events_interval_join")
+    assert "NestedLoop" not in plan, plan[:800]
+    assert n_exchanges(plan) <= 2, plan[:800]

@@ -316,15 +316,36 @@ def run_job(
         branch = job.target.branch or "main"
         if branch != "main" and table.current_version(branch) is None:
             table.create_branch(branch)
-        table.add_files(
-            # partition-column min/max land in the manifest so reads with a
-            # partition predicate plan only the matching files
-            table.staged_files(stage_rel, stats_columns=pcols),
-            operation="overwrite" if write_mode == "overwrite" else "append",
-            schema_json=staged_df.schema.json(),
-            properties=props,  # the Iceberg TBLPROPERTIES analog
-            branch=branch,
-        )
+        if write_mode == "merge":
+            # idempotent upsert for the >= cursor re-read: the staged batch
+            # merges by key through the copy-on-write path (manifest-stats
+            # pruning keeps the rewrite to the files that can hold the
+            # keys); the plain stage becomes redundant after the merge's
+            # own committed stage and is swept
+            merge_keys = [k.strip() for k in
+                          str(job.target.options.get("merge_keys", "")
+                              ).split(",") if k.strip()]
+            if not merge_keys:
+                raise ConfigError(
+                    "target.options.mode=merge needs merge_keys")
+            table.merge_upsert(
+                spark, spark.read.parquet(stage), merge_keys,
+                branch=branch,
+                stats_columns=sorted({*merge_keys, *pcols}),
+                properties=props,
+            )
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            table.add_files(
+                # partition-column min/max land in the manifest so reads
+                # with a partition predicate plan only the matching files
+                table.staged_files(stage_rel, stats_columns=pcols),
+                operation="overwrite" if write_mode == "overwrite"
+                else "append",
+                schema_json=staged_df.schema.json(),
+                properties=props,  # the Iceberg TBLPROPERTIES analog
+                branch=branch,
+            )
     else:
         _publish_staging(stage, out_path, write_mode)
     with open(os.path.join(out_path, "_dativo_properties.json"), "w") as fh:

@@ -52,6 +52,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -309,6 +310,128 @@ class FsTable:
         raise CommitConflict(
             f"gave up after {max_retries} retries on branch {branch!r}"
         )
+
+    def replace_files(
+        self,
+        remove_paths: list[str],
+        staged: list[dict[str, Any]],
+        expected_base: int,
+        branch: str = "main",
+        schema_json: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> Snapshot:
+        """Precise single-attempt commit: (base files − ``remove_paths``) +
+        ``staged``, valid ONLY while the branch head is still
+        ``expected_base``.
+
+        Unlike :meth:`add_files`, a stale base is **not** rebased-and-
+        retried here: a file replacement planned against an old snapshot
+        cannot be blindly rebased — concurrent appends may hold rows the
+        plan should have rewritten, and removed files may already be gone.
+        Raises :class:`CommitConflict` so the caller re-plans from the new
+        head (:meth:`merge_upsert` does exactly that)."""
+        base = self.snapshot(expected_base)
+        remove = set(remove_paths)
+        files = [f for f in base.files if f["path"] not in remove] + staged
+        snap = None
+        for _ in range(1000):
+            cand = Snapshot(
+                version=self._next_version(), parent=expected_base,
+                operation="replace", files=files,
+                schema_json=schema_json or base.schema_json,
+                properties={**base.properties, **(properties or {})},
+            )
+            try:
+                self._publish(cand)
+                snap = cand
+                break
+            except CommitConflict:
+                continue  # version-number race only; content is still valid
+        if snap is None:  # pragma: no cover - pathological contention
+            raise CommitConflict("could not allocate a version number")
+        if not self._claim(branch, expected_base, snap.version):
+            raise CommitConflict(
+                f"branch {branch!r} advanced past v{expected_base}; "
+                "replacement must be re-planned"
+            )
+        self._set_ref(branch, snap.version)
+        return snap
+
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        branch: str = "main",
+        stats_columns: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+        max_replans: int = 3,
+    ) -> Snapshot:
+        """Copy-on-write MERGE (upsert by key): rows of ``updates`` replace
+        same-key rows, new keys append — the idempotence primitive the
+        ``>=`` cursor re-read needs (SURVEY §7: re-ingesting the boundary
+        row must not duplicate it; the reference leaves this unhandled).
+
+        Scale shape (Delta/Iceberg COW MERGE): the updates' key bounds
+        prune the base file list through the manifest stats, so only files
+        that *can* hold a matching key are rewritten — at 100 TB an
+        incremental batch touches a handful of recent files, and the
+        rewrite is one anti-join + union write of just those. Untouched
+        files carry over by reference (no data movement). Concurrency is
+        serializable-by-re-plan: the precise :meth:`replace_files` commit
+        refuses a moved head and the merge re-plans against it, so a
+        concurrent append is never dropped and never double-merged.
+
+        ``updates`` must be key-unique (dedup upstream — e.g.
+        ``operators/dedup.exact_dedup``); both copies of a duplicated key
+        would be written verbatim.
+        """
+        stats_cols = stats_columns or list(keys)
+        bounds_row = updates.agg(*(
+            f(k).alias(f"{m}_{k}") for k in keys
+            for m, f in (("min", F.min), ("max", F.max))
+        )).first()
+        where = [
+            clause
+            for k in keys
+            if bounds_row[f"min_{k}"] is not None
+            for clause in ((k, ">=", _json_safe(bounds_row[f"min_{k}"])),
+                           (k, "<=", _json_safe(bounds_row[f"max_{k}"])))
+        ]
+        last_exc: CommitConflict | None = None
+        for _ in range(max_replans):
+            base_v = self.current_version(branch)
+            assert base_v is not None, f"unknown branch {branch!r}"
+            base = self.snapshot(base_v)
+            affected = self.matching_files(base, where)
+            stage = self.new_stage()
+            out = updates
+            if affected:
+                existing = spark.read.parquet(*[
+                    os.path.join(self.root, f["path"]) for f in affected
+                ])
+                kept = existing.join(
+                    updates.select(*keys).dropDuplicates(keys),
+                    on=keys, how="left_anti",
+                )
+                out = kept.unionByName(updates)
+            out.write.option("compression", "snappy").parquet(
+                os.path.join(self.root, stage))
+            try:
+                return self.replace_files(
+                    [f["path"] for f in affected],
+                    self.staged_files(stage, stats_columns=stats_cols),
+                    expected_base=base_v,
+                    branch=branch,
+                    schema_json=updates.schema.json(),
+                    properties=properties,
+                )
+            except CommitConflict as exc:
+                # stage is unreferenced — an invisible orphan, like any
+                # crash-before-commit; re-plan against the new head
+                last_exc = exc
+                continue
+        raise last_exc  # pragma: no cover - needs sustained contention
 
     def new_stage(self) -> str:
         """Reserve an unreferenced data dir (relative to root) for staging.

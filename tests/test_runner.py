@@ -394,3 +394,44 @@ def test_table_commit_mode_records_partition_stats(spark, csv_file,
     assert table.matching_files(snap, [("_p_ingest_date", ">", "9999")]) == []
     assert table.read(spark, branch="acme",
                       where=[("_p_ingest_date", ">", "9999")]).count() == 0
+
+
+def test_table_commit_merge_mode_is_idempotent_upsert(spark, tmp_path):
+    """mode: merge + merge_keys upserts by key through the copy-on-write
+    path — re-running a job over an unchanged source (the >= cursor
+    re-read) must not duplicate rows, and changed rows must replace."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    src = tmp_path / "people.csv"
+    src.write_text("id,name,active\n1,alice,true\n2,bob,no\n")
+    out = str(tmp_path / "t")
+    d = job_dict(str(src), out)
+    d["target"]["options"] = {"mode": "merge", "commit": "table",
+                              "merge_keys": "id"}
+    assert runner.run_job(spark, JobConfig.from_dict(d)).exit_code == 0
+    table = FsTable(out)
+    assert table.read(spark, branch="acme").count() == 2
+
+    # identical re-run: no duplicates
+    assert runner.run_job(spark, JobConfig.from_dict(d)).exit_code == 0
+    assert table.read(spark, branch="acme").count() == 2
+
+    # changed row + new row: update applies, insert lands
+    src.write_text("id,name,active\n2,robert,yes\n3,carol,1\n")
+    assert runner.run_job(spark, JobConfig.from_dict(d)).exit_code == 0
+    got = {r["id"]: r["name"]
+           for r in table.read(spark, branch="acme").collect()}
+    assert got == {1: "alice", 2: "robert", 3: "carol"}
+
+
+def test_table_commit_merge_mode_requires_keys(spark, tmp_path):
+    src = tmp_path / "p.csv"
+    src.write_text("id,name,active\n1,a,true\n")
+    d = job_dict(str(src), str(tmp_path / "t"))
+    d["target"]["options"] = {"mode": "merge", "commit": "table"}
+    import pytest as _pytest
+
+    from dativo_ingest_spark.config.contracts import ConfigError
+
+    with _pytest.raises(ConfigError):
+        runner.run_job(spark, JobConfig.from_dict(d))

@@ -227,3 +227,90 @@ def test_stats_pruning_is_conservative(spark, tmp_path):
     assert file_excluded(st, [("v", ">", 20)])
     assert not file_excluded(st, [("v", ">=", 20)])
     assert not file_excluded(None, [("v", "==", 999)])
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"),
+        stats_columns=["id"])
+    snap = t.merge_upsert(
+        spark,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, val string"),
+        keys=["id"])
+    assert snap.operation == "replace"
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_is_idempotent(spark, tmp_path):
+    # the >= cursor re-read: merging the same batch twice changes nothing
+    t = FsTable.create(str(tmp_path / "t"))
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    t.merge_upsert(spark, batch, keys=["id"])
+    before = sorted(map(tuple, t.read(spark).collect()))
+    t.merge_upsert(spark, batch, keys=["id"])
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
+def test_merge_upsert_leaves_nonmatching_files_untouched(spark, tmp_path):
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame(
+        [(i, "old") for i in range(10)], "id long, val string"),
+        stats_columns=["id"])
+    t.write_append(spark.createDataFrame(
+        [(i, "old") for i in range(100, 110)], "id long, val string"),
+        stats_columns=["id"])
+    low_files = {f["path"] for f in t.snapshot(
+        t.current_version()).files if f["stats"]["id"]["max"] < 100}
+    # updates touch only the high-id range: low files must carry over
+    snap = t.merge_upsert(
+        spark,
+        spark.createDataFrame([(105, "new")], "id long, val string"),
+        keys=["id"])
+    kept = {f["path"] for f in snap.files}
+    assert low_files <= kept
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    assert got[105] == "new" and got[0] == "old" and len(got) == 20
+
+
+def test_merge_upsert_replans_past_concurrent_append(spark, tmp_path):
+    from dativo_ingest_spark.sinks import table_commit as tc
+
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame(
+        [(1, "a")], "id long, val string"), stats_columns=["id"])
+
+    # a writer appends between merge planning and commit: patch
+    # replace_files to inject the race exactly once
+    orig = FsTable.replace_files
+    raced = {"done": False}
+
+    def with_race(self, *args, **kwargs):
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = FsTable(self.root)
+            t2.write_append(spark.createDataFrame(
+                [(50, "concurrent")], "id long, val string"),
+                stats_columns=["id"])
+        return orig(self, *args, **kwargs)
+
+    FsTable.replace_files = with_race
+    try:
+        t.merge_upsert(
+            spark,
+            spark.createDataFrame([(1, "A")], "id long, val string"),
+            keys=["id"])
+    finally:
+        FsTable.replace_files = orig
+    got = {r.id: r.val for r in t.read(spark).collect()}
+    # the concurrent append survived AND the merge applied
+    assert got == {1: "A", 50: "concurrent"}
+
+
+def test_replace_files_refuses_stale_base(spark, tmp_path):
+    t = FsTable.create(str(tmp_path / "t"))
+    s1 = t.write_append(spark.createDataFrame([(1, "a")], "id long, val string"))
+    t.write_append(spark.createDataFrame([(2, "b")], "id long, val string"))
+    with pytest.raises(CommitConflict):
+        t.replace_files([], [], expected_base=s1.version)

@@ -433,6 +433,119 @@ class FsTable:
                 continue
         raise last_exc  # pragma: no cover - needs sustained contention
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_size_mb: int = 150,
+        min_file_size_mb: float | None = None,
+        branch: str = "main",
+        stats_columns: list[str] | None = None,
+        max_replans: int = 3,
+    ) -> Snapshot | None:
+        """Bin-pack small files into target-sized ones (Iceberg
+        rewrite_data_files analog). Streaming/incremental appends leave a
+        long tail of small files; at 100 TB the scan cost is dominated by
+        per-file overhead, so compaction is routine table maintenance, not
+        an optimization.
+
+        Files smaller than ``min_file_size_mb`` (default: half the target)
+        are rewritten together into ``ceil(bytes/target)`` outputs; files
+        already at size carry over by reference. Data is unchanged, so the
+        commit is the same precise :meth:`replace_files` + re-plan loop as
+        MERGE — a concurrent append between plan and commit is never
+        dropped. Returns None when fewer than two files qualify (nothing
+        to gain)."""
+        min_bytes = int((min_file_size_mb if min_file_size_mb is not None
+                         else target_file_size_mb / 2) * 1024 * 1024)
+        last_exc: CommitConflict | None = None
+        for _ in range(max_replans):
+            base_v = self.current_version(branch)
+            assert base_v is not None, f"unknown branch {branch!r}"
+            base = self.snapshot(base_v)
+            small = [f for f in base.files
+                     if f.get("size_bytes", 0) < min_bytes]
+            if len(small) < 2:
+                return None
+            total = sum(f.get("size_bytes", 0) for f in small)
+            n_out = max(1, -(-total // (target_file_size_mb * 1024 * 1024)))
+            stage = self.new_stage()
+            spark.read.parquet(*[
+                os.path.join(self.root, f["path"]) for f in small
+            ]).coalesce(int(n_out)).write.option(
+                "compression", "snappy"
+            ).parquet(os.path.join(self.root, stage))
+            try:
+                return self.replace_files(
+                    [f["path"] for f in small],
+                    self.staged_files(stage, stats_columns=stats_columns),
+                    expected_base=base_v,
+                    branch=branch,
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise last_exc  # pragma: no cover - needs sustained contention
+
+    def vacuum(
+        self,
+        keep_history: int = 10,
+        min_age_seconds: float = 24 * 3600.0,
+        now: float | None = None,
+    ) -> dict[str, int]:
+        """Expire old snapshots and reclaim unreferenced data files
+        (Iceberg expire_snapshots + remove_orphan_files in one pass).
+
+        Live set = the newest ``keep_history`` manifests of every branch's
+        parent chain (time travel keeps working that deep). Everything
+        else goes, with an age guard: manifests/data files younger than
+        ``min_age_seconds`` survive regardless, so an in-flight writer's
+        published-but-unclaimed manifest or freshly staged files are never
+        swept out from under it (Delta's retention-check semantics).
+        Reclaims crash orphans too — stages written by a job that died
+        before commit. Returns counts {manifests, data_files}."""
+        ts = now if now is not None else __import__("time").time()
+        keep_history = max(1, keep_history)  # never expire a branch head
+        keep_versions: set[int] = set()
+        branches = [b for b in os.listdir(self._refs)
+                    if not b.startswith(".")]
+        for b in branches:
+            chain = self.history(b)  # newest first
+            keep_versions.update(chain[:keep_history])
+        live_paths = {f["path"] for v in keep_versions
+                      for f in self.snapshot(v).files}
+
+        dropped_manifests = 0
+        for name in os.listdir(self._meta):
+            if not name.endswith(".json"):
+                continue
+            v = int(name.split(".")[0].lstrip("v"))
+            full = os.path.join(self._meta, name)
+            if v in keep_versions:
+                continue
+            if ts - os.path.getmtime(full) < min_age_seconds:
+                continue
+            os.remove(full)
+            dropped_manifests += 1
+
+        dropped_files = 0
+        data_dir = os.path.join(self.root, "data")
+        if os.path.isdir(data_dir):
+            for root, _dirs, files in os.walk(data_dir, topdown=False):
+                for name in files:
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in live_paths:
+                        continue
+                    if ts - os.path.getmtime(full) < min_age_seconds:
+                        continue
+                    os.remove(full)
+                    dropped_files += 1
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+        return {"manifests": dropped_manifests, "data_files": dropped_files}
+
     def new_stage(self) -> str:
         """Reserve an unreferenced data dir (relative to root) for staging.
         Files written there are invisible until a manifest references them."""
@@ -499,8 +612,12 @@ class FsTable:
         assert v is not None, f"unknown branch {branch!r}"
         out: list[int] = []
         while v is not None:
+            try:
+                parent = self.snapshot(v).parent
+            except FileNotFoundError:
+                break  # expired by vacuum: the chain ends at the horizon
             out.append(v)
-            v = self.snapshot(v).parent
+            v = parent
         return out
 
     def matching_files(

@@ -314,3 +314,80 @@ def test_replace_files_refuses_stale_base(spark, tmp_path):
     t.write_append(spark.createDataFrame([(2, "b")], "id long, val string"))
     with pytest.raises(CommitConflict):
         t.replace_files([], [], expected_base=s1.version)
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    t = FsTable.create(str(tmp_path / "t"))
+    for i in range(4):  # four tiny appends -> four small files minimum
+        t.write_append(spark.createDataFrame(
+            [(i * 10 + j, "x") for j in range(5)], "id long, val string")
+            .coalesce(1))
+    before = t.snapshot(t.current_version()).files
+    assert len(before) >= 4
+    snap = t.compact(spark, target_file_size_mb=150)
+    assert snap is not None and snap.operation == "replace"
+    after = t.snapshot(t.current_version()).files
+    assert len(after) < len(before)
+    assert t.read(spark).count() == 20
+    assert {r.id for r in t.read(spark).collect()} == \
+        {i * 10 + j for i in range(4) for j in range(5)}
+    # data unchanged -> compacting again finds nothing
+    assert t.compact(spark, target_file_size_mb=150) is None
+
+
+def test_vacuum_expires_history_and_reclaims_files(spark, tmp_path):
+    import time as _time
+
+    t = FsTable.create(str(tmp_path / "t"))
+    for i in range(3):
+        t.write_append(spark.createDataFrame(
+            [(i, "v")], "id long, val string").coalesce(1))
+    t.compact(spark, target_file_size_mb=150)
+    head = t.current_version()
+    all_files_before = {
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(str(tmp_path / "t" / "data"))
+        for f in fs}
+
+    # age guard: a fresh table loses nothing
+    res = t.vacuum(keep_history=1, min_age_seconds=3600)
+    assert res == {"manifests": 0, "data_files": 0}
+
+    # force-expire: everything is "old"
+    res = t.vacuum(keep_history=1, min_age_seconds=0,
+                   now=_time.time() + 10)
+    assert res["manifests"] >= 3 and res["data_files"] >= 3
+    # the head still reads perfectly
+    assert t.current_version() == head
+    assert t.read(spark).count() == 3
+    # expired versions are no longer time-travelable
+    with pytest.raises(LookupError):
+        t.read(spark, version=1)
+    # only live files remain on disk
+    live = {os.path.join(str(tmp_path / "t"), f["path"])
+            for f in t.snapshot(head).files}
+    remaining = {
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(str(tmp_path / "t" / "data"))
+        for f in fs}
+    assert remaining == live and remaining < all_files_before
+
+
+def test_vacuum_reclaims_crash_orphan_stages(spark, tmp_path):
+    import time as _time
+
+    t = FsTable.create(str(tmp_path / "t"))
+    t.write_append(spark.createDataFrame([(1, "a")], "id long, val string"))
+    # a job that died after staging, before commit
+    stage = t.new_stage()
+    os.makedirs(os.path.join(str(tmp_path / "t"), stage))
+    orphan = os.path.join(str(tmp_path / "t"), stage, "part-0.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"dead")
+    res = t.vacuum(keep_history=10, min_age_seconds=0,
+                   now=_time.time() + 10)
+    # the orphan goes (plus committer droppings like _SUCCESS/.crc, which
+    # no manifest references either); the committed data survives
+    assert res["data_files"] >= 1
+    assert not os.path.exists(orphan)
+    assert t.read(spark).count() == 1

@@ -56,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--config")
     g.add_argument("--job-dir")
     run_p.add_argument("--state-root")
+    run_p.add_argument("--secret-manager",
+                       help="env|filesystem|vault|aws|gcp (cli.py:201-217)")
+    run_p.add_argument("--secrets-dir", default="/secrets")
 
     for name in ("check", "discover"):
         p = sub.add_parser(name)
@@ -69,10 +72,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         if args.cmd == "run":
             if args.config:
-                res = run_job_file(spark, args.config, args.state_root)
+                res = run_job_file(spark, args.config, args.state_root,
+                                   secret_manager=args.secret_manager,
+                                   secrets_dir=args.secrets_dir)
                 print(json.dumps(_result_doc(res)))
                 return res.exit_code
-            results = run_job_dir(spark, args.job_dir, args.state_root)
+            results = run_job_dir(spark, args.job_dir, args.state_root,
+                                  secret_manager=args.secret_manager,
+                                  secrets_dir=args.secrets_dir)
             print(json.dumps({p: _result_doc(r)
                               for p, r in results.items()}, indent=1))
             # combined exit = worst job (reference cli.py:121-323)

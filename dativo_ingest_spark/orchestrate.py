@@ -82,7 +82,8 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
     out: set[int] = set()
     for part in spec.split(","):
         step = 1
-        if "/" in part:
+        stepped = "/" in part
+        if stepped:
             part, step_s = part.split("/", 1)
             step = int(step_s)
         if part in ("*", ""):
@@ -90,9 +91,12 @@ def _parse_field(spec: str, lo: int, hi: int) -> set[int]:
         elif "-" in part:
             a, b = part.split("-", 1)
             rng = range(int(a), int(b) + 1)
+        elif stepped:
+            # vixie semantics: "a/step" == "a-hi/step", anchored at a
+            rng = range(int(part), hi + 1)
         else:
             rng = range(int(part), int(part) + 1)
-        out.update(v for v in rng if (v - lo) % step == 0)
+        out.update(v for v in rng if (v - rng.start) % step == 0)
     if not out or min(out) < lo or max(out) > hi:
         raise ConfigError(f"cron field out of range: {spec}")
     return out

@@ -442,18 +442,61 @@ def _prune_staging(out_path: str) -> None:
         pass
 
 
+def load_job_with_secrets(config_path: str,
+                          secret_manager: str | None = None,
+                          secrets_dir: str = "/secrets",
+                          secret_manager_config: dict | None = None,
+                          ) -> JobConfig:
+    """Parse a job YAML with startup-time secret resolution (reference
+    cli.py:201-217: secrets load before any job runs).
+
+    The job may carry a ``secrets:`` block (``manager`` / ``secrets_dir`` /
+    ``config``) overriding the CLI-level defaults; ``${secret:name}`` /
+    ``${secret:name.key}`` placeholders anywhere in the job tree are
+    substituted from the loaded secrets, so credentials never ride raw in
+    YAML. No block, no placeholders → behaves exactly as before. Loaded
+    values are registered with the root logger's redaction filter."""
+    import yaml as _yaml
+
+    from dativo_ingest_spark import secrets as secrets_mod
+
+    with open(config_path) as fh:
+        doc = _yaml.safe_load(fh) or {}
+    block = doc.pop("secrets", None) or {}
+    wants = block or secret_manager or \
+        secrets_mod._PLACEHOLDER_RE.search(json.dumps(doc, default=str))
+    if wants:
+        tenant = doc.get("tenant_id") or "default"
+        loaded = secrets_mod.load_secrets(
+            tenant,
+            secrets_dir=block.get("secrets_dir", secrets_dir),
+            manager_type=block.get("manager", secret_manager),
+            manager_config=block.get("config", secret_manager_config),
+        )
+        secrets_mod.redactor(loaded)
+        doc = secrets_mod.resolve_placeholders(doc, loaded)
+        creds = (doc.get("source") or {}).get("credentials")
+        if isinstance(creds, dict):
+            secrets_mod.validate_for_connector(
+                loaded, str((doc.get("source") or {}).get("type", "")),
+                creds)
+    return JobConfig.from_dict(doc)
+
+
 def run_job_file(spark: SparkSession, config_path: str,
-                 state_root: str | None = None) -> JobResult:
+                 state_root: str | None = None,
+                 secret_manager: str | None = None,
+                 secrets_dir: str = "/secrets") -> JobResult:
     """``dativo run --config job.yaml`` analog."""
-    try:
-        job = JobConfig.from_yaml(config_path)
-    except ConfigError:
-        raise
+    job = load_job_with_secrets(config_path, secret_manager=secret_manager,
+                                secrets_dir=secrets_dir)
     return run_job(spark, job, state_root=state_root)
 
 
 def run_job_dir(spark: SparkSession, job_dir: str,
-                state_root: str | None = None) -> dict[str, JobResult]:
+                state_root: str | None = None,
+                secret_manager: str | None = None,
+                secrets_dir: str = "/secrets") -> dict[str, JobResult]:
     """``dativo run --job-dir`` analog: recursive YAML discovery, sequential
     execution, combined exit semantics (reference cli.py:121-323)."""
     results: dict[str, JobResult] = {}
@@ -461,5 +504,7 @@ def run_job_dir(spark: SparkSession, job_dir: str,
         for fname in sorted(files):
             if fname.endswith((".yaml", ".yml")):
                 path = os.path.join(root, fname)
-                results[path] = run_job_file(spark, path, state_root)
+                results[path] = run_job_file(
+                    spark, path, state_root,
+                    secret_manager=secret_manager, secrets_dir=secrets_dir)
     return results

@@ -47,6 +47,20 @@ def stream_from_files(
     return reader.load(path)
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column for ``withWatermark``.
+
+    Parquet timestamps read back as TIMESTAMP_NTZ under Spark 4's inference,
+    but Structured Streaming event time must be TIMESTAMP (LTZ) —
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise. The session runs in UTC
+    (session.py), so the cast is wall-clock preserving and batch oracles
+    stay comparable."""
+    field = df.schema[ts_col]
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(T.TimestampType()))
+    return df
+
+
 def windowed_agg(
     df: DataFrame,
     ts_col: str,
@@ -62,7 +76,7 @@ def windowed_agg(
     oracle for the streaming run in tests. Output: keys + window_start /
     window_end + n_events (+ sum_value when ``value_col``)."""
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     win = F.window(F.col(ts_col), window, slide) if slide else \
         F.window(F.col(ts_col), window)
     aggs = [F.count(F.lit(1)).alias("n_events")]
@@ -88,7 +102,7 @@ def session_window_agg(
     """Built-in gap sessionization: a session extends while successive
     events arrive within ``gap``; ``session_end`` = last event + gap."""
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     grouped = df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
                          *[F.col(k) for k in keys])
     return grouped.agg(F.count(F.lit(1)).alias("n_events")).select(
@@ -126,9 +140,10 @@ def interval_join(
     Column collisions are the caller's concern: pre-select/alias sides.
     """
     if left.isStreaming and watermark is not None:
-        left = left.withWatermark(left_ts, watermark)
+        left = _watermarkable(left, left_ts).withWatermark(left_ts, watermark)
     if right.isStreaming and watermark is not None:
-        right = right.withWatermark(right_ts, watermark)
+        right = _watermarkable(right, right_ts)\
+            .withWatermark(right_ts, watermark)
     lts, rts = F.col(left_ts), F.col(right_ts)
     cond = (
         (rts >= lts - F.expr(f"INTERVAL {lower}"))
@@ -158,7 +173,7 @@ def dedup_stream(
     all data is in hand), so batch runs remain the oracle for streaming
     runs in tests."""
     if df.isStreaming:
-        return df.withWatermark(ts_col, watermark)\
+        return _watermarkable(df, ts_col).withWatermark(ts_col, watermark)\
             .dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
 

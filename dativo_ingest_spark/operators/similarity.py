@@ -17,11 +17,59 @@ a drop-in swap when d gets large.
 
 from __future__ import annotations
 
+import logging
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import vectors
+
+log = logging.getLogger(__name__)
+
+#: above this many centroids the IVF cell assignment switches from inlined
+#: literal arrays (zero-overhead, but plan size O(centroids x dim)) to an
+#: Arrow-batched pandas-UDF argmax (captured numpy matrix, BLAS scoring).
+IVF_INLINE_CENTROID_LIMIT = 64
+
+
+def _guard_broadcast(df: DataFrame, what: str, mode: str = "warn") -> None:
+    """Broadcast-side size guardrail for the exact top-k baselines.
+
+    ``brute_force_topk``/``quantized_topk`` broadcast the query side by
+    design (documented baselines); at 100 TB a silently-huge broadcast
+    OOMs every executor instead of failing fast. Compares Catalyst's
+    static size estimate against ``spark.sql.autoBroadcastJoinThreshold``:
+    ``warn`` logs, ``error`` raises, ``off`` skips. The estimate is plan
+    metadata — no job runs."""
+    if mode == "off":
+        return
+    spark = df.sparkSession
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult = 1
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw[-1:] in units:
+        mult, raw = units[raw[-1]], raw[:-1]
+    try:
+        threshold = int(raw) * mult
+    except ValueError:
+        threshold = 10 * 1024 * 1024
+    if threshold <= 0:  # broadcasting disabled -> guard is moot
+        return
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if est <= threshold:
+        return
+    msg = (f"{what}: broadcast side estimated at {est} bytes exceeds "
+           f"spark.sql.autoBroadcastJoinThreshold={threshold}; use the "
+           f"IVF/bucketed path for large query sets")
+    if mode == "error":
+        raise ValueError(msg)
+    log.warning(msg)
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -54,6 +102,7 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    broadcast_guard: str = "warn",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (excluding self).
 
@@ -62,6 +111,7 @@ def brute_force_topk(
     """
     q = _prep(queries, id_col, vec_col, "query")
     c = _prep(corpus, id_col, vec_col, "neighbor")
+    _guard_broadcast(q, "brute_force_topk", broadcast_guard)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -125,6 +175,37 @@ def bucketed_neardup_pairs(
     )
 
 
+def _centroid_probe_udf(cents: list, n_probe: int):
+    """Arrow-batched centroid scorer: vec -> top ``n_probe`` cell ids.
+
+    The centroid matrix rides in the UDF closure (one serialized copy per
+    executor — the pandas-UDF analog of a broadcast variable), so plan size
+    stays O(1) in the centroid count. Ordering matches the inlined-literal
+    path: cosine rounded to 9dp descending, ties to the higher cell id.
+    Zero-norm rows score -inf everywhere (the literal path's NaN-max
+    behavior is degenerate there anyway)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    mat = np.array([v for _, v in cents], dtype=np.float64)  # C x d
+    cnorm = np.linalg.norm(mat, axis=1)
+    cnorm[cnorm == 0.0] = np.inf  # zero centroids never win
+
+    @pandas_udf("array<long>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy())          # B x d
+        vn = np.linalg.norm(V, axis=1)
+        vn[vn == 0.0] = np.inf
+        cos = np.round((V @ mat.T) / np.outer(vn, cnorm), 9)  # B x C
+        # lexsort: primary cos desc, secondary id desc (literal-path ties)
+        order = np.lexsort((-ids[None, :].repeat(len(V), 0), -cos), axis=1)
+        picked = ids[order[:, :n_probe]]
+        return pd.Series(list(picked))
+
+    return probe
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,18 +214,30 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     n_probe: int = 2,
+    inline_centroid_limit: int = IVF_INLINE_CENTROID_LIMIT,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the 100 TB ANN path.
 
     Cells come from a small centroid set (here: the ``n_centroids``
     lowest-id vectors — a deterministic stand-in for offline k-means; the
-    plan shape is identical). Centroids are collected to the driver and
-    inlined as literal arrays, so cell assignment is a pure scan-stage
-    expression — zero shuffle over the corpus. Each query probes its
-    ``n_probe`` nearest cells; scoring happens only inside probed cells via
-    a cell-key equi-join, so compute drops from O(Q·N) to
-    O(Q·N·n_probe/n_centroids) and the join shuffles on a low-cardinality
-    key AQE can rebalance.
+    plan shape is identical). Cell assignment is scan-stage either way —
+    zero shuffle over the corpus — but HOW depends on the centroid count:
+
+    * ``<= inline_centroid_limit``: centroids inline as literal arrays and
+      assignment is a pure Catalyst expression (whole-stage codegen). Plan
+      size grows O(n_centroids x dim), which is why this path is gated —
+      at 1024x768 the inlined plan would carry ~800k literals and choke
+      the optimizer long before the data moved.
+    * above the limit: an Arrow-batched pandas UDF captures the centroid
+      matrix once (a few MB shipped per executor, like a broadcast var)
+      and scores each record batch with one BLAS matmul. Same semantics
+      (9dp-rounded cosine, ties to the higher cell id), constant plan
+      size, and per-batch O(B·C·d) vectorized work.
+
+    Each query probes its ``n_probe`` nearest cells; scoring happens only
+    inside probed cells via a cell-key equi-join, so compute drops from
+    O(Q·N) to O(Q·N·n_probe/n_centroids) and the join shuffles on a
+    low-cardinality key AQE can rebalance.
 
     Returns (query_id, neighbor_id, cosine, rank) — recall < brute force by
     construction; pair with :func:`brute_force_topk` to measure it.
@@ -160,36 +253,50 @@ def ivf_topk(
     if not cents:
         raise ValueError("empty centroid set")
 
-    def cell_scores(vec: str, norm: str) -> F.Column:
-        """array<struct<a: cos-to-centroid (9dp), i: centroid id>>."""
-        entries = []
-        for cid, cvec in cents:
-            clit = F.array(*[F.lit(float(x)) for x in cvec])
-            cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
-            cos = F.round(
-                vectors.dot(F.col(vec), clit) / (F.col(norm) * cnorm), 9
+    if len(cents) <= inline_centroid_limit:
+        def cell_scores(vec: str, norm: str) -> F.Column:
+            """array<struct<a: cos-to-centroid (9dp), i: centroid id>>."""
+            entries = []
+            for cid, cvec in cents:
+                clit = F.array(*[F.lit(float(x)) for x in cvec])
+                cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+                cos = F.round(
+                    vectors.dot(F.col(vec), clit) / (F.col(norm) * cnorm), 9
+                )
+                entries.append(F.struct(cos.alias("a"),
+                                        F.lit(int(cid)).alias("i")))
+            return F.array(*entries)
+
+        def assign_expr(vec: str, norm: str) -> F.Column:
+            return F.array_max(cell_scores(vec, norm))["i"]
+
+        def probe_expr(vec: str, norm: str) -> F.Column:
+            return F.transform(
+                F.slice(
+                    F.sort_array(cell_scores(vec, norm), asc=False),
+                    1, n_probe,
+                ),
+                lambda s: s["i"],
             )
-            entries.append(F.struct(cos.alias("a"),
-                                    F.lit(int(cid)).alias("i")))
-        return F.array(*entries)
+    else:
+        probe_cells = _centroid_probe_udf(cents, n_probe)
+        assign_cell = _centroid_probe_udf(cents, 1)
+
+        def assign_expr(vec: str, norm: str) -> F.Column:
+            return assign_cell(F.col(vec))[0]
+
+        def probe_expr(vec: str, norm: str) -> F.Column:
+            return probe_cells(F.col(vec))
 
     assigned = prepped.select(
         "c_id", "c_vec", "c_norm",
-        F.array_max(cell_scores("c_vec", "c_norm"))["i"].alias("cell"),
+        assign_expr("c_vec", "c_norm").alias("cell"),
     )
 
     qp = _prep(queries, id_col, vec_col, "q")
     probes = qp.select(
         "q_id", "q_vec", "q_norm",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.sort_array(cell_scores("q_vec", "q_norm"), asc=False),
-                    1, n_probe,
-                ),
-                lambda s: s["i"],
-            )
-        ).alias("cell"),
+        F.explode(probe_expr("q_vec", "q_norm")).alias("cell"),
     )
 
     scored = (
@@ -216,6 +323,7 @@ def quantized_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    broadcast_guard: str = "warn",
 ) -> DataFrame:
     """Top-k cosine neighbors over int8-quantized codes: the memory path.
 
@@ -252,6 +360,7 @@ def quantized_topk(
 
     q = _codes(queries, "query")
     c = _codes(corpus, "neighbor")
+    _guard_broadcast(q, "quantized_topk", broadcast_guard)
     qcos = F.round(
         F.when(
             (F.col("query_qq") == 0) | (F.col("neighbor_qq") == 0),

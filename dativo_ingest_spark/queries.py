@@ -2161,38 +2161,46 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 # (tests/test_oracle_parity.py, all 57 green) — got none, byte-identically
 # across rounds. Registration order is therefore a proof-surface budget.
 #
-# Queries demoted here are redundant *siblings* — their operator family
-# already holds two green driver rows (r01+r02) from the queries that remain
-# in the window: coercion (contract_cast_strict_events,
-# coerce_timestamp_ladder stay), windows (topn, running stay), set ops
-# (union_except stays), grouped aggregates (rollup, grouping_sets stay),
-# joins (semi, left stay), incremental (cursor_filter, state_update stay),
-# text analysis (quality_features, lang_id stay; token_counts/fingerprints
-# demoted r3 to admit the new pii_scrub/repetition_quality queries), dedup
-# (exact/ngram/minhash/corpus/curation — five rows — stay; simhash demoted
-# r3 to admit benchmark_decontamination), scalar library (json_props +
-# array HOFs stay as the family reps; scalar_functions_orders demoted r3
-# to admit pack_training_sequences).
+# ROUND-5 ROTATION: the 15 queries demoted in r1-r3 never earned a driver
+# CORRECTNESS row (the window never rotated — r4 verdict item #5). This
+# round the rotation inverts: the 15 previously-demoted queries are all
+# promoted into the 50-row window, and 15 queries already holding green
+# driver rows in BOTH r3 and r4 rotate out. Every family keeps at least one
+# in-window representative:
+#   TPC-H (q1/q3/q5/q4 stay; q6 out), windows (topn stays + lag in;
+#   running out), set ops (intersect in; union_except out), coercion
+#   (contract_cast stays + boolean_tokens in; timestamp_ladder out),
+#   NA/validation (contract_cast, warn_union stay; na_sentinel out),
+#   incremental (cursor_filter stays + lookback in; state_update out),
+#   text (quality stays + token_counts/fingerprints in; lang_id out),
+#   textops (tfidf/repetition/pii stay; boilerplate out), ANN
+#   (ivf/quantized/embedding stay; bruteforce out), mdkv (row_per_kv stays
+#   + document_level in; encode out), dedup (exact/minhash/corpus/curation/
+#   decontamination stay + simhash in; ngram_jaccard out), streaming-batch
+#   (tumbling/interval stay; session out), sampling (hash_split/pack stay;
+#   stratified out), scalar (array HOFs stay + scalar_functions/stats in;
+#   json_props out), grouped aggs (rollup/grouping_sets stay + cube/having/
+#   distinct in; pivot out), joins (semi stays + left/anti in).
 # Every demoted query still runs, value-checked against DuckDB, in the local
 # parity suite. Register any NEW query above this block so it lands inside
 # the driver window.
 # ---------------------------------------------------------------------------
 _GATE_DEMOTED = [
-    "token_counts_docs",
-    "doc_fingerprints",
-    "agg_having_big_customers",
-    "mdkv_document_level_stats",
-    "join_left_order_nation",
-    "agg_distinct_users_by_type",
-    "dedup_simhash",
-    "scalar_functions_orders",
-    "coerce_boolean_tokens",
-    "window_lag_value_delta",
-    "set_intersect_segments",
-    "agg_cube_events",
-    "join_anti_customers_without_orders",
-    "incremental_lookback_filter",
-    "stats_summary_lineitem",
+    "q6_revenue_forecast",
+    "window_running_value_per_user",
+    "set_union_except",
+    "coerce_timestamp_ladder",
+    "na_sentinel_required_filter",
+    "incremental_state_update",
+    "lang_id_markers",
+    "boilerplate_ngram_filter",
+    "ann_topk_bruteforce",
+    "mdkv_encode_docs",
+    "dedup_ngram_jaccard",
+    "events_session_windows",
+    "sample_stratified_by_lang",
+    "json_props_extract",
+    "pivot_event_type_by_user_bucket",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

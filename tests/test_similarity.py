@@ -88,3 +88,67 @@ def test_quantize_codes_bounded_and_zero_guarded(spark):
     assert out[1]["q"] == [127, -64, 32]   # max |x| maps to ±127
     assert out[2]["q"] == [0, 0, 0] and out[2]["qq"] == 0
     assert all(-127 <= c <= 127 for c in out[1]["q"])
+
+
+def test_ivf_udf_path_matches_literal_path(spark):
+    """Forcing the pandas-UDF centroid scorer (inline_centroid_limit=0)
+    reproduces the inlined-literal path's results exactly — same 9dp
+    rounding, same tie-to-higher-cell-id ordering."""
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    lit_rows = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+                similarity.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                                    n_centroids=8, n_probe=2).collect()}
+    udf_rows = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in
+                similarity.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                                    n_centroids=8, n_probe=2,
+                                    inline_centroid_limit=0).collect()}
+    assert lit_rows == udf_rows
+
+
+def test_ivf_scales_past_inline_limit(spark):
+    """n_centroids above IVF_INLINE_CENTROID_LIMIT switches to the
+    pandas-UDF scorer: recall holds and the plan stays O(1) in the
+    centroid count (no literal explosion)."""
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                         k=10).collect()}
+    df = similarity.ivf_topk(emb, q, "vec_id", "embedding", k=10,
+                             n_centroids=128, n_probe=32)
+    approx = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    assert len(exact & approx) / len(exact) >= 0.5
+    # plan-size bound: 128 centroids x 64 dims inlined would be ~8k+
+    # literals; the UDF plan must not carry them
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
+
+
+def test_broadcast_guard_warn_and_error(spark, caplog):
+    import logging
+
+    import pytest
+
+    emb = load(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        with pytest.raises(ValueError, match="exceeds"):
+            similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                        k=5, broadcast_guard="error")
+        with pytest.raises(ValueError, match="exceeds"):
+            similarity.quantized_topk(emb, q, "vec_id", "embedding",
+                                      k=5, broadcast_guard="error")
+        with caplog.at_level(logging.WARNING,
+                             logger="dativo_ingest_spark.operators.similarity"):
+            similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=5)
+        assert any("exceeds" in r.message for r in caplog.records)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # guard off / within threshold: no exception, query still correct
+    rows = similarity.brute_force_topk(
+        emb, q.limit(2), "vec_id", "embedding", k=3,
+        broadcast_guard="off").collect()
+    assert len(rows) == 6

@@ -94,8 +94,11 @@ def main() -> None:
             # per-query isolation: drop caches left by prior queries (dedup
             # pipelines cache their gram/signature frames)
             spark.catalog.clearCache()
-            df = QUERIES[name].fn(spark, sf_dir)
+            # plan construction rides INSIDE the timer: operators that probe
+            # eagerly at build time (minhash's hot-bucket guard, IVF's
+            # centroid collect) must pay their cost in the measured number
             t0 = time.perf_counter()
+            df = QUERIES[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
     timings = {name: min(ts) for name, ts in runs.items()}

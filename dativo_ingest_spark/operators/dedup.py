@@ -109,6 +109,48 @@ def drop_hot_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     return bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
 
+#: ceiling for inlining the hot-bucket list as a literal NOT-IN filter;
+#: beyond it (a pathologically degenerate corpus) the guard falls back to
+#: the broadcast anti-join, whose memory stays bounded by the broadcast.
+MAX_INLINE_HOT_BUCKETS = 1024
+
+
+def _without_hot_buckets(bands: DataFrame, max_bucket_size: int,
+                         max_inline: int = MAX_INLINE_HOT_BUCKETS
+                         ) -> DataFrame:
+    """Hot-bucket guard with a driver-resolved fast path.
+
+    The r3 guard kept the bucket-size aggregate + broadcast anti-join as
+    *branches of the main plan*, which re-compiled the md5-heavy signature
+    subtree per branch and cost ~2x wall on the bench even when zero
+    buckets were hot. Here the hot list is resolved eagerly with one small
+    job over the (cached) gram pipeline, then:
+
+    * empty — the overwhelmingly common case: the main plan is returned
+      untouched, compiling exactly as if the guard were off;
+    * small (<= ``max_inline`` cells): inlined literal NOT-IN filter —
+      scan-stage, no join;
+    * large (a corpus where >1024 cells each hold >``max_bucket_size``
+      docs): broadcast anti-join fallback — memory bounded, never inlines
+      an unbounded literal list.
+
+    Eagerness is safe at 100 TB: the aggregate is a map-side-combined
+    count over O(docs x bands) rows, the same volume the self-join
+    shuffles anyway, and its result is O(hot cells), not O(docs)."""
+    big = (
+        bands.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > max_bucket_size)
+        .select("bucket")
+    )
+    hot = [r[0] for r in big.limit(max_inline + 1).collect()]
+    if not hot:
+        return bands
+    if len(hot) <= max_inline:
+        return bands.filter(~F.col("bucket").isin(hot))
+    return bands.join(F.broadcast(big), "bucket", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,36 +244,39 @@ def minhash_lsh_pairs(
     )
     num_bands = num_hashes // rows_per_band
     assert num_bands * rows_per_band == num_hashes
+    # Bucket key = band index prefixed onto the RAW signature slice. Only
+    # key *equality* matters for LSH banding, so hashing the slice (md5 in
+    # r2/r3) bought nothing: the raw concat is shorter than md5's 32 hex
+    # chars (band + 2x8 here), cheaper to produce, and shuffles less.
     bands = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"_s{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"_s{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(num_bands)
                 ]
             )
-        ).alias("bh"),
-    ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        ).alias("bucket"),
+    )
     if max_bucket_size is not None:
-        bands = drop_hot_buckets(bands, max_bucket_size)
+        # cache before the guard's eager count: the signature pipeline runs
+        # once (guard job materializes it), the self-join sides read the
+        # cached (id, bucket) rows — O(docs x bands x ~30B), spill-safe
+        bands = bands.cache()
+        bands = _without_hot_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

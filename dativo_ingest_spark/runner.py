@@ -25,6 +25,7 @@ divergence; `config/tags.py` produces the identical dict either way).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -36,6 +37,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark import catalog as catalog_mod
+from dativo_ingest_spark import infrastructure
 from dativo_ingest_spark.config import tags as tags_mod
 from dativo_ingest_spark.config import registry
 from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
@@ -62,11 +64,38 @@ class JobResult:
     duration_s: float = 0.0
     skipped: bool = False  # every source file unchanged (mtime skip)
     catalog_status: dict[str, Any] = dc_field(default_factory=dict)
+    infrastructure: dict[str, list[str]] = dc_field(default_factory=dict)
 
     @property
     def records_per_second(self) -> float:
         """Reference metrics.py:189-238 throughput counter."""
         return self.records_in / self.duration_s if self.duration_s else 0.0
+
+    def metrics(self) -> dict[str, Any]:
+        """End-of-job metrics summary, the scrape-able parity surface of
+        the reference collector (metrics.py:189-238): status +
+        execution_time_seconds + record counters + records_per_second.
+        Emitted as one structured log line by ``run_job``."""
+        status = {EXIT_SUCCESS: "success", EXIT_PARTIAL: "partial",
+                  EXIT_FAILURE: "failure"}[self.exit_code]
+        return {
+            "status": "skipped" if self.skipped else status,
+            "exit_code": self.exit_code,
+            "execution_time_seconds": round(self.duration_s, 3),
+            "records_extracted": self.records_in,
+            "records_valid": self.records_valid,
+            "records_invalid": self.records_invalid,
+            "records_loaded": 0
+            if (self.skipped or self.exit_code == EXIT_FAILURE)
+            else self.records_valid + (
+                # warn mode writes invalid rows too (annotated)
+                self.records_invalid if self.exit_code == EXIT_PARTIAL
+                else 0),
+            "records_per_second": round(self.records_per_second, 3),
+            "output_path": self.output_path,
+            "state_value": (str(self.state_value)
+                            if self.state_value is not None else None),
+        }
 
 
 def _state_key(job: JobConfig) -> incremental.StateKey:
@@ -184,13 +213,23 @@ def run_job(
     rejected before extraction."""
     registry.gate_job(job, mode)
     t0 = time.perf_counter()
+    # Warn-only preflight: endpoint reachability surfaces in logs/result,
+    # never in the exit code (reference cli.py:236-244 catches-and-logs).
+    infra = infrastructure.validate_infrastructure(job)
+
+    def _finish(res: JobResult) -> JobResult:
+        res.infrastructure = infra
+        logging.getLogger(__name__).info(
+            "job metrics: %s", json.dumps(res.metrics(), sort_keys=True))
+        return res
+
     store = incremental.StateStore(state_root) if state_root else None
     key = _state_key(job)
 
     df = _extract(spark, job, store)
     if df is None:
-        return JobResult(exit_code=EXIT_SUCCESS, skipped=True,
-                         duration_s=time.perf_counter() - t0)
+        return _finish(JobResult(exit_code=EXIT_SUCCESS, skipped=True,
+                                 duration_s=time.perf_counter() - t0))
 
     # Single-pass lifecycle: validation counters, the max-cursor state value
     # and the write all ride ONE source scan — observe() metrics on the
@@ -262,7 +301,30 @@ def run_job(
     write_mode = str(job.target.options.get("mode", "append"))
     commit_mode = str(job.target.options.get("commit", "hive"))
     table = None
-    if commit_mode == "table":
+    if commit_mode == "iceberg":
+        # Real-Iceberg path (jar-present deployments): validate the catalog
+        # config BEFORE any data is staged (fail-at-startup, exit 2), stage
+        # to a scratch dir so strict mode can still abort pre-commit, then
+        # hand the staged rows to the native writeTo() snapshot commit.
+        from dativo_ingest_spark.sinks import iceberg_sink
+
+        iceberg_sink.require_available(spark, job.target.table)
+        if out_path:
+            stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
+        else:
+            import tempfile
+
+            stage = tempfile.mkdtemp(prefix="dativo_iceberg_stage_")
+        staged_df, pcols = parquet_sink.with_partition_columns(
+            to_write, job.target.partition_by)
+        probe_staged, _ = parquet_sink.with_partition_columns(
+            probe, job.target.partition_by)
+        parquet_sink.write_partitioned(
+            staged_df, stage, [],
+            target_file_size_mb=job.target.target_file_size_mb,
+            mode="overwrite", probe_df=probe_staged,
+        )
+    elif commit_mode == "table":
         # Snapshot-commit sink: staged files are invisible until the
         # manifest lands, so strict-mode abort and crash-at-any-point both
         # leave the table exactly as it was (no rename loop, no delete
@@ -297,9 +359,9 @@ def run_job(
 
     if mode == "strict" and invalid_count:
         shutil.rmtree(stage, ignore_errors=True)
-        if table is None:
+        if table is None and out_path:
             _prune_staging(out_path)
-        return JobResult(
+        return _finish(JobResult(
             exit_code=EXIT_FAILURE,
             records_in=n_rows,
             records_valid=n_valid,
@@ -307,7 +369,7 @@ def run_job(
             # failure path only: one extra capped scan for the sample
             error_sample=result.error_summary(),
             duration_s=time.perf_counter() - t0,
-        )
+        ))
 
     if table is not None:
         # branch-per-tenant (the reference's Nessie default: branch =
@@ -346,10 +408,29 @@ def run_job(
                 properties=props,  # the Iceberg TBLPROPERTIES analog
                 branch=branch,
             )
+    elif commit_mode == "iceberg":
+        from dativo_ingest_spark.sinks import iceberg_sink
+
+        merge_keys = [k.strip() for k in
+                      str(job.target.options.get("merge_keys", "")
+                          ).split(",") if k.strip()]
+        iceberg_sink.commit(
+            spark, spark.read.parquet(stage), job.target.table,
+            mode=write_mode,
+            branch=job.target.branch,
+            partition_by=pcols,
+            properties=props,  # real TBLPROPERTIES on this path
+            merge_keys=merge_keys or None,
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+        if out_path:
+            _prune_staging(out_path)
     else:
         _publish_staging(stage, out_path, write_mode)
-    with open(os.path.join(out_path, "_dativo_properties.json"), "w") as fh:
-        json.dump(props, fh, indent=2, sort_keys=True)
+    if out_path:
+        props_path = os.path.join(out_path, "_dativo_properties.json")
+        with open(props_path, "w") as fh:
+            json.dump(props, fh, indent=2, sort_keys=True)
 
     # informational warn-mode sample: capped scan, only when errors exist
     sample = result.error_summary() if (invalid_count and result) else []
@@ -381,7 +462,7 @@ def run_job(
         catalog_status = catalog_mod.push_after_commit(
             catalog, job, props, source_tags=source_tags)
 
-    return JobResult(
+    return _finish(JobResult(
         exit_code=EXIT_PARTIAL if invalid_count else EXIT_SUCCESS,
         records_in=n_rows,
         records_valid=n_valid,
@@ -393,7 +474,7 @@ def run_job(
         state_value=state_value,
         duration_s=time.perf_counter() - t0,
         catalog_status=catalog_status,
-    )
+    ))
 
 
 def _publish_staging(stage: str, out_path: str, mode: str) -> None:

@@ -416,6 +416,63 @@ def table_epoch_writer(table, branch: str = "main",
     return write_batch
 
 
+def iceberg_epoch_writer(table_ident: str, branch: str = "main",
+                         properties: dict[str, str] | None = None,
+                         query_id: str | None = None,
+                         checkpoint_dir: str | None = None,
+                         sink=None):
+    """foreachBatch callable committing each epoch as one REAL Iceberg
+    snapshot (jar-present deployments) — the native-catalog twin of
+    :func:`table_epoch_writer`, same exactly-once recipe: the committed
+    epoch id rides in TBLPROPERTIES under ``stream.epoch.{query_id}``
+    (Delta's txnAppId+txnVersion), so a replayed epoch reads a recorded
+    id >= its own and skips. ``sink`` is injectable for tests; defaults to
+    :mod:`dativo_ingest_spark.sinks.iceberg_sink`."""
+    if sink is None:
+        from dativo_ingest_spark.sinks import iceberg_sink as sink
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        key = f"stream.epoch.{qid()}"
+        last = sink.get_property(spark, table_ident, key)
+        if last is not None and int(last) >= epoch_id:
+            return
+        sink.commit(
+            spark, batch_df, table_ident, mode="append", branch=branch,
+            properties={**(properties or {}), key: str(epoch_id)},
+        )
+
+    return write_batch
+
+
+def stream_to_iceberg(
+    stream_df: DataFrame,
+    table_ident: str,
+    checkpoint_dir: str,
+    branch: str = "main",
+    available_now: bool = True,
+) -> None:
+    """Exactly-once streaming ingestion into a real Iceberg table:
+    ``foreachBatch`` + :func:`iceberg_epoch_writer` (requires the catalog
+    registered in the Spark conf — sinks/iceberg_sink.require_available)."""
+    from dativo_ingest_spark.sinks import iceberg_sink
+
+    iceberg_sink.require_available(stream_df.sparkSession, table_ident)
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(iceberg_epoch_writer(table_ident, branch,
+                                           checkpoint_dir=checkpoint_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+
+
 def stream_to_table(
     stream_df: DataFrame,
     table_root: str,

@@ -107,12 +107,16 @@ def test_pivot_single_scan_single_shuffle(spark):
 
 
 def test_dedup_guard_joins_are_broadcast(spark):
-    """The default-on skew guards must not add shuffles: the hot-gram /
-    hot-bucket lists anti-join in as broadcasts."""
+    """The default-on skew guards must not add shuffles: the hot-gram list
+    anti-joins in as a broadcast; the minhash hot-bucket guard resolves
+    driver-side (r5) — on a clean corpus the main plan carries NO guard
+    branch at all (no anti-join, no extra aggregate)."""
     plan = plan_of(spark, "dedup_ngram_jaccard")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     plan = plan_of(spark, "dedup_minhash_lsh")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # zero hot buckets -> untouched plan
+    # candidate self-join + verify joins only; no plan-side guard aggregate
+    assert plan.count("count(1)") == 0
 
 
 def test_pii_scrub_is_scan_stage(spark):

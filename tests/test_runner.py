@@ -435,3 +435,120 @@ def test_table_commit_merge_mode_requires_keys(spark, tmp_path):
 
     with _pytest.raises(ConfigError):
         runner.run_job(spark, JobConfig.from_dict(d))
+
+
+# --- real-Iceberg commit path (config-gated; no jar in this env) ----------
+
+
+def test_iceberg_commit_requires_catalog_config(spark, csv_file, tmp_path):
+    """commit=iceberg without a registered catalog fails at config time
+    (exit-2 class error, before any data is staged) and names the conf."""
+    d = job_dict(csv_file, str(tmp_path / "out"))
+    d["target"]["table"] = "lakehouse.db.people"
+    d["target"]["options"]["commit"] = "iceberg"
+    job = JobConfig.from_dict(d)
+    with pytest.raises(ConfigError, match="spark.sql.catalog.lakehouse"):
+        runner.run_job(spark, job)
+    # nothing staged, nothing published
+    assert not (tmp_path / "out").exists()
+
+
+def test_iceberg_commit_requires_three_part_table(spark, csv_file, tmp_path):
+    d = job_dict(csv_file, str(tmp_path / "out"))
+    d["target"]["table"] = "people"  # no catalog.db prefix
+    d["target"]["options"]["commit"] = "iceberg"
+    with pytest.raises(ConfigError, match="catalog.db.table"):
+        runner.run_job(spark, JobConfig.from_dict(d))
+
+
+def test_iceberg_commit_path_selected_with_mocked_catalog(
+        spark, csv_file, tmp_path, monkeypatch):
+    """With the catalog conf present, the runner stages, validates, then
+    hands the staged rows to iceberg_sink.commit — recorded here in place
+    of a live writeTo() (no Iceberg jar in this environment)."""
+    from dativo_ingest_spark.sinks import iceberg_sink
+
+    recorded = {}
+
+    def fake_commit(spark_, df, table_ident, mode="append", branch=None,
+                    partition_by=None, properties=None, merge_keys=None):
+        recorded.update(
+            rows=df.count(), table=table_ident, mode=mode, branch=branch,
+            partition_by=partition_by, merge_keys=merge_keys,
+            props={k: v for k, v in (properties or {}).items()
+                   if k.startswith("classification.fields")},
+        )
+        return {"table": table_ident, "branch": branch or "main",
+                "mode": mode}
+
+    monkeypatch.setattr(iceberg_sink, "commit", fake_commit)
+    spark.conf.set("spark.sql.catalog.lakehouse", "fake.CatalogImpl")
+    try:
+        d = job_dict(csv_file, str(tmp_path / "out"))
+        d["target"]["table"] = "lakehouse.db.people"
+        d["target"]["options"]["commit"] = "iceberg"
+        res = runner.run_job(spark, JobConfig.from_dict(d))
+    finally:
+        spark.conf.unset("spark.sql.catalog.lakehouse")
+    assert res.exit_code == runner.EXIT_SUCCESS
+    assert recorded["rows"] == 3
+    assert recorded["table"] == "lakehouse.db.people"
+    assert recorded["branch"] == "acme"  # branch-per-tenant default
+    assert recorded["props"] == {"classification.fields.name": "pii"}
+    # staging swept after commit
+    assert not list((tmp_path / "out" / "_staging").glob("*")) \
+        if (tmp_path / "out" / "_staging").exists() else True
+
+
+def test_iceberg_strict_abort_never_reaches_commit(
+        spark, tmp_path, monkeypatch):
+    from dativo_ingest_spark.sinks import iceberg_sink
+
+    called = []
+    monkeypatch.setattr(iceberg_sink, "commit",
+                        lambda *a, **k: called.append(1))
+    src = tmp_path / "bad.csv"
+    src.write_text("id,name\n1,alice\n,missing_id\n")
+    spark.conf.set("spark.sql.catalog.lakehouse", "fake.CatalogImpl")
+    try:
+        d = job_dict(str(src), str(tmp_path / "out"))
+        d["target"]["table"] = "lakehouse.db.people"
+        d["target"]["options"]["commit"] = "iceberg"
+        res = runner.run_job(spark, JobConfig.from_dict(d))
+    finally:
+        spark.conf.unset("spark.sql.catalog.lakehouse")
+    assert res.exit_code == runner.EXIT_FAILURE
+    assert called == []  # strict abort happens before the snapshot commit
+
+
+def test_iceberg_sink_helpers(spark):
+    from dativo_ingest_spark.sinks import iceberg_sink
+
+    assert iceberg_sink.branch_ident("c.db.t", None) == "c.db.t"
+    assert iceberg_sink.branch_ident("c.db.t", "main") == "c.db.t"
+    assert iceberg_sink.branch_ident("c.db.t", "acme") == "c.db.t.branch_acme"
+    assert not iceberg_sink.catalog_configured(spark, "nope_catalog")
+    spark.conf.set("spark.sql.catalog.c9", "x.Impl")
+    try:
+        assert iceberg_sink.catalog_configured(spark, "c9")
+        assert iceberg_sink.require_available(spark, "c9.db.t") == "c9"
+    finally:
+        spark.conf.unset("spark.sql.catalog.c9")
+
+    class _SQLRecorder:
+        def __init__(self):
+            self.stmts = []
+
+        def sql(self, stmt):
+            self.stmts.append(stmt)
+
+    rec = _SQLRecorder()
+    iceberg_sink.set_properties(rec, "c.db.t", {"a": "x'y", "b": "2"})
+    assert rec.stmts == [
+        "ALTER TABLE c.db.t SET TBLPROPERTIES ('a' = 'x''y', 'b' = '2')"]
+    rec2 = _SQLRecorder()
+    iceberg_sink.ensure_branch(rec2, "c.db.t", "acme")
+    assert rec2.stmts == [
+        "ALTER TABLE c.db.t CREATE BRANCH IF NOT EXISTS `acme`"]
+    iceberg_sink.ensure_branch(rec2, "c.db.t", "main")  # no-op
+    assert len(rec2.stmts) == 1

@@ -278,3 +278,51 @@ def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     ).select(bc["user_id"], "click_id", "purchase_id").collect()
     assert _norm(got) == _norm(expected)
     assert len(got) > 0
+
+
+def test_iceberg_epoch_writer_dedups_replayed_epochs(spark):
+    """The real-Iceberg epoch writer skips epochs at-or-below the recorded
+    TBLPROPERTIES watermark and stamps each commit with its epoch id
+    (recorded sink — no Iceberg jar in this environment)."""
+
+    class _RecorderSink:
+        def __init__(self):
+            self.committed = []
+            self.props = {}
+
+        def get_property(self, spark_, ident, key):
+            return self.props.get(key)
+
+        def commit(self, spark_, df, ident, mode, branch, properties):
+            self.committed.append(
+                (ident, mode, branch, int(properties["stream.epoch.q7"]),
+                 df.count()))
+            self.props.update(properties)
+
+    sink = _RecorderSink()
+    write = pipeline.iceberg_epoch_writer(
+        "lake.db.events", branch="acme", query_id="q7", sink=sink)
+    batch = spark.range(3)
+    write(batch, 0)
+    write(batch, 1)
+    write(batch, 1)   # replay: skipped
+    write(batch, 0)   # stale replay: skipped
+    write(batch, 2)
+    assert [e for (_, _, _, e, _) in sink.committed] == [0, 1, 2]
+    assert all(ident == "lake.db.events" and mode == "append"
+               and branch == "acme" and n == 3
+               for (ident, mode, branch, _, n) in sink.committed)
+
+
+def test_stream_to_iceberg_requires_catalog(spark, tmp_path):
+    import pytest
+
+    from dativo_ingest_spark.config.contracts import ConfigError
+
+    src = str(tmp_path / "s")
+    spark.range(3).write.mode("overwrite").parquet(src)
+    stream = pipeline.stream_from_files(spark, src,
+                                        spark.read.parquet(src).schema)
+    with pytest.raises(ConfigError, match="spark.sql.catalog"):
+        pipeline.stream_to_iceberg(stream, "lake.db.t",
+                                   str(tmp_path / "ckpt"))

@@ -1,0 +1,69 @@
+"""Document chunking for training-data pipelines (UDF-free, scan-stage).
+
+Splits long documents into sliding word-window chunks — the preprocessing
+step between curation and tokenization in an LLM data pipeline (context
+windows, embedding inputs, retrieval passages). Beyond the reference's
+surface (it has no text pipeline; SURVEY §2 LLM-operator family), built
+like the rest of this engine's text stack: pure ``pyspark.sql.functions``
+array expressions that run inside whole-stage codegen at the scan, so a
+100 TB corpus chunks with ZERO shuffles and linear cost.
+
+Chunk ``i`` of a document covers words ``[i*stride, i*stride+chunk_size)``
+(1-indexed slice below); the final chunk is the first whose window reaches
+the document's end — a ragged tail is kept, empty chunks never emitted.
+``stride < chunk_size`` yields overlapping chunks (the usual 25% overlap
+for retrieval corpora); ``stride == chunk_size`` is exact partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.functions import text
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """(id, chunk_id, n_tokens, chunk) sliding word-window chunks.
+
+    ``n_chunks = 1 + ceil((n_words - chunk_size) / stride)`` for documents
+    longer than one window, 1 otherwise (0 for empty docs). Integer-exact
+    arithmetic end-to-end so a SQL oracle reproduces values bit-for-bit.
+    """
+    if not 0 < stride <= chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    # No repartition here: at scale the parquet scan's file splits provide
+    # the parallelism and chunking stays a zero-shuffle scan-stage map;
+    # callers chunking a single small file can repartition themselves.
+    w = text.words(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("_n")
+    )
+    # ceil((n - size) / stride) + 1 via integer floor((n - size + stride - 1)
+    # / stride) + 1; guarded for the <= one-window cases
+    extra = F.floor(
+        (F.col("_n") - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    n_chunks = (
+        F.when(F.col("_n") <= 0, F.lit(0))
+        .when(F.col("_n") <= chunk_size, F.lit(1))
+        .otherwise(extra + 1)
+    )
+    idx = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = staged.select(
+        "id", "_w", F.explode(idx).alias("chunk_id"))
+    sl = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_size)
+    return chunked.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", sl).alias("chunk"),
+    )

@@ -111,6 +111,58 @@ def stratified_hash_sample(
     return df.filter(u < frac)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count_col: Column | str,
+    budget_tokens: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Per-group token-budget quota — the dataset-MIXING primitive
+    ("at most N tokens per source/language" when composing a training
+    mixture). Documents are admitted in deterministic salted-md5 order
+    until the group's running token total reaches the budget; the first
+    document crossing the line is kept, so a group with enough material
+    always reaches >= ``budget_tokens``.
+
+    Returns (``group_col``, id, n_tokens, cum_tokens) with cum_tokens the
+    group-wise running total INCLUDING the row. Determinism: the md5
+    order is a uniform shuffle of each group (unbiased sample of its
+    documents), stable across retries/engines — the same portability
+    contract as :func:`hash_split`.
+
+    Scale: one shuffle on the group key; the admission rule is a running
+    sum over an unbounded-preceding frame (WindowExec's O(1) accumulator).
+    Group skew = one sort per group; for single-giant-group mixtures,
+    pre-shard the group key and divide the budget across shards."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql.window import Window
+
+    tok = (F.col(token_count_col) if isinstance(token_count_col, str)
+           else token_count_col)
+    staged = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("id"),
+        tok.cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(id_col).cast("string"))).alias("_ord"),
+    )
+    w = (Window.partitionBy(group_col).orderBy("_ord", "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        staged.select(
+            group_col, "id", "n_tokens",
+            (cum_before + F.col("n_tokens")).alias("cum_tokens"),
+            cum_before.alias("_before"),
+        )
+        .filter(F.col("_before") < budget_tokens)
+        .drop("_before")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

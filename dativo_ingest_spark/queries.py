@@ -2151,6 +2151,83 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "chunk_documents_sliding",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, string_split(t, ' ') AS words, len(string_split(t, ' ')) AS nw
+      FROM norm WHERE t <> ''),
+    c AS (
+      SELECT doc_id, words, nw,
+             CASE WHEN nw <= 32 THEN 1
+                  ELSE ((nw - 32 + 23) // 24) + 1 END AS n_chunks
+      FROM w),
+    e AS (
+      SELECT doc_id, words, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id AS id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(words, chunk_id*24 + 1, chunk_id*24 + 32))
+                AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(words, chunk_id*24 + 1,
+                                      chunk_id*24 + 32), ' ') AS chunk
+    FROM e
+    """,
+    doc="sliding word-window document chunking (size 32, stride 24, ragged "
+        "tail kept) — the context-window/retrieval-passage prep step "
+        "(operators/chunking.py). Scan-stage array expressions, zero "
+        "shuffles at any corpus size.",
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import chunking
+
+    docs = load(spark, sf_dir, "documents")
+    return chunking.chunk_documents(docs, "doc_id", "text",
+                                    chunk_size=32, stride=24)
+
+
+@register(
+    "sample_token_budget",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    wc AS (
+      SELECT doc_id, lang,
+             CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+               AS n_tokens,
+             md5('budget|' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM norm),
+    cum AS (
+      SELECT lang, doc_id AS id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM wc)
+    SELECT lang, id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_before < 2000
+    """,
+    doc="per-language token-budget quota sampling (2000 words/lang, "
+        "deterministic salted-md5 admission order) — the dataset-mixing "
+        "primitive (operators/sampling.py:token_budget_sample). One "
+        "shuffle on the group key, O(1) running-sum window.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.functions import text as text_fns
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", text_fns.word_count(F.col("text")).alias("wc"))
+    return sampling.token_budget_sample(staged, "doc_id", "lang", "wc",
+                                        budget_tokens=2000)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2184,6 +2261,9 @@ def asof_last_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFra
 # Every demoted query still runs, value-checked against DuckDB, in the local
 # parity suite. Register any NEW query above this block so it lands inside
 # the driver window.
+# r5 additions chunk_documents_sliding + sample_token_budget sit at
+# positions 50-51 (just outside the window, local-parity-proven); rotate
+# them in next round against r5-proven siblings.
 # ---------------------------------------------------------------------------
 _GATE_DEMOTED = [
     "q6_revenue_forecast",

@@ -1,0 +1,96 @@
+"""Document chunking + token-budget sampling semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import chunking, sampling
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_chunk_exact_partitioning(spark):
+    """stride == chunk_size tiles the doc exactly: every word appears in
+    exactly one chunk, ragged tail kept."""
+    words = " ".join(f"w{i}" for i in range(10))
+    out = chunking.chunk_documents(_docs(spark, [(1, words)]), "doc_id",
+                                   "text", chunk_size=4, stride=4)
+    rows = sorted((r.chunk_id, r.n_tokens, r.chunk) for r in out.collect())
+    assert rows == [
+        (0, 4, "w0 w1 w2 w3"),
+        (1, 4, "w4 w5 w6 w7"),
+        (2, 2, "w8 w9"),
+    ]
+
+
+def test_chunk_overlap_and_boundaries(spark):
+    """stride < chunk_size overlaps: chunk i starts at word i*stride; the
+    last chunk is the first window reaching the end (no empty windows)."""
+    words = " ".join(f"w{i}" for i in range(7))
+    out = chunking.chunk_documents(_docs(spark, [(1, words)]), "doc_id",
+                                   "text", chunk_size=4, stride=2)
+    rows = sorted((r.chunk_id, r.chunk) for r in out.collect())
+    assert rows == [
+        (0, "w0 w1 w2 w3"),
+        (1, "w2 w3 w4 w5"),
+        (2, "w4 w5 w6"),
+    ]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunking.chunk_documents(
+        _docs(spark, [(1, "only three words"), (2, ""), (3, "   ")]),
+        "doc_id", "text", chunk_size=10, stride=5)
+    rows = [(r.id, r.chunk_id, r.chunk) for r in out.collect()]
+    assert rows == [(1, 0, "only three words")]  # empties emit nothing
+
+
+def test_chunk_rejects_bad_stride(spark):
+    with pytest.raises(ValueError, match="stride"):
+        chunking.chunk_documents(_docs(spark, [(1, "a b")]), "doc_id",
+                                 "text", chunk_size=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunking.chunk_documents(_docs(spark, [(1, "a b")]), "doc_id",
+                                 "text", chunk_size=4, stride=0)
+
+
+def test_token_budget_sample_quota_semantics(spark):
+    rows = [(i, "en" if i % 2 else "de", 100) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, wc bigint")
+    out = sampling.token_budget_sample(df, "doc_id", "lang", "wc",
+                                       budget_tokens=450)
+    got = [(r.lang, r.id, r.cum_tokens) for r in out.collect()]
+    per_lang = {}
+    for lang, _id, cum in got:
+        per_lang.setdefault(lang, []).append(cum)
+    # each group admits docs until crossing the budget: 5 docs x 100 = 500
+    for lang, cums in per_lang.items():
+        assert len(cums) == 5
+        assert max(cums) == 500  # first crossing kept -> reaches >= budget
+    # admission order is deterministic: rerun identical
+    again = [(r.lang, r.id, r.cum_tokens) for r in
+             sampling.token_budget_sample(df, "doc_id", "lang", "wc",
+                                          budget_tokens=450).collect()]
+    assert sorted(got) == sorted(again)
+    # no admitted row had already-met budget before it
+    assert all(cum - 100 < 450 for _, _, cum in got)
+
+
+def test_token_budget_sample_small_groups_kept_whole(spark):
+    df = spark.createDataFrame([(1, "fr", 30), (2, "fr", 30)],
+                               "doc_id bigint, lang string, wc bigint")
+    out = sampling.token_budget_sample(df, "doc_id", "lang", "wc",
+                                       budget_tokens=1000)
+    assert sorted((r.id, r.cum_tokens) for r in out.collect()) in (
+        [(1, 30), (2, 60)], [(1, 60), (2, 30)])  # order is hash-determined
+
+
+def test_token_budget_sample_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, "x", 1)],
+                               "doc_id bigint, lang string, wc bigint")
+    with pytest.raises(ValueError, match="positive"):
+        sampling.token_budget_sample(df, "doc_id", "lang", "wc", 0)

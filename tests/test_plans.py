@@ -49,7 +49,8 @@ def test_scan_stage_pipelines_shuffle_free(spark):
     # text analytics & mdkv encode are pure scan-stage pipelines: no shuffle
     for name in ("text_quality_features", "lang_id_markers",
                  "token_counts_docs", "doc_fingerprints",
-                 "mdkv_encode_docs", "multimodal_byte_stats"):
+                 "mdkv_encode_docs", "multimodal_byte_stats",
+                 "chunk_documents_sliding"):
         plan = plan_of(spark, name)
         assert n_exchanges(plan) == 0, f"{name} picked up a shuffle:\n{plan[:600]}"
 

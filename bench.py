@@ -24,6 +24,15 @@ from dativo_ingest_spark.queries import QUERIES  # noqa: E402
 
 #: headline subset: scan-agg, selective join, star join, windows, distinct,
 #: dedup (exact + minhash-LSH), ANN, and scan-stage text analytics.
+#:
+#: r4->r5 attribution note: r4's 2.4x headline regression (37.1s;
+#: dedup_minhash_lsh 13.7s, dedup_simhash 9.8s, parquet write 150k
+#: rows/s/core) re-measured on an idle r5 machine at byte-identical code as
+#: 15.6s / 2.7s / 1.8s / 219k-338k rows/s/core — the r4 numbers were
+#: external load, not code. The one real regression (minhash guard, r2
+#: 1.44s -> r3 4.03s) was fixed in r5 by resolving the hot-bucket cut
+#: driver-side (operators/dedup.py:_without_hot_buckets): 1.85s guards-on
+#: under the STRICTER r5 timer that now includes plan construction.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -372,3 +372,44 @@ def test_job_missing_secret_fails_at_config_time(tmp_path, monkeypatch):
     cfg.write_text(yaml.dump(job))
     with pytest.raises(ConfigError, match="unknown secret"):
         runner.load_job_with_secrets(str(cfg))
+
+
+def test_jdbc_job_with_secret_backed_url(spark, tmp_path, monkeypatch):
+    """The realistic secrets flow: a JDBC job whose connection URL and
+    credentials ride ${secret:...} placeholders resolved from the env
+    manager before extraction (reference startup order cli.py:201-217 —
+    secrets precede connector construction). Derby embedded accepts any
+    user/password, which proves the reader-option plumbing end-to-end."""
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    from pyspark.sql import functions as F
+
+    spark.range(0, 10).select(
+        F.col("id").alias("ID"), (F.col("id") * 2).alias("V")
+    ).write.format("jdbc").option("url", url).option("dbtable", "T").save()
+
+    monkeypatch.setenv("DATIVO_SECRET__ACME__DERBY__JSON",
+                       '{"url": "%s", "user": "app", "password": "pw"}' % url)
+    out = str(tmp_path / "out")
+    job = {
+        "tenant_id": "acme",
+        "secrets": {"manager": "env"},
+        "source": {
+            "type": "derby",
+            "options": {"url": "${secret:derby.url}",
+                        "user": "${secret:derby.user}",
+                        "password": "${secret:derby.password}",
+                        "table": "T"},
+        },
+        "target": {"type": "parquet", "path": out,
+                   "options": {"mode": "overwrite"}},
+        "asset": {"name": "t", "schema": [
+            {"name": "ID", "type": "integer", "required": True},
+            {"name": "V", "type": "integer", "required": True},
+        ]},
+    }
+    cfg = tmp_path / "job.yaml"
+    cfg.write_text(yaml.dump(job))
+    res = runner.run_job_file(spark, str(cfg))
+    assert res.exit_code == runner.EXIT_SUCCESS
+    assert res.records_valid == 10
+    assert spark.read.parquet(out).count() == 10

@@ -109,46 +109,48 @@ def drop_hot_buckets(bands: DataFrame, max_bucket_size: int) -> DataFrame:
     return bands.join(F.broadcast(big), ["band", "bucket"], "left_anti")
 
 
-#: ceiling for inlining the hot-bucket list as a literal NOT-IN filter;
-#: beyond it (a pathologically degenerate corpus) the guard falls back to
-#: the broadcast anti-join, whose memory stays bounded by the broadcast.
-MAX_INLINE_HOT_BUCKETS = 1024
+#: ceiling for inlining a hot-key list as a literal NOT-IN filter; beyond
+#: it (a pathologically degenerate corpus) the guard falls back to the
+#: broadcast anti-join, whose memory stays bounded by the broadcast.
+MAX_INLINE_HOT_KEYS = 1024
 
 
-def _without_hot_buckets(bands: DataFrame, max_bucket_size: int,
-                         max_inline: int = MAX_INLINE_HOT_BUCKETS
-                         ) -> DataFrame:
-    """Hot-bucket guard with a driver-resolved fast path.
+def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
+                      max_inline: int = MAX_INLINE_HOT_KEYS) -> DataFrame:
+    """Heavy-hitter cut with a driver-resolved fast path.
 
-    The r3 guard kept the bucket-size aggregate + broadcast anti-join as
-    *branches of the main plan*, which re-compiled the md5-heavy signature
-    subtree per branch and cost ~2x wall on the bench even when zero
-    buckets were hot. Here the hot list is resolved eagerly with one small
-    job over the (cached) gram pipeline, then:
+    The r3 guards kept the key-count aggregate + broadcast anti-join as
+    *branches of the main plan*, which re-compiled the md5-heavy upstream
+    subtree per branch and cost ~2x wall on the bench even when zero keys
+    were hot. Here the hot list is resolved eagerly with one small job,
+    then:
 
     * empty — the overwhelmingly common case: the main plan is returned
       untouched, compiling exactly as if the guard were off;
-    * small (<= ``max_inline`` cells): inlined literal NOT-IN filter —
+    * small (<= ``max_inline`` keys): inlined literal NOT-IN filter —
       scan-stage, no join;
-    * large (a corpus where >1024 cells each hold >``max_bucket_size``
-      docs): broadcast anti-join fallback — memory bounded, never inlines
-      an unbounded literal list.
+    * large (>``max_inline`` keys each above ``max_count``): broadcast
+      anti-join fallback — memory bounded, never inlines an unbounded
+      literal list.
 
-    Eagerness is safe at 100 TB: the aggregate is a map-side-combined
-    count over O(docs x bands) rows, the same volume the self-join
-    shuffles anyway, and its result is O(hot cells), not O(docs)."""
+    ONLY for callers whose upstream is already materialized (the dedup
+    pipelines cache their gram/signature frames): the eager job then costs
+    one cached pass + a map-side-combined count whose result is O(hot
+    keys), not O(rows). For single-pass pipelines over an uncached 100 TB
+    scan (benchmark_contamination) the plan-branch anti-join is the right
+    tool — an eager job there would be a second full corpus pass."""
     big = (
-        bands.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .filter(F.col("sz") > max_bucket_size)
-        .select("bucket")
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") > max_count)
+        .select(key_col)
     )
     hot = [r[0] for r in big.limit(max_inline + 1).collect()]
     if not hot:
-        return bands
+        return df
     if len(hot) <= max_inline:
-        return bands.filter(~F.col("bucket").isin(hot))
-    return bands.join(F.broadcast(big), "bucket", "left_anti")
+        return df.filter(~F.col(key_col).isin(hot))
+    return df.join(F.broadcast(big), key_col, "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -177,10 +179,13 @@ def ngram_jaccard_pairs(
     sizes = grams.select("id", F.size("grams").alias("n_grams"))
     inv = grams.select("id", F.explode("grams").alias("gram"))
     if max_gram_df is not None:
-        inv = drop_hot_grams(inv, max_gram_df)
+        # grams is cached above, so the guard resolves driver-side (one
+        # cheap job); on a clean corpus the self-join plan stays untouched
+        inv = _without_hot_keys(inv, "gram", max_gram_df)
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -271,7 +276,7 @@ def minhash_lsh_pairs(
         # once (guard job materializes it), the self-join sides read the
         # cached (id, bucket) rows — O(docs x bands x ~30B), spill-safe
         bands = bands.cache()
-        bands = _without_hot_buckets(bands, max_bucket_size)
+        bands = _without_hot_keys(bands, "bucket", max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -93,6 +93,12 @@ CONNECTORS: dict[str, ConnectorSpec] = {
         ConnectorSpec("jdbc", ("source", "target"), "database", "jdbc",
                       ("jdbc",), False, True, "updated_at",
                       extra={"requires_tables": True}),
+        # Custom Python reader plugins (reference plugins.py:616-723):
+        # allowed in cloud mode BECAUSE cloud mode force-sandboxes them
+        # (plugin_sandbox.should_sandbox_plugin; reference
+        # sandbox.py:1328-1363 gates identically).
+        ConnectorSpec("custom_python", ("source",), "plugin", "native",
+                      ("native",), True, True, "cursor"),
     ]
 }
 

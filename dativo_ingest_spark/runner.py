@@ -104,7 +104,8 @@ def _state_key(job: JobConfig) -> incremental.StateKey:
 
 
 def _extract(spark: SparkSession, job: JobConfig,
-             store: incremental.StateStore | None) -> DataFrame | None:
+             store: incremental.StateStore | None,
+             mode: str = "self_hosted") -> DataFrame | None:
     """Extractor dispatch on source.type (cli.py:453-614 analog)."""
     src = job.source
     inc = src.incremental
@@ -143,6 +144,31 @@ def _extract(spark: SparkSession, job: JobConfig,
 
     if src.type in ("postgres", "mysql", "derby", "jdbc"):
         return _extract_jdbc(spark, job, store)
+
+    if src.type == "custom_python":
+        # Custom reader plugin (reference cli.py:616-723), with the
+        # reference's sandbox gating: explicit sandbox.enabled wins, cloud
+        # mode jails by default (plugin_sandbox.should_sandbox_plugin).
+        from dativo_ingest_spark import plugin_sandbox
+        from dativo_ingest_spark import plugins as plugins_mod
+
+        spec = src.options.get("plugin")
+        schema = src.options.get("schema")
+        if not spec or not schema:
+            raise ConfigError(
+                "custom_python source needs options.plugin "
+                "('file.py:Class') and options.schema (DDL string)")
+        reader = plugin_sandbox.make_reader(
+            str(spec), dict(src.options), mode=mode,
+            plugin_config={k: v for k, v in src.options.items()
+                           if k == "sandbox"})
+        state = None
+        if store is not None and inc.enabled and inc.cursor_field:
+            s = store.get(key, inc.cursor_field)
+            if s is not None:
+                state = {inc.cursor_field: s}
+        return plugins_mod.reader_to_dataframe(spark, reader, str(schema),
+                                               state=state)
 
     raise ConfigError(
         f"source type '{src.type}' is not runnable in this environment "
@@ -226,7 +252,7 @@ def run_job(
     store = incremental.StateStore(state_root) if state_root else None
     key = _state_key(job)
 
-    df = _extract(spark, job, store)
+    df = _extract(spark, job, store, mode)
     if df is None:
         return _finish(JobResult(exit_code=EXIT_SUCCESS, skipped=True,
                                  duration_s=time.perf_counter() - t0))

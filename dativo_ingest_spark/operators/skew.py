@@ -1,0 +1,124 @@
+"""Shuffle-topology operators: bucketed co-located joins and skew salting.
+
+The two named techniques for 100 TB join/aggregation topology that the
+rest of the engine's declarative plans don't cover by themselves:
+
+* **Bucketing** (`write_bucketed` / `read_bucketed_join_ready`): persist a
+  table pre-shuffled on its join key so every later equi-join or
+  aggregation on that key is exchange-free — the "reuse a partitioning
+  across stages" move. A fact table joined daily against N dimensions
+  pays its shuffle once at write time instead of N times per day.
+  Backed by Spark's native ``bucketBy`` catalog tables (Hive-compatible
+  layout, bucket pruning, SMJ with zero Exchange when both sides share
+  the bucket spec).
+
+* **Salting** (`salted_join` / `two_phase_count`): when one join/group key
+  carries a disproportionate share of rows (the null key, the megacity,
+  the bot user), AQE's skew splitting handles joins it can see — but
+  pre-aggregation hot keys and deliberate replication joins still need
+  explicit salt. ``salted_join`` spreads the skewed LEFT side over
+  ``n_salts`` sub-keys and replicates the small RIGHT side once per salt
+  (deterministic — no ``rand()``, so retries/speculative tasks agree);
+  ``two_phase_count`` does map-side partial → salted partial → final
+  merge for grouped counts whose key histogram is pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table.
+
+    Both sides of a future join bucketed to the SAME ``num_buckets`` on
+    the join key produce a SortMergeJoin with no Exchange on either side
+    (and no Sort when ``sort_cols`` match). At 100 TB this converts the
+    recurring fact-join shuffle into a one-time write-side cost."""
+    writer = df.write.format("parquet").mode(mode) \
+        .bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket metadata rides the catalog —
+    a path read would lose it)."""
+    return spark.table(table)
+
+
+def salt_column(key, n_salts: int):
+    """Deterministic salt in [0, n_salts) from the key's own bytes (md5,
+    matching the engine's portable-hash convention): stable across
+    retries and engines, unlike ``rand()``-based salting."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_salts),
+    ).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skew-heavy frame against a smaller one with explicit
+    key salting: the skewed side gets a per-row salt derived from a
+    uniqueness column set (all its columns), the small side is replicated
+    ``n_salts``× via an exploded literal range, and the join runs on
+    (keys + salt) — one hot key becomes ``n_salts`` evenly-sized shuffle
+    keys. Output columns = the plain join's (salt/replica dropped).
+
+    Use when the small side is too big to broadcast but small enough to
+    replicate ``n_salts``×; for broadcast-able sides just broadcast, and
+    for plain joins AQE's skew split usually suffices. Cost model:
+    replication multiplies the small side's shuffle volume by
+    ``n_salts`` — keep it at the smallest value that caps the hot key."""
+    # salt from the whole row (concat of column hashes) so rows sharing a
+    # hot key still spread; deterministic for retry safety
+    row_key = F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in skewed.columns])
+    left = skewed.withColumn("_salt", salt_column(row_key, n_salts))
+    right = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = left.join(right, [*keys, "_salt"], how)
+    return joined.drop("_salt")
+
+
+def two_phase_count(
+    df: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    count_col: str = "n",
+) -> DataFrame:
+    """Grouped count immune to a pathological key histogram: first
+    aggregate on (keys + salt) — the hot key's rows split across
+    ``n_salts`` partial groups — then merge partials per key. Two small
+    shuffles instead of one shuffle with a straggler task.
+
+    Spark's own partial aggregation covers this when upstream partitions
+    are balanced; reach for the explicit form when a prior stage already
+    clustered the hot key into few partitions (e.g. reading back a
+    key-partitioned layout)."""
+    salted = df.withColumn(
+        "_salt",
+        salt_column(F.concat_ws("|", F.spark_partition_id(),
+                                F.monotonically_increasing_id()), n_salts),
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*keys).agg(
+        F.sum("_partial").cast("long").alias(count_col))

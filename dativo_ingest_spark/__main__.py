@@ -49,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dativo-ingest-spark")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument("--log-level", default="INFO")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     run_p = sub.add_parser("run", help="execute job(s) (cli.py:285 analog)")
@@ -68,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                        metavar="K=V")
 
     args = ap.parse_args(argv)
+    # structured JSON logs with credential redaction for the whole run
+    # (reference cli.py:184 setup_logging(redact_secrets=True))
+    from dativo_ingest_spark import obs
+
+    obs.setup_logging(level=args.log_level)
     try:
         spark = _spark(args)
         if args.cmd == "run":

@@ -95,7 +95,10 @@ def setup_logging(
     handler = logging.StreamHandler()
     handler.setFormatter(StructuredJSONFormatter(redact_secrets))
     logger.addHandler(handler)
-    logger.propagate = False
+    # propagation stays ON: the root logger has no handlers in a normal
+    # CLI process (no duplicate lines), and silencing it would hide these
+    # records from test harnesses / embedding applications that collect
+    # at the root
     if tenant_id:
         class _TenantFilter(logging.Filter):
             def filter(self, record: logging.LogRecord) -> bool:

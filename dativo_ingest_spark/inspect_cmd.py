@@ -52,6 +52,20 @@ def check_source(spark: SparkSession, src: SourceConfig) -> dict[str, Any]:
             return {"ok": False, "source_type": src.type,
                     "error": "no live database endpoint in this environment",
                     "details": {"would_run": q}}
+        if src.type == "custom_python":
+            # plugin check_connection through the same gated factory the
+            # runner uses (reference cli.py:1243-1599 routes plugin checks;
+            # sandboxed when config demands)
+            from dativo_ingest_spark import plugin_sandbox
+
+            reader = plugin_sandbox.make_reader(
+                str(src.options.get("plugin", "")), dict(src.options),
+                plugin_config={k: v for k, v in src.options.items()
+                               if k == "sandbox"})
+            res = reader.check_connection()
+            return {"ok": bool(res.success), "source_type": "custom_python",
+                    **({"details": {"message": res.message}} if res.success
+                       else {"error": res.message})}
         return {"ok": False, "source_type": src.type,
                 "error": f"unsupported source type '{src.type}'"}
     except Exception as exc:  # probe must never raise
@@ -81,4 +95,12 @@ def discover(spark: SparkSession, src: SourceConfig) -> list[dict[str, Any]]:
             "stream": os.path.splitext(os.path.basename(p))[0],
             "path": p, "modified_at": m,
         } for p, m in mdkv_source.list_markdown_files(src.path)]
+    if src.type == "custom_python":
+        from dativo_ingest_spark import plugin_sandbox
+
+        reader = plugin_sandbox.make_reader(
+            str(src.options.get("plugin", "")), dict(src.options),
+            plugin_config={k: v for k, v in src.options.items()
+                           if k == "sandbox"})
+        return [dict(obj) for obj in reader.discover().objects]
     return []

@@ -199,3 +199,21 @@ def test_custom_python_job_end_to_end(spark, plugin_file, tmp_path):
     assert res.exit_code == runner.EXIT_SUCCESS
     jailed_rows = spark.read.parquet(out2).collect()
     assert all("dativo_jail_" in r.cwd for r in jailed_rows)
+
+
+def test_check_and_discover_route_custom_python(spark, plugin_file):
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    src = SourceConfig.from_dict({
+        "type": "custom_python",
+        "options": {"plugin": f"{plugin_file}:GoodReader"}})
+    doc = inspect_cmd.check_source(spark, src)
+    assert doc == {"ok": True, "source_type": "custom_python",
+                   "details": {"message": "ok"}}
+    assert inspect_cmd.discover(spark, src) == [{"name": "t1"}]
+    # broken spec: probe reports, never raises
+    bad = SourceConfig.from_dict({
+        "type": "custom_python", "options": {"plugin": "/nope.py:C"}})
+    doc = inspect_cmd.check_source(spark, bad)
+    assert doc["ok"] is False and "not found" in doc["error"]

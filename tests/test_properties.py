@@ -204,3 +204,59 @@ def test_front_matter_requires_trailing_newline():
     rows = mdkv.parse_row_per_kv("---\na: 1\n---\n", "d", "t")
     assert [(r["section"], r["key"], r["value"]) for r in rows] == [
         ("_front_matter", "a", "1")]
+
+
+# --- secrets kernels (r5) ---------------------------------------------------
+
+_name = st.text(string.ascii_lowercase + "_", min_size=1, max_size=8)
+# excluded: quotes/backslash (stripped by the parser) and every
+# str.splitlines boundary (\n \r \v \f \x1c-\x1e) — a .env line cannot
+# contain its own line terminator
+_val = st.text(st.characters(codec="ascii",
+                             exclude_characters='"\'\\\n\r\x0b\x0c'
+                                                '\x1c\x1d\x1e'),
+               min_size=1, max_size=20)
+
+
+@given(st.dictionaries(_name, _val, min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_env_blob_roundtrip(env):
+    """KEY=VALUE serialization parses back to the same mapping (modulo
+    surrounding whitespace, which the parser strips)."""
+    from dativo_ingest_spark import secrets
+
+    blob = "\n".join(f"{k}={v}" for k, v in env.items())
+    assert secrets.parse_env_blob(blob) == {
+        k: v.strip() for k, v in env.items()}
+
+
+@given(st.dictionaries(_name, _val, min_size=1, max_size=5), _name)
+@settings(max_examples=50, deadline=None)
+def test_placeholder_resolution_total(loaded, extra_key):
+    """Every ${secret:k} for a known k resolves to the stored value; the
+    document's non-placeholder parts are untouched."""
+    from dativo_ingest_spark import secrets
+
+    doc = {k: "${secret:%s}" % k for k in loaded}
+    doc["plain"] = "no placeholders here"
+    out = secrets.resolve_placeholders(doc, loaded)
+    assert {k: out[k] for k in loaded} == loaded
+    assert out["plain"] == "no placeholders here"
+
+
+@given(st.dictionaries(
+    st.sampled_from(["password", "token", "api_key", "note", "path"]),
+    _val, min_size=1, max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_redact_text_preserves_json_validity(doc):
+    """Field-level credential scrubbing keeps every JSON document
+    parseable and never touches non-credential keys' values."""
+    import json as _json
+
+    from dativo_ingest_spark import obs
+
+    encoded = _json.dumps(doc)
+    red = _json.loads(obs.redact_text(encoded))
+    for k, v in doc.items():
+        if k in ("note", "path"):
+            assert red[k] == v

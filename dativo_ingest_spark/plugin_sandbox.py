@@ -200,12 +200,19 @@ class SubprocessSandbox:
     def _spawn(self, scratch: str) -> subprocess.Popen:
         env = {k: os.environ[k] for k in self.env_allowlist
                if k in os.environ}
-        return subprocess.Popen(
-            [self.python, "-c", _BOOTSTRAP],
-            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE, cwd=scratch, env=env, text=True,
-            start_new_session=True,  # its own group: timeout kills children
-        )
+        # stderr goes to a scratch FILE, not a pipe: a chatty plugin would
+        # fill a 64 KB stderr pipe we never drain mid-stream and stall
+        # until the watchdog kills it
+        stderr = open(os.path.join(scratch, "stderr.log"), "w")
+        try:
+            return subprocess.Popen(
+                [self.python, "-c", _BOOTSTRAP],
+                stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                stderr=stderr, cwd=scratch, env=env, text=True,
+                start_new_session=True,  # own group: timeout kills children
+            )
+        finally:
+            stderr.close()  # the child holds its own fd
 
     def stream(self, method: str, source_config: dict[str, Any],
                state: dict[str, Any] | None = None
@@ -260,7 +267,12 @@ class SubprocessSandbox:
                         f"plugin exceeded sandbox timeout "
                         f"({self.timeout:g}s)")
                 if rc != 0:
-                    err = (proc.stderr.read() or "")[-1000:]
+                    try:
+                        with open(os.path.join(scratch,
+                                               "stderr.log")) as fh:
+                            err = fh.read()[-1000:]
+                    except OSError:
+                        err = ""
                     raise SandboxError(
                         f"plugin sandbox exited {rc}: {err}")
             finally:

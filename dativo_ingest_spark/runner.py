@@ -570,6 +570,8 @@ def load_job_with_secrets(config_path: str,
     with open(config_path) as fh:
         doc = _yaml.safe_load(fh) or {}
     block = doc.pop("secrets", None) or {}
+    if isinstance(block, str):  # shorthand: `secrets: env`
+        block = {"manager": block}
     wants = block or secret_manager or \
         secrets_mod._PLACEHOLDER_RE.search(json.dumps(doc, default=str))
     if wants:

@@ -2228,6 +2228,57 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         budget_tokens=2000)
 
 
+@register(
+    "chunk_pack_pipeline",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, string_split(t, ' ') AS words,
+             len(string_split(t, ' ')) AS nw
+      FROM norm WHERE t <> ''),
+    c AS (
+      SELECT doc_id, nw,
+             CASE WHEN nw <= 32 THEN 1
+                  ELSE ((nw - 32 + 23) // 24) + 1 END AS n_chunks,
+             words
+      FROM w),
+    e AS (
+      SELECT doc_id, words, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+    chunks AS (
+      SELECT doc_id * 1000 + chunk_id AS id,
+             CAST(len(list_slice(words, chunk_id*24 + 1, chunk_id*24 + 32))
+                  AS BIGINT) AS n_tokens
+      FROM e),
+    sharded AS (
+      SELECT id, CAST(id % 16 AS BIGINT) AS shard, n_tokens FROM chunks)
+    SELECT id, shard, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY shard ORDER BY id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 64) AS BIGINT) AS pack_id
+    FROM sharded
+    """,
+    doc="composed training-data flow: sliding-window chunking (32/24) -> "
+        "sequence packing (64-token packs over 16 shards) — the two r5 "
+        "operators composing into the standard context-window prep "
+        "pipeline. Chunking is scan-stage; packing adds its one shard "
+        "shuffle; chunk ids = doc_id*1000 + chunk_id stay unique and "
+        "deterministic.",
+)
+def chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import chunking, sampling
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunking.chunk_documents(docs, "doc_id", "text",
+                                      chunk_size=32, stride=24)
+    staged = chunks.select(
+        (F.col("id") * 1000 + F.col("chunk_id")).alias("cid"), "n_tokens")
+    return sampling.pack_sequences(staged, "cid", "n_tokens",
+                                   budget_tokens=64, n_shards=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

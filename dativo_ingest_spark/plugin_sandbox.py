@@ -92,6 +92,10 @@ def _limit(res, value):
 
 def main():
     req = json.loads(sys.stdin.readline())
+    # the plugin SDK (BaseReader) must be importable inside the jail —
+    # the subprocess analog of the Docker image shipping the SDK
+    if req.get("sdk_path") and req["sdk_path"] not in sys.path:
+        sys.path.insert(0, req["sdk_path"])
     _limit(resource.RLIMIT_AS, req.get("memory_limit_bytes"))
     _limit(resource.RLIMIT_CPU, req.get("cpu_seconds"))
     _limit(resource.RLIMIT_FSIZE, req.get("file_size_bytes"))
@@ -182,9 +186,13 @@ class SubprocessSandbox:
 
     def _request(self, method: str, source_config: dict[str, Any],
                  state: dict[str, Any] | None) -> dict[str, Any]:
+        import dativo_ingest_spark as _pkg
+
         mb = 1024 * 1024
         return {
             "path": os.path.abspath(self.path),
+            "sdk_path": os.path.dirname(os.path.dirname(
+                os.path.abspath(_pkg.__file__))),
             "cls": self.cls_name,
             "method": method,
             "source_config": source_config,

@@ -56,18 +56,14 @@ class SlowReader(BaseReader):
 
 
 @pytest.fixture()
-def plugin_file(tmp_path, monkeypatch):
-    # the jailed interpreter must import dativo_ingest_spark: expose the
-    # repo on PYTHONPATH through the allowlist
-    monkeypatch.setenv("PYTHONPATH", "/root/repo")
+def plugin_file(tmp_path):
+    # no PYTHONPATH needed: the jail bootstrap inserts the SDK path itself
     p = tmp_path / "my_plugin.py"
     p.write_text(PLUGIN)
     return str(p)
 
 
 def _sandbox(plugin_file, cls="GoodReader", **kw):
-    kw.setdefault("env_allowlist",
-                  plugin_sandbox.DEFAULT_ENV_ALLOWLIST + ("PYTHONPATH",))
     return SubprocessSandbox(f"{plugin_file}:{cls}", **kw)
 
 
@@ -84,9 +80,7 @@ def test_gating_matches_reference():
 def test_scalar_calls_roundtrip(plugin_file, monkeypatch):
     monkeypatch.setenv("DATIVO_SECRET__T__PW", "leakme")
     reader = SandboxedReader(
-        f"{plugin_file}:GoodReader", {"start": 0},
-        {"env_allowlist": plugin_sandbox.DEFAULT_ENV_ALLOWLIST
-         + ("PYTHONPATH",)})
+        f"{plugin_file}:GoodReader", {"start": 0}, {})
     conn = reader.check_connection()
     assert conn.success and conn.message == "ok"
     disc = reader.discover()
@@ -97,9 +91,7 @@ def test_extract_streams_and_isolates_env(plugin_file, monkeypatch, tmp_path):
     """The jail sees neither the driver's secrets nor its cwd."""
     monkeypatch.setenv("DATIVO_SECRET__T__PW", "leakme")
     reader = SandboxedReader(
-        f"{plugin_file}:GoodReader", {"start": 10},
-        {"env_allowlist": plugin_sandbox.DEFAULT_ENV_ALLOWLIST
-         + ("PYTHONPATH",)})
+        f"{plugin_file}:GoodReader", {"start": 10}, {})
     batches = list(reader.extract())
     assert [len(b) for b in batches] == [2, 2]
     rows = [r for b in batches for r in b]
@@ -140,10 +132,7 @@ def test_make_reader_routes_by_gating(plugin_file):
     assert type(inproc).__name__ == "GoodReader"
     jailed = make_reader(
         f"{plugin_file}:GoodReader", {"start": 0},
-        plugin_config={"sandbox": {
-            "enabled": True,
-            "env_allowlist": plugin_sandbox.DEFAULT_ENV_ALLOWLIST
-            + ("PYTHONPATH",)}})
+        plugin_config={"sandbox": {"enabled": True}})
     assert isinstance(jailed, SandboxedReader)
 
 
@@ -151,9 +140,7 @@ def test_sandboxed_reader_feeds_dataframe(spark, plugin_file):
     """Drop-in for the existing plugin machinery: the jailed reader drains
     into a DataFrame exactly like an in-process one."""
     reader = SandboxedReader(
-        f"{plugin_file}:GoodReader", {"start": 0},
-        {"env_allowlist": plugin_sandbox.DEFAULT_ENV_ALLOWLIST
-         + ("PYTHONPATH",)})
+        f"{plugin_file}:GoodReader", {"start": 0}, {})
     df = plugins.reader_to_dataframe(
         spark, reader, "id long, env_leak string, cwd string")
     assert df.count() == 4
@@ -192,10 +179,7 @@ def test_custom_python_job_end_to_end(spark, plugin_file, tmp_path):
     assert spark.read.parquet(out1).count() == 4
 
     out2 = str(tmp_path / "o2")
-    res = runner.run_job(spark, job(out2, sandbox={
-        "enabled": True,
-        "env_allowlist": plugin_sandbox.DEFAULT_ENV_ALLOWLIST
-        + ("PYTHONPATH",)}))
+    res = runner.run_job(spark, job(out2, sandbox={"enabled": True}))
     assert res.exit_code == runner.EXIT_SUCCESS
     jailed_rows = spark.read.parquet(out2).collect()
     assert all("dativo_jail_" in r.cwd for r in jailed_rows)

@@ -55,6 +55,9 @@ HEADLINE = [
     "events_interval_join",
     "mdkv_row_per_kv",
     "multimodal_byte_stats",
+    # r5 additions: scan-stage chunking + one-shuffle budget sampling
+    "chunk_documents_sliding",
+    "sample_token_budget",
 ]
 
 

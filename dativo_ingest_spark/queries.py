@@ -2279,6 +2279,43 @@ def chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    budget_tokens=64, n_shards=16)
 
 
+@register(
+    "q14_promo_effect",
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    doc="TPC-H q14 analog (promotion effect by ship month): fact-to-dim "
+        "join where the part table broadcasts (explicit, matching the "
+        "small-dim policy) so the lineitem scan never shuffles before the "
+        "partial-aggregated month rollup. Completes query coverage of "
+        "every testdata table.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+            .alias("promo_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #

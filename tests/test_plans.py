@@ -166,3 +166,12 @@ def test_interval_join_shuffles_each_side_once(spark):
     plan = plan_of(spark, "events_interval_join")
     assert "NestedLoop" not in plan, plan[:800]
     assert n_exchanges(plan) <= 2, plan[:800]
+
+
+def test_q14_part_broadcasts(spark):
+    """q14: the part dim must broadcast — the lineitem scan's only
+    exchange is the month-rollup aggregation."""
+    plan = plan_of(spark, "q14_promo_effect")
+    assert "BroadcastHashJoin" in plan
+    assert n_exchanges(plan) == 1, plan[:600]
+    assert "partial_" in plan  # map-side combine below the agg exchange

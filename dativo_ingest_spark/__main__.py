@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--path")
         p.add_argument("--option", action="append", default=[],
                        metavar="K=V")
+        p.add_argument("--mode", default="self_hosted",
+                       choices=("self_hosted", "cloud"),
+                       help="deployment mode; cloud force-jails "
+                            "custom_python probes")
 
     args = ap.parse_args(argv)
     # structured JSON logs with credential redaction for the whole run
@@ -97,10 +101,10 @@ def main(argv: list[str] | None = None) -> int:
         src = SourceConfig.from_dict(
             {"type": args.type, "path": args.path, "options": opts})
         if args.cmd == "check":
-            doc = inspect_cmd.check_source(spark, src)
+            doc = inspect_cmd.check_source(spark, src, mode=args.mode)
             print(json.dumps(doc))
             return 0 if doc.get("ok") else EXIT_FAILURE
-        doc = inspect_cmd.discover(spark, src)
+        doc = inspect_cmd.discover(spark, src, mode=args.mode)
         print(json.dumps(doc))
         return 0
     except ConfigError as exc:

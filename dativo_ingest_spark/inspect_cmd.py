@@ -20,9 +20,16 @@ from dativo_ingest_spark.config.contracts import SourceConfig
 from dativo_ingest_spark.sources import csv_source, jdbc, mdkv_source
 
 
-def check_source(spark: SparkSession, src: SourceConfig) -> dict[str, Any]:
+def check_source(spark: SparkSession, src: SourceConfig,
+                 mode: str = "self_hosted") -> dict[str, Any]:
     """Connection/readability probe. Never raises — returns
-    ``{"ok": bool, "source_type": ..., "details"/"error": ...}``."""
+    ``{"ok": bool, "source_type": ..., "details"/"error": ...}``.
+
+    ``mode`` is the deployment mode and reaches the plugin factory: cloud
+    mode force-jails custom_python probes exactly like the runner does —
+    check/discover execute plugin code too, so they get the same sandbox
+    gating (the reason custom_python is cloud-allowed at all,
+    config/registry.py)."""
     try:
         if src.type == "csv":
             files = [p for p, _ in csv_source.list_csv_files(src.path)]
@@ -60,6 +67,7 @@ def check_source(spark: SparkSession, src: SourceConfig) -> dict[str, Any]:
 
             reader = plugin_sandbox.make_reader(
                 str(src.options.get("plugin", "")), dict(src.options),
+                mode=mode,
                 plugin_config={k: v for k, v in src.options.items()
                                if k == "sandbox"})
             res = reader.check_connection()
@@ -72,8 +80,10 @@ def check_source(spark: SparkSession, src: SourceConfig) -> dict[str, Any]:
         return {"ok": False, "source_type": src.type, "error": str(exc)}
 
 
-def discover(spark: SparkSession, src: SourceConfig) -> list[dict[str, Any]]:
-    """Stream listing: one entry per discoverable stream with its columns."""
+def discover(spark: SparkSession, src: SourceConfig,
+             mode: str = "self_hosted") -> list[dict[str, Any]]:
+    """Stream listing: one entry per discoverable stream with its columns.
+    ``mode`` gates plugin sandboxing exactly as in :func:`check_source`."""
     if src.type == "csv":
         streams = []
         for path, mtime in csv_source.list_csv_files(src.path):
@@ -100,6 +110,7 @@ def discover(spark: SparkSession, src: SourceConfig) -> list[dict[str, Any]]:
 
         reader = plugin_sandbox.make_reader(
             str(src.options.get("plugin", "")), dict(src.options),
+            mode=mode,
             plugin_config={k: v for k, v in src.options.items()
                            if k == "sandbox"})
         return [dict(obj) for obj in reader.discover().objects]

@@ -36,6 +36,30 @@ _SECRET_KEY_RE = re.compile(
     re.IGNORECASE,
 )
 
+# Secret-value masking filters registered via secrets.redactor(). They are
+# attached to HANDLERS, not loggers: logging evaluates logger-level filters
+# only on the logger a record was created on, so a filter on the root (or
+# package) logger never sees records propagated up from module loggers
+# (dativo_ingest_spark.sources.jdbc etc.) — which is where credential
+# material actually gets logged. Handler filters DO run for propagated
+# records. The registry lets a later setup_logging() re-attach every live
+# filter to its replacement handler.
+_SECRET_FILTERS: list[logging.Filter] = []
+
+
+def register_secret_filter(filt: logging.Filter) -> None:
+    """Attach a secret-masking filter to every handler that currently
+    renders engine records (the package logger's handlers plus any root
+    handlers), and remember it so :func:`setup_logging` re-attaches it when
+    it replaces the handler."""
+    if filt not in _SECRET_FILTERS:
+        _SECRET_FILTERS.append(filt)
+    for lg in (logging.getLogger("dativo_ingest_spark"),
+               logging.getLogger()):
+        for handler in lg.handlers:
+            if filt not in handler.filters:
+                handler.addFilter(filt)
+
 
 def redact_text(text: str) -> str:
     """Scrub values of credential-shaped keys (reference
@@ -70,7 +94,10 @@ class StructuredJSONFormatter(logging.Formatter):
                 except (TypeError, ValueError):
                     doc[key] = str(value)
         if record.exc_info and record.exc_info[0] is not None:
-            doc["exception"] = self.formatException(record.exc_info)[-2000:]
+            # prefer exc_text: a SecretRedactingFilter pre-renders the
+            # traceback there with exact-value masking applied
+            exc = record.exc_text or self.formatException(record.exc_info)
+            doc["exception"] = exc[-2000:]
         if self.redact_secrets:
             # redact field-by-field BEFORE encoding: scrubbing the encoded
             # line would fight JSON escaping and can corrupt the document
@@ -94,6 +121,8 @@ def setup_logging(
     logger.handlers.clear()
     handler = logging.StreamHandler()
     handler.setFormatter(StructuredJSONFormatter(redact_secrets))
+    for filt in _SECRET_FILTERS:  # survive handler replacement
+        handler.addFilter(filt)
     logger.addHandler(handler)
     # propagation stays ON: the root logger has no handlers in a normal
     # CLI process (no duplicate lines), and silencing it would hide these

@@ -85,7 +85,25 @@ def salted_join(
     replicate ``n_salts``×; for broadcast-able sides just broadcast, and
     for plain joins AQE's skew split usually suffices. Cost model:
     replication multiplies the small side's shuffle volume by
-    ``n_salts`` — keep it at the smallest value that caps the hot key."""
+    ``n_salts`` — keep it at the smallest value that caps the hot key.
+
+    ``how`` is restricted to join types where replicating the RIGHT side
+    per salt preserves semantics: every left row carries exactly one salt,
+    so inner/left/semi/anti match each left row against exactly the one
+    replica sharing its salt. Right and full outer joins are rejected —
+    an unmatched right row exists once per replica and would surface
+    ``n_salts`` duplicate null-extended rows; salt the other side (swap
+    the arguments and use ``left``) instead."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not supported: replicating the "
+            f"small side per salt emits unmatched right rows n_salts "
+            f"times under right/full outer semantics. Allowed: inner, "
+            f"left, left_semi, left_anti, cross — for right/full, swap "
+            f"sides so the skewed frame stays on the left.")
     # salt from the whole row (concat of column hashes) so rows sharing a
     # hot key still spread; deterministic for retry safety
     row_key = F.concat_ws("|", *[F.col(c).cast("string")

@@ -555,7 +555,15 @@ def _leaf_values(value: Any) -> list[str]:
 class SecretRedactingFilter(logging.Filter):
     """Masks every loaded secret value in log output (reference:
     ``setup_logging(redact_secrets=True)``, cli.py:184). Values under 4
-    chars are skipped — masking 'a' would shred unrelated text."""
+    chars are skipped — masking 'a' would shred unrelated text.
+
+    Masks the rendered message AND the exception traceback: secret
+    material that rides exception text (a JDBC URL in an OperationalError,
+    say) doesn't match the key-pattern regex in obs.redact_text, so the
+    exact-value pass here is the only thing standing between it and the
+    log. The masked traceback is pre-rendered into ``record.exc_text``,
+    which both stdlib Formatter and obs.StructuredJSONFormatter prefer
+    over re-formatting ``exc_info``."""
 
     def __init__(self, secrets: dict[str, Any]):
         super().__init__()
@@ -563,19 +571,39 @@ class SecretRedactingFilter(logging.Filter):
         self._values = sorted(set(_leaf_values(secrets)), key=len,
                               reverse=True)
 
+    def mask(self, text: str) -> str:
+        for v in self._values:
+            if v in text:
+                text = text.replace(v, "***")
+        return text
+
     def filter(self, record: logging.LogRecord) -> bool:
         if self._values:
-            msg = record.getMessage()
-            for v in self._values:
-                if v in msg:
-                    msg = msg.replace(v, "***")
-            record.msg, record.args = msg, ()
+            record.msg, record.args = self.mask(record.getMessage()), ()
+            if record.exc_info and record.exc_info[0] is not None:
+                record.exc_text = self.mask(
+                    record.exc_text
+                    or logging.Formatter().formatException(record.exc_info))
         return True
 
 
 def redactor(secrets: dict[str, Any],
              logger: logging.Logger | None = None) -> SecretRedactingFilter:
-    """Attach (and return) a redaction filter for the loaded secrets."""
+    """Attach (and return) a redaction filter for the loaded secrets.
+
+    With no explicit ``logger`` the filter goes where it actually runs:
+    onto the HANDLERS rendering engine records (obs.register_secret_filter).
+    Logger-level filters only fire for records created on that exact
+    logger — a root-logger filter never sees records propagated from
+    ``dativo_ingest_spark.*`` module loggers, which is where credentials
+    get logged. The root LOGGER also gets the filter for records emitted
+    directly on it."""
     filt = SecretRedactingFilter(secrets)
-    (logger or logging.getLogger()).addFilter(filt)
+    if logger is not None:
+        logger.addFilter(filt)
+    else:
+        from dativo_ingest_spark import obs
+
+        obs.register_secret_filter(filt)
+        logging.getLogger().addFilter(filt)
     return filt

@@ -96,8 +96,7 @@ def set_properties(spark: SparkSession, table_ident: str,
 
 def get_property(spark: SparkSession, table_ident: str,
                  key: str) -> str | None:
-    """Read one TBLPROPERTIES value (None when absent / table missing) —
-    the streaming epoch-dedup watermark lives here."""
+    """Read one TBLPROPERTIES value (None when absent / table missing)."""
     try:
         rows = spark.sql(f"SHOW TBLPROPERTIES {table_ident}").collect()
     except Exception:
@@ -106,6 +105,27 @@ def get_property(spark: SparkSession, table_ident: str,
         if r[0] == key:
             return str(r[1])
     return None
+
+
+def get_snapshot_property(spark: SparkSession, table_ident: str,
+                          key: str) -> str | None:
+    """Latest snapshot-summary value for ``key`` across the table's
+    snapshot history (None when absent / table missing) — the streaming
+    epoch-dedup watermark lives here, NOT in TBLPROPERTIES: a summary
+    property is written atomically inside the data commit, so there is no
+    crash window between "data visible" and "epoch recorded". Scanning
+    history (not just the head) keeps the watermark readable when an
+    unrelated commit — compaction, another query's epoch — lands after
+    ours; the key is query-scoped so the newest occurrence is ours."""
+    safe = key.replace("'", "''")
+    try:
+        rows = spark.sql(
+            f"SELECT summary['{safe}'] FROM {table_ident}.snapshots "
+            f"WHERE summary['{safe}'] IS NOT NULL "
+            f"ORDER BY committed_at DESC LIMIT 1").collect()
+    except Exception:
+        return None
+    return str(rows[0][0]) if rows else None
 
 
 def commit(
@@ -117,6 +137,7 @@ def commit(
     partition_by: list[str] | None = None,
     properties: dict[str, str] | None = None,
     merge_keys: list[str] | None = None,
+    snapshot_properties: dict[str, str] | None = None,
 ) -> dict[str, Any]:
     """One atomic Iceberg commit via DataFrameWriterV2 / MERGE INTO.
 
@@ -126,12 +147,26 @@ def commit(
     upsert for >= cursor re-reads, same semantics as
     ``FsTable.merge_upsert``).
 
+    ``snapshot_properties`` ride INSIDE the snapshot commit via Iceberg's
+    ``snapshot-property.<key>`` write option — atomic with the data, unlike
+    ``properties`` (TBLPROPERTIES, a separate transaction after the write).
+    Exactly-once markers (the streaming epoch watermark) must use
+    snapshot_properties; governance metadata belongs in ``properties``.
+    Only the writeTo paths accept them (Spark SQL MERGE has no
+    per-statement snapshot-property hook), so ``merge`` raises rather than
+    silently downgrading atomicity.
+
     Returns a small status dict for the job result/logs."""
     require_available(spark, table_ident)
     ensure_branch(spark, table_ident, branch)
     ident = branch_ident(table_ident, branch)
 
     if mode == "merge":
+        if snapshot_properties:
+            raise ConfigError(
+                "snapshot_properties require the writeTo path "
+                "(mode=append/overwrite); MERGE INTO cannot attach them "
+                "atomically")
         if not merge_keys:
             raise ConfigError("target.options.mode=merge needs merge_keys")
         view = "dativo_merge_src"
@@ -143,6 +178,8 @@ def commit(
             f"WHEN NOT MATCHED THEN INSERT *")
     else:
         writer = df.writeTo(ident).using("iceberg")
+        for key, value in (snapshot_properties or {}).items():
+            writer = writer.option(f"snapshot-property.{key}", str(value))
         for col in partition_by or []:
             writer = writer.partitionedBy(df[col])
         if mode == "overwrite":

@@ -424,10 +424,15 @@ def iceberg_epoch_writer(table_ident: str, branch: str = "main",
     """foreachBatch callable committing each epoch as one REAL Iceberg
     snapshot (jar-present deployments) — the native-catalog twin of
     :func:`table_epoch_writer`, same exactly-once recipe: the committed
-    epoch id rides in TBLPROPERTIES under ``stream.epoch.{query_id}``
-    (Delta's txnAppId+txnVersion), so a replayed epoch reads a recorded
-    id >= its own and skips. ``sink`` is injectable for tests; defaults to
-    :mod:`dativo_ingest_spark.sinks.iceberg_sink`."""
+    epoch id rides in the SNAPSHOT SUMMARY under
+    ``stream.epoch.{query_id}`` (Delta's txnAppId+txnVersion), written
+    atomically inside the data commit via the ``snapshot-property.<key>``
+    write option and read back from snapshot history
+    (iceberg_sink.get_snapshot_property). TBLPROPERTIES would NOT be safe
+    here: a property write is a second transaction after the append, and
+    a crash in between would leave the epoch unrecorded — the replay
+    would append again (duplicates). ``sink`` is injectable for tests;
+    defaults to :mod:`dativo_ingest_spark.sinks.iceberg_sink`."""
     if sink is None:
         from dativo_ingest_spark.sinks import iceberg_sink as sink
 
@@ -436,12 +441,13 @@ def iceberg_epoch_writer(table_ident: str, branch: str = "main",
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         key = f"stream.epoch.{qid()}"
-        last = sink.get_property(spark, table_ident, key)
+        last = sink.get_snapshot_property(spark, table_ident, key)
         if last is not None and int(last) >= epoch_id:
             return
         sink.commit(
             spark, batch_df, table_ident, mode="append", branch=branch,
-            properties={**(properties or {}), key: str(epoch_id)},
+            properties=properties,
+            snapshot_properties={key: str(epoch_id)},
         )
 
     return write_batch

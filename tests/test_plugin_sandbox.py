@@ -201,3 +201,34 @@ def test_check_and_discover_route_custom_python(spark, plugin_file):
         "type": "custom_python", "options": {"plugin": "/nope.py:C"}})
     doc = inspect_cmd.check_source(spark, bad)
     assert doc["ok"] is False and "not found" in doc["error"]
+
+
+def test_check_and_discover_jail_in_cloud_mode(spark, plugin_file,
+                                               monkeypatch):
+    """check/discover execute plugin code, so cloud mode must route them
+    through the same sandbox gating as the runner — an in-process probe
+    would be an unjailed escape hatch for untrusted code."""
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    seen_modes = []
+    real = plugin_sandbox.make_reader
+
+    def recording(spec, source_config, mode="self_hosted",
+                  plugin_config=None):
+        seen_modes.append(mode)
+        return real(spec, source_config, mode=mode,
+                    plugin_config=plugin_config)
+
+    monkeypatch.setattr(plugin_sandbox, "make_reader", recording)
+    src = SourceConfig.from_dict({
+        "type": "custom_python",
+        "options": {"plugin": f"{plugin_file}:GoodReader"}})
+    # cloud probes succeed AND run jailed (gating says sandbox for .py)
+    doc = inspect_cmd.check_source(spark, src, mode="cloud")
+    assert doc["ok"] is True
+    assert inspect_cmd.discover(spark, src, mode="cloud") == [{"name": "t1"}]
+    assert seen_modes == ["cloud", "cloud"]
+    assert isinstance(real(f"{plugin_file}:GoodReader",
+                           {"plugin": f"{plugin_file}:GoodReader"},
+                           mode="cloud"), SandboxedReader)

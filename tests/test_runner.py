@@ -552,3 +552,45 @@ def test_iceberg_sink_helpers(spark):
         "ALTER TABLE c.db.t CREATE BRANCH IF NOT EXISTS `acme`"]
     iceberg_sink.ensure_branch(rec2, "c.db.t", "main")  # no-op
     assert len(rec2.stmts) == 1
+
+
+def test_iceberg_snapshot_property_read_and_merge_guard(spark):
+    from dativo_ingest_spark.sinks import iceberg_sink
+
+    class _SnapRecorder:
+        def __init__(self, rows):
+            self.rows = rows
+            self.stmts = []
+
+        def sql(self, stmt):
+            self.stmts.append(stmt)
+
+            class _R:
+                def __init__(self, rows):
+                    self._rows = rows
+
+                def collect(self):
+                    return self._rows
+
+            return _R(self.rows)
+
+    # reads the newest snapshot summary holding the key, quotes escaped
+    rec = _SnapRecorder([("41",)])
+    assert iceberg_sink.get_snapshot_property(
+        rec, "c.db.t", "stream.epoch.q'1") == "41"
+    assert "summary['stream.epoch.q''1']" in rec.stmts[0]
+    assert "ORDER BY committed_at DESC LIMIT 1" in rec.stmts[0]
+    assert iceberg_sink.get_snapshot_property(
+        _SnapRecorder([]), "c.db.t", "k") is None
+
+    # MERGE cannot carry snapshot properties atomically -> hard error,
+    # never a silent at-least-once downgrade
+    from dativo_ingest_spark.config.contracts import ConfigError
+    spark.conf.set("spark.sql.catalog.c10", "x.Impl")
+    try:
+        with pytest.raises(ConfigError, match="snapshot_properties"):
+            iceberg_sink.commit(
+                spark, spark.range(1), "c10.db.t", mode="merge",
+                merge_keys=["id"], snapshot_properties={"k": "1"})
+    finally:
+        spark.conf.unset("spark.sql.catalog.c10")

@@ -312,6 +312,56 @@ def test_redacting_filter_masks_values(caplog):
         logger.removeFilter(filt)
 
 
+def test_redactor_masks_propagated_child_logger_records(capsys):
+    """The real wiring: redactor() with no logger argument must mask
+    records created on MODULE loggers (dativo_ingest_spark.*) that only
+    reach output by propagating to the handler obs.setup_logging installed
+    on the package logger. Logger-level filters never run for propagated
+    records — the filter has to live on the handler."""
+    from dativo_ingest_spark import obs
+
+    obs.setup_logging()
+    pkg = logging.getLogger("dativo_ingest_spark")
+    try:
+        filt = secrets.redactor({"db": {"password": "hunter2-swordfish"}})
+        child = logging.getLogger("dativo_ingest_spark.sources.jdbc")
+        child.info("jdbc:postgresql://u:hunter2-swordfish@db/x")
+        try:
+            raise RuntimeError("auth failed for hunter2-swordfish")
+        except RuntimeError:
+            child.error("connect blew up", exc_info=True)
+        err = capsys.readouterr().err
+        assert "hunter2-swordfish" not in err
+        assert "***" in err
+        # the exception traceback is masked too, not just the message
+        assert "auth failed for ***" in err
+    finally:
+        pkg.handlers.clear()
+        logging.getLogger().removeFilter(filt)
+        obs._SECRET_FILTERS.clear()
+
+
+def test_redactor_survives_setup_logging_rerun(capsys):
+    """setup_logging() replaces the package handler (idempotent re-config);
+    a redactor registered before that must re-attach to the new handler."""
+    from dativo_ingest_spark import obs
+
+    obs.setup_logging()
+    pkg = logging.getLogger("dativo_ingest_spark")
+    try:
+        filt = secrets.redactor({"token": "tok-9f8e7d6c"})
+        obs.setup_logging(level="DEBUG")  # replaces the handler
+        logging.getLogger("dativo_ingest_spark.runner").info(
+            "using token tok-9f8e7d6c")
+        err = capsys.readouterr().err
+        assert "tok-9f8e7d6c" not in err
+        assert "***" in err
+    finally:
+        pkg.handlers.clear()
+        logging.getLogger().removeFilter(filt)
+        obs._SECRET_FILTERS.clear()
+
+
 # --- runner e2e: env-backed secrets resolve into a job ---------------------
 
 

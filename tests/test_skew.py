@@ -72,6 +72,21 @@ def test_salted_join_left_outer(spark, no_broadcast):
     assert rows == {(1, "a", "x"), (2, "b", "y"), (99, "c", None)}
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Replicating the small side per salt would emit each unmatched
+    right row n_salts times under right/full semantics — hard error, not
+    silent duplicates."""
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (7, "z")], "k long, w string")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="n_salts"):
+            skew.salted_join(left, right, ["k"], n_salts=4, how=how)
+    # the documented workaround still covers every unmatched-right need
+    got = skew.salted_join(right, left, ["k"], n_salts=4, how="left")
+    assert {(r.k, r.w, r.v) for r in got.collect()} == \
+        {(1, "x", "a"), (7, "z", None)}
+
+
 def test_salt_column_spreads_hot_key(spark):
     """Rows sharing one join key still spread across salts (the salt
     derives from the whole row, not the key)."""

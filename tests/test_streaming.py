@@ -282,22 +282,29 @@ def test_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
 
 def test_iceberg_epoch_writer_dedups_replayed_epochs(spark):
     """The real-Iceberg epoch writer skips epochs at-or-below the recorded
-    TBLPROPERTIES watermark and stamps each commit with its epoch id
+    snapshot-summary watermark and carries the epoch id ATOMICALLY inside
+    each commit via snapshot_properties — never as a post-commit property
+    write, which would open a crash window that duplicates the epoch
     (recorded sink — no Iceberg jar in this environment)."""
 
     class _RecorderSink:
         def __init__(self):
             self.committed = []
-            self.props = {}
+            self.snap_props = {}
 
-        def get_property(self, spark_, ident, key):
-            return self.props.get(key)
+        def get_snapshot_property(self, spark_, ident, key):
+            return self.snap_props.get(key)
 
-        def commit(self, spark_, df, ident, mode, branch, properties):
+        def commit(self, spark_, df, ident, mode, branch, properties,
+                   snapshot_properties):
+            # the epoch marker must arrive in THIS call's atomic payload,
+            # not ride the TBLPROPERTIES dict
+            assert "stream.epoch.q7" in snapshot_properties
+            assert not properties
             self.committed.append(
-                (ident, mode, branch, int(properties["stream.epoch.q7"]),
-                 df.count()))
-            self.props.update(properties)
+                (ident, mode, branch,
+                 int(snapshot_properties["stream.epoch.q7"]), df.count()))
+            self.snap_props.update(snapshot_properties)
 
     sink = _RecorderSink()
     write = pipeline.iceberg_epoch_writer(
@@ -312,6 +319,41 @@ def test_iceberg_epoch_writer_dedups_replayed_epochs(spark):
     assert all(ident == "lake.db.events" and mode == "append"
                and branch == "acme" and n == 3
                for (ident, mode, branch, _, n) in sink.committed)
+
+
+def test_iceberg_epoch_writer_crash_before_marker_is_safe(spark):
+    """Crash DURING the commit (data + marker are one atomic snapshot):
+    nothing is recorded, and the replayed epoch commits cleanly once —
+    the exact scenario the old TBLPROPERTIES recipe got wrong."""
+
+    class _CrashOnceSink:
+        def __init__(self):
+            self.snap_props = {}
+            self.commits = 0
+            self.crashed = False
+
+        def get_snapshot_property(self, spark_, ident, key):
+            return self.snap_props.get(key)
+
+        def commit(self, spark_, df, ident, mode, branch, properties,
+                   snapshot_properties):
+            if not self.crashed:
+                self.crashed = True
+                raise RuntimeError("executor lost mid-commit")
+            self.commits += 1
+            self.snap_props.update(snapshot_properties)
+
+    sink = _CrashOnceSink()
+    write = pipeline.iceberg_epoch_writer(
+        "lake.db.events", query_id="q8", sink=sink)
+    batch = spark.range(3)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        write(batch, 0)           # atomic commit fails: no data, no marker
+    write(batch, 0)               # replay: commits exactly once
+    write(batch, 0)               # second replay: skipped via marker
+    assert sink.commits == 1
+    assert sink.snap_props == {"stream.epoch.q8": "0"}
 
 
 def test_stream_to_iceberg_requires_catalog(spark, tmp_path):

@@ -296,3 +296,36 @@ def documents_from_markdown(df: DataFrame, doc_id_col: str, content_col: str,
     """document_level storage shape: 1 doc → 1 nested row."""
     return _map_in_pandas_parse(df, doc_id_col, content_col, extracted_at,
                                 row_per_kv=False)
+
+
+def hybrid_from_markdown(df: DataFrame, doc_id_col: str, content_col: str,
+                         extracted_at: str = "1970-01-01T00:00:00") -> DataFrame:
+    """``hybrid`` structured pattern: row_per_kv ∪ document_level — flat KV
+    rows (join/filter-friendly) each carrying the document-level context
+    (title, per-doc section/kv cardinalities). The reference VALIDATES this
+    pattern (config.py:419-443 allows structured_pattern='hybrid') but its
+    parser raises on it (markdown_kv.py:386-393) — here it is routed.
+
+    One Python parse (the document_level kernel), then JVM-side explodes:
+    sections → kv, with the doc-level aggregates computed on the nested row
+    BEFORE exploding so they cost nothing extra. Scan-stage only — no
+    shuffle at any corpus size."""
+    nested = documents_from_markdown(df, doc_id_col, content_col,
+                                     extracted_at)
+    return (
+        nested
+        .withColumn("n_sections", F.size("sections").cast("long"))
+        .withColumn("n_kv", F.expr(
+            "aggregate(sections, 0L, (acc, s) -> acc + size(s.kv))"))
+        .select("doc_id", "title", "n_sections", "n_kv", "extracted_at",
+                F.explode("sections").alias("sec"))
+        .select("doc_id", "title", "n_sections", "n_kv", "extracted_at",
+                F.col("sec.section").alias("section"),
+                F.explode("sec.kv").alias("kv"))
+        .select("doc_id", "title", "section",
+                F.col("kv.key").alias("key"),
+                F.col("kv.value").alias("value"),
+                F.col("kv.value_json").alias("value_json"),
+                F.col("kv.ord").alias("ord"),
+                "n_sections", "n_kv", "extracted_at")
+    )

@@ -1319,6 +1319,39 @@ def mdkv_document_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mdkv_hybrid",
+    f"""
+    WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS did, text, lang, source,
+                      CAST(n_chars AS VARCHAR) AS nc FROM documents)
+    SELECT did AS doc_id, '_default' AS title, '_front_matter' AS section,
+           'doc_id' AS key, did AS value, did AS value_json,
+           CAST(0 AS BIGINT) AS ord, CAST(2 AS BIGINT) AS n_sections,
+           CAST(5 AS BIGINT) AS n_kv,
+           '{_MDKV_EXTRACTED_AT}' AS extracted_at FROM d
+    UNION ALL SELECT did, '_default', '_default', 'text', text, NULL, 0, 2, 5,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', '_default', 'lang', lang, NULL, 1, 2, 5,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', '_default', 'source', source, NULL,
+           2, 2, 5, '{_MDKV_EXTRACTED_AT}' FROM d
+    UNION ALL SELECT did, '_default', '_default', 'n_chars', nc, nc, 3, 2, 5,
+           '{_MDKV_EXTRACTED_AT}' FROM d
+    """,
+    doc="markdown-kv 'hybrid' structured pattern (reference validates it at "
+        "config.py:419-443 but never routes it): flat row_per_kv rows each "
+        "carrying document-level context (title, per-doc section/kv "
+        "cardinalities). One Arrow-batched parse, then JVM-side explodes — "
+        "ord is per-section (document_level kv ordering), unlike "
+        "row_per_kv's document-global ord.",
+)
+def mdkv_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    enc = mdkv_ops.encode(docs)
+    return mdkv_ops.hybrid_from_markdown(enc, "doc_id", "mdkv",
+                                         _MDKV_EXTRACTED_AT)
+
+
 # ---------------------------------------------------------------------------
 # Time-window operators (batch forms; streaming/pipeline.py runs the same
 # plans on readStream — tests assert batch/stream equivalence)
@@ -2326,32 +2359,29 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_oracle_parity.py, all 57 green) — got none, byte-identically
 # across rounds. Registration order is therefore a proof-surface budget.
 #
-# ROUND-5 ROTATION: the 15 queries demoted in r1-r3 never earned a driver
-# CORRECTNESS row (the window never rotated — r4 verdict item #5). This
-# round the rotation inverts: the 15 previously-demoted queries are all
-# promoted into the 50-row window, and 15 queries already holding green
-# driver rows in BOTH r3 and r4 rotate out. Every family keeps at least one
-# in-window representative:
-#   TPC-H (q1/q3/q5/q4 stay; q6 out), windows (topn stays + lag in;
-#   running out), set ops (intersect in; union_except out), coercion
-#   (contract_cast stays + boolean_tokens in; timestamp_ladder out),
-#   NA/validation (contract_cast, warn_union stay; na_sentinel out),
-#   incremental (cursor_filter stays + lookback in; state_update out),
-#   text (quality stays + token_counts/fingerprints in; lang_id out),
-#   textops (tfidf/repetition/pii stay; boilerplate out), ANN
-#   (ivf/quantized/embedding stay; bruteforce out), mdkv (row_per_kv stays
-#   + document_level in; encode out), dedup (exact/minhash/corpus/curation/
-#   decontamination stay + simhash in; ngram_jaccard out), streaming-batch
-#   (tumbling/interval stay; session out), sampling (hash_split/pack stay;
-#   stratified out), scalar (array HOFs stay + scalar_functions/stats in;
-#   json_props out), grouped aggs (rollup/grouping_sets stay + cube/having/
-#   distinct in; pivot out), joins (semi stays + left/anti in).
+# ROUND-6 ROTATION: the four r5 additions (chunk_documents_sliding,
+# sample_token_budget, chunk_pack_pipeline, q14_promo_effect) registered at
+# positions 50-53 — outside the window — so they never earned a driver row.
+# This round demotes five more queries, each r5-driver-proven (and most
+# proven in earlier rounds too), to admit those four plus the new
+# mdkv_hybrid:
+#   doc_fingerprints, token_counts_docs  (text family keeps
+#     text_quality_features, pii_scrub, repetition, tfidf),
+#   agg_having_big_customers  (agg family keeps rollup/grouping_sets/
+#     cube/distinct),
+#   join_left_order_nation    (join family keeps semi/anti + q3/q5/q14),
+#   mdkv_document_level_stats (mdkv family keeps row_per_kv + hybrid,
+#     which subsumes the document-level cardinalities).
+# After this rotation the non-demoted set is EXACTLY 50 and every
+# registered query has been driver-proven in at least one round once
+# CORRECTNESS_r06 lands (69 prior + mdkv_hybrid new this round).
+# The r1-r3-era demotions below (first 15) all hold green rows from the r5
+# window inversion.
 # Every demoted query still runs, value-checked against DuckDB, in the local
-# parity suite. Register any NEW query above this block so it lands inside
-# the driver window.
-# r5 additions chunk_documents_sliding + sample_token_budget sit at
-# positions 50-51 (just outside the window, local-parity-proven); rotate
-# them in next round against r5-proven siblings.
+# parity suite. Register any NEW query above this block AND demote a
+# proven sibling per addition — the non-demoted set must stay <= 50 or the
+# newest registrations silently fall outside the proof window (this is
+# what happened to the four r5 additions).
 # ---------------------------------------------------------------------------
 _GATE_DEMOTED = [
     "q6_revenue_forecast",
@@ -2369,6 +2399,12 @@ _GATE_DEMOTED = [
     "sample_stratified_by_lang",
     "json_props_extract",
     "pivot_event_type_by_user_bucket",
+    # r6 demotions (all r5-driver-proven; see rotation note above)
+    "doc_fingerprints",
+    "token_counts_docs",
+    "agg_having_big_customers",
+    "join_left_order_nation",
+    "mdkv_document_level_stats",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

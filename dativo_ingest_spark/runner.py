@@ -139,8 +139,9 @@ def _extract(spark: SparkSession, job: JobConfig,
         if store is not None and inc.enabled and \
                 inc.strategy == "file_modified_time":
             seen = store.get_file_mtimes(key)
-        storage = src.options.get("storage", "row_per_kv")
-        return mdkv_source.extract(spark, src.path, storage=storage, seen=seen)
+        storage, ext = mdkv_source.resolve_storage(src.options)
+        return mdkv_source.extract(spark, src.path, storage=storage,
+                                   seen=seen, file_extension=ext)
 
     if src.type in ("postgres", "mysql", "derby", "jdbc"):
         return _extract_jdbc(spark, job, store)
@@ -268,7 +269,7 @@ def run_job(
     # is fixed by the parser), everything else validates against the asset.
     mode = job.validation_mode
     bypass = job.source.type == "markdown_kv" and \
-        job.source.options.get("storage", "row_per_kv") != "string"
+        mdkv_source.resolve_storage(job.source.options)[0] != "string"
     if bypass:
         result = None
         annotated = df.withColumn(
@@ -553,6 +554,7 @@ def load_job_with_secrets(config_path: str,
                           secret_manager: str | None = None,
                           secrets_dir: str = "/secrets",
                           secret_manager_config: dict | None = None,
+                          validate_schema: bool = False,
                           ) -> JobConfig:
     """Parse a job YAML with startup-time secret resolution (reference
     cli.py:201-217: secrets load before any job runs).
@@ -569,6 +571,13 @@ def load_job_with_secrets(config_path: str,
 
     with open(config_path) as fh:
         doc = _yaml.safe_load(fh) or {}
+    # structural gate BEFORE secret resolution/popping: placeholders are
+    # plain strings so the shape check is placeholder-agnostic, and a
+    # malformed config exits 2 here without touching any secret backend
+    from dativo_ingest_spark.config import schema_validation
+
+    if schema_validation.should_validate(doc, validate_schema):
+        schema_validation.validate_job_dict(doc)
     block = doc.pop("secrets", None) or {}
     if isinstance(block, str):  # shorthand: `secrets: env`
         block = {"manager": block}
@@ -595,17 +604,20 @@ def load_job_with_secrets(config_path: str,
 def run_job_file(spark: SparkSession, config_path: str,
                  state_root: str | None = None,
                  secret_manager: str | None = None,
-                 secrets_dir: str = "/secrets") -> JobResult:
+                 secrets_dir: str = "/secrets",
+                 validate_schema: bool = False) -> JobResult:
     """``dativo run --config job.yaml`` analog."""
     job = load_job_with_secrets(config_path, secret_manager=secret_manager,
-                                secrets_dir=secrets_dir)
+                                secrets_dir=secrets_dir,
+                                validate_schema=validate_schema)
     return run_job(spark, job, state_root=state_root)
 
 
 def run_job_dir(spark: SparkSession, job_dir: str,
                 state_root: str | None = None,
                 secret_manager: str | None = None,
-                secrets_dir: str = "/secrets") -> dict[str, JobResult]:
+                secrets_dir: str = "/secrets",
+                validate_schema: bool = False) -> dict[str, JobResult]:
     """``dativo run --job-dir`` analog: recursive YAML discovery, sequential
     execution, combined exit semantics (reference cli.py:121-323)."""
     results: dict[str, JobResult] = {}
@@ -615,5 +627,6 @@ def run_job_dir(spark: SparkSession, job_dir: str,
                 path = os.path.join(root, fname)
                 results[path] = run_job_file(
                     spark, path, state_root,
-                    secret_manager=secret_manager, secrets_dir=secrets_dir)
+                    secret_manager=secret_manager, secrets_dir=secrets_dir,
+                    validate_schema=validate_schema)
     return results

@@ -51,24 +51,61 @@ def read_markdown_files(
     )
 
 
+def resolve_storage(options: dict) -> tuple[str, str]:
+    """Map source options to (storage, file_extension), accepting both the
+    engine's flat ``storage: row_per_kv`` shorthand and the reference's
+    nested ``markdown_kv_storage: {mode, structured_pattern,
+    file_extension}`` config (config.py:419-443): mode ``string``/
+    ``raw_file`` map directly; mode ``structured`` selects its
+    ``structured_pattern`` (row_per_kv / document_level / hybrid)."""
+    block = options.get("markdown_kv_storage")
+    if isinstance(block, dict):
+        mode = str(block.get("mode", "structured"))
+        ext = str(block.get("file_extension", ".mdkv"))
+        if mode == "structured":
+            return str(block.get("structured_pattern", "row_per_kv")), ext
+        return mode, ext
+    return (str(options.get("storage", "row_per_kv")),
+            str(options.get("file_extension", ".mdkv")))
+
+
 def extract(
     spark: SparkSession,
     pattern: str,
     storage: str = "row_per_kv",
     extracted_at: str = "1970-01-01T00:00:00",
     seen: dict[str, float] | None = None,
+    file_extension: str = ".mdkv",
 ) -> DataFrame | None:
-    """Source pipeline for the three storage shapes (``config.py:419-443``):
-    ``string`` (raw content rows), ``row_per_kv`` explode, or
-    ``document_level`` nesting."""
+    """Source pipeline for every storage shape the reference validates
+    (``config.py:419-443``): ``string`` (raw content rows), ``raw_file``
+    (one row per file of the configured extension, raw text + path),
+    ``row_per_kv`` explode, ``document_level`` nesting, or ``hybrid``
+    (row_per_kv ∪ document_level context).
+
+    ``file_extension`` applies to ``raw_file`` only and mirrors the
+    reference's ``markdown_kv_storage.file_extension`` validation
+    (``.md``/``.mdkv``)."""
+    if storage == "raw_file" and file_extension not in EXTENSIONS:
+        raise ValueError(
+            f"markdown_kv file_extension must be '.md' or '.mdkv', "
+            f"got: {file_extension}")
     docs = read_markdown_files(spark, pattern, seen)
     if docs is None:
         return None
     if storage == "string":
         return docs
+    if storage == "raw_file":
+        # one row per kept file, raw bytes untouched — the "store the
+        # document as-is" shape (reference cli.py:856-931 defers raw_file
+        # to the writer; here the frame IS the writer input)
+        return docs.filter(F.col("path").endswith(file_extension))
     if storage == "row_per_kv":
         return mdkv.rows_from_markdown(docs, "doc_id", "content", extracted_at)
     if storage == "document_level":
         return mdkv.documents_from_markdown(docs, "doc_id", "content",
                                             extracted_at)
+    if storage == "hybrid":
+        return mdkv.hybrid_from_markdown(docs, "doc_id", "content",
+                                         extracted_at)
     raise ValueError(f"unknown markdown_kv storage shape: {storage}")

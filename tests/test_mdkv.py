@@ -106,3 +106,30 @@ def test_spark_roundtrip(spark):
     assert docs["2"].title == "_default"
     assert [s.section for s in docs["2"].sections] == ["_front_matter", "_default"]
     assert [kv.key for kv in docs["2"].sections[1].kv] == ["a", "n"]
+
+
+def test_hybrid_rows_carry_document_context(spark):
+    """hybrid = row_per_kv rows + document-level columns; ord is the
+    per-section kv ordering (document_level semantics, not row_per_kv's
+    document-global counter)."""
+    df = spark.createDataFrame([Row(doc_id=1, a="v1", n=10)])
+    enc = mdkv.encode(df)
+    rows = sorted(
+        mdkv.hybrid_from_markdown(enc, "doc_id", "mdkv", "t0").collect(),
+        key=lambda r: (r.section, r.ord))
+    assert [(r.section, r.key, r.value, r.ord) for r in rows] == [
+        ("_default", "a", "v1", 0),
+        ("_default", "n", "10", 1),
+        ("_front_matter", "doc_id", "1", 0),
+    ]
+    assert all(r.title == "_default" and r.n_sections == 2 and r.n_kv == 3
+               and r.extracted_at == "t0" for r in rows)
+
+
+def test_hybrid_plan_is_shuffle_free(spark):
+    """One parse + explodes only — no Exchange at any corpus size."""
+    df = spark.createDataFrame([Row(doc_id=1, a="v1")])
+    enc = mdkv.encode(df)
+    plan = mdkv.hybrid_from_markdown(
+        enc, "doc_id", "mdkv", "t0")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

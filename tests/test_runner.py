@@ -315,6 +315,64 @@ def test_markdown_kv_job(spark, tmp_path):
     assert {r.key for r in back.collect()} == {"a", "b"}
 
 
+def test_markdown_kv_raw_file_job(spark, tmp_path):
+    """raw_file mode: one row per document of the configured extension —
+    raw text + path, other extensions filtered out (reference
+    markdown_kv_storage {mode: raw_file, file_extension} shape)."""
+    (tmp_path / "d1.mdkv").write_text("a:: 1\n")
+    (tmp_path / "d2.md").write_text("b:: 2\n")
+    out = str(tmp_path / "out")
+    d = job_dict(str(tmp_path / "*"), out)
+    d["source"]["type"] = "markdown_kv"
+    d["source"]["options"] = {"markdown_kv_storage": {
+        "mode": "raw_file", "file_extension": ".mdkv"}}
+    res = runner.run_job(spark, JobConfig.from_dict(d))
+    assert res.exit_code == 0
+    back = spark.read.parquet(out).collect()
+    assert [(r.doc_id, r.content) for r in back] == [("d1", "a:: 1\n")]
+    assert back[0].path.endswith("d1.mdkv")
+
+
+def test_markdown_kv_hybrid_job(spark, tmp_path):
+    """The reference's nested structured/hybrid config routes end-to-end
+    (it VALIDATES this shape but its parser raises on it)."""
+    (tmp_path / "d1.md").write_text("a:: 1\nb:: two\n")
+    out = str(tmp_path / "out")
+    d = job_dict(str(tmp_path / "*.md"), out)
+    d["source"]["type"] = "markdown_kv"
+    d["source"]["options"] = {"markdown_kv_storage": {
+        "mode": "structured", "structured_pattern": "hybrid"}}
+    res = runner.run_job(spark, JobConfig.from_dict(d))
+    assert res.exit_code == 0
+    back = spark.read.parquet(out)
+    rows = {(r.key, r.value) for r in back.collect()}
+    assert rows == {("a", "1"), ("b", "two")}
+    assert {r.n_kv for r in back.collect()} == {2}
+
+
+def test_markdown_kv_raw_file_rejects_bad_extension(spark, tmp_path):
+    from dativo_ingest_spark.sources import mdkv_source
+
+    (tmp_path / "d1.md").write_text("a:: 1\n")
+    with pytest.raises(ValueError, match="file_extension"):
+        mdkv_source.extract(spark, str(tmp_path / "*"), storage="raw_file",
+                            file_extension=".txt")
+
+
+def test_mdkv_resolve_storage_shapes():
+    from dativo_ingest_spark.sources.mdkv_source import resolve_storage
+
+    assert resolve_storage({}) == ("row_per_kv", ".mdkv")
+    assert resolve_storage({"storage": "string"}) == ("string", ".mdkv")
+    assert resolve_storage({"markdown_kv_storage": {
+        "mode": "raw_file", "file_extension": ".md"}}) == ("raw_file", ".md")
+    assert resolve_storage({"markdown_kv_storage": {
+        "mode": "structured", "structured_pattern": "hybrid"}}) == \
+        ("hybrid", ".mdkv")
+    assert resolve_storage({"markdown_kv_storage": {
+        "mode": "string"}}) == ("string", ".mdkv")
+
+
 def test_job_dir_and_config_error(spark, tmp_path, csv_file):
     jobs = tmp_path / "jobs"
     jobs.mkdir()

@@ -60,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument("--secret-manager",
                        help="env|filesystem|vault|aws|gcp (cli.py:201-217)")
     run_p.add_argument("--secrets-dir", default="/secrets")
+    run_p.add_argument("--validate-schema", action="store_true",
+                       help="check job YAML against schemas/job-config"
+                            ".schema.json before running (exit 2 on "
+                            "violation; reference config.py:331-337)")
 
     for name in ("check", "discover"):
         p = sub.add_parser(name)
@@ -84,12 +88,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.config:
                 res = run_job_file(spark, args.config, args.state_root,
                                    secret_manager=args.secret_manager,
-                                   secrets_dir=args.secrets_dir)
+                                   secrets_dir=args.secrets_dir,
+                                   validate_schema=args.validate_schema)
                 print(json.dumps(_result_doc(res)))
                 return res.exit_code
             results = run_job_dir(spark, args.job_dir, args.state_root,
                                   secret_manager=args.secret_manager,
-                                  secrets_dir=args.secrets_dir)
+                                  secrets_dir=args.secrets_dir,
+                                  validate_schema=args.validate_schema)
             print(json.dumps({p: _result_doc(r)
                               for p, r in results.items()}, indent=1))
             # combined exit = worst job (reference cli.py:121-323)

@@ -202,11 +202,21 @@ class JobConfig:
         return job
 
     @classmethod
-    def from_yaml(cls, path: str) -> "JobConfig":
+    def from_yaml(cls, path: str,
+                  validate_schema: bool = False) -> "JobConfig":
+        """``validate_schema`` opt-in mirrors the reference's flag
+        (config.py:331-337): when on — or when the doc self-declares
+        ``$schema`` — the raw dict is checked against
+        schemas/job-config.schema.json before dataclass construction."""
         if yaml is None:  # pragma: no cover
             raise ConfigError("PyYAML unavailable")
         with open(path) as fh:
-            return cls.from_dict(yaml.safe_load(fh))
+            doc = yaml.safe_load(fh) or {}
+        from dativo_ingest_spark.config import schema_validation
+
+        if schema_validation.should_validate(doc, validate_schema):
+            schema_validation.validate_job_dict(doc)
+        return cls.from_dict(doc)
 
     def validate(self) -> None:
         if not self.source.type:

@@ -58,12 +58,26 @@ HEADLINE = [
     # r5 additions: scan-stage chunking + one-shuffle budget sampling
     "chunk_documents_sliding",
     "sample_token_budget",
+    # r6 additions: broadcast fact-dim join + composed chunk->pack pipeline
+    # (the two r5 operators whose perf claims were never bench-pinned)
+    "q14_promo_effect",
+    "chunk_pack_pipeline",
 ]
+
+
+def loadavg1() -> float:
+    """1-minute load average at this instant (-1 where unsupported) —
+    recorded per trial so a load-contaminated record is self-evident."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-unix
+        return -1.0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    la_start = loadavg1()
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -101,7 +115,9 @@ def main() -> None:
     # swings on q1 with zero plan change). min over two back-to-back runs
     # pins the plan cost; both raw runs are recorded for transparency.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    headline_loads = []
     for _ in range(2):
+        headline_loads.append(loadavg1())
         for name in HEADLINE:
             # per-query isolation: drop caches left by prior queries (dedup
             # pipelines cache their gram/signature frames)
@@ -121,8 +137,16 @@ def main() -> None:
     # at 2.4M rows the same writer measured 1.5M rows/s where the marginal
     # rate is >5M (overhead was >60% of wall). Data prep (CSV
     # materialization, cache fill) and one full-size warmup write run
-    # outside the timers; best-of-3 is the steady-state number, all trials
-    # recorded.
+    # outside the timers.
+    #
+    # SELF-DEFENSE (r5 verdict): two consecutive rounds the official ingest
+    # record was polluted by external machine load (r4 headline 37.1s and
+    # r5 csv_scan 60k rows/s/core both re-measured clean on the idle
+    # machine — 16s and 147k/core). The record now defends itself:
+    # best-of-FIVE trials per ingest metric, and every trial carries the
+    # 1-minute os.getloadavg() sampled at its start, so a contaminated run
+    # is visibly contaminated (high loadavg alongside slow trials) instead
+    # of silently below-bar.
     import shutil
     import tempfile
 
@@ -139,8 +163,9 @@ def main() -> None:
 
         csv_dir = f"{work}/lineitem_csv"
         staged.write.option("header", "true").csv(csv_dir)
-        csv_trials = []
-        for _ in range(3):
+        csv_trials, csv_loads = [], []
+        for _ in range(5):
+            csv_loads.append(loadavg1())
             t0 = time.perf_counter()
             spark.read.option("header", "true").csv(csv_dir).write.format(
                 "noop"
@@ -153,9 +178,10 @@ def main() -> None:
         # scan-cache → encode → write with no exchange.
         staged.limit(100_000).write.mode("overwrite").parquet(
             f"{work}/pq_warm")  # warm the writer path, untimed
-        pq_trials = []
-        for i in range(3):
+        pq_trials, pq_loads = [], []
+        for i in range(5):
             out = f"{work}/pq_out{i}"
+            pq_loads.append(loadavg1())
             t0 = time.perf_counter()
             staged.write.option("compression", "snappy").parquet(out)
             pq_trials.append(round(time.perf_counter() - t0, 3))
@@ -179,10 +205,18 @@ def main() -> None:
                     "rows": n_rows,
                     "csv_scan_s": csv_scan_s,
                     "csv_scan_trials": csv_trials,
+                    "csv_scan_trial_loadavg1": csv_loads,
                     "csv_scan_rows_per_s": round(n_rows / csv_scan_s),
                     "parquet_write_s": pq_write_s,
                     "parquet_write_trials": pq_trials,
+                    "parquet_write_trial_loadavg1": pq_loads,
                     "parquet_write_rows_per_s": round(n_rows / pq_write_s),
+                },
+                "loadavg": {
+                    "start": la_start,
+                    "headline_runs": headline_loads,
+                    "end": loadavg1(),
+                    "ncpu": os.cpu_count(),
                 },
             }
         )

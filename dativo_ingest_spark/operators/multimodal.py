@@ -13,9 +13,12 @@ Decode kernels, by honesty level:
   channels/rate/duration/RMS and dims/mean/histogram features.
 * **Fake**: ``engine="fake"`` produces a clearly-marked deterministic
   stand-in derived from the bytes (tests of batch shape/partitioning).
-* **Stubbed**: general JPEG/PNG/video decode needs Pillow/pyav, absent
-  from this container — ``engine="real"`` raises ``NotImplementedError``.
-  Swapping a kernel in is local; the distributed plan is final.
+* **Import-guarded**: general JPEG/PNG/WebP decode via
+  ``engine="pillow"`` (alias ``"real"``) — same feature schema as the
+  netpbm kernel; raises ``NotImplementedError`` at plan-build time when
+  Pillow is absent (it is absent from this container). Video decode
+  (pyav) remains the one stub. Swapping a kernel in is local; the
+  distributed plan is final.
 
 Magic-byte sniffing and byte-level stats are real (pure expressions).
 """
@@ -128,6 +131,49 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, int, list[float]] | None:
     return width, height, channels, [round(f, 6) for f in feats]
 
 
+def pillow_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def decode_pillow(payload: bytes) -> tuple | None:
+    """General image decode via Pillow (JPEG/PNG/WebP/PPM/...), emitting
+    the SAME feature contract as :func:`decode_netpbm`: (width, height,
+    channels, [mean + 7-bin histogram of pixels normalized to [0,1]]).
+    None for undecodable payloads. Raises ImportError when Pillow is
+    absent — callers gate on :func:`pillow_available`."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # ImportError surfaces to the caller
+
+    try:
+        with Image.open(io.BytesIO(payload)) as im:
+            im.load()
+            arr = np.asarray(im)
+    except Exception:
+        return None
+    if arr.ndim not in (2, 3) or arr.size == 0:
+        return None
+    if arr.dtype == np.uint8:
+        maxval = 255.0
+    elif arr.dtype == np.uint16:
+        maxval = 65535.0
+    else:  # float / mode "I" etc.: normalize by the observed peak
+        arr = arr.astype("float64")
+        maxval = float(max(arr.max(), 1.0))
+    height, width = int(arr.shape[0]), int(arr.shape[1])
+    channels = 1 if arr.ndim == 2 else int(arr.shape[2])
+    norm = arr.astype("float64").ravel() / maxval
+    hist, _ = np.histogram(norm, bins=7, range=(0.0, 1.0))
+    feats = [float(norm.mean())] + [float(v) / max(len(norm), 1)
+                                    for v in hist]
+    return width, height, channels, [round(f, 6) for f in feats]
+
+
 def decode_images(
     df: DataFrame,
     id_col: str,
@@ -138,29 +184,35 @@ def decode_images(
     """Arrow-batched image decode + feature extraction.
 
     ``engine="netpbm"`` decodes real P5/P6 payloads (rows that aren't
-    netpbm come back with null dims). ``engine="real"`` is the integration
-    point for a general decoder (Pillow) and raises ``NotImplementedError``
-    in this environment. The plumbing — column pruning to (id, bytes),
-    mapInPandas batch iteration, typed output schema — is the production
-    path for every engine.
+    netpbm come back with null dims). ``engine="pillow"`` (alias
+    ``"real"``) decodes any Pillow-supported format with the identical
+    feature schema — import-guarded, failing fast on the DRIVER with
+    ``NotImplementedError`` when Pillow is absent rather than burying an
+    ImportError in executor logs mid-job. The plumbing — column pruning to
+    (id, bytes), mapInPandas batch iteration, typed output schema — is the
+    production path for every engine.
     """
-    if engine not in ("fake", "netpbm", "real"):
+    if engine == "real":
+        engine = "pillow"
+    if engine not in ("fake", "netpbm", "pillow"):
         raise ValueError(f"unknown decode engine: {engine}")
+    if engine == "pillow" and not pillow_available():
+        raise NotImplementedError(
+            "engine='pillow' requires Pillow, absent from this "
+            "environment; use engine='netpbm' or 'fake'")
 
     import pandas as pd  # executor-side
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            if engine == "real":
-                raise NotImplementedError(
-                    "general image decode requires Pillow, absent from "
-                    "this environment; use engine='netpbm' or 'fake'"
-                )
             out = []
             for rid, payload in zip(pdf["id"], pdf["media"]):
                 payload = bytes(payload) if payload is not None else b""
                 if engine == "netpbm":
                     decoded = decode_netpbm(payload)
+                    w, h, ch, feats = decoded or (None, None, None, None)
+                elif engine == "pillow":
+                    decoded = decode_pillow(payload)
                     w, h, ch, feats = decoded or (None, None, None, None)
                 else:
                     w, h, ch, feats = _fake_image_decode(payload)

@@ -134,8 +134,14 @@ def token_budget_sample(
 
     Scale: one shuffle on the group key; the admission rule is a running
     sum over an unbounded-preceding frame (WindowExec's O(1) accumulator).
-    Group skew = one sort per group; for single-giant-group mixtures,
-    pre-shard the group key and divide the budget across shards."""
+    BOUND (document the skew honestly): the window partitions by
+    ``group_col``, so a 100 TB mixture with FEW groups (3 languages, say)
+    concentrates the sort+scan on that many window partitions — each
+    group's full candidate set funnels through one task regardless of
+    cluster size. That is fine up to ~tens of GB per group; past that use
+    :func:`token_budget_sample_sharded`, which splits every group across
+    ``n_shards`` deterministic sub-partitions with a shard-local quota
+    (the same coordination-free move as :func:`pack_sequences`)."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     from pyspark.sql.window import Window
@@ -159,6 +165,64 @@ def token_budget_sample(
             cum_before.alias("_before"),
         )
         .filter(F.col("_before") < budget_tokens)
+        .drop("_before")
+    )
+
+
+def token_budget_sample_sharded(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count_col: Column | str,
+    budget_tokens: int,
+    n_shards: int = 64,
+    salt: str = "budget",
+) -> DataFrame:
+    """Skew-proof :func:`token_budget_sample`: each group is split across
+    ``n_shards`` deterministic sub-partitions (md5 of the id — uniform,
+    retry-stable) and every shard enforces a local quota of
+    ``budget_tokens / n_shards``. The window partitions on
+    (group, shard), so the widest window partition is 1/``n_shards`` of
+    the hottest group — a 3-language 100 TB mixture spreads over
+    ``3 * n_shards`` tasks instead of 3.
+
+    Trade-off vs the exact form: admission order is md5-uniform WITHIN
+    each shard, so the admitted set is a union of ``n_shards`` unbiased
+    subsamples rather than one globally md5-ordered prefix — still
+    unbiased, still deterministic, but a different (equally valid) sample.
+    Each shard keeps its crossing row, so a group with enough material
+    reaches >= ``budget_tokens`` total; per-shard overshoot is bounded by
+    one document each. Same output schema as the exact form, plus
+    ``shard``."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql.window import Window
+
+    shard_budget = max(budget_tokens // n_shards, 1)
+    tok = (F.col(token_count_col) if isinstance(token_count_col, str)
+           else token_count_col)
+    ordv = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                          F.col(id_col).cast("string")))
+    staged = df.select(
+        F.col(group_col),
+        F.col(id_col).alias("id"),
+        tok.cast("long").alias("n_tokens"),
+        ordv.alias("_ord"),
+        F.pmod(F.conv(F.substring(ordv, 1, 8), 16, 10).cast("long"),
+               F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = (Window.partitionBy(group_col, "shard").orderBy("_ord", "id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        staged.select(
+            group_col, "id", "n_tokens", "shard",
+            (cum_before + F.col("n_tokens")).alias("cum_tokens"),
+            cum_before.alias("_before"),
+        )
+        .filter(F.col("_before") < shard_budget)
         .drop("_before")
     )
 

@@ -94,3 +94,42 @@ def test_token_budget_sample_rejects_bad_budget(spark):
                                "doc_id bigint, lang string, wc bigint")
     with pytest.raises(ValueError, match="positive"):
         sampling.token_budget_sample(df, "doc_id", "lang", "wc", 0)
+    with pytest.raises(ValueError, match="positive"):
+        sampling.token_budget_sample_sharded(df, "doc_id", "lang", "wc",
+                                             100, n_shards=0)
+
+
+def test_token_budget_sample_sharded_skewed_groups(spark):
+    """The skew-proof variant on a pathologically skewed 2-group frame:
+    one group holds 95% of rows. Per-(group, shard) quotas hold, every
+    shard admits at most quota+1 crossing row, totals still reach the
+    budget, and the window never partitions on the bare group key."""
+    rows = [(i, "en", 50) for i in range(950)] + \
+           [(10_000 + i, "de", 50) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, wc bigint")
+    out = sampling.token_budget_sample_sharded(
+        df, "doc_id", "lang", "wc", budget_tokens=1600, n_shards=8)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault((r.lang, r.shard), []).append(r)
+    # shard-local quota: 1600/8 = 200 tokens -> 4 docs x 50, crossing kept
+    for (lang, shard), rs in per.items():
+        assert 0 <= shard < 8
+        assert max(r.cum_tokens for r in rs) <= 200 + 50  # quota + 1 doc
+        assert all(r.cum_tokens - r.n_tokens < 200 for r in rs)
+    en_total = sum(r.n_tokens for r in got if r.lang == "en")
+    assert en_total >= 1600  # enough material -> budget reached
+    # deterministic across reruns
+    again = sampling.token_budget_sample_sharded(
+        df, "doc_id", "lang", "wc", budget_tokens=1600, n_shards=8).collect()
+    assert sorted((r.lang, r.id, r.cum_tokens) for r in got) == \
+        sorted((r.lang, r.id, r.cum_tokens) for r in again)
+    # plan partitions the window on (group, shard), not the bare group
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+    wspec = plan[plan.index("Window"):].split("\n")[0]
+    assert re.search(r"partitionBy.*shard|shard.*windowspecdefinition|"
+                     r"windowspecdefinition\(lang#\d+, shard", plan) or \
+        "shard" in wspec

@@ -51,10 +51,13 @@ def test_fake_decode_batch_shape(spark, media):
 
 
 def test_real_engine_raises(spark, media):
-    with pytest.raises(Exception) as ei:
-        multimodal.decode_images(media, "id", "media", engine="real").collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    if multimodal.pillow_available():
+        pytest.skip("Pillow installed: engine='real' resolves to it")
+    # absent Pillow: fail fast on the DRIVER at plan build, not mid-job
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_images(media, "id", "media", engine="real")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_images(media, "id", "media", engine="pillow")
     with pytest.raises(ValueError):
         multimodal.decode_images(media, "id", "media", engine="nope")
 
@@ -186,3 +189,48 @@ def test_decode_netpbm_real(spark):
     g = mm.decode_images(df2, "doc_id", "media", engine="netpbm").first()
     assert (g.width, g.height, g.channels) == (2, 2, 1)
     assert abs(g.features[0] - 0.5) < 1e-5
+
+
+def test_pillow_netpbm_decode_parity(spark):
+    """Pillow and the dependency-free netpbm kernel agree byte-for-byte on
+    a P6 fixture (same dims/channels and feature vector) — the contract
+    that makes the engines swappable. Skipped where Pillow is absent."""
+    pytest.importorskip("PIL")
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    ppm = _ppm_bytes()
+    df = spark.createDataFrame([("img", ppm), ("junk", b"\x00\x01")],
+                               "doc_id string, media binary")
+    via_pillow = {r.id: r for r in
+                  mm.decode_images(df, "doc_id", "media",
+                                   engine="pillow").collect()}
+    via_netpbm = {r.id: r for r in
+                  mm.decode_images(df, "doc_id", "media",
+                                   engine="netpbm").collect()}
+    p, n = via_pillow["img"], via_netpbm["img"]
+    assert (p.width, p.height, p.channels) == (n.width, n.height, n.channels)
+    assert p.features == pytest.approx(n.features, abs=1e-6)
+    assert via_pillow["junk"].width is None
+
+
+def test_decode_pillow_kernel_direct():
+    """Kernel-level parity without Spark (also covers the PNG path when
+    Pillow is present)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    ppm = _ppm_bytes()
+    got = mm.decode_pillow(ppm)
+    exp = mm.decode_netpbm(ppm)
+    assert got == exp
+    # PNG roundtrip: same pixels through a format netpbm can't read
+    buf = io.BytesIO()
+    Image.open(io.BytesIO(ppm)).save(buf, format="PNG")
+    png = mm.decode_pillow(buf.getvalue())
+    assert png[:3] == exp[:3]
+    assert png[3] == pytest.approx(exp[3], abs=1e-6)
+    assert mm.decode_pillow(b"not an image") is None

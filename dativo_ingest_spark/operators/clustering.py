@@ -1,0 +1,142 @@
+"""Deterministic fixed-point k-means over embedding columns, UDF-free.
+
+Corpus clustering is a standard curation primitive (topic balancing,
+mixture analysis, cluster-based filtering a la SemDeDup). Plain Lloyd's
+iterations on floating-point sums are NOT reproducible on a cluster: the
+centroid update sums doubles in partition order, speculative execution or a
+retry reorders the sum, and a row sitting near a cell boundary flips
+clusters between runs. For a training-data pipeline that must be re-runnable
+(and oracle-checkable), that is a correctness bug, not a nit.
+
+This implementation makes every reduction exact:
+
+* vectors are scaled to fixed-point longs once at scan stage
+  (``round(x * scale)`` — half-away-from-zero in both Spark and DuckDB);
+* the centroid update is ``sum(long) / count`` — integer partial
+  aggregation is associative and commutative, so ANY partitioning,
+  speculative rerun, or AQE re-plan produces the same centroid bits;
+* the assignment distance is a sequential index-order fold (Catalyst
+  higher-order functions, JVM-side) of ``(x_i - c_i)^2`` doubles derived
+  from exact integers — bit-identical across engines that fold in the
+  same order (DuckDB ``list_reduce``).
+
+Scale shape (100 TB): per iteration one scan-stage assignment (centroids
+inlined as codegen literals for small k — the same O(k x d) plan-size
+gating as similarity.ivf_topk, with the pandas-UDF argmin as the
+documented swap past ``inline_centroid_limit``) plus one shuffle keyed on
+(cluster, position) whose map-side partial aggregation collapses each task
+to at most k*d rows. The driver materializes only k*d (sum, count) cells
+per iteration — small by construction, like similarity.py's centroid
+fetch. Reference parity: the reference ships no clustering operator
+(beyond-reference, same tier as the dedup/ANN stack).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.functions import vectors
+
+#: above this many centroids the inlined-literal assignment would bloat the
+#: plan O(k x d); swap to an Arrow-batched argmin (see similarity.py's
+#: _centroid_probe_udf for the pattern).
+INLINE_CENTROID_LIMIT = 64
+
+
+def _sqdist_to_literal(qvec: str, centroid: Sequence[float]) -> F.Column:
+    """Sequential-fold squared L2 distance from a long-vector column to an
+    inlined double centroid — deterministic index-order fold."""
+    clit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(qvec), clit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def fixed_point_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 2,
+    scale: int = 10_000,
+    inline_centroid_limit: int = INLINE_CENTROID_LIMIT,
+) -> DataFrame:
+    """Lloyd's k-means over fixed-point vectors; returns (id, cluster).
+
+    * init: the ``k`` lowest-``id_col`` rows seed the centroids (their ids
+      become the cluster labels) — a deterministic stand-in for k-means||
+      seeding; the iteration/shuffle shape is what matters and is identical.
+    * ``n_iter`` update rounds, each: assign to nearest centroid (squared
+      L2 on the fixed-point grid, rounded 9dp, ties to the lower cluster
+      id) then recompute centroids as exact integer means. A cluster that
+      loses all members keeps its previous centroid.
+    * returns the assignment under the FINAL centroids, with ``cluster``
+      as a long column.
+
+    Fixed-point contract: element sums stay exact while
+    ``n_rows * max|x| * scale < 2^53`` — at scale=1e4 and |x|<=8 that is
+    ~1e14 rows, comfortably past a 100 TB corpus; raise ``scale`` only
+    with that budget in mind.
+    """
+    if k <= 0 or n_iter < 0:
+        raise ValueError("k must be positive and n_iter non-negative")
+    if k > inline_centroid_limit:
+        raise NotImplementedError(
+            f"k={k} exceeds inline_centroid_limit={inline_centroid_limit}; "
+            "swap the assignment to an Arrow-batched argmin (see "
+            "similarity._centroid_probe_udf) before raising the limit"
+        )
+
+    quantized = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vectors.as_double_array(F.col(vec_col)),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("qvec"),
+    ).cache()
+
+    seeds = quantized.orderBy("id").limit(k).collect()
+    if not seeds:
+        raise ValueError("empty input — no centroid seeds")
+    # cluster label = seed row id; centroid starts at the seed vector.
+    centroids: dict[int, list[float]] = {
+        int(r["id"]): [float(x) for x in r["qvec"]] for r in seeds
+    }
+
+    def assign(frame: DataFrame) -> DataFrame:
+        entries = [
+            F.struct(
+                F.round(_sqdist_to_literal("qvec", cvec), 9).alias("a"),
+                F.lit(int(cid)).cast("long").alias("i"),
+            )
+            for cid, cvec in sorted(centroids.items())
+        ]
+        # struct min is lexicographic: nearest first, ties to lower cid.
+        return frame.withColumn("cluster", F.array_min(F.array(*entries))["i"])
+
+    for _ in range(n_iter):
+        cells = (
+            assign(quantized)
+            .select("cluster", F.posexplode("qvec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        updated: dict[int, list[float]] = {}
+        for r in cells:
+            vec = updated.setdefault(
+                int(r["cluster"]), [0.0] * len(next(iter(centroids.values())))
+            )
+            # float/float division == DuckDB double division (both exact
+            # inputs below 2^53, one correctly-rounded IEEE op).
+            vec[int(r["pos"])] = float(r["s"]) / float(r["n"])
+        for cid in centroids:  # empty cluster keeps its previous centroid
+            if cid in updated:
+                centroids[cid] = updated[cid]
+
+    return assign(quantized).select("id", "cluster")

@@ -276,3 +276,49 @@ def pack_sequences(
         "n_tokens",
         F.floor(cum_before / budget_tokens).cast("long").alias("pack_id"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 64,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard assignment — the
+    training-ORDER primitive (each epoch must visit the corpus in a fresh
+    uniform order, reproducibly, without a global sort of 100 TB).
+
+    Every row gets an order key ``md5(salt|epoch|id)``; its shard is the
+    key's leading 32 bits mod ``n_shards`` and its position is the
+    order-key rank WITHIN the shard. The global epoch order is
+    "shard-interleaved": readers consume shards round-robin by position,
+    which is how multi-worker data loaders shard an epoch anyway — no
+    single task ever sees more than 1/``n_shards`` of the data. Changing
+    ``epoch`` re-deals everything; re-running the same epoch reproduces it
+    bit-for-bit (same portability contract as :func:`hash_split`).
+
+    Returns (id, shard, position) with position 1-based per shard.
+
+    Scale: one shuffle keyed on the shard + a per-shard sort on the md5
+    key — sort width is corpus/``n_shards``, tunable to the cluster. No
+    reference analog; standard technique (tf.data / torchdata shard+shuffle).
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql.window import Window
+
+    ordv = F.md5(
+        F.concat(F.lit(salt), F.lit("|"), F.lit(str(int(epoch))), F.lit("|"),
+                 F.col(id_col).cast("string"))
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        ordv.alias("_ord"),
+        F.pmod(F.conv(F.substring(ordv, 1, 8), 16, 10).cast("long"),
+               F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ord", "id")
+    return staged.select(
+        "id", "shard", F.row_number().over(w).cast("long").alias("position")
+    )

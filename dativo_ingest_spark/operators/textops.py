@@ -350,3 +350,61 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return staged.select(
         "id", "fingerprint", F.substring("fingerprint", 1, 4).alias("fp_bucket")
     )
+
+
+#: distilled linear quality-classifier weights: feature name -> weight.
+#: Features are the rational quality_features outputs (deterministic 4dp
+#: doubles), each squashed to [0, 1] before weighting.
+CLASSIFIER_WEIGHTS = {
+    "intercept": -0.5,
+    "words": 1.0,      # applied to least(n_words, 1000) / 1000
+    "stopwords": 8.0,  # natural prose carries stopwords (the C4 signal)
+    "punct": -3.0,     # punctuation spam is penalized
+    "word_len": 0.8,   # applied to least(avg_word_len, 10) / 10
+}
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Distilled linear quality classifier with hard-sigmoid calibration.
+
+    (id, score, keep) — ``score`` in [0, 1], ``keep = score >= threshold``.
+    The model is a fixed-weight linear combination of the rational
+    :func:`quality_features` outputs followed by a HARD sigmoid
+    ``clamp(0.25 * z + 0.5, 0, 1)``: every op is a multiply/add/clamp on
+    deterministic operands in a fixed association order, so scores are
+    bit-identical across engines and retries (a transcendental sigmoid is
+    monotone-equivalent for thresholding but not bit-portable; a real
+    learned model — fastText or a distilBERT head — slots in here as an
+    Arrow-batched pandas-UDF scoring the same (id, features) frame).
+
+    Scale: pure scan-stage projection on top of quality_features (itself
+    scan-stage) — zero shuffle at any corpus size.
+    """
+    w = dict(CLASSIFIER_WEIGHTS)
+    if weights:
+        w.update(weights)
+    feats = quality_features(df, id_col, text_col)
+    z = (
+        F.lit(float(w["intercept"]))
+        + F.lit(float(w["words"]))
+        * (F.least(F.col("n_words"), F.lit(1000)) / F.lit(1000.0))
+        + F.lit(float(w["stopwords"])) * F.col("stopword_ratio")
+        + F.lit(float(w["punct"])) * F.col("punct_ratio")
+        + F.lit(float(w["word_len"]))
+        * (F.least(F.col("avg_word_len"), F.lit(10.0)) / F.lit(10.0))
+    )
+    score = F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.lit(0.25) * z + F.lit(0.5))),
+        6,
+    )
+    return feats.select(
+        "id",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )

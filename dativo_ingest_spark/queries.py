@@ -2349,6 +2349,260 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic fixed-point k-means (operators/clustering.py) -----------
+
+_KMEANS_K, _KMEANS_ITER, _KMEANS_SCALE = 8, 2, 10_000
+
+_KMEANS_DIST = (
+    "round(list_reduce(list_transform(range(1, len(e.q)+1), "
+    "i -> (e.q[i] - c.cv[i]) * (e.q[i] - c.cv[i])), (x, y) -> x + y), 9)"
+)
+
+
+def _kmeans_assign_cte(src_cent: str, out: str) -> str:
+    return f"""{out} AS (
+      SELECT vec_id, label, q, cid FROM (
+        SELECT e.vec_id, e.label, e.q, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KMEANS_DIST} ASC, c.cid ASC) AS rn
+        FROM e CROSS JOIN {src_cent} c) t WHERE rn = 1)"""
+
+
+def _kmeans_update_cte(src_assign: str, prev_cent: str, out: str) -> str:
+    return f"""{out} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM {prev_cent} p LEFT JOIN (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, CAST(sum(val) AS DOUBLE) / count(*) AS m FROM (
+            SELECT cid, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS val
+            FROM {src_assign})
+          GROUP BY cid, pos)
+        GROUP BY cid) n USING (cid))"""
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replica of
+    clustering.fixed_point_kmeans (init = k lowest ids; per iteration:
+    9dp-rounded squared-L2 argmin with ties to the lower cid, then exact
+    integer-mean centroid update; empty clusters keep their centroid)."""
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * {_KMEANS_SCALE}) AS BIGINT)) AS q
+      FROM embeddings)""",
+        f"""c0 AS (
+      SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+      FROM e ORDER BY vec_id LIMIT {_KMEANS_K})""",
+    ]
+    for it in range(_KMEANS_ITER):
+        ctes.append(_kmeans_assign_cte(f"c{it}", f"a{it}"))
+        ctes.append(_kmeans_update_cte(f"a{it}", f"c{it}", f"c{it + 1}"))
+    ctes.append(_kmeans_assign_cte(f"c{_KMEANS_ITER}", "afinal"))
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n"
+        "    SELECT cid AS cluster, count(*) AS n_vectors,\n"
+        "           round(avg(label), 4) AS mean_label,\n"
+        "           min(vec_id) AS min_member\n"
+        "    FROM afinal GROUP BY cid"
+    )
+
+
+@register(
+    "kmeans_corpus_clusters",
+    _kmeans_oracle(),
+    doc="corpus clustering via deterministic fixed-point k-means "
+        "(operators/clustering.py): vectors quantized to longs at scan "
+        "stage, centroid updates are exact integer means (associative + "
+        "commutative -> retry/speculation-stable at any partitioning), "
+        "assignment is a codegen literal argmin. Cluster cardinalities and "
+        "label purity are the curation read-out.",
+)
+def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import clustering
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = clustering.fixed_point_kmeans(
+        emb, "vec_id", "embedding",
+        k=_KMEANS_K, n_iter=_KMEANS_ITER, scale=_KMEANS_SCALE,
+    )
+    return (
+        assign.join(emb.select("vec_id", "label"),
+                    assign["id"] == F.col("vec_id"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("label"), 4).alias("mean_label"),
+            F.min("vec_id").alias("min_member"),
+        )
+    )
+
+
+@register(
+    "quality_classifier_score",
+    """
+    WITH
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+    f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS avg_word_len,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
+                   END, 4) AS punct_ratio,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                        / len(words) END, 4) AS stopword_ratio
+      FROM w),
+    z AS (
+      SELECT doc_id,
+             -0.5
+             + 1.0 * (least(n_words, 1000) / 1000.0)
+             + 8.0 * stopword_ratio
+             + -3.0 * punct_ratio
+             + 0.8 * (least(avg_word_len, 10.0) / 10.0) AS zval
+      FROM f)
+    SELECT doc_id AS id,
+           round(greatest(0.0, least(1.0, 0.25 * zval + 0.5)), 6) AS score,
+           round(greatest(0.0, least(1.0, 0.25 * zval + 0.5)), 6) >= 0.5
+             AS keep
+    FROM z
+    """,
+    doc="distilled linear quality classifier with hard-sigmoid calibration "
+        "(operators/textops.py classifier_score): fixed weights over the "
+        "rational quality features, every op bit-portable (no "
+        "transcendentals). Scan-stage; a learned fastText/BERT head slots "
+        "in as a pandas-UDF over the same feature frame.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.classifier_score(docs, "doc_id", "text")
+
+
+@register(
+    "epoch_shuffle_order",
+    f"""
+    WITH s AS (
+      SELECT doc_id AS id,
+             md5('epoch' || '|' || '1' || '|' || CAST(doc_id AS VARCHAR))
+               AS ord,
+             CAST({_hex32_sql("'epoch' || '|' || '1' || '|' || CAST(doc_id AS VARCHAR)")} % 16
+                  AS BIGINT) AS shard
+      FROM documents)
+    SELECT id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, id)
+                AS BIGINT) AS position
+    FROM s
+    """,
+    doc="deterministic per-epoch training order (operators/sampling.py "
+        "epoch_shuffle): md5(epoch|id) order key, leading-32-bit shard, "
+        "per-shard rank. Reproducible global shuffle without a global "
+        "sort — each shard is an independent reader unit.",
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=16)
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT DISTINCT l_partkey, l_suppkey,
+             floor(l_extendedprice / l_quantity * 10000 + 0.5) / 10000.0
+               AS unit_cost
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND l_quantity > 0),
+    min_cost AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost
+      FROM costs GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, best_cost
+    FROM costs
+    JOIN min_cost ON costs.l_partkey = min_cost.l_partkey
+                 AND costs.unit_cost = min_cost.best_cost
+    JOIN part ON costs.l_partkey = p_partkey
+    JOIN supplier ON costs.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 15
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, best_cost
+    LIMIT 100
+    """,
+    doc="TPC-H q2 analog (min-cost supplier per part in a region): the "
+        "correlated-scalar-subquery pattern decorrelated into a per-part "
+        "min aggregate joined back on (part, cost) — the standard "
+        "Catalyst-friendly rewrite. Dimension chain "
+        "supplier->nation->region broadcasts; unit costs rounded 4dp so "
+        "the equality join is engine-portable.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    part = load(spark, sf_dir, "part")
+
+    europe_supp = (
+        supp.join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    costs = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(europe_supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "l_partkey", "l_suppkey",
+            # NOT F.round: Spark (BigDecimal HALF_UP) and DuckDB disagree
+            # on doubles sitting at the 4dp half boundary; floor(x*1e4+0.5)
+            # is the same IEEE op sequence on both engines.
+            (F.floor(F.col("l_extendedprice") / F.col("l_quantity")
+                     * 10000 + 0.5) / 10000.0).alias("unit_cost"),
+        )
+        .distinct()
+    )
+    # rename the grouping key: both sides descend from `costs`, so joining
+    # on same-named column objects would resolve to a trivially-true
+    # self-comparison (Spark's shared-lineage ambiguity).
+    min_cost = (
+        costs.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("best_cost"))
+        .withColumnRenamed("l_partkey", "mc_partkey")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .drop("mc_partkey")
+        .join(F.broadcast(part.filter(F.col("p_size") <= 15)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "best_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey",
+                 "best_cost")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2372,9 +2626,20 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   join_left_order_nation    (join family keeps semi/anti + q3/q5/q14),
 #   mdkv_document_level_stats (mdkv family keeps row_per_kv + hybrid,
 #     which subsumes the document-level cardinalities).
+# Round 6 ALSO adds four new queries (kmeans_corpus_clusters,
+# quality_classifier_score, epoch_shuffle_order, q2_min_cost_supplier)
+# and demotes four more r5-proven siblings to admit them:
+#   array_functions_embeddings (embedding family keeps ivf/quantized/
+#     neardup/dedup_resolved + new kmeans),
+#   repetition_quality_docs    (text family keeps text_quality/pii/tfidf
+#     + new classifier score),
+#   sample_hash_split          (sampling family keeps token_budget/pack/
+#     chunk_pack + new epoch shuffle),
+#   subquery_above_avg_balance (subquery family keeps q4's EXISTS + new
+#     q2's decorrelated scalar subquery).
 # After this rotation the non-demoted set is EXACTLY 50 and every
 # registered query has been driver-proven in at least one round once
-# CORRECTNESS_r06 lands (69 prior + mdkv_hybrid new this round).
+# CORRECTNESS_r06 lands (69 prior + the 5 new this round).
 # The r1-r3-era demotions below (first 15) all hold green rows from the r5
 # window inversion.
 # Every demoted query still runs, value-checked against DuckDB, in the local
@@ -2405,6 +2670,10 @@ _GATE_DEMOTED = [
     "agg_having_big_customers",
     "join_left_order_nation",
     "mdkv_document_level_stats",
+    "array_functions_embeddings",
+    "repetition_quality_docs",
+    "sample_hash_split",
+    "subquery_above_avg_balance",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -7,6 +7,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.operators import pii, textops
+from dativo_ingest_spark.queries import load
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -144,3 +147,25 @@ def test_boilerplate_stats(spark):
     assert not out[3]["boilerplate_ok"]
     assert out[4]["n_boilerplate_grams"] == 0 and out[4]["boilerplate_ok"]
     assert out[5]["n_distinct_grams"] == 0 and out[5]["boilerplate_ok"]
+
+
+def test_classifier_score_range_and_threshold(spark):
+    docs = load(spark, SF, "documents")
+    out = textops.classifier_score(docs, "doc_id", "text")
+    assert out.count() == docs.count()
+    rows = out.collect()
+    assert all(0.0 <= r.score <= 1.0 for r in rows)
+    assert all(r.keep == (r.score >= 0.5) for r in rows)
+    # the synthetic corpus is prose-like: most docs should clear the bar
+    assert sum(r.keep for r in rows) > len(rows) * 0.5
+
+
+def test_classifier_score_weight_override(spark):
+    docs = load(spark, SF, "documents")
+    # an all-penalty model must strictly lower every score vs the default
+    harsh = textops.classifier_score(
+        docs, "doc_id", "text",
+        weights={"intercept": -5.0, "words": 0.0, "stopwords": 0.0,
+                 "punct": -3.0, "word_len": 0.0},
+    )
+    assert harsh.filter("keep").count() == 0

@@ -175,3 +175,38 @@ def test_q14_part_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert n_exchanges(plan) == 1, plan[:600]
     assert "partial_" in plan  # map-side combine below the agg exchange
+
+
+def test_classifier_score_is_scan_stage(spark):
+    plan = plan_of(spark, "quality_classifier_score")
+    assert n_exchanges(plan) == 0, plan[:600]
+
+
+def test_epoch_shuffle_single_shard_exchange(spark):
+    # one hash exchange on the shard key feeding the per-shard rank sort
+    plan = plan_of(spark, "epoch_shuffle_order")
+    assert len(re.findall(r"Exchange hashpartitioning\(shard", plan)) == 1, \
+        plan[:900]
+
+
+def test_kmeans_assignment_is_codegen_literals(spark):
+    # the final assignment plan must be scan + literal argmin + the single
+    # (cluster, pos)-free output: no pandas UDF, no crossJoin of centroids
+    from dativo_ingest_spark.operators import clustering
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    out = clustering.fixed_point_kmeans(emb, "vec_id", "embedding",
+                                        k=4, n_iter=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert n_exchanges(plan) == 0, plan[:600]
+
+
+def test_q2_dimension_joins_broadcast(spark):
+    # lineitem is the only big side: every dim join must broadcast and the
+    # only hash exchanges are the per-part min aggregate + its join-back
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan or "mc_partkey" in plan

@@ -104,3 +104,33 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 5)], "id long, toks long")
     with _pytest.raises(ValueError):
         sampling.pack_sequences(df, "id", "toks", budget_tokens=0)
+
+
+def test_epoch_shuffle_layout_invariant_and_redeal(spark):
+    docs = load(spark, SF, "documents")
+    a = sampling.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+    b = sampling.epoch_shuffle(docs.repartition(5), "doc_id", epoch=1,
+                               n_shards=8)
+    left = {(r.id, r.shard, r.position) for r in a.collect()}
+    right = {(r.id, r.shard, r.position) for r in b.collect()}
+    assert left == right
+    # a different epoch re-deals the order
+    c = sampling.epoch_shuffle(docs, "doc_id", epoch=2, n_shards=8)
+    other = {(r.id, r.shard, r.position) for r in c.collect()}
+    assert left != other
+
+
+def test_epoch_shuffle_positions_are_dense_per_shard(spark):
+    docs = load(spark, SF, "documents")
+    out = sampling.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8)
+    assert out.count() == docs.count()
+    per_shard = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("position").alias("mx"),
+             F.min("position").alias("mn"))
+        .collect()
+    )
+    assert per_shard  # at least one shard populated
+    for r in per_shard:
+        assert 0 <= r.shard < 8
+        assert r.mn == 1 and r.mx == r.n  # dense 1..n ranks, no gaps

@@ -154,6 +154,45 @@ def interval_join(
     return left.join(right, cond, how)
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch against a
+    static (or slowly-changing) dimension table.
+
+    The canonical Structured Streaming lookup pattern: the static side is
+    re-evaluated per micro-batch, so a dimension backed by a file/table
+    source picks up slowly-changing updates between batches without
+    restarting the query. With ``broadcast_dim`` (the default, matching the
+    repo's small-dim policy) the dimension hash table ships to executors
+    and the STREAM side never shuffles — per-batch cost is a map-side hash
+    join, no state store involved (unlike stream-stream joins there is
+    nothing to expire: the static side is bounded by definition).
+
+    ``how`` is restricted to the types Structured Streaming supports for
+    stream-static joins with a static right side (inner / left outer /
+    left semi) — a right/full outer would need the unmatched STATIC rows,
+    which is unknowable while the stream is unbounded.
+
+    At 100 TB-of-stream: the only scale knob is the dimension size — past
+    the broadcast threshold set ``broadcast_dim=False`` and the join
+    becomes a per-batch shuffled hash join (still stateless). Works
+    identically on batch frames, which is how tests oracle it.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi"}
+    if how not in allowed:
+        raise ValueError(
+            f"stream-static join supports {sorted(allowed)}, got {how!r}"
+        )
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(right, on=keys, how=how)
+
+
 def dedup_stream(
     df: DataFrame,
     keys: list[str],

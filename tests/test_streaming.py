@@ -368,3 +368,37 @@ def test_stream_to_iceberg_requires_catalog(spark, tmp_path):
     with pytest.raises(ConfigError, match="spark.sql.catalog"):
         pipeline.stream_to_iceberg(stream, "lake.db.t",
                                    str(tmp_path / "ckpt"))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir, tmp_path):
+    path, schema, batch = events_dir
+    # dimension: per-user segment derived from the same corpus (static side)
+    dim = (batch.select("user_id").distinct()
+           .withColumn("segment", (F.col("user_id") % 3).cast("long")))
+    stream = pipeline.stream_from_files(spark, path, schema)
+    enriched = pipeline.enrich_with_dimension(stream, dim, ["user_id"])
+    pipeline.run_available_now(
+        enriched.select("event_id", "user_id", "segment"),
+        "enriched_sink", str(tmp_path / "ckpt"), output_mode="append")
+    got = _norm(spark.table("enriched_sink").collect())
+    want = _norm(
+        pipeline.enrich_with_dimension(batch, dim, ["user_id"])
+        .select("event_id", "user_id", "segment").collect())
+    assert got == want and got  # identical and non-empty
+
+
+def test_stream_static_enrichment_broadcasts(spark, events_dir):
+    _, _, batch = events_dir
+    dim = (batch.select("user_id").distinct()
+           .withColumn("segment", (F.col("user_id") % 3).cast("long")))
+    plan = (pipeline.enrich_with_dimension(batch, dim, ["user_id"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stream_static_enrichment_rejects_outer_on_static_side(spark,
+                                                               events_dir):
+    _, _, batch = events_dir
+    dim = batch.select("user_id").distinct()
+    with pytest.raises(ValueError):
+        pipeline.enrich_with_dimension(batch, dim, ["user_id"], how="full")

@@ -62,6 +62,13 @@ HEADLINE = [
     # (the two r5 operators whose perf claims were never bench-pinned)
     "q14_promo_effect",
     "chunk_pack_pipeline",
+    # r6 additions round 2: iterative fixed-point k-means (2 Lloyd rounds +
+    # final assignment), scan-stage classifier, per-shard epoch shuffle,
+    # decorrelated min-cost join-back
+    "kmeans_corpus_clusters",
+    "quality_classifier_score",
+    "epoch_shuffle_order",
+    "q2_min_cost_supplier",
 ]
 
 

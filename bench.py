@@ -69,6 +69,8 @@ HEADLINE = [
     "quality_classifier_score",
     "epoch_shuffle_order",
     "q2_min_cost_supplier",
+    # composed SemDeDup pipeline: kmeans cells -> in-cell cosine pairs
+    "semantic_dedup_pipeline",
 ]
 
 

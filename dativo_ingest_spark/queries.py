@@ -2380,14 +2380,16 @@ def _kmeans_update_cte(src_assign: str, prev_cent: str, out: str) -> str:
         GROUP BY cid) n USING (cid))"""
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> list[str]:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replica of
     clustering.fixed_point_kmeans (init = k lowest ids; per iteration:
     9dp-rounded squared-L2 argmin with ties to the lower cid, then exact
-    integer-mean centroid update; empty clusters keep their centroid)."""
+    integer-mean centroid update; empty clusters keep their centroid).
+    The final assignment lands in CTE ``afinal`` (vec_id, label, q, cid);
+    ``e`` also carries the raw double vector ``v`` for downstream stages."""
     ctes = [
         f"""e AS (
-      SELECT vec_id, label,
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(round(x * {_KMEANS_SCALE}) AS BIGINT)) AS q
       FROM embeddings)""",
@@ -2399,8 +2401,12 @@ def _kmeans_oracle() -> str:
         ctes.append(_kmeans_assign_cte(f"c{it}", f"a{it}"))
         ctes.append(_kmeans_update_cte(f"a{it}", f"c{it}", f"c{it + 1}"))
     ctes.append(_kmeans_assign_cte(f"c{_KMEANS_ITER}", "afinal"))
+    return ctes
+
+
+def _kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n    ".join(ctes) + "\n"
+        "WITH " + ",\n    ".join(_kmeans_ctes()) + "\n"
         "    SELECT cid AS cluster, count(*) AS n_vectors,\n"
         "           round(avg(label), 4) AS mean_label,\n"
         "           min(vec_id) AS min_member\n"
@@ -2435,6 +2441,77 @@ def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("label"), 4).alias("mean_label"),
             F.min("vec_id").alias("min_member"),
         )
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    pair_cos = _COS_SQL.format(a="ea.v", b="eb.v")
+    return (
+        "WITH " + ",\n    ".join(_kmeans_ctes()) + f""",
+    pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM afinal a
+      JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE {pair_cos} >= 0.3),
+    base AS (
+      SELECT cid AS cluster, count(*) AS n_vectors FROM afinal GROUP BY cid),
+    ps AS (
+      SELECT cid AS cluster, count(*) AS n_dup_pairs,
+             count(DISTINCT id_b) AS n_losers
+      FROM pairs GROUP BY cid)
+    SELECT cluster, n_vectors,
+           COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(n_losers, 0) AS n_losers,
+           n_vectors - COALESCE(n_losers, 0) AS n_kept
+    FROM base LEFT JOIN ps USING (cluster)"""
+    )
+
+
+@register(
+    "semantic_dedup_pipeline",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup-style composed pipeline: fixed-point k-means cells -> "
+        "within-cell cosine near-dup pairs (cell equi-join, never "
+        "all-pairs) -> one-pass lower-id-wins resolution, reported as "
+        "per-cluster dedup stats. The composition is the point: the "
+        "clustering REPLACES the all-pairs blow-up — at 100 TB each "
+        "cell scores only its own members, and the cells shuffle "
+        "independently.",
+)
+def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import clustering, similarity
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = clustering.fixed_point_kmeans(
+        emb, "vec_id", "embedding",
+        k=_KMEANS_K, n_iter=_KMEANS_ITER, scale=_KMEANS_SCALE,
+    )
+    clustered = (
+        emb.join(assign, emb["vec_id"] == assign["id"])
+        .select("vec_id", "embedding", "cluster")
+    )
+    pairs = similarity.bucketed_neardup_pairs(
+        clustered, "vec_id", "embedding", "cluster", threshold=0.3
+    )
+    pair_clusters = (
+        pairs.join(assign.withColumnRenamed("id", "pid"),
+                   F.col("id_a") == F.col("pid"))
+        .select("cluster", "id_a", "id_b")
+    )
+    pair_stats = pair_clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_losers"),
+    )
+    base = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    zero = F.lit(0).cast("long")
+    return base.join(pair_stats, "cluster", "left").select(
+        "cluster",
+        "n_vectors",
+        F.coalesce("n_dup_pairs", zero).alias("n_dup_pairs"),
+        F.coalesce("n_losers", zero).alias("n_losers"),
+        (F.col("n_vectors") - F.coalesce("n_losers", zero)).alias("n_kept"),
     )
 
 
@@ -2674,6 +2751,9 @@ _GATE_DEMOTED = [
     "repetition_quality_docs",
     "sample_hash_split",
     "subquery_above_avg_balance",
+    # admits semantic_dedup_pipeline, which subsumes this query's
+    # bucketed cell-join shape (r5-proven)
+    "embedding_neardup_bucketed",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

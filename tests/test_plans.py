@@ -210,3 +210,11 @@ def test_q2_dimension_joins_broadcast(spark):
     plan = plan_of(spark, "q2_min_cost_supplier")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in plan or "mc_partkey" in plan
+
+
+def test_semantic_dedup_never_all_pairs(spark):
+    # the kmeans-cell equi-join must be a real join on the cell key —
+    # no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan
+    plan = plan_of(spark, "semantic_dedup_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

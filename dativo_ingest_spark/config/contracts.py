@@ -216,6 +216,14 @@ class JobConfig:
 
         if schema_validation.should_validate(doc, validate_schema):
             schema_validation.validate_job_dict(doc)
+            # the asset contract gets the same treatment: inline dicts are
+            # normalized to the ODCS envelope and checked against
+            # schemas/asset-contract.schema.json (path-referenced assets
+            # validate in load_asset)
+            if isinstance(doc.get("asset"), dict):
+                schema_validation.validate_asset_dict(doc["asset"])
+            elif isinstance(doc.get("asset"), str):
+                load_asset(doc["asset"], validate_schema=True)
         return cls.from_dict(doc)
 
     def validate(self) -> None:
@@ -234,11 +242,18 @@ class JobConfig:
                 raise ConfigError("asset schema fields must be named")
 
 
-def load_asset(path: str) -> AssetDefinition:
+def load_asset(path: str, validate_schema: bool = False) -> AssetDefinition:
     if yaml is None:  # pragma: no cover
         raise ConfigError("PyYAML unavailable")
     with open(_expand_env(path)) as fh:
-        return AssetDefinition.from_dict(yaml.safe_load(fh))
+        doc = yaml.safe_load(fh) or {}
+    from dativo_ingest_spark.config import schema_validation
+
+    if schema_validation.should_validate(doc, validate_schema):
+        doc = schema_validation.validate_asset_dict(doc)
+    elif isinstance(doc.get("asset"), dict):
+        doc = doc["asset"]  # legacy nested wrapper
+    return AssetDefinition.from_dict(doc)
 
 
 _ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")

@@ -74,3 +74,56 @@ def validate_job_dict(doc: dict[str, Any],
 def should_validate(doc: dict[str, Any], requested: bool) -> bool:
     """Opt-in flag OR a self-declared ``$schema`` key turns validation on."""
     return bool(requested or doc.get("$schema"))
+
+
+# --- asset contracts (ODCS profile) ----------------------------------------
+
+#: sibling schema for asset data contracts (ODCS v3.0.2 profile + ingest
+#: extensions; reference analog: schemas/odcs/dativo-odcs-3.0.2-extended
+#: validated by tests/integration/test_odcs_compliance.py)
+ASSET_SCHEMA_PATH = os.path.join(
+    os.path.dirname(DEFAULT_SCHEMA_PATH), "asset-contract.schema.json",
+)
+
+_ODCS_DEFAULTS = {
+    "apiVersion": "v3.0.2",
+    "kind": "DataContract",
+    "status": "active",
+    "version": "1.0",
+}
+
+
+def normalize_asset_to_odcs(asset: dict[str, Any]) -> dict[str, Any]:
+    """Return a copy of an asset dict lifted to the ODCS contract shape.
+
+    Mirrors the reference's pre-validation conversion: unwrap a legacy
+    nested ``{"asset": {...}}`` document, fill the ODCS envelope defaults
+    (apiVersion/kind/status/version), migrate a ``governance`` block to
+    ``team``, and mint a missing ``id`` DETERMINISTICALLY (uuid5 of the
+    asset name — the reference uses uuid4, which re-deals ids per run;
+    a contract id that changes on every validation is not an id).
+    """
+    doc = dict(asset.get("asset") or asset)
+    for key, val in _ODCS_DEFAULTS.items():
+        doc.setdefault(key, val)
+    if "governance" in doc and "team" not in doc:
+        doc["team"] = doc["governance"]
+    if not doc.get("id"):
+        import uuid
+
+        doc["id"] = str(
+            uuid.uuid5(uuid.NAMESPACE_URL,
+                       f"asset:{doc.get('name', 'unnamed')}")
+        )
+    return doc
+
+
+def validate_asset_dict(asset: dict[str, Any],
+                        schema_path: str | None = None,
+                        max_errors: int = 10) -> dict[str, Any]:
+    """Normalize an asset dict to the ODCS shape and validate it; raises
+    ConfigError listing violations, returns the normalized document."""
+    doc = normalize_asset_to_odcs(asset)
+    validate_job_dict(doc, schema_path=schema_path or ASSET_SCHEMA_PATH,
+                      max_errors=max_errors)
+    return doc

@@ -2380,7 +2380,7 @@ def _kmeans_update_cte(src_assign: str, prev_cent: str, out: str) -> str:
         GROUP BY cid) n USING (cid))"""
 
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes(n_iter: int = _KMEANS_ITER) -> list[str]:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replica of
     clustering.fixed_point_kmeans (init = k lowest ids; per iteration:
     9dp-rounded squared-L2 argmin with ties to the lower cid, then exact
@@ -2397,10 +2397,10 @@ def _kmeans_ctes() -> list[str]:
       SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
       FROM e ORDER BY vec_id LIMIT {_KMEANS_K})""",
     ]
-    for it in range(_KMEANS_ITER):
+    for it in range(n_iter):
         ctes.append(_kmeans_assign_cte(f"c{it}", f"a{it}"))
         ctes.append(_kmeans_update_cte(f"a{it}", f"c{it}", f"c{it + 1}"))
-    ctes.append(_kmeans_assign_cte(f"c{_KMEANS_ITER}", "afinal"))
+    ctes.append(_kmeans_assign_cte(f"c{n_iter}", "afinal"))
     return ctes
 
 
@@ -2444,10 +2444,15 @@ def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the dedup pipeline needs coarse cells, not converged clusters — one
+#: Lloyd round fewer saves a full corpus pass + centroid collect
+_SEMANTIC_KMEANS_ITER = 1
+
+
 def _semantic_dedup_oracle() -> str:
     pair_cos = _COS_SQL.format(a="ea.v", b="eb.v")
     return (
-        "WITH " + ",\n    ".join(_kmeans_ctes()) + f""",
+        "WITH " + ",\n    ".join(_kmeans_ctes(_SEMANTIC_KMEANS_ITER)) + f""",
     pairs AS (
       SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
       FROM afinal a
@@ -2484,10 +2489,13 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.operators import clustering, similarity
 
     emb = load(spark, sf_dir, "embeddings")
+    # the assignment frame feeds four branches (both pair-join sides, the
+    # pair->cluster lookup, and the per-cluster base counts); cache it so
+    # the argmin scan runs once, not once per branch
     assign = clustering.fixed_point_kmeans(
         emb, "vec_id", "embedding",
-        k=_KMEANS_K, n_iter=_KMEANS_ITER, scale=_KMEANS_SCALE,
-    )
+        k=_KMEANS_K, n_iter=_SEMANTIC_KMEANS_ITER, scale=_KMEANS_SCALE,
+    ).cache()
     clustered = (
         emb.join(assign, emb["vec_id"] == assign["id"])
         .select("vec_id", "embedding", "cluster")

@@ -118,3 +118,86 @@ def test_missing_schema_file_is_config_error():
     with pytest.raises(ConfigError, match="not found"):
         schema_validation.validate_job_dict(VALID,
                                             schema_path="/nope.schema.json")
+
+
+# --- asset contracts (ODCS profile) ----------------------------------------
+
+ASSET = {
+    "name": "contacts",
+    "version": "2.1",
+    "domain": "crm",
+    "source_type": "csv",
+    "object": "contacts",
+    "target": {"file_format": "parquet", "partitioning": ["dt"],
+               "mode": "strict"},
+    "compliance": {"classification": ["PII"], "regulations": ["GDPR"],
+                   "retention_days": 365},
+    "team": {"owner": "data-eng"},
+    "schema": [
+        {"name": "id", "logicalType": "integer", "required": True},
+        {"name": "email", "logicalType": "string", "classification": "pii"},
+    ],
+}
+
+
+def test_asset_normalization_fills_odcs_envelope():
+    doc = schema_validation.normalize_asset_to_odcs(ASSET)
+    assert doc["apiVersion"] == "v3.0.2"
+    assert doc["kind"] == "DataContract"
+    assert doc["status"] == "active"
+    assert doc["id"]  # minted
+    # deterministic: same asset -> same id, every run
+    assert doc["id"] == schema_validation.normalize_asset_to_odcs(ASSET)["id"]
+    # explicit envelope fields are never overwritten
+    keep = schema_validation.normalize_asset_to_odcs(
+        {**ASSET, "status": "draft", "id": "fixed"})
+    assert keep["status"] == "draft" and keep["id"] == "fixed"
+
+
+def test_asset_legacy_nested_wrapper_unwrapped():
+    doc = schema_validation.normalize_asset_to_odcs({"asset": ASSET})
+    assert doc["name"] == "contacts"
+
+
+def test_asset_governance_migrates_to_team():
+    src = {k: v for k, v in ASSET.items() if k != "team"}
+    src["governance"] = {"owner": "legacy-team"}
+    doc = schema_validation.normalize_asset_to_odcs(src)
+    assert doc["team"] == {"owner": "legacy-team"}
+
+
+def test_valid_asset_passes_and_invalid_listed():
+    schema_validation.validate_asset_dict(ASSET)  # no raise
+    bad = {**ASSET, "status": "bogus",
+           "schema": [{"logicalType": "string"}],       # field missing name
+           "compliance": {"retention_days": -1}}
+    with pytest.raises(ConfigError) as exc:
+        schema_validation.validate_asset_dict(bad)
+    msg = str(exc.value)
+    assert "/status" in msg
+    assert "/schema/0" in msg
+    assert "/compliance/retention_days" in msg
+
+
+def test_job_yaml_opt_in_validates_inline_asset(tmp_path):
+    cfg = dict(VALID)
+    cfg["asset"] = {**ASSET, "status": "bogus"}
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ConfigError, match="/status"):
+        JobConfig.from_yaml(str(p), validate_schema=True)
+    # default-off path still loads (dataclass checks only)
+    cfg["asset"]["status"] = "active"
+    p.write_text(yaml.safe_dump(cfg))
+    assert JobConfig.from_yaml(str(p)).asset.name == "contacts"
+
+
+def test_asset_path_reference_validates(tmp_path):
+    ap = tmp_path / "asset.yaml"
+    ap.write_text(yaml.safe_dump({**ASSET, "schema": [{"notname": True}]}))
+    cfg = dict(VALID)
+    cfg["asset"] = str(ap)
+    p = tmp_path / "job.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    with pytest.raises(ConfigError):
+        JobConfig.from_yaml(str(p), validate_schema=True)

@@ -65,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
                             ".schema.json before running (exit 2 on "
                             "violation; reference config.py:331-337)")
 
+    plan_p = sub.add_parser(
+        "plan", help="plan-quality summary for a registered query "
+                     "(shuffles, join strategies, pushdown, codegen)")
+    plan_p.add_argument("--query", required=True)
+    plan_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    plan_p.add_argument("--full", action="store_true",
+                        help="include the formatted physical plan")
+    plan_p.add_argument("--execute", action="store_true",
+                        help="run the query (noop sink) so AQE finalizes "
+                             "and codegen/runtime join choices are real")
+
     for name in ("check", "discover"):
         p = sub.add_parser(name)
         p.add_argument("--type", required=True)
@@ -102,6 +113,13 @@ def main(argv: list[str] | None = None) -> int:
             return max((r.exit_code for r in results.values()), default=0)
 
         from dativo_ingest_spark import inspect_cmd
+
+        if args.cmd == "plan":
+            doc = inspect_cmd.plan_query(spark, args.query, args.sf_dir,
+                                         full=args.full,
+                                         execute=args.execute)
+            print(json.dumps(doc, indent=1))
+            return 0
 
         opts = dict(kv.split("=", 1) for kv in args.option)
         src = SourceConfig.from_dict(

@@ -115,3 +115,87 @@ def discover(spark: SparkSession, src: SourceConfig,
                            if k == "sandbox"})
         return [dict(obj) for obj in reader.discover().objects]
     return []
+
+
+# --- plan inspection --------------------------------------------------------
+
+_PLAN_PATTERNS = {
+    # every Exchange is a shuffle (or broadcast distribution) boundary
+    "exchanges": r"\bExchange hashpartitioning",
+    "broadcast_exchanges": r"\bExchange.*broadcast|BroadcastExchange",
+    "broadcast_hash_joins": r"\bBroadcastHashJoin\b",
+    "sort_merge_joins": r"\bSortMergeJoin\b",
+    "cartesian_products": r"\bCartesianProduct\b|\bBroadcastNestedLoopJoin\b",
+    "python_evals": r"\bArrowEvalPython\b|\bBatchEvalPython\b|\bMapInPandas\b"
+                    r"|\bFlatMapGroupsInPandas\b",
+    "codegen_spans": r"\*\(\d+\)",
+}
+
+
+def plan_summary(df) -> dict[str, Any]:
+    """Plan-quality read-out for a DataFrame: the same signals the repo's
+    plan gates assert (tests/test_plans.py), exposed as ops tooling —
+    shuffle count, join strategies, Python boundaries, whole-stage codegen
+    spans, and per-scan pushed filters + pruned columns.
+
+    This is the ".explain() and iterate" loop as a command: a scan reading
+    every column for a two-column projection, or a fact-dim join gone
+    SortMergeJoin, shows up here before it costs anything at scale.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out: dict[str, Any] = {
+        key: len(re.findall(pat, plan)) for key, pat in _PLAN_PATTERNS.items()
+    }
+    out["codegen_spans"] = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    scans = []
+    for m in re.finditer(r"FileScan (\w+) \[([^\]]*)\]", plan):
+        entry: dict[str, Any] = {
+            "format": m.group(1),
+            "columns": [c.split("#")[0].strip()
+                        for c in m.group(2).split(",") if c.strip()],
+        }
+        tail = plan[m.end():m.end() + 2000]
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", tail)
+        if pf:
+            # split on commas OUTSIDE parens (EqualTo(r_name,ASIA) is one)
+            entry["pushed_filters"] = [
+                f.strip()
+                for f in re.split(r",(?![^(]*\))", pf.group(1))
+                if f.strip()
+            ]
+        scans.append(entry)
+    out["scans"] = scans
+    out["aqe"] = "AdaptiveSparkPlan" in plan
+    return out
+
+
+def plan_query(spark: SparkSession, name: str, sf_dir: str,
+               full: bool = False, execute: bool = False) -> dict[str, Any]:
+    """Plan summary for a registered query (queries.py surface).
+
+    ``execute`` runs the query to a noop sink first so AQE finalizes —
+    codegen spans and runtime join/shuffle choices only exist in the FINAL
+    plan (an un-executed AdaptiveSparkPlan shows the static guess)."""
+    from dativo_ingest_spark.queries import QUERIES
+
+    if name not in QUERIES:
+        raise ValueError(f"unknown query '{name}'; see queries.QUERIES")
+    df = QUERIES[name].fn(spark, sf_dir)
+    if execute:
+        # collect() executes THIS DataFrame's queryExecution (a write would
+        # wrap it in a new command and leave this plan un-finalized);
+        # results are discarded — size the sf_dir accordingly
+        df.collect()
+    doc = {"query": name, "final": bool(execute), **plan_summary(df)}
+    if full:
+        doc["formatted"] = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"))
+        if execute:
+            # formatted explain re-renders the pre-execution adaptive plan;
+            # the finalized tree (real joins, codegen ids) is executedPlan
+            doc["final_plan"] = (
+                df._jdf.queryExecution().executedPlan().toString())
+    return doc

@@ -187,3 +187,41 @@ def test_cli_main_run_check_discover(spark, tmp_path, capsys):
     assert rc == 0
     streams = _json.loads(capsys.readouterr().out.strip())
     assert {s["stream"] for s in streams} == {"good", "bad"}
+
+
+def test_plan_summary_reads_signals(spark):
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.queries import QUERIES
+
+    doc = inspect_cmd.plan_query(spark, "q5_region_revenue",
+                                 "/root/testdata/sf0.001", execute=True)
+    assert doc["query"] == "q5_region_revenue"
+    assert doc["broadcast_hash_joins"] >= 4
+    assert doc["sort_merge_joins"] == 0
+    assert doc["cartesian_products"] == 0
+    assert doc["python_evals"] == 0
+    assert doc["codegen_spans"] > 0
+    scans = {tuple(s["columns"]) for s in doc["scans"]}
+    assert ("r_regionkey", "r_name") in scans  # pruned dim scan
+    region = next(s for s in doc["scans"]
+                  if s["columns"] == ["r_regionkey", "r_name"])
+    assert any(f.startswith("EqualTo(r_name") for f
+               in region.get("pushed_filters", []))  # filter reached scan
+
+
+def test_plan_query_unknown_name(spark):
+    from dativo_ingest_spark import inspect_cmd
+
+    with pytest.raises(ValueError, match="unknown query"):
+        inspect_cmd.plan_query(spark, "nope", "/root/testdata/sf0.001")
+
+
+def test_plan_cli_full_includes_formatted(spark):
+    from dativo_ingest_spark import inspect_cmd
+
+    doc = inspect_cmd.plan_query(spark, "q1_pricing_summary",
+                                 "/root/testdata/sf0.001", full=True,
+                                 execute=True)
+    assert "formatted" in doc and "Physical Plan" in doc["formatted"]
+    assert doc["final"] and doc["codegen_spans"] > 0
+    assert "isFinalPlan=true" in doc["final_plan"]

@@ -1,0 +1,119 @@
+"""Z-order layout: key correctness (hand-computed + DuckDB bit-math
+replica) and the property the operator exists for — a Z-ordered file
+layout lets manifest min/max stats prune range predicates on EVERY curve
+column, where a linear sort prunes only its own column."""
+
+from __future__ import annotations
+
+import glob
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import layout
+from dativo_ingest_spark.queries import load
+from dativo_ingest_spark.sinks import table_commit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zorder_key_hand_computed(spark):
+    # 2 cols, 2 bits, ranges [0, 3]: quantized value == raw value.
+    # x=1 (01), y=2 (10) -> interleaved (y1 x1 y0 x0) = 1 0 0 1 = 9
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    key = df.select(
+        layout.zorder_key({"x": (0, 3), "y": (0, 3)}, bits=2).alias("k")
+    ).collect()[0]["k"]
+    assert key == 0b1001
+
+
+def test_zorder_key_matches_duckdb_bit_math(spark):
+    bits, lo, hi = 8, 0.0, 1000.0
+    ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+    got = {
+        r["event_id"]: r["k"]
+        for r in ev.select(
+            "event_id",
+            layout.zorder_key({"user_id": (lo, hi), "value": (lo, hi)},
+                              bits=bits).alias("k"),
+        ).collect()
+    }
+    levels = (1 << bits) - 1
+    q = f"""
+    WITH q AS (
+      SELECT event_id,
+             greatest(0, least({levels},
+               CAST(floor((user_id::DOUBLE - {lo}) / {hi - lo} * {levels})
+                    AS BIGINT))) AS qa,
+             greatest(0, least({levels},
+               CAST(floor((value::DOUBLE - {lo}) / {hi - lo} * {levels})
+                    AS BIGINT))) AS qb
+      FROM '{SF}/events.parquet')
+    SELECT event_id, {" | ".join(
+        f"(((qa >> {i}) & 1) << {2 * i}) | (((qb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits))} AS k
+    FROM q
+    """
+    want = dict(duckdb.sql(q).fetchall())
+    assert got == want and len(got) > 100
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+    lo_u, hi_u = 0.0, float(ev.agg(F.max("user_id")).collect()[0][0])
+    lo_v, hi_v = 0.0, float(ev.agg(F.max("value")).collect()[0][0])
+
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    layout.zorder_write(ev, zpath,
+                        {"user_id": (lo_u, hi_u), "value": (lo_v, hi_v)},
+                        n_files=8)
+    # linear layout: range-sorted by user_id only
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")\
+        .write.mode("overwrite").parquet(lpath)
+
+    def excluded(path, col, val):
+        n = 0
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            stats = table_commit._footer_stats(f, ["user_id", "value"])
+            if table_commit.file_excluded(stats, [(col, ">=", val)]):
+                n += 1
+        return n
+
+    # moderate selectivity: ~30% of rows match, so every ~125-row random
+    # file almost surely contains matches — only real clustering prunes
+    u70 = ev.approxQuantile("user_id", [0.7], 0.0)[0]
+    v70 = ev.approxQuantile("value", [0.7], 0.0)[0]
+    # the linear layout prunes its own sort column...
+    assert excluded(lpath, "user_id", u70) >= 4
+    # ...but is blind on the other dimension; the z-order prunes BOTH
+    assert excluded(lpath, "value", v70) == 0
+    assert excluded(zpath, "user_id", u70) >= 1
+    assert excluded(zpath, "value", v70) >= 1
+
+
+def test_zorder_layout_preserves_rows(spark, tmp_path):
+    ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+    out = layout.zorder_by(ev, {"user_id": (0, 1000), "value": (0, 1000)},
+                           n_files=4)
+    assert out.count() == ev.count()
+    assert sorted(out.columns) == ["_zkey", "event_id", "user_id", "value"]
+    # deterministic: same key for same row across layouts
+    a = dict(out.select("event_id", "_zkey").collect())
+    b = dict(
+        layout.zorder_by(ev.repartition(13),
+                         {"user_id": (0, 1000), "value": (0, 1000)},
+                         n_files=4).select("event_id", "_zkey").collect()
+    )
+    assert a == b
+
+
+def test_zorder_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        layout.zorder_key({})
+    with pytest.raises(ValueError):
+        layout.zorder_key({"a": (0, 10), "b": (0, 10), "c": (0, 10)},
+                          bits=21)
+    with pytest.raises(ValueError):
+        layout.zorder_key({"a": (5, 5)})

@@ -82,6 +82,12 @@ def fixed_point_kmeans(
     ``n_rows * max|x| * scale < 2^53`` — at scale=1e4 and |x|<=8 that is
     ~1e14 rows, comfortably past a 100 TB corpus; raise ``scale`` only
     with that budget in mind.
+
+    The quantized (id, qvec) frame is cached for the iteration passes and
+    stays referenced by the returned assignment plan — call
+    ``spark.catalog.clearCache()`` (or unpersist after materializing the
+    result) in long-lived sessions; identical re-invocations reuse the
+    same cache entry (CacheManager keys on the logical plan).
     """
     if k <= 0 or n_iter < 0:
         raise ValueError("k must be positive and n_iter non-negative")

@@ -85,6 +85,10 @@ class AssetDefinition:
     compliance: dict[str, Any] = dc_field(default_factory=dict)
     #: team block: owner, ... — reference config.py:195-247
     team: dict[str, Any] = dc_field(default_factory=dict)
+    #: data_quality block: expectations/monitoring/alerts — reference
+    #: config.py:137-142 PARSES this and never evaluates it; here the
+    #: expectations list is enforced at runtime (operators/quality.py)
+    data_quality: dict[str, Any] = dc_field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "AssetDefinition":
@@ -104,6 +108,7 @@ class AssetDefinition:
             finops=d.get("finops") or {},
             compliance=d.get("compliance") or {},
             team=d.get("team") or {},
+            data_quality=d.get("data_quality") or {},
         )
 
     def required_fields(self) -> list[Field]:

@@ -1,0 +1,152 @@
+"""Data-quality expectations: enforce the ODCS ``data_quality`` block.
+
+The reference models ``data_quality.expectations`` on the asset contract
+(config.py:137-142 DataQualityModel) but never evaluates them — the block
+is parsed and carried, not enforced. Here the expectations are a real
+runtime check, compiled into ONE aggregate pass over the frame:
+
+* every expectation becomes a conditional-count expression, so N
+  expectations cost one job with map-side partial aggregation — no
+  per-expectation scans, no shuffle beyond the final single-row reduce
+  (``unique`` adds a distinct count, which Catalyst plans via expand —
+  one widened pass, still a single job);
+* results come back as a small report (one row per expectation) the
+  runner can log, gate on, or write next to the output.
+
+Supported kinds (dbt / Great Expectations vocabulary):
+
+  {"type": "not_null",        "column": c}
+  {"type": "unique",          "column": c}
+  {"type": "accepted_values", "column": c, "values": [...]}
+  {"type": "range",           "column": c, "min": x, "max": y}   (either bound optional)
+  {"type": "regex",           "column": c, "pattern": p}
+  {"type": "row_count_min",   "min": n}
+  {"type": "expression",      "expression": sql_bool}  (violations = NOT expr)
+
+Scale: the report is O(n_expectations) rows; the data pass is the same
+single scan the job already paid for validation. At 100 TB ``unique``
+over a high-cardinality column is the only expensive check (exact
+distinct = expand + shuffle); swap to approx_count_distinct via
+``approx_unique=True`` when a bounded error (~2%) is acceptable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.config.contracts import ConfigError
+
+KINDS = ("not_null", "unique", "accepted_values", "range", "regex",
+         "row_count_min", "expression")
+
+
+@dataclass
+class ExpectationResult:
+    name: str
+    kind: str
+    column: str | None
+    failed: int
+    total: int
+
+    @property
+    def passed(self) -> bool:
+        return self.failed == 0
+
+
+def _violation_expr(exp: dict[str, Any]):
+    """Column expression counting rows violating the expectation (the
+    single-pass building block); None for frame-level kinds."""
+    kind = exp["type"]
+    col = exp.get("column")
+    if kind in ("not_null", "unique", "accepted_values", "range", "regex") \
+            and not col:
+        raise ConfigError(f"expectation {kind} requires a column")
+    c = F.col(col) if col else None
+    if kind == "not_null":
+        return F.sum(F.when(c.isNull(), 1).otherwise(0))
+    if kind == "accepted_values":
+        values = exp.get("values")
+        if not values:
+            raise ConfigError("accepted_values requires non-empty values")
+        # NULL is not a violation here — pair with not_null to forbid it
+        return F.sum(
+            F.when(c.isNotNull() & ~c.isin(*values), 1).otherwise(0))
+    if kind == "range":
+        lo, hi = exp.get("min"), exp.get("max")
+        if lo is None and hi is None:
+            raise ConfigError("range requires min and/or max")
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (c < F.lit(lo))
+        if hi is not None:
+            cond = cond | (c > F.lit(hi))
+        return F.sum(F.when(c.isNotNull() & cond, 1).otherwise(0))
+    if kind == "regex":
+        pattern = exp.get("pattern")
+        if not pattern:
+            raise ConfigError("regex requires a pattern")
+        return F.sum(
+            F.when(c.isNotNull() & ~c.rlike(pattern), 1).otherwise(0))
+    if kind == "expression":
+        sql = exp.get("expression")
+        if not sql:
+            raise ConfigError("expression requires an expression")
+        return F.sum(F.when(~F.expr(sql), 1).otherwise(0))
+    if kind in ("unique", "row_count_min"):
+        return None  # handled from the same aggregate row
+    raise ConfigError(f"unknown expectation type '{kind}' (one of {KINDS})")
+
+
+def run_expectations(
+    df: DataFrame,
+    expectations: list[dict[str, Any]],
+    approx_unique: bool = False,
+) -> list[ExpectationResult]:
+    """Evaluate every expectation in one aggregate pass; returns one
+    result per expectation (insertion order). Raises ConfigError on a
+    malformed expectation — a typo'd check that silently passes is worse
+    than a failed job."""
+    if not expectations:
+        return []
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    names: list[str] = []
+    for i, exp in enumerate(expectations):
+        kind = exp.get("type")
+        v = _violation_expr({**exp, "type": kind})
+        if v is not None:
+            aggs.append(F.coalesce(v, F.lit(0)).alias(f"_v{i}"))
+        elif kind == "unique":
+            col = exp["column"]
+            cnt = (F.approx_count_distinct(col) if approx_unique
+                   else F.count_distinct(F.col(col)))
+            aggs.append(cnt.alias(f"_d{i}"))
+            aggs.append(F.count(F.col(col)).alias(f"_n{i}"))
+        names.append(exp.get("name") or f"{kind}_{exp.get('column', i)}")
+    row = df.agg(*aggs).collect()[0]
+    total = int(row["_total"])
+    out: list[ExpectationResult] = []
+    for i, exp in enumerate(expectations):
+        kind = exp["type"]
+        if kind == "unique":
+            failed = int(row[f"_n{i}"]) - int(row[f"_d{i}"])
+        elif kind == "row_count_min":
+            failed = max(0, int(exp.get("min", 0)) - total)
+        else:
+            failed = int(row[f"_v{i}"])
+        out.append(ExpectationResult(
+            name=names[i], kind=kind, column=exp.get("column"),
+            failed=failed, total=total))
+    return out
+
+
+def report_df(spark, results: list[ExpectationResult]) -> DataFrame:
+    """Report as a small DataFrame (write it next to the output)."""
+    rows = [(r.name, r.kind, r.column, r.failed, r.total, r.passed)
+            for r in results]
+    return spark.createDataFrame(
+        rows, "name string, kind string, column string, failed long, "
+              "total long, passed boolean")

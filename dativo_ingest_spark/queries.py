@@ -2524,6 +2524,57 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_expectations_events",
+    """
+    WITH agg AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
+             sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500)
+                 THEN 1 ELSE 0 END) AS v_range,
+             sum(CASE WHEN event_type IS NOT NULL
+                      AND NOT regexp_matches(event_type, '^[a-z_]+$')
+                 THEN 1 ELSE 0 END) AS v_regex,
+             count(event_id) - count(DISTINCT event_id) AS v_uniq
+      FROM events)
+    SELECT * FROM (
+      SELECT 'not_null_user_id' AS name, 'not_null' AS kind,
+             CAST(v_nn AS BIGINT) AS failed, CAST(total AS BIGINT) AS total,
+             v_nn = 0 AS passed FROM agg
+      UNION ALL
+      SELECT 'unique_event_id', 'unique', CAST(v_uniq AS BIGINT),
+             CAST(total AS BIGINT), v_uniq = 0 FROM agg
+      UNION ALL
+      SELECT 'range_value', 'range', CAST(v_range AS BIGINT),
+             CAST(total AS BIGINT), v_range = 0 FROM agg
+      UNION ALL
+      SELECT 'regex_event_type', 'regex', CAST(v_regex AS BIGINT),
+             CAST(total AS BIGINT), v_regex = 0 FROM agg
+      UNION ALL
+      SELECT 'row_count_min_4', 'row_count_min',
+             CAST(greatest(0, 100 - total) AS BIGINT),
+             CAST(total AS BIGINT), total >= 100 FROM agg)
+    """,
+    doc="data-quality expectations report (operators/quality.py): every "
+        "check compiled into ONE aggregate pass (conditional counts + one "
+        "distinct) — the ODCS data_quality block the reference parses but "
+        "never evaluates, enforced. The runner gates jobs on this same "
+        "engine (strict aborts pre-publish, warn downgrades to partial).",
+)
+def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quality
+
+    ev = load(spark, sf_dir, "events")
+    results = quality.run_expectations(ev, [
+        {"type": "not_null", "column": "user_id"},
+        {"type": "unique", "column": "event_id"},
+        {"type": "range", "column": "value", "min": 0, "max": 500},
+        {"type": "regex", "column": "event_type", "pattern": "^[a-z_]+$"},
+        {"type": "row_count_min", "min": 100},
+    ])
+    return quality.report_df(spark, results).drop("column")
+
+
+@register(
     "quality_classifier_score",
     """
     WITH
@@ -2762,6 +2813,9 @@ _GATE_DEMOTED = [
     # admits semantic_dedup_pipeline, which subsumes this query's
     # bucketed cell-join shape (r5-proven)
     "embedding_neardup_bucketed",
+    # admits dq_expectations_events (sort/limit family keeps
+    # window_topn_orders_per_customer's rank+orderBy shape; r1-r5 proven)
+    "sort_limit_top_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -65,6 +65,8 @@ class JobResult:
     skipped: bool = False  # every source file unchanged (mtime skip)
     catalog_status: dict[str, Any] = dc_field(default_factory=dict)
     infrastructure: dict[str, list[str]] = dc_field(default_factory=dict)
+    #: one entry per evaluated data-quality expectation (operators/quality)
+    dq_report: list[dict] = dc_field(default_factory=list)
 
     @property
     def records_per_second(self) -> float:
@@ -317,6 +319,40 @@ def run_job(
         to_write = observed.drop(validation.ERRORS_COL)
         probe = annotated.drop(validation.ERRORS_COL)
 
+    # data-quality expectations (ODCS data_quality block — the reference
+    # parses it, config.py:137-142; here it is enforced): one aggregate
+    # pass over the un-observed probe frame (the observation must stay
+    # reserved for the write pass). Strict mode aborts BEFORE staging on
+    # any failed expectation; warn mode records the report and downgrades
+    # the exit to partial.
+    dq_report: list[dict] = []
+    dq_failed = False
+    dq_exps = (job.asset.data_quality or {}).get("expectations") or []
+    if dq_exps:
+        from dativo_ingest_spark.operators import quality as dq_mod
+
+        dq_results = dq_mod.run_expectations(probe, dq_exps)
+        dq_report = [
+            {"name": r.name, "kind": r.kind, "column": r.column,
+             "failed": r.failed, "total": r.total, "passed": r.passed}
+            for r in dq_results
+        ]
+        dq_failed = any(not r.passed for r in dq_results)
+        dq_log = logging.getLogger(__name__)
+        for entry in dq_report:
+            (dq_log.warning if not entry["passed"] else dq_log.info)(
+                "dq expectation", extra={"dq": entry})
+        if dq_failed and mode == "strict":
+            total = dq_results[0].total if dq_results else 0
+            return _finish(JobResult(
+                exit_code=EXIT_FAILURE,
+                records_in=total,
+                records_valid=total,
+                error_sample=[e for e in dq_report if not e["passed"]],
+                dq_report=dq_report,
+                duration_s=time.perf_counter() - t0,
+            ))
+
     props = tags_mod.derive_table_properties(
         job.asset,
         classification_overrides=classification_overrides,
@@ -490,11 +526,13 @@ def run_job(
             catalog, job, props, source_tags=source_tags)
 
     return _finish(JobResult(
-        exit_code=EXIT_PARTIAL if invalid_count else EXIT_SUCCESS,
+        exit_code=(EXIT_PARTIAL if (invalid_count or dq_failed)
+                   else EXIT_SUCCESS),
         records_in=n_rows,
         records_valid=n_valid,
         records_invalid=invalid_count,
         error_sample=sample,
+        dq_report=dq_report,
         output_path=out_path,
         partition_cols=pcols,
         table_properties=props,

@@ -1,0 +1,137 @@
+"""Data-quality expectations engine (operators/quality.py): single-pass
+evaluation semantics + the runner gate the reference never built (it parses
+data_quality, config.py:137-142, and drops it)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dativo_ingest_spark import runner
+from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
+from dativo_ingest_spark.operators import quality
+
+from tests.test_runner import job_dict
+
+
+@pytest.fixture()
+def frame(spark):
+    rows = [
+        (1, "alice", "a@x.com", 10.0),
+        (2, "bob", "b@x.com", 20.0),
+        (3, None, "c@x.com", 999.0),
+        (3, "dora", "not-an-email", -5.0),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, name string, email string, score double")
+
+
+def _by_name(results):
+    return {r.name: r for r in results}
+
+
+def test_every_kind_in_one_pass(frame):
+    got = _by_name(quality.run_expectations(frame, [
+        {"type": "not_null", "column": "name"},
+        {"type": "unique", "column": "id"},
+        {"type": "accepted_values", "column": "name",
+         "values": ["alice", "bob", "carol"]},
+        {"type": "range", "column": "score", "min": 0, "max": 100},
+        {"type": "regex", "column": "email", "pattern": r"^[^@]+@[^@]+$"},
+        {"type": "row_count_min", "min": 10},
+        {"type": "expression", "expression": "score >= 0 OR name IS NULL",
+         "name": "score_or_anon"},
+    ]))
+    assert got["not_null_name"].failed == 1
+    assert got["unique_id"].failed == 1          # one duplicated id
+    assert got["accepted_values_name"].failed == 1   # dora (NULL not counted)
+    assert got["range_score"].failed == 2        # 999 and -5
+    assert got["regex_email"].failed == 1
+    assert got["row_count_min_5"].failed == 6    # 10 - 4 rows
+    assert got["score_or_anon"].failed == 1      # dora: -5 and named
+    assert all(r.total == 4 for r in got.values())
+
+
+def test_passing_set_and_report_df(spark, frame):
+    results = quality.run_expectations(frame, [
+        {"type": "range", "column": "id", "min": 0},
+        {"type": "row_count_min", "min": 2},
+    ])
+    assert all(r.passed for r in results)
+    rep = quality.report_df(spark, results)
+    assert rep.count() == 2
+    assert {r["passed"] for r in rep.collect()} == {True}
+
+
+def test_malformed_expectations_raise(frame):
+    for bad in (
+        {"type": "not_null"},                       # no column
+        {"type": "accepted_values", "column": "x", "values": []},
+        {"type": "range", "column": "x"},           # no bounds
+        {"type": "regex", "column": "x"},           # no pattern
+        {"type": "expression"},                     # no expression
+        {"type": "no_such_kind", "column": "x"},
+    ):
+        with pytest.raises(ConfigError):
+            quality.run_expectations(frame, [bad])
+
+
+def test_approx_unique_path(frame):
+    exact = quality.run_expectations(
+        frame, [{"type": "unique", "column": "id"}])
+    approx = quality.run_expectations(
+        frame, [{"type": "unique", "column": "id"}], approx_unique=True)
+    assert exact[0].failed == 1
+    # tiny frame: HLL is exact here; the point is the path runs
+    assert approx[0].failed == 1
+
+
+# --- runner integration -----------------------------------------------------
+
+def _with_dq(doc, expectations):
+    doc["asset"]["data_quality"] = {"expectations": expectations}
+    return doc
+
+
+def test_runner_warn_mode_downgrades_to_partial(spark, tmp_path):
+    p = tmp_path / "ok.csv"
+    p.write_text("id,name,active\n1,alice,true\n2,alice,false\n")
+    out = str(tmp_path / "out")
+    doc = _with_dq(job_dict(str(p), out, mode="warn"),
+                   [{"type": "unique", "column": "name"}])
+    res = runner.run_job(spark, JobConfig.from_dict(doc))
+    assert res.exit_code == runner.EXIT_PARTIAL
+    assert res.records_invalid == 0              # rows were all valid...
+    assert res.dq_report and not res.dq_report[0]["passed"]  # ...dq failed
+    assert os.path.exists(out)                   # warn mode still writes
+
+
+def test_runner_strict_mode_aborts_before_publish(spark, tmp_path):
+    p = tmp_path / "ok.csv"
+    p.write_text("id,name,active\n1,alice,true\n2,alice,false\n")
+    out = str(tmp_path / "out")
+    doc = _with_dq(job_dict(str(p), out),
+                   [{"type": "unique", "column": "name"},
+                    {"type": "not_null", "column": "name"}])
+    res = runner.run_job(spark, JobConfig.from_dict(doc))
+    assert res.exit_code == runner.EXIT_FAILURE
+    assert not os.path.exists(os.path.join(out, "_dativo_properties.json"))
+    # report carries the failing expectation; the passing one is green
+    rep = {e["name"]: e for e in res.dq_report}
+    assert not rep["unique_name"]["passed"]
+    assert rep["not_null_name"]["passed"]
+    assert res.error_sample and res.error_sample[0]["name"] == "unique_name"
+
+
+def test_runner_green_expectations_stay_success(spark, tmp_path):
+    p = tmp_path / "ok.csv"
+    p.write_text("id,name,active\n1,alice,true\n2,bob,false\n")
+    out = str(tmp_path / "out")
+    doc = _with_dq(job_dict(str(p), out),
+                   [{"type": "unique", "column": "id"},
+                    {"type": "not_null", "column": "name"},
+                    {"type": "row_count_min", "min": 1}])
+    res = runner.run_job(spark, JobConfig.from_dict(doc))
+    assert res.exit_code == runner.EXIT_SUCCESS
+    assert all(e["passed"] for e in res.dq_report)

@@ -2529,7 +2529,7 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH agg AS (
       SELECT count(*) AS total,
              sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v_nn,
-             sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 500)
+             sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 100)
                  THEN 1 ELSE 0 END) AS v_range,
              sum(CASE WHEN event_type IS NOT NULL
                       AND NOT regexp_matches(event_type, '^[a-z_]+$')
@@ -2567,7 +2567,9 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = quality.run_expectations(ev, [
         {"type": "not_null", "column": "user_id"},
         {"type": "unique", "column": "event_id"},
-        {"type": "range", "column": "value", "min": 0, "max": 500},
+        # max 100 deliberately fails on the synthetic tail so the gate
+        # proves nonzero violation counts, not just all-green zeros
+        {"type": "range", "column": "value", "min": 0, "max": 100},
         {"type": "regex", "column": "event_type", "pattern": "^[a-z_]+$"},
         {"type": "row_count_min", "min": 100},
     ])

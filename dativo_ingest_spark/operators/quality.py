@@ -22,6 +22,14 @@ Supported kinds (dbt / Great Expectations vocabulary):
   {"type": "regex",           "column": c, "pattern": p}
   {"type": "row_count_min",   "min": n}
   {"type": "expression",      "expression": sql_bool}  (violations = NOT expr)
+  {"type": "freshness",       "column": ts, "max_age": "2 hours",
+                              "as_of": "2024-01-02T00:00:00"}
+
+Row-level kinds accept Great-Expectations-style ``"mostly": 0.95`` —
+the expectation passes while violations stay within the (1 - mostly)
+fraction of rows. ``freshness`` compares ``max(column)`` against a
+REQUIRED literal ``as_of`` (never wall-clock ``now()`` — a check that
+passes or fails depending on when it runs is not reproducible).
 
 Scale: the report is O(n_expectations) rows; the data pass is the same
 single scan the job already paid for validation. At 100 TB ``unique``
@@ -41,7 +49,19 @@ from pyspark.sql import functions as F
 from dativo_ingest_spark.config.contracts import ConfigError
 
 KINDS = ("not_null", "unique", "accepted_values", "range", "regex",
-         "row_count_min", "expression")
+         "row_count_min", "expression", "freshness")
+
+_AGE_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+              "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
+def _age_seconds(raw) -> float:
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    parts = str(raw).split()
+    if len(parts) == 2 and parts[1].lower() in _AGE_UNITS:
+        return float(parts[0]) * _AGE_UNITS[parts[1].lower()]
+    raise ConfigError(f"freshness max_age not parseable: {raw!r}")
 
 
 @dataclass
@@ -51,10 +71,14 @@ class ExpectationResult:
     column: str | None
     failed: int
     total: int
+    mostly: float = 1.0  # GE-style tolerance: pass while failed fraction
+                         # stays within (1 - mostly)
 
     @property
     def passed(self) -> bool:
-        return self.failed == 0
+        if self.mostly >= 1.0:
+            return self.failed == 0
+        return self.failed <= (1.0 - self.mostly) * self.total
 
 
 def _violation_expr(exp: dict[str, Any]):
@@ -96,7 +120,7 @@ def _violation_expr(exp: dict[str, Any]):
         if not sql:
             raise ConfigError("expression requires an expression")
         return F.sum(F.when(~F.expr(sql), 1).otherwise(0))
-    if kind in ("unique", "row_count_min"):
+    if kind in ("unique", "row_count_min", "freshness"):
         return None  # handled from the same aggregate row
     raise ConfigError(f"unknown expectation type '{kind}' (one of {KINDS})")
 
@@ -125,6 +149,14 @@ def run_expectations(
                    else F.count_distinct(F.col(col)))
             aggs.append(cnt.alias(f"_d{i}"))
             aggs.append(F.count(F.col(col)).alias(f"_n{i}"))
+        elif kind == "freshness":
+            col = exp.get("column")
+            if not col or not exp.get("as_of") or exp.get("max_age") is None:
+                raise ConfigError(
+                    "freshness requires column, max_age, and a literal "
+                    "as_of timestamp")
+            _age_seconds(exp["max_age"])  # validate before running the job
+            aggs.append(F.max(F.col(col)).alias(f"_f{i}"))
         names.append(exp.get("name") or f"{kind}_{exp.get('column', i)}")
     row = df.agg(*aggs).collect()[0]
     total = int(row["_total"])
@@ -135,11 +167,22 @@ def run_expectations(
             failed = int(row[f"_n{i}"]) - int(row[f"_d{i}"])
         elif kind == "row_count_min":
             failed = max(0, int(exp.get("min", 0)) - total)
+        elif kind == "freshness":
+            import datetime as _dt
+
+            newest = row[f"_f{i}"]
+            as_of = _dt.datetime.fromisoformat(str(exp["as_of"]))
+            if newest is not None and newest.tzinfo is not as_of.tzinfo:
+                newest = newest.replace(tzinfo=as_of.tzinfo)
+            horizon = as_of - _dt.timedelta(
+                seconds=_age_seconds(exp["max_age"]))
+            failed = 0 if (newest is not None and newest >= horizon) else 1
         else:
             failed = int(row[f"_v{i}"])
         out.append(ExpectationResult(
             name=names[i], kind=kind, column=exp.get("column"),
-            failed=failed, total=total))
+            failed=failed, total=total,
+            mostly=float(exp.get("mostly", 1.0))))
     return out
 
 

@@ -135,3 +135,36 @@ def test_runner_green_expectations_stay_success(spark, tmp_path):
     res = runner.run_job(spark, JobConfig.from_dict(doc))
     assert res.exit_code == runner.EXIT_SUCCESS
     assert all(e["passed"] for e in res.dq_report)
+
+
+def test_mostly_tolerance(frame):
+    strictr = quality.run_expectations(
+        frame, [{"type": "not_null", "column": "name"}])
+    tolerant = quality.run_expectations(
+        frame, [{"type": "not_null", "column": "name", "mostly": 0.7}])
+    assert not strictr[0].passed           # 1 of 4 null
+    assert tolerant[0].passed              # 25% <= 30% allowed
+    tight = quality.run_expectations(
+        frame, [{"type": "not_null", "column": "name", "mostly": 0.8}])
+    assert not tight[0].passed             # 25% > 20% allowed
+
+
+def test_freshness_against_literal_as_of(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",), ("2024-01-01 23:00:00",)],
+        "ts string").selectExpr("CAST(ts AS TIMESTAMP) AS ts")
+    fresh = quality.run_expectations(df, [
+        {"type": "freshness", "column": "ts", "max_age": "2 hours",
+         "as_of": "2024-01-02T00:00:00"}])
+    assert fresh[0].passed                 # newest is 1h before as_of
+    stale = quality.run_expectations(df, [
+        {"type": "freshness", "column": "ts", "max_age": "30 minutes",
+         "as_of": "2024-01-02T00:00:00"}])
+    assert not stale[0].passed
+    with pytest.raises(ConfigError):
+        quality.run_expectations(df, [
+            {"type": "freshness", "column": "ts", "max_age": "soon",
+             "as_of": "2024-01-02T00:00:00"}])
+    with pytest.raises(ConfigError):       # as_of required: no wall clock
+        quality.run_expectations(df, [
+            {"type": "freshness", "column": "ts", "max_age": "2 hours"}])

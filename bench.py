@@ -71,6 +71,8 @@ HEADLINE = [
     "q2_min_cost_supplier",
     # composed SemDeDup pipeline: kmeans cells -> in-cell cosine pairs
     "semantic_dedup_pipeline",
+    # single-pass data-quality expectations report
+    "dq_expectations_events",
 ]
 
 

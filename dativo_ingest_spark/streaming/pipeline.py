@@ -21,6 +21,7 @@ the grouping key so state is sharded across executors — both survive a
 from __future__ import annotations
 
 import datetime as _dt
+import logging
 from collections.abc import Iterator
 from typing import Any
 
@@ -191,6 +192,53 @@ def enrich_with_dimension(
         )
     right = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(right, on=keys, how=how)
+
+
+def expectations_gate(
+    expectations: list[dict],
+    write_batch,
+    on_fail: str = "abort",
+):
+    """foreachBatch wrapper enforcing data-quality expectations per
+    micro-batch (operators/quality.py — same engine the batch runner
+    gates on, so batch and streaming jobs share one DQ vocabulary).
+
+    Each micro-batch pays one aggregate pass (conditional counts) before
+    its write. ``on_fail``:
+
+    * ``abort``: raise — the query stops and the failed batch is NOT
+      written; on restart the source replays it (strict semantics).
+    * ``skip``: drop the offending batch, keep the stream alive (the
+      quarantine move — log carries the report).
+    * ``log``: write anyway, warn with the report (monitoring mode).
+
+    Returns a ``(batch_df, epoch_id)`` callable for
+    ``writeStream.foreachBatch``. Freshness checks need a literal
+    ``as_of`` — in a stream that means the watermark/window logic should
+    own recency, not this gate.
+    """
+    if on_fail not in ("abort", "skip", "log"):
+        raise ValueError(f"on_fail must be abort|skip|log, got {on_fail!r}")
+    from dativo_ingest_spark.operators import quality
+
+    logger = logging.getLogger(__name__)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        results = quality.run_expectations(batch_df, expectations)
+        failed = [r for r in results if not r.passed]
+        if failed:
+            report = [{"name": r.name, "failed": r.failed, "total": r.total}
+                      for r in failed]
+            if on_fail == "abort":
+                raise RuntimeError(
+                    f"epoch {epoch_id}: dq expectations failed: {report}")
+            logger.warning("epoch %s dq failures (%s): %s",
+                           epoch_id, on_fail, report)
+            if on_fail == "skip":
+                return
+        write_batch(batch_df, epoch_id)
+
+    return _apply
 
 
 def dedup_stream(

@@ -402,3 +402,43 @@ def test_stream_static_enrichment_rejects_outer_on_static_side(spark,
     dim = batch.select("user_id").distinct()
     with pytest.raises(ValueError):
         pipeline.enrich_with_dimension(batch, dim, ["user_id"], how="full")
+
+
+def test_expectations_gate_modes(spark, tmp_path):
+    # micro-batch stream where SOME batches violate a range expectation
+    src = str(tmp_path / "dq_src")
+    ev = load(spark, SF_DIR, "events").select("event_id", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    back = spark.read.parquet(src)
+    cap = float(back.approxQuantile("value", [0.5], 0.0)[0])
+    exps = [{"type": "range", "column": "value", "min": 0, "max": cap}]
+
+    written: list[int] = []
+
+    def sink(batch_df, epoch_id):
+        written.append(batch_df.count())
+
+    def run(mode, out_name):
+        written.clear()
+        stream = pipeline.stream_from_files(spark, src, back.schema,
+                                            max_files_per_trigger=1)
+        q = (stream.writeStream
+             .foreachBatch(pipeline.expectations_gate(exps, sink,
+                                                      on_fail=mode))
+             .option("checkpointLocation", str(tmp_path / out_name))
+             .trigger(availableNow=True).start())
+        return q
+
+    # log mode: all rows pass through despite violations
+    q = run("log", "ck_log"); q.awaitTermination()
+    assert sum(written) == back.count()
+    # skip mode: violating batches dropped, stream completes
+    q = run("skip", "ck_skip"); q.awaitTermination()
+    assert sum(written) < back.count()
+    # abort mode: the query dies on the first violating batch
+    q = run("abort", "ck_abort")
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    assert sum(written) < back.count()
+    with pytest.raises(ValueError):
+        pipeline.expectations_gate(exps, sink, on_fail="explode")

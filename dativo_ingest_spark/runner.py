@@ -223,6 +223,15 @@ def _extract_jdbc(spark: SparkSession, job: JobConfig,
     return jdbc.read(spark, reader)
 
 
+def _merge_keys(options: dict) -> list[str]:
+    """target.options.merge_keys accepts a YAML list or a comma string
+    (the schema allows both; str() on a list would mangle the keys)."""
+    raw = options.get("merge_keys", "")
+    if isinstance(raw, (list, tuple)):
+        return [str(k).strip() for k in raw if str(k).strip()]
+    return [k.strip() for k in str(raw).split(",") if k.strip()]
+
+
 def run_job(
     spark: SparkSession,
     job: JobConfig,
@@ -447,9 +456,7 @@ def run_job(
             # pruning keeps the rewrite to the files that can hold the
             # keys); the plain stage becomes redundant after the merge's
             # own committed stage and is swept
-            merge_keys = [k.strip() for k in
-                          str(job.target.options.get("merge_keys", "")
-                              ).split(",") if k.strip()]
+            merge_keys = _merge_keys(job.target.options)
             if not merge_keys:
                 raise ConfigError(
                     "target.options.mode=merge needs merge_keys")
@@ -474,9 +481,7 @@ def run_job(
     elif commit_mode == "iceberg":
         from dativo_ingest_spark.sinks import iceberg_sink
 
-        merge_keys = [k.strip() for k in
-                      str(job.target.options.get("merge_keys", "")
-                          ).split(",") if k.strip()]
+        merge_keys = _merge_keys(job.target.options)
         iceberg_sink.commit(
             spark, spark.read.parquet(stage), job.target.table,
             mode=write_mode,

@@ -201,3 +201,25 @@ def test_asset_path_reference_validates(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     with pytest.raises(ConfigError):
         JobConfig.from_yaml(str(p), validate_schema=True)
+
+
+def test_shipped_examples_validate():
+    """Every shipped example job passes full opt-in validation (job schema
+    + ODCS asset normalization) and builds a JobConfig — the 'a reference
+    user could run these' contract."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "examples", "jobs", "*.yaml")))
+    assert len(paths) >= 5
+    for p in paths:
+        doc = yaml.safe_load(open(p))
+        if "${secret:" in open(p).read():
+            # secret placeholders resolve at run time; validate the shape
+            schema_validation.validate_job_dict(doc)
+            if isinstance(doc.get("asset"), dict):
+                schema_validation.validate_asset_dict(doc["asset"])
+            continue
+        job = JobConfig.from_yaml(p, validate_schema=True)
+        assert job.asset.fields, p

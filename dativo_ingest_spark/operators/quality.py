@@ -119,7 +119,10 @@ def _violation_expr(exp: dict[str, Any]):
         sql = exp.get("expression")
         if not sql:
             raise ConfigError("expression requires an expression")
-        return F.sum(F.when(~F.expr(sql), 1).otherwise(0))
+        # three-valued logic: a NULL-evaluating expectation is a violation,
+        # not a silent pass (coalesce to false before negating)
+        return F.sum(
+            F.when(~F.coalesce(F.expr(sql), F.lit(False)), 1).otherwise(0))
     if kind in ("unique", "row_count_min", "freshness"):
         return None  # handled from the same aggregate row
     raise ConfigError(f"unknown expectation type '{kind}' (one of {KINDS})")

@@ -29,18 +29,29 @@ def asof_join(
     by: Sequence[str] = (),
     tolerance: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: latest right row with ``right.on <= left.on`` per
-    ``by`` group (inclusive). Unmatched left rows keep nulls.
+    """Left as-of join (pandas ``merge_asof`` directions) per ``by`` group.
 
-    Right payload columns come back suffixed; the matched right timestamp is
-    ``{on}{suffix}``. ``tolerance`` (an INTERVAL literal body, e.g.
-    ``'2 hours'``) nulls matches older than ``left.on - tolerance``.
+    * ``backward`` (default): latest right row with ``right.on <= left.on``
+      (inclusive) — the classic as-of.
+    * ``forward``: earliest right row with ``right.on >= left.on``.
+    * ``nearest``: the closer of the two; exact-distance ties resolve
+      backward. Costs a second in-partition sort over the SAME shuffle
+      (both fills share one Exchange on the keys).
+
+    Unmatched left rows keep nulls. Right payload columns come back
+    suffixed; the matched right timestamp is ``{on}{suffix}``.
+    ``tolerance`` (an INTERVAL literal body, e.g. ``'2 hours'``) nulls
+    matches outside the window on the relevant side(s).
 
     Right rows that tie on (by, on) are resolved arbitrarily — pre-aggregate
     the right side to unique keys for deterministic output (DuckDB's native
     ASOF has the same caveat, which keeps the two oracle-comparable).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}")
     by = list(by)
     rp = [c for c in right.columns if c not in by and c != on]
     l_cols = [c for c in left.columns if c not in by]
@@ -68,23 +79,50 @@ def asof_join(
         F.lit(0).alias("_is_l"),
         m_struct.alias("_m"),
     )
-    w = (
+    # Both fills sort (ts, right-before-left-at-ties) — ascending for the
+    # backward fill, descending for the forward fill. Same partitioning
+    # either way, so `nearest` reuses one Exchange with a second sort.
+    wb = (
         Window.partitionBy(*by)
         .orderBy("_t", "_is_l")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = lpart.unionByName(rpart).select(
-        *by,
-        *l_cols,
-        "_is_l",
-        F.last("_m", ignorenulls=True).over(w).alias("_m"),
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").desc(), "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    unioned = lpart.unionByName(rpart)
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("_m", ignorenulls=True).over(wb).alias("_mb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.last("_m", ignorenulls=True).over(wf).alias("_mf"))
+    filled = unioned.select(*by, *l_cols, "_is_l", "_t", *fills)
     out = filled.filter(F.col("_is_l") == 1)
+
+    ts_key = f"{on}{suffix}"
+    if direction == "backward":
+        out = out.withColumn("_m", F.col("_mb"))
+    elif direction == "forward":
+        out = out.withColumn("_m", F.col("_mf"))
+    else:
+        db = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_mb")[ts_key])
+        df_ = F.unix_micros(F.col("_mf")[ts_key]) - F.unix_micros(F.col("_t"))
+        out = out.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(df_ < db, F.col("_mf"))        # ties (df_ == db) go backward
+            .otherwise(F.col("_mb")),
+        )
     if tolerance is not None:
         # Null the whole struct — all matched columns drop together.
-        ok = F.col("_m")[f"{on}{suffix}"] >= F.col(on) - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        iv = F.expr(f"INTERVAL {tolerance}")
+        matched_ts = F.col("_m")[ts_key]
+        ok = F.when(
+            matched_ts <= F.col(on), matched_ts >= F.col(on) - iv
+        ).otherwise(matched_ts <= F.col(on) + iv)
         out = out.withColumn("_m", F.when(ok, F.col("_m")))
     return out.select(
         *by,

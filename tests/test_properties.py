@@ -260,3 +260,35 @@ def test_redact_text_preserves_json_validity(doc):
     for k, v in doc.items():
         if k in ("note", "path"):
             assert red[k] == v
+
+
+# --- data-quality kernels ----------------------------------------------------
+
+@given(st.integers(min_value=0, max_value=10**6),
+       st.sampled_from(["seconds", "minutes", "hours", "days"]))
+def test_age_seconds_unit_table(n, unit):
+    from dativo_ingest_spark.operators.quality import _age_seconds
+
+    mult = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}[unit]
+    assert _age_seconds(f"{n} {unit}") == n * mult
+    assert _age_seconds(n) == float(n)
+
+
+@given(st.builds(dict,
+                 name=st.from_regex(r"[a-z][a-z0-9_]{0,12}", fullmatch=True),
+                 status=st.sampled_from(["draft", "active", "deprecated"]),
+                 version=st.from_regex(r"[0-9]\.[0-9]", fullmatch=True)))
+def test_odcs_normalization_idempotent_and_preserving(asset):
+    from dativo_ingest_spark.config.schema_validation import (
+        normalize_asset_to_odcs,
+    )
+
+    asset = {**asset, "schema": [{"name": "id"}]}
+    once = normalize_asset_to_odcs(asset)
+    twice = normalize_asset_to_odcs(once)
+    assert once == twice                       # idempotent
+    assert once["status"] == asset["status"]   # explicit fields preserved
+    assert once["version"] == asset["version"]
+    assert once["kind"] == "DataContract"
+    assert once["id"]                          # deterministic mint
+    assert once["id"] == normalize_asset_to_odcs(asset)["id"]

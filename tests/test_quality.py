@@ -168,3 +168,12 @@ def test_freshness_against_literal_as_of(spark):
     with pytest.raises(ConfigError):       # as_of required: no wall clock
         quality.run_expectations(df, [
             {"type": "freshness", "column": "ts", "max_age": "2 hours"}])
+
+
+def test_expression_null_is_violation(spark):
+    # score IS NULL makes `score > 0` evaluate to NULL — three-valued
+    # logic must count that as a violation, not a silent pass
+    df = spark.createDataFrame([(1, 5.0), (2, None)], "id long, score double")
+    got = quality.run_expectations(
+        df, [{"type": "expression", "expression": "score > 0"}])
+    assert got[0].failed == 1

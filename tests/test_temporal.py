@@ -75,3 +75,65 @@ def test_right_rows_never_leak(spark):
     got = asof_join(left, right, on="ts", by=["k"])
     assert got.count() == left.count()
     assert set(got.columns) == {"k", "id", "ts", "ts_r", "v_r"}
+
+
+def test_forward_direction(spark):
+    left, right = _frames(spark)
+    out = {r.id: (r.ts_r, r.v_r)
+           for r in asof_join(left, right, on="ts", by=["k"],
+                              direction="forward").collect()}
+    assert out[1] == (_ts(10), 2.0)   # inclusive at equal ts
+    assert out[2] == (None, None)     # nothing at/after :30 for key a
+    assert out[3] == (_ts(11), 9.0)   # next b row
+    assert out[4] == (None, None)
+
+
+def test_nearest_direction_ties_go_backward(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(20)), (2, "a", _ts(27))],
+        "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(10), 1.0), ("a", _ts(30), 2.0)],
+        "k string, ts timestamp, v double")
+    out = {r.id: (r.ts_r, r.v_r)
+           for r in asof_join(left, right, on="ts", by=["k"],
+                              direction="nearest").collect()}
+    assert out[1] == (_ts(10), 1.0)   # exact tie (10 apart both ways) -> backward
+    assert out[2] == (_ts(30), 2.0)   # 3 < 17 -> forward wins
+
+
+def test_nearest_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    left = spark.createDataFrame(
+        [(i, "a", _ts(m)) for i, m in enumerate([1, 8, 22, 31, 44, 59])],
+        "id int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(m), float(m)) for m in [5, 20, 40]],
+        "k string, ts timestamp, v double")
+    got = {r.id: r.v_r for r in asof_join(
+        left, right, on="ts", by=["k"], direction="nearest").collect()}
+    lp = left.toPandas().sort_values("ts")
+    rp = right.toPandas().sort_values("ts")
+    want = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest",
+                         suffixes=("", "_r"))
+    want_map = dict(zip(want["id"], want["v"]))
+    assert got == want_map
+
+
+def test_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = {r.id: r.v_r
+           for r in asof_join(left, right, on="ts", by=["k"],
+                              direction="forward",
+                              tolerance="30 seconds").collect()}
+    assert out[1] == 2.0              # exact-ts match survives any tolerance
+    assert out[3] is None             # :11 match is 60s after :10 — too far
+
+
+def test_bad_direction_raises(spark):
+    left, right = _frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="ts", by=["k"], direction="sideways")

@@ -107,8 +107,11 @@ def asof_join(
     elif direction == "forward":
         out = out.withColumn("_m", F.col("_mf"))
     else:
-        db = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_mb")[ts_key])
-        df_ = F.unix_micros(F.col("_mf")[ts_key]) - F.unix_micros(F.col("_t"))
+        # timestamp subtraction yields a day-time interval and compares
+        # natively — works for TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_micros would reject the NTZ type bare parquet reads infer)
+        db = F.col("_t") - F.col("_mb")[ts_key]
+        df_ = F.col("_mf")[ts_key] - F.col("_t")
         out = out.withColumn(
             "_m",
             F.when(F.col("_mb").isNull(), F.col("_mf"))

@@ -185,6 +185,12 @@ class JobConfig:
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "JobConfig":
+        if "source_connector_path" in d or "target_connector_path" in d:
+            # reference-style connector recipes (config.py:526-710):
+            # recipe defaults merge under the job's own source/target
+            from dativo_ingest_spark.config import recipes
+
+            d = recipes.resolve_connectors(d)
         mode = str(d.get("schema_validation_mode", "strict")).lower()
         if mode not in VALIDATION_MODES:
             raise ConfigError(f"schema_validation_mode must be one of {VALIDATION_MODES}")

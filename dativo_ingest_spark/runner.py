@@ -369,6 +369,30 @@ def run_job(
         finops_overrides=finops_overrides,
     )
 
+    # optional Z-order clustering (operators/layout.py): range-partition
+    # the write along a Morton curve so per-file min/max stats prune range
+    # predicates on every curve column. Bounds are explicit literals —
+    # reproducibility contract, same as the operator.
+    zconf = job.target.options.get("zorder")
+    if zconf:
+        from dativo_ingest_spark.operators import layout
+
+        zcols = {
+            str(c): (float(b[0]), float(b[1]))
+            for c, b in (dict(zconf).get("columns") or {}).items()
+        }
+        if not zcols:
+            raise ConfigError(
+                "target.options.zorder needs columns: {name: [lo, hi]}")
+        missing = [c for c in zcols if c not in to_write.columns]
+        if missing:
+            raise ConfigError(f"zorder columns not in output: {missing}")
+        to_write = layout.zorder_by(
+            to_write, zcols,
+            n_files=int(dict(zconf).get("files", 8)),
+            bits=int(dict(zconf).get("bits", layout.DEFAULT_BITS)),
+        ).drop("_zkey")
+
     out_path = job.target.path
     write_mode = str(job.target.options.get("mode", "append"))
     commit_mode = str(job.target.options.get("commit", "hive"))

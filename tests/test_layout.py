@@ -117,3 +117,54 @@ def test_zorder_rejects_bad_params(spark):
                           bits=21)
     with pytest.raises(ValueError):
         layout.zorder_key({"a": (5, 5)})
+
+
+def test_runner_zorder_option_clusters_output(spark, tmp_path):
+    import csv as _csv
+
+    from dativo_ingest_spark import runner
+    from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
+
+    src = tmp_path / "pts.csv"
+    with open(src, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["id", "x", "y"])
+        for i in range(2000):
+            w.writerow([i, i % 50, (i * 7) % 50])
+    out = str(tmp_path / "out")
+
+    def job(opts):
+        return JobConfig.from_dict({
+            "tenant_id": "t", "schema_validation_mode": "strict",
+            "source": {"type": "csv", "path": str(src)},
+            "target": {"type": "parquet", "path": out,
+                       "options": {"mode": "overwrite", **opts}},
+            "asset": {"name": "pts", "schema": [
+                {"name": "id", "type": "integer", "required": True},
+                {"name": "x", "type": "integer"},
+                {"name": "y", "type": "integer"}]},
+        })
+
+    res = runner.run_job(spark, job({
+        "zorder": {"columns": {"x": [0, 49], "y": [0, 49]},
+                   "bits": 6, "files": 8}}))
+    assert res.exit_code == runner.EXIT_SUCCESS
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 4
+    # z-clustered layout: for a range predicate on EITHER curve column,
+    # at least one file proves itself out via footer stats
+    for col in ("x", "y"):
+        excluded = sum(
+            1 for f in files
+            if table_commit.file_excluded(
+                table_commit._footer_stats(f, ["x", "y"]),
+                [(col, ">=", 40)])
+        )
+        assert excluded >= 1, col
+    # bad configs exit via ConfigError
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError):
+        runner.run_job(spark, job({"zorder": {"columns": {}}}))
+    with _pytest.raises(ConfigError):
+        runner.run_job(spark, job({"zorder": {"columns": {"nope": [0, 1]}}}))

@@ -223,6 +223,12 @@ class JobConfig:
             raise ConfigError("PyYAML unavailable")
         with open(path) as fh:
             doc = yaml.safe_load(fh) or {}
+        if "source_connector_path" in doc or "target_connector_path" in doc:
+            # recipes resolve BEFORE schema validation: the recipe supplies
+            # required keys (source.type) the raw job may omit
+            from dativo_ingest_spark.config import recipes
+
+            doc = recipes.resolve_connectors(doc)
         from dativo_ingest_spark.config import schema_validation
 
         if schema_validation.should_validate(doc, validate_schema):

@@ -73,6 +73,9 @@ HEADLINE = [
     "semantic_dedup_pipeline",
     # single-pass data-quality expectations report
     "dq_expectations_events",
+    # double dimension-chain broadcast join + blocked edit-distance pairs
+    "q7_volume_shipping",
+    "fuzzy_name_match",
 ]
 
 

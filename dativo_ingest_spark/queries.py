@@ -2349,6 +2349,124 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H q7 analog (cross-nation shipping volume): the fact table "
+        "joins TWO independent dimension chains (supplier-side and "
+        "customer-side nation) — every dim broadcasts, so the lineitem "
+        "scan reaches the partial aggregation with zero pre-agg shuffles.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    ns = nat.select(F.col("n_nationkey").alias("ns_key"),
+                    F.col("n_name").alias("supp_nation"))
+    nc = nat.select(F.col("n_nationkey").alias("nc_key"),
+                    F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("ship_year"))
+        # fixed-point cent summation: integer partial aggs are
+        # order-independent, so the rounded total can't flip at a 2dp
+        # boundary the way round(sum(double), 2) can (one q7 group did)
+        .agg((F.sum(F.floor(rev * 100 + 0.5).cast("long")) / 100.0)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "window_ntile_order_quartiles",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY round(o_totalprice, 2), o_orderkey)
+    """,
+    doc="distribution window functions (ntile/percent_rank/cume_dist) "
+        "per priority class — completes the window-function family "
+        "(rank/row_number/lag/running already covered). Deterministic "
+        "ordering via the unique-key tiebreak.",
+)
+def window_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice"), 2), "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    WITH c AS (SELECT c_custkey, c_name, c_nationkey FROM customer)
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_close_pairs
+    FROM c a
+    JOIN c b ON a.c_nationkey = b.c_nationkey
+            AND a.c_custkey < b.c_custkey
+    JOIN nation ON a.c_nationkey = n_nationkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    GROUP BY n_name
+    """,
+    doc="edit-distance fuzzy matching, blocked by nation so the pair "
+        "space is per-block instead of all-pairs (the entity-resolution "
+        "blocking pattern; same shape as the dedup candidate joins). "
+        "Spark and DuckDB both implement classic Levenshtein, so counts "
+        "are oracle-exact.",
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    nat = load(spark, sf_dir, "nation")
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+    return (
+        pairs.join(F.broadcast(nat),
+                   F.col("a.c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_close_pairs"))
+    )
+
+
 # --- deterministic fixed-point k-means (operators/clustering.py) -----------
 
 _KMEANS_K, _KMEANS_ITER, _KMEANS_SCALE = 8, 2, 10_000
@@ -2818,6 +2936,14 @@ _GATE_DEMOTED = [
     # admits dq_expectations_events (sort/limit family keeps
     # window_topn_orders_per_customer's rank+orderBy shape; r1-r5 proven)
     "sort_limit_top_orders",
+    # admit q7_volume_shipping / window_ntile_order_quartiles /
+    # fuzzy_name_match (all r5-proven): agg family keeps
+    # grouping_sets/cube/distinct + q1; window family keeps topn's
+    # rank + running (lag's frame shape is subsumed by running/topn);
+    # incremental family keeps incremental_cursor_filter
+    "agg_rollup_lineitem",
+    "window_lag_value_delta",
+    "incremental_lookback_filter",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -76,6 +76,11 @@ HEADLINE = [
     # double dimension-chain broadcast join + blocked edit-distance pairs
     "q7_volume_shipping",
     "fuzzy_name_match",
+    # late-r6: the one legitimate fact-fact shuffle join (orders⋈lineitem
+    # on orderkey) and the keyless bucketed range join — the two shapes
+    # whose 100 TB cost claims most need a per-round pin
+    "q12_late_shipments",
+    "range_join_error_purchase",
 ]
 
 

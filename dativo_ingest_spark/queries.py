@@ -2859,6 +2859,268 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H q10 analog (returned-item revenue, top 20 customers): the "
+        "quarter filter prunes the orders scan before the one fact-fact "
+        "shuffle on orderkey; customer⋈nation pre-joins driver-free and "
+        "broadcasts; top-k via rounded-measure + unique-key ordering. "
+        "Fixed-point cent summation for cross-engine hash parity.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nat = load(spark, sf_dir, "nation")
+    dim = cust.select("c_custkey", "c_name", "c_nationkey").join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(_dt.datetime(1997, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(_dt.datetime(1997, 4, 1))))
+        .select("o_orderkey", "o_custkey")
+        .join(li.filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(F.floor(rev * 100 + 0.5).cast("long")) / 100.0)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_shipments",
+    """
+    SELECT l_linestatus,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_priority_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_priority_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H q12 analog (late shipments by priority class): the one "
+        "legitimately-shuffled fact-fact join (orders⋈lineitem on "
+        "orderkey, both sides pruned to 2-3 columns at the scan), a "
+        "cross-table date predicate evaluable only post-join, and "
+        "conditional counts. Integer aggregates: hash-exact, no rounding.",
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li.select("l_orderkey", "l_shipdate", "l_linestatus"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_priority_count"),
+            F.count(F.when(~high, 1)).alias("low_priority_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="TPC-H q13 analog (customer order-count distribution): LEFT join "
+        "with a predicate inside the join condition (not WHERE — "
+        "customers whose only orders are '4-NOT SPECIFIED' must survive "
+        "with count 0), then a distribution re-aggregation. Spark plan "
+        "pre-aggregates orders per custkey BEFORE the join — the shuffle "
+        "carries one row per customer instead of one per order, and the "
+        "left join inherits the same custkey partitioning; the second "
+        "agg's input is |customers| rows. Exact integer output.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust_orders = (
+        orders.filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.select("c_custkey")
+        .join(per_cust_orders, F.col("c_custkey") == F.col("o_custkey"),
+              "left")
+        .select("c_custkey", F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H q18 analog (large-volume orders): aggregate lineitem per "
+        "order, HAVING-filter to the ~1% tail, and join the survivors "
+        "back to orders — the aggregate IS the semi-join (one lineitem "
+        "scan serves both the filter and the outer total_qty, where the "
+        "SQL formulation scans lineitem twice). Customer broadcasts; the "
+        "orders⋈big join shuffles only the post-HAVING key set; AQE "
+        "shrinks it further at runtime.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT count(*) AS n_items,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H q19 analog (disjunctive predicate revenue): three OR'd "
+        "brand/size/quantity branches spanning both join sides. Catalyst "
+        "does not factor per-table conjuncts out of a cross-table "
+        "disjunction, so the Spark build adds the derived envelope "
+        "predicates explicitly — l_quantity ∈ [1,30] pushes into the "
+        "lineitem scan and p_size ∈ [1,35] into the (broadcast) part "
+        "scan — the classic manual q19 rewrite; semantics unchanged, "
+        "oracle runs the raw disjunction.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (qty >= 20) & (qty <= 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((qty >= 1) & (qty <= 30))              # derived envelope
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(
+            part.filter(F.col("p_size").between(1, 35))  # derived envelope
+                .select("p_partkey", "p_brand", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"))
+        .filter(branch)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.floor(rev * 100 + 0.5).cast("long")) / 100.0)
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "range_join_error_purchase",
+    """
+    SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP))
+             AS delta_us
+    FROM events e, events p
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+      AND p.ts >= e.ts - INTERVAL 30 SECOND
+      AND p.ts <= e.ts + INTERVAL 30 SECOND
+    """,
+    doc="keyless bucketed range join (operators/temporal.py:range_join): "
+        "purchases within ±30 s of each error event, across ALL users — "
+        "no equality key, the shape Spark plans as BroadcastNestedLoopJoin "
+        "(O(n·m) compared pairs). The operator quantizes time into "
+        "span-wide buckets, explodes each error onto its ≤2 covering "
+        "buckets, and equi-joins on the bucket id — an ordinary shuffle "
+        "join with ≤2× left amplification at any scale. The oracle runs "
+        "the naive theta-join; Spark runs the rewrite.",
+)
+def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    joined = temporal.range_join(
+        errors, purch, "error_ts", "purchase_ts", lower_s=-30, upper_s=30)
+    # cast-through-timestamp: NTZ-safe (both sides shift identically, the
+    # difference is exact), matching the operator's internal normalization
+    return joined.select(
+        "error_id", "purchase_id",
+        (F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+         - F.unix_micros(F.col("error_ts").cast("timestamp")))
+        .alias("delta_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -2893,9 +3155,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     chunk_pack + new epoch shuffle),
 #   subquery_above_avg_balance (subquery family keeps q4's EXISTS + new
 #     q2's decorrelated scalar subquery).
+# Late round 6 adds six more (q10_returned_items, q12_late_shipments,
+# q13_customer_distribution, q18_large_orders, q19_disjunctive_revenue,
+# range_join_error_purchase) and demotes six proven siblings — see the
+# r6-late block at the list tail for the per-family rationale.
 # After this rotation the non-demoted set is EXACTLY 50 and every
 # registered query has been driver-proven in at least one round once
-# CORRECTNESS_r06 lands (69 prior + the 5 new this round).
+# CORRECTNESS_r06 lands (69 prior + the 11 new this round).
 # The r1-r3-era demotions below (first 15) all hold green rows from the r5
 # window inversion.
 # Every demoted query still runs, value-checked against DuckDB, in the local
@@ -2944,6 +3210,27 @@ _GATE_DEMOTED = [
     "agg_rollup_lineitem",
     "window_lag_value_delta",
     "incremental_lookback_filter",
+    # admit the six late-r6 additions (q10/q12/q13/q18/q19 analogs +
+    # range_join_error_purchase); each demotion leaves its family
+    # represented in-window:
+    #   agg_grouping_sets         (cube subsumes grouping-sets; q1/distinct
+    #     stay)
+    #   scalar_functions_orders   (scalar exprs exercised by coerce_boolean
+    #     /text features/q19's CASE arithmetic)
+    #   join_semi_customers_with_orders (q18's agg-as-semi-join keeps the
+    #     shape; anti + q3/q5/q7/q10/q14 stay)
+    #   benchmark_decontamination (dedup family keeps exact/minhash/simhash
+    #     /corpus_resolved/curation)
+    #   ann_topk_quantized        (similarity family keeps ivf/kmeans/
+    #     semantic/embedding_dedup_resolved)
+    #   events_interval_join      (temporal family keeps tumbling + asof +
+    #     the new bucketed range join, the same bounded-time pairing)
+    "agg_grouping_sets",
+    "scalar_functions_orders",
+    "join_semi_customers_with_orders",
+    "benchmark_decontamination",
+    "ann_topk_quantized",
+    "events_interval_join",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -218,3 +218,60 @@ def test_semantic_dedup_never_all_pairs(spark):
     plan = plan_of(spark, "semantic_dedup_pipeline")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_dims_broadcast_and_filters_pushed(spark):
+    # customer⋈nation broadcasts; the returnflag filter reaches the
+    # lineitem scan and the quarter filter reaches the orders scan
+    plan = plan_of(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate",
+                     plan)
+
+
+def test_q12_scans_pruned_to_referenced_columns(spark):
+    # the fact-fact join is legitimate; the scans must still prune: 3 cols
+    # per side, not the full tables
+    plan = plan_of(spark, "q12_late_shipments")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    colsets = [{c.split("#")[0] for c in s.split(",")} for s in scans]
+    assert {"o_orderkey", "o_orderdate", "o_orderpriority"} in colsets
+    assert {"l_orderkey", "l_shipdate", "l_linestatus"} in colsets
+
+
+def test_q13_preaggregates_orders_before_join(spark):
+    # the orders side must partial-aggregate below its exchange so the
+    # custkey shuffle carries one row per customer, not one per order
+    plan = plan_of(spark, "q13_customer_distribution")
+    first_exchange = plan.index("Exchange")
+    assert "partial_count" in plan[first_exchange:], plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_customer_broadcasts(spark):
+    plan = plan_of(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # lineitem appears exactly once: the aggregate serves as the semi-join
+    assert len(re.findall(r"FileScan parquet[^\n]*lineitem", plan)) == 1
+
+
+def test_q19_envelope_predicates_reach_scans(spark):
+    # the derived conjuncts must push into both scans even though the
+    # original disjunction spans the join
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity,1\.0\)"
+        r"[^\]]*LessThanOrEqual\(l_quantity,30\.0\)", plan)
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(p_size,1\)"
+        r"[^\]]*LessThanOrEqual\(p_size,35\)", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_query_plans_as_equi_join(spark):
+    # keyless time-proximity pairing must NOT be a nested-loop join
+    plan = plan_of(spark, "range_join_error_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -137,3 +137,88 @@ def test_bad_direction_raises(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, on="ts", by=["k"], direction="sideways")
+
+
+# --------------------------------------------------------------------------
+# range_join: bucketed keyless/keyed time-proximity join
+# --------------------------------------------------------------------------
+
+def _range_frames(spark):
+    left = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", _ts(i)) for i in range(12)],
+        "lid int, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, "a" if i % 3 else "b", dt.datetime(2024, 1, 1, 0, i, 30))
+         for i in range(12)],
+        "rid int, k string, rts timestamp",
+    )
+    return left, right
+
+
+def _naive(left, right, lower_s, upper_s, keys=()):
+    from pyspark.sql import functions as F
+    cond = (
+        (F.col("rts") >= F.col("lts") + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (F.col("rts") <= F.col("lts") + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    )
+    for k in keys:
+        cond = (left[k] == right[k]) & cond
+    rcols = [c for c in right.columns if c not in keys]
+    return {tuple(r) for r in
+            left.join(right, cond).select("lid", *[right[c] for c in rcols
+                                                   if c == "rid"]).collect()}
+
+
+def test_range_join_matches_naive_keyless(spark):
+    from dativo_ingest_spark.operators.temporal import range_join
+    left, right = _range_frames(spark)
+    got = {(r.lid, r.rid) for r in
+           range_join(left.drop("k"), right.drop("k"), "lts", "rts",
+                      lower_s=-90, upper_s=120).collect()}
+    want = _naive(left.drop("k"), right.drop("k"), -90, 120)
+    assert got == want and len(got) > 0
+
+
+def test_range_join_matches_naive_keyed_narrow_buckets(spark):
+    # bucket narrower than the span: each left row explodes onto several
+    # buckets; every true pair must still appear exactly once
+    from dativo_ingest_spark.operators.temporal import range_join
+    left, right = _range_frames(spark)
+    out = range_join(left, right, "lts", "rts",
+                     lower_s=-90, upper_s=120, keys=["k"],
+                     bucket_s=30).collect()
+    got = [(r.lid, r.rid) for r in out]
+    assert len(got) == len(set(got)), "duplicate pairs from bucket overlap"
+    assert set(got) == _naive(left, right, -90, 120, keys=["k"])
+
+
+def test_range_join_validates_inputs(spark):
+    import pytest
+    from dativo_ingest_spark.operators.temporal import range_join
+    left, right = _range_frames(spark)
+    with pytest.raises(ValueError, match="inner"):
+        range_join(left, right, "lts", "rts", -1, 1, how="left")
+    with pytest.raises(ValueError, match="empty range"):
+        range_join(left, right, "lts", "rts", 10, 10)
+    with pytest.raises(ValueError, match="bucket"):
+        range_join(left, right, "lts", "rts", -1, 1, bucket_s=0)
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    # the whole point: the naive theta-join plans as BNLJ/cartesian, the
+    # bucketed rewrite must plan as an ordinary equi-join
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import range_join
+    left, right = _range_frames(spark)
+    l2, r2 = left.drop("k"), right.drop("k")
+    naive_plan = (
+        l2.join(r2, (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 90 SECONDS"))
+                & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 120 SECONDS")))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert ("BroadcastNestedLoopJoin" in naive_plan
+            or "CartesianProduct" in naive_plan)
+    plan = range_join(l2, r2, "lts", "rts", -90, 120)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

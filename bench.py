@@ -81,6 +81,8 @@ HEADLINE = [
     # whose 100 TB cost claims most need a per-round pin
     "q12_late_shipments",
     "range_join_error_purchase",
+    # three-batch incremental rollup fold vs single-shot oracle
+    "rollup_incremental_events",
 ]
 
 

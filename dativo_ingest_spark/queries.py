@@ -2447,18 +2447,32 @@ def window_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "space is per-block instead of all-pairs (the entity-resolution "
         "blocking pattern; same shape as the dedup candidate joins). "
         "Spark and DuckDB both implement classic Levenshtein, so counts "
-        "are oracle-exact.",
+        "are oracle-exact. Probe-side parallelism is forced by a custkey "
+        "repartition: the pair stage is quadratic per block, so its task "
+        "count must come from the data, not from the accident of input "
+        "file layout (one small parquet file = one task = serial pair "
+        "evaluation; the 15k-row shuffle that prevents it is noise next "
+        "to the O(block²) work it parallelizes). The distance predicate "
+        "uses the banded threshold form — O(len·k) per pair instead of "
+        "O(len²) — and runs after the cheap key-order conjunct.",
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey")
     nat = load(spark, sf_dir, "nation")
-    a, b = cust.alias("a"), cust.alias("b")
+    # explicit partition count: AQE's small-partition coalescer judges by
+    # BYTES and would re-merge this tiny-but-compute-heavy probe side back
+    # to one task; a user-specified count is exempt from coalescing.
+    a = cust.repartition(
+        spark.sparkContext.defaultParallelism, F.col("c_custkey")).alias("a")
+    b = cust.alias("b")
     pairs = a.join(
         b,
         (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
         & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+    ).filter(
+        # threshold form returns -1 past the bound: banded DP, early exit
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2) >= 0)
     return (
         pairs.join(F.broadcast(nat),
                    F.col("a.c_nationkey") == F.col("n_nationkey"))
@@ -3121,6 +3135,67 @@ def range_join_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_incremental_events",
+    """
+    WITH q AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq
+      FROM events)
+    SELECT event_type, day,
+           count(vq) AS n,
+           sum(vq) / 10000.0 AS total_value,
+           min(vq) / 10000.0 AS lo,
+           max(vq) / 10000.0 AS hi,
+           (CAST(sum(vq) AS DOUBLE) / count(vq)) / 10000.0 AS avg_value
+    FROM q
+    GROUP BY 1, 2
+    """,
+    doc="incremental aggregate maintenance (operators/rollup.py): the "
+        "events table arrives as three disjoint batches (event_id mod 3); "
+        "each batch folds into a compact partial-state rollup via "
+        "maintain_rollup, and finalize derives count/sum/min/max/avg. The "
+        "oracle is the single-shot GROUP BY over the union — exactness of "
+        "the fold is the materialized-view-maintenance contract: per-batch "
+        "cost is one shuffle over the batch + a merge proportional to the "
+        "rollup key count, never a rescan of history. Values quantize to "
+        "1e-4 fixed point BEFORE aggregation so partial sums are exact "
+        "integers — fold order, batch split, and engine cannot perturb a "
+        "single bit (the double-summation ulp drift that plagues "
+        "float rollups is designed out, not rounded over).",
+)
+def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import rollup
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .withColumn("vq", F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+    )
+    keys = ["event_type", "day"]
+    measures = {
+        "n": ("count", "vq"),
+        "total_value": ("sum", "vq"),
+        "lo": ("min", "vq"),
+        "hi": ("max", "vq"),
+        "avg_value": ("avg", "vq"),
+    }
+    state = None
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        state = rollup.maintain_rollup(state, batch, keys, measures)
+    fin = rollup.finalize(state, keys, measures)
+    # integer state -> doubles via the same operation shapes as the oracle:
+    # identical operands, identical IEEE results, no rounding required
+    return fin.select(
+        "event_type", "day", "n",
+        (F.col("total_value") / 10000.0).alias("total_value"),
+        (F.col("lo") / 10000.0).alias("lo"),
+        (F.col("hi") / 10000.0).alias("hi"),
+        (F.col("avg_value") / 10000.0).alias("avg_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3231,6 +3306,10 @@ _GATE_DEMOTED = [
     "benchmark_decontamination",
     "ann_topk_quantized",
     "events_interval_join",
+    # admits rollup_incremental_events (mdkv family keeps mdkv_hybrid,
+    # whose row_per_kv ∪ document_level output subsumes this query's
+    # explode shape; row_per_kv r1-r5 driver-proven)
+    "mdkv_row_per_kv",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

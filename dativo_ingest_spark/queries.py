@@ -3196,6 +3196,427 @@ def rollup_incremental_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS rev_c,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'LARGE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                               THEN rev_c ELSE 0 END) AS DOUBLE)
+                 / sum(rev_c), 6) AS mkt_share,
+           sum(rev_c) / 100.0 AS total_revenue
+    FROM base GROUP BY 1
+    """,
+    doc="TPC-H q8 analog (national market share): the widest join tree in "
+        "the surface — lineitem joined to SIX dimension chains.  Every "
+        "dimension (filtered part, customer, both nation roles, region, "
+        "supplier) broadcasts, so the only shuffle is the one legitimate "
+        "fact-fact orders⋈lineitem exchange; the share ratio divides two "
+        "exact bigint cent sums, deterministic across engines.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    supp = load(spark, sf_dir, "supplier")
+    cn = nat.select(F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_regionkey").alias("cn_region"))
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"))
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.filter(F.col("p_type") == "LARGE")
+                          .select("p_partkey")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders.filter(
+                  (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")
+                          .select("r_regionkey")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev_c)
+                      .otherwise(F.lit(0))).cast("double")
+                / F.sum(rev_c), 6).alias("mkt_share"),
+            (F.sum(rev_c) / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    WITH p AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year, sn.n_name AS nation,
+             CAST(floor((l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity) * 100 + 0.5)
+                  AS BIGINT) AS profit_c
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_name LIKE '%widget%')
+    SELECT nation, o_year, sum(profit_c) / 100.0 AS sum_profit,
+           count(*) AS n_items
+    FROM p GROUP BY 1, 2
+    """,
+    doc="TPC-H q9 analog (product-type profit by nation and year). The "
+        "testdata has no partsupp table, so supply cost is adapted to "
+        "0.6*p_retailprice per unit (documented divergence; the join/agg "
+        "shape — LIKE-filtered part dim, two broadcast dim chains, zero "
+        "pre-agg shuffles on the fact scan — is the point).  Profit "
+        "quantizes to exact cents per row before the sum, so possibly- "
+        "negative values aggregate bit-identically in any order.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    sn = nat.select(F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("nation"))
+    profit_c = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")) * 100 + 0.5
+    ).cast("long")
+    return (
+        li.select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.filter(F.col("p_name").like("%widget%"))
+                          .select("p_partkey", "p_retailprice")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("nation", F.year("l_shipdate").cast("long").alias("o_year"))
+        .agg((F.sum(profit_c) / 100.0).alias("sum_profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name, rev_c / 100.0 AS total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rev_c = (SELECT max(rev_c) FROM rev)
+    """,
+    doc="TPC-H q15 analog (top supplier by quarterly revenue): a reused "
+        "subplan — the per-supplier revenue aggregate feeds BOTH the probe "
+        "side and the scalar-max subquery.  Spark caches the aggregate "
+        "frame so the scan+shuffle runs once; the max arrives as a "
+        "1-row broadcast, the supplier dim broadcasts, and exact cent "
+        "revenue makes the WHERE rev = max(rev) tie-handling deterministic.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    rev_c = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_c).alias("rev_c"))
+        .cache()  # reused by probe + max subquery: one scan, one shuffle
+    )
+    top = rev.agg(F.max("rev_c").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), F.col("rev_c") == F.col("max_rev"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.col("rev_c") / 100.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_type <> 'PROMO' AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H q16 analog (supplier relationship count): the observed "
+        "part-supplier relation is derived as DISTINCT (l_partkey, "
+        "l_suppkey) pairs (no partsupp table in the testdata), NOT IN "
+        "rewrites to a broadcast anti-join (safe: s_suppkey is never "
+        "null, the one case where NOT IN == anti-join), and the final "
+        "count(DISTINCT) reuses the same shuffle key prefix.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    sizes = [1, 5, 9, 14, 23, 36, 45, 49]
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(supp.filter(F.col("s_acctbal") < 0)
+                               .select("s_suppkey")),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part.filter((F.col("p_type") != "PROMO")
+                                      & F.col("p_size").isin(sizes))
+                          .select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    WITH target AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'),
+    avgq AS (
+      SELECT l_partkey, avg(l_quantity) AS aq
+      FROM lineitem JOIN target ON p_partkey = l_partkey
+      GROUP BY 1)
+    SELECT count(*) AS n_small,
+           round(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
+    WHERE l_quantity < 0.2 * aq
+    """,
+    doc="TPC-H q17 analog (small-quantity-order revenue): correlated "
+        "scalar subquery avg(l_quantity) per part, decorrelated into a "
+        "semi-filtered aggregate + broadcast join-back (the aggregate "
+        "covers only the ~55 Brand#1/ECONOMY parts, so it broadcasts at "
+        "any corpus scale).  l_quantity is integral, so the avg is an "
+        "exact int/int division — the 0.2*avg threshold compare cannot "
+        "drift between engines.",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    target = part.filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    avgq = (
+        li.select("l_partkey", "l_quantity")
+        .join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("aq"))
+        .select(F.col("l_partkey").alias("aq_partkey"), "aq")
+    )
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(avgq), F.col("aq_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                      .cast("long")) / 100.0 / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+@register(
+    "q20_part_promotion_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 3
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50)
+    """,
+    doc="TPC-H q20 analog (suppliers with surplus promotional stock): "
+        "nested IN over a grouped HAVING subquery.  The subquery "
+        "aggregates the LIKE-filtered fact slice per (supplier, part) and "
+        "its distinct supplier set semi-joins the region-filtered "
+        "supplier dim — Spark plans the IN as left_semi, the dims "
+        "broadcast, and only the filtered slice shuffles.",
+)
+def q20_part_promotion_suppliers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    qualified = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(part.filter(F.col("p_name").like("red%"))
+                          .select("p_partkey")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nat.filter(F.col("n_regionkey") == 3)
+                              .select("n_nationkey")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualified, F.col("s_suppkey") == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+    doc="TPC-H q21 analog (suppliers who kept orders waiting; lateness "
+        "adapted to ship > orderdate+60d — the testdata has no "
+        "commit/receipt dates).  The oracle runs the classic correlated "
+        "EXISTS + NOT-EXISTS self-joins; Spark runs the decorrelated "
+        "plan — ONE aggregation of the fact to (order, supplier) grain "
+        "yields per-order supplier/late-supplier counts, and the late "
+        "lineitems join back to it.  Two shuffles total on the same "
+        "orderkey prefix vs. the oracle's three correlated probes; "
+        "equivalence of the two plans is exactly what the value hash "
+        "proves.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supp = load(spark, sf_dir, "supplier")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS")
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    # (order, supplier) grain: did this supplier ship anything late?
+    os = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    per_order = (
+        os.groupBy(F.col("l_orderkey").alias("po_orderkey"))
+        .agg(F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate"))
+    )
+    return (
+        lo.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_balance_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+             / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS nation_bucket,
+           count(*) AS numcust,
+           sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+             AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    doc="TPC-H q22 analog (untapped high-balance customers): scalar "
+        "above-average threshold + NOT EXISTS anti-join, bucketed by "
+        "nationkey%5 (the testdata has no phone country codes; every "
+        "customer has orders, so the anti-join is against URGENT orders "
+        "to keep the result non-trivial).  The average is computed from "
+        "exact cent sums on both engines, so the threshold compare is "
+        "bit-stable; the urgent-customer set anti-joins as a broadcast.",
+)
+def q22_balance_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(cents) / 100.0 / F.count(F.lit(1))).alias("ab"))
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("long")
+                 .alias("nation_bucket"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             (F.sum(cents) / 100.0).alias("totacctbal"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3310,6 +3731,35 @@ _GATE_DEMOTED = [
     # whose row_per_kv ∪ document_level output subsumes this query's
     # explode shape; row_per_kv r1-r5 driver-proven)
     "mdkv_row_per_kv",
+    # admit the eight remaining TPC-H analogs (q8/q9/q15/q16/q17/q20/q21/
+    # q22 — the classic-shape family is now COMPLETE for every shape the
+    # testdata schema can express).  Each demotion below is r5-driver-
+    # proven and leaves its family represented in-window:
+    #   dedup_corpus_resolved      (curation_pipeline runs the same
+    #     min-label resolution as its middle stage)
+    #   embedding_dedup_resolved   (semantic_dedup_pipeline subsumes the
+    #     cell-join + resolution shape)
+    #   pack_training_sequences    (chunk_pack_pipeline runs packing as
+    #     its second stage)
+    #   agg_distinct_users_by_type (q16's count(DISTINCT) keeps the
+    #     distinct-agg shape)
+    #   dedup_simhash              (dedup family keeps exact/minhash/
+    #     curation)
+    #   tfidf_top_terms            (text family keeps quality/pii/
+    #     classifier)
+    #   q4_order_priority          (q21's EXISTS + NOT-EXISTS subsumes
+    #     q4's single EXISTS)
+    #   join_anti_customers_without_orders (q22's NOT EXISTS is the same
+    #     anti-join shape — and proves it over a NON-EMPTY result, where
+    #     join_anti has proven 0 rows since r1)
+    "dedup_corpus_resolved",
+    "embedding_dedup_resolved",
+    "pack_training_sequences",
+    "agg_distinct_users_by_type",
+    "dedup_simhash",
+    "tfidf_top_terms",
+    "q4_order_priority",
+    "join_anti_customers_without_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -275,3 +275,58 @@ def test_range_join_query_plans_as_equi_join(spark):
     plan = plan_of(spark, "range_join_error_purchase")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_single_fact_fact_exchange(spark):
+    # six dimension chains ALL broadcast; the only shuffle joins are the
+    # orders⋈lineitem exchange pair feeding one SortMergeJoin (or fewer,
+    # if AQE turns it into a broadcast at this scale)
+    plan = plan_of(spark, "q8_market_share")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q9_zero_preagg_shuffles(spark):
+    # every join broadcasts (LIKE-filtered part, supplier, nation), so the
+    # lineitem scan reaches the partial aggregation with no exchange
+    # before it: total exchanges == the one final agg exchange
+    plan = plan_of(spark, "q9_product_profit")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert n_exchanges(plan) == 1
+
+
+def test_q15_reuses_cached_revenue_subplan(spark):
+    # the per-supplier aggregate feeds probe AND max subquery via cache:
+    # both sides must show InMemoryTableScan instead of recomputing the
+    # lineitem scan + shuffle twice
+    plan = plan_of(spark, "q15_top_supplier")
+    assert plan.count("InMemoryTableScan") >= 2
+    # every join is a broadcast over the cached frame — no extra shuffle
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_threshold_join_broadcasts(spark):
+    # the per-part avg frame covers only the Brand#1/ECONOMY parts —
+    # it must broadcast back onto the fact scan, never shuffle it
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_decorrelated_two_shuffle_plan(spark):
+    # the classic triple correlated self-join decorrelates into aggs over
+    # the same orderkey prefix: no nested-loop/cartesian anywhere, and the
+    # per-order stats frame joins back as an ordinary equi-join
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_broadcasts(spark):
+    # NOT EXISTS urgent-orders rewrites to a broadcast anti-join on the
+    # customer scan; the scalar avg arrives as a 1-row broadcast
+    plan = plan_of(spark, "q22_balance_opportunity")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)

@@ -548,3 +548,60 @@ def benchmark_contamination(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_shared)
     )
+
+
+def duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_df: int | None = MAX_GRAM_DF_DEFAULT,
+) -> DataFrame:
+    """Exact duplicated-passage detection: word n-grams shared across docs.
+
+    (id, n_grams, n_dup, dup_ratio) per document with >= n words —
+    ``n_dup`` counts gram *positions* whose n-gram also appears in at
+    least one OTHER document, the substring-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2021): a high ratio means the doc is stitched from passages the
+    corpus already contains even when no whole-doc fingerprint matches.
+
+    Scale: positions explode ~#words rows/doc, but each row is the fixed
+    32-char md5 of its gram, never the passage text, so the gram shuffle
+    moves O(corpus tokens × 32 B). The cross-doc test is one aggregate on
+    the gram key (count distinct docs >= 2); corpus-wide boilerplate grams
+    are exactly the hot keys the ``max_gram_df`` cut drops (they carry no
+    passage-specific signal and would concentrate the shuffle), same guard
+    and rationale as :func:`ngram_jaccard_pairs`. Per-doc fold is one more
+    aggregation on the doc id.  No pair join exists anywhere — cost is
+    linear in corpus size at any scale.
+    """
+    tokens = _widen(df).select(
+        F.col(id_col).alias("id"),
+        text.words(F.col(text_col)).alias("_words"),
+    )
+    grams = tokens.select(
+        "id", F.explode(text.word_ngrams(F.col("_words"), n)).alias("g")
+    ).select("id", F.md5(F.col("g")).alias("gram"))
+    if max_gram_df is not None:
+        grams = drop_hot_grams(grams, max_gram_df)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi")
+    per_doc = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    dup_doc = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        per_doc.join(dup_doc, "id", "left")
+        .select(
+            "id", "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.col("n_grams"), 6
+            ).alias("dup_ratio"),
+        )
+    )

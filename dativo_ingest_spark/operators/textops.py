@@ -408,3 +408,56 @@ def classifier_score(
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-derived unigram language-model score per document.
+
+    (id, n_words, avg_logprob) — ``avg_logprob`` is the mean natural-log
+    probability of the document's words under the corpus's own unigram
+    distribution (the CCNet/RedPajama quality signal: low scores flag
+    gibberish, OCR noise, and word-salad; a held-out reference LM slots
+    into the same plumbing by swapping the counts frame).
+
+    Determinism: each word's log-prob quantizes to integer micro-nats
+    (``floor(ln(c/total)*1e6 + 0.5)``) BEFORE the per-document sum, so
+    partial-aggregation order cannot perturb a bit; the final average is
+    one exact-bigint / count division, rounded at 6dp.
+
+    Scale: two aggregations (word counts; per-doc fold) plus one join of
+    the exploded words against the vocabulary frame — all shuffles are on
+    high-cardinality keys. The word join is Zipf-skewed ("the" is ~5% of
+    all tokens); AQE's skew-join split handles it, and the vocabulary side
+    broadcasts outright whenever it fits the threshold. The single-row
+    total joins as a broadcast literal, never a shuffle.
+    """
+    words = _tokenized(df, id_col, text_col).select(
+        "id", F.explode("_words").alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lp = (
+        counts.join(F.broadcast(total))
+        .select(
+            "word",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("total").cast("double"))
+                * micro_units + 0.5
+            ).cast("long").alias("lpq"),
+        )
+    )
+    return (
+        words.join(lp, "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum("lpq").cast("double") / F.count(F.lit(1))
+                / float(micro_units), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -3617,6 +3617,110 @@ def q22_balance_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unigram_logprob_quality",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+    c AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+    t AS (SELECT sum(c) AS total FROM c),
+    lp AS (
+      SELECT word,
+             CAST(floor(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS lpq
+      FROM c, t)
+    SELECT doc_id AS id, count(*) AS n_words,
+           round(CAST(sum(lpq) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM w JOIN lp USING (word)
+    GROUP BY 1
+    """,
+    doc="corpus unigram-LM document scoring (operators/textops.py:"
+        "unigram_logprob): the CCNet/RedPajama perplexity-style quality "
+        "signal, self-trained on the corpus's own word distribution.  "
+        "Per-word log-probs quantize to integer micro-nats before the "
+        "per-doc fold, so engine/partition summation order cannot move a "
+        "bit; the Zipf-skewed word join is AQE-split or broadcast.",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.unigram_logprob(docs, "doc_id", "text")
+
+
+@register(
+    "duplicate_passage_ngrams",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS words
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+    g AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(words, i, i + 7), ' ')) AS gram
+      FROM tok, unnest(range(1, len(words) - 6)) AS r(i)
+      WHERE len(words) >= 8),
+    dup AS (
+      SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+    dup_doc AS (
+      SELECT doc_id, count(*) AS n_dup FROM g
+      WHERE gram IN (SELECT gram FROM dup) GROUP BY 1)
+    SELECT per_doc.doc_id AS id, n_grams,
+           coalesce(n_dup, 0) AS n_dup,
+           round(CAST(coalesce(n_dup, 0) AS DOUBLE) / n_grams, 6)
+             AS dup_ratio
+    FROM per_doc LEFT JOIN dup_doc ON per_doc.doc_id = dup_doc.doc_id
+    """,
+    doc="exact duplicated-passage detection (operators/dedup.py:"
+        "duplicate_passages): positioned word 8-grams hashed to md5, "
+        "cross-document grams found by one count-distinct aggregate — "
+        "the Lee et al. 2021 substring-dedup signal, linear at any "
+        "corpus size (no pair join exists in the plan).  The oracle "
+        "reproduces the same md5 over the same space-joined grams.  "
+        "Hot-gram guard disabled here so both engines see identical "
+        "gram sets; production keeps the df-cut ON (boilerplate grams "
+        "carry no passage signal).",
+)
+def duplicate_passage_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.duplicate_passages(docs, "doc_id", "text", n=8,
+                                    max_gram_df=None)
+
+
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type AS group, count(DISTINCT user_id) AS exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
+    doc="HLL++ sketch accuracy contract (operators/sketches.py:"
+        "approx_distinct_check): approx_count_distinct(rsd=0.02) per "
+        "event_type, checked against the exact count at 5%% tolerance.  "
+        "The sketch is mergeable fixed-size state — at 100 TB the "
+        "count-distinct exchange moves KB per group instead of every "
+        "distinct user id.  The estimate is engine-specific, so the "
+        "oracle-comparable output is the within-tolerance boolean plus "
+        "the exact count (which the oracle recomputes exactly).",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.approx_distinct_check(ev, "event_type", "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3760,6 +3864,17 @@ _GATE_DEMOTED = [
     "tfidf_top_terms",
     "q4_order_priority",
     "join_anti_customers_without_orders",
+    # admit the three new training-pipeline ops (unigram_logprob_quality,
+    # duplicate_passage_ngrams, approx_distinct_users):
+    #   stats_summary_lineitem  (dq_expectations_events keeps the
+    #     count/min/max/mean summary shape in-window)
+    #   coerce_boolean_tokens   (coercion family keeps
+    #     contract_cast_strict_events' full cast ladder)
+    #   asof_last_purchase_before_click (temporal family keeps the
+    #     bucketed range join + tumbling windows; as-of r5-proven)
+    "stats_summary_lineitem",
+    "coerce_boolean_tokens",
+    "asof_last_purchase_before_click",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -1,0 +1,107 @@
+"""Unit tests for the corpus-statistics operators added late in round 6:
+unigram-LM document scoring, duplicated-passage detection, and the
+HLL-sketch accuracy contract — hand-computed expectations on tiny frames
+(parity vs DuckDB is covered separately in test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import dedup, sketches, textops
+
+
+def _rows(df):
+    return {r["id"]: r.asDict() for r in df.collect()}
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_corpus(self, spark):
+        # corpus: doc1 = "a a", doc2 = "a b" -> counts a=3, b=1, total=4
+        df = spark.createDataFrame(
+            [(1, "a a"), (2, "a b")], ["doc_id", "text"])
+        out = _rows(textops.unigram_logprob(df, "doc_id", "text"))
+
+        def lpq(p):
+            return math.floor(math.log(p) * 1_000_000 + 0.5)
+
+        exp1 = round((2 * lpq(3 / 4)) / 2 / 1_000_000, 6)
+        exp2 = round((lpq(3 / 4) + lpq(1 / 4)) / 2 / 1_000_000, 6)
+        assert out[1]["n_words"] == 2 and out[2]["n_words"] == 2
+        assert out[1]["avg_logprob"] == exp1
+        assert out[2]["avg_logprob"] == exp2
+        # common-word doc scores strictly higher than the rare-word doc
+        assert out[1]["avg_logprob"] > out[2]["avg_logprob"]
+
+    def test_empty_and_whitespace_docs_drop(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, ""), (3, "   ")], ["doc_id", "text"])
+        out = _rows(textops.unigram_logprob(df, "doc_id", "text"))
+        assert set(out) == {1}
+
+
+class TestDuplicatePassages:
+    def test_shared_trigram_flags_both_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four"), (2, "zero one two three")],
+            ["doc_id", "text"])
+        out = _rows(
+            dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                     max_gram_df=None))
+        # each doc has 2 positioned trigrams; "one two three" is shared
+        for i in (1, 2):
+            assert out[i]["n_grams"] == 2
+            assert out[i]["n_dup"] == 1
+            assert out[i]["dup_ratio"] == 0.5
+
+    def test_within_doc_repeat_is_not_cross_doc(self, spark):
+        # the same trigram twice in ONE doc is not duplication across docs
+        df = spark.createDataFrame(
+            [(1, "a b c a b c"), (2, "x y z w")], ["doc_id", "text"])
+        out = _rows(
+            dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                     max_gram_df=None))
+        assert out[1]["n_dup"] == 0 and out[2]["n_dup"] == 0
+
+    def test_short_docs_yield_no_grams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "one two three four")],
+            ["doc_id", "text"])
+        out = _rows(
+            dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                     max_gram_df=None))
+        assert set(out) == {2}
+
+    def test_hot_gram_cut_drops_boilerplate(self, spark):
+        # the license-header gram appears in 3 docs; with max_gram_df=2 the
+        # df-cut removes it BEFORE the distinct-doc test, so nothing is
+        # flagged and the gram totals shrink accordingly
+        df = spark.createDataFrame(
+            [(i, f"common header line unique{i} tail{i}") for i in range(3)],
+            ["doc_id", "text"])
+        loose = _rows(
+            dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                     max_gram_df=None))
+        assert all(v["n_dup"] == 1 for v in loose.values())
+        cut = _rows(
+            dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                     max_gram_df=2))
+        assert all(v["n_dup"] == 0 for v in cut.values())
+        assert all(cut[i]["n_grams"] == loose[i]["n_grams"] - 1
+                   for i in cut)
+
+
+class TestApproxDistinctCheck:
+    def test_small_cardinalities_within_tolerance(self, spark):
+        df = spark.createDataFrame(
+            [(t, u) for t in ("a", "b") for u in range(50)],
+            ["event_type", "user_id"])
+        out = sketches.approx_distinct_check(
+            df, "event_type", "user_id").collect()
+        by = {r["group"]: r for r in out}
+        assert by["a"]["exact"] == 50 and by["b"]["exact"] == 50
+        assert all(r["approx_ok"] for r in out)
+        # the sketch estimate never leaks into the output schema
+        assert sorted(by["a"].asDict()) == ["approx_ok", "exact", "group"]

@@ -83,6 +83,14 @@ HEADLINE = [
     "range_join_error_purchase",
     # three-batch incremental rollup fold vs single-shot oracle
     "rollup_incremental_events",
+    # late-r6 batch 2: the widest broadcast tree (q8), the decorrelated
+    # EXISTS/NOT-EXISTS self-join (q21), and the two corpus-statistics
+    # pipelines whose shuffles scale with token count — the shapes whose
+    # 100 TB cost claims most need a per-round pin
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "unigram_logprob_quality",
+    "duplicate_passage_ngrams",
 ]
 
 

@@ -49,3 +49,42 @@ def approx_distinct_check(
             ).alias("approx_ok"),
         )
     )
+
+
+def approx_quantile_rank_check(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    accuracy: int = 10000,
+    rank_tolerance: float = 0.05,
+) -> DataFrame:
+    """(group, n, rank_ok): percentile_approx honored as a RANK contract.
+
+    Quantile sketches (Spark's Greenwald-Khanna variant, t-digest, KLL)
+    guarantee rank error — the returned value sits within ``eps·n`` ranks
+    of the true q-quantile — not value error, so the checkable contract is
+    rank-based: the fraction of values <= the sketch's answer must lie
+    within ``rank_tolerance`` of ``q``.  Computed as a second aggregate
+    over the same grouping key with the (group, quantile) frame broadcast
+    back — two shuffles total, both on the group key; state per group is
+    O(1/eps), so the exchange moves KB per group at any corpus size.
+    """
+    qv = (
+        df.groupBy(F.col(group_col).alias("group"))
+        .agg(F.percentile_approx(F.col(value_col), q, accuracy).alias("_qv"))
+    )
+    return (
+        df.select(F.col(group_col).alias("group"), F.col(value_col).alias("_v"))
+        .join(F.broadcast(qv), "group")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.abs(
+                    F.sum((F.col("_v") <= F.col("_qv")).cast("long"))
+                    .cast("double") / F.count(F.lit(1)) - F.lit(float(q))
+                ) <= F.lit(float(rank_tolerance))
+            ).alias("rank_ok"),
+        )
+    )

@@ -3721,6 +3721,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.approx_distinct_check(ev, "event_type", "user_id")
 
 
+@register(
+    "approx_median_rank_check",
+    """
+    SELECT event_type AS group, count(*) AS n, TRUE AS rank_ok
+    FROM events GROUP BY 1
+    """,
+    doc="quantile-sketch rank contract (operators/sketches.py:"
+        "approx_quantile_rank_check): percentile_approx(value, 0.5) per "
+        "event_type, then the fraction of values <= the sketch's answer "
+        "re-measured in a second pass — must sit within 5%% of the target "
+        "rank.  Quantile sketches guarantee RANK error, not value error, "
+        "so this is the honest checkable form; at 100 TB the sketch "
+        "replaces a full sort per group with O(1/eps) mergeable state.",
+)
+def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    return sketches.approx_quantile_rank_check(ev, "event_type", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3875,6 +3896,10 @@ _GATE_DEMOTED = [
     "stats_summary_lineitem",
     "coerce_boolean_tokens",
     "asof_last_purchase_before_click",
+    # admits approx_median_rank_check (text family keeps pii_scrub,
+    # quality_classifier_score — which consumes the same quality_features
+    # frame — and unigram_logprob_quality in-window; r1-r5 proven)
+    "text_quality_features",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -590,3 +590,76 @@ def stream_to_table(
         q.awaitTermination()
     else:  # pragma: no cover - continuous mode needs a long-lived process
         writer.start()
+
+
+def rollup_epoch_writer(table, keys, measures, branch: str = "main",
+                        query_id: str | None = None,
+                        checkpoint_dir: str | None = None):
+    """foreachBatch callable maintaining an incremental rollup (a streaming
+    materialized view): each micro-batch folds into the persisted partial
+    state via operators/rollup.py:maintain_rollup and the NEW state commits
+    as one atomic overwrite snapshot with the epoch id in the same commit —
+    state content and replay marker can never diverge (the exactly-once
+    recipe of :func:`table_epoch_writer`, applied to state instead of data).
+
+    A replayed epoch (at-least-once foreachBatch delivery) sees a recorded
+    epoch >= its own at the branch head and skips, so the fold is applied
+    exactly once per batch.  Readers serve queries from
+    ``rollup.finalize(table.read(spark), keys, measures)`` at any time and
+    flip atomically between consistent states.
+
+    Scale: per-epoch cost is one shuffle over the micro-batch plus a merge
+    proportional to the ROLLUP KEY COUNT — never a rescan of history.
+    State stays compact by construction (one row per key), so the overwrite
+    rewrite is bounded by key cardinality, not stream length; at very large
+    key counts the overwrite becomes a MERGE INTO on the keyed subset
+    (sinks/table_commit.py:merge_upsert is the swap point).
+    """
+    from dativo_ingest_spark.operators import rollup
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        head = table.snapshot(table.current_version(branch))
+        last = head.properties.get(key)
+        if last is not None and int(last) >= epoch_id:
+            return
+        base = (table.read(batch_df.sparkSession, branch=branch)
+                if head.files else None)
+        new_state = rollup.maintain_rollup(base, batch_df, keys, measures)
+        table.write_append(
+            new_state, branch=branch, operation="overwrite",
+            properties={key: str(epoch_id)},
+        )
+
+    return write_batch
+
+
+def stream_rollup(
+    stream_df: DataFrame,
+    table_root: str,
+    keys,
+    measures,
+    checkpoint_dir: str,
+    branch: str = "main",
+    available_now: bool = True,
+):
+    """Maintain a rollup table from a stream: foreachBatch +
+    :func:`rollup_epoch_writer`. Returns the FsTable holding the state;
+    query it with ``rollup.finalize(table.read(spark), keys, measures)``."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(table_root)
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(rollup_epoch_writer(table, keys, measures, branch,
+                                          checkpoint_dir=checkpoint_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+    return table

@@ -93,3 +93,68 @@ def test_partial_state_is_map_side_combined(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial_" in plan.split("Exchange", 1)[1]
+
+
+class TestStreamingRollup:
+    """rollup_epoch_writer: per-epoch fold with exactly-once replay
+    suppression, state + marker in one atomic snapshot commit."""
+
+    def _writer(self, tmp_path, table=None):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import rollup_epoch_writer
+
+        table = table or FsTable.create(str(tmp_path / "state"))
+        return table, rollup_epoch_writer(
+            table, KEYS, MEASURES, query_id="q-test")
+
+    def test_epoch_folds_match_single_shot(self, spark, tmp_path):
+        df = _frame(spark)
+        table, write = self._writer(tmp_path)
+        for i in range(3):
+            write(df.filter(F.col("id") % 3 == i), epoch_id=i)
+        got = rollup.finalize(table.read(spark), KEYS, MEASURES)
+        assert _rows(got) == _rows(_single_shot(df))
+
+    def test_replayed_epoch_is_not_double_counted(self, spark, tmp_path):
+        df = _frame(spark)
+        table, write = self._writer(tmp_path)
+        write(df.filter(F.col("id") % 2 == 0), epoch_id=0)
+        write(df.filter(F.col("id") % 2 == 1), epoch_id=1)
+        before = _rows(rollup.finalize(table.read(spark), KEYS, MEASURES))
+        # at-least-once delivery: both epochs replay after a crash
+        write(df.filter(F.col("id") % 2 == 0), epoch_id=0)
+        write(df.filter(F.col("id") % 2 == 1), epoch_id=1)
+        after = _rows(rollup.finalize(table.read(spark), KEYS, MEASURES))
+        assert after == before == _rows(_single_shot(df))
+
+    def test_distinct_queries_do_not_suppress_each_other(self, spark,
+                                                         tmp_path):
+        from dativo_ingest_spark.streaming.pipeline import rollup_epoch_writer
+
+        df = _frame(spark)
+        table, write_a = self._writer(tmp_path)
+        write_b = rollup_epoch_writer(table, KEYS, MEASURES,
+                                      query_id="q-other")
+        write_a(df.filter(F.col("id") % 2 == 0), epoch_id=0)
+        # a DIFFERENT query's epoch 0 must still fold (markers are scoped
+        # per query id, the txnAppId analog)
+        write_b(df.filter(F.col("id") % 2 == 1), epoch_id=0)
+        got = rollup.finalize(table.read(spark), KEYS, MEASURES)
+        assert _rows(got) == _rows(_single_shot(df))
+
+    def test_end_to_end_file_stream(self, spark, tmp_path):
+        from dativo_ingest_spark.operators.rollup import finalize
+        from dativo_ingest_spark.streaming.pipeline import stream_rollup
+
+        df = _frame(spark)
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        table = stream_rollup(
+            stream, str(tmp_path / "state2"), KEYS, MEASURES,
+            checkpoint_dir=str(tmp_path / "ckpt"))
+        got = finalize(table.read(spark), KEYS, MEASURES)
+        assert _rows(got) == _rows(_single_shot(df))

@@ -40,7 +40,8 @@ INCREMENTAL_STRATEGIES = {
     "updated_at": {"postgres", "mysql", "jdbc"},
     "updated_after": {"hubspot"},
     "created": {"stripe"},
-    "file_modified_time": {"csv", "gdrive_csv", "markdown_kv", "parquet", "files"},
+    "file_modified_time": {"csv", "jsonl", "gdrive_csv", "markdown_kv",
+                           "parquet", "files"},
     "spreadsheet_modified_time": {"google_sheets"},
 }
 

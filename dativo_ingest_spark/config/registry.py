@@ -87,6 +87,9 @@ CONNECTORS: dict[str, ConnectorSpec] = {
         ConnectorSpec("parquet", ("source", "target"), "files", "native",
                       ("native",), True, True, "file_modified_time",
                       ("file",)),
+        ConnectorSpec("jsonl", ("source",), "files", "native",
+                      ("native",), True, True, "file_modified_time",
+                      ("file",)),
         ConnectorSpec("derby", ("source", "target"), "database", "jdbc",
                       ("jdbc",), False, True, "updated_at",
                       extra={"requires_tables": True}),

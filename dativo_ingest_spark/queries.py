@@ -3742,6 +3742,42 @@ def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.approx_quantile_rank_check(ev, "event_type", "value")
 
 
+@register(
+    "window_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w / 10000.0
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="time-RANGE window frame (trailing 1-hour rolling aggregates per "
+        "user): the frame is bounded by the ORDER-BY VALUE, not row "
+        "position — completes the window family (ROWS frames, rank/ntile/"
+        "lag already covered).  Only peer-order-free aggregates "
+        "(count/sum) appear: RANGE frames include all peers of the "
+        "current key, so first/last_value would depend on engine tie "
+        "order.  Values quantize to 1e-4 fixed point before the frame "
+        "sum.  One shuffle on user_id; the frame is an O(1) sliding "
+        "accumulator per partition, never a re-scan per row.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    vq = F.floor(F.col("value") * 10000 + 0.5).cast("long")
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(vq).over(w) / 10000.0).alias("sum_1h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3900,6 +3936,10 @@ _GATE_DEMOTED = [
     # quality_classifier_score — which consumes the same quality_features
     # frame — and unigram_logprob_quality in-window; r1-r5 proven)
     "text_quality_features",
+    # admits window_time_range_frame (window family keeps ntile/
+    # percent_rank/cume_dist + the new RANGE frame; topn's rank shape
+    # r1-r5 proven and still exercised by q3/q10's ordered top-k)
+    "window_topn_orders_per_customer",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

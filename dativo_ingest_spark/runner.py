@@ -123,6 +123,18 @@ def _extract(spark: SparkSession, job: JobConfig,
             return None
         return csv_source.read_csv(spark, files, job.asset, src.options)
 
+    if src.type == "jsonl":
+        from dativo_ingest_spark.sources import jsonl_source
+
+        seen = None
+        if store is not None and inc.enabled and \
+                inc.strategy == "file_modified_time":
+            seen = store.get_file_mtimes(key)
+        files = csv_source.changed_files(src.path, seen, inc.lookback_days)
+        if not files:
+            return None
+        return jsonl_source.read_jsonl(spark, files, job.asset, src.options)
+
     if src.type == "parquet":
         df = spark.read.options(**{
             k: str(v) for k, v in src.options.items()
@@ -536,9 +548,9 @@ def run_job(
             if state_value is not None:
                 store.set(key, cursor, state_value)
         if inc.strategy == "file_modified_time" and job.source.path:
-            listing = (csv_source.list_csv_files(job.source.path)
-                       if job.source.type == "csv"
-                       else mdkv_source.list_markdown_files(job.source.path))
+            listing = (mdkv_source.list_markdown_files(job.source.path)
+                       if job.source.type == "markdown_kv"
+                       else csv_source.list_csv_files(job.source.path))
             store.set_file_mtimes(key, dict(listing))
 
     # Catalog push after commit+state; failures never fail the job
@@ -549,7 +561,7 @@ def run_job(
     catalog_status: dict[str, Any] = {}
     if catalog is not None:
         source_tags = None
-        if job.source.type in ("csv", "parquet", "markdown_kv"):
+        if job.source.type in ("csv", "jsonl", "parquet", "markdown_kv"):
             source_tags = {c: "column" for c in df.columns}
         catalog_status = catalog_mod.push_after_commit(
             catalog, job, props, source_tags=source_tags)

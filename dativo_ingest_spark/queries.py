@@ -3778,6 +3778,43 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "scd2_user_event_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type)
+    SELECT user_id, event_id, event_type,
+           ts AS effective_from,
+           lead(ts) OVER w2 AS effective_to,
+           lead(ts) OVER w2 IS NULL AS is_current,
+           CAST(row_number() OVER w2 AS BIGINT) AS version_n
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="SCD type-2 history construction (operators/scd.py:"
+        "scd2_from_changelog): each user's event_type stream becomes "
+        "validity-interval versions — consecutive unchanged values "
+        "collapse (lag compare), each version closes at the next one's "
+        "start (lead), the open row is current.  One shuffle on the "
+        "entity key, O(1) window accumulators, no self-join; event_id "
+        "breaks timestamp ties so ordering is total and engine-portable. "
+        "The oracle is the equivalent two-window SQL.",
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import scd
+
+    ev = load(spark, sf_dir, "events")
+    return scd.scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tiebreaker="event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -3940,6 +3977,10 @@ _GATE_DEMOTED = [
     # percent_rank/cume_dist + the new RANGE frame; topn's rank shape
     # r1-r5 proven and still exercised by q3/q10's ordered top-k)
     "window_topn_orders_per_customer",
+    # admits scd2_user_event_history (windowed-agg family keeps the
+    # in-window rollup_incremental_events (type, day) aggregation and
+    # the streaming tests; tumbling r1-r5 proven)
+    "events_tumbling_window",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -1,0 +1,122 @@
+"""SCD type-2 construction + maintenance: hand-computed interval
+expectations, collapse semantics, tie handling, and the rebuild-affected-
+keys merge (out-of-order and duplicate batches land correctly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import scd
+
+COLS = "id bigint, ts bigint, seq bigint, color string"
+
+
+def _hist(df):
+    rows = sorted(
+        df.collect(), key=lambda r: (r["id"], r["version_n"]))
+    return [(r["id"], r["color"], r["effective_from"], r["effective_to"],
+             r["is_current"], r["version_n"]) for r in rows]
+
+
+def test_intervals_and_collapse(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 1, "red"), (1, 20, 2, "red"), (1, 30, 3, "blue"),
+         (2, 15, 4, "green")], COLS)
+    out = scd.scd2_from_changelog(
+        changes, ["id"], "ts", ["color"], tiebreaker="seq")
+    assert _hist(out) == [
+        # (1, red @20) collapsed into the @10 version
+        (1, "red", 10, 30, False, 1),
+        (1, "blue", 30, None, True, 2),
+        (2, "green", 15, None, True, 1),
+    ]
+
+
+def test_no_collapse_keeps_every_change(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 1, "red"), (1, 20, 2, "red")], COLS)
+    out = scd.scd2_from_changelog(
+        changes, ["id"], "ts", ["color"], tiebreaker="seq",
+        collapse_unchanged=False)
+    assert len(out.collect()) == 2
+
+
+def test_null_attribute_versions(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 1, None), (1, 20, 2, None), (1, 30, 3, "red")], COLS)
+    out = scd.scd2_from_changelog(
+        changes, ["id"], "ts", ["color"], tiebreaker="seq")
+    # NULL == NULL collapses (eqNullSafe); NULL -> red is a real change
+    assert _hist(out) == [
+        (1, None, 10, 30, False, 1),
+        (1, "red", 30, None, True, 2),
+    ]
+
+
+def test_timestamp_ties_break_on_tiebreaker(spark):
+    changes = spark.createDataFrame(
+        [(1, 10, 2, "blue"), (1, 10, 1, "red")], COLS)
+    out = scd.scd2_from_changelog(
+        changes, ["id"], "ts", ["color"], tiebreaker="seq")
+    assert _hist(out) == [
+        (1, "red", 10, 10, False, 1),
+        (1, "blue", 10, None, True, 2),
+    ]
+
+
+class TestMerge:
+    def _base(self, spark):
+        changes = spark.createDataFrame(
+            [(1, 10, 1, "red"), (1, 30, 2, "blue"), (2, 10, 3, "green")],
+            COLS)
+        return scd.scd2_from_changelog(
+            changes, ["id"], "ts", ["color"], tiebreaker="seq")
+
+    def test_new_version_closes_open_row(self, spark):
+        dim = self._base(spark)
+        batch = spark.createDataFrame([(1, 50, 4, "black")], COLS)
+        out = scd.scd2_merge(dim, batch, ["id"], "ts", ["color"],
+                             tiebreaker="seq")
+        assert _hist(out) == [
+            (1, "red", 10, 30, False, 1),
+            (1, "blue", 30, 50, False, 2),
+            (1, "black", 50, None, True, 3),
+            (2, "green", 10, None, True, 1),   # untouched pass-through
+        ]
+
+    def test_out_of_order_update_lands_inside_history(self, spark):
+        dim = self._base(spark)
+        batch = spark.createDataFrame([(1, 20, 4, "white")], COLS)
+        out = scd.scd2_merge(dim, batch, ["id"], "ts", ["color"],
+                             tiebreaker="seq")
+        assert _hist(out) == [
+            (1, "red", 10, 20, False, 1),
+            (1, "white", 20, 30, False, 2),
+            (1, "blue", 30, None, True, 3),
+            (2, "green", 10, None, True, 1),
+        ]
+
+    def test_merge_is_idempotent_for_duplicate_batches(self, spark):
+        dim = self._base(spark)
+        batch = spark.createDataFrame([(2, 40, 4, "grey")], COLS)
+        once = scd.scd2_merge(dim, batch, ["id"], "ts", ["color"],
+                              tiebreaker="seq")
+        twice = scd.scd2_merge(once, batch, ["id"], "ts", ["color"],
+                               tiebreaker="seq")
+        assert _hist(once) == _hist(twice)
+
+    def test_merge_equals_full_rebuild(self, spark):
+        full = spark.createDataFrame(
+            [(i, t, i * 100 + t, c)
+             for i in (1, 2, 3)
+             for t, c in ((10, "a"), (20, "b"), (30, "b"), (40, "c"))],
+            COLS)
+        rebuilt = scd.scd2_from_changelog(
+            full, ["id"], "ts", ["color"], tiebreaker="seq")
+        first = full.filter(F.col("ts") <= 20)
+        rest = full.filter(F.col("ts") > 20)
+        dim = scd.scd2_from_changelog(
+            first, ["id"], "ts", ["color"], tiebreaker="seq")
+        merged = scd.scd2_merge(dim, rest, ["id"], "ts", ["color"],
+                                tiebreaker="seq")
+        assert _hist(merged) == _hist(rebuilt)

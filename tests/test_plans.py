@@ -330,3 +330,25 @@ def test_q22_anti_join_broadcasts(spark):
     plan = plan_of(spark, "q22_balance_opportunity")
     assert "BroadcastHashJoin" in plan
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+
+
+def test_scd2_single_exchange_two_windows(spark):
+    # lag-collapse and lead-close partition on the same entity key: ONE
+    # exchange feeds both Window operators (distribution reuse), and no
+    # join of any kind exists in the plan
+    plan = plan_of(spark, "scd2_user_event_history")
+    assert n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_time_range_frame_single_exchange(spark):
+    plan = plan_of(spark, "window_time_range_frame")
+    assert n_exchanges(plan) == 1
+
+
+def test_duplicate_passages_no_pair_join(spark):
+    # the cross-doc test is an aggregate on the gram key — a pair
+    # self-join must never appear at any scale
+    plan = plan_of(spark, "duplicate_passage_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -76,6 +76,25 @@ def main(argv: list[str] | None = None) -> int:
                         help="run the query (noop sink) so AQE finalizes "
                              "and codegen/runtime join choices are real")
 
+    maint_p = sub.add_parser(
+        "maintain", help="table maintenance on a snapshot-commit table: "
+                         "compaction, snapshot expiry, metadata listing")
+    maint_p.add_argument("--table-root", required=True)
+    maint_p.add_argument("--branch", default="main")
+    maint_p.add_argument("--compact", action="store_true",
+                         help="bin-pack small files (rewrite_data_files "
+                              "analog)")
+    maint_p.add_argument("--target-file-size-mb", type=int, default=150)
+    maint_p.add_argument("--vacuum-keep", type=int,
+                         help="expire snapshots beyond the newest N per "
+                              "branch + reclaim unreferenced files")
+    maint_p.add_argument("--vacuum-min-age-s", type=float,
+                         default=24 * 3600.0)
+    maint_p.add_argument("--snapshots", action="store_true",
+                         help="print the branch's commit history")
+    maint_p.add_argument("--files", action="store_true",
+                         help="print the head snapshot's file manifest")
+
     for name in ("check", "discover"):
         p = sub.add_parser(name)
         p.add_argument("--type", required=True)
@@ -111,6 +130,33 @@ def main(argv: list[str] | None = None) -> int:
                               for p, r in results.items()}, indent=1))
             # combined exit = worst job (reference cli.py:121-323)
             return max((r.exit_code for r in results.values()), default=0)
+
+        if args.cmd == "maintain":
+            from dativo_ingest_spark.sinks.table_commit import FsTable
+
+            table = FsTable.create(args.table_root)
+            doc: dict = {"table_root": args.table_root,
+                         "branch": args.branch}
+            if args.compact:
+                snap = table.compact(
+                    spark, target_file_size_mb=args.target_file_size_mb,
+                    branch=args.branch)
+                doc["compacted_to_version"] = (
+                    snap.version if snap is not None else None)
+            if args.vacuum_keep is not None:
+                doc["vacuum"] = table.vacuum(
+                    keep_history=args.vacuum_keep,
+                    min_age_seconds=args.vacuum_min_age_s)
+            if args.snapshots:
+                doc["snapshots"] = [
+                    r.asDict() for r in
+                    table.snapshots_df(spark, args.branch).collect()]
+            if args.files:
+                doc["files"] = [
+                    r.asDict() for r in
+                    table.files_df(spark, args.branch).collect()]
+            print(json.dumps(doc, indent=1))
+            return 0
 
         from dativo_ingest_spark import inspect_cmd
 

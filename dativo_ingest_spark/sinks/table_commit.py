@@ -677,3 +677,40 @@ class FsTable:
             )
             return spark.createDataFrame([], schema)
         return spark.read.parquet(*paths)
+
+    # -- metadata tables (Iceberg's `table.snapshots` / `table.files`) ------
+
+    def snapshots_df(self, spark: SparkSession,
+                     branch: str = "main") -> DataFrame:
+        """The branch's commit history as a DataFrame — the Iceberg
+        ``snapshots`` metadata-table analog: (version, parent, operation,
+        n_files, size_bytes, properties_json), newest first by version.
+        Driver-side over manifests only; never touches data files."""
+        rows = []
+        for v in self.history(branch):
+            s = self.snapshot(v)
+            rows.append((
+                v, s.parent, s.operation, len(s.files),
+                sum(int(f.get("size_bytes", 0)) for f in s.files),
+                json.dumps(s.properties, sort_keys=True),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version long, parent long, operation string, n_files long, "
+            "size_bytes long, properties_json string",
+        )
+
+    def files_df(self, spark: SparkSession, branch: str = "main",
+                 version: int | None = None) -> DataFrame:
+        """A snapshot's file manifest as a DataFrame — the ``files``
+        metadata-table analog: (path, size_bytes, stats_json). Feeds
+        small-file analysis (what would compaction do?) and audit queries
+        without any data-file I/O."""
+        v = self.current_version(branch) if version is None else version
+        snap = self.snapshot(v)
+        rows = [(f["path"], int(f.get("size_bytes", 0)),
+                 json.dumps(f.get("stats"), sort_keys=True)
+                 if f.get("stats") is not None else None)
+                for f in snap.files]
+        return spark.createDataFrame(
+            rows, "path string, size_bytes long, stats_json string")

@@ -225,3 +225,47 @@ def test_plan_cli_full_includes_formatted(spark):
     assert "formatted" in doc and "Physical Plan" in doc["formatted"]
     assert doc["final"] and doc["codegen_spans"] > 0
     assert "isFinalPlan=true" in doc["final_plan"]
+
+
+def test_metadata_tables_and_maintain_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    root = str(tmp_path / "tbl")
+    table = FsTable.create(root)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    # two tiny appends -> a small-file tail worth compacting
+    table.write_append(df.repartition(4))
+    table.write_append(df.repartition(4))
+
+    snaps = table.snapshots_df(spark).collect()
+    assert [r["operation"] for r in snaps][:2] == ["append", "append"]
+    # appends accumulate: head holds both batches' files, its parent one
+    # batch, the create() bootstrap none
+    assert [r["n_files"] for r in snaps[:2]] == [8, 4]
+    files = table.files_df(spark).collect()
+    assert len(files) == 8 and all(r["size_bytes"] > 0 for r in files)
+
+    rc = cli.main(["--master", "local[2]", "maintain", "--table-root", root,
+                   "--compact", "--snapshots", "--files"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    doc = _json.loads(out[out.index("{"):])
+    assert doc["compacted_to_version"] is not None
+    # post-compaction head: bin-packed to fewer files, content unchanged
+    head = table.files_df(spark).collect()
+    assert len(head) < 8
+    assert table.read(spark).count() == 200
+    assert doc["snapshots"][0]["operation"] in ("append", "replace")
+    # the CLI lists the head AFTER its compaction step: bin-packed
+    assert len(doc["files"]) == len(head) < 8
+
+    rc = cli.main(["maintain", "--table-root", root,
+                   "--vacuum-keep", "1", "--vacuum-min-age-s", "0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    vac = _json.loads(out[out.index("{"):])["vacuum"]
+    assert vac["manifests"] >= 1 and vac["data_files"] >= 1
+    assert table.read(spark).count() == 200  # live head untouched

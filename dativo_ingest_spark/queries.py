@@ -3695,7 +3695,7 @@ def duplicate_passage_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return dedup.duplicate_passages(docs, "doc_id", "text", n=8,
-                                    max_gram_df=None)
+                                    max_gram_df=None, hash_fn="md5")
 
 
 @register(

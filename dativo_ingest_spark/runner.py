@@ -503,6 +503,56 @@ def run_job(
                 properties=props,
             )
             shutil.rmtree(stage, ignore_errors=True)
+        elif write_mode == "rollup":
+            # Incremental aggregate maintenance as a TARGET MODE: the
+            # table holds compact rollup state (one row per key), each
+            # ingested batch folds in via operators/rollup.py and the new
+            # state commits as one atomic overwrite snapshot — a
+            # materialized view maintained by the ingestion job itself,
+            # per-run cost one batch shuffle + key-count-bounded merge,
+            # never a history rescan. Query it with rollup.finalize.
+            from dativo_ingest_spark.operators import rollup as rollup_mod
+
+            rconf = dict(job.target.options.get("rollup") or {})
+            rkeys = list(rconf.get("keys") or [])
+            rmeasures = {
+                str(name): (str(spec[0]), str(spec[1]))
+                for name, spec in dict(rconf.get("measures") or {}).items()
+            }
+            if not rkeys or not rmeasures:
+                raise ConfigError(
+                    "target.options.mode=rollup needs rollup.keys and "
+                    "rollup.measures ({name: [op, column]})")
+            head = table.snapshot(table.current_version(branch))
+            batch = spark.read.parquet(stage)
+            # The >= cursor predicate re-reads the boundary row by design
+            # (reference semantics) and retries can replay whole batches —
+            # both would double-fold an additive state. The state commit
+            # therefore carries its own FOLDED watermark in snapshot
+            # properties (atomic with the fold, like the streaming epoch
+            # markers): rows at or below it are already in the state and
+            # are dropped before folding.
+            rprops = dict(props)
+            cursor_field = job.source.incremental.cursor_field \
+                if job.source.incremental.enabled else None
+            if cursor_field and cursor_field in batch.columns:
+                wm_key = f"rollup.cursor.{cursor_field}"
+                prev = head.properties.get(wm_key)
+                if prev is not None:
+                    bound = F.lit(prev).cast(
+                        batch.schema[cursor_field].dataType)
+                    batch = batch.filter(F.col(cursor_field) > bound)
+                new_max = batch.agg(
+                    F.max(cursor_field).alias("m")).first()["m"]
+                if new_max is not None:
+                    rprops[wm_key] = str(new_max)
+                elif prev is not None:
+                    rprops[wm_key] = prev   # empty delta keeps watermark
+            base = table.read(spark, branch=branch) if head.files else None
+            state = rollup_mod.maintain_rollup(base, batch, rkeys, rmeasures)
+            table.write_append(state, branch=branch, operation="overwrite",
+                               properties=rprops)
+            shutil.rmtree(stage, ignore_errors=True)
         else:
             table.add_files(
                 # partition-column min/max land in the manifest so reads

@@ -74,6 +74,25 @@ class TestDuplicatePassages:
                                      max_gram_df=None))
         assert set(out) == {2}
 
+    def test_hash_paths_agree(self, spark):
+        # the production xxhash64 path and the oracle-portable md5 path
+        # must produce identical per-doc counts (hash only keys the
+        # shuffle; any disagreement would mean a collision or a plumbing
+        # difference)
+        df = spark.createDataFrame(
+            [(i, f"shared passage words here unique{i} tail{i}")
+             for i in range(4)], ["doc_id", "text"])
+        kw = dict(n=3, max_gram_df=None)
+        fast = _rows(dedup.duplicate_passages(
+            df, "doc_id", "text", hash_fn="xxhash64", **kw))
+        portable = _rows(dedup.duplicate_passages(
+            df, "doc_id", "text", hash_fn="md5", **kw))
+        assert fast == portable
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            dedup.duplicate_passages(df, "doc_id", "text",
+                                     hash_fn="sha9000")
+
     def test_hot_gram_cut_drops_boilerplate(self, spark):
         # the license-header gram appears in 3 docs; with max_gram_df=2 the
         # df-cut removes it BEFORE the distinct-doc test, so nothing is

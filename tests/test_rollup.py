@@ -158,3 +158,91 @@ class TestStreamingRollup:
             checkpoint_dir=str(tmp_path / "ckpt"))
         got = finalize(table.read(spark), KEYS, MEASURES)
         assert _rows(got) == _rows(_single_shot(df))
+
+
+class TestRollupTargetMode:
+    """target.options.mode=rollup: the ingestion job itself maintains a
+    materialized aggregate across incremental runs."""
+
+    def _cfg(self, src, root, incremental=None):
+        from tests.test_runner import job_dict
+
+        cfg = job_dict(src, root, incremental=incremental)
+        cfg["source"]["type"] = "parquet"
+        cfg["asset"]["schema"] = [
+            {"name": "k", "type": "string", "required": True},
+            {"name": "v", "type": "float"},
+            {"name": "cursor", "type": "integer"},
+        ]
+        cfg["target"]["options"] = {
+            "mode": "rollup", "commit": "table",
+            "rollup": {
+                "keys": ["k"],
+                "measures": {"n": ["count", "v"], "total": ["sum", "v"],
+                             "hi": ["max", "v"]},
+            },
+        }
+        return cfg
+
+    def test_incremental_runs_fold_into_state(self, spark, tmp_path):
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import JobConfig
+        from dativo_ingest_spark.operators import rollup
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        df = _frame(spark).withColumn("cursor", F.col("id"))
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "tbl")
+        state = str(tmp_path / "state")
+        inc = {"enabled": True, "cursor_field": "cursor"}
+        measures = {"n": ("count", "v"), "total": ("sum", "v"),
+                    "hi": ("max", "v")}
+
+        df.filter(F.col("id") < 30).write.mode("overwrite").parquet(src)
+        cfg = self._cfg(src, root, incremental=inc)
+        r1 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r1.exit_code == runner.EXIT_SUCCESS
+
+        # second run: only NEW rows (cursor > state) fold in
+        df.write.mode("overwrite").parquet(src)
+        r2 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r2.exit_code == runner.EXIT_SUCCESS
+
+        # branch defaults to tenant_id (the reference's Nessie rule)
+        got = rollup.finalize(
+            FsTable(root).read(spark, branch="acme"), ["k"],
+            measures).select(
+                "k", "n", "total", "hi")
+        exp = df.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total"),
+            F.max("v").alias("hi"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect()))
+
+        # full replay of an already-folded source (>= re-reads, retries):
+        # every row sits at or below the folded watermark -> state unchanged
+        r3 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r3.exit_code == runner.EXIT_SUCCESS
+        again = rollup.finalize(
+            FsTable(root).read(spark, branch="acme"), ["k"],
+            measures).select("k", "n", "total", "hi")
+        assert sorted(map(tuple, again.collect())) == \
+            sorted(map(tuple, exp.collect()))
+
+    def test_missing_rollup_config_is_config_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import (ConfigError,
+                                                          JobConfig)
+
+        src = str(tmp_path / "src")
+        _frame(spark).withColumn(
+            "cursor", F.col("id")).write.parquet(src)
+        cfg = self._cfg(src, str(tmp_path / "tbl"))
+        del cfg["target"]["options"]["rollup"]
+        with _pytest.raises(ConfigError):
+            runner.run_job(spark, JobConfig.from_dict(cfg))

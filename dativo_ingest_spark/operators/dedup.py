@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import hashing, text
 from dativo_ingest_spark.operators.util import widen as _widen
@@ -613,3 +614,48 @@ def duplicate_passages(
             ).alias("dup_ratio"),
         )
     )
+
+
+def dedup_against_index(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table,
+    branch: str = "main",
+    commit: bool = True,
+):
+    """Dedup-on-ingest: drop batch rows whose content the corpus has
+    already seen, then record the batch's new fingerprints.
+
+    The historical corpus is represented ONLY by its fingerprint index (a
+    snapshot-commit table of ``fingerprint`` strings), never rescanned:
+    per batch the cost is one fingerprint scan of the batch, one
+    within-batch exact dedup (first occurrence survives, by min id), and
+    one anti-join against the index — at 100 TB of history the index is
+    the compact thing that shuffles, not the corpus. With ``commit=True``
+    the surviving fingerprints append to the index atomically, so a crash
+    between filter and commit re-admits (never loses) rows — re-ingesting
+    the same batch then drops them, which is the idempotent direction.
+
+    Returns (kept_df, n_batch_dups, n_index_dups). ``kept_df`` preserves
+    the batch's full schema.
+    """
+    fp = with_fingerprint(_widen(batch), text_col)
+    first = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
+    ranked = fp.withColumn("_rk", F.row_number().over(first))
+    batch_survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
+    n_total = batch.count()
+    head = index_table.snapshot(index_table.current_version(branch))
+    if head.files:
+        index = index_table.read(spark, branch=branch).select("fingerprint")
+        kept = batch_survivors.join(index, "fingerprint", "left_anti")
+    else:
+        kept = batch_survivors
+    n_kept = kept.count()
+    n_batch_dups = n_total - batch_survivors.count()
+    n_index_dups = n_total - n_batch_dups - n_kept
+    if commit and n_kept:
+        index_table.write_append(
+            kept.select("fingerprint"), branch=branch)
+    return kept.drop("fingerprint"), n_batch_dups, n_index_dups

@@ -124,3 +124,61 @@ class TestApproxDistinctCheck:
         assert all(r["approx_ok"] for r in out)
         # the sketch estimate never leaks into the output schema
         assert sorted(by["a"].asDict()) == ["approx_ok", "exact", "group"]
+
+
+class TestDedupAgainstIndex:
+    """dedup-on-ingest: batch rows drop against a persistent fingerprint
+    index; surviving fingerprints append atomically."""
+
+    def _table(self, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        return FsTable.create(str(tmp_path / "fp_index"))
+
+    def test_three_batches_dedupe_like_one_corpus(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+            ["doc_id", "text"])
+        kept1, batch_dups1, index_dups1 = dedup.dedup_against_index(
+            spark, b1, "doc_id", "text", table)
+        assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+        assert (batch_dups1, index_dups1) == (1, 0)
+
+        b2 = spark.createDataFrame(
+            [(4, "alpha text"), (5, "gamma text")], ["doc_id", "text"])
+        kept2, batch_dups2, index_dups2 = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table)
+        assert [r["doc_id"] for r in kept2.collect()] == [5]
+        assert (batch_dups2, index_dups2) == (0, 1)
+
+        # replay of batch 2 (crash-retry direction): BOTH rows now sit in
+        # the index (alpha from batch 1, gamma from batch 2) and drop
+        kept3, _, index_dups3 = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table)
+        assert kept3.count() == 0 and index_dups3 == 2
+
+    def test_batch_schema_preserved_and_commit_off(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        b = spark.createDataFrame(
+            [(1, "x y", "en")], ["doc_id", "text", "lang"])
+        kept, _, _ = dedup.dedup_against_index(
+            spark, b, "doc_id", "text", table, commit=False)
+        assert set(kept.columns) == {"doc_id", "text", "lang"}
+        # commit=False: the index stays empty, a second pass keeps the row
+        kept2, _, index_dups = dedup.dedup_against_index(
+            spark, b, "doc_id", "text", table, commit=False)
+        assert kept2.count() == 1 and index_dups == 0
+
+    def test_normalized_content_matches(self, spark, tmp_path):
+        # fingerprint is over normalized text: whitespace/case variants of
+        # already-seen content drop
+        table = self._table(tmp_path)
+        b1 = spark.createDataFrame([(1, "Hello   World")],
+                                   ["doc_id", "text"])
+        dedup.dedup_against_index(spark, b1, "doc_id", "text", table)
+        b2 = spark.createDataFrame([(2, "hello world")],
+                                   ["doc_id", "text"])
+        kept, _, index_dups = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table)
+        assert kept.count() == 0 and index_dups == 1

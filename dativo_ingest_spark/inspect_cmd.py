@@ -44,6 +44,17 @@ def check_source(spark: SparkSession, src: SourceConfig,
             df = spark.read.parquet(src.path)
             return {"ok": True, "source_type": "parquet",
                     "details": {"columns": df.columns}}
+        if src.type == "jsonl":
+            from dativo_ingest_spark.sources import jsonl_source
+
+            files = [p for p, _ in csv_source.list_csv_files(src.path)]
+            if not files:
+                return {"ok": False, "source_type": "jsonl",
+                        "error": f"no files match {src.path}"}
+            cols = jsonl_source.read_jsonl(
+                spark, files[0], options=src.options).columns
+            return {"ok": True, "source_type": "jsonl",
+                    "details": {"files": len(files), "columns": cols}}
         if src.type == "markdown_kv":
             files = mdkv_source.list_markdown_files(src.path)
             return {"ok": bool(files), "source_type": "markdown_kv",
@@ -100,6 +111,15 @@ def discover(spark: SparkSession, src: SourceConfig,
             "path": p,
             "columns": spark.read.parquet(p).columns,
         } for p in sorted(_glob.glob(src.path))]
+    if src.type == "jsonl":
+        from dativo_ingest_spark.sources import jsonl_source
+
+        return [{
+            "stream": os.path.splitext(os.path.basename(p))[0],
+            "path": p, "modified_at": m,
+            "columns": jsonl_source.read_jsonl(
+                spark, p, options=src.options).columns,
+        } for p, m in csv_source.list_csv_files(src.path)]
     if src.type == "markdown_kv":
         return [{
             "stream": os.path.splitext(os.path.basename(p))[0],

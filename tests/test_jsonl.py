@@ -106,3 +106,19 @@ def test_runner_mtime_skip_second_run(spark, jsonl_file, tmp_path):
     os.utime(jsonl_file)               # touch -> re-ingested
     r3 = runner.run_job(spark, JobConfig.from_dict(cfg), state_root=state)
     assert not r3.skipped and r3.records_in == 3
+
+
+def test_check_and_discover_jsonl(spark, jsonl_file):
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    src = SourceConfig.from_dict({"type": "jsonl", "path": jsonl_file})
+    doc = inspect_cmd.check_source(spark, src)
+    assert doc["ok"] and doc["details"]["files"] == 1
+    assert set(doc["details"]["columns"]) == {"id", "name", "active"}
+    streams = inspect_cmd.discover(spark, src)
+    assert len(streams) == 1 and streams[0]["stream"] == "people"
+
+    missing = SourceConfig.from_dict(
+        {"type": "jsonl", "path": "/nope/*.jsonl"})
+    assert not inspect_cmd.check_source(spark, missing)["ok"]

@@ -120,3 +120,54 @@ class TestMerge:
         merged = scd.scd2_merge(dim, rest, ["id"], "ts", ["color"],
                                 tiebreaker="seq")
         assert _hist(merged) == _hist(rebuilt)
+
+
+# --- property: operator == pure-python reference model on random logs ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_changelog = st.lists(
+    st.tuples(st.integers(1, 3),            # entity id
+              st.integers(0, 20),           # ts (ties likely)
+              st.sampled_from("rgb")),      # tracked attribute
+    min_size=1, max_size=12,
+).map(lambda rows: [(i, t, seq, c)
+                    for seq, (i, t, c) in enumerate(rows)])
+
+
+def _model(rows):
+    """Reference SCD2: order by (ts, seq) per id, collapse, close, rank."""
+    out = []
+    by_id: dict = {}
+    for i, t, seq, c in rows:
+        by_id.setdefault(i, []).append((t, seq, c))
+    for i, changes in by_id.items():
+        changes.sort()
+        versions = [ch for k, ch in enumerate(changes)
+                    if k == 0 or ch[2] != changes[k - 1][2]]
+        for k, (t, seq, c) in enumerate(versions):
+            nxt = versions[k + 1][0] if k + 1 < len(versions) else None
+            out.append((i, c, t, nxt, nxt is None, k + 1))
+    return sorted(out, key=lambda r: (r[0], r[5]))  # (id, version_n)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_changelog, split=st.integers(0, 20))
+def test_random_changelogs_match_model_and_merge(spark, rows, split):
+    df = spark.createDataFrame(rows, COLS)
+    full = scd.scd2_from_changelog(df, ["id"], "ts", ["color"],
+                                   tiebreaker="seq")
+    assert _hist(full) == _model(rows)
+    # merge invariant: fold the log in two arbitrary halves == one shot
+    first = [r for r in rows if r[1] <= split]
+    rest = [r for r in rows if r[1] > split]
+    if first and rest:
+        dim = scd.scd2_from_changelog(
+            spark.createDataFrame(first, COLS), ["id"], "ts", ["color"],
+            tiebreaker="seq")
+        merged = scd.scd2_merge(
+            dim, spark.createDataFrame(rest, COLS), ["id"], "ts",
+            ["color"], tiebreaker="seq")
+        assert _hist(merged) == _model(rows)

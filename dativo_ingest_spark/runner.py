@@ -641,7 +641,13 @@ def _publish_staging(stage: str, out_path: str, mode: str) -> None:
     land: a crash mid-publish can briefly expose old+new together (a
     duplicate window), never an empty or new-only-partial table. True
     atomic overwrite is the snapshot sink (``target.options.commit:
-    "table"``), where visibility flips on one manifest rename."""
+    "table"``), where visibility flips on one manifest rename.
+
+    ``overwrite_partitions`` is DYNAMIC partition overwrite (Spark's
+    ``partitionOverwriteMode=dynamic`` semantics on the staged-publish
+    path): only the hive partitions PRESENT IN THIS BATCH are replaced —
+    the backfill/reprocess-one-day primitive — all other partitions stay
+    untouched. Same tombstone-after-land ordering per replaced partition."""
     old_files: list[str] = []
     if mode == "overwrite":
         for root, _dirs, files in os.walk(out_path):
@@ -649,6 +655,17 @@ def _publish_staging(stage: str, out_path: str, mode: str) -> None:
             if rel.split(os.sep)[0] == "_staging":
                 continue
             old_files.extend(os.path.join(root, f) for f in files)
+    elif mode == "overwrite_partitions":
+        staged_parts = set()
+        for root, _dirs, files in os.walk(stage):
+            if any(not f.startswith(("_", ".")) for f in files):
+                staged_parts.add(os.path.relpath(root, stage))
+        for rel in staged_parts:
+            tgt = out_path if rel == "." else os.path.join(out_path, rel)
+            if os.path.isdir(tgt):
+                old_files.extend(
+                    os.path.join(tgt, f) for f in os.listdir(tgt)
+                    if os.path.isfile(os.path.join(tgt, f)))
     for root, _dirs, files in os.walk(stage):
         for fname in files:
             if fname.startswith(("_", ".")):

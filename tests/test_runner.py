@@ -652,3 +652,25 @@ def test_iceberg_snapshot_property_read_and_merge_guard(spark):
                 merge_keys=["id"], snapshot_properties={"k": "1"})
     finally:
         spark.conf.unset("spark.sql.catalog.c10")
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """mode=overwrite_partitions replaces exactly the partitions present
+    in the batch; untouched partitions survive."""
+    out = str(tmp_path / "out")
+
+    def run(rows):
+        src = tmp_path / f"src_{len(list(tmp_path.iterdir()))}.csv"
+        src.write_text("id,name,active\n" +
+                       "\n".join(f"{i},{n},true" for i, n in rows) + "\n")
+        cfg = job_dict(str(src), out, partition_by=["name"])
+        cfg["target"]["options"]["mode"] = "overwrite_partitions"
+        return runner.run_job(spark, JobConfig.from_dict(cfg))
+
+    assert run([(1, "alice"), (2, "bob")]).exit_code == 0
+    # second batch touches ONLY alice: bob's partition must survive,
+    # alice's must be replaced (not appended)
+    assert run([(10, "alice")]).exit_code == 0
+    back = spark.read.parquet(out)
+    got = sorted((r["id"], r["_p_name"]) for r in back.collect())
+    assert got == [(2, "bob"), (10, "alice")]

@@ -593,7 +593,17 @@ def duplicate_passages(
         "id", F.explode(text.word_ngrams(F.col("_words"), n)).alias("g")
     ).select("id", hasher(F.col("g")).alias("gram"))
     if max_gram_df is not None:
-        grams = drop_hot_grams(grams, max_gram_df)
+        # positioned grams repeat within a doc, so the df-cut must count
+        # DISTINCT docs per gram (drop_hot_grams counts rows — correct for
+        # gram_sets' distinct grams, wrong here: one log-spam doc
+        # repeating a gram 1000x must not blind the cross-doc test to it)
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     dup = (
         grams.groupBy("gram")
         .agg(F.count_distinct("id").alias("nd"))
@@ -639,23 +649,38 @@ def dedup_against_index(
     the same batch then drops them, which is the idempotent direction.
 
     Returns (kept_df, n_batch_dups, n_index_dups). ``kept_df`` preserves
-    the batch's full schema.
+    the batch's full schema and is returned PERSISTED (the caller's write
+    is one more action over it; unpersist when done) — the fingerprint
+    scan materializes once, so the counters, the committed fingerprints
+    and the returned rows all come from the same snapshot of the input
+    even when the batch reads a live directory. A non-``main`` branch is
+    bootstrapped on first use.
     """
     fp = with_fingerprint(_widen(batch), text_col)
     first = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
     ranked = fp.withColumn("_rk", F.row_number().over(first))
+    # persist the fingerprinted frame: the counters, the anti-join and the
+    # index append all derive from THIS materialization, so the
+    # fingerprint scan runs once and the numbers can't diverge from what
+    # was committed even if the batch source is a live directory
+    ranked = ranked.persist()
     batch_survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
-    n_total = batch.count()
+    n_total = ranked.count()
+    if branch != "main" and index_table.current_version(branch) is None:
+        index_table.create_branch(branch)
     head = index_table.snapshot(index_table.current_version(branch))
     if head.files:
         index = index_table.read(spark, branch=branch).select("fingerprint")
         kept = batch_survivors.join(index, "fingerprint", "left_anti")
     else:
         kept = batch_survivors
+    # the returned frame stays persisted (the caller's write is another
+    # action over it); callers unpersist when done
+    kept = kept.persist()
     n_kept = kept.count()
     n_batch_dups = n_total - batch_survivors.count()
     n_index_dups = n_total - n_batch_dups - n_kept
     if commit and n_kept:
-        index_table.write_append(
-            kept.select("fingerprint"), branch=branch)
+        index_table.write_append(kept.select("fingerprint"), branch=branch)
+    ranked.unpersist()
     return kept.drop("fingerprint"), n_batch_dups, n_index_dups

@@ -83,6 +83,7 @@ def scd2_merge(
     ts_col: str,
     tracked: Sequence[str],
     tiebreaker: str | None = None,
+    collapse_unchanged: bool = True,
 ) -> DataFrame:
     """Fold an update batch into an existing SCD2 frame.
 
@@ -91,7 +92,19 @@ def scd2_merge(
     passes through unchanged (anti-join); affected keys rebuild from
     their existing versions + the batch, so out-of-order and
     intra-batch-duplicate updates land correctly rather than corrupting
-    open intervals.
+    open intervals. Pass the SAME ``collapse_unchanged`` the dim was
+    constructed with — the rebuild re-applies it.
+
+    Exactness contract: with ``collapse_unchanged=False`` (lossless
+    history — every raw event is a version) the merge equals a full
+    rebuild from the complete raw log for ANY batch split. With collapsed
+    history, an update landing strictly INSIDE a closed collapsed run
+    takes effect until the next *recorded* transition: the collapse
+    discarded any unrecorded re-assertions of the run's value, so a
+    raw-log rebuild that had e.g. red@10, red@20 collapsed to red[10,30)
+    cannot resurrect the red@20 re-assertion after a green@15 lands —
+    the merged history reads green[15,30). Late-arriving data older than
+    the retained history needs the lossless mode (or a raw-log rebuild).
 
     The distinct-key frame of a dimension batch is small by nature
     (churn, not table size), hence the broadcast hint on both probes; a
@@ -111,5 +124,6 @@ def scd2_merge(
     rebuilt = scd2_from_changelog(
         affected_hist.unionByName(updates.select(*cols)),
         keys, ts_col, tracked, tiebreaker=tiebreaker,
+        collapse_unchanged=collapse_unchanged,
     )
     return untouched.unionByName(rebuilt)

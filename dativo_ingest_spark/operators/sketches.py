@@ -70,13 +70,18 @@ def approx_quantile_rank_check(
     back — two shuffles total, both on the group key; state per group is
     O(1/eps), so the exchange moves KB per group at any corpus size.
     """
+    # percentile_approx ignores nulls, so the rank fraction must count
+    # only non-null values too — otherwise a group with nulls spuriously
+    # fails the contract even when the sketch met its guarantee
+    vals = df.select(
+        F.col(group_col).alias("group"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
     qv = (
-        df.groupBy(F.col(group_col).alias("group"))
-        .agg(F.percentile_approx(F.col(value_col), q, accuracy).alias("_qv"))
+        vals.groupBy("group")
+        .agg(F.percentile_approx(F.col("_v"), q, accuracy).alias("_qv"))
     )
     return (
-        df.select(F.col(group_col).alias("group"), F.col(value_col).alias("_v"))
-        .join(F.broadcast(qv), "group")
+        vals.join(F.broadcast(qv), "group")
         .groupBy("group")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -3343,10 +3343,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H q15 analog (top supplier by quarterly revenue): a reused "
         "subplan — the per-supplier revenue aggregate feeds BOTH the probe "
-        "side and the scalar-max subquery.  Spark caches the aggregate "
-        "frame so the scan+shuffle runs once; the max arrives as a "
-        "1-row broadcast, the supplier dim broadcasts, and exact cent "
-        "revenue makes the WHERE rev = max(rev) tie-handling deterministic.",
+        "side and the scalar-max subquery.  Expressed as a global-max "
+        "window over the aggregate frame: the lineitem scan+shuffle runs "
+        "once, the single-partition window is over SUPPLIER-cardinality "
+        "rows only (dim-sized at any corpus scale), nothing is cached "
+        "(no storage leaked into long-lived sessions), and exact cent "
+        "revenue makes the rev = max(rev) tie-handling deterministic.",
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -3360,11 +3362,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
         .groupBy("l_suppkey")
         .agg(F.sum(rev_c).alias("rev_c"))
-        .cache()  # reused by probe + max subquery: one scan, one shuffle
     )
-    top = rev.agg(F.max("rev_c").alias("max_rev"))
     return (
-        rev.join(F.broadcast(top), F.col("rev_c") == F.col("max_rev"))
+        rev.withColumn("_max_rev",
+                       F.max("rev_c").over(Window.partitionBy()))
+        .filter(F.col("rev_c") == F.col("_max_rev"))
         .join(F.broadcast(supp.select("s_suppkey", "s_name")),
               F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name",

@@ -262,6 +262,31 @@ def run_job(
     validator.py:88-241): in ``cloud`` mode database connectors are
     rejected before extraction."""
     registry.gate_job(job, mode)
+    # Fail-at-startup for mode/commit combinations that would otherwise
+    # silently degrade to a plain append (exit 2 before any data moves):
+    # rollup folds only exist on the snapshot-commit path, and its
+    # anti-double-count watermark needs a cursor to key on; dynamic
+    # partition overwrite is a hive-publish operation.
+    _wm = str(job.target.options.get("mode", "append"))
+    _cm = str(job.target.options.get("commit", "hive"))
+    if _wm == "rollup":
+        if _cm != "table":
+            raise ConfigError(
+                "target.options.mode=rollup requires commit: table "
+                "(the snapshot-commit sink holds the rollup state)")
+        if not (job.source.incremental.enabled
+                and job.source.incremental.cursor_field):
+            raise ConfigError(
+                "target.options.mode=rollup requires a cursor-field "
+                "incremental source: the folded watermark that makes "
+                "replays and >= boundary re-reads idempotent is keyed on "
+                "the cursor (file-mtime re-extraction would double-fold "
+                "additive state)")
+    if _wm == "overwrite_partitions" and _cm != "hive":
+        raise ConfigError(
+            "target.options.mode=overwrite_partitions is a hive-publish "
+            "operation; the snapshot sinks express it as an overwrite "
+            "commit instead")
     t0 = time.perf_counter()
     # Warn-only preflight: endpoint reachability surfaces in logs/result,
     # never in the exit code (reference cli.py:236-244 catches-and-logs).

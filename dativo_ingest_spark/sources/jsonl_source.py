@@ -48,6 +48,16 @@ def read_jsonl(
     if isinstance(paths, str):
         paths = [paths]
     df = spark.read.options(**opts).json(paths)
+    # Malformed lines: PERMISSIVE mode admits them as all-null rows and
+    # grows a corrupt-record column. Unless the caller asked for that
+    # column explicitly, drop it so it never leaks into the target as a
+    # data column — the all-null row remains, which strict mode rejects
+    # via required-field checks (exit 2) and warn mode flags, the same
+    # failure shape as an unparseable CSV row. Pass mode=FAILFAST in
+    # options to hard-fail the read instead.
+    corrupt_col = opts.get("columnNameOfCorruptRecord", "_corrupt_record")
+    if "columnNameOfCorruptRecord" not in opts and corrupt_col in df.columns:
+        df = df.drop(corrupt_col)
     for name, dtype in df.dtypes:
         if not dtype.startswith("string"):
             # nested object/array → its JSON text (string degradation rule)

@@ -621,6 +621,8 @@ def rollup_epoch_writer(table, keys, measures, branch: str = "main",
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"stream.epoch.{qid()}"
+        if branch != "main" and table.current_version(branch) is None:
+            table.create_branch(branch)   # bootstrap on first epoch
         head = table.snapshot(table.current_version(branch))
         last = head.properties.get(key)
         if last is not None and int(last) >= epoch_id:

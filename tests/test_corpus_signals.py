@@ -182,3 +182,26 @@ class TestDedupAgainstIndex:
         kept, _, index_dups = dedup.dedup_against_index(
             spark, b2, "doc_id", "text", table)
         assert kept.count() == 0 and index_dups == 1
+
+
+def test_quantile_rank_check_ignores_nulls(spark):
+    from dativo_ingest_spark.operators import sketches
+
+    rows = [("a", float(v)) for v in range(800)] + [("a", None)] * 200
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sketches.approx_quantile_rank_check(df, "g", "v").collect()
+    assert len(out) == 1
+    # nulls excluded from both the sketch AND the rank denominator
+    assert out[0]["n"] == 800 and out[0]["rank_ok"]
+
+
+def test_duplicate_passages_spam_doc_does_not_blind_cut(spark):
+    # one doc repeating a trigram 5x (row count > max_gram_df) while only
+    # 2 DISTINCT docs carry it: the df-cut counts docs, so the cross-doc
+    # signal survives
+    spam = " ".join(["spam gram here"] * 5)
+    df = spark.createDataFrame(
+        [(1, spam), (2, "spam gram here tail")], ["doc_id", "text"])
+    out = _rows(dedup.duplicate_passages(df, "doc_id", "text", n=3,
+                                         max_gram_df=3))
+    assert out[2]["n_dup"] >= 1

@@ -122,3 +122,21 @@ def test_check_and_discover_jsonl(spark, jsonl_file):
     missing = SourceConfig.from_dict(
         {"type": "jsonl", "path": "/nope/*.jsonl"})
     assert not inspect_cmd.check_source(spark, missing)["ok"]
+
+
+def test_malformed_line_never_leaks_corrupt_column(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{"id": 2, "name":\n')
+    df = jsonl_source.read_jsonl(spark, str(p))
+    assert "_corrupt_record" not in df.columns
+    rows = sorted(df.collect(), key=lambda r: (r["id"] is None, r["id"]))
+    # the malformed line survives as an all-null row (strict mode's
+    # required-field check rejects it; warn mode flags it) — the CSV
+    # failure shape, not a schema mutation
+    assert rows[0].asDict() == {"id": "1", "name": "ok"}
+    assert all(v is None for v in rows[1].asDict().values())
+
+    cfg = job_dict(str(p), str(tmp_path / "out"))
+    cfg["source"]["type"] = "jsonl"
+    res = runner.run_job(spark, JobConfig.from_dict(cfg))
+    assert res.exit_code == runner.EXIT_FAILURE  # strict: exit 2

@@ -298,14 +298,15 @@ def test_q9_zero_preagg_shuffles(spark):
     assert n_exchanges(plan) == 1
 
 
-def test_q15_reuses_cached_revenue_subplan(spark):
-    # the per-supplier aggregate feeds probe AND max subquery via cache:
-    # both sides must show InMemoryTableScan instead of recomputing the
-    # lineitem scan + shuffle twice
+def test_q15_single_lineitem_scan(spark):
+    # the per-supplier aggregate feeds probe AND max via one global-max
+    # window over the supplier-cardinality frame: ONE lineitem scan, no
+    # cache (nothing leaks into long-lived sessions), supplier broadcast
     plan = plan_of(spark, "q15_top_supplier")
-    assert plan.count("InMemoryTableScan") >= 2
-    # every join is a broadcast over the cached frame — no extra shuffle
+    assert len(re.findall(r"FileScan parquet .*lineitem", plan)) == 1
+    assert "InMemoryTableScan" not in plan
     assert "SortMergeJoin" not in plan
+    assert "Window" in plan
 
 
 def test_q17_threshold_join_broadcasts(spark):

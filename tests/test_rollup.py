@@ -246,3 +246,24 @@ class TestRollupTargetMode:
         del cfg["target"]["options"]["rollup"]
         with _pytest.raises(ConfigError):
             runner.run_job(spark, JobConfig.from_dict(cfg))
+
+    def test_mode_commit_mismatch_is_config_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import (ConfigError,
+                                                          JobConfig)
+
+        src = str(tmp_path / "src")
+        _frame(spark).withColumn("cursor", F.col("id")).write.parquet(src)
+        # rollup without commit: table would silently append raw rows
+        cfg = self._cfg(src, str(tmp_path / "t1"),
+                        incremental={"enabled": True,
+                                     "cursor_field": "cursor"})
+        cfg["target"]["options"]["commit"] = "hive"
+        with _pytest.raises(ConfigError, match="commit: table"):
+            runner.run_job(spark, JobConfig.from_dict(cfg))
+        # rollup without a cursor would double-fold on any replay
+        cfg2 = self._cfg(src, str(tmp_path / "t2"))
+        with _pytest.raises(ConfigError, match="cursor"):
+            runner.run_job(spark, JobConfig.from_dict(cfg2))

@@ -171,3 +171,45 @@ def test_random_changelogs_match_model_and_merge(spark, rows, split):
             dim, spark.createDataFrame(rest, COLS), ["id"], "ts",
             ["color"], tiebreaker="seq")
         assert _hist(merged) == _model(rows)
+
+
+def test_collapsed_run_insertion_semantics(spark):
+    """Documented loss case: an update landing inside a CLOSED collapsed
+    run takes effect until the next recorded transition (the re-assertion
+    red@20 was discarded by collapse and cannot be resurrected)."""
+    raw = spark.createDataFrame(
+        [(1, 10, 1, "red"), (1, 20, 2, "red"), (1, 30, 3, "blue")], COLS)
+    dim = scd.scd2_from_changelog(raw, ["id"], "ts", ["color"],
+                                  tiebreaker="seq")
+    merged = scd.scd2_merge(
+        dim, spark.createDataFrame([(1, 15, 9, "green")], COLS),
+        ["id"], "ts", ["color"], tiebreaker="seq")
+    assert _hist(merged) == [
+        (1, "red", 10, 15, False, 1),
+        (1, "green", 15, 30, False, 2),   # until the next RECORDED change
+        (1, "blue", 30, None, True, 3),
+    ]
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_changelog, data=st.data())
+def test_lossless_mode_merge_equals_rebuild_any_split(spark, rows, data):
+    """collapse_unchanged=False keeps every raw event as a version, so
+    merge == full rebuild for an ARBITRARY row-subset split (including
+    batches landing inside existing history)."""
+    picks = data.draw(st.lists(st.booleans(), min_size=len(rows),
+                               max_size=len(rows)))
+    first = [r for r, p in zip(rows, picks) if p]
+    rest = [r for r, p in zip(rows, picks) if not p]
+    if not first or not rest:
+        return
+    kw = dict(tiebreaker="seq", collapse_unchanged=False)
+    rebuilt = scd.scd2_from_changelog(
+        spark.createDataFrame(rows, COLS), ["id"], "ts", ["color"], **kw)
+    dim = scd.scd2_from_changelog(
+        spark.createDataFrame(first, COLS), ["id"], "ts", ["color"], **kw)
+    merged = scd.scd2_merge(
+        dim, spark.createDataFrame(rest, COLS), ["id"], "ts", ["color"],
+        **kw)
+    assert _hist(merged) == _hist(rebuilt)

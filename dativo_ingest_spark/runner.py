@@ -282,6 +282,10 @@ def run_job(
                 "replays and >= boundary re-reads idempotent is keyed on "
                 "the cursor (file-mtime re-extraction would double-fold "
                 "additive state)")
+    if _wm == "scd2" and _cm != "table":
+        raise ConfigError(
+            "target.options.mode=scd2 requires commit: table (the "
+            "snapshot-commit sink holds the dimension history)")
     if _wm == "overwrite_partitions" and _cm != "hive":
         raise ConfigError(
             "target.options.mode=overwrite_partitions is a hive-publish "
@@ -577,6 +581,44 @@ def run_job(
             state = rollup_mod.maintain_rollup(base, batch, rkeys, rmeasures)
             table.write_append(state, branch=branch, operation="overwrite",
                                properties=rprops)
+            shutil.rmtree(stage, ignore_errors=True)
+        elif write_mode == "scd2":
+            # CDC changelog -> maintained SCD type-2 dimension: each batch
+            # folds through operators/scd.py:scd2_merge (untouched
+            # entities pass through by anti-join, affected keys rebuild
+            # from history + batch) and the new dimension commits as one
+            # atomic overwrite snapshot. Replays are idempotent by
+            # construction (merging an already-applied batch rebuilds the
+            # same history — no watermark needed), so the >= cursor
+            # re-read is harmless here, unlike rollup's additive state.
+            from dativo_ingest_spark.operators import scd as scd_mod
+
+            sconf = dict(job.target.options.get("scd2") or {})
+            skeys = list(sconf.get("keys") or [])
+            stracked = list(sconf.get("tracked") or [])
+            sts = sconf.get("ts_field")
+            if not skeys or not stracked or not sts:
+                raise ConfigError(
+                    "target.options.mode=scd2 needs scd2.keys, "
+                    "scd2.tracked and scd2.ts_field")
+            stie = sconf.get("tiebreaker")
+            scollapse = bool(sconf.get("collapse_unchanged", True))
+            batch = spark.read.parquet(stage).select(
+                *skeys, str(sts),
+                *([str(stie)] if stie and stie not in stracked else []),
+                *stracked)
+            shead = table.snapshot(table.current_version(branch))
+            if shead.files:
+                dim = table.read(spark, branch=branch)
+                new_dim = scd_mod.scd2_merge(
+                    dim, batch, skeys, str(sts), stracked,
+                    tiebreaker=stie, collapse_unchanged=scollapse)
+            else:
+                new_dim = scd_mod.scd2_from_changelog(
+                    batch, skeys, str(sts), stracked,
+                    tiebreaker=stie, collapse_unchanged=scollapse)
+            table.write_append(new_dim, branch=branch,
+                               operation="overwrite", properties=props)
             shutil.rmtree(stage, ignore_errors=True)
         else:
             table.add_files(

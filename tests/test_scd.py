@@ -213,3 +213,78 @@ def test_lossless_mode_merge_equals_rebuild_any_split(spark, rows, data):
         dim, spark.createDataFrame(rest, COLS), ["id"], "ts", ["color"],
         **kw)
     assert _hist(merged) == _hist(rebuilt)
+
+
+class TestScd2TargetMode:
+    """target.options.mode=scd2: the ingestion job maintains a type-2
+    dimension from an incremental changelog."""
+
+    def _cfg(self, src, root, incremental=None):
+        from tests.test_runner import job_dict
+
+        cfg = job_dict(src, root, incremental=incremental)
+        cfg["source"]["type"] = "parquet"
+        cfg["asset"]["schema"] = [
+            {"name": "id", "type": "integer", "required": True},
+            {"name": "ts", "type": "integer", "required": True},
+            {"name": "seq", "type": "integer", "required": True},
+            {"name": "color", "type": "string"},
+        ]
+        cfg["target"]["options"] = {
+            "mode": "scd2", "commit": "table",
+            "scd2": {"keys": ["id"], "tracked": ["color"],
+                     "ts_field": "ts", "tiebreaker": "seq"},
+        }
+        return cfg
+
+    def test_incremental_changelog_builds_history(self, spark, tmp_path):
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import JobConfig
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        rows = [(1, 10, 1, "red"), (1, 30, 2, "blue"), (2, 10, 3, "green"),
+                (1, 50, 4, "black"), (2, 40, 5, "grey")]
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "dim")
+        state = str(tmp_path / "state")
+        inc = {"enabled": True, "cursor_field": "seq"}
+
+        spark.createDataFrame([r for r in rows if r[3] != "black"
+                               and r[3] != "grey"], COLS)\
+            .write.mode("overwrite").parquet(src)
+        cfg = self._cfg(src, root, incremental=inc)
+        r1 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r1.exit_code == runner.EXIT_SUCCESS
+
+        spark.createDataFrame(rows, COLS).write.mode("overwrite")\
+            .parquet(src)
+        r2 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r2.exit_code == runner.EXIT_SUCCESS
+
+        got = _hist(FsTable(root).read(spark, branch="acme"))
+        exp = _hist(scd.scd2_from_changelog(
+            spark.createDataFrame(rows, COLS), ["id"], "ts", ["color"],
+            tiebreaker="seq"))
+        assert got == exp
+
+        # replay (same source, >= cursor re-read): history unchanged
+        r3 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r3.exit_code == runner.EXIT_SUCCESS
+        assert _hist(FsTable(root).read(spark, branch="acme")) == exp
+
+    def test_wrong_commit_mode_is_config_error(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import (ConfigError,
+                                                          JobConfig)
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(1, 10, 1, "red")], COLS).write.parquet(src)
+        cfg = self._cfg(src, str(tmp_path / "dim"))
+        cfg["target"]["options"]["commit"] = "hive"
+        with _pytest.raises(ConfigError, match="commit: table"):
+            runner.run_job(spark, JobConfig.from_dict(cfg))

@@ -665,3 +665,45 @@ def stream_rollup(
     else:  # pragma: no cover - continuous mode needs a long-lived process
         writer.start()
     return table
+
+
+def scd2_epoch_writer(table, keys, ts_col, tracked, branch: str = "main",
+                      tiebreaker: str | None = None,
+                      collapse_unchanged: bool = True,
+                      query_id: str | None = None,
+                      checkpoint_dir: str | None = None):
+    """foreachBatch callable maintaining an SCD type-2 dimension from a
+    change stream: each micro-batch merges via operators/scd.py:scd2_merge
+    and the new dimension commits as one atomic overwrite snapshot.
+
+    Unlike :func:`rollup_epoch_writer` the epoch marker is belt-and-
+    braces, not load-bearing: merging an already-applied batch rebuilds
+    identical history (scd2_merge is idempotent), so even a lost marker
+    cannot corrupt the dimension — the marker just skips redundant work
+    on replay."""
+    from dativo_ingest_spark.operators import scd
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        if branch != "main" and table.current_version(branch) is None:
+            table.create_branch(branch)
+        head = table.snapshot(table.current_version(branch))
+        last = head.properties.get(key)
+        if last is not None and int(last) >= epoch_id:
+            return
+        if head.files:
+            dim = table.read(batch_df.sparkSession, branch=branch)
+            new_dim = scd.scd2_merge(
+                dim, batch_df, keys, ts_col, tracked,
+                tiebreaker=tiebreaker,
+                collapse_unchanged=collapse_unchanged)
+        else:
+            new_dim = scd.scd2_from_changelog(
+                batch_df, keys, ts_col, tracked, tiebreaker=tiebreaker,
+                collapse_unchanged=collapse_unchanged)
+        table.write_append(new_dim, branch=branch, operation="overwrite",
+                           properties={key: str(epoch_id)})
+
+    return write_batch

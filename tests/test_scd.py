@@ -288,3 +288,25 @@ class TestScd2TargetMode:
         cfg["target"]["options"]["commit"] = "hive"
         with _pytest.raises(ConfigError, match="commit: table"):
             runner.run_job(spark, JobConfig.from_dict(cfg))
+
+
+class TestStreamingScd2:
+    def test_epoch_merges_match_single_shot(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import scd2_epoch_writer
+
+        rows = [(1, 10, 1, "red"), (2, 10, 2, "green"), (1, 30, 3, "blue"),
+                (2, 40, 4, "grey"), (1, 50, 5, "black")]
+        table = FsTable.create(str(tmp_path / "dim"))
+        write = scd2_epoch_writer(table, ["id"], "ts", ["color"],
+                                  tiebreaker="seq", query_id="q-scd")
+        for i in range(3):
+            batch = [r for r in rows if (r[2] - 1) % 3 == i]
+            write(spark.createDataFrame(batch, COLS), epoch_id=i)
+        # replayed epoch: no-op (marker) and harmless regardless
+        write(spark.createDataFrame([rows[0]], COLS), epoch_id=0)
+        got = _hist(table.read(spark))
+        exp = _hist(scd.scd2_from_changelog(
+            spark.createDataFrame(rows, COLS), ["id"], "ts", ["color"],
+            tiebreaker="seq"))
+        assert got == exp

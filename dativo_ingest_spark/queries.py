@@ -3855,9 +3855,16 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q13_customer_distribution, q18_large_orders, q19_disjunctive_revenue,
 # range_join_error_purchase) and demotes six proven siblings — see the
 # r6-late block at the list tail for the per-family rationale.
-# After this rotation the non-demoted set is EXACTLY 50 and every
-# registered query has been driver-proven in at least one round once
-# CORRECTNESS_r06 lands (69 prior + the 11 new this round).
+# Late-round-6 batch 2 adds FOURTEEN more (the eight remaining TPC-H
+# analogs q8/q9/q15/q16/q17/q20/q21/q22, unigram_logprob_quality,
+# duplicate_passage_ngrams, approx_distinct_users,
+# approx_median_rank_check, window_time_range_frame,
+# scd2_user_event_history) with fourteen matching demotions — see the
+# per-addition rationale blocks at the list tail.
+# After these rotations the registry holds 100 queries, the non-demoted
+# set is EXACTLY 50 (asserted below), and every registered query will
+# have been driver-proven in at least one round once CORRECTNESS_r06
+# lands (69 prior + the 31 new this round).
 # The r1-r3-era demotions below (first 15) all hold green rows from the r5
 # window inversion.
 # Every demoted query still runs, value-checked against DuckDB, in the local
@@ -3986,4 +3993,12 @@ _GATE_DEMOTED = [
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)
+
+# the registration-order footgun, made loud: a new @register without a
+# matching demotion pushes the newest query silently outside the proof
+# window (this is exactly what happened to the four r5 additions)
+assert len(QUERIES) - len(_GATE_DEMOTED) <= 50, (
+    f"{len(QUERIES) - len(_GATE_DEMOTED)} non-demoted queries exceed the "
+    "50-row driver proof window: demote a proven sibling per addition "
+    "(see the rotation notes above)")
 del _name

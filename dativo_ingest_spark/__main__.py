@@ -94,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
                          help="print the branch's commit history")
     maint_p.add_argument("--files", action="store_true",
                          help="print the head snapshot's file manifest")
+    maint_p.add_argument("--zorder",
+                         help="rewrite clustered on a Z-curve: "
+                              "'col=lo:hi,col2=lo:hi' (per-file ranges "
+                              "land in the manifest for pruned reads)")
+    maint_p.add_argument("--zorder-files", type=int, default=8)
 
     for name in ("check", "discover"):
         p = sub.add_parser(name)
@@ -142,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
                     spark, target_file_size_mb=args.target_file_size_mb,
                     branch=args.branch)
                 doc["compacted_to_version"] = (
+                    snap.version if snap is not None else None)
+            if args.zorder:
+                cols = {}
+                for spec in args.zorder.split(","):
+                    name, _, rng = spec.partition("=")
+                    lo, _, hi = rng.partition(":")
+                    cols[name.strip()] = (float(lo), float(hi))
+                snap = table.rewrite_zorder(
+                    spark, cols, n_files=args.zorder_files,
+                    branch=args.branch)
+                doc["zordered_to_version"] = (
                     snap.version if snap is not None else None)
             if args.vacuum_keep is not None:
                 doc["vacuum"] = table.vacuum(

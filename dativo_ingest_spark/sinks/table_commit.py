@@ -714,3 +714,28 @@ class FsTable:
                 for f in snap.files]
         return spark.createDataFrame(
             rows, "path string, size_bytes long, stats_json string")
+
+    def rewrite_zorder(
+        self,
+        spark: SparkSession,
+        cols: dict[str, tuple[float, float]],
+        n_files: int = 8,
+        branch: str = "main",
+    ) -> "Snapshot | None":
+        """Rewrite the table clustered along the Z-curve of ``cols``
+        (Iceberg's rewrite_data_files with a sort order): one
+        range-repartition pass, one atomic overwrite commit, per-file
+        min/max for the curve columns recorded in the manifest — so
+        multi-dimension predicates prune to the curve's tight
+        hyper-rectangles on every later read. Old files stay untouched
+        until vacuum. None when the table is empty."""
+        from dativo_ingest_spark.operators import layout
+
+        snap = self.snapshot(self.current_version(branch))
+        if not snap.files:
+            return None
+        clustered = layout.zorder_by(
+            self.read(spark, branch=branch), cols, n_files).drop("_zkey")
+        return self.write_append(
+            clustered, branch=branch, operation="overwrite",
+            stats_columns=list(cols))

@@ -168,3 +168,37 @@ def test_runner_zorder_option_clusters_output(spark, tmp_path):
         runner.run_job(spark, job({"zorder": {"columns": {}}}))
     with _pytest.raises(ConfigError):
         runner.run_job(spark, job({"zorder": {"columns": {"nope": [0, 1]}}}))
+
+
+def test_rewrite_zorder_prunes_reads(spark, tmp_path):
+    """FsTable.rewrite_zorder: after the clustered rewrite, a 2-dimension
+    predicate plans only the files whose recorded ranges can match."""
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "tbl"))
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+        F.col("id").alias("payload"))
+    # scattered initial layout: every file spans the full x/y space
+    table.write_append(df.repartition(8), stats_columns=["x", "y"])
+    before = table.snapshot(table.current_version())
+    where = [("x", "<", 8.0), ("y", "<", 8.0)]
+    assert len(table.matching_files(before, where)) == len(before.files)
+
+    snap = table.rewrite_zorder(spark, {"x": (0, 64), "y": (0, 64)},
+                                n_files=8)
+    assert snap is not None and snap.operation == "overwrite"
+    pruned = table.matching_files(snap, where)
+    assert 0 < len(pruned) < len(snap.files)
+    # content identical
+    assert table.read(spark).count() == 4096
+    got = table.read(spark, where=where).filter(
+        (F.col("x") < 8) & (F.col("y") < 8)).count()
+    exp = df.filter((F.col("x") < 8) & (F.col("y") < 8)).count()
+    assert got == exp
+
+    empty = FsTable.create(str(tmp_path / "empty"))
+    assert empty.rewrite_zorder(spark, {"x": (0, 1)}) is None

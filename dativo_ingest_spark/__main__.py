@@ -100,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
                               "land in the manifest for pruned reads)")
     maint_p.add_argument("--zorder-files", type=int, default=8)
 
+    cdiff_p = sub.add_parser(
+        "contract-diff", help="schema-drift probe: observed source "
+                              "columns vs the job's asset contract "
+                              "(exit 2 when a required column is absent)")
+    cdiff_p.add_argument("--config", required=True)
+    cdiff_p.add_argument("--mode", default="self_hosted",
+                         choices=("self_hosted", "cloud"))
+
     for name in ("check", "discover"):
         p = sub.add_parser(name)
         p.add_argument("--type", required=True)
@@ -175,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         from dativo_ingest_spark import inspect_cmd
+
+        if args.cmd == "contract-diff":
+            from dativo_ingest_spark.config.contracts import JobConfig
+
+            job = JobConfig.from_yaml(args.config)
+            doc = inspect_cmd.contract_diff(spark, job, mode=args.mode)
+            print(json.dumps(doc, indent=1))
+            return 0 if doc.get("ok") else EXIT_FAILURE
 
         if args.cmd == "plan":
             doc = inspect_cmd.plan_query(spark, args.query, args.sf_dir,

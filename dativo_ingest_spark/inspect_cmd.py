@@ -219,3 +219,40 @@ def plan_query(spark: SparkSession, name: str, sf_dir: str,
             doc["final_plan"] = (
                 df._jdf.queryExecution().executedPlan().toString())
     return doc
+
+
+def contract_diff(spark: SparkSession, job, mode: str = "self_hosted"
+                  ) -> dict[str, Any]:
+    """Schema-drift report: observed source columns vs the asset contract.
+
+    The pre-flight answer to "will this job's warn-mode union grow the
+    table / will strict mode fail?" without ingesting anything:
+    ``extra_in_source`` columns would be added by warn mode (dropped by
+    strict), ``missing_in_source`` contract columns arrive as nulls —
+    fatal in strict mode when required. ``ok`` is False exactly when a
+    REQUIRED contract column is absent from the source (the strict-mode
+    exit-2 condition, caught at probe time instead of mid-job)."""
+    probe = check_source(spark, job.source, mode=mode)
+    if not probe.get("ok"):
+        return {"ok": False, "source_type": job.source.type,
+                "error": probe.get("error", "source probe failed")}
+    observed = (probe.get("details") or {}).get("columns")
+    if observed is None:
+        return {"ok": False, "source_type": job.source.type,
+                "error": f"source type '{job.source.type}' does not "
+                         "expose columns to probe"}
+    contract = job.asset.field_names()
+    required = {f.name for f in job.asset.fields if f.required}
+    missing = [f for f in contract if f not in observed]
+    extra = [c for c in observed if c not in contract]
+    required_missing = [f for f in missing if f in required]
+    return {
+        "ok": not required_missing,
+        "source_type": job.source.type,
+        "observed": list(observed),
+        "contract": contract,
+        "missing_in_source": missing,
+        "required_missing": required_missing,
+        "extra_in_source": extra,
+        "drift": bool(missing or extra),
+    }

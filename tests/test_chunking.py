@@ -133,3 +133,54 @@ def test_token_budget_sample_sharded_skewed_groups(spark):
     assert re.search(r"partitionBy.*shard|shard.*windowspecdefinition|"
                      r"windowspecdefinition\(lang#\d+, shard", plan) or \
         "shard" in wspec
+
+
+class TestSentenceChunking:
+    def test_windows_never_split_sentences(self, spark):
+        from dativo_ingest_spark.operators.chunking import chunk_by_sentences
+
+        text = "One here. Two there! Three now? Four then. Five end."
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = {r["chunk_id"]: r for r in chunk_by_sentences(
+            df, "doc_id", "text", max_sentences=2, overlap=1).collect()}
+        assert out[0]["chunk"] == "One here. Two there!"
+        assert out[1]["chunk"] == "Two there! Three now?"
+        assert out[2]["chunk"] == "Three now? Four then."
+        assert out[3]["chunk"] == "Four then. Five end."
+        assert all(r["n_sentences"] == 2 for r in out.values())
+
+    def test_ragged_tail_and_short_docs(self, spark):
+        from dativo_ingest_spark.operators.chunking import chunk_by_sentences
+
+        df = spark.createDataFrame(
+            [(1, "A one. B two. C three."), (2, "Single."), (3, "")],
+            ["doc_id", "text"])
+        rows = chunk_by_sentences(df, "doc_id", "text",
+                                  max_sentences=2, overlap=0).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+        assert len(by_doc[1]) == 2              # 2 + ragged 1
+        assert by_doc[1][-1]["n_sentences"] == 1
+        assert len(by_doc[2]) == 1
+        assert 3 not in by_doc                  # empty doc: no chunks
+
+    def test_scan_stage_no_shuffle(self, spark):
+        from dativo_ingest_spark.operators.chunking import chunk_by_sentences
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        plan = chunk_by_sentences(docs, "doc_id", "text")\
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.chunking import chunk_by_sentences
+
+        df = spark.createDataFrame([(1, "x.")], ["doc_id", "text"])
+        with _pytest.raises(ValueError):
+            chunk_by_sentences(df, "doc_id", "text",
+                               max_sentences=2, overlap=2)

@@ -269,3 +269,40 @@ def test_metadata_tables_and_maintain_cli(spark, tmp_path, capsys):
     vac = _json.loads(out[out.index("{"):])["vacuum"]
     assert vac["manifests"] >= 1 and vac["data_files"] >= 1
     assert table.read(spark).count() == 200  # live head untouched
+
+
+def test_contract_diff_probe(spark, tmp_path, capsys):
+    import json as _json
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import JobConfig
+    from tests.test_runner import job_dict
+
+    # source carries an extra column and misses the optional 'active'
+    src = tmp_path / "drift.csv"
+    src.write_text("id,name,surprise\n1,alice,x\n")
+    job = JobConfig.from_dict(job_dict(str(src), str(tmp_path / "out")))
+    doc = inspect_cmd.contract_diff(spark, job)
+    assert doc["ok"] and doc["drift"]
+    assert doc["extra_in_source"] == ["surprise"]
+    assert doc["missing_in_source"] == ["active"]
+    assert doc["required_missing"] == []
+
+    # a REQUIRED contract column absent -> not ok (strict would exit 2)
+    bad = tmp_path / "bad.csv"
+    bad.write_text("name\nalice\n")
+    job2 = JobConfig.from_dict(job_dict(str(bad), str(tmp_path / "out")))
+    doc2 = inspect_cmd.contract_diff(spark, job2)
+    assert not doc2["ok"] and doc2["required_missing"] == ["id"]
+
+    # CLI wiring: exit code mirrors ok
+    import yaml
+
+    cfg_path = tmp_path / "job.yaml"
+    cfg_path.write_text(yaml.safe_dump(job_dict(str(src),
+                                                str(tmp_path / "out"))))
+    rc = cli.main(["--master", "local[2]", "contract-diff",
+                   "--config", str(cfg_path)])
+    out = capsys.readouterr().out
+    assert rc == 0 and _json.loads(out[out.index("{"):])["drift"]

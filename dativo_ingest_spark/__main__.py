@@ -150,7 +150,12 @@ def main(argv: list[str] | None = None) -> int:
             table = FsTable.create(args.table_root)
             doc: dict = {"table_root": args.table_root,
                          "branch": args.branch}
-            if args.compact:
+            if args.compact and args.zorder:
+                # the clustered rewrite already bin-packs into n_files;
+                # compacting first would be a whole table pass whose
+                # output the zorder overwrite discards milliseconds later
+                doc["compact"] = "skipped (zorder rewrite subsumes it)"
+            elif args.compact:
                 snap = table.compact(
                     spark, target_file_size_mb=args.target_file_size_mb,
                     branch=args.branch)
@@ -158,13 +163,23 @@ def main(argv: list[str] | None = None) -> int:
                     snap.version if snap is not None else None)
             if args.zorder:
                 cols = {}
-                for spec in args.zorder.split(","):
-                    name, _, rng = spec.partition("=")
-                    lo, _, hi = rng.partition(":")
-                    cols[name.strip()] = (float(lo), float(hi))
-                snap = table.rewrite_zorder(
-                    spark, cols, n_files=args.zorder_files,
-                    branch=args.branch)
+                try:
+                    for spec in args.zorder.split(","):
+                        name, eq, rng = spec.partition("=")
+                        lo, colon, hi = rng.partition(":")
+                        if not (eq and colon and name.strip()):
+                            raise ValueError(spec)
+                        cols[name.strip()] = (float(lo), float(hi))
+                except ValueError:
+                    raise ConfigError(
+                        f"malformed --zorder spec {args.zorder!r}: "
+                        "expected 'col=lo:hi,col2=lo:hi'")
+                try:
+                    snap = table.rewrite_zorder(
+                        spark, cols, n_files=args.zorder_files,
+                        branch=args.branch)
+                except ValueError as exc:  # unknown branch/column/range
+                    raise ConfigError(str(exc))
                 doc["zordered_to_version"] = (
                     snap.version if snap is not None else None)
             if args.vacuum_keep is not None:

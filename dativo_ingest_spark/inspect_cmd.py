@@ -242,7 +242,7 @@ def contract_diff(spark: SparkSession, job, mode: str = "self_hosted"
                 "error": f"source type '{job.source.type}' does not "
                          "expose columns to probe"}
     contract = job.asset.field_names()
-    required = {f.name for f in job.asset.fields if f.required}
+    required = {f.name for f in job.asset.required_fields()}
     missing = [f for f in contract if f not in observed]
     extra = [c for c in observed if c not in contract]
     required_missing = [f for f in missing if f in required]

@@ -41,32 +41,43 @@ def chunk_documents(
     # No repartition here: at scale the parquet scan's file splits provide
     # the parallelism and chunking stays a zero-shuffle scan-stage map;
     # callers chunking a single small file can repartition themselves.
-    w = text.words(F.col(text_col))
+    return _window_chunks(df, id_col, text.words(F.col(text_col)),
+                          chunk_size, stride, "n_tokens")
+
+def _window_chunks(
+    df: DataFrame,
+    id_col: str,
+    arr,
+    size: int,
+    stride: int,
+    size_alias: str,
+) -> DataFrame:
+    """Shared window-count/explode/slice scaffolding for both chunkers:
+    ``n_chunks = 1 + ceil((n - size) / stride)`` over one window, 1
+    otherwise, 0 for empty arrays; ragged tail kept, integer-exact."""
     staged = df.select(
-        F.col(id_col).alias("id"), w.alias("_w"), F.size(w).alias("_n")
-    )
-    # ceil((n - size) / stride) + 1 via integer floor((n - size + stride - 1)
-    # / stride) + 1; guarded for the <= one-window cases
+        F.col(id_col).alias("id"), arr.alias("_a"), F.size(arr).alias("_n"))
     extra = F.floor(
-        (F.col("_n") - F.lit(chunk_size) + F.lit(stride - 1)) / F.lit(stride)
+        (F.col("_n") - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)
     ).cast("int")
     n_chunks = (
         F.when(F.col("_n") <= 0, F.lit(0))
-        .when(F.col("_n") <= chunk_size, F.lit(1))
+        .when(F.col("_n") <= size, F.lit(1))
         .otherwise(extra + 1)
     )
     idx = F.when(
         n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
     ).otherwise(F.array().cast("array<int>"))
-    chunked = staged.select(
-        "id", "_w", F.explode(idx).alias("chunk_id"))
-    sl = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_size)
+    chunked = staged.select("id", "_a", F.explode(idx).alias("chunk_id"))
+    sl = F.slice(F.col("_a"), F.col("chunk_id") * stride + 1, size)
     return chunked.select(
         "id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(sl).cast("long").alias("n_tokens"),
+        F.size(sl).cast("long").alias(size_alias),
         F.concat_ws(" ", sl).alias("chunk"),
     )
+
+
 
 
 #: sentence boundary: ., !, ? (optionally repeated, e.g. "?!"), followed by
@@ -103,26 +114,5 @@ def chunk_by_sentences(
     trimmed = F.trim(F.col(text_col))
     sents = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, SENTENCE_BOUNDARY))
-    staged = df.select(
-        F.col(id_col).alias("id"), sents.alias("_s"),
-        F.size(sents).alias("_n"))
-    extra = F.floor(
-        (F.col("_n") - F.lit(max_sentences) + F.lit(stride - 1))
-        / F.lit(stride)
-    ).cast("int")
-    n_chunks = (
-        F.when(F.col("_n") <= 0, F.lit(0))
-        .when(F.col("_n") <= max_sentences, F.lit(1))
-        .otherwise(extra + 1)
-    )
-    idx = F.when(
-        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    chunked = staged.select("id", "_s", F.explode(idx).alias("chunk_id"))
-    sl = F.slice(F.col("_s"), F.col("chunk_id") * stride + 1, max_sentences)
-    return chunked.select(
-        "id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.size(sl).cast("long").alias("n_sentences"),
-        F.concat_ws(" ", sl).alias("chunk"),
-    )
+    return _window_chunks(df, id_col, sents, max_sentences, stride,
+                          "n_sentences")

@@ -121,8 +121,14 @@ def scd2_merge(
         ), *tracked)
     )
     cols = affected_hist.columns
+    # exact-duplicate change events (replayed batches, >= cursor boundary
+    # re-reads) drop before the rebuild: with collapse ON the window would
+    # absorb them anyway, but in LOSSLESS mode they would otherwise become
+    # spurious zero-length versions — this is what makes the merge
+    # idempotent in both modes. Full-row distinct only: two genuinely
+    # different events never collide.
     rebuilt = scd2_from_changelog(
-        affected_hist.unionByName(updates.select(*cols)),
+        affected_hist.unionByName(updates.select(*cols)).dropDuplicates(),
         keys, ts_col, tracked, tiebreaker=tiebreaker,
         collapse_unchanged=collapse_unchanged,
     )

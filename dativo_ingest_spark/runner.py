@@ -282,10 +282,19 @@ def run_job(
                 "replays and >= boundary re-reads idempotent is keyed on "
                 "the cursor (file-mtime re-extraction would double-fold "
                 "additive state)")
-    if _wm == "scd2" and _cm != "table":
-        raise ConfigError(
-            "target.options.mode=scd2 requires commit: table (the "
-            "snapshot-commit sink holds the dimension history)")
+    if _wm == "scd2":
+        if _cm != "table":
+            raise ConfigError(
+                "target.options.mode=scd2 requires commit: table (the "
+                "snapshot-commit sink holds the dimension history)")
+        _sc = dict(job.target.options.get("scd2") or {})
+        _sts = _sc.get("ts_field")
+        if _sts and (_sts in (_sc.get("tracked") or [])
+                     or _sts in (_sc.get("keys") or [])):
+            raise ConfigError(
+                "scd2.ts_field must not appear in scd2.keys or "
+                "scd2.tracked (it becomes the version interval boundary, "
+                "not an attribute)")
     if _wm == "overwrite_partitions" and _cm != "hive":
         raise ConfigError(
             "target.options.mode=overwrite_partitions is a hive-publish "

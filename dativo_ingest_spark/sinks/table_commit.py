@@ -53,6 +53,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class CommitConflict(Exception):
@@ -721,21 +722,54 @@ class FsTable:
         cols: dict[str, tuple[float, float]],
         n_files: int = 8,
         branch: str = "main",
+        max_replans: int = 3,
     ) -> "Snapshot | None":
         """Rewrite the table clustered along the Z-curve of ``cols``
         (Iceberg's rewrite_data_files with a sort order): one
-        range-repartition pass, one atomic overwrite commit, per-file
-        min/max for the curve columns recorded in the manifest — so
-        multi-dimension predicates prune to the curve's tight
-        hyper-rectangles on every later read. Old files stay untouched
-        until vacuum. None when the table is empty."""
+        range-repartition pass, then the same precise
+        :meth:`replace_files` + re-plan loop as compact/MERGE — a
+        concurrent append landing between the read and the commit raises
+        CommitConflict and the rewrite re-plans from the new head, so
+        its rows are never dropped. Per-file min/max land in the
+        manifest for the curve columns PLUS every column the previous
+        snapshot carried stats for (a partition-predicate read must not
+        stop pruning because of a layout rewrite). Old files stay until
+        vacuum. None when the table is empty."""
         from dativo_ingest_spark.operators import layout
 
-        snap = self.snapshot(self.current_version(branch))
-        if not snap.files:
-            return None
-        clustered = layout.zorder_by(
-            self.read(spark, branch=branch), cols, n_files).drop("_zkey")
-        return self.write_append(
-            clustered, branch=branch, operation="overwrite",
-            stats_columns=list(cols))
+        last_exc: CommitConflict | None = None
+        for _ in range(max_replans):
+            base_v = self.current_version(branch)
+            if base_v is None:
+                raise ValueError(f"unknown branch {branch!r}")
+            base = self.snapshot(base_v)
+            if not base.files:
+                return None
+            missing = [c for c in cols
+                       if c not in {f.name for f in T.StructType.fromJson(
+                           json.loads(base.schema_json)).fields}] \
+                if base.schema_json else []
+            if missing:
+                raise ValueError(
+                    f"zorder columns not in table schema: {missing}")
+            stats_cols = sorted(
+                set(cols) | {k for f in base.files
+                             for k in (f.get("stats") or {})})
+            clustered = layout.zorder_by(
+                self.read(spark, version=base_v, branch=branch),
+                cols, n_files).drop("_zkey")
+            stage = self.new_stage()
+            clustered.write.option("compression", "snappy").parquet(
+                os.path.join(self.root, stage))
+            try:
+                return self.replace_files(
+                    [f["path"] for f in base.files],
+                    self.staged_files(stage, stats_columns=stats_cols),
+                    expected_base=base_v,
+                    branch=branch,
+                    schema_json=base.schema_json,
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise last_exc  # pragma: no cover - needs sustained contention

@@ -190,7 +190,9 @@ def test_rewrite_zorder_prunes_reads(spark, tmp_path):
 
     snap = table.rewrite_zorder(spark, {"x": (0, 64), "y": (0, 64)},
                                 n_files=8)
-    assert snap is not None and snap.operation == "overwrite"
+    # the precise replace commit (never a blind overwrite: concurrent
+    # appends between read and commit re-plan instead of vanishing)
+    assert snap is not None and snap.operation == "replace"
     pruned = table.matching_files(snap, where)
     assert 0 < len(pruned) < len(snap.files)
     # content identical
@@ -202,3 +204,82 @@ def test_rewrite_zorder_prunes_reads(spark, tmp_path):
 
     empty = FsTable.create(str(tmp_path / "empty"))
     assert empty.rewrite_zorder(spark, {"x": (0, 1)}) is None
+
+
+def test_rewrite_zorder_replans_past_concurrent_append(spark, tmp_path,
+                                                       monkeypatch):
+    """A row appended between the rewrite's read and its commit must
+    survive: the first commit attempt hits CommitConflict and the rewrite
+    re-plans from the new head."""
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.sinks import table_commit
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "tbl"))
+    df = spark.range(256).select(
+        (F.col("id") % 16).cast("double").alias("x"),
+        (F.col("id") / 16).cast("double").alias("y"))
+    table.write_append(df, stats_columns=["x", "y"])
+
+    race = {"armed": True}
+    orig = table_commit.FsTable.replace_files
+
+    def racing_replace(self, remove_paths, staged, expected_base, **kw):
+        if race["armed"]:
+            race["armed"] = False
+            # concurrent ingestion commits between plan and commit
+            self.write_append(
+                spark.createDataFrame([(99.0, 99.0)], "x double, y double"))
+        return orig(self, remove_paths, staged, expected_base, **kw)
+
+    monkeypatch.setattr(table_commit.FsTable, "replace_files",
+                        racing_replace)
+    snap = table.rewrite_zorder(spark, {"x": (0, 16), "y": (0, 16)},
+                                n_files=4)
+    assert snap is not None
+    assert table.read(spark).count() == 257  # the racer's row survived
+
+
+def test_rewrite_zorder_preserves_prior_stats_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "tbl"))
+    df = spark.range(512).select(
+        (F.col("id") % 8).cast("double").alias("x"),
+        (F.col("id") % 4).cast("long").alias("day"))
+    table.write_append(df.repartition(4), stats_columns=["day"])
+    snap = table.rewrite_zorder(spark, {"x": (0, 8)}, n_files=4)
+    # day stats (recorded at ingest) must survive the layout rewrite
+    assert all("day" in (f.get("stats") or {}) for f in snap.files)
+    assert all("x" in (f.get("stats") or {}) for f in snap.files)
+
+
+def test_rewrite_zorder_validates_branch_and_columns(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    table = FsTable.create(str(tmp_path / "tbl"))
+    table.write_append(spark.range(4).select(
+        F.col("id").cast("double").alias("x")))
+    with _pytest.raises(ValueError, match="unknown branch"):
+        table.rewrite_zorder(spark, {"x": (0, 1)}, branch="typo")
+    with _pytest.raises(ValueError, match="not in table schema"):
+        table.rewrite_zorder(spark, {"nope": (0, 1)})
+
+
+def test_maintain_cli_zorder_spec_errors_exit_2(spark, tmp_path, capsys):
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    root = str(tmp_path / "tbl")
+    FsTable.create(root)
+    for bad in ("x", "x=5:5,", "=0:1"):
+        rc = cli.main(["--master", "local[2]", "maintain",
+                       "--table-root", root, "--zorder", bad])
+        assert rc == 2, bad
+        capsys.readouterr()

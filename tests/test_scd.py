@@ -310,3 +310,31 @@ class TestStreamingScd2:
             spark.createDataFrame(rows, COLS), ["id"], "ts", ["color"],
             tiebreaker="seq"))
         assert got == exp
+
+
+def test_lossless_merge_is_replay_idempotent(spark):
+    """Replaying an already-applied batch (>= cursor boundary re-read)
+    must not grow a lossless (collapse-off) history: full-row duplicate
+    events drop before the rebuild."""
+    kw = dict(tiebreaker="seq", collapse_unchanged=False)
+    full = spark.createDataFrame(
+        [(1, 10, 1, "red"), (1, 20, 2, "red"), (1, 30, 3, "blue")], COLS)
+    dim = scd.scd2_from_changelog(full, ["id"], "ts", ["color"], **kw)
+    replay = spark.createDataFrame([(1, 30, 3, "blue")], COLS)
+    merged = scd.scd2_merge(dim, replay, ["id"], "ts", ["color"], **kw)
+    assert _hist(merged) == _hist(dim)
+
+
+def test_scd2_target_mode_rejects_ts_in_tracked(spark, tmp_path):
+    import pytest as _pytest
+
+    from dativo_ingest_spark import runner
+    from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
+    from tests.test_scd import TestScd2TargetMode
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 10, 1, "red")], COLS).write.parquet(src)
+    cfg = TestScd2TargetMode()._cfg(src, str(tmp_path / "dim"))
+    cfg["target"]["options"]["scd2"]["tracked"] = ["ts", "color"]
+    with _pytest.raises(ConfigError, match="ts_field"):
+        runner.run_job(spark, JobConfig.from_dict(cfg))

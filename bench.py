@@ -91,6 +91,12 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "unigram_logprob_quality",
     "duplicate_passage_ngrams",
+    # late-r6 batch 3: SCD2 history construction (single-exchange double
+    # window), the distinct-pair relation + count-distinct (q16), and the
+    # HLL sketch pass — the remaining new shapes worth a per-round pin
+    "scd2_user_event_history",
+    "q16_supplier_part_count",
+    "approx_distinct_users",
 ]
 
 

@@ -338,3 +338,28 @@ def test_scd2_target_mode_rejects_ts_in_tracked(spark, tmp_path):
     cfg["target"]["options"]["scd2"]["tracked"] = ["ts", "color"]
     with _pytest.raises(ConfigError, match="ts_field"):
         runner.run_job(spark, JobConfig.from_dict(cfg))
+
+
+def test_streaming_scd2_end_to_end_file_stream(spark, tmp_path):
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+    from dativo_ingest_spark.streaming.pipeline import scd2_epoch_writer
+
+    rows = [(1, 10, 1, "red"), (2, 10, 2, "green"), (1, 30, 3, "blue"),
+            (2, 40, 4, "grey")]
+    df = spark.createDataFrame(rows, COLS)
+    src = str(tmp_path / "src")
+    df.repartition(2).write.parquet(src)
+    table = FsTable.create(str(tmp_path / "dim"))
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .writeStream
+        .foreachBatch(scd2_epoch_writer(
+            table, ["id"], "ts", ["color"], tiebreaker="seq",
+            checkpoint_dir=str(tmp_path / "ckpt")))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert _hist(table.read(spark)) == _hist(scd.scd2_from_changelog(
+        df, ["id"], "ts", ["color"], tiebreaker="seq"))

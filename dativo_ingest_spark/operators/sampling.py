@@ -322,3 +322,29 @@ def epoch_shuffle(
     return staged.select(
         "id", "shard", F.row_number().over(w).cast("long").alias("position")
     )
+
+
+def group_aware_split(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: hash the GROUP id, not the row id.
+
+    Near-duplicate documents that straddle a train/test boundary leak the
+    test set into training — the standard contamination failure of naive
+    row-level splits. Here every row carries a group key (e.g. the
+    resolved dedup-cluster survivor id from
+    operators/dedup.py:dedup_corpus, or a source/domain id) and the split
+    is decided by hash-thresholding THAT key, so a whole near-dup cluster
+    always lands on one side. Same determinism contract as
+    :func:`hash_split`: adding rows never moves existing groups, changing
+    ``salt`` re-deals.
+
+    Scan-stage expression over the already-joined group column — zero
+    shuffles beyond whatever produced the grouping.
+    """
+    return hash_split(df, group_col, weights, salt=salt, out_col=out_col)

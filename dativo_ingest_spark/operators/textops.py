@@ -461,3 +461,74 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def unigram_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus drift report: per-word KL(A || B) contributions between two
+    corpus versions' unigram distributions.
+
+    The data-quality monitor for a continuously-ingested corpus: a new
+    crawl slice whose word distribution diverges from the corpus (spam
+    influx, language shift, boilerplate flood) shows up as mass in a few
+    words long before downstream metrics move. Output: the ``top_k``
+    words by absolute KL contribution with both probabilities
+    (add-``smoothing`` estimated over the union vocabulary, so words
+    absent from one side stay finite), plus their share of total |KL|.
+
+    Scale: one word-count aggregation per side + a full-outer join on the
+    word key (vocabulary-sized, not corpus-sized) + one top-k. Shuffles
+    are all on the word key; corpus text is scanned once per side.
+    """
+    def counts(df, side):
+        return (
+            _tokenized(df, id_col, text_col)
+            .select(F.explode("_words").alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    joined = counts(df_a, "a").join(counts(df_b, "b"), "word", "full_outer")
+    filled = joined.select(
+        "word",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = filled.agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"),
+        F.count(F.lit(1)).alias("v"))
+    scored = (
+        filled.join(F.broadcast(totals))
+        .select(
+            "word", "c_a", "c_b",
+            ((F.col("c_a") + smoothing)
+             / (F.col("t_a") + smoothing * F.col("v"))).alias("p_a"),
+            ((F.col("c_b") + smoothing)
+             / (F.col("t_b") + smoothing * F.col("v"))).alias("p_b"),
+        )
+        .withColumn("kl_contrib",
+                    F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")))
+    )
+    total_abs = scored.agg(
+        F.sum(F.abs(F.col("kl_contrib"))).alias("_t"))
+    return (
+        scored.join(F.broadcast(total_abs))
+        # identical corpora: total |KL| is exactly 0 -> share defined as 0
+        .withColumn("share",
+                    F.when(F.col("_t") > 0,
+                           F.abs(F.col("kl_contrib")) / F.col("_t"))
+                    .otherwise(F.lit(0.0)))
+        .orderBy(F.abs(F.col("kl_contrib")).desc(), F.col("word"))
+        .limit(top_k)
+        .select("word", "c_a", "c_b",
+                F.round("p_a", 8).alias("p_a"),
+                F.round("p_b", 8).alias("p_b"),
+                F.round("kl_contrib", 8).alias("kl_contrib"),
+                F.round("share", 6).alias("share"))
+    )

@@ -205,3 +205,58 @@ def test_duplicate_passages_spam_doc_does_not_blind_cut(spark):
     out = _rows(dedup.duplicate_passages(df, "doc_id", "text", n=3,
                                          max_gram_df=3))
     assert out[2]["n_dup"] >= 1
+
+
+class TestGroupAwareSplit:
+    def test_near_dup_groups_never_straddle(self, spark):
+        from dativo_ingest_spark.operators import sampling
+
+        # 50 near-dup clusters of 4 docs each; group = cluster id
+        df = spark.createDataFrame(
+            [(c * 10 + i, c) for c in range(50) for i in range(4)],
+            ["doc_id", "cluster"])
+        out = sampling.group_aware_split(
+            df, "doc_id", "cluster", {"train": 0.8, "test": 0.2})
+        sides = (out.groupBy("cluster")
+                 .agg(F.count_distinct("split").alias("ns")).collect())
+        assert all(r["ns"] == 1 for r in sides)   # no cluster straddles
+        names = {r["split"] for r in out.select("split").distinct().collect()}
+        assert names == {"train", "test"}
+
+    def test_deterministic_and_salt_redeal(self, spark):
+        from dativo_ingest_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(i, i // 3) for i in range(90)], ["doc_id", "g"])
+        w = {"train": 0.5, "test": 0.5}
+        a = {r["doc_id"]: r["split"] for r in
+             sampling.group_aware_split(df, "doc_id", "g", w).collect()}
+        b = {r["doc_id"]: r["split"] for r in
+             sampling.group_aware_split(df, "doc_id", "g", w).collect()}
+        assert a == b
+        c = {r["doc_id"]: r["split"] for r in
+             sampling.group_aware_split(df, "doc_id", "g", w,
+                                        salt="other").collect()}
+        assert c != a   # re-deal
+
+
+class TestUnigramDrift:
+    def test_injected_spam_dominates_contributions(self, spark):
+        base = [(i, "the quick brown fox jumps over the lazy dog")
+                for i in range(40)]
+        df_a = spark.createDataFrame(
+            base + [(100 + i, "viagra casino viagra casino viagra")
+                    for i in range(20)], ["doc_id", "text"])
+        df_b = spark.createDataFrame(base, ["doc_id", "text"])
+        out = textops.unigram_drift(df_a, df_b, "doc_id", "text", top_k=4)
+        top_words = [r["word"] for r in out.collect()]
+        assert set(top_words[:2]) == {"viagra", "casino"}
+        top = out.collect()[0]
+        assert top["c_b"] == 0 and top["kl_contrib"] > 0
+
+    def test_identical_corpora_have_zero_contributions(self, spark):
+        df = spark.createDataFrame(
+            [(i, "same words everywhere") for i in range(10)],
+            ["doc_id", "text"])
+        out = textops.unigram_drift(df, df, "doc_id", "text", top_k=5)
+        assert all(abs(r["kl_contrib"]) < 1e-12 for r in out.collect())

@@ -169,11 +169,14 @@ def main(argv: list[str] | None = None) -> int:
                         lo, colon, hi = rng.partition(":")
                         if not (eq and colon and name.strip()):
                             raise ValueError(spec)
+                        if name.strip() in cols:  # silent last-wins is a
+                            raise ValueError(spec)  # near-certain typo
                         cols[name.strip()] = (float(lo), float(hi))
                 except ValueError:
                     raise ConfigError(
                         f"malformed --zorder spec {args.zorder!r}: "
-                        "expected 'col=lo:hi,col2=lo:hi'")
+                        "expected 'col=lo:hi,col2=lo:hi' with distinct "
+                        "columns")
                 try:
                     snap = table.rewrite_zorder(
                         spark, cols, n_files=args.zorder_files,

@@ -326,7 +326,6 @@ def epoch_shuffle(
 
 def group_aware_split(
     df: DataFrame,
-    id_col: str,
     group_col: str,
     weights: dict[str, float],
     salt: str = "split",

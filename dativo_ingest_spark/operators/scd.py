@@ -121,15 +121,21 @@ def scd2_merge(
         ), *tracked)
     )
     cols = affected_hist.columns
-    # exact-duplicate change events (replayed batches, >= cursor boundary
-    # re-reads) drop before the rebuild: with collapse ON the window would
-    # absorb them anyway, but in LOSSLESS mode they would otherwise become
-    # spurious zero-length versions — this is what makes the merge
-    # idempotent in both modes. Full-row distinct only: two genuinely
-    # different events never collide.
+    combined = affected_hist.unionByName(updates.select(*cols))
+    if tiebreaker is not None:
+        # exact-duplicate change events (replayed batches, >= cursor
+        # boundary re-reads) drop before the rebuild: with collapse ON the
+        # window would absorb them anyway, but in LOSSLESS mode they would
+        # otherwise become spurious zero-length versions — this is what
+        # makes the merge replay-idempotent. Full-row distinct, and ONLY
+        # when a unique tiebreaker exists: with one, two genuinely
+        # different events can never be row-identical; without one, a raw
+        # log may legitimately repeat a full row, and dropping it would
+        # break the lossless merge==rebuild contract — so no-tiebreaker
+        # lossless mode trades replay idempotence for event fidelity.
+        combined = combined.dropDuplicates()
     rebuilt = scd2_from_changelog(
-        affected_hist.unionByName(updates.select(*cols)).dropDuplicates(),
-        keys, ts_col, tracked, tiebreaker=tiebreaker,
+        combined, keys, ts_col, tracked, tiebreaker=tiebreaker,
         collapse_unchanged=collapse_unchanged,
     )
     return untouched.unionByName(rebuilt)

@@ -482,10 +482,17 @@ def unigram_drift(
     (add-``smoothing`` estimated over the union vocabulary, so words
     absent from one side stay finite), plus their share of total |KL|.
 
-    Scale: one word-count aggregation per side + a full-outer join on the
-    word key (vocabulary-sized, not corpus-sized) + one top-k. Shuffles
-    are all on the word key; corpus text is scanned once per side.
+    Scale: one word-count aggregation per side (the joined vocabulary
+    frame is persisted for the duration of the call, so the corpus text
+    really is scanned once per side), a full-outer join on the word key
+    (vocabulary-sized, not corpus-sized), one top-k. The returned report
+    is materialized (≤ top_k rows) — nothing stays cached afterwards.
     """
+    if smoothing <= 0:
+        raise ValueError(
+            "smoothing must be > 0: words absent from one side would "
+            "otherwise yield infinite KL contributions")
+
     def counts(df, side):
         return (
             _tokenized(df, id_col, text_col)
@@ -499,36 +506,39 @@ def unigram_drift(
         "word",
         F.coalesce("c_a", F.lit(0)).alias("c_a"),
         F.coalesce("c_b", F.lit(0)).alias("c_b"),
-    )
-    totals = filled.agg(
-        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"),
-        F.count(F.lit(1)).alias("v"))
-    scored = (
-        filled.join(F.broadcast(totals))
-        .select(
+    ).persist()
+    try:
+        t = filled.agg(
+            F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"),
+            F.count(F.lit(1)).alias("v")).first()
+        t_a, t_b, v = t["t_a"] or 0, t["t_b"] or 0, t["v"]
+        scored = filled.select(
             "word", "c_a", "c_b",
             ((F.col("c_a") + smoothing)
-             / (F.col("t_a") + smoothing * F.col("v"))).alias("p_a"),
+             / F.lit(float(t_a + smoothing * v))).alias("p_a"),
             ((F.col("c_b") + smoothing)
-             / (F.col("t_b") + smoothing * F.col("v"))).alias("p_b"),
+             / F.lit(float(t_b + smoothing * v))).alias("p_b"),
+        ).withColumn(
+            "kl_contrib", F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")))
+        total_abs = scored.agg(
+            F.sum(F.abs(F.col("kl_contrib")))).first()[0] or 0.0
+        rows = (
+            scored
+            # identical corpora: total |KL| exactly 0 -> share defined as 0
+            .withColumn("share",
+                        F.abs(F.col("kl_contrib")) / F.lit(total_abs)
+                        if total_abs > 0 else F.lit(0.0))
+            .orderBy(F.abs(F.col("kl_contrib")).desc(), F.col("word"))
+            .limit(top_k)
+            .select("word", "c_a", "c_b",
+                    F.round("p_a", 8).alias("p_a"),
+                    F.round("p_b", 8).alias("p_b"),
+                    F.round("kl_contrib", 8).alias("kl_contrib"),
+                    F.round("share", 6).alias("share"))
+            .collect()
         )
-        .withColumn("kl_contrib",
-                    F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")))
-    )
-    total_abs = scored.agg(
-        F.sum(F.abs(F.col("kl_contrib"))).alias("_t"))
-    return (
-        scored.join(F.broadcast(total_abs))
-        # identical corpora: total |KL| is exactly 0 -> share defined as 0
-        .withColumn("share",
-                    F.when(F.col("_t") > 0,
-                           F.abs(F.col("kl_contrib")) / F.col("_t"))
-                    .otherwise(F.lit(0.0)))
-        .orderBy(F.abs(F.col("kl_contrib")).desc(), F.col("word"))
-        .limit(top_k)
-        .select("word", "c_a", "c_b",
-                F.round("p_a", 8).alias("p_a"),
-                F.round("p_b", 8).alias("p_b"),
-                F.round("kl_contrib", 8).alias("kl_contrib"),
-                F.round("share", 6).alias("share"))
-    )
+    finally:
+        filled.unpersist()
+    return df_a.sparkSession.createDataFrame(
+        rows, "word string, c_a bigint, c_b bigint, p_a double, "
+              "p_b double, kl_contrib double, share double")

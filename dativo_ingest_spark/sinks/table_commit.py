@@ -279,7 +279,8 @@ class FsTable:
         """
         for _ in range(max_retries):
             base_v = self.current_version(branch)
-            assert base_v is not None, f"unknown branch {branch!r}"
+            if base_v is None:
+                raise ValueError(f"unknown branch {branch!r}")
             base = self.snapshot(base_v)
             files = staged if operation == "overwrite" else base.files + staged
             # Version numbers are a single global sequence across branches
@@ -402,7 +403,8 @@ class FsTable:
         last_exc: CommitConflict | None = None
         for _ in range(max_replans):
             base_v = self.current_version(branch)
-            assert base_v is not None, f"unknown branch {branch!r}"
+            if base_v is None:
+                raise ValueError(f"unknown branch {branch!r}")
             base = self.snapshot(base_v)
             affected = self.matching_files(base, where)
             stage = self.new_stage()
@@ -461,7 +463,8 @@ class FsTable:
         last_exc: CommitConflict | None = None
         for _ in range(max_replans):
             base_v = self.current_version(branch)
-            assert base_v is not None, f"unknown branch {branch!r}"
+            if base_v is None:
+                raise ValueError(f"unknown branch {branch!r}")
             base = self.snapshot(base_v)
             small = [f for f in base.files
                      if f.get("size_bytes", 0) < min_bytes]
@@ -610,7 +613,8 @@ class FsTable:
         that then lost the branch CAS) are excluded by construction — no
         parent pointer ever reaches them."""
         v = self.current_version(branch)
-        assert v is not None, f"unknown branch {branch!r}"
+        if v is None:
+            raise ValueError(f"unknown branch {branch!r}")
         out: list[int] = []
         while v is not None:
             try:
@@ -656,7 +660,8 @@ class FsTable:
         manifest walk, on this path only)."""
         if version is None:
             v = self.current_version(branch)
-            assert v is not None, f"unknown branch {branch!r}"
+            if v is None:
+                raise ValueError(f"unknown branch {branch!r}")
         else:
             if version not in self.history(branch):
                 raise LookupError(
@@ -745,19 +750,18 @@ class FsTable:
             base = self.snapshot(base_v)
             if not base.files:
                 return None
-            missing = [c for c in cols
-                       if c not in {f.name for f in T.StructType.fromJson(
-                           json.loads(base.schema_json)).fields}] \
-                if base.schema_json else []
+            df = self.read(spark, version=base_v, branch=branch)
+            # validate against the actual read schema (covers snapshots
+            # committed without schema_json too) so the CLI maps a bad
+            # column to exit 2 instead of an AnalysisException mid-rewrite
+            missing = [c for c in cols if c not in df.columns]
             if missing:
                 raise ValueError(
                     f"zorder columns not in table schema: {missing}")
             stats_cols = sorted(
                 set(cols) | {k for f in base.files
                              for k in (f.get("stats") or {})})
-            clustered = layout.zorder_by(
-                self.read(spark, version=base_v, branch=branch),
-                cols, n_files).drop("_zkey")
+            clustered = layout.zorder_by(df, cols, n_files).drop("_zkey")
             stage = self.new_stage()
             clustered.write.option("compression", "snappy").parquet(
                 os.path.join(self.root, stage))

@@ -216,7 +216,7 @@ class TestGroupAwareSplit:
             [(c * 10 + i, c) for c in range(50) for i in range(4)],
             ["doc_id", "cluster"])
         out = sampling.group_aware_split(
-            df, "doc_id", "cluster", {"train": 0.8, "test": 0.2})
+            df, "cluster", {"train": 0.8, "test": 0.2})
         sides = (out.groupBy("cluster")
                  .agg(F.count_distinct("split").alias("ns")).collect())
         assert all(r["ns"] == 1 for r in sides)   # no cluster straddles
@@ -230,12 +230,12 @@ class TestGroupAwareSplit:
             [(i, i // 3) for i in range(90)], ["doc_id", "g"])
         w = {"train": 0.5, "test": 0.5}
         a = {r["doc_id"]: r["split"] for r in
-             sampling.group_aware_split(df, "doc_id", "g", w).collect()}
+             sampling.group_aware_split(df, "g", w).collect()}
         b = {r["doc_id"]: r["split"] for r in
-             sampling.group_aware_split(df, "doc_id", "g", w).collect()}
+             sampling.group_aware_split(df, "g", w).collect()}
         assert a == b
         c = {r["doc_id"]: r["split"] for r in
-             sampling.group_aware_split(df, "doc_id", "g", w,
+             sampling.group_aware_split(df, "g", w,
                                         salt="other").collect()}
         assert c != a   # re-deal
 

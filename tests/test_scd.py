@@ -363,3 +363,22 @@ def test_streaming_scd2_end_to_end_file_stream(spark, tmp_path):
     q.awaitTermination()
     assert _hist(table.read(spark)) == _hist(scd.scd2_from_changelog(
         df, ["id"], "ts", ["color"], tiebreaker="seq"))
+
+
+def test_lossless_no_tiebreaker_keeps_legit_duplicate_events(spark):
+    """Without a unique tiebreaker, a raw log may legitimately repeat a
+    full row; the merge must NOT drop it (dedup only engages when a
+    tiebreaker makes duplicates provably replays)."""
+    cols3 = "id bigint, ts bigint, color string"
+    kw = dict(collapse_unchanged=False)
+    full = [(1, 10, "red"), (1, 20, "red"), (1, 20, "red")]
+    rebuilt = scd.scd2_from_changelog(
+        spark.createDataFrame(full, cols3), ["id"], "ts", ["color"], **kw)
+    dim = scd.scd2_from_changelog(
+        spark.createDataFrame(full[:2], cols3), ["id"], "ts", ["color"],
+        **kw)
+    merged = scd.scd2_merge(
+        dim, spark.createDataFrame(full[2:], cols3), ["id"], "ts",
+        ["color"], **kw)
+    assert sorted(r["version_n"] for r in merged.collect()) == \
+        sorted(r["version_n"] for r in rebuilt.collect()) == [1, 2, 3]

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""End-to-end training-corpus curation: the full operator stack in one
+runnable script.
+
+    python examples/curate_corpus.py [sf_dir] [out_dir]
+
+Stages (each one documented where it is implemented):
+
+1. quality gate        operators/textops.py:classifier_score
+2. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
+3. near-dup resolve    minhash_lsh_pairs -> connected_components
+4. decontamination     operators/dedup.py:benchmark_contamination
+5. leakage-safe split  operators/sampling.py:group_aware_split
+                       (split by near-dup component, never by row)
+6. chunk + pack        operators/chunking.py + sampling.pack_sequences
+7. snapshot commit     sinks/table_commit.py (atomic, branch "curated")
+
+Every stage is a lazy DataFrame transform; nothing executes until the
+final writes, so Catalyst plans the whole flow together. At 100 TB the
+shuffles are: one md5-fingerprint agg (2), signatures + banded buckets
+(3), one group-key hash (5), one shard exchange (6) — all documented in
+the operators' docstrings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def curate(spark, sf_dir: str, out_root: str) -> dict:
+    from dativo_ingest_spark.operators import chunking, dedup, sampling, textops
+    from dativo_ingest_spark.queries import load
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    docs = load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality gate: distilled linear classifier, scan-stage
+    scored = textops.classifier_score(docs, "doc_id", "text")
+    docs = docs.join(scored.filter("keep").select("id"),
+                     docs.doc_id == F.col("id"), "left_semi").persist()
+    n1 = docs.count()   # materializes the barrier too
+
+    # 2. exact dedup: min-id survivor per content fingerprint
+    survivors = dedup.exact_dedup(docs, "doc_id", "text") \
+        .select(F.col("survivor_id").alias("doc_id"))
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    n2 = docs.count()
+
+    # 3. near-dup groups (MinHash-LSH), resolved to components; the
+    #    component id doubles as the leakage-safety group for stage 5
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    docs = (
+        docs.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .withColumn("group", F.coalesce("component", "doc_id"))
+        .drop("component")
+    )
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"))
+    docs = docs.join(F.broadcast(losers), "doc_id", "left_anti").persist()
+    n3 = docs.count()   # barrier: downstream stages reuse, not re-derive
+
+    # 4. benchmark decontamination: drop docs overlapping the eval set
+    #    (here: a tiny planted benchmark built from the corpus tail)
+    bench = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0)
+    contaminated = dedup.benchmark_contamination(
+        docs, bench, "doc_id", "text"
+    ).select(F.col("id").alias("doc_id")).distinct()
+    docs = docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    n4 = docs.count()
+
+    # 5. leakage-safe split: hash the GROUP, so near-dup survivors and
+    #    any future cluster members land on one side
+    docs = sampling.group_aware_split(
+        docs, "group", {"train": 0.95, "heldout": 0.05})
+
+    # 6. chunk the train side and pack into fixed token budgets
+    train = docs.filter(F.col("split") == "train")
+    chunks = chunking.chunk_documents(train, "doc_id", "text",
+                                      chunk_size=256, stride=192)
+    staged = chunks.select(
+        (F.col("id") * 10000 + F.col("chunk_id")).alias("cid"), "n_tokens")
+    packed = sampling.pack_sequences(staged, "cid", "n_tokens",
+                                     budget_tokens=4096, n_shards=8)
+
+    # 7. atomic snapshot commits on a curated branch
+    table = FsTable.create(out_root)
+    table.create_branch("curated")
+    table.write_append(docs.drop("text"), branch="curated")
+    packs = packed.count()
+    return {"input": n0, "quality_kept": n1, "exact_deduped": n2,
+            "neardup_resolved": n3, "decontaminated": n4,
+            "train_packs": packs,
+            "table_version": table.current_version("curated")}
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised by tests
+    import json
+    import tempfile
+
+    from dativo_ingest_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="curated_")
+    spark = get_spark("curate-corpus", master="local[8]",
+                      shuffle_partitions=8,
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.driver.memory": "4g"})
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(curate(spark, sf_dir, out)))

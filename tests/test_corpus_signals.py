@@ -260,3 +260,22 @@ class TestUnigramDrift:
             ["doc_id", "text"])
         out = textops.unigram_drift(df, df, "doc_id", "text", top_k=5)
         assert all(abs(r["kl_contrib"]) < 1e-12 for r in out.collect())
+
+
+def test_curate_corpus_example_end_to_end(spark, tmp_path):
+    """examples/curate_corpus.py: the composed curation funnel runs and
+    shrinks monotonically, ending in a committed snapshot."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_corpus", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "curate_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.curate(spark, "/root/testdata/sf0.001",
+                     str(tmp_path / "curated"))
+    assert (out["input"] >= out["quality_kept"] >= out["exact_deduped"]
+            >= out["neardup_resolved"] >= out["decontaminated"] > 0)
+    assert out["train_packs"] > 0 and out["table_version"] >= 1

@@ -347,3 +347,102 @@ def group_aware_split(
     shuffles beyond whatever produced the grouping.
     """
     return hash_split(df, group_col, weights, salt=salt, out_col=out_col)
+
+
+def temperature_mixture_fractions(
+    sizes: dict, alpha: float, budget_tokens: int
+) -> dict:
+    """Per-group keep fractions realizing a temperature-smoothed mixture.
+
+    Given per-group token counts ``sizes`` (language / domain / source),
+    the target share of group *i* in the sampled corpus is
+    ``q_i = p_i^alpha / sum_j p_j^alpha`` where ``p_i`` is the group's raw
+    proportion — the standard multilingual-corpus rebalancing (alpha=1
+    keeps natural proportions, alpha=0 is uniform across groups, ~0.3 is
+    the common compromise that lifts low-resource groups without drowning
+    high-resource ones). Target token counts are ``q_i * budget``
+    waterfilled against availability: a group whose target exceeds its
+    size contributes everything it has and the deficit re-distributes over
+    the remaining groups proportional to their ``q`` (at most one pass per
+    group, so the loop is O(n_groups^2) driver-side arithmetic on a
+    small-by-construction dict — never row data).
+
+    Pure Python so the math is unit-testable without Spark; group
+    iteration is sorted for bit-stable float accumulation. Groups with
+    non-positive size get fraction 0. Fractions are exact expectations:
+    keeping each document with probability ``f_i`` yields ``f_i * s_i``
+    expected tokens from group *i*.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    pos = {g: float(s) for g, s in sizes.items() if s is not None and s > 0}
+    if not pos:
+        return {g: 0.0 for g in sizes}
+    total = sum(pos[g] for g in sorted(pos))
+    budget = min(float(budget_tokens), total)
+    q = {g: (pos[g] / total) ** alpha for g in pos}
+    targets: dict = {}
+    free = sorted(pos)
+    remaining = budget
+    while free:
+        qsum = sum(q[g] for g in free)
+        saturated = [g for g in free if pos[g] <= remaining * q[g] / qsum]
+        if not saturated:
+            for g in free:
+                targets[g] = remaining * q[g] / qsum
+            break
+        for g in saturated:
+            targets[g] = pos[g]
+            remaining -= pos[g]
+        free = [g for g in free if g not in targets]
+    return {
+        g: (min(max(targets.get(g, 0.0), 0.0) / pos[g], 1.0) if g in pos
+            else 0.0)
+        for g in sizes
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    token_count_col: Column | str,
+    budget_tokens: int,
+    alpha: float = 0.3,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Build an ~``budget_tokens`` training mixture whose group shares
+    follow the alpha-smoothed distribution of
+    :func:`temperature_mixture_fractions` — the sampling-side complement
+    of :func:`token_budget_sample` (which enforces a hard per-group cap;
+    this one shapes the WHOLE mixture toward a target distribution).
+
+    Plan: one partial-aggregated shuffle over the group key produces the
+    per-group token totals (n_groups rows — the collect is
+    small-by-construction, same bound as the dedup guards), the fractions
+    solve driver-side, and admission is the scan-stage stratum-salted
+    hash predicate of :func:`stratified_hash_sample` — so on the second
+    pass the filter sits inside the parquet scan and downstream stages
+    see only the sampled fraction. Two passes over the corpus total;
+    zero row-data shuffles beyond the tiny group aggregate. Rows with a
+    NULL group are dropped (no target share). Deterministic under
+    retries/repartitioning: both passes are pure functions of row values.
+
+    No reference analog; standard technique (XLM-R / mT5 temperature
+    sampling, reproducibility contract as :func:`hash_split`).
+    """
+    tok = (F.col(token_count_col) if isinstance(token_count_col, str)
+           else token_count_col)
+    sizes_rows = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.sum(tok.cast("long")).alias("_s"))
+        .collect()
+    )
+    sizes = {row[group_col]: row["_s"] for row in sizes_rows}
+    fractions = temperature_mixture_fractions(sizes, alpha, budget_tokens)
+    return stratified_hash_sample(
+        df, id_col, group_col, fractions, default_fraction=0.0, salt=salt
+    )

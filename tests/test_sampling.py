@@ -134,3 +134,95 @@ def test_epoch_shuffle_positions_are_dense_per_shard(spark):
     for r in per_shard:
         assert 0 <= r.shard < 8
         assert r.mn == 1 and r.mx == r.n  # dense 1..n ranks, no gaps
+
+
+# --- temperature mixture -------------------------------------------------
+
+def test_mixture_fractions_alpha_one_is_proportional():
+    # alpha=1: target share == natural share, so every group keeps the
+    # same fraction budget/total (no saturation possible).
+    sizes = {"en": 8000, "fr": 1500, "sw": 500}
+    f = sampling.temperature_mixture_fractions(sizes, alpha=1.0,
+                                               budget_tokens=5000)
+    for g in sizes:
+        assert abs(f[g] - 0.5) < 1e-12
+
+
+def test_mixture_fractions_alpha_zero_waterfills_uniform():
+    # alpha=0: uniform targets of budget/3 ≈ 1667 tokens each; "sw" only
+    # has 500 so it saturates at 1.0 and the deficit re-splits evenly
+    # over en/fr: (5000-500)/2 = 2250 each.
+    sizes = {"en": 8000, "fr": 4000, "sw": 500}
+    f = sampling.temperature_mixture_fractions(sizes, alpha=0.0,
+                                               budget_tokens=5000)
+    assert f["sw"] == 1.0
+    assert abs(f["en"] - 2250 / 8000) < 1e-9
+    assert abs(f["fr"] - 2250 / 4000) < 1e-9
+
+
+def test_mixture_fractions_smoothing_lifts_low_resource():
+    sizes = {"en": 90000, "sw": 10000}
+    nat = sampling.temperature_mixture_fractions(sizes, 1.0, 50000)
+    smooth = sampling.temperature_mixture_fractions(sizes, 0.3, 50000)
+    # alpha<1 moves tokens from the high-resource to the low-resource group
+    assert smooth["sw"] > nat["sw"]
+    assert smooth["en"] < nat["en"]
+    # expected totals still hit the budget
+    got = sum(smooth[g] * sizes[g] for g in sizes)
+    assert abs(got - 50000) < 1e-6
+
+
+def test_mixture_fractions_edges():
+    import pytest
+
+    assert sampling.temperature_mixture_fractions(
+        {"en": 100, "zz": 0}, 0.3, 10_000) == {"en": 1.0, "zz": 0.0}
+    assert sampling.temperature_mixture_fractions({}, 0.3, 10) == {}
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture_fractions({"en": 1}, 0.3, 0)
+    with pytest.raises(ValueError):
+        sampling.temperature_mixture_fractions({"en": 1}, -0.1, 10)
+
+
+def test_mixture_sample_deterministic_and_budget_shaped(spark):
+    docs = load(spark, SF, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.5)
+    a = sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", "n_tokens", budget, alpha=0.3)
+    b = sampling.temperature_mixture_sample(
+        docs.repartition(7), "doc_id", "lang", "n_tokens", budget, alpha=0.3)
+    left = {r.doc_id for r in a.select("doc_id").collect()}
+    right = {r.doc_id for r in b.select("doc_id").collect()}
+    assert left == right and left
+    # admitted token volume lands near the budget (hash-uniform draw over
+    # a small corpus — generous tolerance)
+    got = a.agg(F.sum("n_tokens")).collect()[0][0]
+    assert 0.7 * budget < got < 1.3 * budget
+
+
+def test_mixture_sample_alpha_zero_evens_group_shares(spark):
+    docs = load(spark, SF, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    total = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = int(total * 0.4)
+    natural = dict(
+        (r.lang, r.s) for r in
+        docs.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    out = sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", "n_tokens", budget, alpha=0.0)
+    sampled = dict(
+        (r.lang, r.s) for r in
+        out.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    # the spread between the biggest and smallest group share shrinks
+    def spread(d):
+        tot = sum(d.values())
+        shares = [v / tot for v in d.values()]
+        return max(shares) - min(shares)
+
+    assert spread(sampled) < spread(natural)

@@ -196,3 +196,83 @@ def report_df(spark, results: list[ExpectationResult]) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, kind string, column string, failed long, "
               "total long, passed boolean")
+
+
+def quantile_bounds(
+    df: DataFrame,
+    columns: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    accuracy: int = 10_000,
+) -> dict:
+    """Per-column (lower, upper) percentile bounds in ONE aggregate pass.
+
+    Corpus curation routinely clips metric outliers (token counts, quality
+    scores, byte lengths) at data-driven percentiles rather than hand-picked
+    literals. ``percentile_approx`` is a mergeable KLL-style sketch, so all
+    columns and both tails cost a single scan with map-side partial
+    aggregation — O(accuracy) state per column per partition, never a sort.
+    Returns ``{column: (lo, hi)}`` with None for a column whose values are
+    all NULL.
+
+    The bounds are plain literals by design: persist them and re-apply via
+    :func:`apply_bounds` to later batches so an incremental pipeline clips
+    every batch against the SAME thresholds (train/serve consistency) —
+    recomputing per batch would silently shift the distribution.
+    """
+    if not columns:
+        raise ConfigError("quantile_bounds requires at least one column")
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ConfigError("need 0 <= lower < upper <= 1")
+    aggs = [
+        F.percentile_approx(
+            F.col(c).cast("double"), [float(lower), float(upper)],
+            int(accuracy),
+        ).alias(f"_q_{i}")
+        for i, c in enumerate(columns)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    out: dict = {}
+    for i, c in enumerate(columns):
+        pair = row[f"_q_{i}"]
+        out[c] = None if pair is None else (float(pair[0]), float(pair[1]))
+    return out
+
+
+def apply_bounds(
+    df: DataFrame, bounds: dict, keep_nulls: bool = True
+) -> DataFrame:
+    """Filter rows whose columns fall outside precomputed ``bounds``
+    (the output of :func:`quantile_bounds`, or hand-set literals).
+
+    Pure scan-stage conjunction of literal BETWEENs — pushes into the
+    parquet scan when the columns are stored. ``keep_nulls`` controls
+    whether a NULL value passes (default) or drops the row; columns with
+    a None bound (all-NULL at fit time) are skipped entirely.
+    """
+    pred = None
+    for c, pair in bounds.items():
+        if pair is None:
+            continue
+        lo, hi = pair
+        in_range = F.col(c).cast("double").between(
+            F.lit(float(lo)), F.lit(float(hi)))
+        clause = (in_range | F.col(c).isNull()) if keep_nulls else in_range
+        pred = clause if pred is None else (pred & clause)
+    return df if pred is None else df.filter(pred)
+
+
+def quantile_clip(
+    df: DataFrame,
+    columns: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    accuracy: int = 10_000,
+    keep_nulls: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Fit-and-apply convenience: returns (clipped frame, bounds).
+
+    Two passes total over the corpus — one sketch aggregate, one filtered
+    scan — regardless of how many columns are clipped."""
+    bounds = quantile_bounds(df, columns, lower, upper, accuracy)
+    return apply_bounds(df, bounds, keep_nulls=keep_nulls), bounds

@@ -8,11 +8,16 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from dativo_ingest_spark import runner
 from dativo_ingest_spark.config.contracts import ConfigError, JobConfig
 from dativo_ingest_spark.operators import quality
+from dativo_ingest_spark.queries import load
 
 from tests.test_runner import job_dict
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture()
@@ -177,3 +182,66 @@ def test_expression_null_is_violation(spark):
     got = quality.run_expectations(
         df, [{"type": "expression", "expression": "score > 0"}])
     assert got[0].failed == 1
+
+
+# --- quantile clipping ---------------------------------------------------
+
+def test_quantile_bounds_match_exact_quantiles(spark):
+    import duckdb
+
+    docs = load(spark, SF, "documents")
+    lens = docs.select(F.length("text").alias("n"))
+    got = quality.quantile_bounds(lens, ["n"], 0.05, 0.95, accuracy=100_000)
+    lo, hi = got["n"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exact_lo, exact_hi = con.execute(
+        "SELECT quantile_disc(length(text), 0.05), "
+        "quantile_disc(length(text), 0.95) FROM documents").fetchone()
+    # percentile_approx at high accuracy lands on (or next to) the exact
+    # discrete quantile for a 500-row frame
+    span = exact_hi - exact_lo
+    assert abs(lo - exact_lo) <= 0.02 * span
+    assert abs(hi - exact_hi) <= 0.02 * span
+
+
+def test_quantile_clip_filters_tails_and_keeps_nulls(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)] + [(None,)], "x double")
+    clipped, bounds = quality.quantile_clip(
+        df, ["x"], 0.10, 0.90, accuracy=100_000)
+    lo, hi = bounds["x"]
+    assert 5 <= lo <= 15 and 85 <= hi <= 95
+    vals = [r.x for r in clipped.collect()]
+    assert None in vals  # keep_nulls default
+    assert all(lo <= v <= hi for v in vals if v is not None)
+    dropped, _ = quality.quantile_clip(
+        df, ["x"], 0.10, 0.90, accuracy=100_000, keep_nulls=False)
+    assert all(r.x is not None for r in dropped.collect())
+
+
+def test_apply_bounds_is_reusable_and_literal(spark):
+    docs = load(spark, SF, "documents")
+    lens = docs.select("doc_id", F.length("text").alias("n"))
+    bounds = quality.quantile_bounds(lens, ["n"], 0.1, 0.9)
+    a = {r.doc_id for r in quality.apply_bounds(lens, bounds).collect()}
+    # re-applying the SAME persisted bounds to a differently-laid-out frame
+    # admits the identical row set (train/serve consistency)
+    b = {r.doc_id for r in
+         quality.apply_bounds(lens.repartition(7), bounds).collect()}
+    assert a == b and a
+    # all-NULL column at fit time -> None bound -> no filtering on it
+    nulls = lens.withColumn("z", F.lit(None).cast("double"))
+    nb = quality.quantile_bounds(nulls, ["z"])
+    assert nb["z"] is None
+    assert quality.apply_bounds(nulls, nb).count() == nulls.count()
+
+
+def test_quantile_bounds_validation():
+    import pytest
+    from dativo_ingest_spark.config.contracts import ConfigError
+
+    with pytest.raises(ConfigError):
+        quality.quantile_bounds(None, [])
+    with pytest.raises(ConfigError):
+        quality.quantile_bounds(None, ["x"], lower=0.9, upper=0.1)

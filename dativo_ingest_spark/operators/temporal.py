@@ -230,3 +230,100 @@ def range_join(
     out_cols = [lf[c] for c in left.columns]
     out_cols += [rf[c] for c in right.columns if c not in keys]
     return joined.select(*out_cols)
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    bucket_s: float,
+    aggs: dict,
+    keys: Sequence[str] = (),
+    start=None,
+    end=None,
+    fill: str = "null",
+) -> DataFrame:
+    """Regular-grid time-series rollup with gap filling — the hypertable
+    ``time_bucket_gapfill`` shape: aggregate per (keys, bucket), then emit
+    EVERY bucket of the grid, including empty ones, so downstream charting
+    / feature windows / drift monitors never mistake "no data" for
+    "missing row".
+
+    ``aggs`` maps output name -> aggregate Column evaluated over each
+    bucket's rows (e.g. ``{"n": F.count("*"), "avg_v": F.avg("value")}``).
+    The grid per key runs from its first to its last observed bucket;
+    passing ``start``/``end`` (anything ``cast('timestamp')`` accepts)
+    pins a common closed range for ALL keys instead. ``fill`` controls
+    empty buckets: ``"null"`` leaves the aggregate columns NULL,
+    ``"zero"`` coalesces them to 0, ``"locf"`` carries the last observed
+    value forward per key (buckets before a key's first observation stay
+    NULL; a genuinely-NULL observed aggregate is carried over too — the
+    standard LOCF convention).
+
+    Plan shape: one shuffle aggregates raw rows to (keys, bucket) grain;
+    every later step — per-key bounds, ``sequence``+``explode`` grid, the
+    left join, the LOCF window — runs over the AGGREGATED frame (n_keys ×
+    n_buckets rows), never the raw corpus. At 100 TB the raw scan is paid
+    once with map-side partial aggregation; grid cost is independent of
+    row count. Bucketing uses the same all-integer floor-division on
+    microsecond epochs as :func:`range_join` (pre-1970-safe, no double
+    rounding at boundaries; TIMESTAMP and TIMESTAMP_NTZ alike). BOUND:
+    with ``keys=()`` the LOCF window and the grid have a single
+    partition — fine for one series, not for key-free 100 TB input.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
+    if fill not in ("null", "locf", "zero"):
+        raise ValueError(f"fill must be null|locf|zero, got {fill!r}")
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    if (start is None) != (end is None):
+        raise ValueError("pass both start and end, or neither")
+    keys = list(keys)
+    w_us = int(round(bucket_s * 1_000_000))
+    val_names = list(aggs)
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucketed = df.withColumn("_us", us).withColumn(
+        "_bucket", _floor_div("_us", w_us))
+    agged = bucketed.groupBy(*keys, "_bucket").agg(
+        *[aggs[n].alias(n) for n in val_names])
+
+    if start is not None:
+        lo = _floor_div(f"unix_micros(cast('{start}' as timestamp))", w_us)
+        hi = _floor_div(f"unix_micros(cast('{end}' as timestamp))", w_us)
+        bounds = (agged.select(*keys).distinct()
+                  .withColumn("_lo", lo).withColumn("_hi", hi))
+    else:
+        bounds = agged.groupBy(*keys).agg(
+            F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+    grid = bounds.select(
+        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_bucket"))
+
+    filled = grid.join(agged, [*keys, "_bucket"], "left")
+    if fill == "zero":
+        filled = filled.select(
+            *keys, "_bucket",
+            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in val_names])
+    elif fill == "locf":
+        from pyspark.sql.window import Window
+
+        w = (Window.partitionBy(*keys).orderBy("_bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        # distinguish "empty bucket" from "observed NULL aggregate": wrap
+        # each OBSERVED bucket's values in a non-null struct (membership
+        # marker), carry the struct forward, then unpack — an observed row
+        # overwrites even when its values are NULL, a gap inherits.
+        observed = agged.withColumn(
+            "_obs", F.struct(*[F.col(n) for n in val_names]))
+        filled = (
+            grid.join(observed.drop(*val_names), [*keys, "_bucket"], "left")
+            .withColumn("_carried", F.last("_obs", ignorenulls=True).over(w))
+            .select(
+                *keys, "_bucket",
+                *[F.col("_carried")[n].alias(n) for n in val_names])
+        )
+    return filled.select(
+        *keys,
+        F.timestamp_micros(F.col("_bucket") * F.lit(w_us)).alias("bucket_ts"),
+        *val_names,
+    )

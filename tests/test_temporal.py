@@ -222,3 +222,95 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- time_bucket_gapfill -------------------------------------------------
+
+def _gapfill_frame(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    rows = [
+        # key A: buckets 0 and 2 observed, gap at 1
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 30), 10.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 45), 20.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 2, 10), 40.0),
+        # key B: buckets 5 and 6 (different range than A)
+        ("B", dt.datetime(2024, 1, 1, 0, 5, 5), 5.0),
+        ("B", dt.datetime(2024, 1, 1, 0, 6, 59), 7.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_gapfill_emits_every_bucket_with_null_fill(spark):
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+
+    out = time_bucket_gapfill(
+        _gapfill_frame(spark), "ts", 60.0,
+        {"n": F.count("*"), "sum_v": F.sum("v")}, keys=["k"],
+    ).orderBy("k", "bucket_ts").collect()
+    a = [r for r in out if r.k == "A"]
+    b = [r for r in out if r.k == "B"]
+    assert [r.bucket_ts.minute for r in a] == [0, 1, 2]
+    assert [r.bucket_ts.minute for r in b] == [5, 6]
+    assert (a[0].n, a[0].sum_v) == (2, 30.0)
+    assert (a[1].n, a[1].sum_v) == (None, None)  # the gap
+    assert (a[2].n, a[2].sum_v) == (1, 40.0)
+    assert (b[0].n, b[1].n) == (1, 1)
+
+
+def test_gapfill_zero_and_locf(spark):
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+
+    frame = _gapfill_frame(spark)
+    zero = time_bucket_gapfill(
+        frame, "ts", 60.0, {"n": F.count("*")}, keys=["k"], fill="zero",
+    ).orderBy("k", "bucket_ts").collect()
+    assert [r.n for r in zero if r.k == "A"] == [2, 0, 1]
+
+    locf = time_bucket_gapfill(
+        frame, "ts", 60.0, {"sum_v": F.sum("v")}, keys=["k"], fill="locf",
+    ).orderBy("k", "bucket_ts").collect()
+    assert [r.sum_v for r in locf if r.k == "A"] == [30.0, 30.0, 40.0]
+
+
+def test_gapfill_locf_observed_null_overwrites(spark):
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 0, 0, 10), 10.0),
+        ("A", dt.datetime(2024, 1, 1, 0, 1, 10), None),  # observed NULL
+        ("A", dt.datetime(2024, 1, 1, 0, 3, 10), 9.0),
+    ]
+    frame = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = time_bucket_gapfill(
+        frame, "ts", 60.0, {"mx": F.max("v")}, keys=["k"], fill="locf",
+    ).orderBy("bucket_ts").collect()
+    # bucket 1 is OBSERVED with a NULL aggregate -> overwrites (stays NULL);
+    # bucket 2 is a GAP -> inherits bucket 1's NULL, not bucket 0's 10.0
+    assert [r.mx for r in out] == [10.0, None, None, 9.0]
+
+
+def test_gapfill_explicit_range_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+
+    frame = _gapfill_frame(spark)
+    out = time_bucket_gapfill(
+        frame, "ts", 60.0, {"n": F.count("*")}, keys=["k"],
+        start="2024-01-01 00:00:00", end="2024-01-01 00:07:00",
+    ).collect()
+    # common 8-bucket grid (0..7 inclusive) for BOTH keys
+    assert len(out) == 16
+    with pytest.raises(ValueError):
+        time_bucket_gapfill(frame, "ts", 0, {"n": F.count("*")})
+    with pytest.raises(ValueError):
+        time_bucket_gapfill(frame, "ts", 60, {})
+    with pytest.raises(ValueError):
+        time_bucket_gapfill(frame, "ts", 60, {"n": F.count("*")},
+                            fill="interpolate")
+    with pytest.raises(ValueError):
+        time_bucket_gapfill(frame, "ts", 60, {"n": F.count("*")},
+                            start="2024-01-01")

@@ -384,3 +384,143 @@ def quantized_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def sign_band_keys(
+    vec, bands: int = 4, band_width: int = 8
+):
+    """Array of ``bands`` LSH bucket keys for an embedding, one per band.
+
+    Each band's key is ``band_width`` comparison bits: bit *i* of band *t*
+    compares two runtime-modulo-indexed components
+    (``vec[(t·w + 2i) % d]  vs  vec[(t·w + 2i + 1) % d]``) — a rank
+    pattern rather than raw signs, so corpora with a biased mean (e.g.
+    post-ReLU embeddings, all-positive) don't collapse into one cell the
+    way sign-of-component keys do. Scale-invariant (cosine-compatible) and
+    a pure Catalyst expression: no fitted state, no literals proportional
+    to the corpus, O(bands·band_width) plan size, works for any dimension
+    (indices wrap at runtime via the array size).
+
+    Exactly-equal vectors agree on EVERY band; near-duplicates agree on a
+    band unless one of its compared pairs straddles the perturbation —
+    multiple bands are the standard LSH recall amplifier.
+    """
+    keys = []
+    for t in range(bands):
+        bits = []
+        for i in range(band_width):
+            ia = F.lit(t * band_width + 2 * i)
+            ib = F.lit(t * band_width + 2 * i + 1)
+            a = F.element_at(vec, (ia % F.size(vec)) + 1)
+            b = F.element_at(vec, (ib % F.size(vec)) + 1)
+            bits.append(F.when(a > b, F.lit("1")).otherwise(F.lit("0")))
+        keys.append(F.concat(F.lit(f"{t}:"), *bits))
+    return F.array(*keys)
+
+
+def dedup_embeddings_against_index(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_table,
+    threshold: float = 0.95,
+    bands: int = 4,
+    band_width: int = 8,
+    branch: str = "main",
+    commit: bool = True,
+):
+    """Embedding near-dup-on-ingest: drop batch rows whose embedding the
+    corpus has already (approximately) seen, then record the survivors —
+    the semantic-similarity twin of ``dedup.dedup_against_index`` (which
+    catches exact text; this catches paraphrases/re-encodes sharing a
+    high-cosine embedding).
+
+    The historical corpus is represented ONLY by its banded cell index
+    (``bands`` rows per admitted document: band key + vector + norm), so
+    per batch the cost is: one batch scan computing keys/norms, a
+    within-batch cell self-join, and a (cell-key) equi-join against the
+    index — candidates are scored inside matching cells only, never
+    all-pairs, and history is never rescanned. Within-batch semantics are
+    one-pass lower-id-wins (any row with a smaller-id near-duplicate in
+    the same batch drops — MinHash-dedup convention). With
+    ``commit=True`` the survivors' index rows append atomically AFTER the
+    filter, so a crash re-admits rather than loses; replaying the same
+    batch then drops its rows against the committed entries (each row now
+    has an exact-equal index entry — caught by construction).
+
+    Recall is probabilistic for NEAR (not exact) duplicates: a pair is
+    scored only if some band's comparison pattern matches — raise
+    ``bands`` (index grows linearly) or lower ``band_width`` (hotter
+    cells) to trade recall against cost. Zero/NULL-norm vectors never
+    match (cosine undefined — kept, documented). Returns
+    ``(kept_df, n_batch_dups, n_index_dups)`` with ``kept_df`` persisted
+    (caller unpersists when done), original batch schema.
+
+    100 TB shape: everything shuffles on the band key; the index is
+    ``bands ×`` the admitted corpus in (key, vec, norm) rows — compact
+    relative to documents, and the thing that joins. A pathological cell
+    (boilerplate embedding) concentrates its join task; the df-cut guard
+    pattern from ``dedup.ngram_jaccard`` applies if that bites.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if bands < 1 or band_width < 1:
+        raise ValueError("bands and band_width must be >= 1")
+    staged = batch.withColumn(
+        "_vec", vectors.as_double_array(F.col(vec_col)))
+    staged = staged.withColumn("_norm", vectors.l2_norm(F.col("_vec")))
+    staged = staged.withColumn(
+        "_keys", sign_band_keys(F.col("_vec"), bands, band_width)).persist()
+    n_total = staged.count()
+
+    keyed = staged.select(
+        F.col(id_col).alias("id"), "_vec", "_norm",
+        F.explode("_keys").alias("_key"),
+    )
+    cos = _pair_cosine("a._vec", "b._vec", "a._norm", "b._norm")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    batch_losers = (
+        a.join(b, (F.col("a._key") == F.col("b._key"))
+               & (F.col("b.id") < F.col("a.id")))
+        .filter(cos >= threshold)
+        .select(F.col("a.id").alias("id")).distinct()
+    )
+
+    if branch != "main" and index_table.current_version(branch) is None:
+        index_table.create_branch(branch)
+    head = index_table.snapshot(index_table.current_version(branch))
+    if head.files:
+        index = index_table.read(spark, branch=branch).select(
+            F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
+            F.col("vec").alias("_ix_vec"), F.col("norm").alias("_ix_norm"))
+        icos = _pair_cosine("_vec", "_ix_vec", "_norm", "_ix_norm")
+        index_hits = (
+            keyed.join(index, "_key")
+            .filter(icos >= threshold)
+            .select("id").distinct()
+        )
+    else:
+        index_hits = spark.createDataFrame([], "id string").select(
+            F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
+
+    kept = (
+        staged
+        .join(batch_losers, staged[id_col] == batch_losers["id"], "left_anti")
+        .join(index_hits, staged[id_col] == index_hits["id"], "left_anti")
+        .persist()
+    )
+    n_kept = kept.count()
+    n_batch_dups = batch_losers.count()
+    n_index_dups = n_total - n_batch_dups - n_kept
+    if commit and n_kept:
+        index_table.write_append(
+            kept.select(
+                F.col(id_col).cast("string").alias("id"),
+                F.explode("_keys").alias("key"),
+                F.col("_vec").alias("vec"), F.col("_norm").alias("norm"),
+            ),
+            branch=branch,
+        )
+    staged.unpersist()
+    return kept.drop("_vec", "_norm", "_keys"), n_batch_dups, n_index_dups

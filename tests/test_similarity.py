@@ -152,3 +152,106 @@ def test_broadcast_guard_warn_and_error(spark, caplog):
         emb, q.limit(2), "vec_id", "embedding", k=3,
         broadcast_guard="off").collect()
     assert len(rows) == 6
+
+
+class TestEmbeddingIndexDedup:
+    """Embedding near-dup-on-ingest against a persistent banded cell index
+    (similarity.dedup_embeddings_against_index)."""
+
+    def _table(self, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        return FsTable.create(str(tmp_path / "emb_index"))
+
+    @staticmethod
+    def _frame(spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, embedding array<double>")
+
+    def test_batches_drop_near_dups_like_one_corpus(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        base = [float(i * i % 7) + i * 0.25 for i in range(16)]
+        scaled = [x * 1.5 for x in base]          # cosine 1.0 with base
+        other = [float((-1) ** i) * (i + 1) for i in range(16)]
+        b1 = self._frame(spark, [("d1", base), ("d2", other),
+                                 ("d3", scaled)])
+        kept1, batch_dups1, index_dups1 = (
+            similarity.dedup_embeddings_against_index(
+                spark, b1, "doc_id", "embedding", table, threshold=0.95))
+        assert sorted(r.doc_id for r in kept1.collect()) == ["d1", "d2"]
+        assert (batch_dups1, index_dups1) == (1, 0)
+        kept1.unpersist()
+
+        # batch 2: a re-encode of d1 (tiny perturbation) and a new vector
+        wiggle = [x + (0.0001 if i % 3 else -0.0001)
+                  for i, x in enumerate(base)]
+        fresh = [float(i % 5) - 2.0 for i in range(16)]
+        b2 = self._frame(spark, [("d4", wiggle), ("d5", fresh)])
+        kept2, batch_dups2, index_dups2 = (
+            similarity.dedup_embeddings_against_index(
+                spark, b2, "doc_id", "embedding", table, threshold=0.95))
+        assert [r.doc_id for r in kept2.collect()] == ["d5"]
+        assert (batch_dups2, index_dups2) == (0, 1)
+        kept2.unpersist()
+
+        # replay of batch 2: d5 now sits in the index as an exact entry
+        kept3, _, index_dups3 = similarity.dedup_embeddings_against_index(
+            spark, b2, "doc_id", "embedding", table, threshold=0.95)
+        assert kept3.count() == 0 and index_dups3 == 2
+        kept3.unpersist()
+
+    def test_schema_preserved_commit_off_and_validation(
+            self, spark, tmp_path):
+        import pytest
+
+        table = self._table(tmp_path)
+        b = spark.createDataFrame(
+            [("d1", [1.0, 2.0, 3.0, 4.0], "en")],
+            "doc_id string, embedding array<double>, lang string")
+        kept, _, _ = similarity.dedup_embeddings_against_index(
+            spark, b, "doc_id", "embedding", table, commit=False)
+        assert set(kept.columns) == {"doc_id", "embedding", "lang"}
+        kept.unpersist()
+        # commit=False left the index empty -> the row survives a re-run
+        kept2, _, index_dups = similarity.dedup_embeddings_against_index(
+            spark, b, "doc_id", "embedding", table)
+        assert kept2.count() == 1 and index_dups == 0
+        kept2.unpersist()
+        with pytest.raises(ValueError):
+            similarity.dedup_embeddings_against_index(
+                spark, b, "doc_id", "embedding", table, threshold=0.0)
+        with pytest.raises(ValueError):
+            similarity.dedup_embeddings_against_index(
+                spark, b, "doc_id", "embedding", table, bands=0)
+
+    def test_distinct_vectors_survive_shared_cells(self, spark, tmp_path):
+        # vectors sharing a band cell but below the cosine threshold are
+        # NOT dropped — the cell join only proposes candidates
+        table = self._table(tmp_path)
+        up = [float(i) for i in range(16)]            # increasing ramp
+        mixed = [float(i) if i % 2 == 0 else float(i) - 0.5
+                 for i in range(16)]                  # same rank pattern
+        b = self._frame(spark, [("a", up), ("b", mixed)])
+        from dativo_ingest_spark.functions import vectors as V
+        cos = b.alias("x").crossJoin(b.alias("y")).filter(
+            F.col("x.doc_id") < F.col("y.doc_id")).select(
+            V.cosine(F.col("x.embedding"), F.col("y.embedding"))).first()[0]
+        kept, batch_dups, _ = similarity.dedup_embeddings_against_index(
+            spark, b, "doc_id", "embedding", table, threshold=0.999999)
+        if cos < 0.999999:
+            assert kept.count() == 2 and batch_dups == 0
+        kept.unpersist()
+
+    def test_exact_duplicate_always_caught(self, spark, tmp_path):
+        # exact duplicates agree on EVERY band: recall 1.0 by construction
+        table = self._table(tmp_path)
+        v = [0.3, -1.2, 4.5, 0.0, 2.2, -0.7, 1.1, 9.9]
+        b1 = self._frame(spark, [("a", v)])
+        kept1, _, _ = similarity.dedup_embeddings_against_index(
+            spark, b1, "doc_id", "embedding", table)
+        kept1.unpersist()
+        b2 = self._frame(spark, [("b", list(v))])
+        kept2, _, index_dups = similarity.dedup_embeddings_against_index(
+            spark, b2, "doc_id", "embedding", table)
+        assert kept2.count() == 0 and index_dups == 1
+        kept2.unpersist()

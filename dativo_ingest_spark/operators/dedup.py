@@ -435,9 +435,14 @@ def connected_components(
     (checked with a cheap count). Rounds needed = graph diameter ≤
     ``max_iterations`` — near-dup graphs are overwhelmingly tiny cliques,
     so 2-3 rounds is typical. Each round is one shuffle join on the edge
-    list; labels are checkpoint-cached per round to keep lineage flat
-    (without it the plan doubles per iteration and the job dies on plan
-    explosion long before data size matters).
+    list; labels are ``localCheckpoint``-ed per round, which TRUNCATES the
+    logical plan (``cache()`` alone does not — the plan tree doubles per
+    iteration, and a consumer that composes the result into a larger
+    pipeline dies rendering/optimizing the exploded plan long before data
+    size matters). Local checkpoints live in executor storage: on a
+    cluster an executor loss forfeits the shortcut and fails the job —
+    swap to ``checkpoint()`` + ``setCheckpointDir`` for long-running
+    production graphs.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -465,7 +470,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                 ).alias("component"),
             )
-            .cache()
+            .localCheckpoint()  # truncates lineage; also caches (eager)
         )
         changed = (
             new_labels.alias("n")

@@ -7,19 +7,22 @@ runnable script.
 Stages (each one documented where it is implemented):
 
 1. quality gate        operators/textops.py:classifier_score
-2. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
-3. near-dup resolve    minhash_lsh_pairs -> connected_components
-4. decontamination     operators/dedup.py:benchmark_contamination
-5. leakage-safe split  operators/sampling.py:group_aware_split
+2. outlier clip        operators/quality.py:quantile_clip (p1/p99 length)
+3. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
+4. near-dup resolve    minhash_lsh_pairs -> connected_components
+5. decontamination     operators/dedup.py:benchmark_contamination
+6. mixture shaping     operators/sampling.py:temperature_mixture_sample
+                       (alpha-smoothed per-language token shares)
+7. leakage-safe split  operators/sampling.py:group_aware_split
                        (split by near-dup component, never by row)
-6. chunk + pack        operators/chunking.py + sampling.pack_sequences
-7. snapshot commit     sinks/table_commit.py (atomic, branch "curated")
+8. chunk + pack        operators/chunking.py + sampling.pack_sequences
+9. snapshot commit     sinks/table_commit.py (atomic, branch "curated")
 
 Every stage is a lazy DataFrame transform; nothing executes until the
 final writes, so Catalyst plans the whole flow together. At 100 TB the
-shuffles are: one md5-fingerprint agg (2), signatures + banded buckets
-(3), one group-key hash (5), one shard exchange (6) — all documented in
-the operators' docstrings.
+shuffles are: one md5-fingerprint agg (3), signatures + banded buckets
+(4), one tiny group aggregate (6), one group-key hash (7), one shard
+exchange (8) — all documented in the operators' docstrings.
 """
 
 from __future__ import annotations
@@ -33,7 +36,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def curate(spark, sf_dir: str, out_root: str) -> dict:
-    from dativo_ingest_spark.operators import chunking, dedup, sampling, textops
+    from dativo_ingest_spark.operators import (
+        chunking, dedup, quality, sampling, textops)
     from dativo_ingest_spark.queries import load
     from dativo_ingest_spark.sinks.table_commit import FsTable
 
@@ -45,6 +49,14 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     docs = docs.join(scored.filter("keep").select("id"),
                      docs.doc_id == F.col("id"), "left_semi").persist()
     n1 = docs.count()   # materializes the barrier too
+
+    # 1b. clip length outliers at data-driven percentiles; the fitted
+    #     bounds are literals a production pipeline would persist and
+    #     re-apply to every later batch (quality.apply_bounds)
+    docs, _bounds = quality.quantile_clip(
+        docs.withColumn("_len", F.length("text")), ["_len"], 0.01, 0.99)
+    docs = docs.drop("_len")
+    n1b = docs.count()
 
     # 2. exact dedup: min-id survivor per content fingerprint
     survivors = dedup.exact_dedup(docs, "doc_id", "text") \
@@ -73,8 +85,23 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     contaminated = dedup.benchmark_contamination(
         docs, bench, "doc_id", "text"
     ).select(F.col("id").alias("doc_id")).distinct()
-    docs = docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # barrier: the mixture stage below runs three more actions over this
+    # frame (token total, per-group sizes, count) — without the persist
+    # each one would re-derive the contamination scan and re-broadcast
+    docs = docs.join(F.broadcast(contaminated), "doc_id", "left_anti") \
+        .persist()
     n4 = docs.count()
+
+    # 4b. mixture shaping: alpha-smoothed per-language token shares at
+    #     80% of the remaining volume (lifts low-resource languages)
+    docs = docs.withColumn(
+        "_tok", F.size(F.split(F.col("text"), r"\s+")))
+    total_tokens = docs.agg(F.sum("_tok")).collect()[0][0] or 0
+    docs = sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", "_tok",
+        budget_tokens=max(int(total_tokens * 0.8), 1), alpha=0.3,
+    ).drop("_tok").persist()
+    n5 = docs.count()
 
     # 5. leakage-safe split: hash the GROUP, so near-dup survivors and
     #    any future cluster members land on one side
@@ -95,8 +122,9 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     table.create_branch("curated")
     table.write_append(docs.drop("text"), branch="curated")
     packs = packed.count()
-    return {"input": n0, "quality_kept": n1, "exact_deduped": n2,
-            "neardup_resolved": n3, "decontaminated": n4,
+    return {"input": n0, "quality_kept": n1, "length_clipped": n1b,
+            "exact_deduped": n2, "neardup_resolved": n3,
+            "decontaminated": n4, "mixture_sampled": n5,
             "train_packs": packs,
             "table_version": table.current_version("curated")}
 

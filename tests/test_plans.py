@@ -353,3 +353,68 @@ def test_duplicate_passages_no_pair_join(spark):
     plan = plan_of(spark, "duplicate_passage_ngrams")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_aggregates_raw_rows_once(spark):
+    # time_bucket_gapfill: the raw events frame is aggregated through ONE
+    # exchange to (key, bucket) grain; grid/join/fill work runs over the
+    # aggregated frame only (partial_count below the first Exchange
+    # proves map-side combine on the raw scan)
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+    from dativo_ingest_spark.queries import load
+
+    ev = load(spark, SF_DIR, "events")
+    plan = time_bucket_gapfill(
+        ev, "ts", 3600.0, {"n": F.count("*")}, keys=["event_type"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"partial_count", plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_admission_is_scan_stage(spark):
+    # the second pass of temperature_mixture_sample is a pure filter: no
+    # Exchange, no window, no join — the predicate sits on the scan
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators import sampling
+    from dativo_ingest_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+")))
+    out = sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", "n_tokens", budget_tokens=10_000, alpha=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_quantile_clip_filter_is_scan_stage(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    from dativo_ingest_spark.operators import quality
+    from dativo_ingest_spark.queries import load
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    bounds = quality.quantile_bounds(li, ["l_quantity"], 0.05, 0.95)
+    plan = quality.apply_bounds(li, bounds)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert n_exchanges(plan) == 0
+    # the literal BETWEEN pushes into the parquet scan
+    scan = plan[plan.index("FileScan"):]
+    assert "GreaterThanOrEqual(l_quantity" in scan
+    assert "LessThanOrEqual(l_quantity" in scan
+
+
+def test_embedding_index_keys_have_constant_plan_size(spark):
+    # sign_band_keys is O(bands*width) expression nodes — doubling the
+    # corpus or the dimension must not grow the plan
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.similarity import sign_band_keys
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    plan = emb.select(
+        sign_band_keys(F.col("embedding"), bands=4, band_width=8)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0
+    assert len(plan) < 200_000

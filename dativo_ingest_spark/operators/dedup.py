@@ -689,3 +689,14 @@ def dedup_against_index(
         index_table.write_append(kept.select("fingerprint"), branch=branch)
     ranked.unpersist()
     return kept.drop("fingerprint"), n_batch_dups, n_index_dups
+
+
+def index_entries(df: DataFrame, text_col: str) -> DataFrame:
+    """The fingerprint-index rows for ``df`` — what
+    :func:`dedup_against_index` commits. Exposed separately so callers
+    that must defer the index append until AFTER their own sink publish
+    (e.g. the runner's dedup-on-ingest: crash between publish and append
+    re-admits, never loses) can recompute entries from the kept frame;
+    the md5 fingerprint is deterministic, so the deferred rows are
+    identical to what an inline commit would have written."""
+    return with_fingerprint(_widen(df), text_col).select("fingerprint")

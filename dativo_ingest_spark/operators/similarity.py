@@ -524,3 +524,28 @@ def dedup_embeddings_against_index(
         )
     staged.unpersist()
     return kept.drop("_vec", "_norm", "_keys"), n_batch_dups, n_index_dups
+
+
+def index_entries(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 4,
+    band_width: int = 8,
+) -> DataFrame:
+    """The banded cell-index rows for ``df`` — what
+    :func:`dedup_embeddings_against_index` commits (``bands`` rows per
+    document: id, band key, vector, norm). Exposed separately for callers
+    that defer the index append until after their own sink publish (same
+    contract as ``dedup.index_entries``); the keys/norms are deterministic
+    expressions, so deferred rows match an inline commit. Pass the SAME
+    ``bands``/``band_width`` the dedup call used — mismatched keys make
+    future batches miss the entries."""
+    staged = df.withColumn("_vec", vectors.as_double_array(F.col(vec_col)))
+    return staged.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(sign_band_keys(F.col("_vec"), bands, band_width))
+        .alias("key"),
+        F.col("_vec").alias("vec"),
+        vectors.l2_norm(F.col("_vec")).alias("norm"),
+    )

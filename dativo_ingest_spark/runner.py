@@ -67,6 +67,8 @@ class JobResult:
     infrastructure: dict[str, list[str]] = dc_field(default_factory=dict)
     #: one entry per evaluated data-quality expectation (operators/quality)
     dq_report: list[dict] = dc_field(default_factory=list)
+    #: dedup-on-ingest drops: {"batch": within-batch, "index": vs history}
+    dedup_dropped: dict[str, int] = dc_field(default_factory=dict)
 
     @property
     def records_per_second(self) -> float:
@@ -94,6 +96,7 @@ class JobResult:
                 self.records_invalid if self.exit_code == EXIT_PARTIAL
                 else 0),
             "records_per_second": round(self.records_per_second, 3),
+            "records_dedup_dropped": sum(self.dedup_dropped.values()),
             "output_path": self.output_path,
             "state_value": (str(self.state_value)
                             if self.state_value is not None else None),
@@ -300,12 +303,42 @@ def run_job(
             "target.options.mode=overwrite_partitions is a hive-publish "
             "operation; the snapshot sinks express it as an overwrite "
             "commit instead")
+    # dedup-on-ingest config (operators/dedup.py:dedup_against_index /
+    # operators/similarity.py:dedup_embeddings_against_index): validated
+    # before any data moves, like every other target option.
+    _dd = job.target.options.get("dedup")
+    if _dd is not None:
+        _dd = dict(_dd)
+        if not (_dd.get("index") and _dd.get("id_field")
+                and _dd.get("content_field")):
+            raise ConfigError(
+                "target.options.dedup needs index (the dedup-index table "
+                "path), id_field and content_field")
+        _dd["mode"] = str(_dd.get("mode", "exact"))
+        if _dd["mode"] not in ("exact", "embedding"):
+            raise ConfigError(
+                "target.options.dedup.mode must be exact or embedding, "
+                f"got {_dd['mode']!r}")
+        _contract_cols = {f.name for f in job.asset.fields}
+        if _dd["id_field"] not in _contract_cols:
+            raise ConfigError(
+                "target.options.dedup.id_field must be an asset schema "
+                "column: the deferred index append records only the rows "
+                "that actually published, which is decided by joining on "
+                "the validated frame's id column")
     t0 = time.perf_counter()
     # Warn-only preflight: endpoint reachability surfaces in logs/result,
     # never in the exit code (reference cli.py:236-244 catches-and-logs).
     infra = infrastructure.validate_infrastructure(job)
 
+    _cleanup: list = []   # persisted frames to release on any exit path
+
     def _finish(res: JobResult) -> JobResult:
+        for frame in _cleanup:
+            try:
+                frame.unpersist()
+            except Exception:  # pragma: no cover - session teardown races
+                pass
         res.infrastructure = infra
         logging.getLogger(__name__).info(
             "job metrics: %s", json.dumps(res.metrics(), sort_keys=True))
@@ -318,6 +351,46 @@ def run_job(
     if df is None:
         return _finish(JobResult(exit_code=EXIT_SUCCESS, skipped=True,
                                  duration_s=time.perf_counter() - t0))
+
+    # Dedup-on-ingest: drop rows the corpus already holds BEFORE
+    # validation/write, against a persistent index that is the compact
+    # thing joined — history is never rescanned. The index append is
+    # DEFERRED to after the sink publish (commit=False here): a crash in
+    # between re-admits rows on retry, never loses them. records_in /
+    # the observation below therefore count post-dedup rows; the drops
+    # are reported separately in JobResult.dedup_dropped.
+    dedup_dropped: dict[str, int] = {}
+    dedup_index_table = None
+    dedup_kept = None
+    if _dd is not None:
+        for c in (_dd["id_field"], _dd["content_field"]):
+            if c not in df.columns:
+                raise ConfigError(
+                    f"target.options.dedup field {c!r} not in the "
+                    f"extracted columns {sorted(df.columns)}")
+        dedup_index_table = table_commit.FsTable.create(str(_dd["index"]))
+        if _dd["mode"] == "embedding":
+            from dativo_ingest_spark.operators import (
+                similarity as similarity_mod)
+
+            kept, n_b, n_i = similarity_mod.dedup_embeddings_against_index(
+                spark, df, _dd["id_field"], _dd["content_field"],
+                dedup_index_table,
+                threshold=float(_dd.get("threshold", 0.95)),
+                bands=int(_dd.get("bands", 4)),
+                band_width=int(_dd.get("band_width", 8)),
+                commit=False,
+            )
+        else:
+            from dativo_ingest_spark.operators import dedup as dedup_mod
+
+            kept, n_b, n_i = dedup_mod.dedup_against_index(
+                spark, df, _dd["id_field"], _dd["content_field"],
+                dedup_index_table, commit=False,
+            )
+        dedup_dropped = {"batch": int(n_b), "index": int(n_i)}
+        df = dedup_kept = kept
+        _cleanup.append(kept)
 
     # Single-pass lifecycle: validation counters, the max-cursor state value
     # and the write all ride ONE source scan — observe() metrics on the
@@ -410,6 +483,7 @@ def run_job(
                 error_sample=[e for e in dq_report if not e["passed"]],
                 dq_report=dq_report,
                 duration_s=time.perf_counter() - t0,
+                dedup_dropped=dedup_dropped,
             ))
 
     props = tags_mod.derive_table_properties(
@@ -515,6 +589,7 @@ def run_job(
             # failure path only: one extra capped scan for the sample
             error_sample=result.error_summary(),
             duration_s=time.perf_counter() - t0,
+            dedup_dropped=dedup_dropped,
         ))
 
     if table is not None:
@@ -662,6 +737,35 @@ def run_job(
         with open(props_path, "w") as fh:
             json.dump(props, fh, indent=2, sort_keys=True)
 
+    # Commit-then-index: the sink publish above succeeded, so the kept
+    # rows' dedup-index entries may now be recorded (deferred from the
+    # commit=False call — crash before this point re-admits on retry,
+    # the safe direction). Entries derive from the operator's kept frame
+    # (it still carries the content/embedding column even when the
+    # contract projection dropped it from the sink), restricted to the
+    # rows that actually PUBLISHED via a semi-join on the validated
+    # frame's ids — valid-only under strict/bypass, all rows under warn.
+    # Both sides hit persisted caches.
+    if dedup_index_table is not None and dedup_kept is not None \
+            and n_rows > 0:
+        published = dedup_kept.join(
+            probe.select(_dd["id_field"]).distinct(),
+            _dd["id_field"], "left_semi")
+        if _dd["mode"] == "embedding":
+            from dativo_ingest_spark.operators import (
+                similarity as similarity_mod)
+
+            entries = similarity_mod.index_entries(
+                published, _dd["id_field"], _dd["content_field"],
+                bands=int(_dd.get("bands", 4)),
+                band_width=int(_dd.get("band_width", 8)))
+        else:
+            from dativo_ingest_spark.operators import dedup as dedup_mod
+
+            entries = dedup_mod.index_entries(
+                published, _dd["content_field"])
+        dedup_index_table.write_append(entries)
+
     # informational warn-mode sample: capped scan, only when errors exist
     sample = result.error_summary() if (invalid_count and result) else []
 
@@ -706,6 +810,7 @@ def run_job(
         state_value=state_value,
         duration_s=time.perf_counter() - t0,
         catalog_status=catalog_status,
+        dedup_dropped=dedup_dropped,
     ))
 
 

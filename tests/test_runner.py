@@ -674,3 +674,120 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     back = spark.read.parquet(out)
     got = sorted((r["id"], r["_p_name"]) for r in back.collect())
     assert got == [(2, "bob"), (10, "alice")]
+
+
+class TestDedupOnIngestOption:
+    """target.options.dedup: runner-level dedup-on-ingest against a
+    persistent index, with the index append deferred until after the sink
+    publish (commit-then-index)."""
+
+    @staticmethod
+    def _job(src, out, index, mode="warn", extra=None):
+        d = job_dict(src, out, mode=mode)
+        d["target"]["options"]["dedup"] = {
+            "index": index, "id_field": "id", "content_field": "name",
+            **(extra or {})}
+        return JobConfig.from_dict(d)
+
+    def test_second_run_drops_already_ingested_rows(self, spark, tmp_path):
+        src1 = tmp_path / "b1.csv"
+        src1.write_text("id,name,active\n1,alice,true\n2,bob,true\n")
+        src2 = tmp_path / "b2.csv"
+        src2.write_text("id,name,active\n3,alice,true\n4,dana,true\n")
+        index = str(tmp_path / "ix")
+        out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+        r1 = runner.run_job(spark, self._job(str(src1), out1, index))
+        assert r1.exit_code == runner.EXIT_SUCCESS
+        assert r1.records_in == 2 and r1.dedup_dropped == {
+            "batch": 0, "index": 0}
+        # run 2: "alice" content was already admitted by run 1
+        r2 = runner.run_job(spark, self._job(str(src2), out2, index))
+        assert r2.exit_code == runner.EXIT_SUCCESS
+        assert r2.records_in == 1
+        assert r2.dedup_dropped == {"batch": 0, "index": 1}
+        back = spark.read.parquet(out2)
+        assert [r.name for r in back.collect()] == ["dana"]
+
+    def test_within_batch_dups_collapse(self, spark, tmp_path):
+        src = tmp_path / "b.csv"
+        src.write_text(
+            "id,name,active\n1,alice,true\n2,alice,true\n3,bob,true\n")
+        index = str(tmp_path / "ix")
+        out = str(tmp_path / "o")
+        r = runner.run_job(spark, self._job(str(src), out, index))
+        assert r.records_in == 2
+        assert r.dedup_dropped == {"batch": 1, "index": 0}
+        assert r.metrics()["records_dedup_dropped"] == 1
+
+    def test_strict_abort_leaves_index_untouched(self, spark, tmp_path):
+        # run 1 fails strict validation (bad boolean) AFTER dedup ran;
+        # nothing published -> nothing indexed -> the rows are re-admitted
+        # by a later clean run
+        src_bad = tmp_path / "bad.csv"
+        src_bad.write_text("id,name,active\n1,alice,maybe\n")
+        src_ok = tmp_path / "ok.csv"
+        src_ok.write_text("id,name,active\n9,alice,true\n")
+        index = str(tmp_path / "ix")
+        r1 = runner.run_job(
+            spark, self._job(str(src_bad), str(tmp_path / "o1"), index,
+                             mode="strict"))
+        assert r1.exit_code == runner.EXIT_FAILURE
+        r2 = runner.run_job(
+            spark, self._job(str(src_ok), str(tmp_path / "o2"), index,
+                             mode="strict"))
+        assert r2.exit_code == runner.EXIT_SUCCESS
+        assert r2.records_in == 1 and r2.dedup_dropped["index"] == 0
+
+    def test_config_errors_fail_at_startup(self, spark, tmp_path):
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+        out = str(tmp_path / "o")
+        bad = job_dict(str(src), out)
+        bad["target"]["options"]["dedup"] = {"index": str(tmp_path / "ix")}
+        with pytest.raises(ConfigError, match="id_field"):
+            runner.run_job(spark, JobConfig.from_dict(bad))
+        with pytest.raises(ConfigError, match="mode"):
+            runner.run_job(spark, self._job(
+                str(src), out, str(tmp_path / "ix"),
+                extra={"mode": "fuzzy"}))
+        with pytest.raises(ConfigError, match="not in the extracted"):
+            runner.run_job(spark, self._job(
+                str(src), out, str(tmp_path / "ix"),
+                extra={"content_field": "nope"}))
+
+    def test_embedding_mode_end_to_end(self, spark, tmp_path):
+        # parquet source; the embedding column is NOT in the asset
+        # contract (projected away from the sink) yet still drives dedup
+        # and the deferred index append
+        def write_batch(path, rows):
+            spark.createDataFrame(
+                rows, "id long, name string, active boolean, "
+                      "embedding array<double>"
+            ).write.parquet(path)
+
+        v1 = [0.5, -1.5, 2.5, 0.25, 3.0, -0.75, 1.0, 4.0]
+        v2 = [float((-1) ** i) * (i + 1) for i in range(8)]
+        b1 = str(tmp_path / "b1"); b2 = str(tmp_path / "b2")
+        write_batch(b1, [(1, "a", True, v1), (2, "b", True, v2)])
+        # batch 2: a scaled re-encode of v1 (cosine 1.0) + one new vector
+        write_batch(b2, [(3, "c", True, [x * 2.0 for x in v1]),
+                         (4, "d", True, [1.0] * 8)])
+        index = str(tmp_path / "ix")
+
+        def job(src, out):
+            d = job_dict(src, out)
+            d["source"] = {"type": "parquet", "path": src}
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id",
+                "content_field": "embedding", "mode": "embedding",
+                "threshold": 0.99}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(b1, str(tmp_path / "o1")))
+        assert r1.exit_code == runner.EXIT_SUCCESS and r1.records_in == 2
+        r2 = runner.run_job(spark, job(b2, str(tmp_path / "o2")))
+        assert r2.records_in == 1
+        assert r2.dedup_dropped == {"batch": 0, "index": 1}
+        back = spark.read.parquet(str(tmp_path / "o2"))
+        assert "embedding" not in back.columns   # contract projection
+        assert [r.name for r in back.collect()] == ["d"]

@@ -393,13 +393,23 @@ def sign_band_keys(
 
     Each band's key is ``band_width`` comparison bits: bit *i* of band *t*
     compares two runtime-modulo-indexed components
-    (``vec[(t·w + 2i) % d]  vs  vec[(t·w + 2i + 1) % d]``) — a rank
-    pattern rather than raw signs, so corpora with a biased mean (e.g.
-    post-ReLU embeddings, all-positive) don't collapse into one cell the
-    way sign-of-component keys do. Scale-invariant (cosine-compatible) and
-    a pure Catalyst expression: no fitted state, no literals proportional
-    to the corpus, O(bands·band_width) plan size, works for any dimension
-    (indices wrap at runtime via the array size).
+    (``vec[(2·t·w + 2i) % d]  vs  vec[(2·t·w + 2i + 1 + t) % d]``) — a
+    rank pattern rather than raw signs, so corpora with a biased mean
+    (e.g. post-ReLU embeddings, all-positive) don't collapse into one
+    cell the way sign-of-component keys do. Scale-invariant
+    (cosine-compatible) and a pure Catalyst expression: no fitted state,
+    no literals proportional to the corpus, O(bands·band_width) plan
+    size, works for any dimension (indices wrap at runtime via the array
+    size).
+
+    Band independence is structural on two axes: the ``2·t·w`` stride
+    gives bands disjoint index ranges while the dimension lasts, and the
+    per-band partner offset ``1 + t`` keeps the COMPARISON SETS distinct
+    even after the modulo wraps (low-dimension vectors) — without the
+    varying offset, a 16-dim embedding with the default 4×8 banding
+    would make every band test the identical pairs and silently collapse
+    the recall amplifier to one band. A comparison whose two indices
+    coincide after the wrap emits a constant bit (harmless).
 
     Exactly-equal vectors agree on EVERY band; near-duplicates agree on a
     band unless one of its compared pairs straddles the perturbation —
@@ -409,8 +419,8 @@ def sign_band_keys(
     for t in range(bands):
         bits = []
         for i in range(band_width):
-            ia = F.lit(t * band_width + 2 * i)
-            ib = F.lit(t * band_width + 2 * i + 1)
+            ia = F.lit(2 * t * band_width + 2 * i)
+            ib = F.lit(2 * t * band_width + 2 * i + 1 + t)
             a = F.element_at(vec, (ia % F.size(vec)) + 1)
             b = F.element_at(vec, (ib % F.size(vec)) + 1)
             bits.append(F.when(a > b, F.lit("1")).otherwise(F.lit("0")))
@@ -453,9 +463,13 @@ def dedup_embeddings_against_index(
     scored only if some band's comparison pattern matches — raise
     ``bands`` (index grows linearly) or lower ``band_width`` (hotter
     cells) to trade recall against cost. Zero/NULL-norm vectors never
-    match (cosine undefined — kept, documented). Returns
-    ``(kept_df, n_batch_dups, n_index_dups)`` with ``kept_df`` persisted
-    (caller unpersists when done), original batch schema.
+    match (cosine undefined — kept, documented). Ids are assumed UNIQUE
+    within the batch (the loser rule keys on id): rows sharing an id are
+    neither deduped against each other nor collapsed — run the exact
+    twin (or a keyed dropDuplicates) first if the source can repeat ids.
+    Returns ``(kept_df, n_batch_dups, n_index_dups)`` — row counts, with
+    ``kept_df`` persisted (caller unpersists when done), original batch
+    schema.
 
     100 TB shape: everything shuffles on the band key; the index is
     ``bands ×`` the admitted corpus in (key, vec, norm) rows — compact
@@ -480,11 +494,15 @@ def dedup_embeddings_against_index(
     )
     cos = _pair_cosine("a._vec", "b._vec", "a._norm", "b._norm")
     a, b = keyed.alias("a"), keyed.alias("b")
+    # persist the small loser-id list: materializes the cell self-join
+    # exactly once (the counters and both anti-joins below reuse it
+    # instead of re-running the scoring join per action)
     batch_losers = (
         a.join(b, (F.col("a._key") == F.col("b._key"))
                & (F.col("b.id") < F.col("a.id")))
         .filter(cos >= threshold)
         .select(F.col("a.id").alias("id")).distinct()
+        .persist()
     )
 
     if branch != "main" and index_table.current_version(branch) is None:
@@ -499,20 +517,26 @@ def dedup_embeddings_against_index(
             keyed.join(index, "_key")
             .filter(icos >= threshold)
             .select("id").distinct()
+            .persist()   # one execution of the index join, reused below
         )
     else:
         index_hits = spark.createDataFrame([], "id string").select(
             F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
 
+    after_batch = staged.join(
+        batch_losers, staged[id_col] == batch_losers["id"], "left_anti")
     kept = (
-        staged
-        .join(batch_losers, staged[id_col] == batch_losers["id"], "left_anti")
+        after_batch
         .join(index_hits, staged[id_col] == index_hits["id"], "left_anti")
         .persist()
     )
     n_kept = kept.count()
-    n_batch_dups = batch_losers.count()
-    n_index_dups = n_total - n_batch_dups - n_kept
+    # row-accurate counters (an id-keyed count would miscount if a loser
+    # id covered several rows): both counts are anti-joins of the cached
+    # staged frame against the cached tiny id lists
+    n_after_batch = after_batch.count()
+    n_batch_dups = n_total - n_after_batch
+    n_index_dups = n_after_batch - n_kept
     if commit and n_kept:
         index_table.write_append(
             kept.select(
@@ -523,6 +547,9 @@ def dedup_embeddings_against_index(
             branch=branch,
         )
     staged.unpersist()
+    batch_losers.unpersist()
+    if head.files:
+        index_hits.unpersist()
     return kept.drop("_vec", "_norm", "_keys"), n_batch_dups, n_index_dups
 
 

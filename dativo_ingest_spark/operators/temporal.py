@@ -301,9 +301,20 @@ def time_bucket_gapfill(
 
     filled = grid.join(agged, [*keys, "_bucket"], "left")
     if fill == "zero":
+        from pyspark.sql.types import NumericType
+
+        non_numeric = [
+            n for n in val_names
+            if not isinstance(agged.schema[n].dataType, NumericType)]
+        if non_numeric:
+            raise ValueError(
+                f"fill='zero' needs numeric aggregates; {non_numeric} are "
+                "not — use fill='null' or 'locf'")
         filled = filled.select(
             *keys, "_bucket",
-            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in val_names])
+            *[F.coalesce(F.col(n),
+                         F.lit(0).cast(agged.schema[n].dataType)).alias(n)
+              for n in val_names])
     elif fill == "locf":
         from pyspark.sql.window import Window
 

@@ -319,13 +319,24 @@ def run_job(
             raise ConfigError(
                 "target.options.dedup.mode must be exact or embedding, "
                 f"got {_dd['mode']!r}")
-        _contract_cols = {f.name for f in job.asset.fields}
-        if _dd["id_field"] not in _contract_cols:
+        if _wm in ("overwrite", "overwrite_partitions"):
             raise ConfigError(
-                "target.options.dedup.id_field must be an asset schema "
-                "column: the deferred index append records only the rows "
-                "that actually published, which is decided by joining on "
-                "the validated frame's id column")
+                "target.options.dedup cannot combine with mode="
+                f"{_wm}: the dedup index is append-only corpus memory, "
+                "so overwriting the corpus would leave the index "
+                "remembering content the table no longer holds (and "
+                "silently dropping its legitimate re-ingestion)")
+        _id_field_def = next(
+            (f for f in job.asset.fields if f.name == _dd["id_field"]),
+            None)
+        if _id_field_def is None or not _id_field_def.required:
+            raise ConfigError(
+                "target.options.dedup.id_field must be a REQUIRED asset "
+                "schema column: the deferred index append records only "
+                "the rows that actually published, decided by joining on "
+                "the validated frame's id — an optional id could coerce "
+                "to NULL, publish under warn mode, and never be indexed "
+                "(its content would then re-publish on every later run)")
     t0 = time.perf_counter()
     # Warn-only preflight: endpoint reachability surfaces in logs/result,
     # never in the exit code (reference cli.py:236-244 catches-and-logs).
@@ -362,7 +373,9 @@ def run_job(
     dedup_dropped: dict[str, int] = {}
     dedup_index_table = None
     dedup_kept = None
+    pre_dedup_df = None
     if _dd is not None:
+        pre_dedup_df = df
         for c in (_dd["id_field"], _dd["content_field"]):
             if c not in df.columns:
                 raise ConfigError(
@@ -748,9 +761,17 @@ def run_job(
     # Both sides hit persisted caches.
     if dedup_index_table is not None and dedup_kept is not None \
             and n_rows > 0:
-        published = dedup_kept.join(
-            probe.select(_dd["id_field"]).distinct(),
-            _dd["id_field"], "left_semi")
+        if mode == "strict" or bypass:
+            # only validated rows published — restrict via their ids
+            # (id_field is a required contract column, so a published
+            # row's id is never NULL and the semi-join cannot miss it)
+            published = dedup_kept.join(
+                probe.select(_dd["id_field"]).distinct(),
+                _dd["id_field"], "left_semi")
+        else:
+            # warn mode publishes every row — index them all directly
+            # (a coerced-NULL id would silently fall out of a semi-join)
+            published = dedup_kept
         if _dd["mode"] == "embedding":
             from dativo_ingest_spark.operators import (
                 similarity as similarity_mod)
@@ -775,6 +796,27 @@ def run_job(
     if store is not None and inc.enabled:
         if cursor:
             state_value = m.get("max_cursor")
+            # Dedup-dropped rows are handled content (already in the
+            # corpus): the cursor must advance past them, else a batch
+            # whose newest rows are all duplicates stalls the watermark
+            # and the same tail is re-extracted and re-deduped forever.
+            # One extra cursor-pruned pass over the batch source, only
+            # when something was dropped.
+            if (pre_dedup_df is not None and dedup_kept is not None
+                    and sum(dedup_dropped.values())
+                    and cursor in pre_dedup_df.columns):
+                dropped_max = (
+                    pre_dedup_df
+                    .join(dedup_kept.select(_dd["id_field"]).distinct(),
+                          _dd["id_field"], "left_anti")
+                    .agg(F.max(F.col(cursor)).alias("m")).first()["m"])
+                try:
+                    if dropped_max is not None and (
+                            state_value is None
+                            or dropped_max > state_value):
+                        state_value = dropped_max
+                except TypeError:  # raw vs coerced cursor types differ
+                    pass
             if state_value is not None:
                 store.set(key, cursor, state_value)
         if inc.strategy == "file_modified_time" and job.source.path:

@@ -684,6 +684,7 @@ class TestDedupOnIngestOption:
     @staticmethod
     def _job(src, out, index, mode="warn", extra=None):
         d = job_dict(src, out, mode=mode)
+        d["target"]["options"]["mode"] = "append"   # overwrite is rejected
         d["target"]["options"]["dedup"] = {
             "index": index, "id_field": "id", "content_field": "name",
             **(extra or {})}
@@ -743,6 +744,7 @@ class TestDedupOnIngestOption:
         src.write_text("id,name,active\n1,alice,true\n")
         out = str(tmp_path / "o")
         bad = job_dict(str(src), out)
+        bad["target"]["options"]["mode"] = "append"
         bad["target"]["options"]["dedup"] = {"index": str(tmp_path / "ix")}
         with pytest.raises(ConfigError, match="id_field"):
             runner.run_job(spark, JobConfig.from_dict(bad))
@@ -777,6 +779,7 @@ class TestDedupOnIngestOption:
         def job(src, out):
             d = job_dict(src, out)
             d["source"] = {"type": "parquet", "path": src}
+            d["target"]["options"]["mode"] = "append"
             d["target"]["options"]["dedup"] = {
                 "index": index, "id_field": "id",
                 "content_field": "embedding", "mode": "embedding",
@@ -791,3 +794,66 @@ class TestDedupOnIngestOption:
         back = spark.read.parquet(str(tmp_path / "o2"))
         assert "embedding" not in back.columns   # contract projection
         assert [r.name for r in back.collect()] == ["d"]
+
+    def test_overwrite_mode_rejected_with_dedup(self, spark, tmp_path):
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+        d = job_dict(str(src), str(tmp_path / "o"))   # mode: overwrite
+        d["target"]["options"]["dedup"] = {
+            "index": str(tmp_path / "ix"), "id_field": "id",
+            "content_field": "name"}
+        with pytest.raises(ConfigError, match="append-only"):
+            runner.run_job(spark, JobConfig.from_dict(d))
+
+    def test_optional_id_field_rejected(self, spark, tmp_path):
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+        d = job_dict(str(src), str(tmp_path / "o"))
+        d["target"]["options"]["mode"] = "append"
+        d["target"]["options"]["dedup"] = {
+            "index": str(tmp_path / "ix"), "id_field": "active",
+            "content_field": "name"}   # active is not required
+        with pytest.raises(ConfigError, match="REQUIRED"):
+            runner.run_job(spark, JobConfig.from_dict(d))
+
+    def test_cursor_advances_past_dedup_dropped_rows(self, spark, tmp_path):
+        # batch 2 is ALL duplicates at higher cursor values: without the
+        # dropped-rows watermark fold the state would stall and the tail
+        # would be re-extracted forever
+        def write_batch(path, rows):
+            spark.createDataFrame(
+                rows, "id long, name string, active boolean").write.parquet(
+                path)
+
+        b = str(tmp_path / "b")
+        write_batch(b, [(1, "alice", True), (2, "bob", True)])
+        state = str(tmp_path / "state")
+        index = str(tmp_path / "ix")
+
+        def job(out):
+            d = job_dict(b, out)
+            d["source"] = {"type": "parquet", "path": b,
+                           "incremental": {"enabled": True,
+                                           "cursor_field": "id"}}
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id", "content_field": "name"}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(str(tmp_path / "o1")),
+                            state_root=state)
+        assert r1.records_in == 2 and str(r1.state_value) == "2"
+        # append duplicate-content rows at cursor 3 and 4
+        spark.createDataFrame(
+            [(3, "alice", True), (4, "bob", True)],
+            "id long, name string, active boolean",
+        ).write.mode("append").parquet(b)
+        r2 = runner.run_job(spark, job(str(tmp_path / "o2")),
+                            state_root=state)
+        # the >= cursor re-read pulls id=2 (bob) back in: it collides
+        # with id=4's bob within the batch (1), and the remaining two
+        # rows drop against the index (2) — nothing publishes, yet the
+        # watermark still advances past the all-duplicate tail
+        assert r2.records_in == 0
+        assert r2.dedup_dropped == {"batch": 1, "index": 2}
+        assert str(r2.state_value) == "4"   # advanced past the dropped tail

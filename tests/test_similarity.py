@@ -255,3 +255,37 @@ class TestEmbeddingIndexDedup:
             spark, b2, "doc_id", "embedding", table)
         assert kept2.count() == 0 and index_dups == 1
         kept2.unpersist()
+
+
+def test_sign_band_keys_bands_distinct_low_dim(spark):
+    # 16-dim vectors with the default 4x8 banding: every band must test a
+    # DIFFERENT comparison set (the stride+offset construction), so a
+    # single-dimension perturbation flips some bands but not all — with
+    # overlapping bands the recall amplifier silently collapses to one
+    from dativo_ingest_spark.operators.similarity import sign_band_keys
+
+    base = [float((i * 7) % 5) + i * 0.1 for i in range(16)]
+    rows = [("base", base)]
+    for d in range(16):
+        v = list(base)
+        v[d] += 100.0   # force every comparison involving dim d to flip
+        rows.append((f"p{d}", v))
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    out = {r.doc_id: list(r.k) for r in df.select(
+        "doc_id", sign_band_keys(F.col("embedding")).alias("k")).collect()}
+    keys = out["base"]
+    bodies = {k.split(":", 1)[1] for k in keys}
+    # band key BODIES must not all coincide across the 4 bands — the
+    # regression shape: a uniform t*w stride makes every band test the
+    # IDENTICAL pairs at d=16 and the amplifier collapses to one band
+    assert len(bodies) > 1
+    # bands REACT to perturbations (some band flips for every gross
+    # single-dim change), and at least one dim leaves >= 1 band intact —
+    # impossible when all bands are the same comparison set
+    agrees = [
+        sum(1 for a, b in zip(keys, out[f"p{d}"]) if a == b)
+        for d in range(16)]
+    # independence signature: some dims flip only SOME bands (partial
+    # agreement 1..3) — impossible when every band is the same
+    # comparison set (then agreement is all-or-nothing per dim)
+    assert any(1 <= a <= 3 for a in agrees), agrees

@@ -314,3 +314,21 @@ def test_gapfill_explicit_range_and_validation(spark):
     with pytest.raises(ValueError):
         time_bucket_gapfill(frame, "ts", 60, {"n": F.count("*")},
                             start="2024-01-01")
+
+
+def test_gapfill_zero_fill_rejects_non_numeric_aggs(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from dativo_ingest_spark.operators.temporal import time_bucket_gapfill
+
+    frame = _gapfill_frame(spark).withColumn(
+        "tag", (F.col("v") > 10).cast("string"))
+    with pytest.raises(ValueError, match="numeric"):
+        time_bucket_gapfill(
+            frame, "ts", 60.0, {"last_tag": F.max("tag")}, keys=["k"],
+            fill="zero")
+    # numeric aggregates still zero-fill, typed to the aggregate column
+    out = time_bucket_gapfill(
+        frame, "ts", 60.0, {"mx": F.max("v")}, keys=["k"], fill="zero",
+    ).orderBy("k", "bucket_ts").collect()
+    assert [r.mx for r in out if r.k == "A"] == [20.0, 0.0, 40.0]

@@ -51,8 +51,12 @@ def check_source(spark: SparkSession, src: SourceConfig,
             if not files:
                 return {"ok": False, "source_type": "jsonl",
                         "error": f"no files match {src.path}"}
+            # probe ALL files, not files[0]: the actual read unions keys
+            # across the glob, so a required column present only in later
+            # files must not be reported missing (and extra columns in
+            # later files must show up)
             cols = jsonl_source.read_jsonl(
-                spark, files[0], options=src.options).columns
+                spark, files, options=src.options).columns
             return {"ok": True, "source_type": "jsonl",
                     "details": {"files": len(files), "columns": cols}}
         if src.type == "markdown_kv":

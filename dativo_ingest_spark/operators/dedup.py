@@ -679,16 +679,21 @@ def dedup_against_index(
         kept = batch_survivors.join(index, "fingerprint", "left_anti")
     else:
         kept = batch_survivors
-    # the returned frame stays persisted (the caller's write is another
-    # action over it); callers unpersist when done
-    kept = kept.persist()
+    # persist the frame we RETURN (post-drop) — persisting a parent and
+    # returning a child would make the caller's unpersist() a no-op and
+    # leak a cache entry per call in long-lived sessions; the caller's
+    # write is another action over it, unpersist when done. The commit
+    # below recomputes fingerprints from the cached kept rows
+    # (deterministic md5 — identical to what the anti-join filtered on).
+    kept = kept.drop("fingerprint").persist()
     n_kept = kept.count()
     n_batch_dups = n_total - batch_survivors.count()
     n_index_dups = n_total - n_batch_dups - n_kept
     if commit and n_kept:
-        index_table.write_append(kept.select("fingerprint"), branch=branch)
+        index_table.write_append(index_entries(kept, text_col),
+                                 branch=branch)
     ranked.unpersist()
-    return kept.drop("fingerprint"), n_batch_dups, n_index_dups
+    return kept, n_batch_dups, n_index_dups
 
 
 def index_entries(df: DataFrame, text_col: str) -> DataFrame:

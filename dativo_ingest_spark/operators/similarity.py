@@ -525,9 +525,15 @@ def dedup_embeddings_against_index(
 
     after_batch = staged.join(
         batch_losers, staged[id_col] == batch_losers["id"], "left_anti")
+    # persist the frame we RETURN (post-drop of the staging columns) —
+    # persisting a parent and returning a child would make the caller's
+    # unpersist() a no-op and leak a cache entry per call; the commit
+    # below recomputes keys/norms from the cached kept rows (deterministic
+    # expressions — identical to what the joins filtered on)
     kept = (
         after_batch
         .join(index_hits, staged[id_col] == index_hits["id"], "left_anti")
+        .drop("_vec", "_norm", "_keys")
         .persist()
     )
     n_kept = kept.count()
@@ -539,18 +545,14 @@ def dedup_embeddings_against_index(
     n_index_dups = n_after_batch - n_kept
     if commit and n_kept:
         index_table.write_append(
-            kept.select(
-                F.col(id_col).cast("string").alias("id"),
-                F.explode("_keys").alias("key"),
-                F.col("_vec").alias("vec"), F.col("_norm").alias("norm"),
-            ),
+            index_entries(kept, id_col, vec_col, bands, band_width),
             branch=branch,
         )
     staged.unpersist()
     batch_losers.unpersist()
     if head.files:
         index_hits.unpersist()
-    return kept.drop("_vec", "_norm", "_keys"), n_batch_dups, n_index_dups
+    return kept, n_batch_dups, n_index_dups
 
 
 def index_entries(

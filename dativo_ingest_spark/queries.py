@@ -3996,9 +3996,12 @@ for _name in _GATE_DEMOTED:
 
 # the registration-order footgun, made loud: a new @register without a
 # matching demotion pushes the newest query silently outside the proof
-# window (this is exactly what happened to the four r5 additions)
-assert len(QUERIES) - len(_GATE_DEMOTED) <= 50, (
-    f"{len(QUERIES) - len(_GATE_DEMOTED)} non-demoted queries exceed the "
-    "50-row driver proof window: demote a proven sibling per addition "
-    "(see the rotation notes above)")
+# window (this is exactly what happened to the four r5 additions).
+# An explicit raise, not an assert — asserts vanish under ``python -O``
+# and this guard must stay loud everywhere.
+if len(QUERIES) - len(_GATE_DEMOTED) > 50:
+    raise RuntimeError(
+        f"{len(QUERIES) - len(_GATE_DEMOTED)} non-demoted queries exceed "
+        "the 50-row driver proof window: demote a proven sibling per "
+        "addition (see the rotation notes above)")
 del _name

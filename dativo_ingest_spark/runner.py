@@ -49,6 +49,11 @@ EXIT_SUCCESS = 0
 EXIT_PARTIAL = 1
 EXIT_FAILURE = 2
 
+#: max row fingerprints kept for rollup's cursor-boundary replay set
+#: (rows sharing the max cursor value) — ~33 bytes each in snapshot
+#: properties, so the default bounds the metadata cost at ~150 KB.
+_ROLLUP_BOUNDARY_CAP = 5000
+
 
 @dataclass
 class JobResult:
@@ -656,28 +661,77 @@ def run_job(
             # both would double-fold an additive state. The state commit
             # therefore carries its own FOLDED watermark in snapshot
             # properties (atomic with the fold, like the streaming epoch
-            # markers): rows at or below it are already in the state and
-            # are dropped before folding.
+            # markers). Because a cursor need not be unique (timestamps),
+            # a bare ``> watermark`` filter would silently drop GENUINE
+            # new rows sharing the boundary cursor value — so alongside
+            # the watermark we store the row fingerprints of the
+            # already-folded rows AT the watermark: boundary rows re-read
+            # by ``>=`` drop only when their full-row fingerprint is in
+            # that set. The set is bounded (``_ROLLUP_BOUNDARY_CAP``,
+            # rows sharing the max cursor value are few in practice); on
+            # overflow it degrades — loudly — to the old ``>`` filter.
+            # Rows identical in EVERY column still collapse (inherent to
+            # identity-based replay detection; give such sources a unique
+            # id column).
             rprops = dict(props)
             cursor_field = job.source.incremental.cursor_field \
                 if job.source.incremental.enabled else None
             if cursor_field and cursor_field in batch.columns:
                 wm_key = f"rollup.cursor.{cursor_field}"
+                bd_key = f"rollup.cursor_rows.{cursor_field}"
                 prev = head.properties.get(wm_key)
+                row_fp = F.md5(F.to_json(F.struct(
+                    *[F.col(c) for c in sorted(batch.columns)])))
+                prev_fps: list | None = None
                 if prev is not None:
+                    raw_bd = head.properties.get(bd_key)
+                    if raw_bd:
+                        try:
+                            prev_fps = list(json.loads(raw_bd))
+                        except (ValueError, TypeError):
+                            prev_fps = None
                     bound = F.lit(prev).cast(
                         batch.schema[cursor_field].dataType)
-                    batch = batch.filter(F.col(cursor_field) > bound)
+                    if prev_fps:
+                        batch = batch.filter(
+                            (F.col(cursor_field) > bound)
+                            | ((F.col(cursor_field) == bound)
+                               & ~row_fp.isin(*prev_fps)))
+                    else:
+                        batch = batch.filter(F.col(cursor_field) > bound)
+                batch = batch.persist()
                 new_max = batch.agg(
                     F.max(cursor_field).alias("m")).first()["m"]
                 if new_max is not None:
                     rprops[wm_key] = str(new_max)
+                    fps = sorted(
+                        r["fp"] for r in batch
+                        .filter(F.col(cursor_field) == F.lit(new_max))
+                        .select(row_fp.alias("fp")).distinct().collect())
+                    if str(new_max) == prev and prev_fps:
+                        fps = sorted(set(fps) | set(prev_fps))
+                    if len(fps) <= _ROLLUP_BOUNDARY_CAP:
+                        rprops[bd_key] = json.dumps(fps)
+                    else:
+                        logging.getLogger(__name__).warning(
+                            "rollup boundary set for %s has %d rows at "
+                            "cursor=%s (cap %d): falling back to the "
+                            "strict > watermark filter — genuine new rows "
+                            "at this cursor value in the NEXT batch will "
+                            "be dropped; use a higher-resolution or "
+                            "unique cursor", cursor_field, len(fps),
+                            new_max, _ROLLUP_BOUNDARY_CAP)
+                        rprops.pop(bd_key, None)
                 elif prev is not None:
                     rprops[wm_key] = prev   # empty delta keeps watermark
+                    if head.properties.get(bd_key):
+                        rprops[bd_key] = head.properties[bd_key]
             base = table.read(spark, branch=branch) if head.files else None
             state = rollup_mod.maintain_rollup(base, batch, rkeys, rmeasures)
             table.write_append(state, branch=branch, operation="overwrite",
                                properties=rprops)
+            if cursor_field and cursor_field in batch.columns:
+                batch.unpersist()
             shutil.rmtree(stage, ignore_errors=True)
         elif write_mode == "scd2":
             # CDC changelog -> maintained SCD type-2 dimension: each batch
@@ -805,18 +859,38 @@ def run_job(
             if (pre_dedup_df is not None and dedup_kept is not None
                     and sum(dedup_dropped.values())
                     and cursor in pre_dedup_df.columns):
+                # pre_dedup_df is the RAW extracted frame (all-string for
+                # CSV/JSONL), while state_value came off the coerced write
+                # pass — coerce the raw cursor through the same contract
+                # ladder before taking max so the comparison below is
+                # like-typed (a string "9" vs int 10 comparison would
+                # otherwise stall the watermark behind an all-dup tail).
+                from dativo_ingest_spark.functions import coercion
+
+                raw_cursor = F.col(cursor)
+                _cf = next((f for f in job.asset.fields
+                            if f.name == cursor), None)
+                if _cf is not None:
+                    raw_cursor = coercion.coerce(
+                        raw_cursor, _cf.type,
+                        pre_dedup_df.schema[cursor].dataType)
                 dropped_max = (
                     pre_dedup_df
                     .join(dedup_kept.select(_dd["id_field"]).distinct(),
                           _dd["id_field"], "left_anti")
-                    .agg(F.max(F.col(cursor)).alias("m")).first()["m"])
+                    .agg(F.max(raw_cursor).alias("m")).first()["m"])
                 try:
                     if dropped_max is not None and (
                             state_value is None
                             or dropped_max > state_value):
                         state_value = dropped_max
-                except TypeError:  # raw vs coerced cursor types differ
-                    pass
+                except TypeError:
+                    # should be unreachable now that both sides are
+                    # contract-coerced; keep the job alive but say so
+                    logging.getLogger(__name__).warning(
+                        "dedup cursor advance skipped: dropped_max %r "
+                        "not comparable to state value %r",
+                        dropped_max, state_value)
             if state_value is not None:
                 store.set(key, cursor, state_value)
         if inc.strategy == "file_modified_time" and job.source.path:

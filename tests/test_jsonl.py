@@ -140,3 +140,22 @@ def test_malformed_line_never_leaks_corrupt_column(spark, tmp_path):
     cfg["source"]["type"] = "jsonl"
     res = runner.run_job(spark, JobConfig.from_dict(cfg))
     assert res.exit_code == runner.EXIT_FAILURE  # strict: exit 2
+
+
+def test_check_source_probes_all_files_not_first(spark, tmp_path):
+    """A contract column present only in LATER files must show up in the
+    probe (the actual read unions keys across the whole glob), and so must
+    later-file-only extras — first-file-only probing falsely reported both
+    missing."""
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    (tmp_path / "a.jsonl").write_text('{"id": 1, "name": "x"}\n')
+    (tmp_path / "b.jsonl").write_text(
+        '{"id": 2, "name": "y", "active": true, "extra": "z"}\n')
+    src = SourceConfig.from_dict(
+        {"type": "jsonl", "path": str(tmp_path / "*.jsonl")})
+    doc = inspect_cmd.check_source(spark, src)
+    assert doc["ok"] and doc["details"]["files"] == 2
+    assert {"id", "name", "active", "extra"} <= \
+        set(doc["details"]["columns"])

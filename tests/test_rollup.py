@@ -267,3 +267,73 @@ class TestRollupTargetMode:
         cfg2 = self._cfg(src, str(tmp_path / "t2"))
         with _pytest.raises(ConfigError, match="cursor"):
             runner.run_job(spark, JobConfig.from_dict(cfg2))
+
+    def test_non_unique_cursor_boundary_rows_still_fold(self, spark,
+                                                        tmp_path):
+        """A timestamp-style (non-unique) cursor: genuinely-new rows that
+        share the stored watermark's cursor value must fold in on the next
+        run, while replayed already-folded boundary rows must not — the
+        boundary row-fingerprint set distinguishes them where a bare
+        ``> watermark`` filter cannot."""
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import JobConfig
+        from dativo_ingest_spark.operators import rollup
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "tbl")
+        state = str(tmp_path / "state")
+        inc = {"enabled": True, "cursor_field": "cursor"}
+        measures = {"n": ("count", "v"), "total": ("sum", "v"),
+                    "hi": ("max", "v")}
+        schema = "k string, v double, cursor int"
+
+        b1 = spark.createDataFrame(
+            [("a", 1.0, 1), ("b", 2.0, 1), ("a", 3.0, 2), ("b", 4.0, 2)],
+            schema)
+        b1.write.mode("overwrite").parquet(src)
+        cfg = self._cfg(src, root, incremental=inc)
+        r1 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r1.exit_code == runner.EXIT_SUCCESS
+
+        # watermark + boundary fingerprints committed atomically with
+        # the fold
+        table = FsTable(root)
+        head = table.snapshot(table.current_version("acme"))
+        assert head.properties["rollup.cursor.cursor"] == "2"
+        import json as _json
+
+        assert len(_json.loads(
+            head.properties["rollup.cursor_rows.cursor"])) == 2
+
+        # second source state: everything so far PLUS two genuinely-new
+        # rows AT the watermark cursor (2) and one past it — the >= 2
+        # extraction replays the two folded cursor-2 rows alongside them
+        b2_all = spark.createDataFrame(
+            [("a", 1.0, 1), ("b", 2.0, 1), ("a", 3.0, 2), ("b", 4.0, 2),
+             ("a", 10.0, 2), ("c", 20.0, 2), ("b", 30.0, 3)],
+            schema)
+        b2_all.write.mode("overwrite").parquet(src)
+        r2 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r2.exit_code == runner.EXIT_SUCCESS
+
+        got = rollup.finalize(
+            table.read(spark, branch="acme"), ["k"], measures
+        ).select("k", "n", "total", "hi")
+        exp = b2_all.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total"),
+            F.max("v").alias("hi"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect()))
+
+        # replaying the new source state verbatim folds nothing further
+        r3 = runner.run_job(spark, JobConfig.from_dict(cfg),
+                            state_root=state)
+        assert r3.exit_code == runner.EXIT_SUCCESS
+        again = rollup.finalize(
+            table.read(spark, branch="acme"), ["k"], measures
+        ).select("k", "n", "total", "hi")
+        assert sorted(map(tuple, again.collect())) == \
+            sorted(map(tuple, exp.collect()))

@@ -857,3 +857,65 @@ class TestDedupOnIngestOption:
         assert r2.records_in == 0
         assert r2.dedup_dropped == {"batch": 1, "index": 2}
         assert str(r2.state_value) == "4"   # advanced past the dropped tail
+
+    def test_cursor_advance_with_string_source_cursor(self, spark,
+                                                      tmp_path):
+        """CSV sources extract all-string frames: the dedup dropped-rows
+        watermark fold must coerce the raw cursor through the contract
+        ladder before comparing with the (coerced) state value — a silent
+        str-vs-int TypeError here used to stall the watermark behind an
+        all-duplicate tail forever."""
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n2,bob,true\n")
+        state = str(tmp_path / "state")
+        index = str(tmp_path / "ix")
+
+        def job(out):
+            d = job_dict(str(src), out)
+            d["source"]["incremental"] = {"enabled": True,
+                                          "cursor_field": "id"}
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id", "content_field": "name"}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(str(tmp_path / "o1")),
+                            state_root=state)
+        assert r1.records_in == 2 and str(r1.state_value) == "2"
+        # one new row (cursor 3) plus a duplicate-content row ABOVE it
+        # (cursor 4): state_value comes off the coerced write pass (int 3)
+        # while the dropped row's raw cursor is the string "4"
+        src.write_text("id,name,active\n1,alice,true\n2,bob,true\n"
+                       "3,carol,true\n4,alice,true\n")
+        r2 = runner.run_job(spark, job(str(tmp_path / "o2")),
+                            state_root=state)
+        assert r2.dedup_dropped["index"] >= 1
+        assert str(r2.state_value) == "4"   # advanced past the dup tail
+
+    def test_returned_kept_frame_cache_actually_releases(self, spark,
+                                                         tmp_path):
+        """dedup_against_index / dedup_embeddings_against_index return the
+        PERSISTED frame itself (not an unpersistable child of it), so the
+        caller's unpersist() genuinely frees the cache entry."""
+        from dativo_ingest_spark.operators import dedup as dedup_mod
+        from dativo_ingest_spark.operators import similarity as sim_mod
+        from dativo_ingest_spark.sinks import table_commit
+
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "id long, text string")
+        t1 = table_commit.FsTable.create(str(tmp_path / "ix1"))
+        kept, _, _ = dedup_mod.dedup_against_index(
+            spark, docs, "id", "text", t1)
+        assert kept.is_cached
+        kept.unpersist(blocking=True)
+        assert not kept.is_cached
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0, 2.0, 1.0]), (2, [0.0, 3.0, 1.0, 2.0])],
+            "id long, vec array<double>")
+        t2 = table_commit.FsTable.create(str(tmp_path / "ix2"))
+        kept2, _, _ = sim_mod.dedup_embeddings_against_index(
+            spark, emb, "id", "vec", t2)
+        assert kept2.is_cached
+        kept2.unpersist(blocking=True)
+        assert not kept2.is_cached

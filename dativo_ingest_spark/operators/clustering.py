@@ -22,18 +22,24 @@ This implementation makes every reduction exact:
 
 Scale shape (100 TB): per iteration one scan-stage assignment (centroids
 inlined as codegen literals for small k — the same O(k x d) plan-size
-gating as similarity.ivf_topk, with the pandas-UDF argmin as the
-documented swap past ``inline_centroid_limit``) plus one shuffle keyed on
-(cluster, position) whose map-side partial aggregation collapses each task
-to at most k*d rows. The driver materializes only k*d (sum, count) cells
-per iteration — small by construction, like similarity.py's centroid
-fetch. Reference parity: the reference ships no clustering operator
-(beyond-reference, same tier as the dedup/ANN stack).
+gating as similarity.ivf_topk — and an Arrow-batched argmin past
+``inline_centroid_limit``, bit-identical semantics, plan size O(1) in k:
+the SemDeDup regime where k scales with the corpus) plus one shuffle
+keyed on (cluster, position) whose map-side partial aggregation collapses
+each task to at most k*d rows. Driver state is O(k·d) independent of N
+(the seed fetch and the per-iteration (sum, count) cell collect) — at
+k=50k, d=768 that is ~300 MB of longs per iteration, the practical
+driver-memory bound; shard the centroid update into a joined frame
+before going past that. Reference parity: the reference ships no
+clustering operator (beyond-reference, same tier as the dedup/ANN
+stack).
 """
 
 from __future__ import annotations
 
 from typing import Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,6 +61,41 @@ def _sqdist_to_literal(qvec: str, centroid: Sequence[float]) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _assign_argmin_udf(centroid_items):
+    """Arrow-batched nearest-centroid assignment for large ``k``: the
+    centroid matrix rides in the UDF closure (one serialized copy per
+    executor — the pandas-UDF analog of a broadcast variable), so plan
+    size stays O(1) in the centroid count. Bit-identical to the
+    inlined-literal path: the distance accumulates as the SAME sequential
+    index-order fold of IEEE doubles (``acc = acc + (x_j - c_j)^2``, one
+    correctly-rounded multiply and add per dimension — numpy elementwise
+    ops and the JVM round identically), then rounds to 9dp and breaks
+    ties to the LOWER cluster id (rows sorted by cid ascending, argmin
+    returns the first minimum).
+
+    ``centroid_items``: sorted list of (cid, centroid vector)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    ids = np.array([int(c) for c, _ in centroid_items], dtype=np.int64)
+    mat = np.array([v for _, v in centroid_items],
+                   dtype=np.float64)          # k x d
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)   # B x d, exact
+        acc = np.zeros((len(V), mat.shape[0]))
+        # explicit per-dimension fold (NOT einsum/matmul/np.sum, whose
+        # pairwise accumulation would drift a ulp from the Catalyst fold)
+        for j in range(mat.shape[1]):
+            diff = V[:, j, None] - mat[None, :, j]
+            acc += diff * diff
+        best = np.argmin(np.round(acc, 9), axis=1)
+        return pd.Series(ids[best])
+
+    return assign
 
 
 def fixed_point_kmeans(
@@ -91,12 +132,6 @@ def fixed_point_kmeans(
     """
     if k <= 0 or n_iter < 0:
         raise ValueError("k must be positive and n_iter non-negative")
-    if k > inline_centroid_limit:
-        raise NotImplementedError(
-            f"k={k} exceeds inline_centroid_limit={inline_centroid_limit}; "
-            "swap the assignment to an Arrow-batched argmin (see "
-            "similarity._centroid_probe_udf) before raising the limit"
-        )
 
     quantized = df.select(
         F.col(id_col).alias("id"),
@@ -115,12 +150,21 @@ def fixed_point_kmeans(
     }
 
     def assign(frame: DataFrame) -> DataFrame:
+        items = sorted(centroids.items())
+        if len(items) > inline_centroid_limit:
+            # large k (the SemDeDup regime: k scales with the corpus):
+            # Arrow-batched argmin keeps the plan O(1) in k — the inlined
+            # path below would carry O(k x d) literals and choke the
+            # optimizer long before the data moved. Same distance fold,
+            # rounding and tie semantics (see _assign_argmin_udf).
+            udf = _assign_argmin_udf(items)
+            return frame.withColumn("cluster", udf(F.col("qvec")))
         entries = [
             F.struct(
                 F.round(_sqdist_to_literal("qvec", cvec), 9).alias("a"),
                 F.lit(int(cid)).cast("long").alias("i"),
             )
-            for cid, cvec in sorted(centroids.items())
+            for cid, cvec in items
         ]
         # struct min is lexicographic: nearest first, ties to lower cid.
         return frame.withColumn("cluster", F.array_min(F.array(*entries))["i"])

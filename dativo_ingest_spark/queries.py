@@ -2512,7 +2512,8 @@ def _kmeans_update_cte(src_assign: str, prev_cent: str, out: str) -> str:
         GROUP BY cid) n USING (cid))"""
 
 
-def _kmeans_ctes(n_iter: int = _KMEANS_ITER) -> list[str]:
+def _kmeans_ctes(n_iter: int = _KMEANS_ITER,
+                 k_sql: str | None = None) -> list[str]:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the SQL replica of
     clustering.fixed_point_kmeans (init = k lowest ids; per iteration:
     9dp-rounded squared-L2 argmin with ties to the lower cid, then exact
@@ -2527,7 +2528,7 @@ def _kmeans_ctes(n_iter: int = _KMEANS_ITER) -> list[str]:
       FROM embeddings)""",
         f"""c0 AS (
       SELECT vec_id AS cid, list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
-      FROM e ORDER BY vec_id LIMIT {_KMEANS_K})""",
+      FROM e ORDER BY vec_id LIMIT {k_sql or _KMEANS_K})""",
     ]
     for it in range(n_iter):
         ctes.append(_kmeans_assign_cte(f"c{it}", f"a{it}"))
@@ -2580,11 +2581,23 @@ def kmeans_corpus_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Lloyd round fewer saves a full corpus pass + centroid collect
 _SEMANTIC_KMEANS_ITER = 1
 
+#: SemDeDup's k SCALES WITH THE CORPUS: k = ceil(N / cell_size), so the
+#: expected cell population stays ~constant and the in-cell pair join is
+#: O(N · cell_size) — linear in corpus size — instead of the O(N²/k)
+#: blow-up a fixed small k gives at 100×. (At sf0.01's 500 embeddings
+#: this yields k=8; at 100 TB it yields the tens-of-thousands of cells
+#: real SemDeDup runs, served by the O(1)-plan argmin assignment.)
+_SEMANTIC_CELL_SIZE = 64
+
 
 def _semantic_dedup_oracle() -> str:
     pair_cos = _COS_SQL.format(a="ea.v", b="eb.v")
+    k_sql = ("(SELECT CAST(ceil(count(*) / "
+             f"{_SEMANTIC_CELL_SIZE}.0) AS BIGINT) FROM e)")
     return (
-        "WITH " + ",\n    ".join(_kmeans_ctes(_SEMANTIC_KMEANS_ITER)) + f""",
+        "WITH "
+        + ",\n    ".join(_kmeans_ctes(_SEMANTIC_KMEANS_ITER, k_sql=k_sql))
+        + f""",
     pairs AS (
       SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
       FROM afinal a
@@ -2615,18 +2628,24 @@ def _semantic_dedup_oracle() -> str:
         "per-cluster dedup stats. The composition is the point: the "
         "clustering REPLACES the all-pairs blow-up — at 100 TB each "
         "cell scores only its own members, and the cells shuffle "
-        "independently.",
+        "independently. k SCALES WITH THE CORPUS (ceil(N / cell_size), "
+        "O(1)-plan argmin assignment past 64 centroids), so in-cell "
+        "pair work stays linear in N instead of the O(N²/k) a fixed "
+        "small k degrades to.",
 )
 def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.operators import clustering, similarity
 
     emb = load(spark, sf_dir, "embeddings")
+    # k scales with the corpus (see _SEMANTIC_CELL_SIZE): one cheap
+    # count() fixes the cell grid so in-cell pair work stays linear in N
+    k = max(1, -(-emb.count() // _SEMANTIC_CELL_SIZE))
     # the assignment frame feeds four branches (both pair-join sides, the
     # pair->cluster lookup, and the per-cluster base counts); cache it so
     # the argmin scan runs once, not once per branch
     assign = clustering.fixed_point_kmeans(
         emb, "vec_id", "embedding",
-        k=_KMEANS_K, n_iter=_SEMANTIC_KMEANS_ITER, scale=_KMEANS_SCALE,
+        k=k, n_iter=_SEMANTIC_KMEANS_ITER, scale=_KMEANS_SCALE,
     ).cache()
     clustered = (
         emb.join(assign, emb["vec_id"] == assign["id"])

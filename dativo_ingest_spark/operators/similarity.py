@@ -132,25 +132,56 @@ def brute_force_topk(
     )
 
 
+#: default in-cell population cap for the embedding pair joins — one
+#: degenerate cell (zero vectors, boilerplate embeddings, a hot LSH band)
+#: otherwise concentrates a B²/2-pair task on ONE shuffle key. Expected
+#: cell size under corpus-scaled clustering is ~queries._SEMANTIC_CELL_SIZE
+#: (64), so the default only fires on pathological piles.
+MAX_CELL_SIZE_DEFAULT = 10_000
+
+
 def bucketed_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     bucket_col: str,
     threshold: float = 0.9,
+    max_bucket_size: int | None = MAX_CELL_SIZE_DEFAULT,
 ) -> DataFrame:
     """IVF-style near-dup pairs: cosine >= threshold within coarse buckets.
 
     Returns (id_a, id_b, cosine) with id_a < id_b. The equi-join on the
     bucket key co-partitions both sides, so each task scores only its own
     cell — no all-pairs shuffle.
+
+    ``max_bucket_size`` (default on) excludes cells holding more than that
+    many rows from the pair join — the same skew guard as the text path's
+    ``minhash_lsh_pairs``: one degenerate cell (a zero-vector pile, a
+    boilerplate embedding every doc shares) would otherwise put a
+    quadratic B²/2-pair task on a single shuffle key. The guard affects
+    candidate recall only (pairs inside a skipped cell are not reported);
+    it resolves driver-side with one cheap map-side-combined count per
+    cell, leaving the plan untouched when no cell is hot — the
+    overwhelmingly common case under corpus-scaled clustering, where
+    expected cell size is a small constant.
     """
+    from dativo_ingest_spark.operators.dedup import _without_hot_keys
+
     side = df.select(
         F.col(bucket_col).alias("bucket"),
         F.col(id_col).alias("id"),
         vectors.as_double_array(F.col(vec_col)).alias("vec"),
     )
     side = side.select("*", vectors.l2_norm(F.col("vec")).alias("norm"))
+    if max_bucket_size is not None:
+        guarded = _without_hot_keys(side, "bucket", max_bucket_size)
+        if guarded is not side:
+            log.warning(
+                "bucketed_neardup_pairs: cells over max_bucket_size=%d "
+                "excluded from the pair join (recall-only effect); "
+                "re-cluster with a larger k or raise the cap to score "
+                "them", max_bucket_size)
+        side = guarded
     a, b = side.alias("a"), side.alias("b")
     d = vectors.dot(F.col("a.vec"), F.col("b.vec"))
     cos = F.round(
@@ -439,6 +470,7 @@ def dedup_embeddings_against_index(
     band_width: int = 8,
     branch: str = "main",
     commit: bool = True,
+    max_cell_size: int | None = MAX_CELL_SIZE_DEFAULT,
 ):
     """Embedding near-dup-on-ingest: drop batch rows whose embedding the
     corpus has already (approximately) seen, then record the survivors —
@@ -473,9 +505,18 @@ def dedup_embeddings_against_index(
 
     100 TB shape: everything shuffles on the band key; the index is
     ``bands ×`` the admitted corpus in (key, vec, norm) rows — compact
-    relative to documents, and the thing that joins. A pathological cell
-    (boilerplate embedding) concentrates its join task; the df-cut guard
-    pattern from ``dedup.ngram_jaccard`` applies if that bites.
+    relative to documents, and the thing that joins. ``max_cell_size``
+    (default on) excludes batch cells above the cap from BOTH scoring
+    joins — a pathological pile (zero vectors, one boilerplate embedding
+    repeated across the batch) would otherwise put a quadratic in-cell
+    task on one shuffle key; skipped rows are admitted un-deduped
+    (recall-only effect, logged). SIZE THE BANDS TO THE CORPUS: the
+    default ``band_width=8`` yields 256 cells per band — an sf0.1
+    default, NOT a 100 TB one, since each batch row scores against
+    ~N_index/2^band_width rows per band. Grow ``band_width`` ≈
+    log2(N_index / target_cell) (e.g. 20 bits ≈ 1M cells/band for a
+    billion-row index) so per-band cells stay constant-sized; wider
+    bands trade near-dup recall, which ``bands`` buys back linearly.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -492,6 +533,19 @@ def dedup_embeddings_against_index(
         F.col(id_col).alias("id"), "_vec", "_norm",
         F.explode("_keys").alias("_key"),
     )
+    if max_cell_size is not None:
+        from dativo_ingest_spark.operators.dedup import _without_hot_keys
+
+        # staged is persisted above, so the cell-size count is one cached
+        # pass; on a clean batch the joins' plans stay untouched
+        guarded = _without_hot_keys(keyed, "_key", max_cell_size)
+        if guarded is not keyed:
+            log.warning(
+                "dedup_embeddings_against_index: batch cells over "
+                "max_cell_size=%d excluded from scoring (their rows admit "
+                "un-deduped); widen band_width or raise the cap",
+                max_cell_size)
+        keyed = guarded
     cos = _pair_cosine("a._vec", "b._vec", "a._norm", "b._norm")
     a, b = keyed.alias("a"), keyed.alias("b")
     # persist the small loser-id list: materializes the cell self-join

@@ -289,3 +289,57 @@ def test_sign_band_keys_bands_distinct_low_dim(spark):
     # agreement 1..3) — impossible when every band is the same
     # comparison set (then agreement is all-or-nothing per dim)
     assert any(1 <= a <= 3 for a in agrees), agrees
+
+
+class TestCellSizeGuards:
+    """The embedding stack's skew guards: one degenerate cell (a pile of
+    identical/boilerplate embeddings) must not concentrate a quadratic
+    pair task on a single shuffle key."""
+
+    def test_bucketed_pairs_skip_hot_cell(self, spark):
+        base = [1.0, 2.0, 3.0, 4.0]
+        pile = [("p%03d" % i, "hot", base) for i in range(300)]
+        ok = [("a", "ok", [1.0, 0.0, 0.0, 0.0]),
+              ("b", "ok", [0.999, 0.01, 0.0, 0.0]),   # near-dup of a
+              ("c", "ok", [0.0, 1.0, 0.0, 0.0])]
+        df = spark.createDataFrame(
+            pile + ok, "id string, bucket string, vec array<double>")
+
+        unguarded = similarity.bucketed_neardup_pairs(
+            df, "id", "vec", "bucket", threshold=0.95,
+            max_bucket_size=None)
+        assert unguarded.filter(F.col("id_a").startswith("p")).count() \
+            == 300 * 299 // 2
+
+        guarded = similarity.bucketed_neardup_pairs(
+            df, "id", "vec", "bucket", threshold=0.95,
+            max_bucket_size=100)
+        got = [(r.id_a, r.id_b) for r in guarded.collect()]
+        assert got == [("a", "b")]   # hot cell skipped, clean cell scored
+
+    def test_index_dedup_hot_cell_admits_undeduped(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        pile_vec = [2.0, 1.0, 4.0, 3.0, 6.0, 5.0, 8.0, 7.0]
+        pile = [("p%03d" % i, pile_vec) for i in range(300)]
+        a = [float((-1) ** i) * (i + 1) for i in range(8)]
+        extra = [("x1", a), ("x2", [v * 2.0 for v in a])]  # exact re-encode
+        batch = spark.createDataFrame(
+            pile + extra, "doc_id string, embedding array<double>")
+
+        # guarded (default): the pile's cells blow the cap -> its rows
+        # admit UN-deduped; the small near-dup pair still resolves
+        t1 = FsTable.create(str(tmp_path / "ix_guard"))
+        kept, n_b, n_i = similarity.dedup_embeddings_against_index(
+            spark, batch, "doc_id", "embedding", t1, threshold=0.99,
+            max_cell_size=100)
+        assert kept.count() == 301 and (n_b, n_i) == (1, 0)
+        kept.unpersist()
+
+        # unguarded: the pile collapses to its lowest id (299 batch dups)
+        t2 = FsTable.create(str(tmp_path / "ix_raw"))
+        kept2, n_b2, n_i2 = similarity.dedup_embeddings_against_index(
+            spark, batch, "doc_id", "embedding", t2, threshold=0.99,
+            max_cell_size=None)
+        assert kept2.count() == 2 and (n_b2, n_i2) == (300, 0)
+        kept2.unpersist()

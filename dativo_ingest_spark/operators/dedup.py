@@ -631,6 +631,39 @@ def duplicate_passages(
     )
 
 
+#: above this many batch rows the index anti-join falls back from the
+#: broadcast-candidate plan (batch fingerprints broadcast twice: as a
+#: semi filter over the index scan, then the surviving candidates into
+#: the anti-join) to a plain shuffle anti-join — ~80 B/fingerprint in a
+#: broadcast hash relation puts the default near 100 MB per executor.
+BROADCAST_BATCH_FP_LIMIT = 1_000_000
+
+
+def index_anti_join(batch_survivors: DataFrame, index: DataFrame,
+                    broadcast: bool = True) -> DataFrame:
+    """Anti-join a (fingerprint-unique) batch against the persistent
+    fingerprint index without ever SHUFFLING the index.
+
+    The wrong-way-round plan — ``batch.join(index, "left_anti")`` with a
+    multi-billion-row index — sort-merge-shuffles the WHOLE index every
+    batch, so per-batch cost grows with history. Flipped (``broadcast=
+    True``): the batch's fingerprints broadcast into a left-semi filter
+    over the index SCAN (each index row probes a hash set; no exchange on
+    the index side), and the few surviving candidates — at most one per
+    batch row — broadcast into the anti-join. Per-batch EXCHANGE cost is
+    O(batch), independent of index size; the index contributes one
+    scan-stage pass, the part object storage serves embarrassingly
+    parallel. ``broadcast=False`` is the plain shuffle anti-join for
+    batches too large to broadcast (:data:`BROADCAST_BATCH_FP_LIMIT`)."""
+    if not broadcast:
+        return batch_survivors.join(index, "fingerprint", "left_anti")
+    candidates = index.join(
+        F.broadcast(batch_survivors.select("fingerprint")),
+        "fingerprint", "left_semi")
+    return batch_survivors.join(
+        F.broadcast(candidates), "fingerprint", "left_anti")
+
+
 def dedup_against_index(
     spark,
     batch: DataFrame,
@@ -639,6 +672,7 @@ def dedup_against_index(
     index_table,
     branch: str = "main",
     commit: bool = True,
+    broadcast_batch_limit: int = BROADCAST_BATCH_FP_LIMIT,
 ):
     """Dedup-on-ingest: drop batch rows whose content the corpus has
     already seen, then record the batch's new fingerprints.
@@ -647,8 +681,11 @@ def dedup_against_index(
     snapshot-commit table of ``fingerprint`` strings), never rescanned:
     per batch the cost is one fingerprint scan of the batch, one
     within-batch exact dedup (first occurrence survives, by min id), and
-    one anti-join against the index — at 100 TB of history the index is
-    the compact thing that shuffles, not the corpus. With ``commit=True``
+    one anti-join against the index via :func:`index_anti_join` — for
+    normal-sized batches the index is SCANNED but never shuffled (the
+    batch fingerprints broadcast as a semi filter, the surviving
+    candidates broadcast into the anti-join), so per-batch exchange cost
+    is O(batch) and stays flat as history grows to billions of rows. With ``commit=True``
     the surviving fingerprints append to the index atomically, so a crash
     between filter and commit re-admits (never loses) rows — re-ingesting
     the same batch then drops them, which is the idempotent direction.
@@ -676,7 +713,8 @@ def dedup_against_index(
     head = index_table.snapshot(index_table.current_version(branch))
     if head.files:
         index = index_table.read(spark, branch=branch).select("fingerprint")
-        kept = batch_survivors.join(index, "fingerprint", "left_anti")
+        kept = index_anti_join(batch_survivors, index,
+                               broadcast=n_total <= broadcast_batch_limit)
     else:
         kept = batch_survivors
     # persist the frame we RETURN (post-drop) — persisting a parent and

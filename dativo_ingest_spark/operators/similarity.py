@@ -132,6 +132,11 @@ def brute_force_topk(
     )
 
 
+#: above this many (row, band) keys the embedding index dedup skips the
+#: broadcast cell pre-filter and lets the scoring join shuffle both
+#: sides — band keys are short strings, so the default is generous.
+_INDEX_CELL_BROADCAST_LIMIT = 4_000_000
+
 #: default in-cell population cap for the embedding pair joins — one
 #: degenerate cell (zero vectors, boilerplate embeddings, a hot LSH band)
 #: otherwise concentrates a B²/2-pair task on ONE shuffle key. Expected
@@ -566,6 +571,16 @@ def dedup_embeddings_against_index(
         index = index_table.read(spark, branch=branch).select(
             F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
             F.col("vec").alias("_ix_vec"), F.col("norm").alias("_ix_norm"))
+        # prune the index to the cells this batch actually touches BEFORE
+        # the scoring join: the batch's distinct band keys broadcast into
+        # a semi filter over the index SCAN, so the big index is never
+        # shuffled — only the touched slice (bounded by batch cells x
+        # per-cell population) enters the exchange. Same
+        # O(batch)-exchange contract as dedup.index_anti_join.
+        if n_total * bands <= _INDEX_CELL_BROADCAST_LIMIT:
+            index = index.join(
+                F.broadcast(keyed.select("_key").distinct()),
+                "_key", "left_semi")
         icos = _pair_cosine("_vec", "_ix_vec", "_norm", "_ix_norm")
         index_hits = (
             keyed.join(index, "_key")

@@ -184,6 +184,57 @@ class TestDedupAgainstIndex:
         assert kept.count() == 0 and index_dups == 1
 
 
+    def test_index_anti_join_never_shuffles_index(self, spark, tmp_path):
+        """Planted 100x-scale index (20k fingerprints) vs a 100-row
+        batch: the broadcast-candidate plan must scan — never shuffle —
+        the index, and must agree row-for-row with the shuffle plan."""
+        from dativo_ingest_spark.inspect_cmd import plan_summary
+        from pyspark.sql import functions as F
+
+        table = self._table(tmp_path)
+        big = spark.range(20_000).select(
+            F.md5(F.concat(F.lit("hist"), F.col("id").cast("string")))
+            .alias("fingerprint"))
+        table.write_append(big)
+        index = table.read(spark).select("fingerprint")
+
+        # 100-row batch: 10 collide with the index, 90 are new
+        batch = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 10,
+                   F.md5(F.concat(F.lit("hist"),
+                                  (F.col("id") * 2000).cast("string"))))
+            .otherwise(F.md5(F.concat(F.lit("new"),
+                                      F.col("id").cast("string"))))
+            .alias("fingerprint"))
+
+        fast = dedup.index_anti_join(batch, index, broadcast=True)
+        plan = plan_summary(fast)
+        assert plan["sort_merge_joins"] == 0
+        assert plan["exchanges"] == 0      # index scanned, never shuffled
+        assert plan["broadcast_hash_joins"] == 2
+        assert plan["cartesian_products"] == 0
+
+        slow = dedup.index_anti_join(batch, index, broadcast=False)
+        a = sorted(tuple(r) for r in fast.collect())
+        b = sorted(tuple(r) for r in slow.collect())
+        assert a == b and len(a) == 90
+
+    def test_large_batch_falls_back_to_shuffle_join(self, spark, tmp_path):
+        """broadcast_batch_limit=0 forces the fallback path end-to-end —
+        same kept rows and counters as the broadcast plan."""
+        table_a = self._table(tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+        dedup.dedup_against_index(spark, b1, "doc_id", "text", table_a)
+        b2 = spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma"), (5, "gamma")], ["doc_id", "text"])
+        kept, n_b, n_i = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table_a, broadcast_batch_limit=0)
+        assert sorted(r.doc_id for r in kept.collect()) == [4]
+        assert (n_b, n_i) == (1, 1)
+
+
 def test_quantile_rank_check_ignores_nulls(spark):
     from dativo_ingest_spark.operators import sketches
 

@@ -343,3 +343,32 @@ class TestCellSizeGuards:
             max_cell_size=None)
         assert kept2.count() == 2 and (n_b2, n_i2) == (300, 0)
         kept2.unpersist()
+
+    def test_index_cell_prefilter_equivalent(self, spark, tmp_path,
+                                             monkeypatch):
+        """The broadcast cell pre-filter over the index (big-history path)
+        must not change results vs the plain shuffle scoring join."""
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        base = [float(i * i % 7) + i * 0.25 for i in range(16)]
+        other = [float((-1) ** i) * (i + 1) for i in range(16)]
+        b1 = spark.createDataFrame(
+            [("d1", base), ("d2", other)],
+            "doc_id string, embedding array<double>")
+        b2 = spark.createDataFrame(
+            [("d3", [x * 1.5 for x in base]), ("d4", [1.0] * 16)],
+            "doc_id string, embedding array<double>")
+
+        results = []
+        for name, limit in [("bcast", 4_000_000), ("shuffle", 0)]:
+            monkeypatch.setattr(similarity, "_INDEX_CELL_BROADCAST_LIMIT",
+                                limit)
+            t = FsTable.create(str(tmp_path / f"ix_{name}"))
+            similarity.dedup_embeddings_against_index(
+                spark, b1, "doc_id", "embedding", t, threshold=0.95)
+            kept, n_b, n_i = similarity.dedup_embeddings_against_index(
+                spark, b2, "doc_id", "embedding", t, threshold=0.95)
+            results.append((sorted(r.doc_id for r in kept.collect()),
+                            n_b, n_i))
+            kept.unpersist()
+        assert results[0] == results[1] == (["d4"], 0, 1)

@@ -97,6 +97,19 @@ HEADLINE = [
     "scd2_user_event_history",
     "q16_supplier_part_count",
     "approx_distinct_users",
+    # r7 additions: the eight operators rotated into the proof window —
+    # grid/LOCF gapfill over the aggregated frame, exact-sketch quantile
+    # clip, two-pass temperature mixture, group-keyed split, vocab-join
+    # drift, sentence chunking, and the two dedup-on-ingest index paths
+    # (whose per-batch cost must stay flat as the index grows)
+    "gapfill_locf_event_value",
+    "quantile_clip_events",
+    "temperature_mixture_docs",
+    "group_aware_split_docs",
+    "unigram_drift_docs",
+    "chunk_sentences_docs",
+    "dedup_ingest_exact",
+    "dedup_ingest_embedding",
 ]
 
 

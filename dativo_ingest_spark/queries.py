@@ -3837,6 +3837,452 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 gate rotation: driver proofs for the operators r6 shipped with
+# test-only evidence (VERDICT r6 Next #6) — gap-filled rollup, quantile
+# clipping, temperature mixture, group-aware split, unigram drift,
+# sentence chunking, and the two dedup-on-ingest index paths.
+# ---------------------------------------------------------------------------
+
+@register(
+    "gapfill_locf_event_value",
+    """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv
+      FROM events),
+    agged AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS nv,
+             sum(cv) AS cents FROM b GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+      FROM agged GROUP BY 1),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM bounds),
+    j AS (
+      SELECT g.event_type, g.bucket, a.nv, a.cents
+      FROM grid g LEFT JOIN agged a USING (event_type, bucket))
+    SELECT event_type,
+           make_timestamp(bucket * 21600000000) AS bucket_ts,
+           last_value(nv IGNORE NULLS) OVER w AS n,
+           last_value(cents IGNORE NULLS) OVER w AS cents
+    FROM j
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="gap-filled time-bucket rollup with LOCF (operators/temporal.py:"
+        "time_bucket_gapfill — the TimescaleDB hypertable shape): 6h "
+        "buckets per event_type, count + cents-quantized value sum, "
+        "empty buckets carry the last observed state forward. One "
+        "raw-scan shuffle to (key, bucket) grain; grid/LOCF work runs "
+        "over the aggregated frame only — cost independent of corpus "
+        "row count. Observed aggregates here are never NULL (count >= "
+        "1), so the oracle's IGNORE NULLS carry equals the operator's "
+        "observed-struct carry.",
+)
+def gapfill_locf_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import temporal
+
+    ev = load(spark, sf_dir, "events")
+    cents = F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+    return temporal.time_bucket_gapfill(
+        ev, "ts", 21600.0,
+        {"n": F.count(F.lit(1)), "cents": cents},
+        keys=["event_type"], fill="locf",
+    ).select("event_type", "bucket_ts", "n", "cents")
+
+
+@register(
+    "quantile_clip_events",
+    """
+    WITH q AS (
+      SELECT quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           (SELECT lo FROM q) AS lo, (SELECT hi FROM q) AS hi
+    FROM events
+    WHERE value >= (SELECT lo FROM q) AND value <= (SELECT hi FROM q)
+    """,
+    doc="percentile outlier clipping, fit-once/apply-many (operators/"
+        "quality.py:quantile_clip): one mergeable percentile_approx "
+        "sketch pass fits [p5, p95] bounds on events.value, the clip "
+        "re-applies as a scan-stage literal BETWEEN (pushes into the "
+        "parquet scan). At accuracy=1e6 the sketch is exact, matching "
+        "DuckDB's discrete quantile; verified via admitted-row count + "
+        "cents-quantized sum + the bounds themselves.",
+)
+def quantile_clip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quality
+
+    ev = load(spark, sf_dir, "events")
+    clipped, bounds = quality.quantile_clip(
+        ev, ["value"], 0.05, 0.95, accuracy=1_000_000)
+    lo, hi = bounds["value"]
+    return clipped.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .alias("cents_sum"),
+        F.lit(float(lo)).alias("lo"), F.lit(float(hi)).alias("hi"))
+
+
+#: temperature-mixture gate parameters: fixed absolute budget, small
+#: enough that no language saturates at any shipped sf (the closed-form
+#: single-pass waterfill below then equals the solver's loop exactly).
+_MIXTURE_BUDGET, _MIXTURE_ALPHA = 8_000, 0.3
+
+@register(
+    "temperature_mixture_docs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    wc AS (
+      SELECT doc_id, lang,
+             CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+               AS n_tokens
+      FROM norm),
+    s AS (SELECT lang, CAST(sum(n_tokens) AS DOUBLE) AS sz
+          FROM wc GROUP BY lang),
+    tot AS (SELECT sum(sz) AS total FROM s),
+    q AS (SELECT lang, sz,
+                 pow(sz / (SELECT total FROM tot), {_MIXTURE_ALPHA}) AS qv
+          FROM s),
+    qs AS (SELECT list_reduce(list(qv ORDER BY lang), (x, y) -> x + y)
+             AS qsum FROM q),
+    f AS (SELECT lang,
+                 least((({_MIXTURE_BUDGET}.0 * qv) / (SELECT qsum FROM qs))
+                       / sz, 1.0) AS frac
+          FROM q),
+    adm AS (
+      SELECT w.lang, w.n_tokens
+      FROM wc w JOIN f USING (lang)
+      WHERE {_hex32_sql("'mixture|' || lang || '|' || CAST(doc_id AS VARCHAR)")}
+            / 4294967296.0 < f.frac)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM adm GROUP BY lang
+    """,
+    doc="temperature-smoothed mixture sampling (operators/sampling.py:"
+        "temperature_mixture_sample, the XLM-R/mT5 alpha rebalance): "
+        "per-language token totals from one partial-aggregated shuffle, "
+        "keep fractions solved driver-side (q_i ~ p_i^0.3 waterfilled "
+        "against an 8k-token budget), admission is a scan-stage "
+        "stratum-salted md5 threshold. The oracle re-derives the same "
+        "fractions in SQL (no language saturates at shipped sfs, so the "
+        "closed form equals the solver loop bit-for-bit).",
+)
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.functions import text as text_fns
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", text_fns.word_count(F.col("text")))
+    sampled = sampling.temperature_mixture_sample(
+        docs, "doc_id", "lang", "n_tokens",
+        budget_tokens=_MIXTURE_BUDGET, alpha=_MIXTURE_ALPHA)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"))
+
+
+@register(
+    "group_aware_split_docs",
+    f"""
+    WITH u AS (
+      SELECT source, n_chars,
+             {_hex32_sql("'split|' || source")} / 4294967296.0 AS u
+      FROM documents)
+    SELECT CASE WHEN u < {_SPLIT_T1!r} THEN 'train'
+                WHEN u < {_SPLIT_T2!r} THEN 'test'
+                ELSE 'val' END AS split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM u GROUP BY 1
+    """,
+    doc="leakage-safe group-aware train/test split (operators/sampling.py:"
+        "group_aware_split): the md5 threshold hashes the GROUP key "
+        "(source), not the row id, so a whole near-dup cluster/source "
+        "always lands on one side — no train/test straddle by "
+        "construction. Scan-stage expression, zero shuffles beyond the "
+        "verification aggregate.",
+)
+def group_aware_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.group_aware_split(
+        docs, "source", {"train": 0.8, "test": 0.1, "val": 0.1})
+    return out.groupBy("split").agg(
+        F.countDistinct("source").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+@register(
+    "unigram_drift_docs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, doc_id % 2 AS side,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (SELECT side, unnest(string_split(t, ' ')) AS word
+          FROM norm WHERE t <> ''),
+    ca AS (SELECT word, count(*) AS c FROM w WHERE side = 0 GROUP BY word),
+    cb AS (SELECT word, count(*) AS c FROM w WHERE side = 1 GROUP BY word),
+    j AS (
+      SELECT coalesce(ca.word, cb.word) AS word,
+             coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+      FROM ca FULL OUTER JOIN cb ON ca.word = cb.word),
+    t AS (SELECT sum(c_a) AS ta, sum(c_b) AS tb, count(*) AS v FROM j),
+    p AS (
+      SELECT word, c_a, c_b,
+             (c_a + 0.5) / ((SELECT ta FROM t) + 0.5 * (SELECT v FROM t))
+               AS pa,
+             (c_b + 0.5) / ((SELECT tb FROM t) + 0.5 * (SELECT v FROM t))
+               AS pb
+      FROM j)
+    SELECT word, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+           round(pa, 8) AS p_a, round(pb, 8) AS p_b,
+           round(pa * ln(pa / pb), 8) AS kl_contrib
+    FROM p
+    """,
+    doc="corpus drift report (operators/textops.py:unigram_drift): "
+        "per-word KL(A || B) contributions between the even- and "
+        "odd-doc_id corpus halves, add-0.5 smoothed over the union "
+        "vocabulary. One word-count aggregation per side + a "
+        "vocabulary-sized full-outer join — never a corpus shuffle. "
+        "The gate emits the FULL vocabulary (top_k covers it) so no "
+        "float-ordering tie can perturb membership.",
+)
+def unigram_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    out = textops.unigram_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id", "text", smoothing=0.5, top_k=1_000_000)
+    return out.select("word", "c_a", "c_b", "p_a", "p_b", "kl_contrib")
+
+
+@register(
+    "chunk_sentences_docs",
+    r"""
+    WITH punct AS (
+      SELECT doc_id,
+             trim(regexp_replace(text, '(value|table|query) ', '\1. ', 'g'))
+               AS t
+      FROM documents),
+    sent AS (
+      SELECT doc_id,
+             string_split(regexp_replace(t, '\.\s+', '.' || chr(1), 'g'),
+                          chr(1)) AS sents
+      FROM punct WHERE t <> ''),
+    c AS (
+      SELECT doc_id, sents, len(sents) AS ns,
+             CASE WHEN ns <= 3 THEN 1 ELSE ((ns - 3 + 1) // 2) + 1 END
+               AS n_chunks
+      FROM sent),
+    e AS (SELECT doc_id, sents, unnest(range(0, n_chunks)) AS chunk_id
+          FROM c)
+    SELECT doc_id AS id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(sents, chunk_id * 2 + 1, chunk_id * 2 + 3))
+                AS BIGINT) AS n_sentences,
+           array_to_string(list_slice(sents, chunk_id * 2 + 1,
+                                      chunk_id * 2 + 3), ' ') AS chunk
+    FROM e
+    """,
+    doc="sentence-boundary chunking (operators/chunking.py:"
+        "chunk_by_sentences): 3-sentence windows, 1-sentence overlap, "
+        "boundaries never split a sentence — the RAG-passage prep "
+        "shape. Sentence structure is injected deterministically "
+        "(periods after marker words; the synthetic corpus has no "
+        "punctuation) so the boundary-split path is actually "
+        "exercised. Pure scan-stage array expressions, zero shuffles.",
+)
+def chunk_sentences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import chunking
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(value|table|query) ", r"$1. ")
+        .alias("text"))
+    return chunking.chunk_by_sentences(
+        docs, "doc_id", "text", max_sentences=3, overlap=1)
+
+
+_INGEST_FP_SQL = (
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))")
+
+@register(
+    "dedup_ingest_exact",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, doc_id % 4 AS m, {_INGEST_FP_SQL} AS f
+      FROM documents),
+    b1 AS (SELECT * FROM fp WHERE m <= 1),
+    b2 AS (SELECT * FROM fp WHERE m BETWEEN 1 AND 2),
+    s1 AS (SELECT f FROM b1 GROUP BY f),
+    s2 AS (SELECT f FROM b2 GROUP BY f),
+    agg1 AS (SELECT count(*) AS n, (SELECT count(*) FROM s1) AS surv
+             FROM b1),
+    agg2 AS (SELECT count(*) AS n, (SELECT count(*) FROM s2) AS surv,
+             (SELECT count(*) FROM s2 WHERE f IN (SELECT f FROM s1))
+               AS hits
+             FROM b2)
+    SELECT 'batch1' AS batch, CAST(surv AS BIGINT) AS n_kept,
+           CAST(n - surv AS BIGINT) AS n_batch_dups,
+           CAST(0 AS BIGINT) AS n_index_dups
+    FROM agg1
+    UNION ALL
+    SELECT 'batch2', CAST(surv - hits AS BIGINT),
+           CAST(n - surv AS BIGINT), CAST(hits AS BIGINT)
+    FROM agg2
+    """,
+    doc="exact dedup-on-ingest against a persistent fingerprint index "
+        "(operators/dedup.py:dedup_against_index + the runner's "
+        "target.options.dedup): two overlapping document batches "
+        "(doc_id%4 in {{0,1}} then {{1,2}} — the %4==1 slice replays) "
+        "ingest in sequence against a fresh FsTable index; the second "
+        "batch's replayed rows drop as index dups. The batch "
+        "fingerprints broadcast as a semi filter over the index scan "
+        "(index_anti_join), so the index is never shuffled.",
+)
+def dedup_ingest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import dedup
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    docs = load(spark, sf_dir, "documents")
+    b1 = docs.filter(F.col("doc_id") % 4 <= 1)
+    b2 = docs.filter((F.col("doc_id") % 4 >= 1) & (F.col("doc_id") % 4 <= 2))
+    root = tempfile.mkdtemp(prefix="sg_fp_ix_")
+    try:
+        table = FsTable.create(root + "/ix")
+        k1, bd1, id1 = dedup.dedup_against_index(
+            spark, b1, "doc_id", "text", table)
+        n1 = k1.count()
+        k1.unpersist()
+        k2, bd2, id2 = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table)
+        n2 = k2.count()
+        k2.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
+        "batch string, n_kept bigint, n_batch_dups bigint, "
+        "n_index_dups bigint")
+
+
+def _band_key_sql(v: str, t: int, band_width: int = 8) -> str:
+    """DuckDB replica of similarity.sign_band_keys band ``t``: the
+    ``band_width`` comparison bits over runtime-modulo indices."""
+    bits = []
+    for i in range(band_width):
+        ia = 2 * t * band_width + 2 * i
+        ib = 2 * t * band_width + 2 * i + 1 + t
+        bits.append(
+            f"CASE WHEN {v}[({ia} % len({v})) + 1] >"
+            f" {v}[({ib} % len({v})) + 1] THEN '1' ELSE '0' END")
+    return f"'{t}:' || " + " || ".join(bits)
+
+
+def _dedup_ingest_embedding_oracle() -> str:
+    cos_ab = _COS_SQL.format(a="a.v", b="b.v")
+    cos_ax = _COS_SQL.format(a="a.v", b="x.v")
+    key_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, m, v, {_band_key_sql('v', t)} AS key FROM e"
+        for t in range(4))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 4 AS m
+      FROM embeddings),
+    k AS (
+{key_selects}),
+    l1 AS (
+      SELECT DISTINCT a.vec_id FROM k a JOIN k b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m <= 1 AND b.m <= 1 AND {cos_ab} >= 0.5),
+    s1 AS (SELECT vec_id FROM e WHERE m <= 1
+           AND vec_id NOT IN (SELECT vec_id FROM l1)),
+    l2 AS (
+      SELECT DISTINCT a.vec_id FROM k a JOIN k b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m BETWEEN 1 AND 2 AND b.m BETWEEN 1 AND 2
+        AND {cos_ab} >= 0.5),
+    h2 AS (
+      SELECT DISTINCT a.vec_id FROM k a
+      JOIN k x ON a.key = x.key
+      JOIN s1 ON x.vec_id = s1.vec_id
+      WHERE a.m BETWEEN 1 AND 2
+        AND a.vec_id NOT IN (SELECT vec_id FROM l2)
+        AND {cos_ax} >= 0.5),
+    agg1 AS (SELECT (SELECT count(*) FROM e WHERE m <= 1) AS n,
+                    (SELECT count(*) FROM l1) AS bd),
+    agg2 AS (SELECT (SELECT count(*) FROM e WHERE m BETWEEN 1 AND 2) AS n,
+                    (SELECT count(*) FROM l2) AS bd,
+                    (SELECT count(*) FROM h2) AS hits)
+    SELECT 'batch1' AS batch, CAST(n - bd AS BIGINT) AS n_kept,
+           CAST(bd AS BIGINT) AS n_batch_dups,
+           CAST(0 AS BIGINT) AS n_index_dups
+    FROM agg1
+    UNION ALL
+    SELECT 'batch2', CAST(n - bd - hits AS BIGINT), CAST(bd AS BIGINT),
+           CAST(hits AS BIGINT)
+    FROM agg2
+    """
+
+
+@register(
+    "dedup_ingest_embedding",
+    _dedup_ingest_embedding_oracle(),
+    doc="embedding near-dup-on-ingest against a persistent banded cell "
+        "index (operators/similarity.py:dedup_embeddings_against_index): "
+        "two overlapping embedding batches (vec_id%4 in {0,1} then "
+        "{1,2}) ingest in sequence; replayed vectors hit their own "
+        "committed index entries (exact-equal, caught by construction) "
+        "and natural cosine>=0.5 neighbors sharing an LSH band cell "
+        "score inside matching cells only. The batch's distinct band "
+        "keys broadcast as a semi filter over the index scan, so the "
+        "index is never shuffled; hot cells are guarded (max_cell_size).",
+)
+def dedup_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import similarity
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 4 <= 1)
+    b2 = emb.filter((F.col("vec_id") % 4 >= 1) & (F.col("vec_id") % 4 <= 2))
+    root = tempfile.mkdtemp(prefix="sg_emb_ix_")
+    try:
+        table = FsTable.create(root + "/ix")
+        k1, bd1, id1 = similarity.dedup_embeddings_against_index(
+            spark, b1, "vec_id", "embedding", table, threshold=0.5)
+        n1 = k1.count()
+        k1.unpersist()
+        k2, bd2, id2 = similarity.dedup_embeddings_against_index(
+            spark, b2, "vec_id", "embedding", table, threshold=0.5)
+        n2 = k2.count()
+        k2.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
+        "batch string, n_kept bigint, n_batch_dups bigint, "
+        "n_index_dups bigint")
+
+
+# ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
 # The external correctness gate records rows for the FIRST 50 insertion-order
@@ -4009,6 +4455,34 @@ _GATE_DEMOTED = [
     # in-window rollup_incremental_events (type, day) aggregation and
     # the streaming tests; tumbling r1-r5 proven)
     "events_tumbling_window",
+    # --- r7 rotation: admit the eight r6-test-only operators the r6
+    # verdict asked to driver-prove (gapfill_locf_event_value,
+    # quantile_clip_events, temperature_mixture_docs,
+    # group_aware_split_docs, unigram_drift_docs, chunk_sentences_docs,
+    # dedup_ingest_exact, dedup_ingest_embedding). Every demotion below
+    # is r6-driver-proven (CORRECTNESS_r06 green) and leaves its family
+    # represented in-window:
+    #   q7_volume_shipping / q9_product_profit / q14_promo_effect
+    #     (TPC-H join family keeps q2/q3/q5/q8/q10/q12/q13/q15-q22)
+    #   q20_part_promotion_suppliers (semi-join shape stays via q18's
+    #     agg-as-semi and q21's EXISTS)
+    #   fuzzy_name_match          (scalar/text-expr family keeps
+    #     pii_scrub, quality_classifier, unigram_logprob)
+    #   window_ntile_order_quartiles (window family keeps
+    #     window_time_range_frame + q3/q10 ordered top-k)
+    #   approx_median_rank_check  (sketch family keeps
+    #     approx_distinct_users; quantile_clip_events re-proves the
+    #     percentile sketch against exact quantiles anyway)
+    #   chunk_documents_sliding   (chunk family keeps chunk_pack_pipeline
+    #     + the new chunk_sentences_docs, the same window/slice shape)
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q14_promo_effect",
+    "q20_part_promotion_suppliers",
+    "fuzzy_name_match",
+    "window_ntile_order_quartiles",
+    "approx_median_rank_check",
+    "chunk_documents_sliding",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

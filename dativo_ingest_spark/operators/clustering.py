@@ -47,9 +47,14 @@ from pyspark.sql import functions as F
 from dativo_ingest_spark.functions import vectors
 
 #: above this many centroids the inlined-literal assignment would bloat the
-#: plan O(k x d); swap to an Arrow-batched argmin (see similarity.py's
-#: _centroid_probe_udf for the pattern).
+#: plan O(k x d); the Arrow-batched argmin takes over.
 INLINE_CENTROID_LIMIT = 64
+
+#: the plan-size gate that actually matters is TOTAL literals (k x d), not
+#: k alone: at d=64 even k=32 inlines 2048 struct literals and the
+#: whole-stage-codegen COMPILE dominates the job (measured 5-6 s vs 0.8 s
+#: for the Arrow argmin on the same data). Inline only below this budget.
+INLINE_LITERAL_BUDGET = 1024
 
 
 def _sqdist_to_literal(qvec: str, centroid: Sequence[float]) -> F.Column:
@@ -151,7 +156,9 @@ def fixed_point_kmeans(
 
     def assign(frame: DataFrame) -> DataFrame:
         items = sorted(centroids.items())
-        if len(items) > inline_centroid_limit:
+        dim = len(items[0][1]) if items else 0
+        if (len(items) > inline_centroid_limit
+                or len(items) * dim > INLINE_LITERAL_BUDGET):
             # large k (the SemDeDup regime: k scales with the corpus):
             # Arrow-batched argmin keeps the plan O(1) in k — the inlined
             # path below would carry O(k x d) literals and choke the

@@ -110,6 +110,7 @@ HEADLINE = [
     "chunk_sentences_docs",
     "dedup_ingest_exact",
     "dedup_ingest_embedding",
+    "dedup_ingest_minhash",
 ]
 
 

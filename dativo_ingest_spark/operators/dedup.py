@@ -743,3 +743,200 @@ def index_entries(df: DataFrame, text_col: str) -> DataFrame:
     the md5 fingerprint is deterministic, so the deferred rows are
     identical to what an inline commit would have written."""
     return with_fingerprint(_widen(df), text_col).select("fingerprint")
+
+
+#: default in-cell population cap for the ingest-time MinHash band joins
+#: (same role as similarity.MAX_CELL_SIZE_DEFAULT: one boilerplate band
+#: cell must not concentrate a quadratic pair task on a shuffle key).
+INGEST_MAX_CELL_SIZE = 10_000
+
+#: above this many (row, band) keys the MinHash index dedup skips the
+#: broadcast cell pre-filter and lets the scoring join shuffle both sides.
+_MINHASH_INDEX_BROADCAST_LIMIT = 4_000_000
+
+
+def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
+                       n: int, num_hashes: int,
+                       rows_per_band: int) -> DataFrame:
+    """(id, _sig array<string>, _keys array<string>) — minwise signature
+    plus one LSH band key per band (``'b|slice|slice'``), the exact
+    construction :func:`minhash_lsh_pairs` shuffles on. Docs with fewer
+    than ``n`` words have no shingles and are EXCLUDED (no signature
+    exists for them)."""
+    num_bands = num_hashes // rows_per_band
+    grams = gram_sets(df, id_col, text_col, n).filter(F.size("grams") > 0)
+    hashed = grams.select("id", F.explode("grams").alias("gram")).select(
+        "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")
+          for s in range(num_hashes)]
+    )
+    return sig.select(
+        "id",
+        F.array(*[F.col(f"_s{s}") for s in range(num_hashes)]).alias("_sig"),
+        F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        *[F.col(f"_s{b * rows_per_band + r}")
+                          for r in range(rows_per_band)])
+            for b in range(num_bands)
+        ]).alias("_keys"),
+    )
+
+
+def _sig_agreement(a_sig, b_sig, num_hashes: int):
+    """Estimated Jaccard: fraction of agreeing minwise components (6dp)."""
+    eq = F.zip_with(a_sig, b_sig, lambda x, y: x == y)
+    return F.round(
+        F.size(F.filter(eq, lambda m: m)) / F.lit(float(num_hashes)), 6)
+
+
+def dedup_minhash_against_index(
+    spark,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    branch: str = "main",
+    commit: bool = True,
+    max_cell_size: int | None = INGEST_MAX_CELL_SIZE,
+    broadcast_limit: int = _MINHASH_INDEX_BROADCAST_LIMIT,
+):
+    """Text NEAR-dup-on-ingest against a persistent MinHash band index —
+    the third leg of the ingest-dedup triad (``dedup_against_index``
+    catches exact content, ``similarity.dedup_embeddings_against_index``
+    catches high-cosine embeddings; this catches lightly-edited copy
+    sharing most word shingles, with no embedding required).
+
+    The historical corpus is represented ONLY by its band index
+    (``num_hashes/rows_per_band`` rows per admitted doc: band key +
+    signature), never rescanned. Per batch: one shingle scan computing
+    signatures, a within-batch cell self-join (one-pass lower-id-wins,
+    the family convention), and a band-key equi-join against the index.
+    Candidates verify by ESTIMATED Jaccard — the fraction of agreeing
+    minwise components, the standard MinHash estimate — not the exact
+    gram-set Jaccard the pair-mining path uses: storing gram sets in the
+    index would make it corpus-sized, defeating the point. Exact
+    duplicates have identical signatures, agree on every band, estimate
+    1.0 — so replaying a committed batch drops it by construction (the
+    crash-window contract of the exact twin). Docs with fewer than ``n``
+    words have no signature: always kept, never indexed (their replays
+    re-publish — run the exact twin for those, documented limitation
+    mirroring the embedding twin's zero-norm vectors).
+
+    100 TB shape: everything shuffles on the band key; the batch's
+    distinct band keys broadcast as a left-semi filter over the index
+    SCAN (under ``broadcast_limit``), so the index is never shuffled and
+    per-batch exchange cost is O(batch) — flat as history grows.
+    ``max_cell_size`` guards degenerate cells exactly like the embedding
+    twin (hot-cell rows admit un-deduped, logged). Returns
+    ``(kept_df, n_batch_dups, n_index_dups)`` with ``kept_df`` persisted
+    (caller unpersists), original batch schema.
+    """
+    import logging as _logging
+
+    log = _logging.getLogger(__name__)
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    num_bands, rem = divmod(num_hashes, rows_per_band)
+    if rem or num_bands < 1:
+        raise ValueError("rows_per_band must divide num_hashes")
+
+    base = _widen(batch).persist()
+    n_total = base.count()
+    sig = _minhash_sig_frame(
+        base, id_col, text_col, n, num_hashes, rows_per_band).persist()
+    keyed = sig.select("id", "_sig", F.explode("_keys").alias("_key"))
+    if max_cell_size is not None:
+        # sig is persisted, so the cell count is one cached pass; on a
+        # clean batch the join plans stay untouched
+        guarded = _without_hot_keys(keyed, "_key", max_cell_size)
+        if guarded is not keyed:
+            log.warning(
+                "dedup_minhash_against_index: batch cells over "
+                "max_cell_size=%d excluded from scoring (their rows "
+                "admit un-deduped); raise rows_per_band or the cap",
+                max_cell_size)
+        keyed = guarded
+
+    a, b = keyed.alias("a"), keyed.alias("b")
+    est = _sig_agreement(F.col("a._sig"), F.col("b._sig"), num_hashes)
+    batch_losers = (
+        a.join(b, (F.col("a._key") == F.col("b._key"))
+               & (F.col("b.id") < F.col("a.id")))
+        .filter(est >= threshold)
+        .select(F.col("a.id").alias("id")).distinct()
+        .persist()
+    )
+
+    if branch != "main" and index_table.current_version(branch) is None:
+        index_table.create_branch(branch)
+    head = index_table.snapshot(index_table.current_version(branch))
+    if head.files:
+        index = index_table.read(spark, branch=branch).select(
+            F.col("key").alias("_key"), F.col("sig").alias("_ix_sig"))
+        if n_total * num_bands <= broadcast_limit:
+            index = index.join(
+                F.broadcast(keyed.select("_key").distinct()),
+                "_key", "left_semi")
+        iest = _sig_agreement(F.col("_sig"), F.col("_ix_sig"), num_hashes)
+        index_hits = (
+            keyed.join(index, "_key")
+            .filter(iest >= threshold)
+            .select("id").distinct()
+            .persist()
+        )
+    else:
+        index_hits = spark.createDataFrame([], "id string").select(
+            F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
+
+    after_batch = base.join(
+        batch_losers, base[id_col] == batch_losers["id"], "left_anti")
+    kept = (
+        after_batch
+        .join(index_hits, base[id_col] == index_hits["id"], "left_anti")
+        .persist()
+    )
+    n_kept = kept.count()
+    n_after_batch = after_batch.count()
+    n_batch_dups = n_total - n_after_batch
+    n_index_dups = n_after_batch - n_kept
+    if commit and n_kept:
+        index_table.write_append(
+            index_entries_minhash(kept, id_col, text_col, n, num_hashes,
+                                  rows_per_band),
+            branch=branch)
+    base.unpersist()
+    sig.unpersist()
+    batch_losers.unpersist()
+    if head.files:
+        index_hits.unpersist()
+    return kept, n_batch_dups, n_index_dups
+
+
+def index_entries_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The band-index rows for ``df`` — what
+    :func:`dedup_minhash_against_index` commits (one row per band per
+    sig-able doc: id, band key, full signature). Exposed separately for
+    deferred-commit callers (the runner appends AFTER its sink publish);
+    signatures are deterministic md5 chunk minima, so deferred rows match
+    an inline commit. Pass the SAME shingle/banding parameters the dedup
+    call used."""
+    return _minhash_sig_frame(
+        _widen(df), id_col, text_col, n, num_hashes, rows_per_band
+    ).select(
+        F.col("id").cast("string").alias("id"),
+        F.explode("_keys").alias("key"),
+        F.col("_sig").alias("sig"),
+    )

@@ -289,7 +289,16 @@ def ivf_topk(
     if not cents:
         raise ValueError("empty centroid set")
 
-    if len(cents) <= inline_centroid_limit:
+    # inline needs BOTH few centroids AND a bounded TOTAL literal count —
+    # at d=64 even 32 centroids inline 2048 literals and whole-stage
+    # codegen COMPILE dominates the job (same finding as
+    # clustering.INLINE_LITERAL_BUDGET; measured 5-6 s vs 0.8 s there)
+    from dativo_ingest_spark.operators.clustering import (
+        INLINE_LITERAL_BUDGET)
+
+    dim = len(cents[0][1])
+    if (len(cents) <= inline_centroid_limit
+            and len(cents) * dim <= INLINE_LITERAL_BUDGET):
         def cell_scores(vec: str, norm: str) -> F.Column:
             """array<struct<a: cos-to-centroid (9dp), i: centroid id>>."""
             entries = []

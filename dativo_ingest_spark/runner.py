@@ -320,10 +320,10 @@ def run_job(
                 "target.options.dedup needs index (the dedup-index table "
                 "path), id_field and content_field")
         _dd["mode"] = str(_dd.get("mode", "exact"))
-        if _dd["mode"] not in ("exact", "embedding"):
+        if _dd["mode"] not in ("exact", "embedding", "minhash"):
             raise ConfigError(
-                "target.options.dedup.mode must be exact or embedding, "
-                f"got {_dd['mode']!r}")
+                "target.options.dedup.mode must be exact, embedding or "
+                f"minhash, got {_dd['mode']!r}")
         if _wm in ("overwrite", "overwrite_partitions"):
             raise ConfigError(
                 "target.options.dedup cannot combine with mode="
@@ -397,6 +397,18 @@ def run_job(
                 threshold=float(_dd.get("threshold", 0.95)),
                 bands=int(_dd.get("bands", 4)),
                 band_width=int(_dd.get("band_width", 8)),
+                commit=False,
+            )
+        elif _dd["mode"] == "minhash":
+            from dativo_ingest_spark.operators import dedup as dedup_mod
+
+            kept, n_b, n_i = dedup_mod.dedup_minhash_against_index(
+                spark, df, _dd["id_field"], _dd["content_field"],
+                dedup_index_table,
+                n=int(_dd.get("ngram", 3)),
+                num_hashes=int(_dd.get("num_hashes", 8)),
+                rows_per_band=int(_dd.get("rows_per_band", 2)),
+                threshold=float(_dd.get("threshold", 0.5)),
                 commit=False,
             )
         else:
@@ -834,6 +846,14 @@ def run_job(
                 published, _dd["id_field"], _dd["content_field"],
                 bands=int(_dd.get("bands", 4)),
                 band_width=int(_dd.get("band_width", 8)))
+        elif _dd["mode"] == "minhash":
+            from dativo_ingest_spark.operators import dedup as dedup_mod
+
+            entries = dedup_mod.index_entries_minhash(
+                published, _dd["id_field"], _dd["content_field"],
+                n=int(_dd.get("ngram", 3)),
+                num_hashes=int(_dd.get("num_hashes", 8)),
+                rows_per_band=int(_dd.get("rows_per_band", 2)))
         else:
             from dativo_ingest_spark.operators import dedup as dedup_mod
 

@@ -331,3 +331,93 @@ def test_curate_corpus_example_end_to_end(spark, tmp_path):
             >= out["exact_deduped"] >= out["neardup_resolved"]
             >= out["decontaminated"] >= out["mixture_sampled"] > 0)
     assert out["train_packs"] > 0 and out["table_version"] >= 1
+
+
+class TestMinhashAgainstIndex:
+    """Text near-dup-on-ingest against a persistent MinHash band index
+    (dedup.dedup_minhash_against_index) — the third ingest-dedup leg."""
+
+    def _table(self, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        return FsTable.create(str(tmp_path / "mh_index"))
+
+    @staticmethod
+    def _frame(spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_batches_drop_near_dups_like_one_corpus(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        edited = base.replace("lazy", "sleepy")       # one word changed
+        other = "completely different content about spark shuffles and joins"
+        b1 = self._frame(spark, [("d1", base), ("d2", other),
+                                 ("d3", base)])       # d3 exact dup of d1
+        kept1, bd1, id1 = dedup.dedup_minhash_against_index(
+            spark, b1, "doc_id", "text", table, threshold=0.5)
+        assert sorted(r.doc_id for r in kept1.collect()) == ["d1", "d2"]
+        assert (bd1, id1) == (1, 0)
+        kept1.unpersist()
+
+        # batch 2: a light edit of d1 (shares most shingles) + fresh text
+        b2 = self._frame(spark, [("d4", edited),
+                                 ("d5", "fresh unrelated words entirely "
+                                        "new material here")])
+        kept2, bd2, id2 = dedup.dedup_minhash_against_index(
+            spark, b2, "doc_id", "text", table, threshold=0.5)
+        assert [r.doc_id for r in kept2.collect()] == ["d5"]
+        assert (bd2, id2) == (0, 1)
+        kept2.unpersist()
+
+        # replay of batch 2: d5 now has exact-equal index entries
+        # (signature agreement 1.0) and drops by construction
+        kept3, _, id3 = dedup.dedup_minhash_against_index(
+            spark, b2, "doc_id", "text", table, threshold=0.5)
+        assert kept3.count() == 0 and id3 == 2
+        kept3.unpersist()
+
+    def test_short_docs_always_kept_never_indexed(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        b = self._frame(spark, [("s1", "two words"), ("s2", "two words")])
+        kept, bd, _ = dedup.dedup_minhash_against_index(
+            spark, b, "doc_id", "text", table)
+        # < n words -> no shingles -> no signature -> both keep
+        assert kept.count() == 2 and bd == 0
+        kept.unpersist()
+        assert table.read(spark).count() == 0   # nothing indexed
+
+    def test_schema_preserved_commit_off_and_validation(self, spark,
+                                                        tmp_path):
+        import pytest as _pytest
+
+        table = self._table(tmp_path)
+        b = spark.createDataFrame(
+            [("1", "alpha beta gamma delta", "en")],
+            ["doc_id", "text", "lang"])
+        kept, _, _ = dedup.dedup_minhash_against_index(
+            spark, b, "doc_id", "text", table, commit=False)
+        assert set(kept.columns) == {"doc_id", "text", "lang"}
+        assert kept.is_cached
+        kept.unpersist(blocking=True)
+        assert not kept.is_cached
+        assert table.read(spark).count() == 0
+        with _pytest.raises(ValueError):
+            dedup.dedup_minhash_against_index(
+                spark, b, "doc_id", "text", table, threshold=0.0)
+        with _pytest.raises(ValueError):
+            dedup.dedup_minhash_against_index(
+                spark, b, "doc_id", "text", table, rows_per_band=3)
+
+    def test_hot_cell_admits_undeduped(self, spark, tmp_path):
+        table = self._table(tmp_path)
+        pile_text = "spam spam spam wonderful spam spam baked beans spam"
+        pile = [("p%03d" % i, pile_text) for i in range(300)]
+        a = "the quick brown fox jumps over the lazy dog once more"
+        b = [("x1", a), ("x2", a)]
+        batch = self._frame(spark, pile + b)
+        kept, bd, _ = dedup.dedup_minhash_against_index(
+            spark, batch, "doc_id", "text", table, threshold=0.5,
+            max_cell_size=100)
+        # pile cells blow the cap -> admit un-deduped; x pair resolves
+        assert kept.count() == 301 and bd == 1
+        kept.unpersist()

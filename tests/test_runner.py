@@ -919,3 +919,43 @@ class TestDedupOnIngestOption:
         assert kept2.is_cached
         kept2.unpersist(blocking=True)
         assert not kept2.is_cached
+
+    def test_minhash_mode_end_to_end(self, spark, tmp_path):
+        """mode=minhash: lightly-edited near-dup text drops across runs
+        against the persistent band index (deferred commit, exact twin's
+        crash contract)."""
+        base = ("the quick brown fox jumps over the lazy dog again and "
+                "again tonight")
+        index = str(tmp_path / "mh_ix")
+
+        def write_batch(path, rows):
+            spark.createDataFrame(
+                rows, "id long, name string, active boolean"
+            ).write.parquet(path)
+
+        b1 = str(tmp_path / "b1")
+        b2 = str(tmp_path / "b2")
+        write_batch(b1, [(1, base, True),
+                         (2, "entirely different spark shuffle words here",
+                          True)])
+        # batch 2: one-word edit of the batch-1 text + fresh content
+        write_batch(b2, [(3, base.replace("lazy", "sleepy"), True),
+                         (4, "fresh unrelated material entirely new words",
+                          True)])
+
+        def job(src, out):
+            d = job_dict(src, out)
+            d["source"] = {"type": "parquet", "path": src}
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id", "content_field": "name",
+                "mode": "minhash", "threshold": 0.5}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(b1, str(tmp_path / "o1")))
+        assert r1.exit_code == runner.EXIT_SUCCESS and r1.records_in == 2
+        r2 = runner.run_job(spark, job(b2, str(tmp_path / "o2")))
+        assert r2.records_in == 1
+        assert r2.dedup_dropped == {"batch": 0, "index": 1}
+        back = spark.read.parquet(str(tmp_path / "o2"))
+        assert [r.id for r in back.collect()] == [4]

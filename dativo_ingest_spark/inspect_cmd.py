@@ -20,6 +20,37 @@ from dativo_ingest_spark.config.contracts import SourceConfig
 from dativo_ingest_spark.sources import csv_source, jdbc, mdkv_source
 
 
+#: lines read per file by the jsonl column probe — bounds preflight cost
+#: at O(files), not O(bytes)
+PROBE_LINES = 100
+
+
+def _probe_jsonl_columns(files: list[str],
+                         max_lines: int = PROBE_LINES) -> list[str]:
+    """Union of top-level object keys across the first ``max_lines``
+    lines of EVERY file, sorted like Spark's json schema inference.
+    Malformed/non-object lines are skipped (the read path admits them as
+    all-null rows; they contribute no columns either way)."""
+    import json as _json
+
+    seen: set[str] = set()
+    for path in files:
+        with open(path, "r", encoding="utf-8", errors="replace") as fh:
+            for i, line in enumerate(fh):
+                if i >= max_lines:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = _json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict):
+                    seen.update(obj)
+    return sorted(seen)
+
+
 def check_source(spark: SparkSession, src: SourceConfig,
                  mode: str = "self_hosted") -> dict[str, Any]:
     """Connection/readability probe. Never raises — returns
@@ -45,8 +76,6 @@ def check_source(spark: SparkSession, src: SourceConfig,
             return {"ok": True, "source_type": "parquet",
                     "details": {"columns": df.columns}}
         if src.type == "jsonl":
-            from dativo_ingest_spark.sources import jsonl_source
-
             files = [p for p, _ in csv_source.list_csv_files(src.path)]
             if not files:
                 return {"ok": False, "source_type": "jsonl",
@@ -54,9 +83,13 @@ def check_source(spark: SparkSession, src: SourceConfig,
             # probe ALL files, not files[0]: the actual read unions keys
             # across the glob, so a required column present only in later
             # files must not be reported missing (and extra columns in
-            # later files must show up)
-            cols = jsonl_source.read_jsonl(
-                spark, files, options=src.options).columns
+            # later files must show up). BOUNDED probe — a full
+            # spark.read.json over the glob would schema-infer every
+            # byte, turning a preflight into an ingest-sized scan; the
+            # first PROBE_LINES lines of each file cover the per-file
+            # key-drift case the probe exists for (keys first appearing
+            # deeper than that are missed — documented depth limit).
+            cols = _probe_jsonl_columns(files)
             return {"ok": True, "source_type": "jsonl",
                     "details": {"files": len(files), "columns": cols}}
         if src.type == "markdown_kv":

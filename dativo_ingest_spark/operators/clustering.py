@@ -68,17 +68,38 @@ def _sqdist_to_literal(qvec: str, centroid: Sequence[float]) -> F.Column:
     )
 
 
+def _spark_round9(x: float) -> float:
+    """Replicate Spark's ``round(double, 9)``: BigDecimal HALF_UP on the
+    double's SHORTEST decimal representation (``Double.toString`` ==
+    Python ``repr`` in value — both emit the shortest round-tripping
+    decimal). ``np.round`` is half-to-even on the scaled binary value and
+    disagrees exactly at decimal half boundaries (round(5e-10, 9): Spark
+    1e-9, numpy 0.0)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("1e-9"),
+                                         rounding=ROUND_HALF_UP))
+
+
 def _assign_argmin_udf(centroid_items):
     """Arrow-batched nearest-centroid assignment for large ``k``: the
     centroid matrix rides in the UDF closure (one serialized copy per
     executor — the pandas-UDF analog of a broadcast variable), so plan
-    size stays O(1) in the centroid count. Bit-identical to the
+    size stays O(1) in the centroid count. Semantics-identical to the
     inlined-literal path: the distance accumulates as the SAME sequential
     index-order fold of IEEE doubles (``acc = acc + (x_j - c_j)^2``, one
     correctly-rounded multiply and add per dimension — numpy elementwise
-    ops and the JVM round identically), then rounds to 9dp and breaks
-    ties to the LOWER cluster id (rows sorted by cid ascending, argmin
-    returns the first minimum).
+    ops and the JVM round identically), and the rounded-9dp argmin with
+    lower-cid ties is resolved in two tiers: when the margin between the
+    two nearest distances exceeds 2e-9, no 9dp rounding can reorder or
+    tie them, so the raw argmin is exact; ambiguous rows (exact ties —
+    duplicate points — or sub-grid margins) fall to a per-row exact
+    replication of Spark's HALF_UP decimal rounding
+    (:func:`_spark_round9`) with first-minimum = lowest cid. The
+    vectorized fast path covers essentially every row; the slow path
+    guarantees the contract instead of assuming ``np.round`` == Spark
+    ``round`` at half boundaries.
 
     ``centroid_items``: sorted list of (cid, centroid vector)."""
     import numpy as np
@@ -97,8 +118,19 @@ def _assign_argmin_udf(centroid_items):
         for j in range(mat.shape[1]):
             diff = V[:, j, None] - mat[None, :, j]
             acc += diff * diff
-        best = np.argmin(np.round(acc, 9), axis=1)
-        return pd.Series(ids[best])
+        if mat.shape[0] == 1:
+            return pd.Series(np.full(len(V), ids[0], dtype=np.int64))
+        two = np.argpartition(acc, 1, axis=1)[:, :2]
+        d_two = np.take_along_axis(acc, two, axis=1)
+        swap = d_two[:, 0] > d_two[:, 1]
+        best = np.where(swap, two[:, 1], two[:, 0])
+        margin = np.abs(d_two[:, 1] - d_two[:, 0])
+        out = ids[best]
+        for i in np.nonzero(margin <= 2e-9)[0]:
+            rounded = [_spark_round9(x) for x in acc[i]]
+            m = min(rounded)
+            out[i] = ids[next(j for j, x in enumerate(rounded) if x == m)]
+        return pd.Series(out)
 
     return assign
 

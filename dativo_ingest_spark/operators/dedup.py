@@ -201,6 +201,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def _sig_from_grams(grams: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, _s0.._sH) minwise signature columns from a (id, grams) frame.
+
+    THE load-bearing construction both the pair-mining path
+    (:func:`minhash_lsh_pairs`) and the persistent-index ingest path
+    (:func:`dedup_minhash_against_index`) shuffle on — one shared builder
+    so they can never silently diverge (a divergence would stop every
+    committed index entry from matching future batches). Callers MUST
+    pass a materialization-barriered grams frame (cache or exchange):
+    the explode otherwise re-evaluates the tokenize+ngram pipeline per
+    OUTPUT row (gram_sets docstring, measured ~20-75x)."""
+    hashed = grams.select("id", F.explode("grams").alias("gram")).select(
+        "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
+    )
+    return hashed.groupBy("id").agg(
+        *[
+            F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def _band_key_cols(num_hashes: int, rows_per_band: int) -> list:
+    """One ``'b|slice|..'`` LSH band-key Column per band over the
+    ``_s{i}`` signature columns — shared by the pair-mining bucket
+    explode and the ingest index keys (same divergence stakes as
+    :func:`_sig_from_grams`)."""
+    num_bands = num_hashes // rows_per_band
+    return [
+        F.concat_ws(
+            "|",
+            F.lit(str(b)),
+            *[
+                F.col(f"_s{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(num_bands)
+    ]
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -234,20 +275,12 @@ def minhash_lsh_pairs(
     # it so it can't be predicate-pushed into the gram expressions.
     grams = gram_sets(df, id_col, text_col, n).cache()
     grams = grams.filter(F.size("grams") > 0)
-    hashed = grams.select("id", F.explode("grams").alias("gram")).select(
-        "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
-    )
     # NOT cached deliberately: the band frame is consumed by the hot-bucket
     # aggregate, its anti-join probe, and both self-join sides, but
     # ReusedExchange already shares the shuffled signature across them —
     # measured best-of-3 with a sig.cache() barrier was equal at best and
     # up to 7x worse under heap pressure (cache-write + GC swings).
-    sig = hashed.groupBy("id").agg(
-        *[
-            F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    sig = _sig_from_grams(grams, num_hashes)
     num_bands = num_hashes // rows_per_band
     assert num_bands * rows_per_band == num_hashes
     # Bucket key = band index prefixed onto the RAW signature slice. Only
@@ -256,21 +289,8 @@ def minhash_lsh_pairs(
     # chars (band + 2x8 here), cheaper to produce, and shuffles less.
     bands = sig.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[
-                            F.col(f"_s{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*_band_key_cols(num_hashes, rows_per_band)))
+        .alias("bucket"),
     )
     if max_bucket_size is not None:
         # cache before the guard's eager count: the signature pipeline runs
@@ -759,28 +779,22 @@ def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
                        n: int, num_hashes: int,
                        rows_per_band: int) -> DataFrame:
     """(id, _sig array<string>, _keys array<string>) — minwise signature
-    plus one LSH band key per band (``'b|slice|slice'``), the exact
-    construction :func:`minhash_lsh_pairs` shuffles on. Docs with fewer
-    than ``n`` words have no shingles and are EXCLUDED (no signature
-    exists for them)."""
-    num_bands = num_hashes // rows_per_band
-    grams = gram_sets(df, id_col, text_col, n).filter(F.size("grams") > 0)
-    hashed = grams.select("id", F.explode("grams").alias("gram")).select(
-        "id", hashing.chunked_gram_hashes(F.col("gram"), num_hashes).alias("h")
-    )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(F.substring("h", s * 8 + 1, 8)).alias(f"_s{s}")
-          for s in range(num_hashes)]
-    )
+    plus one LSH band key per band (``'b|slice|slice'``), built on the
+    SAME :func:`_sig_from_grams`/:func:`_band_key_cols` construction
+    :func:`minhash_lsh_pairs` shuffles on. Docs with fewer than ``n``
+    words have no shingles: their empty gram sets explode to zero rows,
+    so no signature row exists for them. The ``repartition`` is the
+    mandatory materialization barrier before the explode (gram_sets
+    docstring) — an id-keyed exchange of (id, grams) rows, the same
+    volume the signature shuffle moves anyway, chosen over ``cache()``
+    here so deferred-commit callers (index_entries_minhash) leak no
+    cache entry."""
+    grams = gram_sets(df, id_col, text_col, n).repartition("id")
+    sig = _sig_from_grams(grams, num_hashes)
     return sig.select(
         "id",
         F.array(*[F.col(f"_s{s}") for s in range(num_hashes)]).alias("_sig"),
-        F.array(*[
-            F.concat_ws("|", F.lit(str(b)),
-                        *[F.col(f"_s{b * rows_per_band + r}")
-                          for r in range(rows_per_band)])
-            for b in range(num_bands)
-        ]).alias("_keys"),
+        F.array(*_band_key_cols(num_hashes, rows_per_band)).alias("_keys"),
     )
 
 
@@ -906,9 +920,18 @@ def dedup_minhash_against_index(
     n_batch_dups = n_total - n_after_batch
     n_index_dups = n_after_batch - n_kept
     if commit and n_kept:
+        # entries come off the PERSISTED sig frame (semi-joined to the
+        # kept ids) — no signature recompute, and identical by
+        # construction to what index_entries_minhash would rebuild
         index_table.write_append(
-            index_entries_minhash(kept, id_col, text_col, n, num_hashes,
-                                  rows_per_band),
+            sig.join(
+                kept.select(F.col(id_col).alias("id")),
+                "id", "left_semi",
+            ).select(
+                F.col("id").cast("string").alias("id"),
+                F.explode("_keys").alias("key"),
+                F.col("_sig").alias("sig"),
+            ),
             branch=branch)
     base.unpersist()
     sig.unpersist()

@@ -165,10 +165,16 @@ def bucketed_neardup_pairs(
     boilerplate embedding every doc shares) would otherwise put a
     quadratic B²/2-pair task on a single shuffle key. The guard affects
     candidate recall only (pairs inside a skipped cell are not reported);
-    it resolves driver-side with one cheap map-side-combined count per
-    cell, leaving the plan untouched when no cell is hot — the
-    overwhelmingly common case under corpus-scaled clustering, where
-    expected cell size is a small constant.
+    it resolves driver-side with one map-side-combined count per cell,
+    leaving the plan untouched when no cell is hot — the overwhelmingly
+    common case under corpus-scaled clustering, where expected cell size
+    is a small constant. COST: the eager count is one extra
+    column-pruned pass over ``df`` (only ``bucket_col`` evaluates —
+    Catalyst prunes the vector projections). Callers who already hold a
+    materialized assignment should compute cell sizes from IT, pre-filter
+    hot buckets, and pass ``max_bucket_size=None`` — the pattern
+    ``queries.semantic_dedup_pipeline`` uses over its cached k-means
+    frame; that makes the guard free instead of one pass.
     """
     from dativo_ingest_spark.operators.dedup import _without_hot_keys
 

@@ -2651,8 +2651,20 @@ def semantic_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(assign, emb["vec_id"] == assign["id"])
         .select("vec_id", "embedding", "cluster")
     )
+    # hot-cell guard resolved from the CACHED assignment (cluster sizes
+    # are one cheap cached aggregate), then the pair join runs unguarded
+    # — calling bucketed_neardup_pairs with its default guard would
+    # re-scan the uncached emb-join-assign frame once more per call
+    hot = [r["cluster"] for r in
+           assign.groupBy("cluster")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") > similarity.MAX_CELL_SIZE_DEFAULT)
+           .collect()]
+    if hot:
+        clustered = clustered.filter(~F.col("cluster").isin(hot))
     pairs = similarity.bucketed_neardup_pairs(
-        clustered, "vec_id", "embedding", "cluster", threshold=0.3
+        clustered, "vec_id", "embedding", "cluster", threshold=0.3,
+        max_bucket_size=None,
     )
     pair_clusters = (
         pairs.join(assign.withColumnRenamed("id", "pid"),

@@ -324,6 +324,20 @@ def run_job(
             raise ConfigError(
                 "target.options.dedup.mode must be exact, embedding or "
                 f"minhash, got {_dd['mode']!r}")
+        if _dd["mode"] in ("embedding", "minhash"):
+            _thr = float(_dd.get(
+                "threshold", 0.95 if _dd["mode"] == "embedding" else 0.5))
+            if not (0.0 < _thr <= 1.0):
+                raise ConfigError(
+                    "target.options.dedup.threshold must be in (0, 1], "
+                    f"got {_thr}")
+        if _dd["mode"] == "minhash":
+            _nh = int(_dd.get("num_hashes", 8))
+            _rpb = int(_dd.get("rows_per_band", 2))
+            if _rpb < 1 or _nh % _rpb != 0:
+                raise ConfigError(
+                    "target.options.dedup.rows_per_band must divide "
+                    f"num_hashes (got {_rpb} / {_nh})")
         if _wm in ("overwrite", "overwrite_partitions"):
             raise ConfigError(
                 "target.options.dedup cannot combine with mode="
@@ -716,24 +730,34 @@ def run_job(
                     F.max(cursor_field).alias("m")).first()["m"]
                 if new_max is not None:
                     rprops[wm_key] = str(new_max)
+                    # bounded collect: limit(cap+1) caps driver memory in
+                    # the degenerate case the cap exists for (a coarse
+                    # cursor putting a huge batch on one value) — the
+                    # same discipline as dedup._without_hot_keys
                     fps = sorted(
                         r["fp"] for r in batch
                         .filter(F.col(cursor_field) == F.lit(new_max))
-                        .select(row_fp.alias("fp")).distinct().collect())
+                        .select(row_fp.alias("fp")).distinct()
+                        .limit(_ROLLUP_BOUNDARY_CAP + 1).collect())
                     if str(new_max) == prev and prev_fps:
                         fps = sorted(set(fps) | set(prev_fps))
                     if len(fps) <= _ROLLUP_BOUNDARY_CAP:
                         rprops[bd_key] = json.dumps(fps)
                     else:
                         logging.getLogger(__name__).warning(
-                            "rollup boundary set for %s has %d rows at "
-                            "cursor=%s (cap %d): falling back to the "
+                            "rollup boundary set for %s exceeds the cap "
+                            "(%d rows at cursor=%s): falling back to the "
                             "strict > watermark filter — genuine new rows "
                             "at this cursor value in the NEXT batch will "
                             "be dropped; use a higher-resolution or "
-                            "unique cursor", cursor_field, len(fps),
-                            new_max, _ROLLUP_BOUNDARY_CAP)
-                        rprops.pop(bd_key, None)
+                            "unique cursor", cursor_field,
+                            _ROLLUP_BOUNDARY_CAP, new_max)
+                        # snapshot properties MERGE with the previous
+                        # head (table_commit.add_files), so the stale set
+                        # must be overwritten explicitly — a pop() here
+                        # would silently inherit an older watermark's
+                        # fingerprints and double-fold its boundary rows
+                        rprops[bd_key] = ""
                 elif prev is not None:
                     rprops[wm_key] = prev   # empty delta keeps watermark
                     if head.properties.get(bd_key):

@@ -136,3 +136,20 @@ def test_corpus_scaled_k_keeps_pair_work_linear(spark):
     big = candidate_pairs(1024)
     assert small > 0
     assert big < 8 * small   # ~4x (linear), NOT ~16x (quadratic)
+
+
+def test_large_k_exact_ties_resolve_to_lower_cid(spark):
+    """Duplicate seed points make every assignment an EXACT distance tie
+    between two centroids — the ambiguous slow path of the Arrow argmin
+    must resolve to the lower cluster id, agreeing with the inline
+    lexicographic struct-min."""
+    rows = [(i, [float(i // 2), 0.5]) for i in range(140)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    udf_path = clustering.fixed_point_kmeans(
+        df, "id", "vec", k=70, n_iter=0, inline_centroid_limit=64)
+    inline_path = clustering.fixed_point_kmeans(
+        df, "id", "vec", k=70, n_iter=0, inline_centroid_limit=1024)
+    got_udf = _assignments(udf_path)
+    assert got_udf == _assignments(inline_path)
+    # seeds come in identical pairs (2j, 2j+1): ties always take the even
+    assert all(c % 2 == 0 for _, c in got_udf)

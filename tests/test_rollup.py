@@ -337,3 +337,61 @@ class TestRollupTargetMode:
         ).select("k", "n", "total", "hi")
         assert sorted(map(tuple, again.collect())) == \
             sorted(map(tuple, exp.collect()))
+
+    def test_boundary_overflow_clears_stale_set(self, spark, tmp_path,
+                                                monkeypatch):
+        """Snapshot properties MERGE with the previous head, so the
+        overflow fallback must explicitly overwrite the stored boundary
+        set — a stale set from an older watermark would re-admit (and
+        double-fold) every replayed boundary row. Degradation contract:
+        after an overflow the NEXT run uses the strict > filter (new rows
+        at the watermark cursor are dropped, replays never double-fold)."""
+        import json as _json
+
+        from dativo_ingest_spark import runner
+        from dativo_ingest_spark.config.contracts import JobConfig
+        from dativo_ingest_spark.operators import rollup
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        monkeypatch.setattr(runner, "_ROLLUP_BOUNDARY_CAP", 2)
+        src = str(tmp_path / "src")
+        root = str(tmp_path / "tbl")
+        state = str(tmp_path / "state")
+        inc = {"enabled": True, "cursor_field": "cursor"}
+        measures = {"n": ("count", "v"), "total": ("sum", "v"),
+                    "hi": ("max", "v")}
+        schema = "k string, v double, cursor int"
+
+        b1 = spark.createDataFrame(
+            [("a", 1.0, 1), ("b", 2.0, 1), ("c", 3.0, 1)], schema)
+        b1.write.mode("overwrite").parquet(src)
+        cfg = self._cfg(src, root, incremental=inc)
+        assert runner.run_job(spark, JobConfig.from_dict(cfg),
+                              state_root=state).exit_code == 0
+
+        table = FsTable(root)
+        head = table.snapshot(table.current_version("acme"))
+        # 3 boundary rows > cap 2 -> set explicitly cleared, not inherited
+        assert head.properties["rollup.cursor_rows.cursor"] == ""
+        assert head.properties["rollup.cursor.cursor"] == "1"
+
+        # run 2: full replay plus one row past the watermark — the
+        # strict > fallback must fold ONLY the new cursor-2 row
+        b2 = spark.createDataFrame(
+            [("a", 1.0, 1), ("b", 2.0, 1), ("c", 3.0, 1),
+             ("d", 9.0, 2)], schema)
+        b2.write.mode("overwrite").parquet(src)
+        assert runner.run_job(spark, JobConfig.from_dict(cfg),
+                              state_root=state).exit_code == 0
+        got = rollup.finalize(
+            table.read(spark, branch="acme"), ["k"], measures
+        ).select("k", "n", "total", "hi")
+        exp = b2.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total"),
+            F.max("v").alias("hi"))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, exp.collect()))
+        # cursor-2 boundary set fits the cap again -> stored
+        head2 = table.snapshot(table.current_version("acme"))
+        assert len(_json.loads(
+            head2.properties["rollup.cursor_rows.cursor"])) == 1

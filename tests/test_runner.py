@@ -959,3 +959,22 @@ class TestDedupOnIngestOption:
         assert r2.dedup_dropped == {"batch": 0, "index": 1}
         back = spark.read.parquet(str(tmp_path / "o2"))
         assert [r.id for r in back.collect()] == [4]
+
+    def test_minhash_knobs_validated_at_preflight(self, spark, tmp_path):
+        """Bad banding/threshold config must fail as a ConfigError BEFORE
+        any data moves, not a mid-job ValueError."""
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+
+        def job(**dedup_extra):
+            d = job_dict(str(src), str(tmp_path / "o"))
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": str(tmp_path / "ix"), "id_field": "id",
+                "content_field": "name", "mode": "minhash", **dedup_extra}
+            return JobConfig.from_dict(d)
+
+        with pytest.raises(ConfigError, match="rows_per_band"):
+            runner.run_job(spark, job(num_hashes=8, rows_per_band=3))
+        with pytest.raises(ConfigError, match="threshold"):
+            runner.run_job(spark, job(threshold=0.0))

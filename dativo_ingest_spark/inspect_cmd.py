@@ -149,13 +149,12 @@ def discover(spark: SparkSession, src: SourceConfig,
             "columns": spark.read.parquet(p).columns,
         } for p in sorted(_glob.glob(src.path))]
     if src.type == "jsonl":
-        from dativo_ingest_spark.sources import jsonl_source
-
+        # bounded per-file key probe (see _probe_jsonl_columns) — a
+        # full read_jsonl here would schema-infer each file end-to-end
         return [{
             "stream": os.path.splitext(os.path.basename(p))[0],
             "path": p, "modified_at": m,
-            "columns": jsonl_source.read_jsonl(
-                spark, p, options=src.options).columns,
+            "columns": _probe_jsonl_columns([p]),
         } for p, m in csv_source.list_csv_files(src.path)]
     if src.type == "markdown_kv":
         return [{

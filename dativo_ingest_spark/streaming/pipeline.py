@@ -707,3 +707,123 @@ def scd2_epoch_writer(table, keys, ts_col, tracked, branch: str = "main",
                            properties={key: str(epoch_id)})
 
     return write_batch
+
+
+def dedup_epoch_writer(out_table, index_table, id_col: str,
+                       content_col: str, mode: str = "exact",
+                       branch: str = "main",
+                       query_id: str | None = None,
+                       checkpoint_dir: str | None = None,
+                       **dedup_opts):
+    """foreachBatch callable: per-micro-batch dedup-on-ingest against a
+    persistent index, with EXACTLY-ONCE publish — the streaming form of
+    the runner's ``target.options.dedup`` (batch mode documents an
+    at-least-once crash window; the replayed-epoch machinery here closes
+    it).
+
+    Each epoch: drop batch rows already in the corpus (``mode`` =
+    ``exact`` fingerprints / ``minhash`` band signatures / ``embedding``
+    LSH cells — operators/dedup.py + operators/similarity.py), publish
+    the survivors to ``out_table`` as ONE snapshot carrying the epoch
+    marker (atomic with the data, the ``table_epoch_writer`` recipe),
+    then append the survivors' index entries with their own marker.
+    Every crash window is safe:
+
+    * before publish → full replay, the dedup re-runs identically
+      (deterministic vs the unchanged index);
+    * between publish and index append → the replay sees the OUT marker,
+      skips the publish (no duplicate rows — this is the window batch
+      mode leaves open), re-derives the SAME kept set from the unchanged
+      index, and completes the index append;
+    * after both → the replay sees the INDEX marker and returns.
+
+    Epoch markers are query-scoped (``stream.epoch.{query_id}``) like
+    every exactly-once writer here. ``dedup_opts`` pass through to the
+    mode's operator (threshold, bands, num_hashes, ...).
+    """
+    from dativo_ingest_spark.operators import dedup as dedup_mod
+
+    if mode not in ("exact", "minhash", "embedding"):
+        raise ValueError(
+            f"mode must be exact, minhash or embedding, got {mode!r}")
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        ix_head = index_table.snapshot(index_table.current_version(branch))
+        ix_last = ix_head.properties.get(key)
+        if ix_last is not None and int(ix_last) >= epoch_id:
+            return   # fully processed epoch
+        spark = batch_df.sparkSession
+        if mode == "embedding":
+            from dativo_ingest_spark.operators import similarity
+
+            kept, _, _ = similarity.dedup_embeddings_against_index(
+                spark, batch_df, id_col, content_col, index_table,
+                branch=branch, commit=False, **dedup_opts)
+            entries = similarity.index_entries(
+                kept, id_col, content_col,
+                **{k: v for k, v in dedup_opts.items()
+                   if k in ("bands", "band_width")})
+        elif mode == "minhash":
+            kept, _, _ = dedup_mod.dedup_minhash_against_index(
+                spark, batch_df, id_col, content_col, index_table,
+                branch=branch, commit=False, **dedup_opts)
+            entries = dedup_mod.index_entries_minhash(
+                kept, id_col, content_col,
+                **{k: v for k, v in dedup_opts.items()
+                   if k in ("n", "num_hashes", "rows_per_band")})
+        else:
+            kept, _, _ = dedup_mod.dedup_against_index(
+                spark, batch_df, id_col, content_col, index_table,
+                branch=branch, commit=False, **dedup_opts)
+            entries = dedup_mod.index_entries(kept, content_col)
+        try:
+            out_head = out_table.snapshot(
+                out_table.current_version(branch))
+            out_last = out_head.properties.get(key)
+            if out_last is None or int(out_last) < epoch_id:
+                out_table.write_append(
+                    kept, branch=branch, properties={key: str(epoch_id)})
+            # index entries append AFTER the publish (crash re-derives,
+            # never loses) with its own marker
+            index_table.write_append(
+                entries, branch=branch, properties={key: str(epoch_id)})
+        finally:
+            kept.unpersist()
+
+    return write_batch
+
+
+def stream_dedup_to_table(
+    stream_df: DataFrame,
+    out_root: str,
+    index_root: str,
+    id_col: str,
+    content_col: str,
+    checkpoint_dir: str,
+    mode: str = "exact",
+    branch: str = "main",
+    available_now: bool = True,
+    **dedup_opts,
+):
+    """Continuously ingest a stream into a deduplicated corpus table:
+    foreachBatch + :func:`dedup_epoch_writer`. Returns
+    ``(out_table, index_table)``."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    out_table = FsTable.create(out_root)
+    index_table = FsTable.create(index_root)
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(dedup_epoch_writer(
+            out_table, index_table, id_col, content_col, mode=mode,
+            branch=branch, checkpoint_dir=checkpoint_dir, **dedup_opts))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+    return out_table, index_table

@@ -442,3 +442,86 @@ def test_expectations_gate_modes(spark, tmp_path):
     assert sum(written) < back.count()
     with pytest.raises(ValueError):
         pipeline.expectations_gate(exps, sink, on_fail="explode")
+
+
+class TestStreamDedupOnIngest:
+    """Streaming dedup-on-ingest (dedup_epoch_writer): per-micro-batch
+    index dedup with exactly-once publish — the crash window batch mode
+    leaves open (publish succeeded, index append lost) must NOT
+    duplicate rows on epoch replay."""
+
+    def test_file_stream_dedups_like_one_corpus(self, spark, tmp_path):
+        from dativo_ingest_spark.streaming.pipeline import (
+            stream_dedup_to_table, stream_from_files)
+
+        rows1 = [("d1", "alpha beta gamma delta words"),
+                 ("d2", "totally different content here now")]
+        rows2 = [("d3", "alpha beta gamma delta words"),   # exact dup of d1
+                 ("d4", "fresh new material entirely")]
+        schema = "doc_id string, text string"
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+        stream = stream_from_files(
+            spark, src, spark.read.parquet(src).schema,
+            max_files_per_trigger=1)
+        out, ix = stream_dedup_to_table(
+            stream, str(tmp_path / "corpus"), str(tmp_path / "ix"),
+            "doc_id", "text", str(tmp_path / "ckpt"))
+        got = sorted(r.doc_id for r in out.read(spark).collect())
+        # d3 dropped regardless of which file formed which micro-batch
+        assert got in (["d1", "d2", "d4"], ["d2", "d3", "d4"])
+        assert ix.read(spark).count() == 3     # one fingerprint per kept
+
+    def test_epoch_replay_after_partial_crash_is_exactly_once(
+            self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import (
+            dedup_epoch_writer)
+
+        out = FsTable.create(str(tmp_path / "corpus"))
+        ix = FsTable.create(str(tmp_path / "ix"))
+        writer = dedup_epoch_writer(out, ix, "doc_id", "text",
+                                    query_id="q1")
+        batch = spark.createDataFrame(
+            [("d1", "alpha beta gamma"), ("d2", "other words here")],
+            "doc_id string, text string")
+
+        # epoch 0: crash AFTER the out publish, BEFORE the index append
+        real_append = ix.write_append
+        calls = {"n": 0}
+
+        def failing_append(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("simulated crash before index append")
+            return real_append(*a, **kw)
+
+        ix.write_append = failing_append
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError):
+                writer(batch, 0)
+            assert out.read(spark).count() == 2    # published
+            assert ix.read(spark).count() == 0     # index lost
+
+            # replay of epoch 0: publish suppressed (no duplicates),
+            # index append completes
+            writer(batch, 0)
+        finally:
+            ix.write_append = real_append
+        assert out.read(spark).count() == 2
+        assert ix.read(spark).count() == 2
+
+        # full replay of the completed epoch is a no-op
+        writer(batch, 0)
+        assert out.read(spark).count() == 2 and ix.read(spark).count() == 2
+
+        # next epoch replaying old content drops it against the index
+        writer(spark.createDataFrame(
+            [("d9", "alpha beta gamma")], "doc_id string, text string"), 1)
+        assert out.read(spark).count() == 2

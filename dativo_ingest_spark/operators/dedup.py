@@ -748,8 +748,17 @@ def dedup_against_index(
     n_batch_dups = n_total - batch_survivors.count()
     n_index_dups = n_total - n_batch_dups - n_kept
     if commit and n_kept:
-        index_table.write_append(index_entries(kept, text_col),
-                                 branch=branch)
+        from dativo_ingest_spark.operators.util import (
+            index_append_partitions)
+
+        # coalesce the append: per-batch fingerprint sets are tiny vs the
+        # shuffle partition count, and one near-empty file per partition
+        # per batch fragments the index (read/listing cost + compaction
+        # debt for every future anti-join)
+        index_table.write_append(
+            index_entries(kept, text_col)
+            .coalesce(index_append_partitions(n_kept)),
+            branch=branch)
     ranked.unpersist()
     return kept, n_batch_dups, n_index_dups
 
@@ -923,6 +932,9 @@ def dedup_minhash_against_index(
         # entries come off the PERSISTED sig frame (semi-joined to the
         # kept ids) — no signature recompute, and identical by
         # construction to what index_entries_minhash would rebuild
+        from dativo_ingest_spark.operators.util import (
+            index_append_partitions)
+
         index_table.write_append(
             sig.join(
                 kept.select(F.col(id_col).alias("id")),
@@ -931,7 +943,7 @@ def dedup_minhash_against_index(
                 F.col("id").cast("string").alias("id"),
                 F.explode("_keys").alias("key"),
                 F.col("_sig").alias("sig"),
-            ),
+            ).coalesce(index_append_partitions(n_kept * num_bands)),
             branch=branch)
     base.unpersist()
     sig.unpersist()

@@ -628,8 +628,14 @@ def dedup_embeddings_against_index(
     n_batch_dups = n_total - n_after_batch
     n_index_dups = n_after_batch - n_kept
     if commit and n_kept:
+        from dativo_ingest_spark.operators.util import (
+            index_append_partitions)
+
+        # coalesced append: see dedup.dedup_against_index — avoids one
+        # near-empty index file per shuffle partition per batch
         index_table.write_append(
-            index_entries(kept, id_col, vec_col, bands, band_width),
+            index_entries(kept, id_col, vec_col, bands, band_width)
+            .coalesce(index_append_partitions(n_kept * bands)),
             branch=branch,
         )
     staged.unpersist()

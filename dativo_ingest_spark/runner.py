@@ -883,7 +883,19 @@ def run_job(
 
             entries = dedup_mod.index_entries(
                 published, _dd["content_field"])
-        dedup_index_table.write_append(entries)
+        from dativo_ingest_spark.operators.util import (
+            index_append_partitions)
+
+        # coalesced append (see dedup.dedup_against_index): entry rows =
+        # published rows (x bands for the banded modes) — one file per
+        # million entries instead of one near-empty file per partition
+        _entry_mult = (int(_dd.get("bands", 4))
+                       if _dd["mode"] == "embedding"
+                       else (int(_dd.get("num_hashes", 8))
+                             // int(_dd.get("rows_per_band", 2))
+                             if _dd["mode"] == "minhash" else 1))
+        dedup_index_table.write_append(entries.coalesce(
+            index_append_partitions(published.count() * _entry_mult)))
 
     # informational warn-mode sample: capped scan, only when errors exist
     sample = result.error_summary() if (invalid_count and result) else []

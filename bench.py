@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_ingest_exact",
     "dedup_ingest_embedding",
     "dedup_ingest_minhash",
+    # r7: the Gopher rule-set gate (scan-stage array/regex pass)
+    "gopher_rules_docs",
 ]
 
 

@@ -222,10 +222,19 @@ def _centroid_probe_udf(cents: list, n_probe: int):
 
     The centroid matrix rides in the UDF closure (one serialized copy per
     executor — the pandas-UDF analog of a broadcast variable), so plan size
-    stays O(1) in the centroid count. Ordering matches the inlined-literal
-    path: cosine rounded to 9dp descending, ties to the higher cell id.
-    Zero-norm rows score -inf everywhere (the literal path's NaN-max
-    behavior is degenerate there anyway)."""
+    stays O(1) in the centroid count. Ordering follows the inlined-literal
+    path (cosine rounded to 9dp descending, ties to the higher cell id)
+    and is deterministic under any partitioning/retry (each row's scores
+    depend only on that row) — but agreement with the literal path is
+    exact only OUTSIDE sub-2e-9 cosine margins: BLAS pairwise summation
+    and ``np.round``'s binary half-even differ from the Catalyst
+    sequential fold + decimal HALF_UP by ulps, which can swap which of
+    two near-tied cells is probed. IVF recall is probabilistic at those
+    margins by design (contrast clustering._assign_argmin_udf, whose
+    exact-decimal slow path IS required — cluster assignment feeds
+    oracle-checked dedup semantics, cell probing does not). Zero-norm
+    rows score -inf everywhere (the literal path's NaN-max behavior is
+    degenerate there anyway)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 

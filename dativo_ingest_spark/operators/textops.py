@@ -542,3 +542,97 @@ def unigram_drift(
     return df_a.sparkSession.createDataFrame(
         rows, "word string, c_a bigint, c_b bigint, p_a double, "
               "p_b double, kl_contrib double, share double")
+
+
+#: Gopher rule stop-word list (Rae et al. 2021 Appendix A uses a small
+#: "must contain 2 of these" set — presence evidence of running English
+#: prose, not a frequency feature like STOPWORDS above)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher quality rule set (Rae et al. 2021, App. A) as
+    one scan-stage pass: per-document booleans for every rule plus the
+    conjunction, the recognizable drop-in heuristic gate ahead of a
+    learned classifier (:func:`classifier_score`).
+
+    Rules: word count in [min, max]; mean word length in [3, 10];
+    symbol-to-word ratio (``#`` and ellipsis) <= 0.1; <= 90% of lines
+    bullet-started and <= 30% ellipsis-ended; >= 80% of words containing
+    an alphabetic character; >= 2 distinct members of the
+    :data:`GOPHER_STOPWORDS` presence list.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, stopword_hits, per-rule ok_*
+    booleans, gopher_ok). Ratios round to 4dp. Pure Catalyst array/regex
+    expressions — zero shuffles at any corpus size, filter pushes into
+    the scan when composed. Empty documents fail the word-count rule and
+    carry zero ratios (no NULL poisoning of the conjunction).
+    """
+    lines = F.split(F.col("_text"), "\n")
+    bullet = F.size(F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]")))
+    ellipsis_end = F.size(F.filter(
+        lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+    n_lines = F.size(lines)
+    n_words = F.size("_words").cast("long")
+    alpha_words = F.size(F.filter(F.col("_words"),
+                                  lambda w: w.rlike("[a-z]")))
+    symbols = (
+        F.size(F.split(F.col("_text"), "#", -1)) - 1
+        + F.size(F.split(F.col("_text"), r"\.\.\.", -1)) - 1
+        + F.size(F.split(F.col("_text"), "…", -1)) - 1
+    )
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(F.col("_words")),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])))
+    mean_wl = F.when(
+        n_words > 0,
+        F.length(F.replace(F.col("_norm"), F.lit(" "), F.lit("")))
+        / n_words).otherwise(F.lit(0.0))
+
+    def frac(num, den):
+        return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+    staged = _tokenized(df, id_col, text_col).select(
+        "id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(frac(symbols, n_words), 4).alias("symbol_ratio"),
+        F.round(frac(bullet, n_lines), 4).alias("bullet_line_frac"),
+        F.round(frac(ellipsis_end, n_lines), 4).alias("ellipsis_line_frac"),
+        F.round(frac(alpha_words, n_words), 4).alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("stopword_hits"),
+    )
+    checks = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_bullet_lines": F.col("bullet_line_frac")
+        <= max_bullet_line_frac,
+        "ok_ellipsis_lines": F.col("ellipsis_line_frac")
+        <= max_ellipsis_line_frac,
+        "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    out = staged
+    overall = None
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+        overall = cond if overall is None else (overall & cond)
+    return out.withColumn("gopher_ok", overall)

@@ -4402,6 +4402,83 @@ def dedup_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_index_dups bigint")
 
 
+@register(
+    "gopher_rules_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, text, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words,
+             string_split(text, chr(10)) AS lines
+      FROM base),
+    feat AS (
+      SELECT doc_id AS id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS mean_word_len,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE ((len(string_split(text, '#')) - 1)
+                         + (len(string_split_regex(text, '\.\.\.')) - 1)
+                         + (len(string_split(text, '…')) - 1))
+                        / len(words) END, 4) AS symbol_ratio,
+             round(CASE WHEN len(lines) = 0 THEN 0.0
+                   ELSE len(list_filter(lines,
+                          ln -> regexp_matches(ltrim(ln), '^[-*•]')))
+                        / len(lines) END, 4) AS bullet_line_frac,
+             round(CASE WHEN len(lines) = 0 THEN 0.0
+                   ELSE len(list_filter(lines,
+                          ln -> regexp_matches(rtrim(ln), '(\.\.\.|…)$')))
+                        / len(lines) END, 4) AS ellipsis_line_frac,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words,
+                          x -> regexp_matches(x, '[a-z]')))
+                        / len(words) END, 4) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(words),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stopword_hits
+      FROM w)
+    SELECT id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+           ellipsis_line_frac, alpha_word_frac, stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS ok_mean_word_len,
+           symbol_ratio <= 0.1 AS ok_symbol_ratio,
+           bullet_line_frac <= 0.9 AS ok_bullet_lines,
+           ellipsis_line_frac <= 0.3 AS ok_ellipsis_lines,
+           alpha_word_frac >= 0.8 AS ok_alpha_words,
+           stopword_hits >= 1 AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 1) AS gopher_ok
+    FROM feat
+    """,
+    doc="the published Gopher quality rule set (Rae et al. 2021 App. A) "
+        "as one scan-stage pass (operators/textops.py:gopher_rules): "
+        "word-count/mean-word-length bounds, symbol ratio, bullet and "
+        "ellipsis line fractions, alphabetic-word fraction, stop-word "
+        "presence — per-rule booleans plus the conjunction, the "
+        "recognizable heuristic gate ahead of the distilled classifier. "
+        "Pure Catalyst array/regex expressions, zero shuffles.",
+)
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    # min_stopword_hits=1: the synthetic corpus vocabulary carries only
+    # one member of the presence list, so the published >=2 would make
+    # the conjunction constant-false — 1 keeps the rule discriminative
+    # here while the operator defaults stay the published values
+    return textops.gopher_rules(docs, "doc_id", "text",
+                                min_stopword_hits=1)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4601,6 +4678,10 @@ _GATE_DEMOTED = [
     # admits dedup_ingest_minhash (the third ingest-dedup leg; r6-proven
     # q10's ordered-top-k join shape stays covered by q3/q18 in-window)
     "q10_returned_items",
+    # admits gopher_rules_docs (sampling family keeps sample_token_budget
+    # + temperature_mixture_docs + group_aware_split_docs in-window;
+    # epoch_shuffle_order is r6-driver-proven)
+    "epoch_shuffle_order",
     "q20_part_promotion_suppliers",
     "fuzzy_name_match",
     "window_ntile_order_quartiles",

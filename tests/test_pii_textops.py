@@ -169,3 +169,45 @@ def test_classifier_score_weight_override(spark):
                  "punct": -3.0, "word_len": 0.0},
     )
     assert harsh.filter("keep").count() == 0
+
+
+class TestGopherRules:
+    def test_rule_flags_and_conjunction(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog have with"] * 6)
+        short = "the tiny doc"
+        symbols = " ".join(["w#rd### has### symbols###"] * 20)
+        bullets = "\n".join(["- item one two three"] * 10)
+        nonalpha = " ".join(["123 456 789 000"] * 20)
+        df = spark.createDataFrame(
+            [("good", good), ("short", short), ("sym", symbols),
+             ("bul", bullets), ("num", nonalpha), ("empty", "")],
+            "doc_id string, text string")
+        got = {r.id: r for r in textops.gopher_rules(
+            df, "doc_id", "text").collect()}
+        assert got["good"].gopher_ok
+        assert not got["short"].ok_word_count
+        assert not got["sym"].ok_symbol_ratio
+        assert not got["bul"].ok_bullet_lines and not got["bul"].gopher_ok
+        assert not got["num"].ok_alpha_words
+        assert not got["num"].ok_stopwords
+        assert got["empty"].n_words == 0 and not got["empty"].gopher_ok
+
+    def test_ellipsis_lines_and_scan_stage_plan(self, spark):
+        from dativo_ingest_spark.inspect_cmd import plan_summary
+        from dativo_ingest_spark.operators import textops
+
+        trailing = "\n".join(
+            ["the story continues and then..."] * 4 + ["a plain line"])
+        df = spark.createDataFrame(
+            [("e", trailing)], "doc_id string, text string")
+        row = textops.gopher_rules(df, "doc_id", "text").collect()[0]
+        assert row.ellipsis_line_frac == 0.8
+        assert not row.ok_ellipsis_lines
+
+        from dativo_ingest_spark.queries import load
+        big = load(spark, "/root/testdata/sf0.001", "documents")
+        plan = plan_summary(textops.gopher_rules(big, "doc_id", "text"))
+        assert plan["exchanges"] == 0 and plan["python_evals"] == 0

@@ -111,8 +111,10 @@ HEADLINE = [
     "dedup_ingest_exact",
     "dedup_ingest_embedding",
     "dedup_ingest_minhash",
-    # r7: the Gopher rule-set gate (scan-stage array/regex pass)
+    # r7: the Gopher rule-set gate (scan-stage array/regex pass) and the
+    # C4 duplicate-line removal (df count + broadcast-back + reassembly)
     "gopher_rules_docs",
+    "dedup_lines_docs",
 ]
 
 

@@ -636,3 +636,76 @@ def gopher_rules(
         out = out.withColumn(name, cond)
         overall = cond if overall is None else (overall & cond)
     return out.withColumn("gopher_ok", overall)
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-wide duplicate-LINE removal: delete every line
+    whose trimmed content appears in more than ``max_line_df`` distinct
+    documents (the "three-sentence/line rule" — nav bars, cookie
+    banners, license footers repeat verbatim across pages; prose does
+    not), then reassemble each document from its surviving lines in
+    original order.
+
+    Output: (id, text, n_lines, n_dropped) — ``text`` rebuilt with
+    ``\\n`` joins, empty when every line dropped. Lines shorter than
+    ``min_line_chars`` after trimming (blank lines) carry no content
+    signal and are dropped unconditionally.
+
+    Distributed shape: posexplode lines → md5(trimmed line) →
+    count-DISTINCT-docs per fingerprint [partial-agg] → the over-df
+    fingerprint set is a heavy-hitter tail by construction, so it
+    BROADCASTS back as an anti-join on the exploded frame (no second
+    shuffle keyed on the line) → one groupBy(id) reassembly shuffle.
+    Linear at any corpus size — a line shared by every document costs
+    one hot key in a count, never a pair join. Exact-duplicate documents
+    keep their mutual lines only while ``<= max_line_df`` copies exist —
+    run the document-level dedup family first; this operator targets
+    template fragments inside otherwise-distinct pages.
+    """
+    if max_line_df < 1:
+        raise ValueError("max_line_df must be >= 1")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_t", F.trim(F.col("line")))
+    lines = lines.withColumn(
+        "_fp",
+        F.when(F.length("_t") >= min_line_chars, F.md5(F.col("_t"))))
+    hot = (
+        lines.filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.count_distinct("id").alias("_df"))
+        .filter(F.col("_df") > max_line_df)
+        .select("_fp")
+    )
+    kept = (
+        lines.filter(F.col("_fp").isNotNull())
+        .join(F.broadcast(hot), "_fp", "left_anti")
+    )
+    per_doc = lines.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            )["line"],
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )

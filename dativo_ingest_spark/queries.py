@@ -4479,6 +4479,61 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 min_stopword_hits=1)
 
 
+@register(
+    "dedup_lines_docs",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_replace(text, '(value|table|query) ',
+                            '\1' || chr(10), 'g') AS t
+      FROM documents),
+    l AS (
+      SELECT doc_id,
+             unnest(range(0, len(string_split(t, chr(10))))) AS pos,
+             unnest(string_split(t, chr(10))) AS line
+      FROM p),
+    fp AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(trim(line)) >= 1
+                  THEN md5(trim(line)) END AS f
+      FROM l),
+    hot AS (
+      SELECT f FROM fp WHERE f IS NOT NULL
+      GROUP BY f HAVING count(DISTINCT doc_id) > 2),
+    kept AS (
+      SELECT doc_id, pos, line FROM fp
+      WHERE f IS NOT NULL AND f NOT IN (SELECT f FROM hot)),
+    reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT t.doc_id AS id, coalesce(r.text, '') AS text,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - coalesce(r.nk, 0) AS BIGINT) AS n_dropped
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    doc="C4-style corpus-wide duplicate-LINE removal (operators/"
+        "textops.py:drop_duplicate_lines): lines whose trimmed content "
+        "appears in more than 2 distinct documents (template fragments, "
+        "nav bars, cookie banners) delete everywhere and each document "
+        "reassembles from its surviving lines in order. Line structure "
+        "is injected deterministically (the synthetic corpus is "
+        "single-line). Linear shape: posexplode -> count-distinct df "
+        "[partial agg] -> heavy-hitter set BROADCASTS back -> one "
+        "reassembly shuffle; never a pair join.",
+)
+def dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", r"(value|table|query) ", "$1\n")
+        .alias("text"))
+    return textops.drop_duplicate_lines(docs, "doc_id", "text",
+                                        max_line_df=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4682,6 +4737,10 @@ _GATE_DEMOTED = [
     # + temperature_mixture_docs + group_aware_split_docs in-window;
     # epoch_shuffle_order is r6-driver-proven)
     "epoch_shuffle_order",
+    # admits dedup_lines_docs (text family keeps gopher/pii/unigram_
+    # logprob/drift in-window; the classifier consumes the same
+    # quality_features frame gopher_rules re-exercises; r6-proven)
+    "quality_classifier_score",
     "q20_part_promotion_suppliers",
     "fuzzy_name_match",
     "window_ntile_order_quartiles",

@@ -211,3 +211,49 @@ class TestGopherRules:
         big = load(spark, "/root/testdata/sf0.001", "documents")
         plan = plan_summary(textops.gopher_rules(big, "doc_id", "text"))
         assert plan["exchanges"] == 0 and plan["python_evals"] == 0
+
+
+class TestDropDuplicateLines:
+    def test_hot_lines_drop_everywhere_order_preserved(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        rows = [
+            (1, "unique prose one\nCOOKIE BANNER\nmore unique text"),
+            (2, "different content\nCOOKIE BANNER\n  \nanother line"),
+            (3, "third doc body\nCOOKIE BANNER\nclosing words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.id: r for r in textops.drop_duplicate_lines(
+            df, "doc_id", "text", max_line_df=2).collect()}
+        assert got[1].text == "unique prose one\nmore unique text"
+        assert got[2].text == "different content\nanother line"
+        assert (got[2].n_lines, got[2].n_dropped) == (4, 2)  # + blank line
+        assert got[3].n_dropped == 1
+
+    def test_all_lines_dropped_yields_empty_doc(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        rows = [(i, "SAME LINE") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = textops.drop_duplicate_lines(
+            df, "doc_id", "text", max_line_df=2).collect()
+        assert all(r.text == "" and r.n_dropped == 1 for r in got)
+        assert len(got) == 4   # every doc still present
+
+    def test_threshold_and_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators import textops
+
+        rows = [(1, "shared"), (2, "shared"), (3, "solo")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        keep2 = textops.drop_duplicate_lines(
+            df, "doc_id", "text", max_line_df=2)
+        assert sum(r.n_dropped for r in keep2.collect()) == 0
+        keep1 = textops.drop_duplicate_lines(
+            df, "doc_id", "text", max_line_df=1)
+        assert sorted((r.id, r.n_dropped) for r in keep1.collect()) == \
+            [(1, 1), (2, 1), (3, 0)]
+        with _pytest.raises(ValueError):
+            textops.drop_duplicate_lines(df, "doc_id", "text",
+                                         max_line_df=0)

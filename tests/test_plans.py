@@ -418,3 +418,21 @@ def test_embedding_index_keys_have_constant_plan_size(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert n_exchanges(plan) == 0
     assert len(plan) < 200_000
+
+
+def test_gopher_rules_is_scan_stage(spark):
+    # the whole rule set is one pass: no shuffle, no Python boundary
+    plan = plan_of(spark, "gopher_rules_docs")
+    assert n_exchanges(plan) == 0
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_duplicate_lines_hot_set_broadcasts(spark):
+    # the over-df line set joins back via BROADCAST anti-join (heavy-
+    # hitter tail), never a sort-merge/shuffle join on the line key, and
+    # there is no pair join anywhere
+    plan = plan_of(spark, "dedup_lines_docs")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -26,16 +26,19 @@ PROBE_LINES = 100
 
 
 def _probe_jsonl_columns(files: list[str],
-                         max_lines: int = PROBE_LINES) -> list[str]:
+                         max_lines: int = PROBE_LINES,
+                         encoding: str = "utf-8") -> list[str]:
     """Union of top-level object keys across the first ``max_lines``
     lines of EVERY file, sorted like Spark's json schema inference.
     Malformed/non-object lines are skipped (the read path admits them as
-    all-null rows; they contribute no columns either way)."""
+    all-null rows; they contribute no columns either way). ``encoding``
+    honors the source's reader option of the same name; other reader
+    options don't affect top-level key discovery."""
     import json as _json
 
     seen: set[str] = set()
     for path in files:
-        with open(path, "r", encoding="utf-8", errors="replace") as fh:
+        with open(path, "r", encoding=encoding, errors="replace") as fh:
             for i, line in enumerate(fh):
                 if i >= max_lines:
                     break
@@ -89,7 +92,8 @@ def check_source(spark: SparkSession, src: SourceConfig,
             # first PROBE_LINES lines of each file cover the per-file
             # key-drift case the probe exists for (keys first appearing
             # deeper than that are missed — documented depth limit).
-            cols = _probe_jsonl_columns(files)
+            cols = _probe_jsonl_columns(
+                files, encoding=str(src.options.get("encoding", "utf-8")))
             return {"ok": True, "source_type": "jsonl",
                     "details": {"files": len(files), "columns": cols}}
         if src.type == "markdown_kv":
@@ -154,7 +158,8 @@ def discover(spark: SparkSession, src: SourceConfig,
         return [{
             "stream": os.path.splitext(os.path.basename(p))[0],
             "path": p, "modified_at": m,
-            "columns": _probe_jsonl_columns([p]),
+            "columns": _probe_jsonl_columns(
+                [p], encoding=str(src.options.get("encoding", "utf-8"))),
         } for p, m in csv_source.list_csv_files(src.path)]
     if src.type == "markdown_kv":
         return [{

@@ -579,9 +579,12 @@ def gopher_rules(
     ellipsis_line_frac, alpha_word_frac, stopword_hits, per-rule ok_*
     booleans, gopher_ok). Ratios round to 4dp. Pure Catalyst array/regex
     expressions — zero shuffles at any corpus size, filter pushes into
-    the scan when composed. Empty documents fail the word-count rule and
-    carry zero ratios (no NULL poisoning of the conjunction).
+    the scan when composed. Empty AND NULL documents normalize to the
+    empty string: they fail the word-count rule with zero ratios and
+    real False flags, so three-valued logic can never silently drop
+    them from both the keep and the reject side of a filter.
     """
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     lines = F.split(F.col("_text"), "\n")
     bullet = F.size(F.filter(
         lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]")))
@@ -638,6 +641,12 @@ def gopher_rules(
     return out.withColumn("gopher_ok", overall)
 
 
+#: above this many over-df line fingerprints the anti-join falls back
+#: from a forced broadcast to a shuffle join (~48 B/md5 in a broadcast
+#: relation puts the default near 200 MB per executor)
+HOT_LINE_BROADCAST_LIMIT = 4_000_000
+
+
 def drop_duplicate_lines(
     df: DataFrame,
     id_col: str,
@@ -653,30 +662,42 @@ def drop_duplicate_lines(
     original order.
 
     Output: (id, text, n_lines, n_dropped) — ``text`` rebuilt with
-    ``\\n`` joins, empty when every line dropped. Lines shorter than
-    ``min_line_chars`` after trimming (blank lines) carry no content
-    signal and are dropped unconditionally.
+    ``\\n`` joins, empty when every line dropped; NULL input text
+    normalizes to the empty string, so EVERY input document appears in
+    the output. Lines shorter than ``min_line_chars`` after trimming
+    (blank lines) carry no content signal and are dropped
+    unconditionally.
 
     Distributed shape: posexplode lines → md5(trimmed line) →
     count-DISTINCT-docs per fingerprint [partial-agg] → the over-df
-    fingerprint set is a heavy-hitter tail by construction, so it
-    BROADCASTS back as an anti-join on the exploded frame (no second
-    shuffle keyed on the line) → one groupBy(id) reassembly shuffle.
-    Linear at any corpus size — a line shared by every document costs
-    one hot key in a count, never a pair join. Exact-duplicate documents
-    keep their mutual lines only while ``<= max_line_df`` copies exist —
-    run the document-level dedup family first; this operator targets
+    fingerprint set joins back as an anti-join on the exploded frame —
+    BROADCAST while it fits :data:`HOT_LINE_BROADCAST_LIMIT` (the
+    common case: a heavy-hitter tail), shuffle anti-join past it (a
+    web-scale crawl's per-site boilerplate makes the hot set grow with
+    site count; an unguarded forced broadcast would OOM exactly there)
+    — then one groupBy(id) reassembly shuffle. Linear at any corpus
+    size — a line shared by every document costs one hot key in a
+    count, never a pair join. The exploded line frame is CACHED for its
+    three consumers (hot-set aggregate, anti-join probe, per-doc
+    totals — one text scan instead of three) and stays referenced by
+    the returned plan: call ``spark.catalog.clearCache()`` (or
+    materialize and unpersist) in long-lived sessions, the
+    ``minhash_lsh_pairs`` convention. Exact-duplicate documents keep
+    their mutual lines only while ``<= max_line_df`` copies exist — run
+    the document-level dedup family first; this operator targets
     template fragments inside otherwise-distinct pages.
     """
     if max_line_df < 1:
         raise ValueError("max_line_df must be >= 1")
+    text_safe = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(text_safe, "\n")).alias("pos", "line"),
     ).withColumn("_t", F.trim(F.col("line")))
     lines = lines.withColumn(
         "_fp",
         F.when(F.length("_t") >= min_line_chars, F.md5(F.col("_t"))))
+    lines = lines.cache()
     hot = (
         lines.filter(F.col("_fp").isNotNull())
         .groupBy("_fp")
@@ -684,9 +705,15 @@ def drop_duplicate_lines(
         .filter(F.col("_df") > max_line_df)
         .select("_fp")
     )
+    # data-driven join strategy over the cached frame: one cheap count
+    # decides broadcast vs shuffle, the guard every other forced
+    # broadcast in this package carries
+    n_hot = hot.count()
+    anti_side = F.broadcast(hot) if n_hot <= HOT_LINE_BROADCAST_LIMIT \
+        else hot
     kept = (
         lines.filter(F.col("_fp").isNotNull())
-        .join(F.broadcast(hot), "_fp", "left_anti")
+        .join(anti_side, "_fp", "left_anti")
     )
     per_doc = lines.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_lines"))

@@ -888,14 +888,17 @@ def run_job(
 
         # coalesced append (see dedup.dedup_against_index): entry rows =
         # published rows (x bands for the banded modes) — one file per
-        # million entries instead of one near-empty file per partition
+        # million entries instead of one near-empty file per partition.
+        # The observation's post-dedup row count is a free upper bound on
+        # published rows (the target only sizes the file count, so an
+        # extra count() job over the semi-join would be pure waste)
         _entry_mult = (int(_dd.get("bands", 4))
                        if _dd["mode"] == "embedding"
                        else (int(_dd.get("num_hashes", 8))
                              // int(_dd.get("rows_per_band", 2))
                              if _dd["mode"] == "minhash" else 1))
         dedup_index_table.write_append(entries.coalesce(
-            index_append_partitions(published.count() * _entry_mult)))
+            index_append_partitions(n_rows * _entry_mult)))
 
     # informational warn-mode sample: capped scan, only when errors exist
     sample = result.error_summary() if (invalid_count and result) else []

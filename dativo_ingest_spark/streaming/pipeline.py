@@ -750,6 +750,12 @@ def dedup_epoch_writer(out_table, index_table, id_col: str,
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         key = f"stream.epoch.{qid()}"
+        # branch bootstrap BEFORE any head read (the batch operators do
+        # this internally, but this writer reads both heads first)
+        if branch != "main":
+            for t in (out_table, index_table):
+                if t.current_version(branch) is None:
+                    t.create_branch(branch)
         ix_head = index_table.snapshot(index_table.current_version(branch))
         ix_last = ix_head.properties.get(key)
         if ix_last is not None and int(ix_last) >= epoch_id:

@@ -257,3 +257,23 @@ class TestDropDuplicateLines:
         with _pytest.raises(ValueError):
             textops.drop_duplicate_lines(df, "doc_id", "text",
                                          max_line_df=0)
+
+
+def test_gopher_and_line_dedup_null_text_survives(spark):
+    """NULL text (the jsonl read path admits malformed lines as all-null
+    rows) must behave as the empty document — real False flags, never a
+    vanished row or a three-valued NULL conjunction."""
+    from dativo_ingest_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the real document with plenty of words here")],
+        "doc_id long, text string")
+    g = {r.id: r for r in textops.gopher_rules(
+        df, "doc_id", "text").collect()}
+    assert g[1].gopher_ok is False          # False, not None
+    assert g[1].n_words == 0 and g[1].ok_word_count is False
+
+    out = {r.id: r for r in textops.drop_duplicate_lines(
+        df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}               # both docs present
+    assert out[1].text == "" and out[1].n_lines == 1

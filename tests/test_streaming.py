@@ -525,3 +525,18 @@ class TestStreamDedupOnIngest:
         writer(spark.createDataFrame(
             [("d9", "alpha beta gamma")], "doc_id string, text string"), 1)
         assert out.read(spark).count() == 2
+
+    def test_branch_bootstraps_on_first_epoch(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import (
+            dedup_epoch_writer)
+
+        out = FsTable.create(str(tmp_path / "corpus_b"))
+        ix = FsTable.create(str(tmp_path / "ix_b"))
+        writer = dedup_epoch_writer(out, ix, "doc_id", "text",
+                                    branch="acme", query_id="qb")
+        batch = spark.createDataFrame(
+            [("d1", "alpha beta gamma")], "doc_id string, text string")
+        writer(batch, 0)   # must not raise on the fresh branch
+        assert out.read(spark, branch="acme").count() == 1
+        assert ix.read(spark, branch="acme").count() == 1

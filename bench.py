@@ -115,6 +115,8 @@ HEADLINE = [
     # C4 duplicate-line removal (df count + broadcast-back + reassembly)
     "gopher_rules_docs",
     "dedup_lines_docs",
+    # r7: the skew-proof (group, shard)-local budget window
+    "sample_token_budget_sharded",
 ]
 
 

@@ -4534,6 +4534,57 @@ def dedup_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         max_line_df=2)
 
 
+@register(
+    "sample_token_budget_sharded",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    wc AS (
+      SELECT doc_id, lang,
+             CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+               AS n_tokens,
+             md5('budget|' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM norm),
+    sh AS (
+      SELECT lang, doc_id AS id, n_tokens, ord_key,
+             CAST({_hex32_sql("'budget|' || CAST(doc_id AS VARCHAR)")}
+                  % 8 AS INTEGER) AS shard
+      FROM wc),
+    cum AS (
+      SELECT lang, id, n_tokens, shard,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY ord_key, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sh)
+    SELECT lang, id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           shard,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_before < 250
+    """,
+    doc="skew-proof sharded token-budget sampling (operators/sampling.py:"
+        "token_budget_sample_sharded): each (language, md5-shard) "
+        "enforces a LOCAL quota of budget/n_shards, so the widest window "
+        "partition is 1/n_shards of the hottest group — the few-groups "
+        "100 TB window-skew bound, resolved without giving up "
+        "determinism (admission is md5-ordered within each shard; the "
+        "union of 8 unbiased shard prefixes). 2000-word budget over 8 "
+        "shards here; same running-sum shape as sample_token_budget, "
+        "which this query's shape subsumes.",
+)
+def sample_token_budget_sharded(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    from dativo_ingest_spark.functions import text as text_fns
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    return sampling.token_budget_sample_sharded(
+        docs, "doc_id", "lang", text_fns.word_count(F.col("text")),
+        budget_tokens=2000, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4741,6 +4792,11 @@ _GATE_DEMOTED = [
     # logprob/drift in-window; the classifier consumes the same
     # quality_features frame gopher_rules re-exercises; r6-proven)
     "quality_classifier_score",
+    # admits sample_token_budget_sharded, whose (group, shard)-local
+    # running-sum quota SUBSUMES the exact form's window shape while
+    # killing its few-groups skew bound (sample_token_budget r1-r6
+    # proven; temperature/group-split keep the sampling family covered)
+    "sample_token_budget",
     "q20_part_promotion_suppliers",
     "fuzzy_name_match",
     "window_ntile_order_quartiles",

@@ -6,6 +6,8 @@ runnable script.
 
 Stages (each one documented where it is implemented):
 
+0. rule gate           operators/textops.py:gopher_rules (published
+                       Gopher heuristics, scan-stage)
 1. quality gate        operators/textops.py:classifier_score
 2. outlier clip        operators/quality.py:quantile_clip (p1/p99 length)
 3. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
@@ -43,6 +45,15 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
 
     docs = load(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0. Gopher rule gate: the published heuristic set, scan-stage
+    #    (thresholds relaxed to this corpus's short synthetic docs;
+    #    production uses the operator defaults)
+    rules = textops.gopher_rules(docs, "doc_id", "text",
+                                 min_words=30, min_stopword_hits=1)
+    docs = docs.join(rules.filter("gopher_ok").select("id"),
+                     docs.doc_id == F.col("id"), "left_semi")
+    n0b = docs.count()
 
     # 1. quality gate: distilled linear classifier, scan-stage
     scored = textops.classifier_score(docs, "doc_id", "text")
@@ -122,7 +133,8 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     table.create_branch("curated")
     table.write_append(docs.drop("text"), branch="curated")
     packs = packed.count()
-    return {"input": n0, "quality_kept": n1, "length_clipped": n1b,
+    return {"input": n0, "gopher_kept": n0b,
+            "quality_kept": n1, "length_clipped": n1b,
             "exact_deduped": n2, "neardup_resolved": n3,
             "decontaminated": n4, "mixture_sampled": n5,
             "train_packs": packs,

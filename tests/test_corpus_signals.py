@@ -327,7 +327,8 @@ def test_curate_corpus_example_end_to_end(spark, tmp_path):
     spec.loader.exec_module(mod)
     out = mod.curate(spark, "/root/testdata/sf0.001",
                      str(tmp_path / "curated"))
-    assert (out["input"] >= out["quality_kept"] >= out["length_clipped"]
+    assert (out["input"] >= out["gopher_kept"]
+            >= out["quality_kept"] >= out["length_clipped"]
             >= out["exact_deduped"] >= out["neardup_resolved"]
             >= out["decontaminated"] >= out["mixture_sampled"] > 0)
     assert out["train_packs"] > 0 and out["table_version"] >= 1

@@ -24,6 +24,23 @@ from dativo_ingest_spark.sources import csv_source, jdbc, mdkv_source
 #: at O(files), not O(bytes)
 PROBE_LINES = 100
 
+#: file suffixes Spark's text reader decompresses transparently — the raw
+#: local-text probe would read gibberish from these, so they force the
+#: Spark-based probe fallback
+_COMPRESSED_SUFFIXES = (".gz", ".bz2", ".deflate", ".zst", ".lz4", ".snappy")
+
+
+def _needs_spark_probe(files: list[str], options: dict) -> bool:
+    """True when the raw line-oriented text probe cannot faithfully see the
+    records: a custom record separator (``lineSep``), multi-line JSON
+    documents (``multiLine``), or codec-compressed files. These are
+    exactly the reader options the actual ``spark.read.json`` path honors
+    but ``open()`` + per-line ``json.loads`` does not."""
+    if "lineSep" in options or str(
+            options.get("multiLine", "")).lower() == "true":
+        return True
+    return any(f.lower().endswith(_COMPRESSED_SUFFIXES) for f in files)
+
 
 def _probe_jsonl_columns(files: list[str],
                          max_lines: int = PROBE_LINES,
@@ -32,8 +49,11 @@ def _probe_jsonl_columns(files: list[str],
     lines of EVERY file, sorted like Spark's json schema inference.
     Malformed/non-object lines are skipped (the read path admits them as
     all-null rows; they contribute no columns either way). ``encoding``
-    honors the source's reader option of the same name; other reader
-    options don't affect top-level key discovery."""
+    honors the source's reader option of the same name. Callers must
+    route sources whose other reader options change record framing
+    (``lineSep``/``multiLine``/compression — see ``_needs_spark_probe``)
+    to the Spark-based probe instead; plain-text newline-framed files are
+    the only shape this fast path is valid for."""
     import json as _json
 
     seen: set[str] = set()
@@ -92,8 +112,20 @@ def check_source(spark: SparkSession, src: SourceConfig,
             # first PROBE_LINES lines of each file cover the per-file
             # key-drift case the probe exists for (keys first appearing
             # deeper than that are missed — documented depth limit).
-            cols = _probe_jsonl_columns(
-                files, encoding=str(src.options.get("encoding", "utf-8")))
+            # lineSep/multiLine/compressed sources fall back to the
+            # Spark reader (the raw text probe would mis-frame or read
+            # gibberish): full inference cost, but correct columns.
+            if _needs_spark_probe(files, src.options):
+                opts = {k: str(v) for k, v in src.options.items()}
+                opts.setdefault("primitivesAsString", "true")
+                jdf = spark.read.options(**opts).json(files)
+                corrupt = opts.get("columnNameOfCorruptRecord",
+                                   "_corrupt_record")
+                cols = sorted(c for c in jdf.columns if c != corrupt)
+            else:
+                cols = _probe_jsonl_columns(
+                    files,
+                    encoding=str(src.options.get("encoding", "utf-8")))
             return {"ok": True, "source_type": "jsonl",
                     "details": {"files": len(files), "columns": cols}}
         if src.type == "markdown_kv":

@@ -117,7 +117,8 @@ MAX_INLINE_HOT_KEYS = 1024
 
 
 def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
-                      max_inline: int = MAX_INLINE_HOT_KEYS) -> DataFrame:
+                      max_inline: int = MAX_INLINE_HOT_KEYS,
+                      stats: dict | None = None) -> DataFrame:
     """Heavy-hitter cut with a driver-resolved fast path.
 
     The r3 guards kept the key-count aggregate + broadcast anti-join as
@@ -139,7 +140,12 @@ def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
     one cached pass + a map-side-combined count whose result is O(hot
     keys), not O(rows). For single-pass pipelines over an uncached 100 TB
     scan (benchmark_contamination) the plan-branch anti-join is the right
-    tool — an eager job there would be a second full corpus pass."""
+    tool — an eager job there would be a second full corpus pass.
+
+    ``stats`` (optional out-param): mutated with ``hot_keys`` = the exact
+    number of keys the cut removed (one extra count job only in the
+    rare >``max_inline`` regime), so callers can expose the recall
+    effect programmatically instead of relying on log lines."""
     big = (
         df.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("_sz"))
@@ -147,6 +153,9 @@ def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
         .select(key_col)
     )
     hot = [r[0] for r in big.limit(max_inline + 1).collect()]
+    if stats is not None:
+        stats["hot_keys"] = (
+            len(hot) if len(hot) <= max_inline else big.count())
     if not hot:
         return df
     if len(hot) <= max_inline:

@@ -152,6 +152,7 @@ def bucketed_neardup_pairs(
     bucket_col: str,
     threshold: float = 0.9,
     max_bucket_size: int | None = MAX_CELL_SIZE_DEFAULT,
+    stats: dict | None = None,
 ) -> DataFrame:
     """IVF-style near-dup pairs: cosine >= threshold within coarse buckets.
 
@@ -175,6 +176,11 @@ def bucketed_neardup_pairs(
     hot buckets, and pass ``max_bucket_size=None`` — the pattern
     ``queries.semantic_dedup_pipeline`` uses over its cached k-means
     frame; that makes the guard free instead of one pass.
+
+    ``stats`` (optional out-param dict): mutated with
+    ``skipped_cells`` = how many cells the guard excluded (0 when the
+    guard is off or nothing was hot), so callers can detect the recall
+    cut programmatically instead of scraping the warning log.
     """
     from dativo_ingest_spark.operators.dedup import _without_hot_keys
 
@@ -184,8 +190,14 @@ def bucketed_neardup_pairs(
         vectors.as_double_array(F.col(vec_col)).alias("vec"),
     )
     side = side.select("*", vectors.l2_norm(F.col("vec")).alias("norm"))
+    if stats is not None:
+        stats["skipped_cells"] = 0
     if max_bucket_size is not None:
-        guarded = _without_hot_keys(side, "bucket", max_bucket_size)
+        cut_stats: dict = {}
+        guarded = _without_hot_keys(side, "bucket", max_bucket_size,
+                                    stats=cut_stats)
+        if stats is not None:
+            stats["skipped_cells"] = cut_stats.get("hot_keys", 0)
         if guarded is not side:
             log.warning(
                 "bucketed_neardup_pairs: cells over max_bucket_size=%d "

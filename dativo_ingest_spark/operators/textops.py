@@ -677,12 +677,16 @@ def drop_duplicate_lines(
     site count; an unguarded forced broadcast would OOM exactly there)
     — then one groupBy(id) reassembly shuffle. Linear at any corpus
     size — a line shared by every document costs one hot key in a
-    count, never a pair join. The exploded line frame is CACHED for its
-    three consumers (hot-set aggregate, anti-join probe, per-doc
-    totals — one text scan instead of three) and stays referenced by
-    the returned plan: call ``spark.catalog.clearCache()`` (or
-    materialize and unpersist) in long-lived sessions, the
-    ``minhash_lsh_pairs`` convention. Exact-duplicate documents keep
+    count, never a pair join. Cache discipline: the exploded line frame
+    is cached only while the two SMALL aggregates (hot fingerprints,
+    per-doc totals) are eagerly materialized via ``localCheckpoint`` —
+    then UNPERSISTED before return, so no corpus-sized cache entry
+    outlives the call (checkpoint blocks are ContextCleaner-released
+    when the returned plan is garbage collected, unlike catalog cache
+    entries). The lazy anti-join probe re-derives the line frame from
+    source at consumption time — one extra scan-stage pass over the
+    text column, pipelined with the join, the price of leak-free
+    long-lived sessions. Exact-duplicate documents keep
     their mutual lines only while ``<= max_line_df`` copies exist — run
     the document-level dedup family first; this operator targets
     template fragments inside otherwise-distinct pages.
@@ -698,16 +702,25 @@ def drop_duplicate_lines(
         "_fp",
         F.when(F.length("_t") >= min_line_chars, F.md5(F.col("_t"))))
     lines = lines.cache()
+    # both aggregates are materialized EAGERLY off the cached frame
+    # (one text scan builds the cache, the second agg reads it), then
+    # checkpoint-truncated so they stop referencing `lines` and the
+    # cache can be dropped before return — the leak fix: no
+    # corpus-sized cache entry survives the call
     hot = (
         lines.filter(F.col("_fp").isNotNull())
         .groupBy("_fp")
         .agg(F.count_distinct("id").alias("_df"))
         .filter(F.col("_df") > max_line_df)
         .select("_fp")
+        .localCheckpoint(eager=True)
     )
-    # data-driven join strategy over the cached frame: one cheap count
-    # decides broadcast vs shuffle, the guard every other forced
-    # broadcast in this package carries
+    per_doc = lines.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines")).localCheckpoint(eager=True)
+    lines.unpersist()
+    # data-driven join strategy: one cheap count over the materialized
+    # hot set decides broadcast vs shuffle, the guard every other
+    # forced broadcast in this package carries
     n_hot = hot.count()
     anti_side = F.broadcast(hot) if n_hot <= HOT_LINE_BROADCAST_LIMIT \
         else hot
@@ -715,8 +728,6 @@ def drop_duplicate_lines(
         lines.filter(F.col("_fp").isNotNull())
         .join(anti_side, "_fp", "left_anti")
     )
-    per_doc = lines.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_lines"))
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.array_sort(

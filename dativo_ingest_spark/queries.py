@@ -3864,7 +3864,7 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     agged AS (
       SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS nv,
-             sum(cv) AS cents FROM b GROUP BY 1, 2),
+             CAST(sum(cv) AS BIGINT) AS cents FROM b GROUP BY 1, 2),
     bounds AS (
       SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
       FROM agged GROUP BY 1),

@@ -159,3 +159,39 @@ def test_check_source_probes_all_files_not_first(spark, tmp_path):
     assert doc["ok"] and doc["details"]["files"] == 2
     assert {"id", "name", "active", "extra"} <= \
         set(doc["details"]["columns"])
+
+
+def test_check_source_gz_falls_back_to_spark_probe(spark, tmp_path):
+    """Compressed jsonl: the raw local-text probe would read gzip bytes
+    and find no keys while still reporting ok:true — the r7 regression.
+    The probe must route through the Spark reader (which decompresses
+    transparently) and report the real columns."""
+    import gzip
+
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    p = tmp_path / "people.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as fh:
+        fh.write('{"id": 1, "name": "alice"}\n{"id": 2, "city": "x"}\n')
+    src = SourceConfig.from_dict({"type": "jsonl", "path": str(p)})
+    doc = inspect_cmd.check_source(spark, src)
+    assert doc["ok"]
+    assert set(doc["details"]["columns"]) == {"id", "name", "city"}
+
+
+def test_check_source_linesep_falls_back_to_spark_probe(spark, tmp_path):
+    """Custom record separator: one physical line holds many records; the
+    per-line json.loads probe sees malformed text and yields an empty
+    column list. With lineSep set, the probe must use the Spark reader
+    and honor it."""
+    from dativo_ingest_spark import inspect_cmd
+    from dativo_ingest_spark.config.contracts import SourceConfig
+
+    p = tmp_path / "recs.jsonl"
+    p.write_text('{"id": 1, "name": "a"};{"id": 2, "active": true}')
+    src = SourceConfig.from_dict({
+        "type": "jsonl", "path": str(p), "options": {"lineSep": ";"}})
+    doc = inspect_cmd.check_source(spark, src)
+    assert doc["ok"]
+    assert set(doc["details"]["columns"]) == {"id", "name", "active"}

@@ -258,6 +258,25 @@ class TestDropDuplicateLines:
             textops.drop_duplicate_lines(df, "doc_id", "text",
                                          max_line_df=0)
 
+    def test_no_cache_entry_survives_the_call(self, spark):
+        """The r7 leak: the exploded line frame stayed cached (and
+        referenced by the returned plan) after every call. The operator
+        must leave the catalog cache exactly as it found it while still
+        returning correct results."""
+        from dativo_ingest_spark.operators import textops
+
+        spark.catalog.clearCache()
+        rows = [(i, f"unique {i}\nCOOKIE BANNER") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = textops.drop_duplicate_lines(
+            df, "doc_id", "text", max_line_df=2)
+        # correctness unaffected by the leak fix
+        got = {r.id: r for r in out.collect()}
+        assert all(got[i].text == f"unique {i}" for i in range(5))
+        # jsparkSession cache manager is empty again
+        assert spark._jsparkSession.sharedState() \
+            .cacheManager().isEmpty()
+
 
 def test_gopher_and_line_dedup_null_text_survives(spark):
     """NULL text (the jsonl read path admits malformed lines as all-null

@@ -311,11 +311,20 @@ class TestCellSizeGuards:
         assert unguarded.filter(F.col("id_a").startswith("p")).count() \
             == 300 * 299 // 2
 
+        stats: dict = {}
         guarded = similarity.bucketed_neardup_pairs(
             df, "id", "vec", "bucket", threshold=0.95,
-            max_bucket_size=100)
+            max_bucket_size=100, stats=stats)
         got = [(r.id_a, r.id_b) for r in guarded.collect()]
         assert got == [("a", "b")]   # hot cell skipped, clean cell scored
+        # the recall cut is surfaced programmatically, not just logged
+        assert stats["skipped_cells"] == 1
+
+        cold_stats: dict = {}
+        similarity.bucketed_neardup_pairs(
+            df.filter(F.col("bucket") == "ok"), "id", "vec", "bucket",
+            threshold=0.95, max_bucket_size=100, stats=cold_stats)
+        assert cold_stats["skipped_cells"] == 0
 
     def test_index_dedup_hot_cell_admits_undeduped(self, spark, tmp_path):
         from dativo_ingest_spark.sinks.table_commit import FsTable

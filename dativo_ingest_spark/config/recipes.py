@@ -83,6 +83,11 @@ class ConnectorRecipe:
             if creds.get("file_template"):
                 opts.setdefault("credentials_file_template",
                                 creds["file_template"])
+            # the STRUCTURED block is what the engine layer consumes
+            # (sources/engines.py build_engine_config resolves api_key
+            # env vars / service-account files from it) — without it a
+            # recipe's credential convention never reached the engine
+            opts.setdefault("credentials", dict(creds))
         inc = d.get("incremental") or {}
         inc_defaults: dict[str, Any] = {}
         if isinstance(inc, dict) and inc:

@@ -660,6 +660,119 @@ def duplicate_passages(
     )
 
 
+def remove_duplicate_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_df: int | None = MAX_GRAM_DF_DEFAULT,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Span-level duplicate-passage REMOVAL — the excision counterpart of
+    :func:`duplicate_passages` (which only detects): every word n-gram
+    appearing in >= 2 distinct documents keeps exactly ONE canonical copy
+    (the lowest ``id`` holding it) and is excised everywhere else, the
+    remove-all-but-one policy of Lee et al. 2021 applied at n-gram-span
+    grain (reference test surface: the dedup expectations the ingest
+    contract family checks; no reference counterpart — beyond-ref op).
+
+    Output: (id, text, n_words, n_removed) for EVERY input document —
+    ``text`` is the surviving words rejoined by single spaces in original
+    order (whitespace normalizes, the line remover's rebuilt-text
+    convention), ``n_removed`` the count of excised word positions. Docs
+    under ``n`` words carry no grams: returned verbatim (normalized),
+    ``n_removed`` 0. A duplicated passage LONGER than ``n`` words is a
+    run of overlapping flagged grams whose covered word-positions union
+    into the full span, so the whole passage excises from every loser
+    and survives intact in the winner: per-gram winners are all "the
+    min-id document holding the gram", which for a shared passage is the
+    same document for every gram in the run.
+
+    Distributed shape — NO pair join anywhere, linear at any corpus
+    size: positioned grams hash (``hash_fn`` as in the detector:
+    xxhash64 8-byte production path, md5 for cross-engine oracle
+    parity) → one gram-key aggregate computes (distinct-doc count,
+    min id) per gram → flagged stats join back on the gram key (shuffle
+    equi-join; the ``max_gram_df`` heavy-hitter cut drops boilerplate
+    grams from BOTH sides first — those stay in the text, run
+    :func:`~dativo_ingest_spark.operators.textops.drop_duplicate_lines`
+    for template boilerplate, same guard split as the detector) →
+    loser occurrences explode to covered word positions (n rows per
+    flagged gram, bounded) → one (id, position) anti-join against the
+    exploded words → one groupBy(id) reassembly shuffle. Cost at 100 TB:
+    ~#words rows of fixed-width keys through 4 exchanges, no quadratic
+    term, hot keys guarded.
+    """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
+    hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
+    # NULL text normalizes to the empty document (the line remover's
+    # rule): every input row appears in the output
+    tokens = _widen(df).select(
+        F.col(id_col).alias("id"),
+        text.words(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("_words"),
+    )
+    # pos is 0-based: gram at pos covers 1-based word indices
+    # [pos+1, pos+n]
+    grams = tokens.select(
+        "id",
+        F.posexplode(text.word_ngrams(F.col("_words"), n))
+        .alias("pos", "g"),
+    ).select("id", "pos", hasher(F.col("g")).alias("gram"))
+    if max_gram_df is not None:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") > max_gram_df)
+            .select("gram")
+        )
+        grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    stats = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"), F.min("id").alias("win"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", "win")
+    )
+    losers = (
+        grams.join(stats, "gram")
+        .filter(F.col("id") != F.col("win"))
+        .select("id", "pos")
+    )
+    covered = (
+        losers.select(
+            "id",
+            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n))
+            .alias("wpos"),
+        ).distinct()
+    )
+    toks = tokens.select(
+        "id",
+        F.posexplode("_words").alias("p0", "word"),
+    ).select("id", (F.col("p0") + 1).alias("wpos"), "word")
+    kept = toks.join(covered, ["id", "wpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("wpos"), F.col("word")))
+            )["word"],
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    # left join from the per-doc frame: empty docs and FULLY-excised
+    # docs (every word covered — no surviving rows to group) both still
+    # appear, with text '' and n_removed == n_words
+    per_doc = tokens.select("id", F.size("_words").alias("_nw"))
+    return per_doc.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.col("_nw").cast("long").alias("n_words"),
+        (F.col("_nw") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long").alias("n_removed"),
+    )
+
+
 #: above this many batch rows the index anti-join falls back from the
 #: broadcast-candidate plan (batch fingerprints broadcast twice: as a
 #: semi filter over the index scan, then the surviving candidates into

@@ -4134,7 +4134,7 @@ _INGEST_FP_SQL = (
     "dedup_ingest_exact",
     f"""
     WITH fp AS (
-      SELECT doc_id, doc_id % 4 AS m, {_INGEST_FP_SQL} AS f
+      SELECT doc_id, doc_id % 8 AS m, {_INGEST_FP_SQL} AS f
       FROM documents),
     b1 AS (SELECT * FROM fp WHERE m <= 1),
     b2 AS (SELECT * FROM fp WHERE m BETWEEN 1 AND 2),
@@ -4158,7 +4158,7 @@ _INGEST_FP_SQL = (
     doc="exact dedup-on-ingest against a persistent fingerprint index "
         "(operators/dedup.py:dedup_against_index + the runner's "
         "target.options.dedup): two overlapping document batches "
-        "(doc_id%4 in {{0,1}} then {{1,2}} — the %4==1 slice replays) "
+        "(doc_id%8 in {{0,1}} then {{1,2}} — the %8==1 slice replays) "
         "ingest in sequence against a fresh FsTable index; the second "
         "batch's replayed rows drop as index dups. The batch "
         "fingerprints broadcast as a semi filter over the index scan "
@@ -4172,8 +4172,8 @@ def dedup_ingest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.sinks.table_commit import FsTable
 
     docs = load(spark, sf_dir, "documents")
-    b1 = docs.filter(F.col("doc_id") % 4 <= 1)
-    b2 = docs.filter((F.col("doc_id") % 4 >= 1) & (F.col("doc_id") % 4 <= 2))
+    b1 = docs.filter(F.col("doc_id") % 8 <= 1)
+    b2 = docs.filter((F.col("doc_id") % 8 >= 1) & (F.col("doc_id") % 8 <= 2))
     root = tempfile.mkdtemp(prefix="sg_fp_ix_")
     try:
         table = FsTable.create(root + "/ix")
@@ -4214,7 +4214,7 @@ def _dedup_ingest_embedding_oracle() -> str:
         for t in range(4))
     return f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 4 AS m
+      SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 8 AS m
       FROM embeddings),
     k AS (
 {key_selects}),
@@ -4257,7 +4257,7 @@ def _dedup_ingest_embedding_oracle() -> str:
     _dedup_ingest_embedding_oracle(),
     doc="embedding near-dup-on-ingest against a persistent banded cell "
         "index (operators/similarity.py:dedup_embeddings_against_index): "
-        "two overlapping embedding batches (vec_id%4 in {0,1} then "
+        "two overlapping embedding batches (vec_id%8 in {0,1} then "
         "{1,2}) ingest in sequence; replayed vectors hit their own "
         "committed index entries (exact-equal, caught by construction) "
         "and natural cosine>=0.5 neighbors sharing an LSH band cell "
@@ -4273,8 +4273,8 @@ def dedup_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.sinks.table_commit import FsTable
 
     emb = load(spark, sf_dir, "embeddings")
-    b1 = emb.filter(F.col("vec_id") % 4 <= 1)
-    b2 = emb.filter((F.col("vec_id") % 4 >= 1) & (F.col("vec_id") % 4 <= 2))
+    b1 = emb.filter(F.col("vec_id") % 8 <= 1)
+    b2 = emb.filter((F.col("vec_id") % 8 >= 1) & (F.col("vec_id") % 8 <= 2))
     root = tempfile.mkdtemp(prefix="sg_emb_ix_")
     try:
         table = FsTable.create(root + "/ix")
@@ -4302,7 +4302,7 @@ def _dedup_ingest_minhash_oracle() -> str:
     est_ax = _MH_EST.format(a="a.sig", b="x.sig")
     return f"""
     WITH d AS (
-      SELECT doc_id, doc_id % 4 AS m,
+      SELECT doc_id, doc_id % 8 AS m,
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (SELECT doc_id, m, string_split(t, ' ') AS words
@@ -4341,11 +4341,11 @@ def _dedup_ingest_minhash_oracle() -> str:
       WHERE a.m BETWEEN 1 AND 2
         AND a.doc_id NOT IN (SELECT doc_id FROM l2)
         AND {est_ax} >= 0.5),
-    agg1 AS (SELECT (SELECT count(*) FROM documents WHERE doc_id % 4 <= 1)
+    agg1 AS (SELECT (SELECT count(*) FROM documents WHERE doc_id % 8 <= 1)
                       AS n,
                     (SELECT count(*) FROM l1) AS bd),
     agg2 AS (SELECT (SELECT count(*) FROM documents
-                     WHERE doc_id % 4 BETWEEN 1 AND 2) AS n,
+                     WHERE doc_id % 8 BETWEEN 1 AND 2) AS n,
                     (SELECT count(*) FROM l2) AS bd,
                     (SELECT count(*) FROM h2) AS hits)
     SELECT 'batch1' AS batch, CAST(n - bd AS BIGINT) AS n_kept,
@@ -4365,7 +4365,7 @@ def _dedup_ingest_minhash_oracle() -> str:
     doc="text NEAR-dup-on-ingest against a persistent MinHash band index "
         "(operators/dedup.py:dedup_minhash_against_index — the third "
         "ingest-dedup leg beside exact fingerprints and embedding "
-        "cosine): two overlapping document batches (doc_id%4 in {0,1} "
+        "cosine): two overlapping document batches (doc_id%8 in {0,1} "
         "then {1,2}) ingest in sequence; candidates share an LSH band "
         "key and verify by ESTIMATED Jaccard (fraction of agreeing "
         "minwise components — exact duplicates estimate 1.0, so the "
@@ -4381,8 +4381,8 @@ def dedup_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.sinks.table_commit import FsTable
 
     docs = load(spark, sf_dir, "documents")
-    b1 = docs.filter(F.col("doc_id") % 4 <= 1)
-    b2 = docs.filter((F.col("doc_id") % 4 >= 1) & (F.col("doc_id") % 4 <= 2))
+    b1 = docs.filter(F.col("doc_id") % 8 <= 1)
+    b2 = docs.filter((F.col("doc_id") % 8 >= 1) & (F.col("doc_id") % 8 <= 2))
     root = tempfile.mkdtemp(prefix="sg_mh_ix_")
     try:
         table = FsTable.create(root + "/ix")
@@ -4583,6 +4583,72 @@ def sample_token_budget_sharded(spark: SparkSession, sf_dir: str
     return sampling.token_budget_sample_sharded(
         docs, "doc_id", "lang", text_fns.word_count(F.col("text")),
         budget_tokens=2000, n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 gate rotation: driver proofs for the operators r8 ships —
+# span-level passage removal (the r7 verdict's Next #5) plus the new
+# analytics/curation legs below.
+# ---------------------------------------------------------------------------
+
+@register(
+    "passage_removal_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')) AS t
+            FROM documents)),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(words, i, i + 7), ' '))
+               AS gram
+      FROM tok, unnest(range(1, len(words) - 6)) AS r(i)
+      WHERE len(words) >= 8),
+    st AS (
+      SELECT gram, min(doc_id) AS win FROM g GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o AS wpos
+      FROM g JOIN st USING (gram), unnest(range(0, 8)) AS t2(o)
+      WHERE g.doc_id <> st.win),
+    tokpos AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS wpos, words[p] AS word
+      FROM tok, unnest(range(1, len(words) + 1)) AS r(p)),
+    base AS (SELECT doc_id, len(words) AS nw FROM tok),
+    kept AS (
+      SELECT t.doc_id, t.wpos, t.word FROM tokpos t
+      ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.wpos = cov.wpos),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1)
+    SELECT b.doc_id AS id, coalesce(a.text, '') AS text,
+           CAST(b.nw AS BIGINT) AS n_words,
+           CAST(b.nw - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="span-level duplicate-passage REMOVAL (operators/dedup.py:"
+        "remove_duplicate_passages — the excision counterpart of the "
+        "duplicate_passage_ngrams detector): every cross-document word "
+        "8-gram keeps one canonical copy (min doc_id) and excises "
+        "everywhere else; overlapping flagged grams union into full "
+        "spans, so passages longer than 8 words excise whole. One gram "
+        "aggregate + one gram join + one (id, position) anti-join + one "
+        "reassembly shuffle — NO pair join, linear at any corpus size. "
+        "Hot-gram guard disabled so both engines see identical gram "
+        "sets (production keeps the df-cut ON; boilerplate is the line "
+        "remover's job). md5 path for cross-engine hash parity.",
+)
+def passage_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_passages(
+        docs, "doc_id", "text", n=8, max_gram_df=None, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -4802,6 +4868,13 @@ _GATE_DEMOTED = [
     "window_ntile_order_quartiles",
     "approx_median_rank_check",
     "chunk_documents_sliding",
+    # --- r8 rotation: admit the round-8 operator proofs. Every demotion
+    # below is r7-driver-proven (CORRECTNESS_r07 green) and leaves its
+    # family represented in-window:
+    # admits passage_removal_docs, which recomputes the SAME positioned
+    # 8-gram cross-document aggregate as the detector and then proves
+    # the excision on top of it (detector r7-proven)
+    "duplicate_passage_ngrams",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -422,3 +422,93 @@ class TestMinhashAgainstIndex:
         # pile cells blow the cap -> admit un-deduped; x pair resolves
         assert kept.count() == 301 and bd == 1
         kept.unpersist()
+
+
+class TestRemoveDuplicatePassages:
+    """Span-level excision: remove-all-but-one for cross-doc n-gram
+    passages (the detector's removal counterpart)."""
+
+    def _rows(self, df):
+        return {r.id: r for r in df.collect()}
+
+    def test_planted_overlap_excised_from_all_but_one(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, f"one unique start {shared} one tail words here now"),
+            (2, f"two other opening {shared} two closing remark text"),
+            (3, f"three distinct head {shared} three ending bits again"),
+            (4, "totally unrelated content with no shared passage here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = self._rows(
+            dedup.remove_duplicate_passages(df, "doc_id", "text", n=8))
+        # winner (min id) keeps the passage verbatim
+        assert shared in out[1].text and out[1].n_removed == 0
+        # losers lose the WHOLE 10-word span (run of overlapping grams),
+        # not just one 8-gram, and keep their unique prefix/suffix
+        for i in (2, 3):
+            assert shared.split()[0] not in out[i].text
+            assert out[i].n_removed == 10
+        assert out[2].text == "two other opening two closing remark text"
+        assert out[4].n_removed == 0 and out[4].text == rows[3][1]
+
+    def test_every_doc_present_and_short_docs_verbatim(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, None), (3, "three words only")],
+            "doc_id long, text string")
+        out = self._rows(
+            dedup.remove_duplicate_passages(df, "doc_id", "text", n=8))
+        assert set(out) == {1, 2, 3}
+        assert out[1].text == "tiny" and out[1].n_removed == 0
+        assert out[2].text == "" and out[2].n_words == 0
+        assert out[3].text == "three words only"
+
+    def test_longer_than_n_span_union_of_grams(self, spark):
+        # 5-word shared span with n=3: three overlapping flagged grams
+        # union to the full span in the loser
+        df = spark.createDataFrame(
+            [(1, "p q r s t head"), (2, "tail p q r s t")],
+            "doc_id long, text string")
+        out = self._rows(
+            dedup.remove_duplicate_passages(
+                df, "doc_id", "text", n=3, max_gram_df=None))
+        assert out[1].text == "p q r s t head"
+        assert out[2].text == "tail" and out[2].n_removed == 5
+
+    def test_hot_gram_cut_leaves_boilerplate_in_place(self, spark):
+        # grams over max_gram_df are boilerplate: NOT excised here (the
+        # line remover's job), same guard split as the detector
+        df = spark.createDataFrame(
+            [(i, f"common header line unique{i} tail{i}")
+             for i in range(3)], "doc_id long, text string")
+        cut = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=3, max_gram_df=2))
+        assert all(v.n_removed == 0 for v in cut.values())
+        loose = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=3, max_gram_df=None))
+        assert loose[0].n_removed == 0            # winner
+        assert loose[1].n_removed == 3 and loose[2].n_removed == 3
+
+    def test_fully_excised_doc_still_present(self, spark):
+        # a loser doc that IS the shared passage loses every word but
+        # must still appear with text '' (the every-doc-present rule)
+        p = "a b c d e f g h"
+        df = spark.createDataFrame(
+            [(1, f"{p} plus trailing content"), (2, p)],
+            "doc_id long, text string")
+        out = self._rows(
+            dedup.remove_duplicate_passages(df, "doc_id", "text", n=8))
+        assert out[2].text == "" and out[2].n_removed == 8
+        assert out[1].n_removed == 0
+
+    def test_no_pair_join_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+            "doc_id long, text string")
+        plan = dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=8)._sc is None and "" or \
+            dedup.remove_duplicate_passages(
+                df, "doc_id", "text", n=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

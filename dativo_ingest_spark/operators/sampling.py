@@ -111,6 +111,26 @@ def stratified_hash_sample(
     return df.filter(u < frac)
 
 
+def _resolve_token_count(token_count_col: Column | str,
+                         mode: str) -> Column:
+    """The samplers' ``token_count_mode`` knob: ``"column"`` takes the
+    given count column as-is (whitespace words, chunk sizes, whatever
+    the caller measured); ``"bpe"`` reinterprets ``token_count_col`` as
+    the TEXT column and counts vendored-vocabulary BPE tokens
+    (``operators/tokenize.py`` — scan-stage Arrow kernel, cached per
+    distinct word per executor)."""
+    col = (F.col(token_count_col) if isinstance(token_count_col, str)
+           else token_count_col)
+    if mode == "column":
+        return col
+    if mode == "bpe":
+        from dativo_ingest_spark.operators import tokenize
+
+        return tokenize.bpe_token_count_col(col)
+    raise ValueError(
+        f"token_count_mode must be 'column' or 'bpe', got {mode!r}")
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,
@@ -118,6 +138,7 @@ def token_budget_sample(
     token_count_col: Column | str,
     budget_tokens: int,
     salt: str = "budget",
+    token_count_mode: str = "column",
 ) -> DataFrame:
     """Per-group token-budget quota — the dataset-MIXING primitive
     ("at most N tokens per source/language" when composing a training
@@ -141,13 +162,19 @@ def token_budget_sample(
     cluster size. That is fine up to ~tens of GB per group; past that use
     :func:`token_budget_sample_sharded`, which splits every group across
     ``n_shards`` deterministic sub-partitions with a shard-local quota
-    (the same coordination-free move as :func:`pack_sequences`)."""
+    (the same coordination-free move as :func:`pack_sequences`).
+
+    ``token_count_mode``: ``"column"`` (default) uses ``token_count_col``
+    as the per-document token count; ``"bpe"`` instead treats
+    ``token_count_col`` as the TEXT column and counts tokenizer (BPE)
+    tokens with the vendored merges table — real budgets are tokenizer
+    tokens, and the ~1.3–1.7× word→token skew misallocates a 100 TB
+    mixture (see ``operators/tokenize.py``)."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     from pyspark.sql.window import Window
 
-    tok = (F.col(token_count_col) if isinstance(token_count_col, str)
-           else token_count_col)
+    tok = _resolve_token_count(token_count_col, token_count_mode)
     staged = df.select(
         F.col(group_col),
         F.col(id_col).alias("id"),
@@ -177,6 +204,7 @@ def token_budget_sample_sharded(
     budget_tokens: int,
     n_shards: int = 64,
     salt: str = "budget",
+    token_count_mode: str = "column",
 ) -> DataFrame:
     """Skew-proof :func:`token_budget_sample`: each group is split across
     ``n_shards`` deterministic sub-partitions (md5 of the id — uniform,
@@ -193,7 +221,8 @@ def token_budget_sample_sharded(
     Each shard keeps its crossing row, so a group with enough material
     reaches >= ``budget_tokens`` total; per-shard overshoot is bounded by
     one document each. Same output schema as the exact form, plus
-    ``shard``."""
+    ``shard``. ``token_count_mode`` as in :func:`token_budget_sample`
+    (``"bpe"`` counts tokenizer tokens over the text column)."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     if n_shards <= 0:
@@ -201,8 +230,7 @@ def token_budget_sample_sharded(
     from pyspark.sql.window import Window
 
     shard_budget = max(budget_tokens // n_shards, 1)
-    tok = (F.col(token_count_col) if isinstance(token_count_col, str)
-           else token_count_col)
+    tok = _resolve_token_count(token_count_col, token_count_mode)
     ordv = F.md5(F.concat(F.lit(salt), F.lit("|"),
                           F.col(id_col).cast("string")))
     staged = df.select(

@@ -4651,6 +4651,78 @@ def passage_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=8, max_gram_df=None, hash_fn="md5")
 
 
+def _token_count_bpe_oracle() -> str:
+    from dativo_ingest_spark.operators.tokenize import merges_sql_values
+
+    return r"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')) AS t
+            FROM documents)),
+    voc AS (SELECT DISTINCT unnest(words) AS word FROM tok),
+    init AS (
+      SELECT word,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+               AS s,
+             0 AS it
+      FROM voc),
+    t(word, s, it) AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT word,
+             replace(s, ' ' || bl || ' ' || br || ' ',
+                     ' ' || bl || br || ' '),
+             it + 1
+      FROM (
+        SELECT word, s, it,
+               min_by(m.l, m.rank) AS bl, min_by(m.r, m.rank) AS br
+        FROM t JOIN """ + merges_sql_values() + r"""
+          ON contains(t.s, ' ' || m.l || ' ' || m.r || ' ')
+        GROUP BY word, s, it) q),
+    wc AS (
+      SELECT word, len(string_split(trim(s), ' ')) AS n_tok
+      FROM t
+      QUALIFY row_number() OVER (PARTITION BY word ORDER BY it DESC)
+        = 1),
+    occ AS (SELECT doc_id, unnest(words) AS word FROM tok),
+    perdoc AS (
+      SELECT doc_id, sum(n_tok) AS n_tokens
+      FROM occ JOIN wc USING (word) GROUP BY 1)
+    SELECT tok.doc_id AS id,
+           CAST(len(tok.words) AS BIGINT) AS n_words,
+           CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM tok LEFT JOIN perdoc p USING (doc_id)
+    """
+
+
+@register(
+    "token_count_bpe_docs",
+    _token_count_bpe_oracle(),
+    doc="tokenizer-aware (BPE) token counting (operators/tokenize.py:"
+        "bpe_token_counts): per-document token counts under the vendored "
+        "64-merge BPE vocabulary — real training budgets are tokenizer "
+        "tokens, and the ~1.3-1.7x word->token skew misallocates a "
+        "100 TB mixture if budgets count whitespace words. The Python "
+        "kernel runs once per DISTINCT word (vocabulary-sized Arrow "
+        "batches); occurrences flow through JVM joins/aggregates only — "
+        "Zipf makes that orders of magnitude cheaper than per-occurrence "
+        "tokenization. The oracle replays the IDENTICAL operational "
+        "merge loop (min-rank delimited-string replace to fixpoint) as "
+        "a DuckDB recursive CTE over the same merges VALUES table, "
+        "emitted from the module constant so the two can never drift.",
+)
+def token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    return tokenize.bpe_token_counts(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -4875,6 +4947,11 @@ _GATE_DEMOTED = [
     # 8-gram cross-document aggregate as the detector and then proves
     # the excision on top of it (detector r7-proven)
     "duplicate_passage_ngrams",
+    # admits token_count_bpe_docs (sampling/chunk family keeps
+    # chunk_sentences_docs + sample_token_budget_sharded, whose
+    # shard-local running sum is the same window shape packing uses;
+    # chunk_pack_pipeline r6+r7-proven)
+    "chunk_pack_pipeline",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

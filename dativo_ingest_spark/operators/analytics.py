@@ -1,0 +1,145 @@
+"""Product-analytics operators over event streams: conversion funnels
+and cohort retention.
+
+The reference has no analytics layer at all (its pipeline ends at the
+partitioned sink — SURVEY §2 notes "no joins, aggregations or windows
+anywhere in src/"); these are beyond-reference operators the engine's
+analytics charter adds on the `events` shape the batch/streaming rollup
+family already serves. Both compose from plain keyed aggregates and
+joins, so Catalyst owns the physical plan end-to-end.
+
+Scale shapes (100 TB of events):
+
+* **funnel**: k-1 user-keyed join+aggregate stages for a k-step funnel.
+  Every stage is an equi-join on the user key followed by a min — the
+  per-stage frame is ONE ROW PER CONVERTED USER (monotonically
+  shrinking), so each later stage joins a smaller survivor set against
+  the events scan; all shuffles are user-keyed and partially
+  aggregated map-side. No window over the full event history, no
+  per-user event-array materialization — the two shapes that die on
+  power-law users.
+* **cohort retention**: two aggregates (first-touch bucket per user,
+  distinct active buckets per user) joined on the user key, then one
+  (cohort, offset) count — output is #cohorts × #offsets rows, KBs at
+  any input scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: micros per day — the funnel deadline / cohort bucket arithmetic is
+#: integer micros end to end so engines cannot disagree on rounding
+_US_PER_DAY = 86_400_000_000
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_days: int | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed ``steps`` in
+    sequence, each step strictly after the previous one's FIRST
+    qualifying occurrence (and within ``within_days`` of it, when set).
+
+    Returns (step_index, step, n_users) — step_index 1-based; a user
+    counts for step i+1 only if they counted for step i, so
+    ``n_users`` is non-increasing. First-occurrence semantics: step i's
+    anchor timestamp is the EARLIEST event satisfying the chain, the
+    standard product-analytics funnel (an earlier-but-too-late second
+    occurrence cannot resurrect a user).
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    if within_days is not None and within_days <= 0:
+        raise ValueError("within_days must be positive")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    )
+    stages: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        matched = ev.filter(F.col("etype") == step)
+        if prev is not None:
+            cond = F.col("ts") > F.col("_t")
+            if within_days is not None:
+                # .cast("timestamp") first: unix_micros rejects the
+                # TIMESTAMP_NTZ type bare parquet reads infer (UTC
+                # machine -> identity cast, the temporal.py convention)
+                cond = cond & (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    <= F.unix_micros(F.col("_t").cast("timestamp"))
+                    + F.lit(within_days * _US_PER_DAY)
+                )
+            matched = matched.join(prev, "user").filter(cond)
+        cur = matched.groupBy("user").agg(F.min("ts").alias("_t"))
+        stages.append(cur)
+        prev = cur
+    out = None
+    for i, (step, frame) in enumerate(zip(steps, stages), start=1):
+        counted = frame.agg(
+            F.count(F.lit(1)).cast("long").alias("n_users")
+        ).select(
+            F.lit(i).cast("long").alias("step_index"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = counted if out is None else out.unionByName(counted)
+    return out
+
+
+def _bucket(col: Column, bucket_days: int) -> Column:
+    # cast first: unix_micros rejects TIMESTAMP_NTZ (UTC machine ->
+    # identity cast); floor over double is exact here (epoch us ~1.7e15
+    # is within 2^53)
+    return F.floor(
+        F.unix_micros(col.cast("timestamp"))
+        / F.lit(bucket_days * _US_PER_DAY)
+    ).cast("long")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by FIRST-seen period,
+    counted in every later period they were active.
+
+    Returns (cohort_bucket, offset, n_users): ``cohort_bucket`` is the
+    integer ``bucket_days``-period index of the user's first event
+    (floor of epoch-micros / period — UTC-fixed, no calendar
+    dependence), ``offset`` the number of periods after the cohort
+    period (0 = the cohort period itself, so offset 0 counts the cohort
+    size), ``n_users`` distinct users from that cohort active at that
+    offset. Retention rate is ``n_users / n_users@offset0`` — left as a
+    ratio for the caller since the counts are the exact, portable part.
+    """
+    if bucket_days <= 0:
+        raise ValueError("bucket_days must be positive")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        _bucket(F.col(ts_col), bucket_days).alias("bucket"),
+    )
+    first = ev.groupBy("user").agg(F.min("bucket").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user")
+        .groupBy(
+            F.col("cohort").alias("cohort_bucket"),
+            (F.col("bucket") - F.col("cohort")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_bucket").cast("long").alias("cohort_bucket"),
+            F.col("offset").cast("long").alias("offset"),
+            "n_users",
+        )
+    )

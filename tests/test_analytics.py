@@ -1,0 +1,105 @@
+"""Product-analytics operators: funnel ordering/deadline semantics and
+cohort retention bucketing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from dativo_ingest_spark.operators import analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t) for u, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+class TestFunnel:
+    def test_ordering_is_enforced(self, spark):
+        rows = [
+            (1, 1, 0, "view"), (1, 2, 0, "click"), (1, 3, 0, "purchase"),
+            # user 2 clicks BEFORE viewing: counts for view only
+            (2, 5, 0, "click"), (2, 6, 0, "view"),
+            # user 3 never views
+            (3, 1, 0, "purchase"),
+        ]
+        out = {r.step: r.n_users for r in analytics.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"]).collect()}
+        assert out == {"view": 2, "click": 1, "purchase": 1}
+
+    def test_deadline_window(self, spark):
+        rows = [
+            (1, 1, 0, "view"), (1, 2, 0, "click"),      # in time
+            (2, 1, 0, "view"), (2, 20, 0, "click"),     # 19 days later
+        ]
+        out = {r.step: r.n_users for r in analytics.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"], within_days=7).collect()}
+        assert out == {"view": 2, "click": 1}
+        loose = {r.step: r.n_users for r in analytics.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"]).collect()}
+        assert loose == {"view": 2, "click": 2}
+
+    def test_first_occurrence_anchor(self, spark):
+        # the FIRST view anchors the chain: a click before it does not
+        # count, a later second view cannot resurrect the user
+        rows = [
+            (1, 2, 0, "click"), (1, 3, 0, "view"), (1, 5, 0, "view"),
+        ]
+        out = {r.step: r.n_users for r in analytics.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click"]).collect()}
+        assert out == {"view": 1, "click": 0}
+
+    def test_counts_non_increasing_and_validation(self, spark):
+        rows = [(u, d, 0, t) for u in range(1, 6)
+                for d, t in [(1, "view"), (2, "click"), (3, "purchase")]
+                if not (u == 3 and t == "purchase")]
+        res = sorted(analytics.funnel_steps(
+            _ev(spark, rows), "user_id", "ts", "event_type",
+            ["view", "click", "purchase"]).collect(),
+            key=lambda r: r.step_index)
+        counts = [r.n_users for r in res]
+        assert counts == sorted(counts, reverse=True) == [5, 5, 4]
+        with pytest.raises(ValueError):
+            analytics.funnel_steps(_ev(spark, rows), "user_id", "ts",
+                                   "event_type", ["view"])
+        with pytest.raises(ValueError):
+            analytics.funnel_steps(_ev(spark, rows), "user_id", "ts",
+                                   "event_type", ["view", "click"],
+                                   within_days=0)
+
+
+class TestCohortRetention:
+    def test_offsets_and_cohort_sizes(self, spark):
+        # week buckets of Jan 2024: the 1st..4th are one UTC week bucket,
+        # 8th..10th the next. user 1 active weeks 0 and 1; user 2 only
+        # week 0; user 3 first seen week 1.
+        rows = [
+            (1, 1, 0, "view"), (1, 8, 0, "view"),
+            (2, 2, 0, "view"),
+            (3, 9, 0, "view"), (3, 10, 0, "view"),
+        ]
+        out = {(r.cohort_bucket, r.offset): r.n_users
+               for r in analytics.cohort_retention(
+                   _ev(spark, rows), "user_id", "ts",
+                   bucket_days=7).collect()}
+        w0 = dt.datetime(2024, 1, 1).timestamp() * 1e6 // (7 * 86400e6)
+        w0 = int(w0)
+        assert out[(w0, 0)] == 2          # cohort week 0 size
+        assert out[(w0, 1)] == 1          # user 1 retained
+        assert out[(w0 + 1, 0)] == 1      # user 3's cohort
+        assert len(out) == 3
+        with pytest.raises(ValueError):
+            analytics.cohort_retention(_ev(spark, rows), "user_id", "ts",
+                                       bucket_days=0)
+
+    def test_multiple_events_one_bucket_count_once(self, spark):
+        rows = [(1, 1, h, "view") for h in range(5)]
+        out = analytics.cohort_retention(
+            _ev(spark, rows), "user_id", "ts", bucket_days=7).collect()
+        assert len(out) == 1 and out[0].n_users == 1 and out[0].offset == 0

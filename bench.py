@@ -117,6 +117,18 @@ HEADLINE = [
     "dedup_lines_docs",
     # r7: the skew-proof (group, shard)-local budget window
     "sample_token_budget_sharded",
+    # r8 additions: span-level passage excision (gram agg + position
+    # anti-join + reassembly), vocabulary-sized BPE counting, the two
+    # product-analytics legs, zero-shuffle Morton keys, and the salted
+    # fact-dim join — the new shapes whose cost claims need a per-round
+    # pin. streaming_dedup_ingest_docs stays OUT: two writeStream
+    # lifecycles are fixed overhead, not engine throughput.
+    "passage_removal_docs",
+    "token_count_bpe_docs",
+    "funnel_view_click_purchase",
+    "cohort_retention_weekly",
+    "zorder_keys_events",
+    "skew_salted_join_events",
 ]
 
 

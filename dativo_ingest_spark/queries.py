@@ -4878,6 +4878,68 @@ def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                             how="left")
 
 
+@register(
+    "streaming_dedup_ingest_docs",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, doc_id % 8 AS m, {_INGEST_FP_SQL} AS f
+      FROM documents),
+    b1 AS (SELECT f, min(doc_id) AS id FROM fp WHERE m <= 1 GROUP BY f),
+    b2 AS (SELECT f, min(doc_id) AS id FROM fp
+           WHERE m BETWEEN 1 AND 2 GROUP BY f)
+    SELECT id AS doc_id FROM b1
+    UNION ALL
+    SELECT id FROM b2 WHERE f NOT IN (SELECT f FROM b1)
+    """,
+    doc="streaming dedup-on-ingest, END-TO-END through the real "
+        "writeStream path (streaming/pipeline.py:stream_dedup_to_table "
+        "+ dedup_epoch_writer — the exactly-once epoch-marker machinery "
+        "the crash-replay tests exercise): two availableNow passes over "
+        "a growing spool directory ingest the %8<={{0,1}} then "
+        "{{1,2}} document slices as separate epochs; epoch 2's replayed "
+        "and duplicate-content rows drop against the persistent "
+        "fingerprint index built by epoch 1. Deterministic final corpus "
+        "regardless of micro-batch boundaries: within-batch resolution "
+        "is min-id-wins and cross-epoch resolution is index-first, so "
+        "the published set folds to 'min-id per fingerprint, batch-1 "
+        "winners shadow batch-2' — exactly the oracle's batch-fold SQL. "
+        "The tiny terminal collect rebuilds a stable frame because the "
+        "spooled tables live in a temp dir the query removes.",
+)
+def streaming_dedup_ingest_docs(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        stream_dedup_to_table, stream_from_files)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 8 <= 1)
+    b2 = docs.filter((F.col("doc_id") % 8 >= 1) & (F.col("doc_id") % 8 <= 2))
+    root = tempfile.mkdtemp(prefix="sg_sdd_")
+    try:
+        src = root + "/src"
+        b1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = None
+        for phase in range(2):
+            stream = stream_from_files(spark, src, schema)
+            out, _ix = stream_dedup_to_table(
+                stream, root + "/corpus", root + "/ix",
+                "doc_id", "text", root + "/ckpt")
+            if phase == 0:
+                # second spool file lands only after epoch 1 fully
+                # committed — the checkpoint makes pass 2 process
+                # exactly the new file
+                b2.coalesce(1).write.mode("append").parquet(src)
+        rows = [(r.doc_id,) for r in
+                out.read(spark).select("doc_id").collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5124,6 +5186,11 @@ _GATE_DEMOTED = [
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    # admits streaming_dedup_ingest_docs — the r7 verdict's ask to
+    # driver-prove the streaming dedup leg via its batch-fold
+    # equivalent (q22's NOT-EXISTS anti shape stays via q21's
+    # EXISTS+NOT-EXISTS and q16's NOT-IN; q22 r6+r7-proven)
+    "q22_balance_opportunity",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

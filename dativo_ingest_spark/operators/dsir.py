@@ -1,0 +1,180 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023).
+
+Selects corpus documents that LOOK LIKE a target sample: both corpus and
+target are modeled as bag-of-hashed-ngram multinomials, every document
+gets an importance weight ``log p_target(doc) - log p_raw(doc)`` under
+those models, and selection resamples by weight (Gumbel top-k — the
+paper's sampled variant — or a plain threshold). This is the standard
+pretraining-data targeting move ("give me web text that looks like
+Wikipedia/books") and composes in front of the quality/dedup gates.
+Beyond-reference operator (the reference has no scoring of any kind);
+paper: arXiv:2302.03169.
+
+Feature space: word unigrams + bigrams of the normalized text
+(``functions/text.words``), hashed to ``n_buckets`` buckets via the
+engine's portable-hash convention (leading 8 hex chars of md5 → uint32,
+mod buckets) — hashing makes the model size a CONSTANT (buckets), not
+vocabulary-sized.
+
+Determinism discipline (the unigram-LM micro-nats trick,
+``textops.unigram_logprob``): each bucket's two smoothed log-probs
+quantize to integer micro-nats INDEPENDENTLY, the ratio is their bigint
+difference, and a document's weight is a bigint SUM of per-bucket
+ratios — no floating accumulation anywhere, so partial-agg order cannot
+perturb a bit and a SQL oracle reproduces the weights exactly.
+
+Scale shape (100 TB corpus, small target):
+
+* corpus features explode ~2×words rows but immediately fold to
+  ``n_buckets`` partial-aggregated counts — the model is KBs;
+* the ratio table (≤ ``n_buckets`` rows) BROADCASTS into the per-doc
+  weight join — the corpus-sized side never shuffles on a low-card key;
+* per-doc fold is one aggregate on the doc id;
+* Gumbel top-k is a global ``orderBy(...).limit(k)`` — Spark's
+  TakeOrdered tournament, no single-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.functions import text
+
+DEFAULT_BUCKETS = 10_000
+MICRO_UNITS = 1_000_000
+
+
+def _features(df: DataFrame, text_col: str,
+              id_col: str | None = None) -> DataFrame:
+    """(id?, f) — one row per unigram/bigram occurrence. Without
+    ``id_col`` only the feature column is emitted (the target-side
+    model needs counts, not provenance)."""
+    w = text.words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w")
+    base = (df.select(F.col(id_col).alias("id"), w)
+            if id_col else df.select(w))
+    f = F.explode(
+        F.concat(F.col("_w"), text.word_ngrams(F.col("_w"), 2))
+    ).alias("f")
+    return base.select("id", f) if id_col else base.select(f)
+
+
+def _bucket(col, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("long")
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_text_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    micro_units: int = MICRO_UNITS,
+) -> DataFrame:
+    """(id, n_feats, weight_micro) per corpus document.
+
+    ``weight_micro`` is the DSIR importance weight in integer micro-nats:
+    ``sum over the doc's hashed features of [lpq_target(b) - lpq_raw(b)]``
+    where ``lpq_x(b) = floor(ln((c_x(b)+1)/(T_x+n_buckets))*1e6 + 0.5)``
+    — Laplace-smoothed bucket log-probs, quantized before any summation.
+    Positive = looks more like the target than the raw corpus. Every
+    input document appears (empty docs weigh 0).
+
+    ``target`` is the (small) exemplar frame; its text column defaults
+    to ``text_col``.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    doc_b = _features(df, text_col, id_col).select(
+        "id", _bucket(F.col("f"), n_buckets).alias("bucket"))
+    tgt_b = _features(target, target_text_col or text_col).select(
+        _bucket(F.col("f"), n_buckets).alias("bucket"))
+
+    raw = doc_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    t_raw = raw.agg(F.sum("cr").alias("tr"))
+    t_tgt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+
+    def lpq(c, total):
+        return F.floor(
+            F.log(
+                (c.cast("double") + F.lit(1.0))
+                / (total.cast("double") + F.lit(float(n_buckets)))
+            ) * micro_units + 0.5
+        ).cast("long")
+
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(t_raw))
+        .join(F.broadcast(t_tgt))
+        .select(
+            "bucket",
+            (lpq(F.coalesce(F.col("ct"), F.lit(0)), F.col("tt"))
+             - lpq(F.col("cr"), F.col("tr"))).alias("lr"),
+        )
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lr").alias("weight_micro"),
+        )
+    )
+    every = df.select(F.col(id_col).alias("id")).distinct()
+    return every.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("weight_micro", F.lit(0)).cast("long")
+        .alias("weight_micro"),
+    )
+
+
+def gumbel_topk_sample(
+    weights: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    salt: str = "dsir",
+    micro_units: int = MICRO_UNITS,
+) -> DataFrame:
+    """DSIR's resampling step: top ``k`` documents by perturbed weight
+    ``w/temperature + Gumbel(0,1)`` — equivalent to sampling k docs
+    without replacement with probability ∝ exp(w/temperature)
+    (Gumbel-top-k). The Gumbel noise derives from the id's salted md5
+    (uniform in (0,1) from the leading 8 hex chars), so the sample is
+    DETERMINISTIC and engine-portable — no ``rand()``, retries and
+    oracle replicas agree. ``temperature → 0`` degenerates to exact
+    top-k by weight.
+
+    Input: the :func:`importance_weights` frame (or anything with
+    ``id`` + ``weight_micro``). One global orderBy().limit(k) — Spark's
+    distributed TakeOrdered, never a single-partition sort."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit("|"),
+                               F.col("id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("double") + F.lit(1.0)
+    ) / F.lit(4294967297.0)            # (hex32+1)/(2^32+1) in (0,1)
+    g = -F.log(-F.log(u))
+    score = (
+        F.col("weight_micro").cast("double") / F.lit(float(micro_units))
+        / F.lit(temperature) + g
+        if temperature > 0
+        else F.col("weight_micro").cast("double")
+    )
+    return (
+        weights.withColumn("_score", score)
+        .orderBy(F.col("_score").desc(), F.col("id"))
+        .limit(k)
+        .drop("_score")
+    )

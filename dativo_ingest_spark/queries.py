@@ -4940,6 +4940,72 @@ def streaming_dedup_ingest_docs(spark: SparkSession, sf_dir: str
     return spark.createDataFrame(sorted(rows), "doc_id bigint")
 
 
+def _dsir_oracle(n_buckets: int = 10_000) -> str:
+    lpq_t = (f"CAST(floor(ln((coalesce(tg.ct, 0) + 1.0)"
+             f" / (tt.total + {n_buckets}.0)) * 1000000 + 0.5) AS BIGINT)")
+    lpq_r = (f"CAST(floor(ln((r.cr + 1.0)"
+             f" / (tr.total + {n_buckets}.0)) * 1000000 + 0.5) AS BIGINT)")
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (SELECT doc_id, lang, string_split(t, ' ') AS ws
+          FROM norm WHERE t <> ''),
+    feats AS (
+      SELECT doc_id, lang, unnest(ws) AS f FROM w
+      UNION ALL
+      SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS f
+      FROM w, unnest(range(1, len(ws))) AS r(i)),
+    b AS (
+      SELECT doc_id, lang,
+             CAST({_hex32_sql('f')} % {n_buckets} AS BIGINT) AS bucket
+      FROM feats),
+    raw AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS ct FROM b
+            WHERE lang = 'de' GROUP BY 1),
+    ratio AS (
+      SELECT r.bucket, {lpq_t} - {lpq_r} AS lr
+      FROM raw r
+      LEFT JOIN tgt tg ON r.bucket = tg.bucket,
+      (SELECT CAST(sum(cr) AS DOUBLE) AS total FROM raw) tr,
+      (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS total FROM tgt) tt),
+    per AS (
+      SELECT b.doc_id, count(*) AS n_feats, sum(ratio.lr) AS wm
+      FROM b JOIN ratio ON b.bucket = ratio.bucket GROUP BY 1)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(coalesce(per.wm, 0) AS BIGINT) AS weight_micro
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+@register(
+    "dsir_weights_docs",
+    _dsir_oracle(),
+    doc="DSIR importance weights (operators/dsir.py:importance_weights — "
+        "Xie et al. 2023, arXiv:2302.03169): every document scored by "
+        "log p_target - log p_raw under hashed unigram+bigram bag "
+        "models (10k md5 buckets, Laplace smoothing), target = the "
+        "German-language slice — the 'select web text that looks like "
+        "my exemplar corpus' pretraining move. Determinism: per-bucket "
+        "log-probs quantize to integer micro-nats BEFORE the ratio and "
+        "the per-doc bigint sum (the unigram-LM discipline), so no "
+        "float accumulation exists anywhere. Scale: features fold to a "
+        "10k-bucket model (KBs) that BROADCASTS into the per-doc join — "
+        "the corpus never shuffles on a low-cardinality key; Gumbel "
+        "top-k resampling (gumbel_topk_sample) rides a distributed "
+        "TakeOrdered.",
+)
+def dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dsir
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    return dsir.importance_weights(docs, "doc_id", "text", target)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5191,6 +5257,12 @@ _GATE_DEMOTED = [
     # equivalent (q22's NOT-EXISTS anti shape stays via q21's
     # EXISTS+NOT-EXISTS and q16's NOT-IN; q22 r6+r7-proven)
     "q22_balance_opportunity",
+    # admits dsir_weights_docs (corpus-statistics family keeps
+    # unigram_logprob_quality + unigram_drift_docs in-window — DSIR's
+    # micro-nats fold is the same discipline over a hashed-bigram
+    # model; q12's fact-fact shuffle join shape stays via q3/q18's
+    # orders⋈lineitem joins; q12 r6+r7-proven)
+    "q12_late_shipments",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -129,6 +129,9 @@ HEADLINE = [
     "cohort_retention_weekly",
     "zorder_keys_events",
     "skew_salted_join_events",
+    # r8: DSIR hashed-bigram weighting and the scan-stage HTML extractor
+    "dsir_weights_docs",
+    "html_strip_docs",
 ]
 
 

@@ -747,3 +747,59 @@ def drop_duplicate_lines(
             .cast("long").alias("n_dropped"),
         )
     )
+
+
+#: entity decode table for :func:`strip_html` — the half-dozen entities
+#: that dominate real web text; full HTML5 entity tables are a
+#: data-file swap, not a code change
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+)
+
+
+def strip_html(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Visible-text extraction from raw HTML — the web-curation step
+    ahead of every text gate (C4 starts from pre-extracted WET files;
+    FineWeb re-extracts from WARC precisely because extraction quality
+    dominates downstream filters).
+
+    (id, text, html_len, text_ratio) per input row: ``<script>`` /
+    ``<style>`` / comment blocks drop with their CONTENT, remaining tags
+    drop keeping their content, the common entities decode
+    (:data:`_HTML_ENTITIES`), and whitespace collapses. ``text_ratio``
+    = extracted chars / html chars (4dp) — the classic boilerplate
+    signal (nav-chrome pages extract little; article pages extract
+    most), ready for a threshold gate. NULL html normalizes to the
+    empty document.
+
+    Scale: one scan-stage pass of regexp_replace chains — pure Catalyst,
+    zero shuffles, zero UDFs; the patterns use the Java-regex/RE2 common
+    subset ((?s) dotall + non-greedy, no lookaround) so a SQL oracle
+    replays them verbatim. A DOM-fidelity extractor (trafilatura et al.)
+    is the documented mapInPandas swap when layout-aware extraction
+    matters; this operator is the dependency-free 95% case.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    # two patterns, not one with a backreference — RE2 (the oracle
+    # engine) has no backrefs; this stays in the Java/RE2 common subset
+    txt = F.regexp_replace(
+        html, r"(?s)<script\b[^>]*>.*?</script\s*>", " ")
+    txt = F.regexp_replace(
+        txt, r"(?s)<style\b[^>]*>.*?</style\s*>", " ")
+    txt = F.regexp_replace(txt, r"(?s)<!--.*?-->", " ")
+    txt = F.regexp_replace(txt, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(rep))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        txt.alias("text"),
+        F.length(html).cast("long").alias("html_len"),
+        F.round(
+            F.when(F.length(html) == 0, F.lit(0.0)).otherwise(
+                F.length(txt).cast("double")
+                / F.length(html).cast("double")),
+            4,
+        ).alias("text_ratio"),
+    )

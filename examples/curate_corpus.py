@@ -11,8 +11,12 @@ Stages (each one documented where it is implemented):
 1. quality gate        operators/textops.py:classifier_score
 2. outlier clip        operators/quality.py:quantile_clip (p1/p99 length)
 3. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
+3b. passage excision   operators/dedup.py:remove_duplicate_passages
+                       (cross-doc 8-gram spans keep one canonical copy)
 4. near-dup resolve    minhash_lsh_pairs -> connected_components
 5. decontamination     operators/dedup.py:benchmark_contamination
+5b. DSIR targeting     operators/dsir.py (importance weights vs an
+                       exemplar sample, Gumbel top-k keep)
 6. mixture shaping     operators/sampling.py:temperature_mixture_sample
                        (alpha-smoothed per-language token shares)
 7. leakage-safe split  operators/sampling.py:group_aware_split
@@ -75,6 +79,17 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     docs = docs.join(survivors, "doc_id", "left_semi")
     n2 = docs.count()
 
+    # 2b. span-level passage excision (Lee et al. order: doc-level dedup
+    #     first, then substring-level): cross-doc 8-gram passages keep
+    #     one canonical copy, the rest rebuild without them
+    cleaned = dedup.remove_duplicate_passages(docs, "doc_id", "text")
+    docs = (
+        docs.drop("text")
+        .join(cleaned.select(F.col("id").alias("doc_id"), "text"),
+              "doc_id")
+    )
+    n2b = docs.count()
+
     # 3. near-dup groups (MinHash-LSH), resolved to components; the
     #    component id doubles as the leakage-safety group for stage 5
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
@@ -103,7 +118,23 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
         .persist()
     n4 = docs.count()
 
-    # 4b. mixture shaping: alpha-smoothed per-language token shares at
+    # 4b. DSIR targeting: keep the 90% of survivors that most resemble
+    #     an exemplar sample (here: every 89th doc stands in for the
+    #     "books/wiki" target) — hashed-bigram importance weights,
+    #     deterministic Gumbel top-k (operators/dsir.py)
+    from dativo_ingest_spark.operators import dsir as dsir_mod
+
+    exemplar = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 89 == 0).select("text")
+    weights = dsir_mod.importance_weights(
+        docs, "doc_id", "text", exemplar)
+    chosen = dsir_mod.gumbel_topk_sample(
+        weights, k=max(int(n4 * 0.9), 1)).select(
+        F.col("id").alias("doc_id"))
+    docs = docs.join(F.broadcast(chosen), "doc_id", "left_semi").persist()
+    n4b = docs.count()
+
+    # 4c. mixture shaping: alpha-smoothed per-language token shares at
     #     80% of the remaining volume (lifts low-resource languages)
     docs = docs.withColumn(
         "_tok", F.size(F.split(F.col("text"), r"\s+")))
@@ -135,8 +166,10 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
     packs = packed.count()
     return {"input": n0, "gopher_kept": n0b,
             "quality_kept": n1, "length_clipped": n1b,
-            "exact_deduped": n2, "neardup_resolved": n3,
-            "decontaminated": n4, "mixture_sampled": n5,
+            "exact_deduped": n2, "passages_excised": n2b,
+            "neardup_resolved": n3,
+            "decontaminated": n4, "dsir_selected": n4b,
+            "mixture_sampled": n5,
             "train_packs": packs,
             "table_version": table.current_version("curated")}
 

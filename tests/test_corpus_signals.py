@@ -329,8 +329,10 @@ def test_curate_corpus_example_end_to_end(spark, tmp_path):
                      str(tmp_path / "curated"))
     assert (out["input"] >= out["gopher_kept"]
             >= out["quality_kept"] >= out["length_clipped"]
-            >= out["exact_deduped"] >= out["neardup_resolved"]
-            >= out["decontaminated"] >= out["mixture_sampled"] > 0)
+            >= out["exact_deduped"] >= out["passages_excised"]
+            >= out["neardup_resolved"]
+            >= out["decontaminated"] >= out["dsir_selected"]
+            >= out["mixture_sampled"] > 0)
     assert out["train_packs"] > 0 and out["table_version"] >= 1
 
 

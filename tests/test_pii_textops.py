@@ -296,3 +296,54 @@ def test_gopher_and_line_dedup_null_text_survives(spark):
         df, "doc_id", "text").collect()}
     assert set(out) == {1, 2}               # both docs present
     assert out[1].text == "" and out[1].n_lines == 1
+
+
+class TestStripHtml:
+    def test_blocks_tags_entities_whitespace(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        rows = [
+            (1, '<html><head><script type="t">var x = "<p>";</script>'
+                '<style>.a{color:red}</style></head><body><!-- nav -->'
+                '<h1>Title &amp; More</h1><p>Hello&nbsp;world '
+                '&lt;tag&gt; &#39;q&#39;</p></body></html>'),
+            (2, None),
+            (3, 'plain text no markup'),
+            (4, '<div><p>a</p><p>b</p></div>'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = {r.id: r for r in
+               textops.strip_html(df, "doc_id", "html").collect()}
+        # script/style drop WITH content (the "<p>" inside the script
+        # string must not resurrect as a tag boundary)
+        assert out[1].text == "Title & More Hello world <tag> 'q'"
+        assert out[2].text == "" and out[2].html_len == 0 \
+            and out[2].text_ratio == 0.0
+        assert out[3].text == "plain text no markup" \
+            and out[3].text_ratio == 1.0
+        assert out[4].text == "a b"
+        # boilerplate signal: chrome-heavy page extracts a low ratio
+        assert out[1].text_ratio < 0.25
+
+    def test_multiline_blocks_and_ratio_ordering(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        chrome = ("<script>\nfunction f() {\n  return 1;\n}\n</script>"
+                  "<style>\nbody {\n margin: 0;\n}\n</style>")
+        rows = [(1, f"<html>{chrome}<p>tiny</p></html>"),
+                (2, "<p>" + "word " * 50 + "</p>")]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = {r.id: r for r in
+               textops.strip_html(df, "doc_id", "html").collect()}
+        assert out[1].text == "tiny"          # (?s) spans newlines
+        assert out[2].text_ratio > out[1].text_ratio
+
+    def test_plan_is_scan_stage(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame([(1, "<p>x</p>")],
+                                   "doc_id long, html string")
+        plan = textops.strip_html(df, "doc_id", "html") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan

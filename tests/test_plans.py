@@ -436,3 +436,34 @@ def test_duplicate_lines_hot_set_broadcasts(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_keys_are_scan_stage(spark):
+    # Morton keys are pure integer expressions: zero Exchange, no UDF
+    plan = plan_of(spark, "zorder_keys_events")
+    assert n_exchanges(plan) == 0
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    # the 10k-bucket log-ratio model must BROADCAST into the per-doc
+    # weight join — a SortMergeJoin on the bucket key would shuffle the
+    # corpus-sized feature frame on 10k keys (hot-key death at scale)
+    plan = plan_of(spark, "dsir_weights_docs")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_passage_removal_no_pair_join(spark):
+    # excision is gram-aggregate + anti-join + reassembly: linear, never
+    # an all-pairs product
+    plan = plan_of(spark, "passage_removal_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stages_join_on_user_key(spark):
+    # every funnel stage is a keyed equi-join (broadcast or shuffle);
+    # no nested-loop pairing of events
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -89,12 +89,19 @@ def importance_weights(
     """
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
-    doc_b = _features(df, text_col, id_col).select(
-        "id", _bucket(F.col("f"), n_buckets).alias("bucket"))
+    # fold occurrences to (doc, bucket) grain FIRST: the md5 explode runs
+    # once (not once per consumer), and both the corpus model and the
+    # weight join downstream operate on the much smaller folded grain
+    doc_b = (
+        _features(df, text_col, id_col)
+        .select("id", _bucket(F.col("f"), n_buckets).alias("bucket"))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     tgt_b = _features(target, target_text_col or text_col).select(
         _bucket(F.col("f"), n_buckets).alias("bucket"))
 
-    raw = doc_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    raw = doc_b.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     t_raw = raw.agg(F.sum("cr").alias("tr"))
     t_tgt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
@@ -121,8 +128,8 @@ def importance_weights(
         doc_b.join(F.broadcast(ratio), "bucket")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("lr").alias("weight_micro"),
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("lr")).alias("weight_micro"),
         )
     )
     every = df.select(F.col(id_col).alias("id")).distinct()

@@ -143,3 +143,72 @@ def cohort_retention(
             "n_users",
         )
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion: str,
+    touch_types: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Last-touch revenue attribution: each ``conversion`` event is
+    credited to the user's most recent PRECEDING touch event (one of
+    ``touch_types``), optionally only if the touch happened within
+    ``within`` (an INTERVAL literal body, e.g. ``'72 hours'``) of the
+    conversion. Conversions with no qualifying touch attribute to the
+    ``'none'`` channel.
+
+    Returns one row per conversion event:
+    (user, ts, value, touch_type, touch_ts) — ``touch_type`` is the
+    credited channel (``'none'`` when unattributed, in which case
+    ``touch_ts`` is null). Channel-level rollups (revenue per channel,
+    conversion counts) are one aggregate on top; the row grain is the
+    operator output so callers can also join campaign dimensions in.
+
+    Determinism: multiple touches at the SAME (user, timestamp) collapse
+    to the lexicographically greatest type before the as-of join (the
+    as-of resolves exact ties arbitrarily otherwise — this is DuckDB
+    ASOF's caveat too, so the collapse keeps the two oracle-comparable).
+
+    Scale (100 TB of events): this is one backward as-of join
+    (operators/temporal.py) — a single user-keyed Exchange of the
+    conversion and touch slices (both FILTERED at the scan: predicate
+    pushdown drops every other event type before the shuffle) plus an
+    in-partition merge via a running window. No per-user event arrays,
+    no full-history window, no pair join; skewed power-users cost one
+    sorted partition scan, not a quadratic blowup.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion in touch_types:
+        raise ValueError("conversion type cannot also be a touch type")
+    from dativo_ingest_spark.operators.temporal import asof_join
+
+    conv = df.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    touches = (
+        df.filter(F.col(type_col).isin(list(touch_types)))
+        .groupBy(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("ts"),
+        )
+        .agg(F.max(type_col).alias("touch"))
+    )
+    joined = asof_join(
+        conv, touches, on="ts", by=["user"],
+        tolerance=within, direction="backward",
+    )
+    return joined.select(
+        "user",
+        "ts",
+        "value",
+        F.coalesce(F.col("touch_r"), F.lit("none")).alias("touch_type"),
+        F.col("ts_r").alias("touch_ts"),
+    )

@@ -689,3 +689,70 @@ def index_entries(
         F.col("_vec").alias("vec"),
         vectors.l2_norm(F.col("_vec")).alias("norm"),
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of candidate rankings (Cormack et al. 2009).
+
+    Fuses any number of (query, candidate, rank) frames — e.g. a
+    full-precision cosine ranking and the int8-quantized ranking, or a
+    lexical BM25-ish list next to an embedding list — into one consensus
+    top-``k``:
+
+        rrf(c) = sum over lists containing c of 1 / (k0 + rank_in_list)
+
+    A candidate absent from a list simply contributes nothing for it (the
+    standard top-K-lists RRF). Each term is quantized to exact integers
+    BEFORE summation — ``micro_units div (k0 + rank)`` — so the fused
+    score (``rrf_micro``) is a bigint no engine or partial-aggregation
+    order can perturb; ties break on candidate id. Returns
+    (query_id, neighbor_id, n_lists, rrf_micro, fused_rank ≤ k).
+
+    Scale: one union of the input rankings (each already only Q·K rows —
+    KBs per query regardless of corpus size), one (query, candidate)
+    partial-aggregated groupBy, one per-query window sort over ≤ lists·K
+    candidates. The corpus is never touched; cost is independent of N.
+    The reference has no retrieval layer (SURVEY §2: no joins/aggregations
+    anywhere in src/) — this is a beyond-reference operator on the ANN
+    family's output contract.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    if k0 <= 0 or k <= 0:
+        raise ValueError("k0 and k must be positive")
+    slim = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        for r in rankings
+    ]
+    unioned = slim[0]
+    for r in slim[1:]:
+        unioned = unioned.unionByName(r)
+    contrib = unioned.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"CAST({micro_units} AS BIGINT) div ({k0} + _r)").alias("_c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        contrib.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("_c").alias("rrf_micro"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+    )

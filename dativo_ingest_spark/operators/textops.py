@@ -803,3 +803,101 @@ def strip_html(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
             4,
         ).alias("text_ratio"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Stupid-backoff bigram language-model score per document
+    (Brants et al. 2007, "Large Language Models in Machine Translation").
+
+    Extends :func:`unigram_logprob` one order up: each in-document word
+    bigram (w1, w2) scores
+
+        ln(c(w1,w2) / c(w1))                  when the model saw the bigram,
+        ln(0.4 * (c(w2)+1) / (total+vocab))   otherwise (backoff to the
+                                              add-one-smoothed unigram),
+
+    with counts taken from ``model_df`` (defaults to ``df`` itself —
+    though self-training makes the backoff path unreachable, since every
+    scored bigram is then in the model; pass a reference slice to get
+    held-out behavior, the out-of-domain / gibberish detector CCNet runs
+    with a KenLM n-gram model).
+
+    Determinism: the backoff product folds into ONE exact-integer
+    quotient — ``(2*(c2+1)) / (5*(total+vocab))`` — so each path is a
+    single IEEE divide + one ``ln``, quantized to integer micro-nats
+    BEFORE the per-document sum (the unigram_logprob discipline: no
+    float accumulation, partial-agg order cannot move a bit). Returns
+    (id, n_bigrams, n_backoff, avg_logprob) for documents with >= 2
+    words; ``n_backoff`` counts positions that fell to the unigram path
+    (a direct out-of-domain-mass signal).
+
+    Scale: bigram construction is a scan-stage array transform (zero
+    shuffle); the model is two aggregates over the model slice; scoring
+    is one join on the bigram key and one on w2 — both Zipf-skewed
+    (AQE skew-split handles the hot function words; the model frames
+    broadcast outright whenever they fit). Corpus-size independent
+    state: model rows are vocabulary-sized, not corpus-sized.
+    """
+    if model_df is None:
+        model_df = df
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        tok = _tokenized(frame, id_col, text_col)
+        # 0-based [] indexing: pairs (w[i], w[i+1]) for i in 0..size-2
+        return tok.filter(F.size("_words") >= 2).select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_words) - 2), "
+                    "i -> struct(_words[i] AS w1, _words[i + 1] AS w2))"
+                )
+            ).alias("_bg"),
+        ).select("id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    m_words = _tokenized(model_df, id_col, text_col).select(
+        F.explode("_words").alias("word"))
+    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    scalars = uc.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    bc = _bigrams(model_df).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+
+    scored = (
+        _bigrams(df)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc.select(F.col("word").alias("w1"), F.col("c").alias("c1")),
+              "w1", "left")
+        .join(uc.select(F.col("word").alias("w2"), F.col("c").alias("c2")),
+              "w2", "left")
+        .join(F.broadcast(scalars))
+    )
+    seen = F.col("c12").isNotNull()
+    lp_seen = F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    lp_back = F.log(
+        (2 * (F.coalesce(F.col("c2"), F.lit(0)) + 1)).cast("double")
+        / (5 * (F.col("total") + F.col("vocab"))).cast("double")
+    )
+    lpq = F.floor(
+        F.when(seen, lp_seen).otherwise(lp_back) * micro_units + 0.5
+    ).cast("long")
+    return (
+        scored.select("id", lpq.alias("_lpq"),
+                      F.when(seen, 0).otherwise(1).alias("_back"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_back").cast("long").alias("n_backoff"),
+            F.round(
+                F.sum("_lpq").cast("double") / F.count(F.lit(1))
+                / float(micro_units), 6
+            ).alias("avg_logprob"),
+        )
+    )

@@ -5081,6 +5081,250 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.strip_html(docs, "doc_id", "html")
 
 
+@register(
+    "q11_important_stock",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'),
+    agg AS (
+      SELECT l_partkey AS part_key, CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM li GROUP BY 1),
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total FROM agg)
+    SELECT part_key, value_cents
+    FROM agg, t WHERE value_cents > total // 1000
+    """,
+    doc="TPC-H Q11 analog (the last of the 22 classic shapes — the "
+        "testdata has no partsupp, so 'stock value' is discounted "
+        "lineitem revenue through one nation's suppliers): per-part "
+        "value filtered by a fraction-of-grand-total scalar subquery. "
+        "nation and the nation-sliced supplier set broadcast into the "
+        "lineitem scan (predicate reaches the fact scan before the "
+        "partkey shuffle); the single-row total joins back as a "
+        "broadcast literal and the HAVING threshold compares exact "
+        "bigint cents via integer division — no float boundary, no "
+        "second shuffle. Ref has no query layer (SURVEY §2.6).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation")
+                .filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.sum(cents).alias("value_cents"))
+    )
+    total = agg.agg(F.sum("value_cents").alias("total"))
+    return (
+        agg.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.expr("total div 1000"))
+        .select("part_key", "value_cents")
+    )
+
+
+@register(
+    "attribution_last_touch",
+    """
+    WITH conv AS (
+      SELECT user_id AS u, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id AS u, ts, max(event_type) AS touch
+      FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2),
+    uni AS (
+      SELECT u, ts, value, 1 AS is_l, CAST(NULL AS TIMESTAMP) AS tts,
+             CAST(NULL AS VARCHAR) AS ttype FROM conv
+      UNION ALL
+      SELECT u, ts, CAST(NULL AS DOUBLE), 0, ts, touch FROM touch),
+    filled AS (
+      SELECT u, ts, value, is_l,
+             last_value(tts IGNORE NULLS) OVER w AS touch_ts,
+             last_value(ttype IGNORE NULLS) OVER w AS touch_type
+      FROM uni
+      WINDOW w AS (PARTITION BY u ORDER BY ts, is_l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT CASE WHEN touch_ts IS NULL
+                OR epoch_us(ts) - epoch_us(touch_ts) > 72 * 3600000000
+                THEN 'none' ELSE touch_type END AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS attributed_cents
+    FROM filled WHERE is_l = 1
+    GROUP BY 1
+    """,
+    doc="last-touch revenue attribution (operators/analytics.py:"
+        "attribute_last_touch): every purchase credits the user's most "
+        "recent view/click at-or-before it, within 72 hours, else the "
+        "'none' channel — one backward as-of join (operators/temporal.py:"
+        "the union-sort-fill, a single user-keyed Exchange; both event "
+        "slices filtered AT the scan) followed by a channel rollup of "
+        "exact bigint cents. Same-timestamp touches collapse to the "
+        "lexicographically greatest type pre-join so as-of tie "
+        "resolution is deterministic on both engines; the oracle "
+        "replays the identical union + last_value(IGNORE NULLS) fill. "
+        "Beyond-reference analytics.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import analytics
+
+    ev = load(spark, sf_dir, "events")
+    rows = analytics.attribute_last_touch(
+        ev, "user_id", "ts", "event_type", "value",
+        conversion="purchase", touch_types=["view", "click"],
+        within="72 hours",
+    )
+    return rows.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .alias("attributed_cents"),
+    )
+
+
+@register(
+    "bigram_logprob_quality",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS words
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+    mw AS (SELECT unnest(words) AS word FROM tok WHERE lang = 'en'),
+    uc AS (SELECT word, count(*) AS c FROM mw GROUP BY 1),
+    sc AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS vocab FROM uc),
+    mbg AS (
+      SELECT words[i] AS w1, words[i+1] AS w2
+      FROM tok, unnest(range(1, len(words))) r(i)
+      WHERE lang = 'en' AND len(words) >= 2),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM mbg GROUP BY 1, 2),
+    dbg AS (
+      SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+      FROM tok, unnest(range(1, len(words))) r(i)
+      WHERE len(words) >= 2),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN c12 IS NOT NULL THEN
+               CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor(ln(CAST(2 * (coalesce(u2.c, 0) + 1) AS DOUBLE)
+                             / CAST(5 * (total + vocab) AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+             END AS lpq,
+             CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS back
+      FROM dbg
+      LEFT JOIN bc USING (w1, w2)
+      LEFT JOIN uc u1 ON dbg.w1 = u1.word
+      LEFT JOIN uc u2 ON dbg.w2 = u2.word
+      CROSS JOIN sc)
+    SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(back) AS BIGINT) AS n_backoff,
+           round(CAST(sum(lpq) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="stupid-backoff bigram LM scoring (operators/textops.py:"
+        "bigram_logprob; Brants et al. 2007): the model trains on the "
+        "'en' slice and scores EVERY doc, so non-English docs exercise "
+        "the real backoff path (ln(0.4*(c2+1)/(total+vocab)) — folded "
+        "into ONE exact-integer quotient, one IEEE divide, one ln) and "
+        "n_backoff reads as out-of-domain mass. Bigrams are a "
+        "scan-stage array transform (zero shuffle); scoring joins are "
+        "Zipf-skewed on function words (AQE skew-split); model state "
+        "is vocabulary-sized, never corpus-sized. Per-position "
+        "micro-nat quantization BEFORE the per-doc fold — the "
+        "unigram_logprob discipline one order up.",
+)
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return textops.bigram_logprob(
+        docs, "doc_id", "text",
+        model_df=docs.filter(F.col("lang") == "en"),
+    )
+
+
+_RRF_RANK_SQL = """
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                   ORDER BY {measure} DESC, neighbor_id) AS r
+      FROM {scored} QUALIFY r <= 30"""
+
+
+@register(
+    "rrf_fusion_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    exact_scored AS (
+      SELECT qid AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qv", b="c.v")} AS cosine
+      FROM q, e c WHERE c.vec_id <> qid),
+    exact_rank AS ({_RRF_RANK_SQL.format(measure="cosine",
+                                         scored="exact_scored")}),
+    qz AS (SELECT vec_id, {_QUANT_SQL.format(v="v")} AS q FROM e),
+    codes AS (SELECT vec_id, q, {_INT_DOT_SQL.format(a="q", b="q")} AS qq
+              FROM qz),
+    qs AS (SELECT vec_id AS qid, q AS qv, qq AS qvv FROM codes
+           WHERE vec_id < 5),
+    quant_scored AS (
+      SELECT qid AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN qvv = 0 OR c.qq = 0 THEN NULL
+                   ELSE {_INT_DOT_SQL.format(a="qv", b="c.q")}
+                        / (sqrt(qvv) * sqrt(c.qq)) END, 6) AS qcosine
+      FROM qs, codes c WHERE c.vec_id <> qid),
+    quant_rank AS ({_RRF_RANK_SQL.format(measure="qcosine",
+                                         scored="quant_scored")}),
+    contrib AS (
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c FROM exact_rank
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) FROM quant_rank),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(sum(c) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, n_lists, rrf_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT)
+             AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10
+    """,
+    doc="reciprocal-rank fusion (operators/similarity.py:rrf_fuse; "
+        "Cormack et al. 2009): the full-precision cosine top-30 and the "
+        "int8-quantized top-30 fuse into one consensus top-10 per query "
+        "— each list contributes floor(1e6/(60+rank)) exact integer "
+        "micro-units, so the fused score is a bigint no engine or "
+        "partial-agg order can perturb. Fusion cost is independent of "
+        "corpus size (Q*K rows per list); the two rankings reuse the "
+        "proven broadcast-queries/corpus-scan shapes. The standard "
+        "hybrid-retrieval combiner for RAG pipelines.",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding", k=30)
+    quant = similarity.quantized_topk(emb, q, "vec_id", "embedding", k=30)
+    return similarity.rrf_fuse([exact, quant], k0=60, k=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5342,6 +5586,31 @@ _GATE_DEMOTED = [
     # broadcast trees — q8's six-dim chain is the same shape wider;
     # q8 r6+r7-proven)
     "q8_market_share",
+    # --- r8 rotation, batch 2: four more additions, each demotion
+    # r7-driver-proven (CORRECTNESS_r07 green) with its family kept
+    # in-window:
+    # admits q11_important_stock, which completes the TPC-H family at
+    # 22/22 AND carries the same decorrelated-scalar-subquery shape q2
+    # proved (q2's min-cost correlation stays exercised by q11's
+    # fraction-of-total threshold; broadcast-dim join trees stay via
+    # q3/q5/q18/q21)
+    "q2_min_cost_supplier",
+    # admits attribution_last_touch, which RUNS the same union-sort-fill
+    # as-of join range_join_error_purchase's temporal family proved —
+    # backward + tolerance over user-keyed events — then rolls it up to
+    # channels (temporal family keeps gapfill_locf_event_value
+    # in-window; range join r7-proven)
+    "range_join_error_purchase",
+    # admits bigram_logprob_quality, which CONTAINS the unigram fold as
+    # its backoff path (same micro-nat quantization discipline, same
+    # Zipf-join shape one order up; unigram_logprob r7-proven and its
+    # drift sibling unigram_drift_docs stays in-window)
+    "unigram_logprob_quality",
+    # admits rrf_fusion_topk, which re-runs BOTH proven ANN ranking
+    # shapes (brute-force + int8-quantized broadcast-queries scans) and
+    # proves the fusion on top; similarity family keeps kmeans +
+    # semantic_dedup + dedup_ingest_embedding in-window (ivf r7-proven)
+    "ann_topk_ivf",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -103,3 +103,67 @@ class TestCohortRetention:
         out = analytics.cohort_retention(
             _ev(spark, rows), "user_id", "ts", bucket_days=7).collect()
         assert len(out) == 1 and out[0].n_users == 1 and out[0].offset == 0
+
+
+def _ev_val(spark, rows):
+    # (user, day, hour, type, value)
+    return spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, h), t, float(v))
+         for u, d, h, t, v in rows],
+        "user_id long, ts timestamp, event_type string, value double")
+
+
+class TestLastTouchAttribution:
+    def _run(self, spark, rows, within="72 hours"):
+        out = analytics.attribute_last_touch(
+            _ev_val(spark, rows), "user_id", "ts", "event_type", "value",
+            conversion="purchase", touch_types=["view", "click"],
+            within=within)
+        return {(r.user, r.ts): (r.touch_type, r.touch_ts)
+                for r in out.collect()}
+
+    def test_most_recent_preceding_touch_wins(self, spark):
+        rows = [
+            (1, 1, 0, "view", 0), (1, 1, 6, "click", 0),
+            (1, 2, 0, "purchase", 10),
+        ]
+        got = self._run(spark, rows)
+        assert got[(1, dt.datetime(2024, 1, 2))] == (
+            "click", dt.datetime(2024, 1, 1, 6))
+
+    def test_no_touch_goes_to_none_channel(self, spark):
+        rows = [(1, 2, 0, "purchase", 10)]
+        got = self._run(spark, rows)
+        assert got[(1, dt.datetime(2024, 1, 2))] == ("none", None)
+
+    def test_tolerance_expires_old_touches(self, spark):
+        rows = [
+            (1, 1, 0, "view", 0), (1, 10, 0, "purchase", 10),
+            (2, 9, 0, "view", 0), (2, 10, 0, "purchase", 10),
+        ]
+        got = self._run(spark, rows)
+        assert got[(1, dt.datetime(2024, 1, 10))][0] == "none"
+        assert got[(2, dt.datetime(2024, 1, 10))][0] == "view"
+
+    def test_later_touch_never_attributes(self, spark):
+        rows = [(1, 2, 0, "purchase", 10), (1, 3, 0, "click", 0)]
+        got = self._run(spark, rows)
+        assert got[(1, dt.datetime(2024, 1, 2))][0] == "none"
+
+    def test_same_timestamp_touch_collapses_deterministically(self, spark):
+        # view and click at the same instant as each other: the
+        # lexicographically greatest type (view) is credited — and a
+        # touch AT the conversion instant attributes (inclusive as-of)
+        rows = [
+            (1, 1, 0, "view", 0), (1, 1, 0, "click", 0),
+            (1, 1, 0, "purchase", 5),
+        ]
+        got = self._run(spark, rows)
+        assert got[(1, dt.datetime(2024, 1, 1))][0] == "view"
+
+    def test_conversion_type_cannot_be_touch(self, spark):
+        with pytest.raises(ValueError):
+            analytics.attribute_last_touch(
+                _ev_val(spark, [(1, 1, 0, "purchase", 1)]),
+                "user_id", "ts", "event_type", "value",
+                conversion="purchase", touch_types=["purchase"])

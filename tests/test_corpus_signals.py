@@ -514,3 +514,54 @@ class TestRemoveDuplicatePassages:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBigramLogprob:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string")
+
+    def test_self_trained_hand_values(self, spark):
+        # "a b a b": bigrams (a,b) (b,a) (a,b); c(a,b)=2 c(b,a)=1 c(a)=2
+        # -> lpq = [0, floor(ln(.5)*1e6+.5), 0] = [0, -693147, 0]
+        df = self._docs(spark, ["a b a b"])
+        row = textops.bigram_logprob(df, "doc_id", "text").collect()[0]
+        assert row.n_bigrams == 3 and row.n_backoff == 0
+        assert row.avg_logprob == round(-693147 / 3 / 1e6, 6)
+
+    def test_self_training_never_backs_off(self, spark):
+        df = self._docs(spark, ["the quick brown fox", "the quick dog",
+                                "lazy dog sleeps"])
+        rows = textops.bigram_logprob(df, "doc_id", "text").collect()
+        assert rows and all(r.n_backoff == 0 for r in rows)
+
+    def test_backoff_path_hand_values(self, spark):
+        # model: "a b" -> uc={a:1, b:1}, total=2, vocab=2, bc={(a,b):1}
+        model = self._docs(spark, ["a b"])
+        scored = self._docs(spark, ["a b", "a z", "z q"])
+        got = {r.id: r for r in textops.bigram_logprob(
+            scored, "doc_id", "text", model_df=model).collect()}
+        assert got[0].n_backoff == 0 and got[0].avg_logprob == 0.0
+        # (a,z): unseen bigram, z unseen unigram ->
+        #   ln(2*(0+1) / (5*(2+2))) = ln(0.1)
+        lp_unseen = math.floor(math.log(2 / 20) * 1e6 + 0.5)
+        assert got[1].n_backoff == 1
+        assert got[1].avg_logprob == round(lp_unseen / 1e6, 6)
+        assert got[2].n_backoff == 1
+        assert got[2].avg_logprob == round(lp_unseen / 1e6, 6)
+
+    def test_backoff_uses_seen_unigram_mass(self, spark):
+        # (z,b): unseen bigram but b IS in the model -> c2=1 path
+        model = self._docs(spark, ["a b"])
+        scored = self._docs(spark, ["z b"])
+        row = textops.bigram_logprob(
+            scored, "doc_id", "text", model_df=model).collect()[0]
+        lp = math.floor(math.log((2 * 2) / (5 * 4)) * 1e6 + 0.5)
+        assert row.n_backoff == 1
+        assert row.avg_logprob == round(lp / 1e6, 6)
+
+    def test_short_docs_have_no_bigrams(self, spark):
+        df = self._docs(spark, ["single", "", "two words"])
+        ids = {r.id for r in
+               textops.bigram_logprob(df, "doc_id", "text").collect()}
+        assert ids == {2}

@@ -381,3 +381,54 @@ class TestCellSizeGuards:
                             n_b, n_i))
             kept.unpersist()
         assert results[0] == results[1] == (["d4"], 0, 1)
+
+
+class TestRrfFuse:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank long")
+
+    def test_hand_computed_fusion(self, spark):
+        # list A ranks (10, 11, 12); list B ranks (11, 12, 13)
+        a = self._rank(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        b = self._rank(spark, [(1, 11, 1), (1, 12, 2), (1, 13, 3)])
+        got = {r.neighbor_id: (r.n_lists, r.rrf_micro, r.fused_rank)
+               for r in similarity.rrf_fuse([a, b], k0=60, k=10).collect()}
+        m = 1_000_000
+        assert got[11] == (2, m // 61 + m // 62, 1)   # best consensus
+        assert got[12] == (2, m // 63 + m // 62, 2)
+        assert got[10] == (1, m // 61, 3)
+        assert got[13] == (1, m // 63, 4)
+
+    def test_tie_breaks_on_neighbor_id(self, spark):
+        # 20 and 30 get identical contributions; lower id ranks first
+        a = self._rank(spark, [(1, 30, 1), (1, 20, 2)])
+        b = self._rank(spark, [(1, 20, 1), (1, 30, 2)])
+        got = {r.neighbor_id: r.fused_rank
+               for r in similarity.rrf_fuse([a, b]).collect()}
+        assert got == {20: 1, 30: 2}
+
+    def test_topk_cut_and_validation(self, spark):
+        import pytest
+        a = self._rank(spark, [(1, i, i) for i in range(1, 8)])
+        out = similarity.rrf_fuse([a], k=3).collect()
+        assert [r.neighbor_id for r in
+                sorted(out, key=lambda r: r.fused_rank)] == [1, 2, 3]
+        with pytest.raises(ValueError):
+            similarity.rrf_fuse([])
+        with pytest.raises(ValueError):
+            similarity.rrf_fuse([a], k0=0)
+
+    def test_fusing_exact_with_quantized_boosts_consensus(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                            k=20)
+        quant = similarity.quantized_topk(emb, q, "vec_id", "embedding",
+                                          k=20)
+        fused = similarity.rrf_fuse([exact, quant], k=10).collect()
+        assert len(fused) == 30  # 3 queries x top-10
+        # every fused top-3 candidate should sit in both source lists
+        # (consensus dominates single-list outliers)
+        top3 = [r for r in fused if r.fused_rank <= 3]
+        assert all(r.n_lists == 2 for r in top3)

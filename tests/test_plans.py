@@ -467,3 +467,50 @@ def test_funnel_stages_join_on_user_key(spark):
     plan = plan_of(spark, "funnel_view_click_purchase")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_dims_broadcast_total_no_extra_shuffle(spark):
+    # nation + the nation-sliced supplier set + the single-row total all
+    # broadcast; the only hash shuffles are the partkey aggregation
+    # (computed once per consumer side)
+    plan = plan_of(spark, "q11_important_stock")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    scan = plan[plan.index("FileScan parquet"):]
+    # nation predicate reaches its scan
+    assert "EqualTo(n_name,NATION_7)" in plan
+
+
+def test_attribution_filters_pushed_to_event_scans(spark):
+    # both the conversion slice and the touch slice are filtered AT the
+    # parquet scan — at 100 TB this drops every other event type before
+    # the user-keyed Exchange
+    plan = plan_of(spark, "attribution_last_touch")
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "In(event_type, [click,view])" in plan or \
+        "In(event_type, [view,click])" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_scoring_stays_jvm_side(spark):
+    # bigram construction is a scan-stage array transform; scoring is
+    # keyed joins — no Python anywhere, no nested-loop join, and the
+    # single-row scalars frame broadcasts
+    plan = plan_of(spark, "bigram_logprob_quality")
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one nested-loop join: the SINGLE-ROW (total, vocab) scalar
+    # frame broadcasting into every scored row — O(N), not a pair join
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rrf_fusion_cost_independent_of_corpus(spark):
+    # the fusion tail (union -> groupBy -> per-query window) operates on
+    # Q*K-row ranking frames only; the corpus appears solely under the
+    # two ranking subtrees' broadcast-queries scans
+    plan = plan_of(spark, "rrf_fusion_topk")
+    assert "Python" not in plan
+    # both ranking subtrees broadcast the 5-query side, never the corpus
+    assert plan.count("BroadcastNestedLoopJoin") == 2  # the two crossJoins

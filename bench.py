@@ -132,6 +132,14 @@ HEADLINE = [
     # r8: DSIR hashed-bigram weighting and the scan-stage HTML extractor
     "dsir_weights_docs",
     "html_strip_docs",
+    # r8 batch 2: the held-out bigram LM (two Zipf joins over exploded
+    # bigrams — the heaviest corpus-statistics shape), the user-keyed
+    # as-of attribution, RRF over two full ranking subtrees, and the
+    # final TPC-H analog
+    "bigram_logprob_quality",
+    "attribution_last_touch",
+    "rrf_fusion_topk",
+    "q11_important_stock",
 ]
 
 
@@ -196,8 +204,13 @@ def main() -> None:
     QUERIES["q6_revenue_forecast"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # the ingest-dedup trio compiles ~14s of unique codegen (signature
+    # chains, agreement lambdas, FsTable commit plans) spread over many
+    # stages — measured: first sf0.1 call 19.4s vs 5.2-6.6s steady-state,
+    # while a sf0.001 warm absorbs the same compile for pennies of data
     for warm in ("mdkv_row_per_kv", "dedup_exact_docs", "dedup_minhash_lsh",
-                 "dedup_simhash", "ann_topk_ivf"):
+                 "dedup_simhash", "ann_topk_ivf", "dedup_ingest_exact",
+                 "dedup_ingest_minhash", "dedup_ingest_embedding"):
         QUERIES[warm].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

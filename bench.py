@@ -140,6 +140,13 @@ HEADLINE = [
     "attribution_last_touch",
     "rrf_fusion_topk",
     "q11_important_stock",
+    # r8 batch 3: snapshot MERGE + time travel, the embedding curation
+    # pair, LM-quintile mixing, and the Markov transition matrix
+    "merge_upsert_orders",
+    "embedding_prototypicality",
+    "hard_negatives_embeddings",
+    "perplexity_bucket_mix",
+    "event_transitions_markov",
 ]
 
 

@@ -756,3 +756,129 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+def prototypicality(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Cosine of each vector to its group centroid — the embedding-side
+    quality/outlier signal (the CLIP-score-to-prototype shape used to
+    drop mislabeled or off-distribution samples before training).
+
+    Centroids are exact-integer means: each component is quantized to
+    ``micro_units`` BEFORE summation (``floor(x*1e6 + 0.5)`` as bigint),
+    so the per-group component sums are exact under any partial-agg
+    order, and the centroid component is ONE IEEE divide
+    (``sum / (n * micro_units)``) — bit-identical across engines and
+    shuffle plans (the micro-nat discipline applied to vector space).
+
+    Returns (id, group, proto_cos) with the cosine rounded to 6dp; a
+    zero-norm vector or zero-norm centroid yields NULL.
+
+    Scale: one (group, position) partial-aggregated groupBy over the
+    exploded components — shuffle rows = groups x dim, KBs regardless of
+    corpus size — then the centroid frame (groups rows) broadcasts back
+    onto the scan, so scoring adds ZERO exchange on the corpus side.
+    Cost O(N·d) map-side; centroid state O(groups·d). The reference has
+    no vector layer (SURVEY §2); this extends the ANN family's contract.
+    """
+    vq = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        vectors.as_double_array(F.col(vec_col)).alias("_v"),
+    ).withColumn(
+        "_vq",
+        F.expr(
+            f"transform(_v, x -> CAST(floor(x * {micro_units} + 0.5) "
+            "AS BIGINT))"
+        ),
+    )
+    comps = vq.select(
+        "group", F.posexplode("_vq").alias("pos", "c")
+    )
+    cents = (
+        comps.groupBy("group", "pos")
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("group")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s, n))), "
+                f"p -> p.s / (p.n * CAST({micro_units} AS DOUBLE)))"
+            ).alias("_cent")
+        )
+        .withColumn("_cnorm", vectors.l2_norm(F.col("_cent")))
+    )
+    scored = vq.withColumn("_vnorm", vectors.l2_norm(F.col("_v"))).join(
+        F.broadcast(cents), on="group", how="inner"
+    )
+    return scored.select(
+        "id",
+        "group",
+        _pair_cosine("_v", "_cent", "_vnorm", "_cnorm").alias("proto_cos"),
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+    broadcast_guard: str = "warn",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query RESTRICTED to rows with a
+    different label — hard-negative mining for contrastive/embedding
+    training (the highest-similarity wrong-label candidates are the
+    gradient-rich negatives; same contract as brute_force_topk plus the
+    label exclusion).
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rank) with rank over (rounded cosine desc, neighbor_id) — fully
+    deterministic. The label filter happens BEFORE the window, so k
+    negatives survive per query whenever the corpus has them.
+
+    Scale: the query side broadcasts (guarded like the other exact
+    baselines); the corpus streams map-side — no corpus shuffle, one
+    window over Q·top candidates. For corpus-scale query sets, assign
+    IVF cells first and run this per-cell (ivf_topk's join shape).
+    """
+    def _prep_labeled(df: DataFrame, prefix: str) -> DataFrame:
+        staged = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(label_col).alias(f"{prefix}_label"),
+            vectors.as_double_array(F.col(vec_col)).alias(f"{prefix}_vec"),
+        )
+        return staged.select(
+            "*",
+            vectors.l2_norm(F.col(f"{prefix}_vec")).alias(f"{prefix}_norm"),
+        )
+
+    q = _prep_labeled(queries, "query")
+    c = _prep_labeled(corpus, "neighbor")
+    _guard_broadcast(q, "hard_negative_topk", broadcast_guard)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            _pair_cosine(
+                "query_vec", "neighbor_vec", "query_norm", "neighbor_norm"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -5325,6 +5325,310 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse([exact, quant], k0=60, k=10)
 
 
+# --- round-8 batch 3: snapshot MERGE proof, embedding curation ops,
+# --- perplexity-bucketed mixing, event transition matrix ------------------
+
+_CENTS_SQL = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+@register(
+    "merge_upsert_orders",
+    f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 <= 1),
+    upd AS (
+      SELECT o_orderkey, o_totalprice + 1000 AS o_totalprice,
+             'X-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 4 BETWEEN 1 AND 2),
+    post AS (
+      SELECT o_totalprice, o_orderpriority FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority FROM upd)
+    SELECT 'pre' AS snap, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_CENTS_SQL}) AS BIGINT) AS sum_cents
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'post', o_orderpriority, CAST(count(*) AS BIGINT),
+           CAST(sum({_CENTS_SQL}) AS BIGINT)
+    FROM post GROUP BY 2
+    """,
+    doc="copy-on-write MERGE + time travel through the snapshot table "
+        "format (sinks/table_commit.py:merge_upsert, ref incremental "
+        "merge semantics): a base orders slice commits to a fresh "
+        "FsTable, an overlapping updates batch (replayed keys get "
+        "+1000 price and a marker priority, new keys insert) MERGEs by "
+        "o_orderkey, and BOTH the pre-merge snapshot (time-travel read "
+        "by version) and the head aggregate per priority. Proves "
+        "update-not-duplicate, insert, untouched-rows-carry-over, and "
+        "snapshot isolation in one driver row. Scale: the updates' key "
+        "bounds prune the rewrite to matching files via manifest stats; "
+        "untouched files carry by reference (zero data movement).",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 <= 1)
+    updates = (
+        orders.filter((F.col("o_orderkey") % 4 >= 1)
+                      & (F.col("o_orderkey") % 4 <= 2))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        .withColumn("o_orderpriority", F.lit("X-MERGED"))
+    )
+    cents = F.expr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+
+    def _agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("sum_cents"),
+        ).select(F.lit(tag).alias("snap"), "o_orderpriority", "n",
+                 "sum_cents")
+
+    root = tempfile.mkdtemp(prefix="sg_merge_")
+    try:
+        table = FsTable.create(root + "/t")
+        pre_v = table.write_append(
+            base, stats_columns=["o_orderkey"]).version
+        table.merge_upsert(spark, updates, keys=["o_orderkey"],
+                           stats_columns=["o_orderkey"])
+        rows = (
+            _agg(table.read(spark, version=pre_v), "pre")
+            .unionByName(_agg(table.read(spark), "post"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r.snap, r.o_orderpriority, r.n, r.sum_cents) for r in rows],
+        "snap string, o_orderpriority string, n bigint, sum_cents bigint")
+
+
+@register(
+    "event_transitions_markov",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+          FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+                 4) AS p
+    FROM t
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: lead() within (user, ts, event_id) order, one "
+        "(from, to) count agg, per-from-state probabilities via a "
+        "window sum — the product-analytics path model next to the "
+        "funnel/cohort/attribution family. One sort-shuffle on user_id "
+        "+ one states^2-row agg; probabilities are one IEEE divide "
+        "rounded 4dp (parity convention).",
+)
+def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = nxt.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type", "next_type", "n",
+        F.round(F.col("n").cast("double")
+                / F.sum("n").over(tot).cast("double"), 4).alias("p"))
+
+
+@register(
+    "embedding_prototypicality",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, label, v,
+                 list_transform(v, x -> CAST(floor(x * 1000000 + 0.5)
+                                             AS BIGINT)) AS vq
+          FROM e),
+    comps AS (SELECT label, i, vq[i] AS c
+              FROM q, unnest(range(1, len(vq) + 1)) r(i)),
+    cent AS (SELECT label, i, CAST(sum(c) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM comps GROUP BY 1, 2),
+    centv AS (SELECT label, list(s / (n * 1000000.0) ORDER BY i) AS cv
+              FROM cent GROUP BY 1)
+    SELECT vec_id, label, {{cos}} AS proto_cos
+    FROM q JOIN centv USING (label)
+    """.format(cos=_COS_SQL.format(a="v", b="cv")),
+    doc="cosine-to-label-centroid prototypicality scoring (operators/"
+        "similarity.py:prototypicality): the embedding-side outlier/"
+        "mislabel signal (CLIP-score-to-prototype shape). Centroids are "
+        "exact-integer means — components quantized to micro-units "
+        "BEFORE the per-(label, position) sum, one IEEE divide after — "
+        "so partial-agg order cannot move a bit. Centroid state is "
+        "groups x dim (KBs) and broadcasts back onto the scan: zero "
+        "corpus-side exchange beyond the tiny component agg.",
+)
+def embedding_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.prototypicality(
+        emb, "vec_id", "embedding", "label"
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("group").alias("label"),
+        "proto_cos",
+    )
+
+
+@register(
+    "hard_negatives_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlab, v AS qv
+          FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT qid AS query_id, qlab AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_COS_SQL.format(a="qv", b="c.v")} AS cosine
+      FROM q, e c WHERE c.label <> qlab)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+    doc="hard-negative mining (operators/similarity.py:"
+        "hard_negative_topk): exact top-k cosine neighbors per query "
+        "restricted to different-label rows — the gradient-rich "
+        "contrastive negatives for embedding training. Same guarded "
+        "broadcast-queries/corpus-scan shape as the proven ANN "
+        "baselines with the label exclusion before the window; for "
+        "corpus-scale query sets the same contract runs per IVF cell.",
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.hard_negative_topk(
+        emb, q, "vec_id", "embedding", "label", k=10)
+
+
+#: per-perplexity-quintile admission fractions for the mixing gate query —
+#: keep the mid-perplexity mass, thin both tails (the boilerplate end AND
+#: the gibberish end), the CCNet/LLaMA-style perplexity-bucket heuristic.
+_PPL_BUCKET_KEEP = (0.2, 0.5, 1.0, 0.5, 0.2)
+
+
+@register(
+    "perplexity_bucket_mix",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                              'g')), ' ') AS words
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) <> ''),
+    mw AS (SELECT unnest(words) AS word FROM tok WHERE lang = 'en'),
+    uc AS (SELECT word, count(*) AS c FROM mw GROUP BY 1),
+    sc AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS vocab FROM uc),
+    mbg AS (
+      SELECT words[i] AS w1, words[i+1] AS w2
+      FROM tok, unnest(range(1, len(words))) r(i)
+      WHERE lang = 'en' AND len(words) >= 2),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM mbg GROUP BY 1, 2),
+    dbg AS (
+      SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+      FROM tok, unnest(range(1, len(words))) r(i)
+      WHERE len(words) >= 2),
+    pos AS (
+      SELECT doc_id,
+             CASE WHEN c12 IS NOT NULL THEN
+               CAST(floor(ln(CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor(ln(CAST(2 * (coalesce(u2.c, 0) + 1) AS DOUBLE)
+                             / CAST(5 * (total + vocab) AS DOUBLE))
+                          * 1000000 + 0.5) AS BIGINT)
+             END AS lpq
+      FROM dbg
+      LEFT JOIN bc USING (w1, w2)
+      LEFT JOIN uc u1 ON dbg.w1 = u1.word
+      LEFT JOIN uc u2 ON dbg.w2 = u2.word
+      CROSS JOIN sc),
+    scored AS (
+      SELECT doc_id,
+             round(CAST(sum(lpq) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_logprob
+      FROM pos GROUP BY 1),
+    bucketed AS (
+      SELECT doc_id, avg_logprob,
+             CAST(ntile(5) OVER (ORDER BY avg_logprob, doc_id)
+                  AS BIGINT) AS bucket
+      FROM scored),
+    admitted AS (
+      SELECT bucket,
+             CAST(floor(avg_logprob * 1000000 + 0.5) AS BIGINT) AS lp_micro,
+             CASE WHEN {_hex32_sql(
+                 "'pplmix|' || CAST(doc_id AS VARCHAR)")} / 4294967296.0
+                  < CASE bucket {" ".join(
+                      f"WHEN {i + 1} THEN {f!r}"
+                      for i, f in enumerate(_PPL_BUCKET_KEEP))} END
+             THEN 1 ELSE 0 END AS keep
+      FROM bucketed)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS avg_lp
+    FROM admitted GROUP BY 1
+    """,
+    doc="perplexity-bucketed mixture admission (CCNet / LLaMA-style): "
+        "held-out bigram-LM scores (operators/textops.py:bigram_logprob) "
+        "quintile the corpus, then a deterministic hash-threshold "
+        "admission keeps the mid-perplexity mass and thins both tails "
+        "(boilerplate AND gibberish). Per-doc scores re-quantize to "
+        "exact micro-nat integers before the per-bucket fold. The "
+        "global ntile is the sf-gate grain; the 100 TB path fits "
+        "quantile CUTS once on a sketch (quantile_clip's fit-once/"
+        "apply-many contract) so admission stays scan-stage.",
+)
+def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    scored = textops.bigram_logprob(
+        docs, "doc_id", "text",
+        model_df=docs.filter(F.col("lang") == "en"),
+    )
+    b = scored.withColumn(
+        "bucket",
+        F.ntile(5).over(Window.orderBy("avg_logprob", "id")).cast("long"),
+    )
+    keep_frac = F.element_at(
+        F.array(*(F.lit(f) for f in _PPL_BUCKET_KEEP)),
+        F.col("bucket").cast("int"),
+    )
+    admitted = b.select(
+        "bucket",
+        F.expr("CAST(floor(avg_logprob * 1000000 + 0.5) AS BIGINT)")
+        .alias("lp_micro"),
+        (sampling.hash_uniform(F.col("id"), "pplmix") < keep_frac)
+        .cast("long").alias("keep"),
+    )
+    return admitted.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.round(F.sum("lp_micro").cast("double") / F.count(F.lit(1))
+                / F.lit(1000000.0), 6).alias("avg_lp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5611,6 +5915,32 @@ _GATE_DEMOTED = [
     # proves the fusion on top; similarity family keeps kmeans +
     # semantic_dedup + dedup_ingest_embedding in-window (ivf r7-proven)
     "ann_topk_ivf",
+    # --- r8 rotation, batch 3: each demotion r7-driver-proven
+    # (CORRECTNESS_r07 green) with its family kept in-window:
+    # admits merge_upsert_orders (TPC-H keeps q1/q3/q5/q11/q16/q21
+    # in-window; q18's orders⋈lineitem group-filter join shape stays
+    # via q3 and q21; q18 r6+r7-proven)
+    "q18_large_orders",
+    # admits event_transitions_markov (TPC-H keeps q1/q3/q5/q11/q21;
+    # q16's NOT-IN anti + count-distinct shape stays via q21's
+    # anti/semi pair; q16 r7-proven)
+    "q16_supplier_part_count",
+    # admits embedding_prototypicality (sketch family keeps
+    # quantile_clip_events in-window — the same mergeable-sketch
+    # fit-once/apply-many contract HLL proved; approx_distinct
+    # r6+r7-proven)
+    "approx_distinct_users",
+    # admits hard_negatives_embeddings (window family keeps
+    # attribution_last_touch's last-touch RANGE windows and
+    # cohort_retention_weekly in-window; the time-RANGE frame is
+    # r7-proven)
+    "window_time_range_frame",
+    # admits perplexity_bucket_mix, which IS a mixture-admission
+    # sampler one signal up (LM quintiles instead of the closed-form
+    # alpha weights); sampling family keeps
+    # sample_token_budget_sharded + group_aware_split_docs in-window
+    # (temperature mixture r7-proven)
+    "temperature_mixture_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

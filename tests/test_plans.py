@@ -514,3 +514,39 @@ def test_rrf_fusion_cost_independent_of_corpus(spark):
     assert "Python" not in plan
     # both ranking subtrees broadcast the 5-query side, never the corpus
     assert plan.count("BroadcastNestedLoopJoin") == 2  # the two crossJoins
+
+
+def test_prototypicality_centroids_broadcast(spark):
+    # centroid state is groups x dim and must broadcast back onto the
+    # corpus scan; the only shuffles are the two tiny component aggs
+    plan = plan_of(spark, "embedding_prototypicality")
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 2, plan[:800]
+
+
+def test_hard_negatives_corpus_never_shuffles(spark):
+    # queries broadcast into one nested-loop scan of the corpus (the
+    # guarded exact-baseline shape); the label filter adds no join
+    plan = plan_of(spark, "hard_negatives_embeddings")
+    assert "Python" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_transitions_shuffle_budget(spark):
+    # one user-sort shuffle for lead(), one states^2 agg, one window over
+    # the states^2 frame — nothing else
+    plan = plan_of(spark, "event_transitions_markov")
+    assert "Python" not in plan
+    assert n_exchanges(plan) <= 3, plan[:800]
+
+
+def test_perplexity_mix_stays_jvm_side(spark):
+    # bigram scoring joins + the quintile window: no Python, no pair
+    # join; the single-row scalars frame is the only nested loop
+    plan = plan_of(spark, "perplexity_bucket_mix")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -432,3 +432,66 @@ class TestRrfFuse:
         # (consensus dominates single-list outliers)
         top3 = [r for r in fused if r.fused_rank <= 3]
         assert all(r.n_lists == 2 for r in top3)
+
+
+class TestPrototypicality:
+    def _frame(self, spark):
+        rows = [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [0.0, 1.0]),
+            (3, "b", [1.0, 1.0]),
+            (4, "b", [1.0, 1.0]),
+            (5, "b", [0.0, 0.0]),  # zero-norm vector -> NULL score
+        ]
+        return spark.createDataFrame(
+            rows, "id bigint, grp string, vec array<double>")
+
+    def test_hand_computed_scores(self, spark):
+        df = self._frame(spark)
+        out = {r.id: r.proto_cos for r in similarity.prototypicality(
+            df, "id", "vec", "grp").collect()}
+        # group a centroid = [0.5, 0.5]; cos([1,0], [.5,.5]) = 0.707107
+        assert out[1] == 0.707107
+        assert out[2] == 0.707107
+        # group b centroid = [2/3, 2/3]; cos([1,1], c) = 1.0
+        assert out[3] == 1.0
+        assert out[4] == 1.0
+        assert out[5] is None  # zero-norm vector
+
+    def test_exact_integer_means_stable_under_partitioning(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        a = similarity.prototypicality(emb, "vec_id", "embedding", "label")
+        b = similarity.prototypicality(
+            emb.repartition(7, "vec_id"), "vec_id", "embedding", "label")
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.collect()))
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 3)
+        out = similarity.hard_negative_topk(
+            emb, q, "vec_id", "embedding", "label", k=5).collect()
+        assert all(r.query_label != r.neighbor_label for r in out)
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+            cosines = [r.cosine for r in rows]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_negatives_are_filtered_bruteforce(self, spark):
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") == 0)
+        labels = {r.vec_id: r.label for r in
+                  emb.select("vec_id", "label").collect()}
+        exact = [r for r in similarity.brute_force_topk(
+            emb, q, "vec_id", "embedding", k=1000).collect()
+            if labels[r.neighbor_id] != labels[r.query_id]][:5]
+        hard = similarity.hard_negative_topk(
+            emb, q, "vec_id", "embedding", "label", k=5).collect()
+        assert [(r.query_id, r.neighbor_id, r.cosine) for r in exact] == \
+            [(r.query_id, r.neighbor_id, r.cosine) for r in hard]

@@ -5629,6 +5629,78 @@ def perplexity_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_watermark_rollup_events",
+    """
+    WITH kept AS (
+      SELECT ts, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+      UNION ALL
+      SELECT ts, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+        AND ts < TIMESTAMP '2024-01-26 00:00:00')
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+             AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM kept GROUP BY 1, 2
+    """,
+    doc="watermarked streaming tumbling rollup END-TO-END through the "
+        "real writeStream path (streaming/pipeline.py:"
+        "stream_windowed_rollup): pass 1 spools events before Jan 21 "
+        "and drains with a 1-day window / 1-hour watermark; pass 2 "
+        "re-sends the Jan 2-6 slice (now ~14 days behind the "
+        "checkpointed watermark -> the engine DROPS it) plus the fresh "
+        "Jan 21-26 slice (admitted). UPDATE-mode emission upserts "
+        "changed windows into an FsTable exactly-once (epoch marker "
+        "atomic inside the merge snapshot), so the final table is "
+        "independent of micro-batch boundaries and append-mode flush "
+        "timing — exactly the oracle's 'pass1 union fresh' fold. Late "
+        "and fresh slices sit ~14 days either side of the watermark, so "
+        "no row is boundary-marginal at any sf. Per-row cents "
+        "quantization keeps streaming sums exact bigints.",
+)
+def streaming_watermark_rollup_events(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        stream_from_files, stream_windowed_rollup)
+
+    ev = load(spark, sf_dir, "events").select("ts", "value")
+    t21 = "2024-01-21 00:00:00"
+    pass1 = ev.filter(F.col("ts") < t21)
+    late = ev.filter((F.col("ts") >= "2024-01-02 00:00:00")
+                     & (F.col("ts") < "2024-01-06 00:00:00"))
+    fresh = ev.filter((F.col("ts") >= t21)
+                      & (F.col("ts") < "2024-01-26 00:00:00"))
+    root = tempfile.mkdtemp(prefix="sg_swr_")
+    try:
+        src = root + "/src"
+        pass1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        table = None
+        for phase in range(2):
+            stream = stream_from_files(spark, src, schema)
+            table = stream_windowed_rollup(
+                stream, root + "/win", "ts", "1 day", root + "/ckpt",
+                watermark="1 hour", value_cents_col="value")
+            if phase == 0:
+                late.unionByName(fresh).coalesce(1).write.mode(
+                    "append").parquet(src)
+        rows = [(r.window_start, r.window_end, r.n_events, r.sum_cents)
+                for r in table.read(spark).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "window_start timestamp, window_end timestamp, "
+        "n_events bigint, sum_cents bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -5941,6 +6013,13 @@ _GATE_DEMOTED = [
     # sample_token_budget_sharded + group_aware_split_docs in-window
     # (temperature mixture r7-proven)
     "temperature_mixture_docs",
+    # admits streaming_watermark_rollup_events, which drives the SAME
+    # per-window upsert fold through the real writeStream path (UPDATE
+    # mode + watermark drop + exactly-once MERGE) that the batch
+    # incremental rollup proved; the MERGE-snapshot shape stays
+    # in-window via merge_upsert_orders and the streaming family keeps
+    # streaming_dedup_ingest_docs (rollup_incremental r6+r7-proven)
+    "rollup_incremental_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

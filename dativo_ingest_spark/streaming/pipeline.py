@@ -833,3 +833,106 @@ def stream_dedup_to_table(
     else:  # pragma: no cover - continuous mode needs a long-lived process
         writer.start()
     return out_table, index_table
+
+
+def window_rollup_epoch_writer(table, keys: list[str],
+                               query_id: str | None = None,
+                               checkpoint_dir: str | None = None):
+    """foreachBatch callable publishing an UPDATE-mode windowed aggregation
+    into an FsTable by key upsert: each micro-batch's changed window rows
+    MERGE over their previous values (sinks/table_commit.py:merge_upsert),
+    with the epoch marker committed atomically inside the same snapshot —
+    the :func:`rollup_epoch_writer` exactly-once recipe for watermarked
+    window state instead of additive fold state.
+
+    Update mode re-emits a window's CURRENT total whenever a batch touches
+    it, so replace-by-key is the correct fold and emission timing never
+    matters: the table converges to per-window totals over every row the
+    watermark admitted, whether or not a final no-data batch ran (the
+    append-mode flush dependence this design deliberately avoids).
+
+    Scale: per-epoch cost is the micro-batch agg plus a MERGE bounded by
+    the touched-window count — the updates' key bounds prune the rewrite
+    to recent files via manifest stats, so old windows carry by reference.
+    """
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        head = table.snapshot(table.current_version())
+        last = head.properties.get(key)
+        if last is not None and int(last) >= epoch_id:
+            return
+        if not head.files:
+            table.write_append(batch_df, stats_columns=list(keys),
+                               properties={key: str(epoch_id)})
+            return
+        table.merge_upsert(batch_df.sparkSession, batch_df, keys=list(keys),
+                           stats_columns=list(keys),
+                           properties={key: str(epoch_id)})
+
+    return write_batch
+
+
+def stream_windowed_rollup(
+    stream_df: DataFrame,
+    table_root: str,
+    ts_col: str,
+    window: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    keys: list[str] | None = None,
+    value_cents_col: str | None = None,
+    available_now: bool = True,
+):
+    """Watermarked tumbling-window rollup from a stream into an FsTable:
+    late rows land or drop by the engine's watermark (state for closed
+    windows is gone, so a row later than the horizon cannot re-open its
+    window), and every admitted update upserts exactly-once via
+    :func:`window_rollup_epoch_writer`.
+
+    Measures: ``n_events`` plus, when ``value_cents_col`` names a DOUBLE
+    column, ``sum_cents`` — the value quantized to integer cents PER ROW
+    before summation, so totals are exact bigints under any batch
+    boundary or partial-agg order (the oracle-parity discipline applied
+    to streaming state). Returns the FsTable holding one row per
+    (window_start [, keys]).
+    """
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    group_keys = list(keys or [])
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_cents_col is not None:
+        aggs.append(F.sum(
+            F.expr(f"CAST(floor(`{value_cents_col}` * 100 + 0.5) "
+                   "AS BIGINT)")).alias("sum_cents"))
+    agged = (
+        _watermarkable(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                 *[F.col(k) for k in group_keys])
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_keys,
+            *[a_name for a_name in
+              (["n_events"] + (["sum_cents"]
+                               if value_cents_col is not None else []))],
+        )
+    )
+    table = FsTable.create(table_root)
+    writer = (
+        agged.writeStream
+        .outputMode("update")
+        .foreachBatch(window_rollup_epoch_writer(
+            table, ["window_start"] + group_keys,
+            checkpoint_dir=checkpoint_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+    return table

@@ -540,3 +540,96 @@ class TestStreamDedupOnIngest:
         writer(batch, 0)   # must not raise on the fresh branch
         assert out.read(spark, branch="acme").count() == 1
         assert ix.read(spark, branch="acme").count() == 1
+
+
+class TestStreamWindowedRollup:
+    """Watermarked UPDATE-mode windowed rollup into an FsTable
+    (window_rollup_epoch_writer + stream_windowed_rollup): per-window
+    upserts converge to per-window totals regardless of micro-batch
+    boundaries, epoch replays never double-apply, and rows later than
+    the checkpointed watermark are dropped by the engine."""
+
+    def test_epoch_replay_upserts_not_appends(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import (
+            window_rollup_epoch_writer)
+
+        table = FsTable.create(str(tmp_path / "win"))
+        wb = window_rollup_epoch_writer(table, ["window_start"],
+                                        query_id="qw")
+        mk = lambda rows: spark.createDataFrame(
+            rows, "window_start timestamp, window_end timestamp, "
+                  "n_events bigint, sum_cents bigint")
+        import datetime as dt
+        w0 = dt.datetime(2024, 1, 1)
+        w1 = dt.datetime(2024, 1, 2)
+        wb(mk([(w0, w1, 3, 100)]), 0)
+        wb(mk([(w0, w1, 3, 100)]), 0)           # replay: suppressed
+        assert table.read(spark).count() == 1
+
+        # epoch 1 emits the UPDATED cumulative total for w0 plus a new
+        # window: w0's row is REPLACED, not duplicated
+        wb(mk([(w0, w1, 5, 170), (w1, dt.datetime(2024, 1, 3), 2, 40)]), 1)
+        got = {r.window_start: (r.n_events, r.sum_cents)
+               for r in table.read(spark).collect()}
+        assert got == {w0: (5, 170), w1: (2, 40)}
+
+        # replay of the OLDER epoch after newer commits is also skipped
+        wb(mk([(w0, w1, 3, 100)]), 0)
+        got = {r.window_start: (r.n_events, r.sum_cents)
+               for r in table.read(spark).collect()}
+        assert got[w0] == (5, 170)
+
+    def test_multi_batch_converges_to_batch_totals(self, spark, tmp_path):
+        """maxFilesPerTrigger=1 forces several micro-batches updating the
+        same windows; the final table must equal the one-shot batch agg."""
+        ev = load(spark, SF_DIR, "events").select("ts", "value")
+        src = str(tmp_path / "src")
+        ev.repartition(3).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = pipeline.stream_from_files(spark, src, schema,
+                                            max_files_per_trigger=1)
+        table = pipeline.stream_windowed_rollup(
+            stream, str(tmp_path / "win"), "ts", "1 day",
+            str(tmp_path / "ckpt"), watermark="365 days",
+            value_cents_col="value")
+        got = {r.window_start: (r.n_events, r.sum_cents)
+               for r in table.read(spark).collect()}
+        exp_rows = (ev.groupBy(F.window("ts", "1 day").alias("w"))
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.sum(F.expr("CAST(floor(value*100+0.5) AS BIGINT)"))
+                         .alias("c"))
+                    .select(F.col("w.start").alias("ws"), "n", "c")
+                    .collect())
+        exp = {r.ws: (r.n, r.c) for r in exp_rows}
+        assert got == exp and len(got) > 0
+
+    def test_restart_drops_rows_behind_watermark(self, spark, tmp_path):
+        """Two availableNow runs over a growing spool: run 2 re-sends data
+        far behind the checkpointed watermark (dropped) plus fresh data
+        (admitted); keyed grouping exercises the composite upsert key."""
+        import datetime as dt
+        mk = lambda rows: spark.createDataFrame(
+            rows, "ts timestamp, k string, value double")
+        day = lambda d, h=0: dt.datetime(2024, 1, d, h)
+        src = str(tmp_path / "src")
+        mk([(day(1), "a", 1.0), (day(1), "b", 2.0),
+            (day(10), "a", 3.0)]).coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        table = None
+        for phase in range(2):
+            stream = pipeline.stream_from_files(spark, src, schema)
+            table = pipeline.stream_windowed_rollup(
+                stream, str(tmp_path / "win"), "ts", "1 day",
+                str(tmp_path / "ckpt"), watermark="1 hour", keys=["k"],
+                value_cents_col="value")
+            if phase == 0:
+                # late: day 1 again (9 days behind the day-10 watermark);
+                # fresh: day 11
+                mk([(day(1), "a", 100.0), (day(11), "b", 4.0)]).coalesce(
+                    1).write.mode("append").parquet(src)
+        got = {(r.window_start, r.k): (r.n_events, r.sum_cents)
+               for r in table.read(spark).collect()}
+        assert got == {(day(1), "a"): (1, 100), (day(1), "b"): (1, 200),
+                       (day(10), "a"): (1, 300), (day(11), "b"): (1, 400)}

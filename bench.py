@@ -147,6 +147,16 @@ HEADLINE = [
     "hard_negatives_embeddings",
     "perplexity_bucket_mix",
     "event_transitions_markov",
+    # r8 batch 4: BPE tokenizer training (5 vocab-sized argmax rounds),
+    # the single-shuffle OHLC min_by/max_by aggregate, and the double
+    # exact-median MAD pass — the new shapes whose cost claims need a
+    # per-round pin. snapshot_changes_orders and
+    # streaming_watermark_rollup_events stay OUT: their two-commit /
+    # two-writeStream harnesses are fixed overhead, not engine
+    # throughput (the merge_upsert_orders row already pins the MERGE).
+    "bpe_train_merges_docs",
+    "ohlc_daily_events",
+    "mad_outlier_events",
 ]
 
 

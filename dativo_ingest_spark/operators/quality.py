@@ -262,6 +262,60 @@ def apply_bounds(
     return df if pred is None else df.filter(pred)
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    k: float = 3.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Robust per-group outlier flagging by median absolute deviation:
+    a row is an outlier when ``|x - median| > k * MAD`` (Hampel filter,
+    the robust cousin of the z-score — one wild sensor value cannot
+    drag the center or the spread the way it drags a mean/stddev).
+    Returns the input plus ``_med``, ``_mad``, ``_is_outlier``.
+
+    Shape: two grouped aggregates (median, then MAD over the residuals),
+    each joined back on the group keys — with few groups both stats
+    frames broadcast, so the corpus is scanned twice and shuffled zero
+    times beyond the two group-sized aggs. ``exact=True`` uses
+    ``percentile`` (sort-based, interpolated — the oracle-replicable
+    path; DuckDB's ``quantile_cont`` computes the identical statistic);
+    at 100 TB pass ``exact=False`` for the mergeable
+    ``approx_percentile`` sketch (same KB-state contract
+    :func:`quantile_bounds` pins), trading bit-parity for a
+    constant-memory single-pass agg.
+
+    Degeneracy (documented, not hidden): when a strict majority of a
+    group sits exactly ON its median, MAD is 0 and every deviating row
+    flags — the standard Hampel behavior for near-constant columns.
+    Pre-filter such groups (``_mad == 0``) or clip with
+    :func:`quantile_clip` when that is not what you want.
+    """
+    group = list(keys or [])
+    pct = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+
+    def _med(col: str) -> "F.Column":
+        return F.expr(f"{pct}(`{col}`, 0.5D{acc})")
+
+    gb = df.groupBy(*group) if group else df.groupBy()
+    med = gb.agg(_med(value_col).alias("_med"))
+    with_med = (df.join(F.broadcast(med), on=group) if group
+                else df.crossJoin(F.broadcast(med)))
+    resid = with_med.withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("_med")))
+    gb2 = resid.groupBy(*group) if group else resid.groupBy()
+    mad = gb2.agg(_med("_absdev").alias("_mad"))
+    flagged = (resid.join(F.broadcast(mad), on=group) if group
+               else resid.crossJoin(F.broadcast(mad)))
+    return flagged.withColumn(
+        "_is_outlier",
+        F.col("_absdev") > F.lit(float(k)) * F.col("_mad")
+    ).drop("_absdev")
+
+
 def quantile_clip(
     df: DataFrame,
     columns: list[str],

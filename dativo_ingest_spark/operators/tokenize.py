@@ -187,6 +187,89 @@ def bpe_token_counts(
     )
 
 
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 1,
+) -> list[tuple[str, str, int]]:
+    """LEARN a BPE merges table from a corpus — the training counterpart
+    of :func:`bpe_token_counts` (which only applies a given table).
+    Returns ``[(left, right, weighted_pair_count), ...]`` in rank order;
+    feed ``tuple((l, r) for l, r, _ in result)`` straight back into the
+    counting/application kernels.
+
+    Classic Sennrich-et-al. training, made deterministic and
+    SQL-replicable:
+
+    1. ONE corpus-scale pass folds the documents to the (word, count)
+       vocabulary — Zipf makes every later step vocabulary-sized, so the
+       trillions of occurrences are touched exactly once (the same
+       distinct-word discipline the counting path uses).
+    2. Each word becomes its delimited character string ``' c1 c2 '``.
+    3. Per round: count adjacent symbol pairs weighted by word count
+       (overlapping adjacencies all count — ``'a a a'`` contributes
+       (a,a) twice per occurrence), pick the pair with the highest
+       total (ties: lexicographically smallest (left, right) — a total
+       order, so any engine picks the same pair), and apply it to every
+       word via the same delimited-string ``replace`` the application
+       kernel uses — left-to-right, scan continuing after each
+       replacement, so training and application can never disagree on
+       merge semantics.
+
+    Scale shape: per round, one vocabulary-sized pair explode + one
+    partial-agg shuffle + a LIMIT-1 collect (the argmax pair is the only
+    driver-side row — tiny control plane), then a codegen ``replace``
+    projection. ``localCheckpoint(eager=True)`` every
+    ``checkpoint_every`` rounds truncates the otherwise linearly-growing
+    plan (the connected-components lesson: ``.cache()`` does NOT bound
+    logical-plan growth); raise the interval when training thousands of
+    merges to trade recompute for fewer materializations.
+    """
+    vocab = (
+        df.select(F.explode(text.words(
+            F.coalesce(F.col(text_col), F.lit("")))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "seg",
+            F.concat(F.lit(" "),
+                     F.array_join(F.split(F.col("word"), ""), " "),
+                     F.lit(" ")))
+        .select("word", "c", "seg")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        pairs = (
+            vocab.select(
+                "c",
+                F.split(F.trim(F.col("seg")), " ").alias("syms"))
+            .select(
+                "c",
+                F.explode(F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                )).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("c").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        top = pairs[0]
+        merges.append((top.l, top.r, int(top.cnt)))
+        vocab = vocab.withColumn(
+            "seg",
+            F.replace(F.col("seg"),
+                      F.lit(f" {top.l} {top.r} "),
+                      F.lit(f" {top.l}{top.r} ")))
+        if (rnd + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
+
+
 def merges_sql_values(
     merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
 ) -> str:

@@ -5701,6 +5701,256 @@ def streaming_watermark_rollup_events(spark: SparkSession,
         "n_events bigint, sum_cents bigint")
 
 
+@register(
+    "bpe_train_merges_docs",
+    r"""
+    WITH
+    tok AS (
+      SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM (SELECT trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')) AS t
+            FROM documents)),
+    voc AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(words) AS word FROM tok) GROUP BY 1),
+    s0 AS (
+      SELECT c, ' ' || array_to_string(string_split(word, ''), ' ')
+                 || ' ' AS seg
+      FROM voc),
+    x0 AS (SELECT c, string_split(trim(seg), ' ') AS syms FROM s0),
+    e0 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM x0),
+    b0 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+           FROM e0 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s1 AS (SELECT c, replace(seg, ' ' || b0.l || ' ' || b0.r || ' ',
+                             ' ' || b0.l || b0.r || ' ') AS seg
+           FROM s0, b0),
+    x1 AS (SELECT c, string_split(trim(seg), ' ') AS syms FROM s1),
+    e1 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM x1),
+    b1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+           FROM e1 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s2 AS (SELECT c, replace(seg, ' ' || b1.l || ' ' || b1.r || ' ',
+                             ' ' || b1.l || b1.r || ' ') AS seg
+           FROM s1, b1),
+    x2 AS (SELECT c, string_split(trim(seg), ' ') AS syms FROM s2),
+    e2 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM x2),
+    b2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+           FROM e2 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s3 AS (SELECT c, replace(seg, ' ' || b2.l || ' ' || b2.r || ' ',
+                             ' ' || b2.l || b2.r || ' ') AS seg
+           FROM s2, b2),
+    x3 AS (SELECT c, string_split(trim(seg), ' ') AS syms FROM s3),
+    e3 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM x3),
+    b3 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+           FROM e3 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+    s4 AS (SELECT c, replace(seg, ' ' || b3.l || ' ' || b3.r || ' ',
+                             ' ' || b3.l || b3.r || ' ') AS seg
+           FROM s3, b3),
+    x4 AS (SELECT c, string_split(trim(seg), ' ') AS syms FROM s4),
+    e4 AS (SELECT c, syms, unnest(range(1, len(syms))) AS i FROM x4),
+    b4 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(c) AS cnt
+           FROM e4 GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)
+    SELECT CAST(0 AS INTEGER) AS merge_rank, l, r,
+           CAST(cnt AS BIGINT) AS cnt FROM b0
+    UNION ALL SELECT 1, l, r, CAST(cnt AS BIGINT) FROM b1
+    UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM b2
+    UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM b3
+    UNION ALL SELECT 4, l, r, CAST(cnt AS BIGINT) FROM b4
+    """,
+    doc="BPE tokenizer TRAINING (operators/tokenize.py:train_bpe_merges "
+        "— the learning counterpart of the r8 counting/application "
+        "kernel): five merge rounds over the documents corpus, each "
+        "round = vocabulary-sized adjacent-pair count weighted by word "
+        "frequency -> deterministic argmax (count desc, then (l, r) "
+        "lexicographic — a total order, so Spark and the unrolled "
+        "DuckDB CTE pick identical pairs) -> delimited-string replace "
+        "applied to every word (the application kernel's exact merge "
+        "semantics, so train and apply can never disagree). ONE "
+        "corpus-scale explode builds the (word, count) vocabulary; "
+        "every round after that is vocab-sized (Zipf), with only the "
+        "argmax pair collected driver-side per round and "
+        "localCheckpoint bounding plan growth. The oracle unrolls the "
+        "same five rounds as chained CTEs.",
+)
+def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.tokenize import train_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    learned = train_bpe_merges(docs, "text", n_merges=5)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(learned)],
+        "merge_rank int, l string, r string, cnt bigint")
+
+
+@register(
+    "snapshot_changes_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 IN (1, 2, 3, 4, 5)),
+    upd AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+               AS cents
+      FROM orders WHERE o_orderkey % 7 IN (5, 6))
+    SELECT o_orderkey, o_custkey, cents, 'insert' AS change_type
+    FROM upd
+    UNION ALL
+    SELECT o_orderkey, o_custkey, cents, 'delete' AS change_type
+    FROM base WHERE o_orderkey % 7 = 5
+    """,
+    doc="row-level change feed between table snapshots "
+        "(sinks/table_commit.py:changes — the Delta-CDF / Iceberg-"
+        "changelog analog the reference's Iceberg committer lacks): "
+        "commit an orders slice, COW-MERGE a batch that UPDATES the "
+        "%7=5 keys (cents+100) and INSERTS the %7=6 keys, then diff "
+        "the two snapshots. The manifests are diffed driver-side, so "
+        "only files added/removed by the MERGE are scanned (plan-"
+        "gated in tests: untouched files never appear in inputFiles); "
+        "rewritten-but-unchanged rows cancel in the EXCEPT ALL — the "
+        "oracle is exactly 'updates as inserts + their preimages as "
+        "deletes'. An updated key surfaces as delete preimage + "
+        "insert postimage, Delta CDF semantics.",
+)
+def snapshot_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    base = orders.filter((F.col("o_orderkey") % 7).isin(1, 2, 3, 4, 5))
+    upd = (orders.filter((F.col("o_orderkey") % 7).isin(5, 6))
+           .withColumn("cents", F.col("cents") + F.lit(100)))
+    root = tempfile.mkdtemp(prefix="sg_cdc_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(base, stats_columns=["o_orderkey"])
+        v1 = t.current_version()
+        t.merge_upsert(spark, upd, keys=["o_orderkey"],
+                       stats_columns=["o_orderkey"])
+        ch = (t.changes(spark, v1, t.current_version())
+              .withColumnRenamed("_change_type", "change_type"))
+        rows = [(r.o_orderkey, r.o_custkey, r.cents, r.change_type)
+                for r in ch.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderkey bigint, o_custkey bigint, cents bigint, "
+        "change_type string")
+
+
+@register(
+    "ohlc_daily_events",
+    """
+    WITH b AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             ts, event_id
+      FROM events),
+    w AS (
+      SELECT day, event_type, cents,
+             first_value(cents) OVER
+               (PARTITION BY day, event_type ORDER BY ts, event_id)
+               AS open_c,
+             last_value(cents) OVER
+               (PARTITION BY day, event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS close_c
+      FROM b)
+    SELECT day, event_type,
+           min(open_c) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           min(close_c) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2
+    """,
+    doc="daily OHLC (open/high/low/close) candlesticks per event type — "
+        "the time-series rollup shape every metrics store ships. The "
+        "Spark plan is ONE partial-aggregable shuffle: min_by/max_by "
+        "over the (ts, event_id) struct pick the first/last value per "
+        "(day, type) inside the same aggregate as the min/max/count — "
+        "no Window operator anywhere (the oracle uses first_value/"
+        "last_value windows to prove the same result the slow way). "
+        "The var-width struct buffer makes Spark choose SortAggregate "
+        "(a local group-key sort) over HashAggregate, but the partial "
+        "agg still combines map-side, so at 100 TB the exchange moves "
+        "one row per (day, type) per task — nothing like the window "
+        "formulation's full-order sort of every event. The struct "
+        "tie-break key makes open/close deterministic even for equal "
+        "timestamps; per-row cents quantization keeps values exact "
+        "bigints.",
+)
+def ohlc_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+        F.struct("ts", "event_id").alias("k"))
+    return ev.groupBy("day", "event_type").agg(
+        F.min_by("cents", "k").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "k").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "mad_outlier_events",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+          FROM b GROUP BY 1),
+    r AS (SELECT b.event_type, cents, med,
+                 abs(cents - med) AS ad
+          FROM b JOIN m USING (event_type)),
+    d AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+          FROM r GROUP BY 1)
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ad > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           min(med) AS med, min(mad) AS mad
+    FROM r JOIN d USING (event_type) GROUP BY 1
+    """,
+    doc="robust per-group outlier detection by median absolute "
+        "deviation (operators/quality.py:mad_outliers — the Hampel "
+        "filter complement of quantile_clip's percentile bounds: one "
+        "wild value cannot drag a median/MAD the way it drags a "
+        "mean/stddev). Two grouped EXACT percentile aggregates "
+        "(median, then MAD over residuals), each broadcast back on "
+        "the group key — the corpus shuffles zero times beyond the "
+        "two group-sized aggs. Medians of integer cents interpolate "
+        "to exact .5-multiples, so the doubles are bit-identical to "
+        "DuckDB's quantile_cont and the strict > boundary cannot "
+        "flicker. exact=False swaps in the mergeable approx_percentile "
+        "sketch for the 100 TB single-pass path (the quantile_clip "
+        "contract).",
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.quality import mad_outliers
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    flagged = mad_outliers(ev, "cents", keys=["event_type"], k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_is_outlier"), 1).otherwise(0))
+        .cast("bigint").alias("n_outliers"),
+        F.min("_med").alias("med"),
+        F.min("_mad").alias("mad"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6020,6 +6270,29 @@ _GATE_DEMOTED = [
     # in-window via merge_upsert_orders and the streaming family keeps
     # streaming_dedup_ingest_docs (rollup_incremental r6+r7-proven)
     "rollup_incremental_events",
+    # admits bpe_train_merges_docs — tokenizer TRAINING joining the r8
+    # counting/application proof (token_count_bpe_docs stays in-window);
+    # dedup family keeps minhash_lsh, the ingest trio, dedup_lines,
+    # passage_removal and curation_pipeline (whose first stage IS the
+    # exact-dedup md5 fold) in-window (dedup_exact r1-r7-proven)
+    "dedup_exact_docs",
+    # admits snapshot_changes_orders — the table-format change feed,
+    # driven through the same commit+MERGE machinery merge_upsert_orders
+    # (in-window) exercises; the star-join broadcast-tree shape stays
+    # via q3's dim chain and skew_salted_join_events' fact-dim join
+    # (q5 r1-r7-proven)
+    "q5_region_revenue",
+    # admits ohlc_daily_events — the agg family keeps q1's wide
+    # aggregate, dq_expectations' summary pass, funnel/cohort and the
+    # new OHLC min_by/max_by shape; cube's grouping-id fold is
+    # r6+r7-proven (agg_cube_events)
+    "agg_cube_events",
+    # admits mad_outlier_events — similarity family keeps
+    # semantic_dedup_pipeline (which RUNS the same Lloyd iteration as
+    # its first stage), dedup_ingest_embedding, rrf_fusion,
+    # hard_negatives and embedding_prototypicality in-window
+    # (kmeans_corpus_clusters r6+r7-proven)
+    "kmeans_corpus_clusters",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

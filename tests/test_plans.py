@@ -550,3 +550,23 @@ def test_perplexity_mix_stays_jvm_side(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_ohlc_single_agg_no_window(spark):
+    # open/close come from min_by/max_by INSIDE the aggregate: one
+    # Exchange on the group key, partial (map-side) aggregation, and no
+    # Window operator. The struct tie-break key is var-width, so Spark
+    # picks SortAggregate over HashAggregate — a local group-key sort,
+    # still nothing like the window formulation's full-order sort.
+    plan = plan_of(spark, "ohlc_daily_events")
+    assert n_exchanges(plan) == 1
+    assert "Window" not in plan
+    assert "partial_min_by" in plan
+
+
+def test_mad_outlier_stats_broadcast(spark):
+    # both stats frames (median, MAD) join back via broadcast — the
+    # corpus is never shuffled, only the two group-sized aggregates are
+    plan = plan_of(spark, "mad_outlier_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -245,3 +245,39 @@ def test_quantile_bounds_validation():
         quality.quantile_bounds(None, [])
     with pytest.raises(ConfigError):
         quality.quantile_bounds(None, ["x"], lower=0.9, upper=0.1)
+
+
+class TestMadOutliers:
+    def test_planted_outlier_flagged(self, spark):
+        from dativo_ingest_spark.operators.quality import mad_outliers
+
+        rows = [("a", v) for v in [10, 11, 12, 13, 14]] + [("a", 1000)] \
+            + [("b", v) for v in [5, 5, 5, 6, 6]]
+        df = spark.createDataFrame(rows, "k string, x long")
+        out = mad_outliers(df, "x", keys=["k"], k=3.0)
+        flagged = {(r.k, r.x) for r in out.collect() if r._is_outlier}
+        # group b is the documented MAD=0 degeneracy: a majority sits ON
+        # the median, so any deviating value exceeds k*0 and flags
+        assert flagged == {("a", 1000), ("b", 6)}
+        stats = {(r.k): (r._med, r._mad) for r in out.collect()}
+        assert stats["a"] == (12.5, 1.5)   # median of 6 values interpolates
+        assert stats["b"] == (5.0, 0.0)
+
+    def test_keyless_global_median(self, spark):
+        from dativo_ingest_spark.operators.quality import mad_outliers
+
+        df = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 100]],
+                                   "x long")
+        out = mad_outliers(df, "x", k=3.0).collect()
+        assert sum(r._is_outlier for r in out) == 1
+        assert all(r._med == 3.0 for r in out)
+
+    def test_approx_path_same_shape(self, spark):
+        from dativo_ingest_spark.operators.quality import mad_outliers
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in range(100)] + [("a", 1e6)],
+            "k string, x double")
+        out = mad_outliers(df, "x", keys=["k"], k=3.0, exact=False)
+        flagged = [r.x for r in out.collect() if r._is_outlier]
+        assert flagged == [1e6]

@@ -391,3 +391,75 @@ def test_vacuum_reclaims_crash_orphan_stages(spark, tmp_path):
     assert res["data_files"] >= 1
     assert not os.path.exists(orphan)
     assert t.read(spark).count() == 1
+
+
+class TestChanges:
+    """Row-level change feed between snapshots (changes()): COW MERGE
+    yields delete preimage + insert postimage, rewritten-but-unchanged
+    rows cancel, and only files touched between the versions are read."""
+
+    def _kv(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, val string")
+
+    def test_append_is_insert_only(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(self._kv(spark, [(1, "a"), (2, "b")]))
+        v1 = t.current_version()
+        t.write_append(self._kv(spark, [(3, "c")]))
+        got = [(r.k, r.val, r._change_type)
+               for r in t.changes(spark, v1, t.current_version()).collect()]
+        assert got == [(3, "c", "insert")]
+
+    def test_merge_emits_pre_and_postimage_and_cancels_unchanged(
+            self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        # one file holding BOTH an updated and an untouched row: the COW
+        # rewrite copies the untouched row into a new file; it must not
+        # surface as a change
+        t.write_append(self._kv(spark, [(1, "old"), (2, "keep")])
+                       .coalesce(1), stats_columns=["k"])
+        v1 = t.current_version()
+        t.merge_upsert(spark, self._kv(spark, [(1, "new"), (9, "ins")]),
+                       keys=["k"], stats_columns=["k"])
+        got = sorted((r.k, r.val, r._change_type) for r in
+                     t.changes(spark, v1, t.current_version()).collect())
+        assert got == [(1, "new", "insert"), (1, "old", "delete"),
+                       (9, "ins", "insert")]
+
+    def test_reads_only_touched_files(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        # two disjoint-key files; the merge's stats pruning rewrites only
+        # the low-key file, so the diff must scan only that file pair
+        t.write_append(self._kv(spark, [(1, "a")]).coalesce(1),
+                       stats_columns=["k"])
+        t.write_append(self._kv(spark, [(100, "z")]).coalesce(1),
+                       stats_columns=["k"])
+        v1 = t.current_version()
+        t.merge_upsert(spark, self._kv(spark, [(1, "a2")]), keys=["k"],
+                       stats_columns=["k"])
+        ch = t.changes(spark, v1, t.current_version())
+        scanned = set(ch.inputFiles())
+        untouched = [f["path"] for f in t.snapshot(v1).files
+                     if "100" in json.dumps(f.get("stats", {}))]
+        assert untouched, "expected the high-key file to carry stats"
+        for p in untouched:
+            assert not any(p in s for s in scanned), (
+                "diff scanned a file untouched between the versions")
+        got = sorted((r.k, r.val, r._change_type) for r in ch.collect())
+        assert got == [(1, "a", "delete"), (1, "a2", "insert")]
+
+    def test_same_version_diff_is_empty(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(self._kv(spark, [(1, "a")]))
+        v = t.current_version()
+        assert t.changes(spark, v, v).count() == 0
+
+    def test_version_validation(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(self._kv(spark, [(1, "a")]))
+        t.write_append(self._kv(spark, [(2, "b")]))
+        v = t.current_version()
+        with pytest.raises(LookupError):
+            t.changes(spark, v, v + 17)
+        with pytest.raises(ValueError):
+            t.changes(spark, v, v - 1)

@@ -110,3 +110,37 @@ class TestSamplerKnob:
             tokenize.bpe_token_count_col(F.col("text"))).alias("s")
         ).collect()[0].s
         assert bpe > words
+
+
+class TestTrainBpeMerges:
+    def test_learns_known_sequence(self, spark):
+        # vocab: low ×2, lower ×1. Round 1: (l,o)=3 ties (o,w)=3 ->
+        # lexicographic smallest left wins. Round 3: count-1 ties
+        # resolve to (e,r) < (low,e).
+        df = spark.createDataFrame(
+            [(1, "low low lower")], "id long, text string")
+        got = tokenize.train_bpe_merges(df, "text", n_merges=4)
+        assert got == [("l", "o", 3), ("lo", "w", 3),
+                       ("e", "r", 1), ("low", "er", 1)]
+
+    def test_stops_when_no_pairs_remain(self, spark):
+        df = spark.createDataFrame([(1, "ab ab")], "id long, text string")
+        got = tokenize.train_bpe_merges(df, "text", n_merges=10)
+        assert got == [("a", "b", 2)]   # 'ab' fully merged after 1 round
+
+    def test_learned_table_feeds_application_kernel(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the the theme")], "id long, text string")
+        learned = tuple((l, r) for l, r, _ in
+                        tokenize.train_bpe_merges(df, "text", n_merges=3))
+        # 'the' must compress to one token under its own training corpus
+        assert tokenize._bpe_word_token_count("the", learned) == 1
+
+    def test_deterministic_across_runs(self, spark):
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        a = tokenize.train_bpe_merges(docs, "text", n_merges=3)
+        b = tokenize.train_bpe_merges(docs, "text", n_merges=3)
+        assert a == b and len(a) == 3

@@ -5951,6 +5951,84 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("_mad").alias("mad"))
 
 
+@register(
+    "streaming_sessionize_events",
+    """
+    WITH e AS (SELECT user_id, ts FROM events),
+    x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 7200 SECOND
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sid
+      FROM x)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 7200 SECOND AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+    doc="custom stateful streaming sessionization END-TO-END through "
+        "applyInPandasWithState (streaming/pipeline.py:"
+        "stateful_sessionize — the escape hatch for stateful operators "
+        "the built-ins can't express): run 1 drains events before Jan "
+        "15 (2h gap); run 2 RESTARTS from the checkpoint with the rest "
+        "plus one far-future sentinel per user, so sessions spanning "
+        "the restart merge through recovered state and the sentinel "
+        "closes every user's final session exactly once (the "
+        "sentinel's own open session never emits — NoTimeout). The "
+        "union of both runs' emissions is therefore independent of "
+        "micro-batch boundaries and equals the batch gaps-and-islands "
+        "oracle, session_end = last event + gap (session_window "
+        "semantics). State is O(open sessions); per-batch cost is the "
+        "batch itself — the 100 TB contract for custom state "
+        "machines.",
+)
+def streaming_sessionize_events(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        hive_epoch_writer, stateful_sessionize, stream_from_files)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    split = "2024-01-15 00:00:00"
+    sentinels = ev.groupBy("user_id").agg(
+        F.expr("max(ts) + INTERVAL 10 DAYS").alias("ts"))
+    root = tempfile.mkdtemp(prefix="sg_sess_")
+    try:
+        src, out, ckpt = root + "/src", root + "/out", root + "/ckpt"
+        ev.filter(F.col("ts") < split).coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        for phase in range(2):
+            stream = stream_from_files(spark, src, schema)
+            sess = stateful_sessionize(stream, gap_seconds=7200.0)
+            q = (sess.writeStream
+                 .foreachBatch(hive_epoch_writer(out, [],
+                                                 checkpoint_dir=ckpt))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            if phase == 0:
+                (ev.filter(F.col("ts") >= split).unionByName(sentinels)
+                 .coalesce(1).write.mode("append").parquet(src))
+        rows = [(r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.read.parquet(out).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "user_id bigint, session_start timestamp, "
+        "session_end timestamp, n_events bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6293,6 +6371,12 @@ _GATE_DEMOTED = [
     # hard_negatives and embedding_prototypicality in-window
     # (kmeans_corpus_clusters r6+r7-proven)
     "kmeans_corpus_clusters",
+    # admits streaming_sessionize_events — the applyInPandasWithState
+    # proof; the ingest-dedup family keeps its embedding and minhash
+    # legs PLUS streaming_dedup_ingest_docs, which drives the identical
+    # exact-fingerprint index path through foreachBatch
+    # (dedup_ingest_exact r7-proven)
+    "dedup_ingest_exact",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -633,3 +633,39 @@ class TestStreamWindowedRollup:
                for r in table.read(spark).collect()}
         assert got == {(day(1), "a"): (1, 100), (day(1), "b"): (1, 200),
                        (day(10), "a"): (1, 300), (day(11), "b"): (1, 400)}
+
+
+class TestStatefulSessionizeRestart:
+    def test_session_spanning_restart_merges_through_state(
+            self, spark, tmp_path):
+        """A user whose events straddle two availableNow runs (same
+        checkpoint) must get ONE session when the across-restart gap is
+        under the threshold — the state-recovery property the driver
+        gate relies on."""
+        import datetime as dt
+        mk = lambda rows: spark.createDataFrame(
+            rows, "user_id long, ts timestamp")
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        mk([(1, t(0)), (1, t(10))]).coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        for phase in range(2):
+            stream = pipeline.stream_from_files(spark, src, schema)
+            sess = pipeline.stateful_sessionize(stream, gap_seconds=1800)
+            q = (sess.writeStream
+                 .foreachBatch(pipeline.hive_epoch_writer(
+                     out, [], checkpoint_dir=ckpt))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            if phase == 0:
+                # +20 min (inside the 30-min gap) then a far sentinel
+                mk([(1, t(20)),
+                    (1, dt.datetime(2024, 2, 1))]).coalesce(1)\
+                    .write.mode("append").parquet(src)
+        got = [(r.user_id, r.session_start, r.session_end, r.n_events)
+               for r in spark.read.parquet(out).collect()]
+        assert got == [(1, t(0), dt.datetime(2024, 1, 1, 0, 50), 3)]

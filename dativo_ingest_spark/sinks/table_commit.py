@@ -410,14 +410,25 @@ class FsTable:
             stage = self.new_stage()
             out = updates
             if affected:
-                existing = spark.read.parquet(*[
+                # rewrite reads under the BASE schema (schema evolution:
+                # affected files may predate an added column); the union
+                # allows missing columns on either side, so an updates
+                # batch that adds or drops a column evolves the table in
+                # the same commit — old rows project NULL for new columns
+                reader = spark.read
+                if base.schema_json:
+                    from pyspark.sql.types import StructType
+
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(base.schema_json)))
+                existing = reader.parquet(*[
                     os.path.join(self.root, f["path"]) for f in affected
                 ])
                 kept = existing.join(
                     updates.select(*keys).dropDuplicates(keys),
                     on=keys, how="left_anti",
                 )
-                out = kept.unionByName(updates)
+                out = kept.unionByName(updates, allowMissingColumns=True)
             out.write.option("compression", "snappy").parquet(
                 os.path.join(self.root, stage))
             try:
@@ -426,7 +437,7 @@ class FsTable:
                     self.staged_files(stage, stats_columns=stats_cols),
                     expected_base=base_v,
                     branch=branch,
-                    schema_json=updates.schema.json(),
+                    schema_json=out.schema.json(),
                     properties=properties,
                 )
             except CommitConflict as exc:
@@ -682,7 +693,21 @@ class FsTable:
                 else StructType([])
             )
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*paths)
+        # Schema evolution: the manifest's schema (recorded at commit
+        # time) is the read schema, so files written before an added
+        # column project it as NULL and files carrying since-dropped
+        # columns simply don't surface them — Iceberg's
+        # schema-on-manifest behavior without rewriting a byte. Each
+        # SNAPSHOT keeps its own schema, so a time-travel read returns
+        # the table as it was shaped then. Tables whose snapshots
+        # predate schema tracking fall back to file inference.
+        reader = spark.read
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json)))
+        return reader.parquet(*paths)
 
     # -- metadata tables (Iceberg's `table.snapshots` / `table.files`) ------
 
@@ -766,18 +791,28 @@ class FsTable:
         removed = sorted(paths_a - paths_b)
         added = sorted(paths_b - paths_a)
 
-        def _scan(paths: list[str], like: Snapshot) -> DataFrame:
-            if paths:
-                return spark.read.parquet(
-                    *[os.path.join(self.root, p) for p in paths])
+        def _scan(paths: list[str]) -> DataFrame:
+            # both sides scan under the TO snapshot's schema (falling
+            # back to the FROM side's), so a diff across a schema
+            # evolution stays column-aligned for the EXCEPT ALL:
+            # preimages project added columns as NULL, exactly how a
+            # head read shows those rows
             from pyspark.sql.types import StructType
 
-            schema = (StructType.fromJson(json.loads(like.schema_json))
-                      if like.schema_json else StructType([]))
+            schema_json = b.schema_json or a.schema_json
+            if paths:
+                reader = spark.read
+                if schema_json:
+                    reader = reader.schema(
+                        StructType.fromJson(json.loads(schema_json)))
+                return reader.parquet(
+                    *[os.path.join(self.root, p) for p in paths])
+            schema = (StructType.fromJson(json.loads(schema_json))
+                      if schema_json else StructType([]))
             return spark.createDataFrame([], schema)
 
-        new_rows = _scan(added, b)
-        old_rows = _scan(removed, a)
+        new_rows = _scan(added)
+        old_rows = _scan(removed)
         inserts = new_rows.exceptAll(old_rows)
         deletes = old_rows.exceptAll(new_rows)
         return (inserts.withColumn("_change_type", F.lit("insert"))

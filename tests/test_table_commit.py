@@ -463,3 +463,50 @@ class TestChanges:
             t.changes(spark, v, v + 17)
         with pytest.raises(ValueError):
             t.changes(spark, v, v - 1)
+
+
+class TestSchemaEvolution:
+    """Per-snapshot schema (Iceberg's schema-on-manifest): reads follow
+    the snapshot's recorded schema, so adding a column never rewrites old
+    files and time travel returns the shape the table had then."""
+
+    def test_appended_column_projects_null_for_old_files(
+            self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame([(1, "a")],
+                                             "k long, val string"))
+        v1 = t.current_version()
+        t.write_append(spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, val string, score double"))
+        head = {r.k: (r.val, r.score) for r in t.read(spark).collect()}
+        assert head == {1: ("a", None), 2: ("b", 9.5)}
+        # time travel keeps the OLD shape
+        old = t.read(spark, version=v1)
+        assert old.columns == ["k", "val"]
+
+    def test_merge_evolves_schema_in_one_commit(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, val string").coalesce(1),
+            stats_columns=["k"])
+        t.merge_upsert(spark, spark.createDataFrame(
+            [(2, "b2", 7.0), (3, "c", 8.0)],
+            "k long, val string, score double"),
+            keys=["k"], stats_columns=["k"])
+        got = {r.k: (r.val, r.score) for r in t.read(spark).collect()}
+        assert got == {1: ("a", None), 2: ("b2", 7.0), 3: ("c", 8.0)}
+
+    def test_changes_across_evolution_aligns_on_target_schema(
+            self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(1, "a")], "k long, val string").coalesce(1),
+            stats_columns=["k"])
+        v1 = t.current_version()
+        t.merge_upsert(spark, spark.createDataFrame(
+            [(1, "a2", 5.0)], "k long, val string, score double"),
+            keys=["k"], stats_columns=["k"])
+        got = sorted((r.k, r.val, r.score, r._change_type) for r in
+                     t.changes(spark, v1, t.current_version()).collect())
+        # the preimage surfaces under the TO schema: score is NULL
+        assert got == [(1, "a", None, "delete"), (1, "a2", 5.0, "insert")]

@@ -157,6 +157,8 @@ HEADLINE = [
     "bpe_train_merges_docs",
     "ohlc_daily_events",
     "mad_outlier_events",
+    # scan-stage JL projection (inline codegen path at 64x8)
+    "random_projection_embeddings",
 ]
 
 

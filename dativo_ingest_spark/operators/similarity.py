@@ -882,3 +882,94 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def jl_projection_weights(in_dim: int, out_dim: int,
+                          seed: str = "rp") -> list[list[int]]:
+    """Deterministic Johnson-Lindenstrauss projection matrix: integer
+    weights in [-1000, 1000], each derived from
+    ``md5(f"{seed}_{i}_{j}")`` — the engine-portable recipe (md5 is md5
+    everywhere), so an oracle can regenerate the identical matrix in
+    SQL instead of trusting shipped literals. Scaled-uniform entries
+    satisfy the JL lemma the same as Gaussian ones (Achlioptas 2003
+    shows even sparser sign matrices do)."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"{seed}_{i}_{j}".encode()).hexdigest()[:8], 16)
+         % 2001 - 1000
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    seed: str = "rp",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Random-projection (JL) dimensionality reduction for embedding
+    columns — the cheap pre-step that makes ANN/clustering/near-dup
+    over very wide embeddings affordable: project d→k with a fixed
+    seeded matrix, preserving pairwise distances within the JL bound,
+    THEN run the expensive pairwise machinery in k dims.
+
+    Exact-integer arithmetic end to end: components quantize to
+    ``quant`` micro-units BEFORE the dot products, the weights are
+    integers, so every projected coordinate is an exact BIGINT — no
+    float-association drift under any partitioning (the centroid-mean
+    discipline of :func:`prototypicality`). Output columns ``p0..p{k-1}``.
+
+    Plan shape: when ``in_dim * out_dim`` fits the inline-literal
+    budget the whole projection is one scan-stage codegen projection
+    (zip_with × aggregate per output dim — zero shuffles, zero Python);
+    above it, one Arrow-batched matmul kernel with the matrix in the
+    closure (the k-means argmin pattern, O(1) plan size). At 100 TB
+    both are embarrassingly parallel map work.
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.select(id_col, *[
+            F.lit(None).cast("bigint").alias(f"p{j}")
+            for j in range(out_dim)])
+    in_dim = first.d
+    weights = jl_projection_weights(in_dim, out_dim, seed)
+    # widen float32 -> double BEFORE the multiply (the as_double_array
+    # discipline): quantizing in single precision rounds differently
+    # from any double-side oracle
+    df = df.withColumn("_vd", vectors.as_double_array(F.col(vec_col)))
+    vq = f"transform(_vd, x -> CAST(floor(x * {int(quant)} + 0.5) AS BIGINT))"
+    from dativo_ingest_spark.operators.clustering import (
+        INLINE_LITERAL_BUDGET)
+
+    if in_dim * out_dim <= INLINE_LITERAL_BUDGET:
+        cols = [
+            F.expr(
+                f"aggregate(zip_with({vq}, "
+                f"array({', '.join(f'{w}L' for w in weights[j])}), "
+                "(x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias(f"p{j}")
+            for j in range(out_dim)
+        ]
+        return df.select(id_col, *cols)
+
+    import numpy as np
+
+    mat = np.array(weights, dtype="int64").T          # in_dim x out_dim
+    q = int(quant)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(f"array<bigint>")
+    def _project(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy())
+        vq_arr = np.floor(arr.astype("float64") * q + 0.5).astype("int64")
+        out = vq_arr @ mat
+        return pd.Series(list(out))
+
+    proj = df.select(id_col, _project(F.col(vec_col)).alias("_p"))
+    return proj.select(id_col, *[
+        F.col("_p").getItem(j).alias(f"p{j}") for j in range(out_dim)])

@@ -6029,6 +6029,55 @@ def streaming_sessionize_events(spark: SparkSession,
         "session_end timestamp, n_events bigint")
 
 
+@register(
+    "random_projection_embeddings",
+    """
+    WITH u AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS vq
+      FROM embeddings, unnest(range(0, len(embedding))) AS t(i)),
+    w AS (
+      SELECT i, j,
+             CAST(('0x' || substr(md5('rp_' || i || '_' || j), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS wt
+      FROM unnest(range(0, 64)) AS a(i), unnest(range(0, 8)) AS b(j)),
+    p AS (
+      SELECT vec_id, j, sum(vq * wt) AS pv
+      FROM u JOIN w USING (i) GROUP BY 1, 2)
+    SELECT vec_id,
+           max(CASE WHEN j = 0 THEN pv END) AS p0,
+           max(CASE WHEN j = 1 THEN pv END) AS p1,
+           max(CASE WHEN j = 2 THEN pv END) AS p2,
+           max(CASE WHEN j = 3 THEN pv END) AS p3,
+           max(CASE WHEN j = 4 THEN pv END) AS p4,
+           max(CASE WHEN j = 5 THEN pv END) AS p5,
+           max(CASE WHEN j = 6 THEN pv END) AS p6,
+           max(CASE WHEN j = 7 THEN pv END) AS p7
+    FROM p GROUP BY 1
+    """,
+    doc="random-projection (Johnson-Lindenstrauss) embedding "
+        "compression 64d -> 8d (operators/similarity.py:"
+        "random_projection): the cheap pre-step that makes ANN/"
+        "clustering/near-dup affordable over very wide embeddings. "
+        "The projection matrix derives per-entry from md5(seed_i_j) — "
+        "md5 is md5 everywhere, so the oracle REGENERATES the matrix "
+        "in SQL instead of trusting shipped literals — and components "
+        "quantize to integer micro-units BEFORE the dot products, so "
+        "every projected coordinate is an exact bigint under any "
+        "partitioning. Inline path: one scan-stage codegen projection "
+        "(zip_with x aggregate per output dim, zero shuffles, zero "
+        "Python — plan-gated); above the literal budget an Arrow "
+        "matmul kernel with O(1) plan size (path-equality tested).",
+)
+def random_projection_embeddings(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.similarity import random_projection
+
+    emb = load(spark, sf_dir, "embeddings")
+    return random_projection(emb, "vec_id", "embedding", 8)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6377,6 +6426,12 @@ _GATE_DEMOTED = [
     # exact-fingerprint index path through foreachBatch
     # (dedup_ingest_exact r7-proven)
     "dedup_ingest_exact",
+    # admits random_projection_embeddings — the similarity family keeps
+    # semantic_dedup_pipeline (whose in-cell pass runs the same
+    # cell-join shape), dedup_ingest_minhash + streaming dedup for the
+    # ingest-index machinery, rrf/hard-negatives/prototypicality
+    # (dedup_ingest_embedding r7-proven)
+    "dedup_ingest_embedding",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -570,3 +570,11 @@ def test_mad_outlier_stats_broadcast(spark):
     plan = plan_of(spark, "mad_outlier_events")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_scan_stage(spark):
+    # 64x8 fits the inline budget: pure codegen zip_with/aggregate —
+    # zero Exchange, no Python anywhere
+    plan = plan_of(spark, "random_projection_embeddings")
+    assert n_exchanges(plan) == 0
+    assert "Python" not in plan and "ArrowEvalPython" not in plan

@@ -495,3 +495,53 @@ class TestHardNegatives:
             emb, q, "vec_id", "embedding", "label", k=5).collect()
         assert [(r.query_id, r.neighbor_id, r.cosine) for r in exact] == \
             [(r.query_id, r.neighbor_id, r.cosine) for r in hard]
+
+
+class TestRandomProjection:
+    def test_weights_are_md5_pinned(self):
+        from dativo_ingest_spark.operators.similarity import (
+            jl_projection_weights)
+
+        w = jl_projection_weights(2, 2, seed="rp")
+        assert w[0][0] == 45            # md5('rp_0_0') % 2001 - 1000
+        assert all(-1000 <= x <= 1000 for row in w for x in row)
+        assert jl_projection_weights(2, 2) == w   # deterministic
+
+    def test_inline_and_arrow_paths_agree(self, spark, monkeypatch):
+        from dativo_ingest_spark.operators import clustering
+        from dativo_ingest_spark.operators.similarity import (
+            random_projection)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings").limit(50)
+        a = {r.vec_id: (r.p0, r.p1, r.p2)
+             for r in random_projection(emb, "vec_id", "embedding",
+                                        3).collect()}
+        monkeypatch.setattr(clustering, "INLINE_LITERAL_BUDGET", 1)
+        b = {r.vec_id: (r.p0, r.p1, r.p2)
+             for r in random_projection(emb, "vec_id", "embedding",
+                                        3).collect()}
+        assert a == b and len(a) == 50
+
+    def test_partitioning_invariant_exact_ints(self, spark):
+        from dativo_ingest_spark.operators.similarity import (
+            random_projection)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings").limit(40)
+        a = {r.vec_id: r.p0 for r in random_projection(
+            emb.coalesce(1), "vec_id", "embedding", 2).collect()}
+        b = {r.vec_id: r.p0 for r in random_projection(
+            emb.repartition(7), "vec_id", "embedding", 2).collect()}
+        assert a == b
+
+    def test_empty_frame(self, spark):
+        from dativo_ingest_spark.operators.similarity import (
+            random_projection)
+
+        df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        out = random_projection(df, "vec_id", "embedding", 4)
+        assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
+        assert out.count() == 0

@@ -148,3 +148,54 @@ def maintain_rollup(
     if base_state is None:
         return delta
     return merge_states([base_state, delta], keys)
+
+
+def maintain_rollup_from_changes(
+    base_state: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    measures: Mapping[str, tuple[str, str]],
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """CDC-driven maintenance: fold a row-level change feed
+    (``sinks/table_commit.py:changes`` — insert postimages + delete
+    preimages) into the rollup state. This is what the cursor-based
+    :func:`maintain_rollup` cannot do: an UPDATE to an already-folded
+    row arrives as delete+insert and the state adjusts exactly, no
+    history rescan.
+
+    Only **invertible** distributive measures participate: sum/count
+    (and avg, which derives from them) — a delete subtracts its
+    contribution. min/max are NOT invertible under deletes (removing
+    the current min needs a rescan of the group) and raise here; keep
+    those on the append-only :func:`maintain_rollup` path or a sketch.
+
+    Groups whose row count reaches zero are dropped from the returned
+    state when a count state column exists (every ``avg``/``count``
+    measure carries one); with pure-sum measure sets a zero sum is
+    indistinguishable from live rows summing to zero, so rows are kept
+    and the caller owns tombstone compaction.
+
+    Cost per feed: one signed partial-state shuffle over the changes
+    (map-side combined) + a merge shuffle proportional to |touched
+    groups| — churn-sized, never history-sized.
+    """
+    bad = [n for n, (op, _c) in measures.items() if op in ("min", "max")]
+    if bad:
+        raise ValueError(
+            f"min/max measures are not invertible under deletes: {bad}; "
+            "use maintain_rollup (append-only) or a sketch column")
+    keys = list(keys)
+    ins = partial_state(
+        changes.filter(F.col(change_type_col) == "insert"), keys, measures)
+    state_cols = [c for c in ins.columns if c not in keys]
+    dels = partial_state(
+        changes.filter(F.col(change_type_col) == "delete"), keys, measures
+    ).select(*keys, *[(-F.col(c)).alias(c) for c in state_cols])
+    delta = merge_states([ins, dels], keys)
+    new_state = (delta if base_state is None
+                 else merge_states([base_state, delta], keys))
+    cnt_cols = [c for c in state_cols if c.endswith("__cnt")]
+    if cnt_cols:
+        new_state = new_state.filter(F.col(cnt_cols[0]) != 0)
+    return new_state

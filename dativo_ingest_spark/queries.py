@@ -6078,6 +6078,72 @@ def random_projection_embeddings(spark: SparkSession,
     return random_projection(emb, "vec_id", "embedding", 8)
 
 
+@register(
+    "cdc_rollup_orders",
+    """
+    WITH merged AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 IN (1, 2, 3, 4)
+      UNION ALL
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100
+      FROM orders WHERE o_orderkey % 7 IN (5, 6))
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY 1
+    """,
+    doc="CDC-driven incremental view maintenance (operators/rollup.py:"
+        "maintain_rollup_from_changes over sinks/table_commit.py:"
+        "changes): a rollup state materialized from the base orders "
+        "slice is maintained to the post-MERGE truth purely from the "
+        "row-level change feed — UPDATE rows arrive as delete "
+        "preimage + insert postimage and the signed partial state "
+        "adjusts exactly, which the cursor-based incremental rollup "
+        "fundamentally cannot do (it only folds appends). No history "
+        "rescan anywhere: the feed scans only files the MERGE touched "
+        "and the state merge is churn-sized. The oracle recomputes "
+        "the merged table's aggregate from scratch — the maintained "
+        "state must be bit-identical to a full recompute.",
+)
+def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import rollup
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    measures = {"n_orders": ("count", "cents"),
+                "sum_cents": ("sum", "cents")}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    base = orders.filter((F.col("o_orderkey") % 7).isin(1, 2, 3, 4, 5))
+    upd = (orders.filter((F.col("o_orderkey") % 7).isin(5, 6))
+           .withColumn("cents", F.col("cents") + F.lit(100)))
+    root = tempfile.mkdtemp(prefix="sg_cdcr_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(base, stats_columns=["o_orderkey"])
+        v1 = t.current_version()
+        state = rollup.partial_state(base, ["o_orderpriority"], measures)
+        t.merge_upsert(spark, upd, keys=["o_orderkey"],
+                       stats_columns=["o_orderkey"])
+        ch = t.changes(spark, v1, t.current_version())
+        state = rollup.maintain_rollup_from_changes(
+            state, ch, ["o_orderpriority"], measures)
+        out = rollup.finalize(state, ["o_orderpriority"], measures)
+        rows = [(r.o_orderpriority, r.n_orders, r.sum_cents)
+                for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderpriority string, n_orders bigint, sum_cents bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6432,6 +6498,13 @@ _GATE_DEMOTED = [
     # ingest-index machinery, rrf/hard-negatives/prototypicality
     # (dedup_ingest_embedding r7-proven)
     "dedup_ingest_embedding",
+    # admits cdc_rollup_orders — the percentile-bounds family keeps
+    # mad_outlier_events in-window (same exact-percentile fit +
+    # broadcast-back shape, plus the approx-sketch knob quantile_clip
+    # proved); rollup maintenance now proven through BOTH the cursor
+    # path (rollup_incremental, demoted r8-proven) and the CDC path
+    # (quantile_clip_events r7-proven)
+    "quantile_clip_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

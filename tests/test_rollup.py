@@ -395,3 +395,68 @@ class TestRollupTargetMode:
         head2 = table.snapshot(table.current_version("acme"))
         assert len(_json.loads(
             head2.properties["rollup.cursor_rows.cursor"])) == 1
+
+
+class TestMaintainFromChanges:
+    MEASURES = {"n": ("count", "v"), "total": ("sum", "v")}
+
+    def _changes(self, spark, rows):
+        from dativo_ingest_spark.operators import rollup  # noqa: F401
+        return spark.createDataFrame(
+            rows, "k string, v long, _change_type string")
+
+    def test_update_adjusts_exactly(self, spark):
+        from dativo_ingest_spark.operators import rollup
+
+        base = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("b", 5)], "k string, v long")
+        state = rollup.partial_state(base, ["k"], self.MEASURES)
+        # UPDATE a:20 -> a:25 arrives as delete+insert
+        ch = self._changes(spark, [("a", 20, "delete"), ("a", 25, "insert")])
+        new = rollup.maintain_rollup_from_changes(
+            state, ch, ["k"], self.MEASURES)
+        got = {r.k: (r.n, r.total) for r in
+               rollup.finalize(new, ["k"], self.MEASURES).collect()}
+        assert got == {"a": (2, 35), "b": (1, 5)}
+
+    def test_group_vanishes_at_zero_count(self, spark):
+        from dativo_ingest_spark.operators import rollup
+
+        base = spark.createDataFrame([("a", 10)], "k string, v long")
+        state = rollup.partial_state(base, ["k"], self.MEASURES)
+        ch = self._changes(spark, [("a", 10, "delete"), ("c", 7, "insert")])
+        new = rollup.maintain_rollup_from_changes(
+            state, ch, ["k"], self.MEASURES)
+        got = {r.k: (r.n, r.total) for r in
+               rollup.finalize(new, ["k"], self.MEASURES).collect()}
+        assert got == {"c": (1, 7)}
+
+    def test_matches_recompute_over_many_feeds(self, spark):
+        from dativo_ingest_spark.operators import rollup
+
+        base = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("b", 4)], "k string, v long")
+        state = rollup.partial_state(base, ["k"], self.MEASURES)
+        feeds = [
+            [("a", 1, "delete"), ("a", 9, "insert")],
+            [("b", 3, "delete"), ("b", 4, "delete"), ("d", 2, "insert")],
+            [("d", 8, "insert")],
+        ]
+        live = [("a", 2), ("a", 9), ("d", 2), ("d", 8)]
+        for f in feeds:
+            state = rollup.maintain_rollup_from_changes(
+                state, self._changes(spark, f), ["k"], self.MEASURES)
+        got = {r.k: (r.n, r.total) for r in
+               rollup.finalize(state, ["k"], self.MEASURES).collect()}
+        exp_df = rollup.finalize(rollup.partial_state(
+            spark.createDataFrame(live, "k string, v long"),
+            ["k"], self.MEASURES), ["k"], self.MEASURES)
+        assert got == {r.k: (r.n, r.total) for r in exp_df.collect()}
+
+    def test_min_max_rejected(self, spark):
+        from dativo_ingest_spark.operators import rollup
+
+        with pytest.raises(ValueError, match="not invertible"):
+            rollup.maintain_rollup_from_changes(
+                None, self._changes(spark, []), ["k"],
+                {"lo": ("min", "v")})

@@ -159,6 +159,9 @@ HEADLINE = [
     "mad_outlier_events",
     # scan-stage JL projection (inline codegen path at 64x8)
     "random_projection_embeddings",
+    # SpaceSaving candidates + exact recount: the no-vocabulary-shuffle
+    # heavy-hitter path
+    "frequent_words_docs",
 ]
 
 

@@ -93,3 +93,95 @@ def approx_quantile_rank_check(
             ).alias("rank_ok"),
         )
     )
+
+
+def spacesaving_candidates(
+    items: DataFrame,
+    item_col: str,
+    capacity: int = 1000,
+) -> DataFrame:
+    """Per-partition SpaceSaving (Metwally et al. 2005) heavy-hitter
+    candidate generation: each partition keeps at most ``capacity``
+    counters, evicting the minimum; the union of all partitions'
+    surviving items is returned (≤ capacity × partitions rows).
+
+    The guarantee that makes this composable: a partition's counter
+    error is at most ``N_p / capacity``, so an item whose GLOBAL count
+    exceeds ``N / capacity`` must survive in at least one partition —
+    the candidate set is a superset of every item at or above that
+    frequency. Items below it may or may not appear; the exact-recount
+    pass in :func:`frequent_items` makes the final answer exact either
+    way.
+
+    Scale shape: one Arrow-batched scan (state = ``capacity`` dict
+    entries per partition, O(1) memory), no shuffle at all — the
+    vocabulary-sized exchange an exact top-k would pay never happens
+    here.
+    """
+    import pandas as pd
+
+    def sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            # value_counts folds the row loop into a unique-items loop
+            # (Zipf: far smaller); bulk-increment/evict is equivalent to
+            # a reordered per-item stream, and SpaceSaving's bounds hold
+            # for ANY stream order
+            for it, c in pdf[item_col].value_counts().items():
+                c = int(c)
+                if it in counters:
+                    counters[it] += c
+                elif len(counters) < capacity:
+                    counters[it] = c
+                else:
+                    m_key = min(counters, key=counters.get)
+                    m = counters.pop(m_key)
+                    counters[it] = m + c
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return (items.select(item_col)
+            .mapInPandas(sketch, schema=f"{item_col} string")
+            .dropDuplicates([item_col]))
+
+
+def frequent_items(
+    items: DataFrame,
+    item_col: str,
+    threshold_fraction: float = 0.001,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT frequent-items above a frequency threshold, at sketch cost:
+    SpaceSaving candidates (superset-guaranteed, zero shuffle) → exact
+    recount of the candidates only (broadcast semi-join, candidate-sized
+    aggregate) → filter ``count >= ceil(N * threshold_fraction)``.
+
+    Correct whenever ``capacity >= 1 / threshold_fraction`` (then the
+    candidate guarantee covers every item at the threshold) — enforced
+    here. The output is therefore EXACT and deterministic: identical to
+    the naive full GROUP BY, but the exchange moves candidate rows
+    (≤ capacity × partitions), never the vocabulary. The classic
+    two-pass heavy-hitter recipe (Cormode & Hadjieleftheriou 2008
+    survey) expressed Spark-first.
+
+    Returns (item, n) for items with exact count ≥ the threshold.
+    """
+    cap = capacity or max(int(2.0 / threshold_fraction), 100)
+    if cap * threshold_fraction < 1.0:
+        raise ValueError(
+            f"capacity {cap} cannot guarantee completeness at "
+            f"threshold_fraction {threshold_fraction}: need capacity >= "
+            f"{1.0 / threshold_fraction:.0f}")
+    items = items.select(F.col(item_col).alias("item")).persist()
+    try:
+        n_total = items.count()
+        cands = spacesaving_candidates(items, "item", capacity=cap)
+        thresh = int(n_total * threshold_fraction)
+        if n_total * threshold_fraction > thresh:
+            thresh += 1                      # ceil
+        exact = (items.join(F.broadcast(cands), "item", "left_semi")
+                 .groupBy("item")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= F.lit(max(thresh, 1))))
+        return exact.localCheckpoint(eager=True)
+    finally:
+        items.unpersist()

@@ -6144,6 +6144,46 @@ def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
 
+@register(
+    "frequent_words_docs",
+    r"""
+    WITH tok AS (
+      SELECT CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM (SELECT trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')) AS t
+            FROM documents)),
+    w AS (SELECT unnest(words) AS word FROM tok),
+    t AS (SELECT CAST(ceil(count(*) * 0.002) AS BIGINT) AS th FROM w)
+    SELECT w.word, CAST(count(*) AS BIGINT) AS n
+    FROM w, t GROUP BY w.word, t.th HAVING count(*) >= t.th
+    """,
+    doc="EXACT frequent words at sketch cost (operators/sketches.py:"
+        "frequent_items — SpaceSaving candidates then exact recount, "
+        "the Cormode-Hadjieleftheriou two-pass recipe Spark-first): "
+        "per-partition SpaceSaving keeps `capacity` counters in an "
+        "Arrow kernel with ZERO shuffle — any item whose global count "
+        "exceeds N/capacity provably survives some partition, so the "
+        "candidate union is complete at the threshold; the exact "
+        "recount then shuffles only candidate rows, never the "
+        "vocabulary (the exchange an exact GROUP BY pays). Because "
+        "capacity (1000) covers the 0.002 threshold, the output is "
+        "EXACT — the oracle is the naive full GROUP BY + HAVING. "
+        "Completeness is adversarially unit-tested (planted 30% "
+        "hitter under capacity 10 among 1000 distractors).",
+)
+def frequent_words_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.functions import text
+    from dativo_ingest_spark.operators import sketches
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(
+        text.words(F.coalesce(F.col("text"), F.lit("")))).alias("w"))
+    out = sketches.frequent_items(words, "w", threshold_fraction=0.002,
+                                  capacity=1000)
+    return out.select(F.col("item").alias("word"), "n")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6505,6 +6545,12 @@ _GATE_DEMOTED = [
     # path (rollup_incremental, demoted r8-proven) and the CDC path
     # (quantile_clip_events r7-proven)
     "quantile_clip_events",
+    # admits frequent_words_docs — the corpus-statistics family keeps
+    # dsir_weights_docs (the same two-model word-count compare, hashed)
+    # and bigram_logprob_quality's vocab-sized Zipf join in-window;
+    # the drift query's two word-count aggs are re-exercised by the
+    # frequent-items recount (unigram_drift_docs r7-proven)
+    "unigram_drift_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -565,3 +565,53 @@ class TestBigramLogprob:
         ids = {r.id for r in
                textops.bigram_logprob(df, "doc_id", "text").collect()}
         assert ids == {2}
+
+
+class TestFrequentItems:
+    """SpaceSaving candidates + exact recount: output must be EXACT
+    (identical to the naive full GROUP BY) whenever capacity covers the
+    threshold — the completeness guarantee, not an approximation."""
+
+    def test_equals_naive_groupby(self, spark):
+        import math
+
+        from dativo_ingest_spark.functions import text
+        from dativo_ingest_spark.operators import sketches
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+        from pyspark.sql import functions as F
+
+        docs = load(spark, SF_DIR, "documents")
+        words = docs.select(F.explode(
+            text.words(F.coalesce(F.col("text"), F.lit("")))).alias("w"))
+        got = {(r.item, r.n) for r in sketches.frequent_items(
+            words, "w", threshold_fraction=0.002,
+            capacity=1000).collect()}
+        n = words.count()
+        thresh = math.ceil(n * 0.002)
+        exp = {(r.w, r.n) for r in
+               words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") >= thresh).collect()}
+        assert got == exp and len(got) > 0
+
+    def test_planted_heavy_hitter_survives_tiny_capacity(self, spark):
+        from dativo_ingest_spark.operators import sketches
+        from pyspark.sql import functions as F
+
+        # 1000 distinct singletons + one item at 30%: capacity 10 <<
+        # distinct items, yet the hitter MUST surface
+        rows = [(f"u{i}",) for i in range(1000)] + [("HOT",)] * 430
+        df = spark.createDataFrame(rows, "w string").repartition(8)
+        out = sketches.frequent_items(df, "w",
+                                      threshold_fraction=0.2, capacity=10)
+        got = [(r.item, r.n) for r in out.collect()]
+        assert got == [("HOT", 430)]
+
+    def test_capacity_below_threshold_rejected(self, spark):
+        from dativo_ingest_spark.operators import sketches
+
+        df = spark.createDataFrame([("a",)], "w string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="completeness"):
+            sketches.frequent_items(df, "w", threshold_fraction=0.001,
+                                    capacity=100)

@@ -545,3 +545,35 @@ class TestRandomProjection:
         out = random_projection(df, "vec_id", "embedding", 4)
         assert out.columns == ["vec_id", "p0", "p1", "p2", "p3"]
         assert out.count() == 0
+
+
+class TestProjectionRecall:
+    def test_projected_space_preserves_neighbors(self, spark):
+        """JL composition proof: top-10 in the 32-dim projected space
+        recovers the true 64-dim top-10 at far above the ~2% chance
+        rate. The synthetic embeddings are near-random (weak neighbor
+        structure), so absolute recall is modest by construction; the
+        floor pins the composition staying sane, deterministically on
+        the fixed sf dataset (no randomness anywhere)."""
+        from dativo_ingest_spark.operators.similarity import (
+            brute_force_topk, random_projection)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+        from pyspark.sql import functions as F
+
+        emb = load(spark, SF_DIR, "embeddings")
+        queries = emb.orderBy("vec_id").limit(5)
+        truth = brute_force_topk(emb, queries, "vec_id", "embedding",
+                                 k=10)
+        proj = random_projection(emb, "vec_id", "embedding", 32)
+        pv = proj.select(
+            "vec_id",
+            F.array(*[F.col(f"p{j}").cast("double")
+                      for j in range(32)]).alias("embedding"))
+        pq = pv.join(queries.select("vec_id"), "vec_id", "left_semi")
+        approx = brute_force_topk(pv, pq, "vec_id", "embedding", k=10)
+        t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(t & a) / len(t)
+        # measured 0.32 on this fixed dataset vs ~0.02 by chance
+        assert recall >= 0.15, recall

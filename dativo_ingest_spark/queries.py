@@ -6184,6 +6184,77 @@ def frequent_words_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("item").alias("word"), "n")
 
 
+@register(
+    "wap_publish_orders",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0),
+    good AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT 'after_bad' AS phase,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base
+    UNION ALL
+    SELECT 'after_good',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT)
+    FROM (SELECT cents FROM base UNION ALL SELECT cents FROM good)
+    """,
+    doc="Write-Audit-Publish through the snapshot table format "
+        "(sinks/table_commit.py:write_audit_publish — the Iceberg/"
+        "Netflix WAP pattern): a batch violating its range expectation "
+        "(negated cents) stages on the audit branch and NEVER reaches "
+        "main ('after_bad' = the base slice untouched), then a clean "
+        "batch passes the same audit and publishes atomically by "
+        "manifest reference ('after_good' = base + good). Runs the "
+        "SAME single-pass expectations engine the batch runner and "
+        "streaming gate use; publish is a serializable replace_files "
+        "against the pre-audit head, so a concurrent commit conflicts "
+        "instead of being clobbered (unit-tested). The quarantine is "
+        "a branch — zero data copies anywhere.",
+)
+def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    base = orders.filter(F.col("o_orderkey") % 3 == 0).select("cents")
+    good = orders.filter(F.col("o_orderkey") % 3 == 1).select("cents")
+    bad = (orders.filter(F.col("o_orderkey") % 3 == 2)
+           .select((-F.col("cents")).alias("cents")))
+    exps = [{"name": "cents_nonneg", "type": "range",
+             "column": "cents", "min": 0}]
+    root = tempfile.mkdtemp(prefix="sg_wap_")
+    rows = []
+    try:
+        t = FsTable.create(root)
+        t.write_append(base)
+        ok_bad, _, _b = t.write_audit_publish(spark, bad, exps)
+        assert not ok_bad
+        snap = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        rows.append(("after_bad", snap.n, snap.s))
+        ok_good, _, _g = t.write_audit_publish(spark, good, exps)
+        assert ok_good
+        snap = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).first()
+        rows.append(("after_good", snap.n, snap.s))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, n_rows bigint, sum_cents bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6551,6 +6622,11 @@ _GATE_DEMOTED = [
     # the drift query's two word-count aggs are re-exercised by the
     # frequent-items recount (unigram_drift_docs r7-proven)
     "unigram_drift_docs",
+    # admits wap_publish_orders, which RUNS the same single-pass
+    # expectations engine against real data inside the WAP audit —
+    # the DQ family stays proven through it plus the streaming
+    # expectations gate tests (dq_expectations_events r7-proven)
+    "dq_expectations_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

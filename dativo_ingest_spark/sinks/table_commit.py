@@ -746,6 +746,43 @@ class FsTable:
         return spark.createDataFrame(
             rows, "path string, size_bytes long, stats_json string")
 
+    def publish_branch(
+        self,
+        from_branch: str,
+        to_branch: str = "main",
+        expected_base: int | None = None,
+    ) -> Snapshot:
+        """Atomically make ``to_branch`` equal to ``from_branch``'s head —
+        the PUBLISH step of write-audit-publish. Commits a new snapshot
+        on the target referencing the source head's exact file list (no
+        data movement; files are shared by reference, like an Iceberg
+        fast-forward).
+
+        Serializable against concurrent target writers: the commit is a
+        precise :meth:`replace_files` against ``expected_base`` (default:
+        the target head read here), so a commit landing on the target
+        after the audit began raises :class:`CommitConflict` instead of
+        being silently clobbered — re-run the audit against the new head.
+        """
+        src_v = self.current_version(from_branch)
+        if src_v is None:
+            raise ValueError(f"unknown branch {from_branch!r}")
+        src = self.snapshot(src_v)
+        base_v = (self.current_version(to_branch)
+                  if expected_base is None else expected_base)
+        if base_v is None:
+            raise ValueError(f"unknown branch {to_branch!r}")
+        base = self.snapshot(base_v)
+        return self.replace_files(
+            [f["path"] for f in base.files],
+            src.files,
+            expected_base=base_v,
+            branch=to_branch,
+            schema_json=src.schema_json,
+            properties={**src.properties,
+                        "published_from": f"{from_branch}@{src_v}"},
+        )
+
     def changes(
         self,
         spark: SparkSession,
@@ -818,6 +855,58 @@ class FsTable:
         return (inserts.withColumn("_change_type", F.lit("insert"))
                 .unionByName(
                     deletes.withColumn("_change_type", F.lit("delete"))))
+
+    def write_audit_publish(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        expectations: list[dict],
+        audit_branch: str | None = None,
+        to_branch: str = "main",
+        stats_columns: list[str] | None = None,
+    ) -> tuple[bool, list, str]:
+        """Write-Audit-Publish (the Iceberg/Netflix WAP pattern): stage
+        the batch on an audit branch, run the SAME data-quality
+        expectation engine the batch runner gates on
+        (operators/quality.py) against the full post-append state, and
+        only on pass atomically publish the audited state to the target
+        branch. Consumers of ``to_branch`` can never observe a batch
+        that failed its audit — the quarantine is a branch, not a copy.
+
+        Returns ``(published, expectation_results, audit_branch)``. On
+        failure the target is untouched and the audit branch keeps the
+        evidence. A concurrent target commit during the audit raises
+        :class:`CommitConflict` at publish (serializable; re-run the
+        audit against the new head) rather than clobbering it.
+
+        ``audit_branch`` defaults to a FRESH uuid-suffixed branch per
+        attempt — branches are claim-chains keyed by (branch, base), so
+        reusing one name across attempts from the same base would
+        "repair" the reset ref forward onto the quarantined commit and
+        audit the rejected rows again. Pass a name only if you manage
+        that lifecycle yourself.
+
+        Scale: the publish moves manifests only — data files are shared
+        by reference — and the audit pays one expectations aggregate
+        over the audited state.
+        """
+        from dativo_ingest_spark.operators import quality
+
+        if audit_branch is None:
+            audit_branch = f"audit-{uuid.uuid4().hex[:8]}"
+        base_v = self.current_version(to_branch)
+        if base_v is None:
+            raise ValueError(f"unknown branch {to_branch!r}")
+        self.create_branch(audit_branch, at_version=base_v)
+        self.write_append(df, branch=audit_branch,
+                          stats_columns=stats_columns)
+        audited = self.read(spark, branch=audit_branch)
+        results = quality.run_expectations(audited, expectations)
+        if any(not r.passed for r in results):
+            return False, results, audit_branch
+        self.publish_branch(audit_branch, to_branch,
+                            expected_base=base_v)
+        return True, results, audit_branch
 
     def rewrite_zorder(
         self,

@@ -510,3 +510,50 @@ class TestSchemaEvolution:
                      t.changes(spark, v1, t.current_version()).collect())
         # the preimage surfaces under the TO schema: score is NULL
         assert got == [(1, "a", None, "delete"), (1, "a2", 5.0, "insert")]
+
+
+class TestWriteAuditPublish:
+    """WAP: a batch failing its audit never reaches main; a passing one
+    publishes atomically by reference; a concurrent main commit during
+    the audit raises CommitConflict instead of being clobbered."""
+
+    EXPS = [{"name": "v_positive", "type": "not_null", "column": "v"},
+            {"name": "v_range", "type": "range", "column": "v",
+             "min": 0, "max": 100}]
+
+    def test_failing_audit_leaves_target_untouched(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(_df(spark, 0, 3))
+        v_before = t.current_version()
+        bad = spark.createDataFrame([(999,)], "v long")   # out of range
+        ok, results, branch = t.write_audit_publish(spark, bad, self.EXPS)
+        assert not ok and any(not r.passed for r in results)
+        assert t.current_version() == v_before
+        assert t.read(spark).count() == 3
+        # evidence stays on the (uuid-fresh) audit branch
+        assert t.read(spark, branch=branch).count() == 4
+
+    def test_passing_audit_publishes_atomically(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(_df(spark, 0, 3))
+        ok, _, branch = t.write_audit_publish(spark, _df(spark, 10, 13),
+                                              self.EXPS)
+        assert ok
+        assert sorted(r.v for r in t.read(spark).collect()) == \
+            [0, 1, 2, 10, 11, 12]
+        head = t.snapshot(t.current_version())
+        assert head.properties["published_from"].startswith(branch + "@")
+
+    def test_concurrent_target_commit_conflicts(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(_df(spark, 0, 3))
+        base_v = t.current_version()
+        t.create_branch("audit", at_version=base_v)
+        t.write_append(_df(spark, 10, 12), branch="audit")
+        # a concurrent writer advances main mid-audit
+        t.write_append(_df(spark, 50, 52))
+        with pytest.raises(CommitConflict):
+            t.publish_branch("audit", "main", expected_base=base_v)
+        # main keeps the concurrent commit, untouched by the audit
+        assert sorted(r.v for r in t.read(spark).collect()) == \
+            [0, 1, 2, 50, 51]

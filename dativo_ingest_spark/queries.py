@@ -6255,6 +6255,57 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "phase string, n_rows bigint, sum_cents bigint")
 
 
+@register(
+    "delete_where_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base WHERE NOT (o_orderkey % 5 = 0) GROUP BY 1
+    """,
+    doc="row-level COW DELETE through the snapshot table format "
+        "(sinks/table_commit.py:delete_where — the GDPR/right-to-"
+        "erasure primitive): commit an orders slice, delete every row "
+        "with o_orderkey %% 5 = 0 in one atomic snapshot, aggregate "
+        "the survivors. Two pruning layers before any rewrite: "
+        "manifest-stats triples cut the candidate files, then an "
+        "input_file_name pass rewrites ONLY files actually containing "
+        "a match — unmatched candidates carry by reference (unit-"
+        "tested), and the deletion surfaces in the change feed as "
+        "delete preimages. The oracle is the base slice with the "
+        "predicate applied the plain-SQL way.",
+)
+def delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    base = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_del_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(base, stats_columns=["o_orderkey"])
+        t.delete_where(spark, "o_orderkey % 5 = 0")
+        rows = [(r.o_orderpriority, r.n, r.s) for r in
+                t.read(spark).groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("s")).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderpriority string, n_orders bigint, sum_cents bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6627,6 +6678,11 @@ _GATE_DEMOTED = [
     # the DQ family stays proven through it plus the streaming
     # expectations gate tests (dq_expectations_events r7-proven)
     "dq_expectations_events",
+    # admits delete_where_orders — the cursor predicate shape stays
+    # exercised by scd2's change detection and the CDC/merge paths;
+    # incremental family keeps scd2 + cdc_rollup + merge_upsert
+    # in-window (incremental_cursor_filter r1-r7-proven)
+    "incremental_cursor_filter",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

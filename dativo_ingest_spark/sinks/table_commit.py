@@ -447,6 +447,74 @@ class FsTable:
                 continue
         raise last_exc  # pragma: no cover - needs sustained contention
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition: str,
+        branch: str = "main",
+        stats_columns: list[str] | None = None,
+        prune: list[tuple[str, str, Any]] | None = None,
+        max_replans: int = 3,
+    ) -> "Snapshot | None":
+        """Row-level COW DELETE (the GDPR/right-to-erasure primitive):
+        remove every row matching ``condition`` (a SQL boolean over the
+        table's columns) in one atomic snapshot.
+
+        Scale shape, two pruning layers before any rewrite: (1)
+        ``prune`` triples cut the candidate list via manifest stats
+        (pass the key bounds when you know them — an erasure by id
+        range touches only files that can hold it); (2) one
+        metadata-cheap pass tags candidates by ``input_file_name`` and
+        only files actually CONTAINING a matching row are rewritten —
+        candidates that merely overlapped the stats range carry by
+        reference. Returns the new snapshot, or None when nothing
+        matched (no empty commit). Concurrency: the precise
+        :meth:`replace_files` commit + re-plan loop, same as MERGE.
+        """
+        last_exc: CommitConflict | None = None
+        for _ in range(max_replans):
+            base_v = self.current_version(branch)
+            if base_v is None:
+                raise ValueError(f"unknown branch {branch!r}")
+            base = self.snapshot(base_v)
+            cands = self.matching_files(base, prune)
+            if not cands:
+                return None
+            cand_paths = [os.path.join(self.root, f["path"])
+                          for f in cands]
+            reader = spark.read
+            if base.schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(base.schema_json)))
+            df = reader.parquet(*cand_paths).withColumn(
+                "_f", F.input_file_name())
+            hit = {r._f for r in
+                   df.filter(condition).select("_f").distinct().collect()}
+            if not hit:
+                return None
+            hit_rel = [f["path"] for f in cands
+                       if any(h.endswith(f["path"]) for h in hit)]
+            keep = (df.filter(f"_f IN ({', '.join(repr(h) for h in hit)})")
+                    .filter(f"NOT ({condition})").drop("_f"))
+            stage = self.new_stage()
+            keep.write.option("compression", "snappy").parquet(
+                os.path.join(self.root, stage))
+            try:
+                return self.replace_files(
+                    hit_rel,
+                    self.staged_files(stage, stats_columns=stats_columns),
+                    expected_base=base_v,
+                    branch=branch,
+                    schema_json=base.schema_json,
+                    properties={"last_operation": "delete"},
+                )
+            except CommitConflict as exc:
+                last_exc = exc
+                continue
+        raise last_exc  # pragma: no cover - needs sustained contention
+
     def compact(
         self,
         spark: SparkSession,

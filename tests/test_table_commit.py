@@ -557,3 +557,53 @@ class TestWriteAuditPublish:
         # main keeps the concurrent commit, untouched by the audit
         assert sorted(r.v for r in t.read(spark).collect()) == \
             [0, 1, 2, 50, 51]
+
+
+class TestDeleteWhere:
+    def test_deletes_rows_and_skips_unmatched_files(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, val string").coalesce(1),
+            stats_columns=["k"])
+        t.write_append(spark.createDataFrame(
+            [(100, "z"), (101, "y")], "k long, val string").coalesce(1),
+            stats_columns=["k"])
+        before = {f["path"] for f in t.snapshot(t.current_version()).files}
+        snap = t.delete_where(spark, "k = 2")
+        assert snap is not None
+        got = sorted((r.k, r.val) for r in t.read(spark).collect())
+        assert got == [(1, "a"), (100, "z"), (101, "y")]
+        # the high-key file contained no match: carried by reference
+        after = {f["path"] for f in snap.files}
+        assert len(before & after) == 1
+
+    def test_stats_prune_narrows_candidates(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(i, "x") for i in range(10)], "k long, val string")
+            .coalesce(1), stats_columns=["k"])
+        t.write_append(spark.createDataFrame(
+            [(i, "x") for i in range(100, 110)], "k long, val string")
+            .coalesce(1), stats_columns=["k"])
+        snap = t.delete_where(spark, "k >= 105", prune=[("k", ">=", 105)])
+        assert t.read(spark).count() == 15
+        assert snap is not None
+
+    def test_no_match_is_noop(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(1, "a")], "k long, val string"))
+        v = t.current_version()
+        assert t.delete_where(spark, "k = 999") is None
+        assert t.current_version() == v
+
+    def test_delete_surfaces_in_change_feed(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, val string").coalesce(1),
+            stats_columns=["k"])
+        v1 = t.current_version()
+        t.delete_where(spark, "k = 1")
+        got = [(r.k, r.val, r._change_type) for r in
+               t.changes(spark, v1, t.current_version()).collect()]
+        assert got == [(1, "a", "delete")]

@@ -6306,6 +6306,66 @@ def delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
 
+@register(
+    "compact_roundtrip_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 1)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY 1
+    """,
+    doc="table maintenance through the driver: four separate small "
+        "appends (the streaming/incremental small-file tail), then "
+        "compact (bin-packs every sub-threshold file, content "
+        "unchanged by the same replace_files commit MERGE uses) and "
+        "an aggressive vacuum (history trimmed to the head, orphaned "
+        "data files reclaimed, age guard waived) — and the surviving "
+        "table must still aggregate EXACTLY to the union of the four "
+        "appends. Proves sinks/table_commit.py compact+vacuum "
+        "end-to-end (r7 verdict listed them driver-untested): a "
+        "maintenance pass that loses or duplicates a single row "
+        "hash-mismatches here. The files-actually-shrank and "
+        "carry-by-reference properties stay pinned in "
+        "tests/test_table_commit.py.",
+)
+def compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_cmp_")
+    try:
+        t = FsTable.create(root)
+        for m in (1, 5, 9, 13):
+            t.write_append(
+                orders.filter(F.col("o_orderkey") % 16 == m)
+                .select("o_orderpriority", "cents").coalesce(1),
+                stats_columns=["cents"])
+        n_before = len(t.snapshot(t.current_version()).files)
+        t.compact(spark, target_file_size_mb=128)
+        n_after = len(t.snapshot(t.current_version()).files)
+        assert n_after < n_before
+        t.vacuum(keep_history=1, min_age_seconds=0.0)
+        rows = [(r.o_orderpriority, r.n, r.s) for r in
+                t.read(spark).groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("s")).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderpriority string, n_orders bigint, sum_cents bigint")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -6683,6 +6743,10 @@ _GATE_DEMOTED = [
     # incremental family keeps scd2 + cdc_rollup + merge_upsert
     # in-window (incremental_cursor_filter r1-r7-proven)
     "incremental_cursor_filter",
+    # admits compact_roundtrip_orders — the EXISTS/NOT-EXISTS
+    # decorrelation shape q21 carries is demoted r7-proven; join family
+    # keeps q1/q3/q11 + attribution + skew_salted in-window
+    "q21_waiting_suppliers",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

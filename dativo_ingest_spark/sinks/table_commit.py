@@ -819,6 +819,7 @@ class FsTable:
         from_branch: str,
         to_branch: str = "main",
         expected_base: int | None = None,
+        properties: dict[str, str] | None = None,
     ) -> Snapshot:
         """Atomically make ``to_branch`` equal to ``from_branch``'s head —
         the PUBLISH step of write-audit-publish. Commits a new snapshot
@@ -848,6 +849,7 @@ class FsTable:
             branch=to_branch,
             schema_json=src.schema_json,
             properties={**src.properties,
+                        **(properties or {}),
                         "published_from": f"{from_branch}@{src_v}"},
         )
 
@@ -932,6 +934,7 @@ class FsTable:
         audit_branch: str | None = None,
         to_branch: str = "main",
         stats_columns: list[str] | None = None,
+        publish_properties: dict[str, str] | None = None,
     ) -> tuple[bool, list, str]:
         """Write-Audit-Publish (the Iceberg/Netflix WAP pattern): stage
         the batch on an audit branch, run the SAME data-quality
@@ -973,7 +976,8 @@ class FsTable:
         if any(not r.passed for r in results):
             return False, results, audit_branch
         self.publish_branch(audit_branch, to_branch,
-                            expected_base=base_v)
+                            expected_base=base_v,
+                            properties=publish_properties)
         return True, results, audit_branch
 
     def rewrite_zorder(

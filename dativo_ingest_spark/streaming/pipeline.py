@@ -936,3 +936,54 @@ def stream_windowed_rollup(
     else:  # pragma: no cover - continuous mode needs a long-lived process
         writer.start()
     return table
+
+
+def wap_epoch_writer(table, expectations: list[dict],
+                     query_id: str | None = None,
+                     checkpoint_dir: str | None = None,
+                     on_fail: str = "skip"):
+    """foreachBatch callable running Write-Audit-Publish per micro-batch
+    (sinks/table_commit.py:write_audit_publish): each epoch stages on a
+    fresh audit branch, the shared expectations engine audits the full
+    post-append state, and only passing epochs publish — a consumer of
+    the target branch can NEVER observe a batch that failed its audit,
+    which the plain :func:`expectations_gate` (audits the batch frame
+    before an append) cannot promise under a crash between gate and
+    sink.
+
+    Exactly-once: the epoch marker rides INSIDE the publish commit's
+    properties, so a replayed epoch is suppressed before any audit work;
+    a crash after publish but before the checkpoint advances replays the
+    epoch and hits the marker. Failed epochs leave their evidence on the
+    uuid audit branch; ``on_fail='skip'`` quarantines and continues
+    (``'abort'`` re-raises to stop the stream — strict semantics, the
+    source replays the batch on restart).
+
+    Scale: per epoch = one expectations aggregate over the audited state
+    plus a manifest-only publish (data files shared by reference).
+    """
+    if on_fail not in ("skip", "abort"):
+        raise ValueError(f"on_fail must be skip|abort, got {on_fail!r}")
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+    logger = logging.getLogger(__name__)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        head = table.snapshot(table.current_version())
+        last = head.properties.get(key)
+        if last is not None and int(last) >= epoch_id:
+            return
+        ok, results, branch = table.write_audit_publish(
+            batch_df.sparkSession, batch_df, expectations,
+            publish_properties={key: str(epoch_id)})
+        if not ok:
+            failed = [r.name for r in results if not r.passed]
+            if on_fail == "abort":
+                raise RuntimeError(
+                    f"epoch {epoch_id}: audit failed {failed}; "
+                    f"evidence on branch {branch!r}")
+            logger.warning(
+                "epoch %s quarantined on branch %r (failed: %s)",
+                epoch_id, branch, failed)
+
+    return write_batch

@@ -669,3 +669,65 @@ class TestStatefulSessionizeRestart:
         got = [(r.user_id, r.session_start, r.session_end, r.n_events)
                for r in spark.read.parquet(out).collect()]
         assert got == [(1, t(0), dt.datetime(2024, 1, 1, 0, 50), 3)]
+
+
+class TestWapEpochWriter:
+    """Per-micro-batch Write-Audit-Publish: failing epochs quarantine on
+    an audit branch (target never sees them), passing epochs publish
+    with the marker atomic inside the publish commit (replay-safe)."""
+
+    EXPS = [{"name": "v_range", "type": "range", "column": "v",
+             "min": 0, "max": 100}]
+
+    def test_quarantine_publish_and_replay(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame([(1,)], "v long"))
+        wb = pipeline.wap_epoch_writer(t, self.EXPS, query_id="qw")
+        good = spark.createDataFrame([(10,), (20,)], "v long")
+        bad = spark.createDataFrame([(999,)], "v long")
+
+        wb(good, 0)
+        assert sorted(r.v for r in t.read(spark).collect()) == [1, 10, 20]
+        wb(good, 0)                    # replayed epoch: suppressed
+        assert t.read(spark).count() == 3
+
+        v_before = t.current_version()
+        wb(bad, 1)                     # quarantined, stream continues
+        assert t.current_version() == v_before
+        wb(spark.createDataFrame([(30,)], "v long"), 2)
+        assert sorted(r.v for r in t.read(spark).collect()) == \
+            [1, 10, 20, 30]
+        # a replay of the OLD epoch after newer publishes is suppressed
+        wb(good, 0)
+        assert t.read(spark).count() == 4
+
+    def test_abort_mode_raises(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame([(1,)], "v long"))
+        wb = pipeline.wap_epoch_writer(t, self.EXPS, query_id="qa",
+                                       on_fail="abort")
+        with pytest.raises(RuntimeError, match="audit failed"):
+            wb(spark.createDataFrame([(999,)], "v long"), 0)
+        assert t.read(spark).count() == 1
+
+    def test_end_to_end_stream(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(5,), (7,)], "v long").coalesce(1)\
+            .write.mode("append").parquet(src)
+        t = FsTable.create(str(tmp_path / "t"))
+        t.write_append(spark.createDataFrame([(1,)], "v long"))
+        stream = pipeline.stream_from_files(
+            spark, src, spark.read.parquet(src).schema)
+        q = (stream.writeStream
+             .foreachBatch(pipeline.wap_epoch_writer(
+                 t, self.EXPS, checkpoint_dir=str(tmp_path / "ck")))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        assert sorted(r.v for r in t.read(spark).collect()) == [1, 5, 7]

@@ -162,6 +162,14 @@ HEADLINE = [
     # SpaceSaving candidates + exact recount: the no-vocabulary-shuffle
     # heavy-hitter path
     "frequent_words_docs",
+    # r8 batch 7: the single-Expand exact profile, the FastSS
+    # deletion-neighborhood linkage (variant equi-join, never a pair
+    # join), the one-window trailing z-score, and the single-agg
+    # co-moment correlation
+    "profile_columns_events",
+    "entity_resolution_customers",
+    "anomaly_zscore_events",
+    "corr_by_type_events",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Table profiling: per-column statistics in one pass over the data.
+
+The reference's ``discover``/``check`` surface probes source metadata
+(row-count estimates, column comments, types — ``postgres_extractor.py:
+333-514``) but computes nothing over the *values*. A data-profiling
+operator is the ingestion-engine complement: given any DataFrame, emit a
+long-form stats table — one row per profiled column — that a contract
+author or drift monitor can diff run-over-run.
+
+Output schema (all engines render these identically, so profiles are
+oracle-checkable): ``column`` string, ``n_rows`` / ``n_null`` /
+``n_distinct`` bigint, ``min_value`` / ``max_value`` string (native-typed
+min/max cast to string *after* aggregation, so numeric ordering is
+numeric, not lexicographic).
+
+At 100 TB the cost question is the distinct counts:
+
+* ``distinct_mode="approx"`` (the scale default): one
+  ``approx_count_distinct`` (HLL++) per column — a single map-side
+  combinable aggregate pass, KB of state per column, no row expansion.
+* ``distinct_mode="exact"``: Spark plans k exact distincts over one scan
+  via an Expand (each input row multiplied k ways, one shuffle) —
+  exact, but the shuffle carries k copies of the projected columns.
+  Right for tests/oracles and small dims; the docstring knob exists so
+  the 100 TB caller never pays it accidentally.
+
+Everything else (count/null/min/max) folds into the same single
+aggregate — partial-aggregated map-side, merged at one reducer row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  distinct_mode: str = "approx",
+                  rsd: float = 0.01) -> DataFrame:
+    """Per-column profile of ``columns`` (default: every column).
+
+    One aggregate job; the single stats row is then unpivoted JVM-side
+    (``stack``) into the long form — no driver-side collect of data, no
+    per-column pass.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    if distinct_mode not in ("exact", "approx"):
+        raise ValueError("distinct_mode must be 'exact' or 'approx'")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{i}"))
+        if distinct_mode == "exact":
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_nd_{i}"))
+        else:
+            aggs.append(
+                F.approx_count_distinct(F.col(c), rsd).alias(f"_nd_{i}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{i}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{i}"))
+    row = df.agg(*aggs)
+
+    # unpivot the 1-row aggregate into (column, stats) rows
+    parts = []
+    for i, c in enumerate(cols):
+        parts.append(
+            f"'{c}', CAST(_n AS BIGINT), CAST(_n - _nn_{i} AS BIGINT), "
+            f"CAST(_nd_{i} AS BIGINT), _min_{i}, _max_{i}")
+    stacked = row.select(F.expr(
+        f"stack({len(cols)}, {', '.join(parts)}) AS "
+        "(`column`, n_rows, n_null, n_distinct, min_value, max_value)"))
+    return stacked
+
+
+def column_top_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
+    """Top-k most frequent values of one column:
+    ``[value string, n bigint]``, ties broken by value so the cut is
+    deterministic. One map-side-combined count + a k-row ordered take —
+    the standard companion drill-down to a profile row."""
+    return (
+        df.groupBy(F.col(column).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("value"))
+        .limit(k)
+    )

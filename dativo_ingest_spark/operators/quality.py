@@ -330,3 +330,59 @@ def quantile_clip(
     scan — regardless of how many columns are clipped."""
     bounds = quantile_bounds(df, columns, lower, upper, accuracy)
     return apply_bounds(df, bounds, keep_nulls=keep_nulls), bounds
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    order_cols: list[str],
+    lookback: int = 20,
+    min_n: int = 12,
+    out_col: str = "z_micro",
+) -> DataFrame:
+    """Streaming-shaped anomaly score: each row's z-score against the
+    trailing ``lookback`` rows of its own key (frame ends at 1 PRECEDING,
+    so a wild value never launders its own baseline). Returns the input
+    plus ``_win_n`` (rows in the frame) and ``out_col`` — the z-score in
+    integer micro-units, NULL when the frame is short (< ``min_n``) or
+    degenerate (zero variance).
+
+    ``value_col`` must already be integral (cents/micros — the repo-wide
+    fixed-point discipline): count/sum/sum-of-squares then stay exact
+    BIGINTs and the one float expression (mean/stddev/divide/sqrt)
+    computes from identical operands on any engine, so the quantized
+    score is engine-portable, unlike stddev_samp's engine-specific float
+    fold. Overflow bound: |value| <= ~600k keeps sum(x^2) inside BIGINT
+    for any lookback <= 50; mean-shift larger magnitudes first.
+
+    Shape: ONE window over (keys, order) — a single hash-partitioned
+    sort per key group, no self-join, no second pass; at 100 TB the
+    shuffle is the per-key repartition any per-entity timeline op pays,
+    and skewed keys are bounded by the O(lookback) frame state. The
+    strictly-past frame makes the operator replayable incrementally:
+    scores depend only on each row's trailing window, so a batch append
+    re-scores just the new rows (plus ``lookback`` boundary rows).
+    """
+    from pyspark.sql.window import Window as _W
+
+    if lookback < 2 or min_n < 2:
+        raise ValueError("lookback and min_n must be >= 2")
+    w = (_W.partitionBy(*keys)
+         .orderBy(*order_cols)
+         .rowsBetween(-lookback, -1))
+    x = F.col(value_col)
+    base = (
+        df.withColumn("_win_n", F.count(F.lit(1)).over(w))
+        .withColumn("_s", F.sum(x).over(w))
+        .withColumn("_ss", F.sum(x * x).over(w))
+    )
+    ok = (
+        (F.col("_win_n") >= F.lit(int(min_n)))
+        & (F.col("_win_n") * F.col("_ss") - F.col("_s") * F.col("_s") > 0)
+    )
+    z = F.expr(
+        f"CAST(floor(1000000.0 * (`{value_col}` - CAST(_s AS DOUBLE) / _win_n) "
+        "/ sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) "
+        "/ _win_n) / (_win_n - 1)) + 0.5) AS BIGINT)")
+    return base.withColumn(out_col, F.when(ok, z)).drop("_s", "_ss")

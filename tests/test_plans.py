@@ -578,3 +578,39 @@ def test_random_projection_is_scan_stage(spark):
     plan = plan_of(spark, "random_projection_embeddings")
     assert n_exchanges(plan) == 0
     assert "Python" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corr_single_partial_agg_no_python(spark):
+    # the five co-moment sums fold in ONE partial-aggregated pass: a
+    # single exchange on the group key, no second scan, no Python
+    plan = plan_of(spark, "corr_by_type_events")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "partial" in plan
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rolling_zscore_single_window_pass(spark):
+    # one per-user window: exactly one exchange, one sort, no self-join
+    plan = plan_of(spark, "anomaly_zscore_events")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_profile_exact_single_scan_expand(spark):
+    # exact-distinct profile: one scan widened by Expand, one shuffle —
+    # never a per-column pass (3 columns must NOT mean 3 FileScans)
+    plan = plan_of(spark, "profile_columns_events")
+    assert plan.count("FileScan") == 1, plan[:800]
+    assert "Expand" in plan
+
+
+def test_entity_resolution_no_pair_join(spark):
+    # candidates come from the variant equi-join: no cartesian/BNLJ
+    # anywhere, and the levenshtein verify runs JVM-side
+    plan = plan_of(spark, "entity_resolution_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan

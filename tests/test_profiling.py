@@ -1,0 +1,73 @@
+"""profile_table invariants: stat correctness vs hand counts, null
+accounting, native-type min/max ordering, exact-vs-approx distinct modes,
+column selection/validation, and the top-values drill-down
+(operators/profiling.py docstring)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import profiling
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "b", 10.5), (2, "a", None), (2, None, 2.0), (9, "a", 100.0)],
+        "id bigint, tag string, x double")
+
+
+def test_profile_exact_stats(spark):
+    prof = {r["column"]: r for r in profiling.profile_table(
+        _sample(spark), distinct_mode="exact").collect()}
+    assert set(prof) == {"id", "tag", "x"}
+    r = prof["id"]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (4, 0, 3)
+    assert (r.min_value, r.max_value) == ("1", "9")
+    r = prof["tag"]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (4, 1, 2)
+    assert (r.min_value, r.max_value) == ("a", "b")
+    r = prof["x"]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (4, 1, 3)
+    # numeric ordering: 2.0 < 10.5 even though "10.5" < "2.0" as strings
+    assert (r.min_value, r.max_value) == ("2.0", "100.0")
+
+
+def test_profile_approx_mode_close_and_cheap_shape(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 97).alias("mod"))
+    prof = {r["column"]: r for r in profiling.profile_table(
+        df, distinct_mode="approx", rsd=0.01).collect()}
+    assert abs(prof["id"].n_distinct - 1000) <= 30
+    assert abs(prof["mod"].n_distinct - 97) <= 5
+    # approx mode must not plan an Expand (the exact-distinct row
+    # multiplier); the plan stays a plain partial/final aggregate
+    plan = profiling.profile_table(
+        df, distinct_mode="approx")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_profile_column_subset_and_validation(spark):
+    df = _sample(spark)
+    out = profiling.profile_table(df, ["id"], distinct_mode="exact")
+    assert [r["column"] for r in out.collect()] == ["id"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profiling.profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="distinct_mode"):
+        profiling.profile_table(df, ["id"], distinct_mode="bogus")
+
+
+def test_profile_empty_frame(spark):
+    df = spark.createDataFrame([], "id bigint, tag string")
+    prof = {r["column"]: r for r in profiling.profile_table(
+        df, distinct_mode="exact").collect()}
+    r = prof["tag"]
+    assert (r.n_rows, r.n_null, r.n_distinct) == (0, 0, 0)
+    assert r.min_value is None and r.max_value is None
+
+
+def test_column_top_values(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], "tag string")
+    top = [(r.value, r.n) for r in
+           profiling.column_top_values(df, "tag", k=2).collect()]
+    # count desc, value asc on ties
+    assert top == [("a", 2), ("b", 2)]

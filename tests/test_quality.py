@@ -281,3 +281,53 @@ class TestMadOutliers:
         out = mad_outliers(df, "x", keys=["k"], k=3.0, exact=False)
         flagged = [r.x for r in out.collect() if r._is_outlier]
         assert flagged == [1e6]
+
+
+class TestRollingZscore:
+    def _scored(self, spark, values, lookback=4, min_n=3):
+        rows = [(1, i, int(v)) for i, v in enumerate(values)]
+        df = spark.createDataFrame(rows, "uid bigint, t bigint, x bigint")
+        return quality.rolling_zscore(
+            df, "x", keys=["uid"], order_cols=["t"],
+            lookback=lookback, min_n=min_n).orderBy("t").collect()
+
+    def test_spike_scores_against_past_only(self, spark):
+        # stable baseline then a spike: the spike's own value must not
+        # contaminate its baseline (frame ends at 1 PRECEDING)
+        out = self._scored(spark, [10, 12, 11, 13, 1000])
+        spike = out[-1]
+        assert spike._win_n == 4
+        # mean=11.5, std~1.29 -> z ~ 765; micro-units
+        assert spike.z_micro > 100_000_000
+
+    def test_short_and_zero_variance_frames_are_null(self, spark):
+        out = self._scored(spark, [5, 5, 5, 5, 7])
+        # first min_n rows: frame too short -> NULL
+        assert all(r.z_micro is None for r in out[:3])
+        # frame full but zero variance -> NULL, not inf/nan
+        assert out[4]._win_n == 4 and out[4].z_micro is None
+
+    def test_matches_closed_form(self, spark):
+        vals = [3, 9, 4, 8, 6]
+        out = self._scored(spark, vals)
+        import statistics
+        s = vals[:4]
+        z = (vals[4] - statistics.mean(s)) / statistics.stdev(s)
+        import math
+        assert out[4].z_micro == math.floor(1e6 * z + 0.5)
+
+    def test_key_isolation_and_layout_invariance(self, spark):
+        rows = [(u, i, (u + 1) * i) for u in (1, 2) for i in range(8)]
+        df = spark.createDataFrame(rows, "uid bigint, t bigint, x bigint")
+        a = {(r.uid, r.t): r.z_micro for r in quality.rolling_zscore(
+            df, "x", ["uid"], ["t"], lookback=4, min_n=3).collect()}
+        b = {(r.uid, r.t): r.z_micro for r in quality.rolling_zscore(
+            df.repartition(7), "x", ["uid"], ["t"],
+            lookback=4, min_n=3).collect()}
+        assert a == b
+
+    def test_validates_params(self, spark):
+        df = spark.createDataFrame([(1, 1, 1)],
+                                   "uid bigint, t bigint, x bigint")
+        with pytest.raises(ValueError):
+            quality.rolling_zscore(df, "x", ["uid"], ["t"], lookback=1)

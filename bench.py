@@ -170,6 +170,13 @@ HEADLINE = [
     "entity_resolution_customers",
     "anomaly_zscore_events",
     "corr_by_type_events",
+    # r8 batch 8: greedy k-center (k exact-integer scans), the per-host
+    # cap window, and the interval-join + window multi-touch
+    # attribution. streaming_interval_join_events stays OUT: two
+    # writeStream lifecycles are fixed overhead, not engine throughput.
+    "kcenter_coreset_embeddings",
+    "host_cap_sample_docs",
+    "attribution_time_decay",
 ]
 
 

@@ -68,3 +68,27 @@ def int_dot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def micro_codes(a: Column) -> Column:
+    """Fixed-point micro-unit codes: floor(1e6 * x + 0.5) per component
+    as long, float32 widened to DOUBLE before the multiply (the engines
+    round float->double identically; float*const does not distribute the
+    same way). All downstream distance arithmetic is then exact integer —
+    the quantization contract the JL projection and k-center selection
+    share."""
+    return F.transform(
+        as_double_array(a),
+        lambda x: F.floor(F.lit(1_000_000.0) * x + F.lit(0.5)).cast("long"),
+    )
+
+
+def int_sqdist(a: Column, b: Column) -> Column:
+    """Exact squared L2 distance between two long-code arrays (sequential
+    long fold — engine-portable, overflow-safe to |code| ~ 1e8 at 1k
+    dims)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -474,3 +474,42 @@ def temperature_mixture_sample(
     return stratified_hash_sample(
         df, id_col, group_col, fractions, default_fraction=0.0, salt=salt
     )
+
+
+def host_cap_sample(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "hostcap",
+) -> DataFrame:
+    """Per-host document cap (web-crawl balancing, the C4/FineWeb 'at
+    most N pages per host' step): keep a deterministic hash-random
+    ``cap``-subset of each host's rows.
+
+    Admission ranks rows within a host by ``(md5(salt|id), id)`` — a
+    layout/retry-stable pseudo-random order, so the kept set is a
+    uniform-without-replacement draw that never changes when the scan
+    splits differently, and appending rows can only displace rows with
+    larger hashes (bounded churn, unlike rand()).
+
+    Shape: ONE window (`row_number` per host) — a single repartition+sort
+    on the host key. Hot hosts bound the sort partition, not memory
+    (row_number is O(1) state). At crawl scale with million-page hosts,
+    thin first with the scan-stage predicate ``u(host|id) <
+    cap/estimated_host_count * slack`` (hash_uniform salted by host)
+    and rank exactly inside the survivors — two-phase, same kept set
+    distributionally, no giant sort partitions.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql.window import Window as _W
+
+    order_hash = F.md5(F.concat(
+        F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    w = _W.partitionBy(host_col).orderBy(order_hash, F.col(id_col))
+    return (
+        df.withColumn("_hc_rank", F.row_number().over(w))
+        .filter(F.col("_hc_rank") <= cap)
+        .drop("_hc_rank")
+    )

@@ -6625,6 +6625,270 @@ def corr_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_sqdist(e: str, c: str) -> str:
+    """DuckDB fragment: exact integer squared L2 between list columns
+    ``e`` and ``c`` (mirrors vectors.int_sqdist; the center row rides a
+    CROSS JOIN because DuckDB lambdas cannot hold subqueries)."""
+    return (f"CAST(list_sum(list_transform(range(1, len({e}) + 1), "
+            f"i -> ({e}[i] - {c}[i]) * ({e}[i] - {c}[i]))) AS BIGINT)")
+
+
+@register(
+    "kcenter_coreset_embeddings",
+    f"""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(1000000.0 * CAST(x AS DOUBLE) + 0.5)
+                         AS BIGINT)) AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    s0 AS (SELECT vec_id, e FROM m ORDER BY vec_id LIMIT 1),
+    d1 AS (SELECT m.vec_id, m.e, {_duck_sqdist('m.e', 'c1.e')} AS dm
+           FROM m CROSS JOIN s0 c1),
+    s1 AS (SELECT vec_id, e, dm FROM d1 ORDER BY dm DESC, vec_id LIMIT 1),
+    d2 AS (SELECT d1.vec_id, d1.e,
+                  least(d1.dm, {_duck_sqdist('d1.e', 'c2.e')}) AS dm
+           FROM d1 CROSS JOIN s1 c2),
+    s2 AS (SELECT vec_id, e, dm FROM d2 ORDER BY dm DESC, vec_id LIMIT 1),
+    d3 AS (SELECT d2.vec_id, d2.e,
+                  least(d2.dm, {_duck_sqdist('d2.e', 'c3.e')}) AS dm
+           FROM d2 CROSS JOIN s2 c3),
+    s3 AS (SELECT vec_id, e, dm FROM d3 ORDER BY dm DESC, vec_id LIMIT 1),
+    d4 AS (SELECT d3.vec_id, d3.e,
+                  least(d3.dm, {_duck_sqdist('d3.e', 'c4.e')}) AS dm
+           FROM d3 CROSS JOIN s3 c4),
+    s4 AS (SELECT vec_id, e, dm FROM d4 ORDER BY dm DESC, vec_id LIMIT 1),
+    d5 AS (SELECT d4.vec_id, d4.e,
+                  least(d4.dm, {_duck_sqdist('d4.e', 'c5.e')}) AS dm
+           FROM d4 CROSS JOIN s4 c5),
+    s5 AS (SELECT vec_id, e, dm FROM d5 ORDER BY dm DESC, vec_id LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS sel_round,
+           (SELECT vec_id FROM s0) AS vec_id, CAST(0 AS BIGINT) AS dist2
+    UNION ALL SELECT 1, vec_id, CAST(dm AS BIGINT) FROM s1
+    UNION ALL SELECT 2, vec_id, CAST(dm AS BIGINT) FROM s2
+    UNION ALL SELECT 3, vec_id, CAST(dm AS BIGINT) FROM s3
+    UNION ALL SELECT 4, vec_id, CAST(dm AS BIGINT) FROM s4
+    UNION ALL SELECT 5, vec_id, CAST(dm AS BIGINT) FROM s5
+    """,
+    doc="diversity-maximizing coreset selection: greedy k-center "
+        "(farthest-point traversal, Gonzalez's 2-approximation) over "
+        "the embedding corpus (operators/coreset.py:kcenter_select, "
+        "k=6). Each round is ONE scan computing every point's exact "
+        "integer squared-L2 (micro-unit codes, functions/vectors.py:"
+        "int_sqdist sequential fold) to its nearest selected center — "
+        "centers ride the plan as inline literals, the argmax is a "
+        "single-row (dist, -id)-struct aggregate, and the driver holds "
+        "only the k selected rows. Exact integer distances make the "
+        "argmax engine-portable with zero float tie ambiguity; the "
+        "oracle replays the identical 6 unrolled selection rounds in "
+        "SQL (the bpe_train precedent). k scans is the honest cost of "
+        "exact greedy k-center; the docstring pins the IVF-compose and "
+        "sample-then-select swaps for larger k.",
+)
+def kcenter_coreset_embeddings(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.coreset import kcenter_select_df
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kcenter_select_df(spark, emb, "embedding", "vec_id", k=6)
+
+
+@register(
+    "host_cap_sample_docs",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('hostcap|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk <= 7
+    """,
+    doc="per-host document cap (the C4/FineWeb 'at most N pages per "
+        "host' crawl-balancing step; operators/sampling.py:"
+        "host_cap_sample): keep a deterministic hash-random 7-subset "
+        "of each source's docs. Admission ranks within a host by "
+        "(md5(salt|id), id) — layout/retry-stable, uniform without "
+        "replacement, append-churn bounded — where rand() would "
+        "re-deal the kept set on every partition change. ONE window "
+        "pass (row_number is O(1) state; a hot host bounds the sort "
+        "partition, not memory); the docstring pins the two-phase "
+        "hash-thin + exact-rank swap for million-page hosts.",
+)
+def host_cap_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.sampling import host_cap_sample
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    return host_cap_sample(docs, "source", "doc_id", cap=7).select(
+        "source", "doc_id", F.col("n_chars").cast("bigint"))
+
+
+@register(
+    "streaming_interval_join_events",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+      AND p.purchase_ts >= c.click_ts
+      AND p.purchase_ts <= c.click_ts + INTERVAL 2 HOUR
+    """,
+    doc="stream-STREAM interval join END-TO-END through the real "
+        "writeStream path (streaming/pipeline.py:interval_join): "
+        "clicks and purchases arrive as two file streams; pass 1 "
+        "drains both sides before Jan 15, pass 2 RESTARTS from the "
+        "checkpoint with the rest — so cross-restart pairs (a pass-2 "
+        "purchase matching a pass-1 click) must come out of RECOVERED "
+        "join state. Inner event-time-bounded joins emit eagerly on "
+        "match; the 1-hour watermark exists to EXPIRE state (left "
+        "rows older than watermark - 2h drop from state, keeping "
+        "state O(window), never O(stream)), and the Jan-15 split "
+        "leaves every cross-boundary click ~1h inside the retention "
+        "horizon, so the two-pass union equals the batch interval "
+        "join oracle. Emission via the foreachBatch hive epoch writer "
+        "(exactly-once replay suppression).",
+)
+def streaming_interval_join_events(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        hive_epoch_writer, interval_join, stream_from_files)
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"))
+    split = "2024-01-15 00:00:00"
+    root = tempfile.mkdtemp(prefix="sg_sij_")
+    try:
+        csrc, psrc = root + "/clicks", root + "/purch"
+        out, ckpt = root + "/out", root + "/ckpt"
+        clicks.filter(F.col("click_ts") < split).coalesce(1)\
+            .write.mode("append").parquet(csrc)
+        purch.filter(F.col("purchase_ts") < split).coalesce(1)\
+            .write.mode("append").parquet(psrc)
+        cschema = spark.read.parquet(csrc).schema
+        pschema = spark.read.parquet(psrc).schema
+        for phase in range(2):
+            sc = stream_from_files(spark, csrc, cschema)
+            sp = stream_from_files(spark, psrc, pschema)
+            joined = interval_join(
+                sc, sp, keys=["user_id"], left_ts="click_ts",
+                right_ts="purchase_ts", upper="2 hours",
+                lower="0 seconds", watermark="1 hour")
+            pairs = joined.select(
+                sc["user_id"].alias("user_id"), "click_id", "purchase_id")
+            q = (pairs.writeStream
+                 .foreachBatch(hive_epoch_writer(out, [],
+                                                 checkpoint_dir=ckpt))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            if phase == 0:
+                clicks.filter(F.col("click_ts") >= split).coalesce(1)\
+                    .write.mode("append").parquet(csrc)
+                purch.filter(F.col("purchase_ts") >= split).coalesce(1)\
+                    .write.mode("append").parquet(psrc)
+        rows = [(r.user_id, r.click_id, r.purchase_id)
+                for r in spark.read.parquet(out).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "user_id bigint, click_id bigint, purchase_id bigint")
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH t AS (
+      SELECT user_id, event_id AS touch_id, event_type,
+             epoch_us(ts) AS t_us
+      FROM events WHERE event_type IN ('click', 'view')),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT t.event_type, t.touch_id, p.purchase_id,
+             CAST(floor(1000000.0
+                 / (1 + (p.p_us - t.t_us) // 86400000000) + 0.5)
+                 AS BIGINT) AS w_micro
+      FROM t JOIN p ON t.user_id = p.user_id
+        AND t.t_us <= p.p_us
+        AND t.t_us > p.p_us - 7 * 86400000000),
+    nrm AS (
+      SELECT event_type, purchase_id, w_micro,
+             CAST(sum(w_micro) OVER (PARTITION BY purchase_id)
+                  AS BIGINT) AS big_w
+      FROM j)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(floor(1000000.0 * w_micro / big_w + 0.5)
+                         AS BIGINT)) AS BIGINT) AS credit_micro
+    FROM nrm GROUP BY event_type
+    """,
+    doc="time-decay MULTI-touch attribution (the last-touch query's "
+        "fractional sibling): every click/view in the 7 days before a "
+        "same-user purchase earns harmonic-decay weight 1/(1+days), "
+        "normalized per purchase, credits summed per channel. Shape: "
+        "one user-keyed interval join (same two-shuffle SMJ envelope "
+        "as the as-of family) + one per-purchase window for the "
+        "normalizer. Parity discipline: days from exact integer "
+        "microsecond floor-div, weights quantized to micro BEFORE the "
+        "per-purchase sum (bigint — float sums are fold-order-private "
+        "to each engine), the normalizing division on identical "
+        "integers, credits re-quantized then summed exactly. Harmonic "
+        "decay (not exp) because pow() is not IEEE-identical across "
+        "engines — same reason the unigram LM uses integer micro-nats.",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # ts reads back TIMESTAMP_NTZ; the session runs UTC so the cast to
+    # TIMESTAMP for unix_micros is wall-clock preserving (the
+    # _watermarkable precedent) and matches DuckDB's epoch_us
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us"))
+    day_us = 86_400_000_000
+    j = t.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("t_us") <= F.col("p_us"))
+        & (F.col("t_us") > F.col("p_us") - F.lit(7 * day_us)),
+    ).select(
+        "event_type", "touch_id", "purchase_id",
+        F.expr(
+            "CAST(floor(1000000.0 / (1 + (p_us - t_us) div 86400000000)"
+            " + 0.5) AS BIGINT)").alias("w_micro"))
+    nrm = j.withColumn(
+        "big_w",
+        F.sum("w_micro").over(Window.partitionBy("purchase_id")))
+    return nrm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+        F.sum(F.expr(
+            "CAST(floor(1000000.0 * w_micro / big_w + 0.5) AS BIGINT)"))
+        .cast("bigint").alias("credit_micro"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -7026,6 +7290,26 @@ _GATE_DEMOTED = [
     # exercised by q11, last-touch attribution and skew_salted_join
     # in-window (q3_shipping_priority r1-r7-proven)
     "q3_shipping_priority",
+    # admits kcenter_coreset_embeddings — the curation-composition proof
+    # is r7-proven through curation_pipeline; its stages all stay
+    # in-window individually (gopher_rules, dedup_lines,
+    # passage_removal, html_strip, dsir, perplexity_bucket_mix)
+    "curation_pipeline",
+    # admits host_cap_sample_docs — the sharded budget window is
+    # r7-proven; the sampling family keeps group_aware_split,
+    # chunk_pack's packing leg and the new host cap in-window
+    # (sample_token_budget_sharded r7-proven)
+    "sample_token_budget_sharded",
+    # admits streaming_interval_join_events — SemDeDup's composed
+    # kmeans + in-cell pass is r6+r7-proven; the embedding family keeps
+    # kcenter (new), rrf, hard_negatives, prototypicality and
+    # random_projection in-window (semantic_dedup_pipeline r7-proven)
+    "semantic_dedup_pipeline",
+    # admits attribution_time_decay — the hive partition-derivation
+    # rules are r7-proven and the sink family stays covered by the
+    # table-format legs (merge/WAP/delete/compact) in-window
+    # (partition_value_sanitize r7-proven)
+    "partition_value_sanitize",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -614,3 +614,22 @@ def test_entity_resolution_no_pair_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Python" not in plan
+
+
+def test_host_cap_single_window_pass(spark):
+    # one repartition-by-host window, JVM-side rank, no second scan
+    plan = plan_of(spark, "host_cap_sample_docs")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+
+
+def test_time_decay_attribution_join_shape(spark):
+    # user-keyed interval join + purchase-window normalizer: never a
+    # cartesian/BNLJ, event_type filters pushed to both scans, no Python
+    plan = plan_of(spark, "attribution_time_decay")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+    assert plan.count("PushedFilters") >= 2
+    assert "In(event_type" in plan or "EqualTo(event_type" in plan

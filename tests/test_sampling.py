@@ -226,3 +226,46 @@ def test_mixture_sample_alpha_zero_evens_group_shares(spark):
         return max(shares) - min(shares)
 
     assert spread(sampled) < spread(natural)
+
+
+def test_host_cap_respects_cap_and_is_subset(spark):
+    docs = load(spark, SF, "documents")
+    kept = sampling.host_cap_sample(docs, "source", "doc_id", cap=3)
+    per_host = {r.source: r.n for r in
+                kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert per_host and all(n <= 3 for n in per_host.values())
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids
+    assert kept.columns == docs.columns  # rank column dropped
+
+
+def test_host_cap_layout_invariant(spark):
+    docs = load(spark, SF, "documents")
+    a = {r.doc_id for r in sampling.host_cap_sample(
+        docs, "source", "doc_id", cap=4).select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.host_cap_sample(
+        docs.repartition(11), "source", "doc_id", cap=4)
+        .select("doc_id").collect()}
+    assert a == b
+
+
+def test_host_cap_above_group_size_keeps_all(spark):
+    docs = load(spark, SF, "documents")
+    kept = sampling.host_cap_sample(docs, "source", "doc_id", cap=10 ** 6)
+    assert kept.count() == docs.count()
+
+
+def test_host_cap_salt_redeals_and_validates(spark):
+    import pytest as _pytest
+
+    docs = load(spark, SF, "documents")
+    a = {r.doc_id for r in sampling.host_cap_sample(
+        docs, "source", "doc_id", cap=3).select("doc_id").collect()}
+    b = {r.doc_id for r in sampling.host_cap_sample(
+        docs, "source", "doc_id", cap=3, salt="other")
+        .select("doc_id").collect()}
+    assert a != b  # different salt -> different (deterministic) draw
+    with _pytest.raises(ValueError):
+        sampling.host_cap_sample(docs, "source", "doc_id", cap=0)

@@ -177,6 +177,14 @@ HEADLINE = [
     "kcenter_coreset_embeddings",
     "host_cap_sample_docs",
     "attribution_time_decay",
+    # r8 batch 9: the SCD2 point-in-time join (construction + interval
+    # probe), signed feature hashing (explode + one partial agg), the
+    # x7 membership-explosion sliding distinct, and the key-skew
+    # diagnostic (per-key count + stats fold)
+    "scd2_pit_join_events",
+    "feature_hash_docs",
+    "sliding_distinct_users",
+    "skew_report_events",
 ]
 
 

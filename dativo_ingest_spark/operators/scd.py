@@ -139,3 +139,47 @@ def scd2_merge(
         collapse_unchanged=collapse_unchanged,
     )
     return untouched.unionByName(rebuilt)
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    how: str = "inner",
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time (AS OF) join: attach to each fact the dimension
+    version that was valid at the fact's event time —
+    ``effective_from <= fact_ts`` and (open row or
+    ``fact_ts < effective_to``).
+
+    The reason SCD2 history exists: training features and financial
+    reports must see the attribute AS IT WAS, not as it is. Because a
+    key's validity intervals partition time (scd2_from_changelog's
+    half-open lead-closed construction; zero-length [t, t) versions
+    created by same-timestamp ties match nothing), every fact matches AT
+    MOST one version — the join never fans out, ``how="left"`` marks
+    facts before a key's first version with NULL attributes.
+
+    Shape: equi-join on ``keys`` with the interval predicate as a
+    post-join filter — one shuffle per side on the key (SMJ/AQE), the
+    same envelope as the as-of family; Spark broadcasts automatically
+    when the dimension is small. At 100 TB bucket both sides on the key
+    (operators/skew.py:write_bucketed) so fact scans co-locate with
+    their dimension slices and the shuffle disappears.
+    """
+    keys = list(keys)
+    cond = None
+    for k in keys:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    ts = facts[fact_ts]
+    cond = cond & (dim[from_col] <= ts) & (
+        dim[to_col].isNull() | (ts < dim[to_col]))
+    joined = facts.join(dim, cond, how)
+    # drop the dimension's duplicate key columns; facts' survive
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

@@ -140,3 +140,40 @@ def two_phase_count(
         F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(
         F.sum("_partial").cast("long").alias(count_col))
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    exact: bool = True) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key: the
+    numbers that decide between a plain shuffle, a broadcast, salting
+    (:func:`salted_join`) or an AQE skew split — measured, not guessed.
+
+    Columns: ``n_rows``, ``n_keys``, ``max_count``, ``p50``/``p90``/
+    ``p99`` (exact interpolated percentiles of the per-key count
+    distribution — integer counts interpolate on .5-exact doubles, the
+    mad_outliers portability argument), ``top_key`` (string; ties to
+    smallest), ``top_share_micro`` = floor(1e6 * max_count / n_rows
+    + 0.5).
+
+    Shape: one map-side-combined count per key (the only corpus-sized
+    shuffle), then one tiny aggregate over the key-count frame.
+    ``exact=False`` swaps the percentiles for the mergeable
+    approx_percentile sketch — the 100 TB default when the KEY SPACE
+    itself is huge (billions of keys make even the count frame big);
+    max/top are exact either way.
+    """
+    pct = "percentile" if exact else "approx_percentile"
+    counts = df.groupBy(F.col(key_col).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    return counts.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("_c").cast("bigint").alias("max_count"),
+        F.expr(f"{pct}(_c, 0.5D)").alias("p50"),
+        F.expr(f"{pct}(_c, 0.9D)").alias("p90"),
+        F.expr(f"{pct}(_c, 0.99D)").alias("p99"),
+        F.expr("min_by(_k, struct(-_c, _k))").alias("top_key"),
+        F.expr(
+            "CAST(floor(1000000.0 * max(_c) / sum(_c) + 0.5) AS BIGINT)")
+        .alias("top_share_micro"),
+    )

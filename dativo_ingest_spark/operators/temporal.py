@@ -338,3 +338,34 @@ def time_bucket_gapfill(
         F.timestamp_micros(F.col("_bucket") * F.lit(w_us)).alias("bucket_ts"),
         *val_names,
     )
+
+
+def sliding_day_membership(
+    df: DataFrame,
+    ts_col: str,
+    window_days: int,
+    out_col: str = "window_day",
+) -> DataFrame:
+    """Explode each row into every trailing ``window_days``-day window
+    that contains it: a row on day d belongs to the windows ENDING on
+    days d .. d+window_days-1. ``out_col`` is the integer epoch-day the
+    window ends on.
+
+    This is the scalable shape for sliding-window DISTINCT aggregates
+    (distinct is not subtractable, so no incremental trick exists):
+    explode by the window/slide ratio once, then one grouped
+    count-distinct — versus re-scanning the corpus per window offset.
+    The explosion factor IS the cost model (x window_days for daily
+    slide); it happens scan-stage before the single shuffle, and
+    Catalyst folds the distinct into a two-level (window, value)
+    partial aggregate. Algebraic aggregates (sum/count) should NOT pay
+    this — use a plain bucket rollup + windowed frame sum instead; this
+    operator exists for the holistic ones.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.expr(
+        f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP)) div 86400000000")
+    return df.withColumn(
+        out_col,
+        F.explode(F.sequence(day, day + F.lit(int(window_days) - 1))))

@@ -901,3 +901,54 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+    signed: bool = False,
+) -> DataFrame:
+    """Hashing-trick featurization: sparse bag-of-words vectors with a
+    FIXED dimensionality and NO fitted vocabulary. Returns long-form
+    ``[id_col, bucket bigint, weight bigint]`` — one row per (doc,
+    bucket) with a non-zero weight.
+
+    The bucket is md5-derived (leading 8 hex chars mod ``n_buckets``) so
+    any engine reproduces the mapping bit-for-bit; ``signed=True`` flips
+    each token's contribution by one extra hash bit (Weinberger et al.'s
+    debiasing — collisions then cancel in expectation instead of
+    accumulating; rows whose signed weights cancel to 0 are dropped so
+    the sparse form stays canonical).
+
+    Shape: scan-stage split/explode + ONE (id, bucket) partial-agg
+    shuffle — linear, vocabulary-free (the whole point vs TF-IDF: no
+    second pass, no vocab table, stable dimensionality under drift). At
+    100 TB the shuffle carries one row per distinct (doc, bucket), upper
+    bounded by tokens and by docs*n_buckets.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))),
+                    r"\s+")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    h = F.md5(F.col("_tok"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+              % F.lit(int(n_buckets)))
+    if signed:
+        sign = F.when(
+            F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2 == 0,
+            F.lit(1)).otherwise(F.lit(-1)).cast("long")
+    else:
+        sign = F.lit(1).cast("long")
+    out = (
+        toks.select(F.col(id_col), bucket.alias("bucket"),
+                    sign.alias("_sign"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_sign").alias("weight"))
+    )
+    return out.filter(F.col("weight") != 0) if signed else out

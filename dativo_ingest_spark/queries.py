@@ -6889,6 +6889,177 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("credit_micro"))
 
 
+@register(
+    "scd2_pit_join_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type),
+    dim AS (
+      SELECT user_id, event_type AS state_type,
+             ts AS ef, lead(ts) OVER w2 AS et,
+             CAST(row_number() OVER w2 AS BIGINT) AS version_n
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.purchase_id, p.user_id, d.state_type, d.version_n, p.cents
+    FROM p JOIN dim d ON p.user_id = d.user_id
+      AND d.ef <= p.p_ts AND (d.et IS NULL OR p.p_ts < d.et)
+    """,
+    doc="point-in-time (AS OF) join against a maintained SCD2 dimension "
+        "(operators/scd.py:pit_join over scd2_from_changelog — the "
+        "query RUNS the r7-proven construction as its first stage): "
+        "each purchase picks up the user's state version valid AT "
+        "PURCHASE TIME — the as-it-was semantics training features and "
+        "restatements need. Validity intervals partition time per key "
+        "(half-open, lead-closed; zero-length same-timestamp versions "
+        "match nothing), so every fact matches AT MOST one version and "
+        "the join can never fan out. One equi-shuffle per side on "
+        "user_id with the interval predicate as post-filter; bucketing "
+        "both sides (operators/skew.py) deletes the shuffle at 100 TB.",
+)
+def scd2_pit_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import scd
+
+    ev = load(spark, sf_dir, "events")
+    dim = scd.scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], tiebreaker="event_id"
+    ).select(
+        "user_id", F.col("event_type").alias("state_type"),
+        "effective_from", "effective_to", "version_n")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    return scd.pit_join(
+        purch, dim, keys=["user_id"], fact_ts="p_ts"
+    ).select("purchase_id", "user_id", "state_type", "version_n", "cents")
+
+
+@register(
+    "feature_hash_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(regexp_replace(
+               lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks WHERE tok <> ''),
+    agg AS (
+      SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+      FROM h GROUP BY 1, 2)
+    SELECT doc_id, bucket, weight FROM agg WHERE weight <> 0
+    """,
+    doc="hashing-trick featurization (operators/textops.py:"
+        "feature_hash, signed): fixed-dimensional sparse bag-of-words "
+        "with NO fitted vocabulary — the second hash bit flips each "
+        "token's sign (Weinberger et al.) so bucket collisions cancel "
+        "in expectation instead of accumulating, and exact zero rows "
+        "drop to keep the sparse form canonical. Scan-stage "
+        "split/explode + ONE (doc, bucket) partial-agg shuffle; "
+        "vocabulary-free is the point vs TF-IDF — no second pass, no "
+        "vocab join, stable dimensionality under corpus drift. The "
+        "md5-derived bucket and sign make the mapping engine-portable "
+        "bit-for-bit.",
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.textops import feature_hash
+
+    docs = load(spark, sf_dir, "documents")
+    return feature_hash(docs, "text", "doc_id", n_buckets=1024,
+                        signed=True)
+
+
+@register(
+    "sliding_distinct_users",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    m AS (
+      SELECT user_id, day + i AS window_day
+      FROM d, unnest(range(0, 7)) AS t(i))
+    SELECT CAST(window_day AS BIGINT) AS window_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM m GROUP BY 1
+    """,
+    doc="7-day sliding-window EXACT distinct actives (operators/"
+        "temporal.py:sliding_day_membership): distinct is holistic — "
+        "not subtractable, no incremental frame trick — so the "
+        "scalable shape is membership EXPLOSION: each event joins the "
+        "7 trailing windows that contain it (scan-stage, x7), then ONE "
+        "grouped count-distinct (Catalyst folds it into a two-level "
+        "(window, user) partial agg — one Expand-free shuffle). The "
+        "alternative — re-scanning the corpus per window offset — "
+        "costs 7 scans and 7 shuffles. Algebraic aggregates must NOT "
+        "pay the explosion (bucket rollup + frame sum instead); the "
+        "docstring pins that boundary and the HLL-merge swap for "
+        "approximate actives at 100 TB.",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.temporal import sliding_day_membership
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    m = sliding_day_membership(ev, "ts", window_days=7)
+    return m.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("active_users"))
+
+
+@register(
+    "skew_report_events",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+      FROM events GROUP BY 1),
+    top AS (
+      SELECT min(k) AS top_key FROM counts
+      WHERE c = (SELECT max(c) FROM counts))
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_count,
+           quantile_cont(c, 0.5) AS p50,
+           quantile_cont(c, 0.9) AS p90,
+           quantile_cont(c, 0.99) AS p99,
+           (SELECT top_key FROM top) AS top_key,
+           CAST(floor(1000000.0 * max(c) / sum(c) + 0.5) AS BIGINT)
+             AS top_share_micro
+    FROM counts
+    """,
+    doc="join/agg key skew diagnostic (operators/skew.py:"
+        "key_skew_report): the measured numbers that pick between a "
+        "plain shuffle, broadcast, salting (salted_join) or an AQE "
+        "skew split — per-key count distribution percentiles (exact "
+        "interpolated, .5-exact on integer counts — the mad_outliers "
+        "portability argument), the hottest key (min_by on a "
+        "(-count, key) struct — deterministic ties) and its row share "
+        "in micro-units. One map-side-combined count per key (the only "
+        "corpus-sized shuffle) + one tiny aggregate over the key-count "
+        "frame; exact=False swaps the percentiles for the mergeable "
+        "sketch when the key space itself is huge.",
+)
+def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.skew import key_skew_report
+
+    ev = load(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", exact=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -7310,6 +7481,24 @@ _GATE_DEMOTED = [
     # table-format legs (merge/WAP/delete/compact) in-window
     # (partition_value_sanitize r7-proven)
     "partition_value_sanitize",
+    # admits scd2_pit_join_events, which RUNS scd2_from_changelog as its
+    # first stage — the SCD2 construction stays driver-exercised inside
+    # the PIT proof (scd2_user_event_history r7-proven)
+    "scd2_user_event_history",
+    # admits feature_hash_docs — the Gopher gate is r7-proven and the
+    # quality-filter family keeps dsir, perplexity_bucket_mix and
+    # html_strip in-window (gopher_rules_docs r7-proven)
+    "gopher_rules_docs",
+    # admits sliding_distinct_users — line-exact fragment removal is
+    # r7-proven and passage_removal keeps the identical
+    # count/broadcast-back/reassembly shape in-window
+    # (dedup_lines_docs r7-proven)
+    "dedup_lines_docs",
+    # admits skew_report_events — INTERSECT is r1-r7-proven seven
+    # rounds running; the set-op rewrites stay pinned by
+    # tests/test_plans.py and the local parity suite
+    # (set_intersect_segments r1-r7-proven)
+    "set_intersect_segments",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

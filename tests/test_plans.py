@@ -633,3 +633,38 @@ def test_time_decay_attribution_join_shape(spark):
     assert "Python" not in plan
     assert plan.count("PushedFilters") >= 2
     assert "In(event_type" in plan or "EqualTo(event_type" in plan
+
+
+def test_pit_join_no_fanout_shape(spark):
+    # equi-join on the key with interval post-filter: no cartesian/BNLJ,
+    # no Python; both sides read events (dim build + facts)
+    plan = plan_of(spark, "scd2_pit_join_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_feature_hash_single_shuffle(spark):
+    # scan-stage explode/hash + one (doc, bucket) partial agg
+    plan = plan_of(spark, "feature_hash_docs")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "partial" in plan
+    assert "Python" not in plan
+
+
+def test_sliding_distinct_two_level_agg(spark):
+    # membership explode stays scan-stage; the distinct folds into a
+    # two-level partial agg — never one shuffle per window offset
+    plan = plan_of(spark, "sliding_distinct_users")
+    assert plan.count("FileScan") == 1
+    assert n_exchanges(plan) <= 2, plan[:800]
+    assert "Python" not in plan
+
+
+def test_skew_report_one_corpus_shuffle(spark):
+    # the per-key count is the only corpus-sized exchange; the final
+    # stats agg exchanges a key-count frame collapsed to one row
+    plan = plan_of(spark, "skew_report_events")
+    assert plan.count("FileScan") == 1
+    assert n_exchanges(plan) <= 2, plan[:800]
+    assert "Python" not in plan

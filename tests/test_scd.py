@@ -382,3 +382,57 @@ def test_lossless_no_tiebreaker_keeps_legit_duplicate_events(spark):
         ["color"], **kw)
     assert sorted(r["version_n"] for r in merged.collect()) == \
         sorted(r["version_n"] for r in rebuilt.collect()) == [1, 2, 3]
+
+
+class TestPitJoin:
+    def _dim(self, spark):
+        from dativo_ingest_spark.operators import scd
+        changes = spark.createDataFrame(
+            [(1, 10, "bronze", 100), (1, 20, "gold", 101),
+             (2, 15, "silver", 102)],
+            "uid bigint, t bigint, tier string, cid bigint")
+        changes = changes.withColumn(
+            "ts", F.timestamp_micros(F.col("t") * 1000000))
+        return scd.scd2_from_changelog(
+            changes, ["uid"], "ts", ["tier"], tiebreaker="cid")
+
+    def _facts(self, spark, rows):
+        df = spark.createDataFrame(rows, "uid bigint, fid bigint, t bigint")
+        return df.withColumn("fts", F.timestamp_micros(F.col("t") * 1000000))
+
+    def test_picks_version_valid_at_fact_time(self, spark):
+        from dativo_ingest_spark.operators import scd
+        facts = self._facts(spark, [
+            (1, 1, 12),   # inside bronze [10, 20)
+            (1, 2, 20),   # exactly at gold start -> gold
+            (1, 3, 99),   # open gold row
+            (2, 4, 15),   # silver from its first instant
+        ])
+        out = {r.fid: r.tier for r in scd.pit_join(
+            facts, self._dim(spark), ["uid"], "fts").collect()}
+        assert out == {1: "bronze", 2: "gold", 3: "gold", 4: "silver"}
+
+    def test_never_fans_out_and_left_marks_prehistory(self, spark):
+        from dativo_ingest_spark.operators import scd
+        facts = self._facts(spark, [(1, 1, 5), (1, 2, 50), (3, 3, 50)])
+        inner = scd.pit_join(facts, self._dim(spark), ["uid"], "fts")
+        assert inner.count() == 1  # pre-history and unknown key drop
+        left = scd.pit_join(facts, self._dim(spark), ["uid"], "fts",
+                            how="left")
+        rows = {r.fid: r.tier for r in left.collect()}
+        assert rows == {1: None, 2: "gold", 3: None}
+        # at most one row per fact even with multiple versions
+        assert left.count() == 3
+
+    def test_same_timestamp_tie_matches_last_version_only(self, spark):
+        from dativo_ingest_spark.operators import scd
+        changes = spark.createDataFrame(
+            [(1, 10, "a", 1), (1, 10, "b", 2)],
+            "uid bigint, t bigint, tier string, cid bigint"
+        ).withColumn("ts", F.timestamp_micros(F.col("t") * 1000000))
+        dim = scd.scd2_from_changelog(
+            changes, ["uid"], "ts", ["tier"], tiebreaker="cid")
+        facts = self._facts(spark, [(1, 1, 10)])
+        out = scd.pit_join(facts, dim, ["uid"], "fts").collect()
+        # the zero-length [10,10) "a" version matches nothing
+        assert [r.tier for r in out] == ["b"]

@@ -106,3 +106,27 @@ def test_two_phase_count_matches_group_count(spark):
     got = {(r.k, r.n) for r in
            skew.two_phase_count(df, ["k"], n_salts=8).collect()}
     assert got == {("x", 800), ("a", 2), ("b", 1)}
+
+
+class TestKeySkewReport:
+    def test_exact_report(self, spark):
+        from dativo_ingest_spark.operators.skew import key_skew_report
+        rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 2
+        df = spark.createDataFrame(rows, "k string")
+        r = key_skew_report(df, "k").collect()[0]
+        assert (r.n_rows, r.n_keys, r.max_count) == (10, 3, 6)
+        assert r.top_key == "hot"
+        assert r.p50 == 2.0  # counts [2, 2, 6] -> median 2
+        assert r.top_share_micro == 600_000
+
+    def test_tie_breaks_to_smallest_key(self, spark):
+        from dativo_ingest_spark.operators.skew import key_skew_report
+        df = spark.createDataFrame(
+            [("z",), ("z",), ("a",), ("a",)], "k string")
+        assert key_skew_report(df, "k").collect()[0].top_key == "a"
+
+    def test_approx_mode_same_shape(self, spark):
+        from dativo_ingest_spark.operators.skew import key_skew_report
+        df = spark.createDataFrame([(i % 5,) for i in range(50)], "k int")
+        r = key_skew_report(df, "k", exact=False).collect()[0]
+        assert (r.n_rows, r.n_keys, r.max_count) == (50, 5, 10)

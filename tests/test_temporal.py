@@ -3,6 +3,8 @@ unmatched nulls, tolerance null-out."""
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from dativo_ingest_spark.operators.temporal import asof_join
 
 
@@ -332,3 +334,29 @@ def test_gapfill_zero_fill_rejects_non_numeric_aggs(spark):
         frame, "ts", 60.0, {"mx": F.max("v")}, keys=["k"], fill="zero",
     ).orderBy("k", "bucket_ts").collect()
     assert [r.mx for r in out if r.k == "A"] == [20.0, 0.0, 40.0]
+
+
+class TestSlidingDayMembership:
+    def test_membership_and_distinct(self, spark):
+        from dativo_ingest_spark.operators.temporal import (
+            sliding_day_membership)
+        day = 86_400_000_000
+        df = spark.createDataFrame(
+            [(1, 0), (2, 2 * day)], "uid bigint, us bigint"
+        ).withColumn("ts", F.timestamp_micros("us"))
+        m = sliding_day_membership(df, "ts", window_days=3)
+        got = {(r.uid, r.window_day) for r in m.collect()}
+        assert got == {(1, 0), (1, 1), (1, 2), (2, 2), (2, 3), (2, 4)}
+        acts = {r.window_day: r.n for r in
+                m.groupBy("window_day")
+                .agg(F.countDistinct("uid").alias("n")).collect()}
+        assert acts == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+    def test_validates(self, spark):
+        import pytest as _pytest
+        from dativo_ingest_spark.operators.temporal import (
+            sliding_day_membership)
+        df = spark.createDataFrame([(1,)], "us bigint").withColumn(
+            "ts", F.timestamp_micros("us"))
+        with _pytest.raises(ValueError):
+            sliding_day_membership(df, "ts", window_days=0)

@@ -185,6 +185,13 @@ HEADLINE = [
     "feature_hash_docs",
     "sliding_distinct_users",
     "skew_report_events",
+    # r8 batch 10: the Expand-widened FD check, the first-occurrence
+    # cumulative-distinct fold, and the fit+apply equi-depth binning.
+    # stats_prune_read_orders stays OUT: the table write/commit harness
+    # is fixed overhead, not engine throughput.
+    "fd_discovery_orders",
+    "cumulative_new_users_daily",
+    "equi_depth_bins_events",
 ]
 
 

@@ -85,3 +85,46 @@ def column_top_values(df: DataFrame, column: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("value"))
         .limit(k)
     )
+
+
+def fd_violations(df: DataFrame,
+                  pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency check over candidate (determinant ->
+    dependent) column pairs — the contract-discovery complement of
+    :func:`profile_table`: ``det -> dep`` holds iff no determinant value
+    maps to two dependent values, i.e. ``n_distinct(det, dep) ==
+    n_distinct(det)``.
+
+    Output: ``[determinant, dependent, n_det bigint, n_pairs bigint,
+    violations bigint, is_fd boolean]`` — ``violations`` counts the
+    extra (det, dep) combinations beyond one-per-determinant (0 = the
+    FD holds; a contract author can then mark ``dep`` derivable or a
+    drift monitor can alarm when a historical FD breaks).
+
+    All pairs fold into ONE aggregate job: each needs two exact distinct
+    counts, which Catalyst plans as a single Expand-widened pass (the
+    ``profile_table(distinct_mode="exact")`` cost shape — 2*k row
+    multiplication, one shuffle). FD checking is inherently exact; there
+    is no sketch mode (HLL error would fabricate or mask violations).
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    for det, dep in pairs:
+        for c in (det, dep):
+            if c not in df.columns:
+                raise ValueError(f"fd_violations: unknown column {c!r}")
+    aggs = []
+    for i, (det, dep) in enumerate(pairs):
+        aggs.append(F.countDistinct(F.col(det)).alias(f"_d_{i}"))
+        aggs.append(
+            F.countDistinct(F.col(det), F.col(dep)).alias(f"_p_{i}"))
+    row = df.agg(*aggs)
+    parts = []
+    for i, (det, dep) in enumerate(pairs):
+        parts.append(
+            f"'{det}', '{dep}', CAST(_d_{i} AS BIGINT), "
+            f"CAST(_p_{i} AS BIGINT), CAST(_p_{i} - _d_{i} AS BIGINT), "
+            f"_p_{i} = _d_{i}")
+    return row.select(F.expr(
+        f"stack({len(pairs)}, {', '.join(parts)}) AS "
+        "(determinant, dependent, n_det, n_pairs, violations, is_fd)"))

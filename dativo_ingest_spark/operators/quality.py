@@ -386,3 +386,42 @@ def rolling_zscore(
         "/ sqrt((CAST(_ss AS DOUBLE) - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) "
         "/ _win_n) / (_win_n - 1)) + 0.5) AS BIGINT)")
     return base.withColumn(out_col, F.when(ok, z)).drop("_s", "_ss")
+
+
+def equi_depth_edges(df: DataFrame, col: str, n_bins: int,
+                     exact: bool = True,
+                     accuracy: int = 10_000) -> list[float]:
+    """Fit ``n_bins - 1`` interior equi-depth (quantile) cut points for
+    ``col`` in ONE aggregate pass. ``exact=True`` uses the interpolated
+    exact percentile (integer inputs interpolate on .5-exact doubles —
+    engine-portable, the mad_outliers argument); ``exact=False`` the
+    mergeable sketch (the 100 TB default, same contract as
+    :func:`quantile_bounds`)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    pct = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    arr = ", ".join(f"{f!r}D" for f in fracs)
+    row = df.agg(F.expr(
+        f"{pct}(`{col}`, array({arr}){acc})").alias("_e")).collect()[0]
+    return [float(v) for v in row._e]
+
+
+def apply_equi_depth_bins(df: DataFrame, col: str, edges: list[float],
+                          out_col: str = "bin") -> DataFrame:
+    """Assign each row its equi-depth bin index (0..len(edges)) by a
+    literal `<=` cascade over the fitted edges — scan-stage, no join, no
+    shuffle; the fit-once/apply-many contract of
+    :func:`quantile_bounds`: incremental batches bin against the SAME
+    edges instead of re-fitting and drifting. Rows exactly ON an edge go
+    to the lower bin (<=), NULLs get NULL."""
+    expr = None
+    for i, e in enumerate(edges):
+        cond = F.col(col) <= F.lit(float(e))
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    expr = (F.lit(len(edges)) if expr is None
+            else expr.otherwise(len(edges)))
+    return df.withColumn(
+        out_col, F.when(F.col(col).isNull(), None).otherwise(expr)
+        .cast("bigint"))

@@ -7060,6 +7060,205 @@ def skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(ev, "user_id", exact=True)
 
 
+@register(
+    "stats_prune_read_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    GROUP BY 1
+    """,
+    doc="manifest-stats FILE SKIPPING driver-proven (sinks/"
+        "table_commit.py:matching_files — Iceberg's core scan-planning "
+        "win): orders land in the snapshot table as 8 range-disjoint "
+        "files with per-file [min,max] o_orderkey stats; a keyrange "
+        "read plans through read(where=...), and the query ASSERTS "
+        "in-flight that the manifest cut the file list (pruned < "
+        "total, and every surviving file's range overlaps the "
+        "predicate) before verifying the scanned rows aggregate "
+        "EXACTLY to the plain-predicate oracle. At 100 TB this "
+        "driver-side manifest cut is what turns a 200k-file scan into "
+        "the files that can contain the key — no directory listing, "
+        "no footer reads for excluded files. Row-level residue is "
+        "re-filtered in-plan (stats are file-granular, the documented "
+        "contract).",
+)
+def stats_prune_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_prune_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(
+            orders.repartitionByRange(8, "o_orderkey"),
+            stats_columns=["o_orderkey"])
+        snap = t.snapshot(t.current_version())
+        where = [("o_orderkey", ">=", 1000), ("o_orderkey", "<", 2000)]
+        kept = t.matching_files(snap, where)
+        assert 0 < len(kept) < len(snap.files), (
+            f"stats pruning ineffective: {len(kept)}/{len(snap.files)}")
+        assert all(f["stats"]["o_orderkey"]["min"] < 2000
+                   and f["stats"]["o_orderkey"]["max"] >= 1000
+                   for f in kept)
+        rows = [(r.o_orderpriority, r.n, r.s) for r in
+                t.read(spark, where=where)
+                .filter((F.col("o_orderkey") >= 1000)
+                        & (F.col("o_orderkey") < 2000))
+                .groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("s")).collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "o_orderpriority string, n_orders bigint, sum_cents bigint")
+
+
+@register(
+    "fd_discovery_orders",
+    """
+    WITH d0 AS (SELECT count(DISTINCT o_orderkey) AS d,
+                       (SELECT count(*) FROM (SELECT DISTINCT o_orderkey,
+                                              o_custkey FROM orders)) AS p
+                FROM orders),
+    d1 AS (SELECT count(DISTINCT o_custkey) AS d,
+                  (SELECT count(*) FROM (SELECT DISTINCT o_custkey,
+                                         o_orderstatus FROM orders)) AS p
+           FROM orders),
+    d2 AS (SELECT count(DISTINCT o_orderpriority) AS d,
+                  (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority,
+                                         o_orderstatus FROM orders)) AS p
+           FROM orders)
+    SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+           CAST(d AS BIGINT) AS n_det, CAST(p AS BIGINT) AS n_pairs,
+           CAST(p - d AS BIGINT) AS violations, p = d AS is_fd FROM d0
+    UNION ALL
+    SELECT 'o_custkey', 'o_orderstatus', CAST(d AS BIGINT),
+           CAST(p AS BIGINT), CAST(p - d AS BIGINT), p = d FROM d1
+    UNION ALL
+    SELECT 'o_orderpriority', 'o_orderstatus', CAST(d AS BIGINT),
+           CAST(p AS BIGINT), CAST(p - d AS BIGINT), p = d FROM d2
+    """,
+    doc="functional-dependency discovery (operators/profiling.py:"
+        "fd_violations — the contract-discovery complement of "
+        "profile_table): det -> dep holds iff n_distinct(det, dep) == "
+        "n_distinct(det); violations counts the extra combinations. "
+        "o_orderkey -> o_custkey holds (key determines all), the "
+        "non-key pairs do not. All pairs fold into ONE Expand-widened "
+        "aggregate pass — never a per-pair scan; inherently exact (a "
+        "sketch would fabricate or mask violations).",
+)
+def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import fd_violations
+
+    orders = load(spark, sf_dir, "orders")
+    return fd_violations(orders, [
+        ("o_orderkey", "o_custkey"),
+        ("o_custkey", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"),
+    ])
+
+
+@register(
+    "cumulative_new_users_daily",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS first_day
+      FROM events GROUP BY 1),
+    n AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM f GROUP BY 1)
+    SELECT CAST(day AS BIGINT) AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM n
+    """,
+    doc="user-growth curve: cumulative EXACT distinct users by day "
+        "without any distinct-over-window (running distinct is "
+        "holistic — the naive per-day recount is one shuffle PER day). "
+        "Shape: distinct collapses to each user's FIRST day (one "
+        "user-keyed agg — the corpus-sized shuffle), daily new-user "
+        "counts (day-sized agg), then a running sum over the tiny "
+        "day frame (single-partition window over ~30 rows — bounded "
+        "by the calendar, not the corpus; the keys=() gapfill "
+        "argument). Three-level fold, each level orders of magnitude "
+        "smaller than the last.",
+)
+def cumulative_new_users_daily(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+        .alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("first_day"))
+    daily = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"))
+
+
+@register(
+    "equi_depth_bins_events",
+    """
+    WITH b AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    e AS (
+      SELECT quantile_cont(cents, 0.25) AS e1,
+             quantile_cont(cents, 0.5)  AS e2,
+             quantile_cont(cents, 0.75) AS e3
+      FROM b),
+    binned AS (
+      SELECT CASE WHEN cents <= e1 THEN 0
+                  WHEN cents <= e2 THEN 1
+                  WHEN cents <= e3 THEN 2
+                  ELSE 3 END AS bin, cents
+      FROM b CROSS JOIN e)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM binned GROUP BY 1
+    """,
+    doc="equi-depth (quantile) binning, fit-once/apply-many "
+        "(operators/quality.py:equi_depth_edges + "
+        "apply_equi_depth_bins): quartile cut points fit in ONE "
+        "aggregate pass (exact interpolated percentiles — .5-exact "
+        "doubles on integer cents, engine-portable; sketch knob for "
+        "100 TB), then bin assignment is a literal <= cascade — "
+        "scan-stage, no join, and incremental batches bin against the "
+        "SAME persisted edges instead of re-fitting and drifting (the "
+        "quantile_clip contract extended from 2 bounds to k bins). "
+        "Rows exactly ON an edge go to the lower bin on both engines.",
+)
+def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.quality import (
+        apply_equi_depth_bins, equi_depth_edges)
+
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    edges = equi_depth_edges(ev, "cents", n_bins=4, exact=True)
+    return apply_equi_depth_bins(ev, "cents", edges).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -7499,6 +7698,23 @@ _GATE_DEMOTED = [
     # tests/test_plans.py and the local parity suite
     # (set_intersect_segments r1-r7-proven)
     "set_intersect_segments",
+    # admits stats_prune_read_orders — the MinHash band index is
+    # r7-proven; the ingest-dedup family keeps
+    # streaming_dedup_ingest_docs (the same persistent-index machinery
+    # through foreachBatch) in-window (dedup_ingest_minhash r7-proven)
+    "dedup_ingest_minhash",
+    # ---- r9 ROTATION QUEUE ----------------------------------------
+    # The three queries below are NEW this round but registered OUTSIDE
+    # the 50-row window on purpose: every remaining in-window proven
+    # query is its family's last representative (pii/mdkv/multimodal/
+    # validation/chunking/splits), so demoting more would break the
+    # keep-each-family-in-window discipline. They are value-checked
+    # every CI run by tests/test_oracle_parity.py (all three SFs,
+    # verified this round) and are first in line for the r9 window once
+    # the r8 batch queries earn driver rows.
+    "fd_discovery_orders",
+    "cumulative_new_users_daily",
+    "equi_depth_bins_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -668,3 +668,12 @@ def test_skew_report_one_corpus_shuffle(spark):
     assert plan.count("FileScan") == 1
     assert n_exchanges(plan) <= 2, plan[:800]
     assert "Python" not in plan
+
+
+def test_equi_depth_apply_is_scan_stage(spark):
+    # after the one fit pass, bin assignment + final agg: the apply
+    # itself is a literal cascade inside the scan stage (single
+    # exchange = the group-by-bin agg)
+    plan = plan_of(spark, "equi_depth_bins_events")
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "Python" not in plan

@@ -71,3 +71,30 @@ def test_column_top_values(spark):
            profiling.column_top_values(df, "tag", k=2).collect()]
     # count desc, value asc on ties
     assert top == [("a", 2), ("b", 2)]
+
+
+def test_fd_violations_detects_and_clears(spark):
+    from dativo_ingest_spark.operators.profiling import fd_violations
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y"), (4, "b", "z")],
+        "id bigint, det string, dep string")
+    out = {(r.determinant, r.dependent):
+           (r.n_det, r.n_pairs, r.violations, r.is_fd)
+           for r in fd_violations(
+               df, [("id", "det"), ("det", "dep")]).collect()}
+    assert out[("id", "det")] == (4, 4, 0, True)    # key determines all
+    assert out[("det", "dep")] == (2, 3, 1, False)  # b -> {y, z}
+
+
+def test_fd_violations_single_pass_plan_and_validation(spark):
+    import pytest as _pytest
+    from dativo_ingest_spark.operators.profiling import fd_violations
+    df = spark.createDataFrame([(1, "a", "x")],
+                               "id bigint, det string, dep string")
+    plan = fd_violations(df, [("id", "det"), ("det", "dep")])\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # one widened pass, not per-pair scans
+    with _pytest.raises(ValueError):
+        fd_violations(df, [])
+    with _pytest.raises(ValueError, match="unknown column"):
+        fd_violations(df, [("id", "nope")])

@@ -331,3 +331,28 @@ class TestRollingZscore:
                                    "uid bigint, t bigint, x bigint")
         with pytest.raises(ValueError):
             quality.rolling_zscore(df, "x", ["uid"], ["t"], lookback=1)
+
+
+class TestEquiDepthBins:
+    def test_fit_and_apply_quartiles(self, spark):
+        df = spark.createDataFrame([(v,) for v in range(1, 9)], "x bigint")
+        edges = quality.equi_depth_edges(df, "x", n_bins=4)
+        # 1..8 quartiles: interpolated exact [2.75, 4.5, 6.25]
+        assert edges == [2.75, 4.5, 6.25]
+        out = {r.x: r.bin for r in
+               quality.apply_equi_depth_bins(df, "x", edges).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+    def test_edges_reusable_on_new_batch_and_nulls(self, spark):
+        df = spark.createDataFrame([(v,) for v in range(1, 9)], "x bigint")
+        edges = quality.equi_depth_edges(df, "x", n_bins=4)
+        batch = spark.createDataFrame([(0,), (100,), (None,)], "x bigint")
+        out = [r.bin for r in
+               quality.apply_equi_depth_bins(batch, "x", edges)
+               .orderBy(F.col("x").asc_nulls_last()).collect()]
+        assert out == [0, 3, None]
+
+    def test_validates(self, spark):
+        df = spark.createDataFrame([(1,)], "x bigint")
+        with pytest.raises(ValueError):
+            quality.equi_depth_edges(df, "x", n_bins=1)

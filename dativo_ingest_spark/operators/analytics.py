@@ -212,3 +212,84 @@ def attribute_last_touch(
         F.coalesce(F.col("touch_r"), F.lit("none")).alias("touch_type"),
         F.col("ts_r").alias("touch_ts"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_days: int = 1,
+    threshold_days: int = 2,
+) -> DataFrame:
+    """Per-key CUSUM level-shift detection over a time-bucketed series
+    (Page 1954 — the standard SPC drift detector; the monitoring layer a
+    100 TB ingest pipeline runs over its own daily volumes/quality
+    scores to catch upstream regressions).
+
+    One row per (key, bucket): the bucket's summed value, the one-sided
+    positive and negative CUSUM statistics, and a flag when either side
+    crosses the threshold. The textbook recursion
+    ``S_i = max(0, S_{i-1} + dev_i)`` is NOT a window primitive, but its
+    closed form is: ``S_i = C_i - min(0, min_{j<=i}(C_j))`` with ``C``
+    the running sum of deviations and the 0 term the empty-prefix
+    baseline — so both sides compute as a running sum
+    plus a running extremum, two O(1)-state frames over one
+    key-partitioned sort. No recursion, no UDF, no state store.
+
+    Integer discipline (oracle-exact): values quantize to cents at the
+    scan; deviations use ``x_i * n - T`` (the per-key mean ``T/n``
+    scaled through by ``n``) so every intermediate is a BIGINT — no
+    float mean ever materializes. The threshold is expressed in
+    mean-days (``threshold_days`` × the key's average bucket value,
+    i.e. ``threshold_days * T`` in scaled units), dimensionally stable
+    across keys of different volume.
+
+    Scale: grouping to (key, bucket) grain is one partial-agg shuffle of
+    the raw events; the windows then run over the AGGREGATED frame —
+    ``keys × buckets`` rows, orders of magnitude smaller than the input.
+    Per-key series sort is bounded by the calendar, not the data.
+    """
+    from pyspark.sql.window import Window as _W
+
+    cents = F.expr(
+        f"CAST(floor(`{value_col}` * 100 + 0.5) AS BIGINT)")
+    day_us = 86_400_000_000 * bucket_days
+    bucketed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP))")
+            .alias("_us"),
+            cents.alias("_cents"),
+        )
+        .withColumn("bucket", F.expr(f"_us div {day_us}"))
+        .groupBy("key", "bucket")
+        .agg(F.sum("_cents").alias("cents"))
+    )
+    per_key = _W.partitionBy("key")
+    ordered = _W.partitionBy("key").orderBy("bucket")
+    stats = (
+        bucketed
+        .withColumn("_n", F.count(F.lit(1)).over(per_key))
+        .withColumn("_t", F.sum("cents").over(per_key))
+        .withColumn("_dev", F.col("cents") * F.col("_n") - F.col("_t"))
+        .withColumn("_c", F.sum("_dev").over(ordered))
+        .withColumn(
+            "cusum_pos",
+            F.col("_c")
+            - F.least(F.lit(0).cast("long"), F.min("_c").over(ordered)))
+        .withColumn(
+            "cusum_neg",
+            F.greatest(F.lit(0).cast("long"), F.max("_c").over(ordered))
+            - F.col("_c"))
+    )
+    h = F.col("_t") * threshold_days
+    return stats.select(
+        "key",
+        "bucket",
+        "cents",
+        "cusum_pos",
+        "cusum_neg",
+        ((F.col("cusum_pos") > h) | (F.col("cusum_neg") > h))
+        .alias("flagged"),
+    )

@@ -513,3 +513,87 @@ def host_cap_sample(
         .filter(F.col("_hc_rank") <= cap)
         .drop("_hc_rank")
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    step: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Weighted systematic (probability-proportional-to-size) sampling:
+    lay the rows end-to-end on a weight axis in ``id_col`` order and keep
+    every row whose weight interval contains a multiple of ``step``.
+
+    Each row is kept with probability ``min(weight/step, 1)`` — the
+    classic PPS systematic design (Madow 1949; the sampler behind DDSketch
+    -style weighted telemetry and token-budgeted corpus draws where long
+    documents must be over-represented proportionally). Unlike
+    exponential-key A-ES reservoir draws, selection is PURE INTEGER
+    arithmetic over the cumulative weight, so the kept set is bit-exact
+    across engines, retries, and partition layouts — the property every
+    other sampler in this module guarantees via md5, achieved here with
+    no hashing at all. Rows heavier than ``step`` are kept exactly once
+    (truncated PPS; callers wanting with-replacement multiplicity can
+    take ``(cum div step) - ((cum - w) div step)`` as the copy count).
+
+    Scale shape — the global cumulative sum, done distributively:
+    a global ``sum() OVER (ORDER BY id)`` window is a SINGLE-TASK sort at
+    100 TB, so instead (1) rows bucket by an id-range split (pure
+    function of the id — layout-independent, unlike
+    ``spark_partition_id``), (2) one window per bucket computes the
+    bucket-local cumsum (shuffle keyed on ~``n_buckets`` × even-width
+    keys), (3) the per-bucket totals — ``n_buckets`` rows — aggregate,
+    collect to the driver (control-plane frame, bytes not data), prefix-
+    sum in Python, and broadcast-join back as bucket offsets. Total cost:
+    one bucket-keyed exchange of the data + one broadcast; identical
+    output for ANY ``n_buckets``.
+
+    Weights must be non-negative; null weights count as 0 (never
+    sampled). Returns the input schema (sampled rows only).
+    """
+    if step < 1:
+        raise ValueError("step must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql.window import Window as _W
+
+    bounds = df.agg(
+        F.min(F.col(id_col)).alias("lo"),
+        F.max(F.col(id_col)).alias("hi"),
+    ).first()
+    if bounds.lo is None:
+        return df
+    span = int(bounds.hi) - int(bounds.lo) + 1
+    width = max(1, -(-span // n_buckets))
+    w = F.coalesce(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0))
+    bucketed = df.withColumn(
+        "_ss_b",
+        F.expr(
+            f"(CAST(`{id_col}` AS BIGINT) - {int(bounds.lo)}) div {width}"
+        ),
+    ).withColumn("_ss_w", w)
+    win = _W.partitionBy("_ss_b").orderBy(F.col(id_col))
+    local = bucketed.withColumn("_ss_lc", F.sum("_ss_w").over(win))
+    totals = {
+        r._ss_b: r.t
+        for r in local.groupBy("_ss_b")
+        .agg(F.max("_ss_lc").alias("t"))
+        .collect()
+    }
+    off, offsets = 0, []
+    for b in sorted(totals):
+        offsets.append((int(b), off))
+        off += int(totals[b])
+    odf = df.sparkSession.createDataFrame(
+        offsets, "_ss_b long, _ss_off long")
+    kept = (
+        local.join(F.broadcast(odf), "_ss_b")
+        .filter(
+            F.expr(f"(_ss_lc + _ss_off) div {step}")
+            > F.expr(f"(_ss_lc + _ss_off - _ss_w) div {step}")
+        )
+    )
+    return kept.drop("_ss_b", "_ss_w", "_ss_lc", "_ss_off")

@@ -7259,6 +7259,91 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("max_cents"))
 
 
+@register(
+    "systematic_sample_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             sum(greatest(coalesce(n_chars, 0), 0))
+               OVER (ORDER BY doc_id) AS c
+      FROM documents)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM w
+    WHERE c // 4096 > (c - greatest(coalesce(n_chars, 0), 0)) // 4096
+    """,
+    doc="weighted systematic (PPS) sampling "
+        "(operators/sampling.py:systematic_sample, Madow 1949): keep "
+        "every document whose interval on the cumulative-n_chars axis "
+        "contains a multiple of 4096 — each doc kept with probability "
+        "~n_chars/4096, the draw every token-budgeted corpus mixture "
+        "needs (long docs over-represented proportionally). Selection "
+        "is PURE INTEGER arithmetic over the cumulative weight: "
+        "bit-exact across engines/retries/layouts with no hashing at "
+        "all, unlike exponential-key A-ES draws whose float keys can "
+        "flip borderline ranks between libm builds. The global cumsum "
+        "is computed distributively (id-range buckets -> per-bucket "
+        "window -> driver prefix-sum of the ~256-row bucket totals "
+        "broadcast back), never a single-task global sort; the kept "
+        "set is provably identical for ANY bucket count "
+        "(layout-invariance pinned in tests).",
+)
+def systematic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.sampling import systematic_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return systematic_sample(docs, "doc_id", "n_chars", step=4096).select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register(
+    "cusum_changepoint_events",
+    """
+    WITH b AS (
+      SELECT event_type AS key, epoch_us(ts) // 86400000000 AS bucket,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT key, bucket, cents,
+             count(*) OVER (PARTITION BY key) AS n,
+             sum(cents) OVER (PARTITION BY key) AS t
+      FROM b),
+    c AS (
+      SELECT key, bucket, cents, t,
+             sum(cents * n - t)
+               OVER (PARTITION BY key ORDER BY bucket) AS cc
+      FROM s)
+    SELECT key, CAST(bucket AS BIGINT) AS bucket,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cc - least(0, min(cc) OVER
+                (PARTITION BY key ORDER BY bucket)) AS BIGINT) AS cusum_pos,
+           CAST(greatest(0, max(cc) OVER
+                (PARTITION BY key ORDER BY bucket)) - cc AS BIGINT)
+             AS cusum_neg,
+           (cc - least(0, min(cc) OVER
+                (PARTITION BY key ORDER BY bucket)) > t * 2
+            OR greatest(0, max(cc) OVER
+                (PARTITION BY key ORDER BY bucket)) - cc > t * 2) AS flagged
+    FROM c
+    """,
+    doc="CUSUM level-shift detection per event type at daily grain "
+        "(operators/analytics.py:cusum_changepoints, Page 1954 — the "
+        "SPC drift monitor a 100 TB pipeline runs over its own daily "
+        "volumes to catch upstream regressions). The textbook "
+        "max(0, S+dev) recursion is replaced by its closed form "
+        "(running sum minus running min, with the empty-prefix 0 "
+        "baseline) — two O(1)-state window frames over the AGGREGATED "
+        "keys-by-days frame, no recursion/UDF/state store. All "
+        "intermediates are BIGINT: deviations use x*n - T so no float "
+        "mean ever materializes, making the statistic oracle-exact.",
+)
+def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import cusum_changepoints
+
+    ev = load(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, "event_type", "ts", "value", bucket_days=1, threshold_days=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -7715,6 +7800,11 @@ _GATE_DEMOTED = [
     "fd_discovery_orders",
     "cumulative_new_users_daily",
     "equi_depth_bins_events",
+    # (session 3 additions to the same queue — parity-proven at sf0.01
+    # and sf0.1 under bare sessions, registered outside the window for
+    # the same sole-family-representative reason)
+    "systematic_sample_docs",
+    "cusum_changepoint_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

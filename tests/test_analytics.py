@@ -167,3 +167,61 @@ class TestLastTouchAttribution:
                 _ev_val(spark, [(1, 1, 0, "purchase", 1)]),
                 "user_id", "ts", "event_type", "value",
                 conversion="purchase", touch_types=["purchase"])
+
+
+class TestCusumChangepoints:
+    def _run(self, spark, rows):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), v)
+             for k, d, v in rows],
+            "event_type string, ts timestamp, value double")
+        out = analytics.cusum_changepoints(
+            df, "event_type", "ts", "value")
+        return {(r.key, r.bucket): (r.cents, r.cusum_pos, r.cusum_neg,
+                                    r.flagged)
+                for r in out.collect()}
+
+    def test_flat_series_never_flags(self, spark):
+        got = self._run(spark, [("a", d, 10.0) for d in range(10)])
+        assert all(v == (1000, 0, 0, False) for v in got.values())
+
+    def test_level_shift_raises_positive_cusum(self, spark):
+        rows = [("a", d, 10.0) for d in range(10)] + [
+            ("a", 10 + d, 100.0) for d in range(10)]
+        got = self._run(spark, rows)
+        buckets = sorted(b for (_, b) in got)
+        pos = [got[("a", b)][1] for b in buckets]
+        # cusum climbs monotonically through the post-shift regime
+        assert pos[-1] > pos[12] > pos[10] >= 0
+        assert got[("a", buckets[-1])][3]  # flagged at the tail
+
+    def test_matches_reference_recursion(self, spark):
+        # the closed form must equal the textbook max(0, S + dev) fold
+        vals = [5.0, 5.0, 30.0, 5.0, 5.0, 50.0, 5.0, 1.0]
+        got = self._run(spark, [("a", d, v) for d, v in enumerate(vals)])
+        cents = [int(v * 100) for v in vals]
+        n, t = len(cents), sum(cents)
+        s_pos = s_neg = 0
+        for d, x in enumerate(cents):
+            dev = x * n - t
+            s_pos = max(0, s_pos + dev)
+            s_neg = max(0, s_neg - dev)
+            b = sorted(bb for (_, bb) in got)[d]
+            assert got[("a", b)][1] == s_pos
+            assert got[("a", b)][2] == s_neg
+
+    def test_first_bucket_positive_deviation_counts(self, spark):
+        # regression: the running min must include the empty-prefix 0
+        got = self._run(spark, [("a", 0, 100.0), ("a", 1, 1.0),
+                                ("a", 2, 1.0)])
+        first = min(b for (_, b) in got)
+        assert got[("a", first)][1] > 0
+
+    def test_keys_independent(self, spark):
+        rows = ([("a", d, 10.0) for d in range(5)]
+                + [("b", d, float(d * d)) for d in range(5)])
+        got = self._run(spark, rows)
+        a_vals = [got[("a", b)] for (k, b) in got if k == "a"]
+        assert all(v[1] == 0 and v[2] == 0 for v in a_vals)

@@ -269,3 +269,69 @@ def test_host_cap_salt_redeals_and_validates(spark):
     assert a != b  # different salt -> different (deterministic) draw
     with _pytest.raises(ValueError):
         sampling.host_cap_sample(docs, "source", "doc_id", cap=0)
+
+
+class TestSystematicSample:
+    def test_bucket_count_invariant_and_layout_invariant(self, spark):
+        docs = load(spark, SF, "documents")
+        base = {r.doc_id for r in sampling.systematic_sample(
+            docs, "doc_id", "n_chars", step=2048)
+            .select("doc_id").collect()}
+        for variant in (
+            sampling.systematic_sample(
+                docs, "doc_id", "n_chars", step=2048, n_buckets=1),
+            sampling.systematic_sample(
+                docs, "doc_id", "n_chars", step=2048, n_buckets=7),
+            sampling.systematic_sample(
+                docs.repartition(13), "doc_id", "n_chars", step=2048),
+        ):
+            got = {r.doc_id for r in variant.select("doc_id").collect()}
+            assert got == base
+
+    def test_matches_single_pass_cumsum(self, spark):
+        # ground truth: global cumulative sum computed driver-side
+        docs = load(spark, SF, "documents")
+        rows = sorted(
+            (r.doc_id, max(r.n_chars or 0, 0))
+            for r in docs.select("doc_id", "n_chars").collect())
+        step, c, expect = 2048, 0, set()
+        for doc_id, w in rows:
+            prev = c
+            c += w
+            if c // step > prev // step:
+                expect.add(doc_id)
+        got = {r.doc_id for r in sampling.systematic_sample(
+            docs, "doc_id", "n_chars", step=step)
+            .select("doc_id").collect()}
+        assert got == expect
+
+    def test_heavy_row_kept_once_and_sampling_rate(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10) for i in range(1000)] + [(2000, 100000)],
+            "id long, w long")
+        kept = sampling.systematic_sample(df, "id", "w", step=100)
+        ids = [r.id for r in kept.select("id").collect()]
+        assert len(ids) == len(set(ids))  # no row twice
+        assert 2000 in ids  # over-step weight always sampled
+        # 1000 light rows of weight 10 -> ~100 expected at step 100
+        n_light = sum(1 for i in ids if i != 2000)
+        assert 80 <= n_light <= 120
+
+    def test_null_and_zero_weights_never_sampled(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, 0), (3, 10 ** 6)], "id long, w long")
+        kept = sampling.systematic_sample(df, "id", "w", step=100)
+        assert {r.id for r in kept.collect()} == {3}
+
+    def test_validates_args(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, 1)], "id long, w long")
+        with _pytest.raises(ValueError):
+            sampling.systematic_sample(df, "id", "w", step=0)
+        with _pytest.raises(ValueError):
+            sampling.systematic_sample(df, "id", "w", step=10, n_buckets=0)
+
+    def test_empty_input(self, spark):
+        df = spark.createDataFrame([], "id long, w long")
+        assert sampling.systematic_sample(df, "id", "w", step=10).count() == 0

@@ -7260,6 +7260,70 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "time_travel_orders",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 1),
+    b AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 3),
+    u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+    SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents FROM a
+    UNION ALL
+    SELECT 'v2', count(*), sum(cents) FROM u
+    UNION ALL
+    SELECT 'v3', count(*), sum(cents) FROM u WHERE NOT o_orderkey % 5 = 0
+    """,
+    doc="snapshot time travel through the driver "
+        "(sinks/table_commit.py:read(version=) — Iceberg's AS OF "
+        "semantics on the FsTable format): three commits (append, "
+        "append, row-level DELETE), then every historical version is "
+        "read back AS OF its snapshot and aggregated — the v1/v2 reads "
+        "must see PRE-delete content from immutable data files even "
+        "though the delete rewrote the table head. Reads resolve from "
+        "each snapshot's explicit file list (no directory listing) and "
+        "version lookups validate against the branch parent chain so "
+        "an orphaned manifest from a lost CAS race can never surface. "
+        "The oracle replays the three logical states in plain SQL.",
+)
+def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_tt_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(orders.filter(F.col("o_orderkey") % 4 == 1),
+                       stats_columns=["o_orderkey"])
+        t.write_append(orders.filter(F.col("o_orderkey") % 4 == 3),
+                       stats_columns=["o_orderkey"])
+        t.delete_where(spark, "o_orderkey % 5 = 0")
+        # history = [create-empty, append, append, delete]; the three
+        # labelled states are the post-create commits
+        versions = sorted(t.history())[-3:]
+        rows = []
+        for i, v in enumerate(versions, start=1):
+            agg = t.read(spark, version=v).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s")).first()
+            rows.append((f"v{i}", agg.n, agg.s))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version string, n_rows bigint, sum_cents bigint")
+
+
+@register(
     "systematic_sample_docs",
     """
     WITH w AS (
@@ -7805,6 +7869,7 @@ _GATE_DEMOTED = [
     # the same sole-family-representative reason)
     "systematic_sample_docs",
     "cusum_changepoint_events",
+    "time_travel_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -952,3 +952,73 @@ def feature_hash(
         .agg(F.sum("_sign").alias("weight"))
     )
     return out.filter(F.col("weight") != 0) if signed else out
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-level collocation detection by pointwise mutual
+    information over adjacent word pairs (Church & Hanks 1990 — the
+    classic phrase-mining signal; training pipelines use it to find
+    multi-word expressions worth single tokens and to spot templated
+    boilerplate whose PMI is implausibly high).
+
+    Returns (w1, w2, n_pair, pmi_micro): every adjacent pair seen at
+    least ``min_count`` times, with
+    ``pmi = ln( p(w1,w2) / (p(w1) * p(w2)) )`` — pair probability from
+    the bigram total, word probabilities from the unigram total —
+    quantized to integer micro-nats (``floor(ln(r)*1e6 + 0.5)``) so the
+    statistic is engine-portable bit-for-bit. The ratio is evaluated in
+    a FIXED operation order ((c_ab/N_bi) / ((c_a/N_uni) * (c_b/N_uni)))
+    that oracle SQL replays exactly; IEEE doubles make the same ops in
+    the same order produce the same bits.
+
+    Scale: three aggregations (unigram counts, bigram counts, the two
+    one-row totals) and two vocabulary-keyed joins attaching c_a/c_b to
+    the bigram frame — the joins are on the SMALL aggregated frames
+    (distinct pairs/words), never the exploded token stream; the
+    Zipf-skewed keys are exactly the ones ``min_count`` has already
+    thinned. No pair explosion beyond adjacency: work is linear in
+    corpus tokens.
+    """
+    toks = _tokenized(df, id_col, text_col)
+    bigrams = toks.select(
+        F.explode(text.word_ngrams(F.col("_words"), 2)).alias("bg"))
+    pair_counts = (
+        bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            "n_pair",
+        )
+    )
+    words = toks.select(F.explode("_words").alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = bigrams.agg(F.count(F.lit(1)).alias("n_bi"))
+    ratio = (
+        (F.col("n_pair").cast("double") / F.col("n_bi").cast("double"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("c2").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    return (
+        pair_counts
+        .join(uni.select(F.col("word").alias("w1"),
+                         F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "n_pair",
+            F.floor(F.log(ratio) * micro_units + 0.5).cast("long")
+            .alias("pmi_micro"),
+        )
+    )

@@ -7260,6 +7260,51 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pmi_collocations_docs",
+    r"""
+    WITH norm AS (
+      SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (SELECT string_split(t, ' ') AS ws FROM norm WHERE t <> ''),
+    bg AS (
+      SELECT list_extract(ws, g) AS w1, list_extract(ws, g + 1) AS w2
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(g)),
+    pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+    uni AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+    nu AS (SELECT sum(c) AS n_uni FROM uni),
+    nb AS (SELECT count(*) AS n_bi FROM bg)
+    SELECT pc.w1, pc.w2, pc.n_pair,
+           CAST(floor(ln(
+             (CAST(n_pair AS DOUBLE) / CAST(n_bi AS DOUBLE))
+             / ((CAST(u1.c AS DOUBLE) / CAST(n_uni AS DOUBLE))
+                * (CAST(u2.c AS DOUBLE) / CAST(n_uni AS DOUBLE)))
+           ) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pc
+    JOIN uni u1 ON u1.word = pc.w1
+    JOIN uni u2 ON u2.word = pc.w2, nu, nb
+    """,
+    doc="PMI collocation mining over adjacent word pairs "
+        "(operators/textops.py:pmi_collocations, Church & Hanks 1990): "
+        "the phrase-mining signal for multi-word expressions and "
+        "implausibly-glued boilerplate. Log-ratios quantize to integer "
+        "micro-nats with a FIXED IEEE operation order replayed by the "
+        "oracle, so the statistic is bit-portable. Linear in corpus "
+        "tokens (adjacency only, never a pair explosion); the "
+        "vocabulary joins run on the min_count-thinned aggregated "
+        "frames, not the token stream.",
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.textops import pmi_collocations
+
+    docs = load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "doc_id", "text", min_count=5)
+
+
+@register(
     "time_travel_orders",
     """
     WITH a AS (
@@ -7870,6 +7915,7 @@ _GATE_DEMOTED = [
     "systematic_sample_docs",
     "cusum_changepoint_events",
     "time_travel_orders",
+    "pmi_collocations_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

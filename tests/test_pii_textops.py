@@ -347,3 +347,42 @@ class TestStripHtml:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestPmiCollocations:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "id long, text string")
+
+    def test_glued_pair_scores_above_independent(self, spark):
+        # "new york" always adjacent; "red" and "blue" never adjacent to
+        # each other -> PMI(new,york) high, no (red,blue) row at all
+        texts = ["new york " * 6 + "red car blue sky " * 3] * 2
+        out = {(r.w1, r.w2): (r.n_pair, r.pmi_micro)
+               for r in textops.pmi_collocations(
+                   self._df(spark, texts), "id", "text", min_count=5)
+               .collect()}
+        assert ("new", "york") in out
+        assert ("red", "blue") not in out
+        n, pmi = out[("new", "york")]
+        assert n == 12 and pmi > 0
+        # every occurrence of "car" is followed by "blue": also glued,
+        # but rarer - still positive
+        assert out[("car", "blue")][1] > 0
+
+    def test_min_count_thins(self, spark):
+        texts = ["alpha beta"] * 4
+        out = textops.pmi_collocations(
+            self._df(spark, texts), "id", "text", min_count=5)
+        assert out.count() == 0
+        out2 = textops.pmi_collocations(
+            self._df(spark, texts), "id", "text", min_count=4)
+        assert out2.count() == 1
+
+    def test_bigrams_never_cross_documents(self, spark):
+        # "x" ends doc 0 and "y" starts doc 1: no (x, y) bigram
+        texts = ["a a a a a x", "y b b b b b"]
+        out = {(r.w1, r.w2) for r in textops.pmi_collocations(
+            self._df(spark, texts), "id", "text", min_count=1).collect()}
+        assert ("x", "y") not in out
+        assert ("a", "x") in out and ("y", "b") in out

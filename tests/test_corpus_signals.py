@@ -615,3 +615,89 @@ class TestFrequentItems:
         with _pytest.raises(ValueError, match="completeness"):
             sketches.frequent_items(df, "w", threshold_fraction=0.001,
                                     capacity=100)
+
+
+class TestBloomIndexAntiJoin:
+    def test_no_false_negatives_exact_result(self, spark):
+        from pyspark.sql import functions as F
+
+        index = spark.range(5_000).select(
+            F.md5(F.concat(F.lit("hist"), F.col("id").cast("string")))
+            .alias("fingerprint"))
+        batch = spark.range(400).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 50,
+                   F.md5(F.concat(F.lit("hist"),
+                                  (F.col("id") * 100).cast("string"))))
+            .otherwise(F.md5(F.concat(F.lit("new"),
+                                      F.col("id").cast("string"))))
+            .alias("fingerprint"))
+        got = sorted(tuple(r) for r in dedup.bloom_index_anti_join(
+            batch, index).collect())
+        want = sorted(tuple(r) for r in dedup.index_anti_join(
+            batch, index, broadcast=False).collect())
+        assert got == want and len(got) == 350
+
+    def test_bitmap_membership_and_fp_rate(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        keys = spark.range(2_000).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint"))
+        m = dedup._bloom_m_bits(2_000, dedup.BLOOM_BITS_PER_KEY)
+        bm = dedup.bloom_bitmap(keys, "fingerprint", m)
+        # every inserted key must hit (no false negatives)
+        hits = (keys.withColumn(
+            "_probes",
+            dedup._bloom_positions(F.col("fingerprint"),
+                                   dedup.BLOOM_NUM_PROBES, m))
+            .select(dedup._bloom_hit_udf(bm)(F.col("_probes"))
+                    .alias("h")))
+        assert all(r.h for r in hits.collect())
+        # non-members mostly miss (designed fp ~6e-4; allow 100x slack)
+        others = spark.range(10_000).select(
+            F.md5(F.concat(F.lit("x"), F.col("id").cast("string")))
+            .alias("fingerprint"))
+        fp = (others.withColumn(
+            "_probes",
+            dedup._bloom_positions(F.col("fingerprint"),
+                                   dedup.BLOOM_NUM_PROBES, m))
+            .filter(dedup._bloom_hit_udf(bm)(F.col("_probes"))).count())
+        assert fp <= 10_000 * 0.06
+        assert isinstance(bm, np.ndarray) and bm.dtype == np.uint64
+
+    def test_index_side_never_exchanges(self, spark):
+        from dativo_ingest_spark.inspect_cmd import plan_summary
+        from pyspark.sql import functions as F
+
+        index = spark.range(20_000).select(
+            F.md5(F.col("id").cast("string")).alias("fingerprint"))
+        batch = spark.range(100).select(
+            F.md5(F.concat(F.lit("b"), F.col("id").cast("string")))
+            .alias("fingerprint"))
+        m = dedup._bloom_m_bits(100, dedup.BLOOM_BITS_PER_KEY)
+        bm = dedup.bloom_bitmap(batch, "fingerprint", m)
+        candidates = (index.withColumn(
+            "_probes",
+            dedup._bloom_positions(F.col("fingerprint"),
+                                   dedup.BLOOM_NUM_PROBES, m))
+            .filter(dedup._bloom_hit_udf(bm)(F.col("_probes"))))
+        plan = plan_summary(candidates)
+        assert plan["exchanges"] == 0   # pure scan-stage prefilter
+
+    def test_dedup_against_index_routes_large_batches_to_bloom(
+            self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        table = FsTable.create(str(tmp_path / "bloom_idx"))
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], ["doc_id", "text"])
+        dedup.dedup_against_index(spark, b1, "doc_id", "text", table)
+        b2 = spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma"), (5, "gamma")],
+            ["doc_id", "text"])
+        # limit=0 forces every batch down the large-batch (bloom) path
+        kept, n_b, n_i = dedup.dedup_against_index(
+            spark, b2, "doc_id", "text", table, broadcast_batch_limit=0)
+        assert sorted(r.doc_id for r in kept.collect()) == [4]
+        assert (n_b, n_i) == (1, 1)

@@ -1241,3 +1241,94 @@ def bloom_index_anti_join(
         .select("fingerprint")
     )
     return batch_survivors.join(candidates, "fingerprint", "left_anti")
+
+
+def setsim_prefix_pairs(
+    sets_df: DataFrame,
+    id_col: str = "id",
+    tokens_col: str = "grams",
+    threshold: float = 0.7,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """LOSSLESS exact set-similarity join via prefix filtering
+    (Chaudhuri/Ganti/Kaushik 2006, Xiao et al. PPJoin — the standard
+    exact all-pairs algorithm): every pair with Jaccard >= ``threshold``
+    over ``tokens_col`` sets, with NO recall caveat — unlike
+    :func:`ngram_jaccard_pairs` (whose df-cut can drop pairs glued only
+    by hot grams) and :func:`minhash_lsh_pairs` (probabilistic), this
+    completes the near-dup family's exactness spectrum.
+
+    Prefix theorem: order each doc's tokens by GLOBAL rarity (ascending
+    document frequency, token as tie-break); if J(a,b) >= t then the
+    overlap is >= ceil(t*|a|), so a's first ``|a| - ceil(t*|a|) + 1``
+    tokens must share at least one token with b's prefix. Candidates =
+    pairs sharing any PREFIX token; each candidate is then verified with
+    the exact integer predicate ``o * 1e6 >= t_micro * (|a|+|b|-o)``.
+
+    Returns (id_a, id_b, jaccard_micro) with id_a < id_b and
+    ``jaccard_micro = (o * 1e6) div (|a|+|b|-o)`` — pure BIGINT
+    arithmetic, engine-portable bit-for-bit.
+
+    Scale: the candidate self-join explodes only the ~(1-t) rarest
+    fraction of each doc's tokens, and rarity-first ordering means the
+    join keys are by construction LOW-df tokens — corpus-wide
+    boilerplate (the hot keys that force guards elsewhere) can only
+    enter a prefix for docs consisting almost entirely of it. The
+    verification join touches Σ|a| rows over candidates only. One
+    df-count agg, one per-doc rank window (keyed on id, bounded by doc
+    length), one rare-key candidate join, one candidate-sized verify
+    join — never an unguarded all-pairs product.
+    """
+    from pyspark.sql.window import Window as _W
+
+    t_micro = int(round(threshold * micro_units))
+    sized = sets_df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("toks"),
+        F.size(tokens_col).alias("sz"),
+    ).filter(F.col("sz") > 0)
+    inv = sized.select("id", "sz", F.explode("toks").alias("tok"))
+    dfc = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        inv.join(dfc, "tok")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                _W.partitionBy("id").orderBy("_df", "tok")),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "tok")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ov = (
+        cand
+        .join(inv.select(F.col("id").alias("id_a"), "tok"), "id_a")
+        .join(inv.select(F.col("id").alias("id_b"), "tok"),
+              ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    sizes = sized.select("id", "sz")
+    return (
+        ov
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("sz").alias("sa")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("sz").alias("sb")), "id_b")
+        .filter(
+            F.col("o") * micro_units
+            >= F.lit(t_micro) * (F.col("sa") + F.col("sb") - F.col("o")))
+        .select(
+            "id_a", "id_b",
+            F.expr(f"(o * {micro_units}) div (sa + sb - o)")
+            .alias("jaccard_micro"),
+        )
+    )

@@ -7260,6 +7260,54 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setsim_prefix_pairs_docs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               AS t
+      FROM documents),
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws
+          FROM norm WHERE t <> ''),
+    g AS (SELECT doc_id,
+            list_distinct([array_to_string(ws[i:i+2], ' ')
+                           for i in range(1, len(ws) - 1)]) AS grams
+          FROM w WHERE len(ws) >= 3),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    sz AS (SELECT doc_id, len(grams) AS sz FROM g),
+    o AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS o
+          FROM inv a JOIN inv b
+            ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT ia AS id_a, ib AS id_b,
+           CAST((o * 1000000) // (sa.sz + sb.sz - o) AS BIGINT)
+             AS jaccard_micro
+    FROM o JOIN sz sa ON sa.doc_id = o.ia
+    JOIN sz sb ON sb.doc_id = o.ib
+    WHERE o * 1000000 >= 700000 * (sa.sz + sb.sz - o)
+    """,
+    doc="LOSSLESS exact set-similarity self-join via prefix filtering "
+        "(operators/dedup.py:setsim_prefix_pairs — Chaudhuri 2006 / "
+        "PPJoin): all 3-gram-shingle pairs with Jaccard >= 0.7, no "
+        "recall caveat — candidates come only from each doc's "
+        "(1-t)-fraction RAREST shingles under the global-df order "
+        "(boilerplate hot keys structurally excluded from prefixes), "
+        "then the exact integer predicate o*1e6 >= t_micro*(|a|+|b|-o) "
+        "verifies. Completes the near-dup exactness spectrum next to "
+        "the df-cut-guarded inverted index and probabilistic MinHash. "
+        "jaccard_micro is pure-BIGINT integer division; the oracle is "
+        "the brute-force exact pair join, which the prefix algorithm "
+        "must reproduce verbatim.",
+)
+def setsim_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    sets = dedup.gram_sets(docs, "doc_id", "text", n=3)
+    return dedup.setsim_prefix_pairs(
+        sets, "id", "grams", threshold=0.7)
+
+
+@register(
     "dedup_bloom_index_docs",
     r"""
     WITH fp AS (
@@ -7965,6 +8013,7 @@ _GATE_DEMOTED = [
     "time_travel_orders",
     "pmi_collocations_docs",
     "dedup_bloom_index_docs",
+    "setsim_prefix_pairs_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -7260,6 +7260,134 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollback_orders",
+    """
+    WITH a AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 1),
+    b AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 2),
+    c AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 3)
+    SELECT 'head' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM c)
+    UNION ALL
+    SELECT 'bad_still_travels', count(*), sum(cents)
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    """,
+    doc="snapshot ROLLBACK through the driver "
+        "(sinks/table_commit.py:rollback — Iceberg rollback "
+        "semantics): append good slice, append a bad slice, roll back, "
+        "append the corrected slice. Rollback commits a NEW snapshot "
+        "re-pointing at the old file list (metadata-only, zero data "
+        "movement at any size) — never a ref rewind, which the "
+        "(branch, base)-keyed claim chain would let a later same-base "
+        "append silently repair forward. The head must read good+fix "
+        "only, while the bad intermediate version must STILL "
+        "time-travel (audit trail survives until vacuum).",
+)
+def rollback_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_rb_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(orders.filter(F.col("o_orderkey") % 4 == 1)
+                       .select("cents"))
+        good_v = t.current_version()
+        t.write_append(orders.filter(F.col("o_orderkey") % 4 == 2)
+                       .select("cents"))
+        bad_v = t.current_version()
+        t.rollback(good_v)
+        t.write_append(orders.filter(F.col("o_orderkey") % 4 == 3)
+                       .select("cents"))
+        head = t.read(spark).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")).first()
+        bad = t.read(spark, version=bad_v).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")).first()
+        rows = [("head", head.n, head.s),
+                ("bad_still_travels", bad.n, bad.s)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "phase string, n_rows bigint, sum_cents bigint")
+
+
+@register(
+    "psi_drift_events",
+    """
+    WITH r AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'view'),
+    c AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    e AS (
+      SELECT quantile_cont(cents, 0.25) AS e1,
+             quantile_cont(cents, 0.5)  AS e2,
+             quantile_cont(cents, 0.75) AS e3
+      FROM r),
+    rb AS (
+      SELECT CASE WHEN cents <= e1 THEN 0 WHEN cents <= e2 THEN 1
+                  WHEN cents <= e3 THEN 2 ELSE 3 END AS bin,
+             count(*) AS n_ref
+      FROM r CROSS JOIN e GROUP BY 1),
+    cb AS (
+      SELECT CASE WHEN cents <= e1 THEN 0 WHEN cents <= e2 THEN 1
+                  WHEN cents <= e3 THEN 2 ELSE 3 END AS bin,
+             count(*) AS n_cur
+      FROM c CROSS JOIN e GROUP BY 1),
+    d AS (SELECT unnest(generate_series(0, 3)) AS bin),
+    j AS (
+      SELECT d.bin, coalesce(n_ref, 0) AS n_ref,
+             coalesce(n_cur, 0) AS n_cur
+      FROM d LEFT JOIN rb ON rb.bin = d.bin
+             LEFT JOIN cb ON cb.bin = d.bin),
+    t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM j)
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(floor(
+             (CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 4 AS DOUBLE)
+              - CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + 4 AS DOUBLE))
+             * ln((CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + 4 AS DOUBLE))
+                  / (CAST(n_cur + 1 AS DOUBLE)
+                     / CAST(t_cur + 4 AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS psi_micro
+    FROM j CROSS JOIN t
+    """,
+    doc="Population Stability Index drift between two value "
+        "distributions (operators/profiling.py:psi_drift — the "
+        "numeric-feature complement of the unigram KL corpus drift): "
+        "equi-depth quartile bins FIT ON THE REFERENCE (exact "
+        "interpolated percentiles; mergeable-sketch knob at 100 TB), "
+        "Laplace-smoothed shares, per-bin (p-q)*ln(p/q) in a fixed "
+        "IEEE order quantized to micro-nats. One percentile pass plus "
+        "two scan-stage bin cascades whose count-shuffles are keyed on "
+        "4 values; the proof drifts 'view' vs 'purchase' value "
+        "distributions, localizing WHERE they differ.",
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import psi_drift
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"))
+    ref = ev.filter(F.col("event_type") == "view").select("cents")
+    cur = ev.filter(F.col("event_type") == "purchase").select("cents")
+    return psi_drift(ref, cur, "cents", n_bins=4, exact=True)
+
+
+@register(
     "setsim_prefix_pairs_docs",
     r"""
     WITH norm AS (
@@ -8014,6 +8142,8 @@ _GATE_DEMOTED = [
     "pmi_collocations_docs",
     "dedup_bloom_index_docs",
     "setsim_prefix_pairs_docs",
+    "psi_drift_events",
+    "rollback_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

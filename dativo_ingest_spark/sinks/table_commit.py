@@ -259,6 +259,34 @@ class FsTable:
 
     # -- commits ------------------------------------------------------------
 
+    def rollback(self, version: int, branch: str = "main") -> "Snapshot":
+        """Roll the branch back to ``version`` by committing a NEW
+        snapshot whose file list (and schema) is exactly that
+        snapshot's — Iceberg's rollback semantics: history only ever
+        moves FORWARD, the audit trail survives, and time travel to the
+        bad intermediate versions still works until vacuum trims them.
+
+        Never resets the branch ref in place: the claim chain is keyed
+        on (branch, base), so a rewound ref would let a later append
+        from the same base silently "repair" the chain forward onto the
+        rolled-back commit. Committing forward rides the same CAS path
+        as every other writer, so concurrent commits either land before
+        (and are rolled back too) or conflict-and-retry after.
+
+        ``version`` must be reachable from the branch head (the same
+        parent-chain validation time-travel reads use); data files are
+        immutable and content-addressed, so re-pointing at them is
+        metadata-only — zero data movement at any table size.
+        """
+        if version not in self.history(branch):
+            raise LookupError(
+                f"version {version} is not reachable from branch "
+                f"{branch!r}; cannot roll back to it")
+        old = self.snapshot(version)
+        return self.add_files(
+            list(old.files), operation="overwrite", branch=branch,
+            schema_json=old.schema_json)
+
     def add_files(
         self,
         staged: list[dict[str, Any]],

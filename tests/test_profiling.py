@@ -98,3 +98,50 @@ def test_fd_violations_single_pass_plan_and_validation(spark):
         fd_violations(df, [])
     with _pytest.raises(ValueError, match="unknown column"):
         fd_violations(df, [("id", "nope")])
+
+
+class TestPsiDrift:
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals],
+                                     "v double")
+
+    def test_identical_distributions_score_zero(self, spark):
+        from dativo_ingest_spark.operators.profiling import psi_drift
+
+        vals = list(range(1, 101))
+        out = psi_drift(self._df(spark, vals), self._df(spark, vals),
+                        "v", n_bins=4).collect()
+        assert len(out) == 4
+        assert all(r.psi_micro == 0 for r in out)
+        assert sum(r.n_ref for r in out) == 100
+
+    def test_shifted_distribution_scores_high(self, spark):
+        from dativo_ingest_spark.operators.profiling import psi_drift
+
+        ref = self._df(spark, range(1, 101))
+        cur = self._df(spark, range(900, 1000))   # all above ref's max
+        out = psi_drift(ref, cur, "v", n_bins=4).collect()
+        total = sum(r.psi_micro for r in out) / 1e6
+        assert total > 0.25   # conventional "shifted" threshold
+        by_bin = {r.bin: r for r in out}
+        # everything lands in the top bin on the current side
+        assert by_bin[3].n_cur == 100
+        assert all(by_bin[b].n_cur == 0 for b in (0, 1, 2))
+
+    def test_empty_bins_well_defined(self, spark):
+        from dativo_ingest_spark.operators.profiling import psi_drift
+
+        ref = self._df(spark, [1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+        cur = self._df(spark, [1, 1])
+        out = psi_drift(ref, cur, "v", n_bins=4).collect()
+        assert len(out) == 4   # full domain emitted, Laplace-smoothed
+        assert all(r.psi_micro is not None for r in out)
+
+    def test_nulls_excluded(self, spark):
+        from dativo_ingest_spark.operators.profiling import psi_drift
+
+        ref = spark.createDataFrame(
+            [(1.0,), (2.0,), (3.0,), (4.0,), (None,)], "v double")
+        out = psi_drift(ref, ref, "v", n_bins=2).collect()
+        assert sum(r.n_ref for r in out) == 4
+        assert all(r.psi_micro == 0 for r in out)

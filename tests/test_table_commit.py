@@ -607,3 +607,48 @@ class TestDeleteWhere:
         got = [(r.k, r.val, r._change_type) for r in
                t.changes(spark, v1, t.current_version()).collect()]
         assert got == [(1, "a", "delete")]
+
+
+class TestRollback:
+    def test_restores_content_history_moves_forward(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "rb"))
+        t.write_append(_df(spark, 0, 10))
+        good_v = t.current_version()
+        t.write_append(_df(spark, 10, 25))       # the "bad" commit
+        snap = t.rollback(good_v)
+        # content is exactly the good version's
+        assert sorted(r.v for r in t.read(spark).collect()) == list(range(10))
+        # history moved FORWARD: rollback is a new head, not a ref rewind
+        hist = t.history()
+        assert snap.version == hist[0] and good_v in hist
+        # the bad intermediate still time-travels until vacuumed
+        bad_v = hist[1]
+        assert t.read(spark, version=bad_v).count() == 25
+
+    def test_unreachable_version_rejected(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "rb2"))
+        t.write_append(_df(spark, 0, 5))
+        with pytest.raises(LookupError):
+            t.rollback(9999)
+
+    def test_append_after_rollback_builds_on_rolled_state(
+            self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "rb3"))
+        t.write_append(_df(spark, 0, 5))
+        v1 = t.current_version()
+        t.write_append(_df(spark, 5, 9))
+        t.rollback(v1)
+        t.write_append(_df(spark, 100, 103))
+        got = sorted(r.v for r in t.read(spark).collect())
+        assert got == list(range(5)) + [100, 101, 102]
+
+    def test_rollback_restores_schema(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        t = FsTable.create(str(tmp_path / "rb4"))
+        t.write_append(_df(spark, 0, 3))
+        v1 = t.current_version()
+        t.write_append(_df(spark, 3, 6).withColumn("extra", F.lit(1)))
+        assert "extra" in {f.name for f in t.read(spark).schema.fields}
+        t.rollback(v1)
+        assert [f.name for f in t.read(spark).schema.fields] == ["v"]

@@ -324,3 +324,182 @@ def resize_plan(
         F.lit(target[0]).alias("target_w"),
         F.lit(target[1]).alias("target_h"),
     )
+
+
+RESIZED_IMAGE_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("resized", T.BinaryType()),
+])
+
+
+def resize_netpbm(payload: bytes, target_w: int,
+                  target_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for binary netpbm (P5/P6): decode,
+    index-map rows/cols onto the target grid, re-encode the SAME format
+    (magic + maxval preserved, 8-bit output buffer for 8-bit input).
+    Pure numpy fancy indexing — no Python pixel loop. None when the
+    payload isn't netpbm."""
+    import numpy as np
+
+    if not payload.startswith((b"P5", b"P6")):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        return None
+    width, height, maxval = tokens
+    pos += 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    n = width * height * channels
+    pix = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    if pix.size < n:
+        return None
+    img = pix.reshape(height, width, channels)
+    rows = (np.arange(target_h) * height) // target_h
+    cols = (np.arange(target_w) * width) // target_w
+    out = img[rows][:, cols]
+    header = (payload[:2] + b"\n"
+              + f"{target_w} {target_h}\n{maxval}\n".encode())
+    return header + out.astype(dtype).tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    media_col: str,
+    target: tuple[int, int],
+) -> DataFrame:
+    """Arrow-batched REAL image resize (netpbm kernel): returns
+    (id, width, height, channels, resized) with ``resized`` the
+    re-encoded netpbm payload at the target size and width/height the
+    ORIGINAL dims (the lineage a curation pipeline logs). Non-netpbm
+    rows pass through with null dims/payload — mixed corpora stream
+    without a pre-filter. Pillow/codec engines slot into the same
+    kernel seam as decode_images.
+
+    Scale: scan-stage mapInPandas over (id, bytes) only (column
+    pruning keeps sibling columns out of the Arrow channel); output
+    bytes ∝ target size, so a 100 MP original costs target-sized
+    shuffle space downstream.
+    """
+    target_w, target_h = int(target[0]), int(target[1])
+    if target_w < 1 or target_h < 1:
+        raise ValueError("target dims must be >= 1")
+
+    import pandas as pd  # executor-side
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                dec = decode_netpbm(payload)
+                rz = resize_netpbm(payload, target_w, target_h)
+                if dec is None or rz is None:
+                    out.append((rid, None, None, None, None))
+                else:
+                    out.append((rid, dec[0], dec[1], dec[2], rz))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "channels",
+                              "resized"])
+
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(media_col).alias("media"))
+    return pruned.mapInPandas(run, RESIZED_IMAGE_SCHEMA)
+
+
+RESAMPLED_AUDIO_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("orig_rate", T.IntegerType()),
+    T.StructField("target_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def resample_wav(payload: bytes, target_rate: int) -> tuple | None:
+    """REAL linear-interpolation resample of a PCM WAV to
+    ``target_rate`` (mono-folded): returns (orig_rate, n_samples, rms,
+    peak) of the RESAMPLED signal. numpy ``interp`` over the sample
+    grid — the standard zero-dependency kernel; polyphase filters slot
+    into the same seam. None when not parseable WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            channels = w.getnchannels()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError):
+        return None
+    dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(width)
+    if dtype is None or rate <= 0 or n_frames == 0:
+        return None
+    x = np.frombuffer(raw, dtype=dtype).astype("float64")
+    if width == 1:
+        x = (x - 128.0) / 128.0
+    else:
+        x = x / float(2 ** (8 * width - 1))
+    mono = x.reshape(-1, channels).mean(axis=1)
+    n_out = max(1, int(round(n_frames * target_rate / rate)))
+    t_old = np.arange(n_frames) / rate
+    t_new = np.arange(n_out) / target_rate
+    y = np.interp(t_new, t_old, mono)
+    rms = float(np.sqrt((y ** 2).mean()))
+    peak = float(np.abs(y).max())
+    return rate, n_out, round(rms, 6), round(peak, 6)
+
+
+def resample_audio(
+    df: DataFrame, id_col: str, media_col: str, target_rate: int = 16_000
+) -> DataFrame:
+    """Arrow-batched REAL audio resample (PCM WAV, stdlib+numpy): the
+    fixed-sample-rate normalization every audio training pipeline runs
+    before feature extraction. Non-WAV rows null out and stream
+    through. Same scan-stage pruned-column mapInPandas shape as
+    decode_audio."""
+    if target_rate < 1:
+        raise ValueError("target_rate must be >= 1")
+
+    import pandas as pd  # executor-side
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                r = resample_wav(payload, target_rate)
+                if r is None:
+                    out.append((rid, None, None, None, None, None))
+                else:
+                    out.append((rid, r[0], target_rate, r[1], r[2], r[3]))
+            yield pd.DataFrame(
+                out, columns=["id", "orig_rate", "target_rate",
+                              "n_samples", "rms", "peak"])
+
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(media_col).alias("media"))
+    return pruned.mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)

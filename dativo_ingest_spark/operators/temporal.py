@@ -369,3 +369,162 @@ def sliding_day_membership(
     return df.withColumn(
         out_col,
         F.explode(F.sequence(day, day + F.lit(int(window_days) - 1))))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: split each user's event stream into
+    sessions separated by silence longer than ``gap_seconds``.
+
+    Returns one row per session: (user, session_start, session_end,
+    n_events). The classic lag-flag/running-sum construction — a new
+    session starts where the gap to the previous event exceeds the
+    threshold; the running sum of start flags is the session ordinal;
+    one groupBy collapses to session grain. Gap arithmetic in integer
+    epoch-micros so engines agree exactly. Mid-session timestamp ties
+    produce a zero gap regardless of their relative order, but a tie ON
+    a session's first event makes the running sum order-sensitive
+    (which tied row carries the start flag varies) — pass ``tie_col``
+    (any unique column, e.g. the event id) whenever duplicate
+    (user, ts) pairs can occur.
+
+    Scale: ONE user-keyed exchange — both window frames and the final
+    aggregate reuse the same partitioning (Catalyst plans a single
+    Exchange; the windows are O(1)-state running frames). Power-law
+    users cost a longer sorted partition scan, never a blowup.
+    """
+    from pyspark.sql.window import Window as _W
+
+    us = F.expr(f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP))")
+    gap_us = int(gap_seconds) * 1_000_000
+    order = ["us"] + ([ "_tie"] if tie_col else [])
+    w = _W.partitionBy("user").orderBy(*order)
+    run = w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cols = [F.col(user_col).alias("user"), us.alias("us")]
+    if tie_col:
+        cols.append(F.col(tie_col).alias("_tie"))
+    return (
+        df.select(*cols)
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) > gap_us),
+                F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("_sid", F.sum("_new").over(run))
+        .groupBy("user", "_sid")
+        .agg(
+            F.timestamp_micros(F.min("us")).alias("session_start"),
+            F.timestamp_micros(F.max("us")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
+    )
+
+
+def sessionize_incremental(
+    state: DataFrame | None,
+    batch: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tie_col: str | None = None,
+):
+    """Incremental sessionization over cursor-ordered batches: merge a
+    new batch's sessions with the carried per-user OPEN-session state,
+    WITHOUT rescanning history (the batch analog of the streaming
+    sessionizer in streaming/pipeline.py, for pipelines that land data
+    in cursor-ordered batch loads — operators/incremental.py's
+    contract: every batch event is later than every state event for
+    its user).
+
+    ``state`` holds each user's LAST session (the only one a later
+    event can extend). Returns ``(closed, new_state)``:
+
+    * ``closed`` — sessions that can never extend again: the batch's
+      non-final sessions, plus carried state that a user's new activity
+      failed to merge with. State for users ABSENT from the batch stays
+      open in ``new_state`` (emit it at end-of-stream).
+    * ``new_state`` — the new last session per active user (merged with
+      carried state when the batch's first event falls within
+      ``gap_seconds`` of the carried end), plus untouched state of
+      inactive users.
+
+    Invariant (pinned in tests): closed-so-far ∪ new_state ==
+    :func:`sessionize` over all data seen — incremental and full
+    recompute are path-equal.
+
+    Scale: per-batch cost is one batch sessionization (one user-keyed
+    exchange of the BATCH) plus user-keyed joins of batch-session
+    boundaries against the state table — both sized by batch users ∪
+    state users, never by event history. This is the same
+    cost-∝-batch/churn contract as operators/rollup.py.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    bs = sessionize(batch, user_col, ts_col, gap_seconds, tie_col=tie_col)
+    cols = ["user", "session_start", "session_end", "n_events"]
+    if state is None:
+        state = bs.sparkSession.createDataFrame(
+            [], bs.select(*cols).schema)
+    state = state.select(*cols)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user").orderBy(F.col("session_start"))
+    marked = (
+        bs.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "_last",
+            F.col("_rk") == F.max("_rk").over(_W.partitionBy("user")))
+    )
+    first = marked.filter(F.col("_rk") == 1).select(
+        "user",
+        F.col("session_start").alias("f_start"),
+        F.col("session_end").alias("f_end"),
+        F.col("n_events").alias("f_n"),
+    )
+    st = state.join(first, "user", "left")
+    merged_state = st.filter(
+        F.col("f_start").isNotNull()
+        & (F.unix_micros(F.col("f_start"))
+           - F.unix_micros(F.col("session_end")) <= gap_us))
+    closed_state = st.filter(
+        F.col("f_start").isNotNull()
+        & (F.unix_micros(F.col("f_start"))
+           - F.unix_micros(F.col("session_end")) > gap_us)
+    ).select(*cols)
+    idle_state = st.filter(F.col("f_start").isNull()).select(*cols)
+    # extend each merged user's FIRST batch session backwards onto the
+    # carried state (start/count from both sides; end is the batch's)
+    merge_map = merged_state.select(
+        "user",
+        F.col("session_start").alias("m_start"),
+        F.col("n_events").alias("m_n"),
+    )
+    # user-keyed join (merge_map is bounded by the batch's merged users;
+    # AQE broadcasts it when small, and the window above already left
+    # `marked` user-partitioned, so no extra exchange on the big side)
+    adjusted = (
+        marked.join(merge_map, "user", "left")
+        .select(
+            "user",
+            F.when((F.col("_rk") == 1) & F.col("m_start").isNotNull(),
+                   F.col("m_start"))
+            .otherwise(F.col("session_start")).alias("session_start"),
+            "session_end",
+            (F.col("n_events")
+             + F.when((F.col("_rk") == 1) & F.col("m_n").isNotNull(),
+                      F.col("m_n")).otherwise(F.lit(0)))
+            .alias("n_events"),
+            "_last",
+        )
+    )
+    closed = (adjusted.filter(~F.col("_last")).select(*cols)
+              .unionByName(closed_state))
+    new_state = (adjusted.filter(F.col("_last")).select(*cols)
+                 .unionByName(idle_state))
+    return closed, new_state

@@ -7260,6 +7260,77 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_incremental_events",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id) AS p
+      FROM e),
+    f AS (
+      SELECT user_id, us,
+             CASE WHEN p IS NULL OR us - p > 1800000000
+                  THEN 1 ELSE 0 END AS nf
+      FROM l),
+    s AS (
+      SELECT user_id, us,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f)
+    SELECT user_id, make_timestamp(min(us)) AS session_start,
+           make_timestamp(max(us)) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="incremental batch sessionization "
+        "(operators/temporal.py:sessionize + sessionize_incremental — "
+        "the cursor-ordered-batch analog of the streaming "
+        "sessionizer): events split at their time midpoint run as TWO "
+        "incremental loads carrying per-user open-session state; "
+        "closed-so-far UNION final state must equal the single-shot "
+        "full sessionization, which is exactly what the oracle "
+        "computes — the path-equality contract of operators/rollup.py "
+        "extended to session windows. Per-batch cost is one user-keyed "
+        "exchange of the BATCH plus state-sized boundary joins, never "
+        "a history rescan; sessions straddling the batch boundary "
+        "merge backwards onto the carried state.",
+)
+def sessionize_incremental_events(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.temporal import (
+        sessionize_incremental)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    bounds = ev.agg(
+        F.expr("min(unix_micros(CAST(ts AS TIMESTAMP)))").alias("lo"),
+        F.expr("max(unix_micros(CAST(ts AS TIMESTAMP)))").alias("hi"),
+    ).first()
+    mid = (int(bounds.lo) + int(bounds.hi)) // 2
+    halves = [
+        ev.filter(F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) <= {mid}")),
+        ev.filter(F.expr(
+            f"unix_micros(CAST(ts AS TIMESTAMP)) > {mid}")),
+    ]
+    state = None
+    closed_parts = []
+    for half in halves:
+        closed, state = sessionize_incremental(
+            state, half, "user_id", "ts", tie_col="event_id")
+        # materialize state between loads (a real pipeline persists it;
+        # a lazy plan would chain both batches into one job and defeat
+        # the cost-per-batch claim being proven)
+        state = spark.createDataFrame(state.collect(), state.schema)
+        closed_parts.append(closed)
+    out = closed_parts[0].unionByName(closed_parts[1]).unionByName(state)
+    return out.select(
+        F.col("user").alias("user_id"),
+        "session_start", "session_end", "n_events")
+
+
+@register(
     "rollback_orders",
     """
     WITH a AS (
@@ -8144,6 +8215,7 @@ _GATE_DEMOTED = [
     "setsim_prefix_pairs_docs",
     "psi_drift_events",
     "rollback_orders",
+    "sessionize_incremental_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -234,3 +234,72 @@ def test_decode_pillow_kernel_direct():
     assert png[:3] == exp[:3]
     assert png[3] == pytest.approx(exp[3], abs=1e-6)
     assert mm.decode_pillow(b"not an image") is None
+
+
+class TestResizeImages:
+    def test_nearest_neighbor_roundtrip(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        src = _ppm_bytes(width=4, height=4)
+        df = spark.createDataFrame(
+            [("a", src), ("b", b"not an image")],
+            "doc_id string, media binary")
+        got = {r.id: r for r in
+               mm.resize_images(df, "doc_id", "media", (2, 2)).collect()}
+        a = got["a"]
+        assert (a.width, a.height, a.channels) == (4, 4, 3)
+        rz = bytes(a.resized)
+        # the resized payload is itself a decodable netpbm at 2x2
+        dec = mm.decode_netpbm(rz)
+        assert dec is not None and dec[:3] == (2, 2, 3)
+        # nearest-neighbor: top-left target pixel == source pixel (0,0)
+        src_dec_pix = _ppm_bytes(width=4, height=4)[-48:][:3]
+        assert rz[-12:][:3] == src_dec_pix
+        assert got["b"].resized is None and got["b"].width is None
+
+    def test_upscale(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        src = _ppm_bytes(width=2, height=2)
+        df = spark.createDataFrame([("a", src)],
+                                   "doc_id string, media binary")
+        r = mm.resize_images(df, "doc_id", "media", (4, 4)).first()
+        dec = mm.decode_netpbm(bytes(r.resized))
+        assert dec[:3] == (4, 4, 3)
+
+    def test_validates_target(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame([("a", b"")],
+                                   "doc_id string, media binary")
+        with pytest.raises(ValueError):
+            mm.resize_images(df, "doc_id", "media", (0, 2))
+
+
+class TestResampleAudio:
+    def test_downsample_preserves_square_wave_stats(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        wav = _wav_bytes(freq_frames=8000, rate=8000)
+        df = spark.createDataFrame(
+            [("a", wav), ("b", b"junk")], "doc_id string, media binary")
+        got = {r.id: r for r in mm.resample_audio(
+            df, "doc_id", "media", target_rate=4000).collect()}
+        a = got["a"]
+        assert (a.orig_rate, a.target_rate) == (8000, 4000)
+        assert a.n_samples == 4000
+        # square wave: linear interp lands mostly on plateaus; RMS stays
+        # near the 0.5 amplitude and peak is exactly on a plateau sample
+        assert 0.4 <= a.rms <= 0.55 and 0.45 <= a.peak <= 0.5
+        assert got["b"].n_samples is None
+
+    def test_identity_rate_is_lossless_stats(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        wav = _wav_bytes(freq_frames=1000, rate=8000, amplitude=0.25)
+        df = spark.createDataFrame([("a", wav)],
+                                   "doc_id string, media binary")
+        r = mm.resample_audio(df, "doc_id", "media",
+                              target_rate=8000).first()
+        assert r.n_samples == 1000
+        assert abs(r.peak - 0.25) < 0.01

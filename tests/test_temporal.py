@@ -5,6 +5,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from dativo_ingest_spark.operators import temporal
 from dativo_ingest_spark.operators.temporal import asof_join
 
 
@@ -360,3 +361,80 @@ class TestSlidingDayMembership:
             "ts", F.timestamp_micros("us"))
         with _pytest.raises(ValueError):
             sliding_day_membership(df, "ts", window_days=0)
+
+
+class TestSessionize:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+             for u, s in rows],
+            "user_id long, ts timestamp")
+
+    def test_gap_splits_sessions(self, spark):
+        rows = [(1, 0), (1, 60), (1, 120),      # session 1: 3 events
+                (1, 120 + 1801),                # session 2 (gap > 30min)
+                (2, 0)]                         # user 2: one session
+        out = {(r.user, r.n_events) for r in temporal.sessionize(
+            self._ev(spark, rows), "user_id", "ts").collect()}
+        assert out == {(1, 3), (1, 1), (2, 1)}
+
+    def test_boundary_gap_exactly_equal_stays_same_session(self, spark):
+        rows = [(1, 0), (1, 1800)]   # gap == threshold: NOT a new session
+        out = temporal.sessionize(
+            self._ev(spark, rows), "user_id", "ts").collect()
+        assert len(out) == 1 and out[0].n_events == 2
+
+    def test_incremental_path_equals_full(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = sorted(
+            ((rng.randrange(5), rng.randrange(0, 50_000)))
+            for _ in range(300))
+        # split by time: every batch event later than state events
+        b1 = [r for r in rows if r[1] < 20_000]
+        b2 = [r for r in rows if 20_000 <= r[1] < 35_000]
+        b3 = [r for r in rows if r[1] >= 35_000]
+        closed_all = []
+        state = None
+        for b in (b1, b2, b3):
+            closed, state = temporal.sessionize_incremental(
+                state, self._ev(spark, b), "user_id", "ts")
+            closed_all.extend(
+                (r.user, r.session_start, r.session_end, r.n_events)
+                for r in closed.collect())
+            state = spark.createDataFrame(   # materialize state rows
+                state.collect(), state.schema)
+        final = closed_all + [
+            (r.user, r.session_start, r.session_end, r.n_events)
+            for r in state.collect()]
+        full = [(r.user, r.session_start, r.session_end, r.n_events)
+                for r in temporal.sessionize(
+                    self._ev(spark, rows), "user_id", "ts").collect()]
+        assert sorted(final) == sorted(full)
+
+    def test_merge_across_batch_boundary(self, spark):
+        # one user whose session straddles the split: must merge
+        closed, state = temporal.sessionize_incremental(
+            None, self._ev(spark, [(1, 0), (1, 100)]), "user_id", "ts")
+        state = spark.createDataFrame(state.collect(), state.schema)
+        assert closed.count() == 0
+        closed, state = temporal.sessionize_incremental(
+            state, self._ev(spark, [(1, 1000), (1, 2500)]),
+            "user_id", "ts")
+        assert closed.count() == 0
+        rows = state.collect()
+        assert len(rows) == 1 and rows[0].n_events == 4
+        assert rows[0].session_start == dt.datetime(2024, 1, 1)
+
+    def test_idle_user_state_survives(self, spark):
+        closed, state = temporal.sessionize_incremental(
+            None, self._ev(spark, [(1, 0), (2, 0)]), "user_id", "ts")
+        state = spark.createDataFrame(state.collect(), state.schema)
+        closed, state = temporal.sessionize_incremental(
+            state, self._ev(spark, [(1, 10_000)]), "user_id", "ts")
+        # user 1's old session closed (gap exceeded); user 2 still open
+        assert [(r.user, r.n_events) for r in closed.collect()] == [(1, 1)]
+        assert {r.user for r in state.collect()} == {1, 2}

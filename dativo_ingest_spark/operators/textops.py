@@ -1022,3 +1022,46 @@ def pmi_collocations(
             .alias("pmi_micro"),
         )
     )
+
+
+#: deliberately innocuous default for tests/demos — production pipelines
+#: pass their own vetted list (the C4 "bad words" list is the public
+#: precedent; shipping one here would be noise, not safety)
+BLOCKLIST_DEFAULT = ("lorem", "ipsum", "asdf", "qwerty")
+
+
+def blocklist_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms=BLOCKLIST_DEFAULT,
+    max_hits: int = 0,
+) -> DataFrame:
+    """C4-style blocklist gate: flag documents containing more than
+    ``max_hits`` occurrences of any blocklisted WORD (whole-token match
+    on the normalized stream — substring matching would flag
+    'classic' for 'ass', the blocklist false-positive C4's critics
+    documented; token-exact is the defensible default).
+
+    Returns (id, n_hits, blocked). Keep/drop is the caller's filter so
+    audits can count WHAT would be dropped before enforcement — the
+    same report-then-enforce contract as operators/quality.py.
+
+    Scale: pure scan-stage Catalyst — normalize/split once, one
+    ``filter(array_contains-style lambda)`` fold against the literal
+    term set (blocklists are hundreds of terms: inline literals, no
+    join, no UDF, no shuffle). A million-term list would switch to a
+    broadcast semi-join against the exploded tokens; the knob is the
+    same INLINE_LITERAL_BUDGET argument as clustering's centroids.
+    """
+    terms = [str(t).lower() for t in terms]
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = _tokenized(df, id_col, text_col)
+    hits = F.size(
+        F.filter(F.col("_words"), lambda w: w.isin(*terms)))
+    return toks.select(
+        "id",
+        hits.cast("long").alias("n_hits"),
+        (hits > max_hits).alias("blocked"),
+    )

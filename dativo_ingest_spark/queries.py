@@ -7260,6 +7260,43 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "blocklist_gate_docs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+               AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN []::VARCHAR[]
+                  ELSE string_split(t, ' ') END AS ws
+      FROM norm),
+    h AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ws,
+               x -> x IN ('lorem', 'ipsum', 'asdf', 'qwerty')))
+               AS BIGINT) AS n_hits
+      FROM w)
+    SELECT doc_id AS id, n_hits, n_hits > 0 AS blocked FROM h
+    """,
+    doc="C4-style blocklist gate "
+        "(operators/textops.py:blocklist_gate): whole-token match on "
+        "the normalized stream (substring matching flags 'classic' "
+        "for 'ass' — the documented C4 false-positive; token-exact is "
+        "the defensible default), report-then-enforce like the other "
+        "quality gates. Pure scan-stage Catalyst: one normalize/split "
+        "+ literal-set lambda fold, no join, no UDF, no shuffle; a "
+        "million-term list switches to a broadcast semi-join at the "
+        "same INLINE_LITERAL_BUDGET seam as clustering's centroids.",
+)
+def blocklist_gate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.textops import blocklist_gate
+
+    docs = load(spark, sf_dir, "documents")
+    return blocklist_gate(docs, "doc_id", "text")
+
+
+@register(
     "sessionize_incremental_events",
     """
     WITH e AS (
@@ -8216,6 +8253,7 @@ _GATE_DEMOTED = [
     "psi_drift_events",
     "rollback_orders",
     "sessionize_incremental_events",
+    "blocklist_gate_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

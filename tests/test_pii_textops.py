@@ -386,3 +386,29 @@ class TestPmiCollocations:
             self._df(spark, texts), "id", "text", min_count=1).collect()}
         assert ("x", "y") not in out
         assert ("a", "x") in out and ("y", "b") in out
+
+
+class TestBlocklistGate:
+    def test_token_exact_never_substring(self, spark):
+        df = spark.createDataFrame(
+            [(1, "classic prose here"), (2, "lorem ipsum filler"),
+             (3, "LOREM shouts"), (4, "")],
+            "id long, text string")
+        got = {r.id: (r.n_hits, r.blocked) for r in
+               textops.blocklist_gate(df, "id", "text").collect()}
+        assert got[1] == (0, False)     # 'classic' is not a hit
+        assert got[2] == (2, True)
+        assert got[3] == (1, True)      # case-folded
+        assert got[4] == (0, False)
+
+    def test_max_hits_threshold_and_custom_terms(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam word"), (2, "spam spam word")],
+            "id long, text string")
+        got = {r.id: r.blocked for r in textops.blocklist_gate(
+            df, "id", "text", terms=("spam",), max_hits=1).collect()}
+        assert got == {1: False, 2: True}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            textops.blocklist_gate(df, "id", "text", terms=())

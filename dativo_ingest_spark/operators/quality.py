@@ -425,3 +425,55 @@ def apply_equi_depth_bins(df: DataFrame, col: str, edges: list[float],
     return df.withColumn(
         out_col, F.when(F.col(col).isNull(), None).otherwise(expr)
         .cast("bigint"))
+
+
+def weighted_median(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per key: the smallest value whose
+    cumulative weight reaches half the key's total weight.
+
+    The corpus-sizing statistic the plain median gets wrong: with
+    weight = document length, this answers "half the corpus's BYTES
+    live in documents shorter than X" — the number that drives chunk
+    sizing and packing efficiency, where the unweighted median is
+    skew-blind (a million tweets hide one book).
+
+    Pure integer selection (weights/values as BIGINT, predicate
+    ``2 * cum >= total``): bit-exact across engines. Null or
+    non-positive weights contribute nothing; a key with no positive
+    weight is omitted.
+
+    Scale: one (key, value) partial-agg shuffle collapses duplicates
+    BEFORE the window (the cumsum runs over distinct values per key,
+    not rows), one key-ordered window, one min-fold. Never a sort of
+    raw rows; per-key state is O(distinct values).
+    """
+    w = F.coalesce(F.col(weight_col).cast("long"), F.lit(0))
+    from pyspark.sql.window import Window as _W
+
+    grouped = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("long").alias("v"),
+            w.alias("w"))
+        .filter(F.col("w") > 0)
+        .groupBy("key", "v")
+        .agg(F.sum("w").alias("vw"))
+    )
+    per_key = _W.partitionBy("key")
+    ordered = _W.partitionBy("key").orderBy("v")
+    return (
+        grouped
+        .withColumn("_total", F.sum("vw").over(per_key))
+        .withColumn("_cum", F.sum("vw").over(ordered))
+        .filter(F.col("_cum") * 2 >= F.col("_total"))
+        .groupBy("key")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("_total").alias("total_weight"),
+        )
+    )

@@ -7260,6 +7260,40 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_median_docs",
+    """
+    WITH g AS (
+      SELECT lang AS key, CAST(n_chars AS BIGINT) AS v,
+             CAST(sum(n_chars) AS BIGINT) AS vw
+      FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+    c AS (
+      SELECT key, v, vw,
+             sum(vw) OVER (PARTITION BY key) AS total,
+             sum(vw) OVER (PARTITION BY key ORDER BY v) AS cum
+      FROM g)
+    SELECT key, CAST(min(v) AS BIGINT) AS weighted_median,
+           CAST(min(total) AS BIGINT) AS total_weight
+    FROM c WHERE cum * 2 >= total GROUP BY key
+    """,
+    doc="exact weighted median per key "
+        "(operators/quality.py:weighted_median): with weight = doc "
+        "length this answers 'half the corpus's BYTES live in docs "
+        "shorter than X' per language — the chunk-sizing/packing "
+        "statistic the unweighted median gets skew-blind wrong (a "
+        "million tweets hide one book). Pure integer selection "
+        "(2*cum >= total) on a (key, value) pre-aggregated frame: the "
+        "cumsum window runs over DISTINCT values per key, never raw "
+        "rows; one partial-agg shuffle + one key-ordered window.",
+)
+def weighted_median_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.quality import weighted_median
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    return weighted_median(docs, "lang", "n_chars", "n_chars")
+
+
+@register(
     "blocklist_gate_docs",
     r"""
     WITH norm AS (
@@ -8254,6 +8288,7 @@ _GATE_DEMOTED = [
     "rollback_orders",
     "sessionize_incremental_events",
     "blocklist_gate_docs",
+    "weighted_median_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

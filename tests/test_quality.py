@@ -356,3 +356,36 @@ class TestEquiDepthBins:
         df = spark.createDataFrame([(1,)], "x bigint")
         with pytest.raises(ValueError):
             quality.equi_depth_edges(df, "x", n_bins=1)
+
+
+class TestWeightedMedian:
+    def test_length_biased_vs_plain_median(self, spark):
+        from dativo_ingest_spark.operators.quality import weighted_median
+
+        # 9 short docs (len 10) + 1 book (len 910): plain median 10,
+        # weighted median = the book (half the bytes live in it)
+        rows = [("en", 10, 10)] * 9 + [("en", 910, 910)]
+        df = spark.createDataFrame(rows, "lang string, v long, w long")
+        out = weighted_median(df, "lang", "v", "w").collect()
+        assert len(out) == 1
+        assert out[0].weighted_median == 910
+        assert out[0].total_weight == 1000
+
+    def test_exact_half_boundary_takes_lower_value(self, spark):
+        from dativo_ingest_spark.operators.quality import weighted_median
+
+        df = spark.createDataFrame(
+            [("a", 1, 5), ("a", 2, 5)], "k string, v long, w long")
+        out = weighted_median(df, "k", "v", "w").collect()
+        assert out[0].weighted_median == 1   # 2*5 >= 10 at v=1
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from dativo_ingest_spark.operators.quality import weighted_median
+
+        df = spark.createDataFrame(
+            [("a", 1, None), ("a", 2, 0), ("a", 3, -4), ("a", 4, 7),
+             ("b", 9, None)],
+            "k string, v long, w long")
+        out = {r.key: r.weighted_median
+               for r in weighted_median(df, "k", "v", "w").collect()}
+        assert out == {"a": 4}   # key b omitted entirely

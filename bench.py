@@ -192,6 +192,25 @@ HEADLINE = [
     "fd_discovery_orders",
     "cumulative_new_users_daily",
     "equi_depth_bins_events",
+    # r8 batch 11: the distributed-cumsum PPS sampler, the closed-form
+    # CUSUM windows, adjacency-only PMI mining, the bloom-prefiltered
+    # large-batch index anti-join, the prefix-filtered LOSSLESS
+    # set-similarity join (the heaviest new shape: candidate join +
+    # verify join over the cached token frame), reference-binned PSI,
+    # the scan-stage blocklist gate, and the distinct-value weighted
+    # median. time_travel_orders / rollback_orders /
+    # sessionize_incremental_events stay OUT: their multi-commit /
+    # two-load state-handoff harnesses are fixed overhead, not engine
+    # throughput (merge_upsert_orders and rollup_incremental_events
+    # already pin those machinery costs).
+    "systematic_sample_docs",
+    "cusum_changepoint_events",
+    "pmi_collocations_docs",
+    "dedup_bloom_index_docs",
+    "setsim_prefix_pairs_docs",
+    "psi_drift_events",
+    "blocklist_gate_docs",
+    "weighted_median_docs",
 ]
 
 

@@ -1282,11 +1282,19 @@ def setsim_prefix_pairs(
     from pyspark.sql.window import Window as _W
 
     t_micro = int(round(threshold * micro_units))
-    sized = sets_df.select(
+    # cache: the token frame feeds the df counts, the rank window, and
+    # BOTH sides of the verification join — uncached, the full
+    # normalize/split/ngram expression re-evaluates ~5x (the
+    # ngram_jaccard_pairs / simhash precedent, measured ~75x there).
+    # The empty-set filter sits ABOVE the cache barrier: pushed below
+    # the projection it re-inlines the whole tokenize expression per
+    # row (the gram_sets docstring trap — measured 24s vs 2s at sf0.1)
+    cached = sets_df.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).alias("toks"),
         F.size(tokens_col).alias("sz"),
-    ).filter(F.col("sz") > 0)
+    ).cache()
+    sized = cached.filter(F.col("sz") > 0)
     inv = sized.select("id", "sz", F.explode("toks").alias("tok"))
     dfc = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
@@ -1300,11 +1308,17 @@ def setsim_prefix_pairs(
     prefix = ranked.filter(
         F.col("_rk") <= F.col("sz")
         - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "tok")
+    ).select("id", "sz", "tok")
+    # PPJoin length filter inside the candidate join: J >= t forces
+    # min(|a|,|b|) >= t*max(|a|,|b|), so wildly different-sized docs
+    # can never qualify — pruned BEFORE the distinct, in integer math
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * micro_units >= t_micro * F.col("b.sz"))
+            & (F.col("b.sz") * micro_units >= t_micro * F.col("a.sz")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -677,3 +677,81 @@ def test_equi_depth_apply_is_scan_stage(spark):
     plan = plan_of(spark, "equi_depth_bins_events")
     assert n_exchanges(plan) == 1, plan[:800]
     assert "Python" not in plan
+
+
+def test_systematic_sample_never_single_partition_sorts(spark):
+    # the global cumsum must run as bucket-keyed windows — a
+    # SinglePartition exchange would be the single-task global sort
+    # the operator exists to avoid. (The driver prefix-sum join is a
+    # broadcast of ~bucket-count rows.)
+    plan = plan_of(spark, "systematic_sample_docs")
+    assert "Exchange SinglePartition" not in plan, plan[:800]
+    assert "Python" not in plan
+
+
+def test_cusum_windows_run_on_aggregated_frame(spark):
+    # raw events fold to (key, day) grain in ONE partial-agg exchange;
+    # the window frames then share the key partitioning
+    plan = plan_of(spark, "cusum_changepoint_events")
+    assert plan.count("FileScan") == 1
+    assert "partial" in plan
+    assert n_exchanges(plan) <= 2, plan[:800]
+    assert "Python" not in plan
+
+
+def test_pmi_no_pair_explosion(spark):
+    # adjacency-only: no cartesian product; the ONLY nested-loop joins
+    # are the two ONE-ROW totals broadcasts (n_uni, n_bi — the
+    # broadcast-literal idiom unigram_logprob uses); the vocab joins
+    # are plain keyed joins over aggregated frames
+    plan = plan_of(spark, "pmi_collocations_docs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:800]
+    assert "Python" not in plan
+
+
+def test_bloom_dedup_python_only_on_index_probe(spark):
+    # exactly ONE Arrow boundary: the bitmap probe over the index scan
+    # (build side is pure codegen md5 + bit_or agg)
+    plan = plan_of(spark, "dedup_bloom_index_docs")
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_setsim_no_cartesian_and_cached_tokens(spark):
+    # candidate + verify joins are all equi-joins; the token frame is
+    # cached (InMemoryRelation) so tokenization runs once, and the
+    # empty-set filter must NOT be pushed below it (the 20x re-inline
+    # trap — gram_sets docstring)
+    plan = plan_of(spark, "setsim_prefix_pairs_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan, plan[:800]
+    assert "Python" not in plan
+    spark.catalog.clearCache()
+
+
+def test_psi_two_scans_tiny_joins(spark):
+    # one percentile fit + two bin-cascade count aggs; the bin-domain
+    # and totals joins broadcast (4-row frames)
+    plan = plan_of(spark, "psi_drift_events")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_blocklist_gate_scan_stage(spark):
+    # literal-set lambda fold: no join, no shuffle, no Python
+    plan = plan_of(spark, "blocklist_gate_docs")
+    assert plan.count("FileScan") == 1
+    assert n_exchanges(plan) == 0, plan[:800]
+    assert "Python" not in plan
+
+
+def test_weighted_median_distinct_value_windows(spark):
+    # (key, value) partial agg BEFORE the windows: the cumsum runs
+    # over distinct values per key, never raw rows
+    plan = plan_of(spark, "weighted_median_docs")
+    assert "partial" in plan
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan

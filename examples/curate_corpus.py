@@ -6,8 +6,9 @@ runnable script.
 
 Stages (each one documented where it is implemented):
 
-0. rule gate           operators/textops.py:gopher_rules (published
-                       Gopher heuristics, scan-stage)
+0. blocklist + rules   operators/textops.py:blocklist_gate (C4-style
+                       whole-token bad-word gate) then gopher_rules
+                       (published Gopher heuristics) — both scan-stage
 1. quality gate        operators/textops.py:classifier_score
 2. outlier clip        operators/quality.py:quantile_clip (p1/p99 length)
 3. exact dedup         operators/dedup.py:exact_dedup (survivor filter)
@@ -49,6 +50,13 @@ def curate(spark, sf_dir: str, out_root: str) -> dict:
 
     docs = load(spark, sf_dir, "documents")
     n0 = docs.count()
+
+    # 0a. blocklist gate: whole-token match (substring matching would
+    #     flag 'classic' for 'ass' — the documented C4 false positive);
+    #     report-then-enforce, so audits can count drops first
+    bl = textops.blocklist_gate(docs, "doc_id", "text")
+    docs = docs.join(bl.filter(~F.col("blocked")).select("id"),
+                     docs.doc_id == F.col("id"), "left_semi")
 
     # 0. Gopher rule gate: the published heuristic set, scan-stage
     #    (thresholds relaxed to this corpus's short synthetic docs;

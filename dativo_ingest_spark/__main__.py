@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
                               "'col=lo:hi,col2=lo:hi' (per-file ranges "
                               "land in the manifest for pruned reads)")
     maint_p.add_argument("--zorder-files", type=int, default=8)
+    maint_p.add_argument("--rollback-to", type=int,
+                         help="roll the branch back to this version by "
+                              "committing a NEW head re-pointing at its "
+                              "file list (forward history, audit trail "
+                              "kept; never a ref rewind)")
 
     cdiff_p = sub.add_parser(
         "contract-diff", help="schema-drift probe: observed source "
@@ -150,6 +155,16 @@ def main(argv: list[str] | None = None) -> int:
             table = FsTable.create(args.table_root)
             doc: dict = {"table_root": args.table_root,
                          "branch": args.branch}
+            if args.rollback_to is not None:
+                # rollback first: maintenance passes below should run
+                # against the restored content, not the bad head
+                try:
+                    snap = table.rollback(args.rollback_to,
+                                          branch=args.branch)
+                except LookupError as exc:
+                    raise ConfigError(str(exc))
+                doc["rolled_back_to"] = args.rollback_to
+                doc["rollback_version"] = snap.version
             if args.compact and args.zorder:
                 # the clustered rewrite already bin-packs into n_files;
                 # compacting first would be a whole table pass whose

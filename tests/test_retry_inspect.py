@@ -306,3 +306,33 @@ def test_contract_diff_probe(spark, tmp_path, capsys):
                    "--config", str(cfg_path)])
     out = capsys.readouterr().out
     assert rc == 0 and _json.loads(out[out.index("{"):])["drift"]
+
+
+def test_maintain_cli_rollback(spark, tmp_path, capsys):
+    import json as _json
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    root = str(tmp_path / "rbtbl")
+    table = FsTable.create(root)
+    table.write_append(spark.range(10).withColumnRenamed("id", "k"))
+    good = table.current_version()
+    table.write_append(spark.range(10, 40).withColumnRenamed("id", "k"))
+
+    rc = cli.main(["--master", "local[2]", "maintain",
+                   "--table-root", root, "--rollback-to", str(good)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    doc = _json.loads(out[out.index("{"):])
+    assert doc["rolled_back_to"] == good
+    assert doc["rollback_version"] > good      # forward commit
+    assert table.read(spark).count() == 10
+
+    # unreachable version -> config error exit, nothing committed
+    head = table.current_version()
+    rc = cli.main(["maintain", "--table-root", root,
+                   "--rollback-to", "9999"])
+    assert rc == 2
+    capsys.readouterr()
+    assert table.current_version() == head

@@ -99,3 +99,57 @@ def scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "n_pii",
         sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)).cast("long"),
     )
+
+
+#: candidate credit-card pattern: 13-19 digits with optional single
+#: space/dash group separators (the PAN formats in the wild); candidates
+#: must then pass Luhn — a bare digit-run regex has a high false-positive
+#: rate on IDs/timestamps, which is why cards are not in PII_PATTERNS
+CC_CANDIDATE_PATTERN = r"\b\d(?:[- ]?\d){12,18}\b"
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn mod-10 checksum over the digits of ``col`` — pure Catalyst
+    array expressions (no UDF): strip separators, walk digits
+    right-to-left doubling every second one (subtract 9 past 4), sum,
+    check mod 10. The validation step that turns a digit-run regex into
+    a credit-card DETECTOR: random 16-digit runs pass Luhn only 1 in 10
+    times, so validation cuts the false-positive rate 10x at zero extra
+    scan cost. NULL/short inputs validate false."""
+    digits = F.filter(
+        F.split(F.regexp_replace(col, r"[^0-9]", ""), ""),
+        lambda c: c != "")
+    # position from the RIGHT (1-based): double evens, fold mod-10 sum
+    n = F.size(digits)
+    summed = F.aggregate(
+        F.transform(
+            digits,
+            lambda d, i: F.when(
+                ((n - i) % 2) == 0,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                .otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n >= 13, summed % 10 == 0).otherwise(F.lit(False))
+
+
+def credit_card_features(df: DataFrame, id_col: str,
+                         text_col: str) -> DataFrame:
+    """Per-doc credit-card detection with Luhn validation:
+    (id, n_candidates, n_valid, has_card). Candidates come from
+    :data:`CC_CANDIDATE_PATTERN`; each is checksum-validated, so IDs
+    and timestamps that merely LOOK like PANs don't flag. Scan-stage:
+    regexp_extract_all + per-candidate array fold, no shuffle, no
+    Python."""
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(CC_CANDIDATE_PATTERN), 0)
+    valid = F.filter(cands, lambda c: luhn_valid(c))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid"),
+        (F.size(valid) > 0).alias("has_card"),
+    )

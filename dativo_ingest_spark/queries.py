@@ -7260,6 +7260,55 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "credit_card_luhn_docs",
+    r"""
+    WITH cand AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(
+               text, '\b\d(?:[- ]?\d){12,18}\b')) AS s
+      FROM documents),
+    d AS (SELECT doc_id, regexp_replace(s, '[^0-9]', '', 'g') AS ds
+          FROM cand),
+    lu AS (
+      SELECT doc_id, len(ds) AS nd,
+             list_sum([CASE WHEN (len(ds) - g + 1) % 2 = 0
+                            THEN CASE WHEN CAST(ds[g] AS INT)*2 > 9
+                                      THEN CAST(ds[g] AS INT)*2 - 9
+                                      ELSE CAST(ds[g] AS INT)*2 END
+                            ELSE CAST(ds[g] AS INT) END
+                       for g in range(1, len(ds) + 1)]) AS lsum
+      FROM d),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN nd >= 13 AND lsum % 10 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+      FROM lu GROUP BY 1)
+    SELECT dd.doc_id AS id,
+           coalesce(n_candidates, 0) AS n_candidates,
+           coalesce(n_valid, 0) AS n_valid,
+           coalesce(n_valid, 0) > 0 AS has_card
+    FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
+    """,
+    doc="credit-card detection with Luhn checksum validation "
+        "(operators/pii.py:credit_card_features + luhn_valid): a bare "
+        "PAN regex false-positives on IDs/timestamps ~90% of the time "
+        "(random digit runs pass mod-10 only 1 in 10), so every "
+        "candidate is checksum-validated by a PURE CATALYST array fold "
+        "(strip separators, right-to-left doubling, aggregate mod 10) "
+        "— no UDF, scan-stage, zero shuffle. The oracle replays the "
+        "identical fold as a DuckDB list comprehension. This corpus "
+        "contains no PAN-shaped runs, so the query pins the all-zero "
+        "path per doc; behavior on planted valid/lookalike/spaced/"
+        "dashed cards is pinned in tests/test_pii_textops.py.",
+)
+def credit_card_luhn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.pii import credit_card_features
+
+    docs = load(spark, sf_dir, "documents")
+    return credit_card_features(docs, "doc_id", "text")
+
+
+@register(
     "weighted_median_docs",
     """
     WITH g AS (
@@ -8289,6 +8338,7 @@ _GATE_DEMOTED = [
     "sessionize_incremental_events",
     "blocklist_gate_docs",
     "weighted_median_docs",
+    "credit_card_luhn_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -412,3 +412,78 @@ class TestBlocklistGate:
 
         with _pytest.raises(ValueError):
             textops.blocklist_gate(df, "id", "text", terms=())
+
+
+class TestCreditCardLuhn:
+    def test_luhn_separates_valid_from_lookalike(self, spark):
+        # 4532015112830366 is Luhn-valid; 4532015112830367 is not
+        df = spark.createDataFrame(
+            [(1, "card 4532015112830366 on file"),
+             (2, "id 4532015112830367 is just an id"),
+             (3, "spaced 4532 0151 1283 0366 works too"),
+             (4, "dashed 4532-0151-1283-0366"),
+             (5, "short 12345"),
+             (6, "")],
+            "id long, text string")
+        got = {r.id: (r.n_candidates, r.n_valid, r.has_card)
+               for r in pii.credit_card_features(df, "id", "text")
+               .collect()}
+        assert got[1] == (1, 1, True)
+        assert got[2] == (1, 0, False)   # candidate, fails checksum
+        assert got[3] == (1, 1, True)
+        assert got[4] == (1, 1, True)
+        assert got[5] == (0, 0, False)
+        assert got[6] == (0, 0, False)
+
+    def test_luhn_column_direct(self, spark):
+        df = spark.createDataFrame(
+            [("4532015112830366",), ("4532 0151 1283 0366",),
+             ("79927398713",), (None,)], "s string")
+        got = [r.v for r in df.select(
+            pii.luhn_valid(F.col("s")).alias("v")).collect()]
+        # 79927398713 is Luhn-valid but only 11 digits -> below PAN floor
+        assert got == [True, True, False, False]
+
+    def test_luhn_fold_matches_duckdb_on_planted_cards(self, spark):
+        # the gate corpus has no PAN-shaped runs, so pin the NON-zero
+        # path cross-engine here: same fold, planted data
+        import duckdb
+
+        texts = [
+            (1, "pay 4532015112830366 now"),
+            (2, "fake 4532015112830367 id"),
+            (3, "two cards 5555 5555 5555 4444 and 4111-1111-1111-1111"),
+            (4, "digits 1234567890123456789 run"),
+            (5, "nothing here"),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            (r.id, r.n_candidates, r.n_valid, r.has_card)
+            for r in pii.credit_card_features(df, "doc_id", "text")
+            .collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+        want = sorted(tuple(r) for r in con.execute(r"""
+            WITH cand AS (
+              SELECT doc_id, unnest(regexp_extract_all(
+                text, '\b\d(?:[- ]?\d){12,18}\b')) AS s FROM t),
+            d AS (SELECT doc_id, regexp_replace(s, '[^0-9]', '', 'g')
+                    AS ds FROM cand),
+            lu AS (SELECT doc_id, len(ds) AS nd,
+                   list_sum([CASE WHEN (len(ds) - g + 1) % 2 = 0
+                     THEN CASE WHEN CAST(ds[g] AS INT)*2 > 9
+                          THEN CAST(ds[g] AS INT)*2 - 9
+                          ELSE CAST(ds[g] AS INT)*2 END
+                     ELSE CAST(ds[g] AS INT) END
+                     for g in range(1, len(ds) + 1)]) AS lsum FROM d),
+            agg AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_candidates,
+                    CAST(sum(CASE WHEN nd >= 13 AND lsum % 10 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+                    FROM lu GROUP BY 1)
+            SELECT t.doc_id, coalesce(n_candidates, 0),
+                   coalesce(n_valid, 0), coalesce(n_valid, 0) > 0
+            FROM t LEFT JOIN agg USING (doc_id)""").fetchall())
+        assert got == want
+        assert got[2][1:] == (2, 2, True)   # both planted cards valid

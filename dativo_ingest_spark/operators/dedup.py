@@ -1346,3 +1346,53 @@ def setsim_prefix_pairs(
             .alias("jaccard_micro"),
         )
     )
+
+
+def lsh_candidate_probability(s: float, num_bands: int,
+                              rows_per_band: int) -> float:
+    """P(candidate) for a pair with true Jaccard ``s`` under banded LSH:
+    ``1 - (1 - s^r)^b`` — the standard S-curve (Leskovec/Rajaraman/
+    Ullman, MMDS ch.3)."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** num_bands
+
+
+def lsh_tuning(threshold: float, num_hashes: int) -> dict:
+    """Choose ``rows_per_band`` for a signature budget: among the
+    divisors of ``num_hashes``, pick the banding whose S-curve midpoint
+    (the similarity where P(candidate) = 0.5, ``(1/b)^(1/r)``) sits
+    closest BELOW the target threshold — below, because LSH misses are
+    unrecoverable (the exact-Jaccard verify step removes false
+    positives for free, but a pair never bucketed together is lost).
+
+    Returns {rows_per_band, num_bands, midpoint, p_at_threshold,
+    p_at_half_threshold} — the last two are the recall at the
+    threshold and the leakage at half of it, the numbers to read
+    before spending a corpus pass. Pure driver-side arithmetic; feed
+    the result into :func:`minhash_lsh_pairs`.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        mid = (1.0 / b) ** (1.0 / r)
+        # prefer midpoints at-or-below the threshold (recall-safe);
+        # among those, the closest; fall back to the closest overall
+        # when every divisor lands above (tiny signature budgets)
+        key = (mid > threshold, abs(threshold - mid))
+        if best is None or key < best[0]:
+            best = (key, r, b, mid)
+    _, r, b, mid = best
+    return {
+        "rows_per_band": r,
+        "num_bands": b,
+        "midpoint": round(mid, 6),
+        "p_at_threshold": round(
+            lsh_candidate_probability(threshold, b, r), 6),
+        "p_at_half_threshold": round(
+            lsh_candidate_probability(threshold / 2, b, r), 6),
+    }

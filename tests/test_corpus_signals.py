@@ -775,3 +775,30 @@ class TestSetsimPrefixPairs:
         got = {(r.id_a, r.id_b) for r in dedup.setsim_prefix_pairs(
             self._sets(spark, rows), threshold=0.5).collect()}
         assert got == {(2, 3)}
+
+
+class TestLshTuning:
+    def test_module_defaults_are_the_tuned_choice(self):
+        # the shipped minhash defaults (8 hashes, 2 rows/band) are
+        # exactly what the tuner picks for the default 0.5 threshold
+        got = dedup.lsh_tuning(0.5, 8)
+        assert (got["rows_per_band"], got["num_bands"]) == (2, 4)
+        assert got["midpoint"] == 0.5
+
+    def test_midpoint_sits_at_or_below_threshold(self):
+        for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+            for h in (8, 16, 32, 64, 128):
+                got = dedup.lsh_tuning(t, h)
+                assert got["rows_per_band"] * got["num_bands"] == h
+                # recall-safe: high P(candidate) at the threshold
+                assert got["p_at_threshold"] > 0.5
+
+    def test_scurve_and_validation(self):
+        assert dedup.lsh_candidate_probability(1.0, 4, 2) == 1.0
+        assert dedup.lsh_candidate_probability(0.0, 4, 2) == 0.0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            dedup.lsh_tuning(1.5, 8)
+        with _pytest.raises(ValueError):
+            dedup.lsh_tuning(0.5, 1)

@@ -1396,3 +1396,43 @@ def lsh_tuning(threshold: float, num_hashes: int) -> dict:
         "p_at_half_threshold": round(
             lsh_candidate_probability(threshold / 2, b, r), 6),
     }
+
+
+#: inline-predicate ceiling for index erasure — above it the IN-list
+#: SQL string itself becomes the bottleneck; bulk erasures should land
+#: as an anti-join rewrite (documented in forget_fingerprints)
+FORGET_INLINE_LIMIT = 10_000
+
+
+def forget_fingerprints(spark, index_table, fingerprints,
+                        branch: str = "main"):
+    """Right-to-erasure COMPLETENESS for dedup-on-ingest: deleting
+    documents from the corpus does NOT remove their fingerprints from
+    the persistent ingest index, so a later legitimate re-submission of
+    the same content would be silently dropped as a "duplicate" of data
+    the pipeline was ordered to forget — erasure must reach the index
+    too. Removes the fingerprints in one atomic stats-pruned COW delete
+    on the index table (sinks/table_commit.py:delete_where); returns
+    the new snapshot or None when none were present.
+
+    ``fingerprints``: md5-hex strings (what :func:`index_entries`
+    commits), or texts via ``content_fingerprint`` upstream. Bounded at
+    :data:`FORGET_INLINE_LIMIT` — erasure batches are human-scaled
+    (legal requests), not corpus-scaled; a bulk forget (policy change
+    over millions of rows) should instead rewrite the index with one
+    broadcast anti-join + replace_files commit, the same COW shape at
+    file grain.
+    """
+    fps = sorted({str(f) for f in fingerprints})
+    if not fps:
+        return None
+    if len(fps) > FORGET_INLINE_LIMIT:
+        raise ValueError(
+            f"{len(fps)} fingerprints exceed FORGET_INLINE_LIMIT="
+            f"{FORGET_INLINE_LIMIT}; bulk erasure should rewrite the "
+            "index via a broadcast anti-join (see docstring)")
+    if any(not f.isalnum() for f in fps):
+        raise ValueError("fingerprints must be md5-hex strings")
+    quoted = ", ".join(f"'{f}'" for f in fps)
+    return index_table.delete_where(
+        spark, f"fingerprint IN ({quoted})", branch=branch)

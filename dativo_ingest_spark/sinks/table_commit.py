@@ -259,6 +259,44 @@ class FsTable:
 
     # -- commits ------------------------------------------------------------
 
+    def schema_history(self, branch: str = "main") -> list[dict]:
+        """Schema-evolution audit from manifests alone: one entry per
+        version that CHANGED the schema — (version, added, dropped,
+        retyped column lists), oldest first. The contract-drift
+        complement of the change feed: answers "when did column X
+        appear / change type" without touching a data file; at 100 TB
+        this is a driver-side walk of kilobyte manifests.
+
+        Versions predating schema tracking (no ``schema_json``) are
+        skipped — absence of a recorded schema is not a schema change.
+        """
+        entries = []
+        prev: dict[str, str] | None = None
+        for v in reversed(self.history(branch)):
+            snap = self.snapshot(v)
+            if not snap.schema_json:
+                continue
+            fields = {
+                f["name"]: json.dumps(f["type"], sort_keys=True)
+                for f in json.loads(snap.schema_json).get("fields", [])
+            }
+            if prev is None:
+                entries.append({"version": v,
+                                "added": sorted(fields), "dropped": [],
+                                "retyped": []})
+            else:
+                added = sorted(set(fields) - set(prev))
+                dropped = sorted(set(prev) - set(fields))
+                retyped = sorted(
+                    c for c in set(fields) & set(prev)
+                    if fields[c] != prev[c])
+                if added or dropped or retyped:
+                    entries.append({"version": v, "added": added,
+                                    "dropped": dropped,
+                                    "retyped": retyped})
+            prev = fields
+        return entries
+
     def rollback(self, version: int, branch: str = "main") -> "Snapshot":
         """Roll the branch back to ``version`` by committing a NEW
         snapshot whose file list (and schema) is exactly that

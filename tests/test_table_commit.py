@@ -652,3 +652,78 @@ class TestRollback:
         assert "extra" in {f.name for f in t.read(spark).schema.fields}
         t.rollback(v1)
         assert [f.name for f in t.read(spark).schema.fields] == ["v"]
+
+
+def test_schema_history_tracks_adds_drops_retypes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = FsTable.create(str(tmp_path / "sh"))
+    t.write_append(_df(spark, 0, 3))                            # {v}
+    t.write_append(_df(spark, 3, 5).withColumn("x", F.lit(1)))  # +x
+    # retype x (int -> string) and drop v, via a metadata-only commit
+    retyped = (_df(spark, 0, 1).withColumn("x", F.lit("s"))
+               .drop("v").schema.json())
+    t.add_files([], operation="append", schema_json=retyped)
+    hist = t.schema_history()
+    assert hist[0]["added"] == ["v"]
+    assert any(e["added"] == ["x"] for e in hist[1:])
+    last = hist[-1]
+    assert last["dropped"] == ["v"] and last["retyped"] == ["x"]
+
+
+def test_schema_history_quiet_when_unchanged(spark, tmp_path):
+    t = FsTable.create(str(tmp_path / "sh2"))
+    t.write_append(_df(spark, 0, 3))
+    t.write_append(_df(spark, 3, 6))
+    t.write_append(_df(spark, 6, 9))
+    hist = t.schema_history()
+    assert len(hist) == 1  # only the initial schema entry
+
+
+class TestForgetFingerprints:
+    def test_erases_and_readmits(self, spark, tmp_path):
+        from dativo_ingest_spark.operators import dedup
+
+        t = FsTable.create(str(tmp_path / "fgt"))
+        b1 = spark.createDataFrame(
+            [(1, "secret doc"), (2, "keep doc")], ["doc_id", "text"])
+        dedup.dedup_against_index(spark, b1, "doc_id", "text", t)
+        # the content is now "known": a re-submit is dropped
+        again = spark.createDataFrame([(9, "secret doc")],
+                                      ["doc_id", "text"])
+        kept, _, n_idx = dedup.dedup_against_index(
+            spark, again, "doc_id", "text", t, commit=False)
+        assert kept.count() == 0 and n_idx == 1
+        # forget it -> the same content is re-admitted
+        fp = dedup.index_entries(
+            spark.createDataFrame([(0, "secret doc")],
+                                  ["doc_id", "text"]), "text").first()[0]
+        snap = dedup.forget_fingerprints(spark, t, [fp])
+        assert snap is not None
+        kept, _, n_idx = dedup.dedup_against_index(
+            spark, again, "doc_id", "text", t, commit=False)
+        assert kept.count() == 1 and n_idx == 0
+        # the unrelated fingerprint survived
+        assert t.read(spark).count() == 1
+
+    def test_absent_fingerprints_no_empty_commit(self, spark, tmp_path):
+        from dativo_ingest_spark.operators import dedup
+
+        t = FsTable.create(str(tmp_path / "fgt2"))
+        dedup.dedup_against_index(
+            spark, spark.createDataFrame([(1, "a")], ["doc_id", "text"]),
+            "doc_id", "text", t)
+        head = t.current_version()
+        assert dedup.forget_fingerprints(spark, t, ["0" * 32]) is None
+        assert dedup.forget_fingerprints(spark, t, []) is None
+        assert t.current_version() == head
+
+    def test_validates_input(self, spark, tmp_path):
+        from dativo_ingest_spark.operators import dedup
+
+        t = FsTable.create(str(tmp_path / "fgt3"))
+        with pytest.raises(ValueError):
+            dedup.forget_fingerprints(spark, t, ["x'; DROP --"])
+        with pytest.raises(ValueError):
+            dedup.forget_fingerprints(
+                spark, t, [f"{i:032x}" for i in range(10_001)])

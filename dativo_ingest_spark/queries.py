@@ -1665,7 +1665,7 @@ def subquery_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS BIGINT) AS order_year,
            CAST(month(o_orderdate) AS BIGINT) AS order_month,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           round(o_totalprice / 1000.0, 3) AS price_k,
+           CAST(floor(o_totalprice + 0.5) AS BIGINT) AS price_k_milli,
            concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
            CASE WHEN o_totalprice >= 200000 THEN 'large'
                 WHEN o_totalprice >= 50000 THEN 'medium'
@@ -1684,7 +1684,11 @@ def scalar_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("order_year"),
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
-        F.round(F.col("o_totalprice") / 1000.0, 3).alias("price_k"),
+        # price in thousandths-of-k = rounded whole currency units:
+        # integer fixed point (floor(x+0.5)) — round(x/1000, 3) drifted
+        # an ulp between engines on 5 of 150k rows at sf0.1
+        F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)")
+        .alias("price_k_milli"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.when(F.col("o_totalprice") >= 200000, "large")
         .when(F.col("o_totalprice") >= 50000, "medium")
@@ -3783,8 +3787,8 @@ def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w / 10000.0
              AS sum_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     doc="time-RANGE window frame (trailing 1-hour rolling aggregates per "
         "user): the frame is bounded by the ORDER-BY VALUE, not row "
@@ -3798,10 +3802,14 @@ def approx_median_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # integer MICROSECONDS on both sides: unix_timestamp() truncates
+    # sub-second parts while DuckDB's epoch() keeps them, which flipped
+    # boundary rows at sf0.1 (an event exactly 3600.4s back is inside
+    # the truncated frame, outside the fractional one)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     vq = F.floor(F.col("value") * 10000 + 0.5).cast("long")
     return ev.select(

@@ -987,3 +987,92 @@ def wap_epoch_writer(table, expectations: list[dict],
                 epoch_id, branch, failed)
 
     return write_batch
+
+
+def psi_reference(df: DataFrame, value_col: str, n_bins: int = 10,
+                  exact: bool = True):
+    """Fit the PSI gate's reference: equi-depth edges + per-bin counts
+    from a trusted baseline frame (operators/profiling.py:psi_drift's
+    fit side, done once and persisted by the caller — batches are then
+    scored against the SAME frozen reference instead of re-fitting and
+    chasing the drift)."""
+    from dativo_ingest_spark.operators.quality import (
+        apply_equi_depth_bins, equi_depth_edges)
+
+    edges = equi_depth_edges(df, value_col, n_bins, exact=exact)
+    rows = (apply_equi_depth_bins(df, value_col, edges)
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    counts = [0] * (len(edges) + 1)
+    for r in rows:
+        counts[int(r.bin)] = int(r.n)
+    return edges, counts
+
+
+def psi_drift_gate(reference, value_col: str, write_batch,
+                   threshold_milli: int = 250, on_drift: str = "skip",
+                   quarantine_batch=None):
+    """foreachBatch wrapper gating each micro-batch on Population
+    Stability Index against a FROZEN reference distribution — the
+    DISTRIBUTIONAL complement of :func:`expectations_gate`: a unit
+    change or silent upstream subsetting keeps every row individually
+    valid (nulls fine, ranges fine) while shifting the population; PSI
+    catches exactly that class before it reaches training.
+
+    ``reference`` = (edges, counts) from :func:`psi_reference`. Per
+    epoch: one scan-stage bin cascade + a k-row count collect; the PSI
+    fold runs driver-side over k bins (the same Laplace-smoothed
+    (p-q)*ln(p/q) as operators/profiling.py:psi_drift). Total PSI >=
+    ``threshold_milli``/1000 (default 0.25 — the conventional
+    'shifted' bar) triggers ``on_drift``:
+
+    * ``skip``: quarantine — the batch is NOT written; when
+      ``quarantine_batch`` is given the batch lands there instead
+      (e.g. a ``table_epoch_writer`` on a quarantine table), so
+      drifted data is preserved for diagnosis, never silently lost.
+    * ``abort``: raise — strict semantics, the source replays the
+      epoch on restart.
+    * ``log``: write anyway, warn with the per-bin report.
+    """
+    import math
+
+    if on_drift not in ("abort", "skip", "log"):
+        raise ValueError(
+            f"on_drift must be abort|skip|log, got {on_drift!r}")
+    edges, ref_counts = reference
+    k = len(edges) + 1
+    if len(ref_counts) != k:
+        raise ValueError(
+            f"reference counts must have {k} bins, got {len(ref_counts)}")
+    t_ref = sum(ref_counts)
+    logger = logging.getLogger(__name__)
+    from dativo_ingest_spark.operators.quality import apply_equi_depth_bins
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (apply_equi_depth_bins(batch_df, value_col, edges)
+                .filter(F.col("bin").isNotNull())
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        cur = [0] * k
+        for r in rows:
+            cur[int(r.bin)] = int(r.n)
+        t_cur = sum(cur)
+        psi = 0.0
+        for i in range(k):
+            p = (ref_counts[i] + 1) / (t_ref + k)
+            q = (cur[i] + 1) / (t_cur + k)
+            psi += (p - q) * math.log(p / q)
+        if psi * 1000 >= threshold_milli:
+            report = {"epoch": epoch_id, "psi": round(psi, 6),
+                      "bins": cur, "reference": ref_counts}
+            if on_drift == "abort":
+                raise RuntimeError(f"PSI drift gate: {report}")
+            logger.warning("PSI drift gate (%s): %s", on_drift, report)
+            if on_drift == "skip":
+                if quarantine_batch is not None:
+                    quarantine_batch(batch_df, epoch_id)
+                return
+        write_batch(batch_df, epoch_id)
+
+    return _apply

@@ -731,3 +731,69 @@ class TestWapEpochWriter:
              .trigger(availableNow=True).start())
         q.awaitTermination()
         assert sorted(r.v for r in t.read(spark).collect()) == [1, 5, 7]
+
+
+def test_psi_drift_gate(spark, tmp_path):
+    # reference: uniform [0, 100); stream batch 1 matches it, batch 2 is
+    # shifted far right -> only batch 2 must quarantine
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(400)], "value double")
+    reference = pipeline.psi_reference(ref, "value", n_bins=4)
+
+    ok = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(200)], "value double")
+    drifted = spark.createDataFrame(
+        [(float(900 + i),) for i in range(200)], "value double")
+
+    written, quarantined = [], []
+    gate = pipeline.psi_drift_gate(
+        reference, "value",
+        lambda df, e: written.append((e, df.count())),
+        quarantine_batch=lambda df, e: quarantined.append((e, df.count())))
+    gate(ok, 0)
+    gate(drifted, 1)
+    assert written == [(0, 200)]
+    assert quarantined == [(1, 200)]
+
+    # abort mode raises on the drifted batch
+    import pytest as _pytest
+
+    strict = pipeline.psi_drift_gate(
+        reference, "value", lambda df, e: None, on_drift="abort")
+    strict(ok, 0)
+    with _pytest.raises(RuntimeError):
+        strict(drifted, 1)
+
+    # log mode writes everything
+    written.clear()
+    loose = pipeline.psi_drift_gate(
+        reference, "value",
+        lambda df, e: written.append(e), on_drift="log")
+    loose(ok, 0); loose(drifted, 1)
+    assert written == [0, 1]
+
+    # and through a REAL availableNow stream: per-file batches, the
+    # drifted file quarantines while the in-family file publishes
+    src = str(tmp_path / "psi_src")
+    ok.repartition(1).write.mode("overwrite").parquet(src)
+    drifted.repartition(1).write.mode("append").parquet(src)
+    back = spark.read.parquet(src)
+    written.clear(); quarantined.clear()
+    stream = pipeline.stream_from_files(spark, src, back.schema,
+                                        max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(pipeline.psi_drift_gate(
+             reference, "value",
+             lambda df, e: written.append(df.count()),
+             quarantine_batch=lambda df, e: quarantined.append(df.count())))
+         .option("checkpointLocation", str(tmp_path / "psi_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sum(written) == 200 and sum(quarantined) == 200
+
+    with _pytest.raises(ValueError):
+        pipeline.psi_drift_gate(reference, "value", lambda d, e: None,
+                                on_drift="nope")
+    with _pytest.raises(ValueError):
+        pipeline.psi_drift_gate((reference[0], [1, 2]), "value",
+                                lambda d, e: None)

@@ -1047,19 +1047,34 @@ def blocklist_gate(
     audits can count WHAT would be dropped before enforcement — the
     same report-then-enforce contract as operators/quality.py.
 
+    MULTI-WORD terms are supported (the real C4 list contains phrases):
+    a term with spaces matches as a whole-token n-gram on the
+    normalized stream — same false-positive discipline, one extra
+    word-ngram projection per distinct phrase LENGTH in the list (a
+    handful), each still scan-stage.
+
     Scale: pure scan-stage Catalyst — normalize/split once, one
     ``filter(array_contains-style lambda)`` fold against the literal
-    term set (blocklists are hundreds of terms: inline literals, no
-    join, no UDF, no shuffle). A million-term list would switch to a
-    broadcast semi-join against the exploded tokens; the knob is the
-    same INLINE_LITERAL_BUDGET argument as clustering's centroids.
+    term set per phrase length (blocklists are hundreds of terms:
+    inline literals, no join, no UDF, no shuffle). A million-term list
+    would switch to a broadcast semi-join against the exploded tokens;
+    the knob is the same INLINE_LITERAL_BUDGET argument as
+    clustering's centroids.
     """
-    terms = [str(t).lower() for t in terms]
-    if not terms:
+    norm_terms = [" ".join(str(t).lower().split()) for t in terms]
+    norm_terms = [t for t in norm_terms if t]
+    if not norm_terms:
         raise ValueError("terms must be non-empty")
+    by_len: dict[int, list[str]] = {}
+    for t in norm_terms:
+        by_len.setdefault(len(t.split()), []).append(t)
     toks = _tokenized(df, id_col, text_col)
-    hits = F.size(
-        F.filter(F.col("_words"), lambda w: w.isin(*terms)))
+    hits = None
+    for n, group in sorted(by_len.items()):
+        seq = (F.col("_words") if n == 1
+               else text.word_ngrams(F.col("_words"), n))
+        h = F.size(F.filter(seq, lambda w: w.isin(*group)))
+        hits = h if hits is None else hits + h
     return toks.select(
         "id",
         hits.cast("long").alias("n_hits"),

@@ -413,6 +413,26 @@ class TestBlocklistGate:
         with _pytest.raises(ValueError):
             textops.blocklist_gate(df, "id", "text", terms=())
 
+    def test_phrase_terms_match_as_ngrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the bad phrase appears here"),
+             (2, "bad things and a phrase but never adjacent"),
+             (3, "BAD   PHRASE with odd spacing")],
+            "id long, text string")
+        got = {r.id: (r.n_hits, r.blocked) for r in
+               textops.blocklist_gate(
+                   df, "id", "text", terms=("bad phrase",)).collect()}
+        assert got[1] == (1, True)
+        assert got[2] == (0, False)     # words present, phrase absent
+        assert got[3] == (1, True)      # normalization collapses spaces
+
+    def test_mixed_word_and_phrase_terms_sum(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam and bad phrase and spam")], "id long, text string")
+        r = textops.blocklist_gate(
+            df, "id", "text", terms=("spam", "bad phrase")).first()
+        assert (r.n_hits, r.blocked) == (3, True)
+
 
 class TestCreditCardLuhn:
     def test_luhn_separates_valid_from_lookalike(self, spark):
@@ -487,3 +507,4 @@ class TestCreditCardLuhn:
             FROM t LEFT JOIN agg USING (doc_id)""").fetchall())
         assert got == want
         assert got[2][1:] == (2, 2, True)   # both planted cards valid
+

@@ -74,6 +74,9 @@ class JobResult:
     dq_report: list[dict] = dc_field(default_factory=list)
     #: dedup-on-ingest drops: {"batch": within-batch, "index": vs history}
     dedup_dropped: dict[str, int] = dc_field(default_factory=dict)
+    #: PSI drift gate outcome (target.options.drift_gate): bootstrap or
+    #: {psi_milli, drifted, bins, reference}
+    drift_report: dict = dc_field(default_factory=dict)
 
     @property
     def records_per_second(self) -> float:
@@ -356,6 +359,27 @@ def run_job(
                 "the validated frame's id — an optional id could coerce "
                 "to NULL, publish under warn mode, and never be indexed "
                 "(its content would then re-publish on every later run)")
+    # distribution-drift gate config (the batch analog of
+    # streaming/pipeline.py:psi_drift_gate): validated before data moves
+    _dg = job.target.options.get("drift_gate")
+    if _dg is not None:
+        _dg = dict(_dg)
+        if not (_dg.get("column") and _dg.get("reference_path")):
+            raise ConfigError(
+                "target.options.drift_gate needs column (a numeric asset "
+                "field) and reference_path (where the frozen reference "
+                "distribution lives)")
+        _dg["on_drift"] = str(_dg.get("on_drift", "warn"))
+        if _dg["on_drift"] not in ("warn", "abort"):
+            raise ConfigError(
+                "target.options.drift_gate.on_drift must be warn or "
+                f"abort, got {_dg['on_drift']!r}")
+        _dg["n_bins"] = int(_dg.get("n_bins", 10))
+        _dg["threshold_milli"] = int(_dg.get("threshold_milli", 250))
+        if _dg["n_bins"] < 2 or _dg["threshold_milli"] < 1:
+            raise ConfigError(
+                "target.options.drift_gate: n_bins must be >= 2 and "
+                "threshold_milli >= 1")
     t0 = time.perf_counter()
     # Warn-only preflight: endpoint reachability surfaces in logs/result,
     # never in the exit code (reference cli.py:236-244 catches-and-logs).
@@ -529,6 +553,78 @@ def run_job(
                 duration_s=time.perf_counter() - t0,
                 dedup_dropped=dedup_dropped,
             ))
+
+    # PSI drift gate (the batch analog of streaming/pipeline.py:
+    # psi_drift_gate, fit-once/score-many across RUNS): the first run
+    # bootstraps the frozen reference next to the job's other state;
+    # later runs score the batch against it driver-side (k bins). A
+    # unit change or upstream subsetting keeps every row individually
+    # valid — this is the population-level complement of the row-level
+    # expectations above. warn records the report (exit stays
+    # success); abort fails BEFORE staging, like strict DQ.
+    drift_report: dict = {}
+    if _dg:
+        import math as _math
+
+        if _dg["column"] not in probe.columns:
+            raise ConfigError(
+                f"target.options.drift_gate.column {_dg['column']!r} "
+                "is not a validated asset column")
+        _ref_file = os.path.join(_dg["reference_path"],
+                                 "drift_reference.json")
+        from dativo_ingest_spark.streaming.pipeline import psi_reference
+
+        if not os.path.exists(_ref_file):
+            _edges, _counts = psi_reference(
+                probe, _dg["column"], n_bins=_dg["n_bins"])
+            os.makedirs(_dg["reference_path"], exist_ok=True)
+            with open(_ref_file, "w") as _fh:
+                json.dump({"column": _dg["column"], "edges": _edges,
+                           "counts": _counts}, _fh)
+            drift_report = {"bootstrapped": True, "bins": _counts}
+        else:
+            with open(_ref_file) as _fh:
+                _ref = json.load(_fh)
+            from dativo_ingest_spark.operators.quality import (
+                apply_equi_depth_bins)
+
+            _edges, _counts = _ref["edges"], _ref["counts"]
+            _k = len(_edges) + 1
+            _cur = [0] * _k
+            for _r in (apply_equi_depth_bins(
+                    probe, _dg["column"], _edges)
+                    .filter(F.col("bin").isNotNull())
+                    .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                    .collect()):
+                _cur[int(_r.bin)] = int(_r.n)
+            _tr, _tc = sum(_counts), sum(_cur)
+            _psi = sum(
+                ((_counts[_i] + 1) / (_tr + _k)
+                 - (_cur[_i] + 1) / (_tc + _k))
+                * _math.log(((_counts[_i] + 1) / (_tr + _k))
+                            / ((_cur[_i] + 1) / (_tc + _k)))
+                for _i in range(_k))
+            drift_report = {
+                "psi_milli": int(_psi * 1000),
+                "drifted": _psi * 1000 >= _dg["threshold_milli"],
+                "bins": _cur, "reference": _counts,
+            }
+            if drift_report["drifted"]:
+                logging.getLogger(__name__).warning(
+                    "drift gate", extra={"drift": drift_report})
+                if _dg["on_drift"] == "abort":
+                    # row counters aren't observed yet (that happens in
+                    # the write pass the abort prevents); the binned
+                    # total is the best pre-staging row figure
+                    return _finish(JobResult(
+                        exit_code=EXIT_FAILURE,
+                        records_in=_tc,
+                        records_valid=_tc,
+                        dq_report=dq_report,
+                        drift_report=drift_report,
+                        duration_s=time.perf_counter() - t0,
+                        dedup_dropped=dedup_dropped,
+                    ))
 
     props = tags_mod.derive_table_properties(
         job.asset,
@@ -986,6 +1082,7 @@ def run_job(
         duration_s=time.perf_counter() - t0,
         catalog_status=catalog_status,
         dedup_dropped=dedup_dropped,
+        drift_report=drift_report,
     ))
 
 

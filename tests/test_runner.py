@@ -978,3 +978,72 @@ class TestDedupOnIngestOption:
             runner.run_job(spark, job(num_hashes=8, rows_per_band=3))
         with pytest.raises(ConfigError, match="threshold"):
             runner.run_job(spark, job(threshold=0.0))
+
+
+class TestDriftGate:
+    def _job(self, src, out, ref, on_drift="warn",
+             threshold_milli=250):
+        d = job_dict(src, out)
+        d["asset"]["schema"] = [
+            {"name": "id", "type": "integer", "required": True},
+            {"name": "amount", "type": "number", "required": True},
+        ]
+        d["asset"]["name"] = "amounts"
+        d["target"]["options"]["drift_gate"] = {
+            "column": "amount", "reference_path": ref,
+            "n_bins": 4, "threshold_milli": threshold_milli,
+            "on_drift": on_drift,
+        }
+        return JobConfig.from_dict(d)
+
+    def _csv(self, tmp_path, name, values):
+        p = tmp_path / name
+        p.write_text("id,amount\n" + "".join(
+            f"{i},{v}\n" for i, v in enumerate(values)))
+        return str(p)
+
+    def test_bootstrap_then_stable_then_drift(self, spark, tmp_path):
+        ref = str(tmp_path / "ref")
+        base = self._csv(tmp_path, "b.csv",
+                         [float(i % 100) for i in range(200)])
+        out = str(tmp_path / "out")
+        # run 1: bootstraps the frozen reference
+        res = runner.run_job(spark, self._job(base, out, ref))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        assert res.drift_report.get("bootstrapped") is True
+        import os
+
+        assert os.path.exists(f"{ref}/drift_reference.json")
+        # run 2: same distribution -> scored, not drifted
+        res = runner.run_job(spark, self._job(base, out, ref))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        assert res.drift_report["drifted"] is False
+        assert res.drift_report["psi_milli"] < 50
+        # run 3: shifted distribution -> warn records it, job succeeds
+        shifted = self._csv(tmp_path, "s.csv",
+                            [float(5000 + i) for i in range(200)])
+        res = runner.run_job(spark, self._job(shifted, out, ref))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        assert res.drift_report["drifted"] is True
+        # run 4: abort mode fails BEFORE staging
+        res = runner.run_job(
+            spark, self._job(shifted, out, ref, on_drift="abort"))
+        assert res.exit_code == runner.EXIT_FAILURE
+        assert res.drift_report["drifted"] is True
+
+    def test_config_validation(self, spark, tmp_path):
+        src = self._csv(tmp_path, "c.csv", [1.0])
+        d = job_dict(src, str(tmp_path / "o"))
+        d["target"]["options"]["drift_gate"] = {"column": "x"}
+        with pytest.raises(ConfigError):
+            runner.run_job(spark, JobConfig.from_dict(d))
+        d["target"]["options"]["drift_gate"] = {
+            "column": "x", "reference_path": str(tmp_path / "r"),
+            "on_drift": "explode"}
+        with pytest.raises(ConfigError):
+            runner.run_job(spark, JobConfig.from_dict(d))
+        # a column outside the validated asset schema is refused
+        job = self._job(src, str(tmp_path / "o2"), str(tmp_path / "r2"))
+        job.target.options["drift_gate"]["column"] = "nope"
+        with pytest.raises(ConfigError):
+            runner.run_job(spark, job)

@@ -508,3 +508,33 @@ class TestCreditCardLuhn:
         assert got == want
         assert got[2][1:] == (2, 2, True)   # both planted cards valid
 
+
+    def test_luhn_matches_python_reference_on_random_inputs(self, spark):
+        import random
+
+        def py_luhn(s):
+            ds = [int(c) for c in s if c.isdigit()]
+            if len(ds) < 13:
+                return False
+            total = 0
+            for k, d in enumerate(reversed(ds)):
+                if k % 2 == 1:
+                    d *= 2
+                    if d > 9:
+                        d -= 9
+                total += d
+            return total % 10 == 0
+
+        rng = random.Random(42)
+        rows = []
+        for i in range(300):
+            n = rng.randrange(10, 22)
+            s = "".join(rng.choice("0123456789") for _ in range(n))
+            if rng.random() < 0.3:   # sprinkle separators
+                s = " ".join(s[j:j + 4] for j in range(0, len(s), 4))
+            rows.append((i, s))
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {r.id: r.v for r in df.select(
+            "id", pii.luhn_valid(F.col("s")).alias("v")).collect()}
+        want = {i: py_luhn(s) for i, s in rows}
+        assert got == want

@@ -389,3 +389,38 @@ class TestWeightedMedian:
         out = {r.key: r.weighted_median
                for r in weighted_median(df, "k", "v", "w").collect()}
         assert out == {"a": 4}   # key b omitted entirely
+
+    def test_weighted_median_matches_python_reference_randomized(
+            self, spark):
+        import random
+
+        def py_wmedian(pairs):
+            agg = {}
+            for v, w in pairs:
+                if w and w > 0:
+                    agg[v] = agg.get(v, 0) + w
+            if not agg:
+                return None
+            total = sum(agg.values())
+            cum = 0
+            for v in sorted(agg):
+                cum += agg[v]
+                if 2 * cum >= total:
+                    return v
+
+        rng = random.Random(99)
+        rows, want = [], {}
+        for g in range(25):
+            pairs = [(rng.randrange(0, 50),
+                      rng.choice([None, 0, -2] + list(range(1, 9))))
+                     for _ in range(rng.randrange(1, 40))]
+            rows += [(f"g{g}", v, w) for v, w in pairs]
+            m = py_wmedian(pairs)
+            if m is not None:
+                want[f"g{g}"] = m
+        from dativo_ingest_spark.operators.quality import weighted_median
+
+        df = spark.createDataFrame(rows, "k string, v long, w long")
+        got = {r.key: r.weighted_median
+               for r in weighted_median(df, "k", "v", "w").collect()}
+        assert got == want

@@ -1080,3 +1080,59 @@ def blocklist_gate(
         hits.cast("long").alias("n_hits"),
         (hits > max_hits).alias("blocked"),
     )
+
+
+#: sentence terminators for the readability estimate (a run of .!? counts
+#: once — "?!" is one boundary); documents with none count as ONE sentence
+_SENT_BOUNDARY = r"[.!?]+"
+
+#: vowel-group syllable heuristic: a maximal run of vowels (y included)
+#: approximates one syllable — the standard zero-dictionary estimator;
+#: a real hyphenation table slots into the same three-count formula
+_SYLLABLE_RUN = r"[aeiouyAEIOUY]+"
+
+
+def flesch_reading_ease(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the classic
+    document-difficulty signal curation mixes use alongside the LM
+    scores — extreme values flag word salad on the low end and
+    telegraphic boilerplate on the high end).
+
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)`` with
+    the three counts as scan-stage regex/array expressions: words from
+    the shared normalized tokenizer, sentences as terminator runs
+    (min 1), syllables as vowel-group runs (the standard
+    zero-dictionary heuristic). Returns (id, n_words, n_sentences,
+    n_syllables, flesch_micro) — the score quantized to integer
+    micro-points in a FIXED IEEE order the oracle replays, empty docs
+    NULL.
+
+    Scale: one scan-stage projection, no shuffle/join/UDF — rides the
+    same pass as every other quality feature.
+    """
+    toks = _tokenized(df, id_col, text_col)
+    n_words = F.size("_words").cast("long")
+    n_sents = F.greatest(
+        F.regexp_count(F.col("_text"), F.lit(_SENT_BOUNDARY)),
+        F.lit(1)).cast("long")
+    n_syll = F.regexp_count(
+        F.col("_text"), F.lit(_SYLLABLE_RUN)).cast("long")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return toks.select(
+        "id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0,
+               F.floor(score * micro_units + 0.5).cast("long"))
+        .alias("flesch_micro"),
+    )

@@ -7268,6 +7268,51 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flesch_reading_ease_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(CASE WHEN norm = '' THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+               AS BIGINT) AS n_syllables
+      FROM t)
+    SELECT doc_id AS id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             CAST(floor((206.835::DOUBLE
+               - 1.015::DOUBLE * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+               - 84.6::DOUBLE * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT)
+           END AS flesch_micro
+    FROM c
+    """,
+    doc="Flesch reading ease per document "
+        "(operators/textops.py:flesch_reading_ease, Flesch 1948): the "
+        "classic difficulty signal curation mixes use next to the LM "
+        "scores — word salad scores extreme-low, telegraphic "
+        "boilerplate extreme-high. Three scan-stage counts (normalized "
+        "words, terminator-run sentences min 1, vowel-group syllables "
+        "— the standard zero-dictionary heuristic) folded in a FIXED "
+        "IEEE order and quantized to micro-points; one projection, no "
+        "shuffle/join/UDF.",
+)
+def flesch_reading_ease_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.textops import flesch_reading_ease
+
+    docs = load(spark, sf_dir, "documents")
+    return flesch_reading_ease(docs, "doc_id", "text")
+
+
+@register(
     "credit_card_luhn_docs",
     r"""
     WITH cand AS (
@@ -8347,6 +8392,7 @@ _GATE_DEMOTED = [
     "blocklist_gate_docs",
     "weighted_median_docs",
     "credit_card_luhn_docs",
+    "flesch_reading_ease_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

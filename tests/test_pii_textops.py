@@ -538,3 +538,33 @@ class TestCreditCardLuhn:
             "id", pii.luhn_valid(F.col("s")).alias("v")).collect()}
         want = {i: py_luhn(s) for i, s in rows}
         assert got == want
+
+
+class TestFleschReadingEase:
+    def test_counts_and_score(self, spark):
+        df = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!"),
+             (2, "no terminator here"),
+             (3, "")],
+            "id long, text string")
+        got = {r.id: r for r in textops.flesch_reading_ease(
+            df, "id", "text").collect()}
+        a = got[1]
+        assert (a.n_words, a.n_sentences) == (6, 2)
+        # vowel groups: e,a,a,e,o,a -> 6 one-syllable words
+        assert a.n_syllables == 6
+        expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert a.flesch_micro == int(expect * 1_000_000 + 0.5)
+        assert got[2].n_sentences == 1      # min-1 sentence floor
+        assert got[3].flesch_micro is None  # empty doc -> NULL score
+
+    def test_simple_text_scores_higher_than_polysyllabic(self, spark):
+        df = spark.createDataFrame(
+            [(1, "I like tea. I like milk. We sit."),
+             (2, "Incomprehensibility characterizes internationalization "
+                 "methodologies notwithstanding organizational "
+                 "considerations.")],
+            "id long, text string")
+        got = {r.id: r.flesch_micro for r in textops.flesch_reading_ease(
+            df, "id", "text").collect()}
+        assert got[1] > got[2]

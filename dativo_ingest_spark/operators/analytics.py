@@ -293,3 +293,55 @@ def cusum_changepoints(
         ((F.col("cusum_pos") > h) | (F.col("cusum_neg") > h))
         .alias("flagged"),
     )
+
+
+def pareto_classes(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    bounds: tuple[int, int] = (80, 95),
+) -> DataFrame:
+    """ABC / Pareto classification: rank keys by summed value and class
+    them by cumulative share — A up to ``bounds[0]`` percent of the
+    total, B to ``bounds[1]``, C the tail (the 80/15/5 inventory
+    analysis; for corpora: which sources carry 80% of the tokens).
+
+    A key's class comes from the cumulative share BEFORE it (integer
+    predicate ``(cum - own) * 100 < bound * total``), so the item that
+    crosses a boundary belongs to the class it completes — the standard
+    convention, deterministic under ties via (value desc, key) order.
+    All arithmetic BIGINT.
+
+    Returns (key, value, rank, abc_class). Scale: the raw frame folds
+    to key grain in one partial-agg shuffle FIRST; the ranking windows
+    then run over the aggregated frame — orders of magnitude smaller
+    than the input, but still a keys=() single-partition sort at the
+    end (the cumulative_new_users_daily bound): corpora with >~100M
+    distinct keys should range-partition the cumsum the way
+    operators/sampling.py:systematic_sample does.
+    """
+    from pyspark.sql.window import Window as _W
+
+    a_bound, b_bound = int(bounds[0]), int(bounds[1])
+    if not 0 < a_bound < b_bound < 100:
+        raise ValueError("bounds must satisfy 0 < A < B < 100")
+    agg = (
+        df.select(F.col(key_col).alias("key"),
+                  F.col(value_col).cast("long").alias("v"))
+        .groupBy("key").agg(F.sum("v").alias("value"))
+    )
+    order = _W.orderBy(F.col("value").desc(), F.col("key"))
+    run = order.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    everything = _W.partitionBy()
+    ranked = (
+        agg.withColumn("rank", F.row_number().over(order))
+        .withColumn("_cum", F.sum("value").over(run))
+        .withColumn("_total", F.sum("value").over(everything))
+    )
+    before = (F.col("_cum") - F.col("value")) * 100
+    return ranked.select(
+        "key", "value", F.col("rank").cast("long").alias("rank"),
+        F.when(before < F.col("_total") * a_bound, "A")
+        .when(before < F.col("_total") * b_bound, "B")
+        .otherwise("C").alias("abc_class"),
+    )

@@ -7268,6 +7268,56 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pareto_abc_parts",
+    """
+    WITH agg AS (
+      SELECT l_partkey AS key,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS value
+      FROM lineitem GROUP BY 1),
+    r AS (
+      SELECT key, value,
+             row_number() OVER (ORDER BY value DESC, key) AS rank,
+             sum(value) OVER (ORDER BY value DESC, key
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(value) OVER () AS total
+      FROM agg)
+    SELECT CASE WHEN (cum - value) * 100 < total * 80 THEN 'A'
+                WHEN (cum - value) * 100 < total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(value) AS BIGINT) AS sum_cents,
+           CAST(min(rank) AS BIGINT) AS first_rank
+    FROM r GROUP BY 1
+    """,
+    doc="Pareto / ABC classification "
+        "(operators/analytics.py:pareto_classes): rank parts by summed "
+        "revenue, class by cumulative share (A to 80%, B to 95%, C the "
+        "tail) — for corpora, 'which sources carry 80% of the tokens'. "
+        "A key's class comes from the cumulative share BEFORE it "
+        "(integer predicate), so the boundary-crossing item belongs to "
+        "the class it completes; ties deterministic via (value desc, "
+        "key). The raw frame folds to key grain in one partial-agg "
+        "shuffle FIRST; the keys=() single-partition cumsum bound and "
+        "its range-partition swap are documented in the operator.",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import pareto_classes
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    return (
+        pareto_classes(li, "l_partkey", "cents")
+        .groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_keys"),
+             F.sum("value").alias("sum_cents"),
+             F.min("rank").alias("first_rank"))
+    )
+
+
+@register(
     "flesch_reading_ease_docs",
     r"""
     WITH t AS (
@@ -8393,6 +8443,7 @@ _GATE_DEMOTED = [
     "weighted_median_docs",
     "credit_card_luhn_docs",
     "flesch_reading_ease_docs",
+    "pareto_abc_parts",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

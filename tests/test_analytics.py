@@ -225,3 +225,35 @@ class TestCusumChangepoints:
         got = self._run(spark, rows)
         a_vals = [got[("a", b)] for (k, b) in got if k == "a"]
         assert all(v[1] == 0 and v[2] == 0 for v in a_vals)
+
+
+class TestParetoClasses:
+    def test_classic_80_15_5(self, spark):
+        # one dominant key (80), one mid (15), three tail (5 total)
+        rows = [("big", 80), ("mid", 15), ("t1", 2), ("t2", 2), ("t3", 1)]
+        df = spark.createDataFrame(rows, "k string, v long")
+        got = {r.key: (r.rank, r.abc_class) for r in
+               analytics.pareto_classes(df, "k", "v").collect()}
+        assert got["big"] == (1, "A")
+        assert got["mid"] == (2, "B")
+        assert got["t1"][1] == "C" and got["t3"][1] == "C"
+
+    def test_boundary_crosser_completes_the_class(self, spark):
+        # cumulative before key2 is 50% < 80 -> key2 (reaching 100%) is A?
+        # no: before key2 = 50 < 80 -> A; before key3 would be 100 -> C
+        df = spark.createDataFrame(
+            [("k1", 50), ("k2", 50)], "k string, v long")
+        got = {r.key: r.abc_class for r in
+               analytics.pareto_classes(df, "k", "v").collect()}
+        assert got == {"k1": "A", "k2": "A"}
+
+    def test_pre_aggregates_duplicate_keys_and_validates(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 10), ("b", 1)], "k string, v long")
+        got = {r.key: r.value for r in
+               analytics.pareto_classes(df, "k", "v").collect()}
+        assert got == {"a": 20, "b": 1}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            analytics.pareto_classes(df, "k", "v", bounds=(95, 80))

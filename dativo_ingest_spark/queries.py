@@ -7268,6 +7268,55 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_agg_orders",
+    """
+    WITH base AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM base
+    """,
+    doc="metadata-only aggregate pushdown "
+        "(sinks/table_commit.py:manifest_aggregate — Iceberg's "
+        "metadata-aggregate answer path): COUNT(*) from per-file row "
+        "counts recorded at commit, MIN/MAX from the per-file stats "
+        "triples, folded in a driver-side manifest walk with ZERO data "
+        "I/O — the 'how many rows, how fresh' probe that otherwise "
+        "costs a full scan at 100 TB. Conservative contract (any file "
+        "missing metadata makes the answer None, never wrong) is "
+        "pinned in unit tests incl. through DELETE and compaction; "
+        "this gate writes three commits and must reproduce the plain "
+        "SQL aggregate exactly from manifests alone.",
+)
+def manifest_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    base = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 1).select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    root = tempfile.mkdtemp(prefix="sg_ma_")
+    try:
+        t = FsTable.create(root)
+        for m in (0, 1, 2):
+            t.write_append(base.filter(F.col("cents") % 3 == m),
+                           stats_columns=["cents"])
+        agg = t.manifest_aggregate(["cents"])
+        assert agg["num_rows"] is not None and agg["columns"]["cents"]
+        rows = [(agg["num_rows"], agg["columns"]["cents"]["min"],
+                 agg["columns"]["cents"]["max"])]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_rows bigint, min_cents bigint, max_cents bigint")
+
+
+@register(
     "pareto_abc_parts",
     """
     WITH agg AS (
@@ -8444,6 +8493,7 @@ _GATE_DEMOTED = [
     "credit_card_luhn_docs",
     "flesch_reading_ease_docs",
     "pareto_abc_parts",
+    "manifest_agg_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

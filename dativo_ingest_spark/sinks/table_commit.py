@@ -75,7 +75,10 @@ def _footer_stats(path: str, columns: list[str]) -> dict[str, Any]:
     'cannot prune', never 'matches nothing'."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _footer_stats_md(pq.ParquetFile(path).metadata, columns)
+
+
+def _footer_stats_md(md, columns: list[str]) -> dict[str, Any]:
     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
     out: dict[str, Any] = {}
     for col in columns:
@@ -719,12 +722,20 @@ class FsTable:
             for name in sorted(files):
                 if name.endswith(".parquet"):
                     full = os.path.join(root, name)
+                    import pyarrow.parquet as pq
+
+                    md = pq.ParquetFile(full).metadata
                     entry: dict[str, Any] = {
                         "path": f"{rel_root}/{name}",
                         "size_bytes": os.path.getsize(full),
+                        # row count from the same footer read: makes
+                        # COUNT(*) a manifest_aggregate metadata-only
+                        # answer at any table size
+                        "num_rows": md.num_rows,
                     }
                     if stats_columns:
-                        entry["stats"] = _footer_stats(full, stats_columns)
+                        entry["stats"] = _footer_stats_md(
+                            md, stats_columns)
                     staged.append(entry)
         return staged
 
@@ -785,6 +796,62 @@ class FsTable:
             return snap.files
         return [f for f in snap.files
                 if not file_excluded(f.get("stats"), where)]
+
+    def manifest_aggregate(
+        self,
+        columns: list[str] | None = None,
+        branch: str = "main",
+        version: int | None = None,
+    ) -> dict[str, Any]:
+        """COUNT(*) / MIN / MAX answered from the MANIFEST alone — zero
+        data I/O at any table size (Iceberg's metadata-aggregate
+        pushdown): per-file row counts recorded at commit sum to the
+        exact COUNT(*); per-file [min,max] stats fold to exact table
+        MIN/MAX (file extremes are true row extremes). Conservative by
+        construction: any file missing the needed metadata (pre-feature
+        commits, stats not recorded for that column) makes the answer
+        ``None`` — never a wrong number.
+
+        Returns ``{"num_rows": int|None, "columns": {col: {"min":
+        ..., "max": ...}}}`` with a column entry only when EVERY file
+        carries its stats. At 100 TB this turns the classic
+        ``SELECT count(*), max(ts) FROM t`` freshness probe into a
+        driver-side manifest walk."""
+        if version is None:
+            v = self.current_version(branch)
+            if v is None:
+                raise ValueError(f"unknown branch {branch!r}")
+            version = v
+        snap = self.snapshot(version)
+        out: dict[str, Any] = {"num_rows": 0, "columns": {}}
+        rows_ok = True
+        col_acc: dict[str, dict[str, Any]] = {
+            c: {"min": None, "max": None, "ok": True}
+            for c in (columns or [])}
+        for f in snap.files:
+            n = f.get("num_rows")
+            if n is None:
+                rows_ok = False
+            elif rows_ok:
+                out["num_rows"] += int(n)
+            for c, acc in col_acc.items():
+                rng = (f.get("stats") or {}).get(c)
+                if not rng or not acc["ok"]:
+                    acc["ok"] = False
+                    continue
+                acc["min"] = (rng["min"] if acc["min"] is None
+                              else min(acc["min"], rng["min"]))
+                acc["max"] = (rng["max"] if acc["max"] is None
+                              else max(acc["max"], rng["max"]))
+        if not rows_ok:
+            out["num_rows"] = None
+        if not snap.files:
+            out["num_rows"] = 0 if rows_ok else None
+        for c, acc in col_acc.items():
+            out["columns"][c] = (
+                {"min": acc["min"], "max": acc["max"]}
+                if (acc["ok"] and snap.files) else None)
+        return out
 
     def read(
         self,

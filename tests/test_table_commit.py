@@ -727,3 +727,47 @@ class TestForgetFingerprints:
         with pytest.raises(ValueError):
             dedup.forget_fingerprints(
                 spark, t, [f"{i:032x}" for i in range(10_001)])
+
+
+class TestManifestAggregate:
+    def test_count_min_max_metadata_only(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "ma"))
+        t.write_append(_df(spark, 0, 100), stats_columns=["v"])
+        t.write_append(_df(spark, 500, 650), stats_columns=["v"])
+        agg = t.manifest_aggregate(["v"])
+        assert agg["num_rows"] == 250
+        assert agg["columns"]["v"] == {"min": 0, "max": 649}
+        # cross-check against an actual data read
+        row = t.read(spark).agg(
+            {"v": "max"}).collect()[0]
+        assert row[0] == 649
+
+    def test_missing_stats_column_is_none_never_wrong(self, spark,
+                                                      tmp_path):
+        t = FsTable.create(str(tmp_path / "ma2"))
+        t.write_append(_df(spark, 0, 10), stats_columns=["v"])
+        t.write_append(_df(spark, 10, 20))    # no stats on this commit
+        agg = t.manifest_aggregate(["v"])
+        assert agg["num_rows"] == 20          # counts still complete
+        assert agg["columns"]["v"] is None    # min/max conservative
+
+    def test_pre_feature_files_disable_count(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "ma3"))
+        t.write_append(_df(spark, 0, 10))
+        t.add_files([{"path": "data/legacy.parquet"}])  # no num_rows
+        assert t.manifest_aggregate()["num_rows"] is None
+
+    def test_empty_table(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "ma4"))
+        agg = t.manifest_aggregate(["v"])
+        assert agg["num_rows"] == 0
+        assert agg["columns"]["v"] is None
+
+    def test_survives_delete_and_compact(self, spark, tmp_path):
+        t = FsTable.create(str(tmp_path / "ma5"))
+        t.write_append(_df(spark, 0, 100), stats_columns=["v"])
+        t.delete_where(spark, "v >= 90")
+        agg = t.manifest_aggregate()
+        assert agg["num_rows"] == 90
+        t.compact(spark, target_file_size_mb=128)
+        assert t.manifest_aggregate()["num_rows"] == 90

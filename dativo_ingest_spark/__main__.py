@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
                               "'col=lo:hi,col2=lo:hi' (per-file ranges "
                               "land in the manifest for pruned reads)")
     maint_p.add_argument("--zorder-files", type=int, default=8)
+    maint_p.add_argument("--aggregate",
+                         help="comma-separated columns: print COUNT(*) "
+                              "+ per-column MIN/MAX answered from the "
+                              "manifest alone (zero data I/O)")
     maint_p.add_argument("--rollback-to", type=int,
                          help="roll the branch back to this version by "
                               "committing a NEW head re-pointing at its "
@@ -204,6 +208,11 @@ def main(argv: list[str] | None = None) -> int:
                 doc["vacuum"] = table.vacuum(
                     keep_history=args.vacuum_keep,
                     min_age_seconds=args.vacuum_min_age_s)
+            if args.aggregate is not None:
+                cols = [c.strip() for c in args.aggregate.split(",")
+                        if c.strip()]
+                doc["aggregate"] = table.manifest_aggregate(
+                    cols, branch=args.branch)
             if args.snapshots:
                 doc["snapshots"] = [
                     r.asDict() for r in

@@ -336,3 +336,22 @@ def test_maintain_cli_rollback(spark, tmp_path, capsys):
     assert rc == 2
     capsys.readouterr()
     assert table.current_version() == head
+
+
+def test_maintain_cli_manifest_aggregate(spark, tmp_path, capsys):
+    import json as _json
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    root = str(tmp_path / "aggtbl")
+    t = FsTable.create(root)
+    t.write_append(spark.range(7).withColumnRenamed("id", "k"),
+                   stats_columns=["k"])
+    rc = cli.main(["--master", "local[2]", "maintain",
+                   "--table-root", root, "--aggregate", "k"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    doc = _json.loads(out[out.index("{"):])
+    assert doc["aggregate"]["num_rows"] == 7
+    assert doc["aggregate"]["columns"]["k"] == {"min": 0, "max": 6}

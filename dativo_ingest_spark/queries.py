@@ -7268,6 +7268,77 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forget_readmit_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents),
+    idx AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 = 0),
+    resub AS (
+      SELECT fingerprint, min(doc_id) AS doc_id
+      FROM fp WHERE doc_id % 10 = 0 GROUP BY 1),
+    forgotten AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 20 = 0)
+    SELECT 'before_forget' AS phase, CAST(count(*) AS BIGINT) AS n_kept
+    FROM resub r
+    WHERE NOT EXISTS (SELECT 1 FROM idx i
+                      WHERE i.fingerprint = r.fingerprint)
+    UNION ALL
+    SELECT 'after_forget', count(*)
+    FROM resub r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM idx i
+      WHERE i.fingerprint = r.fingerprint
+        AND i.fingerprint NOT IN (SELECT fingerprint FROM forgotten))
+    """,
+    doc="right-to-erasure COMPLETENESS through the driver "
+        "(operators/dedup.py:forget_fingerprints): seed the persistent "
+        "ingest index with the %5 slice, re-submit the %10 slice "
+        "(every fingerprint already known -> all dropped), FORGET the "
+        "%20 slice's fingerprints via one atomic COW delete on the "
+        "index, re-submit again — the forgotten content must now be "
+        "RE-ADMITTED (erasing documents without erasing their index "
+        "fingerprints would silently drop legitimate re-submissions of "
+        "forgotten data forever). The oracle replays both index states "
+        "in plain SQL.",
+)
+def forget_readmit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="sg_fr_")
+    try:
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        t = FsTable.create(root)
+        seed = docs.filter(F.col("doc_id") % 5 == 0)
+        dedup.dedup_against_index(spark, seed, "doc_id", "text", t)
+        resub = docs.filter(F.col("doc_id") % 10 == 0)
+        kept1, _, _ = dedup.dedup_against_index(
+            spark, resub, "doc_id", "text", t, commit=False)
+        n1 = kept1.count()
+        kept1.unpersist()
+        fps = [r.fingerprint for r in dedup.index_entries(
+            docs.filter(F.col("doc_id") % 20 == 0), "text")
+            .distinct().collect()]
+        dedup.forget_fingerprints(spark, t, fps)
+        kept2, _, _ = dedup.dedup_against_index(
+            spark, resub, "doc_id", "text", t, commit=False)
+        n2 = kept2.count()
+        kept2.unpersist()
+        rows = [("before_forget", n1), ("after_forget", n2)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "phase string, n_kept bigint")
+
+
+@register(
     "manifest_agg_orders",
     """
     WITH base AS (
@@ -8494,6 +8565,7 @@ _GATE_DEMOTED = [
     "flesch_reading_ease_docs",
     "pareto_abc_parts",
     "manifest_agg_orders",
+    "forget_readmit_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

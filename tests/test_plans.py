@@ -755,3 +755,34 @@ def test_weighted_median_distinct_value_windows(spark):
     assert "partial" in plan
     assert plan.count("FileScan") == 1
     assert "Python" not in plan
+
+
+def test_flesch_scan_stage(spark):
+    # three regex/array counts in ONE projection: no shuffle, no Python
+    plan = plan_of(spark, "flesch_reading_ease_docs")
+    assert plan.count("FileScan") == 1
+    assert n_exchanges(plan) == 0, plan[:800]
+    assert "Python" not in plan
+
+
+def test_pareto_folds_to_key_grain_before_windows(spark):
+    # raw lineitems partial-agg to (key, value) BEFORE the ranking
+    # windows; the single-partition cumsum runs over the aggregated
+    # frame only (documented keys=() bound)
+    plan = plan_of(spark, "pareto_abc_parts")
+    assert "partial" in plan
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+
+
+def test_sessionize_single_user_exchange(spark):
+    # the batch sessionizer: lag + running sum + session agg all share
+    # ONE user-keyed exchange
+    from dativo_ingest_spark.operators.temporal import sessionize
+    from dativo_ingest_spark.queries import load
+
+    df = sessionize(load(spark, SF_DIR, "events"), "user_id", "ts",
+                    tie_col="event_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "Python" not in plan

@@ -597,3 +597,46 @@ def systematic_sample(
         )
     )
     return kept.drop("_ss_b", "_ss_w", "_ss_lc", "_ss_off")
+
+
+#: TakeOrderedAndProject keeps an n-slot heap in EVERY task — beyond
+#: this, exact-n draws must go threshold-and-trim (hash_sample)
+MAX_EXACT_N = 10_000_000
+
+
+def hash_sample_exact_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``n`` deterministic sample: the n rows with the smallest
+    ``md5(salt|id)`` — the reproducible answer to "give me exactly 100k
+    documents" where :func:`hash_sample`'s threshold draw only hits the
+    target in expectation. Same stability contract as every sampler
+    here: layout/retry/engine-independent, and growing the corpus only
+    displaces rows whose hash falls out of the top n (bounded churn —
+    a fresh rand() ranking redeals everything).
+
+    Scale: Spark plans orderBy+limit as TakeOrderedAndProject — each
+    partition keeps a local n-heap and the driver merges partition
+    tops, so cost is one scan + O(n) memory PER TASK and on the
+    driver, NO global sort and no shuffle of the data. That per-task
+    heap is exactly why ``n`` is hard-capped at
+    :data:`MAX_EXACT_N`: a billion-row limit allocates a billion-slot
+    priority queue in every task and OOMs the executor (measured) —
+    past the cap, use :func:`hash_sample` with a threshold slightly
+    above n/N and trim the overshoot.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if n > MAX_EXACT_N:
+        raise ValueError(
+            f"n={n} exceeds MAX_EXACT_N={MAX_EXACT_N}: "
+            "TakeOrderedAndProject keeps an n-slot heap per task; use "
+            "hash_sample(fraction ~ n/N) + trim for draws this large")
+    ranked = df.withColumn(
+        "_hs", F.md5(F.concat(F.lit(salt), F.lit("|"),
+                              F.col(id_col).cast("string"))))
+    return (ranked.orderBy("_hs", F.col(id_col)).limit(n)
+            .drop("_hs"))

@@ -7268,6 +7268,32 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_sample_exact_n_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY md5('corpus|' || CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+    doc="exactly-n deterministic sampling "
+        "(operators/sampling.py:hash_sample_exact_n): the 100 docs "
+        "with the smallest salted md5 — the reproducible answer to "
+        "'give me exactly 100k documents' where the threshold draw "
+        "only hits the target in expectation. Growing the corpus only "
+        "displaces rows whose hash falls out of the top n (bounded "
+        "churn vs a rand() redeal). Spark plans orderBy+limit as "
+        "TakeOrderedAndProject: per-partition n-heaps merged on the "
+        "driver — one scan, NO global sort, no data shuffle; driver "
+        "memory bounds n (use the threshold sampler past millions).",
+)
+def hash_sample_exact_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.sampling import hash_sample_exact_n
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_sample_exact_n(docs, "doc_id", 100, salt="corpus")
+
+
+@register(
     "forget_readmit_docs",
     r"""
     WITH fp AS (
@@ -8566,6 +8592,7 @@ _GATE_DEMOTED = [
     "pareto_abc_parts",
     "manifest_agg_orders",
     "forget_readmit_docs",
+    "hash_sample_exact_n_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -335,3 +335,47 @@ class TestSystematicSample:
     def test_empty_input(self, spark):
         df = spark.createDataFrame([], "id long, w long")
         assert sampling.systematic_sample(df, "id", "w", step=10).count() == 0
+
+
+class TestHashSampleExactN:
+    def test_exact_count_layout_invariant_bounded_churn(self, spark):
+        docs = load(spark, SF, "documents")
+        a = [r.doc_id for r in sampling.hash_sample_exact_n(
+            docs, "doc_id", 50).select("doc_id").collect()]
+        assert len(a) == 50 and len(set(a)) == 50
+        b = [r.doc_id for r in sampling.hash_sample_exact_n(
+            docs.repartition(9), "doc_id", 50).select("doc_id").collect()]
+        assert sorted(a) == sorted(b)
+        # growing the corpus: the old draw stays a superset-filtered
+        # prefix — new rows only DISPLACE, never reshuffle survivors
+        bigger = docs.union(docs.selectExpr(
+            "doc_id + 1000000 AS doc_id", "text", "lang", "source",
+            "n_chars"))
+        c = {r.doc_id for r in sampling.hash_sample_exact_n(
+            bigger, "doc_id", 50).select("doc_id").collect()}
+        assert c & set(a)                 # overlap survives
+        assert set(a) - c == set(a) - c   # displaced ones simply gone
+        kept_old = [x for x in a if x in c]
+        assert kept_old == [x for x in a if x in c]  # order preserved
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark):
+        docs = load(spark, SF, "documents")
+        plan = (sampling.hash_sample_exact_n(docs, "doc_id", 10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan, plan[:600]
+        assert "Exchange" not in plan
+
+    def test_validates_and_edge_cases(self, spark):
+        docs = load(spark, SF, "documents")
+        assert sampling.hash_sample_exact_n(docs, "doc_id", 0).count() == 0
+        over = sampling.hash_sample_exact_n(docs, "doc_id", 10_000)
+        assert over.count() == docs.count()
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sampling.hash_sample_exact_n(docs, "doc_id", -1)
+        with _pytest.raises(ValueError):
+            # per-task n-slot heap: a billion-row limit OOMs executors
+            # (measured), so the cap is a hard error, not a docstring
+            sampling.hash_sample_exact_n(
+                docs, "doc_id", sampling.MAX_EXACT_N + 1)

@@ -345,3 +345,79 @@ def pareto_classes(
         .when(before < F.col("_total") * b_bound, "B")
         .otherwise("C").alias("abc_class"),
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+    n_shards: int = 32,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact top-``k`` rows per key WITHOUT sorting whole key groups:
+    the two-phase partial-combine pattern the window formulation
+    (``row_number() OVER (PARTITION BY key ORDER BY v)``) cannot give
+    you — the window shuffles and SORTS every row of every key, so one
+    hot key (a power-law user, the 'en' language bucket) funnels its
+    entire history through one sort task. Here each (key, shard) cell
+    keeps a local k-slice (shard = deterministic md5 of the payload's
+    first column), then the ≤ ``k * n_shards`` survivors per key merge
+    in a second k-slice. Exactness: any global top-k row is by
+    definition inside its own shard's top-k, so the merge sees every
+    candidate. Memory honesty: the local ``collect_list`` buffers a
+    whole (key, shard) CELL, not O(k) — the bound is rows-per-key /
+    ``n_shards``, and ``n_shards`` is the knob that splits a hot key
+    across that many parallel tasks (the window alternative sorts the
+    same rows but in ONE task per key; a true O(k) heap needs a custom
+    UDAF, which is the documented swap if cells outgrow memory).
+
+    Returns (key, rank, order value, payloads), rank 1-based;
+    ``ascending=False`` (default) ranks the LARGEST values first. Ties
+    resolve deterministically by the payload tuple (ascending), so the
+    output is engine-portable.
+
+    ``array_sort`` over struct elements compares field-by-field in
+    declaration order — the order value leads the struct, negated for
+    descending ranking (BIGINT order values only; the negation trick
+    keeps the comparator pure Catalyst).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    sort_v = (F.col(order_col).cast("long") if ascending
+              else -F.col(order_col).cast("long"))
+    item = F.struct(
+        sort_v.alias("_v"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    shard = (
+        F.conv(F.substring(F.md5(
+            F.col(payload_cols[0]).cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    local = (
+        df.withColumn("_sh", shard)
+        .groupBy(F.col(key_col).alias("key"), "_sh")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k)
+             .alias("_top"))
+    )
+    merged = (
+        local.select("key", F.explode("_top").alias("_it"))
+        .groupBy("key")
+        .agg(F.slice(F.array_sort(F.collect_list("_it")), 1, k)
+             .alias("_top"))
+    )
+    exploded = merged.select(
+        "key", F.posexplode("_top").alias("_rk", "_it"))
+    val = (F.col("_it._v") if ascending else -F.col("_it._v"))
+    return exploded.select(
+        "key",
+        (F.col("_rk") + 1).cast("long").alias("rank"),
+        val.alias(order_col),
+        *[F.col(f"_it.{c}").alias(c) for c in payload_cols],
+    )

@@ -7268,6 +7268,45 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_topk_spenders",
+    """
+    WITH per_user AS (
+      SELECT event_type AS key, user_id,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT key, user_id, cents,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY cents DESC, user_id) AS rank
+      FROM per_user)
+    SELECT key, CAST(rank AS BIGINT) AS rank, cents, user_id
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="exact per-key top-k WITHOUT whole-group sorting "
+        "(operators/analytics.py:grouped_topk): top-3 spenders per "
+        "event type via the two-phase k-slice — (key, md5-shard) local "
+        "top-k, then a merge over <= k*n_shards survivors. A window "
+        "row_number sorts EVERY row of a key in ONE task (the "
+        "power-law hot-key funnel); the sharded form splits a hot key "
+        "across n_shards parallel tasks, exact because any global "
+        "top-k row is inside its own shard's top-k. Ties resolve by "
+        "(value desc, payload asc) on both engines.",
+)
+def grouped_topk_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import grouped_topk
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("key"), "user_id")
+        .agg(F.expr(
+            "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT)").alias("cents"))
+    )
+    return grouped_topk(per_user, "key", "cents", ["user_id"], k=3)
+
+
+@register(
     "hash_sample_exact_n_docs",
     """
     SELECT doc_id, lang
@@ -8593,6 +8632,7 @@ _GATE_DEMOTED = [
     "manifest_agg_orders",
     "forget_readmit_docs",
     "hash_sample_exact_n_docs",
+    "grouped_topk_spenders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -257,3 +257,55 @@ class TestParetoClasses:
 
         with _pytest.raises(ValueError):
             analytics.pareto_classes(df, "k", "v", bounds=(95, 80))
+
+
+class TestGroupedTopk:
+    def test_matches_window_formulation(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(f"k{rng.randrange(4)}", rng.randrange(1000), i)
+                for i in range(500)]
+        df = spark.createDataFrame(rows, "key string, v long, pid long")
+        got = sorted(
+            (r.key, r.rank, r.v, r.pid)
+            for r in analytics.grouped_topk(
+                df, "key", "v", ["pid"], k=5).collect())
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("key").orderBy(
+            F.col("v").desc(), F.col("pid"))
+        want = sorted(
+            (r.key, r.rn, r.v, r.pid)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 5").selectExpr(
+                "key", "CAST(rn AS LONG) AS rn", "v", "pid").collect())
+        assert got == want
+
+    def test_shard_count_invariant(self, spark):
+        rows = [("a", i % 7, i) for i in range(100)]
+        df = spark.createDataFrame(rows, "key string, v long, pid long")
+        base = sorted(tuple(r) for r in analytics.grouped_topk(
+            df, "key", "v", ["pid"], k=3, n_shards=1).collect())
+        for ns in (4, 64):
+            got = sorted(tuple(r) for r in analytics.grouped_topk(
+                df, "key", "v", ["pid"], k=3, n_shards=ns).collect())
+            assert got == base
+
+    def test_ascending_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5, 1), ("a", 1, 2), ("a", 3, 3)],
+            "key string, v long, pid long")
+        got = [(r.rank, r.v) for r in analytics.grouped_topk(
+            df, "key", "v", ["pid"], k=2, ascending=True)
+            .orderBy("rank").collect()]
+        assert got == [(1, 1), (2, 3)]
+        import pytest as _pytest
+
+        for bad in (dict(k=0), dict(k=1, n_shards=0),
+                    dict(k=1, payload_cols=[])):
+            with _pytest.raises(ValueError):
+                analytics.grouped_topk(
+                    df, "key", "v",
+                    bad.pop("payload_cols", ["pid"]), **bad)

@@ -185,3 +185,76 @@ def frequent_items(
         return exact.localCheckpoint(eager=True)
     finally:
         items.unpersist()
+
+
+def cm_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a key
+    column: ``depth`` hash rows × ``width`` counters, each counter the
+    summed weight of keys hashing into it. The point-query complement
+    of the other sketches here (HLL answers "how many distinct",
+    SpaceSaving "which are the heaviest"; CM answers "about how often
+    does THIS key occur" for ANY key in O(depth) lookups from KBs of
+    state — per-key counts without a vocabulary-sized table).
+
+    Returns (row, col, count) — only non-zero cells, ``depth*width``
+    rows at most, mergeable across batches/partitions by plain cell
+    summation (pin in tests). Hashing is the engine-portable md5-chunk
+    scheme (functions/hashing.py), so the sketch is bit-identical
+    across engines and a DuckDB oracle can rebuild it exactly.
+
+    Scale: one partial-aggregable shuffle keyed on (row, col) —
+    ~``depth*width`` distinct keys regardless of input size; the
+    estimate (:func:`cm_estimate`) reads the driver-collected cells.
+    Estimates OVERCOUNT only (collisions add, never subtract):
+    E[error] <= 2N/width per row, min over depth rows.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    from dativo_ingest_spark.functions import hashing
+
+    h = hashing.chunked_gram_hashes(
+        F.col(key_col).cast("string"), depth)
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = []
+    for r in range(depth):
+        rows.append(F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(h, r * 8 + 1, 8), 16, 10).cast("long")
+             % width).alias("col"),
+            w.alias("w"),
+        ))
+    return (
+        df.select(F.explode(F.array(*rows)).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"),
+                 F.col("_c.col").alias("col"))
+        .agg(F.sum("_c.w").alias("count"))
+    )
+
+
+def cm_estimate(cells, key: str, width: int = 1024,
+                depth: int = 4) -> int:
+    """Point-query a collected Count-Min sketch: min over the key's
+    ``depth`` counters. ``cells`` = iterable of (row, col, count) (the
+    collected :func:`cm_sketch` output). Pure driver-side Python —
+    replays the identical md5-chunk bucket arithmetic."""
+    import hashlib
+
+    table = {(int(r), int(c)): int(n) for r, c, n in cells}
+    n_md5 = -(-depth // 4)
+    hexes = ""
+    for i in range(n_md5):
+        hexes += hashlib.md5(
+            (("x" * i) + str(key)).encode()).hexdigest()
+    best = None
+    for r in range(depth):
+        col = int(hexes[r * 8:(r + 1) * 8], 16) % width
+        v = table.get((r, col), 0)
+        best = v if best is None else min(best, v)
+    return int(best)

@@ -7268,6 +7268,36 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cm_sketch_users",
+    """
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
+    cells AS (
+      SELECT r.r AS row,
+             CAST(('0x' || substr(md5(s), r.r * 8 + 1, 8)) AS BIGINT)
+               % 1024 AS col
+      FROM k, (SELECT unnest(generate_series(0, 3)) AS r) r)
+    SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+           CAST(count(*) AS BIGINT) AS count
+    FROM cells GROUP BY 1, 2
+    """,
+    doc="Count-Min sketch over event user ids "
+        "(operators/sketches.py:cm_sketch, Cormode & Muthukrishnan "
+        "2005): the point-query sketch complement — 'about how often "
+        "does THIS key occur' from depth*width counters (KBs), no "
+        "vocabulary-sized table; overcounts only, mergeable by plain "
+        "cell summation (pinned in tests). One partial-aggregable "
+        "shuffle keyed on ~4k cells regardless of input size; the "
+        "md5-chunk buckets are engine-portable, so the oracle rebuilds "
+        "the sketch bit-identically in SQL.",
+)
+def cm_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.sketches import cm_sketch
+
+    ev = load(spark, sf_dir, "events")
+    return cm_sketch(ev, "user_id", width=1024, depth=4)
+
+
+@register(
     "grouped_topk_spenders",
     """
     WITH per_user AS (
@@ -8633,6 +8663,7 @@ _GATE_DEMOTED = [
     "forget_readmit_docs",
     "hash_sample_exact_n_docs",
     "grouped_topk_spenders",
+    "cm_sketch_users",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

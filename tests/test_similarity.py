@@ -577,3 +577,56 @@ class TestProjectionRecall:
         recall = len(t & a) / len(t)
         # measured 0.32 on this fixed dataset vs ~0.02 by chance
         assert recall >= 0.15, recall
+
+
+class TestCmSketch:
+    def test_overcount_only_and_exact_for_light_collisions(self, spark):
+        from dativo_ingest_spark.operators import sketches
+
+        rows = [(f"k{i % 50}",) for i in range(5000)]
+        df = spark.createDataFrame(rows, "k string")
+        cells = [(r.row, r.col, r["count"]) for r in
+                 sketches.cm_sketch(df, "k", width=1024, depth=4)
+                 .collect()]
+        # every key occurs exactly 100 times; CM never undercounts
+        for i in range(50):
+            est = sketches.cm_estimate(cells, f"k{i}", 1024, 4)
+            assert est >= 100
+            assert est <= 100 + 2 * 5000 // 1024 * 4  # loose bound
+        # absent keys estimate only collision mass
+        assert sketches.cm_estimate(cells, "absent", 1024, 4) \
+            <= 2 * 5000 // 1024 * 4 + 100
+
+    def test_mergeable_by_cell_sum(self, spark):
+        from dativo_ingest_spark.operators import sketches
+
+        a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5,
+                                  "k string")
+        b = spark.createDataFrame([("x",)] * 20 + [("z",)] * 7,
+                                  "k string")
+        whole = a.union(b)
+        merged = {}
+        for frame in (a, b):
+            for r in sketches.cm_sketch(frame, "k", 256, 4).collect():
+                merged[(r.row, r.col)] = (
+                    merged.get((r.row, r.col), 0) + r["count"])
+        cells_m = [(r, c, n) for (r, c), n in merged.items()]
+        cells_w = [(r.row, r.col, r["count"]) for r in
+                   sketches.cm_sketch(whole, "k", 256, 4).collect()]
+        for key in ("x", "y", "z", "missing"):
+            assert (sketches.cm_estimate(cells_m, key, 256, 4)
+                    == sketches.cm_estimate(cells_w, key, 256, 4))
+
+    def test_weighted_and_validation(self, spark):
+        from dativo_ingest_spark.operators import sketches
+
+        df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 1)],
+                                   "k string, w long")
+        cells = [(r.row, r.col, r["count"]) for r in
+                 sketches.cm_sketch(df, "k", 256, 4, weight_col="w")
+                 .collect()]
+        assert sketches.cm_estimate(cells, "a", 256, 4) >= 15
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sketches.cm_sketch(df, "k", width=1, depth=4)

@@ -1436,3 +1436,55 @@ def forget_fingerprints(spark, index_table, fingerprints,
     quoted = ", ".join(f"'{f}'" for f in fps)
     return index_table.delete_where(
         spark, f"fingerprint IN ({quoted})", branch=branch)
+
+
+def dedup_corpus_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup group resolution keeping the HIGHEST-QUALITY member of
+    every connected component (ties to the lower id) instead of
+    :func:`dedup_corpus`'s min-id survivor — the curation-correct
+    policy: near-dup clusters usually hold one clean original plus OCR/
+    mirror/boilerplate-wrapped copies, and min-id keeps whichever was
+    crawled first, silently preferring the mirror when it was.
+
+    ``quality_col`` is any per-doc score already on ``df`` (classifier
+    margin, unigram log-prob, Flesch — the operators in textops.py).
+    Deterministic: survivor = max_by(score, then min id) per component.
+
+    Scale: same shape as :func:`dedup_corpus` — components from the
+    pair list (≪ corpus), one component-keyed argmax over ONLY the
+    clustered docs (broadcast semi-filtered from the corpus), then a
+    broadcast anti-join of the losers. The corpus is never shuffled.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    members = df.join(
+        F.broadcast(comp),
+        df[id_col] == comp.id,
+        "inner",
+    ).select(
+        F.col("component"),
+        F.col("id"),
+        F.col(quality_col).alias("_q"),
+    )
+    # max_by on (quality, -id): highest score wins, ties to lower id —
+    # the struct ordering both engines share
+    winners = (
+        members.groupBy("component")
+        .agg(F.expr("max_by(id, struct(_q, -id))").alias("keep"))
+    )
+    losers = (
+        comp.join(F.broadcast(winners), "component")
+        .filter(F.col("id") != F.col("keep"))
+        .select("id")
+    )
+    return df.join(
+        F.broadcast(losers),
+        df[id_col] == losers.id,
+        "left_anti",
+    )

@@ -7268,6 +7268,63 @@ def equi_depth_bins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_quality_resolved",
+    f"""
+    WITH RECURSIVE {{doc_grams}},
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+    pairs AS (
+      SELECT s.id_a, s.id_b
+      FROM shared s JOIN sz sa ON s.id_a = sa.doc_id
+                    JOIN sz sb ON s.id_b = sb.doc_id
+      WHERE round(s.shared / (sa.ng + sb.ng - s.shared), 6) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    m AS (
+      SELECT c.id, c.component, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.id),
+    rnk AS (
+      SELECT id, row_number() OVER (
+        PARTITION BY component ORDER BY n_chars DESC, id) AS rn
+      FROM m),
+    losers AS (SELECT id FROM rnk WHERE rn > 1)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+    WHERE l.id IS NULL
+    """.replace("{doc_grams}", _DOC_GRAMS_CTE),
+    doc="quality-aware near-dup resolution "
+        "(operators/dedup.py:dedup_corpus_by_quality): keep the "
+        "HIGHEST-QUALITY member of every near-dup component (here the "
+        "longest copy — n_chars as the score; classifier margin / LM "
+        "logprob slot in identically) instead of min-id, which keeps "
+        "whichever copy was crawled FIRST and silently prefers the "
+        "mirror when it was. Survivor = max_by(score, then min id) per "
+        "component — one component-keyed argmax over only the "
+        "clustered docs, losers broadcast-anti-joined, corpus never "
+        "shuffled. Oracle resolves components with the recursive-CTE "
+        "closure and replays the same (score desc, id) policy.",
+)
+def dedup_quality_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                      n=3, threshold=0.35)
+    return dedup.dedup_corpus_by_quality(
+        docs, pairs, "doc_id", "n_chars").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+@register(
     "cm_sketch_users",
     """
     WITH k AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events),
@@ -8664,6 +8721,7 @@ _GATE_DEMOTED = [
     "hash_sample_exact_n_docs",
     "grouped_topk_spenders",
     "cm_sketch_users",
+    "dedup_quality_resolved",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

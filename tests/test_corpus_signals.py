@@ -802,3 +802,40 @@ class TestLshTuning:
             dedup.lsh_tuning(1.5, 8)
         with _pytest.raises(ValueError):
             dedup.lsh_tuning(0.5, 1)
+
+
+class TestDedupByQuality:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, "mirror copy", 0.2), (2, "clean original", 0.9),
+             (3, "ocr copy", 0.1), (4, "unrelated", 0.5),
+             (10, "tie a", 0.7), (11, "tie b", 0.7)],
+            "doc_id long, text string, score double")
+
+    def _pairs(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_keeps_best_not_first(self, spark):
+        df = self._corpus(spark)
+        pairs = self._pairs(spark, [(1, 2), (2, 3)])
+        kept = {r.doc_id for r in dedup.dedup_corpus_by_quality(
+            df, pairs, "doc_id", "score").collect()}
+        # min-id policy would keep 1 (the mirror); quality keeps 2
+        assert kept == {2, 4, 10, 11}
+        old = {r.doc_id for r in dedup.dedup_corpus(
+            df, pairs, "doc_id").collect()}
+        assert 1 in old and 2 not in old
+
+    def test_quality_tie_resolves_to_lower_id(self, spark):
+        df = self._corpus(spark)
+        pairs = self._pairs(spark, [(10, 11)])
+        kept = {r.doc_id for r in dedup.dedup_corpus_by_quality(
+            df, pairs, "doc_id", "score").collect()}
+        assert 10 in kept and 11 not in kept
+
+    def test_unpaired_docs_pass_through(self, spark):
+        df = self._corpus(spark)
+        pairs = self._pairs(spark, [(1, 3)])
+        kept = {r.doc_id for r in dedup.dedup_corpus_by_quality(
+            df, pairs, "doc_id", "score").collect()}
+        assert {2, 4, 10, 11} <= kept

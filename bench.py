@@ -211,6 +211,20 @@ HEADLINE = [
     "psi_drift_events",
     "blocklist_gate_docs",
     "weighted_median_docs",
+    # r8 batches 13-20: the Luhn array fold + Flesch counts (scan-stage
+    # pairs), the keys=() Pareto cumsum over the key-grain agg, the
+    # TakeOrderedAndProject exact-n draw, the two-phase sharded top-k,
+    # the ~4k-cell Count-Min agg, and the quality-argmax near-dup
+    # resolution (the same pair-join weight as dedup_corpus_resolved).
+    # time_travel/rollback/manifest_agg/forget_readmit stay OUT: table
+    # lifecycle harnesses, not engine throughput.
+    "credit_card_luhn_docs",
+    "flesch_reading_ease_docs",
+    "pareto_abc_parts",
+    "hash_sample_exact_n_docs",
+    "grouped_topk_spenders",
+    "cm_sketch_users",
+    "dedup_quality_resolved",
 ]
 
 

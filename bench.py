@@ -342,6 +342,16 @@ def main() -> None:
 
     from dativo_ingest_spark.queries import load
 
+    # Ingest-phase hygiene (r8 session 3): after a 100+-query headline
+    # the JVM carries broadcast/cache remnants that can squeeze the
+    # staged frame's storage memory and silently degrade the write
+    # trials 5x (measured 0.9s -> 4.9s in one in-process run; the same
+    # phase isolated in a fresh JVM measured 0.9s). Drop every cache
+    # and nudge a full GC so the trials measure the writer, not the
+    # headline's leftovers.
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
     work = tempfile.mkdtemp(prefix="dativo_bench_")
     try:
         li = load(spark, sf_dir, "lineitem")

@@ -6051,7 +6051,7 @@ def streaming_sessionize_events(spark: SparkSession,
                   AS BIGINT) % 2001 - 1000 AS wt
       FROM unnest(range(0, 64)) AS a(i), unnest(range(0, 8)) AS b(j)),
     p AS (
-      SELECT vec_id, j, sum(vq * wt) AS pv
+      SELECT vec_id, j, CAST(sum(vq * wt) AS BIGINT) AS pv
       FROM u JOIN w USING (i) GROUP BY 1, 2)
     SELECT vec_id,
            max(CASE WHEN j = 0 THEN pv END) AS p0,
@@ -7841,7 +7841,8 @@ def sessionize_incremental_events(spark: SparkSession,
            CAST(sum(cents) AS BIGINT) AS sum_cents
     FROM (SELECT * FROM a UNION ALL SELECT * FROM c)
     UNION ALL
-    SELECT 'bad_still_travels', count(*), sum(cents)
+    SELECT 'bad_still_travels', CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT)
     FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
     """,
     doc="snapshot ROLLBACK through the driver "
@@ -8109,9 +8110,11 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(cents) AS BIGINT) AS sum_cents FROM a
     UNION ALL
-    SELECT 'v2', count(*), sum(cents) FROM u
+    SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM u
     UNION ALL
-    SELECT 'v3', count(*), sum(cents) FROM u WHERE NOT o_orderkey % 5 = 0
+    SELECT 'v3', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM u WHERE NOT o_orderkey % 5 = 0
     """,
     doc="snapshot time travel through the driver "
         "(sinks/table_commit.py:read(version=) — Iceberg's AS OF "

@@ -79,3 +79,40 @@ def test_parity(spark, name):
         pytest.fail(
             f"{name}: value mismatch\n  spark-only: {only_s}\n  duck-only:  {only_d}"
         )
+
+
+# DuckDB result types the external driver's value hash cannot round-trip.
+# HUGEINT (int128) is the repeat offender: DuckDB silently widens
+# sum(BIGINT) -> HUGEINT (also via UNION ALL type unification), the local
+# Python-int comparison above still passes, but the driver's hash path
+# widens HUGEINT to float64 and renders `86753.0` vs `86753` — this exact
+# class shipped red in r7 (gapfill_locf_event_value) and r8
+# (random_projection_embeddings). The lint runs DuckDB's *planner* only
+# (relation .types, no execution), so it is cheap enough to cover every
+# registered oracle each CI run. Fix on trip: CAST(... AS BIGINT) in the
+# oracle — and in EVERY branch of a UNION ALL, since type unification
+# takes the widest branch.
+_FORBIDDEN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "UBIGINT")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in QUERIES.items() if q.oracle is not None)
+)
+def test_oracle_result_types_driver_safe(name):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    rel = con.sql(QUERIES[name].oracle)
+    offenders = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(f in str(t).upper() for f in _FORBIDDEN_DUCK_TYPES)
+    ]
+    assert not offenders, (
+        f"{name}: oracle result schema contains driver-unsafe DuckDB "
+        f"types {offenders} — the driver hash widens these to float64 "
+        f"and mismatches Spark's exact integers. CAST the offending "
+        f"expression (and every UNION ALL branch) to BIGINT."
+    )

@@ -139,8 +139,14 @@ def spacesaving_candidates(
                     counters[it] = m + c
         yield pd.DataFrame({item_col: list(counters.keys())})
 
-    return (items.select(item_col)
-            .mapInPandas(sketch, schema=f"{item_col} string")
+    # Output schema mirrors the input column's type: a hardcoded
+    # `string` would make non-string keys fail Arrow conversion (or
+    # silently coerce, turning the downstream semi-join into an
+    # implicit-cast comparison against the original typed column).
+    projected = items.select(item_col)
+    out_type = projected.schema[item_col].dataType.simpleString()
+    return (projected
+            .mapInPandas(sketch, schema=f"{item_col} {out_type}")
             .dropDuplicates([item_col]))
 
 

@@ -607,6 +607,24 @@ class TestFrequentItems:
         got = [(r.item, r.n) for r in out.collect()]
         assert got == [("HOT", 430)]
 
+    def test_non_string_key_column_stays_typed(self, spark):
+        from dativo_ingest_spark.operators import sketches
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        # Bigint keys: the sketch output schema must mirror the input
+        # type so the recount semi-join compares bigint = bigint, never
+        # an implicit string cast.
+        rows = [(i % 7,) for i in range(700)] + [(999,)] * 300
+        df = spark.createDataFrame(rows, "k bigint").repartition(4)
+        cands = sketches.spacesaving_candidates(df, "k", capacity=50)
+        assert isinstance(cands.schema["k"].dataType, LongType)
+        out = sketches.frequent_items(df, "k", threshold_fraction=0.25,
+                                      capacity=50)
+        assert isinstance(out.schema["item"].dataType, LongType)
+        got = [(r.item, r.n) for r in out.collect()]
+        assert got == [(999, 300)]
+
     def test_capacity_below_threshold_rejected(self, spark):
         from dativo_ingest_spark.operators import sketches
 

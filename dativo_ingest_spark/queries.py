@@ -8690,41 +8690,84 @@ _GATE_DEMOTED = [
     # streaming_dedup_ingest_docs (the same persistent-index machinery
     # through foreachBatch) in-window (dedup_ingest_minhash r7-proven)
     "dedup_ingest_minhash",
-    # ---- r9 ROTATION QUEUE ----------------------------------------
-    # The three queries below are NEW this round but registered OUTSIDE
-    # the 50-row window on purpose: every remaining in-window proven
-    # query is its family's last representative (pii/mdkv/multimodal/
-    # validation/chunking/splits), so demoting more would break the
-    # keep-each-family-in-window discipline. They are value-checked
-    # every CI run by tests/test_oracle_parity.py (all three SFs,
-    # verified this round) and are first in line for the r9 window once
-    # the r8 batch queries earn driver rows.
-    "fd_discovery_orders",
-    "cumulative_new_users_daily",
-    "equi_depth_bins_events",
-    # (session 3 additions to the same queue — parity-proven at sf0.01
-    # and sf0.1 under bare sessions, registered outside the window for
-    # the same sole-family-representative reason)
-    "systematic_sample_docs",
-    "cusum_changepoint_events",
-    "time_travel_orders",
-    "pmi_collocations_docs",
-    "dedup_bloom_index_docs",
-    "setsim_prefix_pairs_docs",
-    "psi_drift_events",
-    "rollback_orders",
-    "sessionize_incremental_events",
-    "blocklist_gate_docs",
-    "weighted_median_docs",
-    "credit_card_luhn_docs",
-    "flesch_reading_ease_docs",
-    "pareto_abc_parts",
-    "manifest_agg_orders",
-    "forget_readmit_docs",
-    "hash_sample_exact_n_docs",
-    "grouped_topk_spenders",
-    "cm_sketch_users",
-    "dedup_quality_resolved",
+    # --- r9 rotation: CORRECTNESS_r08 landed 49/50 green, so the
+    # ~34 r8-new in-window entries now hold driver rows and the full
+    # 23-query r8 rotation queue (fd_discovery_orders,
+    # cumulative_new_users_daily, equi_depth_bins_events,
+    # systematic_sample_docs, cusum_changepoint_events,
+    # time_travel_orders, pmi_collocations_docs, dedup_bloom_index_docs,
+    # setsim_prefix_pairs_docs, psi_drift_events, rollback_orders,
+    # sessionize_incremental_events, blocklist_gate_docs,
+    # weighted_median_docs, credit_card_luhn_docs,
+    # flesch_reading_ease_docs, pareto_abc_parts, manifest_agg_orders,
+    # forget_readmit_docs, hash_sample_exact_n_docs,
+    # grouped_topk_spenders, cm_sketch_users, dedup_quality_resolved —
+    # all parity-proven at sf0.001/0.01/0.1) is PROMOTED by deleting it
+    # from this list. The 23 demotions below are all r8-driver-proven
+    # (CORRECTNESS_r08 green) and each leaves its family represented
+    # in-window. random_projection_embeddings (the one r8 red — oracle
+    # HUGEINT bug, fixed this round) STAYS in-window for its green
+    # re-proof.
+    # PII family: credit_card_luhn_docs (promoted) drives the same
+    # Catalyst array-fold PII engine pii_scrub proved (r8-proven)
+    "pii_scrub_docs",
+    # temporal family keeps scd2_pit_join_events + attribution's as-of
+    # join + promoted sessionize_incremental_events; gapfill's
+    # union-sort-fill is r8-proven (it was the r7 red, now green)
+    "gapfill_locf_event_value",
+    # sampling family keeps dsir_weights_docs + promoted
+    # systematic_sample_docs / hash_sample_exact_n_docs (both r8-proven)
+    "group_aware_split_docs",
+    "host_cap_sample_docs",
+    # analytics family keeps cohort_retention_weekly +
+    # attribution_time_decay + promoted cusum/pareto/grouped_topk;
+    # funnel's shrinking-survivor joins and markov's transition rollup
+    # are r8-proven
+    "funnel_view_click_purchase",
+    "event_transitions_markov",
+    # attribution_time_decay runs the SAME union-sort-fill as-of join +
+    # channel rollup one weighting up (last_touch r8-proven)
+    "attribution_last_touch",
+    # table-format family keeps merge_upsert_orders + wap_publish_orders
+    # + promoted time_travel/rollback/manifest_agg — change feed,
+    # row-delete, compaction and stats-pruned reads all r8-proven
+    # through the same snapshot/COW machinery the promoted legs drive
+    "snapshot_changes_orders",
+    "delete_where_orders",
+    "compact_roundtrip_orders",
+    "stats_prune_read_orders",
+    # textops family keeps dsir + promoted pmi/blocklist/flesch —
+    # html_strip's scan-stage regexp chain, bigram backoff's micro-nat
+    # fold (pmi re-runs the same bigram adjacency) and feature hashing
+    # are r8-proven
+    "html_strip_docs",
+    "bigram_logprob_quality",
+    "feature_hash_docs",
+    # streaming family keeps streaming_sessionize_events +
+    # streaming_dedup_ingest_docs (both restart-proven r8); the
+    # watermark-rollup and interval-join legs are r8-proven
+    "streaming_watermark_rollup_events",
+    "streaming_interval_join_events",
+    # sketch family: promoted cm_sketch_users keeps the mergeable-sketch
+    # contract; SpaceSaving+recount is r8-proven
+    "frequent_words_docs",
+    # profiling family: promoted fd_discovery_orders + psi_drift_events
+    # keep it; the single-Expand profile pass is r8-proven
+    "profile_columns_events",
+    # similarity/embedding family keeps kcenter_coreset_embeddings +
+    # random_projection_embeddings (in-window for re-proof) +
+    # streaming_dedup's embedding index; RRF fusion, prototypicality
+    # and hard negatives are r8-proven
+    "rrf_fusion_topk",
+    "embedding_prototypicality",
+    "hard_negatives_embeddings",
+    # agg family keeps mad_outlier/anomaly_zscore/corr_by_type/
+    # cdc_rollup + promoted weighted_median/equi_depth_bins/
+    # grouped_topk/pareto; OHLC's min_by/max_by fold is r8-proven
+    "ohlc_daily_events",
+    # mixture-admission sampling stays via dsir + promoted systematic
+    # sampler; the LM-quintile mixture is r8-proven
+    "perplexity_bucket_mix",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -410,6 +410,109 @@ def classifier_score(
     )
 
 
+def load_quality_grade_model(path: str | None = None) -> dict:
+    """Load a vendored multiclass-linear quality-grade model artifact.
+
+    The FineWeb-Edu-style flow: a small classifier is TRAINED OFFLINE
+    (fastText / a distilled LLM-judge head) and shipped as an artifact the
+    pipeline loads at plan-build time. This repo vendors
+    ``models/quality_grades_v1.json`` — integer milli-unit weights over
+    the rational :func:`quality_features` outputs — so the seam (artifact
+    load → broadcast to executors → Arrow-batched inference) is real and
+    testable; a retrained matrix drops in by pointing ``path`` elsewhere.
+    """
+    import json as _json
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                             "models", "quality_grades_v1.json")
+    with open(path) as fh:
+        model = _json.load(fh)
+    n_feat = len(model["feature_names"])
+    if any(len(row) != n_feat for row in model["weights_milli"]):
+        raise ValueError("model weight rows do not match feature_names")
+    return model
+
+
+def learned_classifier_infer(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict | None = None,
+) -> DataFrame:
+    """Learned-model document grading through the REAL inference seam:
+    featurize JVM-side, then score with an Arrow-batched pandas UDF that
+    matmuls a vendored weight matrix — the exact plumbing a fastText /
+    distilBERT quality head uses (FineWeb-Edu's educational-value grades),
+    with the model swapped for :func:`load_quality_grade_model`'s vendored
+    artifact.
+
+    (id, grade, top_logit) — ``grade`` is the argmax class index (ties →
+    lowest index, deterministic), ``top_logit`` the winning integer logit.
+
+    Determinism / oracle story: features quantize to BIGINT 1e4-scale
+    fixed point BEFORE inference (the 4dp-rounded ratios are exact at that
+    scale) and the weights are integer milli-units, so every logit is an
+    exact int64 dot product — bit-identical across engines, Arrow batches
+    and retries. np.matmul on int64 is associative-exact; no float enters.
+
+    Scale shape: quality_features is scan-stage (zero shuffle); inference
+    adds one ArrowEvalPython projection over five BIGINT columns — the
+    weight matrix rides into the closure (KBs; a real embedding-model head
+    would broadcast its tensor the same way). No Exchange anywhere:
+    per-row cost is a (n_classes × n_features) int multiply, ~nothing
+    against the scan at 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if model is None:
+        model = load_quality_grade_model()
+    W = np.asarray(model["weights_milli"], dtype=np.int64)
+
+    feats = quality_features(df, id_col, text_col)
+    fixed = feats.select(
+        "id",
+        F.lit(10000).cast("long").alias("f_bias"),
+        (F.least(F.col("n_words"), F.lit(1000)) * F.lit(10))
+        .cast("long").alias("f_words"),
+        F.floor(F.col("stopword_ratio") * F.lit(10000) + F.lit(0.5))
+        .cast("long").alias("f_stop"),
+        F.floor(F.col("punct_ratio") * F.lit(10000) + F.lit(0.5))
+        .cast("long").alias("f_punct"),
+        F.floor(F.least(F.col("avg_word_len"), F.lit(10.0)) * F.lit(1000)
+                + F.lit(0.5)).cast("long").alias("f_wlen"),
+    )
+
+    # struct-returning scalar pandas UDF: registered via the explicit
+    # form (PySpark's type-hint inference does not accept a
+    # Series... -> DataFrame signature)
+    def _infer(b, fw, fs, fp, fl):
+        X = np.stack(
+            [s.to_numpy(dtype=np.int64) for s in (b, fw, fs, fp, fl)],
+            axis=1,
+        )
+        logits = X @ W.T                       # (batch, n_classes) int64
+        return pd.DataFrame({
+            "grade": logits.argmax(axis=1).astype(np.int64),
+            "top_logit": logits.max(axis=1),
+        })
+
+    infer = F.pandas_udf(_infer, "grade bigint, top_logit bigint")
+
+    out = fixed.select(
+        "id",
+        infer("f_bias", "f_words", "f_stop", "f_punct", "f_wlen")
+        .alias("_pred"),
+    )
+    return out.select(
+        "id",
+        F.col("_pred.grade").alias("grade"),
+        F.col("_pred.top_logit").alias("top_logit"),
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str,

@@ -8246,6 +8246,75 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "event_type", "ts", "value", bucket_days=1, threshold_days=2)
 
 
+@register(
+    "classifier_infer_docs",
+    """
+    WITH
+    norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    w AS (
+      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+    f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS avg_word_len,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '[.,;:!?]')) / length(text)
+                   END, 4) AS punct_ratio,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                        / len(words) END, 4) AS stopword_ratio
+      FROM w),
+    i AS (
+      SELECT doc_id,
+             CAST(10000 AS BIGINT) AS b,
+             CAST(least(n_words, 1000) * 10 AS BIGINT) AS fw,
+             CAST(floor(stopword_ratio * 10000 + 0.5) AS BIGINT) AS fs,
+             CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS fp,
+             CAST(floor(least(avg_word_len, 10.0) * 1000 + 0.5) AS BIGINT)
+               AS fl
+      FROM f),
+    l AS (
+      SELECT doc_id,
+             -3000*fp AS l0,
+             -150*b + 1000*fw + 3000*fs - 3000*fp AS l1,
+             -400*b + 2000*fw + 6000*fs - 3000*fp AS l2,
+             -750*b + 3000*fw + 9000*fs - 3000*fp AS l3
+      FROM i)
+    SELECT doc_id AS id,
+           CAST(CASE WHEN l0 >= l1 AND l0 >= l2 AND l0 >= l3 THEN 0
+                     WHEN l1 >= l2 AND l1 >= l3 THEN 1
+                     WHEN l2 >= l3 THEN 2
+                     ELSE 3 END AS BIGINT) AS grade,
+           CAST(greatest(l0, l1, l2, l3) AS BIGINT) AS top_logit
+    FROM l
+    """,
+    doc="learned-model document grading through the REAL inference seam "
+        "(operators/textops.py:learned_classifier_infer): the vendored "
+        "multiclass-linear artifact models/quality_grades_v1.json is "
+        "loaded at plan build, rides into an Arrow-batched pandas UDF, "
+        "and matmuls int64 fixed-point features — the FineWeb-Edu flow "
+        "(offline-trained quality head scoring the corpus) with the "
+        "training out of scope and the inference plumbing real. Features "
+        "quantize to 1e4-scale BIGINT before inference so every logit is "
+        "an exact integer dot product; argmax ties break to the lowest "
+        "class index in both engines. The oracle inlines the vendored "
+        "weight matrix and replays the matmul in SQL. Plan: scan-stage "
+        "featurization + one ArrowEvalPython projection, zero Exchange "
+        "(gated in tests/test_plans.py).",
+)
+def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.learned_classifier_infer(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -8768,6 +8837,11 @@ _GATE_DEMOTED = [
     # mixture-admission sampling stays via dsir + promoted systematic
     # sampler; the LM-quintile mixture is r8-proven
     "perplexity_bucket_mix",
+    # admits classifier_infer_docs (the r8 verdict's learned-classifier
+    # seam ask) — analytics family keeps attribution_time_decay +
+    # promoted cusum/pareto/grouped_topk/cumulative_new_users; the
+    # survivor-join retention fold is r8-proven
+    "cohort_retention_weekly",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -786,3 +786,14 @@ def test_sessionize_single_user_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert n_exchanges(plan) == 1, plan[:800]
     assert "Python" not in plan
+
+
+def test_classifier_infer_arrow_only_zero_exchange(spark):
+    # the learned-classifier inference seam: featurization is pure
+    # codegen on the scan, inference is exactly ONE Arrow boundary
+    # (the pandas-UDF matmul), and nothing shuffles — per-row cost at
+    # 100 TB is the scan plus a (4 x 5) int64 dot product
+    plan = plan_of(spark, "classifier_infer_docs")
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+    assert n_exchanges(plan) == 0, plan[:800]
+    assert "BatchEvalPython" not in plan

@@ -8315,6 +8315,104 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+@register(
+    "schema_evolution_orders",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 1),
+    u AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100 AS cents,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 4 = 2),
+    v2 AS (
+      SELECT o_orderkey, cents, CAST(NULL AS VARCHAR) AS priority
+      FROM a WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      UNION ALL
+      SELECT * FROM u)
+    SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(2 AS BIGINT) AS n_cols,
+           CAST(0 AS BIGINT) AS n_priority,
+           '' AS added_cols
+    FROM a
+    UNION ALL
+    SELECT 'v2', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+           CAST(3 AS BIGINT), CAST(count(priority) AS BIGINT), 'priority'
+    FROM v2
+    """,
+    doc="schema evolution through the snapshot driver "
+        "(sinks/table_commit.py — Iceberg's schema-on-manifest "
+        "semantics): append the 2-column base, then ONE merge_upsert "
+        "whose updates batch carries a NEW column evolves the schema in "
+        "the same commit (unionByName allowMissingColumns — untouched "
+        "old rows project NULL, no data file rewritten for the "
+        "evolution itself). The proof reads BOTH versions back: the "
+        "time-travel read of v1 must surface the old 2-column shape "
+        "(each snapshot keeps its own schema) while v2 reads 3 columns "
+        "with NULLs exactly on the non-upserted base rows, and "
+        "schema_history() must report the added column from manifests "
+        "alone (zero data I/O — at 100 TB a driver-side walk of "
+        "kilobyte manifests). The oracle replays both logical shapes "
+        "in SQL.",
+)
+def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    orders = load(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    base = (orders.filter(F.col("o_orderkey") % 4 == 1)
+            .select("o_orderkey", cents.alias("cents")))
+    upd = (orders.filter((F.col("o_orderkey") % 4 == 1)
+                         & (F.col("o_orderkey") % 3 == 0))
+           .select("o_orderkey",
+                   (cents + F.lit(100)).cast("long").alias("cents"),
+                   F.col("o_orderpriority").alias("priority")))
+    new = (orders.filter(F.col("o_orderkey") % 4 == 2)
+           .select("o_orderkey", cents.alias("cents"),
+                   F.col("o_orderpriority").alias("priority")))
+    root = tempfile.mkdtemp(prefix="sg_se_")
+    try:
+        t = FsTable.create(root)
+        t.write_append(base, stats_columns=["o_orderkey"])
+        v1 = t.current_version()
+        t.merge_upsert(spark, upd.unionByName(new), keys=["o_orderkey"],
+                       stats_columns=["o_orderkey"])
+        v2 = t.current_version()
+        # manifest-only evolution audit: v1 is the first tracked schema
+        # (reported as all-added), v2's delta must be exactly the new
+        # column
+        hist = {e["version"]: e for e in t.schema_history()}
+        rows = []
+        for label, v in (("v1", v1), ("v2", v2)):
+            df = t.read(spark, version=v)
+            has_p = "priority" in df.columns
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("s"),
+                (F.count("priority") if has_p
+                 else F.lit(0).cast("long")).alias("np")).first()
+            added = hist.get(v, {}).get("added", []) if label != "v1" \
+                else []
+            rows.append((label, agg.n, agg.s, len(df.columns), agg.np,
+                         ",".join(added)))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version string, n_rows bigint, sum_cents bigint, "
+              "n_cols bigint, n_priority bigint, added_cols string")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -8842,6 +8940,13 @@ _GATE_DEMOTED = [
     # promoted cusum/pareto/grouped_topk/cumulative_new_users; the
     # survivor-join retention fold is r8-proven
     "cohort_retention_weekly",
+    # admits schema_evolution_orders (the r8 verdict's ask to
+    # driver-prove the one table-format leg with unit tests only) —
+    # which RUNS merge_upsert as its evolution vehicle, so the MERGE
+    # machinery stays driver-exercised in-window alongside
+    # wap_publish_orders and the promoted time_travel/rollback/
+    # manifest_agg legs (merge_upsert_orders r8-proven)
+    "merge_upsert_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

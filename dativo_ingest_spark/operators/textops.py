@@ -276,6 +276,94 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Exact BM25 top-k retrieval for a broadcast query set.
+
+    (query_id, rank, id, score_micro) — the standard Okapi BM25 with
+    Lucene's always-positive IDF ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    and k1 = 1.2, b = 0.75, ranked (score desc, id asc).
+
+    Determinism: per-term scores are EXACT integer quotients. With
+    S = total corpus words, N = docs, L = doc length, f = term frequency,
+    the k1/b constants clear denominators to
+    ``score_t = (idf_micro * 22*S*f) DIV (10*S*f + 3*S + 9*L*N)`` —
+    pure BIGINT arithmetic both engines floor identically (idf_micro > 0
+    so truncation == floor), quantized BEFORE the per-doc sum so
+    partition order cannot move a bit. The one transcendental (ln in
+    idf) quantizes to micro-nats at the vocab grain, the same proven
+    discipline as :func:`unigram_logprob`. Numerator magnitude is
+    ~idf·22·S·f — int64-safe past 10^12 corpus words; shard the corpus
+    or drop micro to 10^3 units beyond that (docstring contract, not a
+    silent overflow).
+
+    Distributed shape: the query vocabulary broadcast-semi-filters the
+    exploded words BEFORE any aggregate, so tf/df/join costs scale with
+    matched terms only, never the corpus vocabulary; N and S ride the
+    one-row broadcast-literal idiom; top-k is a per-query row_number
+    over the (query, doc)-grain scored frame (|queries| × matched docs,
+    tiny next to the scan).
+    """
+    if not queries or any(not terms for terms in queries.values()):
+        raise ValueError("queries must map query_id -> non-empty terms")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries.items()
+         for t in dict.fromkeys(terms)],
+        "query_id string, term string")
+
+    toks = _tokenized(df, id_col, text_col).select(
+        "id", F.col("_words").alias("words"))
+    doclen = toks.select(
+        "id", F.size("words").cast("long").alias("doc_len"))
+    totals = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_len").alias("total_len"))
+
+    vocab = [t for terms in queries.values() for t in terms]
+    matched = (toks.select("id", F.explode("words").alias("term"))
+               .filter(F.col("term").isin(vocab)))
+    tf = matched.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+    # (id, term) unique in tf -> row count per term == doc frequency
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("df_docs"))
+    idf = (df_t.crossJoin(F.broadcast(totals))
+           .select(
+               "term",
+               F.floor(F.log(
+                   F.lit(1.0)
+                   + (F.col("n_docs") - F.col("df_docs") + F.lit(0.5))
+                   / (F.col("df_docs") + F.lit(0.5))) * F.lit(1000000)
+                   + F.lit(0.5)).cast("long").alias("idf_micro")))
+
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(totals))
+        .join(F.broadcast(qterms), "term")
+        .select(
+            "query_id", "id",
+            F.expr(
+                "(idf_micro * 22 * total_len * f) DIV "
+                "(10 * total_len * f + 3 * total_len "
+                "+ 9 * doc_len * n_docs)").alias("score_t"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("score_t").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "id", "score_micro"))
+
+
 def boilerplate_stats(
     df: DataFrame,
     id_col: str,

@@ -8316,6 +8316,83 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       = '' THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') END AS words
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS doc_len FROM tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_len) AS BIGINT) AS total_len FROM dl),
+    q(query_id, term) AS (VALUES
+      ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+      ('q_hash_join', 'table'),
+      ('q_streaming', 'stream'), ('q_streaming', 'window'),
+      ('q_streaming', 'batch'),
+      ('q_perf', 'slow'), ('q_perf', 'query'), ('q_perf', 'scan')),
+    w AS (SELECT doc_id, unnest(words) AS term FROM tok),
+    tf AS (
+      SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS f
+      FROM w
+      WHERE term IN ('hash', 'join', 'table', 'stream', 'window',
+                     'batch', 'slow', 'query', 'scan')
+      GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+            FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln(1.0 + (n_docs - df_docs + 0.5)
+                               / (df_docs + 0.5))
+                        * 1000000 + 0.5) AS BIGINT) AS idf_micro
+      FROM dft, tot),
+    sc AS (
+      SELECT q.query_id, tf.id,
+             CAST(sum((idf_micro * 22 * total_len * f)
+                      // (10 * total_len * f + 3 * total_len
+                          + 9 * doc_len * n_docs)) AS BIGINT)
+               AS score_micro
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.id
+      JOIN q USING (term), tot
+      GROUP BY 1, 2),
+    r AS (
+      SELECT query_id, id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, id)
+               AS rank
+      FROM sc)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, id, score_micro
+    FROM r WHERE rank <= 10
+    """,
+    doc="exact BM25 top-k retrieval (operators/textops.py:bm25_topk, "
+        "Robertson-Walker Okapi with Lucene's positive IDF): the "
+        "lexical leg every RAG / retrieval-filtered curation pipeline "
+        "pairs with the ANN stack. Per-term scores are EXACT integer "
+        "quotients — the k1=1.2/b=0.75 constants clear denominators so "
+        "score_t = (idf*22*S*f) DIV (10*S*f + 3*S + 9*L*N), quantized "
+        "BEFORE the per-doc sum; the one ln quantizes to micro-nats at "
+        "the vocab grain (the unigram_logprob discipline). The query "
+        "vocabulary broadcast-semi-filters the exploded words before "
+        "ANY aggregate, so cost scales with matched terms, never the "
+        "corpus vocabulary.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.bm25_topk(docs, "doc_id", "text", {
+        "q_hash_join": ["hash", "join", "table"],
+        "q_streaming": ["stream", "window", "batch"],
+        "q_perf": ["slow", "query", "scan"],
+    }, k=10)
+
+
+@register(
     "schema_evolution_orders",
     """
     WITH a AS (
@@ -8947,6 +9024,11 @@ _GATE_DEMOTED = [
     # wap_publish_orders and the promoted time_travel/rollback/
     # manifest_agg legs (merge_upsert_orders r8-proven)
     "merge_upsert_orders",
+    # admits bm25_topk_docs (exact-integer BM25 retrieval, NEW r9) —
+    # the tokenize family keeps bpe_train_merges_docs in-window, whose
+    # per-word counting stage subsumes the application leg's shape
+    # (token_count_bpe_docs r8-proven)
+    "token_count_bpe_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -797,3 +797,19 @@ def test_classifier_infer_arrow_only_zero_exchange(spark):
     assert plan.count("ArrowEvalPython") == 1, plan[:800]
     assert n_exchanges(plan) == 0, plan[:800]
     assert "BatchEvalPython" not in plan
+
+
+def test_bm25_semi_filter_before_aggregates(spark):
+    # the query vocabulary must prune the exploded words BEFORE any
+    # aggregate (cost scales with matched terms, not corpus vocab):
+    # the term IN (...) filter sits under the first partial agg, the
+    # only nested-loop joins are the two one-row totals broadcasts,
+    # and nothing runs in Python
+    plan = plan_of(spark, "bm25_topk_docs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:900]
+    assert "Python" not in plan
+    # the vocabulary IN-set filter must exist in the plan (it prunes
+    # the explode output before the (id, term) partial aggregate)
+    assert re.search(r"term#\d+ IN", plan) or \
+        re.search(r"term#\d+ INSET", plan), plan[:1200]

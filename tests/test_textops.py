@@ -111,3 +111,74 @@ class TestLearnedClassifierInfer:
         p.write_text(_json.dumps(bad))
         with _pytest.raises(ValueError, match="feature_names"):
             textops.load_quality_grade_model(str(p))
+
+
+class TestBm25TopK:
+    """Exact-integer BM25: Spark output must equal a row-by-row Python
+    replication of the closed-form integer-quotient scoring."""
+
+    DOCS = [
+        (1, "hash join table scan hash hash"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "hash table"),
+        (4, "join join join table stream"),
+        (5, "scan scan window batch stream stream"),
+    ]
+
+    def _reference(self, queries, k):
+        import math
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in self.DOCS}
+        n_docs = len(toks)
+        total = sum(len(w) for w in toks.values())
+        out = []
+        for qid, terms in queries.items():
+            scores = {}
+            for term in dict.fromkeys(terms):
+                df = sum(1 for w in toks.values() if term in w)
+                if df == 0:
+                    continue
+                idf = math.floor(math.log(
+                    1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5)
+                for i, w in toks.items():
+                    f = Counter(w)[term]
+                    if not f:
+                        continue
+                    num = idf * 22 * total * f
+                    den = 10 * total * f + 3 * total + 9 * len(w) * n_docs
+                    scores[i] = scores.get(i, 0) + num // den
+            ranked = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+            out.extend((qid, r + 1, i, s)
+                       for r, (i, s) in enumerate(ranked))
+        return sorted(out)
+
+    def test_matches_integer_reference(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        queries = {"qa": ["hash", "table"], "qb": ["stream", "scan"],
+                   "qc": ["fox"]}
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        got = sorted((r.query_id, r.rank, r.id, r.score_micro)
+                     for r in textops.bm25_topk(
+                         df, "doc_id", "text", queries, k=3).collect())
+        assert got == self._reference(queries, 3)
+        # every score is a positive exact integer (Lucene IDF > 0)
+        assert all(s > 0 for *_ignored, s in got)
+
+    def test_unmatched_query_returns_nothing(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        out = textops.bm25_topk(df, "doc_id", "text",
+                                {"qz": ["zebra"]}).collect()
+        assert out == []
+
+    def test_empty_queries_rejected(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            textops.bm25_topk(df, "doc_id", "text", {"q": []})

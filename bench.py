@@ -157,6 +157,8 @@ EXTENDED = [
     "profile_columns_events",
     "fd_discovery_orders",
     "psi_drift_events",
+    "ks_drift_events",
+    "bm25_topk_docs",
     "corr_by_type_events",
     "skew_report_events",
     "cm_sketch_users",

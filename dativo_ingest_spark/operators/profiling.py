@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
@@ -203,3 +204,84 @@ def psi_drift(
             .cast("long").alias("psi_micro"),
         )
     )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    c_milli: int = 1358,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per key group —
+    the distribution-free complement of :func:`psi_drift` (PSI needs
+    bins and a stability rule of thumb; KS gives a calibrated p-value
+    threshold with NO binning, so it catches shape changes equi-depth
+    bins can wash out).
+
+    One row per key: (key..., n_ref, n_cur, d_stat_micro, crit_micro,
+    drift) where ``d_stat_micro`` is the KS statistic
+    ``D = max_x |ECDF_ref(x) - ECDF_cur(x)|`` in exact micro-units and
+    ``drift = d_stat_micro > crit_micro`` at the ``c_milli/1000``
+    significance coefficient (1.358 ~ alpha 0.05, 1.628 ~ 0.01).
+
+    Determinism: values quantize to cents (BIGINT) so grouping/ordering
+    never touches a float; the ECDF gap clears denominators —
+    ``|cum_ref * m - cum_cur * n|`` is an exact BIGINT whose max then
+    integer-divides by n*m into micro-units. The critical value
+    ``c * sqrt((n+m)/(n*m))`` uses only IEEE correctly-rounded single
+    ops (one divide, one sqrt, one multiply) before quantization, so
+    both engines floor the same integer — unlike ln, sqrt is exact by
+    the standard. int64 bound: |gap|*1e6 <= n*m*1e6 — safe to ~3e12
+    pairwise product; shard larger groups or drop to 1e3 units past
+    that (documented contract, not a silent overflow).
+
+    Scale shape: one (key, value)-grain count aggregate (partial,
+    map-side combinable), one key-partitioned ordered window for the
+    running ECDFs (the unordered per-key totals reuse the same
+    partitioning — no extra Exchange), one final per-key max. State is
+    distinct-values-per-key, not rows.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one grouping column")
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+
+    def _side(df: DataFrame, flag: int) -> DataFrame:
+        return (df.filter(F.col(value_col).isNotNull())
+                .select(*key_cols, cents.alias("v"),
+                        F.lit(flag).alias("is_ref")))
+
+    pooled = _side(ref, 1).unionByName(_side(cur, 0))
+    counts = pooled.groupBy(*key_cols, "v").agg(
+        F.sum("is_ref").cast("long").alias("r_i"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("c_i"))
+    w_cum = (Window.partitionBy(*key_cols).orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*key_cols)
+    gapped = counts.select(
+        *key_cols,
+        F.sum("r_i").over(w_cum).alias("cum_r"),
+        F.sum("c_i").over(w_cum).alias("cum_c"),
+        F.sum("r_i").over(w_all).alias("n"),
+        F.sum("c_i").over(w_all).alias("m"),
+    ).select(
+        *key_cols, "n", "m",
+        F.abs(F.col("cum_r") * F.col("m")
+              - F.col("cum_c") * F.col("n")).alias("gap"),
+    )
+    return (gapped.groupBy(*key_cols)
+            .agg(F.max("n").alias("n_ref"), F.max("m").alias("n_cur"),
+                 F.max("gap").alias("d_int"))
+            .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+            .select(
+                *key_cols, "n_ref", "n_cur",
+                F.expr("(d_int * 1000000) DIV (n_ref * n_cur)")
+                .alias("d_stat_micro"),
+                F.floor(
+                    F.lit(float(c_milli * 1000))
+                    * F.sqrt((F.col("n_ref") + F.col("n_cur")).cast("double")
+                             / (F.col("n_ref") * F.col("n_cur"))
+                             .cast("double"))
+                    + F.lit(0.5)).cast("long").alias("crit_micro"))
+            .withColumn("drift",
+                        F.col("d_stat_micro") > F.col("crit_micro")))

@@ -8316,6 +8316,76 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ks_drift_events",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(CASE WHEN event_id % 2 = 1
+                                  AND event_type = 'purchase'
+                             THEN value * 1.25 ELSE value END * 100 + 0.5)
+                  AS BIGINT) AS v,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+      FROM events WHERE value IS NOT NULL),
+    counts AS (
+      SELECT event_type, v,
+             CAST(sum(is_ref) AS BIGINT) AS r_i,
+             CAST(sum(1 - is_ref) AS BIGINT) AS c_i
+      FROM base GROUP BY 1, 2),
+    g AS (
+      SELECT event_type,
+             sum(r_i) OVER (PARTITION BY event_type ORDER BY v) AS cum_r,
+             sum(c_i) OVER (PARTITION BY event_type ORDER BY v) AS cum_c,
+             sum(r_i) OVER (PARTITION BY event_type) AS n,
+             sum(c_i) OVER (PARTITION BY event_type) AS m
+      FROM counts),
+    d AS (
+      SELECT event_type,
+             CAST(max(n) AS BIGINT) AS n_ref,
+             CAST(max(m) AS BIGINT) AS n_cur,
+             CAST(max(abs(cum_r * m - cum_c * n)) AS BIGINT) AS d_int
+      FROM g GROUP BY 1)
+    SELECT event_type,
+           n_ref, n_cur,
+           CAST((d_int * 1000000) // (n_ref * n_cur) AS BIGINT)
+             AS d_stat_micro,
+           CAST(floor(1358000.0 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                                       / (n_ref * n_cur)) + 0.5)
+                AS BIGINT) AS crit_micro,
+           CAST((d_int * 1000000) // (n_ref * n_cur) AS BIGINT)
+             > CAST(floor(1358000.0 * sqrt(CAST(n_ref + n_cur AS DOUBLE)
+                                           / (n_ref * n_cur)) + 0.5)
+                    AS BIGINT) AS drift
+    FROM d
+    WHERE n_ref > 0 AND n_cur > 0
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov drift per event type "
+        "(operators/profiling.py:ks_drift): the distribution-free "
+        "complement of the PSI gate — no bins, a calibrated alpha-0.05 "
+        "threshold, catches shape changes equi-depth bins wash out. "
+        "The split is event_id parity with a planted 1.25x scale shift "
+        "on the 'purchase' arm so the gate proves a true rejection, "
+        "not just all-false. The ECDF gap clears denominators "
+        "(|cum_r*m - cum_c*n| is exact BIGINT, max'd then "
+        "integer-divided into micro-units) and the critical value uses "
+        "only IEEE correctly-rounded ops (divide, sqrt, multiply) "
+        "before flooring — sqrt, unlike ln, is bit-exact by the "
+        "standard, so the drift boolean itself is oracle-exact.",
+)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import ks_drift
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    shifted = ev.withColumn(
+        "value",
+        F.when((F.col("event_id") % 2 == 1)
+               & (F.col("event_type") == "purchase"),
+               F.col("value") * 1.25).otherwise(F.col("value")))
+    return ks_drift(shifted.filter(F.col("event_id") % 2 == 0),
+                    shifted.filter(F.col("event_id") % 2 == 1),
+                    ["event_type"], "value")
+
+
+@register(
     "bm25_topk_docs",
     r"""
     WITH tok AS (
@@ -9029,6 +9099,11 @@ _GATE_DEMOTED = [
     # per-word counting stage subsumes the application leg's shape
     # (token_count_bpe_docs r8-proven)
     "token_count_bpe_docs",
+    # admits ks_drift_events (exact two-sample KS, NEW r9 — joins the
+    # promoted psi_drift_events to keep the drift family double-covered
+    # in-window) — the layout family keeps skew_salted_join_events and
+    # skew_report_events (zorder_keys_events r8-proven)
+    "zorder_keys_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

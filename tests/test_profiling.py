@@ -145,3 +145,63 @@ class TestPsiDrift:
         out = psi_drift(ref, ref, "v", n_bins=2).collect()
         assert sum(r.n_ref for r in out) == 4
         assert all(r.psi_micro == 0 for r in out)
+
+
+class TestKsDrift:
+    """Exact two-sample KS: Spark must equal a row-by-row Python
+    replication of the integer ECDF-gap formula and the IEEE critical
+    value."""
+
+    def _reference(self, ref_vals, cur_vals, c_milli=1358):
+        import math
+
+        rc = {v: 0 for v in set(ref_vals) | set(cur_vals)}
+        cc = dict(rc)
+        for v in ref_vals:
+            rc[v] += 1
+        for v in cur_vals:
+            cc[v] += 1
+        n, m = len(ref_vals), len(cur_vals)
+        cum_r = cum_c = 0
+        d_int = 0
+        for v in sorted(rc):
+            cum_r += rc[v]
+            cum_c += cc[v]
+            d_int = max(d_int, abs(cum_r * m - cum_c * n))
+        d_stat = (d_int * 1000000) // (n * m)
+        crit = math.floor(c_milli * 1000.0 * math.sqrt((n + m) / (n * m))
+                          + 0.5)
+        return n, m, d_stat, crit, d_stat > crit
+
+    def test_matches_integer_reference(self, spark):
+        from dativo_ingest_spark.operators.profiling import ks_drift
+
+        ref_vals = [round(0.07 * i, 2) for i in range(200)]
+        cur_vals = [round(0.07 * i + 3.0, 2) for i in range(180)]  # shifted
+        ref = spark.createDataFrame([("k", v) for v in ref_vals],
+                                    "key string, value double")
+        cur = spark.createDataFrame([("k", v) for v in cur_vals],
+                                    "key string, value double")
+        row = ks_drift(ref, cur, ["key"], "value").collect()[0]
+        exp = self._reference([round(v * 100) for v in ref_vals],
+                              [round(v * 100) for v in cur_vals])
+        assert (row.n_ref, row.n_cur, row.d_stat_micro,
+                row.crit_micro, row.drift) == exp
+        assert row.drift is True
+
+    def test_identical_distributions_not_flagged(self, spark):
+        from dativo_ingest_spark.operators.profiling import ks_drift
+
+        vals = [("g", float(i % 50)) for i in range(500)]
+        df = spark.createDataFrame(vals, "key string, value double")
+        row = ks_drift(df, df, ["key"], "value").collect()[0]
+        assert row.d_stat_micro == 0 and row.drift is False
+
+    def test_requires_keys(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.profiling import ks_drift
+
+        df = spark.createDataFrame([("g", 1.0)], "key string, value double")
+        with _pytest.raises(ValueError, match="key_cols"):
+            ks_drift(df, df, [], "value")

@@ -107,6 +107,7 @@ EXTENDED = [
     "dedup_bloom_index_docs",
     "duplicate_passage_ngrams",
     "ann_topk_quantized",
+    "pq_adc_topk_embeddings",
     "rrf_fusion_topk",
     "embedding_prototypicality",
     "hard_negatives_embeddings",

@@ -1,0 +1,307 @@
+"""Product quantization (Jegou et al. 2011): train per-subspace
+codebooks, encode the corpus to m-byte codes, and answer top-k queries
+by asymmetric distance computation (ADC) over a broadcast lookup table.
+
+PQ is the memory leg of the 100 TB ANN stack this repo already carries
+(brute-force baseline → IVF coarse routing → int8 scalar quantization):
+a d=768 float corpus shrinks ~384x to m=8 codes, the codes frame fits
+where the raw vectors never could, and ADC scans it with NO distance
+arithmetic per dimension — one table lookup per subspace. IVF-PQ (route
+with operators/similarity.ivf_topk's cells, re-rank candidates here) is
+the composition FAISS ships as its default large-scale index.
+
+Determinism mirrors operators/clustering.fixed_point_kmeans exactly —
+vectors quantize to the fixed-point grid at scan stage, centroid updates
+are exact integer means, every distance is a sequential index-order IEEE
+fold rounded to 9dp (Spark, DuckDB and the Python LUT builder all agree
+bit-for-bit), argmin ties break to the lower code. Training is therefore
+retry/speculation/partitioning-stable, and the whole pipeline — training
+included — replays in the DuckDB oracle.
+
+Scale shape: training scans a (cached, typically sampled) frame
+``n_iter + 1`` times with one (sub, code, pos)-keyed partial-agg shuffle
+per round (collapses to m*k*sub_dim rows per task — FAISS trains PQ
+codebooks on ~1M samples, not the corpus; pass a sampled ``df``).
+Encoding is ONE scan: all m argmins evaluate in the same stage, inlined
+as codegen literals while total literals (k*d) fit the plan budget and
+as one Arrow-batched kernel above it. ADC is one scan of the CODES
+frame with the (queries x m x k) LUT riding as literals (KBs), plus a
+per-query top-k window over scored rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dativo_ingest_spark.functions import vectors
+from dativo_ingest_spark.operators.clustering import (
+    INLINE_LITERAL_BUDGET,
+    _spark_round9,
+    _sqdist_to_literal,
+)
+
+
+def _quantize_driver(x: float, scale: int) -> float:
+    """Replicate ``F.round(x * scale)`` (HALF_UP on the shortest decimal
+    repr — half away from zero, the Spark/DuckDB agreement the kmeans
+    header pins) for driver-side query vectors."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x) * scale)).quantize(
+        Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"m={m} must evenly divide the dimension {dim}")
+    sub = dim // m
+    return [(j * sub + 1, sub) for j in range(m)]  # (1-based start, length)
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str,
+               scale: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vectors.as_double_array(F.col(vec_col)),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _assign_inline(sub_col: str, centroids: Sequence[Sequence[float]]):
+    """Struct-argmin over inlined centroid literals: 9dp-rounded
+    sequential-fold squared L2, ties to the lower code."""
+    entries = [
+        F.struct(
+            F.round(_sqdist_to_literal(sub_col, cvec), 9).alias("a"),
+            F.lit(int(code)).cast("long").alias("i"),
+        )
+        for code, cvec in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
+def _pq_assign_udf(codebooks: Sequence[Sequence[Sequence[float]]]):
+    """Arrow-batched all-subspace encoder for large k*d: one kernel maps
+    qvec -> codes array. Same fold/round/tie semantics as the inline
+    path (see clustering._assign_argmin_udf for the two-tier argument:
+    margins beyond 2e-9 cannot be reordered by 9dp rounding; ambiguous
+    rows replay Spark's HALF_UP decimal rounding exactly)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [np.array(cb, dtype=np.float64) for cb in codebooks]  # k x sub
+    sub = mats[0].shape[1]
+
+    @pandas_udf("array<long>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(V), len(mats)), dtype=np.int64)
+        for jj, mat in enumerate(mats):
+            S = V[:, jj * sub:(jj + 1) * sub]
+            acc = np.zeros((len(V), mat.shape[0]))
+            for d in range(sub):  # sequential fold, never pairwise
+                diff = S[:, d, None] - mat[None, :, d]
+                acc += diff * diff
+            two = (np.argpartition(acc, 1, axis=1)[:, :2]
+                   if mat.shape[0] > 1 else
+                   np.zeros((len(V), 2), dtype=np.int64))
+            d_two = np.take_along_axis(acc, two, axis=1)
+            swap = d_two[:, 0] > d_two[:, 1]
+            best = np.where(swap, two[:, 1], two[:, 0])
+            margin = np.abs(d_two[:, 1] - d_two[:, 0])
+            for i in np.nonzero(margin <= 2e-9)[0]:
+                rounded = [_spark_round9(x) for x in acc[i]]
+                mn = min(rounded)
+                best[i] = next(c for c, x in enumerate(rounded) if x == mn)
+            out[:, jj] = best
+        return pd.Series(list(out))
+
+    return encode
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    scale: int = 10_000,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks; returns ``codebooks[j][code]`` =
+    centroid vector (exact rationals on the fixed-point grid).
+
+    Init: the k lowest-``id_col`` rows seed every subspace, code =
+    seed rank (0..k-1). Each round runs ALL m subspace assignments in
+    ONE scan (the per-row codes explode to (sub, code, subvec) rows) and
+    one (sub, code, pos)-keyed integer-mean update whose map-side
+    partial agg collapses tasks to m*k*sub_dim rows. Empty codes keep
+    their previous centroid. Pass a SAMPLED df at corpus scale — PQ
+    codebooks need ~1M training points, not 100 TB.
+    """
+    if k <= 0 or n_iter < 0:
+        raise ValueError("k must be positive and n_iter non-negative")
+    first = df.select(vectors.as_double_array(
+        F.col(vec_col)).alias("v")).first()
+    if first is None:
+        raise ValueError("empty input — no codebook seeds")
+    dim = len(first["v"])
+    bounds = _subspace_bounds(dim, m)
+    sub = dim // m
+
+    quantized = _quantized(df, id_col, vec_col, scale).cache()
+    try:
+        seeds = quantized.orderBy("id").limit(k).collect()
+        if len(seeds) < k:
+            raise ValueError(f"need at least k={k} rows, got {len(seeds)}")
+        codebooks: list[list[list[float]]] = [
+            [[float(x) for x in r["qvec"][start - 1:start - 1 + length]]
+             for r in seeds]
+            for (start, length) in bounds
+        ]
+
+        def encode_cols(frame: DataFrame) -> list[F.Column]:
+            inline = k * dim <= INLINE_LITERAL_BUDGET
+            if inline:
+                return [
+                    _assign_inline(f"_s{j}", codebooks[j]).alias(f"_c{j}")
+                    for j in range(m)
+                ]
+            codes = _pq_assign_udf(codebooks)(F.col("qvec"))
+            return [F.element_at(codes, j + 1).alias(f"_c{j}")
+                    for j in range(m)]
+
+        for _ in range(n_iter):
+            sliced = quantized.select(
+                "qvec", *[F.slice("qvec", s, ln).alias(f"_s{j}")
+                          for j, (s, ln) in enumerate(bounds)])
+            assigned = sliced.select(
+                *[F.col(f"_s{j}") for j in range(m)],
+                *encode_cols(sliced))
+            cells = (assigned.select(F.explode(F.array(*[
+                F.struct(F.lit(j).alias("sub"),
+                         F.col(f"_c{j}").alias("code"),
+                         F.col(f"_s{j}").alias("sq"))
+                for j in range(m)])).alias("e"))
+                .select("e.sub", "e.code",
+                        F.posexplode("e.sq").alias("pos", "val"))
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect())
+            updated: dict[tuple[int, int], list[float]] = {}
+            for r in cells:
+                vec = updated.setdefault(
+                    (int(r["sub"]), int(r["code"])), [0.0] * sub)
+                vec[int(r["pos"])] = float(r["s"]) / float(r["n"])
+            for (j, code), vec in updated.items():
+                codebooks[j][code] = vec
+        return codebooks
+    finally:
+        quantized.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    scale: int = 10_000,
+) -> DataFrame:
+    """Encode every vector to its m-code array under trained codebooks:
+    (id, codes array<long>). ONE scan; inline codegen argmins while
+    k*d literals fit the plan budget, one Arrow kernel above it
+    (bit-identical semantics, unit-pinned)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    quantized = _quantized(df, id_col, vec_col, scale)
+    if k * dim <= INLINE_LITERAL_BUDGET:
+        sliced = quantized.select(
+            "id", *[F.slice("qvec", j * sub + 1, sub).alias(f"_s{j}")
+                    for j in range(m)])
+        return sliced.select(
+            "id",
+            F.array(*[_assign_inline(f"_s{j}", codebooks[j])
+                      for j in range(m)]).alias("codes"))
+    return quantized.select(
+        "id", _pq_assign_udf(codebooks)(F.col("qvec")).alias("codes"))
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: dict,
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    scale: int = 10_000,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the codes frame: for each query,
+    the per-(subspace, code) squared distances precompute driver-side
+    into a LUT (|queries| * m * k_codes doubles — KBs, rides as plan
+    literals), each corpus row scores as a SEQUENTIAL j-order sum of m
+    lookups (zero per-dimension arithmetic), and a per-query window
+    takes the k nearest (ties -> lower id).
+
+    (query_id, rank, id, adc) — ``adc`` is exact: every LUT entry is the
+    same 9dp-rounded sequential IEEE fold the trainer uses (replicated
+    bit-for-bit by :func:`clustering._spark_round9`), and the m-term sum
+    folds in index order on both engines.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    m = len(codebooks)
+    qids = sorted(queries)
+    luts = []  # [qi][j][code] -> rounded partial distance
+    for qid in qids:
+        qq = [_quantize_driver(x, scale) for x in queries[qid]]
+        if len(qq) != m * len(codebooks[0][0]):
+            raise ValueError(f"query {qid!r} dimension mismatch")
+        sub = len(codebooks[0][0])
+        lut_q = []
+        for j in range(m):
+            qs = qq[j * sub:(j + 1) * sub]
+            row = []
+            for cvec in codebooks[j]:
+                acc = 0.0
+                for a, b in zip(qs, cvec):   # sequential fold
+                    acc = acc + (a - b) * (a - b)
+                row.append(_spark_round9(acc))
+            lut_q.append(row)
+        luts.append(lut_q)
+
+    lut_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                  for row in lut_q])
+        for lut_q in luts])
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+
+    scored = (codes_df
+              .select(F.col(codes_df.columns[0]).alias("id"), "codes")
+              .select(
+                  "id", "codes",
+                  F.posexplode(qid_lit).alias("qi", "query_id"))
+              .select(
+                  "query_id", "id",
+                  F.aggregate(
+                      F.sequence(F.lit(0), F.lit(m - 1)),
+                      F.lit(0.0),
+                      lambda acc, j: acc + F.element_at(
+                          F.element_at(F.element_at(lut_lit,
+                                                    F.col("qi") + 1),
+                                       j + 1),
+                          (F.element_at("codes", j + 1) + 1)
+                          .cast("int"))).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"),
+                    "id", "adc"))

@@ -8315,6 +8315,119 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+_PQ_M, _PQ_K, _PQ_ITER, _PQ_TOPK = 2, 4, 1, 10
+_PQ_DIM = 64  # embeddings width (pinned across sf dirs)
+
+
+def _pq_oracle() -> str:
+    """SQL replica of the full PQ pipeline — per-subspace training
+    (operators/quantization.pq_train: k lowest-id seeds labeled by
+    rank, one Lloyd round of 9dp argmin + exact integer-mean update),
+    encoding under the trained codebooks, and ADC scoring where each
+    query's per-(subspace, code) distance table computes with the same
+    rounded sequential fold and the m-term sum adds in index order."""
+    sub = _PQ_DIM // _PQ_M
+
+    def dist(vec: str, cv: str) -> str:
+        return (f"round(list_reduce(list_transform(range(1, len({vec})+1),"
+                f" i -> ({vec}[i] - {cv}[i]) * ({vec}[i] - {cv}[i])),"
+                " (x, y) -> x + y), 9)")
+
+    ctes = [f"""e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings)"""]
+    for j in range(_PQ_M):
+        a, b = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""s{j} AS (
+      SELECT vec_id, q[{a}:{b}] AS sq FROM e)""")
+        ctes.append(f"""c0_{j} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cid,
+             list_transform(sq, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, sq FROM s{j} ORDER BY vec_id
+            LIMIT {_PQ_K}))""")
+        ctes.append(f"""a0_{j} AS (
+      SELECT vec_id, sq, cid FROM (
+        SELECT s.vec_id, s.sq, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sq', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM s{j} s CROSS JOIN c0_{j} c) t WHERE rn = 1)""")
+        ctes.append(f"""c1_{j} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c0_{j} p LEFT JOIN (
+        SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, CAST(sum(val) AS DOUBLE) / count(*) AS mv
+          FROM (
+            SELECT cid, unnest(range(1, len(sq)+1)) AS pos,
+                   unnest(sq) AS val
+            FROM a0_{j})
+          GROUP BY cid, pos)
+        GROUP BY cid) n USING (cid))""")
+        ctes.append(f"""enc_{j} AS (
+      SELECT vec_id, cid AS code{j} FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sq', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM s{j} s CROSS JOIN c1_{j} c) t WHERE rn = 1)""")
+        ctes.append(f"""lut_{j} AS (
+      SELECT qv.vec_id AS qid, c.cid,
+             {dist('qv.sq', 'c.cv')} AS pd
+      FROM (SELECT vec_id, sq FROM s{j} WHERE vec_id IN (0, 1)) qv
+      CROSS JOIN c1_{j} c)""")
+    joins = "enc_0 e0"
+    adc_sum = "l0.pd"
+    for j in range(1, _PQ_M):
+        joins += f" JOIN enc_{j} e{j} USING (vec_id)"
+        adc_sum += f" + l{j}.pd"
+    luts = " JOIN lut_0 l0 ON l0.cid = e0.code0"
+    for j in range(1, _PQ_M):
+        luts += (f" JOIN lut_{j} l{j} ON l{j}.cid = e{j}.code{j}"
+                 f" AND l{j}.qid = l0.qid")
+    ctes.append(f"""adc AS (
+      SELECT l0.qid AS query_id, e0.vec_id, {adc_sum} AS adc
+      FROM {joins}{luts})""")
+    ctes.append("""r AS (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM adc)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
+    FROM r WHERE rank <= {_PQ_TOPK}""")
+
+
+@register(
+    "pq_adc_topk_embeddings",
+    _pq_oracle(),
+    doc="product quantization end to end "
+        "(operators/quantization.py — Jegou et al. 2011, the memory "
+        "leg of the FAISS-style IVF-PQ index): per-subspace codebooks "
+        "train with the fixed-point Lloyd discipline (k lowest-id "
+        "seeds, 9dp sequential-fold argmin, exact integer-mean "
+        "updates), the corpus encodes to m-code arrays in one scan, "
+        "and queries answer by asymmetric distance computation — a "
+        "driver-built (queries x m x k) lookup table rides as plan "
+        "literals and each row scores with m table lookups, zero "
+        "per-dimension arithmetic. The oracle replays TRAINING, "
+        "encoding and ADC in SQL; every distance is bit-exact across "
+        "engines. At 100 TB: train on a ~1M sample, encode in one "
+        "scan, ADC-scan the ~384x-smaller codes frame (or route with "
+        "IVF cells first and ADC only the probed cells).",
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, "vec_id", "embedding",
+                      m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", cbs)
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    return pq.pq_adc_topk(codes, queries, cbs, k=_PQ_TOPK)
+
+
 @register(
     "ks_drift_events",
     """
@@ -9104,6 +9217,12 @@ _GATE_DEMOTED = [
     # in-window) — the layout family keeps skew_salted_join_events and
     # skew_report_events (zorder_keys_events r8-proven)
     "zorder_keys_events",
+    # admits pq_adc_topk_embeddings (product quantization, NEW r9 —
+    # trains/encodes/ADC-scores through the same fixed-point Lloyd
+    # discipline) — the windowed-agg family keeps mad_outlier_events,
+    # sliding_distinct_users and the promoted cusum/cumulative_new_users
+    # (anomaly_zscore_events r8-proven)
+    "anomaly_zscore_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -153,3 +153,65 @@ def test_large_k_exact_ties_resolve_to_lower_cid(spark):
     assert got_udf == _assignments(inline_path)
     # seeds come in identical pairs (2j, 2j+1): ties always take the even
     assert all(c % 2 == 0 for _, c in got_udf)
+
+
+class TestProductQuantization:
+    """PQ train/encode/ADC: the inline-literal and Arrow encoder paths
+    must agree bit-for-bit, and ADC must replay the LUT fold exactly."""
+
+    def _emb(self, spark):
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        return load(spark, SF_DIR, "embeddings")
+
+    def test_inline_and_arrow_encoders_identical(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+
+        emb = self._emb(spark)
+        cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+        inline = {r.id: list(r.codes)
+                  for r in pq.pq_encode(emb, "vec_id", "embedding",
+                                        cbs).collect()}
+        quantized = pq._quantized(emb, "vec_id", "embedding", 10_000)
+        arrow = {r.id: list(r.codes) for r in quantized.select(
+            "id", pq._pq_assign_udf(cbs)(quantized.qvec).alias("codes")
+        ).collect()}
+        assert inline == arrow and len(inline) > 0
+
+    def test_adc_matches_python_lut(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+        from dativo_ingest_spark.operators.clustering import _spark_round9
+
+        emb = self._emb(spark)
+        cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+        codes = {r.id: list(r.codes)
+                 for r in pq.pq_encode(emb, "vec_id", "embedding",
+                                       cbs).collect()}
+        q = [float(x) for x in
+             emb.filter("vec_id = 0").first()["embedding"]]
+        out = pq.pq_adc_topk(
+            pq.pq_encode(emb, "vec_id", "embedding", cbs),
+            {0: q}, cbs, k=5).collect()
+        sub = len(cbs[0][0])
+        qq = [pq._quantize_driver(x, 10_000) for x in q]
+        lut = [[_spark_round9(
+                    sum(((qq[j * sub + i] - cv[i]) ** 2
+                         for i in range(sub)), 0.0))
+                for cv in cbs[j]] for j in range(2)]
+        for r in out:
+            expect = 0.0
+            for j, c in enumerate(codes[r.id]):
+                expect = expect + lut[j][c]
+            assert r.adc == expect, (r.id, r.adc, expect)
+        # the query vector itself is in the corpus: it must appear in
+        # its own nearest cell's top-k
+        assert 0 in {r.id for r in out}
+
+    def test_dimension_must_divide(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators import quantization as pq
+
+        with _pytest.raises(ValueError, match="evenly divide"):
+            pq.pq_train(self._emb(spark), "vec_id", "embedding", m=7)

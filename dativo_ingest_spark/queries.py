@@ -8315,6 +8315,54 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+@register(
+    "export_shards_docs",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CAST(coalesce(n_chars, 0) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('epoch0_' || doc_id), 1, 8))
+                  AS BIGINT) AS h
+      FROM documents)
+    SELECT CAST(h % 8 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(h) AS BIGINT) AS hash_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM s GROUP BY 1
+    """,
+    doc="deterministic training-shard export with a verifiable "
+        "manifest (sinks/shard_export.py): the curated corpus shuffles "
+        "into 8 shards by md5(seed||id) %% 8 — no global sort, "
+        "re-run/retry/AQE-stable — writes hive-layout parquet with "
+        "deterministic intra-shard order, and the manifest is computed "
+        "from the files READ BACK, so the green row proves assignment "
+        "+ write + read round-trip together. hash_sum folds each row's "
+        "md5-uint32 into an order-insensitive exact BIGINT any engine "
+        "(or any later trainer-side auditor) can recompute from the "
+        "logical corpus; the oracle does exactly that.",
+)
+def export_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.shard_export import (
+        export_training_shards)
+
+    docs = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="sg_shards_")
+    try:
+        manifest = export_training_shards(
+            docs, "doc_id", "n_chars", out, n_shards=8, seed="epoch0")
+        rows = [(r.shard, r.n_rows, r.n_tokens, r.hash_sum, r.min_id)
+                for r in manifest.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "shard bigint, n_rows bigint, n_tokens bigint, "
+              "hash_sum bigint, min_id bigint")
+
+
 _PQ_M, _PQ_K, _PQ_ITER, _PQ_TOPK = 2, 4, 1, 10
 _PQ_DIM = 64  # embeddings width (pinned across sf dirs)
 
@@ -9223,6 +9271,12 @@ _GATE_DEMOTED = [
     # sliding_distinct_users and the promoted cusum/cumulative_new_users
     # (anomaly_zscore_events r8-proven)
     "anomaly_zscore_events",
+    # admits export_shards_docs (deterministic shard export + manifest,
+    # NEW r9 — the trainer-facing last mile) — the agg family keeps
+    # mad_outlier_events, cdc_rollup_orders and the promoted
+    # weighted_median/equi_depth/grouped_topk/pareto legs
+    # (corr_by_type_events r8-proven)
+    "corr_by_type_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -73,3 +73,62 @@ def test_unpartitioned_write(spark, docs, tmp_path):
     out = str(tmp_path / "flat")
     assert parquet_sink.write_partitioned(docs, out, None, mode="overwrite") == []
     assert spark.read.parquet(out).count() == docs.count()
+
+
+class TestShardExport:
+    """Deterministic shard export: same input -> byte-identical shard
+    assignment across runs, and the manifest audits the written files."""
+
+    def test_rerun_produces_identical_manifest(self, spark, tmp_path):
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_training_shards)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        m1 = sorted(map(tuple, export_training_shards(
+            docs, "doc_id", "n_chars", str(tmp_path / "a"),
+            n_shards=4).collect()))
+        m2 = sorted(map(tuple, export_training_shards(
+            docs.repartition(13), "doc_id", "n_chars",
+            str(tmp_path / "b"), n_shards=4).collect()))
+        assert m1 == m2 and len(m1) == 4
+        assert sum(r[1] for r in m1) == docs.count()
+
+    def test_manifest_audits_written_files(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.sinks.shard_export import (
+            _shard_hash, export_training_shards)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        out = str(tmp_path / "shards")
+        manifest = {r.shard: (r.n_rows, r.hash_sum)
+                    for r in export_training_shards(
+                        docs, "doc_id", "n_chars", out,
+                        n_shards=4).collect()}
+        # independent auditor: recompute from the LOGICAL corpus
+        audit = {r.shard: (r.n, r.hs) for r in docs.select(
+            _shard_hash("doc_id", "epoch0").alias("h"))
+            .select((F.col("h") % 4).alias("shard"), "h")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("hs"))
+            .collect()}
+        assert manifest == audit
+        # deterministic intra-shard order: re-reading one shard twice
+        # yields the same id sequence
+        one = spark.read.parquet(f"{out}/shard=0")
+        assert [r.id for r in one.collect()] == \
+               [r.id for r in spark.read.parquet(f"{out}/shard=0").collect()]
+
+    def test_invalid_shard_count(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_training_shards)
+
+        df = spark.createDataFrame([(1, 2)], "id bigint, t bigint")
+        with _pytest.raises(ValueError, match="n_shards"):
+            export_training_shards(df, "id", "t", "/tmp/x", n_shards=0)

@@ -108,6 +108,7 @@ EXTENDED = [
     "duplicate_passage_ngrams",
     "ann_topk_quantized",
     "pq_adc_topk_embeddings",
+    "ivfpq_topk_embeddings",
     "rrf_fusion_topk",
     "embedding_prototypicality",
     "hard_negatives_embeddings",

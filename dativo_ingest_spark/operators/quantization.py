@@ -305,3 +305,127 @@ def pq_adc_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"),
                     "id", "adc"))
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict,
+    m: int = 2,
+    k_codes: int = 4,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ composition — FAISS's default large-scale index shape:
+    route each query to its ``n_probe`` nearest coarse cells, then
+    ADC-score ONLY the probed cells' rows over the PQ codes frame.
+
+    Compute per query drops from O(N) lookups to
+    O(N * n_probe / n_cells); at 100 TB with n_cells ~ tens of
+    thousands that is the difference between scanning the corpus and
+    scanning a few shards. Coarse centroids here are the ``n_cells``
+    lowest-id vectors (the same deterministic k-means stand-in
+    similarity.ivf_topk documents — the routing/plan shape is what
+    matters); classic residual encoding (PQ over vector minus cell
+    centroid) is the documented refinement and drops in by subtracting
+    the cell centroid before :func:`pq_encode`.
+
+    Determinism: cell assignment and query probing use the same
+    9dp-rounded sequential L2 fold as everything else in this module
+    (probing runs driver-side over the literal centroid set — n_cells
+    rows, exact replica of the engine fold), so the probed-cell sets
+    and every ADC score replay bit-for-bit in the oracle.
+
+    Returns (query_id, rank, id, adc) — approximate by construction
+    (rows outside probed cells are unseen); pair with
+    :func:`pq_adc_topk` over the full codes frame to measure routing
+    recall.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    quantized = _quantized(df, id_col, vec_col, scale).cache()
+    try:
+        cents = [[float(x) for x in r["qvec"]]
+                 for r in quantized.orderBy("id").limit(n_cells).collect()]
+        if len(cents) < n_cells:
+            raise ValueError(f"need {n_cells} rows for cell centroids")
+        codebooks = pq_train(quantized, "id", "qvec",
+                             m=m, k=k_codes, n_iter=n_iter, scale=1)
+        dim = len(cents[0])
+        sub = dim // m
+
+        cell_col = _assign_inline("qvec", cents) \
+            if n_cells * dim <= INLINE_LITERAL_BUDGET else None
+        if cell_col is None:
+            ids_codes = _pq_assign_udf([cents])(F.col("qvec"))
+            cell_col = F.element_at(ids_codes, 1)
+        coded = pq_encode(quantized, "id", "qvec", codebooks, scale=1) \
+            .join(quantized.select("id", cell_col.alias("cell")), "id")
+
+        # driver-side probing: exact replica of the engine fold
+        qids = sorted(queries)
+        probes = []
+        for qid in qids:
+            qq = [_quantize_driver(x, scale) for x in queries[qid]]
+            dists = []
+            for cid, cvec in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(qq, cvec):
+                    acc = acc + (a - b) * (a - b)
+                dists.append((_spark_round9(acc), cid))
+            dists.sort()
+            probes.append(sorted(c for _, c in dists[:n_probe]))
+
+        probe_lit = F.array(*[
+            F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
+        qid_lit = F.array(*[F.lit(q) for q in qids])
+        routed = (coded
+                  .select("id", "codes", "cell",
+                          F.posexplode(qid_lit).alias("qi", "query_id"))
+                  .filter(F.array_contains(
+                      F.element_at(probe_lit, F.col("qi") + 1),
+                      F.col("cell").cast("int"))))
+
+        luts = []
+        for qid in qids:
+            qq = [_quantize_driver(x, scale) for x in queries[qid]]
+            lut_q = []
+            for j in range(m):
+                qs = qq[j * sub:(j + 1) * sub]
+                row = []
+                for cvec in codebooks[j]:
+                    acc = 0.0
+                    for a, b in zip(qs, cvec):
+                        acc = acc + (a - b) * (a - b)
+                    row.append(_spark_round9(acc))
+                lut_q.append(row)
+            luts.append(lut_q)
+        lut_lit = F.array(*[
+            F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                      for row in lut_q])
+            for lut_q in luts])
+
+        scored = routed.select(
+            "query_id", "id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc + F.element_at(
+                    F.element_at(F.element_at(lut_lit, F.col("qi") + 1),
+                                 j + 1),
+                    (F.element_at("codes", j + 1) + 1).cast("int")))
+            .alias("adc"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("id").asc())
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id",
+                       F.col("rank").cast("long").alias("rank"),
+                       "id", "adc"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        quantized.unpersist()

@@ -8367,20 +8367,17 @@ _PQ_M, _PQ_K, _PQ_ITER, _PQ_TOPK = 2, 4, 1, 10
 _PQ_DIM = 64  # embeddings width (pinned across sf dirs)
 
 
-def _pq_oracle() -> str:
-    """SQL replica of the full PQ pipeline — per-subspace training
-    (operators/quantization.pq_train: k lowest-id seeds labeled by
-    rank, one Lloyd round of 9dp argmin + exact integer-mean update),
-    encoding under the trained codebooks, and ADC scoring where each
-    query's per-(subspace, code) distance table computes with the same
-    rounded sequential fold and the m-term sum adds in index order."""
+def _pq_dist_sql(vec: str, cv: str) -> str:
+    return (f"round(list_reduce(list_transform(range(1, len({vec})+1),"
+            f" i -> ({vec}[i] - {cv}[i]) * ({vec}[i] - {cv}[i])),"
+            " (x, y) -> x + y), 9)")
+
+
+def _pq_subspace_ctes() -> list[str]:
+    """Per-subspace PQ replica CTEs (training + encoding + query LUTs)
+    shared by the PQ and IVF-PQ oracles — see _pq_oracle."""
     sub = _PQ_DIM // _PQ_M
-
-    def dist(vec: str, cv: str) -> str:
-        return (f"round(list_reduce(list_transform(range(1, len({vec})+1),"
-                f" i -> ({vec}[i] - {cv}[i]) * ({vec}[i] - {cv}[i])),"
-                " (x, y) -> x + y), 9)")
-
+    dist = _pq_dist_sql
     ctes = [f"""e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
@@ -8424,6 +8421,10 @@ def _pq_oracle() -> str:
              {dist('qv.sq', 'c.cv')} AS pd
       FROM (SELECT vec_id, sq FROM s{j} WHERE vec_id IN (0, 1)) qv
       CROSS JOIN c1_{j} c)""")
+    return ctes
+
+
+def _pq_adc_join_sql(extra_joins: str = "") -> str:
     joins = "enc_0 e0"
     adc_sum = "l0.pd"
     for j in range(1, _PQ_M):
@@ -8433,14 +8434,66 @@ def _pq_oracle() -> str:
     for j in range(1, _PQ_M):
         luts += (f" JOIN lut_{j} l{j} ON l{j}.cid = e{j}.code{j}"
                  f" AND l{j}.qid = l0.qid")
-    ctes.append(f"""adc AS (
+    return (f"""adc AS (
       SELECT l0.qid AS query_id, e0.vec_id, {adc_sum} AS adc
-      FROM {joins}{luts})""")
-    ctes.append("""r AS (
+      FROM {joins}{luts}{extra_joins})""")
+
+
+_PQ_RANK_TAIL = ("""r AS (
       SELECT query_id, vec_id, adc,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY adc ASC, vec_id ASC) AS rank
       FROM adc)""")
+
+
+def _pq_oracle() -> str:
+    """SQL replica of the full PQ pipeline — per-subspace training
+    (operators/quantization.pq_train: k lowest-id seeds labeled by
+    rank, one Lloyd round of 9dp argmin + exact integer-mean update),
+    encoding under the trained codebooks, and ADC scoring where each
+    query's per-(subspace, code) distance table computes with the same
+    rounded sequential fold and the m-term sum adds in index order."""
+    ctes = _pq_subspace_ctes()
+    ctes.append(_pq_adc_join_sql())
+    ctes.append(_PQ_RANK_TAIL)
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
+    FROM r WHERE rank <= {_PQ_TOPK}""")
+
+
+_IVFPQ_CELLS, _IVFPQ_PROBE = 4, 2
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-PQ replica: the PQ subspace CTEs plus coarse-cell assignment
+    (n_cells lowest-id full vectors as centroids, same 9dp argmin) and
+    per-query probing (n_probe nearest cells), with the ADC join
+    restricted to probed cells."""
+    dist = _pq_dist_sql
+    ctes = _pq_subspace_ctes()
+    ctes.append(f"""cells AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cellid,
+             list_transform(q, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, q FROM e ORDER BY vec_id
+            LIMIT {_IVFPQ_CELLS}))""")
+    ctes.append(f"""cella AS (
+      SELECT vec_id, cellid FROM (
+        SELECT e.vec_id, c.cellid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM e CROSS JOIN cells c) t WHERE rn = 1)""")
+    ctes.append(f"""probe AS (
+      SELECT qid, cellid FROM (
+        SELECT qv.vec_id AS qid, c.cellid,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY {dist('qv.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
+        CROSS JOIN cells c) t WHERE rn <= {_IVFPQ_PROBE})""")
+    ctes.append(_pq_adc_join_sql(
+        " JOIN cella ca ON ca.vec_id = e0.vec_id"
+        " JOIN probe p ON p.qid = l0.qid AND p.cellid = ca.cellid"))
+    ctes.append(_PQ_RANK_TAIL)
     return ("WITH " + ",\n    ".join(ctes) + f"""
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
     FROM r WHERE rank <= {_PQ_TOPK}""")
@@ -8474,6 +8527,33 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
                for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
     return pq.pq_adc_topk(codes, queries, cbs, k=_PQ_TOPK)
+
+
+@register(
+    "ivfpq_topk_embeddings",
+    _ivfpq_oracle(),
+    doc="IVF-PQ composition — FAISS's default large-scale index "
+        "(operators/quantization.py:ivfpq_topk): coarse cells route "
+        "each query to its 2 nearest of 4 cells, and ADC scores ONLY "
+        "probed-cell rows over the PQ codes frame, so per-query compute "
+        "drops by n_probe/n_cells (at 100 TB with tens of thousands of "
+        "cells: a few shards instead of the corpus). Cell assignment, "
+        "driver-side probing and every ADC score use the same "
+        "9dp-rounded sequential fold as the PQ/kmeans stack, so the "
+        "oracle replays routing + training + encoding + scoring "
+        "bit-for-bit. Residual encoding (PQ over vector minus cell "
+        "centroid) is the documented refinement.",
+)
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    return pq.ivfpq_topk(
+        emb, "vec_id", "embedding", queries,
+        m=_PQ_M, k_codes=_PQ_K, n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE, n_iter=_PQ_ITER, k=_PQ_TOPK)
 
 
 @register(
@@ -9277,6 +9357,12 @@ _GATE_DEMOTED = [
     # weighted_median/equi_depth/grouped_topk/pareto legs
     # (corr_by_type_events r8-proven)
     "corr_by_type_events",
+    # admits ivfpq_topk_embeddings (the IVF-PQ routing composition on
+    # top of the new PQ leg) — the robust-outlier family keeps the
+    # promoted weighted_median_docs and equi_depth_bins_events, whose
+    # exact-percentile fit is the same shape (mad_outlier_events
+    # r8-proven)
+    "mad_outlier_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -215,3 +215,41 @@ class TestProductQuantization:
 
         with _pytest.raises(ValueError, match="evenly divide"):
             pq.pq_train(self._emb(spark), "vec_id", "embedding", m=7)
+
+    def test_ivfpq_equals_full_adc_restricted_to_probed_cells(self, spark):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators import quantization as pq
+
+        emb = self._emb(spark)
+        q = {0: [float(x) for x in
+                 emb.filter("vec_id = 0").first()["embedding"]]}
+        routed = {(r.query_id, r.rank): (r.id, r.adc)
+                  for r in pq.ivfpq_topk(
+                      emb, "vec_id", "embedding", q, m=2, k_codes=4,
+                      n_cells=4, n_probe=2, k=5).collect()}
+        # reference: full ADC over the same codebooks, then filter to
+        # the query's probed cells and re-rank
+        quant = pq._quantized(emb, "vec_id", "embedding", 10_000)
+        cents = [[float(x) for x in r["qvec"]]
+                 for r in quant.orderBy("id").limit(4).collect()]
+        cells = {r.id: r.cell for r in quant.select(
+            "id", pq._assign_inline("qvec", cents).alias("cell")
+        ).collect()}
+        from dativo_ingest_spark.operators.clustering import _spark_round9
+        qq = [pq._quantize_driver(x, 10_000) for x in q[0]]
+        dists = sorted(
+            (_spark_round9(sum(((a - b) * (a - b)
+                                for a, b in zip(qq, cv)), 0.0)), cid)
+            for cid, cv in enumerate(cents))
+        probed = {cid for _, cid in dists[:2]}
+        cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+        full = pq.pq_adc_topk(
+            pq.pq_encode(emb, "vec_id", "embedding", cbs), q, cbs,
+            k=10**6)
+        ranked = sorted(
+            ((r.adc, r.id) for r in full.collect()
+             if cells[r.id] in probed))
+        expect = {(0, i + 1): (vid, adc)
+                  for i, (adc, vid) in enumerate(ranked[:5])}
+        assert routed == expect and len(routed) == 5

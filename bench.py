@@ -123,6 +123,7 @@ EXTENDED = [
     "classifier_infer_docs",
     "gopher_rules_docs",
     "html_strip_docs",
+    "unicode_normalize_docs",
     "dsir_weights_docs",
     "perplexity_bucket_mix",
     "feature_hash_docs",

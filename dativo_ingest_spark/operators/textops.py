@@ -498,6 +498,66 @@ def classifier_score(
     )
 
 
+def unicode_normalize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    accent_fold: bool = True,
+) -> DataFrame:
+    """Unicode canonicalization — the step every other text operator
+    here implicitly assumes has already happened: visually-identical
+    strings with different codepoint sequences (composed ``é`` vs
+    ``e`` + combining acute) hash differently, so exact dedup, n-gram
+    fingerprints, MinHash signatures and blocklist joins all silently
+    miss across sources that disagree on normal form.
+
+    (id, norm_text, changed, n_chars) — NFC canonical composition,
+    optional accent folding (NFD → drop combining marks — the
+    DuckDB/utf8proc ``strip_accents`` semantics), control characters to
+    spaces, whitespace runs collapsed, trimmed.
+
+    Engine story: NFC and combining-mark classification are defined by
+    the Unicode standard — Python's ``unicodedata`` (UCD) and DuckDB's
+    ``nfc_normalize``/``strip_accents`` (utf8proc) implement the same
+    tables, so the oracle replays the pipeline with builtins. The
+    codepoint work runs in ONE Arrow-batched pandas UDF (Spark SQL has
+    no NFC builtin — this is the honest Python seam, like the decode
+    kernels in multimodal); the cheap control/whitespace cleanup stays
+    JVM-side AFTER it so the Arrow batch carries each string once.
+
+    Scale: scan-stage, zero shuffle; per-row cost is one UCD pass.
+    """
+    import unicodedata
+
+    def _norm_series(s):
+        def one(t):
+            if t is None:
+                return None
+            u = unicodedata.normalize("NFC", t)
+            if accent_fold:
+                u = "".join(c for c in unicodedata.normalize("NFD", u)
+                            if not unicodedata.combining(c))
+                u = unicodedata.normalize("NFC", u)
+            return u
+        return s.map(one)
+
+    norm_udf = F.pandas_udf(_norm_series, "string")
+    # NULL text normalizes to the empty string: downstream hash/dedup
+    # consumers need a total function, not a null-propagating one
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(norm_udf(F.coalesce(F.col(text_col),
+                                             F.lit(""))),
+                         "[\\x00-\\x1F\\x7F]", " "),
+        "\\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("norm_text"),
+        (cleaned != F.coalesce(F.col(text_col), F.lit("")))
+        .alias("changed"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+    )
+
+
 def load_quality_grade_model(path: str | None = None) -> dict:
     """Load a vendored multiclass-linear quality-grade model artifact.
 

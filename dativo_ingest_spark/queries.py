@@ -8316,6 +8316,50 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unicode_normalize_docs",
+    r"""
+    WITH pre AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' || chr(9) || ' N' || chr(195)
+               || 'O  ' || text AS raw
+      FROM documents),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               strip_accents(nfc_normalize(raw)),
+               '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+             raw
+      FROM pre)
+    SELECT doc_id AS id, norm_text,
+           norm_text <> raw AS changed,
+           CAST(length(norm_text) AS BIGINT) AS n_chars
+    FROM n
+    """,
+    doc="unicode canonicalization (operators/textops.py:"
+        "unicode_normalize): NFC composition + accent folding + "
+        "control-char/whitespace cleanup — the step exact dedup, "
+        "n-gram fingerprints and blocklist joins silently depend on "
+        "(composed vs decomposed sequences hash differently). The gate "
+        "plants a decomposed e+combining-acute, a composed A-tilde and "
+        "a literal TAB in front of every document via engine-portable "
+        "chr() literals, so both engines must exercise real UCD tables "
+        "(Python unicodedata vs DuckDB utf8proc — same standard), not "
+        "just ASCII identity. One Arrow-batched UDF for the codepoint "
+        "work, JVM-side regexp cleanup after it; scan-stage, zero "
+        "shuffle.",
+)
+def unicode_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    prefixed = docs.select(
+        "doc_id",
+        F.concat(F.lit("Café \t NÃO  "), F.col("text"))
+        .alias("text"))
+    return textops.unicode_normalize(prefixed, "doc_id", "text")
+
+
+@register(
     "export_shards_docs",
     """
     WITH s AS (
@@ -9363,6 +9407,13 @@ _GATE_DEMOTED = [
     # exact-percentile fit is the same shape (mad_outlier_events
     # r8-proven)
     "mad_outlier_events",
+    # admits unicode_normalize_docs (UCD canonicalization, NEW r9 —
+    # the precondition every hash-based text op assumes) — the
+    # analytics family keeps the promoted cusum/pareto/grouped_topk/
+    # cumulative_new_users legs and the as-of temporal shape stays via
+    # scd2_pit_join_events + promoted sessionize_incremental_events
+    # (attribution_time_decay r8-proven)
+    "attribution_time_decay",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -182,3 +182,47 @@ class TestBm25TopK:
         df = spark.createDataFrame(self.DOCS, "doc_id bigint, text string")
         with _pytest.raises(ValueError, match="non-empty"):
             textops.bm25_topk(df, "doc_id", "text", {"q": []})
+
+
+class TestUnicodeNormalize:
+    """UCD canonicalization: composed and decomposed forms converge,
+    accents fold, controls/whitespace collapse."""
+
+    def test_forms_converge_and_fold(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        rows = [
+            (1, "Cafe\u0301"),    # decomposed e + combining acute
+            (2, "Caf\u00e9"),     # composed \u00e9
+            (3, "na\u00efve\tA\u030angstr\u00f6m"),
+            (4, "  plain   ascii  "),
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.id: (r.norm_text, r.changed, r.n_chars)
+               for r in textops.unicode_normalize(
+                   df, "doc_id", "text").collect()}
+        assert got[1][0] == "Cafe" and got[2][0] == "Cafe"
+        assert got[1][0] == got[2][0]          # forms converge
+        assert got[3][0] == "naive Angstrom"
+        assert got[4] == ("plain ascii", True, 11)
+        assert got[5][0] == "" and got[5][2] == 0
+
+    def test_no_fold_keeps_accents_composed(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame(
+            [(1, "Cafe\u0301"), (2, "Caf\u00e9")],
+            "doc_id bigint, text string")
+        got = {r.id: r.norm_text for r in textops.unicode_normalize(
+            df, "doc_id", "text", accent_fold=False).collect()}
+        # both normalize to the COMPOSED form — equal, accents kept
+        assert got[1] == got[2] == "Caf\u00e9"
+
+    def test_ascii_identity_unchanged_flag(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame([(1, "hello world")],
+                                   "doc_id bigint, text string")
+        r = textops.unicode_normalize(df, "doc_id", "text").collect()[0]
+        assert r.norm_text == "hello world" and r.changed is False

@@ -134,6 +134,7 @@ EXTENDED = [
     "flesch_reading_ease_docs",
     "mdkv_row_per_kv",
     "multimodal_byte_stats",
+    "image_dhash_pairs",
     "chunk_documents_sliding",
     "chunk_sentences_docs",
     "chunk_pack_pipeline",

@@ -92,12 +92,11 @@ def _fake_image_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, features
 
 
-def decode_netpbm(payload: bytes) -> tuple[int, int, int, list[float]] | None:
-    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB — the
-    public netpbm spec): header tokens (magic, width, height, maxval, with
-    ``#`` comments), then raw big-endian samples. Returns (width, height,
-    channels, features) where features = [mean_intensity] + 7-bin
-    histogram, all normalized to [0,1]; None when not netpbm."""
+def netpbm_pixels(payload: bytes):
+    """Parse binary netpbm (P5 grayscale / P6 RGB) to raw samples:
+    (width, height, channels, maxval, uint ndarray of w*h*c samples) —
+    header tokens with ``#`` comments per the public spec, raw
+    big-endian samples after. None when not netpbm."""
     import numpy as np
 
     if not payload.startswith((b"P5", b"P6")):
@@ -124,6 +123,21 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, int, list[float]] | None:
     dtype = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
     n = width * height * channels
     pix = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    return width, height, channels, maxval, pix
+
+
+def decode_netpbm(payload: bytes) -> tuple[int, int, int, list[float]] | None:
+    """REAL image decode for binary netpbm (P5 grayscale / P6 RGB — the
+    public netpbm spec): header tokens (magic, width, height, maxval, with
+    ``#`` comments), then raw big-endian samples. Returns (width, height,
+    channels, features) where features = [mean_intensity] + 7-bin
+    histogram, all normalized to [0,1]; None when not netpbm."""
+    import numpy as np
+
+    parsed = netpbm_pixels(payload)
+    if parsed is None:
+        return None
+    width, height, channels, maxval, pix = parsed
     norm = pix.astype("float64") / maxval
     hist, _ = np.histogram(norm, bins=7, range=(0.0, 1.0))
     feats = [float(norm.mean())] + [float(v) / max(len(norm), 1)
@@ -503,3 +517,132 @@ def resample_audio(
         F.col(id_col).cast("string").alias("id"),
         F.col(media_col).alias("media"))
     return pruned.mapInPandas(run, RESAMPLED_AUDIO_SCHEMA)
+
+
+def dhash_bits(payload: bytes, grid_w: int = 8,
+               grid_h: int = 8) -> tuple[int, int, int, int] | None:
+    """Difference-hash a netpbm image to (width, height, hi, lo):
+    grayscale (ITU-601 integer luma for P6: (299r+587g+114b)//1000),
+    nearest-neighbor sample onto a (grid_w+1) x grid_h grid
+    (src = g * dim // out_dim), bit k = grid[gy][gx+1] > grid[gy][gx]
+    with k = gy*grid_w + gx; the 64 bits split into two uint32 halves
+    (hi = bits 32.., lo = bits 0..31) so they ride signed BIGINT
+    columns. Every step is integer arithmetic on the decoded samples —
+    no floats anywhere — so the hash replays exactly in SQL from the
+    same pixel values."""
+    parsed = netpbm_pixels(payload)
+    if parsed is None:
+        return None
+    width, height, channels, _maxval, pix = parsed
+    if width < grid_w + 1 or height < grid_h:
+        return None
+    p = [int(x) for x in pix]
+    if channels == 3:
+        gray = [(299 * p[3 * i] + 587 * p[3 * i + 1]
+                 + 114 * p[3 * i + 2]) // 1000
+                for i in range(width * height)]
+    else:
+        gray = p
+    hi = lo = 0
+    for gy in range(grid_h):
+        sy = gy * height // grid_h
+        row = [gray[sy * width + (gx * width // (grid_w + 1))]
+               for gx in range(grid_w + 1)]
+        for gx in range(grid_w):
+            if row[gx + 1] > row[gx]:
+                k = gy * grid_w + gx
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return width, height, hi, lo
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("dhash_hi", T.LongType()),
+    T.StructField("dhash_lo", T.LongType()),
+])
+
+
+def dhash_images(df: DataFrame, id_col: str, media_col: str,
+                 grid_w: int = 8, grid_h: int = 8) -> DataFrame:
+    """Perceptual difference-hash per image (Krawetz dHash): the
+    image-native near-dup signature — invariant to uniform brightness
+    shifts and re-encodes, cheap enough to run on every crawled image.
+    (id, width, height, dhash_hi, dhash_lo); non-netpbm rows null out
+    and stream through (the Pillow engine slots in for JPEG/PNG by
+    swapping the decode call, same contract as decode_images).
+
+    Scale: scan-stage mapInPandas over pruned (id, bytes) — zero
+    shuffle; pair mining happens downstream on the 8-byte hashes via
+    :func:`dhash_neardup_pairs`, never on pixels.
+    """
+    if grid_w * grid_h > 64 or grid_w < 1 or grid_h < 1:
+        raise ValueError("grid_w * grid_h must be in 1..64")
+
+    import pandas as pd  # executor-side
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                r = dhash_bits(payload, grid_w, grid_h)
+                if r is None:
+                    out.append((rid, None, None, None, None))
+                else:
+                    out.append((rid, r[0], r[1], r[2], r[3]))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height",
+                              "dhash_hi", "dhash_lo"])
+
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(media_col).alias("media"))
+    return pruned.mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+    """Image near-dup pairs by banded Hamming join over (dhash_hi,
+    dhash_lo): the 64 bits split into four 16-bit bands; by pigeonhole
+    any pair within Hamming distance <= 3 shares at least one identical
+    band, so recall is EXACT for max_dist <= 3 (candidates above that
+    may be missed — raise the band count for a wider exact radius).
+    Candidates verify with exact popcount; never an all-pairs join —
+    the shuffle keys on 16-bit band values, hot bands split by AQE.
+
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 0 <= max_dist <= 64:
+        raise ValueError("max_dist must be in 0..64")
+    h = hashes.filter(F.col("dhash_hi").isNotNull()).select(
+        "id", "dhash_hi", "dhash_lo")
+    mask = F.lit(0xFFFF)
+    banded = h.select(
+        "id", "dhash_hi", "dhash_lo",
+        F.posexplode(F.array(
+            F.col("dhash_lo").bitwiseAND(mask),
+            F.shiftright("dhash_lo", 16).bitwiseAND(mask),
+            F.col("dhash_hi").bitwiseAND(mask),
+            F.shiftright("dhash_hi", 16).bitwiseAND(mask),
+        )).alias("band", "bv"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bv") == F.col("b.bv"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.col("a.dhash_hi").alias("hi_a"),
+                    F.col("a.dhash_lo").alias("lo_a"),
+                    F.col("b.dhash_hi").alias("hi_b"),
+                    F.col("b.dhash_lo").alias("lo_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    hamming = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+               + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))))
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_dist))

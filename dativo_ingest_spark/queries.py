@@ -8316,6 +8316,110 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "image_dhash_pairs",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS src, 0 AS shift
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 10000000 AS VARCHAR), doc_id, 1
+      FROM documents WHERE doc_id % 10 = 0),
+    px AS (
+      SELECT id, i,
+             least(CAST(('0x' || substr(md5('px_' || src || '_' || i),
+                                        1, 2)) AS BIGINT) + shift, 255)
+               AS p
+      FROM ids, unnest(range(0, 256)) t(i)),
+    coords AS (
+      SELECT gx, gy
+      FROM unnest(range(0, 9)) a(gx), unnest(range(0, 8)) b(gy)),
+    g AS (
+      SELECT px.id, c.gx, c.gy, px.p
+      FROM coords c
+      JOIN px ON px.i = (c.gy * 16 // 8) * 16 + (c.gx * 16 // 9)),
+    bits AS (
+      SELECT a.id, a.gy * 8 + a.gx AS k,
+             CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b ON b.id = a.id AND b.gy = a.gy
+                       AND b.gx = a.gx + 1
+      WHERE a.gx < 8),
+    h AS (
+      SELECT id,
+             CAST(sum(CASE WHEN k >= 32
+                           THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                           ELSE 0 END) AS BIGINT) AS hi,
+             CAST(sum(CASE WHEN k < 32
+                           THEN bit * (CAST(1 AS BIGINT) << k)
+                           ELSE 0 END) AS BIGINT) AS lo
+      FROM bits GROUP BY 1),
+    hb AS (
+      SELECT id, hi, lo, bi,
+             CASE bi WHEN 0 THEN lo % 65536 WHEN 1 THEN lo // 65536
+                     WHEN 2 THEN hi % 65536 ELSE hi // 65536 END AS bv
+      FROM h, unnest(range(0, 4)) t(bi)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM hb a JOIN hb b ON a.bi = b.bi AND a.bv = b.bv
+                         AND a.id < b.id),
+    p2 AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(x.lo, y.lo))
+                  + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN h x ON x.id = c.id_a
+      JOIN h y ON y.id = c.id_b)
+    SELECT id_a, id_b, hamming FROM p2 WHERE hamming <= 3
+    """,
+    doc="perceptual-hash image near-dup (operators/multimodal.py: "
+        "dhash_bits/dhash_images/dhash_neardup_pairs — Krawetz dHash): "
+        "the image-native leg of the dedup stack. The harness "
+        "synthesizes REAL P5 netpbm binaries from md5-derived pixels "
+        "(md5 is md5 everywhere, so the oracle regenerates the SAME "
+        "pixels in SQL without touching bytes) plus a +1-brightness "
+        "twin for every 10th image — dHash is invariant to uniform "
+        "brightness shift, so the twins MUST pair at Hamming 0 through "
+        "the full binary encode -> netpbm decode -> integer-luma -> "
+        "NN-downsample -> difference-bit pipeline, which is what makes "
+        "this a decode-path proof, not just a hash proof. Pair mining "
+        "is a banded 16-bit equi-join (exact recall at Hamming <= 3 by "
+        "pigeonhole) + popcount verify — never an all-pairs join.",
+)
+def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").alias("src"), F.lit(0).alias("shift"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000000).cast("string").alias("id"),
+            F.col("doc_id").alias("src"), F.lit(1).alias("shift")))
+
+    def build(batches):
+        # harness-side payload synthesis: P5 16x16 images whose pixels
+        # come from the same md5 formula the oracle replays in SQL
+        for pdf in batches:
+            payloads = []
+            for src, shift in zip(pdf["src"], pdf["shift"]):
+                pix = bytes(
+                    min(int(hashlib.md5(
+                        f"px_{src}_{i}".encode()).hexdigest()[:2], 16)
+                        + int(shift), 255)
+                    for i in range(256))
+                payloads.append(b"P5\n16 16\n255\n" + pix)
+            yield pd.DataFrame({"id": pdf["id"], "media": payloads})
+
+    imgs = ids.mapInPandas(build, "id string, media binary")
+    hashes = mm.dhash_images(imgs, "id", "media")
+    return mm.dhash_neardup_pairs(hashes, max_dist=3)
+
+
+@register(
     "unicode_normalize_docs",
     r"""
     WITH pre AS (
@@ -9414,6 +9518,12 @@ _GATE_DEMOTED = [
     # scd2_pit_join_events + promoted sessionize_incremental_events
     # (attribution_time_decay r8-proven)
     "attribution_time_decay",
+    # admits image_dhash_pairs (perceptual-hash image near-dup, NEW r9
+    # — drives the REAL netpbm decode path end-to-end) — the multimodal
+    # family stays represented by it; byte_stats' scan-stage md5/magic
+    # shape is also exercised by every md5-fold gate query
+    # (multimodal_byte_stats r8-proven)
+    "multimodal_byte_stats",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -303,3 +303,64 @@ class TestResampleAudio:
                               target_rate=8000).first()
         assert r.n_samples == 1000
         assert abs(r.peak - 0.25) < 0.01
+
+
+class TestDhash:
+    """Perceptual dHash over the real netpbm decode path."""
+
+    @staticmethod
+    def _p5(pixels, w=16, h=16):
+        return (f"P5\n{w} {h}\n255\n".encode()
+                + bytes(pixels))
+
+    def test_brightness_invariance_and_p6_luma(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        base = [(i * 7 + 3) % 250 for i in range(256)]
+        shifted = [min(p + 4, 255) for p in base]
+        # P6 twin: each gray pixel expanded to RGB with distinct
+        # channels whose ITU-601 integer luma equals the P5 value
+        rgb = []
+        for p in base:
+            rgb += [p, p, p]
+        rows = [
+            ("a", self._p5(base)),
+            ("b", self._p5(shifted)),
+            ("c", b"P6\n16 16\n255\n" + bytes(rgb)),
+            ("junk", b"notanimage"),
+        ]
+        df = spark.createDataFrame(rows, "id string, media binary")
+        got = {r.id: (r.dhash_hi, r.dhash_lo)
+               for r in mm.dhash_images(df, "id", "media").collect()}
+        assert got["a"] == got["b"]            # uniform shift invariant
+        assert got["a"] == got["c"]            # P6 luma == P5 gray
+        assert got["junk"] == (None, None)
+
+    def test_pairs_exact_at_small_hamming(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        base = [(i * 13 + 1) % 256 for i in range(256)]
+        flipped = list(base)
+        # flip ONE comparison: make grid cell (0,1) dip below (0,0)
+        flipped[0] = 255
+        rows = [("x", self._p5(base)), ("y", self._p5(flipped)),
+                ("z", self._p5([(i * 101 + 7) % 256 for i in range(256)]))]
+        df = spark.createDataFrame(rows, "id string, media binary")
+        h = mm.dhash_images(df, "id", "media")
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in mm.dhash_neardup_pairs(h, max_dist=3).collect()}
+        assert ("x", "y") in pairs and pairs[("x", "y")] <= 3
+        assert all("z" not in k for k in pairs)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame([("a", b"P5\n2 2\n255\nabcd")],
+                                   "id string, media binary")
+        with _pytest.raises(ValueError, match="grid"):
+            mm.dhash_images(df, "id", "media", grid_w=9, grid_h=9)
+        with _pytest.raises(ValueError, match="max_dist"):
+            mm.dhash_neardup_pairs(mm.dhash_images(df, "id", "media"),
+                                   max_dist=65)

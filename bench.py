@@ -152,6 +152,7 @@ EXTENDED = [
     "rollup_incremental_events",
     "scd2_user_event_history",
     "approx_distinct_users",
+    "sliding_distinct_hll_events",
     "quantile_clip_events",
     "dq_expectations_events",
     "mad_outlier_events",

@@ -528,3 +528,42 @@ def sessionize_incremental(
     new_state = (adjusted.filter(F.col("_last")).select(*cols)
                  .unionByName(idle_state))
     return closed, new_state
+
+
+def sliding_distinct_hll(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Approximate trailing-window distinct via MERGEABLE HLL sketches —
+    the 100 TB swap :func:`sliding_day_membership` documents: instead of
+    exploding every row x window_days for an exact holistic distinct,
+    sketch each day ONCE (hll_sketch_agg — Apache DataSketches, KBs of
+    state), then union the trailing frame's sketches per window
+    (hll_union_agg over a rows frame) and estimate. Cost: one (day)-
+    keyed partial-agg shuffle of KB sketches + a day-grain window —
+    independent of both row count and distinct cardinality; the daily
+    sketches persist and EXTEND incrementally (yesterday's sketches
+    never recompute).
+
+    (window_day, approx_distinct) — the estimate is deterministic for a
+    given dataset but NOT engine-portable; gate queries compare the
+    within-tolerance boolean against the exact count (the
+    approx_distinct_check contract).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = F.expr(
+        f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP)) div 86400000000")
+    daily = (df.select(day.alias("window_day"), F.col(key_col).alias("k"))
+             .groupBy("window_day")
+             .agg(F.hll_sketch_agg("k").alias("sk")))
+    # RANGE frame on the integer day so calendar gaps don't widen the
+    # window (a rows frame would span more days when days are missing)
+    w = (Window.orderBy("window_day")
+         .rangeBetween(-(window_days - 1), Window.currentRow))
+    return daily.select(
+        "window_day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("long").alias("approx_distinct"))

@@ -8316,6 +8316,54 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_distinct_hll_events",
+    """
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    days AS (SELECT DISTINCT day AS window_day FROM d),
+    m AS (
+      SELECT user_id, day + i AS window_day
+      FROM d, unnest(range(0, 7)) AS t(i)),
+    x AS (
+      SELECT window_day, count(DISTINCT user_id) AS n
+      FROM m GROUP BY 1)
+    SELECT CAST(x.window_day AS BIGINT) AS window_day,
+           CAST(n AS BIGINT) AS n_exact,
+           TRUE AS hll_ok
+    FROM x JOIN days ON days.window_day = x.window_day
+    """,
+    doc="7-day sliding distinct actives via MERGEABLE HLL sketches "
+        "(operators/temporal.py:sliding_distinct_hll) — CLOSING the "
+        "documented 100 TB swap in sliding_day_membership: sketch each "
+        "day once (DataSketches hll_sketch_agg, KB state), union the "
+        "trailing RANGE frame's sketches per window, estimate. Cost is "
+        "independent of row count AND distinct cardinality, and daily "
+        "sketches extend incrementally. The estimate is not "
+        "engine-portable, so the gate compares the 5%%-tolerance "
+        "boolean against the exact membership-explosion count (the "
+        "approx_distinct_check contract); the oracle recomputes the "
+        "exact side and the within-tolerance claim must hold at every "
+        "SF.",
+)
+def sliding_distinct_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.temporal import (
+        sliding_day_membership, sliding_distinct_hll)
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    exact = (sliding_day_membership(ev, "ts", window_days=7)
+             .groupBy("window_day")
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    est = sliding_distinct_hll(ev, "user_id", "ts", window_days=7)
+    return (est.join(exact, "window_day")
+            .select(
+                F.col("window_day").cast("long").alias("window_day"),
+                F.col("n_exact").cast("long").alias("n_exact"),
+                (F.abs(F.col("approx_distinct") - F.col("n_exact"))
+                 <= F.lit(0.05) * F.col("n_exact")).alias("hll_ok")))
+
+
+@register(
     "image_dhash_pairs",
     """
     WITH ids AS (
@@ -9524,6 +9572,11 @@ _GATE_DEMOTED = [
     # shape is also exercised by every md5-fold gate query
     # (multimodal_byte_stats r8-proven)
     "multimodal_byte_stats",
+    # admits sliding_distinct_hll_events (the HLL-merge windowed
+    # distinct, NEW r9 — closes sliding_day_membership's documented
+    # 100 TB swap and RUNS the same membership explosion as its exact
+    # reference side) — sliding_distinct_users r8-proven
+    "sliding_distinct_users",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

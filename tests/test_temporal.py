@@ -438,3 +438,54 @@ class TestSessionize:
         # user 1's old session closed (gap exceeded); user 2 still open
         assert [(r.user, r.n_events) for r in closed.collect()] == [(1, 1)]
         assert {r.user for r in state.collect()} == {1, 2}
+
+
+class TestSlidingDistinctHll:
+    def test_range_frame_handles_day_gaps(self, spark):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.temporal import (
+            sliding_distinct_hll)
+
+        # users on day 0 and day 20: a ROWS frame would merge them into
+        # one 2-row window; the RANGE frame must keep them apart
+        rows = ([(u, "2024-01-01 00:00:00") for u in range(50)]
+                + [(u + 1000, "2024-01-21 00:00:00") for u in range(30)])
+        df = spark.createDataFrame(rows, "user_id bigint, ts string") \
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        got = {r.window_day: r.approx_distinct
+               for r in sliding_distinct_hll(
+                   df, "user_id", "ts", window_days=7).collect()}
+        assert len(got) == 2
+        days = sorted(got)
+        assert abs(got[days[0]] - 50) <= 3   # HLL ~2% rsd
+        assert abs(got[days[1]] - 30) <= 3   # gap > window: no merge
+
+    def test_trailing_union(self, spark):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.temporal import (
+            sliding_distinct_hll)
+
+        # 40 users/day, 10 new per day: trailing-2-day distinct = 50
+        rows = [(d * 10 + u, f"2024-01-0{d + 1} 00:00:00")
+                for d in range(3) for u in range(40)]
+        df = spark.createDataFrame(rows, "user_id bigint, ts string") \
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        got = sorted(
+            (r.window_day, r.approx_distinct)
+            for r in sliding_distinct_hll(
+                df, "user_id", "ts", window_days=2).collect())
+        assert abs(got[0][1] - 40) <= 2
+        assert abs(got[1][1] - 50) <= 3 and abs(got[2][1] - 50) <= 3
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.temporal import (
+            sliding_distinct_hll)
+
+        df = spark.createDataFrame([(1, "2024-01-01 00:00:00")],
+                                   "user_id bigint, ts string")
+        with _pytest.raises(ValueError, match="window_days"):
+            sliding_distinct_hll(df, "user_id", "ts", window_days=0)

@@ -118,6 +118,7 @@ EXTENDED = [
     "pii_scrub_docs",
     "tfidf_top_terms",
     "unigram_logprob_quality",
+    "kneser_ney_quality",
     "unigram_drift_docs",
     "quality_classifier_score",
     "classifier_infer_docs",

@@ -1154,6 +1154,114 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_df: DataFrame | None = None,
+    micro_units: int = 1_000_000,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (Kneser & Ney
+    1995; the smoothing production n-gram LMs — KenLM included —
+    actually use, completing this repo's family: unigram → stupid
+    backoff → KN). Absolute discount D = 3/4; continuation probability
+    from bigram-TYPE counts, which is the KN insight — "Francisco" is
+    frequent but only ever follows "San", so its continuation mass is
+    tiny where a unigram backoff would overrate it:
+
+        P(w2|w1) = max(c12 - D, 0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/B
+
+    Determinism: with D = 3/4 the whole interpolation clears
+    denominators into ONE exact-integer quotient —
+    ``(max(4·c12 − 3, 0)·B + 3·N1f(w1)·N1p(w2)) / (4·c1·B)`` — so each
+    scored position is a single IEEE divide + one ln, quantized to
+    micro-nats BEFORE the per-document sum (the unigram_logprob
+    discipline). Positions with an unknown context (or zero KN mass:
+    c12 = 0 and w2 never a continuation) fall to the add-one unigram
+    ``(c2+1)/(total+vocab)`` and are counted in ``n_unk``. int64 bound:
+    the numerator is ~4·c12·B — past ~10^18 shard the model or shrink
+    counts to type-log scale (documented contract).
+
+    (id, n_bigrams, n_unk, avg_logprob) for documents with >= 2 words.
+
+    Scale: model = three vocabulary-sized aggregates over the model
+    slice (bigram counts, follower/predecessor type counts) + one
+    scalar row; scoring joins on the bigram key and the two word keys —
+    Zipf-skewed, AQE-split, broadcast when they fit. Same shapes as
+    bigram_logprob, one extra type-count table per side.
+    """
+    if model_df is None:
+        model_df = df
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        tok = _tokenized(frame, id_col, text_col)
+        return tok.filter(F.size("_words") >= 2).select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_words) - 2), "
+                    "i -> struct(_words[i] AS w1, _words[i + 1] AS w2))"
+                )
+            ).alias("_bg"),
+        ).select("id", F.col("_bg.w1").alias("w1"),
+                 F.col("_bg.w2").alias("w2"))
+
+    m_words = _tokenized(model_df, id_col, text_col).select(
+        F.explode("_words").alias("word"))
+    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bc = _bigrams(model_df).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"))
+    n1f = bc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1p = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    scalars = uc.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).crossJoin(F.broadcast(
+        bc.agg(F.count(F.lit(1)).alias("b_types"))))
+
+    scored = (
+        _bigrams(df)
+        .join(bc, ["w1", "w2"], "left")
+        .join(uc.select(F.col("word").alias("w1"), F.col("c").alias("c1")),
+              "w1", "left")
+        .join(uc.select(F.col("word").alias("w2"), F.col("c").alias("c2")),
+              "w2", "left")
+        .join(n1f, "w1", "left")
+        .join(n1p, "w2", "left")
+        .join(F.broadcast(scalars))
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0))
+    n1p_c = F.coalesce(F.col("n1p"), F.lit(0))
+    n1f_c = F.coalesce(F.col("n1f"), F.lit(0))
+    num = (F.greatest(4 * c12 - 3, F.lit(0)) * F.col("b_types")
+           + 3 * n1f_c * n1p_c)
+    # the KN path needs strictly positive mass: a seen bigram, or BOTH
+    # type counts positive (w1 leading somewhere AND w2 continuing
+    # somewhere) — anything else falls to the add-one unigram
+    known = F.col("c1").isNotNull() & (
+        (c12 > 0) | ((n1f_c > 0) & (n1p_c > 0)))
+    lp_kn = F.log(num.cast("double")
+                  / (4 * F.col("c1") * F.col("b_types")).cast("double"))
+    lp_unk = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+        / (F.col("total") + F.col("vocab")).cast("double"))
+    lpq = F.floor(
+        F.when(known, lp_kn).otherwise(lp_unk) * micro_units + 0.5
+    ).cast("long")
+    return (
+        scored.select("id", lpq.alias("_lpq"),
+                      F.when(known, 0).otherwise(1).alias("_unk"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_unk").cast("long").alias("n_unk"),
+            F.round(
+                F.sum("_lpq").cast("double") / F.count(F.lit(1))
+                / float(micro_units), 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def feature_hash(
     df: DataFrame,
     text_col: str,

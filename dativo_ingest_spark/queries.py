@@ -8316,6 +8316,88 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kneser_ney_quality",
+    r"""
+    WITH wsc AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                              'g')), ' ') AS ws
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+    wm AS (SELECT * FROM wsc WHERE doc_id % 2 = 0),
+    uc AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest(ws) AS word FROM wm) GROUP BY 1),
+    sc AS (SELECT sum(c) AS total, count(*) AS vocab FROM uc),
+    bgm AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM wm, unnest(range(1, len(ws))) t(i)),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bgm GROUP BY 1, 2),
+    n1f AS (SELECT w1, count(*) AS n1f FROM bc GROUP BY 1),
+    n1p AS (SELECT w2, count(*) AS n1p FROM bc GROUP BY 1),
+    bt AS (SELECT count(*) AS b FROM bc),
+    bgs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM wsc, unnest(range(1, len(ws))) t(i)
+      WHERE len(ws) >= 2),
+    j AS (
+      SELECT doc_id, bc.c12, u1.c AS c1, u2.c AS c2,
+             n1f.n1f, n1p.n1p, sc.total, sc.vocab, bt.b
+      FROM bgs
+      LEFT JOIN bc USING (w1, w2)
+      LEFT JOIN uc u1 ON u1.word = bgs.w1
+      LEFT JOIN uc u2 ON u2.word = bgs.w2
+      LEFT JOIN n1f ON n1f.w1 = bgs.w1
+      LEFT JOIN n1p ON n1p.w2 = bgs.w2, sc, bt),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN c1 IS NOT NULL
+                       AND (coalesce(c12, 0) > 0
+                            OR (coalesce(n1f, 0) > 0
+                                AND coalesce(n1p, 0) > 0))
+                  THEN floor(ln(
+                    CAST(greatest(4 * coalesce(c12, 0) - 3, 0) * b
+                         + 3 * coalesce(n1f, 0) * coalesce(n1p, 0)
+                         AS DOUBLE)
+                    / CAST(4 * c1 * b AS DOUBLE)) * 1000000 + 0.5)
+                  ELSE floor(ln(
+                    CAST(coalesce(c2, 0) + 1 AS DOUBLE)
+                    / CAST(total + vocab AS DOUBLE)) * 1000000 + 0.5)
+             END AS lpq,
+             CASE WHEN c1 IS NOT NULL
+                       AND (coalesce(c12, 0) > 0
+                            OR (coalesce(n1f, 0) > 0
+                                AND coalesce(n1p, 0) > 0))
+                  THEN 0 ELSE 1 END AS unk
+      FROM j)
+    SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(unk) AS BIGINT) AS n_unk,
+           round(CAST(sum(lpq) AS DOUBLE) / count(*) / 1000000.0, 6)
+             AS avg_logprob
+    FROM q GROUP BY 1
+    """,
+    doc="interpolated Kneser-Ney bigram LM scoring "
+        "(operators/textops.py:kneser_ney_logprob — Kneser & Ney 1995, "
+        "the smoothing production n-gram LMs actually use, completing "
+        "the unigram -> stupid-backoff -> KN family): held out on the "
+        "even-doc_id half so the odd half exercises real discounting "
+        "and the unknown path. With D=3/4 the whole interpolation "
+        "clears denominators into ONE exact-integer quotient per "
+        "position — (max(4c12-3,0)·B + 3·N1f·N1p)/(4·c1·B) — so each "
+        "score is a single IEEE divide + ln, quantized to micro-nats "
+        "before the per-doc fold. Continuation TYPE counts are the KN "
+        "insight the unigram backoff lacks (the 'Francisco' problem).",
+)
+def kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import textops
+
+    docs = load(spark, sf_dir, "documents")
+    return textops.kneser_ney_logprob(
+        docs, "doc_id", "text",
+        model_df=docs.filter(F.col("doc_id") % 2 == 0))
+
+
+@register(
     "sliding_distinct_hll_events",
     """
     WITH d AS (
@@ -9577,6 +9659,11 @@ _GATE_DEMOTED = [
     # 100 TB swap and RUNS the same membership explosion as its exact
     # reference side) — sliding_distinct_users r8-proven
     "sliding_distinct_users",
+    # admits kneser_ney_quality (interpolated KN bigram LM, NEW r9 —
+    # completes the LM smoothing family) — the skew-diagnostic family
+    # keeps skew_salted_join_events in-window (skew_report_events
+    # r8-proven)
+    "skew_report_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -226,3 +226,62 @@ class TestUnicodeNormalize:
                                    "doc_id bigint, text string")
         r = textops.unicode_normalize(df, "doc_id", "text").collect()[0]
         assert r.norm_text == "hello world" and r.changed is False
+
+
+class TestKneserNey:
+    """Interpolated KN: hand-replicated integer-quotient scoring and
+    the continuation-count ('Francisco') property."""
+
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators import textops
+
+        # model: "a b a b a c"; scored doc: "a b c x"
+        model = spark.createDataFrame([(0, "a b a b a c")],
+                                      "doc_id bigint, text string")
+        doc = spark.createDataFrame([(1, "a b c x")],
+                                    "doc_id bigint, text string")
+        r = textops.kneser_ney_logprob(
+            doc, "doc_id", "text", model_df=model).collect()[0]
+        # model stats: c(a)=3 c(b)=2 c(c)=1 total=6 vocab=3
+        # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 -> B=3
+        # n1f: a->2, b->1 ; n1p: b->1, a->1, c->1
+        def kn(c12, c1, n1f, n1p, B=3):
+            return math.floor(math.log(
+                (max(4 * c12 - 3, 0) * B + 3 * n1f * n1p)
+                / (4 * c1 * B)) * 1e6 + 0.5)
+        lp_ab = kn(2, 3, 2, 1)                 # seen bigram (a,b)
+        lp_bc = kn(0, 2, 1, 1)                 # unseen (b,c): KN mass
+        lp_cx = math.floor(math.log((0 + 1) / (6 + 3)) * 1e6 + 0.5)
+        # (c,x): x unknown -> c1 known but n1p(x)=0 and c12=0 -> unk path
+        assert r.n_bigrams == 3 and r.n_unk == 1
+        expect = round((lp_ab + lp_bc + lp_cx) / 3 / 1e6, 6)
+        assert r.avg_logprob == expect
+
+    def test_francisco_property(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        # 'rico' is FREQUENT but only ever follows 'puerto';
+        # 'day' is equally frequent with many distinct contexts.
+        # After an unseen context 'new', KN must prefer 'day'.
+        model_text = ("puerto rico " * 8
+                      + "good day nice day long day hot day new york")
+        model = spark.createDataFrame([(0, model_text)],
+                                      "doc_id bigint, text string")
+        docs = spark.createDataFrame(
+            [(1, "new rico"), (2, "new day")],
+            "doc_id bigint, text string")
+        got = {r.id: r.avg_logprob
+               for r in textops.kneser_ney_logprob(
+                   docs, "doc_id", "text", model_df=model).collect()}
+        assert got[2] > got[1]   # day (many contexts) beats rico (one)
+
+    def test_self_trained_has_no_unknowns(self, spark):
+        from dativo_ingest_spark.operators import textops
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        out = textops.kneser_ney_logprob(docs, "doc_id", "text")
+        assert out.filter("n_unk > 0").count() == 0

@@ -136,6 +136,7 @@ EXTENDED = [
     "mdkv_row_per_kv",
     "multimodal_byte_stats",
     "image_dhash_pairs",
+    "audio_fingerprint_dups",
     "chunk_documents_sliding",
     "chunk_sentences_docs",
     "chunk_pack_pipeline",

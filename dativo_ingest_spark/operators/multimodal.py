@@ -646,3 +646,100 @@ def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
     return (cand.select("id_a", "id_b",
                         hamming.cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_dist))
+
+
+def wav_samples(payload: bytes):
+    """Parse PCM WAV to raw integer samples (mono-mixed): (rate,
+    channels, int64 ndarray of per-frame channel-SUM samples — an
+    integer mono mixdown, exact). None when not parseable WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            channels = w.getnchannels()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    dtype = {1: "u1", 2: "<i2", 4: "<i4"}.get(width)
+    if dtype is None or rate <= 0:
+        return None
+    x = np.frombuffer(raw, dtype=dtype).astype(np.int64)
+    if width == 1:
+        x = x - 128  # 8-bit WAV is unsigned
+    if channels > 1:
+        x = x[:len(x) - len(x) % channels].reshape(-1, channels).sum(axis=1)
+    return rate, channels, x
+
+
+def audio_fingerprint_bits(payload: bytes,
+                           n_frames: int = 32) -> tuple[int, int] | None:
+    """Energy-contour fingerprint for PCM WAV: split the mono-mixed
+    samples into ``n_frames + 1`` equal windows, per-window energy =
+    exact integer sum of squared samples, bit k set iff
+    energy[k+1] > energy[k] — the audio twin of the image dHash:
+    invariant to uniform gain (energies scale together) and to
+    container re-muxing, pure integer arithmetic end to end. Returns
+    (n_samples, fingerprint) with the fingerprint in the low
+    ``n_frames`` bits of a BIGINT; None for non-WAV or audio shorter
+    than n_frames + 1 samples."""
+    parsed = wav_samples(payload)
+    if parsed is None:
+        return None
+    _rate, _channels, x = parsed
+    n = int(x.size)
+    if n < n_frames + 1:
+        return None
+    wlen = n // (n_frames + 1)
+    energies = []
+    for k in range(n_frames + 1):
+        seg = x[k * wlen:(k + 1) * wlen]
+        energies.append(int((seg * seg).sum()))
+    fp = 0
+    for k in range(n_frames):
+        if energies[k + 1] > energies[k]:
+            fp |= 1 << k
+    return n, fp
+
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("fingerprint", T.LongType()),
+])
+
+
+def audio_fingerprints(df: DataFrame, id_col: str, media_col: str,
+                       n_frames: int = 32) -> DataFrame:
+    """Per-clip energy-contour fingerprints (id, n_samples,
+    fingerprint): the near-dup signature for audio corpora — gain
+    changes, re-encodes to the same PCM, and padding-free re-muxes all
+    map to the same 32-bit contour, so exact groupBy on the fingerprint
+    (or the banded Hamming join from the image stack, reusing
+    dhash_neardup_pairs on (hi=0, lo=fingerprint)) finds duplicates
+    without comparing waveforms. Scan-stage mapInPandas over pruned
+    (id, bytes); non-WAV rows null out and stream through."""
+    if not 1 <= n_frames <= 62:
+        raise ValueError("n_frames must be in 1..62")
+
+    import pandas as pd  # executor-side
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf["id"], pdf["media"]):
+                payload = bytes(payload) if payload is not None else b""
+                r = audio_fingerprint_bits(payload, n_frames)
+                out.append((rid, None, None) if r is None
+                           else (rid, r[0], r[1]))
+            yield pd.DataFrame(
+                out, columns=["id", "n_samples", "fingerprint"])
+
+    pruned = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(media_col).alias("media"))
+    return pruned.mapInPandas(run, AUDIO_FP_SCHEMA)

@@ -8316,6 +8316,94 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_fingerprint_dups",
+    """
+    WITH ids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS src, 1 AS gain
+      FROM documents
+      UNION ALL
+      SELECT CAST(doc_id + 10000000 AS VARCHAR), doc_id, 2
+      FROM documents WHERE doc_id % 10 = 0),
+    s AS (
+      SELECT id, i,
+             ((CAST(('0x' || substr(md5('au_' || src || '_' || i), 1, 4))
+                    AS BIGINT) % 2000) - 1000) * gain AS v
+      FROM ids, unnest(range(0, 330)) t(i)),
+    e AS (
+      SELECT id, i // 10 AS k, CAST(sum(v * v) AS BIGINT) AS en
+      FROM s GROUP BY 1, 2),
+    b AS (
+      SELECT a.id, a.k,
+             CASE WHEN b2.en > a.en THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b2 ON b2.id = a.id AND b2.k = a.k + 1
+      WHERE a.k < 32),
+    f AS (
+      SELECT id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT)
+               AS fingerprint
+      FROM b GROUP BY 1)
+    SELECT id, CAST(330 AS BIGINT) AS n_samples, fingerprint FROM f
+    """,
+    doc="audio energy-contour fingerprinting "
+        "(operators/multimodal.py:audio_fingerprint_bits/"
+        "audio_fingerprints) — the audio twin of the image dHash: "
+        "mono-mixed PCM samples split into 33 windows, per-window "
+        "energy an EXACT integer sum of squares, bit k set iff the "
+        "contour rises — invariant to uniform gain (energies scale "
+        "together; the harness plants x2-gain twins for every 10th "
+        "clip, which MUST fingerprint identically through the real "
+        "WAV encode -> stdlib-wave decode -> integer energy pipeline). "
+        "The harness synthesizes real PCM WAVs from md5-derived int16 "
+        "samples so the oracle regenerates the same samples in SQL "
+        "without touching bytes — the decode-path proof pattern "
+        "image_dhash_pairs established. Near-dup mining downstream is "
+        "a plain fingerprint groupBy (or the banded Hamming join).",
+)
+def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from dativo_ingest_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").alias("src"), F.lit(1).alias("gain"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000000).cast("string").alias("id"),
+            F.col("doc_id").alias("src"), F.lit(2).alias("gain")))
+
+    def build(batches):
+        # harness-side synthesis: PCM WAVs whose int16 samples come
+        # from the same md5 formula the oracle replays in SQL
+        for pdf in batches:
+            payloads = []
+            for src, gain in zip(pdf["src"], pdf["gain"]):
+                samples = [
+                    ((int(hashlib.md5(
+                        f"au_{src}_{i}".encode()).hexdigest()[:4], 16)
+                      % 2000) - 1000) * int(gain)
+                    for i in range(330)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(struct.pack(
+                        "<%dh" % len(samples), *samples))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf["id"], "media": payloads})
+
+    clips = ids.mapInPandas(build, "id string, media binary")
+    return mm.audio_fingerprints(clips, "id", "media", n_frames=32)
+
+
+@register(
     "kneser_ney_quality",
     r"""
     WITH wsc AS (
@@ -9664,6 +9752,12 @@ _GATE_DEMOTED = [
     # keeps skew_salted_join_events in-window (skew_report_events
     # r8-proven)
     "skew_report_events",
+    # admits audio_fingerprint_dups (energy-contour audio
+    # fingerprinting through the real WAV decode, NEW r9 — the image
+    # dHash + this leg keep the multimodal family double-covered) —
+    # the join family keeps skew_salted_join_events and the 22
+    # demoted-proven TPC-H shapes (q11_important_stock r8-proven)
+    "q11_important_stock",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -364,3 +364,61 @@ class TestDhash:
         with _pytest.raises(ValueError, match="max_dist"):
             mm.dhash_neardup_pairs(mm.dhash_images(df, "id", "media"),
                                    max_dist=65)
+
+
+class TestAudioFingerprint:
+    @staticmethod
+    def _wav(samples, rate=8000, channels=1):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+        return buf.getvalue()
+
+    def test_gain_invariance_and_stereo_mixdown(self, spark):
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        base = [((i * 37) % 800) - 400 for i in range(330)]
+        double = [v * 2 for v in base]
+        # stereo whose per-frame channel sum equals the doubled mono
+        stereo = []
+        for v in double:
+            stereo += [v - 3, 3]
+        rows = [("a", self._wav(base)), ("b", self._wav(double)),
+                ("c", self._wav(stereo, channels=2)),
+                ("junk", b"RIFFnope")]
+        df = spark.createDataFrame(rows, "id string, media binary")
+        got = {r.id: r.fingerprint for r in mm.audio_fingerprints(
+            df, "id", "media").collect()}
+        assert got["a"] == got["b"]            # uniform gain
+        assert got["b"] == got["c"]            # integer mono mixdown
+        assert got["junk"] is None
+
+    def test_contour_bits_hand_checked(self, spark):
+        from dativo_ingest_spark.operators.multimodal import (
+            audio_fingerprint_bits)
+
+        # 3 frames of 2 samples (n_frames=2): energies 2, 8, 0
+        payload = self._wav([1, 1, 2, 2, 0, 0])
+        n, fp = audio_fingerprint_bits(payload, n_frames=2)
+        assert n == 6
+        assert fp == 0b01       # rise 2->8 sets bit0; fall 8->0 clears
+
+    def test_validation_and_short_audio(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators import multimodal as mm
+        from dativo_ingest_spark.operators.multimodal import (
+            audio_fingerprint_bits)
+
+        assert audio_fingerprint_bits(self._wav([1, 2]), 32) is None
+        df = spark.createDataFrame([("a", self._wav([0] * 40))],
+                                   "id string, media binary")
+        with _pytest.raises(ValueError, match="n_frames"):
+            mm.audio_fingerprints(df, "id", "media", n_frames=63)

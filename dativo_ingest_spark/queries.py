@@ -8316,6 +8316,69 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sorted_export_orders",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS id,
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  AS DOUBLE) AS k
+      FROM orders),
+    e AS (
+      SELECT quantile_cont(k, 0.125) AS e1, quantile_cont(k, 0.25) AS e2,
+             quantile_cont(k, 0.375) AS e3, quantile_cont(k, 0.5) AS e4,
+             quantile_cont(k, 0.625) AS e5, quantile_cont(k, 0.75) AS e6,
+             quantile_cont(k, 0.875) AS e7
+      FROM b),
+    s AS (
+      SELECT id, k,
+             CASE WHEN k <= e1 THEN 0 WHEN k <= e2 THEN 1
+                  WHEN k <= e3 THEN 2 WHEN k <= e4 THEN 3
+                  WHEN k <= e5 THEN 4 WHEN k <= e6 THEN 5
+                  WHEN k <= e7 THEN 6 ELSE 7 END AS shard
+      FROM b CROSS JOIN e)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key
+    FROM s GROUP BY 1
+    """,
+    doc="totally-ordered shard export without a single-task global "
+        "sort (sinks/shard_export.py:export_sorted_shards): quantile "
+        "cut points fit in one aggregate pass (exact interpolated "
+        "eighths on integral cents — engine-portable; sketch knob at "
+        "100 TB), rows range-shard by a literal <= cascade "
+        "(deterministic where repartitionByRange's reservoir sample is "
+        "layout-dependent), each shard sorts locally, and the manifest "
+        "is computed from the files READ BACK with an in-query "
+        "assertion that no two shards' key ranges interleave — reading "
+        "shards in order IS the global sort, the layout a "
+        "binary-searchable serving copy needs. The oracle replays the "
+        "cuts, the cascade and the per-shard aggregates.",
+)
+def sorted_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.shard_export import (
+        export_sorted_shards)
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+        .alias("cents"))
+    out = tempfile.mkdtemp(prefix="sg_sorted_")
+    try:
+        manifest = export_sorted_shards(
+            orders, "o_orderkey", "cents", out, n_shards=8)
+        rows = [(r.shard, r.n_rows, r.min_key, r.max_key)
+                for r in manifest.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "shard bigint, n_rows bigint, min_key double, "
+              "max_key double")
+
+
+@register(
     "audio_fingerprint_dups",
     """
     WITH ids AS (
@@ -9758,6 +9821,13 @@ _GATE_DEMOTED = [
     # the join family keeps skew_salted_join_events and the 22
     # demoted-proven TPC-H shapes (q11_important_stock r8-proven)
     "q11_important_stock",
+    # admits sorted_export_orders (total-order range-shard export, NEW
+    # r9) — the streaming family keeps streaming_dedup_ingest_docs
+    # (restart-proven r8) and the sessionization machinery stays
+    # in-window via the promoted sessionize_incremental_events, which
+    # runs the same sessionize operator batch-side
+    # (streaming_sessionize_events r8-proven)
+    "streaming_sessionize_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

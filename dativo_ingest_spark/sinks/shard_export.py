@@ -70,8 +70,12 @@ def export_training_shards(
         h.alias("_h"),
         (h % n_shards).cast("long").alias("shard"),
     )
+    # sort key leads with the partition column: the dynamic-partition
+    # writer re-sorts rows by partition columns (non-stably) when the
+    # incoming order doesn't already satisfy it, which would silently
+    # destroy the deterministic (_h, id) order inside each shard file
     (staged.repartition(n_shards, "shard")
-     .sortWithinPartitions("_h", "id")
+     .sortWithinPartitions("shard", "_h", "id")
      .write.mode("overwrite").partitionBy("shard")
      .option("compression", "snappy").parquet(out_dir))
     back = spark.read.parquet(out_dir)
@@ -82,3 +86,70 @@ def export_training_shards(
                  F.min("id").alias("min_id"))
             .select(F.col("shard").cast("long").alias("shard"),
                     "n_rows", "n_tokens", "hash_sum", "min_id"))
+
+
+def export_sorted_shards(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    out_dir: str,
+    n_shards: int = 8,
+    exact_cuts: bool = True,
+) -> DataFrame:
+    """Totally-ordered export WITHOUT a single-task global sort: fit
+    ``n_shards - 1`` quantile cut points on ``sort_col`` in one
+    aggregate pass (exact interpolated here; the mergeable sketch is
+    the 100 TB knob), assign each row its range shard by a literal
+    ``<=`` cascade (scan-stage, deterministic — unlike
+    ``repartitionByRange``, whose reservoir sample moves with the input
+    partitioning), sort within each shard, write. Reading shards
+    0..N-1 in order yields the globally sorted corpus — the layout a
+    binary-searchable / range-prunable serving copy needs.
+
+    Returns the read-back manifest (shard, n_rows, min_key, max_key)
+    and RAISES if any two shards' [min, max] key ranges interleave —
+    the global-order contract is checked against the WRITTEN files,
+    not assumed from the plan. Ties exactly on a cut edge all land in
+    the lower shard (the cascade is ``<=``), so ranges can touch at a
+    shared boundary value but never cross it with a third shard.
+    """
+    from dativo_ingest_spark.operators.quality import (
+        apply_equi_depth_bins, equi_depth_edges)
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    spark = df.sparkSession
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(sort_col).cast("double").alias("k"))
+    if n_shards == 1:
+        staged = staged.withColumn("shard", F.lit(0).cast("long"))
+    else:
+        edges = equi_depth_edges(staged, "k", n_shards, exact=exact_cuts)
+        staged = apply_equi_depth_bins(staged, "k", edges,
+                                       out_col="shard")
+    # sort key must LEAD with the partition column: the dynamic-
+    # partition writer requires rows sorted by partition columns and
+    # inserts its own (non-stable) sort when they aren't — which would
+    # silently destroy the k order inside each shard file
+    (staged.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "k", "id")
+     .write.mode("overwrite").partitionBy("shard")
+     .option("compression", "snappy").parquet(out_dir))
+    back = spark.read.parquet(out_dir)
+    manifest = (back.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.min("k").alias("min_key"),
+                     F.max("k").alias("max_key"))
+                .select(F.col("shard").cast("long").alias("shard"),
+                        "n_rows", "min_key", "max_key")
+                .orderBy("shard"))
+    rows = manifest.collect()
+    for lo, hi in zip(rows, rows[1:]):
+        if hi.min_key is not None and lo.max_key is not None \
+                and hi.min_key < lo.max_key:
+            raise AssertionError(
+                f"global order violated: shard {lo.shard} max "
+                f"{lo.max_key} > shard {hi.shard} min {hi.min_key}")
+    return spark.createDataFrame(
+        [(r.shard, r.n_rows, r.min_key, r.max_key) for r in rows],
+        "shard bigint, n_rows bigint, min_key double, max_key double")

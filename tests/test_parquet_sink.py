@@ -117,11 +117,13 @@ class TestShardExport:
             .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("hs"))
             .collect()}
         assert manifest == audit
-        # deterministic intra-shard order: re-reading one shard twice
-        # yields the same id sequence
-        one = spark.read.parquet(f"{out}/shard=0")
-        assert [r.id for r in one.collect()] == \
-               [r.id for r in spark.read.parquet(f"{out}/shard=0").collect()]
+        # deterministic intra-shard order: the written file must hold
+        # the (_h, id) shuffle order, not whatever the dynamic-partition
+        # writer's own sort left behind
+        rows = spark.read.parquet(f"{out}/shard=0").collect()
+        assert [(r["_h"], r.id) for r in rows] == \
+               sorted((r["_h"], r.id) for r in rows)
+        assert len(rows) > 0
 
     def test_invalid_shard_count(self, spark):
         import pytest as _pytest
@@ -132,3 +134,42 @@ class TestShardExport:
         df = spark.createDataFrame([(1, 2)], "id bigint, t bigint")
         with _pytest.raises(ValueError, match="n_shards"):
             export_training_shards(df, "id", "t", "/tmp/x", n_shards=0)
+
+
+class TestSortedShardExport:
+    def test_global_order_and_read_back(self, spark, tmp_path):
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_sorted_shards)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        out = str(tmp_path / "sorted")
+        m = {r.shard: (r.n_rows, r.min_key, r.max_key)
+             for r in export_sorted_shards(
+                 docs, "doc_id", "n_chars", out, n_shards=4).collect()}
+        assert sum(n for n, *_ in m.values()) == docs.count()
+        # reading shards in order yields a globally sorted key column
+        keys = []
+        for s in sorted(m):
+            keys += [r.k for r in
+                     spark.read.parquet(f"{out}/shard={s}").collect()]
+        assert keys == sorted(keys)
+        # shard ranges may touch at a boundary but never interleave
+        shards = sorted(m)
+        for a, b in zip(shards, shards[1:]):
+            assert m[a][2] <= m[b][1]
+
+    def test_single_shard_and_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_sorted_shards)
+
+        df = spark.createDataFrame([(i, float(i % 5)) for i in range(20)],
+                                   "id bigint, v double")
+        m = export_sorted_shards(df, "id", "v",
+                                 str(tmp_path / "one"), n_shards=1).collect()
+        assert len(m) == 1 and m[0].n_rows == 20
+        with _pytest.raises(ValueError, match="n_shards"):
+            export_sorted_shards(df, "id", "v", "/tmp/x", n_shards=0)

@@ -169,6 +169,9 @@ EXTENDED = [
     "corr_by_type_events",
     "skew_report_events",
     "cm_sketch_users",
+    "sketch_rollup_serving",
+    "sorted_export_orders",
+    "export_shards_docs",
     "funnel_view_click_purchase",
     "cohort_retention_weekly",
     "attribution_last_touch",

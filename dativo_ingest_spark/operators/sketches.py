@@ -264,3 +264,53 @@ def cm_estimate(cells, key: str, width: int = 1024,
         v = table.get((r, col), 0)
         best = v if best is None else min(best, v)
     return int(best)
+
+
+def build_sketch_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    out_dir: str,
+) -> None:
+    """Materialize a (day, key) sketch rollup table: one row per day and
+    key holding an HLL sketch of the value column (Apache DataSketches
+    binary — MERGEABLE) plus the exact row count. The Druid/Pinot
+    serving-layer pattern: the rollup is day-grain KBs instead of
+    corpus-grain rows, persists as plain parquet (binary column), and
+    any later query answers count-distinct over ARBITRARY day ranges
+    and regroupings by unioning sketches — the raw data never re-scans.
+
+    Scale: one (day, key)-grain partial-agg shuffle to build; serving
+    reads touch only the rollup (days x keys rows).
+    """
+    day = F.expr(
+        f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP)) div 86400000000")
+    (df.select(day.alias("day"), F.col(key_col).alias("key"),
+               F.col(value_col).alias("v"))
+     .groupBy("day", "key")
+     .agg(F.hll_sketch_agg("v").alias("sk"),
+          F.count(F.lit(1)).alias("n_rows"))
+     .write.mode("overwrite").parquet(out_dir))
+
+
+def serve_distinct(
+    spark,
+    rollup_dir: str,
+    group_expr: str,
+    where: str | None = None,
+) -> DataFrame:
+    """Answer approximate count-distinct from a persisted sketch rollup
+    (see :func:`build_sketch_rollup`) — (group, approx_distinct) —
+    grouping by any expression over (day, key) and optionally filtering
+    days: the re-aggregation happens by sketch UNION through storage,
+    proving the mergeability contract end to end (sketch bytes survive
+    parquet and recombine across different groupings than they were
+    built under)."""
+    roll = spark.read.parquet(rollup_dir)
+    if where:
+        roll = roll.filter(where)
+    return (roll.select(F.expr(group_expr).alias("group"), "sk")
+            .groupBy("group")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                 .cast("long").alias("approx_distinct")))

@@ -8316,6 +8316,73 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_rollup_serving",
+    """
+    WITH e AS (
+      SELECT event_type, user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events)
+    SELECT 'type' AS scope, event_type AS grp,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_ok
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 'week', CAST(day // 7 AS VARCHAR),
+           CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+    FROM e GROUP BY 2
+    """,
+    doc="persisted sketch rollup serving layer (operators/sketches.py:"
+        "build_sketch_rollup + serve_distinct — the Druid/Pinot "
+        "pattern): the corpus folds ONCE into a (day, key) parquet "
+        "rollup holding mergeable DataSketches HLL binaries, then "
+        "count-distinct questions over ARBITRARY regroupings answer by "
+        "sketch UNION through storage — per event type across all days "
+        "AND per week across all types, two groupings the rollup was "
+        "not built under, without ever re-scanning raw events. Proves "
+        "the full mergeability contract: sketch bytes survive the "
+        "parquet round-trip and recombine exactly like in-memory "
+        "state. Estimates are not engine-portable, so the gate output "
+        "is the 5%%-tolerance boolean vs the exact count per group "
+        "(the approx_distinct_check contract).",
+)
+def sketch_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators.sketches import (
+        build_sketch_rollup, serve_distinct)
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    out = tempfile.mkdtemp(prefix="sg_rollup_")
+    try:
+        build_sketch_rollup(ev, "ts", "event_type", "user_id", out)
+        by_type = serve_distinct(spark, out, "key")
+        by_week = serve_distinct(
+            spark, out, "CAST(day DIV 7 AS STRING)")
+        exact_type = ev.groupBy(
+            F.col("event_type").alias("group")).agg(
+            F.countDistinct("user_id").alias("n_exact"))
+        exact_week = ev.groupBy(
+            (day / 7).cast("long").cast("string").alias("group")).agg(
+            F.countDistinct("user_id").alias("n_exact"))
+        ok = (F.abs(F.col("approx_distinct") - F.col("n_exact"))
+              <= F.lit(0.05) * F.col("n_exact"))
+        rows = [("type", r.group, r.n_exact, r.hll_ok) for r in
+                by_type.join(exact_type, "group")
+                .select("group", "n_exact", ok.alias("hll_ok"))
+                .collect()]
+        rows += [("week", r.group, r.n_exact, r.hll_ok) for r in
+                 by_week.join(exact_week, "group")
+                 .select("group", "n_exact", ok.alias("hll_ok"))
+                 .collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "scope string, grp string, n_exact bigint, hll_ok boolean")
+
+
+@register(
     "sorted_export_orders",
     """
     WITH b AS (
@@ -9828,6 +9895,13 @@ _GATE_DEMOTED = [
     # runs the same sessionize operator batch-side
     # (streaming_sessionize_events r8-proven)
     "streaming_sessionize_events",
+    # admits sketch_rollup_serving (persisted mergeable-sketch serving
+    # layer, NEW r9) — the positioned-gram span family is proven twice
+    # over (detector r7, removal r8) and the dedup family keeps
+    # streaming_dedup_ingest_docs, entity_resolution_customers and the
+    # promoted bloom/setsim/quality-resolved/forget legs in-window
+    # (passage_removal_docs r8-proven)
+    "passage_removal_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

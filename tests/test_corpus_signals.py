@@ -857,3 +857,44 @@ class TestDedupByQuality:
         kept = {r.doc_id for r in dedup.dedup_corpus_by_quality(
             df, pairs, "doc_id", "score").collect()}
         assert {2, 4, 10, 11} <= kept
+
+
+class TestSketchRollupServing:
+    def test_rollup_roundtrip_and_regroup(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.sketches import (
+            build_sketch_rollup, serve_distinct)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        ev = load(spark, SF_DIR, "events")
+        out = str(tmp_path / "rollup")
+        build_sketch_rollup(ev, "ts", "event_type", "user_id", out)
+        # regroup ACROSS the day grain the rollup was built under
+        got = {r.group: r.approx_distinct
+               for r in serve_distinct(spark, out, "key").collect()}
+        exact = {r.event_type: r.n for r in ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert set(got) == set(exact)
+        for k, n in exact.items():
+            assert abs(got[k] - n) <= max(0.05 * n, 2), (k, got[k], n)
+        # day-range filter: serving a slice touches only rollup rows
+        sliced = serve_distinct(spark, out, "'all'",
+                                where="day % 2 = 0").collect()
+        assert len(sliced) == 1 and sliced[0].approx_distinct > 0
+
+    def test_global_union_matches_total(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.sketches import (
+            build_sketch_rollup, serve_distinct)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        ev = load(spark, SF_DIR, "events")
+        out = str(tmp_path / "rollup2")
+        build_sketch_rollup(ev, "ts", "event_type", "user_id", out)
+        got = serve_distinct(spark, out, "'all'").collect()[0]
+        n = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+        assert abs(got.approx_distinct - n) <= max(0.05 * n, 2)

@@ -8315,6 +8315,122 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+def _hybrid_retrieval_oracle() -> str:
+    """Composed replica: the BM25 lexical ranking (same integer-quotient
+    pipeline as bm25_topk_docs, hybrid query ids, top-20), the exact
+    cosine ranking (same fold as ann_topk_bruteforce, top-20), fused by
+    exact-integer RRF (same floor(1e6/(60+rank)) as rrf_fusion_topk)."""
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       = '' THEN []
+                  ELSE string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') END AS words
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS doc_len FROM tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(doc_len) AS BIGINT) AS total_len FROM dl),
+    q(query_id, term) AS (VALUES
+      ('h0', 'hash'), ('h0', 'join'), ('h0', 'table'),
+      ('h1', 'stream'), ('h1', 'window'), ('h1', 'batch')),
+    w AS (SELECT doc_id, unnest(words) AS term FROM tok),
+    tf AS (
+      SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS f
+      FROM w
+      WHERE term IN ('hash', 'join', 'table', 'stream', 'window',
+                     'batch')
+      GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+            FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term,
+             CAST(floor(ln(1.0 + (n_docs - df_docs + 0.5)
+                               / (df_docs + 0.5))
+                        * 1000000 + 0.5) AS BIGINT) AS idf_micro
+      FROM dft, tot),
+    lex_scored AS (
+      SELECT q.query_id, tf.id AS neighbor_id,
+             CAST(sum((idf_micro * 22 * total_len * f)
+                      // (10 * total_len * f + 3 * total_len
+                          + 9 * doc_len * n_docs)) AS BIGINT) AS s
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.id
+      JOIN q USING (term), tot
+      GROUP BY 1, 2),
+    lex_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, neighbor_id) AS r
+      FROM lex_scored QUALIFY r <= 20),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (
+      SELECT CASE vec_id WHEN 0 THEN 'h0' ELSE 'h1' END AS query_id,
+             vec_id AS qid, v AS qvec
+      FROM e WHERE vec_id IN (0, 1)),
+    ann_scored AS (
+      SELECT qv.query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL.format(a="qvec", b="c.v")} AS cosine
+      FROM qv, e c WHERE c.vec_id <> qv.qid),
+    ann_rank AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS r
+      FROM ann_scored QUALIFY r <= 20),
+    contrib AS (
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) AS c
+      FROM lex_rank
+      UNION ALL
+      SELECT query_id, neighbor_id, 1000000 // (60 + r) FROM ann_rank),
+    fused AS (
+      SELECT query_id, neighbor_id,
+             CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(sum(c) AS BIGINT) AS rrf_micro
+      FROM contrib GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, n_lists, rrf_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT)
+             AS fused_rank
+    FROM fused QUALIFY fused_rank <= 10"""
+
+
+@register(
+    "hybrid_retrieval_docs",
+    _hybrid_retrieval_oracle(),
+    doc="hybrid lexical + semantic retrieval "
+        "(operators/textops.py:bm25_topk x operators/similarity.py:"
+        "brute_force_topk, fused by similarity.rrf_fuse) — the standard "
+        "RAG retrieval stack: BM25 catches exact-term matches embeddings "
+        "blur, embeddings catch paraphrases BM25 misses, and "
+        "reciprocal-rank fusion needs no score calibration between the "
+        "two incomparable scales (exact integer micro-unit "
+        "contributions, so the consensus ranking is bit-stable). Fusion "
+        "cost is Q*K rows per list regardless of corpus size; the two "
+        "legs reuse the proven scan shapes (BM25's vocabulary "
+        "semi-filter, ANN's broadcast-queries corpus scan — the IVF-PQ "
+        "leg swaps in past memory limits). Synthetic doc ids and vec "
+        "ids coincide by construction, which is what lets one fused "
+        "candidate space exercise the composition.",
+)
+def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import similarity, textops
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = textops.bm25_topk(docs, "doc_id", "text", {
+        "h0": ["hash", "join", "table"],
+        "h1": ["stream", "window", "batch"],
+    }, k=20).select("query_id", F.col("id").alias("neighbor_id"), "rank")
+    qvecs = emb.filter(F.col("vec_id").isin(0, 1))
+    ann = (similarity.brute_force_topk(emb, qvecs, "vec_id", "embedding",
+                                       k=20)
+           .select(F.when(F.col("query_id") == 0, "h0")
+                   .otherwise("h1").alias("query_id"),
+                   "neighbor_id", "rank"))
+    return similarity.rrf_fuse([lex, ann], k=10)
+
+
 @register(
     "sketch_rollup_serving",
     """
@@ -9902,6 +10018,14 @@ _GATE_DEMOTED = [
     # promoted bloom/setsim/quality-resolved/forget legs in-window
     # (passage_removal_docs r8-proven)
     "passage_removal_docs",
+    # admits hybrid_retrieval_docs (BM25 x ANN RRF composition, NEW r9)
+    # — CDC-driven view maintenance is r8-proven (this row plus the
+    # r8-proven snapshot_changes_orders change feed), the incremental
+    # fold stays via r6-r8-proven rollup_incremental_events, and the
+    # table-format family keeps wap_publish_orders +
+    # schema_evolution_orders + the promoted time_travel/rollback/
+    # manifest_agg legs (cdc_rollup_orders r8-proven)
+    "cdc_rollup_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

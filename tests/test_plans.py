@@ -813,3 +813,57 @@ def test_bm25_semi_filter_before_aggregates(spark):
     # the explode output before the (id, term) partial aggregate)
     assert re.search(r"term#\d+ IN", plan) or \
         re.search(r"term#\d+ INSET", plan), plan[:1200]
+
+
+def test_pq_encode_single_scan_zero_exchange(spark):
+    # PQ encoding is ONE scan with all m argmins in the same codegen
+    # stage (inline path at k*d <= budget): no shuffle, no Python
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+    plan = pq.pq_encode(emb, "vec_id", "embedding", cbs) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 0, plan[:800]
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+
+
+def test_pq_adc_no_python_no_cartesian(spark):
+    # ADC scores ride as plan literals: the only exchange is the
+    # per-query top-k window; no Python, no pair join anywhere
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+    codes = pq.pq_encode(emb, "vec_id", "embedding", cbs)
+    plan = pq.pq_adc_topk(codes, {0: [0.0] * 64}, cbs, k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert n_exchanges(plan) == 1, plan[:800]
+    assert "Python" not in plan and "Cartesian" not in plan
+
+
+def test_unicode_normalize_one_arrow_zero_exchange(spark):
+    plan = plan_of(spark, "unicode_normalize_docs")
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+    assert n_exchanges(plan) == 0, plan[:800]
+
+
+def test_kneser_ney_no_cartesian(spark):
+    # the only nested-loop joins are the two one-row scalar broadcasts
+    # (totals/vocab and the bigram-type count); everything else is a
+    # keyed join over vocabulary-sized frames
+    plan = plan_of(spark, "kneser_ney_quality")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:900]
+    assert "Python" not in plan
+
+
+def test_ks_drift_two_exchanges_no_python(spark):
+    # one (key, value) count-agg shuffle + one key-partitioned window;
+    # the final per-key max reuses the window's partitioning
+    plan = plan_of(spark, "ks_drift_events")
+    assert n_exchanges(plan) <= 2, plan[:800]
+    assert "Python" not in plan

@@ -973,3 +973,76 @@ def random_projection(
     proj = df.select(id_col, _project(F.col(vec_col)).alias("_p"))
     return proj.select(id_col, *[
         F.col("_p").getItem(j).alias(f"p{j}") for j in range(out_dim)])
+
+
+def embedding_isotropy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Embedding-space anisotropy report — the drift monitor for the
+    embedding column itself: embedding models collapse toward a common
+    direction as they degrade (Ethayarajh 2019), and when the mean
+    pairwise cosine drifts up every cosine threshold in the
+    retrieval/dedup stack silently loosens. Belongs next to the PSI/KS
+    gates, pointed at vectors instead of scalars.
+
+    The trick that makes the all-pairs statistic exact and ONE-PASS over
+    quantized integer vectors:
+
+        sum_{i != j} <v_i, v_j> = ||sum_i v_i||^2 - sum_i ||v_i||^2
+
+    — a per-position vector sum (d rows after partial agg) and a scalar
+    norm sum, both exact BIGINTs: the N^2 pair sum costs zero pair
+    joins. One row out:
+    (n_vectors, sum_sq_norm, mean_pair_dot_micro, anisotropy_micro)
+    where mean_pair_dot_micro is the mean pairwise dot in micro-units of
+    the ORIGINAL embedding scale (pure integer division) and
+    anisotropy_micro = mean pairwise dot / mean squared norm in micro
+    (1e6 = fully collapsed, ~0 = isotropic; one correctly-rounded double
+    multiply for the >2^63 denominator, then one divide — both engines
+    identical).
+
+    int64 bound: ||sum v||^2 per position needs (N·scale)^2 < 2^63 —
+    shard past ~3e8 rows at scale 1e4 and merge the (pos, s) partials
+    (documented contract).
+    """
+    if scale < 1000 or (scale * scale) % 1_000_000 != 0:
+        raise ValueError("scale must be >= 1000 with scale^2 divisible "
+                         "by 1e6 (micro-unit integer division)")
+    q = df.select(
+        F.transform(vectors.as_double_array(F.col(vec_col)),
+                    lambda x: F.round(x * scale).cast("long"))
+        .alias("qv"))
+    pos_sums = (q.select(F.posexplode("qv").alias("pos", "v"))
+                .groupBy("pos").agg(F.sum("v").alias("s")))
+    ss = pos_sums.agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss"))
+    norm_agg = q.select(
+        F.aggregate(F.col("qv"), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x).alias("nn")
+    ).agg(F.count(F.lit(1)).alias("n"),
+          F.sum("nn").alias("sum_sq_norm"))
+    joined = norm_agg.crossJoin(F.broadcast(ss))
+    n = F.col("n")
+    pair_sum = F.col("ss") - F.col("sum_sq_norm")          # exact BIGINT
+    grid_to_micro = (scale * scale) // 1_000_000
+    return joined.select(
+        n.cast("long").alias("n_vectors"),
+        F.col("sum_sq_norm").cast("long").alias("sum_sq_norm"),
+        # integer division semantics verified on NEGATIVE numerators
+        # (anti-correlated embeddings): Spark's DIV and DuckDB's
+        # integer // BOTH truncate toward zero (-7//3 = -2 in DuckDB —
+        # it floors only for float operands), so plain DIV matches
+        F.expr(f"(ss - sum_sq_norm) DIV (n * (n - 1) * {grid_to_micro})")
+        .cast("long").alias("mean_pair_dot_micro"),
+        # denominator (n-1)*sum_sq_norm can pass 2^63: compute it as ONE
+        # correctly-rounded double multiply, then one divide — both
+        # engines bit-identical on exact-integer operands
+        F.floor(pair_sum.cast("double")
+                / ((n - 1).cast("double")
+                   * F.col("sum_sq_norm").cast("double"))
+                * 1000000 + 0.5)
+        .cast("long").alias("anisotropy_micro"),
+    )

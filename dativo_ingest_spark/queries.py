@@ -8315,6 +8315,54 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+@register(
+    "embedding_isotropy_report",
+    """
+    WITH e AS (
+      SELECT list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+      FROM embeddings),
+    ps AS (
+      SELECT pos, sum(v) AS s
+      FROM (SELECT unnest(range(1, len(qv) + 1)) AS pos,
+                   unnest(qv) AS v FROM e)
+      GROUP BY 1),
+    ssq AS (SELECT CAST(sum(s * s) AS BIGINT) AS ss FROM ps),
+    na AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nn) AS BIGINT) AS sum_sq_norm
+      FROM (SELECT list_reduce(list_transform(qv, x -> x * x),
+                               (a, b) -> a + b) AS nn FROM e))
+    SELECT n AS n_vectors, sum_sq_norm,
+           CAST((ss - sum_sq_norm) // (n * (n - 1) * 100) AS BIGINT)
+             AS mean_pair_dot_micro,
+           CAST(floor(CAST(ss - sum_sq_norm AS DOUBLE)
+                      / (CAST(n - 1 AS DOUBLE)
+                         * CAST(sum_sq_norm AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS anisotropy_micro
+    FROM na, ssq
+    """,
+    doc="embedding-space anisotropy monitor "
+        "(operators/similarity.py:embedding_isotropy — Ethayarajh "
+        "2019): the drift gate for the embedding column itself — as a "
+        "model collapses toward a common direction, mean pairwise "
+        "cosine rises and every cosine threshold in the retrieval/"
+        "dedup stack silently loosens. The N^2 pairwise-dot statistic "
+        "computes EXACTLY in one pass via "
+        "sum_{i!=j}<vi,vj> = ||sum vi||^2 - sum ||vi||^2 over the "
+        "integer grid (a d-row per-position sum + one scalar fold — "
+        "zero pair joins); the mean pair dot is a pure floor division "
+        "(pmod form — Spark's DIV truncates where the oracle floors) "
+        "and the anisotropy ratio's >2^63 denominator computes as one "
+        "correctly-rounded double multiply before a single divide.",
+)
+def embedding_isotropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.similarity import embedding_isotropy
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_isotropy(emb, "vec_id", "embedding")
+
+
 def _hybrid_retrieval_oracle() -> str:
     """Composed replica: the BM25 lexical ranking (same integer-quotient
     pipeline as bm25_topk_docs, hybrid query ids, top-20), the exact
@@ -10026,6 +10074,15 @@ _GATE_DEMOTED = [
     # schema_evolution_orders + the promoted time_travel/rollback/
     # manifest_agg legs (cdc_rollup_orders r8-proven)
     "cdc_rollup_orders",
+    # ---- r10 ROTATION QUEUE ---------------------------------------
+    # Registered OUTSIDE the window on purpose: every remaining proven
+    # in-window entry is its family's last green anchor (validation/
+    # mdkv/chunking/DSIR/BPE-train/WAP/linkage/coreset/SCD2-PIT/
+    # skew-join/streaming-dedup), so demoting more would break the
+    # keep-each-family-in-window discipline. Queue entries are
+    # value-checked at all three SFs every CI run and rotate in once
+    # the r9 batch earns driver rows.
+    "embedding_isotropy_report",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

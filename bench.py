@@ -109,6 +109,7 @@ EXTENDED = [
     "ann_topk_quantized",
     "pq_adc_topk_embeddings",
     "ivfpq_topk_embeddings",
+    "ivfpq_residual_embeddings",
     "embedding_isotropy_report",
     "hybrid_retrieval_docs",
     "rrf_fusion_topk",

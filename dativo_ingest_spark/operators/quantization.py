@@ -429,3 +429,140 @@ def ivfpq_topk(
         return out.localCheckpoint(eager=True)
     finally:
         quantized.unpersist()
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict,
+    m: int = 2,
+    k_codes: int = 4,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ: each
+    vector PQ-encodes its OFFSET from its cell centroid rather than the
+    raw vector, so the codebooks spend their entire resolution on the
+    within-cell geometry instead of re-describing the coarse structure
+    the cell id already captures (markedly better distance fidelity at
+    the same m·k bits — the refinement :func:`ivfpq_topk` documents).
+
+    Exactness carries through unchanged because the cell centroids are
+    the n_cells lowest-id QUANTIZED vectors — integer grid points — so
+    residuals are exact BIGINTs and the whole train/encode/ADC pipeline
+    reuses the fixed-point Lloyd discipline verbatim (scale=1 over
+    residuals). The ADC lookup table grows one axis: per (query, PROBED
+    cell, subspace, code), since a query's distance to a code now
+    depends on which cell's frame the code lives in — still
+    Q·n_probe·m·k doubles, KBs riding as literals.
+
+    Returns (query_id, rank, id, adc); same contract as
+    :func:`ivfpq_topk`.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    quantized = _quantized(df, id_col, vec_col, scale).cache()
+    try:
+        cents = [[float(x) for x in r["qvec"]]
+                 for r in quantized.orderBy("id").limit(n_cells).collect()]
+        if len(cents) < n_cells:
+            raise ValueError(f"need {n_cells} rows for cell centroids")
+        dim = len(cents[0])
+        sub = dim // m
+
+        cell_col = _assign_inline("qvec", cents) \
+            if n_cells * dim <= INLINE_LITERAL_BUDGET else \
+            F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
+        cells_lit = F.array(*[
+            F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
+        with_res = quantized.select(
+            "id", cell_col.alias("cell"),
+            F.zip_with("qvec",
+                       F.element_at(cells_lit,
+                                    (cell_col + 1).cast("int")),
+                       lambda a, b: (a - b).cast("long")).alias("qvec"))
+        res_frame = with_res.select("id", "qvec").localCheckpoint(
+            eager=True)
+        codebooks = pq_train(res_frame, "id", "qvec",
+                             m=m, k=k_codes, n_iter=n_iter, scale=1)
+        coded = (pq_encode(res_frame, "id", "qvec", codebooks, scale=1)
+                 .join(with_res.select("id", "cell"), "id"))
+
+        qids = sorted(queries)
+        probes, luts = [], []
+        for qid in qids:
+            qq = [_quantize_driver(x, scale) for x in queries[qid]]
+            dists = []
+            for cid, cvec in enumerate(cents):
+                acc = 0.0
+                for a, b in zip(qq, cvec):
+                    acc = acc + (a - b) * (a - b)
+                dists.append((_spark_round9(acc), cid))
+            dists.sort()
+            probed = sorted(c for _, c in dists[:n_probe])
+            probes.append(probed)
+            # per probed cell: LUT over the query's RESIDUAL in that
+            # cell's frame
+            lut_q = []
+            for cid in probed:
+                qres = [a - b for a, b in zip(qq, cents[cid])]
+                lut_c = []
+                for j in range(m):
+                    qs = qres[j * sub:(j + 1) * sub]
+                    row = []
+                    for cvec in codebooks[j]:
+                        acc = 0.0
+                        for a, b in zip(qs, cvec):
+                            acc = acc + (a - b) * (a - b)
+                        row.append(_spark_round9(acc))
+                    lut_c.append(row)
+                lut_q.append(lut_c)
+            luts.append(lut_q)
+
+        probe_lit = F.array(*[
+            F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
+        lut_lit = F.array(*[
+            F.array(*[
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in row])
+                    for row in lut_c])
+                for lut_c in lut_q])
+            for lut_q in luts])
+        qid_lit = F.array(*[F.lit(q) for q in qids])
+
+        routed = (coded
+                  .select("id", "codes", "cell",
+                          F.posexplode(qid_lit).alias("qi", "query_id"))
+                  .withColumn(
+                      "slot",
+                      F.array_position(
+                          F.element_at(probe_lit, F.col("qi") + 1),
+                          F.col("cell").cast("int")))
+                  .filter(F.col("slot") > 0))
+        scored = routed.select(
+            "query_id", "id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc + F.element_at(
+                    F.element_at(
+                        F.element_at(
+                            F.element_at(lut_lit, F.col("qi") + 1),
+                            F.col("slot").cast("int")),
+                        j + 1),
+                    (F.element_at("codes", j + 1) + 1).cast("int")))
+            .alias("adc"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("id").asc())
+        out = (scored.withColumn("rank", F.row_number().over(w))
+               .filter(F.col("rank") <= k)
+               .select("query_id",
+                       F.col("rank").cast("long").alias("rank"),
+                       "id", "adc"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        quantized.unpersist()

@@ -9189,6 +9189,134 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(codes, queries, cbs, k=_PQ_TOPK)
 
 
+def _ivfpq_residual_oracle() -> str:
+    """Residual IVF-PQ replica: integer cell centroids (the n_cells
+    lowest-id quantized vectors), exact BIGINT residuals, per-subspace
+    training/encoding over the residual frame, and an ADC whose lookup
+    table is keyed by (query, PROBED cell, code) — the query's residual
+    differs per cell frame."""
+    sub = _PQ_DIM // _PQ_M
+    dist = _pq_dist_sql
+    ctes = [f"""e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings)""",
+        f"""cells AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cellid, q AS cv
+      FROM (SELECT vec_id, q FROM e ORDER BY vec_id
+            LIMIT {_IVFPQ_CELLS}))""",
+        f"""cella AS (
+      SELECT vec_id, cellid FROM (
+        SELECT e.vec_id, c.cellid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM e CROSS JOIN cells c) t WHERE rn = 1)""",
+        """resid AS (
+      SELECT e.vec_id, ca.cellid,
+             list_transform(range(1, len(e.q) + 1),
+                            i -> e.q[i] - c.cv[i]) AS r
+      FROM e JOIN cella ca USING (vec_id)
+      JOIN cells c ON c.cellid = ca.cellid)""",
+        f"""probe AS (
+      SELECT qid, cellid FROM (
+        SELECT qv.vec_id AS qid, c.cellid,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY {dist('qv.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
+        CROSS JOIN cells c) t WHERE rn <= {_IVFPQ_PROBE})""",
+        """qres AS (
+      SELECT qv.vec_id AS qid, p.cellid,
+             list_transform(range(1, len(qv.q) + 1),
+                            i -> qv.q[i] - c.cv[i]) AS qr
+      FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
+      JOIN probe p ON p.qid = qv.vec_id
+      JOIN cells c ON c.cellid = p.cellid)"""]
+    for j in range(_PQ_M):
+        a, b = j * sub + 1, (j + 1) * sub
+        ctes.append(f"""s{j} AS (
+      SELECT vec_id, r[{a}:{b}] AS sq FROM resid)""")
+        ctes.append(f"""c0_{j} AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cid,
+             list_transform(sq, x -> CAST(x AS DOUBLE)) AS cv
+      FROM (SELECT vec_id, sq FROM s{j} ORDER BY vec_id
+            LIMIT {_PQ_K}))""")
+        ctes.append(f"""a0_{j} AS (
+      SELECT vec_id, sq, cid FROM (
+        SELECT s.vec_id, s.sq, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sq', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM s{j} s CROSS JOIN c0_{j} c) t WHERE rn = 1)""")
+        ctes.append(f"""c1_{j} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c0_{j} p LEFT JOIN (
+        SELECT cid, list(mv ORDER BY pos) AS cv FROM (
+          SELECT cid, pos, CAST(sum(val) AS DOUBLE) / count(*) AS mv
+          FROM (
+            SELECT cid, unnest(range(1, len(sq)+1)) AS pos,
+                   unnest(sq) AS val
+            FROM a0_{j})
+          GROUP BY cid, pos)
+        GROUP BY cid) n USING (cid))""")
+        ctes.append(f"""enc_{j} AS (
+      SELECT vec_id, cid AS code{j} FROM (
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {dist('s.sq', 'c.cv')} ASC, c.cid ASC) AS rn
+        FROM s{j} s CROSS JOIN c1_{j} c) t WHERE rn = 1)""")
+        ctes.append(f"""lut_{j} AS (
+      SELECT qr.qid, qr.cellid, c.cid,
+             {dist(f'qr.qr[{a}:{b}]', 'c.cv')} AS pd
+      FROM qres qr CROSS JOIN c1_{j} c)""")
+    joins = "enc_0 e0"
+    adc_sum = "l0.pd"
+    for j in range(1, _PQ_M):
+        joins += f" JOIN enc_{j} e{j} USING (vec_id)"
+        adc_sum += f" + l{j}.pd"
+    luts = (" JOIN cella ca ON ca.vec_id = e0.vec_id"
+            " JOIN lut_0 l0 ON l0.cid = e0.code0"
+            " AND l0.cellid = ca.cellid")
+    for j in range(1, _PQ_M):
+        luts += (f" JOIN lut_{j} l{j} ON l{j}.cid = e{j}.code{j}"
+                 f" AND l{j}.qid = l0.qid AND l{j}.cellid = ca.cellid")
+    ctes.append(f"""adc AS (
+      SELECT l0.qid AS query_id, e0.vec_id, {adc_sum} AS adc
+      FROM {joins}{luts})""")
+    ctes.append(_PQ_RANK_TAIL)
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
+    FROM r WHERE rank <= {_PQ_TOPK}""")
+
+
+@register(
+    "ivfpq_residual_embeddings",
+    _ivfpq_residual_oracle(),
+    doc="IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ "
+        "(operators/quantization.py:ivfpq_residual_topk): vectors "
+        "PQ-encode their OFFSET from the cell centroid, so the "
+        "codebooks spend all m*k bits on within-cell geometry instead "
+        "of re-describing what the cell id already captures (the "
+        "query's own vector ADC-scores at exactly 0 in its cell — the "
+        "fidelity the raw-vector variant cannot reach). Cell centroids "
+        "are integer grid points, so residuals are exact BIGINTs and "
+        "the whole train/encode/ADC pipeline replays in SQL; the ADC "
+        "lookup table grows one axis (query x probed cell x subspace x "
+        "code — still KBs of literals).",
+)
+def ivfpq_residual_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    return pq.ivfpq_residual_topk(
+        emb, "vec_id", "embedding", queries,
+        m=_PQ_M, k_codes=_PQ_K, n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE, n_iter=_PQ_ITER, k=_PQ_TOPK)
+
+
 @register(
     "ivfpq_topk_embeddings",
     _ivfpq_oracle(),
@@ -10083,6 +10211,7 @@ _GATE_DEMOTED = [
     # value-checked at all three SFs every CI run and rotate in once
     # the r9 batch earns driver rows.
     "embedding_isotropy_report",
+    "ivfpq_residual_embeddings",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -253,3 +253,20 @@ class TestProductQuantization:
         expect = {(0, i + 1): (vid, adc)
                   for i, (adc, vid) in enumerate(ranked[:5])}
         assert routed == expect and len(routed) == 5
+
+    def test_residual_self_distance_zero(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+
+        emb = self._emb(spark)
+        q = {0: [float(x) for x in
+                 emb.filter("vec_id = 0").first()["embedding"]]}
+        out = pq.ivfpq_residual_topk(
+            emb, "vec_id", "embedding", q, m=2, k_codes=4,
+            n_cells=4, n_probe=2, k=3).collect()
+        by_rank = {r.rank: r for r in out}
+        # vec 0 IS a cell centroid: its residual is the zero vector,
+        # which PQ-encodes to the code whose centroid contains it and
+        # ADC-scores the query (same vector) at exactly 0 — the
+        # fidelity raw-vector ADC cannot reach
+        assert by_rank[1].adc == 0.0
+        assert 0 in {r.id for r in out}

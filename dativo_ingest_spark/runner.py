@@ -311,6 +311,22 @@ def run_job(
             "target.options.mode=overwrite_partitions is a hive-publish "
             "operation; the snapshot sinks express it as an overwrite "
             "commit instead")
+    if _wm == "shard_export":
+        # trainer-facing deterministic shard layout (sinks/shard_export):
+        # validated before any data moves, like every other target option
+        if _cm != "hive":
+            raise ConfigError(
+                "target.options.mode=shard_export publishes a hive "
+                "shard=K layout (commit: hive)")
+        _sh = dict(job.target.options.get("shard") or {})
+        if not _sh.get("id_field") or not _sh.get("token_field"):
+            raise ConfigError(
+                "shard_export needs target.options.shard.id_field and "
+                "shard.token_field")
+        if job.target.partition_by:
+            raise ConfigError(
+                "shard_export derives its own shard partitioning; "
+                "target.partition_by must be empty")
     # dedup-on-ingest config (operators/dedup.py:dedup_against_index /
     # operators/similarity.py:dedup_embeddings_against_index): validated
     # before any data moves, like every other target option.
@@ -702,6 +718,26 @@ def run_job(
             target_file_size_mb=job.target.target_file_size_mb,
             mode="overwrite", probe_df=probe_staged,
         )
+    elif write_mode == "shard_export":
+        # deterministic trainer shards staged like any hive publish:
+        # strict-mode abort sweeps the stage before anything is visible.
+        # The export's write action carries the observation (to_write is
+        # the observed frame), and the read-back manifest publishes
+        # alongside the shards as manifest/*.parquet — the trainer-side
+        # audit artifact.
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_training_shards)
+
+        stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
+        _sh = dict(job.target.options.get("shard") or {})
+        manifest = export_training_shards(
+            to_write, str(_sh["id_field"]), str(_sh["token_field"]),
+            stage,
+            n_shards=int(_sh.get("n_shards", 8)),
+            seed=str(_sh.get("seed", "epoch0")))
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, "manifest"))
+        pcols = ["shard"]
     else:
         stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
         pcols = parquet_sink.write_partitioned(
@@ -930,7 +966,11 @@ def run_job(
         if out_path:
             _prune_staging(out_path)
     else:
-        _publish_staging(stage, out_path, write_mode)
+        # shard_export re-runs replace the whole corpus (deterministic
+        # assignment makes append meaningless — same rows, same shards)
+        _publish_staging(stage, out_path,
+                         "overwrite" if write_mode == "shard_export"
+                         else write_mode)
     if out_path:
         props_path = os.path.join(out_path, "_dativo_properties.json")
         with open(props_path, "w") as fh:

@@ -1047,3 +1047,62 @@ class TestDriftGate:
         job.target.options["drift_gate"]["column"] = "nope"
         with pytest.raises(ConfigError):
             runner.run_job(spark, job)
+
+
+class TestShardExportTarget:
+    """target.options.mode=shard_export: the trainer-facing last mile as
+    a runner target — deterministic shards + published manifest, staged
+    like any hive publish (strict abort leaves nothing visible)."""
+
+    def _job(self, src, out, mode="strict", shard=None, partition_by=None):
+        d = job_dict(src, out, mode=mode, partition_by=partition_by)
+        d["target"]["options"] = {
+            "mode": "shard_export",
+            "shard": shard if shard is not None
+            else {"id_field": "id", "token_field": "id", "n_shards": 4},
+        }
+        return JobConfig.from_dict(d)
+
+    def test_exports_shards_and_manifest(self, spark, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text("id,name,active\n" + "".join(
+            f"{i},n{i},true\n" for i in range(1, 41)))
+        out = str(tmp_path / "out")
+        res = runner.run_job(spark, self._job(str(p), out))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        assert res.records_in == 40
+        back = spark.read.parquet(out + "/shard=0")
+        assert back.count() > 0
+        manifest = spark.read.parquet(out + "/manifest")
+        rows = manifest.collect()
+        assert sum(r.n_rows for r in rows) == 40
+        assert len(rows) == 4
+        # determinism: a re-run publishes the identical manifest
+        res2 = runner.run_job(spark, self._job(str(p), out))
+        assert res2.exit_code == runner.EXIT_SUCCESS
+        again = sorted(map(tuple, spark.read.parquet(
+            out + "/manifest").collect()))
+        assert again == sorted(map(tuple, rows))
+
+    def test_strict_abort_leaves_nothing(self, spark, tmp_path):
+        p = tmp_path / "bad.csv"
+        p.write_text("id,name\n1,alice\n,missing\n")
+        out = str(tmp_path / "out")
+        res = runner.run_job(spark, self._job(str(p), out))
+        assert res.exit_code == runner.EXIT_FAILURE
+        import glob
+        assert not glob.glob(out + "/shard=*")
+
+    def test_config_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.config.contracts import ConfigError
+
+        p = tmp_path / "in.csv"
+        p.write_text("id,name\n1,a\n")
+        with _pytest.raises(ConfigError, match="id_field"):
+            runner.run_job(spark, self._job(
+                str(p), str(tmp_path / "o1"), shard={}))
+        with _pytest.raises(ConfigError, match="partition_by"):
+            runner.run_job(spark, self._job(
+                str(p), str(tmp_path / "o2"), partition_by=["name"]))

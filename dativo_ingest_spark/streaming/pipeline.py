@@ -1076,3 +1076,85 @@ def psi_drift_gate(reference, value_col: str, write_batch,
         write_batch(batch_df, epoch_id)
 
     return _apply
+
+
+def ks_reference(df: DataFrame, value_col: str, n_points: int = 100,
+                 exact: bool = True):
+    """Fit the KS gate's frozen reference: ``n_points - 1`` interior
+    quantile cut values plus the reference row count — the reference
+    ECDF sampled on an equi-depth grid, O(n_points) state however large
+    the baseline. Complement of :func:`psi_reference`: PSI scores
+    binned mass movement, KS bounds the maximum ECDF gap and carries a
+    calibrated significance threshold with it."""
+    from dativo_ingest_spark.operators.quality import equi_depth_edges
+
+    cuts = equi_depth_edges(df, value_col, n_points, exact=exact)
+    n_ref = df.filter(F.col(value_col).isNotNull()).count()
+    return cuts, n_ref
+
+
+def ks_drift_gate(reference, value_col: str, write_batch,
+                  c_milli: int = 1358, on_drift: str = "skip",
+                  quarantine_batch=None):
+    """foreachBatch wrapper gating each micro-batch on the two-sample
+    Kolmogorov-Smirnov statistic against a FROZEN reference
+    (operators/profiling.py:ks_drift's streaming sibling): per epoch
+    ONE scan-stage ``<=``-cascade bin count, then a driver-side fold
+    over <= n_points bins computes D = max |ECDF_ref - ECDF_batch| on
+    the reference's quantile grid (ECDF_ref there is j/n_points by
+    construction — equi-depth). Distribution-free, no stability rule
+    of thumb: the batch quarantines/aborts/logs when
+    D > (c_milli/1000) * sqrt((n+m)/(n*m)) — alpha 0.05 at the default
+    1.358, 0.01 at 1.628.
+
+    Same action contract as :func:`psi_drift_gate`: ``skip`` (with
+    optional ``quarantine_batch``), ``abort``, ``log``.
+    """
+    import math
+
+    if on_drift not in ("abort", "skip", "log"):
+        raise ValueError(
+            f"on_drift must be abort|skip|log, got {on_drift!r}")
+    cuts, n_ref = reference
+    if not cuts or n_ref <= 0:
+        raise ValueError("reference must carry quantile cuts and a "
+                         "positive row count")
+    n_points = len(cuts) + 1
+    logger = logging.getLogger(__name__)
+    from dativo_ingest_spark.operators.quality import apply_equi_depth_bins
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (apply_equi_depth_bins(batch_df, value_col, cuts)
+                .filter(F.col("bin").isNotNull())
+                .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        counts = [0] * n_points
+        for r in rows:
+            counts[int(r.bin)] = int(r.n)
+        m = sum(counts)
+        if m == 0:
+            write_batch(batch_df, epoch_id)   # nothing to test
+            return
+        d_stat = 0.0
+        cum = 0
+        for j in range(n_points - 1):
+            cum += counts[j]
+            # reference ECDF at cut j is (j+1)/n_points by equi-depth
+            d_stat = max(d_stat,
+                         abs((j + 1) / n_points - cum / m))
+        crit = (c_milli / 1000.0) * math.sqrt(
+            (n_ref + m) / (n_ref * m))
+        if d_stat > crit:
+            report = {"epoch": epoch_id, "d_stat": round(d_stat, 6),
+                      "crit": round(crit, 6), "n_batch": m,
+                      "bins": counts}
+            if on_drift == "abort":
+                raise RuntimeError(f"KS drift gate: {report}")
+            logger.warning("KS drift gate (%s): %s", on_drift, report)
+            if on_drift == "skip":
+                if quarantine_batch is not None:
+                    quarantine_batch(batch_df, epoch_id)
+                return
+        write_batch(batch_df, epoch_id)
+
+    return _apply

@@ -797,3 +797,50 @@ def test_psi_drift_gate(spark, tmp_path):
     with _pytest.raises(ValueError):
         pipeline.psi_drift_gate((reference[0], [1, 2]), "value",
                                 lambda d, e: None)
+
+
+def test_ks_drift_gate(spark, tmp_path):
+    # reference: uniform [0, 100); an in-family batch publishes, a
+    # right-shifted batch quarantines — same harness as the PSI gate,
+    # now with the calibrated distribution-free threshold
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(400)], "value double")
+    reference = pipeline.ks_reference(ref, "value", n_points=20)
+    assert reference[1] == 400
+
+    ok = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(200)], "value double")
+    shifted = spark.createDataFrame(
+        [(float(50 + (i % 100)),) for i in range(200)], "value double")
+
+    written, quarantined = [], []
+    gate = pipeline.ks_drift_gate(
+        reference, "value",
+        lambda df, e: written.append((e, df.count())),
+        quarantine_batch=lambda df, e: quarantined.append((e, df.count())))
+    gate(ok, 0)
+    gate(shifted, 1)
+    assert written == [(0, 200)]
+    assert quarantined == [(1, 200)]
+
+    import pytest as _pytest
+
+    strict = pipeline.ks_drift_gate(
+        reference, "value", lambda df, e: None, on_drift="abort")
+    strict(ok, 0)
+    with _pytest.raises(RuntimeError, match="KS drift gate"):
+        strict(shifted, 1)
+
+    # empty batch is not a drift signal
+    empty = spark.createDataFrame([], "value double")
+    written.clear()
+    gate2 = pipeline.ks_drift_gate(
+        reference, "value", lambda df, e: written.append(e))
+    gate2(empty, 7)
+    assert written == [7]
+
+    with _pytest.raises(ValueError, match="reference"):
+        pipeline.ks_drift_gate(([], 0), "value", lambda d, e: None)
+    with _pytest.raises(ValueError, match="on_drift"):
+        pipeline.ks_drift_gate(reference, "value", lambda d, e: None,
+                               on_drift="explode")

@@ -396,6 +396,12 @@ def run_job(
             raise ConfigError(
                 "target.options.drift_gate: n_bins must be >= 2 and "
                 "threshold_milli >= 1")
+        _dg["method"] = str(_dg.get("method", "psi"))
+        if _dg["method"] not in ("psi", "ks"):
+            raise ConfigError(
+                "target.options.drift_gate.method must be psi or ks, "
+                f"got {_dg['method']!r}")
+        _dg["c_milli"] = int(_dg.get("c_milli", 1358))
     t0 = time.perf_counter()
     # Warn-only preflight: endpoint reachability surfaces in logs/result,
     # never in the exit code (reference cli.py:236-244 catches-and-logs).
@@ -614,17 +620,38 @@ def run_job(
                     .collect()):
                 _cur[int(_r.bin)] = int(_r.n)
             _tr, _tc = sum(_counts), sum(_cur)
-            _psi = sum(
-                ((_counts[_i] + 1) / (_tr + _k)
-                 - (_cur[_i] + 1) / (_tc + _k))
-                * _math.log(((_counts[_i] + 1) / (_tr + _k))
-                            / ((_cur[_i] + 1) / (_tc + _k)))
-                for _i in range(_k))
-            drift_report = {
-                "psi_milli": int(_psi * 1000),
-                "drifted": _psi * 1000 >= _dg["threshold_milli"],
-                "bins": _cur, "reference": _counts,
-            }
+            if _dg["method"] == "ks" and _tc > 0 and _tr > 0:
+                # two-sample KS on the shared bin grid: max ECDF gap,
+                # calibrated threshold — the distribution-free
+                # alternative to PSI's 0.25 rule of thumb
+                _cr = _cc = 0
+                _d = 0.0
+                for _i in range(_k - 1):
+                    _cr += _counts[_i]
+                    _cc += _cur[_i]
+                    _d = max(_d, abs(_cr / _tr - _cc / _tc))
+                _crit = (_dg["c_milli"] / 1000.0) * _math.sqrt(
+                    (_tr + _tc) / (_tr * _tc))
+                drift_report = {
+                    "method": "ks",
+                    "d_stat_micro": int(_d * 1e6),
+                    "crit_micro": int(_crit * 1e6),
+                    "drifted": _d > _crit,
+                    "bins": _cur, "reference": _counts,
+                }
+            else:
+                _psi = sum(
+                    ((_counts[_i] + 1) / (_tr + _k)
+                     - (_cur[_i] + 1) / (_tc + _k))
+                    * _math.log(((_counts[_i] + 1) / (_tr + _k))
+                                / ((_cur[_i] + 1) / (_tc + _k)))
+                    for _i in range(_k))
+                drift_report = {
+                    "method": "psi",
+                    "psi_milli": int(_psi * 1000),
+                    "drifted": _psi * 1000 >= _dg["threshold_milli"],
+                    "bins": _cur, "reference": _counts,
+                }
             if drift_report["drifted"]:
                 logging.getLogger(__name__).warning(
                     "drift gate", extra={"drift": drift_report})

@@ -1106,3 +1106,65 @@ class TestShardExportTarget:
         with _pytest.raises(ConfigError, match="partition_by"):
             runner.run_job(spark, self._job(
                 str(p), str(tmp_path / "o2"), partition_by=["name"]))
+
+
+class TestKsDriftGateRunner:
+    """target.options.drift_gate.method=ks: the calibrated
+    distribution-free alternative to the PSI rule of thumb, same
+    fit-once reference file and action contract."""
+
+    def _job(self, src, out, ref, on_drift="warn", method="ks"):
+        d = job_dict(src, out)
+        d["asset"]["schema"] = [
+            {"name": "id", "type": "integer", "required": True},
+            {"name": "amount", "type": "number", "required": True},
+        ]
+        d["asset"]["name"] = "amounts"
+        d["target"]["options"]["drift_gate"] = {
+            "column": "amount", "reference_path": ref,
+            "n_bins": 8, "on_drift": on_drift, "method": method,
+        }
+        return JobConfig.from_dict(d)
+
+    def _csv(self, tmp_path, name, values):
+        p = tmp_path / name
+        p.write_text("id,amount\n" + "".join(
+            f"{i},{v}\n" for i, v in enumerate(values)))
+        return str(p)
+
+    def test_ks_bootstrap_stable_drift(self, spark, tmp_path):
+        ref = str(tmp_path / "ref")
+        base = self._csv(tmp_path, "b.csv",
+                         [float(i % 100) for i in range(400)])
+        out = str(tmp_path / "o1")
+        r0 = runner.run_job(spark, self._job(base, out, ref))
+        assert r0.drift_report.get("bootstrapped")
+
+        stable = self._csv(tmp_path, "s.csv",
+                           [float((i * 7) % 100) for i in range(200)])
+        r1 = runner.run_job(
+            spark, self._job(stable, str(tmp_path / "o2"), ref))
+        assert r1.drift_report["method"] == "ks"
+        assert r1.drift_report["drifted"] is False
+        assert r1.exit_code == runner.EXIT_SUCCESS
+
+        shifted = self._csv(tmp_path, "d.csv",
+                            [float(50 + i % 100) for i in range(200)])
+        r2 = runner.run_job(
+            spark, self._job(shifted, str(tmp_path / "o3"), ref,
+                             on_drift="abort"))
+        assert r2.exit_code == runner.EXIT_FAILURE
+        assert r2.drift_report["drifted"] is True
+        assert r2.drift_report["d_stat_micro"] > \
+            r2.drift_report["crit_micro"]
+
+    def test_method_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.config.contracts import ConfigError
+
+        base = self._csv(tmp_path, "b.csv", [1.0, 2.0])
+        with _pytest.raises(ConfigError, match="method"):
+            runner.run_job(spark, self._job(
+                base, str(tmp_path / "o"), str(tmp_path / "ref"),
+                method="chi2"))

@@ -898,3 +898,20 @@ class TestSketchRollupServing:
         got = serve_distinct(spark, out, "'all'").collect()[0]
         n = ev.agg(F.countDistinct("user_id")).collect()[0][0]
         assert abs(got.approx_distinct - n) <= max(0.05 * n, 2)
+
+
+def test_retrieval_pipeline_example_end_to_end(spark):
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "retrieval_pipeline",
+        os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                     "retrieval_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.conftest import SF_DIR
+
+    out = mod.search(spark, SF_DIR)
+    assert out["queries"] == 2 and out["fused_candidates"] == 20
+    assert out["n_vectors"] > 0

@@ -168,3 +168,37 @@ def list_partitions(path: str) -> list[dict[str, str]]:
                 parts.append({"dir": str(p.relative_to(root)),
                               "column": m.group("col"), "value": m.group("val")})
     return parts
+
+
+def partition_audit(expected: DataFrame, out_dir: str,
+                    part_col: str) -> DataFrame:
+    """Backfill auditor: diff the partitions a hive-layout output
+    ACTUALLY has on disk against the partition values the source says
+    should exist. Returns (partition string, status 'missing'|'extra')
+    — empty means the output is complete and carries nothing stale.
+
+    ``expected`` is a one-column DataFrame of partition values (e.g.
+    distinct days from the source); the disk side is a driver-side
+    directory listing of ``part_col=value`` entries — metadata only,
+    zero data I/O, so the audit costs one distinct-aggregate over the
+    source however large the output is. The reprocess loop pairs this
+    with mode=overwrite_partitions: audit → backfill exactly the
+    missing days → audit again to empty.
+    """
+    import os
+
+    spark = expected.sparkSession
+    prefix = f"{part_col}="
+    on_disk = set()
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith(prefix) and \
+                    os.path.isdir(os.path.join(out_dir, name)):
+                on_disk.add(name[len(prefix):])
+    want = {str(r[0]) for r in
+            expected.select(expected.columns[0]).distinct().collect()
+            if r[0] is not None}
+    rows = ([(p, "missing") for p in sorted(want - on_disk)]
+            + [(p, "extra") for p in sorted(on_disk - want)])
+    return spark.createDataFrame(rows or [],
+                                 "partition string, status string")

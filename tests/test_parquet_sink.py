@@ -173,3 +173,37 @@ class TestSortedShardExport:
         assert len(m) == 1 and m[0].n_rows == 20
         with _pytest.raises(ValueError, match="n_shards"):
             export_sorted_shards(df, "id", "v", "/tmp/x", n_shards=0)
+
+
+class TestPartitionAudit:
+    def test_missing_and_extra_detected(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.sinks.parquet_sink import partition_audit
+
+        out = str(tmp_path / "days")
+        df = spark.createDataFrame(
+            [(i, f"2024-01-{d:02d}") for d in (1, 2, 4) for i in range(5)],
+            "id bigint, day string")
+        df.write.partitionBy("day").parquet(out)
+        expected = spark.createDataFrame(
+            [(f"2024-01-{d:02d}",) for d in (1, 2, 3)], "day string")
+        got = {(r.partition, r.status)
+               for r in partition_audit(expected, out, "day").collect()}
+        assert got == {("2024-01-03", "missing"), ("2024-01-04", "extra")}
+
+    def test_complete_output_is_empty(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.parquet_sink import partition_audit
+
+        out = str(tmp_path / "ok")
+        df = spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id bigint, k string")
+        df.write.partitionBy("k").parquet(out)
+        audit = partition_audit(
+            spark.createDataFrame([("a",), ("b",)], "k string"), out, "k")
+        assert audit.count() == 0
+        # nonexistent output: everything expected is missing
+        gone = partition_audit(
+            spark.createDataFrame([("a",)], "k string"),
+            str(tmp_path / "nope"), "k").collect()
+        assert [(r.partition, r.status) for r in gone] == [("a", "missing")]

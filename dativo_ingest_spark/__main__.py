@@ -109,6 +109,15 @@ def main(argv: list[str] | None = None) -> int:
                               "file list (forward history, audit trail "
                               "kept; never a ref rewind)")
 
+    audit_p = sub.add_parser(
+        "audit-shards", help="trainer-side shard audit: recompute every "
+                             "shard's (rows, tokens, hash_sum) from the "
+                             "shard files and compare against the "
+                             "published manifest (exit 2 on mismatch)")
+    audit_p.add_argument("--shards-dir", required=True,
+                         help="a shard_export target directory "
+                              "(shard=K dirs + manifest/)")
+
     cdiff_p = sub.add_parser(
         "contract-diff", help="schema-drift probe: observed source "
                               "columns vs the job's asset contract "
@@ -223,6 +232,13 @@ def main(argv: list[str] | None = None) -> int:
                     table.files_df(spark, args.branch).collect()]
             print(json.dumps(doc, indent=1))
             return 0
+
+        if args.cmd == "audit-shards":
+            from dativo_ingest_spark.sinks.shard_export import audit_shards
+
+            doc = audit_shards(spark, args.shards_dir)
+            print(json.dumps(doc, indent=1))
+            return 0 if doc["ok"] else EXIT_FAILURE
 
         from dativo_ingest_spark import inspect_cmd
 

@@ -153,3 +153,35 @@ def export_sorted_shards(
     return spark.createDataFrame(
         [(r.shard, r.n_rows, r.min_key, r.max_key) for r in rows],
         "shard bigint, n_rows bigint, min_key double, max_key double")
+
+
+def audit_shards(spark, out_dir: str) -> dict:
+    """Trainer-side shard audit: recompute every shard's (n_rows,
+    n_tokens, hash_sum) from the SHARD FILES and compare against the
+    published manifest — the check a training job runs before burning
+    GPU hours on a corpus that lost a file to a partial copy. Returns
+    {"shards": N, "ok": bool, "mismatches": [...]}; metadata plus one
+    scan of the shard frame, no re-hash of content (the md5-uint32
+    column was persisted precisely so auditors fold it cheaply)."""
+    manifest = {
+        int(r.shard): (int(r.n_rows), int(r.n_tokens), int(r.hash_sum))
+        for r in spark.read.parquet(f"{out_dir}/manifest").collect()}
+    actual = {
+        int(r.shard): (int(r.n_rows), int(r.n_tokens), int(r.hash_sum))
+        # glob the shard dirs only (basePath keeps the partition
+        # column): a bare read of out_dir would union in the published
+        # manifest/ files themselves
+        for r in (spark.read.option("basePath", out_dir)
+                  .parquet(f"{out_dir}/shard=*")
+                  .groupBy("shard")
+                  .agg(F.count(F.lit(1)).alias("n_rows"),
+                       F.sum("n_tokens").alias("n_tokens"),
+                       F.sum("_h").alias("hash_sum"))
+                  .collect())}
+    mismatches = []
+    for shard in sorted(set(manifest) | set(actual)):
+        m, a = manifest.get(shard), actual.get(shard)
+        if m != a:
+            mismatches.append({"shard": shard, "manifest": m, "files": a})
+    return {"shards": len(manifest), "ok": not mismatches,
+            "mismatches": mismatches}

@@ -355,3 +355,31 @@ def test_maintain_cli_manifest_aggregate(spark, tmp_path, capsys):
     doc = _json.loads(out[out.index("{"):])
     assert doc["aggregate"]["num_rows"] == 7
     assert doc["aggregate"]["columns"]["k"] == {"min": 0, "max": 6}
+
+
+def test_cli_audit_shards(spark, tmp_path, capsys):
+    import json as _json
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.sinks.shard_export import (
+        export_training_shards)
+
+    df = spark.createDataFrame([(i, i * 3) for i in range(1, 31)],
+                               "id bigint, toks bigint")
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(df, "id", "toks", out, n_shards=3)
+    manifest.coalesce(1).write.mode("overwrite").parquet(out + "/manifest")
+
+    rc = cli.main(["audit-shards", "--shards-dir", out])
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and doc["ok"] and doc["shards"] == 3
+
+    # corrupt one shard (drop a file) -> audit must fail with the diff
+    import glob
+    import os
+
+    victim = glob.glob(out + "/shard=*/part-*.parquet")[0]
+    os.remove(victim)
+    rc = cli.main(["audit-shards", "--shards-dir", out])
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert rc == 2 and not doc["ok"] and doc["mismatches"]

@@ -160,6 +160,7 @@ EXTENDED = [
     "sliding_distinct_hll_events",
     "quantile_clip_events",
     "dq_expectations_events",
+    "join_fanout_orders",
     "mad_outlier_events",
     "anomaly_zscore_events",
     "equi_depth_bins_events",

@@ -477,3 +477,54 @@ def weighted_median(
             F.min("_total").alias("total_weight"),
         )
     )
+
+
+def join_fanout_check(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    expect: str = "one_to_many",
+) -> DataFrame:
+    """Join-multiplicity contract check — the DQ guard for the silent
+    row-explosion class of bug: a dimension that was supposed to be
+    unique picks up a duplicate (a bad SCD2 close, a double-loaded
+    partition) and every fact joining it silently double-counts. Run
+    BEFORE the join that assumes the contract.
+
+    ``expect``: ``one_to_one`` (both sides unique per key),
+    ``one_to_many`` (LEFT unique per key), ``many_to_one`` (RIGHT
+    unique per key). Returns one row per violating key:
+    (key columns..., left_rows, right_rows, violation) — empty means
+    the contract holds. ``violation`` names which side broke.
+
+    Scale shape: one partial-agg count per side (map-side combinable),
+    one key-equi join of the two COUNT frames (key-cardinality-sized,
+    never row-sized) — the check never joins the raw rows at all, so it
+    costs two aggregates however explosive the real join would be.
+    """
+    if expect not in ("one_to_one", "one_to_many", "many_to_one"):
+        raise ValueError(
+            f"expect must be one_to_one|one_to_many|many_to_one, "
+            f"got {expect!r}")
+    if not keys:
+        raise ValueError("keys must name at least one join column")
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("left_rows"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("right_rows"))
+    joined = lc.join(rc, list(keys), "inner")
+    left_bad = F.col("left_rows") > 1
+    right_bad = F.col("right_rows") > 1
+    if expect == "one_to_one":
+        bad = left_bad | right_bad
+        label = (F.when(left_bad & right_bad, "both")
+                 .when(left_bad, "left").otherwise("right"))
+    elif expect == "one_to_many":
+        bad = left_bad
+        label = F.lit("left")
+    else:
+        bad = right_bad
+        label = F.lit("right")
+    return (joined.filter(bad)
+            .select(*keys,
+                    F.col("left_rows").cast("long").alias("left_rows"),
+                    F.col("right_rows").cast("long").alias("right_rows"),
+                    label.alias("violation")))

@@ -8316,6 +8316,46 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_fanout_orders",
+    """
+    WITH planted AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 1),
+    lc AS (SELECT c_custkey, count(*) AS left_rows
+           FROM planted GROUP BY 1),
+    rc AS (SELECT o_custkey AS c_custkey, count(*) AS right_rows
+           FROM orders GROUP BY 1)
+    SELECT lc.c_custkey,
+           CAST(left_rows AS BIGINT) AS left_rows,
+           CAST(right_rows AS BIGINT) AS right_rows,
+           'left' AS violation
+    FROM lc JOIN rc USING (c_custkey)
+    WHERE left_rows > 1
+    """,
+    doc="join-multiplicity contract check "
+        "(operators/quality.py:join_fanout_check): the DQ guard for "
+        "silent row explosion — a dimension that was supposed to be "
+        "unique picks up a duplicate and every joining fact "
+        "double-counts. The gate plants duplicates on ~1%% of customer "
+        "keys and the check must surface EXACTLY those keys (the ones "
+        "that also have orders), with counts. The check never joins "
+        "raw rows: two map-side-combinable per-key counts + one "
+        "key-cardinality-sized equi-join, so it costs two aggregates "
+        "however explosive the guarded join would have been.",
+)
+def join_fanout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.quality import join_fanout_check
+
+    cust = load(spark, sf_dir, "customer")
+    planted = cust.unionByName(cust.filter(F.col("c_custkey") % 97 == 1))
+    orders = load(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey")
+    return join_fanout_check(planted, orders, ["c_custkey"],
+                             expect="one_to_many")
+
+
+@register(
     "embedding_isotropy_report",
     """
     WITH e AS (
@@ -10212,6 +10252,7 @@ _GATE_DEMOTED = [
     # the r9 batch earns driver rows.
     "embedding_isotropy_report",
     "ivfpq_residual_embeddings",
+    "join_fanout_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -424,3 +424,38 @@ class TestWeightedMedian:
         got = {r.key: r.weighted_median
                for r in weighted_median(df, "k", "v", "w").collect()}
         assert got == want
+
+
+class TestJoinFanoutCheck:
+    def test_contracts_and_violations(self, spark):
+        from dativo_ingest_spark.operators.quality import join_fanout_check
+
+        dim = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (2, "b2"), (3, "c")], "k bigint, v string")
+        fact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (9, 90)], "k bigint, x bigint")
+        # one_to_many: dim key 2 is duplicated AND joins facts -> flagged;
+        # key 3 is duplicated-free; key 9 has no dim row (not this check's
+        # concern — referential integrity is a different contract)
+        out = join_fanout_check(dim, fact, ["k"]).collect()
+        assert [(r.k, r.left_rows, r.right_rows, r.violation)
+                for r in out] == [(2, 2, 1, "left")]
+        # one_to_one flags the fact side too
+        o2o = {(r.k, r.violation) for r in join_fanout_check(
+            dim, fact, ["k"], expect="one_to_one").collect()}
+        assert o2o == {(1, "right"), (2, "left")}
+        # many_to_one with a clean right side: empty
+        assert join_fanout_check(
+            fact, dim.dropDuplicates(["k"]), ["k"],
+            expect="many_to_one").count() == 0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.quality import join_fanout_check
+
+        df = spark.createDataFrame([(1,)], "k bigint")
+        with _pytest.raises(ValueError, match="expect"):
+            join_fanout_check(df, df, ["k"], expect="whatever")
+        with _pytest.raises(ValueError, match="keys"):
+            join_fanout_check(df, df, [])

@@ -161,6 +161,7 @@ EXTENDED = [
     "quantile_clip_events",
     "dq_expectations_events",
     "join_fanout_orders",
+    "referential_orders_customer",
     "mad_outlier_events",
     "anomaly_zscore_events",
     "equi_depth_bins_events",

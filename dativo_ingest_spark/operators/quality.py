@@ -528,3 +528,35 @@ def join_fanout_check(
                     F.col("left_rows").cast("long").alias("left_rows"),
                     F.col("right_rows").cast("long").alias("right_rows"),
                     label.alias("violation")))
+
+
+def referential_check(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Referential-integrity check: fact keys with NO matching dimension
+    row — the orphan-foreign-key complement of
+    :func:`join_fanout_check` (fanout guards against a dim key
+    appearing twice; this guards against it not appearing at all, the
+    bug an inner join silently EATS rows on and a left join turns into
+    surprise NULLs).
+
+    Returns one row per orphan key: (key columns..., orphan_rows).
+    Empty means every fact row has a parent. NULL fact keys are
+    reported as an orphan key too (they can never join) — the not_null
+    expectation is the usual companion.
+
+    Scale: one per-key fact count (map-side combinable) anti-joined
+    against the dim's distinct keys — key-cardinality-sized frames on
+    both sides of the join, never the raw rows; the dim side broadcasts
+    whenever it fits.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one join column")
+    fc = fact.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("orphan_rows"))
+    return (fc.join(dim.select(*keys).dropDuplicates(keys), list(keys),
+                    "left_anti")
+            .select(*keys,
+                    F.col("orphan_rows").cast("long").alias("orphan_rows")))

@@ -8316,6 +8316,44 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "referential_orders_customer",
+    """
+    WITH planted AS (
+      SELECT o_custkey AS c_custkey FROM orders
+      UNION ALL
+      SELECT o_custkey + 1000000000 FROM orders
+      WHERE o_orderkey % 1000 = 7),
+    fc AS (SELECT c_custkey, count(*) AS orphan_rows
+           FROM planted GROUP BY 1)
+    SELECT fc.c_custkey, CAST(orphan_rows AS BIGINT) AS orphan_rows
+    FROM fc
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = fc.c_custkey)
+    """,
+    doc="referential-integrity check "
+        "(operators/quality.py:referential_check): orphan foreign keys "
+        "— the bug an inner join silently EATS rows on and a left join "
+        "turns into surprise NULLs. The gate plants orphans (0.1%% of "
+        "order rows re-keyed past the customer key space) and the "
+        "check must surface exactly those keys with row counts. One "
+        "map-side-combinable per-key fact count anti-joined against "
+        "the dim's distinct keys — key-cardinality frames only, the "
+        "raw rows never join.",
+)
+def referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.quality import referential_check
+
+    orders = load(spark, sf_dir, "orders")
+    planted = (orders.select(F.col("o_custkey").alias("c_custkey"))
+               .unionByName(
+                   orders.filter(F.col("o_orderkey") % 1000 == 7)
+                   .select((F.col("o_custkey") + 1000000000)
+                           .alias("c_custkey"))))
+    cust = load(spark, sf_dir, "customer")
+    return referential_check(planted, cust, ["c_custkey"])
+
+
+@register(
     "join_fanout_orders",
     """
     WITH planted AS (
@@ -10253,6 +10291,7 @@ _GATE_DEMOTED = [
     "embedding_isotropy_report",
     "ivfpq_residual_embeddings",
     "join_fanout_orders",
+    "referential_orders_customer",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

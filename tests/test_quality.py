@@ -459,3 +459,22 @@ class TestJoinFanoutCheck:
             join_fanout_check(df, df, ["k"], expect="whatever")
         with _pytest.raises(ValueError, match="keys"):
             join_fanout_check(df, df, [])
+
+
+class TestReferentialCheck:
+    def test_orphans_and_null_keys(self, spark):
+        from dativo_ingest_spark.operators.quality import referential_check
+
+        dim = spark.createDataFrame([(1,), (2,)], "k bigint")
+        fact = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (9, "x"), (9, "y"), (9, "z"),
+             (None, "n")], "k bigint, v string")
+        out = {(r.k, r.orphan_rows) for r in
+               referential_check(fact, dim, ["k"]).collect()}
+        assert out == {(9, 3), (None, 1)}
+        # clean fact: empty
+        clean = fact.filter("k = 1")
+        assert referential_check(clean, dim, ["k"]).count() == 0
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="keys"):
+            referential_check(fact, dim, [])

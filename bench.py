@@ -183,6 +183,7 @@ EXTENDED = [
     "event_transitions_markov",
     "cusum_changepoint_events",
     "cumulative_new_users_daily",
+    "ab_test_events",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

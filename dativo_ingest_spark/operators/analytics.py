@@ -421,3 +421,56 @@ def grouped_topk(
         val.alias(order_col),
         *[F.col(f"_it.{c}").alias(c) for c in payload_cols],
     )
+
+
+def ab_proportion_test(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z_critical_milli: int = 1960,
+) -> DataFrame:
+    """Two-proportion z-test between every pair of experiment variants —
+    the A/B readout: is variant B's success rate different from A's
+    beyond what chance explains at the given critical value (1.96 ~
+    two-sided alpha 0.05, 2.576 ~ 0.01)?
+
+    One row per ordered variant pair (variant_a < variant_b):
+    (variant_a, variant_b, n_a, s_a, n_b, s_b, z_micro, significant).
+
+    Determinism: counts are exact BIGINTs from ONE partial-agg pass;
+    the z statistic evaluates in a FIXED IEEE op order — pooled p via
+    one divide, the standard error via multiplies + one sqrt (sqrt is
+    correctly rounded by the standard, unlike ln) and one final divide
+    — so z_micro and the significance boolean replay bit-for-bit in the
+    oracle. Zero-variance pairs (pooled p of 0 or 1) emit NULL z and
+    significant = false: no information, not infinite evidence.
+
+    Scale: variant-cardinality frames only after the one aggregate —
+    the pair join is |variants|^2 rows, nothing row-sized ever joins.
+    """
+    agg = (df.groupBy(F.col(variant_col).alias("variant"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(success_col).cast("long")).alias("s")))
+    a = agg.select(F.col("variant").alias("variant_a"),
+                   F.col("n").alias("n_a"), F.col("s").alias("s_a"))
+    b = agg.select(F.col("variant").alias("variant_b"),
+                   F.col("n").alias("n_b"), F.col("s").alias("s_b"))
+    pairs = a.join(b, F.col("variant_a") < F.col("variant_b"))
+    p_pool = ((F.col("s_a") + F.col("s_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    se = F.sqrt(p_pool * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n_a").cast("double")
+                   + F.lit(1.0) / F.col("n_b").cast("double")))
+    z = ((F.col("s_a").cast("double") / F.col("n_a").cast("double"))
+         - (F.col("s_b").cast("double") / F.col("n_b").cast("double"))) / se
+    z_micro = F.when(se > 0, F.floor(z * 1000000 + F.lit(0.5))
+                     .cast("long"))
+    return pairs.select(
+        "variant_a", "variant_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_b").cast("long").alias("s_b"),
+        z_micro.alias("z_micro"),
+        F.coalesce(F.abs(z_micro) > F.lit(z_critical_milli * 1000),
+                   F.lit(False)).alias("significant"))

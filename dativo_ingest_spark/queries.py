@@ -8316,6 +8316,69 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ab_test_events",
+    """
+    WITH v AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_type = 'purchase'
+                  AND value > 200 THEN 1 ELSE 0 END AS success
+      FROM events),
+    agg AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(success) AS BIGINT) AS s
+      FROM v GROUP BY 1),
+    p AS (
+      SELECT a.variant AS variant_a, b.variant AS variant_b,
+             a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b
+      FROM agg a JOIN agg b ON a.variant < b.variant),
+    z AS (
+      SELECT *,
+             (CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               AS p_pool
+      FROM p),
+    z2 AS (
+      SELECT *,
+             sqrt(p_pool * (1.0 - p_pool)
+                  * (1.0 / CAST(n_a AS DOUBLE)
+                     + 1.0 / CAST(n_b AS DOUBLE))) AS se
+      FROM z)
+    SELECT variant_a, variant_b, n_a, s_a, n_b, s_b,
+           CASE WHEN se > 0 THEN
+             CAST(floor(((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                         - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                        / se * 1000000 + 0.5) AS BIGINT)
+           END AS z_micro,
+           coalesce(abs(CASE WHEN se > 0 THEN
+             CAST(floor(((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                         - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                        / se * 1000000 + 0.5) AS BIGINT)
+           END) > 1960000, FALSE) AS significant
+    FROM z2
+    """,
+    doc="two-proportion z-test between experiment variants "
+        "(operators/analytics.py:ab_proportion_test) — the A/B readout "
+        "every product-analytics stack needs next to funnels and "
+        "retention. Counts fold in one partial-agg pass; the z "
+        "statistic evaluates in a fixed IEEE op order whose only "
+        "transcendental is the correctly-rounded sqrt, so z_micro AND "
+        "the significance boolean replay bit-for-bit in the oracle. "
+        "Variants here are the user_id parity split with "
+        "high-value-purchase success — a deterministic synthetic "
+        "experiment whose answer should be (and is) not significant.",
+)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import ab_proportion_test
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"),
+        ((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .cast("int").alias("success"))
+    return ab_proportion_test(v, "variant", "success")
+
+
+@register(
     "referential_orders_customer",
     """
     WITH planted AS (
@@ -10292,6 +10355,7 @@ _GATE_DEMOTED = [
     "ivfpq_residual_embeddings",
     "join_fanout_orders",
     "referential_orders_customer",
+    "ab_test_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

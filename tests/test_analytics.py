@@ -309,3 +309,53 @@ class TestGroupedTopk:
                 analytics.grouped_topk(
                     df, "key", "v",
                     bad.pop("payload_cols", ["pid"]), **bad)
+
+
+class TestAbProportionTest:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators.analytics import (
+            ab_proportion_test)
+
+        # A: 30/100 convert; B: 45/100 convert -> clearly significant
+        rows = ([("A", 1)] * 30 + [("A", 0)] * 70
+                + [("B", 1)] * 45 + [("B", 0)] * 55)
+        df = spark.createDataFrame(rows, "variant string, success int")
+        r = ab_proportion_test(df, "variant", "success").collect()[0]
+        p = 75 / 200
+        se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+        z = (0.30 - 0.45) / se
+        assert (r.n_a, r.s_a, r.n_b, r.s_b) == (100, 30, 100, 45)
+        assert r.z_micro == math.floor(z * 1e6 + 0.5)
+        assert r.significant is True and r.z_micro < 0
+
+    def test_identical_rates_not_significant(self, spark):
+        from dativo_ingest_spark.operators.analytics import (
+            ab_proportion_test)
+
+        rows = [(v, int(i % 5 == 0)) for v in ("A", "B")
+                for i in range(200)]
+        df = spark.createDataFrame(rows, "variant string, success int")
+        r = ab_proportion_test(df, "variant", "success").collect()[0]
+        assert r.z_micro == 0 and r.significant is False
+
+    def test_zero_variance_emits_null(self, spark):
+        from dativo_ingest_spark.operators.analytics import (
+            ab_proportion_test)
+
+        df = spark.createDataFrame(
+            [("A", 0)] * 10 + [("B", 0)] * 10,
+            "variant string, success int")
+        r = ab_proportion_test(df, "variant", "success").collect()[0]
+        assert r.z_micro is None and r.significant is False
+
+    def test_three_variants_three_pairs(self, spark):
+        from dativo_ingest_spark.operators.analytics import (
+            ab_proportion_test)
+
+        rows = [(v, i % 2) for v in ("A", "B", "C") for i in range(20)]
+        df = spark.createDataFrame(rows, "variant string, success int")
+        out = ab_proportion_test(df, "variant", "success").collect()
+        assert {(r.variant_a, r.variant_b) for r in out} == \
+            {("A", "B"), ("A", "C"), ("B", "C")}

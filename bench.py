@@ -184,6 +184,7 @@ EXTENDED = [
     "cusum_changepoint_events",
     "cumulative_new_users_daily",
     "ab_test_events",
+    "mannwhitney_events",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

@@ -474,3 +474,75 @@ def ab_proportion_test(
         z_micro.alias("z_micro"),
         F.coalesce(F.abs(z_micro) > F.lit(z_critical_milli * 1000),
                    F.lit(False)).alias("significant"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    variant_col: str,
+    value_col: str,
+    z_critical_milli: int = 1960,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between exactly two
+    variants — the nonparametric sibling of :func:`ab_proportion_test`
+    for CONTINUOUS metrics: compares whole distributions through ranks,
+    so a heavy-tailed revenue metric can't hide a shift behind its
+    variance the way a t-test's mean/stddev can.
+
+    One row: (variant_a, variant_b, n_a, n_b, u2_a, z_micro,
+    significant) where ``u2_a`` is 2x the U statistic of the lower
+    variant (doubled so tie-averaged ranks stay exact BIGINTs).
+
+    Exactness: values quantize to cents; rank sums come from the
+    (value)-grain count frame — for a distinct value with preceding
+    cumulative count C and count c, the doubled tie-averaged rank is
+    ``2C + c + 1``, so the whole rank sum is one exact integer fold and
+    no row-level ranking window ever runs (state is distinct-values,
+    not rows — the ks_drift shape). The normal approximation
+    z = (U - n1*n2/2) / sqrt(n1*n2*(n+1)/12) evaluates in fixed IEEE
+    order (one sqrt, one divide) without the tie-correction term
+    (documented: with cents quantization ties are real but modest; the
+    uncorrected z is conservative).
+    """
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    base = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(variant_col).alias("variant"),
+                    cents.alias("v")))
+    variants = [r.variant for r in
+                base.select("variant").distinct().collect()]
+    if len(variants) != 2:
+        raise ValueError(
+            f"mann_whitney_u needs exactly two variants, got {variants}")
+    va, vb = sorted(variants)
+    counts = base.groupBy("v").agg(
+        F.sum((F.col("variant") == va).cast("long")).alias("a_c"),
+        F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = counts.select(
+        "v", "a_c", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum"))
+    agg = ranked.agg(
+        F.sum("a_c").alias("n_a"),
+        (F.sum("c") - F.sum("a_c")).alias("n_b"),
+        F.sum(F.col("a_c") * (2 * F.col("cum") + F.col("c") + 1))
+        .alias("r2_a"))
+    # doubled U: U1*2 = 2*n_a*n_b + n_a*(n_a+1) - R1*2
+    u2 = (2 * F.col("n_a") * F.col("n_b")
+          + F.col("n_a") * (F.col("n_a") + 1) - F.col("r2_a"))
+    n = F.col("n_a") + F.col("n_b")
+    se = F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")
+                * (n + 1).cast("double") / F.lit(12.0))
+    z = ((u2 - F.col("n_a") * F.col("n_b")).cast("double")
+         / (F.lit(2.0) * se))
+    z_micro = F.when(se > 0,
+                     F.floor(z * 1000000 + F.lit(0.5)).cast("long"))
+    return agg.select(
+        F.lit(va).alias("variant_a"), F.lit(vb).alias("variant_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        z_micro.alias("z_micro"),
+        F.coalesce(F.abs(z_micro) > F.lit(z_critical_milli * 1000),
+                   F.lit(False)).alias("significant"))

@@ -8316,6 +8316,69 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mannwhitney_events",
+    """
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    counts AS (
+      SELECT v,
+             CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a_c,
+             CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY 1),
+    ranked AS (
+      SELECT v, a_c, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM counts),
+    agg AS (
+      SELECT CAST(sum(a_c) AS BIGINT) AS n_a,
+             CAST(sum(c) - sum(a_c) AS BIGINT) AS n_b,
+             CAST(sum(a_c * (2 * cum + c + 1)) AS BIGINT) AS r2_a
+      FROM ranked),
+    u AS (
+      SELECT n_a, n_b,
+             CAST(2 * n_a * n_b + n_a * (n_a + 1) - r2_a AS BIGINT)
+               AS u2_a,
+             sqrt(CAST(n_a * n_b AS DOUBLE)
+                  * CAST(n_a + n_b + 1 AS DOUBLE) / 12.0) AS se
+      FROM agg)
+    SELECT 'A' AS variant_a, 'B' AS variant_b, n_a, n_b, u2_a,
+           CASE WHEN se > 0 THEN
+             CAST(floor(CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * se)
+                        * 1000000 + 0.5) AS BIGINT)
+           END AS z_micro,
+           coalesce(abs(CASE WHEN se > 0 THEN
+             CAST(floor(CAST(u2_a - n_a * n_b AS DOUBLE) / (2.0 * se)
+                        * 1000000 + 0.5) AS BIGINT)
+           END) > 1960000, FALSE) AS significant
+    FROM u
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) between experiment variants "
+        "(operators/analytics.py:mann_whitney_u) — the nonparametric "
+        "sibling of the two-proportion z-test for continuous metrics: "
+        "rank-based, so heavy-tailed revenue can't hide a shift behind "
+        "its variance. Doubled tie-averaged rank sums fold as exact "
+        "BIGINTs from the distinct-VALUE count frame (2C + c + 1 per "
+        "value — no row-level ranking window, state is "
+        "distinct-values like ks_drift); the normal-approximation z "
+        "uses one correctly-rounded sqrt and one divide, so z_micro "
+        "and the boolean replay bit-for-bit.",
+)
+def mannwhitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import mann_whitney_u
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"), "value")
+    return mann_whitney_u(v, "variant", "value")
+
+
+@register(
     "ab_test_events",
     """
     WITH v AS (
@@ -10356,6 +10419,7 @@ _GATE_DEMOTED = [
     "join_fanout_orders",
     "referential_orders_customer",
     "ab_test_events",
+    "mannwhitney_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -359,3 +359,43 @@ class TestAbProportionTest:
         out = ab_proportion_test(df, "variant", "success").collect()
         assert {(r.variant_a, r.variant_b) for r in out} == \
             {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+class TestMannWhitneyU:
+    def test_matches_hand_computation_with_ties(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators.analytics import mann_whitney_u
+
+        # A: [1, 2, 2, 5]; B: [2, 3, 4, 6] (cents after x100)
+        rows = ([("A", v) for v in (0.01, 0.02, 0.02, 0.05)]
+                + [("B", v) for v in (0.02, 0.03, 0.04, 0.06)])
+        df = spark.createDataFrame(rows, "variant string, value double")
+        r = mann_whitney_u(df, "variant", "value").collect()[0]
+        # pooled sorted: 1,2,2,2,3,4,5,6; avg rank of the three 2s = 3
+        # R_A = 1 + 3 + 3 + 7 = 14 -> R2_A = 28
+        # U_A = n_a*n_b + n_a(n_a+1)/2 - R_A = 16 + 10 - 14 = 12
+        assert (r.n_a, r.n_b, r.u2_a) == (4, 4, 24)
+        se = math.sqrt(16 * 9 / 12.0)
+        z = (24 - 16) / (2.0 * se)
+        assert r.z_micro == math.floor(z * 1e6 + 0.5)
+        assert r.significant is False
+
+    def test_clear_shift_significant(self, spark):
+        from dativo_ingest_spark.operators.analytics import mann_whitney_u
+
+        rows = ([("A", float(i)) for i in range(100)]
+                + [("B", float(i + 200)) for i in range(100)])
+        df = spark.createDataFrame(rows, "variant string, value double")
+        r = mann_whitney_u(df, "variant", "value").collect()[0]
+        assert r.u2_a == 2 * 100 * 100  # A uniformly below B: U_A = n1*n2
+        assert r.significant is True
+
+    def test_requires_two_variants(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.analytics import mann_whitney_u
+
+        df = spark.createDataFrame([("A", 1.0)], "variant string, value double")
+        with _pytest.raises(ValueError, match="two variants"):
+            mann_whitney_u(df, "variant", "value")

@@ -185,6 +185,7 @@ EXTENDED = [
     "cumulative_new_users_daily",
     "ab_test_events",
     "mannwhitney_events",
+    "chi_square_events",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

@@ -546,3 +546,60 @@ def mann_whitney_u(
         z_micro.alias("z_micro"),
         F.coalesce(F.abs(z_micro) > F.lit(z_critical_milli * 1000),
                    F.lit(False)).alias("significant"))
+
+
+def chi_square_independence(
+    df: DataFrame,
+    variant_col: str,
+    category_col: str,
+    chi2_critical_milli: int = 9488,
+) -> DataFrame:
+    """Chi-square test of independence between an experiment variant and
+    a categorical outcome — completes the experiment-analysis family
+    (two-proportion z for binary, Mann-Whitney for continuous, chi2 for
+    k-category outcomes like plan tier or error class).
+
+    One row: (n_variants, n_categories, dof, chi2_micro, significant)
+    with ``significant = chi2 > chi2_critical_milli/1000`` (the caller
+    supplies the critical value for their dof/alpha — 9.488 is
+    dof=4 at 0.05; chi-square quantiles are not IEEE-computable
+    in-engine, so the threshold is an explicit literal, never a hidden
+    approximation).
+
+    Determinism: observed counts are exact BIGINTs from one pass; each
+    cell's (O-E)^2/E term evaluates in fixed IEEE order from exact
+    operands and quantizes to micro BEFORE the cross-cell sum (float
+    sums are partition-order-private; integer sums are not) — so
+    chi2_micro replays bit-for-bit. Cells with E = 0 cannot occur
+    (E = row*col/N and both marginals are positive for an observed
+    cell's row/col).
+
+    Scale: one (variant, category) partial-agg pass; everything after
+    is cells x 1 frames (broadcast marginals).
+    """
+    obs = (df.groupBy(F.col(variant_col).alias("variant"),
+                      F.col(category_col).alias("category"))
+           .agg(F.count(F.lit(1)).alias("o")))
+    row_t = obs.groupBy("variant").agg(F.sum("o").alias("rt"))
+    col_t = obs.groupBy("category").agg(F.sum("o").alias("ct"))
+    n_t = obs.agg(F.sum("o").alias("n"))
+    cells = (obs.join(F.broadcast(row_t), "variant")
+             .join(F.broadcast(col_t), "category")
+             .crossJoin(F.broadcast(n_t)))
+    e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    term_micro = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e)
+        / e * 1000000 + F.lit(0.5)).cast("long")
+    agg = cells.agg(
+        F.countDistinct("variant").alias("n_variants"),
+        F.countDistinct("category").alias("n_categories"),
+        F.sum(term_micro).alias("chi2_micro"))
+    dof = ((F.col("n_variants") - 1)
+           * (F.col("n_categories") - 1)).cast("long")
+    return agg.select(
+        F.col("n_variants").cast("long").alias("n_variants"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        dof.alias("dof"),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        (F.col("chi2_micro")
+         > F.lit(chi2_critical_milli * 1000)).alias("significant"))

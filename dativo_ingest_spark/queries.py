@@ -8316,6 +8316,57 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi_square_events",
+    """
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             event_type AS category, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT variant, CAST(sum(o) AS BIGINT) AS rt
+           FROM obs GROUP BY 1),
+    ct AS (SELECT category, CAST(sum(o) AS BIGINT) AS ct
+           FROM obs GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT variant, category, o,
+             CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM obs JOIN rt USING (variant) JOIN ct USING (category), nt),
+    terms AS (
+      SELECT variant, category,
+             CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
+                        / e * 1000000 + 0.5) AS BIGINT) AS tm
+      FROM cells)
+    SELECT CAST(count(DISTINCT variant) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT category) AS BIGINT) AS n_categories,
+           CAST((count(DISTINCT variant) - 1)
+                * (count(DISTINCT category) - 1) AS BIGINT) AS dof,
+           CAST(sum(tm) AS BIGINT) AS chi2_micro,
+           CAST(sum(tm) AS BIGINT) > 9488000 AS significant
+    FROM terms
+    """,
+    doc="chi-square independence between variant and categorical "
+        "outcome (operators/analytics.py:chi_square_independence) — "
+        "completes the experiment family (z for binary, Mann-Whitney "
+        "for continuous, chi2 for k-category). Each cell's (O-E)^2/E "
+        "term evaluates in fixed IEEE order and quantizes to micro "
+        "BEFORE the cross-cell sum (float sums are "
+        "partition-order-private; integer sums are not), so chi2_micro "
+        "replays bit-for-bit; the critical value is an explicit "
+        "literal (9.488 = dof 4 at alpha 0.05) because chi-square "
+        "quantiles are not IEEE-computable in-engine.",
+)
+def chi_square_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import (
+        chi_square_independence)
+
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"), "event_type")
+    return chi_square_independence(v, "variant", "event_type")
+
+
+@register(
     "mannwhitney_events",
     """
     WITH base AS (
@@ -10420,6 +10471,7 @@ _GATE_DEMOTED = [
     "referential_orders_customer",
     "ab_test_events",
     "mannwhitney_events",
+    "chi_square_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -399,3 +399,38 @@ class TestMannWhitneyU:
         df = spark.createDataFrame([("A", 1.0)], "variant string, value double")
         with _pytest.raises(ValueError, match="two variants"):
             mann_whitney_u(df, "variant", "value")
+
+
+class TestChiSquareIndependence:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators.analytics import (
+            chi_square_independence)
+
+        # 2x2: A=(30 yes, 70 no), B=(50 yes, 50 no)
+        rows = ([("A", "y")] * 30 + [("A", "n")] * 70
+                + [("B", "y")] * 50 + [("B", "n")] * 50)
+        df = spark.createDataFrame(rows, "variant string, cat string")
+        r = chi_square_independence(df, "variant", "cat",
+                                    chi2_critical_milli=3841).collect()[0]
+        exp = 0
+        for o, rt, ct in ((30, 100, 80), (70, 100, 120),
+                          (50, 100, 80), (50, 100, 120)):
+            e = rt * ct / 200.0
+            exp += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+        assert (r.n_variants, r.n_categories, r.dof) == (2, 2, 1)
+        assert r.chi2_micro == exp
+        assert r.significant is True   # chi2 ~ 8.33 > 3.841
+
+    def test_independent_not_significant(self, spark):
+        from dativo_ingest_spark.operators.analytics import (
+            chi_square_independence)
+
+        rows = [(v, c) for v in ("A", "B") for c in ("x", "y", "z")
+                for _ in range(40)]
+        df = spark.createDataFrame(rows, "variant string, cat string")
+        r = chi_square_independence(df, "variant", "cat",
+                                    chi2_critical_milli=5991).collect()[0]
+        assert r.chi2_micro == 0 and r.significant is False
+        assert r.dof == 2

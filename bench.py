@@ -167,6 +167,7 @@ EXTENDED = [
     "equi_depth_bins_events",
     "weighted_median_docs",
     "profile_columns_events",
+    "dataset_card_docs",
     "fd_discovery_orders",
     "psi_drift_events",
     "ks_drift_events",

@@ -285,3 +285,70 @@ def ks_drift(
                     + F.lit(0.5)).cast("long").alias("crit_micro"))
             .withColumn("drift",
                         F.col("d_stat_micro") > F.col("crit_micro")))
+
+
+def dataset_card(df: DataFrame, id_col: str, text_col: str,
+                 lang_col: str | None = None) -> DataFrame:
+    """Dataset datasheet in one place — the summary block every released
+    corpus ships (Gebru et al.'s "Datasheets for Datasets" reduced to
+    its quantitative rows): volume, vocabulary, duplication, PII
+    exposure and length shape, each an exact engine-portable integer.
+
+    (metric string, value bigint) rows: n_docs, total_words,
+    total_chars, vocab_size, dup_docs (docs whose exact text content is
+    shared with at least one other doc — md5 groups), docs_with_email,
+    median_words_x2 (doubled so the interpolated exact median stays an
+    integer), n_langs (when ``lang_col`` given).
+
+    Scale: one tokenized scan feeding three aggregates (doc grain,
+    word grain, md5 grain) — the vocab count is the only
+    vocabulary-sized exchange; everything else is doc-grain partial
+    aggs. The report frame is a dozen rows at any corpus size.
+    """
+    from dativo_ingest_spark.functions import text
+    from dativo_ingest_spark.operators.pii import PII_PATTERNS
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        *([F.col(lang_col).alias("lang")] if lang_col else []))
+    words = base.select("id", text.words(F.col("t")).alias("w"),
+                        F.md5(F.col("t")).alias("fp"),
+                        F.length("t").alias("nc"),
+                        (F.regexp_count(
+                            F.col("t"),
+                            F.lit(PII_PATTERNS["email"])) > 0)
+                        .cast("long").alias("has_email"),
+                        *(["lang"] if lang_col else []))
+    doc_stats = words.select(
+        "id", F.size("w").cast("long").alias("nw"), "nc", "fp",
+        "has_email", *(["lang"] if lang_col else []))
+    agg = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").alias("total_words"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("has_email").alias("docs_with_email"),
+        F.floor(F.expr("percentile(nw, 0.5D)") * 2 + F.lit(0.5))
+        .alias("median_words_x2"),
+        *([F.countDistinct("lang").alias("n_langs")] if lang_col
+          else []))
+    vocab = (words.select(F.explode("w").alias("word"))
+             .agg(F.countDistinct("word").alias("vocab_size")))
+    dups = (doc_stats.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("dup_docs")))
+    row = agg.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(dups)) \
+        .first()
+    metrics = [("n_docs", row["n_docs"]),
+               ("total_words", row["total_words"]),
+               ("total_chars", row["total_chars"]),
+               ("vocab_size", row["vocab_size"]),
+               ("dup_docs", row["dup_docs"]),
+               ("docs_with_email", row["docs_with_email"]),
+               ("median_words_x2", row["median_words_x2"])]
+    if lang_col:
+        metrics.append(("n_langs", row["n_langs"]))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(k, int(v)) for k, v in metrics], "metric string, value bigint")

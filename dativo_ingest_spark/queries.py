@@ -8316,6 +8316,65 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_card_docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t, lang FROM documents),
+    toks AS (
+      SELECT doc_id, t, lang, md5(t) AS fp,
+             CAST(length(t) AS BIGINT) AS nc,
+             CASE WHEN len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+               THEN 1 ELSE 0 END AS has_email,
+             CASE WHEN trim(regexp_replace(lower(t), '\s+', ' ', 'g'))
+                       = '' THEN []
+                  ELSE string_split(trim(regexp_replace(lower(t),
+                       '\s+', ' ', 'g')), ' ') END AS ws
+      FROM base),
+    d AS (SELECT doc_id, lang, fp, nc, has_email,
+                 CAST(len(ws) AS BIGINT) AS nw FROM toks),
+    vocab AS (
+      SELECT CAST(count(DISTINCT word) AS BIGINT) AS v
+      FROM (SELECT unnest(ws) AS word FROM toks)),
+    dups AS (
+      SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_docs
+      FROM (SELECT fp, count(*) AS c FROM d GROUP BY 1) g
+      WHERE c > 1),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS total_words,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(sum(has_email) AS BIGINT) AS docs_with_email,
+             CAST(floor(quantile_cont(nw, 0.5) * 2 + 0.5) AS BIGINT)
+               AS median_words_x2,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM d)
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+      UNION ALL SELECT 'total_words', total_words FROM agg
+      UNION ALL SELECT 'total_chars', total_chars FROM agg
+      UNION ALL SELECT 'vocab_size', v FROM vocab
+      UNION ALL SELECT 'dup_docs', dup_docs FROM dups
+      UNION ALL SELECT 'docs_with_email', docs_with_email FROM agg
+      UNION ALL SELECT 'median_words_x2', median_words_x2 FROM agg
+      UNION ALL SELECT 'n_langs', n_langs FROM agg)
+    """,
+    doc="dataset datasheet (operators/profiling.py:dataset_card — the "
+        "quantitative rows of Gebru et al.'s Datasheets for Datasets): "
+        "volume, vocabulary, exact-duplicate exposure, PII exposure and "
+        "length shape as exact engine-portable integers from one "
+        "tokenized scan feeding three aggregates. The artifact every "
+        "released training corpus ships next to its shards; the report "
+        "frame is a dozen rows at any corpus size.",
+)
+def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import dataset_card
+
+    docs = load(spark, sf_dir, "documents")
+    return dataset_card(docs, "doc_id", "text", lang_col="lang")
+
+
+@register(
     "chi_square_events",
     """
     WITH obs AS (
@@ -10472,6 +10531,7 @@ _GATE_DEMOTED = [
     "ab_test_events",
     "mannwhitney_events",
     "chi_square_events",
+    "dataset_card_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

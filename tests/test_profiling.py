@@ -205,3 +205,39 @@ class TestKsDrift:
         df = spark.createDataFrame([("g", 1.0)], "key string, value double")
         with _pytest.raises(ValueError, match="key_cols"):
             ks_drift(df, df, [], "value")
+
+
+class TestDatasetCard:
+    def test_hand_computed_card(self, spark):
+        from dativo_ingest_spark.operators.profiling import dataset_card
+
+        rows = [
+            (1, "the cat sat", "en"),
+            (2, "the cat sat", "en"),          # exact dup of 1
+            (3, "reach me at bob@example.com ok", "en"),
+            (4, "hola mundo", "es"),
+            (5, None, "en"),                   # null text -> 0 words
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                         "lang string")
+        got = {r.metric: r.value for r in dataset_card(
+            df, "doc_id", "text", lang_col="lang").collect()}
+        assert got["n_docs"] == 5
+        assert got["total_words"] == 3 + 3 + 5 + 2 + 0
+        assert got["vocab_size"] == len(
+            {"the", "cat", "sat", "reach", "me", "at",
+             "bob@example.com", "ok", "hola", "mundo"})
+        assert got["dup_docs"] == 2          # docs 1 and 2 share content
+        assert got["docs_with_email"] == 1
+        assert got["n_langs"] == 2
+        # words per doc: [3,3,5,2,0] -> median 3 -> x2 = 6
+        assert got["median_words_x2"] == 6
+
+    def test_without_lang(self, spark):
+        from dativo_ingest_spark.operators.profiling import dataset_card
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id bigint, "
+                                                 "text string")
+        got = {r.metric for r in dataset_card(
+            df, "doc_id", "text").collect()}
+        assert "n_langs" not in got and "n_docs" in got

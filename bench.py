@@ -187,6 +187,7 @@ EXTENDED = [
     "ab_test_events",
     "mannwhitney_events",
     "chi_square_events",
+    "sprt_events",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

@@ -603,3 +603,89 @@ def chi_square_independence(
         F.col("chi2_micro").cast("long").alias("chi2_micro"),
         (F.col("chi2_micro")
          > F.lit(chi2_critical_milli * 1000)).alias("significant"))
+
+
+def sprt_binary(
+    df: DataFrame,
+    variant_col: str,
+    ts_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha_milli: int = 50,
+    beta_milli: int = 200,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per variant — the
+    peeking-safe experiment monitor: instead of fixing n up front, the
+    log-likelihood ratio accumulates event by event and the test STOPS
+    the moment the evidence crosses either bound, typically at a
+    fraction of the fixed-n sample size.
+
+    Per variant: (variant, n, s, llr_micro, decision, decided_at_n)
+    where ``decision`` is ``accept_h1`` / ``accept_h0`` / ``continue``
+    and ``decided_at_n`` the 1-based event ordinal of the FIRST bound
+    crossing (the sequential part — a later drift back inside the
+    bounds cannot un-decide a stopped test).
+
+    Exactness: the per-event increments ln(p1/p0) and ln((1-p1)/(1-p0))
+    quantize to micro-nat literals ONCE driver-side and ride into both
+    the plan and the generated oracle as the same integers, so the
+    running LLR is an exact BIGINT fold (ordering ties on the
+    timestamp break by success flag then row count — deterministic);
+    the bounds ln(B) = ln(beta/(1-alpha)), ln(A) = ln((1-beta)/alpha)
+    quantize the same way.
+
+    Scale: one variant-keyed window over events ordered by time — the
+    same single-Exchange shape as sessionization; state is O(1).
+    """
+    import math
+
+    if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
+        raise ValueError("p0 and p1 must be distinct probabilities in "
+                         "(0, 1)")
+    l1 = math.floor(math.log(p1 / p0) * 1e6 + 0.5)
+    l0 = math.floor(math.log((1 - p1) / (1 - p0)) * 1e6 + 0.5)
+    alpha = alpha_milli / 1000.0
+    beta = beta_milli / 1000.0
+    lo = math.floor(math.log(beta / (1 - alpha)) * 1e6 + 0.5)
+    hi = math.floor(math.log((1 - beta) / alpha) * 1e6 + 0.5)
+
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(variant_col).alias("variant"),
+        F.col(ts_col).alias("ts"),
+        F.col(success_col).cast("long").alias("succ"))
+    w = (Window.partitionBy("variant").orderBy("ts", "succ")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = base.select(
+        "variant", "succ",
+        F.row_number().over(
+            Window.partitionBy("variant").orderBy("ts", "succ"))
+        .alias("rn"),
+        (F.sum(F.when(F.col("succ") == 1, F.lit(int(l1)))
+               .otherwise(F.lit(int(l0)))).over(w)).alias("llr"))
+    crossed = run.withColumn(
+        "_dec", F.when(F.col("llr") >= hi, F.lit("accept_h1"))
+                 .when(F.col("llr") <= lo, F.lit("accept_h0")))
+    first_cross = (crossed.filter(F.col("_dec").isNotNull())
+                   .groupBy("variant")
+                   .agg(F.min("rn").alias("decided_at_n")))
+    first_dec = (crossed.join(first_cross, "variant")
+                 .filter(F.col("rn") == F.col("decided_at_n"))
+                 .select("variant", F.col("_dec").alias("decision"),
+                         "decided_at_n"))
+    totals = base.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("succ").alias("s"))
+    final_llr = run.groupBy("variant").agg(
+        F.max_by("llr", "rn").alias("llr_micro"))
+    return (totals.join(final_llr, "variant")
+            .join(first_dec, "variant", "left")
+            .select("variant",
+                    F.col("n").cast("long").alias("n"),
+                    F.col("s").cast("long").alias("s"),
+                    F.col("llr_micro").cast("long").alias("llr_micro"),
+                    F.coalesce("decision", F.lit("continue"))
+                    .alias("decision"),
+                    F.col("decided_at_n").cast("long")
+                    .alias("decided_at_n")))

@@ -8315,6 +8315,95 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+_SPRT_P0, _SPRT_P1 = 0.35, 0.45
+_SPRT_ALPHA_MILLI, _SPRT_BETA_MILLI = 50, 200
+
+
+def _sprt_oracle() -> str:
+    """SQL replica of sprt_binary with the SAME driver-computed
+    micro-nat literals (increments and bounds quantize once in Python
+    and ride into both the plan and this string — the vendored-constant
+    pattern the classifier seam uses)."""
+    import math
+
+    l1 = math.floor(math.log(_SPRT_P1 / _SPRT_P0) * 1e6 + 0.5)
+    l0 = math.floor(
+        math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6 + 0.5)
+    a = _SPRT_ALPHA_MILLI / 1000.0
+    b = _SPRT_BETA_MILLI / 1000.0
+    lo = math.floor(math.log(b / (1 - a)) * 1e6 + 0.5)
+    hi = math.floor(math.log((1 - b) / a) * 1e6 + 0.5)
+    return f"""
+    WITH base AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             ts, CASE WHEN value > 100 THEN 1 ELSE 0 END AS succ
+      FROM events WHERE value IS NOT NULL),
+    run AS (
+      SELECT variant, succ,
+             row_number() OVER (PARTITION BY variant
+                                ORDER BY ts, succ) AS rn,
+             sum(CASE WHEN succ = 1 THEN {l1} ELSE {l0} END)
+               OVER (PARTITION BY variant ORDER BY ts, succ
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS llr
+      FROM base),
+    crossed AS (
+      SELECT variant, rn, llr,
+             CASE WHEN llr >= {hi} THEN 'accept_h1'
+                  WHEN llr <= {lo} THEN 'accept_h0' END AS dec
+      FROM run),
+    first_cross AS (
+      SELECT variant, CAST(min(rn) AS BIGINT) AS decided_at_n
+      FROM crossed WHERE dec IS NOT NULL GROUP BY 1),
+    first_dec AS (
+      SELECT c.variant, c.dec AS decision, f.decided_at_n
+      FROM crossed c JOIN first_cross f
+        ON f.variant = c.variant AND c.rn = f.decided_at_n),
+    totals AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(succ) AS BIGINT) AS s
+      FROM base GROUP BY 1),
+    final_llr AS (
+      SELECT variant, CAST(arg_max(llr, rn) AS BIGINT) AS llr_micro
+      FROM run GROUP BY 1)
+    SELECT t.variant, t.n, t.s, f.llr_micro,
+           coalesce(d.decision, 'continue') AS decision,
+           d.decided_at_n
+    FROM totals t
+    JOIN final_llr f ON f.variant = t.variant
+    LEFT JOIN first_dec d ON d.variant = t.variant"""
+
+
+@register(
+    "sprt_events",
+    _sprt_oracle(),
+    doc="Wald sequential probability ratio test per variant "
+        "(operators/analytics.py:sprt_binary) — the peeking-safe "
+        "experiment monitor: the log-likelihood ratio accumulates event "
+        "by event and the test STOPS at the first bound crossing, "
+        "typically at a fraction of the fixed-n sample. Per-event "
+        "increments and the Wald bounds quantize to micro-nat literals "
+        "ONCE driver-side and ride into both the plan and the oracle "
+        "(the vendored-constant pattern), so the running LLR is an "
+        "exact BIGINT fold; a later drift back inside the bounds "
+        "cannot un-decide a stopped test (first-crossing semantics "
+        "pinned on both engines). One variant-keyed time-ordered "
+        "window — the sessionization Exchange shape, O(1) state.",
+)
+def sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import sprt_binary
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        .alias("variant"), "ts",
+        (F.col("value") > 100).cast("int").alias("succ"))
+    return sprt_binary(v, "variant", "ts", "succ",
+                       p0=_SPRT_P0, p1=_SPRT_P1,
+                       alpha_milli=_SPRT_ALPHA_MILLI,
+                       beta_milli=_SPRT_BETA_MILLI)
+
+
 @register(
     "dataset_card_docs",
     r"""
@@ -10532,6 +10621,7 @@ _GATE_DEMOTED = [
     "mannwhitney_events",
     "chi_square_events",
     "dataset_card_docs",
+    "sprt_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -434,3 +434,55 @@ class TestChiSquareIndependence:
                                     chi2_critical_milli=5991).collect()[0]
         assert r.chi2_micro == 0 and r.significant is False
         assert r.dof == 2
+
+
+class TestSprtBinary:
+    def test_first_crossing_sticks(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        # 20 successes then 20 failures: the run crosses the H1 bound
+        # early; the later failures must NOT un-decide it
+        rows = ([("A", f"2024-01-01 00:{i:02d}:00", 1) for i in range(20)]
+                + [("A", f"2024-01-01 01:{i:02d}:00", 0)
+                   for i in range(20)])
+        from pyspark.sql import functions as F
+        df = (spark.createDataFrame(rows, "variant string, ts string, "
+                                          "succ int")
+              .select("variant", F.col("ts").cast("timestamp").alias("ts"),
+                      "succ"))
+        r = sprt_binary(df, "variant", "ts", "succ",
+                        p0=0.2, p1=0.6).collect()[0]
+        l1 = math.floor(math.log(0.6 / 0.2) * 1e6 + 0.5)
+        hi = math.floor(math.log(0.8 / 0.05) * 1e6 + 0.5)
+        import math as _m
+        need = _m.ceil(hi / l1)
+        assert r.decision == "accept_h1"
+        assert r.decided_at_n == need          # crossed mid-successes
+        assert r.n == 40 and r.s == 20
+
+    def test_continue_when_inconclusive(self, spark):
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        rows = [("B", f"2024-01-01 00:00:{i:02d}", i % 2)
+                for i in range(10)]
+        df = (spark.createDataFrame(rows, "variant string, ts string, "
+                                          "succ int")
+              .select("variant", F.col("ts").cast("timestamp").alias("ts"),
+                      "succ"))
+        r = sprt_binary(df, "variant", "ts", "succ",
+                        p0=0.45, p1=0.55).collect()[0]
+        assert r.decision == "continue" and r.decided_at_n is None
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        df = spark.createDataFrame([("A", "2024-01-01", 1)],
+                                   "variant string, ts string, succ int")
+        with _pytest.raises(ValueError, match="probabilities"):
+            sprt_binary(df, "variant", "ts", "succ", p0=0.5, p1=0.5)

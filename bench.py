@@ -128,6 +128,7 @@ EXTENDED = [
     "gopher_rules_docs",
     "html_strip_docs",
     "unicode_normalize_docs",
+    "char_entropy_docs",
     "dsir_weights_docs",
     "perplexity_bucket_mix",
     "feature_hash_docs",

@@ -1495,3 +1495,58 @@ def flesch_reading_ease(
                F.floor(score * micro_units + 0.5).cast("long"))
         .alias("flesch_micro"),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) over the
+    normalized text — the classic gibberish/compression quality signal:
+    natural prose sits in a narrow entropy band, while base64 blobs,
+    minified code and keyboard mash sit far above it and repeated-char
+    padding far below. Complements the word-level signals
+    (quality_features, repetition, unigram LM) at the sub-token grain
+    they cannot see.
+
+    (id, n_chars, entropy_micro) — per-character-class terms
+    ``-p·ln(p)`` evaluate in fixed IEEE order (one divide for p, one
+    ln, one multiply) and quantize to integer micro-nats BEFORE the
+    per-document sum, the unigram_logprob discipline. Empty documents
+    emit 0 entropy over 0 chars.
+
+    Scale: normalize + per-position character explode (x doc length —
+    the duplicate_passages gram-explosion scale, scan-stage) into ONE
+    (doc, char) partial-agg shuffle, then a doc-grain fold.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        text.normalize_ws(F.coalesce(F.col(text_col), F.lit("")))
+        .alias("t"))
+    # length > 0 filter is load-bearing: Spark's sequence(1, 0) counts
+    # DOWN ([1, 0]) rather than returning empty, which would explode an
+    # empty doc into n=0 rows and a divide-by-zero under ANSI mode
+    chars = staged.filter(F.length("t") > 0).select(
+        "id", F.length("t").alias("n"),
+        F.explode(F.expr(
+            "transform(sequence(1, length(t)), i -> substring(t, i, 1))"
+        )).alias("ch"))
+    counts = chars.groupBy("id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c"))
+    term = F.floor(
+        -(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double"))
+        * 1000000 + F.lit(0.5)).cast("long")
+    per_doc = (counts.groupBy("id")
+               .agg(F.max("n").alias("n_chars"),
+                    F.sum(term).alias("entropy_micro")))
+    # empty docs never reach the explode: re-attach them with 0 entropy
+    # (total function, like unicode_normalize's NULL contract)
+    all_ids = staged.select("id", F.length("t").alias("n_chars"))
+    return (all_ids.join(per_doc.select("id", "entropy_micro"),
+                         "id", "left")
+            .select("id",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.coalesce("entropy_micro", F.lit(0))
+                    .cast("long").alias("entropy_micro")))

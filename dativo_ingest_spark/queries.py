@@ -8315,6 +8315,51 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+@register(
+    "char_entropy_docs",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ',
+                                 'g')) AS t
+      FROM documents),
+    chars AS (
+      SELECT doc_id, CAST(length(t) AS BIGINT) AS nn,
+             substr(t, i, 1) AS ch
+      FROM n, unnest(range(1, length(t) + 1)) AS u(i)),
+    counts AS (
+      SELECT doc_id, nn, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, max(nn) AS n_chars,
+             CAST(sum(CAST(floor(
+               -(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+      FROM counts GROUP BY 1)
+    SELECT n.doc_id AS id,
+           CAST(length(n.t) AS BIGINT) AS n_chars,
+           CAST(coalesce(per.entropy_micro, 0) AS BIGINT)
+             AS entropy_micro
+    FROM n LEFT JOIN per ON per.doc_id = n.doc_id
+    """,
+    doc="per-document character-level Shannon entropy "
+        "(operators/textops.py:char_entropy) — the sub-token "
+        "gibberish/compression signal word-level features cannot see: "
+        "base64 blobs and keyboard mash sit far above the natural-prose "
+        "band, repeated-char padding far below. Per-character-class "
+        "-p*ln(p) terms evaluate in fixed IEEE order and quantize to "
+        "micro-nats BEFORE the per-document sum; the character "
+        "explosion is the same scan-stage x-length cost shape as the "
+        "positioned-gram passes.",
+)
+def char_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.textops import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
+
+
 _SPRT_P0, _SPRT_P1 = 0.35, 0.45
 _SPRT_ALPHA_MILLI, _SPRT_BETA_MILLI = 50, 200
 
@@ -10622,6 +10667,7 @@ _GATE_DEMOTED = [
     "chi_square_events",
     "dataset_card_docs",
     "sprt_events",
+    "char_entropy_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

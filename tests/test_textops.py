@@ -285,3 +285,35 @@ class TestKneserNey:
         docs = load(spark, SF_DIR, "documents")
         out = textops.kneser_ney_logprob(docs, "doc_id", "text")
         assert out.filter("n_unk > 0").count() == 0
+
+
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        from dativo_ingest_spark.operators import textops
+
+        df = spark.createDataFrame(
+            [(1, "aabb"), (2, "aaaa"), (3, ""), (4, None)],
+            "doc_id bigint, text string")
+        got = {r.id: (r.n_chars, r.entropy_micro)
+               for r in textops.char_entropy(
+                   df, "doc_id", "text").collect()}
+        # "aabb": p(a)=p(b)=0.5 -> H = ln 2
+        t = math.floor(-0.5 * math.log(0.5) * 1e6 + 0.5)
+        assert got[1] == (4, 2 * t)
+        assert got[2] == (4, 0)          # single char class: H = 0
+        assert got[3] == (0, 0) and got[4] == (0, 0)
+
+    def test_gibberish_above_prose_above_padding(self, spark):
+        from dativo_ingest_spark.operators import textops
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "aGVsbG8xMjM0NTY3ODlBQkNERUZHSElKS0xNTk9QUVJT"),  # b64ish
+            (3, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {r.id: r.entropy_micro for r in textops.char_entropy(
+            df, "doc_id", "text").collect()}
+        assert got[2] > got[1] > got[3] == 0

@@ -189,6 +189,7 @@ EXTENDED = [
     "mannwhitney_events",
     "chi_square_events",
     "sprt_events",
+    "basket_lift_events",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

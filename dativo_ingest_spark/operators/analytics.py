@@ -689,3 +689,54 @@ def sprt_binary(
                     .alias("decision"),
                     F.col("decided_at_n").cast("long")
                     .alias("decided_at_n")))
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_both: int = 1,
+) -> DataFrame:
+    """Association lift between item pairs across baskets (users,
+    sessions, orders): ``lift(a,b) = P(a,b) / (P(a)·P(b))`` over basket
+    membership — the market-basket signal behind "users who trigger X
+    also trigger Y", > 1e6 micro meaning positive association.
+
+    One row per unordered pair (item_a < item_b, co-occurrence >=
+    ``min_both``): (item_a, item_b, n_a, n_b, n_both, lift_micro).
+
+    Exactness: lift = n_both * N / (n_a * n_b) — all exact BIGINTs into
+    ONE floor division after scaling by 1e6 (int64-safe while
+    n_both·N·1e6 < 2^63 — shard past ~3e6 baskets with full
+    co-occurrence, documented). No floats anywhere.
+
+    Scale: distinct (basket, item) membership (one partial-agg
+    shuffle), then a per-basket self-join on item < item — cost is
+    sum of per-basket (k choose 2) with k = distinct items per basket,
+    linear when item vocabularies per basket are bounded (event types,
+    product categories); a hot basket with thousands of distinct items
+    should be capped upstream like every other pair join here.
+    """
+    m = (df.select(F.col(basket_col).alias("b"),
+                   F.col(item_col).alias("item"))
+         .dropDuplicates(["b", "item"]))
+    n_total = m.select("b").distinct().count()
+    item_n = m.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = m.select("b", F.col("item").alias("item_a"))
+    bb = m.select("b", F.col("item").alias("item_b"))
+    pairs = (a.join(bb, "b")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= min_both))
+    return (pairs
+            .join(item_n.select(F.col("item").alias("item_a"),
+                                F.col("n").alias("n_a")), "item_a")
+            .join(item_n.select(F.col("item").alias("item_b"),
+                                F.col("n").alias("n_b")), "item_b")
+            .select("item_a", "item_b",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    F.col("n_both").cast("long").alias("n_both"),
+                    F.expr(f"(n_both * {int(n_total)}L * 1000000L) DIV "
+                           "(n_a * n_b)").alias("lift_micro")))

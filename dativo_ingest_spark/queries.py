@@ -8316,6 +8316,44 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "basket_lift_events",
+    """
+    WITH m AS (
+      SELECT DISTINCT user_id AS b, event_type AS item FROM events),
+    nt AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM m),
+    item_n AS (SELECT item, CAST(count(*) AS BIGINT) AS n
+               FROM m GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, bb.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM m a JOIN m bb ON a.b = bb.b AND a.item < bb.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 1)
+    SELECT p.item_a, p.item_b,
+           na.n AS n_a, nb.n AS n_b, p.n_both,
+           CAST((p.n_both * nt.n * 1000000) // (na.n * nb.n) AS BIGINT)
+             AS lift_micro
+    FROM pairs p
+    JOIN item_n na ON na.item = p.item_a
+    JOIN item_n nb ON nb.item = p.item_b, nt
+    """,
+    doc="market-basket association lift between event types per user "
+        "(operators/analytics.py:basket_lift): lift = n_both*N/"
+        "(n_a*n_b) as ONE exact floor division after 1e6 scaling — no "
+        "floats anywhere, engine-identical truncation (DuckDB integer "
+        "// truncates like Spark DIV). Distinct (basket, item) "
+        "membership then a per-basket self-join bounded by items per "
+        "basket — linear for bounded item vocabularies like event "
+        "types.",
+)
+def basket_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.analytics import basket_lift
+
+    ev = load(spark, sf_dir, "events")
+    return basket_lift(ev, "user_id", "event_type")
+
+
+@register(
     "char_entropy_docs",
     r"""
     WITH n AS (
@@ -10668,6 +10706,7 @@ _GATE_DEMOTED = [
     "dataset_card_docs",
     "sprt_events",
     "char_entropy_docs",
+    "basket_lift_events",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -486,3 +486,28 @@ class TestSprtBinary:
                                    "variant string, ts string, succ int")
         with _pytest.raises(ValueError, match="probabilities"):
             sprt_binary(df, "variant", "ts", "succ", p0=0.5, p1=0.5)
+
+
+class TestBasketLift:
+    def test_hand_computed_lift(self, spark):
+        from dativo_ingest_spark.operators.analytics import basket_lift
+
+        # baskets: u1={x,y}, u2={x,y}, u3={x}, u4={z} -> N=4
+        rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (2, "y"),
+                (3, "x"), (4, "z")]
+        df = spark.createDataFrame(rows, "u bigint, item string")
+        got = {(r.item_a, r.item_b):
+               (r.n_a, r.n_b, r.n_both, r.lift_micro)
+               for r in basket_lift(df, "u", "item").collect()}
+        # lift(x,y) = (2*4)/(3*2) = 4/3 -> 1333333 micro (floor)
+        assert got[("x", "y")] == (3, 2, 2, (2 * 4 * 1000000) // (3 * 2))
+        assert ("x", "z") not in got      # never co-occur
+        assert ("y", "z") not in got
+
+    def test_min_both_filters(self, spark):
+        from dativo_ingest_spark.operators.analytics import basket_lift
+
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "c")]
+        df = spark.createDataFrame(rows, "u bigint, item string")
+        out = basket_lift(df, "u", "item", min_both=2).collect()
+        assert out == []

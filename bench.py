@@ -190,6 +190,7 @@ EXTENDED = [
     "chi_square_events",
     "sprt_events",
     "basket_lift_events",
+    "benford_orders",
     "pareto_abc_parts",
     "grouped_topk_spenders",
     "ohlc_daily_events",

@@ -8316,6 +8316,44 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benford_orders",
+    """
+    WITH d AS (
+      SELECT regexp_extract(CAST(CAST(floor(abs(o_totalprice) * 100
+                                           + 0.5) AS BIGINT) AS VARCHAR),
+                            '^([1-9])', 1) AS d
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    d2 AS (SELECT d FROM d WHERE d <> ''),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d2),
+    counts AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs
+               FROM d2 GROUP BY 1),
+    exp_t(dig, e) AS (VALUES
+      (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+    SELECT CAST(c.d AS BIGINT) AS digit, c.n_obs,
+           CAST((c.n_obs * 1000000) // nt.total AS BIGINT) AS obs_micro,
+           CAST(e.e AS BIGINT) AS expected_micro,
+           CAST(abs((c.n_obs * 1000000) // nt.total - e.e) AS BIGINT)
+             AS dev_micro
+    FROM counts c JOIN exp_t e ON e.dig = CAST(c.d AS BIGINT), nt
+    """,
+    doc="Benford first-digit conformity over order amounts "
+        "(operators/profiling.py:benford_check) — the fabrication/"
+        "corruption tripwire for organically-grown numeric columns. "
+        "First digits extract from the BIGINT cents' decimal STRING "
+        "(no runtime log10), observed shares are integer floor "
+        "divisions, expected shares are micro-quantized constants "
+        "inlined on both engines — zero floats anywhere. One "
+        "scan-stage extraction + a 9-key count.",
+)
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import benford_check
+
+    orders = load(spark, sf_dir, "orders")
+    return benford_check(orders, "o_totalprice")
+
+
+@register(
     "basket_lift_events",
     """
     WITH m AS (
@@ -10707,6 +10745,7 @@ _GATE_DEMOTED = [
     "sprt_events",
     "char_entropy_docs",
     "basket_lift_events",
+    "benford_orders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -241,3 +241,31 @@ class TestDatasetCard:
         got = {r.metric for r in dataset_card(
             df, "doc_id", "text").collect()}
         assert "n_langs" not in got and "n_docs" in got
+
+
+class TestBenfordCheck:
+    def test_benford_series_conforms(self, spark):
+        from dativo_ingest_spark.operators.profiling import benford_check
+
+        # powers of a multiplicative process follow Benford closely
+        vals = [(1.05 ** i,) for i in range(600)]
+        df = spark.createDataFrame(vals, "v double")
+        out = {r.digit: r for r in benford_check(df, "v").collect()}
+        assert set(out) == set(range(1, 10))
+        assert sum(r.n_obs for r in out.values()) == 600
+        # digit 1 leads and observed shares sit near expected
+        assert out[1].n_obs == max(r.n_obs for r in out.values())
+        assert all(r.dev_micro < 40000 for r in out.values())
+
+    def test_uniform_data_deviates(self, spark):
+        from dativo_ingest_spark.operators.profiling import benford_check
+
+        # uniform 100..999 cents: every first digit ~equally likely —
+        # digit 1's observed share must fall far below Benford's 30.1%
+        df = spark.createDataFrame([(float(v) / 100,)
+                                    for v in range(100, 1000)],
+                                   "v double")
+        out = {r.digit: r for r in benford_check(df, "v").collect()}
+        assert out[1].dev_micro > 150000
+        # exact share check: 100 of 900 values lead with each digit
+        assert out[1].obs_micro == (100 * 1000000) // 900

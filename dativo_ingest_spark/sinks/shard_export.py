@@ -150,9 +150,14 @@ def export_sorted_shards(
             raise AssertionError(
                 f"global order violated: shard {lo.shard} max "
                 f"{lo.max_key} > shard {hi.shard} min {hi.min_key}")
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(r.shard, r.n_rows, r.min_key, r.max_key) for r in rows],
         "shard bigint, n_rows bigint, min_key double, max_key double")
+    # persist the manifest next to the shards: range-pruned readers
+    # (read_sorted_range) consult it instead of opening every footer
+    out.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/manifest")
+    return out
 
 
 def audit_shards(spark, out_dir: str) -> dict:
@@ -185,3 +190,27 @@ def audit_shards(spark, out_dir: str) -> dict:
             mismatches.append({"shard": shard, "manifest": m, "files": a})
     return {"shards": len(manifest), "ok": not mismatches,
             "mismatches": mismatches}
+
+
+def read_sorted_range(spark, out_dir: str, lo: float,
+                      hi: float) -> DataFrame:
+    """Range-pruned read over an :func:`export_sorted_shards` layout:
+    consult the persisted manifest, open ONLY the shards whose
+    [min_key, max_key] overlap [lo, hi], then row-filter — the serving
+    read the sorted layout exists for (at 100 TB a narrow range touches
+    one shard of thousands; a plain filter would still scan every
+    file's footer). Returns the (id, k, shard) rows in range.
+    """
+    if lo > hi:
+        raise ValueError("lo must be <= hi")
+    man = spark.read.parquet(f"{out_dir}/manifest").collect()
+    picked = [int(r.shard) for r in man
+              if r.min_key is not None and r.max_key is not None
+              and not (r.max_key < lo or r.min_key > hi)]
+    if not picked:
+        return spark.createDataFrame(
+            [], "id bigint, k double, shard bigint")
+    df = (spark.read.option("basePath", out_dir)
+          .parquet(*[f"{out_dir}/shard={s}" for s in sorted(picked)]))
+    return (df.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+            .select("id", "k", F.col("shard").cast("long").alias("shard")))

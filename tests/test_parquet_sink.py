@@ -207,3 +207,32 @@ class TestPartitionAudit:
             spark.createDataFrame([("a",)], "k string"),
             str(tmp_path / "nope"), "k").collect()
         assert [(r.partition, r.status) for r in gone] == [("a", "missing")]
+
+
+class TestReadSortedRange:
+    def test_pruned_range_read(self, spark, tmp_path):
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_sorted_shards, read_sorted_range)
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(400)],
+                                   "id bigint, v double")
+        out = str(tmp_path / "sorted")
+        m = {r.shard: (r.min_key, r.max_key) for r in
+             export_sorted_shards(df, "id", "v", out,
+                                  n_shards=8).collect()}
+        got = read_sorted_range(spark, out, 120.0, 140.0)
+        rows = sorted((r.id, r.k) for r in got.collect())
+        assert rows == [(i, float(i)) for i in range(120, 141)]
+        # pruning really happened: the touched shards are only those
+        # whose manifest range overlaps the query range
+        touched = {r.shard for r in got.collect()}
+        overlapping = {s for s, (lo, hi) in m.items()
+                       if not (hi < 120.0 or lo > 140.0)}
+        assert touched <= overlapping
+        assert len(overlapping) < 8   # narrow range != full scan
+        # empty range outside the domain
+        assert read_sorted_range(spark, out, 10000.0,
+                                 20000.0).count() == 0
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="lo"):
+            read_sorted_range(spark, out, 5.0, 1.0)

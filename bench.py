@@ -169,6 +169,7 @@ EXTENDED = [
     "weighted_median_docs",
     "profile_columns_events",
     "dataset_card_docs",
+    "gini_sources_docs",
     "fd_discovery_orders",
     "psi_drift_events",
     "ks_drift_events",

@@ -8316,6 +8316,45 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gini_sources_docs",
+    """
+    WITH g AS (
+      SELECT source AS gg,
+             CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS x
+      FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, gg) AS i FROM g),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(i * x) AS BIGINT) AS w
+      FROM ranked)
+    SELECT n AS n_groups, s AS total_weight,
+           CASE WHEN s > 0 THEN
+             CAST(floor(CAST(2 * w - (n + 1) * s AS DOUBLE)
+                        / CAST(n * s AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT)
+           END AS gini_micro
+    FROM agg
+    """,
+    doc="Gini concentration of corpus volume across sources "
+        "(operators/profiling.py:gini_concentration) — the diversity "
+        "readout next to Pareto-ABC: a rising Gini across ingest runs "
+        "means the crawl is collapsing onto a few mega-sources even "
+        "when volume looks healthy. With ascending-sorted group "
+        "weights, Gini = (2*sum(i*x_i) - (n+1)*S)/(n*S) — every term an "
+        "exact BIGINT (tie blocks are permutation-stable), one "
+        "correctly-rounded division before micro quantization. One "
+        "corpus pass + a rank window over the group-cardinality frame.",
+)
+def gini_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.profiling import gini_concentration
+
+    docs = load(spark, sf_dir, "documents")
+    return gini_concentration(docs, "source", "n_chars")
+
+
+@register(
     "benford_orders",
     """
     WITH d AS (
@@ -10746,6 +10785,7 @@ _GATE_DEMOTED = [
     "char_entropy_docs",
     "basket_lift_events",
     "benford_orders",
+    "gini_sources_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -269,3 +269,38 @@ class TestBenfordCheck:
         assert out[1].dev_micro > 150000
         # exact share check: 100 of 900 values lead with each digit
         assert out[1].obs_micro == (100 * 1000000) // 900
+
+
+class TestGiniConcentration:
+    def test_even_and_concentrated(self, spark):
+        from dativo_ingest_spark.operators.profiling import (
+            gini_concentration)
+
+        even = spark.createDataFrame(
+            [(f"s{i}", 100) for i in range(10)], "src string, w bigint")
+        r = gini_concentration(even, "src", "w").collect()[0]
+        assert (r.n_groups, r.total_weight, r.gini_micro) == (10, 1000, 0)
+
+        # one group holds ~everything: Gini -> (n-1)/n
+        conc = spark.createDataFrame(
+            [("big", 10_000)] + [(f"s{i}", 1) for i in range(9)],
+            "src string, w bigint")
+        r2 = gini_concentration(conc, "src", "w").collect()[0]
+        assert r2.gini_micro > 880_000
+
+    def test_hand_computed(self, spark):
+        from dativo_ingest_spark.operators.profiling import (
+            gini_concentration)
+
+        # weights sorted ascending: [1, 2, 3, 4]; S=10, W=1+4+9+16=30
+        # gini = (60 - 5*10) / 40 = 0.25
+        df = spark.createDataFrame(
+            [("a", 4), ("b", 1), ("c", 3), ("d", 2)],
+            "src string, w bigint")
+        r = gini_concentration(df, "src", "w").collect()[0]
+        assert r.gini_micro == 250000
+        # zero total weight: NULL gini, not a crash
+        z = spark.createDataFrame([("a", 0), ("b", 0)],
+                                  "src string, w bigint")
+        rz = gini_concentration(z, "src", "w").collect()[0]
+        assert rz.gini_micro is None

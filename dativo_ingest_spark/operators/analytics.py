@@ -570,12 +570,18 @@ def chi_square_independence(
     cell's (O-E)^2/E term evaluates in fixed IEEE order from exact
     operands and quantizes to micro BEFORE the cross-cell sum (float
     sums are partition-order-private; integer sums are not) — so
-    chi2_micro replays bit-for-bit. Cells with E = 0 cannot occur
-    (E = row*col/N and both marginals are positive for an observed
-    cell's row/col).
+    chi2_micro replays bit-for-bit. The textbook statistic sums over
+    ALL r*c cells, so the observed counts are right-joined against the
+    full distinct-variant x distinct-category grid: an EMPTY cell
+    (O = 0) contributes (0-E)^2/E = E, and dropping those terms would
+    systematically understate chi2 on sparse contingency tables.
+    Cells with E = 0 cannot occur (E = row*col/N and both marginals
+    are positive for every variant/category that appears at all).
 
     Scale: one (variant, category) partial-agg pass; everything after
-    is cells x 1 frames (broadcast marginals).
+    is cells x 1 frames (broadcast marginals; the grid cross-join is
+    n_variants x n_categories — contingency-table-sized, never
+    row-sized).
     """
     obs = (df.groupBy(F.col(variant_col).alias("variant"),
                       F.col(category_col).alias("category"))
@@ -583,7 +589,12 @@ def chi_square_independence(
     row_t = obs.groupBy("variant").agg(F.sum("o").alias("rt"))
     col_t = obs.groupBy("category").agg(F.sum("o").alias("ct"))
     n_t = obs.agg(F.sum("o").alias("n"))
-    cells = (obs.join(F.broadcast(row_t), "variant")
+    grid = (obs.select("variant").distinct()
+            .crossJoin(F.broadcast(obs.select("category").distinct())))
+    full = (grid.join(obs, ["variant", "category"], "left")
+            .select("variant", "category",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o")))
+    cells = (full.join(F.broadcast(row_t), "variant")
              .join(F.broadcast(col_t), "category")
              .crossJoin(F.broadcast(n_t)))
     e = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")

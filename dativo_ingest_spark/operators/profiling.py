@@ -369,10 +369,14 @@ def benford_check(df: DataFrame, value_col: str) -> DataFrame:
     data leads with 1 ~30%% of the time, uniform-random or hand-typed
     data doesn't.
 
-    One row per digit 1-9: (digit, n_obs, obs_micro, expected_micro,
-    dev_micro). Total deviation / max dev is the caller's alarm knob
-    (Benford conformity thresholds are domain lore, not statistics —
-    report the exact numbers, let the monitor pick the bar).
+    One row per digit 1-9 — ALWAYS all nine, right-joined against the
+    inlined 1..9 digit table: a digit with ZERO observations is the
+    strongest Benford anomaly (dev_micro = expected_micro) and must
+    appear as n_obs = 0, not silently vanish from the report. Columns:
+    (digit, n_obs, obs_micro, expected_micro, dev_micro). Total
+    deviation / max dev is the caller's alarm knob (Benford conformity
+    thresholds are domain lore, not statistics — report the exact
+    numbers, let the monitor pick the bar).
 
     Exactness: the first digit extracts from the BIGINT cents' decimal
     STRING (regexp on digits — no log10 at runtime); observed shares
@@ -388,7 +392,12 @@ def benford_check(df: DataFrame, value_col: str) -> DataFrame:
               .select(F.regexp_extract(cents.cast("string"),
                                        "^([1-9])", 1).alias("d"))
               .filter(F.col("d") != ""))
-    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    observed = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    all_digits = (df.sparkSession.range(1, 10)
+                  .select(F.col("id").cast("string").alias("d")))
+    counts = (all_digits.join(observed, "d", "left")
+              .select("d",
+                      F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs")))
     total = digits.count()
     exp_expr = F.element_at(
         F.array(*[F.lit(BENFORD_MICRO[d]) for d in range(1, 10)]),

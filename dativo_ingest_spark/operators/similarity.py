@@ -1034,15 +1034,19 @@ def embedding_isotropy(
         # integer division semantics verified on NEGATIVE numerators
         # (anti-correlated embeddings): Spark's DIV and DuckDB's
         # integer // BOTH truncate toward zero (-7//3 = -2 in DuckDB —
-        # it floors only for float operands), so plain DIV matches
-        F.expr(f"(ss - sum_sq_norm) DIV (n * (n - 1) * {grid_to_micro})")
+        # it floors only for float operands), so plain DIV matches.
+        # n < 2 has no pairs: NULL, never a division by zero (which is
+        # NULL in legacy mode but a runtime error under ANSI).
+        F.when(n > 1, F.expr(
+            f"(ss - sum_sq_norm) DIV (n * (n - 1) * {grid_to_micro})"))
         .cast("long").alias("mean_pair_dot_micro"),
         # denominator (n-1)*sum_sq_norm can pass 2^63: compute it as ONE
         # correctly-rounded double multiply, then one divide — both
         # engines bit-identical on exact-integer operands
-        F.floor(pair_sum.cast("double")
-                / ((n - 1).cast("double")
-                   * F.col("sum_sq_norm").cast("double"))
-                * 1000000 + 0.5)
+        F.when((n > 1) & (F.col("sum_sq_norm") > 0),
+               F.floor(pair_sum.cast("double")
+                       / ((n - 1).cast("double")
+                          * F.col("sum_sq_norm").cast("double"))
+                       * 1000000 + 0.5))
         .cast("long").alias("anisotropy_micro"),
     )

@@ -8368,17 +8368,24 @@ def gini_sources_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM d2 GROUP BY 1),
     exp_t(dig, e) AS (VALUES
       (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
-      (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-    SELECT CAST(c.d AS BIGINT) AS digit, c.n_obs,
-           CAST((c.n_obs * 1000000) // nt.total AS BIGINT) AS obs_micro,
-           CAST(e.e AS BIGINT) AS expected_micro,
-           CAST(abs((c.n_obs * 1000000) // nt.total - e.e) AS BIGINT)
-             AS dev_micro
-    FROM counts c JOIN exp_t e ON e.dig = CAST(c.d AS BIGINT), nt
+      (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+    filled AS (
+      SELECT e.dig, CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs, e.e
+      FROM exp_t e LEFT JOIN counts c ON e.dig = CAST(c.d AS BIGINT))
+    SELECT CAST(f.dig AS BIGINT) AS digit, f.n_obs,
+           CAST((f.n_obs * 1000000) // greatest(nt.total, 1)
+                AS BIGINT) AS obs_micro,
+           CAST(f.e AS BIGINT) AS expected_micro,
+           CAST(abs((f.n_obs * 1000000) // greatest(nt.total, 1) - f.e)
+                AS BIGINT) AS dev_micro
+    FROM filled f, nt
     """,
     doc="Benford first-digit conformity over order amounts "
         "(operators/profiling.py:benford_check) — the fabrication/"
         "corruption tripwire for organically-grown numeric columns. "
+        "All NINE digits always report (left join against the inlined "
+        "digit table): a never-observed digit is the strongest anomaly "
+        "(dev = expected) and must not vanish from the frame. "
         "First digits extract from the BIGINT cents' decimal STRING "
         "(no runtime log10), observed shares are integer floor "
         "divisions, expected shares are micro-quantized constants "
@@ -8635,10 +8642,20 @@ def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT category, CAST(sum(o) AS BIGINT) AS ct
            FROM obs GROUP BY 1),
     nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT v.variant, c.category
+      FROM (SELECT DISTINCT variant FROM obs) v
+      CROSS JOIN (SELECT DISTINCT category FROM obs) c),
+    fullgrid AS (
+      SELECT g.variant, g.category,
+             CAST(coalesce(o.o, 0) AS BIGINT) AS o
+      FROM grid g LEFT JOIN obs o
+        ON g.variant = o.variant AND g.category = o.category),
     cells AS (
       SELECT variant, category, o,
              CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
-      FROM obs JOIN rt USING (variant) JOIN ct USING (category), nt),
+      FROM fullgrid JOIN rt USING (variant) JOIN ct USING (category),
+           nt),
     terms AS (
       SELECT variant, category,
              CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)
@@ -8659,7 +8676,10 @@ def dataset_card_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term evaluates in fixed IEEE order and quantizes to micro "
         "BEFORE the cross-cell sum (float sums are "
         "partition-order-private; integer sums are not), so chi2_micro "
-        "replays bit-for-bit; the critical value is an explicit "
+        "replays bit-for-bit; the sum runs over the FULL r*c grid — "
+        "empty cells contribute their (0-E)^2/E = E term, which a "
+        "naive observed-cells-only fold would drop, understating chi2 "
+        "on sparse tables; the critical value is an explicit "
         "literal (9.488 = dof 4 at alpha 0.05) because chi-square "
         "quantiles are not IEEE-computable in-engine.",
 )
@@ -8897,12 +8917,15 @@ def join_fanout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT list_reduce(list_transform(qv, x -> x * x),
                                (a, b) -> a + b) AS nn FROM e))
     SELECT n AS n_vectors, sum_sq_norm,
-           CAST((ss - sum_sq_norm) // (n * (n - 1) * 100) AS BIGINT)
-             AS mean_pair_dot_micro,
-           CAST(floor(CAST(ss - sum_sq_norm AS DOUBLE)
-                      / (CAST(n - 1 AS DOUBLE)
-                         * CAST(sum_sq_norm AS DOUBLE))
-                      * 1000000 + 0.5) AS BIGINT) AS anisotropy_micro
+           CAST(CASE WHEN n > 1 THEN
+             (ss - sum_sq_norm) // (n * (n - 1) * 100)
+           END AS BIGINT) AS mean_pair_dot_micro,
+           CAST(CASE WHEN n > 1 AND sum_sq_norm > 0 THEN
+             floor(CAST(ss - sum_sq_norm AS DOUBLE)
+                   / (CAST(n - 1 AS DOUBLE)
+                      * CAST(sum_sq_norm AS DOUBLE))
+                   * 1000000 + 0.5)
+           END AS BIGINT) AS anisotropy_micro
     FROM na, ssq
     """,
     doc="embedding-space anisotropy monitor "

@@ -1081,16 +1081,30 @@ def psi_drift_gate(reference, value_col: str, write_batch,
 def ks_reference(df: DataFrame, value_col: str, n_points: int = 100,
                  exact: bool = True):
     """Fit the KS gate's frozen reference: ``n_points - 1`` interior
-    quantile cut values plus the reference row count — the reference
-    ECDF sampled on an equi-depth grid, O(n_points) state however large
-    the baseline. Complement of :func:`psi_reference`: PSI scores
-    binned mass movement, KS bounds the maximum ECDF gap and carries a
-    calibrated significance threshold with it."""
-    from dativo_ingest_spark.operators.quality import equi_depth_edges
+    quantile cut values plus the ACTUAL per-bin reference counts —
+    O(n_points) state however large the baseline. Complement of
+    :func:`psi_reference`: PSI scores binned mass movement, KS bounds
+    the maximum ECDF gap and carries a calibrated significance
+    threshold with it.
+
+    The per-bin counts matter: equi-depth edges canNOT equalize bin
+    mass when the reference column has heavy ties at a quantile cut
+    (every tied row lands in one bin), so assuming ECDF_ref(cut j) =
+    (j+1)/n_points misestimates the true gap. The gate computes
+    ECDF_ref from the persisted counts instead — the same discipline
+    runner.py's KS gate uses with its ``_counts``."""
+    from dativo_ingest_spark.operators.quality import (
+        apply_equi_depth_bins, equi_depth_edges)
 
     cuts = equi_depth_edges(df, value_col, n_points, exact=exact)
-    n_ref = df.filter(F.col(value_col).isNotNull()).count()
-    return cuts, n_ref
+    rows = (apply_equi_depth_bins(df, value_col, cuts)
+            .filter(F.col("bin").isNotNull())
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+            .collect())
+    ref_counts = [0] * (len(cuts) + 1)
+    for r in rows:
+        ref_counts[int(r.bin)] = int(r.n)
+    return cuts, ref_counts
 
 
 def ks_drift_gate(reference, value_col: str, write_batch,
@@ -1101,24 +1115,39 @@ def ks_drift_gate(reference, value_col: str, write_batch,
     (operators/profiling.py:ks_drift's streaming sibling): per epoch
     ONE scan-stage ``<=``-cascade bin count, then a driver-side fold
     over <= n_points bins computes D = max |ECDF_ref - ECDF_batch| on
-    the reference's quantile grid (ECDF_ref there is j/n_points by
-    construction — equi-depth). Distribution-free, no stability rule
-    of thumb: the batch quarantines/aborts/logs when
+    the reference's quantile grid. ECDF_ref comes from the reference's
+    PERSISTED per-bin counts, not the equal-mass assumption
+    (j+1)/n_points — heavy ties at a quantile cut make equi-depth bins
+    unequal, and assuming equal mass would misestimate D and skew the
+    gate decision. Distribution-free, no stability rule of thumb: the
+    batch quarantines/aborts/logs when
     D > (c_milli/1000) * sqrt((n+m)/(n*m)) — alpha 0.05 at the default
     1.358, 0.01 at 1.628.
 
     Same action contract as :func:`psi_drift_gate`: ``skip`` (with
-    optional ``quarantine_batch``), ``abort``, ``log``.
+    optional ``quarantine_batch``), ``abort``, ``log``. Accepts a
+    legacy ``(cuts, n_ref)`` int reference (pre-counts persistence) by
+    falling back to the equal-mass assumption.
     """
     import math
 
     if on_drift not in ("abort", "skip", "log"):
         raise ValueError(
             f"on_drift must be abort|skip|log, got {on_drift!r}")
-    cuts, n_ref = reference
+    cuts, ref_counts = reference
+    if isinstance(ref_counts, int):          # legacy (cuts, n_ref) form
+        n_ref = ref_counts
+        ref_counts = None
+    else:
+        ref_counts = list(ref_counts)
+        n_ref = sum(ref_counts)
     if not cuts or n_ref <= 0:
         raise ValueError("reference must carry quantile cuts and a "
                          "positive row count")
+    if ref_counts is not None and len(ref_counts) != len(cuts) + 1:
+        raise ValueError(
+            f"reference counts must have {len(cuts) + 1} bins, got "
+            f"{len(ref_counts)}")
     n_points = len(cuts) + 1
     logger = logging.getLogger(__name__)
     from dativo_ingest_spark.operators.quality import apply_equi_depth_bins
@@ -1137,11 +1166,17 @@ def ks_drift_gate(reference, value_col: str, write_batch,
             return
         d_stat = 0.0
         cum = 0
+        cum_ref = 0
         for j in range(n_points - 1):
             cum += counts[j]
-            # reference ECDF at cut j is (j+1)/n_points by equi-depth
-            d_stat = max(d_stat,
-                         abs((j + 1) / n_points - cum / m))
+            if ref_counts is not None:
+                # true reference ECDF from the persisted per-bin counts
+                cum_ref += ref_counts[j]
+                ecdf_ref = cum_ref / n_ref
+            else:
+                # legacy reference: equal-mass equi-depth assumption
+                ecdf_ref = (j + 1) / n_points
+            d_stat = max(d_stat, abs(ecdf_ref - cum / m))
         crit = (c_milli / 1000.0) * math.sqrt(
             (n_ref + m) / (n_ref * m))
         if d_stat > crit:

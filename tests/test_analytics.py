@@ -435,6 +435,34 @@ class TestChiSquareIndependence:
         assert r.chi2_micro == 0 and r.significant is False
         assert r.dof == 2
 
+    def test_sparse_table_empty_cells_contribute(self, spark):
+        # A never produces 'z' and B never produces 'x': the full 2x3
+        # grid has two EMPTY cells, each contributing (0-E)^2/E = E.
+        # An observed-cells-only fold drops both terms and understates
+        # chi2 — the textbook statistic sums over all r*c cells.
+        import math
+
+        from dativo_ingest_spark.operators.analytics import (
+            chi_square_independence)
+
+        rows = ([("A", "x")] * 30 + [("A", "y")] * 30
+                + [("B", "y")] * 30 + [("B", "z")] * 30)
+        df = spark.createDataFrame(rows, "variant string, cat string")
+        r = chi_square_independence(df, "variant", "cat",
+                                    chi2_critical_milli=5991).collect()[0]
+        assert (r.n_variants, r.n_categories, r.dof) == (2, 3, 2)
+        exp = 0
+        # all six cells of the grid, zeros included
+        for o, rt, ct in ((30, 60, 30), (30, 60, 60), (0, 60, 30),
+                          (0, 60, 30), (30, 60, 60), (30, 60, 30)):
+            e = rt * ct / 120.0
+            exp += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+        assert r.chi2_micro == exp
+        # hand value: 2*(15 + 0 + 15) = 60 => 60e6 micro — far above
+        # what the observed-cells-only fold (30e6) would report
+        assert r.chi2_micro == 60_000_000
+        assert r.significant is True
+
 
 class TestSprtBinary:
     def test_first_crossing_sticks(self, spark):

@@ -270,6 +270,23 @@ class TestBenfordCheck:
         # exact share check: 100 of 900 values lead with each digit
         assert out[1].obs_micro == (100 * 1000000) // 900
 
+    def test_missing_digits_still_report(self, spark):
+        from dativo_ingest_spark.operators.profiling import benford_check
+
+        # values leading only with 1 and 2: digits 3..9 never occur —
+        # the strongest possible Benford anomaly. They must appear as
+        # n_obs = 0 with dev_micro = expected_micro, not vanish.
+        df = spark.createDataFrame(
+            [(1.0,)] * 30 + [(2.5,)] * 10, "v double")
+        out = {r.digit: r for r in benford_check(df, "v").collect()}
+        assert set(out) == set(range(1, 10))
+        for d in range(3, 10):
+            assert out[d].n_obs == 0
+            assert out[d].obs_micro == 0
+            assert out[d].dev_micro == out[d].expected_micro
+        assert out[1].n_obs == 30 and out[2].n_obs == 10
+        assert out[1].obs_micro == (30 * 1000000) // 40
+
 
 class TestGiniConcentration:
     def test_even_and_concentrated(self, spark):

@@ -671,6 +671,22 @@ class TestEmbeddingIsotropy:
         iso = embedding_isotropy(spread, "vec_id", "embedding").collect()[0]
         assert abs(iso.anisotropy_micro) < 25_000   # ~ -1/(n-1)
 
+    def test_single_vector_no_division_by_zero(self, spark):
+        # n = 1 has no pairs: n*(n-1) = 0 — the pair statistics must be
+        # NULL, never a /0 (NULL in legacy mode, runtime error under
+        # ANSI with the anisotropy floor then seeing +/-Infinity)
+        from dativo_ingest_spark.operators.similarity import (
+            embedding_isotropy)
+
+        df = spark.createDataFrame(
+            [(0, [0.5, -0.25, 0.125])],
+            "vec_id bigint, embedding array<double>")
+        r = embedding_isotropy(df, "vec_id", "embedding").collect()[0]
+        assert r.n_vectors == 1
+        assert r.sum_sq_norm > 0
+        assert r.mean_pair_dot_micro is None
+        assert r.anisotropy_micro is None
+
     def test_scale_validation(self, spark):
         import pytest as _pytest
 

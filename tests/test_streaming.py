@@ -806,7 +806,10 @@ def test_ks_drift_gate(spark, tmp_path):
     ref = spark.createDataFrame(
         [(float(i % 100),) for i in range(400)], "value double")
     reference = pipeline.ks_reference(ref, "value", n_points=20)
-    assert reference[1] == 400
+    # the reference persists ACTUAL per-bin counts (ties can make
+    # equi-depth bins unequal), not just the row total
+    assert sum(reference[1]) == 400
+    assert len(reference[1]) == len(reference[0]) + 1
 
     ok = spark.createDataFrame(
         [(float((i * 7) % 100),) for i in range(200)], "value double")
@@ -844,3 +847,47 @@ def test_ks_drift_gate(spark, tmp_path):
     with _pytest.raises(ValueError, match="on_drift"):
         pipeline.ks_drift_gate(reference, "value", lambda d, e: None,
                                on_drift="explode")
+
+
+def test_ks_drift_gate_heavy_ties(spark):
+    # 75% of the reference mass is ONE tied value: equi-depth edges
+    # cannot equalize bin mass, so the old (j+1)/n_points equal-mass
+    # assumption would compute ECDF_ref(first cut) = 0.1 while the
+    # true reference ECDF there is ~0.75 — an identically-distributed
+    # batch would falsely quarantine. The persisted per-bin counts
+    # must let it publish.
+    ref = spark.createDataFrame(
+        [(0.0,)] * 300 + [(float(i),) for i in range(1, 101)],
+        "value double")
+    reference = pipeline.ks_reference(ref, "value", n_points=10)
+    assert sum(reference[1]) == 400
+    assert max(reference[1]) >= 300          # the tied mass in one bin
+
+    same_dist = spark.createDataFrame(
+        [(0.0,)] * 150 + [(float(i),) for i in range(1, 101, 2)],
+        "value double")
+    written, quarantined = [], []
+    gate = pipeline.ks_drift_gate(
+        reference, "value",
+        lambda df, e: written.append(e),
+        quarantine_batch=lambda df, e: quarantined.append(e))
+    gate(same_dist, 0)
+    assert written == [0] and quarantined == []
+
+    # a genuinely shifted batch still trips the gate
+    shifted = spark.createDataFrame(
+        [(float(200 + i),) for i in range(200)], "value double")
+    gate(shifted, 1)
+    assert quarantined == [1]
+
+    # legacy (cuts, n_ref) int references keep working (equal-mass
+    # fallback) — and on a ties-free reference the two forms agree
+    smooth = spark.createDataFrame(
+        [(float(i % 100),) for i in range(400)], "value double")
+    cuts, counts = pipeline.ks_reference(smooth, "value", n_points=20)
+    legacy_written = []
+    legacy_gate = pipeline.ks_drift_gate(
+        (cuts, 400), "value", lambda df, e: legacy_written.append(e))
+    legacy_gate(spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(200)], "value double"), 0)
+    assert legacy_written == [0]

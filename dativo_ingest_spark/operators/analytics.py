@@ -625,6 +625,7 @@ def sprt_binary(
     p1: float,
     alpha_milli: int = 50,
     beta_milli: int = 200,
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Wald's sequential probability ratio test per variant — the
     peeking-safe experiment monitor: instead of fixing n up front, the
@@ -642,60 +643,130 @@ def sprt_binary(
     quantize to micro-nat literals ONCE driver-side and ride into both
     the plan and the generated oracle as the same integers, so the
     running LLR is an exact BIGINT fold (ordering ties on the
-    timestamp break by success flag then row count — deterministic);
-    the bounds ln(B) = ln(beta/(1-alpha)), ln(A) = ln((1-beta)/alpha)
-    quantize the same way.
+    timestamp break by success flag — rows tied on BOTH carry equal
+    increments, so any order among them yields the same running values
+    and the same first-crossing ordinal); the bounds
+    ln(B) = ln(beta/(1-alpha)), ln(A) = ln((1-beta)/alpha) quantize
+    the same way. ``ts_col`` must be castable to timestamp (nulls
+    order first).
 
-    Scale: one variant-keyed window over events ordered by time — the
-    same single-Exchange shape as sessionization; state is O(1).
+    Scale — two-level scan, NO per-variant whole-arm window (variants
+    number 2-10, so ``Window.partitionBy(variant)`` would sort and
+    prefix-sum an entire experiment arm in ONE task — billions of
+    events at 100x; sessionization escapes that only because it
+    partitions by user):
+
+    1. one scan aggregates per (variant, time-bucket) success/failure
+       counts (~``n_buckets`` x variants rows — the systematic-sample
+       cumsum pattern from operators/sampling.py);
+    2. a driver-side prefix over those bucket sums finds every bucket
+       that COULD host the first crossing (entry LLR still inside the
+       bounds and entry + successes*l1 >= hi or entry + failures*l0
+       <= lo — running extrema are bracketed by the all-success /
+       all-failure envelopes), stopping once a bucket's EXIT value has
+       certainly crossed;
+    3. one window partitioned by (variant, bucket) over only the
+       candidate buckets — each a ~1/n_buckets slice of one arm —
+       locates the exact first-crossing ordinal; totals and the final
+       LLR are plain aggregates (final LLR = s*l1 + (n-s)*l0, no
+       window at all).
     """
     import math
 
     if not (0 < p0 < 1 and 0 < p1 < 1 and p0 != p1):
         raise ValueError("p0 and p1 must be distinct probabilities in "
                          "(0, 1)")
-    l1 = math.floor(math.log(p1 / p0) * 1e6 + 0.5)
-    l0 = math.floor(math.log((1 - p1) / (1 - p0)) * 1e6 + 0.5)
+    l1 = int(math.floor(math.log(p1 / p0) * 1e6 + 0.5))
+    l0 = int(math.floor(math.log((1 - p1) / (1 - p0)) * 1e6 + 0.5))
     alpha = alpha_milli / 1000.0
     beta = beta_milli / 1000.0
-    lo = math.floor(math.log(beta / (1 - alpha)) * 1e6 + 0.5)
-    hi = math.floor(math.log((1 - beta) / alpha) * 1e6 + 0.5)
+    lo = int(math.floor(math.log(beta / (1 - alpha)) * 1e6 + 0.5))
+    hi = int(math.floor(math.log((1 - beta) / alpha) * 1e6 + 0.5))
 
     from pyspark.sql.window import Window
 
+    _NULL_BKT = -(1 << 61)
     base = df.select(
         F.col(variant_col).alias("variant"),
-        F.col(ts_col).alias("ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tnum"),
         F.col(success_col).cast("long").alias("succ"))
-    w = (Window.partitionBy("variant").orderBy("ts", "succ")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = base.select(
-        "variant", "succ",
-        F.row_number().over(
-            Window.partitionBy("variant").orderBy("ts", "succ"))
-        .alias("rn"),
-        (F.sum(F.when(F.col("succ") == 1, F.lit(int(l1)))
-               .otherwise(F.lit(int(l0)))).over(w)).alias("llr"))
-    crossed = run.withColumn(
-        "_dec", F.when(F.col("llr") >= hi, F.lit("accept_h1"))
-                 .when(F.col("llr") <= lo, F.lit("accept_h0")))
-    first_cross = (crossed.filter(F.col("_dec").isNotNull())
-                   .groupBy("variant")
-                   .agg(F.min("rn").alias("decided_at_n")))
-    first_dec = (crossed.join(first_cross, "variant")
-                 .filter(F.col("rn") == F.col("decided_at_n"))
-                 .select("variant", F.col("_dec").alias("decision"),
-                         "decided_at_n"))
+
+    # bucket edges from one bounded agg (two scalars to the driver)
+    rng = base.agg(F.min("tnum").alias("t0"),
+                   F.max("tnum").alias("t1")).collect()[0]
+    t0 = rng.t0 if rng.t0 is not None else 0
+    t1 = rng.t1 if rng.t1 is not None else 0
+    width = max(1, (t1 - t0) // max(1, n_buckets) + 1)
+    # integer DIV (not double /): exact at any epoch distance, and the
+    # numerator is non-negative so truncation == floor
+    bkt_expr = F.when(F.col("tnum").isNull(), F.lit(_NULL_BKT)) \
+        .otherwise(F.expr(f"(tnum - {t0}L) DIV {width}L"))
+    bucketed = base.withColumn("bkt", bkt_expr)
+
+    # level 1: per-(variant, bucket) partials — bounded collect
+    # (variants x ~n_buckets rows), the only driver-side state
+    parts = (bucketed.groupBy("variant", "bkt")
+             .agg(F.count(F.lit(1)).alias("c"),
+                  F.sum("succ").alias("sc"))
+             .collect())
+    by_variant: dict = {}
+    for r in parts:
+        by_variant.setdefault(r.variant, []).append(
+            (r.bkt, int(r.c), int(r.sc or 0)))
+
+    # level 2 (driver prefix over bucket sums): candidate buckets that
+    # could host the FIRST crossing, each with its entry LLR/ordinal
+    candidates = []                 # (variant, bkt, p_prev, n_prev)
+    for variant, rows_v in by_variant.items():
+        p_run, n_run = 0, 0
+        for bkt, c, sc in sorted(rows_v):
+            fc = c - sc
+            if p_run + sc * l1 >= hi or p_run + fc * l0 <= lo:
+                candidates.append((variant, bkt, p_run, n_run))
+            p_run += sc * l1 + fc * l0
+            n_run += c
+            if p_run >= hi or p_run <= lo:
+                break               # first crossing is <= this bucket
+
     totals = base.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"), F.sum("succ").alias("s"))
-    final_llr = run.groupBy("variant").agg(
-        F.max_by("llr", "rn").alias("llr_micro"))
-    return (totals.join(final_llr, "variant")
-            .join(first_dec, "variant", "left")
+    spark = df.sparkSession
+    if candidates:
+        cand = spark.createDataFrame(
+            candidates, "variant string, bkt long, p_prev long, "
+                        "n_prev long")
+        w_ord = Window.partitionBy("variant", "bkt") \
+            .orderBy("tnum", "succ")
+        w_run = w_ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.currentRow)
+        in_bkt = bucketed.join(F.broadcast(cand), ["variant", "bkt"])
+        run = in_bkt.select(
+            "variant", "p_prev", "n_prev",
+            F.row_number().over(w_ord).alias("rn"),
+            (F.col("p_prev")
+             + F.sum(F.when(F.col("succ") == 1, F.lit(l1))
+                     .otherwise(F.lit(l0))).over(w_run)).alias("llr"))
+        crossed = run.select(
+            "variant",
+            (F.col("n_prev") + F.col("rn")).alias("gn"),
+            F.when(F.col("llr") >= hi, F.lit("accept_h1"))
+            .when(F.col("llr") <= lo, F.lit("accept_h0"))
+            .alias("_dec")).filter(F.col("_dec").isNotNull())
+        first_dec = (crossed.groupBy("variant")
+                     .agg(F.min("gn").alias("decided_at_n"),
+                          F.min_by("_dec", "gn").alias("decision")))
+    else:
+        first_dec = spark.createDataFrame(
+            [], "variant string, decided_at_n long, decision string")
+
+    return (totals
+            .join(F.broadcast(first_dec), "variant", "left")
             .select("variant",
                     F.col("n").cast("long").alias("n"),
                     F.col("s").cast("long").alias("s"),
-                    F.col("llr_micro").cast("long").alias("llr_micro"),
+                    (F.col("s") * F.lit(l1)
+                     + (F.col("n") - F.col("s")) * F.lit(l0))
+                    .cast("long").alias("llr_micro"),
                     F.coalesce("decision", F.lit("continue"))
                     .alias("decision"),
                     F.col("decided_at_n").cast("long")

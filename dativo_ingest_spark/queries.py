@@ -8554,8 +8554,14 @@ def _sprt_oracle() -> str:
         "(the vendored-constant pattern), so the running LLR is an "
         "exact BIGINT fold; a later drift back inside the bounds "
         "cannot un-decide a stopped test (first-crossing semantics "
-        "pinned on both engines). One variant-keyed time-ordered "
-        "window — the sessionization Exchange shape, O(1) state.",
+        "pinned on both engines). Two-level scan, NO whole-arm window "
+        "(variants number 2-10 — partitioning a window by variant "
+        "would sort an entire arm in one task at 100x): per "
+        "(variant, time-bucket) partial sums, a driver prefix over "
+        "~1e3 bucket rows brackets the candidate crossing buckets via "
+        "all-success/all-failure envelopes, and one (variant, bucket)-"
+        "partitioned window over only those buckets lands the exact "
+        "ordinal; the final LLR is a plain aggregate s*l1+(n-s)*l0.",
 )
 def sprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.operators.analytics import sprt_binary
@@ -10788,27 +10794,70 @@ _GATE_DEMOTED = [
     # schema_evolution_orders + the promoted time_travel/rollback/
     # manifest_agg legs (cdc_rollup_orders r8-proven)
     "cdc_rollup_orders",
-    # ---- r10 ROTATION QUEUE ---------------------------------------
-    # Registered OUTSIDE the window on purpose: every remaining proven
-    # in-window entry is its family's last green anchor (validation/
-    # mdkv/chunking/DSIR/BPE-train/WAP/linkage/coreset/SCD2-PIT/
-    # skew-join/streaming-dedup), so demoting more would break the
-    # keep-each-family-in-window discipline. Queue entries are
-    # value-checked at all three SFs every CI run and rotate in once
-    # the r9 batch earns driver rows.
-    "embedding_isotropy_report",
-    "ivfpq_residual_embeddings",
-    "join_fanout_orders",
-    "referential_orders_customer",
-    "ab_test_events",
-    "mannwhitney_events",
-    "chi_square_events",
-    "dataset_card_docs",
-    "sprt_events",
-    "char_entropy_docs",
-    "basket_lift_events",
-    "benford_orders",
-    "gini_sources_docs",
+    # --- r10 rotation: CORRECTNESS_r09 landed 50/50 green (the first
+    # all-green window), so every r9 in-window entry now holds a
+    # driver row and the full 13-query r9 rotation queue
+    # (embedding_isotropy_report, ivfpq_residual_embeddings,
+    # join_fanout_orders, referential_orders_customer, ab_test_events,
+    # mannwhitney_events, chi_square_events, dataset_card_docs,
+    # sprt_events, char_entropy_docs, basket_lift_events,
+    # benford_orders, gini_sources_docs — all parity-proven at
+    # sf0.001/0.01/0.1 and independently re-proven by the r9 judge) is
+    # PROMOTED by deleting it from this list. With these promotions
+    # every query ever registered holds (or is in-window to earn) a
+    # driver row — the ledger closes at 206/206. The 13 demotions
+    # below are all r9-driver-proven (CORRECTNESS_r09 green) and each
+    # leaves its family represented in-window.
+    # similarity family keeps kcenter_coreset_embeddings + the
+    # promoted embedding_isotropy_report (the same one-pass integer
+    # fold over the raw vectors); random_projection stayed in-window
+    # r9 only for its green re-proof after the r8 oracle fix — earned
+    "random_projection_embeddings",
+    # quantization family keeps ivfpq_topk_embeddings + the promoted
+    # ivfpq_residual_embeddings, which re-runs PQ train/encode/ADC on
+    # the residual grid inside the IVF routing (pq_adc r9-proven)
+    "pq_adc_topk_embeddings",
+    # drift family keeps ks_drift_events (the exact two-sample
+    # statistic over the same events column; psi r8+r9-proven)
+    "psi_drift_events",
+    # sequential-monitor shape arrives via the promoted sprt_events
+    # (the same ordered-prefix crossing detection, peeking-safe);
+    # analytics family also gains ab_test/mannwhitney/chi_square
+    # (cusum r9-proven)
+    "cusum_changepoint_events",
+    # concentration readout kept by the promoted gini_sources_docs —
+    # the same sorted-cumulative-share statistic Pareto-ABC banded
+    # (pareto r9-proven)
+    "pareto_abc_parts",
+    # profiling family keeps equi_depth_bins_events + the promoted
+    # dataset_card_docs and benford_orders (fd_discovery r9-proven)
+    "fd_discovery_orders",
+    # sketch family keeps sliding_distinct_hll_events +
+    # sketch_rollup_serving — the same mergeable-sketch contract over
+    # persisted state (cm_sketch r9-proven)
+    "cm_sketch_users",
+    # robust-percentile family keeps equi_depth_bins_events, the same
+    # exact-percentile fit weighted_median's doubled-rank trick rides
+    # (weighted_median r9-proven)
+    "weighted_median_docs",
+    # text-quality family keeps kneser_ney_quality +
+    # unicode_normalize_docs + blocklist_gate_docs + the promoted
+    # char_entropy_docs (flesch r9-proven)
+    "flesch_reading_ease_docs",
+    # pairwise-association shape kept by the promoted
+    # basket_lift_events (lift = joint/marginals over exact counts —
+    # PMI's statistic in probability space); corpus-stats family keeps
+    # dsir_weights_docs + kneser_ney_quality (pmi r9-proven)
+    "pmi_collocations_docs",
+    # sampling family keeps hash_sample_exact_n_docs (the same
+    # distributed-cumsum quota machinery; systematic r9-proven)
+    "systematic_sample_docs",
+    # windowed-agg family keeps sessionize_incremental_events +
+    # sliding_distinct_hll_events (cumulative_new_users r9-proven)
+    "cumulative_new_users_daily",
+    # two-phase top-k shape stays via bm25_topk_docs +
+    # hybrid_retrieval_docs (grouped_topk r9-proven)
+    "grouped_topk_spenders",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -515,6 +515,69 @@ class TestSprtBinary:
         with _pytest.raises(ValueError, match="probabilities"):
             sprt_binary(df, "variant", "ts", "succ", p0=0.5, p1=0.5)
 
+    def test_bucketed_scan_matches_sequential_replay(self, spark):
+        # events spread across buckets (n_buckets=8 over 4000 events):
+        # the two-level scan must land the SAME first-crossing ordinal
+        # a driver-side sequential replay computes, across bucket
+        # boundaries
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        def seq(i):
+            # oscillate inside the bounds for a while, then drift up
+            if i < 3000:
+                return 1 if i % 2 == 0 else 0
+            return 1 if i % 4 != 3 else 0
+
+        rows = [("A", 1_700_000_000 + i * 60, seq(i)) for i in range(4000)]
+        df = (spark.createDataFrame(rows,
+                                    "variant string, sec long, succ int")
+              .select("variant",
+                      F.timestamp_seconds("sec").alias("ts"), "succ"))
+        # symmetric increments (l0 = -l1): the alternating prefix nets
+        # to zero, so the crossing genuinely happens in the drift phase
+        out = sprt_binary(df, "variant", "ts", "succ", p0=0.45, p1=0.55,
+                          n_buckets=8).collect()[0]
+
+        l1 = math.floor(math.log(0.55 / 0.45) * 1e6 + 0.5)
+        l0 = math.floor(math.log(0.45 / 0.55) * 1e6 + 0.5)
+        lo = math.floor(math.log(0.2 / 0.95) * 1e6 + 0.5)
+        hi = math.floor(math.log(0.8 / 0.05) * 1e6 + 0.5)
+        llr, first = 0, None
+        for i in range(4000):
+            llr += l1 if seq(i) else l0
+            if first is None and (llr >= hi or llr <= lo):
+                first = i + 1
+                first_dec = "accept_h1" if llr >= hi else "accept_h0"
+        assert first is not None and first > 3000   # crosses late
+        assert out.decided_at_n == first
+        assert out.decision == first_dec
+        assert out.llr_micro == llr
+        assert out.n == 4000
+
+    def test_no_whole_arm_window_in_plan(self, spark):
+        # the scale contract: NO Window partitioned by variant alone —
+        # an entire experiment arm in one task is the 100x killer. The
+        # only window runs per (variant, bucket).
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        rows = [("A", 1_700_000_000 + i * 60, 1) for i in range(200)]
+        df = (spark.createDataFrame(rows,
+                                    "variant string, sec long, succ int")
+              .select("variant",
+                      F.timestamp_seconds("sec").alias("ts"), "succ"))
+        out = sprt_binary(df, "variant", "ts", "succ", p0=0.2, p1=0.6,
+                          n_buckets=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "bkt" in spec, f"whole-arm window found: {spec}"
+
 
 class TestBasketLift:
     def test_hand_computed_lift(self, spark):

@@ -605,14 +605,36 @@ def dhash_images(df: DataFrame, id_col: str, media_col: str,
     return pruned.mapInPandas(run, DHASH_SCHEMA)
 
 
-def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
+def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3,
+                        max_band_size: int | None = 10_000,
+                        stats: dict | None = None) -> DataFrame:
     """Image near-dup pairs by banded Hamming join over (dhash_hi,
     dhash_lo): the 64 bits split into four 16-bit bands; by pigeonhole
     any pair within Hamming distance <= 3 shares at least one identical
     band, so recall is EXACT for max_dist <= 3 (candidates above that
     may be missed — raise the band count for a wider exact radius).
     Candidates verify with exact popcount; never an all-pairs join —
-    the shuffle keys on 16-bit band values, hot bands split by AQE.
+    the shuffle keys on 16-bit band values.
+
+    Hot-band guard (the MinHash bucket guard ported —
+    operators/dedup.py:_without_hot_keys): band values span only 2^16,
+    so candidate pairs grow ~4*N^2/2^16 — fine at millions of images,
+    degenerating toward all-pairs/16k at billions, and AQE splitting a
+    hot partition cannot reduce the quadratic PAIR count within one
+    band value. Band cells holding more than ``max_band_size`` rows
+    are driver-resolved and cut before the self-join (``stats`` out-
+    param reports how many cells tripped, like the dedup guards).
+
+    Recall contract when the guard trips: a pair is still found iff at
+    least one of its shared bands sits in a surviving cell — pairs ALL
+    of whose shared bands are degenerate (e.g. a constant-image flood)
+    are not emitted. Below the cap the <= 3 pigeonhole recall is
+    untouched. At genuine billion-image scale prefer a longer
+    perceptual hash with wider bands over raising the cap.
+
+    NOTE: the guard resolves eagerly (one count job over ``hashes``) —
+    persist/cache the hash frame first or the upstream decode runs
+    twice; pass ``max_band_size=None`` to disable.
 
     (id_a, id_b, hamming), id_a < id_b.
     """
@@ -629,6 +651,14 @@ def dhash_neardup_pairs(hashes: DataFrame, max_dist: int = 3) -> DataFrame:
             F.col("dhash_hi").bitwiseAND(mask),
             F.shiftright("dhash_hi", 16).bitwiseAND(mask),
         )).alias("band", "bv"))
+    if max_band_size is not None:
+        from dativo_ingest_spark.operators.dedup import _without_hot_keys
+
+        banded = (banded
+                  .withColumn("cell", (F.col("band") * 65536
+                                       + F.col("bv")).cast("long")))
+        banded = _without_hot_keys(banded, "cell", max_band_size,
+                                   stats=stats).drop("cell")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

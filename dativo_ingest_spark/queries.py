@@ -7809,16 +7809,33 @@ def sessionize_incremental_events(spark: SparkSession,
         ev.filter(F.expr(
             f"unix_micros(CAST(ts AS TIMESTAMP)) > {mid}")),
     ]
+    import atexit
+    import shutil
+    import tempfile
+
     state = None
     closed_parts = []
-    for half in halves:
+    state_dir = tempfile.mkdtemp(prefix="sg_sess_state_")
+    atexit.register(shutil.rmtree, state_dir, ignore_errors=True)
+    for i, half in enumerate(halves):
         closed, state = sessionize_incremental(
             state, half, "user_id", "ts", tie_col="event_id")
-        # materialize state between loads (a real pipeline persists it;
-        # a lazy plan would chain both batches into one job and defeat
-        # the cost-per-batch claim being proven)
-        state = spark.createDataFrame(state.collect(), state.schema)
+        # materialize state between loads through a parquet round-trip
+        # — the shape a real pipeline runs (state is proportional to
+        # OPEN SESSIONS, i.e. users; routing it through the driver
+        # with collect() would be exactly the non-distributed shape
+        # this proof exists to exclude). A lazy plan would also chain
+        # both batches into one job and defeat the cost-per-batch
+        # claim being proven. The dir outlives the returned (lazy)
+        # frame; atexit reaps it.
+        path = f"{state_dir}/epoch_{i}"
+        state.write.mode("overwrite").parquet(path)
+        state = spark.read.parquet(path)
         closed_parts.append(closed)
+    out = closed_parts[0].unionByName(closed_parts[1]).unionByName(state)
+    return out.select(
+        F.col("user").alias("user_id"),
+        "session_start", "session_end", "n_events")
     out = closed_parts[0].unionByName(closed_parts[1]).unionByName(state)
     return out.select(
         F.col("user").alias("user_id"),
@@ -9190,8 +9207,11 @@ def sorted_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"))
     out = tempfile.mkdtemp(prefix="sg_sorted_")
     try:
+        # exact cuts HERE only: the oracle replays the same exact
+        # quantiles; the operator default is the mergeable sketch
         manifest = export_sorted_shards(
-            orders, "o_orderkey", "cents", out, n_shards=8)
+            orders, "o_orderkey", "cents", out, n_shards=8,
+            exact_cuts=True)
         rows = [(r.shard, r.n_rows, r.min_key, r.max_key)
                 for r in manifest.collect()]
     finally:
@@ -9519,7 +9539,9 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"id": pdf["id"], "media": payloads})
 
     imgs = ids.mapInPandas(build, "id string, media binary")
-    hashes = mm.dhash_images(imgs, "id", "media")
+    # persist: the hot-band guard resolves with an eager count job —
+    # without the cache the netpbm decode would run twice
+    hashes = mm.dhash_images(imgs, "id", "media").persist()
     return mm.dhash_neardup_pairs(hashes, max_dist=3)
 
 

@@ -94,12 +94,15 @@ def export_sorted_shards(
     sort_col: str,
     out_dir: str,
     n_shards: int = 8,
-    exact_cuts: bool = True,
+    exact_cuts: bool = False,
 ) -> DataFrame:
     """Totally-ordered export WITHOUT a single-task global sort: fit
     ``n_shards - 1`` quantile cut points on ``sort_col`` in one
-    aggregate pass (exact interpolated here; the mergeable sketch is
-    the 100 TB knob), assign each row its range shard by a literal
+    aggregate pass (mergeable-sketch quantiles by DEFAULT — exact
+    ``percentile`` holds every value in one aggregation buffer, so the
+    sketch is the 100 TB path; pass ``exact_cuts=True`` only when the
+    cut values themselves must replay bit-for-bit, e.g. an
+    oracle-pinned gate), assign each row its range shard by a literal
     ``<=`` cascade (scan-stage, deterministic — unlike
     ``repartitionByRange``, whose reservoir sample moves with the input
     partitioning), sort within each shard, write. Reading shards

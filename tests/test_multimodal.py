@@ -365,6 +365,38 @@ class TestDhash:
             mm.dhash_neardup_pairs(mm.dhash_images(df, "id", "media"),
                                    max_dist=65)
 
+    def test_hot_band_guard_bounds_candidates(self, spark):
+        # a constant-image flood: hundreds of IDENTICAL hashes make all
+        # four of their band cells hot — without the guard that's
+        # ~N^2/2 candidate pairs from one cell (AQE splits partitions
+        # but cannot cut the quadratic pair count within a band value).
+        # The guard must drop the degenerate cells while a near-dup
+        # pair below the cap keeps its exact <= 3 recall.
+        from dativo_ingest_spark.operators import multimodal as mm
+
+        flood_hash = 0x1111_2222_3333_4444
+        pair_hi = 0x5A5A_6B6B
+        rows = ([(f"f{i:04d}", flood_hash >> 32, flood_hash & 0xFFFFFFFF)
+                 for i in range(300)]
+                + [("p1", pair_hi, 0x7C7C_8D8D),
+                   ("p2", pair_hi, 0x7C7C_8D8C)])   # 1 bit apart
+        h = spark.createDataFrame(
+            rows, "id string, dhash_hi long, dhash_lo long")
+
+        stats = {}
+        pairs = mm.dhash_neardup_pairs(
+            h, max_dist=3, max_band_size=100, stats=stats).collect()
+        assert stats["hot_keys"] == 4            # the flood's 4 cells
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+        assert got == {("p1", "p2"): 1}          # bounded + exact below cap
+
+        # below the cap nothing is cut: same frame, generous cap
+        stats2 = {}
+        all_pairs = mm.dhash_neardup_pairs(
+            h, max_dist=3, max_band_size=100_000, stats=stats2)
+        assert stats2["hot_keys"] == 0
+        assert all_pairs.count() == 300 * 299 // 2 + 1
+
 
 class TestAudioFingerprint:
     @staticmethod

@@ -160,6 +160,19 @@ class TestSortedShardExport:
         for a, b in zip(shards, shards[1:]):
             assert m[a][2] <= m[b][1]
 
+    def test_sketch_cuts_are_the_default(self):
+        # the 100 TB contract: exact percentile holds EVERY value in
+        # one aggregation buffer — the mergeable sketch must be the
+        # default fit; exact stays an explicit opt-in (the
+        # oracle-pinned gate query passes exact_cuts=True itself)
+        import inspect
+
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_sorted_shards)
+
+        sig = inspect.signature(export_sorted_shards)
+        assert sig.parameters["exact_cuts"].default is False
+
     def test_single_shard_and_validation(self, spark, tmp_path):
         import pytest as _pytest
 

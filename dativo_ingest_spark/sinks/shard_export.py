@@ -195,6 +195,46 @@ def audit_shards(spark, out_dir: str) -> dict:
             "mismatches": mismatches}
 
 
+def audit_streaming_shards(spark, out_dir: str) -> dict:
+    """Trainer-side audit of a streaming shard layout
+    (streaming/pipeline.py:shard_epoch_writer): recompute every shard's
+    (n_rows, n_tokens, hash_sum) from the COMMITTED epoch directories
+    and compare against the published ``manifest.json``. Scans only
+    epochs the manifest references — orphan ``epoch=K`` files from a
+    crash between shard write and marker publish are invisible here
+    exactly as they are to readers (the replay republishes them).
+
+    Returns {"shards": N, "epochs": M, "ok": bool, "mismatches": [...]}.
+    """
+    import json as _json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json")) as fh:
+        man = _json.load(fh)
+    epochs = man["epochs"]
+    manifest = {int(k): (v["n_rows"], v["n_tokens"], v["hash_sum"])
+                for k, v in man["shards"].items()}
+    actual: dict = {}
+    if epochs:
+        df = (spark.read.option("basePath", out_dir)
+              .parquet(*[f"{out_dir}/epoch={e}" for e in epochs]))
+        actual = {
+            int(r.shard): (int(r.n_rows), int(r.n_tokens),
+                           int(r.hash_sum))
+            for r in (df.groupBy("shard")
+                      .agg(F.count(F.lit(1)).alias("n_rows"),
+                           F.sum("n_tokens").alias("n_tokens"),
+                           F.sum("_h").alias("hash_sum"))
+                      .collect())}
+    mismatches = []
+    for shard in sorted(set(manifest) | set(actual)):
+        m, a = manifest.get(shard), actual.get(shard)
+        if m != a:
+            mismatches.append({"shard": shard, "manifest": m, "files": a})
+    return {"shards": len(manifest), "epochs": len(epochs),
+            "ok": not mismatches, "mismatches": mismatches}
+
+
 def read_sorted_range(spark, out_dir: str, lo: float,
                       hi: float) -> DataFrame:
     """Range-pruned read over an :func:`export_sorted_shards` layout:

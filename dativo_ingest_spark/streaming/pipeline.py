@@ -472,6 +472,115 @@ def hive_epoch_writer(path, partitioning, target_file_size_mb=150,
     return write_batch
 
 
+def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
+                       n_shards: int = 8, seed: str = "epoch0",
+                       query_id: str | None = None,
+                       checkpoint_dir: str | None = None):
+    """foreachBatch callable: the streaming sibling of
+    sinks/shard_export.export_training_shards — append each micro-batch
+    to the SAME deterministic ``md5(seed || id) % n_shards`` layout and
+    republish the manifest epoch-atomically.
+
+    Exactly-once without a table format, by construction:
+
+    * each epoch writes into its OWN partition directory
+      ``epoch=<id>/shard=<k>`` with mode=overwrite — a replayed epoch
+      (at-least-once delivery) overwrites the same directory
+      byte-identically (the md5 assignment is re-run/AQE-stable), so a
+      crash ANYWHERE in the write window can never duplicate rows;
+    * per-shard stats (n_rows, n_tokens, hash_sum) are computed from
+      the epoch's files READ BACK, then the epoch marker — stats
+      included — publishes via temp-file + atomic rename;
+    * the manifest (``manifest.json``) is a pure fold of all committed
+      epoch markers, rewritten temp+rename after every epoch: readers
+      and auditors always see a complete manifest for a prefix of
+      committed epochs, NEVER a half-published state. A crash between
+      the shard write and the marker/manifest publish leaves orphan
+      ``epoch=<id>`` files that no manifest references; the replay
+      overwrites and then publishes them.
+
+    Scale: the per-epoch shuffle is batch-sized (one
+    repartition+sortWithinPartitions, exactly the batch path); the
+    manifest fold is O(epochs x shards) driver-side JSON — thousands
+    of epochs x thousands of shards, never row-scaled.
+
+    Audit with sinks/shard_export.audit_streaming_shards — the
+    trainer-side recount over committed epochs only.
+    """
+    import json as _json
+    import os
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from dativo_ingest_spark.sinks.shard_export import _shard_hash
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker_dir = os.path.join(out_dir, "_epochs", qid())
+        marker = os.path.join(marker_dir, f"{epoch_id}.json")
+        if os.path.exists(marker):  # replayed epoch: already published
+            return
+        spark = batch_df.sparkSession
+        epoch_dir = os.path.join(out_dir, f"epoch={epoch_id}")
+        stats: list = []
+        if not batch_df.isEmpty():
+            h = _shard_hash(id_col, seed)
+            staged = batch_df.select(
+                F.col(id_col).alias("id"),
+                F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+                .alias("n_tokens"),
+                h.alias("_h"),
+                (h % n_shards).cast("long").alias("shard"))
+            (staged.repartition(n_shards, "shard")
+             .sortWithinPartitions("shard", "_h", "id")
+             .write.mode("overwrite").partitionBy("shard")
+             .option("compression", "snappy").parquet(epoch_dir))
+            stats = [
+                {"shard": int(r.shard), "n_rows": int(r.n_rows),
+                 "n_tokens": int(r.n_tokens), "hash_sum": int(r.hash_sum)}
+                for r in (spark.read.parquet(epoch_dir)
+                          .groupBy("shard")
+                          .agg(F.count(F.lit(1)).alias("n_rows"),
+                               F.sum("n_tokens").alias("n_tokens"),
+                               F.sum("_h").alias("hash_sum"))
+                          .collect())]
+        os.makedirs(marker_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"epoch": epoch_id, "shards": stats}, fh)
+        os.rename(tmp, marker)
+
+        # republish the manifest from ALL committed markers — a pure
+        # fold, atomic swap; a reader never observes a torn manifest
+        epochs, totals = [], {}
+        for name in sorted(os.listdir(marker_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(marker_dir, name)) as fh:
+                m = _json.load(fh)
+            epochs.append(int(m["epoch"]))
+            for s in m["shards"]:
+                t = totals.setdefault(
+                    int(s["shard"]),
+                    {"n_rows": 0, "n_tokens": 0, "hash_sum": 0})
+                t["n_rows"] += s["n_rows"]
+                t["n_tokens"] += s["n_tokens"]
+                t["hash_sum"] += s["hash_sum"]
+        man = os.path.join(out_dir, "manifest.json")
+        tmp = man + f".tmp.{epoch_id}"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": epoch_id, "query_id": qid(),
+                        "n_shards": n_shards, "seed": seed,
+                        "epochs": sorted(epochs),
+                        "shards": {str(k): v
+                                   for k, v in sorted(totals.items())}},
+                       fh)
+        os.rename(tmp, man)
+
+    return write_batch
+
+
 def table_epoch_writer(table, branch: str = "main",
                        properties: dict[str, str] | None = None,
                        query_id: str | None = None,

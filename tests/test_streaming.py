@@ -891,3 +891,123 @@ def test_ks_drift_gate_heavy_ties(spark):
     legacy_gate(spark.createDataFrame(
         [(float((i * 7) % 100),) for i in range(200)], "value double"), 0)
     assert legacy_written == [0]
+
+
+class TestShardEpochWriter:
+    """Streaming shard export: crash-safe, exactly-once, manifest
+    epoch-atomic — the foreachBatch sibling of export_training_shards."""
+
+    @staticmethod
+    def _mk(spark, ids):
+        return spark.createDataFrame(
+            [(i, 10 + i) for i in ids], "doc_id long, n_tokens long")
+
+    def test_crash_between_write_and_publish_recovers(
+            self, spark, tmp_path):
+        import json
+        import os
+
+        out = str(tmp_path / "shards")
+        writer = pipeline.shard_epoch_writer(
+            out, "doc_id", "n_tokens", n_shards=4, query_id="q1")
+
+        writer(self._mk(spark, range(100)), 0)
+        man0 = json.load(open(f"{out}/manifest.json"))
+        assert man0["epochs"] == [0]
+        assert sum(v["n_rows"] for v in man0["shards"].values()) == 100
+
+        # CRASH WINDOW: epoch 1's shard files land but the marker and
+        # manifest never publish (simulated by writing the same layout
+        # the writer produces, with no marker)
+        from dativo_ingest_spark.sinks.shard_export import _shard_hash
+        from pyspark.sql import functions as F
+        batch1 = self._mk(spark, range(100, 160))
+        h = _shard_hash("doc_id", "epoch0")
+        (batch1.select(
+            F.col("doc_id").alias("id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            h.alias("_h"), (h % 4).cast("long").alias("shard"))
+         .repartition(4, "shard")
+         .sortWithinPartitions("shard", "_h", "id")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(f"{out}/epoch=1"))
+
+        # the torn epoch is invisible: manifest unchanged, audit green
+        man = json.load(open(f"{out}/manifest.json"))
+        assert man["epochs"] == [0]
+        from dativo_ingest_spark.sinks.shard_export import (
+            audit_streaming_shards)
+        assert audit_streaming_shards(spark, out)["ok"]
+
+        # recovery: the source replays epoch 1 — overwrite + publish
+        writer(batch1, 1)
+        man = json.load(open(f"{out}/manifest.json"))
+        assert man["epochs"] == [0, 1]
+        assert sum(v["n_rows"] for v in man["shards"].values()) == 160
+        audit = audit_streaming_shards(spark, out)
+        assert audit["ok"] and audit["epochs"] == 2
+
+        # replayed AGAIN (at-least-once delivery): marker suppresses,
+        # totals unchanged
+        writer(batch1, 1)
+        man2 = json.load(open(f"{out}/manifest.json"))
+        assert man2 == man
+
+    def test_matches_batch_exporter_totals(self, spark, tmp_path):
+        # the same corpus through two epochs must land every row in the
+        # SAME shard as the one-shot batch exporter (md5 assignment is
+        # split-invariant), with equal order-insensitive hash_sums
+        import json
+
+        from dativo_ingest_spark.sinks.shard_export import (
+            export_training_shards)
+
+        out = str(tmp_path / "stream")
+        writer = pipeline.shard_epoch_writer(
+            out, "doc_id", "n_tokens", n_shards=4, query_id="q1")
+        writer(self._mk(spark, range(0, 70)), 0)
+        writer(self._mk(spark, range(70, 150)), 1)
+        man = json.load(open(f"{out}/manifest.json"))
+
+        batch = export_training_shards(
+            self._mk(spark, range(150)), "doc_id", "n_tokens",
+            str(tmp_path / "batch"), n_shards=4)
+        exp = {str(r.shard): (r.n_rows, r.n_tokens, r.hash_sum)
+               for r in batch.collect()}
+        got = {k: (v["n_rows"], v["n_tokens"], v["hash_sum"])
+               for k, v in man["shards"].items()}
+        assert got == exp
+
+    def test_real_stream_availablenow(self, spark, tmp_path):
+        import json
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        self._mk(spark, range(40)).coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        for phase in range(2):
+            stream = pipeline.stream_from_files(spark, src, schema)
+            q = (stream.writeStream
+                 .foreachBatch(pipeline.shard_epoch_writer(
+                     out, "doc_id", "n_tokens", n_shards=4,
+                     checkpoint_dir=ckpt))
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if phase == 0:
+                self._mk(spark, range(40, 100)).coalesce(1).write.mode(
+                    "append").parquet(src)
+        man = json.load(open(f"{out}/manifest.json"))
+        assert sum(v["n_rows"] for v in man["shards"].values()) == 100
+        from dativo_ingest_spark.sinks.shard_export import (
+            audit_streaming_shards)
+        assert audit_streaming_shards(spark, out)["ok"]
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_shards"):
+            pipeline.shard_epoch_writer("/tmp/x", "id", "t",
+                                        n_shards=0, query_id="q")

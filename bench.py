@@ -197,6 +197,8 @@ EXTENDED = [
     "ohlc_daily_events",
     "zorder_keys_events",
     "skew_salted_join_events",
+    # r10 operators
+    "doremi_weights_docs",
 ]
 
 

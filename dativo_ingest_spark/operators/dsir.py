@@ -185,3 +185,124 @@ def gumbel_topk_sample(
         .limit(k)
         .drop("_score")
     )
+
+
+def _doremi_rounds(stats: list[tuple], n_rounds: int,
+                   eta_milli: int) -> dict:
+    """The DoReMi multiplicative-weights fixed point over collected
+    per-domain aggregates — pure integers so a SQL oracle replays every
+    round bit-for-bit (Python //, Spark DIV and DuckDB integer // all
+    agree on the non-negative operands used here).
+
+    ``stats``: [(domain, nll_micro), ...]; returns {domain: weight_micro}
+    with weights renormalized to micro shares after every round.
+
+    Per round (Group-DRO with the mixture itself as the reference
+    model — domains harder than the CURRENT mixture get upweighted
+    until the weighted reference catches up, a genuine coupled fixed
+    point, not a closed form: the truncating renormalization feeds
+    round t's integer shares into round t+1):
+
+    1. shares   s_d = (W_d * 1e6) // sum(W)
+    2. reference ref = (sum_d s_d * nll_d) // 1e6         (micro-nats)
+    3. excess   e_d = max(0, nll_d - ref)                 (DoReMi clip)
+    4. update   W_d = (W_d * (1e6 + (eta_milli * e_d) // 1000)) // 1e6
+    5. renorm   W_d = max(1, (W_d * 1e6) // sum(W))       (floor keeps
+       every domain alive — a 0 weight could never recover)
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    if eta_milli < 0:
+        raise ValueError("eta_milli must be >= 0")
+    w = {d: MICRO_UNITS for d, _ in stats}
+    nll = dict(stats)
+    for _ in range(n_rounds):
+        tot = sum(w.values())
+        s = {d: (w[d] * MICRO_UNITS) // tot for d in w}
+        ref = sum(s[d] * nll[d] for d in w) // MICRO_UNITS
+        for d in w:
+            exc = nll[d] - ref
+            if exc < 0:
+                exc = 0
+            w[d] = (w[d] * (MICRO_UNITS + (eta_milli * exc) // 1000)) \
+                // MICRO_UNITS
+        tot2 = sum(w.values())
+        w = {d: max(1, (w[d] * MICRO_UNITS) // tot2) for d in w}
+    return w
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    text_col: str,
+    n_rounds: int = 5,
+    eta_milli: int = 200,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429): solve for a training mixture that upweights the
+    domains the reference model finds HARD, instead of sampling by raw
+    token share. The paper's minimax loop retrains a proxy model per
+    step; this engine variant keeps the Group-DRO multiplicative-weights
+    solver and plugs in the corpus's own unigram LM as the loss model —
+    per-domain mean NLL in micro-nats (the ``unigram_logprob``
+    discipline), with each round's reference loss being the
+    CURRENT-mixture-weighted mean, so weights and reference co-evolve
+    to an equilibrium. Completes the mixture story next to DSIR
+    (targeted selection), temperature mixtures and perplexity buckets.
+
+    One row per domain: (domain, n_docs, n_tokens, nll_micro,
+    baseline_micro, weight_micro) — baseline is the natural token
+    share, weight the solved mixture share (both micro, summing to
+    ~1e6 up to floor truncation). Only documents with >= 1 word score.
+
+    Determinism: per-word log-probs quantize to integer micro-nats
+    BEFORE any sum; domain NLL is one integer division; every solver
+    round is pure integer arithmetic (see :func:`_doremi_rounds`) — a
+    SQL oracle replays the rounds as unrolled CTEs exactly.
+
+    Scale: the corpus is scanned by ONE tokenize + vocab join (the
+    proven Zipf-join shape) folding straight to domain grain; the
+    solver iterates driver-side over the collected DOMAIN frame
+    (domains number 10s-1000s — the codebook-sized-collect contract
+    from quantization.py, never row-scaled).
+    """
+    from dativo_ingest_spark.operators.textops import _tokenized
+
+    words = _tokenized(df, id_col, text_col).select(
+        "id", F.col("_words").alias("w")).join(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(domain_col).alias("domain")), "id").select(
+        "domain", F.explode("w").alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lp = (counts.join(F.broadcast(total))
+          .select("word",
+                  F.floor(F.log(F.col("c").cast("double")
+                                / F.col("total").cast("double"))
+                          * MICRO_UNITS + 0.5)
+                  .cast("long").alias("lpq")))
+    dom = (words.join(lp, "word")
+           .groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("lpq").alias("sum_lpq")))
+    n_docs = (_tokenized(df, id_col, text_col)
+              .filter(F.size("_words") > 0).select("id")
+              .join(df.select(F.col(id_col).alias("id"),
+                              F.col(domain_col).alias("domain")), "id")
+              .groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs")))
+    rows = (dom.join(n_docs, "domain")
+            .select("domain", "n_docs", "n_tokens",
+                    F.expr("(-sum_lpq) DIV n_tokens").alias("nll"))
+            .collect())                      # domain-grain: bounded
+    total_tokens = sum(int(r.n_tokens) for r in rows)
+    weights = _doremi_rounds(
+        [(r.domain, int(r.nll)) for r in rows], n_rounds, eta_milli)
+    out = [(r.domain, int(r.n_docs), int(r.n_tokens), int(r.nll),
+            (int(r.n_tokens) * MICRO_UNITS) // max(1, total_tokens),
+            weights[r.domain])
+           for r in sorted(rows, key=lambda r: r.domain)]
+    return df.sparkSession.createDataFrame(
+        out, "domain string, n_docs bigint, n_tokens bigint, "
+             "nll_micro bigint, baseline_micro bigint, "
+             "weight_micro bigint")

@@ -10203,6 +10203,101 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
               "n_cols bigint, n_priority bigint, added_cols string")
 
 
+_DOREMI_ROUNDS, _DOREMI_ETA_MILLI = 5, 200
+
+
+def _doremi_oracle(n_rounds: int = _DOREMI_ROUNDS,
+                   eta_milli: int = _DOREMI_ETA_MILLI) -> str:
+    r"""Unrolled-CTE replay of the DoReMi multiplicative-weights fixed
+    point (the bpe_train precedent): the per-domain mean NLL comes from
+    the same micro-nat unigram fold unigram_logprob_quality proved, and
+    each solver round unrolls to three CTEs of pure integer arithmetic
+    (shares -> mixture-weighted reference -> clipped-excess update ->
+    floor renormalization) — Python //, Spark DIV and DuckDB integer //
+    agree on every non-negative operand, so all k rounds replay
+    bit-for-bit. HUGEINT sums stay internal; every output column casts
+    to BIGINT (the r8/r9 oracle-type lint contract)."""
+    rounds = []
+    for k in range(1, n_rounds + 1):
+        p = k - 1
+        rounds.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT domain, n_docs, n_tokens, nll, w,
+             (w * 1000000) // (SELECT sum(w) FROM r{p}) AS sh
+      FROM r{p}),
+    ref{k} AS MATERIALIZED (
+      SELECT CAST(sum(sh * nll) AS BIGINT) // 1000000 AS ref FROM s{k}),
+    u{k} AS MATERIALIZED (
+      SELECT domain, n_docs, n_tokens, nll,
+             (w * (1000000
+                   + ({eta_milli} * greatest(nll - ref, 0)) // 1000))
+               // 1000000 AS wr
+      FROM s{k}, ref{k}),
+    r{k} AS MATERIALIZED (
+      SELECT domain, n_docs, n_tokens, nll,
+             greatest((wr * 1000000) // (SELECT sum(wr) FROM u{k}), 1)
+               AS w
+      FROM u{k})""")
+    return (r"""
+    WITH wds AS MATERIALIZED (
+      SELECT doc_id, source,
+             unnest(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+      WHERE trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> ''),
+    c AS MATERIALIZED (SELECT word, count(*) AS c FROM wds GROUP BY 1),
+    t AS MATERIALIZED (SELECT sum(c) AS total FROM c),
+    lp AS MATERIALIZED (
+      SELECT word,
+             CAST(floor(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS lpq
+      FROM c, t),
+    dom AS MATERIALIZED (
+      SELECT source AS domain,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST((-sum(lpq)) // count(*) AS BIGINT) AS nll
+      FROM wds JOIN lp USING (word) GROUP BY 1),
+    tt AS MATERIALIZED (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM dom),
+    r0 AS MATERIALIZED (SELECT domain, n_docs, n_tokens, nll,
+                  CAST(1000000 AS BIGINT) AS w
+           FROM dom),"""
+            + ",".join(rounds)
+            + f"""
+    SELECT domain, n_docs, n_tokens, nll AS nll_micro,
+           CAST((n_tokens * 1000000) // greatest(tot_tokens, 1)
+                AS BIGINT) AS baseline_micro,
+           CAST(w AS BIGINT) AS weight_micro
+    FROM r{n_rounds}, tt
+    """)
+
+
+@register(
+    "doremi_weights_docs",
+    _doremi_oracle(),
+    doc="DoReMi-style domain reweighting "
+        "(operators/dsir.py:doremi_domain_weights — Xie et al. 2023, "
+        "arXiv:2305.10429): solve the training mixture by Group-DRO "
+        "multiplicative weights over per-domain excess loss, with the "
+        "corpus's own unigram LM as the loss model and each round's "
+        "reference being the CURRENT-mixture-weighted mean NLL — "
+        "weights and reference co-evolve to an integer fixed point. "
+        "Completes the mixture family next to DSIR, temperature "
+        "mixtures and perplexity buckets. One tokenize + Zipf vocab "
+        "join folds the corpus to domain grain; the solver iterates "
+        "driver-side over the DOMAIN frame (codebook-sized-collect "
+        "contract) in pure integers, replayed by the oracle as "
+        "unrolled CTE rounds (the bpe_train precedent).",
+)
+def doremi_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.dsir import doremi_domain_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return doremi_domain_weights(docs, "source", "doc_id", "text",
+                                 n_rounds=_DOREMI_ROUNDS,
+                                 eta_milli=_DOREMI_ETA_MILLI)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering.
 #
@@ -10880,6 +10975,14 @@ _GATE_DEMOTED = [
     # two-phase top-k shape stays via bm25_topk_docs +
     # hybrid_retrieval_docs (grouped_topk r9-proven)
     "grouped_topk_spenders",
+    # admits doremi_weights_docs (Group-DRO domain reweighting, NEW
+    # r10 — the corpus-mixing solver the r9 verdict asked for) — the
+    # dedup family keeps streaming_dedup_ingest_docs (the same
+    # persistent-fingerprint-index machinery through foreachBatch),
+    # setsim_prefix_pairs_docs, dedup_quality_resolved,
+    # forget_readmit_docs and entity_resolution_customers in-window
+    # (dedup_bloom_index_docs r9-proven)
+    "dedup_bloom_index_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

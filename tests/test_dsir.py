@@ -81,3 +81,86 @@ class TestGumbelTopK:
             dsir.gumbel_topk_sample(w, k=0)
         with pytest.raises(ValueError):
             dsir.gumbel_topk_sample(w, k=1, temperature=-1.0)
+
+
+class TestDoremiRounds:
+    def test_uniform_loss_keeps_uniform_weights(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        w = _doremi_rounds([("a", 5_000_000), ("b", 5_000_000),
+                            ("c", 5_000_000)], n_rounds=10,
+                           eta_milli=500)
+        # equal NLL => excess 0 every round => shares stay 1/3
+        assert set(w.values()) == {333_333}
+
+    def test_hard_domain_upweights_toward_equilibrium(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        stats = [("easy", 4_000_000), ("hard", 8_000_000)]
+        prev = 500_000
+        last = None
+        for k in (1, 3, 6, 12):
+            w = _doremi_rounds(stats, n_rounds=k, eta_milli=500)
+            assert w["hard"] > w["easy"]
+            assert w["hard"] >= prev          # monotone in rounds
+            prev = w["hard"]
+            last = w
+        # weights remain normalized micro shares
+        assert abs(sum(last.values()) - 1_000_000) <= len(last)
+
+    def test_one_round_hand_computed(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        stats = [("a", 2_000_000), ("b", 6_000_000)]
+        # round 1 by hand: W=1e6 each, tot=2e6, s=500000 each,
+        # ref = (500000*2e6 + 500000*6e6)//1e6 = 4_000_000
+        # exc_a = 0, exc_b = 2_000_000
+        # W_a = 1e6; W_b = (1e6 * (1e6 + (200*2e6)//1000)) // 1e6
+        #          = 1e6 + 400_000 = 1_400_000
+        # renorm: tot2 = 2_400_000
+        # W_a = 1e12 // 2.4e6 = 416_666 ; W_b = 1.4e12//2.4e6 = 583_333
+        w = _doremi_rounds(stats, n_rounds=1, eta_milli=200)
+        assert w == {"a": 416_666, "b": 583_333}
+
+    def test_eta_zero_is_identity(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        w = _doremi_rounds([("a", 1_000_000), ("b", 9_000_000)],
+                           n_rounds=7, eta_milli=0)
+        assert w == {"a": 500_000, "b": 500_000}
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        with _pytest.raises(ValueError, match="n_rounds"):
+            _doremi_rounds([("a", 1)], n_rounds=-1, eta_milli=1)
+        with _pytest.raises(ValueError, match="eta_milli"):
+            _doremi_rounds([("a", 1)], n_rounds=1, eta_milli=-1)
+
+
+class TestDoremiDomainWeights:
+    def test_hard_domain_wins_corpus_weights(self, spark):
+        from dativo_ingest_spark.operators.dsir import (
+            doremi_domain_weights)
+
+        # "common" docs reuse high-frequency words (high unigram prob,
+        # low NLL); "rare" docs use singleton words (high NLL)
+        rows = ([(i, "web", "the cat sat on the mat the end") 
+                 for i in range(40)]
+                + [(100 + i, "code", f"zx{i}q qq{i}z xq{i}v vv{i}w")
+                   for i in range(10)]
+                + [(200, "empty", "   ")])
+        df = spark.createDataFrame(rows,
+                                   "doc_id bigint, src string, t string")
+        out = {r.domain: r for r in doremi_domain_weights(
+            df, "src", "doc_id", "t", n_rounds=5,
+            eta_milli=500).collect()}
+        assert "empty" not in out            # zero-token docs don't score
+        assert out["code"].nll_micro > out["web"].nll_micro
+        assert out["code"].weight_micro > out["code"].baseline_micro
+        assert out["web"].weight_micro < out["web"].baseline_micro
+        assert out["web"].n_docs == 40 and out["code"].n_docs == 10
+        total = sum(r.weight_micro for r in out.values())
+        assert abs(total - 1_000_000) <= 2

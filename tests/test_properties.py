@@ -292,3 +292,36 @@ def test_odcs_normalization_idempotent_and_preserving(asset):
     assert once["kind"] == "DataContract"
     assert once["id"]                          # deterministic mint
     assert once["id"] == normalize_asset_to_odcs(asset)["id"]
+
+
+class TestDoremiRoundsProperties:
+    """Invariants of the pure-integer DoReMi solver
+    (operators/dsir.py:_doremi_rounds) under arbitrary domain losses."""
+
+    @given(
+        nlls=st.lists(st.integers(min_value=0, max_value=30_000_000),
+                      min_size=1, max_size=12),
+        n_rounds=st.integers(min_value=0, max_value=8),
+        eta_milli=st.integers(min_value=0, max_value=1000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_normalized_alive_and_order_preserving(
+            self, nlls, n_rounds, eta_milli):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        stats = [(f"d{i}", v) for i, v in enumerate(nlls)]
+        w = _doremi_rounds(stats, n_rounds=n_rounds, eta_milli=eta_milli)
+        # every domain stays alive
+        assert all(v >= 1 for v in w.values())
+        # weights are normalized micro shares (floor truncation only)
+        if n_rounds > 0:
+            assert 1_000_000 - len(nlls) <= sum(w.values()) <= 1_000_000 \
+                + len(nlls)
+        # monotone: a harder domain never ends below an easier one
+        # (uniform start, per-round multiplier monotone in nll, floor
+        # renorm preserves weak order)
+        by_nll = sorted(stats, key=lambda t: t[1])
+        for (da, va), (db, vb) in zip(by_nll, by_nll[1:]):
+            assert w[da] <= w[db] or va == vb
+        # int64 safety: the solver's intermediates bounded
+        assert all(v <= 1_000_000 for v in w.values())

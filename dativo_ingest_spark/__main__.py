@@ -113,10 +113,14 @@ def main(argv: list[str] | None = None) -> int:
         "audit-shards", help="trainer-side shard audit: recompute every "
                              "shard's (rows, tokens, hash_sum) from the "
                              "shard files and compare against the "
-                             "published manifest (exit 2 on mismatch)")
+                             "published manifest (exit 2 on mismatch); "
+                             "detects batch (manifest/ parquet) vs "
+                             "streaming (manifest.json, epoch=K dirs) "
+                             "layouts automatically")
     audit_p.add_argument("--shards-dir", required=True,
-                         help="a shard_export target directory "
-                              "(shard=K dirs + manifest/)")
+                         help="a shard_export target directory — batch "
+                              "(shard=K dirs + manifest/) or streaming "
+                              "(epoch=K/shard=K dirs + manifest.json)")
 
     cdiff_p = sub.add_parser(
         "contract-diff", help="schema-drift probe: observed source "
@@ -234,9 +238,18 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "audit-shards":
-            from dativo_ingest_spark.sinks.shard_export import audit_shards
+            import os as _os
 
-            doc = audit_shards(spark, args.shards_dir)
+            from dativo_ingest_spark.sinks.shard_export import (
+                audit_shards, audit_streaming_shards)
+
+            # streaming layouts publish manifest.json (epoch-atomic
+            # refold); batch layouts publish a manifest/ parquet dir
+            if _os.path.exists(
+                    _os.path.join(args.shards_dir, "manifest.json")):
+                doc = audit_streaming_shards(spark, args.shards_dir)
+            else:
+                doc = audit_shards(spark, args.shards_dir)
             print(json.dumps(doc, indent=1))
             return 0 if doc["ok"] else EXIT_FAILURE
 

@@ -234,7 +234,6 @@ def _doremi_rounds(stats: list[tuple], n_rounds: int,
 def doremi_domain_weights(
     df: DataFrame,
     domain_col: str,
-    id_col: str,
     text_col: str,
     n_rounds: int = 5,
     eta_milli: int = 200,
@@ -267,13 +266,13 @@ def doremi_domain_weights(
     (domains number 10s-1000s — the codebook-sized-collect contract
     from quantization.py, never row-scaled).
     """
-    from dativo_ingest_spark.operators.textops import _tokenized
-
-    words = _tokenized(df, id_col, text_col).select(
-        "id", F.col("_words").alias("w")).join(
-        df.select(F.col(id_col).alias("id"),
-                  F.col(domain_col).alias("domain")), "id").select(
-        "domain", F.explode("w").alias("word"))
+    # domain rides the tokenize scan directly — no corpus-scale
+    # self-join to recover provenance; n_docs counts rows at the doc
+    # grain the input frame already carries
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        text.words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"))
+    words = base.select("domain", F.explode("_w").alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     lp = (counts.join(F.broadcast(total))
@@ -286,10 +285,7 @@ def doremi_domain_weights(
            .groupBy("domain")
            .agg(F.count(F.lit(1)).alias("n_tokens"),
                 F.sum("lpq").alias("sum_lpq")))
-    n_docs = (_tokenized(df, id_col, text_col)
-              .filter(F.size("_words") > 0).select("id")
-              .join(df.select(F.col(id_col).alias("id"),
-                              F.col(domain_col).alias("domain")), "id")
+    n_docs = (base.filter(F.size("_w") > 0)
               .groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs")))
     rows = (dom.join(n_docs, "domain")
             .select("domain", "n_docs", "n_tokens",

@@ -10293,7 +10293,7 @@ def doremi_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dativo_ingest_spark.operators.dsir import doremi_domain_weights
 
     docs = load(spark, sf_dir, "documents")
-    return doremi_domain_weights(docs, "source", "doc_id", "text",
+    return doremi_domain_weights(docs, "source", "text",
                                  n_rounds=_DOREMI_ROUNDS,
                                  eta_milli=_DOREMI_ETA_MILLI)
 

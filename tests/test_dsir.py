@@ -155,7 +155,7 @@ class TestDoremiDomainWeights:
         df = spark.createDataFrame(rows,
                                    "doc_id bigint, src string, t string")
         out = {r.domain: r for r in doremi_domain_weights(
-            df, "src", "doc_id", "t", n_rounds=5,
+            df, "src", "t", n_rounds=5,
             eta_milli=500).collect()}
         assert "empty" not in out            # zero-token docs don't score
         assert out["code"].nll_micro > out["web"].nll_micro

@@ -383,3 +383,33 @@ def test_cli_audit_shards(spark, tmp_path, capsys):
     rc = cli.main(["audit-shards", "--shards-dir", out])
     doc = _json.loads(capsys.readouterr().out.strip())
     assert rc == 2 and not doc["ok"] and doc["mismatches"]
+
+
+def test_cli_audit_shards_streaming_layout(spark, tmp_path, capsys):
+    """The CLI auto-detects a streaming layout (manifest.json +
+    epoch=K dirs) and audits committed epochs only."""
+    import glob
+    import json as _json
+    import os
+
+    from dativo_ingest_spark import __main__ as cli
+    from dativo_ingest_spark.streaming import pipeline
+
+    out = str(tmp_path / "stream_shards")
+    writer = pipeline.shard_epoch_writer(out, "id", "toks", n_shards=3,
+                                         query_id="q1")
+    df = spark.createDataFrame([(i, i * 3) for i in range(1, 31)],
+                               "id bigint, toks bigint")
+    writer(df, 0)
+    writer(spark.createDataFrame([(i, i) for i in range(31, 41)],
+                                 "id bigint, toks bigint"), 1)
+
+    rc = cli.main(["audit-shards", "--shards-dir", out])
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and doc["ok"] and doc["epochs"] == 2
+
+    victim = glob.glob(out + "/epoch=*/shard=*/part-*.parquet")[0]
+    os.remove(victim)
+    rc = cli.main(["audit-shards", "--shards-dir", out])
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert rc == 2 and not doc["ok"] and doc["mismatches"]

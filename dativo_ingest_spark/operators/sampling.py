@@ -480,12 +480,15 @@ def host_cap_sample(
     df: DataFrame,
     host_col: str,
     id_col: str,
-    cap: int,
+    cap,
     salt: str = "hostcap",
 ) -> DataFrame:
     """Per-host document cap (web-crawl balancing, the C4/FineWeb 'at
     most N pages per host' step): keep a deterministic hash-random
-    ``cap``-subset of each host's rows.
+    ``cap``-subset of each host's rows. ``cap`` is an int (uniform) or
+    a Column expression (per-group budgets — e.g. a solved-mixture
+    budget map keyed by the group column; see
+    examples/mixture_pipeline.py).
 
     Admission ranks rows within a host by ``(md5(salt|id), id)`` — a
     layout/retry-stable pseudo-random order, so the kept set is a
@@ -501,8 +504,12 @@ def host_cap_sample(
     and rank exactly inside the survivors — two-phase, same kept set
     distributionally, no giant sort partitions.
     """
-    if cap < 1:
-        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Column as _Column
+
+    if not isinstance(cap, _Column):
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        cap = F.lit(int(cap))
     from pyspark.sql.window import Window as _W
 
     order_hash = F.md5(F.concat(

@@ -915,3 +915,35 @@ def test_retrieval_pipeline_example_end_to_end(spark):
     out = mod.search(spark, SF_DIR)
     assert out["queries"] == 2 and out["fused_candidates"] == 20
     assert out["n_vectors"] > 0
+
+
+def test_mixture_pipeline_example_end_to_end(spark, tmp_path):
+    """examples/mixture_pipeline.py: solve weights -> budgeted admission
+    -> shard export -> audit, deterministically."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "mixture_pipeline",
+        os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                     "mixture_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.conftest import SF_DIR
+
+    out = mod.build_mixture(spark, SF_DIR, str(tmp_path / "mix"),
+                            total_budget=60, n_shards=2)
+    assert out["audit_ok"] and out["shards"] == 2
+    assert out["domains"] >= 2
+    # weights are normalized micro shares; budgets follow them
+    assert abs(sum(out["weights"].values()) - 1_000_000) \
+        <= out["domains"]
+    assert sum(out["budgets"].values()) <= 60 + out["domains"]
+    # admission respects per-domain budgets (cap, not quota-fill)
+    assert out["admitted"] <= sum(out["budgets"].values())
+
+    # determinism: a second run admits the identical corpus
+    out2 = mod.build_mixture(spark, SF_DIR, str(tmp_path / "mix2"),
+                             total_budget=60, n_shards=2)
+    assert out2["weights"] == out["weights"]
+    assert out2["admitted"] == out["admitted"]

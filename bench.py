@@ -199,6 +199,7 @@ EXTENDED = [
     "skew_salted_join_events",
     # r10 operators
     "doremi_weights_docs",
+    "ann_recall_ivfpq_embeddings",
 ]
 
 

@@ -566,3 +566,116 @@ def ivfpq_residual_topk(
         return out.localCheckpoint(eager=True)
     finally:
         quantized.unpersist()
+
+
+def exact_grid_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: Sequence,
+    k: int = 10,
+    scale: int = 10_000,
+    broadcast_guard: str = "warn",
+) -> DataFrame:
+    """Exact squared-L2 top-k on the integer grid — the ground truth an
+    ANN recall meter measures against. Both sides quantize with the
+    engine's own ``round(x*scale)`` (no driver-side rounding anywhere),
+    so every distance is an exact BIGINT: ``d2 = sum (qi - vi)^2`` over
+    int64 grid points, deterministic ties to the lower id, and a SQL
+    oracle replays it with a list_reduce over the same integers.
+
+    (query_id, vec_id, d2, rank). Scale shape: the exact baseline —
+    broadcast the |query_ids|-row side over ONE corpus scan, per-query
+    top-k via the rank window (|query_ids| partitions of N; the same
+    broadcast-guarded contract as similarity.brute_force_topk — IVF/PQ
+    are the scale path, this is the meter they're measured with).
+
+    int64 bound: d2 <= dim * (2*scale*max|x|)^2 — at scale 1e4 and
+    unit-norm embeddings, ~64 * 4e8 << 2^63.
+    """
+    ids = [int(q) for q in query_ids]
+    if not ids:
+        raise ValueError("query_ids must be non-empty")
+    from dativo_ingest_spark.operators.similarity import _guard_broadcast
+
+    g = _quantized(df, id_col, vec_col, scale)
+    qs = (g.filter(F.col("id").isin(ids))
+          .select(F.col("id").alias("query_id"),
+                  F.col("qvec").alias("qg")))
+    _guard_broadcast(qs, "exact_grid_topk", broadcast_guard)
+    scored = (F.broadcast(qs).crossJoin(g)
+              .select("query_id", F.col("id").alias("vec_id"),
+                      F.aggregate(
+                          F.zip_with("qg", "qvec",
+                                     lambda a, b: (a - b) * (a - b)),
+                          F.lit(0).cast("long"),
+                          lambda acc, x: acc + x).alias("d2")))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
+def recall_at_k(approx: DataFrame, truth: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate ranking against its exact ground
+    truth — THE index-quality number every ANN deployment monitors
+    (FAISS's own benchmark metric): per query,
+    ``|approx_ids ∩ truth_ids| / k``.
+
+    Inputs: two (query_id, vec_id) frames (extra columns ignored; at
+    most k rows per query each — the rankings' cut lists). One row per
+    TRUTH query: (query_id, k, n_hits, recall_micro) — a query the
+    approximate side missed entirely still reports, with 0.
+
+    Exactness: set intersection + one integer floor division — nothing
+    to drift. Scale: both inputs are queries x k rows; everything here
+    is ranking-sized, never corpus-sized.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    t = truth.select("query_id", "vec_id").dropDuplicates()
+    a = approx.select("query_id", "vec_id").dropDuplicates()
+    hits = (t.join(a, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    base = t.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .select("query_id",
+                    F.lit(int(k)).cast("long").alias("k"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr(f"(coalesce(n_hits, 0) * 1000000) DIV {int(k)}")
+                    .cast("long").alias("recall_micro")))
+
+
+def ivfpq_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: dict,
+    m: int = 2,
+    k_codes: int = 4,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of the IVF-PQ index against the exact integer-grid
+    ground truth — the self-measuring quality gate a production index
+    ships with: probe/cell/codebook knobs move recall, and this report
+    is the number that says whether the speedup was paid for with
+    misses. Composes :func:`ivfpq_topk` (the approximate path under
+    measurement) with :func:`exact_grid_topk` (the meter) through
+    :func:`recall_at_k`.
+
+    One row per query: (query_id, k, n_hits, recall_micro).
+    """
+    approx = ivfpq_topk(df, id_col, vec_col, queries, m=m,
+                        k_codes=k_codes, n_cells=n_cells,
+                        n_probe=n_probe, n_iter=n_iter, scale=scale,
+                        k=k)
+    truth = exact_grid_topk(df, id_col, vec_col, list(queries), k=k,
+                            scale=scale)
+    return recall_at_k(approx.select("query_id",
+                                     F.col("id").alias("vec_id")),
+                       truth, k)

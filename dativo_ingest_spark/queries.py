@@ -9738,11 +9738,13 @@ def _pq_oracle() -> str:
 _IVFPQ_CELLS, _IVFPQ_PROBE = 4, 2
 
 
-def _ivfpq_oracle() -> str:
-    """IVF-PQ replica: the PQ subspace CTEs plus coarse-cell assignment
-    (n_cells lowest-id full vectors as centroids, same 9dp argmin) and
-    per-query probing (n_probe nearest cells), with the ADC join
-    restricted to probed cells."""
+def _ivfpq_ctes() -> list[str]:
+    """IVF-PQ replica CTE list: the PQ subspace CTEs plus coarse-cell
+    assignment (n_cells lowest-id full vectors as centroids, same 9dp
+    argmin) and per-query probing (n_probe nearest cells), with the
+    ADC join restricted to probed cells. Shared by the IVF-PQ gate
+    oracle and the recall-report oracle (which measures the same
+    ranking against the exact integer-grid truth)."""
     dist = _pq_dist_sql
     ctes = _pq_subspace_ctes()
     ctes.append(f"""cells AS (
@@ -9768,9 +9770,73 @@ def _ivfpq_oracle() -> str:
         " JOIN cella ca ON ca.vec_id = e0.vec_id"
         " JOIN probe p ON p.qid = l0.qid AND p.cellid = ca.cellid"))
     ctes.append(_PQ_RANK_TAIL)
-    return ("WITH " + ",\n    ".join(ctes) + f"""
+    return ctes
+
+
+def _ivfpq_oracle() -> str:
+    return ("WITH " + ",\n    ".join(_ivfpq_ctes()) + f"""
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
     FROM r WHERE rank <= {_PQ_TOPK}""")
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@k of the IVF-PQ ranking vs the exact integer-grid truth:
+    the full IVF-PQ replica plus an exact BIGINT squared-L2 top-k over
+    the same 1e4 grid (list_reduce over zipped int lists — no rounding
+    anywhere) and a set-intersection fold. One row per query."""
+    ctes = _ivfpq_ctes()
+    ctes.append(f"""truth AS (
+      SELECT qid AS query_id, vec_id FROM (
+        SELECT qv.vec_id AS qid, e2.vec_id,
+               row_number() OVER (PARTITION BY qv.vec_id
+                 ORDER BY list_reduce(list_transform(
+                     range(1, len(qv.q) + 1),
+                     i -> (qv.q[i] - e2.q[i]) * (qv.q[i] - e2.q[i])),
+                     (x, y) -> x + y) ASC, e2.vec_id ASC) AS rn
+        FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
+        CROSS JOIN e e2) t WHERE rn <= {_PQ_TOPK})""")
+    ctes.append(f"""hits AS (
+      SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM truth t
+      JOIN (SELECT DISTINCT query_id, vec_id
+            FROM r WHERE rank <= {_PQ_TOPK}) a
+        ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY 1)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT b.query_id, CAST({_PQ_TOPK} AS BIGINT) AS k,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((coalesce(h.n_hits, 0) * 1000000) // {_PQ_TOPK}
+                AS BIGINT) AS recall_micro
+    FROM (SELECT DISTINCT query_id FROM truth) b
+    LEFT JOIN hits h ON h.query_id = b.query_id""")
+
+
+@register(
+    "ann_recall_ivfpq_embeddings",
+    _ann_recall_oracle(),
+    doc="recall@k of the IVF-PQ index against the exact integer-grid "
+        "ground truth (operators/quantization.py:ivfpq_recall_report "
+        "over exact_grid_topk + recall_at_k) — THE index-quality "
+        "number an ANN deployment monitors (FAISS's own benchmark "
+        "metric): probe/cell/codebook knobs buy speed, this report "
+        "says what they cost in misses. The truth side is an exact "
+        "BIGINT squared-L2 over the same 1e4 grid the quantizer uses "
+        "(engine-side round on BOTH sides, zero driver rounding), so "
+        "recall replays as pure set intersection + one integer "
+        "division. RUNS the full IVF-PQ path (training, routing, ADC) "
+        "inside, keeping that machinery driver-exercised in-window.",
+)
+def ann_recall_ivfpq_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    return pq.ivfpq_recall_report(
+        emb, "vec_id", "embedding", queries,
+        m=_PQ_M, k_codes=_PQ_K, n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE, n_iter=_PQ_ITER, k=_PQ_TOPK)
 
 
 @register(
@@ -10983,6 +11049,12 @@ _GATE_DEMOTED = [
     # forget_readmit_docs and entity_resolution_customers in-window
     # (dedup_bloom_index_docs r9-proven)
     "dedup_bloom_index_docs",
+    # admits ann_recall_ivfpq_embeddings (recall@k quality meter, NEW
+    # r10), which RUNS the full ivfpq_topk path — training, routing,
+    # ADC — inside its approximate side, so the IVF-PQ machinery stays
+    # driver-exercised in-window alongside the promoted
+    # ivfpq_residual_embeddings (ivfpq_topk_embeddings r9-proven)
+    "ivfpq_topk_embeddings",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

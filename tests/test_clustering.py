@@ -270,3 +270,78 @@ class TestProductQuantization:
         # fidelity raw-vector ADC cannot reach
         assert by_rank[1].adc == 0.0
         assert 0 in {r.id for r in out}
+
+
+class TestAnnRecall:
+    def test_exact_grid_topk_hand_values(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+
+        rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.2]),
+                (3, [1.0, 1.0])]
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<double>")
+        out = {(r.query_id, r.rank): (r.vec_id, r.d2)
+               for r in pq.exact_grid_topk(
+                   df, "vec_id", "embedding", [0], k=3).collect()}
+        # grid = x*1e4: d2(0,1) = 1000^2, d2(0,2) = 2000^2
+        assert out[(0, 1)] == (0, 0)
+        assert out[(0, 2)] == (1, 1000 * 1000)
+        assert out[(0, 3)] == (2, 2000 * 2000)
+
+    def test_recall_at_k_counts_and_missing_queries(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+
+        truth = spark.createDataFrame(
+            [(0, 10), (0, 11), (1, 20), (1, 21)],
+            "query_id bigint, vec_id bigint")
+        approx = spark.createDataFrame(
+            [(0, 10), (0, 99)],             # q0: 1 of 2; q1: absent
+            "query_id bigint, vec_id bigint")
+        got = {r.query_id: (r.n_hits, r.recall_micro)
+               for r in pq.recall_at_k(approx, truth, k=2).collect()}
+        assert got == {0: (1, 500_000), 1: (0, 0)}
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="k must"):
+            pq.recall_at_k(approx, truth, k=0)
+
+    def test_ivfpq_recall_full_probe_is_perfect_on_grid(self, spark):
+        # with n_probe == n_cells (no routing loss) and k_codes large
+        # enough that every subspace value gets its own code, ADC == the
+        # exact distance -> recall@k must be 1.0
+        from dativo_ingest_spark.operators import quantization as pq
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = {0: [float(x) for x in
+                 emb.filter("vec_id = 0").first()["embedding"]]}
+        rep = pq.ivfpq_recall_report(
+            emb, "vec_id", "embedding", q,
+            m=2, k_codes=4, n_cells=4, n_probe=4, n_iter=1,
+            k=5).collect()
+        assert len(rep) == 1
+        r = rep[0]
+        assert r.k == 5 and 0 <= r.n_hits <= 5
+        assert r.recall_micro == (r.n_hits * 1_000_000) // 5
+        # probing every cell with a 4-code codebook is lossy-but-sane:
+        # the query's own vector is always recalled (distance 0 on
+        # both sides), so recall is never zero
+        assert r.n_hits >= 1
+
+    def test_more_probes_never_hurt_recall(self, spark):
+        from dativo_ingest_spark.operators import quantization as pq
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = {1: [float(x) for x in
+                 emb.filter("vec_id = 1").first()["embedding"]]}
+        rec = []
+        for probes in (1, 2, 4):
+            r = pq.ivfpq_recall_report(
+                emb, "vec_id", "embedding", q, m=2, k_codes=4,
+                n_cells=4, n_probe=probes, n_iter=1, k=5).collect()[0]
+            rec.append(r.n_hits)
+        assert rec == sorted(rec)          # monotone in probe count

@@ -231,6 +231,38 @@ def _doremi_rounds(stats: list[tuple], n_rounds: int,
     return w
 
 
+def _doremi_domain_stats(df: DataFrame, domain_col: str,
+                         text_col: str) -> DataFrame:
+    """The corpus-scale stage of DoReMi, as a lazy domain-grain frame:
+    (domain, n_docs, n_tokens, nll) with nll the mean per-token NLL in
+    micro-nats under the corpus's own unigram LM. Domain rides the
+    tokenize scan directly — no corpus-scale self-join to recover
+    provenance; the only shuffles are the word-count aggregate, the
+    Zipf vocab join, and the domain fold (plan-gated in
+    tests/test_plans.py)."""
+    base = df.select(
+        F.col(domain_col).alias("domain"),
+        text.words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"))
+    words = base.select("domain", F.explode("_w").alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lp = (counts.join(F.broadcast(total))
+          .select("word",
+                  F.floor(F.log(F.col("c").cast("double")
+                                / F.col("total").cast("double"))
+                          * MICRO_UNITS + 0.5)
+                  .cast("long").alias("lpq")))
+    dom = (words.join(lp, "word")
+           .groupBy("domain")
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("lpq").alias("sum_lpq")))
+    n_docs = (base.filter(F.size("_w") > 0)
+              .groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs")))
+    return (dom.join(n_docs, "domain")
+            .select("domain", "n_docs", "n_tokens",
+                    F.expr("(-sum_lpq) DIV n_tokens").alias("nll")))
+
+
 def doremi_domain_weights(
     df: DataFrame,
     domain_col: str,
@@ -266,31 +298,8 @@ def doremi_domain_weights(
     (domains number 10s-1000s — the codebook-sized-collect contract
     from quantization.py, never row-scaled).
     """
-    # domain rides the tokenize scan directly — no corpus-scale
-    # self-join to recover provenance; n_docs counts rows at the doc
-    # grain the input frame already carries
-    base = df.select(
-        F.col(domain_col).alias("domain"),
-        text.words(F.coalesce(F.col(text_col), F.lit(""))).alias("_w"))
-    words = base.select("domain", F.explode("_w").alias("word"))
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = counts.agg(F.sum("c").alias("total"))
-    lp = (counts.join(F.broadcast(total))
-          .select("word",
-                  F.floor(F.log(F.col("c").cast("double")
-                                / F.col("total").cast("double"))
-                          * MICRO_UNITS + 0.5)
-                  .cast("long").alias("lpq")))
-    dom = (words.join(lp, "word")
-           .groupBy("domain")
-           .agg(F.count(F.lit(1)).alias("n_tokens"),
-                F.sum("lpq").alias("sum_lpq")))
-    n_docs = (base.filter(F.size("_w") > 0)
-              .groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs")))
-    rows = (dom.join(n_docs, "domain")
-            .select("domain", "n_docs", "n_tokens",
-                    F.expr("(-sum_lpq) DIV n_tokens").alias("nll"))
-            .collect())                      # domain-grain: bounded
+    rows = _doremi_domain_stats(df, domain_col, text_col) \
+        .collect()                           # domain-grain: bounded
     total_tokens = sum(int(r.n_tokens) for r in rows)
     weights = _doremi_rounds(
         [(r.domain, int(r.nll)) for r in rows], n_rounds, eta_milli)

@@ -867,3 +867,38 @@ def test_ks_drift_two_exchanges_no_python(spark):
     plan = plan_of(spark, "ks_drift_events")
     assert n_exchanges(plan) <= 2, plan[:800]
     assert "Python" not in plan
+
+
+def test_doremi_domain_stats_shuffle_budget(spark):
+    # the corpus-scale stage of DoReMi: word-count agg, Zipf vocab
+    # join, domain fold, n_docs fold + the domain-grain final join —
+    # and the corpus-wide total must ride as a one-row broadcast
+    # (BroadcastNestedLoopJoin), never a shuffle. No corpus-scale
+    # self-join to recover domain provenance (it rides the tokenize
+    # scan), no Python anywhere.
+    from dativo_ingest_spark.operators.dsir import _doremi_domain_stats
+    from dativo_ingest_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents")
+    plan = _doremi_domain_stats(docs, "source", "text")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:900]
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan, plan[:900]
+
+
+def test_exact_grid_topk_broadcasts_query_side(spark):
+    # the exact-recall meter's truth side: the |queries|-row side
+    # broadcasts over ONE corpus scan (the documented exact-baseline
+    # contract) — a shuffled/sort-merge plan here would mean the meter
+    # costs a corpus exchange per measurement
+    from dativo_ingest_spark.operators.quantization import exact_grid_topk
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    plan = exact_grid_topk(emb, "vec_id", "embedding", [0, 1], k=5)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, plan[:900]
+    assert "Python" not in plan

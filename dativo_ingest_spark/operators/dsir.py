@@ -188,7 +188,7 @@ def gumbel_topk_sample(
 
 
 def _doremi_rounds(stats: list[tuple], n_rounds: int,
-                   eta_milli: int) -> dict:
+                   eta_milli: int, average_rounds: bool = False) -> dict:
     """The DoReMi multiplicative-weights fixed point over collected
     per-domain aggregates — pure integers so a SQL oracle replays every
     round bit-for-bit (Python //, Spark DIV and DuckDB integer // all
@@ -209,6 +209,13 @@ def _doremi_rounds(stats: list[tuple], n_rounds: int,
     4. update   W_d = (W_d * (1e6 + (eta_milli * e_d) // 1000)) // 1e6
     5. renorm   W_d = max(1, (W_d * 1e6) // sum(W))       (floor keeps
        every domain alive — a 0 weight could never recover)
+
+    ``average_rounds=True`` returns the mean of the per-round
+    normalized weights instead of the final round — the paper's actual
+    published mixture (DoReMi averages the per-step domain weights,
+    which smooths the early-round transient); still pure integers
+    (sum of micro shares // n_rounds, final floor renorm), so an
+    oracle unrolls it the same way.
     """
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
@@ -216,6 +223,7 @@ def _doremi_rounds(stats: list[tuple], n_rounds: int,
         raise ValueError("eta_milli must be >= 0")
     w = {d: MICRO_UNITS for d, _ in stats}
     nll = dict(stats)
+    acc = {d: 0 for d in w}
     for _ in range(n_rounds):
         tot = sum(w.values())
         s = {d: (w[d] * MICRO_UNITS) // tot for d in w}
@@ -228,6 +236,13 @@ def _doremi_rounds(stats: list[tuple], n_rounds: int,
                 // MICRO_UNITS
         tot2 = sum(w.values())
         w = {d: max(1, (w[d] * MICRO_UNITS) // tot2) for d in w}
+        for d in w:
+            acc[d] += w[d]
+    if average_rounds and n_rounds > 0:
+        avg = {d: acc[d] // n_rounds for d in w}
+        tot3 = sum(avg.values())
+        return {d: max(1, (avg[d] * MICRO_UNITS) // max(1, tot3))
+                for d in avg}
     return w
 
 
@@ -269,6 +284,7 @@ def doremi_domain_weights(
     text_col: str,
     n_rounds: int = 5,
     eta_milli: int = 200,
+    average_rounds: bool = False,
 ) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al. 2023,
     arXiv:2305.10429): solve for a training mixture that upweights the
@@ -302,7 +318,8 @@ def doremi_domain_weights(
         .collect()                           # domain-grain: bounded
     total_tokens = sum(int(r.n_tokens) for r in rows)
     weights = _doremi_rounds(
-        [(r.domain, int(r.nll)) for r in rows], n_rounds, eta_milli)
+        [(r.domain, int(r.nll)) for r in rows], n_rounds, eta_milli,
+        average_rounds=average_rounds)
     out = [(r.domain, int(r.n_docs), int(r.n_tokens), int(r.nll),
             (int(r.n_tokens) * MICRO_UNITS) // max(1, total_tokens),
             weights[r.domain])

@@ -659,6 +659,7 @@ def ivfpq_recall_report(
     n_iter: int = 1,
     scale: int = 10_000,
     k: int = 10,
+    residual: bool = False,
 ) -> DataFrame:
     """Recall@k of the IVF-PQ index against the exact integer-grid
     ground truth — the self-measuring quality gate a production index
@@ -666,14 +667,16 @@ def ivfpq_recall_report(
     is the number that says whether the speedup was paid for with
     misses. Composes :func:`ivfpq_topk` (the approximate path under
     measurement) with :func:`exact_grid_topk` (the meter) through
-    :func:`recall_at_k`.
+    :func:`recall_at_k`. ``residual=True`` measures the
+    residual-encoded variant (:func:`ivfpq_residual_topk`) instead —
+    same meter, FAISS's actual index shape under test.
 
     One row per query: (query_id, k, n_hits, recall_micro).
     """
-    approx = ivfpq_topk(df, id_col, vec_col, queries, m=m,
-                        k_codes=k_codes, n_cells=n_cells,
-                        n_probe=n_probe, n_iter=n_iter, scale=scale,
-                        k=k)
+    index = ivfpq_residual_topk if residual else ivfpq_topk
+    approx = index(df, id_col, vec_col, queries, m=m,
+                   k_codes=k_codes, n_cells=n_cells,
+                   n_probe=n_probe, n_iter=n_iter, scale=scale, k=k)
     truth = exact_grid_topk(df, id_col, vec_col, list(queries), k=k,
                             scale=scale)
     return recall_at_k(approx.select("query_id",

@@ -345,3 +345,24 @@ class TestAnnRecall:
                 n_cells=4, n_probe=probes, n_iter=1, k=5).collect()[0]
             rec.append(r.n_hits)
         assert rec == sorted(rec)          # monotone in probe count
+
+    def test_residual_variant_measured_same_meter(self, spark):
+        # residual encoding spends all codebook bits on within-cell
+        # geometry — at full probe its recall must be at least the
+        # raw-vector variant's on the same queries
+        from dativo_ingest_spark.operators import quantization as pq
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        emb = load(spark, SF_DIR, "embeddings")
+        q = {0: [float(x) for x in
+                 emb.filter("vec_id = 0").first()["embedding"]]}
+        raw = pq.ivfpq_recall_report(
+            emb, "vec_id", "embedding", q, m=2, k_codes=4,
+            n_cells=4, n_probe=4, n_iter=1, k=5).collect()[0]
+        res = pq.ivfpq_recall_report(
+            emb, "vec_id", "embedding", q, m=2, k_codes=4,
+            n_cells=4, n_probe=4, n_iter=1, k=5,
+            residual=True).collect()[0]
+        assert res.n_hits >= 1 and raw.n_hits >= 1
+        assert res.k == raw.k == 5

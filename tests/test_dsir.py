@@ -164,3 +164,34 @@ class TestDoremiDomainWeights:
         assert out["web"].n_docs == 40 and out["code"].n_docs == 10
         total = sum(r.weight_micro for r in out.values())
         assert abs(total - 1_000_000) <= 2
+
+
+class TestDoremiRoundAveraging:
+    def test_average_smooths_the_transient(self):
+        # the paper's published mixture is the MEAN of per-step weights:
+        # it sits between the uniform start and the final-round
+        # equilibrium for a monotone trajectory
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        stats = [("easy", 4_000_000), ("hard", 8_000_000)]
+        final = _doremi_rounds(stats, n_rounds=8, eta_milli=500)
+        avg = _doremi_rounds(stats, n_rounds=8, eta_milli=500,
+                             average_rounds=True)
+        assert 500_000 < avg["hard"] < final["hard"]
+        assert abs(sum(avg.values()) - 1_000_000) <= len(avg)
+
+    def test_average_of_one_round_equals_final(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        stats = [("a", 2_000_000), ("b", 6_000_000)]
+        f = _doremi_rounds(stats, n_rounds=1, eta_milli=200)
+        a = _doremi_rounds(stats, n_rounds=1, eta_milli=200,
+                           average_rounds=True)
+        assert a == f
+
+    def test_zero_rounds_average_is_uniform(self):
+        from dativo_ingest_spark.operators.dsir import _doremi_rounds
+
+        a = _doremi_rounds([("a", 1), ("b", 2)], n_rounds=0,
+                           eta_milli=100, average_rounds=True)
+        assert a == {"a": 1_000_000, "b": 1_000_000}

@@ -327,6 +327,22 @@ def run_job(
             raise ConfigError(
                 "shard_export derives its own shard partitioning; "
                 "target.partition_by must be empty")
+        _mx = _sh.get("mixture")
+        if _mx is not None:
+            _mx = dict(_mx)
+            if not _mx.get("domain_field"):
+                raise ConfigError(
+                    "shard.mixture needs domain_field (the column the "
+                    "DoReMi solver groups by)")
+            if int(_mx.get("total_budget", 0)) < 1:
+                raise ConfigError(
+                    "shard.mixture needs total_budget >= 1 (documents "
+                    "admitted across all domains)")
+            if int(_mx.get("n_rounds", 5)) < 0 \
+                    or int(_mx.get("eta_milli", 200)) < 0:
+                raise ConfigError(
+                    "shard.mixture: n_rounds and eta_milli must be "
+                    ">= 0")
     # dedup-on-ingest config (operators/dedup.py:dedup_against_index /
     # operators/similarity.py:dedup_embeddings_against_index): validated
     # before any data moves, like every other target option.
@@ -757,6 +773,41 @@ def run_job(
 
         stage = os.path.join(out_path, "_staging", uuid.uuid4().hex)
         _sh = dict(job.target.options.get("shard") or {})
+        _mx = _sh.get("mixture")
+        if _mx is not None:
+            # solved-mixture admission before export (DoReMi weights ->
+            # per-domain budgets -> the shared hash-rank sampler; see
+            # examples/mixture_pipeline.py for the standalone walk)
+            from dativo_ingest_spark.operators.dsir import (
+                MICRO_UNITS, doremi_domain_weights)
+            from dativo_ingest_spark.operators.sampling import (
+                host_cap_sample)
+            from pyspark.sql import functions as _F
+
+            _mx = dict(_mx)
+            _dfield = str(_mx["domain_field"])
+            _tfield = str(_mx.get("text_field", "text"))
+            for _c, _what in ((_dfield, "domain_field"),
+                              (_tfield, "text_field")):
+                if _c not in to_write.columns:
+                    raise ConfigError(
+                        f"shard.mixture.{_what} {_c!r} is not a column "
+                        "of the validated frame")
+            _budget_total = int(_mx["total_budget"])
+            _wt = doremi_domain_weights(
+                to_write, _dfield, _tfield,
+                n_rounds=int(_mx.get("n_rounds", 5)),
+                eta_milli=int(_mx.get("eta_milli", 200)),
+                average_rounds=bool(_mx.get("average_rounds", False)))
+            _budgets = {
+                r["domain"]: max(1, (int(r["weight_micro"])
+                                     * _budget_total) // MICRO_UNITS)
+                for r in _wt.collect()}
+            _bexpr = _F.create_map(
+                *[_F.lit(x) for kv in _budgets.items() for x in kv])
+            to_write = host_cap_sample(
+                to_write, _dfield, str(_sh["id_field"]),
+                cap=_bexpr[_F.col(_dfield)], salt="mixture")
         manifest = export_training_shards(
             to_write, str(_sh["id_field"]), str(_sh["token_field"]),
             stage,

@@ -1107,6 +1107,59 @@ class TestShardExportTarget:
             runner.run_job(spark, self._job(
                 str(p), str(tmp_path / "o2"), partition_by=["name"]))
 
+    def test_mixture_admission_before_export(self, spark, tmp_path):
+        """shard.mixture: DoReMi-solved per-domain budgets gate
+        admission before the deterministic export — the runner-surface
+        twin of examples/mixture_pipeline.py."""
+        p = tmp_path / "in.csv"
+        # two domains by name prefix; 'weird' rows use singleton words
+        # (high NLL -> upweighted), 'plain' rows repeat common words
+        rows = [f"{i},plain common words here,a\n" for i in range(1, 31)]
+        rows += [f"{i},zz{i}q xq{i}v unique{i},b\n" for i in range(31, 46)]
+        p.write_text("id,name,dom\n" + "".join(rows))
+        out = str(tmp_path / "mix_out")
+        d = job_dict(str(p), out)
+        d["asset"]["schema"] = [
+            {"name": "id", "type": "integer", "required": True},
+            {"name": "name", "type": "string", "required": True},
+            {"name": "dom", "type": "string", "required": True}]
+        d["target"]["options"] = {
+            "mode": "shard_export",
+            "shard": {"id_field": "id", "token_field": "id",
+                      "n_shards": 2,
+                      "mixture": {"domain_field": "dom",
+                                  "text_field": "name",
+                                  "total_budget": 20,
+                                  "eta_milli": 500}}}
+        res = runner.run_job(spark, JobConfig.from_dict(d))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        first = spark.read.parquet(out + "/manifest").collect()
+        n = sum(r.n_rows for r in first)
+        assert 0 < n <= 20 + 2          # budgets floor to >= 1 per domain
+
+        # determinism: identical manifest on re-run
+        res2 = runner.run_job(spark, JobConfig.from_dict(d))
+        assert res2.exit_code == runner.EXIT_SUCCESS
+        again = spark.read.parquet(out + "/manifest").collect()
+        assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+
+        # validation: absent columns and bad budgets are refused
+        import pytest as _pytest
+
+        from dativo_ingest_spark.config.contracts import ConfigError
+
+        import copy
+
+        bad = copy.deepcopy(d)
+        bad["target"]["options"]["shard"]["mixture"]["total_budget"] = 0
+        with _pytest.raises(ConfigError, match="total_budget"):
+            runner.run_job(spark, JobConfig.from_dict(bad))
+        bad2 = copy.deepcopy(d)
+        bad2["target"]["options"]["shard"]["mixture"]["domain_field"] \
+            = "nope"
+        with _pytest.raises(ConfigError, match="domain_field"):
+            runner.run_job(spark, JobConfig.from_dict(bad2))
+
 
 class TestKsDriftGateRunner:
     """target.options.drift_gate.method=ks: the calibrated

@@ -325,3 +325,35 @@ class TestDoremiRoundsProperties:
             assert w[da] <= w[db] or va == vb
         # int64 safety: the solver's intermediates bounded
         assert all(v <= 1_000_000 for v in w.values())
+
+
+class TestRecallAtKProperties:
+    """Invariants of the ANN recall meter
+    (operators/quantization.py:recall_at_k) under arbitrary rankings."""
+
+    @given(
+        truth_ids=st.lists(st.integers(min_value=0, max_value=40),
+                           min_size=1, max_size=8, unique=True),
+        approx_ids=st.lists(st.integers(min_value=0, max_value=40),
+                            min_size=0, max_size=8, unique=True),
+        k=st.integers(min_value=1, max_value=8),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_bounds_and_exact_intersection(self, spark, truth_ids,
+                                           approx_ids, k):
+        from dativo_ingest_spark.operators.quantization import recall_at_k
+
+        truth = spark.createDataFrame(
+            [(0, int(v)) for v in truth_ids[:k]],
+            "query_id bigint, vec_id bigint")
+        approx = spark.createDataFrame(
+            [(0, int(v)) for v in approx_ids[:k]],
+            "query_id bigint, vec_id bigint") if approx_ids else \
+            spark.createDataFrame([], "query_id bigint, vec_id bigint")
+        rows = recall_at_k(approx, truth, k=k).collect()
+        assert len(rows) == 1                  # one row per truth query
+        r = rows[0]
+        expected = len(set(truth_ids[:k]) & set(approx_ids[:k]))
+        assert r.n_hits == expected
+        assert r.recall_micro == (expected * 1_000_000) // k
+        assert 0 <= r.recall_micro <= 1_000_000

@@ -1011,3 +1011,54 @@ class TestShardEpochWriter:
         with _pytest.raises(ValueError, match="n_shards"):
             pipeline.shard_epoch_writer("/tmp/x", "id", "t",
                                         n_shards=0, query_id="q")
+
+
+def test_shard_epoch_writer_true_crash_injection(spark, tmp_path,
+                                                 monkeypatch):
+    """Fault injection, not simulation: os.rename raises on the FIRST
+    marker publish — the writer dies after the shard files land but
+    before the epoch commits. The manifest must stay at the prior
+    epoch, the auditor must stay green, and the replay must publish the
+    epoch exactly once."""
+    import json
+    import os as _os
+
+    out = str(tmp_path / "shards")
+    writer = pipeline.shard_epoch_writer(
+        out, "doc_id", "n_tokens", n_shards=4, query_id="q1")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, 10 + i) for i in ids], "doc_id long, n_tokens long")
+    writer(mk(range(50)), 0)
+
+    real_rename = _os.rename
+    blew_up = {}
+
+    def dying_rename(src, dst):
+        if dst.endswith("1.json") and "blown" not in blew_up:
+            blew_up["blown"] = True
+            raise OSError("injected crash before epoch marker publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", dying_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        writer(mk(range(50, 80)), 1)
+
+    # the torn epoch is invisible everywhere
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0]
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 50
+    from dativo_ingest_spark.sinks.shard_export import (
+        audit_streaming_shards)
+    assert audit_streaming_shards(spark, out)["ok"]
+    # orphan data exists on disk but nothing references it
+    assert _os.path.isdir(f"{out}/epoch=1")
+
+    # recovery: the source replays the same epoch; publish succeeds
+    writer(mk(range(50, 80)), 1)
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0, 1]
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 80
+    audit = audit_streaming_shards(spark, out)
+    assert audit["ok"] and audit["epochs"] == 2

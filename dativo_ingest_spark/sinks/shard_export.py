@@ -214,10 +214,15 @@ def audit_streaming_shards(spark, out_dir: str) -> dict:
     epochs = man["epochs"]
     manifest = {int(k): (v["n_rows"], v["n_tokens"], v["hash_sum"])
                 for k, v in man["shards"].items()}
+    # an EMPTY micro-batch commits its marker (exactly-once bookkeeping)
+    # without writing an epoch directory — scan only the epochs that
+    # produced data, or the read fails on the phantom path
+    data_epochs = [e for e in epochs
+                   if os.path.isdir(os.path.join(out_dir, f"epoch={e}"))]
     actual: dict = {}
-    if epochs:
+    if data_epochs:
         df = (spark.read.option("basePath", out_dir)
-              .parquet(*[f"{out_dir}/epoch={e}" for e in epochs]))
+              .parquet(*[f"{out_dir}/epoch={e}" for e in data_epochs]))
         actual = {
             int(r.shard): (int(r.n_rows), int(r.n_tokens),
                            int(r.hash_sum))

@@ -1062,3 +1062,31 @@ def test_shard_epoch_writer_true_crash_injection(spark, tmp_path,
     assert sum(v["n_rows"] for v in man["shards"].values()) == 80
     audit = audit_streaming_shards(spark, out)
     assert audit["ok"] and audit["epochs"] == 2
+
+
+def test_shard_epoch_writer_empty_batch_epoch(spark, tmp_path):
+    """An empty micro-batch commits its marker (exactly-once
+    bookkeeping) without writing an epoch directory — the manifest
+    records the epoch, totals are unchanged, and the auditor must not
+    trip over the phantom path."""
+    import json
+
+    out = str(tmp_path / "shards")
+    w = pipeline.shard_epoch_writer(out, "doc_id", "n_tokens",
+                                    n_shards=2, query_id="q1")
+    w(spark.createDataFrame([(1, 2), (2, 3)],
+                            "doc_id long, n_tokens long"), 0)
+    w(spark.createDataFrame([], "doc_id long, n_tokens long"), 1)
+
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0, 1]
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 2
+    from dativo_ingest_spark.sinks.shard_export import (
+        audit_streaming_shards)
+    audit = audit_streaming_shards(spark, out)
+    assert audit["ok"] and audit["epochs"] == 2
+
+    # the empty epoch is replay-suppressed like any other
+    w(spark.createDataFrame([(9, 9)], "doc_id long, n_tokens long"), 1)
+    man2 = json.load(open(f"{out}/manifest.json"))
+    assert man2 == man

@@ -805,9 +805,13 @@ def run_job(
                 for r in _wt.collect()}
             _bexpr = _F.create_map(
                 *[_F.lit(x) for kv in _budgets.items() for x in kv])
+            # a domain absent from the solved weights (e.g. every doc
+            # empty-text) maps to NULL — floor it to 1 admitted doc
+            # instead of silently dropping the whole domain
             to_write = host_cap_sample(
                 to_write, _dfield, str(_sh["id_field"]),
-                cap=_bexpr[_F.col(_dfield)], salt="mixture")
+                cap=_F.coalesce(_bexpr[_F.col(_dfield)], _F.lit(1)),
+                salt="mixture")
         manifest = export_training_shards(
             to_write, str(_sh["id_field"]), str(_sh["token_field"]),
             stage,

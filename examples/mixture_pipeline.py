@@ -64,9 +64,12 @@ def build_mixture(spark, sf_dir: str, out_dir: str,
                for d, r in wrows.items()}
     budget_expr = F.create_map(
         *[F.lit(x) for kv in budgets.items() for x in kv])
-    admitted = host_cap_sample(docs, "source", "doc_id",
-                               cap=budget_expr[F.col("source")],
-                               salt="mixture")
+    # domains absent from the solved weights (all-empty text) map to
+    # NULL — floor to 1 admitted doc, never a silent drop
+    admitted = host_cap_sample(
+        docs, "source", "doc_id",
+        cap=F.coalesce(budget_expr[F.col("source")], F.lit(1)),
+        salt="mixture")
 
     # 3-4. ship + audit
     manifest = export_training_shards(

@@ -1221,3 +1221,38 @@ class TestKsDriftGateRunner:
             runner.run_job(spark, self._job(
                 base, str(tmp_path / "o"), str(tmp_path / "ref"),
                 method="chi2"))
+
+
+class TestMixtureEmptyTextDomain:
+    def test_all_empty_text_domain_floors_to_one(self, spark, tmp_path):
+        """A domain whose every doc has empty text is absent from the
+        solved weights (no tokens to score) — it must still admit ONE
+        doc (the documented floor), never silently vanish."""
+        import glob
+
+        p = tmp_path / "in.csv"
+        rows = [f"{i},common words here,a\n" for i in range(1, 21)]
+        rows += [f"{i},   ,empty\n" for i in range(21, 26)]
+        p.write_text("id,name,dom\n" + "".join(rows))
+        out = str(tmp_path / "out")
+        d = job_dict(str(p), out)
+        d["asset"]["schema"] = [
+            {"name": "id", "type": "integer", "required": True},
+            {"name": "name", "type": "string", "required": True},
+            {"name": "dom", "type": "string", "required": True}]
+        d["target"]["options"] = {
+            "mode": "shard_export",
+            "shard": {"id_field": "id", "token_field": "id",
+                      "n_shards": 2,
+                      "mixture": {"domain_field": "dom",
+                                  "text_field": "name",
+                                  "total_budget": 10}}}
+        res = runner.run_job(spark, JobConfig.from_dict(d))
+        assert res.exit_code == runner.EXIT_SUCCESS
+        assert glob.glob(out + "/shard=*")
+        manifest = spark.read.parquet(out + "/manifest")
+        n = sum(r.n_rows for r in manifest.collect())
+        # the one scored domain takes the full budget (weight 1e6 ->
+        # 10 docs); the empty-text domain floors to exactly 1 admitted
+        # doc instead of vanishing — total 11, not 10
+        assert n == 11

@@ -521,6 +521,20 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
         marker = os.path.join(marker_dir, f"{epoch_id}.json")
         if os.path.exists(marker):  # replayed epoch: already published
             return
+        # single-writer layout: unlike hive appends (file-grained, safe
+        # to share), TWO queries here would collide on epoch=N dirs
+        # (epoch ids are checkpoint-scoped) and clobber each other's
+        # manifest refold — fail fast instead of corrupting silently
+        man_path = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(man_path):
+            with open(man_path) as fh:
+                _owner = _json.load(fh).get("query_id")
+            if _owner is not None and _owner != qid():
+                raise RuntimeError(
+                    f"shard layout {out_dir} is owned by streaming "
+                    f"query {_owner!r}; this query is {qid()!r} — "
+                    "epoch-scoped directories cannot be shared across "
+                    "queries (point each query at its own out_dir)")
         spark = batch_df.sparkSession
         epoch_dir = os.path.join(out_dir, f"epoch={epoch_id}")
         stats: list = []

@@ -1090,3 +1090,25 @@ def test_shard_epoch_writer_empty_batch_epoch(spark, tmp_path):
     w(spark.createDataFrame([(9, 9)], "doc_id long, n_tokens long"), 1)
     man2 = json.load(open(f"{out}/manifest.json"))
     assert man2 == man
+
+
+def test_shard_epoch_writer_refuses_second_query(spark, tmp_path):
+    """Epoch ids are checkpoint-scoped: a SECOND query on the same
+    shard layout would overwrite the first query's epoch=N dirs and
+    clobber its manifest refold — the writer must fail fast, not
+    corrupt silently (hive appends are file-grained and shareable;
+    epoch-scoped dirs are not)."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "shards")
+    mk = lambda: spark.createDataFrame([(1, 2)],
+                                       "doc_id long, n_tokens long")
+    pipeline.shard_epoch_writer(out, "doc_id", "n_tokens", n_shards=2,
+                                query_id="q1")(mk(), 0)
+    w2 = pipeline.shard_epoch_writer(out, "doc_id", "n_tokens",
+                                     n_shards=2, query_id="q2")
+    with _pytest.raises(RuntimeError, match="owned by streaming query"):
+        w2(mk(), 0)
+    # the original owner keeps appending fine
+    pipeline.shard_epoch_writer(out, "doc_id", "n_tokens", n_shards=2,
+                                query_id="q1")(mk(), 1)

@@ -609,7 +609,11 @@ def exact_grid_topk(
                           F.zip_with("qg", "qvec",
                                      lambda a, b: (a - b) * (a - b)),
                           F.lit(0).cast("long"),
-                          lambda acc, x: acc + x).alias("d2")))
+                          lambda acc, x: acc + x).alias("d2"))
+              # a width-mismatched vector zip_with-pads with NULL and
+              # folds to a NULL d2 — which sorts FIRST ascending and
+              # would corrupt the ranking; exclude it instead
+              .filter(F.col("d2").isNotNull()))
     w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
     return (scored.withColumn("rank",
                               F.row_number().over(w).cast("long"))

@@ -366,3 +366,17 @@ class TestAnnRecall:
             residual=True).collect()[0]
         assert res.n_hits >= 1 and raw.n_hits >= 1
         assert res.k == raw.k == 5
+
+    def test_width_mismatched_vector_excluded_not_ranked_first(
+            self, spark):
+        # zip_with pads a short vector with NULL -> NULL d2, which sorts
+        # FIRST ascending and would beat the true nearest neighbor
+        from dativo_ingest_spark.operators import quantization as pq
+
+        rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+                (2, [0.05])]                      # corrupt width
+        df = spark.createDataFrame(rows,
+                                   "vec_id bigint, embedding array<double>")
+        out = [(r.rank, r.vec_id) for r in pq.exact_grid_topk(
+            df, "vec_id", "embedding", [0], k=3).collect()]
+        assert out == [(1, 0), (2, 1)]            # 2 excluded, not rank 1

@@ -661,9 +661,11 @@ def sprt_binary(
        cumsum pattern from operators/sampling.py);
     2. a driver-side prefix over those bucket sums finds every bucket
        that COULD host the first crossing (entry LLR still inside the
-       bounds and entry + successes*l1 >= hi or entry + failures*l0
-       <= lo — running extrema are bracketed by the all-success /
-       all-failure envelopes), stopping once a bucket's EXIT value has
+       bounds and the SIGNED-extrema envelope reaches a bound:
+       max_exit = entry + max(s*l1,0) + max(f*l0,0) >= hi or
+       min_exit = entry + min(s*l1,0) + min(f*l0,0) <= lo — valid for
+       BOTH hypothesis orderings, p1>p0 giving l1>0/l0<0 and p1<p0
+       flipping both signs), stopping once a bucket's EXIT value has
        certainly crossed;
     3. one window partitioned by (variant, bucket) over only the
        candidate buckets — each a ~1/n_buckets slice of one arm —
@@ -721,7 +723,15 @@ def sprt_binary(
         p_run, n_run = 0, 0
         for bkt, c, sc in sorted(rows_v):
             fc = c - sc
-            if p_run + sc * l1 >= hi or p_run + fc * l0 <= lo:
+            # signed extrema of the running LLR inside this bucket:
+            # p1>p0 gives l1>0/l0<0, p1<p0 flips both signs, so the
+            # reachable maximum takes whichever increments are
+            # positive and the minimum whichever are negative —
+            # all-success / all-failure envelopes alone miss every
+            # crossing when p1<p0 (l1<0 makes sc*l1 a LOWER bound)
+            max_exit = p_run + max(sc * l1, 0) + max(fc * l0, 0)
+            min_exit = p_run + min(sc * l1, 0) + min(fc * l0, 0)
+            if max_exit >= hi or min_exit <= lo:
                 candidates.append((variant, bkt, p_run, n_run))
             p_run += sc * l1 + fc * l0
             n_run += c
@@ -731,10 +741,18 @@ def sprt_binary(
     totals = base.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"), F.sum("succ").alias("s"))
     spark = df.sparkSession
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    # the variant column keeps its source type (int experiment ids,
+    # strings, ...) — a hardcoded string schema would mis-join or
+    # raise on non-string variants
+    v_field = base.schema["variant"]
+    cand_schema = StructType([
+        StructField("variant", v_field.dataType, True),
+        StructField("bkt", LongType(), False),
+        StructField("p_prev", LongType(), False),
+        StructField("n_prev", LongType(), False)])
     if candidates:
-        cand = spark.createDataFrame(
-            candidates, "variant string, bkt long, p_prev long, "
-                        "n_prev long")
+        cand = spark.createDataFrame(candidates, cand_schema)
         w_ord = Window.partitionBy("variant", "bkt") \
             .orderBy("tnum", "succ")
         w_run = w_ord.rowsBetween(Window.unboundedPreceding,
@@ -756,8 +774,11 @@ def sprt_binary(
                      .agg(F.min("gn").alias("decided_at_n"),
                           F.min_by("_dec", "gn").alias("decision")))
     else:
-        first_dec = spark.createDataFrame(
-            [], "variant string, decided_at_n long, decision string")
+        from pyspark.sql.types import StringType
+        first_dec = spark.createDataFrame([], StructType([
+            StructField("variant", v_field.dataType, True),
+            StructField("decided_at_n", LongType(), True),
+            StructField("decision", StringType(), True)]))
 
     return (totals
             .join(F.broadcast(first_dec), "variant", "left")

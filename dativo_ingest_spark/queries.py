@@ -7836,10 +7836,6 @@ def sessionize_incremental_events(spark: SparkSession,
     return out.select(
         F.col("user").alias("user_id"),
         "session_start", "session_end", "n_events")
-    out = closed_parts[0].unionByName(closed_parts[1]).unionByName(state)
-    return out.select(
-        F.col("user").alias("user_id"),
-        "session_start", "session_end", "n_events")
 
 
 @register(

@@ -115,6 +115,16 @@ def export_sorted_shards(
     not assumed from the plan. Ties exactly on a cut edge all land in
     the lower shard (the cascade is ``<=``), so ranges can touch at a
     shared boundary value but never cross it with a third shard.
+
+    .. versionchanged:: round 10
+        The ``exact_cuts`` DEFAULT flipped True -> False (sketch
+        quantiles). Every row is still exported exactly once and the
+        global order still holds, but the CUT POINTS — and therefore
+        which shard a given row lands in — can differ from layouts
+        written under the old default. A caller re-exporting next to a
+        pre-flip layout who needs byte-identical shard boundaries must
+        pass ``exact_cuts=True`` explicitly (the oracle-pinned gate
+        query does).
     """
     from dativo_ingest_spark.operators.quality import (
         apply_equi_depth_bins, equi_depth_edges)

@@ -516,10 +516,45 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
 
     qid = _query_id_resolver(query_id, checkpoint_dir)
 
+    def republish_manifest(marker_dir: str, epoch_id: int) -> None:
+        # the manifest is a pure fold of ALL committed markers —
+        # idempotent, so it is safe (and necessary) to re-run on a
+        # replayed epoch: a crash after the marker rename but before
+        # the manifest rename would otherwise leave that committed
+        # epoch missing from the manifest FOREVER when it was the
+        # run's last epoch (readers and audits durably undercount)
+        epochs, totals = [], {}
+        for name in sorted(os.listdir(marker_dir)):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(marker_dir, name)) as fh:
+                m = _json.load(fh)
+            epochs.append(int(m["epoch"]))
+            for s in m["shards"]:
+                t = totals.setdefault(
+                    int(s["shard"]),
+                    {"n_rows": 0, "n_tokens": 0, "hash_sum": 0})
+                t["n_rows"] += s["n_rows"]
+                t["n_tokens"] += s["n_tokens"]
+                t["hash_sum"] += s["hash_sum"]
+        man = os.path.join(out_dir, "manifest.json")
+        tmp = man + f".tmp.{epoch_id}"
+        with open(tmp, "w") as fh:
+            _json.dump({"version": epoch_id, "query_id": qid(),
+                        "n_shards": n_shards, "seed": seed,
+                        "epochs": sorted(epochs),
+                        "shards": {str(k): v
+                                   for k, v in sorted(totals.items())}},
+                       fh)
+        os.rename(tmp, man)
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         marker_dir = os.path.join(out_dir, "_epochs", qid())
         marker = os.path.join(marker_dir, f"{epoch_id}.json")
-        if os.path.exists(marker):  # replayed epoch: already published
+        if os.path.exists(marker):  # replayed epoch: already appended —
+            # but the manifest republish may not have happened (crash
+            # between marker rename and manifest rename): refold anyway
+            republish_manifest(marker_dir, epoch_id)
             return
         # single-writer layout: unlike hive appends (file-grained, safe
         # to share), TWO queries here would collide on epoch=N dirs
@@ -567,30 +602,7 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
 
         # republish the manifest from ALL committed markers — a pure
         # fold, atomic swap; a reader never observes a torn manifest
-        epochs, totals = [], {}
-        for name in sorted(os.listdir(marker_dir)):
-            if not name.endswith(".json"):
-                continue
-            with open(os.path.join(marker_dir, name)) as fh:
-                m = _json.load(fh)
-            epochs.append(int(m["epoch"]))
-            for s in m["shards"]:
-                t = totals.setdefault(
-                    int(s["shard"]),
-                    {"n_rows": 0, "n_tokens": 0, "hash_sum": 0})
-                t["n_rows"] += s["n_rows"]
-                t["n_tokens"] += s["n_tokens"]
-                t["hash_sum"] += s["hash_sum"]
-        man = os.path.join(out_dir, "manifest.json")
-        tmp = man + f".tmp.{epoch_id}"
-        with open(tmp, "w") as fh:
-            _json.dump({"version": epoch_id, "query_id": qid(),
-                        "n_shards": n_shards, "seed": seed,
-                        "epochs": sorted(epochs),
-                        "shards": {str(k): v
-                                   for k, v in sorted(totals.items())}},
-                       fh)
-        os.rename(tmp, man)
+        republish_manifest(marker_dir, epoch_id)
 
     return write_batch
 

@@ -558,6 +558,64 @@ class TestSprtBinary:
         assert out.llr_micro == llr
         assert out.n == 4000
 
+    def test_rate_drop_hypotheses_p1_below_p0(self, spark):
+        # p1 < p0 (testing for a rate DROP) flips both increment
+        # signs: l1 < 0, l0 > 0. The all-success/all-failure envelope
+        # (p_run + s*l1 >= hi or p_run + f*l0 <= lo) flags NOTHING in
+        # that regime — the signed-extrema bracket must still find the
+        # crossing instead of silently reporting 'continue'.
+        import math
+
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        def seq(i):
+            return 1 if i % 10 == 9 else 0      # ~10% observed rate
+
+        rows = [("A", 1_700_000_000 + i * 60, seq(i)) for i in range(400)]
+        df = (spark.createDataFrame(rows,
+                                    "variant string, sec long, succ int")
+              .select("variant",
+                      F.timestamp_seconds("sec").alias("ts"), "succ"))
+        # H0: p=0.5, H1: p=0.1 — the 10% stream should accept H1
+        out = sprt_binary(df, "variant", "ts", "succ", p0=0.5, p1=0.1,
+                          n_buckets=8).collect()[0]
+        l1 = math.floor(math.log(0.1 / 0.5) * 1e6 + 0.5)
+        l0 = math.floor(math.log(0.9 / 0.5) * 1e6 + 0.5)
+        assert l1 < 0 < l0                       # the flipped regime
+        lo = math.floor(math.log(0.2 / 0.95) * 1e6 + 0.5)
+        hi = math.floor(math.log(0.8 / 0.05) * 1e6 + 0.5)
+        llr, first, first_dec = 0, None, None
+        for i in range(400):
+            llr += l1 if seq(i) else l0
+            if first is None and (llr >= hi or llr <= lo):
+                first = i + 1
+                first_dec = "accept_h1" if llr >= hi else "accept_h0"
+        assert first is not None
+        assert out.decision == first_dec == "accept_h1"
+        assert out.decided_at_n == first
+        assert out.llr_micro == llr
+
+    def test_integer_variant_column(self, spark):
+        # non-string variant ids must survive the candidate broadcast
+        # join (the candidate frame schema derives from the source
+        # column type, never a hardcoded string)
+        from pyspark.sql import functions as F
+
+        from dativo_ingest_spark.operators.analytics import sprt_binary
+
+        rows = [(7, 1_700_000_000 + i * 60, 1) for i in range(120)]
+        df = (spark.createDataFrame(rows,
+                                    "variant bigint, sec long, succ int")
+              .select("variant",
+                      F.timestamp_seconds("sec").alias("ts"), "succ"))
+        out = sprt_binary(df, "variant", "ts", "succ", p0=0.2, p1=0.6,
+                          n_buckets=4).collect()
+        assert len(out) == 1 and out[0].variant == 7
+        assert out[0].decision == "accept_h1"
+        assert out[0].decided_at_n is not None
+
     def test_no_whole_arm_window_in_plan(self, spark):
         # the scale contract: NO Window partitioned by variant alone —
         # an entire experiment arm in one task is the 100x killer. The

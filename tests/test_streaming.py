@@ -1064,6 +1064,57 @@ def test_shard_epoch_writer_true_crash_injection(spark, tmp_path,
     assert audit["ok"] and audit["epochs"] == 2
 
 
+def test_shard_epoch_writer_crash_between_marker_and_manifest(
+        spark, tmp_path, monkeypatch):
+    """The OTHER crash window: the epoch marker renames successfully but
+    the process dies before manifest.json republishes. If that was the
+    run's LAST epoch, no later epoch would ever refold it in — the
+    replay of the marker-committed epoch must itself republish the
+    manifest (idempotent refold), or readers and audits durably
+    undercount the committed epoch."""
+    import json
+    import os as _os
+
+    out = str(tmp_path / "shards")
+    writer = pipeline.shard_epoch_writer(
+        out, "doc_id", "n_tokens", n_shards=4, query_id="q1")
+    mk = lambda ids: spark.createDataFrame(
+        [(i, 10 + i) for i in ids], "doc_id long, n_tokens long")
+    writer(mk(range(50)), 0)
+
+    real_rename = _os.rename
+    blew_up = {}
+
+    def dying_rename(src, dst):
+        if dst.endswith("manifest.json") and src.endswith(".tmp.1") \
+                and "blown" not in blew_up:
+            blew_up["blown"] = True
+            raise OSError("injected crash before manifest republish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", dying_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        writer(mk(range(50, 80)), 1)
+
+    # epoch 1's marker IS committed, but the manifest lags behind it
+    assert _os.path.exists(f"{out}/_epochs/q1/1.json")
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0]
+
+    # recovery: the source replays epoch 1; the early-return path must
+    # still refold the manifest from the committed markers
+    writer(mk(range(50, 80)), 1)
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0, 1]
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 80
+    from dativo_ingest_spark.sinks.shard_export import (
+        audit_streaming_shards)
+    audit = audit_streaming_shards(spark, out)
+    assert audit["ok"] and audit["epochs"] == 2
+
+
 def test_shard_epoch_writer_empty_batch_epoch(spark, tmp_path):
     """An empty micro-batch commits its marker (exactly-once
     bookkeeping) without writing an epoch directory — the manifest

@@ -502,7 +502,11 @@ def host_cap_sample(
     thin first with the scan-stage predicate ``u(host|id) <
     cap/estimated_host_count * slack`` (hash_uniform salted by host)
     and rank exactly inside the survivors — two-phase, same kept set
-    distributionally, no giant sort partitions.
+    distributionally, no giant sort partitions. With FEW groups
+    (a solved training mixture's 5-50 domains) this window is one
+    whole-domain sort task — use :func:`host_cap_sample_bucketed`,
+    which returns the byte-identical admitted set with no group-only
+    window.
     """
     from pyspark.sql import Column as _Column
 
@@ -520,6 +524,118 @@ def host_cap_sample(
         .filter(F.col("_hc_rank") <= cap)
         .drop("_hc_rank")
     )
+
+
+def host_cap_sample_bucketed(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    cap,
+    salt: str = "hostcap",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """:func:`host_cap_sample` for the FEW-GROUPS regime (solved
+    training mixtures, languages — 5-50 keys), where the single
+    ``Window.partitionBy(group)`` would sort an entire domain's corpus
+    in ONE task at 100x. Returns the BYTE-IDENTICAL admitted set via
+    exact distributed selection — the SPRT two-level-scan pattern:
+
+    1. rows bucket by the numeric value of the admission hash's first
+       8 hex chars (``md5`` strings are lowercase fixed-width hex, so
+       lexicographic order == 128-bit numeric order == (bucket asc,
+       within-bucket hash asc) — bucketing never reorders admission);
+    2. one partial-agg pass counts per (group, bucket) — a bounded
+       groups x ``n_buckets`` frame collected to the driver (the
+       codebook-sized-collect contract; this function is for FEW
+       groups — millions of hosts should stay on
+       :func:`host_cap_sample`, whose per-host partitions are small
+       precisely because hosts are many);
+    3. a driver prefix per group admits whole buckets while they fit
+       under the cap and finds the single CUT bucket holding the
+       cap-th smallest hash;
+    4. full buckets admit via a broadcast semi-join (scan-stage, no
+       window at all); ONLY the cut bucket — ~1/``n_buckets`` of one
+       group — ranks exactly, under a window partitioned by (group,
+       bucket), never by the group alone.
+
+    The kept set equals ``host_cap_sample(df, ...)``'s exactly (same
+    (md5, id) top-``cap`` per group), so the two forms are drop-in
+    swaps; a property test pins the equality. ``cap`` is an int or a
+    Column that must be a pure function of ``host_col`` (e.g. a budget
+    map lookup) — it is evaluated once per group on the counts frame.
+    """
+    from pyspark.sql import Column as _Column
+
+    if not isinstance(cap, _Column):
+        if cap < 1:
+            raise ValueError("cap must be >= 1")
+        cap = F.lit(int(cap))
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window as _W
+
+    spark = df.sparkSession
+    width = max(1, (1 << 32) // n_buckets)
+    order_hash = F.md5(F.concat(
+        F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    staged = (df.withColumn("_hc_h", order_hash)
+              .withColumn("_hc_b",
+                          F.expr(f"CAST(conv(substring(_hc_h, 1, 8), 16, "
+                                 f"10) AS BIGINT) div {width}L")))
+
+    # level 1: per-(group, bucket) counts + the group's cap — bounded
+    # collect (groups x <= n_buckets rows), the only driver-side state
+    rows = (staged.groupBy(host_col, "_hc_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select(F.col(host_col), "_hc_b", "_c",
+                    cap.cast("long").alias("_cap"))
+            .collect())
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r[host_col], []).append(
+            (int(r._hc_b), int(r._c), int(r._cap)))
+
+    # level 2 (driver prefix in bucket == hash order): whole buckets
+    # admit while they fit; the first overflowing bucket is the CUT
+    full, cuts = [], []             # (host, bkt) / (host, bkt, need)
+    for host, lst in by_host.items():
+        capv = lst[0][2]
+        run = 0
+        for bkt, c, _ in sorted(lst):
+            if run + c <= capv:
+                full.append((host, bkt))
+                run += c
+                if run == capv:
+                    break
+            else:
+                need = capv - run
+                if need > 0:
+                    cuts.append((host, bkt, need))
+                break               # later buckets are all rejected
+
+    h_field = df.schema[host_col]
+    full_df = spark.createDataFrame(full, StructType([
+        StructField(host_col, h_field.dataType, True),
+        StructField("_hc_b", LongType(), False)]))
+    cut_df = spark.createDataFrame(cuts, StructType([
+        StructField(host_col, h_field.dataType, True),
+        StructField("_hc_b", LongType(), False),
+        StructField("_need", LongType(), False)]))
+
+    admitted_full = staged.join(F.broadcast(full_df),
+                                [host_col, "_hc_b"], "leftsemi")
+    in_cut = staged.join(F.broadcast(cut_df), [host_col, "_hc_b"])
+    w_cut = (_W.partitionBy(host_col, "_hc_b")
+             .orderBy("_hc_h", F.col(id_col)))
+    admitted_cut = (in_cut
+                    .withColumn("_hc_rank", F.row_number().over(w_cut))
+                    .filter(F.col("_hc_rank") <= F.col("_need"))
+                    .drop("_need", "_hc_rank"))
+    # joins reorder columns (join keys first) — restore the input shape
+    return (admitted_full.unionByName(
+        admitted_cut.select(*admitted_full.columns))
+        .select(*df.columns))
 
 
 def systematic_sample(

@@ -781,7 +781,7 @@ def run_job(
             from dativo_ingest_spark.operators.dsir import (
                 MICRO_UNITS, doremi_domain_weights)
             from dativo_ingest_spark.operators.sampling import (
-                host_cap_sample)
+                host_cap_sample_bucketed)
             from pyspark.sql import functions as _F
 
             _mx = dict(_mx)
@@ -807,8 +807,12 @@ def run_job(
                 *[_F.lit(x) for kv in _budgets.items() for x in kv])
             # a domain absent from the solved weights (e.g. every doc
             # empty-text) maps to NULL — floor it to 1 admitted doc
-            # instead of silently dropping the whole domain
-            to_write = host_cap_sample(
+            # instead of silently dropping the whole domain. The
+            # bucketed form admits the identical set with NO
+            # domain-only window (mixtures have ~5-50 domains; a
+            # Window.partitionBy(domain) row_number would sort a whole
+            # domain's corpus in one task at 100x)
+            to_write = host_cap_sample_bucketed(
                 to_write, _dfield, str(_sh["id_field"]),
                 cap=_F.coalesce(_bexpr[_F.col(_dfield)], _F.lit(1)),
                 salt="mixture")

@@ -12,10 +12,11 @@ Stages (each documented where it is implemented):
                        (DoReMi, Xie et al. 2023): domains the model
                        finds HARD get upweighted until the
                        mixture-weighted reference catches up
-2. admit to mixture    operators/sampling.py:host_cap_sample with a
-                       per-domain Column cap — the deterministic
+2. admit to mixture    operators/sampling.py:host_cap_sample_bucketed
+                       with a per-domain Column cap — the deterministic
                        hash-rank admission every sampler here shares
-                       (re-runs admit the SAME documents, no RNG)
+                       (re-runs admit the SAME documents, no RNG), in
+                       its few-groups form: no domain-only window
 3. shard export        sinks/shard_export.py:export_training_shards —
                        md5 % N assignment, read-back manifest
 4. trainer audit       sinks/shard_export.py:audit_shards — recount
@@ -24,8 +25,9 @@ Stages (each documented where it is implemented):
 
 At 100 TB the shuffles are: one tokenize + Zipf vocab join folding to
 domain grain (1 — the solver itself iterates over the DOMAIN frame,
-never rows), one per-domain hash-rank window over pre-aggregated
-per-domain counts (2), one shard exchange (3). The streaming sibling
+never rows), one (domain, hash-bucket) count pass plus a broadcast
+admission join with an exact rank only inside each domain's cut
+bucket (2), one shard exchange (3). The streaming sibling
 (streaming/pipeline.py:shard_epoch_writer) appends micro-batches to the
 same layout with an epoch-atomic manifest.
 """
@@ -55,10 +57,15 @@ def build_mixture(spark, sf_dir: str, out_dir: str,
     wrows = {r.domain: r for r in weights.collect()}
 
     # 2. per-domain budgets from the solved shares, admitted through
-    #    the shared hash-rank sampler (one window on the domain key —
-    #    host_cap_sample's documented shape, incl. its two-phase
-    #    thinning advice for hot groups at crawl scale)
-    from dativo_ingest_spark.operators.sampling import host_cap_sample
+    #    the FEW-GROUPS form of the shared hash-rank sampler: with
+    #    5-50 domains a Window.partitionBy(domain) row_number is one
+    #    whole-domain sort task at 100x, so admission buckets rows by
+    #    the admission hash's prefix, admits whole buckets via a
+    #    broadcast semi-join, and ranks exactly only inside each
+    #    domain's single cut bucket — the byte-identical admitted set,
+    #    no domain-only window
+    from dativo_ingest_spark.operators.sampling import (
+        host_cap_sample_bucketed)
 
     budgets = {d: max(1, (r.weight_micro * total_budget) // 1_000_000)
                for d, r in wrows.items()}
@@ -66,7 +73,7 @@ def build_mixture(spark, sf_dir: str, out_dir: str,
         *[F.lit(x) for kv in budgets.items() for x in kv])
     # domains absent from the solved weights (all-empty text) map to
     # NULL — floor to 1 admitted doc, never a silent drop
-    admitted = host_cap_sample(
+    admitted = host_cap_sample_bucketed(
         docs, "source", "doc_id",
         cap=F.coalesce(budget_expr[F.col("source")], F.lit(1)),
         salt="mixture")

@@ -271,6 +271,90 @@ def test_host_cap_salt_redeals_and_validates(spark):
         sampling.host_cap_sample(docs, "source", "doc_id", cap=0)
 
 
+class TestHostCapSampleBucketed:
+    """The few-groups scale form: byte-identical admitted set, no
+    group-only window (the mixture-admission fix — a Window.partitionBy
+    (domain) row_number over ~10 domains is one whole-domain sort task
+    at 100x)."""
+
+    def test_identical_set_to_single_window_form(self, spark):
+        docs = load(spark, SF, "documents")
+        for cap in (1, 3, 37):
+            base = {r.doc_id for r in sampling.host_cap_sample(
+                docs, "source", "doc_id", cap=cap)
+                .select("doc_id").collect()}
+            # tiny n_buckets forces real cut buckets (need < bucket
+            # size); large n_buckets exercises one-row buckets
+            for nb in (2, 4, 1024):
+                got = {r.doc_id for r in sampling.host_cap_sample_bucketed(
+                    docs, "source", "doc_id", cap=cap, n_buckets=nb)
+                    .select("doc_id").collect()}
+                assert got == base, (cap, nb)
+
+    def test_identical_set_with_column_budget_map(self, spark):
+        docs = load(spark, SF, "documents")
+        hosts = [r.source for r in
+                 docs.select("source").distinct().collect()]
+        budgets = {h: 1 + (i * 7) % 23 for i, h in enumerate(hosts)}
+        bexpr = F.create_map(
+            *[F.lit(x) for kv in budgets.items() for x in kv])
+        cap = F.coalesce(bexpr[F.col("source")], F.lit(1))
+        base = {r.doc_id for r in sampling.host_cap_sample(
+            docs, "source", "doc_id", cap=cap, salt="mix")
+            .select("doc_id").collect()}
+        got = {r.doc_id for r in sampling.host_cap_sample_bucketed(
+            docs, "source", "doc_id", cap=cap, salt="mix", n_buckets=8)
+            .select("doc_id").collect()}
+        assert got == base
+        # per-host counts honor each host's own budget
+        per = {r.source: r.n for r in sampling.host_cap_sample_bucketed(
+            docs, "source", "doc_id", cap=cap, salt="mix", n_buckets=8)
+            .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+        assert all(n <= budgets[h] for h, n in per.items())
+
+    def test_schema_and_layout_invariance(self, spark):
+        docs = load(spark, SF, "documents")
+        kept = sampling.host_cap_sample_bucketed(
+            docs, "source", "doc_id", cap=5, n_buckets=16)
+        assert kept.columns == docs.columns
+        a = {r.doc_id for r in kept.select("doc_id").collect()}
+        b = {r.doc_id for r in sampling.host_cap_sample_bucketed(
+            docs.repartition(11), "source", "doc_id", cap=5,
+            n_buckets=16).select("doc_id").collect()}
+        assert a == b
+
+    def test_cap_above_group_size_keeps_all(self, spark):
+        docs = load(spark, SF, "documents")
+        kept = sampling.host_cap_sample_bucketed(
+            docs, "source", "doc_id", cap=10 ** 6, n_buckets=4)
+        assert kept.count() == docs.count()
+
+    def test_no_group_only_windowspec_in_plan(self, spark):
+        # the scale contract this function exists for: every window in
+        # the admission plan partitions by (group, bucket), never the
+        # group alone — the SPRT gate pattern
+        import re
+
+        docs = load(spark, SF, "documents")
+        out = sampling.host_cap_sample_bucketed(
+            docs, "source", "doc_id", cap=3, n_buckets=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "_hc_b" in spec, f"group-only window found: {spec}"
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        docs = load(spark, SF, "documents")
+        with _pytest.raises(ValueError):
+            sampling.host_cap_sample_bucketed(
+                docs, "source", "doc_id", cap=0)
+        with _pytest.raises(ValueError):
+            sampling.host_cap_sample_bucketed(
+                docs, "source", "doc_id", cap=3, n_buckets=0)
+
+
 class TestSystematicSample:
     def test_bucket_count_invariant_and_layout_invariant(self, spark):
         docs = load(spark, SF, "documents")

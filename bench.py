@@ -294,6 +294,10 @@ def run_ingest(spark, sf_dir: str) -> dict:
         # got for free (measured: cold-child best 1.27s vs 1.07s warm)
         spark.read.option("header", "true").csv(csv_dir).write.format(
             "noop").mode("overwrite").save()
+        # r10 lesson: the START gate passed at 1.41 but load landed on
+        # the box MID-RUN (trial loadavgs 2.3-8.6) — re-check idleness
+        # before EACH trial phase, bounded like the start gate
+        wait_for_idle()
         csv_trials, csv_loads = [], []
         for _ in range(5):
             csv_loads.append(loadavg1())
@@ -309,6 +313,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
         # scan-cache → encode → write with no exchange.
         staged.limit(100_000).write.mode("overwrite").parquet(
             f"{work}/pq_warm")  # warm the writer path, untimed
+        wait_for_idle()         # idle re-check between phases (r10)
         pq_trials, pq_loads = [], []
         for i in range(5):
             out = f"{work}/pq_out{i}"
@@ -322,16 +327,42 @@ def run_ingest(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    def _clean_best(trials, loads):
+        """(best-trial contaminated?, best among gate-clean trials).
+
+        'best-of-N' must not silently elect a trial that ran above the
+        idle gate (r10 booked a 35%-slow official CSV number that was
+        pure external load): the record keeps the official min AND a
+        contamination stamp plus the best CLEAN trial alongside, so a
+        dirty round can never masquerade as a regression — or a clean
+        one as a record."""
+        best_i = trials.index(min(trials))
+        clean = [t for t, l in zip(trials, loads)
+                 if l <= IDLE_LOADAVG_THRESHOLD]
+        return loads[best_i] > IDLE_LOADAVG_THRESHOLD, \
+            (min(clean) if clean else None)
+
+    csv_dirty, csv_clean_s = _clean_best(csv_trials, csv_loads)
+    pq_dirty, pq_clean_s = _clean_best(pq_trials, pq_loads)
     return {
         "rows": n_rows,
         "csv_scan_s": csv_scan_s,
         "csv_scan_trials": csv_trials,
         "csv_scan_trial_loadavg1": csv_loads,
         "csv_scan_rows_per_s": round(n_rows / csv_scan_s),
+        "csv_scan_contaminated": csv_dirty,
+        "csv_scan_s_clean": csv_clean_s,
+        "csv_scan_rows_per_s_clean": (
+            round(n_rows / csv_clean_s) if csv_clean_s else None),
         "parquet_write_s": pq_write_s,
         "parquet_write_trials": pq_trials,
         "parquet_write_trial_loadavg1": pq_loads,
         "parquet_write_rows_per_s": round(n_rows / pq_write_s),
+        "parquet_write_contaminated": pq_dirty,
+        "parquet_write_s_clean": pq_clean_s,
+        "parquet_write_rows_per_s_clean": (
+            round(n_rows / pq_clean_s) if pq_clean_s else None),
+        "ingest_contaminated": csv_dirty or pq_dirty,
         "isolated_jvm": os.environ.get("SPARK_GRAFT_INGEST_CHILD") == "1",
     }
 
@@ -469,6 +500,11 @@ def main() -> None:
                 "csv_rows_per_s": ingest.get("csv_scan_rows_per_s"),
                 "parquet_rows_per_s": ingest.get(
                     "parquet_write_rows_per_s"),
+                "csv_rows_per_s_clean": ingest.get(
+                    "csv_scan_rows_per_s_clean"),
+                "parquet_rows_per_s_clean": ingest.get(
+                    "parquet_write_rows_per_s_clean"),
+                "ingest_contaminated": ingest.get("ingest_contaminated"),
                 "isolated_jvm": ingest.get("isolated_jvm"),
                 "loadavg_start": la_start,
                 "n_headline": len(timings),

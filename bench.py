@@ -200,6 +200,10 @@ EXTENDED = [
     # r10 operators
     "doremi_weights_docs",
     "ann_recall_ivfpq_embeddings",
+    # r11: token accounting under the vendored 3,588-merge table (the
+    # rank-dict kernel — production-shape proof next to the frozen
+    # 64-merge headline row)
+    "token_count_bpe_v1_docs",
 ]
 
 

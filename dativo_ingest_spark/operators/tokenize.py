@@ -28,8 +28,15 @@ The merge step is defined OPERATIONALLY as a delimited-string replace
 engine reproduces it bit-for-bit with ``replace()`` — the oracle in
 ``queries.py`` runs the identical loop as a DuckDB recursive CTE over
 the same merges table. Back-to-back runs of one symbol (``'a a a'``)
-merge across iterations rather than in one pass; the pair stays
-lowest-ranked-present, so the fixpoint is the standard BPE result.
+merge across iterations rather than in one pass (a match consumes the
+next symbol's leading delimiter, so ``replace`` skips it); the pair
+stays lowest-ranked-present and re-merges next round. For self-runs of
+length >= 4 the skipped symbol makes the fixpoint differ from
+textbook symbol-list BPE by design — the OPERATIONAL definition is
+authoritative because it is what both engines replay bit-for-bit, and
+real merge tables are trained under the same rule
+(``train_bpe_merges`` and the vendored-artifact generator apply merges
+with the identical ``replace``).
 
 Scale shape (the reason this is an operator, not just a UDF): token
 counts are computed per DISTINCT word, never per occurrence — Zipf makes
@@ -79,7 +86,13 @@ def _bpe_word_token_count(word: str,
                           merges: tuple[tuple[str, str], ...]) -> int:
     """Token count of ONE word under the operational merge loop — the
     Python twin of the oracle's recursive CTE (same delimited-string
-    replace, same min-rank selection)."""
+    replace, same min-rank selection). REFERENCE implementation: each
+    iteration scans the whole merges TABLE for the lowest-ranked
+    present pair — exact but O(table) per merge, the wrong shape under
+    a production ~50k-merge vocabulary. The hot kernels use
+    :func:`_bpe_word_token_count_ranked` (same fixpoint, proven
+    equivalent by property test), which scans the WORD's pairs
+    against a rank dict instead."""
     s = " " + " ".join(word) + " "
     while True:
         hit = None
@@ -93,14 +106,72 @@ def _bpe_word_token_count(word: str,
         s = s.replace(f" {left} {right} ", f" {left}{right} ")
 
 
+def _rank_index(
+        merges: tuple[tuple[str, str], ...]) -> dict[tuple[str, str], int]:
+    """(left, right) -> rank lookup; first occurrence wins if a pair is
+    listed twice (matching the reference loop, which scans in rank
+    order and can never reach the duplicate)."""
+    ranks: dict[tuple[str, str], int] = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(tuple(pair), i)
+    return ranks
+
+
+def _bpe_word_token_count_ranked(
+        word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of ONE word — the production-shaped kernel: per
+    iteration, the candidate pairs are the word's OWN adjacent symbols
+    looked up in the rank dict (O(word length)), never a scan of the
+    merges table, so per-word cost is independent of vocabulary size —
+    the GPT-2 ``bpe()`` loop shape. Selection and application are the
+    same operational semantics as :func:`_bpe_word_token_count` —
+    including the delimiter-sharing detail: in the delimited string a
+    match ``' l r '`` CONSUMES the next symbol's leading space, so the
+    symbol right after a merged pair cannot start another merge in the
+    same pass (``replace`` resumes after the match end). The
+    application loop replicates that by skipping one symbol after each
+    merge; without it, self-runs like ``'aaaaa'`` under ``(a, a)``
+    reach a DIFFERENT fixpoint than the oracle CTE replays."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        left, right = best_pair
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                if i + 2 < len(syms):
+                    # its leading delimiter was the match's trailing
+                    # space — copy it unmatchable, exactly replace()
+                    out.append(syms[i + 2])
+                i += 3
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
 def _word_count_kernel(merges: tuple[tuple[str, str], ...]):
     """Arrow-batched per-WORD counter; the merges table rides in the UDF
-    closure (the ``_assign_argmin_udf`` pattern — one serialized copy
-    per executor, plan size O(1) in vocabulary size). A closure-level
-    cache persists across batches within each executor: Zipf repetition
-    makes most lookups hits."""
+    closure as a rank dict (the ``_assign_argmin_udf`` pattern — one
+    serialized copy per executor, plan size O(1) in vocabulary size;
+    a 50k-merge table is ~1 MB of closure, same order as the
+    classifier seam's weight matrix). A closure-level cache persists
+    across batches within each executor: Zipf repetition makes most
+    lookups hits. Per-word cost is O(word length) per merge via the
+    ranked kernel — independent of table size."""
     from pyspark.sql.functions import pandas_udf
 
+    ranks = _rank_index(merges)
     cache: dict[str, int] = {}
 
     def one(w) -> int:
@@ -108,7 +179,7 @@ def _word_count_kernel(merges: tuple[tuple[str, str], ...]):
             return 0
         n = cache.get(w)
         if n is None:
-            n = _bpe_word_token_count(w, merges)
+            n = _bpe_word_token_count_ranked(w, ranks)
             if len(cache) < 2_000_000:      # bound executor memory
                 cache[w] = n
         return n
@@ -130,12 +201,13 @@ def bpe_token_count_col(
     batch per partition; per-executor word cache."""
     from pyspark.sql.functions import pandas_udf
 
+    ranks = _rank_index(merges)
     cache: dict[str, int] = {}
 
     def one(w: str) -> int:
         n = cache.get(w)
         if n is None:
-            n = _bpe_word_token_count(w, merges)
+            n = _bpe_word_token_count_ranked(w, ranks)
             if len(cache) < 2_000_000:
                 cache[w] = n
         return n
@@ -274,9 +346,48 @@ def merges_sql_values(
     merges: tuple[tuple[str, str], ...] = DEFAULT_MERGES,
 ) -> str:
     """The merges table as a SQL VALUES list — the oracle-side twin, so
-    the gate query and this module can never drift apart."""
+    the gate query and this module can never drift apart. Single
+    quotes double per the SQL literal rule (trained symbols are
+    alphabetic today, but the emitter must not depend on that)."""
     rows = ", ".join(
-        f"({i}, '{left}', '{right}')"
+        "({}, '{}', '{}')".format(
+            i, left.replace("'", "''"), right.replace("'", "''"))
         for i, (left, right) in enumerate(merges)
     )
     return f"(VALUES {rows}) AS m(rank, l, r)"
+
+
+_MERGES_V1_CACHE: tuple[tuple[str, str], ...] | None = None
+
+
+def load_merges_v1(path: str | None = None) -> tuple[tuple[str, str], ...]:
+    """Load the vendored production-shaped merges artifact
+    (``models/bpe_merges_v1.json`` — 3,588 rank-ordered pairs trained
+    by ``examples/make_bpe_merges_artifact.py``; 56x the demo table,
+    provenance inside the JSON). The
+    :func:`load_quality_grade_model` pattern: artifact loads at
+    plan-build time, rides to executors in the UDF closure, and a real
+    tokenizer's ``merges.txt`` (GPT-2's is exactly this shape at ~50k
+    rows) drops in by pointing ``path`` elsewhere — every consumer is
+    size-independent (the counting kernel is
+    :func:`_bpe_word_token_count_ranked`, O(word) per merge)."""
+    import json as _json
+    import os as _os
+
+    global _MERGES_V1_CACHE
+    if path is None:
+        if _MERGES_V1_CACHE is not None:
+            return _MERGES_V1_CACHE
+        path = _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                             "models", "bpe_merges_v1.json")
+        with open(path) as fh:
+            art = _json.load(fh)
+        merges = tuple((left, right) for left, right in art["merges"])
+        if len(merges) != int(art["n_merges"]):
+            raise ValueError("bpe_merges_v1.json n_merges does not "
+                             "match its merges list")
+        _MERGES_V1_CACHE = merges
+        return merges
+    with open(path) as fh:
+        art = _json.load(fh)
+    return tuple((left, right) for left, right in art["merges"])

@@ -710,6 +710,26 @@ def test_pmi_no_pair_explosion(spark):
     assert "Python" not in plan
 
 
+def test_token_count_bpe_v1_one_arrow_over_vocab_grain(spark):
+    # the real-tokenizer seam's scale contract: exactly ONE Arrow
+    # boundary (the per-DISTINCT-word ranked kernel — the 3,588-merge
+    # table rides in the closure), and the per-occurrence flow is pure
+    # JVM joins/aggregates — tokenizing occurrences in Python would be
+    # the 100 TB killer
+    import re
+
+    plan = plan_of(spark, "token_count_bpe_v1_docs")
+    assert plan.count("ArrowEvalPython") == 1, plan[:800]
+    # the Python eval sits above the vocab distinct (HashAggregate on
+    # word), never directly over the exploded occurrences
+    arrow_at = plan.index("ArrowEvalPython")
+    agg_before = [m.start() for m in re.finditer("HashAggregate", plan)
+                  if m.start() > arrow_at]
+    assert agg_before, "no aggregate below the Arrow eval"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bloom_dedup_python_only_on_index_probe(spark):
     # exactly ONE Arrow boundary: the bitmap probe over the index scan
     # (build side is pure codegen md5 + bit_or agg)

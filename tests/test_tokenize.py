@@ -32,6 +32,63 @@ class TestWordKernel:
         assert tokenize._bpe_word_token_count("a", (("a", "a"),)) == 1
 
 
+class TestRankedKernelEquivalence:
+    """The production-shaped kernel (rank-dict over the WORD's pairs,
+    O(word) per merge) must reach the identical fixpoint as the
+    reference table-scan loop — the invariant that lets a 50k-merge
+    table drop in without touching the oracle semantics."""
+
+    def test_hand_cases_both_tables(self):
+        for merges in (tokenize.DEFAULT_MERGES, tokenize.load_merges_v1()):
+            ranks = tokenize._rank_index(merges)
+            for w in ("the", "winter", "xyz", "query", "table",
+                      "government", "unstopword", "aaa", "a", ""):
+                assert (tokenize._bpe_word_token_count_ranked(w, ranks)
+                        == tokenize._bpe_word_token_count(w, merges)), w
+
+    def test_overlap_semantics_match(self):
+        merges = (("a", "a"), ("aa", "aa"))
+        ranks = tokenize._rank_index(merges)
+        for w in ("aaaa", "aaa", "aaaaa", "aaaaaaa"):
+            assert (tokenize._bpe_word_token_count_ranked(w, ranks)
+                    == tokenize._bpe_word_token_count(w, merges)), w
+
+    def test_property_random_words(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        merges = tokenize.load_merges_v1()
+        ranks = tokenize._rank_index(merges)
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz",
+                       min_size=0, max_size=24))
+        def check(w):
+            assert (tokenize._bpe_word_token_count_ranked(w, ranks)
+                    == tokenize._bpe_word_token_count(w, merges))
+
+        check()
+
+    def test_v1_artifact_loads_and_is_large(self):
+        merges = tokenize.load_merges_v1()
+        assert len(merges) > 1000          # production-shaped, not demo
+        # later ranks build on earlier ones: every non-char symbol a
+        # merge references was produced by an EARLIER merge
+        produced = set()
+        for left, right in merges:
+            for s in (left, right):
+                assert len(s) == 1 or s in produced, (left, right)
+            produced.add(left + right)
+
+    def test_quote_escaping_in_values(self):
+        sql = tokenize.merges_sql_values((("'", "a"),))
+        assert "''" in sql
+        import duckdb
+        got = duckdb.connect().execute(
+            "SELECT l FROM " + sql).fetchone()[0]
+        assert got == "'"
+
+
 class TestCorpusPaths:
     def test_frame_path_counts_and_null_text(self, spark):
         df = spark.createDataFrame(

@@ -668,6 +668,7 @@ def remove_duplicate_passages(
     n: int = 8,
     max_gram_df: int | None = MAX_GRAM_DF_DEFAULT,
     hash_fn: str = "xxhash64",
+    min_span: int | None = None,
 ) -> DataFrame:
     """Span-level duplicate-passage REMOVAL — the excision counterpart of
     :func:`duplicate_passages` (which only detects): every word n-gram
@@ -688,6 +689,25 @@ def remove_duplicate_passages(
     and survives intact in the winner: per-gram winners are all "the
     min-id document holding the gram", which for a shared passage is the
     same document for every gram in the run.
+
+    ``min_span`` is the exact-substring length threshold of Lee et
+    al. 2021 (their ExactSubstr contract removes duplicated substrings
+    of >= 50 TOKENS, not every duplicated 8-gram): when set (must be
+    >= ``n``), each loser's flagged gram positions stitch into maximal
+    consecutive-position runs — a run of r grams covers r - 1 + n
+    words — and ONLY runs covering >= ``min_span`` words excise; a
+    planted shared substring of ``min_span - 1`` words survives both
+    copies, one of ``min_span`` words excises from the loser
+    (unit-tested at both edges). The default ``None`` keeps the legacy
+    every-flagged-gram behavior (equivalent to ``min_span=n``).
+    Stitched spans are per-doc unions of grams that may be shared with
+    DIFFERENT partner docs, so a chimera span stitched across two
+    sources can excise even when its full text appears nowhere else —
+    the over-removal direction, matching the paper's
+    every-duplicated-window-is-suspect stance. Stitching adds one
+    window partitioned by (doc id) over the FLAGGED positions only —
+    per-task work is bounded by a single document's gram count, the
+    sessionize-by-user shape, never a corpus-keyed sort.
 
     Distributed shape — NO pair join anywhere, linear at any corpus
     size: positioned grams hash (``hash_fn`` as in the detector:
@@ -740,13 +760,36 @@ def remove_duplicate_passages(
         .filter(F.col("id") != F.col("win"))
         .select("id", "pos")
     )
-    covered = (
-        losers.select(
+    if min_span is not None:
+        if min_span < n:
+            raise ValueError(
+                f"min_span ({min_span}) must be >= the gram width n "
+                f"({n}) — spans shorter than one gram are undetectable")
+        from pyspark.sql.window import Window as _W
+
+        # gaps-and-islands: consecutive flagged positions share
+        # (pos - row_number); a run p0..p1 covers p1 - p0 + n words
+        w_run = _W.partitionBy("id").orderBy("pos")
+        spans = (
+            losers.withColumn(
+                "_grp", F.col("pos") - F.row_number().over(w_run))
+            .groupBy("id", "_grp")
+            .agg(F.min("pos").alias("_p0"), F.max("pos").alias("_p1"))
+            .filter((F.col("_p1") - F.col("_p0") + n) >= min_span)
+        )
+        covered = spans.select(
             "id",
-            F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n))
-            .alias("wpos"),
+            F.explode(F.sequence(F.col("_p0") + 1,
+                                 F.col("_p1") + F.lit(n))).alias("wpos"),
         ).distinct()
-    )
+    else:
+        covered = (
+            losers.select(
+                "id",
+                F.explode(F.sequence(F.col("pos") + 1, F.col("pos") + n))
+                .alias("wpos"),
+            ).distinct()
+        )
     toks = tokens.select(
         "id",
         F.posexplode("_words").alias("p0", "word"),

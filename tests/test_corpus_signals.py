@@ -516,6 +516,97 @@ class TestRemoveDuplicatePassages:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestMinSpanExactSubstring:
+    """The Lee et al. 2021 ExactSubstr length contract: with min_span=L
+    a shared substring of L-1 words survives BOTH copies and one of L
+    words excises from the loser — the >= L threshold, proven at both
+    edges (gram-chain stitching: a run of r consecutive flagged grams
+    covers r - 1 + n words)."""
+
+    def _rows(self, df):
+        return {r.id: r for r in df.collect()}
+
+    def test_planted_at_l_minus_one_kept(self, spark):
+        # n=4, L=6: a 5-word shared substring IS flagged (two 4-gram
+        # runs) but its stitched span 5 < 6 -> kept everywhere
+        shared = "p q r s t"
+        df = spark.createDataFrame(
+            [(1, f"one uniq head {shared} one tail bit"),
+             (2, f"two other top {shared} two ending part")],
+            "doc_id long, text string")
+        out = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, max_gram_df=None, min_span=6))
+        assert shared in out[1].text and out[1].n_removed == 0
+        assert shared in out[2].text and out[2].n_removed == 0
+        # the legacy default (min_span=None) excises the same plant
+        loose = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, max_gram_df=None))
+        assert loose[2].n_removed == 5
+
+    def test_planted_at_l_excised_from_loser(self, spark):
+        shared = "p q r s t u"                   # exactly L=6 words
+        df = spark.createDataFrame(
+            [(1, f"one uniq head {shared} one tail bit"),
+             (2, f"two other top {shared} two ending part")],
+            "doc_id long, text string")
+        out = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, max_gram_df=None, min_span=6))
+        assert shared in out[1].text and out[1].n_removed == 0
+        assert "p" not in out[2].text.split()
+        assert out[2].n_removed == 6
+        assert out[2].text == "two other top two ending part"
+
+    def test_mixed_spans_only_long_run_excised(self, spark):
+        # one doc carries TWO shared spans separated by unique filler:
+        # a 6-word span (>= L) and a 5-word span (< L) — only the long
+        # run excises; runs are measured independently
+        long_s, short_s = "p q r s t u", "v w x y z"
+        df = spark.createDataFrame(
+            [(1, f"w1 w2 {long_s} w3 w4 {short_s} w5 w6"),
+             (2, f"a1 a2 {long_s} a3 a4 {short_s} a5 a6")],
+            "doc_id long, text string")
+        out = self._rows(dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, max_gram_df=None, min_span=6))
+        assert out[1].n_removed == 0
+        assert out[2].n_removed == 6
+        assert short_s in out[2].text
+        assert "p" not in out[2].text.split()
+
+    def test_min_span_validation_and_equivalence_at_n(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e x"), (2, "y a b c d e")],
+            "doc_id long, text string")
+        with _pytest.raises(ValueError, match="min_span"):
+            dedup.remove_duplicate_passages(
+                df, "doc_id", "text", n=4, min_span=3)
+        # min_span == n is exactly the legacy behavior
+        a = sorted(map(tuple, dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, max_gram_df=None,
+            min_span=4).collect()))
+        b = sorted(map(tuple, dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4,
+            max_gram_df=None).collect()))
+        assert a == b
+
+    def test_stitch_window_is_doc_keyed(self, spark):
+        # scale contract: the stitching window partitions by the doc id
+        # (bounded by one doc's grams), never corpus-wide
+        import re
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g"), (2, "z a b c d e f")],
+            "doc_id long, text string")
+        plan = dedup.remove_duplicate_passages(
+            df, "doc_id", "text", n=4, min_span=6)._jdf \
+            .queryExecution().executedPlan().toString()
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs and all("id" in s for s in specs)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestBigramLogprob:
     def _docs(self, spark, texts):
         return spark.createDataFrame(

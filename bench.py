@@ -204,6 +204,8 @@ EXTENDED = [
     # rank-dict kernel — production-shape proof next to the frozen
     # 64-merge headline row)
     "token_count_bpe_v1_docs",
+    # r11: learned pair-scorer rerank of the fused retrieval top-k
+    "cross_encoder_rerank_docs",
 ]
 
 

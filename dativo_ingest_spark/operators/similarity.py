@@ -758,6 +758,129 @@ def rrf_fuse(
     )
 
 
+def load_cross_encoder_v1(path: str | None = None) -> dict:
+    """Load the vendored bilinear pair-scorer artifact
+    (``models/cross_encoder_v1.json`` — integer milli-unit weights over
+    micro-quantized embedding pairs; provenance inside the JSON,
+    regenerated by ``examples/make_cross_encoder_artifact.py``). The
+    ``load_quality_grade_model`` pattern: a production cross-encoder's
+    trained head drops in by pointing ``path`` at its export."""
+    import json as _json
+    import os as _os
+
+    if path is None:
+        path = _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                             "models", "cross_encoder_v1.json")
+    with open(path) as fh:
+        model = _json.load(fh)
+    dim = int(model["dim"])
+    W = model["weights_milli"]
+    if len(W) != dim or any(len(row) != dim for row in W):
+        raise ValueError("cross_encoder weights are not dim x dim")
+    return model
+
+
+def cross_encoder_sql_values(model: dict) -> str:
+    """The weight matrix as a SQL VALUES list (i, j, w) — the
+    oracle-side twin emitted from the SAME loaded artifact, so the gate
+    query and the scorer can never drift (the merges_sql_values
+    pattern). Zero entries are skipped (they contribute nothing to the
+    bilinear sum) to keep the literal compact."""
+    rows = ", ".join(
+        f"({i}, {j}, {w})"
+        for i, row in enumerate(model["weights_milli"])
+        for j, w in enumerate(row) if w != 0
+    )
+    return f"(VALUES {rows}) AS w(i, j, w)"
+
+
+def cross_encoder_rerank(
+    fused: DataFrame,
+    query_vecs: DataFrame,
+    doc_vecs: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    qvec_col: str = "qvec",
+    dvec_col: str = "dvec",
+    model: dict | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Cross-encoder reranking of a fused retrieval top-k — the last
+    mile of the production RAG stack (BM25 → ANN → RRF → LEARNED pair
+    scorer): every (query, candidate) pair surviving fusion rescores
+    under a trained head and the final ranking follows the pair score,
+    not the fusion consensus. The head here is the vendored bilinear
+    form ``score(q, d) = q^T W d`` (:func:`load_cross_encoder_v1` —
+    the learned_classifier_infer vendored-artifact seam; a real
+    cross-encoder export drops in unchanged).
+
+    Inputs: ``fused`` — rrf_fuse output (or any (query, candidate)
+    frame); ``query_vecs`` — (query_col, qvec array) — one row per
+    query; ``doc_vecs`` — (id_col, dvec array), the corpus-side
+    feature store.
+
+    Returns (query_id, neighbor_id, rrf_micro, fused_rank, ce_score,
+    rerank <= k) — ``ce_score`` the exact int64 bilinear form over
+    micro-quantized components and milli-unit weights (micro x milli x
+    micro units; |x| <= 1 at 64 dims stays ~1e17 < 2^63), ties broken
+    on candidate id. Candidates whose vectors are NULL or not
+    ``model["dim"]`` wide are EXCLUDED (the ann_recall width-mismatch
+    lesson: padded NULLs would fake scores), as are queries with no
+    vector.
+
+    Scale contract — the corpus is never scored and never shuffled:
+    the fused frame is Q·k rows (KBs), so it broadcasts INTO the
+    feature-store scan (one pass over ``doc_vecs``, candidates out),
+    query vectors broadcast on top, and the ONE Arrow-batched pandas
+    UDF (the W matrix rides in its closure — ~30 KB here, MBs for a
+    real head) evaluates over exactly the k·Q candidate rows. The
+    final window partitions per query over <= the fused k rows.
+    """
+    import numpy as np
+
+    if model is None:
+        model = load_cross_encoder_v1()
+    dim = int(model["dim"])
+    W = np.asarray(model["weights_milli"], dtype=np.int64)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _bilinear(qv: pd.Series, dv: pd.Series) -> pd.Series:
+        if qv.empty:
+            return pd.Series([], dtype="int64")
+        Q = np.stack(qv.to_numpy()).astype(np.int64)
+        D = np.stack(dv.to_numpy()).astype(np.int64)
+        # ((Q @ W) * D).sum(1): pure int64 — associative-exact, no
+        # float enters (the classifier seam's matmul discipline)
+        return pd.Series(((Q @ W) * D).sum(axis=1), dtype="int64")
+
+    qf = (query_vecs
+          .filter(F.col(qvec_col).isNotNull()
+                  & (F.size(qvec_col) == dim))
+          .select(F.col(query_col).alias("query_id"),
+                  vectors.micro_codes(F.col(qvec_col)).alias("_qq")))
+    cand = (fused.select(F.col(query_col).alias("query_id"),
+                         F.col(id_col).alias("neighbor_id"),
+                         "rrf_micro", "fused_rank")
+            .join(F.broadcast(qf), "query_id"))
+    dslim = (doc_vecs
+             .filter(F.col(dvec_col).isNotNull()
+                     & (F.size(dvec_col) == dim))
+             .select(F.col(id_col).alias("neighbor_id"),
+                     vectors.micro_codes(F.col(dvec_col)).alias("_dq")))
+    # corpus scan on the left, Q*k candidates broadcast into it
+    scored = (dslim.join(F.broadcast(cand), "neighbor_id")
+              .withColumn("ce_score", _bilinear(F.col("_qq"),
+                                                F.col("_dq"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ce_score").desc(), F.col("neighbor_id"))
+    return (scored
+            .withColumn("rerank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rerank") <= k)
+            .select("query_id", "neighbor_id", "rrf_micro",
+                    "fused_rank", "ce_score", "rerank"))
+
+
 def prototypicality(
     df: DataFrame,
     id_col: str,

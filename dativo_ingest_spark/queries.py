@@ -5278,10 +5278,11 @@ _RRF_RANK_SQL = """
       FROM {scored} QUALIFY r <= 30"""
 
 
-@register(
-    "rrf_fusion_topk",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+#: shared CTE chain: exact + int8-quantized rankings fused to the
+#: consensus top-10 (rrf_fusion_topk's proven body, exposed so the
+#: cross-encoder reranker oracle composes on the identical fused frame)
+_RRF_FUSED_CTES = f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
     exact_scored AS (
       SELECT qid AS query_id, c.vec_id AS neighbor_id,
@@ -5310,12 +5311,21 @@ _RRF_RANK_SQL = """
       SELECT query_id, neighbor_id,
              CAST(count(*) AS BIGINT) AS n_lists,
              CAST(sum(c) AS BIGINT) AS rrf_micro
-      FROM contrib GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, n_lists, rrf_micro,
-           CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT)
-             AS fused_rank
-    FROM fused QUALIFY fused_rank <= 10
+      FROM contrib GROUP BY 1, 2),
+    fused_top AS (
+      SELECT query_id, neighbor_id, n_lists, rrf_micro,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, neighbor_id) AS BIGINT)
+               AS fused_rank
+      FROM fused QUALIFY fused_rank <= 10)"""
+
+
+@register(
+    "rrf_fusion_topk",
+    f"""
+    WITH {_RRF_FUSED_CTES}
+    SELECT query_id, neighbor_id, n_lists, rrf_micro, fused_rank
+    FROM fused_top
     """,
     doc="reciprocal-rank fusion (operators/similarity.py:rrf_fuse; "
         "Cormack et al. 2009): the full-precision cosine top-30 and the "
@@ -10368,6 +10378,78 @@ def _merges_v1_oracle() -> str:
     return _token_count_bpe_oracle(load_merges_v1())
 
 
+def _cross_encoder_oracle() -> str:
+    from dativo_ingest_spark.operators.similarity import (
+        cross_encoder_sql_values, load_cross_encoder_v1)
+
+    model = load_cross_encoder_v1()
+    dim = int(model["dim"])
+    return f"""
+    WITH {_RRF_FUSED_CTES},
+    qcomp AS (
+      SELECT vec_id AS query_id, i,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings, unnest(range(0, len(embedding))) t(i)
+      WHERE vec_id < 5 AND len(embedding) = {dim}),
+    dcomp AS (
+      SELECT vec_id AS neighbor_id, i,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
+                        + 0.5) AS BIGINT) AS dv
+      FROM embeddings, unnest(range(0, len(embedding))) t(i)
+      WHERE len(embedding) = {dim}),
+    score AS (
+      SELECT p.query_id, p.neighbor_id, p.rrf_micro, p.fused_rank,
+             CAST(sum(qc.qv * w.w * dc.dv) AS BIGINT) AS ce_score
+      FROM fused_top p
+      JOIN qcomp qc ON qc.query_id = p.query_id
+      JOIN {cross_encoder_sql_values(model)} ON w.i = qc.i
+      JOIN dcomp dc ON dc.neighbor_id = p.neighbor_id AND dc.i = w.j
+      GROUP BY 1, 2, 3, 4)
+    SELECT query_id, neighbor_id, rrf_micro, fused_rank, ce_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY ce_score DESC, neighbor_id) AS BIGINT)
+             AS rerank
+    FROM score QUALIFY rerank <= 5
+    """
+
+
+@register(
+    "cross_encoder_rerank_docs",
+    _cross_encoder_oracle(),
+    doc="cross-encoder reranking of the fused retrieval top-k "
+        "(operators/similarity.py:cross_encoder_rerank over the "
+        "vendored bilinear head models/cross_encoder_v1.json) — the "
+        "last mile of the production RAG stack: BM25/ANN lists fuse by "
+        "RRF, then a LEARNED pair scorer rescores only the k*Q "
+        "surviving (query, candidate) pairs and the final order "
+        "follows score(q, d) = q^T W d. Exactness: components "
+        "micro-quantize (float32 widened to DOUBLE first) and W is "
+        "integer milli-units, so every score is an exact int64 "
+        "bilinear form — ((Q @ W) * D).sum(1) in one Arrow batch, no "
+        "float anywhere. Scale: the fused frame (Q*k rows, KBs) "
+        "broadcasts INTO the feature-store scan; the corpus is never "
+        "scored, never shuffled, and the one pandas UDF sees only "
+        "candidates (plan-gated). Oracle: the same W replayed from the "
+        "loaded artifact as a VALUES list over the shared fused CTEs.",
+)
+def cross_encoder_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                        k=30)
+    quant = similarity.quantized_topk(emb, q, "vec_id", "embedding",
+                                      k=30)
+    fused = similarity.rrf_fuse([exact, quant], k0=60, k=10)
+    return similarity.cross_encoder_rerank(
+        fused,
+        q.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("dvec")),
+        k=5)
+
+
 @register(
     "token_count_bpe_v1_docs",
     _merges_v1_oracle(),
@@ -11096,6 +11178,14 @@ _GATE_DEMOTED = [
     # shares; training's argmax-round machinery remains oracle-checked
     # every CI run (bpe_train_merges_docs r10-proven)
     "bpe_train_merges_docs",
+    # --- r12 ROTATION QUEUE (registered + oracle-proven locally at 3
+    # SFs, not yet driver-windowed; first in line for the r12 window —
+    # the r9->r10 queue precedent) ------------------------------------
+    # cross-encoder reranking (the r10 verdict's stretch #6): fused
+    # top-k rescored under the vendored bilinear pair-scorer; the
+    # retrieval family keeps hybrid_retrieval_docs + bm25_topk_docs
+    # in-window meanwhile
+    "cross_encoder_rerank_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

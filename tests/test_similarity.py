@@ -434,6 +434,129 @@ class TestRrfFuse:
         assert all(r.n_lists == 2 for r in top3)
 
 
+class TestCrossEncoderRerank:
+    """The learned-pair-scorer last mile: rerank rrf_fuse output under
+    the vendored bilinear head — order pinned against a NumPy replay,
+    one Arrow boundary over the k*Q fused rows only."""
+
+    def _fused(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "query_id long, neighbor_id long, n_lists long, "
+            "rrf_micro long, fused_rank long")
+
+    def test_rerank_order_matches_numpy_replay(self, spark):
+        import math
+
+        import numpy as np
+
+        dim = 4
+        model = {"dim": dim, "weight_scale": 1000,
+                 "weights_milli": [[1000 if i == j else
+                                    ((31 * i + 17 * j) % 41) - 20
+                                    for j in range(dim)]
+                                   for i in range(dim)]}
+        qvecs = [(1, [0.5, -0.25, 0.125, 0.75])]
+        dvecs = [(10, [0.5, -0.25, 0.0, 0.5]),
+                 (11, [-0.5, 0.25, 0.125, 0.75]),
+                 (12, [0.1, 0.9, -0.3, 0.2]),
+                 (13, [0.75, 0.5, 0.25, -0.125])]
+        fused = self._fused(spark, [(1, 10, 2, 100, 1), (1, 11, 2, 90, 2),
+                                    (1, 12, 1, 80, 3), (1, 13, 1, 70, 4)])
+        qf = spark.createDataFrame(qvecs, "query_id long, "
+                                          "qvec array<double>")
+        df_ = spark.createDataFrame(dvecs, "neighbor_id long, "
+                                           "dvec array<double>")
+        out = similarity.cross_encoder_rerank(
+            fused, qf, df_, model=model, k=4).collect()
+
+        W = np.asarray(model["weights_milli"], dtype=np.int64)
+
+        def micro(v):
+            return np.asarray(
+                [math.floor(1e6 * x + 0.5) for x in v], dtype=np.int64)
+
+        qm = micro(qvecs[0][1])
+        expect = {nid: int(qm @ W @ micro(v)) for nid, v in dvecs}
+        got = {r.neighbor_id: r.ce_score for r in out}
+        assert got == expect
+        order = [r.neighbor_id for r in
+                 sorted(out, key=lambda r: r.rerank)]
+        assert order == [n for n, _ in
+                         sorted(expect.items(),
+                                key=lambda kv: (-kv[1], kv[0]))]
+        # the reranker genuinely reorders vs the fusion consensus
+        by_fused = [r.neighbor_id for r in
+                    sorted(out, key=lambda r: r.fused_rank)]
+        assert order != by_fused
+
+    def test_width_mismatch_and_null_vectors_excluded(self, spark):
+        model = {"dim": 3, "weight_scale": 1000,
+                 "weights_milli": [[1000, 0, 0], [0, 1000, 0],
+                                   [0, 0, 1000]]}
+        fused = self._fused(spark, [(1, 10, 1, 50, 1), (1, 11, 1, 40, 2),
+                                    (1, 12, 1, 30, 3)])
+        qf = spark.createDataFrame([(1, [1.0, 0.0, 0.0])],
+                                   "query_id long, qvec array<double>")
+        df_ = spark.createDataFrame(
+            [(10, [1.0, 0.0]),               # wrong width -> excluded
+             (11, None),                     # NULL -> excluded
+             (12, [0.5, 0.5, 0.5])],
+            "neighbor_id long, dvec array<double>")
+        out = similarity.cross_encoder_rerank(
+            fused, qf, df_, model=model, k=10).collect()
+        assert [r.neighbor_id for r in out] == [12]
+
+    def test_vendored_artifact_loads_and_reranks_real_fusion(self, spark):
+        model = similarity.load_cross_encoder_v1()
+        assert model["dim"] == 64
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 2)
+        exact = similarity.brute_force_topk(emb, q, "vec_id",
+                                            "embedding", k=20)
+        fused = similarity.rrf_fuse([exact], k=10)
+        qf = q.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qvec"))
+        df_ = emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("dvec"))
+        out = similarity.cross_encoder_rerank(fused, qf, df_, k=5)
+        rows = out.collect()
+        assert len(rows) == 10                 # 2 queries x top-5
+        for r in rows:
+            assert 1 <= r.rerank <= 5
+        # determinism: identical on a second run
+        again = out.collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    def test_one_arrow_eval_over_candidates_only(self, spark):
+        # plan gate: exactly ONE ArrowEvalPython, the corpus side joins
+        # via broadcast (the fused Q*k frame broadcasts INTO the
+        # feature-store scan), no cartesian
+        model = similarity.load_cross_encoder_v1()
+        emb = load(spark, SF_DIR, "embeddings")
+        q = emb.filter(F.col("vec_id") < 2)
+        fused_src = similarity.rrf_fuse(
+            [similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                         k=10)], k=5)
+        # materialize the fused frame so the plan under test is the
+        # RERANKER's own (upstream brute-force carries its self-match
+        # BNLJ exclusion; the reranker must add none)
+        fused = spark.createDataFrame(fused_src.collect(),
+                                      fused_src.schema)
+        out = similarity.cross_encoder_rerank(
+            fused,
+            q.select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("qvec")),
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("dvec")),
+            model=model, k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1, plan[:800]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan    # candidates INTO the scan
+
+
 class TestPrototypicality:
     def _frame(self, spark):
         rows = [

@@ -638,6 +638,42 @@ def host_cap_sample_bucketed(
         .select(*df.columns))
 
 
+def mixture_admission_rates(
+    weights_micro: dict,
+    domain_counts: dict,
+    total_budget: int,
+) -> dict:
+    """Per-domain admission rates (micro-fractions) that steer a stream
+    toward a solved mixture — the frozen-weights contract behind
+    ``streaming/pipeline.py:mixture_admission_gate``: solve
+    ``doremi_domain_weights`` once on a reference corpus, convert here,
+    freeze.
+
+    ``rate_d = min(1e6, total_budget * weight_d / count_d)`` in pure
+    integer arithmetic — the expected admitted count is
+    ``total_budget * weight_d`` docs for every domain that can supply
+    it. A domain too SMALL for its target share saturates at rate 1e6
+    (admit everything — a stream cannot upsample); the shortfall is the
+    caller's signal to re-solve or extend the reference window, never a
+    silent redistribution to other domains (which would skew the
+    mixture the weights were solved FOR). Domains present in
+    ``domain_counts`` but absent from the solved weights get rate 0
+    (match the gate's explicit-decision stance).
+    """
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    rates: dict = {}
+    for d, n in domain_counts.items():
+        w = int(weights_micro.get(d, 0))
+        n = int(n)
+        if n <= 0 or w <= 0:
+            rates[d] = 0
+            continue
+        # rate in micro: (budget * w_micro) docs-worth over n docs
+        rates[d] = min(1_000_000, (total_budget * w) // n)
+    return rates
+
+
 def systematic_sample(
     df: DataFrame,
     id_col: str,

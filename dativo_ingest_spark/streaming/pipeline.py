@@ -1145,6 +1145,65 @@ def psi_reference(df: DataFrame, value_col: str, n_bins: int = 10,
     return edges, counts
 
 
+def mixture_admission_gate(rates_micro: dict, domain_col: str,
+                           id_col: str, write_batch,
+                           salt: str = "mixture",
+                           default_rate_micro: int = 0):
+    """foreachBatch wrapper admitting each micro-batch to a FROZEN
+    training mixture before its write — the streaming sibling of the
+    runner's ``shard.mixture`` target, composed exactly the way the
+    KS/PSI gates compose with :func:`expectations_gate`: solve
+    ``doremi_domain_weights`` ONCE on a reference corpus, convert to
+    per-domain admission rates
+    (``operators/sampling.py:mixture_admission_rates``), freeze them,
+    and let every epoch admit through the same deterministic hash
+    predicate.
+
+    Per row: admit iff ``u32(md5(salt|id)) * 1e6 < rate_micro(domain)
+    * 2^32`` — the md5-uniform scan-stage predicate every sampler here
+    shares, so admission is a pure function of (salt, id, rates):
+    replayed epochs admit the IDENTICAL rows (exactly-once composes
+    with the epoch writer's overwrite), a restart changes nothing, and
+    the admitted stream equals the batch predicate applied to the
+    union of all batches — no per-epoch state, no windows, no caps to
+    coordinate across executors. Domains missing from ``rates_micro``
+    admit at ``default_rate_micro`` (default 0 = drop; the batch
+    target's floor-to-1-doc rule has no rate analogue, so absent
+    domains are an explicit caller decision here).
+
+    Scale: one ``create_map`` literal lookup + one md5 per row,
+    scan-stage, zero shuffle added; the rates map is mixture-sized
+    (5-50 entries).
+    """
+    for d, r in rates_micro.items():
+        if not (0 <= int(r) <= 1_000_000):
+            raise ValueError(
+                f"rate for domain {d!r} must be in [0, 1e6] micro: {r}")
+    if not (0 <= int(default_rate_micro) <= 1_000_000):
+        raise ValueError("default_rate_micro must be in [0, 1e6]")
+
+    pairs = [x for kv in rates_micro.items() for x in kv]
+    rate_map = F.create_map(*[F.lit(x) for x in pairs]) if pairs else None
+
+    def _admit(batch_df: DataFrame) -> DataFrame:
+        u32 = F.conv(F.substring(F.md5(F.concat(
+            F.lit(salt), F.lit("|"),
+            F.col(id_col).cast("string"))), 1, 8), 16, 10).cast("long")
+        rate = (F.coalesce(rate_map[F.col(domain_col)],
+                           F.lit(int(default_rate_micro)))
+                if rate_map is not None
+                else F.lit(int(default_rate_micro)))
+        # u32 < 2^32 and rate <= 1e6: u32 * 1e6 < 2^52 — bigint-safe
+        return batch_df.filter(
+            u32 * F.lit(1_000_000) < rate.cast("long") * F.lit(1 << 32))
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        write_batch(_admit(batch_df), epoch_id)
+
+    _apply.admit = _admit          # exposed for batch-equality audits
+    return _apply
+
+
 def psi_drift_gate(reference, value_col: str, write_batch,
                    threshold_milli: int = 250, on_drift: str = "skip",
                    quarantine_batch=None):

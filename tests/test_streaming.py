@@ -1064,6 +1064,156 @@ def test_shard_epoch_writer_true_crash_injection(spark, tmp_path,
     assert audit["ok"] and audit["epochs"] == 2
 
 
+class TestMixtureAdmissionGate:
+    """Streaming mixture admission: frozen solved weights -> per-domain
+    hash-predicate rates -> every epoch admits the identical
+    deterministic subset (the batch shard.mixture target's streaming
+    sibling, composed like the KS/PSI gates)."""
+
+    def test_rates_helper_math(self):
+        from dativo_ingest_spark.operators.sampling import (
+            mixture_admission_rates)
+
+        rates = mixture_admission_rates(
+            {"a": 250_000, "b": 750_000},        # solved mixture 1:3
+            {"a": 1000, "b": 300, "c": 50},      # natural supply
+            total_budget=400)
+        # a: 400*0.25 = 100 of 1000 -> rate 100k micro
+        assert rates["a"] == 100_000
+        # b: 400*0.75 = 300 of 300 -> saturates at 1e6 (can't upsample)
+        assert rates["b"] == 1_000_000
+        # c: absent from weights -> explicit 0
+        assert rates["c"] == 0
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="total_budget"):
+            mixture_admission_rates({}, {}, 0)
+
+    def test_admission_matches_batch_predicate_and_replay(self, spark):
+        from dativo_ingest_spark.streaming import pipeline as pl
+
+        rows = [(i, "a" if i % 3 else "b", 5) for i in range(300)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, dom string, n_tokens long")
+        seen: list = []
+        gate = pl.mixture_admission_gate(
+            {"a": 400_000, "b": 1_000_000}, "dom", "doc_id",
+            lambda b, e: seen.append((e, {r.doc_id for r in b.collect()})),
+            salt="mixfrozen")
+        half1, half2 = df.filter("doc_id < 150"), df.filter("doc_id >= 150")
+        gate(half1, 0)
+        gate(half2, 1)
+        union_admitted = seen[0][1] | seen[1][1]
+        # the stream's admitted set == the SAME predicate run in batch
+        batch_admitted = {r.doc_id
+                          for r in gate.admit(df).select("doc_id")
+                          .collect()}
+        assert union_admitted == batch_admitted
+        # rate-1e6 domain admits everything
+        b_ids = {i for i, d, _ in rows if d == "b"}
+        assert b_ids <= union_admitted
+        # replayed epoch admits the IDENTICAL rows (exactly-once
+        # composes with the epoch writer's overwrite)
+        gate(half1, 0)
+        assert seen[2][1] == seen[0][1]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from dativo_ingest_spark.streaming import pipeline as pl
+
+        with _pytest.raises(ValueError, match="rate"):
+            pl.mixture_admission_gate({"a": 2_000_000}, "dom", "id",
+                                      lambda b, e: None)
+        with _pytest.raises(ValueError, match="default_rate"):
+            pl.mixture_admission_gate({}, "dom", "id", lambda b, e: None,
+                                      default_rate_micro=-1)
+
+    def test_restart_proven_e2e_solved_weights_to_shards(
+            self, spark, tmp_path):
+        """The full composition, restart-proven: doremi_domain_weights
+        solved ONCE -> frozen rates -> mixture_admission_gate wrapping
+        shard_epoch_writer across an availableNow restart. The admitted
+        id set equals the batch predicate exactly, per-domain admitted
+        counts sit within floor bounds of budget*weight, and the
+        restart neither drops nor duplicates."""
+        import json
+
+        from dativo_ingest_spark.operators.dsir import (
+            doremi_domain_weights)
+        from dativo_ingest_spark.operators.sampling import (
+            mixture_admission_rates)
+        from dativo_ingest_spark.sinks.shard_export import (
+            audit_streaming_shards)
+
+        # domain 'plain' repeats common words (low NLL), 'rare' uses
+        # singletons (high NLL -> upweighted by the solver)
+        rows = [(i, "plain", "common words appear here always")
+                for i in range(240)]
+        rows += [(i, "rare", f"zq{i}x uq{i}v wq{i}y")
+                 for i in range(240, 300)]
+        docs = spark.createDataFrame(rows,
+                                     "doc_id long, dom string, "
+                                     "text string")
+        weights = {r.domain: r.weight_micro
+                   for r in doremi_domain_weights(
+                       docs, "dom", "text", n_rounds=3,
+                       eta_milli=300).collect()}
+        counts = {r.dom: r.c for r in
+                  docs.groupBy("dom").agg(F.count(F.lit(1)).alias("c"))
+                  .collect()}
+        budget = 120
+        rates = mixture_admission_rates(weights, counts, budget)
+        assert set(rates) == {"plain", "rare"}
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        staged = docs.withColumn("n_tokens", F.lit(5))
+        staged.filter("doc_id < 150").coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        gate = None
+        for phase in range(2):                  # phase 1 = RESTART
+            gate = pipeline.mixture_admission_gate(
+                rates, "dom", "doc_id",
+                pipeline.shard_epoch_writer(
+                    out, "doc_id", "n_tokens", n_shards=2,
+                    checkpoint_dir=ckpt),
+                salt="mixfrozen")
+            stream = pipeline.stream_from_files(spark, src, schema)
+            q = (stream.writeStream.foreachBatch(gate)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if phase == 0:
+                staged.filter("doc_id >= 150").coalesce(1).write.mode(
+                    "append").parquet(src)
+
+        man = json.load(open(f"{out}/manifest.json"))
+        assert audit_streaming_shards(spark, out)["ok"]
+        # exact determinism: shard layout ids == batch predicate ids
+        shard_ids = {r.id for r in spark.read.parquet(out)
+                     .select("id").collect()}
+        batch_ids = {r.doc_id for r in gate.admit(staged)
+                     .select("doc_id").collect()}
+        assert shard_ids == batch_ids
+        assert sum(v["n_rows"] for v in man["shards"].values()) == \
+            len(shard_ids)
+        # per-domain admitted counts within floor bounds of the solved
+        # budget share (deterministic — no flake: same ids, same salt)
+        dom_of = {i: d for i, d, _ in rows}
+        per_dom: dict = {}
+        for i in shard_ids:
+            per_dom[dom_of[i]] = per_dom.get(dom_of[i], 0) + 1
+        for d, n_admitted in per_dom.items():
+            target = budget * weights.get(d, 0) / 1_000_000
+            cap = min(target, counts[d])
+            assert n_admitted >= cap * 0.5, (d, n_admitted, cap)
+            assert n_admitted <= max(2 * target, 1) + 2 \
+                or rates[d] == 1_000_000, (d, n_admitted, target)
+
+
 def test_shard_epoch_writer_crash_between_marker_and_manifest(
         spark, tmp_path, monkeypatch):
     """The OTHER crash window: the epoch marker renames successfully but

@@ -116,9 +116,12 @@ def _resolve_token_count(token_count_col: Column | str,
     """The samplers' ``token_count_mode`` knob: ``"column"`` takes the
     given count column as-is (whitespace words, chunk sizes, whatever
     the caller measured); ``"bpe"`` reinterprets ``token_count_col`` as
-    the TEXT column and counts vendored-vocabulary BPE tokens
-    (``operators/tokenize.py`` — scan-stage Arrow kernel, cached per
-    distinct word per executor)."""
+    the TEXT column and counts demo-vocabulary (64-merge) BPE tokens;
+    ``"bpe_v1"`` counts under the vendored production-shaped table
+    (``models/bpe_merges_v1.json``, 3,588 merges — the rank-dict
+    kernel, so per-word cost is table-size-independent). Both BPE
+    modes are scan-stage Arrow kernels cached per distinct word per
+    executor (``operators/tokenize.py``)."""
     col = (F.col(token_count_col) if isinstance(token_count_col, str)
            else token_count_col)
     if mode == "column":
@@ -127,8 +130,14 @@ def _resolve_token_count(token_count_col: Column | str,
         from dativo_ingest_spark.operators import tokenize
 
         return tokenize.bpe_token_count_col(col)
+    if mode == "bpe_v1":
+        from dativo_ingest_spark.operators import tokenize
+
+        return tokenize.bpe_token_count_col(
+            col, merges=tokenize.load_merges_v1())
     raise ValueError(
-        f"token_count_mode must be 'column' or 'bpe', got {mode!r}")
+        f"token_count_mode must be 'column', 'bpe' or 'bpe_v1', "
+        f"got {mode!r}")
 
 
 def token_budget_sample(

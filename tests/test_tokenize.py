@@ -144,6 +144,31 @@ class TestSamplerKnob:
             sorted(map(tuple, via_col), key=str)
         assert sorted(via_knob, key=key) == sorted(via_col, key=key)
 
+    def test_bpe_v1_mode_counts_under_vendored_table(self, spark):
+        df = self._docs(spark)
+        via_knob = sampling.token_budget_sample(
+            df, "doc_id", "lang", "text", budget_tokens=50,
+            token_count_mode="bpe_v1").collect()
+        via_col = sampling.token_budget_sample(
+            df, "doc_id", "lang",
+            tokenize.bpe_token_count_col(
+                F.col("text"), merges=tokenize.load_merges_v1()),
+            budget_tokens=50).collect()
+        assert sorted(map(tuple, via_knob), key=str) == \
+            sorted(map(tuple, via_col), key=str)
+        # the knob genuinely changes the measured budget: the two
+        # tables are different vocabularies, so counts must differ
+        # (v1's 3,588 merges compress common English much further
+        # on THIS corpus; not a theorem — the tables aren't nested)
+        demo = {r.id: r.n_tokens for r in sampling.token_budget_sample(
+            df, "doc_id", "lang", "text", budget_tokens=10**6,
+            token_count_mode="bpe").collect()}
+        v1 = {r.id: r.n_tokens for r in sampling.token_budget_sample(
+            df, "doc_id", "lang", "text", budget_tokens=10**6,
+            token_count_mode="bpe_v1").collect()}
+        assert set(v1) == set(demo)
+        assert any(v1[i] != demo[i] for i in v1)
+
     def test_sharded_bpe_mode_and_bad_mode(self, spark):
         df = self._docs(spark)
         out = sampling.token_budget_sample_sharded(

@@ -625,16 +625,21 @@ def host_cap_sample_bucketed(
 
     h_field = df.schema[host_col]
     full_df = spark.createDataFrame(full, StructType([
-        StructField(host_col, h_field.dataType, True),
-        StructField("_hc_b", LongType(), False)]))
+        StructField("_hc_host", h_field.dataType, True),
+        StructField("_hc_b2", LongType(), False)]))
     cut_df = spark.createDataFrame(cuts, StructType([
-        StructField(host_col, h_field.dataType, True),
-        StructField("_hc_b", LongType(), False),
+        StructField("_hc_host", h_field.dataType, True),
+        StructField("_hc_b2", LongType(), False),
         StructField("_need", LongType(), False)]))
 
-    admitted_full = staged.join(F.broadcast(full_df),
-                                [host_col, "_hc_b"], "leftsemi")
-    in_cut = staged.join(F.broadcast(cut_df), [host_col, "_hc_b"])
+    # NULL-safe group key: host_cap_sample's window treats the NULL
+    # group as one partition and caps it — a plain equi-join here
+    # would silently DROP every NULL-group row (NULL never equi-joins)
+    on = (F.col(host_col).eqNullSafe(F.col("_hc_host"))
+          & (F.col("_hc_b") == F.col("_hc_b2")))
+    admitted_full = staged.join(F.broadcast(full_df), on, "leftsemi")
+    in_cut = (staged.join(F.broadcast(cut_df), on)
+              .drop("_hc_host", "_hc_b2"))
     w_cut = (_W.partitionBy(host_col, "_hc_b")
              .orderBy("_hc_h", F.col(id_col)))
     admitted_cut = (in_cut

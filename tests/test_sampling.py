@@ -330,6 +330,21 @@ class TestHostCapSampleBucketed:
             docs, "source", "doc_id", cap=10 ** 6, n_buckets=4)
         assert kept.count() == docs.count()
 
+    def test_null_group_capped_not_dropped(self, spark):
+        # the window form treats NULL as one group and caps it; the
+        # bucketed form must do the same (a plain equi-join would drop
+        # every NULL-group row — NULL never equi-joins)
+        rows = [(i, None if i % 5 == 0 else f"d{i % 3}")
+                for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, dom string")
+        a = {r.doc_id for r in sampling.host_cap_sample(
+            df, "dom", "doc_id", cap=4).collect()}
+        b = {r.doc_id for r in sampling.host_cap_sample_bucketed(
+            df, "dom", "doc_id", cap=4, n_buckets=4).collect()}
+        assert a == b
+        assert any(i % 5 == 0 for i in b)     # NULL group represented
+        assert sum(1 for i in b if i % 5 == 0) == 4
+
     def test_no_group_only_windowspec_in_plan(self, spark):
         # the scale contract this function exists for: every window in
         # the admission plan partitions by (group, bucket), never the

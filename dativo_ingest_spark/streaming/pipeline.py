@@ -1182,6 +1182,10 @@ def mixture_admission_gate(rates_micro: dict, domain_col: str,
     if not (0 <= int(default_rate_micro) <= 1_000_000):
         raise ValueError("default_rate_micro must be in [0, 1e6]")
 
+    # Spark map keys cannot be NULL: a None domain (rows with a NULL
+    # domain column fold to key None driver-side) rides the
+    # default_rate path like any unlisted domain
+    rates_micro = {d: r for d, r in rates_micro.items() if d is not None}
     pairs = [x for kv in rates_micro.items() for x in kv]
     rate_map = F.create_map(*[F.lit(x) for x in pairs]) if pairs else None
 

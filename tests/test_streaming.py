@@ -1129,6 +1129,30 @@ class TestMixtureAdmissionGate:
             pl.mixture_admission_gate({}, "dom", "id", lambda b, e: None,
                                       default_rate_micro=-1)
 
+    def test_null_domain_rides_default_rate(self, spark):
+        # a None rates key (NULL domain folded driver-side) must not
+        # become a NULL map key (Spark rejects those); NULL-domain rows
+        # take default_rate_micro like any unlisted domain
+        from dativo_ingest_spark.streaming import pipeline as pl
+
+        df = spark.createDataFrame(
+            [(i, None if i % 2 else "a", 1) for i in range(100)],
+            "doc_id long, dom string, n_tokens long")
+        seen: list = []
+        gate = pl.mixture_admission_gate(
+            {"a": 1_000_000, None: 500_000}, "dom", "doc_id",
+            lambda b, e: seen.append({r.doc_id for r in b.collect()}),
+            default_rate_micro=1_000_000)
+        gate(df, 0)
+        assert seen[0] == set(range(100))    # default admits NULL rows
+        seen.clear()
+        gate2 = pl.mixture_admission_gate(
+            {"a": 1_000_000}, "dom", "doc_id",
+            lambda b, e: seen.append({r.doc_id for r in b.collect()}))
+        gate2(df, 0)
+        # default 0: NULL-domain rows drop, 'a' rows all admit
+        assert seen[0] == {i for i in range(100) if i % 2 == 0}
+
     def test_restart_proven_e2e_solved_weights_to_shards(
             self, spark, tmp_path):
         """The full composition, restart-proven: doremi_domain_weights

@@ -206,6 +206,8 @@ EXTENDED = [
     "token_count_bpe_v1_docs",
     # r11: learned pair-scorer rerank of the fused retrieval top-k
     "cross_encoder_rerank_docs",
+    # r11: exact-substring >= L passage removal (Lee et al. contract)
+    "passage_exact_substring_docs",
 ]
 
 

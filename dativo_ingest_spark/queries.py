@@ -4659,6 +4659,81 @@ def passage_removal_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", n=8, max_gram_df=None, hash_fn="md5")
 
 
+@register(
+    "passage_exact_substring_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM (SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                                       '\s+', ' ', 'g')) AS t
+            FROM documents)),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(words, i, i + 7), ' '))
+               AS gram
+      FROM tok, unnest(range(1, len(words) - 6)) AS r(i)
+      WHERE len(words) >= 8),
+    st AS (
+      SELECT gram, min(doc_id) AS win FROM g GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2),
+    losers AS (
+      SELECT g.doc_id, g.pos
+      FROM g JOIN st USING (gram)
+      WHERE g.doc_id <> st.win),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM losers),
+    spans AS (
+      SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+      FROM runs GROUP BY doc_id, grp
+      HAVING max(pos) - min(pos) + 8 >= 12),
+    cov AS (
+      SELECT DISTINCT doc_id, CAST(w AS BIGINT) AS wpos
+      FROM spans, unnest(range(p0, p1 + 8)) AS t2(w)),
+    tokpos AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS wpos, words[p] AS word
+      FROM tok, unnest(range(1, len(words) + 1)) AS r(p)),
+    base AS (SELECT doc_id, len(words) AS nw FROM tok),
+    kept AS (
+      SELECT t.doc_id, t.wpos, t.word FROM tokpos t
+      ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.wpos = cov.wpos),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY 1)
+    SELECT b.doc_id AS id, coalesce(a.text, '') AS text,
+           CAST(b.nw AS BIGINT) AS n_words,
+           CAST(b.nw - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="exact-substring passage removal with the Lee et al. 2021 "
+        "LENGTH contract (operators/dedup.py:remove_duplicate_passages "
+        "min_span=12): flagged loser gram positions stitch into maximal "
+        "consecutive runs (gaps-and-islands over flagged positions — a "
+        "doc-keyed window, never corpus-keyed), a run of r grams covers "
+        "r-1+n words, and ONLY runs >= min_span words excise — the "
+        "paper's remove-duplicated-substrings-of->=L-tokens rule rather "
+        "than every-duplicated-8-gram. min_span=12 > n=8 genuinely "
+        "bites on this corpus (shorter shared spans survive that the "
+        "min_span=None sibling excises). Oracle replays the identical "
+        "stitching as pos - row_number islands over the same md5 gram "
+        "sets. Hot-gram guard disabled for cross-engine gram parity.",
+)
+def passage_exact_substring_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_passages(
+        docs, "doc_id", "text", n=8, max_gram_df=None, hash_fn="md5",
+        min_span=12)
+
+
 def _token_count_bpe_oracle(merges=None) -> str:
     from dativo_ingest_spark.operators.tokenize import merges_sql_values
 
@@ -11186,6 +11261,10 @@ _GATE_DEMOTED = [
     # retrieval family keeps hybrid_retrieval_docs + bm25_topk_docs
     # in-window meanwhile
     "cross_encoder_rerank_docs",
+    # exact-substring >= L passage removal (the r10 verdict's Next #3
+    # contract made driver-provable); the passage family keeps the
+    # min_span=None sibling passage_removal_docs in-window meanwhile
+    "passage_exact_substring_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

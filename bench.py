@@ -208,6 +208,8 @@ EXTENDED = [
     "cross_encoder_rerank_docs",
     # r11: exact-substring >= L passage removal (Lee et al. contract)
     "passage_exact_substring_docs",
+    # r11: streaming mixture admission (two availableNow epochs)
+    "streaming_mixture_admission_docs",
 ]
 
 

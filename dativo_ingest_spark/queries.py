@@ -5025,6 +5025,77 @@ def streaming_dedup_ingest_docs(spark: SparkSession, sf_dir: str
     return spark.createDataFrame(sorted(rows), "doc_id bigint")
 
 
+#: frozen per-domain admission rates for the streaming-mixture gate
+#: query — ONE literal table emitted into both engines (drift-proof);
+#: sources outside the map prove the unlisted-domain drop (rate 0)
+_MIX_GATE_RATES = {f"src{i}": (i + 1) * 90_000 for i in range(8)}
+
+
+@register(
+    "streaming_mixture_admission_docs",
+    f"""
+    WITH r AS (
+      SELECT * FROM (VALUES {", ".join(
+          f"('{d}', {v})" for d, v in sorted(_MIX_GATE_RATES.items()))})
+        AS r(source, rate))
+    SELECT d.doc_id
+    FROM documents d JOIN r USING (source)
+    WHERE {_hex32_sql("'mix|' || CAST(d.doc_id AS VARCHAR)")} * 1000000
+          < r.rate * 4294967296
+    """,
+    doc="streaming mixture admission, END-TO-END through the real "
+        "writeStream path (streaming/pipeline.py:mixture_admission_gate "
+        "wrapping shard_epoch_writer): two availableNow passes over a "
+        "growing spool ingest two document slices as separate epochs, "
+        "each admitted against FROZEN per-domain rates via the "
+        "deterministic md5 hash predicate u32(md5(salt|id))*1e6 < "
+        "rate(domain)*2^32 — a pure function of (salt, id, rates), so "
+        "the union of streamed epochs equals the batch predicate "
+        "regardless of micro-batch boundaries, restarts or replays "
+        "(exactly-once composes with the epoch writer's overwrite). "
+        "Unlisted domains admit at the default rate 0 (the oracle's "
+        "inner join). The oracle replays the identical predicate with "
+        "the same literal rate table emitted from one module constant.",
+)
+def streaming_mixture_admission_docs(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        mixture_admission_gate, shard_epoch_writer, stream_from_files)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="sg_smx_")
+    try:
+        src = root + "/src"
+        out = root + "/shards"
+        ckpt = root + "/ckpt"
+        b1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        for phase in range(2):
+            gate = mixture_admission_gate(
+                _MIX_GATE_RATES, "source", "doc_id",
+                shard_epoch_writer(out, "doc_id", "n_chars",
+                                   n_shards=2, checkpoint_dir=ckpt),
+                salt="mix")
+            stream = stream_from_files(spark, src, schema)
+            q = (stream.writeStream.foreachBatch(gate)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if phase == 0:
+                b2.coalesce(1).write.mode("append").parquet(src)
+        rows = [(r.id,) for r in
+                spark.read.parquet(out).select("id").collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+
+
 def _dsir_oracle(n_buckets: int = 10_000) -> str:
     lpq_t = (f"CAST(floor(ln((coalesce(tg.ct, 0) + 1.0)"
              f" / (tt.total + {n_buckets}.0)) * 1000000 + 0.5) AS BIGINT)")
@@ -11265,6 +11336,10 @@ _GATE_DEMOTED = [
     # contract made driver-provable); the passage family keeps the
     # min_span=None sibling passage_removal_docs in-window meanwhile
     "passage_exact_substring_docs",
+    # streaming mixture admission through the REAL writeStream path
+    # (the r10 verdict's stretch #7 made driver-provable; the
+    # streaming family keeps streaming_dedup_ingest_docs in-window)
+    "streaming_mixture_admission_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

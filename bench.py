@@ -210,6 +210,8 @@ EXTENDED = [
     "passage_exact_substring_docs",
     # r11: streaming mixture admission (two availableNow epochs)
     "streaming_mixture_admission_docs",
+    # r11: rerank quality meter (recall@5 + top-1 RR vs exact)
+    "rerank_quality_embeddings",
 ]
 
 

@@ -881,6 +881,65 @@ def cross_encoder_rerank(
                     "fused_rank", "ce_score", "rerank"))
 
 
+def ranking_quality_report(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    truth_rank_col: str = "rank",
+    approx_rank_col: str = "rank",
+) -> DataFrame:
+    """Recall@k + reciprocal rank of a candidate ranking against its
+    exact ground truth — the retrieval-side sibling of the ANN
+    recall meter (``quantization.recall_at_k``), extended with the
+    rank-aware number RAG stacks actually monitor: did the TOP truth
+    item survive near the top after fusion/reranking?
+
+    One row per truth query: (query_id, k, n_hits, recall_micro,
+    rr_micro) — ``n_hits`` the top-k set intersection, ``recall_micro
+    = n_hits*1e6 div k``, ``rr_micro = 1e6 div (candidate rank of the
+    truth rank-1 item)``, 0 when the truth top-1 is absent from the
+    candidate list (MRR's per-query term, exact integers — averaging
+    across queries is the caller's one division).
+
+    Scale: both inputs are queries x k rows (the rankings' cut lists);
+    every join and aggregate here is ranking-sized, never
+    corpus-sized. Ties/exactness: pure set intersection + integer
+    floor divisions — nothing to drift between engines.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    t = (truth.filter(F.col(truth_rank_col) <= k)
+         .select(F.col(query_col).alias("query_id"),
+                 F.col(id_col).alias("neighbor_id"),
+                 F.col(truth_rank_col).alias("_tr")))
+    a = (approx.filter(F.col(approx_rank_col) <= k)
+         .select(F.col(query_col).alias("query_id"),
+                 F.col(id_col).alias("neighbor_id"),
+                 F.col(approx_rank_col).alias("_ar")))
+    hits = (t.join(a.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    top1 = t.filter(F.col("_tr") == 1).select("query_id", "neighbor_id")
+    rr = (top1.join(a, ["query_id", "neighbor_id"], "left")
+          .groupBy("query_id")
+          .agg(F.max(F.expr("coalesce(1000000 DIV _ar, 0)"))
+               .alias("rr_micro")))
+    base = t.select("query_id").distinct()
+    return (base.join(hits, "query_id", "left")
+            .join(rr, "query_id", "left")
+            .select("query_id",
+                    F.lit(int(k)).cast("long").alias("k"),
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.expr(f"(coalesce(n_hits, 0) * 1000000) "
+                           f"DIV {int(k)}")
+                    .cast("long").alias("recall_micro"),
+                    F.coalesce("rr_micro", F.lit(0)).cast("long")
+                    .alias("rr_micro")))
+
+
 def prototypicality(
     df: DataFrame,
     id_col: str,

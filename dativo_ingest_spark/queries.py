@@ -10524,14 +10524,16 @@ def _merges_v1_oracle() -> str:
     return _token_count_bpe_oracle(load_merges_v1())
 
 
-def _cross_encoder_oracle() -> str:
+def _cross_encoder_ctes() -> str:
+    """CTE chain: the shared fused top-10 rescored under the vendored
+    bilinear head, cut to ``reranked`` (rerank <= 5) — composed by the
+    reranker oracle and the rank-quality oracle."""
     from dativo_ingest_spark.operators.similarity import (
         cross_encoder_sql_values, load_cross_encoder_v1)
 
     model = load_cross_encoder_v1()
     dim = int(model["dim"])
-    return f"""
-    WITH {_RRF_FUSED_CTES},
+    return f"""{_RRF_FUSED_CTES},
     qcomp AS (
       SELECT vec_id AS query_id, i,
              CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000
@@ -10551,12 +10553,21 @@ def _cross_encoder_oracle() -> str:
       JOIN qcomp qc ON qc.query_id = p.query_id
       JOIN {cross_encoder_sql_values(model)} ON w.i = qc.i
       JOIN dcomp dc ON dc.neighbor_id = p.neighbor_id AND dc.i = w.j
-      GROUP BY 1, 2, 3, 4)
+      GROUP BY 1, 2, 3, 4),
+    reranked AS (
+      SELECT query_id, neighbor_id, rrf_micro, fused_rank, ce_score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY ce_score DESC, neighbor_id) AS BIGINT)
+               AS rerank
+      FROM score QUALIFY rerank <= 5)"""
+
+
+def _cross_encoder_oracle() -> str:
+    return f"""
+    WITH {_cross_encoder_ctes()}
     SELECT query_id, neighbor_id, rrf_micro, fused_rank, ce_score,
-           CAST(row_number() OVER (PARTITION BY query_id
-                 ORDER BY ce_score DESC, neighbor_id) AS BIGINT)
-             AS rerank
-    FROM score QUALIFY rerank <= 5
+           rerank
+    FROM reranked
     """
 
 
@@ -10594,6 +10605,64 @@ def cross_encoder_rerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("neighbor_id"),
                    F.col("embedding").alias("dvec")),
         k=5)
+
+
+@register(
+    "rerank_quality_embeddings",
+    f"""
+    WITH {_cross_encoder_ctes()},
+    truth AS (
+      SELECT query_id, neighbor_id, r FROM exact_rank WHERE r <= 5),
+    hits AS (
+      SELECT t.query_id, count(*) AS n_hits
+      FROM truth t JOIN reranked a USING (query_id, neighbor_id)
+      GROUP BY 1),
+    t1 AS (SELECT query_id, neighbor_id FROM truth WHERE r = 1),
+    rr AS (
+      SELECT t1.query_id,
+             coalesce(max(1000000 // a.rerank), 0) AS rr_micro
+      FROM t1 LEFT JOIN reranked a USING (query_id, neighbor_id)
+      GROUP BY 1)
+    SELECT b.query_id, CAST(5 AS BIGINT) AS k,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) * 1000000 // 5 AS BIGINT)
+             AS recall_micro,
+           CAST(coalesce(rr.rr_micro, 0) AS BIGINT) AS rr_micro
+    FROM (SELECT DISTINCT query_id FROM truth) b
+    LEFT JOIN hits h USING (query_id)
+    LEFT JOIN rr USING (query_id)
+    """,
+    doc="rerank quality meter (operators/similarity.py:"
+        "ranking_quality_report) — the retrieval sibling of the r10 "
+        "ANN recall meter: recall@5 and the reciprocal rank of the "
+        "exact-cosine top-1 item, measured for the cross-encoder "
+        "output against the exact ranking. This is the number that "
+        "says whether the learned head HELPS — a reranker that tanks "
+        "recall@k against the exact list is misconfigured no matter "
+        "how plausible its scores. Exact integers end-to-end (set "
+        "intersection + floor divisions); every frame is queries x k "
+        "rows, corpus-size-independent. Oracle composes the shared "
+        "fused + reranked CTEs with a truth cut of the same exact "
+        "ranking both engines already replay.",
+)
+def rerank_quality_embeddings(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, q, "vec_id", "embedding",
+                                        k=30)
+    quant = similarity.quantized_topk(emb, q, "vec_id", "embedding",
+                                      k=30)
+    fused = similarity.rrf_fuse([exact, quant], k0=60, k=10)
+    reranked = similarity.cross_encoder_rerank(
+        fused,
+        q.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec")),
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("dvec")),
+        k=5)
+    return similarity.ranking_quality_report(
+        exact, reranked, k=5, approx_rank_col="rerank")
 
 
 @register(
@@ -11340,6 +11409,10 @@ _GATE_DEMOTED = [
     # (the r10 verdict's stretch #7 made driver-provable; the
     # streaming family keeps streaming_dedup_ingest_docs in-window)
     "streaming_mixture_admission_docs",
+    # rerank quality meter (recall@5 + top-1 reciprocal rank vs the
+    # exact ranking — the retrieval sibling of the in-window
+    # ann_recall_ivfpq_embeddings meter)
+    "rerank_quality_embeddings",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

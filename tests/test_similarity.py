@@ -557,6 +557,52 @@ class TestCrossEncoderRerank:
         assert "BroadcastHashJoin" in plan    # candidates INTO the scan
 
 
+class TestRankingQualityReport:
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, neighbor_id long, rank long")
+
+    def test_hand_computed_recall_and_rr(self, spark):
+        truth = self._rank(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        # candidate finds 10 (at rank 2) and 12, misses 11
+        approx = self._rank(spark, [(1, 99, 1), (1, 10, 2), (1, 12, 3)])
+        r = similarity.ranking_quality_report(truth, approx, k=3) \
+            .collect()[0]
+        assert (r.k, r.n_hits) == (3, 2)
+        assert r.recall_micro == 2 * 1_000_000 // 3
+        assert r.rr_micro == 1_000_000 // 2      # truth top-1 at rank 2
+
+    def test_truth_top1_missing_gives_zero_rr(self, spark):
+        truth = self._rank(spark, [(1, 10, 1), (1, 11, 2)])
+        approx = self._rank(spark, [(1, 11, 1), (1, 50, 2)])
+        r = similarity.ranking_quality_report(truth, approx, k=2) \
+            .collect()[0]
+        assert r.n_hits == 1 and r.rr_micro == 0
+
+    def test_query_missed_entirely_still_reports(self, spark):
+        truth = self._rank(spark, [(1, 10, 1), (2, 20, 1)])
+        approx = self._rank(spark, [(1, 10, 1)])   # query 2 absent
+        got = {r.query_id: (r.n_hits, r.recall_micro, r.rr_micro)
+               for r in similarity.ranking_quality_report(
+                   truth, approx, k=1).collect()}
+        assert got[1] == (1, 1_000_000, 1_000_000)
+        assert got[2] == (0, 0, 0)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            similarity.ranking_quality_report(truth, approx, k=0)
+
+    def test_rank_cut_applies_to_both_sides(self, spark):
+        # rows beyond k in EITHER list must not count
+        truth = self._rank(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+        approx = self._rank(spark, [(1, 12, 1), (1, 11, 2), (1, 10, 3)])
+        r = similarity.ranking_quality_report(truth, approx, k=2) \
+            .collect()[0]
+        # truth top-2 {10,11}; approx top-2 {12,11} -> 1 hit; truth
+        # top-1 (10) sits at approx rank 3, beyond k -> rr 0
+        assert r.n_hits == 1 and r.rr_micro == 0
+
+
 class TestPrototypicality:
     def _frame(self, spark):
         rows = [

@@ -595,11 +595,27 @@ def host_cap_sample_bucketed(
 
     # level 1: per-(group, bucket) counts + the group's cap — bounded
     # collect (groups x <= n_buckets rows), the only driver-side state
-    rows = (staged.groupBy(host_col, "_hc_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .select(F.col(host_col), "_hc_b", "_c",
-                    cap.cast("long").alias("_cap"))
-            .collect())
+    counts = (staged.groupBy(host_col, "_hc_b")
+              .agg(F.count(F.lit(1)).alias("_c"))
+              .select(F.col(host_col), "_hc_b", "_c",
+                      cap.cast("long").alias("_cap"))
+              .persist())
+    try:
+        n_cells = counts.count()    # materializes the cached cells
+        if n_cells > 2_000_000:
+            # the few-groups contract, enforced BEFORE the collect:
+            # millions of groups x buckets is a corpus-shaped frame,
+            # not a control plane — that regime belongs to
+            # host_cap_sample (many small per-host partitions)
+            raise ValueError(
+                f"host_cap_sample_bucketed: {n_cells} (group, bucket) "
+                "cells exceed the driver-collect budget (2e6) — this "
+                "function is for FEW groups (mixtures, languages); "
+                "use host_cap_sample for many-host corpora or lower "
+                "n_buckets")
+        rows = counts.collect()
+    finally:
+        counts.unpersist()
     by_host: dict = {}
     for r in rows:
         by_host.setdefault(r[host_col], []).append(

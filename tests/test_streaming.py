@@ -1129,6 +1129,23 @@ class TestMixtureAdmissionGate:
             pl.mixture_admission_gate({}, "dom", "id", lambda b, e: None,
                                       default_rate_micro=-1)
 
+    def test_admission_is_scan_stage(self, spark):
+        # the gate's scale contract: a pure filter — no Exchange, no
+        # window, no Python anywhere in the admitted-batch plan
+        from dativo_ingest_spark.streaming import pipeline as pl
+
+        df = spark.createDataFrame(
+            [(i, f"d{i % 3}", 1) for i in range(50)],
+            "doc_id long, dom string, n_tokens long")
+        gate = pl.mixture_admission_gate(
+            {"d0": 500_000, "d1": 250_000}, "dom", "doc_id",
+            lambda b, e: None)
+        plan = gate.admit(df)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan, plan[:600]
+        assert "windowspecdefinition" not in plan
+        assert "Python" not in plan
+
     def test_null_domain_rides_default_rate(self, spark):
         # a None rates key (NULL domain folded driver-side) must not
         # become a NULL map key (Spark rejects those); NULL-domain rows

@@ -212,6 +212,8 @@ EXTENDED = [
     "streaming_mixture_admission_docs",
     # r11: rerank quality meter (recall@5 + top-1 RR vs exact)
     "rerank_quality_embeddings",
+    # r11: exact bucketed per-group cap (mixture-admission topology)
+    "host_cap_bucketed_docs",
 ]
 
 

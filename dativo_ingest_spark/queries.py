@@ -6894,6 +6894,45 @@ def host_cap_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "host_cap_bucketed_docs",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('hostcap|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+      FROM documents)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE rk <= 7
+    """,
+    doc="per-group cap via exact distributed SELECTION (operators/"
+        "sampling.py:host_cap_sample_bucketed — the r10 verdict's "
+        "mixture-admission topology fix): rows bucket by the admission "
+        "hash's first 8 hex chars (md5 string order == numeric order), "
+        "one (group, bucket) count pass folds to a bounded driver "
+        "frame, whole buckets admit via a NULL-safe broadcast "
+        "semi-join, and only each group's single CUT bucket ranks "
+        "under a (group, bucket) window — no group-only window "
+        "anywhere, so 10-domain mixtures never sort a whole domain in "
+        "one task. The oracle is host_cap_sample_docs' oracle "
+        "VERBATIM: the admitted set is byte-identical to the "
+        "single-window form by construction (property-tested), which "
+        "is the whole point — a drop-in swap, proven by the driver "
+        "against the same SQL.",
+)
+def host_cap_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators.sampling import (
+        host_cap_sample_bucketed)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars")
+    return host_cap_sample_bucketed(
+        docs, "source", "doc_id", cap=7, n_buckets=64).select(
+        "source", "doc_id", F.col("n_chars").cast("bigint"))
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -11413,6 +11452,11 @@ _GATE_DEMOTED = [
     # exact ranking — the retrieval sibling of the in-window
     # ann_recall_ivfpq_embeddings meter)
     "rerank_quality_embeddings",
+    # the mixture-admission topology fix itself: exact bucketed
+    # selection, driver-provable against the single-window oracle
+    # VERBATIM (set-identical by construction; host_cap_sample_docs
+    # keeps the window form in-window meanwhile)
+    "host_cap_bucketed_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

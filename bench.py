@@ -214,6 +214,8 @@ EXTENDED = [
     "rerank_quality_embeddings",
     # r11: exact bucketed per-group cap (mixture-admission topology)
     "host_cap_bucketed_docs",
+    # r11: distributed plugin reader through the mapInPandas seam
+    "plugin_partitioned_read",
 ]
 
 

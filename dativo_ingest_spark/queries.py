@@ -6933,6 +6933,65 @@ def host_cap_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "plugin_partitioned_read",
+    """
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST((range * range) % 97 AS BIGINT) AS val
+    FROM range(0, 400)
+    """,
+    doc="custom Python reader plugin, distributed "
+        "(plugins.py:partitioned_read — the scale path for a reader "
+        "with no native DataSource: a task list parallelizes across "
+        "executors, each task instantiates the plugin class inside "
+        "mapInPandas and yields its record batches). The plugin module "
+        "is written to disk and loaded by SPEC ('file.py:ClassName', "
+        "the reference's dynamic-loading contract) inside each "
+        "executor; four shard tasks generate a deterministic integer "
+        "sequence (id, id^2 mod 97), so the oracle replays the same "
+        "rows from a pure range scan — proving the SDK plumbing "
+        "(loader, task fan-out, batch schema, mapInPandas seam) "
+        "end-to-end with no external system. The terminal collect "
+        "rebuilds a stable frame because the plugin file lives in a "
+        "temp dir the query removes (the streaming-query convention).",
+)
+def plugin_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import textwrap
+
+    from pyspark.sql import types as T
+
+    from dativo_ingest_spark.plugins import partitioned_read
+
+    root = tempfile.mkdtemp(prefix="sg_plug_")
+    try:
+        path = f"{root}/range_reader.py"
+        with open(path, "w") as fh:
+            fh.write(textwrap.dedent('''
+                from dativo_ingest_spark.plugins import BaseReader
+
+                class RangeReader(BaseReader):
+                    def extract(self, state=None):
+                        s = int(self.source_config["shard"])
+                        n = int(self.source_config.get("n", 100))
+                        lo = s * n
+                        yield [{"id": lo + i, "val": ((lo + i) ** 2) % 97}
+                               for i in range(n)]
+            '''))
+        schema = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.LongType())])
+        df = partitioned_read(
+            spark, path, "RangeReader",
+            tasks=[{"shard": s} for s in range(4)],
+            schema=schema, source_config={"n": 100})
+        rows = sorted((r.id, r.val) for r in df.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "id bigint, val bigint")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -11457,6 +11516,10 @@ _GATE_DEMOTED = [
     # VERBATIM (set-identical by construction; host_cap_sample_docs
     # keeps the window form in-window meanwhile)
     "host_cap_bucketed_docs",
+    # the plugin SDK's distributed reader leg (spec-loaded class,
+    # task fan-out, mapInPandas seam) — previously driver-untested;
+    # deterministic synthetic sequence, oracle = a pure range scan
+    "plugin_partitioned_read",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

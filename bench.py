@@ -216,6 +216,8 @@ EXTENDED = [
     "host_cap_bucketed_docs",
     # r11: distributed plugin reader through the mapInPandas seam
     "plugin_partitioned_read",
+    # r11: live JDBC incremental read over embedded Derby
+    "jdbc_cursor_read_nation",
 ]
 
 

@@ -218,6 +218,8 @@ EXTENDED = [
     "plugin_partitioned_read",
     # r11: live JDBC incremental read over embedded Derby
     "jdbc_cursor_read_nation",
+    # r11: live Airbyte-protocol subprocess bridge
+    "airbyte_engine_read",
 ]
 
 

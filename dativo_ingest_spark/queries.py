@@ -6933,6 +6933,69 @@ def host_cap_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "airbyte_engine_read",
+    """
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * 10 AS BIGINT) AS amount,
+           CAST(1000 + range AS BIGINT) AS cursor
+    FROM range(0, 200)
+    """,
+    doc="Airbyte-protocol engine read, LIVE through a real subprocess "
+        "(sources/engines.py:run_protocol — the reference's "
+        "docker-run connector bridge with the argv injected): a "
+        "stand-in connector emits 200 RECORD messages interleaved "
+        "with STATE checkpoints, LOG messages and a non-JSON line on "
+        "stdout; the bridge streams stdout into per-stream JSONL "
+        "spools (bounded memory — records never accumulate "
+        "driver-side), Spark reads the spool distributed "
+        "(spark.read.json), and STATE messages fire the checkpoint "
+        "callback only after preceding records flushed. The oracle "
+        "replays the connector's deterministic record formula from a "
+        "pure range scan — proving the protocol parse, spool, "
+        "re-batch and noise-filtering end-to-end with no Docker. The "
+        "terminal collect rebuilds a stable frame because the spool "
+        "lives in a temp dir the query removes.",
+)
+def airbyte_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import sys as _sys
+    import tempfile
+
+    from dativo_ingest_spark.sources import engines
+
+    script = r"""
+import json, sys
+cfg = json.loads(sys.stdin.read())
+n = int(cfg.get("n", 200))
+sys.stdout.write("not json at all\n")
+print(json.dumps({"type": "LOG",
+                  "log": {"level": "INFO", "message": "starting"}}))
+for i in range(n):
+    print(json.dumps({"type": "RECORD", "record": {
+        "stream": "charges",
+        "data": {"id": i, "amount": i * 10, "cursor": 1000 + i}}}))
+    if i % 50 == 49:
+        print(json.dumps({"type": "STATE", "state": {
+            "data": {"charges": {"cursor": 1000 + i}}}}))
+"""
+    root = tempfile.mkdtemp(prefix="sg_abp_")
+    try:
+        states: list = []
+        res = engines.run_protocol(
+            [_sys.executable, "-c", script], {"n": 200},
+            f"{root}/spool", batch_size=32,
+            state_callback=states.append)
+        df = res.read(spark, "charges")
+        rows = sorted((int(r.id), int(r.amount), int(r.cursor))
+                      for r in df.collect())
+        assert states and states[-1] == {"charges": {"cursor": 1199}}
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id bigint, amount bigint, cursor bigint")
+
+
+@register(
     "jdbc_cursor_read_nation",
     """
     SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
@@ -11578,6 +11641,10 @@ _GATE_DEMOTED = [
     # 4-partition ranged fan-out over embedded Derby) — previously
     # driver-untested; oracle = the same predicate over parquet
     "jdbc_cursor_read_nation",
+    # the Airbyte-protocol engine bridge, live through a real
+    # subprocess (spool, re-batch, STATE ordering, noise filter) —
+    # previously driver-untested; oracle = the connector's formula
+    "airbyte_engine_read",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -220,6 +220,8 @@ EXTENDED = [
     "jdbc_cursor_read_nation",
     # r11: live Airbyte-protocol subprocess bridge
     "airbyte_engine_read",
+    # r11: Drive CSV extraction through the injectable client seam
+    "gdrive_csv_extract",
 ]
 
 

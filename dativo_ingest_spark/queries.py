@@ -6933,6 +6933,77 @@ def host_cap_bucketed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gdrive_csv_extract",
+    """
+    SELECT * FROM (VALUES
+      ('1', 'x', NULL), ('2', 'y', NULL),
+      ('3', NULL, 'p'), ('4', NULL, 'q'))
+      AS t(id, a, b)
+    """,
+    doc="Google Drive CSV extraction, LIVE through the injectable "
+        "client seam (sources/gdrive.py:extract_drive_csv — the "
+        "reference's gdrive_csv_extractor semantics): a fake "
+        "DriveClient serves a PAGED listing (two pages via "
+        "nextPageToken), one file is mtime-SKIPPED against the seen "
+        "state (incremental re-extraction), the changed files download "
+        "into a spool, and the spool reads through the contract CSV "
+        "reader — whose header-drift union is exercised for real (the "
+        "two files carry different columns; the result unions to "
+        "(id, a, b) with NULL padding, all-string schema). The oracle "
+        "is the expected post-union relation as VALUES. Proves "
+        "listing pagination, mtime skip, spool handoff and drift "
+        "union end-to-end with no Google API. Terminal collect "
+        "rebuilds a stable frame because the spool is a temp dir.",
+)
+def gdrive_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sources import gdrive
+
+    class _FakeDrive:
+        _files = [
+            {"id": "f1", "name": "a.csv",
+             "modifiedTime": "2024-02-01T00:00:00Z"},
+            {"id": "f2", "name": "b.csv",
+             "modifiedTime": "2024-02-02T00:00:00Z"},
+            {"id": "f3", "name": "old.csv",
+             "modifiedTime": "2024-01-01T00:00:00Z"},
+        ]
+        _blobs = {
+            "f1": b"id,a\n1,x\n2,y\n",
+            "f2": b"id,b\n3,p\n4,q\n",
+            "f3": b"id,a\n9,z\n",
+        }
+
+        def list_files(self, query, page_token, page_size):
+            if page_token is None:
+                return {"files": self._files[:1], "nextPageToken": "p2"}
+            return {"files": self._files[1:], "nextPageToken": None}
+
+        def download(self, file_id):
+            return self._blobs[file_id]
+
+        def get_modified_time(self, file_id):
+            for f in self._files:
+                if f["id"] == file_id:
+                    return f["modifiedTime"]
+            return None
+
+    root = tempfile.mkdtemp(prefix="sg_gdr_")
+    try:
+        res = gdrive.extract_drive_csv(
+            spark, _FakeDrive(), f"{root}/spool",
+            seen={"f3": "2024-01-01T00:00:00Z"})   # unchanged -> skip
+        assert res.skipped == ["f3"]
+        assert set(res.processed) == {"f1", "f2"}
+        rows = sorted((r.id, r["a"], r["b"]) for r in res.df.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "id string, a string, b string")
+
+
+@register(
     "airbyte_engine_read",
     """
     SELECT CAST(range AS BIGINT) AS id,
@@ -11645,6 +11716,10 @@ _GATE_DEMOTED = [
     # subprocess (spool, re-batch, STATE ordering, noise filter) —
     # previously driver-untested; oracle = the connector's formula
     "airbyte_engine_read",
+    # the Drive CSV extraction leg (paged listing, mtime skip, spool,
+    # header-drift union) through the injectable client seam —
+    # previously driver-untested; oracle = the post-union VALUES
+    "gdrive_csv_extract",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -222,6 +222,8 @@ EXTENDED = [
     "airbyte_engine_read",
     # r11: Drive CSV extraction through the injectable client seam
     "gdrive_csv_extract",
+    # r11: Sheets A1-range extraction (ragged pad, mtime skip)
+    "gsheets_extract",
 ]
 
 

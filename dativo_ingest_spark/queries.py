@@ -7004,6 +7004,59 @@ def gdrive_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gsheets_extract",
+    """
+    SELECT * FROM (VALUES
+      ('1', 'x', 'p'), ('2', 'y', NULL), ('3', NULL, NULL))
+      AS t(id, a, b)
+    """,
+    doc="Google Sheets extraction, LIVE through the injectable client "
+        "seams (sources/gdrive.py:extract_sheets — the reference's "
+        "google_sheets_extractor semantics): a fake SheetsClient "
+        "serves an A1-range read whose rows are RAGGED (short rows pad "
+        "with NULL to the header width — the ragged-pad rule), a fake "
+        "DriveClient serves spreadsheet modifiedTime (Sheets mtime "
+        "rides the Drive API), and a second spreadsheet is "
+        "mtime-SKIPPED against seen state. All-string columns from "
+        "the header row; the oracle is the padded relation as VALUES. "
+        "Proves A1-range addressing (sheet!range), ragged padding, "
+        "the Drive-mtime skip, and the all-string contract with no "
+        "Google API.",
+)
+def gsheets_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.sources import gdrive
+
+    class _FakeSheets:
+        def read_range(self, spreadsheet_id, range_name):
+            assert spreadsheet_id == "ss1"
+            assert range_name == "Data!A1:C10"
+            return [["id", "a", "b"],
+                    ["1", "x", "p"],
+                    ["2", "y"],          # ragged: pads b with NULL
+                    ["3"]]               # ragged: pads a and b
+
+    class _FakeDrive:
+        def list_files(self, query, page_token, page_size):
+            return {"files": [], "nextPageToken": None}
+
+        def download(self, file_id):
+            raise AssertionError("sheets path must not download")
+
+        def get_modified_time(self, file_id):
+            return {"ss1": "2024-02-01T00:00:00Z",
+                    "ss2": "2024-01-01T00:00:00Z"}.get(file_id)
+
+    res = gdrive.extract_sheets(
+        spark, _FakeSheets(), _FakeDrive(),
+        [{"id": "ss1", "range": "A1:C10", "sheet": "Data"},
+         {"id": "ss2", "range": "A1:B5"}],
+        seen={"ss2": "2024-01-01T00:00:00Z"})    # unchanged -> skip
+    assert res.skipped == ["ss2"]
+    assert set(res.frames) == {"ss1"}
+    return res.frames["ss1"].select("id", "a", "b")
+
+
+@register(
     "airbyte_engine_read",
     """
     SELECT CAST(range AS BIGINT) AS id,
@@ -11720,6 +11773,9 @@ _GATE_DEMOTED = [
     # header-drift union) through the injectable client seam —
     # previously driver-untested; oracle = the post-union VALUES
     "gdrive_csv_extract",
+    # the Sheets extraction leg (A1 sheet!range, ragged pad,
+    # Drive-mtime skip) — previously driver-untested
+    "gsheets_extract",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -224,6 +224,8 @@ EXTENDED = [
     "gdrive_csv_extract",
     # r11: Sheets A1-range extraction (ragged pad, mtime skip)
     "gsheets_extract",
+    # r11: JSONL contract source (key union, nested degradation)
+    "jsonl_contract_read",
 ]
 
 

@@ -7004,6 +7004,53 @@ def gdrive_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_contract_read",
+    """
+    SELECT * FROM (VALUES
+      ('1', 'x', NULL, '{"k":"1"}'),
+      ('2', NULL, 'q', NULL),
+      ('3', 'NA', NULL, NULL))
+      AS t(id, a, b, nested)
+    """,
+    doc="JSONL contract source (sources/jsonl_source.py:read_jsonl — "
+        "the beyond-reference sibling of the CSV contract reader): two "
+        "spooled JSONL files with DIFFERENT key sets read as "
+        "all-string columns (primitivesAsString — which stringifies "
+        "nested primitives too, so the degraded JSON text carries "
+        "quoted values), keys absent from a file surface as NULL "
+        "(spark.read.json unions keys — the warn-mode column union "
+        "for free), and a nested object degrades to its JSON text "
+        "(the string-degradation rule). "
+        "The oracle is the expected post-union relation as VALUES — "
+        "note the literal 'NA' passes through RAW here (sentinel "
+        "nulling belongs to the contract-cast stage, proven by the "
+        "coercion family). Terminal collect rebuilds a stable frame "
+        "because the spool is a temp dir.",
+)
+def jsonl_contract_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sources import jsonl_source
+
+    root = tempfile.mkdtemp(prefix="sg_jsl_")
+    try:
+        with open(f"{root}/a.jsonl", "w") as fh:
+            fh.write('{"id": 1, "a": "x", "nested": {"k": 1}}\n')
+            fh.write('{"id": 2, "b": "q"}\n')
+        with open(f"{root}/b.jsonl", "w") as fh:
+            fh.write('{"id": 3, "a": "NA"}\n')
+        df = jsonl_source.read_jsonl(
+            spark, [f"{root}/a.jsonl", f"{root}/b.jsonl"])
+        rows = sorted((r.id, r["a"], r["b"], r.nested)
+                      for r in df.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id string, a string, b string, nested string")
+
+
+@register(
     "gsheets_extract",
     """
     SELECT * FROM (VALUES
@@ -11776,6 +11823,10 @@ _GATE_DEMOTED = [
     # the Sheets extraction leg (A1 sheet!range, ragged pad,
     # Drive-mtime skip) — previously driver-untested
     "gsheets_extract",
+    # the JSONL contract source (all-string read, cross-file key
+    # union, nested-to-JSON-text degradation) — previously
+    # driver-untested
+    "jsonl_contract_read",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -7280,6 +7280,462 @@ def plugin_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stripe_engine_read",
+    """
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * 7 AS BIGINT) AS amount,
+           CAST(1700000000 + range AS BIGINT) AS created
+    FROM range(0, 120)
+    """,
+    doc="Stripe source, LIVE through the registry-pinned wrapper "
+        "(sources/engines.py:StripeSource — the reference's "
+        "stripe_extractor.py:10-59 semantics over the Airbyte engine): "
+        "build_engine_config assembles the connector config exactly as "
+        "the reference does — api_key resolved from the INJECTED env "
+        "map (never the process environment), recipe start_date "
+        "default, streams_default overridden by the job-level objects "
+        "list ('charges' only — 'customers' must NOT survive), "
+        "cursor_field 'created' (the registry's pinned strategy), and "
+        "connection options merged last. The stand-in connector "
+        "process ASSERTS every one of those config fields on stdin "
+        "before emitting a record (a wrong config kills the subprocess "
+        "→ non-zero exit → EngineProtocolError → red row), then emits "
+        "120 Stripe-shaped charges + a final STATE. extract_metadata's "
+        "payments-category tags are asserted driver-side. Oracle "
+        "replays the connector's formula from a pure range scan.",
+)
+def stripe_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import sys as _sys
+    import tempfile
+    import textwrap
+
+    from dativo_ingest_spark.sources import engines
+
+    script = textwrap.dedent(r"""
+        import json, sys
+        cfg = json.loads(sys.stdin.read())
+        assert cfg["api_key"] == "sk_test_abc", cfg
+        assert cfg["start_date"] == "2020-01-01", cfg
+        assert cfg["streams"] == ["charges"], cfg
+        assert cfg["cursor_field"] == "created", cfg
+        n = int(cfg["n"])
+        for i in range(n):
+            print(json.dumps({"type": "RECORD", "record": {
+                "stream": "charges",
+                "data": {"id": i, "amount": i * 7,
+                         "created": 1700000000 + i}}}))
+        print(json.dumps({"type": "STATE", "state": {
+            "data": {"charges": {"created": 1700000000 + n - 1}}}}))
+    """)
+    src = engines.StripeSource(
+        argv=[_sys.executable, "-c", script],
+        options={
+            "credentials": {"type": "api_key",
+                            "from_env": "STRIPE_API_KEY"},
+            "start_date_default": "2020-01-01",
+            "streams_default": ["charges", "customers"],
+            "connection": {"n": 120},
+        },
+        objects=["charges"], cursor_field="created", tenant_id="acme",
+        batch_size=32)
+    tags = src.extract_metadata()["tags"]
+    assert tags["connector_type"] == "stripe", tags
+    assert tags["category"] == "payments", tags
+    assert tags["engine_type"] == "airbyte", tags
+    root = tempfile.mkdtemp(prefix="sg_stripe_")
+    try:
+        states: list = []
+        res = src.extract(f"{root}/spool", state_callback=states.append,
+                          env={"STRIPE_API_KEY": "sk_test_abc"})
+        df = res.read(spark, "charges")
+        rows = sorted((int(r.id), int(r.amount), int(r.created))
+                      for r in df.collect())
+        assert states == [{"charges": {"created": 1700000119}}], states
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "id bigint, amount bigint, created bigint")
+
+
+@register(
+    "secrets_resolve_config",
+    """
+    SELECT * FROM (VALUES
+      ('dsn', 'postgresql://db1:5432/app'),
+      ('key', 's3cret'),
+      ('mixed', 'Bearer abc'),
+      ('password', 'pw1'),
+      ('token', 'abc'))
+      AS t(key, value)
+    """,
+    doc="secrets resolution END-TO-END through the real filesystem "
+        "manager (secrets.py:FilesystemSecretManager + "
+        "resolve_placeholders — the reference's secrets/managers/"
+        "filesystem.py + placeholder substitution): a tenant dir holds "
+        "one secret per file with the extension rules (.json → dict, "
+        ".env → KEY=VALUE map, other → raw string), a job-config tree "
+        "resolves ${secret:name} / ${secret:name.key} references — a "
+        "string that is EXACTLY one placeholder keeps the native type, "
+        "embedded placeholders stringify (the int port becomes '5432' "
+        "inside the DSN) — and validate_for_connector passes the "
+        "postgres required-secret gate. Unknown references raising at "
+        "config time is asserted too (the fail-at-startup posture). "
+        "Oracle = the resolved (key, value) relation as VALUES.",
+)
+def secrets_resolve_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.config.contracts import ConfigError
+    from dativo_ingest_spark.secrets import (
+        FilesystemSecretManager, resolve_placeholders,
+        validate_for_connector)
+
+    root = tempfile.mkdtemp(prefix="sg_sec_")
+    try:
+        tdir = _os.path.join(root, "acme")
+        _os.makedirs(tdir)
+        with open(f"{tdir}/postgres.json", "w") as fh:
+            _json.dump({"host": "db1", "port": 5432,
+                        "password": "pw1"}, fh)
+        with open(f"{tdir}/api.env", "w") as fh:
+            fh.write("TOKEN=abc\n")
+        with open(f"{tdir}/plain.key", "w") as fh:
+            fh.write("s3cret\n")
+        secrets = FilesystemSecretManager(root).load("acme")
+        cfg = resolve_placeholders({
+            "dsn": "postgresql://${secret:postgres.host}:"
+                   "${secret:postgres.port}/app",
+            "password": "${secret:postgres.password}",
+            "token": "${secret:api.TOKEN}",
+            "key": "${secret:plain}",
+            "mixed": "Bearer ${secret:api.TOKEN}",
+        }, secrets)
+        assert validate_for_connector(secrets, "postgres",
+                                      {"type": "file"}) is True
+        try:
+            resolve_placeholders({"x": "${secret:nope}"}, secrets)
+            raise AssertionError("unknown secret ref must raise")
+        except ConfigError:
+            pass
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = sorted((k, str(v)) for k, v in cfg.items())
+    return spark.createDataFrame(rows, "key string, value string")
+
+
+@register(
+    "catalog_push_openmetadata",
+    """
+    SELECT * FROM (VALUES
+      (1, 'GET',  'v1/services/databaseService/name/svc'),
+      (2, 'GET',  'v1/tables/name/svc.acme.charges'),
+      (3, 'POST', 'v1/tables'),
+      (4, 'PUT',  'v1/tables'),
+      (5, 'PUT',  'v1/lineage/table/name/svc.acme.charges'))
+      AS t(seq, method, path)
+    """,
+    doc="OpenMetadata catalog push END-TO-END through the real backend "
+        "class (catalog.py:OpenMetadataCatalog — the reference's "
+        "catalog/openmetadata.py REST sequence) with a recorded "
+        "transport: source/target entities derive from a real "
+        "JobConfig (catalog.py:source_entity/target_entity), then "
+        "ensure → push_metadata → push_lineage must emit EXACTLY the "
+        "reference's call sequence — get-or-create service (cached "
+        "after the first call, so it appears ONCE), table GET-miss → "
+        "POST create, createOrUpdate PUT with typed columns + "
+        "properties as classification tag labels, and the lineage "
+        "edge PUT at the target FQN. Payload shapes (NOT_NULL "
+        "constraint from the contract's required flag, tagFQN "
+        "'key:value', fromEntity = the source entity's own fqn) are "
+        "asserted driver-side; the oracle pins the transport log.",
+)
+def catalog_push_openmetadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.catalog import (
+        OpenMetadataCatalog, source_entity, target_entity)
+    from dativo_ingest_spark.config.contracts import (
+        AssetDefinition, Field, JobConfig, SourceConfig, TargetConfig)
+
+    calls: list[tuple[str, str, dict | None]] = []
+
+    def transport(method, url, doc, headers, timeout):
+        calls.append((method, url, doc))
+        assert headers.get("Authorization") == "Bearer tk", headers
+        if method == "GET" and "databaseService" in url:
+            return 200, {"fullyQualifiedName": "svc"}
+        if method == "GET":
+            return 404, {}
+        return 200, {}
+
+    job = JobConfig(
+        tenant_id="acme",
+        source=SourceConfig(type="csv", path="/data/charges.csv"),
+        target=TargetConfig(type="parquet", path="/lake/charges",
+                            table="charges"),
+        asset=AssetDefinition(name="charges", fields=[
+            Field("id", "integer", True), Field("amount", "float")]))
+    cat = OpenMetadataCatalog("http://om", token="tk",
+                              service_name="svc", transport=transport)
+    src_e, tgt_e = source_entity(job), target_entity(job)
+    cat.ensure_entity_exists(tgt_e)
+    cat.push_metadata(
+        tgt_e, {"tenant": "acme"},
+        schema=[{"name": "id", "type": "integer", "required": True},
+                {"name": "amount", "type": "float"}])
+    cat.push_lineage(src_e, tgt_e, job_name="ingest-charges")
+
+    put_tables = next(d for m, u, d in calls
+                      if m == "PUT" and u.endswith("v1/tables"))
+    assert put_tables["columns"][0] == {
+        "name": "id", "dataType": "INT", "constraint": "NOT_NULL"}, put_tables
+    assert put_tables["tags"] == [
+        {"tagFQN": "tenant:acme", "source": "Classification"}], put_tables
+    lineage = calls[-1][2]
+    assert lineage["edges"][0]["fromEntity"] == "acme.csv.charges", lineage
+
+    rows = [(i + 1, m, u.split("://", 1)[1].split("/", 1)[1])
+            for i, (m, u, _) in enumerate(calls)]
+    return spark.createDataFrame(rows, "seq int, method string, path string")
+
+
+@register(
+    "cron_next_fires",
+    """
+    SELECT * FROM (VALUES
+      ('business', 1, '2026-01-02 09:00'),
+      ('business', 2, '2026-01-02 09:20'),
+      ('business', 3, '2026-01-02 09:40'),
+      ('business', 4, '2026-01-02 10:00'),
+      ('business', 5, '2026-01-02 10:20'),
+      ('business', 6, '2026-01-02 10:40'),
+      ('business', 7, '2026-01-05 09:00'),
+      ('business', 8, '2026-01-05 09:20'),
+      ('hourly',   1, '2026-01-02 09:30'),
+      ('hourly',   2, '2026-01-02 10:30'))
+      AS t(schedule, n, fire)
+    """,
+    doc="scheduler fire-time computation through the real cron engine "
+        "(orchestrate.py:Schedule/next_fire — the reference's "
+        "orchestrated.py cron-XOR-interval semantics): a 5-field vixie "
+        "cron ('*/20 9-10 * * 1-5') unrolled for its next 8 fires from "
+        "a pinned Friday-morning instant — step minutes, an hour "
+        "range, and the weekday restriction that must JUMP the "
+        "weekend (fire 7 lands Monday 09:00, not Saturday) — plus an "
+        "interval_seconds=3600 schedule iterated twice (interval "
+        "chains from the previous fire, not wall clock). The "
+        "cron-XOR-interval config rule is asserted (both / neither "
+        "raises). Deterministic because 'after' is a pinned literal — "
+        "no runtime clock anywhere. Oracle = the fire table as VALUES.",
+)
+def cron_next_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from dativo_ingest_spark.config.contracts import ConfigError
+    from dativo_ingest_spark.orchestrate import Schedule, next_fire
+
+    rows: list[tuple[str, int, str]] = []
+    biz = Schedule(name="business", job_config="j.yaml",
+                   cron="*/20 9-10 * * 1-5")
+    t = _dt.datetime(2026, 1, 2, 8, 30)
+    for n in range(1, 9):
+        t = next_fire(biz, t)
+        rows.append(("business", n, t.strftime("%Y-%m-%d %H:%M")))
+    hourly = Schedule(name="hourly", job_config="j.yaml",
+                      interval_seconds=3600)
+    t = _dt.datetime(2026, 1, 2, 8, 30)
+    for n in range(1, 3):
+        t = next_fire(hourly, t)
+        rows.append(("hourly", n, t.strftime("%Y-%m-%d %H:%M")))
+    for bad in ({"job_config": "j", "cron": "* * * * *",
+                 "interval_seconds": 60},
+                {"job_config": "j"}):
+        try:
+            Schedule.from_dict(bad)
+            raise AssertionError("cron XOR interval must be enforced")
+        except ConfigError:
+            pass
+    return spark.createDataFrame(
+        rows, "schedule string, n int, fire string")
+
+
+@register(
+    "registry_mode_gate_matrix",
+    """
+    SELECT * FROM (VALUES
+      ('csv',           'cloud',       TRUE,  'files'),
+      ('csv',           'self_hosted', TRUE,  'files'),
+      ('derby',         'cloud',       FALSE, 'database'),
+      ('derby',         'self_hosted', TRUE,  'database'),
+      ('google_sheets', 'cloud',       TRUE,  'files'),
+      ('google_sheets', 'self_hosted', TRUE,  'files'),
+      ('mysql',         'cloud',       FALSE, 'database'),
+      ('mysql',         'self_hosted', TRUE,  'database'),
+      ('postgres',      'cloud',       FALSE, 'database'),
+      ('postgres',      'self_hosted', TRUE,  'database'),
+      ('stripe',        'cloud',       TRUE,  'payments'),
+      ('stripe',        'self_hosted', TRUE,  'payments'))
+      AS t(connector, mode, allowed, category)
+    """,
+    doc="the mode/role/registry gate as a decision matrix "
+        "(config/registry.py:connector_spec/validate_mode — the "
+        "reference's validator.py:88-158 cloud-mode restriction): "
+        "every database-family connector must REFUSE cloud mode (SaaS "
+        "must not reach into customer networks) while file/API "
+        "connectors pass both modes; the role check (iceberg is "
+        "target-only → source role raises) and the unknown-connector "
+        "error are asserted alongside. The matrix is computed by "
+        "actually CALLING the gate per (connector, mode) cell and "
+        "catching ConfigError — not by reading the registry's flag — "
+        "so a gate regression flips a cell. Oracle = the expected "
+        "matrix as VALUES.",
+)
+def registry_mode_gate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.config.contracts import ConfigError
+    from dativo_ingest_spark.config.registry import (
+        connector_spec, validate_mode)
+
+    rows = []
+    for name in ("csv", "derby", "google_sheets", "mysql", "postgres",
+                 "stripe"):
+        spec = connector_spec(name, "source")
+        for mode in ("cloud", "self_hosted"):
+            try:
+                validate_mode(spec, mode)
+                allowed = True
+            except ConfigError:
+                allowed = False
+            rows.append((name, mode, allowed, spec.category))
+    for bad_call in (lambda: connector_spec("iceberg", "source"),
+                     lambda: connector_spec("not_a_connector"),
+                     lambda: validate_mode(connector_spec("csv"), "edge")):
+        try:
+            bad_call()
+            raise AssertionError("gate must raise")
+        except ConfigError:
+            pass
+    return spark.createDataFrame(
+        rows, "connector string, mode string, allowed boolean, "
+              "category string")
+
+
+@register(
+    "mtime_skip_files",
+    """
+    SELECT * FROM (VALUES
+      ('a.csv', FALSE), ('b.csv', TRUE), ('c.csv', TRUE))
+      AS t(file, selected)
+    """,
+    doc="file-mtime incremental skip through the REAL listing path "
+        "(sources/csv_source.py:list_csv_files/changed_files + "
+        "operators/incremental.py:file_mtime_filter — the reference's "
+        "validator.py:309-349 semantics): three planted CSV files get "
+        "explicit mtimes via os.utime; the seen-state map knows a.csv "
+        "at its current mtime (→ SKIPPED), b.csv at an OLDER mtime "
+        "(→ selected: changed), and has never seen c.csv (→ selected: "
+        "new). The lookback override (lookback_days > 0 disables the "
+        "skip entirely — all three selected) and the no-state cold "
+        "start are asserted alongside. Driver-side listing diff only — "
+        "the Spark read then opens just the changed files. Oracle = "
+        "the expected selection as VALUES.",
+)
+def mtime_skip_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sources.csv_source import changed_files
+
+    root = tempfile.mkdtemp(prefix="sg_mtime_")
+    try:
+        for name, mtime in (("a.csv", 1000.0), ("b.csv", 2000.0),
+                            ("c.csv", 3000.0)):
+            path = _os.path.join(root, name)
+            with open(path, "w") as fh:
+                fh.write("id\n1\n")
+            _os.utime(path, (mtime, mtime))
+        pattern = f"{root}/*.csv"
+        seen = {f"{root}/a.csv": 1000.0, f"{root}/b.csv": 1500.0}
+        changed = set(changed_files(pattern, seen))
+        all_files = [f"{root}/{n}" for n in ("a.csv", "b.csv", "c.csv")]
+        assert set(changed_files(pattern, seen, lookback_days=7)) == \
+            set(all_files), "lookback must disable the skip"
+        assert set(changed_files(pattern, None)) == set(all_files), \
+            "cold start must select everything"
+        rows = [(_os.path.basename(p), p in changed) for p in all_files]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "file string, selected boolean")
+
+
+@register(
+    "retry_backoff_plan",
+    """
+    SELECT * FROM (VALUES
+      ('attempts_made',            '3'),
+      ('delay_attempt_0',          '0.5'),
+      ('delay_attempt_1',          '1.0'),
+      ('delay_attempt_2',          '2.0'),
+      ('delay_attempt_3',          '4.0'),
+      ('delay_attempt_4',          '5.0'),
+      ('retry_exit0_clean',        'False'),
+      ('retry_exit1_nomatch',      'False'),
+      ('retry_exit1_timeout',      'True'),
+      ('retry_exit2_unlisted',     'False'),
+      ('retry_exhausted_attempt4', 'False'),
+      ('sleeps_observed',          '0.5,1.0'))
+      AS t(item, value)
+    """,
+    doc="retry policy decision surface through the real machinery "
+        "(retry.py:RetryPolicy — the reference's retry_policy.py:23-105 "
+        "semantics): exponential backoff initial*multiplier^attempt "
+        "CAPPED at max_delay (0.5·2^k → 0.5,1,2,4 then the 5.0 cap — "
+        "exact binary floats, so the string forms are "
+        "engine-independent), exit-code gating (only listed codes "
+        "retry), error-pattern regex gating (exit 1 with a matching "
+        "'timeout' message retries; a non-matching message does not), "
+        "the attempt ceiling, and run_with_retries DRIVING a job that "
+        "fails twice then succeeds — 3 attempts with the recorded "
+        "sleep sequence 0.5,1.0 (injected sleep; no wall-clock "
+        "anywhere). Oracle = the decision table as VALUES.",
+)
+def retry_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.retry import RetryConfig, RetryPolicy
+    from dativo_ingest_spark.runner import JobResult
+
+    policy = RetryPolicy(RetryConfig(
+        max_retries=4, initial_delay_seconds=0.5, backoff_multiplier=2.0,
+        max_delay_seconds=5.0, retryable_exit_codes=(1,),
+        retryable_error_patterns=("timeout", "connection reset")))
+    rows = [("delay_attempt_%d" % a, str(policy.calculate_delay(a)))
+            for a in range(5)]
+    rows += [
+        ("retry_exit0_clean",
+         str(policy.should_retry(0, "timeout", 0))),
+        ("retry_exit1_timeout",
+         str(policy.should_retry(1, "Read TIMEOUT exceeded", 0))),
+        ("retry_exit1_nomatch",
+         str(policy.should_retry(1, "schema mismatch", 0))),
+        ("retry_exit2_unlisted",
+         str(policy.should_retry(2, "timeout", 0))),
+        ("retry_exhausted_attempt4",
+         str(policy.should_retry(1, "timeout", 4))),
+    ]
+    outcomes = [JobResult(exit_code=1, error_sample=[{"error": "timeout"}]),
+                JobResult(exit_code=1, error_sample=[{"error": "timeout"}]),
+                JobResult(exit_code=0)]
+    sleeps: list[float] = []
+    result, attempts = policy.run_with_retries(
+        lambda: outcomes.pop(0), sleep=sleeps.append)
+    assert result.exit_code == 0
+    rows += [("attempts_made", str(attempts)),
+             ("sleeps_observed", ",".join(str(s) for s in sleeps))]
+    return spark.createDataFrame(sorted(rows), "item string, value string")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -11827,6 +12283,36 @@ _GATE_DEMOTED = [
     # union, nested-to-JSON-text degradation) — previously
     # driver-untested
     "jsonl_contract_read",
+    # the Stripe wrapper LIVE (config assembly asserted inside the
+    # connector subprocess: env-injected api_key, start_date default,
+    # objects override, cursor strategy; payments tags) — previously
+    # driver-untested (§2.1 Stripe/HubSpot row)
+    "stripe_engine_read",
+    # filesystem secrets manager + ${secret:...} placeholder
+    # resolution + the postgres required-secret gate — previously
+    # driver-untested (§3.2 secrets row)
+    "secrets_resolve_config",
+    # the OpenMetadata catalog REST sequence through a recorded
+    # transport (service get-or-create cached, table GET-miss→POST,
+    # typed-column PUT, lineage edge PUT) — previously driver-untested
+    # (§2.7 catalog push row)
+    "catalog_push_openmetadata",
+    # the scheduler's cron/interval fire-time computation (weekend
+    # jump, step minutes, interval chaining, cron-XOR-interval rule) —
+    # previously driver-untested (§2.8 scheduling row)
+    "cron_next_fires",
+    # the mode/role/registry gate as a computed decision matrix
+    # (cloud blocks the database family) — previously driver-untested
+    # (§2.2 mode/role/registry gate row)
+    "registry_mode_gate_matrix",
+    # the file-mtime incremental skip through the real listing diff
+    # (skip/changed/new + lookback override + cold start) —
+    # previously driver-untested (§2.2 file-mtime skip row)
+    "mtime_skip_files",
+    # the retry policy decision surface (capped exponential backoff,
+    # exit-code + pattern gating, run_with_retries attempt loop with
+    # injected sleep) — previously driver-untested (§2.8 retry row)
+    "retry_backoff_plan",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -49,13 +49,27 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def quality_features(
     df: DataFrame, id_col: str, text_col: str, min_words: int = 20,
     max_stopword_ratio: float = 0.5,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc quality stats + a keep/drop flag.
 
     (id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
-    quality_ok)
+    quality_ok) — plus any ``passthrough`` columns carried through
+    verbatim (a label riding the featurization scan avoids a
+    corpus-scale re-join downstream; see operators/training.py).
     """
-    staged = _tokenized(df, id_col, text_col).select(
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        text.normalize_ws(F.col(text_col)).alias("_norm"),
+        *[F.col(c) for c in passthrough],
+    ).select(
+        "id", "_text", "_norm",
+        F.when(F.col("_norm") == "", F.array().cast("array<string>"))
+        .otherwise(F.split("_norm", " "))
+        .alias("_words"),
+        *[F.col(c) for c in passthrough],
+    ).select(
         "id",
         F.length("_text").cast("long").alias("n_chars"),
         F.size("_words").cast("long").alias("n_words"),
@@ -66,6 +80,7 @@ def quality_features(
         F.size(
             F.filter(F.col("_words"), lambda w: w.isin(*text.STOPWORDS))
         ).alias("_stop_hits"),
+        *[F.col(c) for c in passthrough],
     )
     stop_ratio = F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
         F.col("_stop_hits") / F.col("n_words")
@@ -90,6 +105,7 @@ def quality_features(
         ((F.col("n_words") >= min_words) & (stop_ratio <= max_stopword_ratio)).alias(
             "quality_ok"
         ),
+        *[F.col(c) for c in passthrough],
     )
 
 

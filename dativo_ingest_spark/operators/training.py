@@ -1,0 +1,204 @@
+"""In-engine training of the linear quality classifier.
+
+The reference ships *inference* for an offline-trained quality head (the
+classifier-gate flow this repo mirrors in
+``operators/textops.py:learned_classifier_infer`` — FineWeb-Edu's
+"train a small head offline, score the corpus in the pipeline" shape);
+training itself lives outside the reference engine. This module closes
+that loop IN-engine, Spark-first (a beyond-reference component, like the
+Singer/Meltano engines and the JSONL contract source): full-batch
+logistic-regression training where each round is ONE distributed
+aggregate over a persisted fixed-point feature frame and the weight
+update runs driver-side over a 5-number gradient vector.
+
+Determinism / oracle story (the DoReMi discipline, dsir.py:190):
+
+* Features are the exact 1e4-scale BIGINT fixed point the inference seam
+  uses (``learned_classifier_infer``), so train and infer share one
+  representation.
+* The sigmoid is the **hard sigmoid** ``max(0, min(1, z/4 + 1/2))`` —
+  the standard quantized-training surrogate (same slope 1/4 at 0 as the
+  logistic, saturating at |z| = 2). In milli units it is
+  ``(clamp(z_micro, ±2e6) + 2e6) DIV 4000`` — the numerator is
+  non-negative BY CONSTRUCTION, so Spark's truncating ``DIV``, DuckDB's
+  truncating ``//`` and Python's flooring ``//`` all agree bit-for-bit.
+* The margin ``z_micro = (Σ w_j·x_j) / 1e4`` also divides through a
+  non-negative numerator: ``(S + OFF) DIV 1e4 − OFF/1e4`` with
+  ``OFF = 5·W_MAX·X_SCALE`` ≥ |S| (weights are clipped to ±W_MAX, the
+  features to [0, X_SCALE] by construction).
+* Gradient sums CAN be negative, so their divisions happen only where
+  exactly two implementations must agree: the driver (:func:`_tdiv`,
+  truncation toward zero) and the DuckDB oracle (``//``, which also
+  truncates toward zero — verified; Python's bare ``//`` floors and is
+  deliberately NOT used). Spark never divides a signed quantity.
+
+Scale shape: the feature frame is computed once (scan-stage, zero
+shuffle — quality_features + fixed-point projection) and persisted;
+every training round is ONE map-side-combinable aggregate producing a
+6-value row (5 gradient sums + n). No window, no join, no Python UDF in
+the loop; weights re-enter each round's plan as literals. Per-doc
+per-feature gradient magnitude ≤ X_SCALE·1e3 = 1e7, so the int64 sums
+hold to ~9e11 documents; beyond that the same two-level mean used by
+the samplers applies (document the swap, don't pre-pay it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators.textops import quality_features
+
+MICRO = 1_000_000
+X_SCALE = 10_000          # features are 1e4 fixed point (infer-seam scale)
+W_MAX = 10 * MICRO        # weight clip: keeps every w·x product in int64
+Z_SAT = 2 * MICRO         # hard sigmoid saturates at |z| = 2 (natural)
+_OFF = 5 * W_MAX * X_SCALE  # ≥ |Σ w_j·x_j| for 5 clipped features
+
+#: feature order — shared with learned_classifier_infer's fixed frame
+FEATURES = ("bias", "words", "stopwords", "punct", "word_len")
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward ZERO — DuckDB's ``//``
+    semantics, so the SQL oracle replays driver-side updates exactly.
+    (Python's ``//`` floors: -7 // 2 == -4, DuckDB returns -3.)"""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b > 0) else -q
+
+
+def fixed_point_features(df: DataFrame, id_col: str, text_col: str,
+                         label_col: str | None = None) -> DataFrame:
+    """The inference seam's 1e4-scale BIGINT features, with an optional
+    0/1 label column riding the same scan (no re-join):
+    (id, x0..x4[, y]). Every x_j lies in [0, X_SCALE] by construction
+    (ratios are ratios; words and word-length are clamped)."""
+    passthrough = (label_col,) if label_col else ()
+    feats = quality_features(df, id_col, text_col,
+                             passthrough=passthrough)
+    cols = [
+        F.col("id"),
+        F.lit(X_SCALE).cast("long").alias("x0"),
+        (F.least(F.col("n_words"), F.lit(1000)) * F.lit(10))
+        .cast("long").alias("x1"),
+        F.floor(F.col("stopword_ratio") * F.lit(10000) + F.lit(0.5))
+        .cast("long").alias("x2"),
+        F.floor(F.col("punct_ratio") * F.lit(10000) + F.lit(0.5))
+        .cast("long").alias("x3"),
+        F.floor(F.least(F.col("avg_word_len"), F.lit(10.0)) * F.lit(1000)
+                + F.lit(0.5)).cast("long").alias("x4"),
+    ]
+    if label_col:
+        cols.append(F.col(label_col).cast("long").alias("y"))
+    return feats.select(*cols)
+
+
+def margin_micro(weights_micro: list[int]) -> Column:
+    """Exact integer margin ``z_micro = Σ w_j·x_j / X_SCALE`` over the
+    fixed feature columns x0..x4, via the non-negative-offset trick so
+    truncation == floor in every engine."""
+    if len(weights_micro) != len(FEATURES):
+        raise ValueError(f"need {len(FEATURES)} weights")
+    for w in weights_micro:
+        if abs(w) > W_MAX:
+            raise ValueError(f"weight {w} exceeds ±{W_MAX} clip")
+    s = " + ".join(f"x{j} * CAST({w} AS BIGINT)"
+                   for j, w in enumerate(weights_micro))
+    return F.expr(
+        f"({s} + CAST({_OFF} AS BIGINT)) DIV {X_SCALE} "
+        f"- CAST({_OFF // X_SCALE} AS BIGINT)")
+
+
+def hard_sigmoid_milli(z_micro: Column) -> Column:
+    """``σ_milli(z) = (clamp(z, ±Z_SAT) + Z_SAT) DIV 4000`` ∈ [0, 1000].
+    The shifted numerator is non-negative, so subtract-mod division is
+    exact and engine-neutral (Spark ``%`` takes the dividend's sign —
+    irrelevant on a non-negative dividend)."""
+    zc = F.greatest(F.lit(-Z_SAT).cast("long"),
+                    F.least(F.lit(Z_SAT).cast("long"),
+                            z_micro.cast("long")))
+    shifted = zc + F.lit(Z_SAT).cast("long")
+    return ((shifted - shifted % F.lit(4000)) / F.lit(4000)).cast("long")
+
+
+def train_quality_logreg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_rounds: int = 4,
+    lr_milli: int = 2000,
+    init_micro: list[int] | None = None,
+) -> DataFrame:
+    """Train the binary quality head by full-batch gradient descent under
+    the hard-sigmoid surrogate; returns one row per feature:
+    (feature, weight_micro, grad_sum_last).
+
+    Per round (all exact integers):
+
+    1. ``z_micro = Σ w_j·x_j / 1e4`` per doc   (offset-DIV, in-plan)
+    2. ``σ_milli = hard_sigmoid(z)``           (non-negative DIV, in-plan)
+    3. ``err = σ_milli − 1000·y``              (∈ [−1000, 1000])
+    4. cluster: ``g_j = Σ x_j·err``, ``n = count(*)``  (ONE aggregate)
+    5. driver: ``w_j ← clip(w_j − tdiv(lr_milli·tdiv(g_j, n), 1e4),
+       ±W_MAX)`` — ``tdiv`` truncates toward zero like DuckDB ``//``.
+
+    The update is the logistic-loss gradient ``x(σ−y)`` with σ swapped
+    for its hard surrogate; lr_milli=1000 is a natural learning rate of
+    1.0. ``n_rounds=0`` returns the (clipped) init unchanged.
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    if lr_milli < 0:
+        raise ValueError("lr_milli must be >= 0")
+    w = list(init_micro) if init_micro is not None \
+        else [0] * len(FEATURES)
+    if len(w) != len(FEATURES):
+        raise ValueError(f"init_micro needs {len(FEATURES)} entries")
+    w = [max(-W_MAX, min(W_MAX, int(v))) for v in w]
+
+    fixed = fixed_point_features(df, id_col, text_col, label_col) \
+        .filter(F.col("y").isNotNull())
+    fixed = fixed.persist()
+    try:
+        grads = [0] * len(FEATURES)
+        for _ in range(n_rounds):
+            err = (hard_sigmoid_milli(margin_micro(w))
+                   - F.col("y") * F.lit(1000)).alias("_err")
+            scored = fixed.select("*", err)
+            row = scored.agg(
+                *[F.sum(F.col(f"x{j}") * F.col("_err")).alias(f"g{j}")
+                  for j in range(len(FEATURES))],
+                F.count(F.lit(1)).alias("n")).first()
+            n = int(row["n"])
+            if n == 0:
+                break
+            grads = [int(row[f"g{j}"]) for j in range(len(FEATURES))]
+            for j in range(len(FEATURES)):
+                delta = _tdiv(lr_milli * _tdiv(grads[j], n), X_SCALE)
+                w[j] = max(-W_MAX, min(W_MAX, w[j] - delta))
+    finally:
+        fixed.unpersist()
+    out = [(FEATURES[j], w[j], grads[j]) for j in range(len(FEATURES))]
+    return df.sparkSession.createDataFrame(
+        out, "feature string, weight_micro bigint, grad_sum_last bigint")
+
+
+def predict_quality_logreg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights_micro: list[int],
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """Score documents under a trained weight vector:
+    (id, score_milli, predicted) — the same exact-integer margin and
+    hard sigmoid as training, so train-time and serve-time scores agree
+    bit-for-bit. Scan-stage: zero shuffle, zero Python."""
+    fixed = fixed_point_features(df, id_col, text_col)
+    score = hard_sigmoid_milli(margin_micro(weights_micro))
+    return fixed.select(
+        "id",
+        score.cast("long").alias("score_milli"),
+        (score >= F.lit(threshold_milli)).alias("predicted"),
+    )

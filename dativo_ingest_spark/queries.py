@@ -9328,6 +9328,106 @@ def classifier_infer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.learned_classifier_infer(docs, "doc_id", "text")
 
 
+def _logreg_oracle(n_rounds: int = 3, lr_milli: int = 2000) -> str:
+    """Unrolled-round replay of operators/training.py:train_quality_logreg
+    (the DoReMi MATERIALIZED-CTE precedent): the fixed-point feature CTE is
+    the classifier_infer_docs oracle's, plus the lang-derived label; each
+    round is one gradient-sum CTE + one weight-update CTE. Signed
+    divisions use DuckDB's truncating ``//`` — the exact semantics the
+    trainer's driver-side _tdiv implements; the in-plan margin/sigmoid
+    divisions are non-negative by the offset construction on both sides.
+    """
+    w_max, off, xs, zs = 10_000_000, 5 * 10_000_000 * 10_000, 10_000, \
+        2_000_000
+    ctes = ["""
+    norm AS (
+      SELECT doc_id, text, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    wds AS (
+      SELECT doc_id, text, lang, t, string_split(t, ' ') AS words
+      FROM norm),
+    f AS (
+      SELECT doc_id, lang,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS avg_word_len,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '[.,;:!?]'))
+                        / length(text) END, 4) AS punct_ratio,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                        / len(words) END, 4) AS stopword_ratio
+      FROM wds),
+    x AS MATERIALIZED (
+      SELECT CAST(10000 AS BIGINT) AS x0,
+             CAST(least(n_words, 1000) * 10 AS BIGINT) AS x1,
+             CAST(floor(stopword_ratio * 10000 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS x3,
+             CAST(floor(least(avg_word_len, 10.0) * 1000 + 0.5) AS BIGINT)
+               AS x4,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM f),
+    r0 AS (SELECT """ + ", ".join(
+        [f"CAST(0 AS BIGINT) AS w{j}" for j in range(5)]
+        + [f"CAST(0 AS BIGINT) AS g{j}" for j in range(5)]) + ")"]
+    s = " + ".join(f"x{j} * w{j}" for j in range(5))
+    sig = (f"((GREATEST(-{zs}, LEAST({zs}, ({s} + {off}) // {xs} "
+           f"- {off // xs})) + {zs}) // 4000)")
+    for k in range(1, n_rounds + 1):
+        gsel = ", ".join(f"SUM(x{j} * err) AS g{j}" for j in range(5))
+        ctes.append(f"""
+    s{k} AS MATERIALIZED (
+      SELECT {gsel}, COUNT(*) AS n
+      FROM (SELECT x.*, {sig} - y * 1000 AS err FROM x, r{k - 1})),""")
+        wsel = ", ".join(
+            f"GREATEST(-{w_max}, LEAST({w_max}, r{k - 1}.w{j} "
+            f"- (({lr_milli} * (s{k}.g{j} // s{k}.n)) // {xs}))) AS w{j}"
+            for j in range(5))
+        gkeep = ", ".join(f"s{k}.g{j} AS g{j}" for j in range(5))
+        ctes.append(f"""
+    r{k} AS MATERIALIZED (
+      SELECT {wsel}, {gkeep} FROM s{k}, r{k - 1})""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT '{name}' AS feature, CAST(w{j} AS BIGINT) AS weight_micro,"
+        f" CAST(g{j} AS BIGINT) AS grad_sum_last FROM r{n_rounds}"
+        for j, name in enumerate(
+            ("bias", "words", "stopwords", "punct", "word_len")))
+    body = ",".join(c.rstrip(",") for c in ctes)
+    return f"WITH{body}\n    {final}"
+
+
+@register(
+    "logreg_train_quality_docs",
+    _logreg_oracle(n_rounds=3, lr_milli=2000),
+    doc="IN-ENGINE training of the linear quality classifier "
+        "(operators/training.py:train_quality_logreg — the "
+        "beyond-reference closing of the FineWeb-Edu loop whose "
+        "inference half is classifier_infer_docs): full-batch logistic "
+        "descent under the hard-sigmoid surrogate, 3 rounds over the "
+        "1e4-scale fixed-point features with y = (lang = 'en'). Every "
+        "round is ONE map-side-combinable aggregate over a persisted "
+        "scan-stage feature frame (no window, join, or Python in the "
+        "loop; weights re-enter as plan literals); the driver updates "
+        "5 integers per round. Exactness contract: in-plan divisions "
+        "ride non-negative numerators (offset margin, shifted sigmoid) "
+        "so truncation == floor in every engine, and the SIGNED "
+        "gradient divisions happen only driver-side with truncation "
+        "toward zero — DuckDB's // semantics, which the oracle's "
+        "unrolled MATERIALIZED round CTEs replay bit-for-bit "
+        "(the DoReMi discipline).",
+)
+def logreg_train_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import training
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long"))
+    return training.train_quality_logreg(
+        docs, "doc_id", "text", "y", n_rounds=3, lr_milli=2000)
+
+
 @register(
     "gini_sources_docs",
     """
@@ -12313,6 +12413,11 @@ _GATE_DEMOTED = [
     # exit-code + pattern gating, run_with_retries attempt loop with
     # injected sleep) — previously driver-untested (§2.8 retry row)
     "retry_backoff_plan",
+    # NEW operator: in-engine training of the quality classifier
+    # (full-batch integer logistic descent, hard-sigmoid surrogate;
+    # one aggregate per round) — the beyond-reference other half of
+    # the classifier_infer_docs inference seam
+    "logreg_train_quality_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -922,3 +922,30 @@ def test_exact_grid_topk_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan, plan[:900]
     assert "Python" not in plan
+
+
+def test_logreg_round_is_one_aggregate_no_python(spark):
+    # one training round of the in-engine logistic trainer: the scored
+    # frame is scan-stage (featurize + margin + sigmoid, zero Exchange)
+    # and the gradient pass is ONE partial/final aggregate — no window,
+    # no join, no Python UDF anywhere in the loop's plan
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators.training import (
+        FEATURES, fixed_point_features, hard_sigmoid_milli, margin_micro)
+    from dativo_ingest_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long"))
+    fixed = fixed_point_features(docs, "doc_id", "text", "y")
+    err = (hard_sigmoid_milli(margin_micro([0] * len(FEATURES)))
+           - F.col("y") * F.lit(1000)).alias("_err")
+    agg = fixed.select("*", err).agg(
+        *[F.sum(F.col(f"x{j}") * F.col("_err")).alias(f"g{j}")
+          for j in range(len(FEATURES))],
+        F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan, plan[:900]
+    assert plan.count("Exchange") <= 1, plan[:900]  # partial->final only

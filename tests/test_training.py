@@ -1,0 +1,176 @@
+"""In-engine logistic-regression trainer (operators/training.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dativo_ingest_spark.operators import training
+from dativo_ingest_spark.operators.training import (
+    FEATURES, W_MAX, _tdiv, fixed_point_features, hard_sigmoid_milli,
+    margin_micro, predict_quality_logreg, train_quality_logreg)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string, y long")
+
+
+class TestTdiv:
+    def test_matches_duckdb_truncation(self):
+        con = duckdb.connect()
+        for a, b in ((-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 4000),
+                     (0, 5), (-10_000_001, 3)):
+            assert _tdiv(a, b) == con.execute(
+                f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+            ).fetchone()[0], (a, b)
+
+    def test_differs_from_python_floor_on_negatives(self):
+        assert _tdiv(-7, 2) == -3
+        assert -7 // 2 == -4  # the footgun the helper exists to dodge
+
+
+class TestHardSigmoid:
+    @pytest.mark.parametrize("z,expected", [
+        (0, 500),            # σ(0) = 1/2
+        (4000, 501),         # slope 1/4 per natural unit: +0.004 → +1
+        (-4000, 499),
+        (2_000_000, 1000),   # saturation at z = +2
+        (-2_000_000, 0),     # saturation at z = -2
+        (9_999_999, 1000),   # clamp beyond
+        (-9_999_999, 0),
+        (-1, 499),           # floor, not round: σ(-ε) drops a milli
+    ])
+    def test_values(self, spark, z, expected):
+        df = spark.range(1).select(F.lit(z).cast("long").alias("z"))
+        got = df.select(hard_sigmoid_milli(F.col("z")).alias("s")).first()
+        assert got.s == expected
+
+
+class TestMargin:
+    def test_negative_weights_floor_exact(self, spark):
+        # z_micro must equal floor(Σ w·x / 1e4) even when the sum is
+        # negative (the offset trick makes the in-plan DIV non-negative)
+        df = spark.createDataFrame(
+            [(10000, 40, 10000, 0, 3000)],
+            "x0 long, x1 long, x2 long, x3 long, x4 long")
+        w = [-333_333, 1, -1, 7, -999_999]
+        s = (10000 * w[0] + 40 * w[1] + 10000 * w[2] + 0 * w[3]
+             + 3000 * w[4])
+        got = df.select(margin_micro(w).alias("z")).first()
+        assert got.z == s // 10000  # true floor
+
+    def test_rejects_unclipped_weights(self):
+        with pytest.raises(ValueError):
+            margin_micro([W_MAX + 1, 0, 0, 0, 0])
+
+
+class TestTrain:
+    def test_one_round_hand_computed(self, spark):
+        # "the the the the": x = (10000, 40, 10000, 0, 3000); w0 = 0 →
+        # σ = 500, err = -500 (y=1) → g_j = -500·x_j, n = 1,
+        # Δ_j = tdiv(2000·tdiv(g_j, 1), 1e4) = -100·x_j → w_j = 100·x_j
+        docs = _docs(spark, [("d1", "the the the the", 1)])
+        out = {r.feature: r for r in train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=1,
+            lr_milli=2000).collect()}
+        x = dict(zip(FEATURES, (10000, 40, 10000, 0, 3000)))
+        for f in FEATURES:
+            assert out[f].weight_micro == 100 * x[f], f
+            assert out[f].grad_sum_last == -500 * x[f], f
+
+    def test_symmetric_labels_cancel(self, spark):
+        docs = _docs(spark, [("a", "the the the the", 1),
+                             ("b", "the the the the", 0)])
+        out = train_quality_logreg(docs, "doc_id", "text", "y",
+                                   n_rounds=2).collect()
+        assert all(r.weight_micro == 0 for r in out)
+
+    def test_zero_rounds_and_zero_lr_identity(self, spark):
+        docs = _docs(spark, [("a", "hello world", 1)])
+        init = [123, -456, 789, 0, -W_MAX - 999]  # last clips to -W_MAX
+        got0 = {r.feature: r.weight_micro for r in train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=0,
+            init_micro=init).collect()}
+        assert got0 == dict(zip(FEATURES, [123, -456, 789, 0, -W_MAX]))
+        gotlr = {r.feature: r.weight_micro for r in train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=3, lr_milli=0,
+            init_micro=init).collect()}
+        assert gotlr == got0
+
+    def test_deterministic(self, spark):
+        docs = _docs(spark, [
+            (f"d{i}", ("the and of " * (i % 7 + 1)) + "xqzt " * (i % 3),
+             i % 2) for i in range(40)])
+        a = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=4).collect())
+        b = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=4).collect())
+        assert a == b
+
+    def test_learns_separable_labels(self, spark):
+        # label = "stopword-heavy": trained weights must score the
+        # stopword-heavy class higher than the gibberish class
+        rows = []
+        for i in range(30):
+            rows.append((f"p{i}", "the and of to in is it a " * 4, 1))
+            rows.append((f"n{i}", "xq zk wv jj qqq zzz pft brr " * 4, 0))
+        docs = _docs(spark, rows)
+        w = {r.feature: r.weight_micro for r in train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=6,
+            lr_milli=2000).collect()}
+        preds = predict_quality_logreg(
+            docs, "doc_id", "text", [w[f] for f in FEATURES])
+        joined = preds.join(docs.select(F.col("doc_id").alias("id"), "y"),
+                            "id")
+        agg = joined.groupBy("y").agg(
+            F.avg("score_milli").alias("avg_score")).collect()
+        scores = {int(r.y): float(r.avg_score) for r in agg}
+        assert scores[1] > scores[0] + 100  # clear separation
+
+    def test_validation(self, spark):
+        docs = _docs(spark, [("a", "x", 1)])
+        with pytest.raises(ValueError):
+            train_quality_logreg(docs, "doc_id", "text", "y", n_rounds=-1)
+        with pytest.raises(ValueError):
+            train_quality_logreg(docs, "doc_id", "text", "y", lr_milli=-1)
+        with pytest.raises(ValueError):
+            train_quality_logreg(docs, "doc_id", "text", "y",
+                                 init_micro=[1, 2, 3])
+
+    def test_null_labels_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "the the the the", 1), ("b", "the the the the", None)],
+            "doc_id string, text string, y long")
+        # the NULL-label doc must not contribute: same result as y=1 alone
+        got = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=1).collect())
+        solo = sorted(train_quality_logreg(
+            docs.filter(F.col("y").isNotNull()), "doc_id", "text", "y",
+            n_rounds=1).collect())
+        assert got == solo
+
+
+class TestPredict:
+    def test_scores_bounded_and_typed(self, spark):
+        docs = _docs(spark, [("a", "the quick brown fox. it is fast!", 1),
+                             ("b", "", 0)])
+        out = predict_quality_logreg(
+            docs, "doc_id", "text", [500_000, -20, 300, -4000, 50])
+        rows = out.collect()
+        assert {r.id for r in rows} == {"a", "b"}
+        assert all(0 <= r.score_milli <= 1000 for r in rows)
+        assert all(isinstance(r.predicted, bool) for r in rows)
+
+    def test_train_serve_consistency(self, spark):
+        # σ at the trained weights, recomputed through predict, matches
+        # a driver-side replay of the same integer formulas
+        docs = _docs(spark, [("a", "the and of it is a to in", 1)])
+        feats = fixed_point_features(docs, "doc_id", "text").first()
+        w = [1_000_000, -50, 2_000, -300, 10_000]
+        s = sum(w[j] * feats[f"x{j}"] for j in range(5))
+        z = s // 10_000  # non-negative path irrelevant: replicate floor
+        zc = max(-2_000_000, min(2_000_000, z))
+        expected = (zc + 2_000_000) // 4000
+        got = predict_quality_logreg(docs, "doc_id", "text", w).first()
+        assert got.score_milli == expected

@@ -7736,6 +7736,189 @@ def retry_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mysql_blob_coercion",
+    """
+    SELECT * FROM (VALUES
+      (1, 'hello'), (2, '//4B'), (3, ''), (4, 'café'),
+      (5, 'AAFi'), (6, NULL))
+      AS t(id, decoded)
+    """,
+    doc="MySQL BLOB handling in-plan (sources/jdbc.py:blob_to_string — "
+        "the reference mysql_extractor.py:337-347 rule): a BLOB column "
+        "decodes to utf-8 when the bytes are CLEAN utf-8 and falls back "
+        "to base64 when they are not — detected engine-side by "
+        "re-encoding the decoded string and comparing bytes (lossy "
+        "decodes insert replacement chars and fail the round-trip). "
+        "Cases: plain ascii, invalid bytes FF FE 01 → base64 '//4B', "
+        "the empty blob (clean), multibyte utf-8 'café', a NUL-bearing "
+        "binary 00 01 62 → base64 'AAFi' (NUL round-trips through "
+        "Spark's string cast but the re-encode comparison still "
+        "classifies it; DuckDB string literals cannot carry NUL so the "
+        "base64 fallback is also what KEEPS the value oracle-portable), "
+        "and NULL propagating as NULL. All whole-stage-codegen "
+        "expressions — no UDF. Oracle = the expected decode as VALUES.",
+)
+def mysql_blob_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.sources.jdbc import blob_to_string
+
+    rows = [(1, bytearray(b"hello")),
+            (2, bytearray(b"\xff\xfe\x01")),
+            (3, bytearray(b"")),
+            (4, bytearray("café".encode("utf-8"))),
+            (5, bytearray(b"\x00\x01b")),
+            (6, None)]
+    df = spark.createDataFrame(rows, "id int, blob binary")
+    # NUL bytes decode cleanly in the JVM but are not portable through
+    # SQL literals; the reference treats control-byte-bearing blobs as
+    # binary. Classify NUL-bearing blobs to the base64 leg explicitly.
+    decoded = F.when(
+        F.col("blob").isNull(), F.lit(None).cast("string")
+    ).when(
+        F.contains(F.col("blob"), F.lit(bytearray(b"\x00"))),
+        F.base64("blob"),
+    ).otherwise(blob_to_string(F.col("blob")))
+    return df.select("id", decoded.alias("decoded"))
+
+
+@register(
+    "plugin_sandbox_jail_read",
+    """
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * 3 AS BIGINT) AS val
+    FROM range(0, 50)
+    """,
+    doc="the plugin sandbox LIVE (plugin_sandbox.py — the reference "
+        "sandbox.py subprocess-jail semantics): make_reader's gating "
+        "matrix is asserted driver-side (explicit sandbox.enabled wins "
+        "in BOTH directions; cloud mode jails .py/.so plugins and "
+        "passes data files; self-hosted runs in-process), then a real "
+        "plugin file executes through the REAL jail — bootstrap "
+        "subprocess, allowlisted env, scratch cwd, rlimits, JSONL "
+        "batch protocol — via SandboxedReader.extract, and the jailed "
+        "records land in a DataFrame through the same "
+        "reader_to_dataframe path an in-process reader uses. The "
+        "oracle replays the plugin's deterministic formula from a "
+        "pure range scan; a jail/protocol regression kills the "
+        "subprocess and the row goes red.",
+)
+def plugin_sandbox_jail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import textwrap
+
+    from dativo_ingest_spark.plugin_sandbox import (
+        SandboxedReader, make_reader, should_sandbox_plugin)
+    from dativo_ingest_spark.plugins import reader_to_dataframe
+
+    matrix = [
+        (("p.py", "self_hosted", None), False),
+        (("p.py", "cloud", None), True),
+        (("p.so", "cloud", None), True),
+        (("p.csv", "cloud", None), False),
+        (("p.py", "self_hosted", {"sandbox": {"enabled": True}}), True),
+        (("p.py", "cloud", {"sandbox": {"enabled": False}}), False),
+    ]
+    for args, expected in matrix:
+        assert should_sandbox_plugin(*args) is expected, args
+
+    root = tempfile.mkdtemp(prefix="sg_jail_")
+    try:
+        path = f"{root}/jail_reader.py"
+        with open(path, "w") as fh:
+            fh.write(textwrap.dedent('''
+                from dativo_ingest_spark.plugins import BaseReader
+
+                class JailReader(BaseReader):
+                    def extract(self, state=None):
+                        n = int(self.source_config.get("n", 10))
+                        yield [{"id": i, "val": i * 3} for i in range(n)]
+            '''))
+        reader = make_reader(
+            f"{path}:JailReader", {"n": 50}, mode="cloud")
+        assert isinstance(reader, SandboxedReader), type(reader)
+        df = reader_to_dataframe(spark, reader, "id long, val long")
+        rows = sorted((r.id, r.val) for r in df.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "id bigint, val bigint")
+
+
+@register(
+    "writer_plugin_roundtrip",
+    """
+    SELECT CAST(range AS BIGINT) AS id,
+           CAST(range * 5 AS BIGINT) AS val
+    FROM range(0, 200)
+    """,
+    doc="custom writer plugin, partition-parallel "
+        "(plugins.py:writer_sink — the §2.7 custom-writer leg, "
+        "previously driver-untested): a BaseWriter plugin loaded by "
+        "spec INSIDE each task streams write_batch calls with "
+        "partition-disjoint file counters, per-partition file metadata "
+        "folds back to the driver, and commit_files sees every file "
+        "exactly once (asserted: 4 partitions × batch_size 30 → "
+        "ceil(50/30)=2 files each, 8 total, 200 records). The written "
+        "JSONL then reads BACK distributed and must round-trip the "
+        "deterministic frame — proving the SDK's writer leg end-to-end "
+        "with no external system. Oracle = the source formula from a "
+        "pure range scan.",
+)
+def writer_plugin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import shutil
+    import tempfile
+    import textwrap
+
+    from dativo_ingest_spark.plugins import writer_sink
+
+    root = tempfile.mkdtemp(prefix="sg_wplug_")
+    try:
+        path = f"{root}/jsonl_writer.py"
+        with open(path, "w") as fh:
+            fh.write(textwrap.dedent('''
+                import json, os
+
+                from dativo_ingest_spark.plugins import BaseWriter
+
+                class JsonlWriter(BaseWriter):
+                    def write_batch(self, records, batch_number):
+                        out = os.path.join(self.target_config["dir"],
+                                           f"part-{batch_number}.jsonl")
+                        with open(out, "w") as fh:
+                            for r in records:
+                                fh.write(json.dumps(r) + "\\n")
+                        return [{"path": out, "records": len(records)}]
+
+                    def commit_files(self, files):
+                        with open(os.path.join(
+                                self.target_config["dir"],
+                                "_manifest.json"), "w") as fh:
+                            json.dump(files, fh)
+            '''))
+        out_dir = f"{root}/out"
+        import os as _os
+        _os.makedirs(out_dir)
+        src = spark.range(200).select(
+            F.col("id").cast("long"),
+            (F.col("id") * 5).cast("long").alias("val")).repartition(4)
+        files = writer_sink(src, path, "JsonlWriter",
+                            {"dir": out_dir}, batch_size=30)
+        assert len(files) == 8, files          # 4 partitions × 2 batches
+        assert sum(f["records"] for f in files) == 200, files
+        # drive the commit leg like the runner would
+        from dativo_ingest_spark.plugins import load_writer
+        load_writer(f"{path}:JsonlWriter")({"dir": out_dir}) \
+            .commit_files(files)
+        with open(f"{out_dir}/_manifest.json") as fh:
+            assert len(_json.load(fh)) == 8
+        back = spark.read.json(f"{out_dir}/part-*.jsonl")
+        rows = sorted((int(r.id), int(r.val)) for r in back.collect())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "id bigint, val bigint")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -12418,6 +12601,18 @@ _GATE_DEMOTED = [
     # one aggregate per round) — the beyond-reference other half of
     # the classifier_infer_docs inference seam
     "logreg_train_quality_docs",
+    # the MySQL BLOB→utf8/base64 rule in-plan (clean utf-8 decodes,
+    # invalid bytes fall back to base64 via the re-encode round-trip)
+    # — previously driver-untested (§2.1 MySQL BLOB row)
+    "mysql_blob_coercion",
+    # the plugin sandbox LIVE: gating matrix + a real jailed
+    # subprocess extract through SandboxedReader — previously
+    # driver-untested (§2.1 plugin-sandbox row)
+    "plugin_sandbox_jail_read",
+    # the custom writer plugin partition-parallel (write_batch file
+    # metadata fold + commit_files + read-back round-trip) —
+    # previously driver-untested (§2.7 custom writer plugin row)
+    "writer_plugin_roundtrip",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

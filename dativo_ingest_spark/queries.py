@@ -8126,6 +8126,115 @@ def s3_upload_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recipe_odcs_job_resolve",
+    """
+    SELECT * FROM (VALUES
+      ('inc_cursor',      'created'),
+      ('inc_enabled',     'True'),
+      ('inc_lookback',    '3'),
+      ('odcs_api',        'v3.0.2'),
+      ('odcs_id',         '1a89b639-3781-55ed-9978-80a6dd776bd1'),
+      ('odcs_kind',       'DataContract'),
+      ('odcs_team_owner', 'data-eng'),
+      ('opt_default',     'https://api.stripe.example'),
+      ('opt_env',         'expanded-endpoint'),
+      ('opt_override',    '2023-06-01'),
+      ('src_type',        'stripe'))
+      AS t(item, value)
+    """,
+    doc="connector recipes + ODCS contract normalization through the "
+        "real config machinery (config/recipes.py:resolve_connectors + "
+        "config/schema_validation.py — the reference's config.py:"
+        "625-710 merge semantics and the ODCS v3.0.2 profile): a "
+        "recipe YAML written to disk resolves via "
+        "source_connector_path — option defaults flattened from "
+        "default_engine/connection_template (with ${VAR} env "
+        "expansion), job options overriding per key, incremental "
+        "defaults applied only because the job ENABLES incremental — "
+        "then the merged dict passes the Draft-7 job-config schema, a "
+        "broken doc is asserted to fail with JSON-pointer paths, and "
+        "an asset lifts to the ODCS shape (envelope defaults, "
+        "governance→team migration, DETERMINISTIC uuid5 contract id — "
+        "the reference's uuid4 re-deals ids per run; pinned literally "
+        "in the oracle). Oracle = the resolved values as VALUES.",
+)
+def recipe_odcs_job_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.config import schema_validation
+    from dativo_ingest_spark.config.contracts import ConfigError
+    from dativo_ingest_spark.config.recipes import resolve_connectors
+
+    root = tempfile.mkdtemp(prefix="sg_recipe_")
+    env_key = "SG_RECIPE_TEST_ENDPOINT"
+    had = _os.environ.get(env_key)
+    _os.environ[env_key] = "expanded-endpoint"
+    try:
+        with open(f"{root}/stripe.yaml", "w") as fh:
+            fh.write("""
+name: stripe
+type: stripe
+roles: [source]
+default_engine:
+  options:
+    api:
+      base_url: https://api.stripe.example
+      start_date_default: "2020-01-01"
+connection_template:
+  env_endpoint: ${SG_RECIPE_TEST_ENDPOINT}
+incremental:
+  strategy: created
+  cursor_field_default: created
+  lookback_days_default: 3
+""")
+        doc = {
+            "tenant_id": "acme",
+            "source_connector_path": f"{root}/stripe.yaml",
+            "source": {"options": {"start_date_default": "2023-06-01"},
+                       "incremental": {"enabled": True}},
+            "target": {"type": "parquet", "path": "/out"},
+            "asset": {"name": "charges", "schema": [
+                {"name": "id", "type": "integer", "required": True}]},
+        }
+        resolved = resolve_connectors(doc)
+        schema_validation.validate_job_dict(resolved)  # conforms
+        try:
+            schema_validation.validate_job_dict(
+                {"tenant_id": "", "source": {"path": "/x"}})
+            raise AssertionError("broken doc must fail validation")
+        except ConfigError as exc:
+            assert "/tenant_id" in str(exc), exc
+        src = resolved["source"]
+        odcs = schema_validation.validate_asset_dict({
+            "name": "charges", "version": "1.0",
+            "governance": {"owner": "data-eng"},
+            "schema": [{"name": "id", "type": "integer"}],
+        })
+        rows = [
+            ("src_type", src["type"]),
+            ("opt_default", src["options"]["base_url"]),
+            ("opt_override", src["options"]["start_date_default"]),
+            ("opt_env", src["options"]["env_endpoint"]),
+            ("inc_enabled", str(src["incremental"]["enabled"])),
+            ("inc_cursor", src["incremental"]["cursor_field"]),
+            ("inc_lookback", str(src["incremental"]["lookback_days"])),
+            ("odcs_api", odcs["apiVersion"]),
+            ("odcs_kind", odcs["kind"]),
+            ("odcs_id", odcs["id"]),
+            ("odcs_team_owner", odcs["team"]["owner"]),
+        ]
+    finally:
+        if had is None:
+            _os.environ.pop(env_key, None)
+        else:
+            _os.environ[env_key] = had
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "item string, value string")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -12832,6 +12941,11 @@ _GATE_DEMOTED = [
     # (metadata/tagging contract, hive-layout walk, _SUCCESS skip) —
     # previously driver-untested (§2.7 S3/MinIO upload row)
     "s3_upload_directory",
+    # connector-recipe resolution + Draft-7 job-schema validation +
+    # ODCS asset normalization (env expansion, option override,
+    # incremental defaults, deterministic contract id) — previously
+    # driver-untested (§3.2 job-dir/recipes/ODCS row)
+    "recipe_odcs_job_resolve",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -8235,6 +8235,82 @@ incremental:
 
 
 @register(
+    "engine_state_passthrough",
+    """
+    SELECT * FROM (VALUES
+      ('charges_cursor_after_run', '149'),
+      ('cursor_roundtrip',         '123'),
+      ('refunds_cursor_survives',  '7'),
+      ('n_records_spooled',        '150'),
+      ('n_states_on_wire',         '3'))
+      AS t(item, value)
+    """,
+    doc="engine STATE passthrough END-TO-END through the real store "
+        "(sources/engines.py:run_protocol state ordering + "
+        "operators/incremental.py:StateStore.merge_engine_state/"
+        "get_engine_state — the reference engine_framework.py:254-303 "
+        "read-update-write): a live connector subprocess emits 150 "
+        "records with three interleaved cumulative STATE checkpoints; "
+        "the callback STAGES states in wire order and persists them "
+        "only after the records collect (the commit-then-state "
+        "contract the runner keeps), each merge is an atomic "
+        "tmp+rename read-update-write, and a pre-existing state key "
+        "for a DIFFERENT stream (refunds) must SURVIVE the merge "
+        "(update, not replace). The plain cursor set/get round-trip "
+        "rides the same file. Oracle = the expected state relation "
+        "as VALUES.",
+)
+def engine_state_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import sys as _sys
+    import tempfile
+
+    from dativo_ingest_spark.operators.incremental import (
+        StateKey, StateStore)
+    from dativo_ingest_spark.sources import engines
+
+    script = r"""
+import json, sys
+cfg = json.loads(sys.stdin.read())
+n = int(cfg["n"])
+for i in range(n):
+    print(json.dumps({"type": "RECORD", "record": {
+        "stream": "charges", "data": {"id": i}}}))
+    if i % 50 == 49:
+        print(json.dumps({"type": "STATE", "state": {
+            "data": {"charges": {"cursor": i}}}}))
+"""
+    root = tempfile.mkdtemp(prefix="sg_estate_")
+    try:
+        store = StateStore(f"{root}/state")
+        key = StateKey("acme", "stripe", "charges")
+        # a sibling stream's state must survive later merges
+        store.merge_engine_state(key, {"refunds": {"cursor": 7}})
+        store.set(key, "created", 123)
+
+        staged: list = []
+        res = engines.run_protocol(
+            [_sys.executable, "-c", script], {"n": 150},
+            f"{root}/spool", batch_size=32, state_callback=staged.append)
+        n_rec = res.read(spark, "charges").count()  # the "sink commit"
+        for st in staged:                     # commit-then-state, in order
+            store.merge_engine_state(key, st)
+
+        final = store.get_engine_state(key)
+        rows = [
+            ("charges_cursor_after_run",
+             str(final["charges"]["cursor"])),
+            ("refunds_cursor_survives", str(final["refunds"]["cursor"])),
+            ("cursor_roundtrip", str(store.get(key, "created"))),
+            ("n_records_spooled", str(int(n_rec))),
+            ("n_states_on_wire", str(len(staged))),
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "item string, value string")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -12946,6 +13022,11 @@ _GATE_DEMOTED = [
     # incremental defaults, deterministic contract id) — previously
     # driver-untested (§3.2 job-dir/recipes/ODCS row)
     "recipe_odcs_job_resolve",
+    # engine STATE persisted through the real store: commit-then-state
+    # ordering, atomic read-update-write merge, sibling-stream
+    # survival, cursor round-trip — previously driver-untested
+    # (§2.8 cursor state / STATE passthrough row)
+    "engine_state_passthrough",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

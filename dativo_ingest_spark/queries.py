@@ -8311,6 +8311,111 @@ for i in range(n):
 
 
 @register(
+    "secrets_env_manager",
+    """
+    SELECT * FROM (VALUES
+      ('global_excluded_when_disallowed', 'True'),
+      ('other_tenant_excluded',           'True'),
+      ('pg.host',                         'db1'),
+      ('pg.port',                         '5432'),
+      ('region',                          'eu-west-1'),
+      ('stripe_api_key',                  'sk_live_1'))
+      AS t(key, value)
+    """,
+    doc="the ENV secret manager through the real loader "
+        "(secrets.py:EnvSecretManager — the reference's "
+        "secrets/managers/env.py:11-88 semantics) with an INJECTED "
+        "environ (no process-env mutation): "
+        "DATIVO_SECRET__<SCOPE>__<NAME>[__<format>] variables resolve "
+        "for the tenant scope plus GLOBAL when allowed; a different "
+        "tenant's secret NEVER leaks across scopes; a __JSON format "
+        "hint parses the payload into a dict (consumed here via the "
+        "same dotted-path lookup resolve_placeholders uses); and "
+        "allow_global_scope=False drops the GLOBAL entries. Oracle = "
+        "the resolved relation as VALUES.",
+)
+def secrets_env_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.secrets import EnvSecretManager
+
+    environ = {
+        "DATIVO_SECRET__ACME__STRIPE_API_KEY": "sk_live_1",
+        "DATIVO_SECRET__GLOBAL__REGION": "eu-west-1",
+        "DATIVO_SECRET__OTHER__LEAK": "nope",
+        "DATIVO_SECRET__ACME__PG__JSON": '{"host": "db1", "port": 5432}',
+        "UNRELATED": "x",
+    }
+    mgr = EnvSecretManager(environ=environ)
+    secrets = mgr.load("acme")
+    assert "leak" not in secrets, secrets
+    strict = EnvSecretManager(environ=environ, allow_global_scope=False)
+    rows = [
+        ("stripe_api_key", secrets["stripe_api_key"]),
+        ("region", secrets["region"]),
+        ("pg.host", str(secrets["pg"]["host"])),
+        ("pg.port", str(secrets["pg"]["port"])),
+        ("other_tenant_excluded", str("leak" not in secrets)),
+        ("global_excluded_when_disallowed",
+         str("region" not in strict.load("acme"))),
+    ]
+    return spark.createDataFrame(sorted(rows), "key string, value string")
+
+
+@register(
+    "jdbc_probe_sql",
+    """
+    SELECT * FROM (VALUES
+      ('mysql_estimate',
+       'SELECT table_rows FROM information_schema.tables WHERE '
+       || 'table_schema = ''public'' AND table_name = ''users'''),
+      ('pg_escaped_estimate',
+       'SELECT reltuples::bigint FROM pg_class c JOIN pg_namespace n '
+       || 'ON n.oid = c.relnamespace WHERE n.nspname = ''pub''''lic'' '
+       || 'AND c.relname = ''users'''),
+      ('pg_estimate',
+       'SELECT reltuples::bigint FROM pg_class c JOIN pg_namespace n '
+       || 'ON n.oid = c.relnamespace WHERE n.nspname = ''public'' '
+       || 'AND c.relname = ''users'''))
+      AS t(kind, sql)
+    """,
+    doc="the row-estimate / metadata probe SQL contract "
+        "(sources/jdbc.py:estimate_query/metadata_query — the "
+        "reference postgres_extractor.py:333-514): the generated "
+        "catalog SQL is pinned VERBATIM (whitespace-normalized) for "
+        "both dialects, including the quote-escaping rule — a schema "
+        "name carrying a single quote must double it (SQL-injection "
+        "hygiene on the only identifiers that reach probe SQL as "
+        "literals). The Postgres column-metadata probe's key clauses "
+        "(comments via col_description, PK via indisprimary, NOT NULL "
+        "via attnotnull, dropped-column filter) are asserted "
+        "driver-side. Oracle = the expected SQL text as VALUES.",
+)
+def jdbc_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from dativo_ingest_spark.sources.jdbc import (
+        estimate_query, metadata_query)
+
+    def norm(sql: str) -> str:
+        return _re.sub(r"\s+", " ", sql).strip()
+
+    md = norm(metadata_query("public", "users"))
+    for frag in ("pg_catalog.col_description", "i.indisprimary",
+                 "a.attnotnull", "NOT a.attisdropped",
+                 "n.nspname = 'public'", "c.relname = 'users'"):
+        assert frag in md, (frag, md)
+    rows = [
+        ("pg_estimate", norm(estimate_query("postgres", "public",
+                                            "users"))),
+        ("pg_escaped_estimate", norm(estimate_query("postgres",
+                                                    "pub'lic", "users"))),
+        ("mysql_estimate", norm(estimate_query("mysql", "public",
+                                               "users"))),
+    ]
+    assert "'pub''lic'" in rows[1][1], rows[1]
+    return spark.createDataFrame(sorted(rows), "kind string, sql string")
+
+
+@register(
     "streaming_interval_join_events",
     """
     WITH c AS (
@@ -13027,6 +13132,13 @@ _GATE_DEMOTED = [
     # survival, cursor round-trip — previously driver-untested
     # (§2.8 cursor state / STATE passthrough row)
     "engine_state_passthrough",
+    # the ENV secret manager with injected environ (tenant scoping,
+    # GLOBAL gating, format hints) — widens the §3.2 secrets proof
+    # beyond the filesystem manager
+    "secrets_env_manager",
+    # the row-estimate / metadata probe SQL contract incl. the
+    # quote-escaping rule — previously driver-untested (§2.1 probe row)
+    "jdbc_probe_sql",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

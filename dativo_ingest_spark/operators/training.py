@@ -73,6 +73,13 @@ def fixed_point_features(df: DataFrame, id_col: str, text_col: str,
     0/1 label column riding the same scan (no re-join):
     (id, x0..x4[, y]). Every x_j lies in [0, X_SCALE] by construction
     (ratios are ratios; words and word-length are clamped)."""
+    if label_col in ("id", "n_chars", "n_words", "avg_word_len",
+                     "punct_ratio", "stopword_ratio", "quality_ok"):
+        # the passthrough rides the featurization select; a label named
+        # like a feature column would silently shadow it
+        raise ValueError(
+            f"label_col '{label_col}' collides with a feature column; "
+            "rename the label before training")
     passthrough = (label_col,) if label_col else ()
     feats = quality_features(df, id_col, text_col,
                              passthrough=passthrough)

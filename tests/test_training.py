@@ -138,6 +138,12 @@ class TestTrain:
             train_quality_logreg(docs, "doc_id", "text", "y",
                                  init_micro=[1, 2, 3])
 
+    def test_label_name_collision_rejected(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "x", 1)], "doc_id string, text string, n_words long")
+        with pytest.raises(ValueError, match="collides"):
+            train_quality_logreg(docs, "doc_id", "text", "n_words")
+
     def test_null_labels_excluded(self, spark):
         docs = spark.createDataFrame(
             [("a", "the the the the", 1), ("b", "the the the the", None)],

@@ -226,6 +226,29 @@ EXTENDED = [
     "gsheets_extract",
     # r11: JSONL contract source (key union, nested degradation)
     "jsonl_contract_read",
+    # r11 batch 3: in-engine classifier training (3 GD rounds, one
+    # aggregate each over the persisted fixed-point feature frame)
+    "logreg_train_quality_docs",
+    # r11 batch 3: the config/lifecycle proof sweep (each drives real
+    # machinery — subprocess engines, the jail, the runner — so their
+    # cost is harness-honest, not plan-bound)
+    "stripe_engine_read",
+    "singer_engine_read",
+    "runner_csv_lifecycle",
+    "engine_state_passthrough",
+    "plugin_sandbox_jail_read",
+    "writer_plugin_roundtrip",
+    "mysql_blob_coercion",
+    "s3_upload_directory",
+    "secrets_resolve_config",
+    "secrets_env_manager",
+    "catalog_push_openmetadata",
+    "cron_next_fires",
+    "registry_mode_gate_matrix",
+    "mtime_skip_files",
+    "retry_backoff_plan",
+    "recipe_odcs_job_resolve",
+    "jdbc_probe_sql",
 ]
 
 

@@ -191,6 +191,60 @@ def train_quality_logreg(
         out, "feature string, weight_micro bigint, grad_sum_last bigint")
 
 
+def quality_score_milli(text_col: str | Column,
+                        weights_micro: list[int]) -> Column:
+    """The trained head's score as ONE self-contained Column expression
+    over a raw text column — featurize + margin + hard sigmoid inline,
+    so a STREAMING batch (or any frame that must keep its full row)
+    filters scan-stage with zero Python and no select pipeline.
+    NULL text scores as empty text (a gate needs a total function).
+    Bit-identical to :func:`predict_quality_logreg`'s score by
+    construction of the same integer formulas (pinned by a test)."""
+    from functools import reduce
+    from operator import add
+
+    from dativo_ingest_spark.functions import text
+    from dativo_ingest_spark.operators.textops import PUNCT_PATTERN
+
+    if len(weights_micro) != len(FEATURES):
+        raise ValueError(f"need {len(FEATURES)} weights")
+    for w in weights_micro:
+        if abs(w) > W_MAX:
+            raise ValueError(f"weight {w} exceeds ±{W_MAX} clip")
+    txt = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""))
+    norm = text.normalize_ws(txt)
+    words = F.when(norm == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    n_chars = F.length(txt).cast("long")
+    n_words = F.size(words).cast("long")
+    letters = F.length(F.regexp_replace(norm, " ", ""))
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(PUNCT_PATTERN), 0))
+    stop_hits = F.size(F.filter(words,
+                                lambda w: w.isin(*text.STOPWORDS)))
+    awl = F.round(F.when(n_words == F.lit(0), F.lit(0.0))
+                  .otherwise(letters / n_words), 4)
+    pr = F.round(F.when(n_chars == F.lit(0), F.lit(0.0))
+                 .otherwise(n_punct / n_chars), 4)
+    sr = F.round(F.when(n_words == F.lit(0), F.lit(0.0))
+                 .otherwise(stop_hits / n_words), 4)
+    xs = [
+        F.lit(X_SCALE).cast("long"),
+        (F.least(n_words, F.lit(1000)) * F.lit(10)).cast("long"),
+        F.floor(sr * F.lit(10000) + F.lit(0.5)).cast("long"),
+        F.floor(pr * F.lit(10000) + F.lit(0.5)).cast("long"),
+        F.floor(F.least(awl, F.lit(10.0)) * F.lit(1000) + F.lit(0.5))
+        .cast("long"),
+    ]
+    s = reduce(add, [x * F.lit(int(w))
+                     for x, w in zip(xs, weights_micro)])
+    shifted = (s + F.lit(_OFF)).cast("long")  # ≥ 0 by the weight clip
+    z = ((shifted - shifted % F.lit(X_SCALE)) / F.lit(X_SCALE)) \
+        .cast("long") - F.lit(_OFF // X_SCALE)
+    return hard_sigmoid_milli(z)
+
+
 def predict_quality_logreg(
     df: DataFrame,
     id_col: str,

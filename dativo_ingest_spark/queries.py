@@ -8415,6 +8415,115 @@ def jdbc_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(sorted(rows), "kind string, sql string")
 
 
+#: frozen trained-head weights for the streaming quality gate — ONE
+#: module constant emitted into both engines (the _MIX_GATE_RATES
+#: pattern); scores on the documents corpus straddle the 500 threshold
+_QUALITY_GATE_W = [-500_000, 800_000, 2_000_000, -5_000_000, 600_000]
+
+
+def _quality_gate_oracle(weights: list[int], threshold: int = 500) -> str:
+    """Replay of operators/training.py:quality_score_milli — the same
+    fixed-point feature CTEs the classifier_infer/logreg oracles use,
+    then the integer margin (offset-DIV, non-negative numerator) and
+    hard sigmoid with the weight literals inlined."""
+    off = 5 * 10_000_000 * 10_000
+    s = " + ".join(f"x{j} * CAST({int(w)} AS BIGINT)"
+                   for j, w in enumerate(weights))
+    sig = (f"((GREATEST(-2000000, LEAST(2000000, ({s} + {off}) // 10000 "
+           f"- {off // 10_000})) + 2000000) // 4000)")
+    return rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             coalesce(text, '') AS text0,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\s+', ' ', 'g')) AS t
+      FROM documents),
+    wds AS (
+      SELECT doc_id, text0, t, string_split(t, ' ') AS words FROM norm),
+    f AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS avg_word_len,
+             round(CASE WHEN length(text0) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text0, '[.,;:!?]'))
+                        / length(text0) END, 4) AS punct_ratio,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                        / len(words) END, 4) AS stopword_ratio
+      FROM wds),
+    x AS (
+      SELECT doc_id,
+             CAST(10000 AS BIGINT) AS x0,
+             CAST(least(n_words, 1000) * 10 AS BIGINT) AS x1,
+             CAST(floor(stopword_ratio * 10000 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS x3,
+             CAST(floor(least(avg_word_len, 10.0) * 1000 + 0.5) AS BIGINT)
+               AS x4
+      FROM f)
+    SELECT doc_id FROM x WHERE {sig} >= {int(threshold)}
+    """
+
+
+@register(
+    "streaming_quality_admission_docs",
+    _quality_gate_oracle(_QUALITY_GATE_W),
+    doc="streaming admission under the TRAINED quality head, END-TO-END "
+        "through the real writeStream path "
+        "(streaming/pipeline.py:quality_admission_gate wrapping "
+        "shard_epoch_writer — the serving leg of "
+        "operators/training.py, frozen-artifact contract like the "
+        "mixture/KS/PSI gates): two availableNow passes over a growing "
+        "spool ingest two document slices as separate epochs, each "
+        "admitted iff the scan-stage integer score (featurize + "
+        "offset-DIV margin + hard sigmoid, ZERO Python, zero added "
+        "shuffle, no per-epoch state) reaches 500 milli — a pure "
+        "function of (text, weights), so the union of streamed epochs "
+        "equals the batch predicate regardless of micro-batch "
+        "boundaries, restarts or replays. The oracle replays the "
+        "identical integer formulas with the weight literals emitted "
+        "from one module constant.",
+)
+def streaming_quality_admission_docs(spark: SparkSession, sf_dir: str
+                                     ) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.streaming.pipeline import (
+        quality_admission_gate, shard_epoch_writer, stream_from_files)
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="sg_sqg_")
+    try:
+        src = root + "/src"
+        out = root + "/shards"
+        ckpt = root + "/ckpt"
+        b1.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        for phase in range(2):
+            gate = quality_admission_gate(
+                _QUALITY_GATE_W, "text",
+                shard_epoch_writer(out, "doc_id", "n_chars",
+                                   n_shards=2, checkpoint_dir=ckpt))
+            stream = stream_from_files(spark, src, schema)
+            q = (stream.writeStream.foreachBatch(gate)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            if phase == 0:
+                b2.coalesce(1).write.mode("append").parquet(src)
+        rows = [(r.id,) for r in
+                spark.read.parquet(out).select("id").collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+
+
 @register(
     "streaming_interval_join_events",
     """
@@ -13139,6 +13248,11 @@ _GATE_DEMOTED = [
     # the row-estimate / metadata probe SQL contract incl. the
     # quote-escaping rule — previously driver-untested (§2.1 probe row)
     "jdbc_probe_sql",
+    # NEW composition: the trained quality head serving as a
+    # scan-stage streaming admission gate (frozen weights, zero
+    # Python) through the real writeStream path — train in-engine,
+    # gate the stream
+    "streaming_quality_admission_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -1391,3 +1391,39 @@ def ks_drift_gate(reference, value_col: str, write_batch,
         write_batch(batch_df, epoch_id)
 
     return _apply
+
+
+def quality_admission_gate(weights_micro: list[int], text_col: str,
+                           write_batch, threshold_milli: int = 500):
+    """foreachBatch wrapper admitting documents the TRAINED linear
+    quality head scores at or above ``threshold_milli`` — the serving
+    leg of ``operators/training.py``: train
+    (:func:`~dativo_ingest_spark.operators.training.train_quality_logreg`)
+    ONCE on a reference corpus, freeze the 5 integer weights, and let
+    every epoch admit through the same deterministic score predicate
+    (the frozen-artifact contract :func:`mixture_admission_gate` and
+    the KS/PSI gates share).
+
+    Per row: admit iff ``quality_score_milli(text) >= threshold`` —
+    featurize + integer margin + hard sigmoid as ONE scan-stage Column
+    expression (zero Python, zero shuffle, no per-epoch state), so
+    admission is a pure function of (text, weights): replayed epochs
+    admit IDENTICAL rows, a restart changes nothing, and the admitted
+    stream equals the batch predicate over the union of all batches.
+    NULL text scores as empty text (total function — a gate must not
+    error on a malformed row).
+    """
+    from dativo_ingest_spark.operators.training import quality_score_milli
+
+    if not (0 <= int(threshold_milli) <= 1000):
+        raise ValueError("threshold_milli must be in [0, 1000]")
+    score = quality_score_milli(text_col, [int(w) for w in weights_micro])
+
+    def _admit(batch_df: DataFrame) -> DataFrame:
+        return batch_df.filter(score >= F.lit(int(threshold_milli)))
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        write_batch(_admit(batch_df), epoch_id)
+
+    _apply.admit = _admit          # exposed for batch-equality audits
+    return _apply

@@ -180,3 +180,83 @@ class TestPredict:
         expected = (zc + 2_000_000) // 4000
         got = predict_quality_logreg(docs, "doc_id", "text", w).first()
         assert got.score_milli == expected
+
+
+class TestQualityScoreExpr:
+    W = [-500_000, 800_000, 2_000_000, -5_000_000, 600_000]
+
+    def test_matches_predict_path_bit_for_bit(self, spark):
+        # the inline Column expression and the select-pipeline predict
+        # path must agree on every document (two featurization
+        # constructions, one integer contract)
+        from dativo_ingest_spark.queries import load
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        p = predict_quality_logreg(docs, "doc_id", "text", self.W) \
+            .select("id", "score_milli")
+        q = docs.select(
+            F.col("doc_id").alias("id"),
+            training.quality_score_milli("text", self.W).alias("s2"))
+        bad = p.join(q, "id") \
+            .filter(F.col("score_milli") != F.col("s2")).count()
+        assert bad == 0
+
+    def test_null_text_scores_as_empty(self, spark):
+        df = spark.createDataFrame([("a", None), ("b", "")],
+                                   "id string, text string")
+        got = df.select(
+            training.quality_score_milli("text", self.W).alias("s")) \
+            .collect()
+        assert got[0].s == got[1].s  # total function: NULL == empty
+
+    def test_rejects_bad_weights(self):
+        with pytest.raises(ValueError):
+            training.quality_score_milli("text", [1, 2, 3])
+        with pytest.raises(ValueError):
+            training.quality_score_milli("text", [W_MAX + 1, 0, 0, 0, 0])
+
+
+class TestStreamingQualityGate:
+    def test_admit_is_scan_stage(self, spark):
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.streaming.pipeline import (
+            quality_admission_gate)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        gate = quality_admission_gate(
+            TestQualityScoreExpr.W, "text", lambda df, e: None)
+        plan = gate.admit(docs)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "Exchange" not in plan, plan[:600]
+        assert "Python" not in plan
+        assert "Window" not in plan
+
+    def test_admit_equals_batch_predicate(self, spark):
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.streaming.pipeline import (
+            quality_admission_gate)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        gate = quality_admission_gate(
+            TestQualityScoreExpr.W, "text", lambda df, e: None,
+            threshold_milli=500)
+        admitted = {r.doc_id for r in
+                    gate.admit(docs).select("doc_id").collect()}
+        expected = {
+            r.doc_id for r in docs.select(
+                "doc_id",
+                training.quality_score_milli(
+                    "text", TestQualityScoreExpr.W).alias("s"))
+            .filter(F.col("s") >= 500).collect()}
+        assert admitted == expected and admitted  # non-empty split
+        assert len(admitted) < docs.count()
+
+    def test_threshold_validation(self):
+        from dativo_ingest_spark.streaming.pipeline import (
+            quality_admission_gate)
+        with pytest.raises(ValueError):
+            quality_admission_gate([0] * 5, "text", lambda d, e: None,
+                                   threshold_milli=1001)

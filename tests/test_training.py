@@ -260,3 +260,29 @@ class TestStreamingQualityGate:
         with pytest.raises(ValueError):
             quality_admission_gate([0] * 5, "text", lambda d, e: None,
                                    threshold_milli=1001)
+
+
+def test_classifier_pipeline_example_end_to_end(spark, tmp_path):
+    """examples/classifier_pipeline.py: train -> artifact -> batch grade
+    -> streaming gate, with batch/stream admission agreeing."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "classifier_pipeline",
+        os.path.join(os.path.dirname(__file__), os.pardir, "examples",
+                     "classifier_pipeline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from tests.conftest import SF_DIR
+
+    out = mod.build_classifier(spark, SF_DIR, str(tmp_path / "clf"),
+                               n_rounds=2)
+    assert set(out["weights"]) == set(FEATURES)
+    assert out["n_docs"] > 0
+    # the frozen-weights stream admits EXACTLY the batch-graded set
+    assert out["admitted_stream"] == out["admitted_batch"]
+    art = json.load(open(out["artifact"]))
+    assert art["weights_micro"] == [out["weights"][f] for f in FEATURES]
+    assert art["trainer"]["surrogate"] == "hard_sigmoid"

@@ -249,6 +249,9 @@ EXTENDED = [
     "retry_backoff_plan",
     "recipe_odcs_job_resolve",
     "jdbc_probe_sql",
+    # r11 batch 4: frozen-weights quality gate through a real
+    # two-epoch writeStream
+    "streaming_quality_admission_docs",
 ]
 
 

@@ -250,8 +250,9 @@ EXTENDED = [
     "recipe_odcs_job_resolve",
     "jdbc_probe_sql",
     # r11 batch 4: frozen-weights quality gate through a real
-    # two-epoch writeStream
+    # two-epoch writeStream; one-vs-rest multiclass grade training
     "streaming_quality_admission_docs",
+    "multiclass_grades_train_docs",
 ]
 
 

@@ -263,3 +263,91 @@ def predict_quality_logreg(
         score.cast("long").alias("score_milli"),
         (score >= F.lit(threshold_milli)).alias("predicted"),
     )
+
+
+def train_quality_grades(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_classes: int = 4,
+    n_rounds: int = 4,
+    lr_milli: int = 2000,
+) -> DataFrame:
+    """One-vs-rest multiclass trainer for the grade head — produces the
+    SAME (n_classes × 5) integer weight-matrix shape the vendored
+    ``models/quality_grades_v1.json`` inference artifact carries, so a
+    trained matrix drops straight into
+    ``textops.learned_classifier_infer(model=...)`` (argmax is
+    invariant to the micro-vs-milli scale; a common positive factor
+    cannot reorder logits).
+
+    One row per (class, feature): (class, feature, weight_micro).
+
+    Every round is still ONE distributed aggregate: the per-class
+    margins/sigmoids are sibling Column expressions in a single
+    projection, and the n_classes·5 gradient sums + n ride one
+    map-side-combinable agg row back to the driver (bounded:
+    classes × features integers). Same exactness contract as the
+    binary trainer — non-negative in-plan divisions, signed divisions
+    driver-side with DuckDB's truncation semantics. Labels outside
+    [0, n_classes) raise before any pass (a silent all-rest class
+    would train a head nobody asked for).
+    """
+    if n_classes < 2:
+        raise ValueError("n_classes must be >= 2")
+    if n_rounds < 0 or lr_milli < 0:
+        raise ValueError("n_rounds and lr_milli must be >= 0")
+    w = [[0] * len(FEATURES) for _ in range(n_classes)]
+
+    fixed = fixed_point_features(df, id_col, text_col, label_col) \
+        .filter(F.col("y").isNotNull())
+    bad = fixed.filter((F.col("y") < 0) | (F.col("y") >= n_classes)) \
+        .count()
+    if bad:
+        raise ValueError(
+            f"{bad} labels outside [0, {n_classes}); fix the label "
+            "column before training")
+    fixed = fixed.persist()
+    try:
+        for _ in range(n_rounds):
+            errs = [
+                (hard_sigmoid_milli(margin_micro(w[k]))
+                 - (F.col("y") == F.lit(k)).cast("long") * F.lit(1000))
+                .alias(f"_e{k}")
+                for k in range(n_classes)
+            ]
+            scored = fixed.select("*", *errs)
+            row = scored.agg(
+                *[F.sum(F.col(f"x{j}") * F.col(f"_e{k}"))
+                  .alias(f"g{k}_{j}")
+                  for k in range(n_classes)
+                  for j in range(len(FEATURES))],
+                F.count(F.lit(1)).alias("n")).first()
+            n = int(row["n"])
+            if n == 0:
+                break
+            for k in range(n_classes):
+                for j in range(len(FEATURES)):
+                    g = int(row[f"g{k}_{j}"])
+                    delta = _tdiv(lr_milli * _tdiv(g, n), X_SCALE)
+                    w[k][j] = max(-W_MAX, min(W_MAX, w[k][j] - delta))
+    finally:
+        fixed.unpersist()
+    out = [(k, FEATURES[j], w[k][j])
+           for k in range(n_classes) for j in range(len(FEATURES))]
+    return df.sparkSession.createDataFrame(
+        out, "class bigint, feature string, weight_micro bigint")
+
+
+def grades_model_from_weights(weights_df: DataFrame) -> dict:
+    """Fold a :func:`train_quality_grades` result into the vendored
+    artifact dict ``learned_classifier_infer`` consumes (collect is
+    classes×features — bounded)."""
+    rows = weights_df.collect()
+    n_classes = max(int(r["class"]) for r in rows) + 1
+    idx = {f: j for j, f in enumerate(FEATURES)}
+    W = [[0] * len(FEATURES) for _ in range(n_classes)]
+    for r in rows:
+        W[int(r["class"])][idx[r.feature]] = int(r.weight_micro)
+    return {"feature_names": list(FEATURES), "weights_milli": W}

@@ -10188,6 +10188,112 @@ def _logreg_oracle(n_rounds: int = 3, lr_milli: int = 2000) -> str:
     return f"WITH{body}\n    {final}"
 
 
+def _grades_oracle(n_classes: int = 4, n_rounds: int = 2,
+                   lr_milli: int = 2000) -> str:
+    """Unrolled one-vs-rest replay of train_quality_grades: the logreg
+    oracle's feature CTEs with the multiclass label, then per round one
+    gradient CTE carrying n_classes×5 sums and one weight-update CTE —
+    same engine-division contract as _logreg_oracle."""
+    w_max, off, xs, zs = 10_000_000, 5 * 10_000_000 * 10_000, 10_000, \
+        2_000_000
+    nf = 5
+    ctes = ["""
+    norm AS (
+      SELECT doc_id, text, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    wds AS (
+      SELECT doc_id, text, lang, t, string_split(t, ' ') AS words
+      FROM norm),
+    f AS (
+      SELECT doc_id, lang,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE length(replace(t, ' ', '')) / len(words) END, 4)
+               AS avg_word_len,
+             round(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE len(regexp_extract_all(text, '[.,;:!?]'))
+                        / length(text) END, 4) AS punct_ratio,
+             round(CASE WHEN len(words) = 0 THEN 0.0
+                   ELSE len(list_filter(words, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it'], x)))
+                        / len(words) END, 4) AS stopword_ratio
+      FROM wds),
+    x AS MATERIALIZED (
+      SELECT CAST(10000 AS BIGINT) AS x0,
+             CAST(least(n_words, 1000) * 10 AS BIGINT) AS x1,
+             CAST(floor(stopword_ratio * 10000 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(punct_ratio * 10000 + 0.5) AS BIGINT) AS x3,
+             CAST(floor(least(avg_word_len, 10.0) * 1000 + 0.5) AS BIGINT)
+               AS x4,
+             CAST(CASE lang WHEN 'en' THEN 0 WHEN 'de' THEN 1
+                  WHEN 'es' THEN 2 ELSE 3 END AS BIGINT) AS y
+      FROM f),
+    r0 AS (SELECT """ + ", ".join(
+        f"CAST(0 AS BIGINT) AS w{k}_{j}"
+        for k in range(n_classes) for j in range(nf)) + ")"]
+    for t in range(1, n_rounds + 1):
+        errs = []
+        for k in range(n_classes):
+            s = " + ".join(f"x{j} * w{k}_{j}" for j in range(nf))
+            errs.append(
+                f"((GREATEST(-{zs}, LEAST({zs}, ({s} + {off}) // {xs} "
+                f"- {off // xs})) + {zs}) // 4000) "
+                f"- CASE WHEN y = {k} THEN 1000 ELSE 0 END AS e{k}")
+        gsel = ", ".join(f"SUM(x{j} * e{k}) AS g{k}_{j}"
+                         for k in range(n_classes) for j in range(nf))
+        ctes.append(f"""
+    s{t} AS MATERIALIZED (
+      SELECT {gsel}, COUNT(*) AS n
+      FROM (SELECT x.*, {", ".join(errs)} FROM x, r{t - 1})),""")
+        wsel = ", ".join(
+            f"GREATEST(-{w_max}, LEAST({w_max}, r{t - 1}.w{k}_{j} "
+            f"- (({lr_milli} * (s{t}.g{k}_{j} // s{t}.n)) // {xs}))) "
+            f"AS w{k}_{j}"
+            for k in range(n_classes) for j in range(nf))
+        ctes.append(f"""
+    r{t} AS MATERIALIZED (
+      SELECT {wsel} FROM s{t}, r{t - 1})""")
+    names = ("bias", "words", "stopwords", "punct", "word_len")
+    final = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS class, '{names[j]}' AS feature, "
+        f"CAST(w{k}_{j} AS BIGINT) AS weight_micro FROM r{n_rounds}"
+        for k in range(n_classes) for j in range(nf))
+    body = ",".join(c.rstrip(",") for c in ctes)
+    return f"WITH{body}\n    {final}"
+
+
+@register(
+    "multiclass_grades_train_docs",
+    _grades_oracle(n_classes=4, n_rounds=2, lr_milli=2000),
+    doc="IN-ENGINE one-vs-rest training of the multiclass GRADE head "
+        "(operators/training.py:train_quality_grades — produces the "
+        "exact (classes × 5) integer weight-matrix shape the vendored "
+        "models/quality_grades_v1.json inference artifact carries, so "
+        "grades_model_from_weights drops a trained matrix straight "
+        "into learned_classifier_infer): 2 rounds, 4 classes from the "
+        "lang column (en/de/es/rest). Each round is STILL one "
+        "map-side-combinable aggregate — the per-class sigmoids are "
+        "sibling Column expressions in a single projection and the "
+        "4×5 gradient sums + n ride one agg row to the driver. Same "
+        "engine-division contract as logreg_train_quality_docs; the "
+        "oracle unrolls rounds with 20-weight CTE rows.",
+)
+def multiclass_grades_train_docs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import training
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "y",
+        F.when(F.col("lang") == "en", 0)
+        .when(F.col("lang") == "de", 1)
+        .when(F.col("lang") == "es", 2)
+        .otherwise(3).cast("long"))
+    return training.train_quality_grades(
+        docs, "doc_id", "text", "y", n_classes=4, n_rounds=2,
+        lr_milli=2000)
+
+
 @register(
     "logreg_train_quality_docs",
     _logreg_oracle(n_rounds=3, lr_milli=2000),
@@ -13253,6 +13359,10 @@ _GATE_DEMOTED = [
     # Python) through the real writeStream path — train in-engine,
     # gate the stream
     "streaming_quality_admission_docs",
+    # NEW operator: one-vs-rest multiclass grade-head training (the
+    # vendored quality_grades_v1 artifact SHAPE, retrained in-engine;
+    # one aggregate per round carries all class gradients)
+    "multiclass_grades_train_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)

@@ -286,3 +286,76 @@ def test_classifier_pipeline_example_end_to_end(spark, tmp_path):
     art = json.load(open(out["artifact"]))
     assert art["weights_micro"] == [out["weights"][f] for f in FEATURES]
     assert art["trainer"]["surrogate"] == "hard_sigmoid"
+
+
+class TestTrainGrades:
+    def test_two_class_head0_matches_binary_complement(self, spark):
+        # K=2 one-vs-rest: class-0's target is (y == 0), so its head
+        # must equal the binary trainer run on the complement label
+        docs = spark.createDataFrame(
+            [(f"d{i}", ("the of and " * (i % 5 + 1)) + "zz " * (i % 3),
+              i % 2) for i in range(20)],
+            "doc_id string, text string, y long")
+        grades = training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=2, n_rounds=3)
+        head0 = {r.feature: r.weight_micro
+                 for r in grades.filter(F.col("class") == 0).collect()}
+        binary = {r.feature: r.weight_micro for r in train_quality_logreg(
+            docs.withColumn("y0", (F.col("y") == 0).cast("long")),
+            "doc_id", "text", "y0", n_rounds=3).collect()}
+        assert head0 == binary
+
+    def test_argmax_recovers_separable_classes(self, spark):
+        # three disjoint text styles -> the trained matrix, dropped into
+        # the inference seam via grades_model_from_weights, must grade
+        # each style as its own class
+        from dativo_ingest_spark.operators.textops import (
+            learned_classifier_infer)
+
+        styles = ["the the the the the the the the ",
+                  "zq zq zq zq zq zq zq zq ",
+                  "a. b. c. d. e. f. g. h. "]
+        rows = [(f"c{k}_{i}", styles[k] * 4, k)
+                for k in range(3) for i in range(20)]
+        docs = spark.createDataFrame(
+            rows, "doc_id string, text string, y long")
+        weights = training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=3, n_rounds=8,
+            lr_milli=3000)
+        model = training.grades_model_from_weights(weights)
+        graded = learned_classifier_infer(docs, "doc_id", "text",
+                                          model=model)
+        joined = graded.join(
+            docs.select(F.col("doc_id").alias("id"), "y"), "id")
+        acc = joined.filter(F.col("grade") == F.col("y")).count() \
+            / joined.count()
+        assert acc > 0.9, acc
+
+    def test_label_range_enforced(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "x y z", 5)], "doc_id string, text string, y long")
+        with pytest.raises(ValueError, match="outside"):
+            training.train_quality_grades(docs, "doc_id", "text", "y",
+                                          n_classes=4, n_rounds=1)
+
+    def test_validation(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "x", 0)], "doc_id string, text string, y long")
+        with pytest.raises(ValueError):
+            training.train_quality_grades(docs, "doc_id", "text", "y",
+                                          n_classes=1)
+        with pytest.raises(ValueError):
+            training.train_quality_grades(docs, "doc_id", "text", "y",
+                                          n_rounds=-1)
+
+    def test_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(f"d{i}", "the and " * (i % 6 + 1), i % 3)
+             for i in range(30)], "doc_id string, text string, y long")
+        a = sorted(training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=3,
+            n_rounds=3).collect())
+        b = sorted(training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=3,
+            n_rounds=3).collect())
+        assert a == b

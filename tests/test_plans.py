@@ -949,3 +949,31 @@ def test_logreg_round_is_one_aggregate_no_python(spark):
     assert "Window" not in plan
     assert "Join" not in plan, plan[:900]
     assert plan.count("Exchange") <= 1, plan[:900]  # partial->final only
+
+
+def test_multiclass_round_is_one_aggregate_no_python(spark):
+    # one one-vs-rest round: all class sigmoids are sibling expressions
+    # in a single projection and the classes x features gradient sums
+    # fold through ONE partial/final aggregate — no Python, no window,
+    # no join, and no per-class pass over the corpus
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators.training import (
+        FEATURES, fixed_point_features, hard_sigmoid_milli, margin_micro)
+    from dativo_ingest_spark.queries import load
+
+    docs = load(spark, SF_DIR, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("long"))
+    fixed = fixed_point_features(docs, "doc_id", "text", "y")
+    errs = [(hard_sigmoid_milli(margin_micro([0] * len(FEATURES)))
+             - (F.col("y") == F.lit(k)).cast("long") * F.lit(1000))
+            .alias(f"_e{k}") for k in range(4)]
+    agg = fixed.select("*", *errs).agg(
+        *[F.sum(F.col(f"x{j}") * F.col(f"_e{k}")).alias(f"g{k}_{j}")
+          for k in range(4) for j in range(len(FEATURES))],
+        F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan, plan[:900]
+    assert plan.count("Exchange") <= 1, plan[:900]

@@ -275,6 +275,18 @@ def loadavg1() -> float:
 IDLE_LOADAVG_THRESHOLD = 1.5
 IDLE_WAIT_MAX_S = 600.0
 
+#: r12 (r11 verdict "What's wrong #1"): the headline phase gets its own
+#: bounded wait pool. Two sources of headline contamination were visible
+#: in the r8-r11 records: (a) the ingest subprocess immediately precedes
+#: pass 1, so the 1-minute loadavg at pass-1 start is partly OUR OWN
+#: decaying load — a short wait clears it; (b) external load that
+#: outlives the start gate. Both are handled the same way: wait (bounded,
+#: shared pool) before EACH pass, and if every pass still started above
+#: the gate, re-run instead of booking (up to MAX_HEADLINE_PASSES).
+HEADLINE_MIN_PASSES = 2
+HEADLINE_MAX_PASSES = 4
+HEADLINE_WAIT_POOL_S = 600.0
+
 
 def wait_for_idle(threshold: float = IDLE_LOADAVG_THRESHOLD,
                   max_wait_s: float = IDLE_WAIT_MAX_S) -> float:
@@ -492,18 +504,43 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
-    # Headline per-query best-of-2: the first run of the suite's first
-    # queries has repeatedly absorbed external-load / JIT noise (r01→r02
-    # showed 2.6× swings on q1 with zero plan change). min over two
-    # back-to-back runs pins the plan cost; both raw runs are recorded for
-    # transparency.
+    # Headline per-query best-of-N (N>=2): the first run of the suite's
+    # first queries has repeatedly absorbed external-load / JIT noise
+    # (r01→r02 showed 2.6× swings on q1 with zero plan change). min over
+    # back-to-back passes pins the plan cost; all raw runs are recorded
+    # for transparency. r12: each pass first waits (bounded, shared pool)
+    # for the box to go quiet — pass 1 otherwise inherits the ingest
+    # subprocess's own decaying load — and if EVERY pass still started
+    # above the idle gate, the bench re-runs (up to HEADLINE_MAX_PASSES)
+    # rather than booking a dirty record (r11 verdict: "re-run, don't
+    # book").
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    headline_loads = []
-    for _ in range(2):
+    headline_loads: list[float] = []
+    headline_waits: list[float] = []
+    wait_pool = HEADLINE_WAIT_POOL_S
+    while len(headline_loads) < HEADLINE_MAX_PASSES:
+        waited = wait_for_idle(max_wait_s=min(IDLE_WAIT_MAX_S, wait_pool))
+        wait_pool = max(0.0, wait_pool - waited)
+        headline_waits.append(waited)
         headline_loads.append(loadavg1())
         for name in HEADLINE:
             runs[name].append(run_once(name))
+        done_min = len(headline_loads) >= HEADLINE_MIN_PASSES
+        any_clean = any(
+            load <= IDLE_LOADAVG_THRESHOLD for load in headline_loads)
+        if done_min and (any_clean or wait_pool <= 0.0):
+            break
     timings = {name: min(ts) for name, ts in runs.items()}
+    headline_contaminated = all(
+        load > IDLE_LOADAVG_THRESHOLD for load in headline_loads)
+    # best CLEAN total: per-query min restricted to passes that started
+    # under the gate — the defensible round-over-round number when the
+    # official min happens to ride a dirty pass
+    clean_ix = [i for i, load in enumerate(headline_loads)
+                if load <= IDLE_LOADAVG_THRESHOLD]
+    total_clean = (
+        round(sum(min(ts[i] for i in clean_ix) for ts in runs.values()), 3)
+        if clean_ix else None)
 
     # Extended sweep: single pass over every other benched operator.
     extended: dict[str, float] = {}
@@ -526,10 +563,13 @@ def main() -> None:
                 "extended_total_s": round(sum(extended.values()), 3),
                 "sf": sf,
                 "ingest": ingest,
+                "headline_contaminated": headline_contaminated,
+                "headline_total_s_clean": total_clean,
                 "loadavg": {
                     "start": la_start,
                     "idle_waited_s": idle_waited,
                     "headline_runs": headline_loads,
+                    "headline_waits_s": headline_waits,
                     "end": loadavg1(),
                     "ncpu": os.cpu_count(),
                 },
@@ -558,6 +598,8 @@ def main() -> None:
                 "parquet_rows_per_s_clean": ingest.get(
                     "parquet_write_rows_per_s_clean"),
                 "ingest_contaminated": ingest.get("ingest_contaminated"),
+                "headline_contaminated": headline_contaminated,
+                "headline_total_s_clean": total_clean,
                 "isolated_jvm": ingest.get("isolated_jvm"),
                 "loadavg_start": la_start,
                 "n_headline": len(timings),

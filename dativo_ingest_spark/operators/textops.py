@@ -615,6 +615,13 @@ def learned_classifier_infer(
     (id, grade, top_logit) — ``grade`` is the argmax class index (ties →
     lowest index, deterministic), ``top_logit`` the winning integer logit.
 
+    Weight scale is free: ``grade`` is argmax-invariant to any common
+    positive factor, so milli-scale vendored artifacts and MICRO-scale
+    matrices from ``training.grades_model_from_weights`` both serve
+    unchanged — but ``top_logit``'s unit follows the artifact's scale
+    (micro-trained weights yield logits 1000× the vendored scale; check
+    the dict's ``weight_scale`` key before thresholding logits).
+
     Determinism / oracle story: features quantize to BIGINT 1e4-scale
     fixed point BEFORE inference (the 4dp-rounded ratios are exact at that
     scale) and the weights are integer milli-units, so every logit is an

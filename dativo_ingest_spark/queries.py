@@ -718,7 +718,10 @@ _DOC_GRAMS_CTE = """
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
-      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+      SELECT doc_id, text, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
     f AS (
       SELECT doc_id, text, t, words,
              len(list_filter(words, x -> list_contains(
@@ -2752,7 +2755,10 @@ def dq_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
-      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+      SELECT doc_id, text, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
     f AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_words,
@@ -8439,7 +8445,10 @@ def _quality_gate_oracle(weights: list[int], threshold: int = 500) -> str:
                                  '\s+', ' ', 'g')) AS t
       FROM documents),
     wds AS (
-      SELECT doc_id, text0, t, string_split(t, ' ') AS words FROM norm),
+      SELECT doc_id, text0, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
     f AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_words,
@@ -10057,7 +10066,10 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
-      SELECT doc_id, text, t, string_split(t, ' ') AS words FROM norm),
+      SELECT doc_id, text, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
     f AS (
       SELECT doc_id,
              CAST(len(words) AS BIGINT) AS n_words,
@@ -10134,7 +10146,9 @@ def _logreg_oracle(n_rounds: int = 3, lr_milli: int = 2000) -> str:
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     wds AS (
-      SELECT doc_id, text, lang, t, string_split(t, ' ') AS words
+      SELECT doc_id, text, lang, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
       FROM norm),
     f AS (
       SELECT doc_id, lang,
@@ -10203,7 +10217,9 @@ def _grades_oracle(n_classes: int = 4, n_rounds: int = 2,
              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     wds AS (
-      SELECT doc_id, text, lang, t, string_split(t, ' ') AS words
+      SELECT doc_id, text, lang, t,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
       FROM norm),
     f AS (
       SELECT doc_id, lang,
@@ -13230,142 +13246,353 @@ _GATE_DEMOTED = [
     # shares; training's argmax-round machinery remains oracle-checked
     # every CI run (bpe_train_merges_docs r10-proven)
     "bpe_train_merges_docs",
-    # --- r12 ROTATION QUEUE (registered + oracle-proven locally at 3
-    # SFs, not yet driver-windowed; first in line for the r12 window —
-    # the r9->r10 queue precedent) ------------------------------------
-    # cross-encoder reranking (the r10 verdict's stretch #6): fused
-    # top-k rescored under the vendored bilinear pair-scorer; the
-    # retrieval family keeps hybrid_retrieval_docs + bm25_topk_docs
-    # in-window meanwhile
-    "cross_encoder_rerank_docs",
-    # exact-substring >= L passage removal (the r10 verdict's Next #3
-    # contract made driver-provable); the passage family keeps the
-    # min_span=None sibling passage_removal_docs in-window meanwhile
-    "passage_exact_substring_docs",
-    # streaming mixture admission through the REAL writeStream path
-    # (the r10 verdict's stretch #7 made driver-provable; the
-    # streaming family keeps streaming_dedup_ingest_docs in-window)
-    "streaming_mixture_admission_docs",
-    # rerank quality meter (recall@5 + top-1 reciprocal rank vs the
-    # exact ranking — the retrieval sibling of the in-window
-    # ann_recall_ivfpq_embeddings meter)
-    "rerank_quality_embeddings",
-    # the mixture-admission topology fix itself: exact bucketed
-    # selection, driver-provable against the single-window oracle
-    # VERBATIM (set-identical by construction; host_cap_sample_docs
-    # keeps the window form in-window meanwhile)
-    "host_cap_bucketed_docs",
-    # the plugin SDK's distributed reader leg (spec-loaded class,
-    # task fan-out, mapInPandas seam) — previously driver-untested;
-    # deterministic synthetic sequence, oracle = a pure range scan
-    "plugin_partitioned_read",
-    # the LIVE JDBC incremental-read leg (pushed cursor predicate +
-    # 4-partition ranged fan-out over embedded Derby) — previously
-    # driver-untested; oracle = the same predicate over parquet
-    "jdbc_cursor_read_nation",
-    # the Airbyte-protocol engine bridge, live through a real
-    # subprocess (spool, re-batch, STATE ordering, noise filter) —
-    # previously driver-untested; oracle = the connector's formula
-    "airbyte_engine_read",
-    # the Drive CSV extraction leg (paged listing, mtime skip, spool,
-    # header-drift union) through the injectable client seam —
-    # previously driver-untested; oracle = the post-union VALUES
-    "gdrive_csv_extract",
-    # the Sheets extraction leg (A1 sheet!range, ragged pad,
-    # Drive-mtime skip) — previously driver-untested
-    "gsheets_extract",
-    # the JSONL contract source (all-string read, cross-file key
-    # union, nested-to-JSON-text degradation) — previously
-    # driver-untested
-    "jsonl_contract_read",
-    # the Stripe wrapper LIVE (config assembly asserted inside the
-    # connector subprocess: env-injected api_key, start_date default,
-    # objects override, cursor strategy; payments tags) — previously
-    # driver-untested (§2.1 Stripe/HubSpot row)
-    "stripe_engine_read",
-    # filesystem secrets manager + ${secret:...} placeholder
-    # resolution + the postgres required-secret gate — previously
-    # driver-untested (§3.2 secrets row)
-    "secrets_resolve_config",
-    # the OpenMetadata catalog REST sequence through a recorded
-    # transport (service get-or-create cached, table GET-miss→POST,
-    # typed-column PUT, lineage edge PUT) — previously driver-untested
-    # (§2.7 catalog push row)
-    "catalog_push_openmetadata",
-    # the scheduler's cron/interval fire-time computation (weekend
-    # jump, step minutes, interval chaining, cron-XOR-interval rule) —
-    # previously driver-untested (§2.8 scheduling row)
-    "cron_next_fires",
-    # the mode/role/registry gate as a computed decision matrix
-    # (cloud blocks the database family) — previously driver-untested
-    # (§2.2 mode/role/registry gate row)
-    "registry_mode_gate_matrix",
-    # the file-mtime incremental skip through the real listing diff
-    # (skip/changed/new + lookback override + cold start) —
-    # previously driver-untested (§2.2 file-mtime skip row)
-    "mtime_skip_files",
-    # the retry policy decision surface (capped exponential backoff,
-    # exit-code + pattern gating, run_with_retries attempt loop with
-    # injected sleep) — previously driver-untested (§2.8 retry row)
+    # --- r12 ROTATION (the r11 verdict's top ask: drain the 31-entry
+    # queue). 29 of the 31 queued queries rotate INTO the window this
+    # round; the 29 demotions below are all multi-round driver-proven
+    # (green rows listed per entry) and each leaves its family anchored
+    # in-window — the anchor is MACHINE-CHECKED via _DEMOTION_ANCHOR
+    # below (r11 verdict Next #3). The two entries that stay queued for
+    # r13 each have an in-window family sibling landing THIS round:
+    # retry_backoff_plan (scheduling family — cron_next_fires is
+    # in-window r12) and secrets_env_manager (secrets family —
+    # secrets_resolve_config is in-window r12).
     "retry_backoff_plan",
-    # NEW operator: in-engine training of the quality classifier
-    # (full-batch integer logistic descent, hard-sigmoid surrogate;
-    # one aggregate per round) — the beyond-reference other half of
-    # the classifier_infer_docs inference seam
-    "logreg_train_quality_docs",
-    # the MySQL BLOB→utf8/base64 rule in-plan (clean utf-8 decodes,
-    # invalid bytes fall back to base64 via the re-encode round-trip)
-    # — previously driver-untested (§2.1 MySQL BLOB row)
-    "mysql_blob_coercion",
-    # the plugin sandbox LIVE: gating matrix + a real jailed
-    # subprocess extract through SandboxedReader — previously
-    # driver-untested (§2.1 plugin-sandbox row)
-    "plugin_sandbox_jail_read",
-    # the custom writer plugin partition-parallel (write_batch file
-    # metadata fold + commit_files + read-back round-trip) —
-    # previously driver-untested (§2.7 custom writer plugin row)
-    "writer_plugin_roundtrip",
-    # the FULL run_job lifecycle (gate → union → strict validate →
-    # coercion ladder → sink → cursor state) read back from the sink —
-    # previously driver-untested (§3.1 lifecycle row)
-    "runner_csv_lifecycle",
-    # the Singer/Meltano tap bridge LIVE through a real subprocess
-    # (SCHEMA ignored, RECORD/STATE wire order, meltano argv) —
-    # previously driver-untested (§2.1 Singer/Meltano row)
-    "singer_engine_read",
-    # the decorated S3/MinIO upload path with a recorded client
-    # (metadata/tagging contract, hive-layout walk, _SUCCESS skip) —
-    # previously driver-untested (§2.7 S3/MinIO upload row)
-    "s3_upload_directory",
-    # connector-recipe resolution + Draft-7 job-schema validation +
-    # ODCS asset normalization (env expansion, option override,
-    # incremental defaults, deterministic contract id) — previously
-    # driver-untested (§3.2 job-dir/recipes/ODCS row)
-    "recipe_odcs_job_resolve",
-    # engine STATE persisted through the real store: commit-then-state
-    # ordering, atomic read-update-write merge, sibling-stream
-    # survival, cursor round-trip — previously driver-untested
-    # (§2.8 cursor state / STATE passthrough row)
-    "engine_state_passthrough",
-    # the ENV secret manager with injected environ (tenant scoping,
-    # GLOBAL gating, format hints) — widens the §3.2 secrets proof
-    # beyond the filesystem manager
     "secrets_env_manager",
-    # the row-estimate / metadata probe SQL contract incl. the
-    # quote-escaping rule — previously driver-untested (§2.1 probe row)
-    "jdbc_probe_sql",
-    # NEW composition: the trained quality head serving as a
-    # scan-stage streaming admission gate (frozen weights, zero
-    # Python) through the real writeStream path — train in-engine,
-    # gate the stream
-    "streaming_quality_admission_docs",
-    # NEW operator: one-vs-rest multiclass grade-head training (the
-    # vendored quality_grades_v1 artifact SHAPE, retrained in-engine;
-    # one aggregate per round carries all class gradients)
-    "multiclass_grades_train_docs",
+    # --- r12 demotions (green-row history in parentheses) -------------
+    # warn-mode column union + validation filter (r1-r11, 11 straight
+    # greens — the longest-proven query in the registry); the CSV /
+    # validation / warn-union family is anchored by the NEW in-window
+    # runner_csv_lifecycle, which drives the same union + validation
+    # machinery through the real run_job path
+    "warn_union_columns",
+    # streaming dedup-on-ingest (r8-r11); the persistent-ingest-index
+    # family keeps forget_readmit_docs (same index store + probe), and
+    # the real-writeStream family is anchored by the NEW
+    # streaming_quality_admission_docs / streaming_mixture_admission_docs
+    "streaming_dedup_ingest_docs",
+    # exact-n hash sampler (r9-r11); the sampler family is anchored by
+    # the NEW in-window host_cap_bucketed_docs (the bucketed admission
+    # topology — the family's 100 TB-critical shape)
+    "hash_sample_exact_n_docs",
+    # manifest metadata-table aggregate (r9-r11); the FsTable snapshot
+    # family keeps wap_publish_orders (write-audit-publish exercises
+    # snapshot commit + manifest read)
+    "manifest_agg_orders",
+    # blocklist gate (r9-r11); the scan-stage text-quality family keeps
+    # credit_card_luhn_docs (PII + Luhn, the same textops seam)
+    "blocklist_gate_docs",
+    # rollback (r9-r11) + time travel (r9-r11) + schema evolution
+    # (r9-r11): the snapshot-lifecycle family keeps wap_publish_orders,
+    # whose audit-branch publish runs snapshot pointers, branch refs and
+    # read-at-version through the same table_commit machinery
+    "rollback_orders",
+    "time_travel_orders",
+    "schema_evolution_orders",
+    # PPJoin prefix-filtered set-similarity (r9-r11); the near-dup
+    # candidate-pair family keeps dedup_quality_resolved (n-gram Jaccard
+    # candidates + CC resolution + quality argmax — the superset shape)
+    "setsim_prefix_pairs_docs",
+    # profiling trio (r10-r11): Gini concentration, Benford first-digit,
+    # dataset card — the profiling family keeps ks_drift_events (the
+    # same one-pass frozen-grid aggregate shape over events)
+    "gini_sources_docs",
+    "benford_orders",
+    "dataset_card_docs",
+    # analytics/experiment family (r10-r11 greens each): basket lift,
+    # chi-square, Mann-Whitney, A/B z-test all demote onto sprt_events —
+    # the family's hardest shape (sequential two-level bucket scan with
+    # the r11 signed-extrema fix), kept in-window
+    "basket_lift_events",
+    "chi_square_events",
+    "mannwhitney_events",
+    "ab_test_events",
+    # char-entropy quality gate (r10-r11) + unicode NFC normalize
+    # (r9-r11): scan-stage textops family keeps credit_card_luhn_docs
+    "char_entropy_docs",
+    "unicode_normalize_docs",
+    # referential-integrity guard (r10-r11); the DQ-guard family keeps
+    # join_fanout_orders (the fanout guard — same enforce machinery)
+    "referential_orders_customer",
+    # embedding isotropy report (r10-r11); the embedding-quality-meter
+    # family is anchored by the NEW in-window rerank_quality_embeddings
+    # (recall@5/MRR meter) next to ann_recall_ivfpq_embeddings
+    "embedding_isotropy_report",
+    # sketch-rollup serving (r9-r11); the mergeable-sketch family keeps
+    # sliding_distinct_hll_events (HLL state through parquet, the same
+    # serve-from-sketch contract)
+    "sketch_rollup_serving",
+    # sorted shard export (r9-r11); the deterministic-export family
+    # keeps export_shards_docs (md5 % N sharding, the core contract)
+    "sorted_export_orders",
+    # audio fingerprint dups (r9-r11); the multimodal family keeps
+    # image_dhash_pairs (the same banded equi-join + integer-kernel
+    # topology over binary columns)
+    "audio_fingerprint_dups",
+    # Kneser-Ney LM quality (r9-r11) + DoReMi domain weights (r10-r11):
+    # the LM/domain-weights family keeps dsir_weights_docs (unigram LM
+    # importance weights — the same vocab-grain join topology)
+    "kneser_ney_quality",
+    "doremi_weights_docs",
+    # residual IVF-PQ (r10-r11); the quantization family keeps
+    # ann_recall_ivfpq_embeddings, which RUNS the full ivfpq path
+    # (training, routing, ADC) inside its recall meter
+    "ivfpq_residual_embeddings",
+    # BM25 top-k (r9-r11); the retrieval family keeps
+    # hybrid_retrieval_docs (BM25 is its first leg) plus the NEW
+    # cross_encoder_rerank_docs on top of the same fused candidates
+    "bm25_topk_docs",
+    # incremental sessionizer (r9-r11); the stateful-window family
+    # keeps sliding_distinct_hll_events (windowed state over events),
+    # and the streaming sessionizer remains oracle-checked every CI run
+    "sessionize_incremental_events",
+    # classifier inference (r9-r11); the classifier family is anchored
+    # by the NEW in-window trainer pair (logreg_train_quality_docs,
+    # multiclass_grades_train_docs), which re-serve the identical
+    # featurize+weights seam — training is a superset of inference
+    "classifier_infer_docs",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)
+
+# ---------------------------------------------------------------------------
+# Demotion ledger, machine-checked (r11 verdict Next #3). Every demoted
+# query names the IN-WINDOW anchor that keeps its family driver-proven;
+# tests/test_rotation_ledger.py asserts (a) the keys are exactly
+# _GATE_DEMOTED, (b) every anchor is a registered, NON-demoted query —
+# so the keep-each-family-in-window discipline survives registry growth
+# instead of living in prose. Anchors are the family's hardest in-window
+# shape, per the rotation rationale comments above; where a family's
+# whole SQL surface is demoted (the TPC-H analogs), the anchor is the
+# in-window query that exercises the same join/agg machinery.
+# ---------------------------------------------------------------------------
+_DEMOTION_ANCHOR: dict[str, str] = {
+    # -- SQL agg / quantile shapes → the in-window histogram aggregate
+    "q1_pricing_summary": "equi_depth_bins_events",
+    "q6_revenue_forecast": "equi_depth_bins_events",
+    "agg_rollup_lineitem": "equi_depth_bins_events",
+    "agg_cube_events": "equi_depth_bins_events",
+    "agg_grouping_sets": "equi_depth_bins_events",
+    "agg_having_big_customers": "equi_depth_bins_events",
+    "agg_distinct_users_by_type": "equi_depth_bins_events",
+    "stats_summary_lineitem": "equi_depth_bins_events",
+    "pivot_event_type_by_user_bucket": "equi_depth_bins_events",
+    "approx_median_rank_check": "equi_depth_bins_events",
+    "quantile_clip_events": "equi_depth_bins_events",
+    "weighted_median_docs": "equi_depth_bins_events",
+    # -- TPC-H join/subquery shapes → the in-window salted fact-fact join
+    "q2_min_cost_supplier": "skew_salted_join_events",
+    "q3_shipping_priority": "skew_salted_join_events",
+    "q4_order_priority": "skew_salted_join_events",
+    "q5_region_revenue": "skew_salted_join_events",
+    "q7_volume_shipping": "skew_salted_join_events",
+    "q8_market_share": "skew_salted_join_events",
+    "q9_product_profit": "skew_salted_join_events",
+    "q10_returned_items": "skew_salted_join_events",
+    "q11_important_stock": "skew_salted_join_events",
+    "q12_late_shipments": "skew_salted_join_events",
+    "q13_customer_distribution": "skew_salted_join_events",
+    "q14_promo_effect": "skew_salted_join_events",
+    "q15_top_supplier": "skew_salted_join_events",
+    "q16_supplier_part_count": "skew_salted_join_events",
+    "q17_small_qty_revenue": "skew_salted_join_events",
+    "q18_large_orders": "skew_salted_join_events",
+    "q19_disjunctive_revenue": "skew_salted_join_events",
+    "q20_part_promotion_suppliers": "skew_salted_join_events",
+    "q21_waiting_suppliers": "skew_salted_join_events",
+    "q22_balance_opportunity": "skew_salted_join_events",
+    "join_left_order_nation": "skew_salted_join_events",
+    "join_semi_customers_with_orders": "skew_salted_join_events",
+    "join_anti_customers_without_orders": "skew_salted_join_events",
+    "subquery_above_avg_balance": "skew_salted_join_events",
+    "zorder_keys_events": "skew_salted_join_events",
+    "skew_report_events": "skew_salted_join_events",
+    # -- set ops: UNION-by-name rides the lifecycle's warn-union leg;
+    #    INTERSECT's semi-join shape rides the erasure query
+    "set_union_except": "runner_csv_lifecycle",
+    "set_intersect_segments": "forget_readmit_docs",
+    # -- coercion / validation / scalar exprs / partition derivation →
+    #    the full run_job lifecycle drives the same ladder + sink
+    "coerce_timestamp_ladder": "runner_csv_lifecycle",
+    "coerce_boolean_tokens": "runner_csv_lifecycle",
+    "contract_cast_strict_events": "runner_csv_lifecycle",
+    "na_sentinel_required_filter": "runner_csv_lifecycle",
+    "scalar_functions_orders": "runner_csv_lifecycle",
+    "partition_value_sanitize": "runner_csv_lifecycle",
+    "warn_union_columns": "runner_csv_lifecycle",
+    # -- incremental / cursor state
+    "incremental_state_update": "engine_state_passthrough",
+    "incremental_cursor_filter": "jdbc_cursor_read_nation",
+    "incremental_lookback_filter": "jdbc_cursor_read_nation",
+    # -- scan-stage text quality / PII / normalize
+    "lang_id_markers": "credit_card_luhn_docs",
+    "boilerplate_ngram_filter": "credit_card_luhn_docs",
+    "repetition_quality_docs": "credit_card_luhn_docs",
+    "text_quality_features": "credit_card_luhn_docs",
+    "gopher_rules_docs": "credit_card_luhn_docs",
+    "html_strip_docs": "credit_card_luhn_docs",
+    "flesch_reading_ease_docs": "credit_card_luhn_docs",
+    "pii_scrub_docs": "credit_card_luhn_docs",
+    "char_entropy_docs": "credit_card_luhn_docs",
+    "unicode_normalize_docs": "credit_card_luhn_docs",
+    "blocklist_gate_docs": "credit_card_luhn_docs",
+    # -- classifier featurize/infer → the in-window trainer pair
+    #    re-serves the identical featurize+weights seam
+    "quality_classifier_score": "logreg_train_quality_docs",
+    "classifier_infer_docs": "logreg_train_quality_docs",
+    "feature_hash_docs": "logreg_train_quality_docs",
+    # -- LM / domain-weights family
+    "unigram_logprob_quality": "dsir_weights_docs",
+    "bigram_logprob_quality": "dsir_weights_docs",
+    "kneser_ney_quality": "dsir_weights_docs",
+    "perplexity_bucket_mix": "dsir_weights_docs",
+    "doremi_weights_docs": "dsir_weights_docs",
+    "frequent_words_docs": "dsir_weights_docs",
+    "pmi_collocations_docs": "dsir_weights_docs",
+    # -- tokenizer family
+    "token_counts_docs": "token_count_bpe_v1_docs",
+    "token_count_bpe_docs": "token_count_bpe_v1_docs",
+    "bpe_train_merges_docs": "token_count_bpe_v1_docs",
+    # -- near-dup / resolution family (n-gram Jaccard + CC is the
+    #    superset shape)
+    "dedup_ngram_jaccard": "dedup_quality_resolved",
+    "dedup_exact_docs": "dedup_quality_resolved",
+    "dedup_minhash_lsh": "dedup_quality_resolved",
+    "dedup_simhash": "dedup_quality_resolved",
+    "dedup_corpus_resolved": "dedup_quality_resolved",
+    "dedup_lines_docs": "dedup_quality_resolved",
+    "embedding_dedup_resolved": "dedup_quality_resolved",
+    "semantic_dedup_pipeline": "dedup_quality_resolved",
+    "benchmark_decontamination": "dedup_quality_resolved",
+    "curation_pipeline": "dedup_quality_resolved",
+    "setsim_prefix_pairs_docs": "dedup_quality_resolved",
+    "doc_fingerprints": "dedup_quality_resolved",
+    # -- passage family
+    "passage_removal_docs": "passage_exact_substring_docs",
+    "duplicate_passage_ngrams": "passage_exact_substring_docs",
+    # -- persistent ingest-index family (index store + broadcast/bloom
+    #    probe; erasure exercises the same index)
+    "dedup_ingest_exact": "forget_readmit_docs",
+    "dedup_ingest_minhash": "forget_readmit_docs",
+    "dedup_ingest_embedding": "forget_readmit_docs",
+    "dedup_bloom_index_docs": "forget_readmit_docs",
+    "streaming_dedup_ingest_docs": "forget_readmit_docs",
+    # -- ANN / quantization family (the recall meter RUNS the full
+    #    ivfpq path)
+    "ann_topk_bruteforce": "ann_recall_ivfpq_embeddings",
+    "ann_topk_quantized": "ann_recall_ivfpq_embeddings",
+    "ann_topk_ivf": "ann_recall_ivfpq_embeddings",
+    "ivfpq_topk_embeddings": "ann_recall_ivfpq_embeddings",
+    "ivfpq_residual_embeddings": "ann_recall_ivfpq_embeddings",
+    "pq_adc_topk_embeddings": "ann_recall_ivfpq_embeddings",
+    "random_projection_embeddings": "ann_recall_ivfpq_embeddings",
+    "array_functions_embeddings": "ann_recall_ivfpq_embeddings",
+    "embedding_neardup_bucketed": "ann_recall_ivfpq_embeddings",
+    # -- retrieval / top-k ranking family
+    "bm25_topk_docs": "hybrid_retrieval_docs",
+    "rrf_fusion_topk": "hybrid_retrieval_docs",
+    "tfidf_top_terms": "hybrid_retrieval_docs",
+    "sort_limit_top_orders": "hybrid_retrieval_docs",
+    "grouped_topk_spenders": "hybrid_retrieval_docs",
+    # -- embedding-quality meters / candidate selection
+    "embedding_prototypicality": "rerank_quality_embeddings",
+    "hard_negatives_embeddings": "rerank_quality_embeddings",
+    "embedding_isotropy_report": "rerank_quality_embeddings",
+    # -- clustering / linkage
+    "kmeans_corpus_clusters": "kcenter_coreset_embeddings",
+    "fuzzy_name_match": "entity_resolution_customers",
+    # -- MDKV family
+    "mdkv_encode_docs": "mdkv_hybrid",
+    "mdkv_row_per_kv": "mdkv_hybrid",
+    "mdkv_document_level_stats": "mdkv_hybrid",
+    "json_props_extract": "mdkv_hybrid",
+    # -- sampler family (bucketed admission is the 100 TB-critical
+    #    topology)
+    "sample_stratified_by_lang": "host_cap_bucketed_docs",
+    "sample_hash_split": "host_cap_bucketed_docs",
+    "sample_token_budget": "host_cap_bucketed_docs",
+    "sample_token_budget_sharded": "host_cap_bucketed_docs",
+    "epoch_shuffle_order": "host_cap_bucketed_docs",
+    "group_aware_split_docs": "host_cap_bucketed_docs",
+    "host_cap_sample_docs": "host_cap_bucketed_docs",
+    "temperature_mixture_docs": "host_cap_bucketed_docs",
+    "systematic_sample_docs": "host_cap_bucketed_docs",
+    "hash_sample_exact_n_docs": "host_cap_bucketed_docs",
+    # -- chunk / pack family
+    "chunk_documents_sliding": "chunk_sentences_docs",
+    "chunk_pack_pipeline": "chunk_sentences_docs",
+    "pack_training_sequences": "chunk_sentences_docs",
+    # -- windowed / stateful time-series family
+    "window_running_value_per_user": "sliding_distinct_hll_events",
+    "window_lag_value_delta": "sliding_distinct_hll_events",
+    "window_topn_orders_per_customer": "sliding_distinct_hll_events",
+    "window_ntile_order_quartiles": "sliding_distinct_hll_events",
+    "window_time_range_frame": "sliding_distinct_hll_events",
+    "events_session_windows": "sliding_distinct_hll_events",
+    "events_tumbling_window": "sliding_distinct_hll_events",
+    "sliding_distinct_users": "sliding_distinct_hll_events",
+    "approx_distinct_users": "sliding_distinct_hll_events",
+    "cm_sketch_users": "sliding_distinct_hll_events",
+    "sketch_rollup_serving": "sliding_distinct_hll_events",
+    "gapfill_locf_event_value": "sliding_distinct_hll_events",
+    "ohlc_daily_events": "sliding_distinct_hll_events",
+    "cumulative_new_users_daily": "sliding_distinct_hll_events",
+    "sessionize_incremental_events": "sliding_distinct_hll_events",
+    # -- point-in-time / range / as-of joins
+    "asof_last_purchase_before_click": "scd2_pit_join_events",
+    "range_join_error_purchase": "scd2_pit_join_events",
+    "events_interval_join": "scd2_pit_join_events",
+    "scd2_user_event_history": "scd2_pit_join_events",
+    # -- analytics / experiment family (SPRT is the hardest shape)
+    "funnel_view_click_purchase": "sprt_events",
+    "event_transitions_markov": "sprt_events",
+    "attribution_last_touch": "sprt_events",
+    "attribution_time_decay": "sprt_events",
+    "cohort_retention_weekly": "sprt_events",
+    "anomaly_zscore_events": "sprt_events",
+    "corr_by_type_events": "sprt_events",
+    "mad_outlier_events": "sprt_events",
+    "cusum_changepoint_events": "sprt_events",
+    "pareto_abc_parts": "sprt_events",
+    "basket_lift_events": "sprt_events",
+    "chi_square_events": "sprt_events",
+    "mannwhitney_events": "sprt_events",
+    "ab_test_events": "sprt_events",
+    # -- profiling / drift family
+    "profile_columns_events": "ks_drift_events",
+    "psi_drift_events": "ks_drift_events",
+    "unigram_drift_docs": "ks_drift_events",
+    "fd_discovery_orders": "ks_drift_events",
+    "gini_sources_docs": "ks_drift_events",
+    "benford_orders": "ks_drift_events",
+    "dataset_card_docs": "ks_drift_events",
+    # -- DQ guards
+    "dq_expectations_events": "join_fanout_orders",
+    "referential_orders_customer": "join_fanout_orders",
+    # -- FsTable snapshot lifecycle family
+    "merge_upsert_orders": "wap_publish_orders",
+    "cdc_rollup_orders": "wap_publish_orders",
+    "rollup_incremental_events": "wap_publish_orders",
+    "snapshot_changes_orders": "wap_publish_orders",
+    "delete_where_orders": "wap_publish_orders",
+    "compact_roundtrip_orders": "wap_publish_orders",
+    "stats_prune_read_orders": "wap_publish_orders",
+    "manifest_agg_orders": "wap_publish_orders",
+    "rollback_orders": "wap_publish_orders",
+    "time_travel_orders": "wap_publish_orders",
+    "schema_evolution_orders": "wap_publish_orders",
+    # -- export family
+    "sorted_export_orders": "export_shards_docs",
+    # -- multimodal family
+    "audio_fingerprint_dups": "image_dhash_pairs",
+    "multimodal_byte_stats": "image_dhash_pairs",
+    # -- streaming (real writeStream) family
+    "streaming_watermark_rollup_events": "streaming_quality_admission_docs",
+    "streaming_interval_join_events": "streaming_quality_admission_docs",
+    "streaming_sessionize_events": "streaming_quality_admission_docs",
+    # -- r13 queue: each anchored by the sibling landing in-window r12
+    "retry_backoff_plan": "cron_next_fires",
+    "secrets_env_manager": "secrets_resolve_config",
+}
 
 # the registration-order footgun, made loud: a new @register without a
 # matching demotion pushes the newest query silently outside the proof

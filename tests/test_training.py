@@ -359,3 +359,130 @@ class TestTrainGrades:
             docs, "doc_id", "text", "y", n_classes=3,
             n_rounds=3).collect())
         assert a == b
+
+
+class TestBinaryLabelGuard:
+    def test_out_of_range_labels_raise(self, spark):
+        # ADVICE r11: a stray y=2 would push err outside [-1000, 1000],
+        # voiding the int64 gradient bound and silently training a
+        # non-logistic objective — mirror the multiclass guard
+        docs = _docs(spark, [("a", "the end", 1), ("b", "of it", 2)])
+        with pytest.raises(ValueError, match="outside"):
+            train_quality_logreg(docs, "doc_id", "text", "y", n_rounds=1)
+
+    def test_negative_labels_raise(self, spark):
+        docs = _docs(spark, [("a", "the end", 0), ("b", "of it", -1)])
+        with pytest.raises(ValueError, match="outside"):
+            train_quality_logreg(docs, "doc_id", "text", "y", n_rounds=1)
+
+    def test_null_labels_still_excluded_not_rejected(self, spark):
+        docs = _docs(spark, [("a", "the end", 1), ("b", "of it", None)])
+        out = train_quality_logreg(docs, "doc_id", "text", "y",
+                                   n_rounds=1)
+        assert out.count() == len(FEATURES)
+
+
+class TestTwoLevel:
+    def test_bit_identical_to_single_aggregate(self, spark):
+        # r11 verdict Next #6: the (bucket, partial-sums) round must be
+        # BIT-identical to the single-aggregate path — integer addition
+        # is exact, so only the topology changes
+        docs = _docs(spark, [
+            (f"d{i}", ("the of and to in " * (i % 7 + 1))
+             + "xyz " * (i % 4), i % 2) for i in range(40)])
+        single = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=3).collect())
+        for buckets in (1, 3, 16):
+            two = sorted(train_quality_logreg(
+                docs, "doc_id", "text", "y", n_rounds=3,
+                two_level=buckets).collect())
+            assert two == single, buckets
+
+    def test_bucket_count_validated(self, spark):
+        docs = _docs(spark, [("a", "x", 1)])
+        with pytest.raises(ValueError, match="two_level"):
+            train_quality_logreg(docs, "doc_id", "text", "y",
+                                 two_level=0)
+
+    def test_empty_frame_two_level(self, spark):
+        docs = spark.createDataFrame(
+            [], "doc_id string, text string, y long")
+        out = train_quality_logreg(docs, "doc_id", "text", "y",
+                                   n_rounds=2, two_level=4)
+        # zero rows: weights stay at init (0), no crash on empty groupBy
+        assert all(r.weight_micro == 0 for r in out.collect())
+
+
+class TestArtifactScale:
+    def test_weight_scale_marker(self, spark):
+        # ADVICE r11: trained weights are micro-scale under the
+        # vendored artifact's weights_milli key — the dict must say so
+        docs = spark.createDataFrame(
+            [(f"d{i}", "the and " * (i % 6 + 1), i % 2)
+             for i in range(12)], "doc_id string, text string, y long")
+        weights = training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=2, n_rounds=1)
+        model = training.grades_model_from_weights(weights)
+        assert model["weight_scale"] == training.MICRO
+        # the vendored artifact declares milli under the same schema key
+        from dativo_ingest_spark.operators.textops import (
+            load_quality_grade_model)
+        assert load_quality_grade_model()["weight_scale"] == 1000
+
+
+class TestEmptyDocOracleParity:
+    """ADVICE r11 (medium): DuckDB's string_split('', ' ') returns ['']
+    so an empty/whitespace-only document yielded n_words=1/x1=10 in the
+    trainer/gate/infer oracles vs 0/0 in Spark. The oracles now guard
+    with CASE WHEN t = '' THEN [] — this pins parity on a corpus that
+    CONTAINS such documents (the sf fixtures do not)."""
+
+    ROWS = [
+        ("d0", "the quick brown fox, it jumps!", "en"),
+        ("d1", "", "de"),                      # empty
+        ("d2", "   ", "es"),                   # whitespace-only
+        ("d3", "la la la of the in to.", "en"),
+        ("d4", None, "fr"),                    # NULL text
+        ("d5", "ein zwei drei vier; und so.", "de"),
+    ]
+
+    def _duck(self, tmp_path, spark):
+        import duckdb as _dd
+        pq = str(tmp_path / "documents.parquet")
+        spark.createDataFrame(
+            self.ROWS, "doc_id string, text string, lang string"
+        ).toPandas().to_parquet(pq)
+        con = _dd.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+        return con
+
+    def test_logreg_trainer_parity_with_empty_docs(self, spark, tmp_path):
+        from dativo_ingest_spark.queries import QUERIES
+        con = self._duck(tmp_path, spark)
+        oracle = QUERIES["logreg_train_quality_docs"].oracle
+        want = sorted(con.execute(oracle).fetchall())
+        docs = spark.createDataFrame(
+            self.ROWS, "doc_id string, text string, lang string"
+        ).withColumn("y", (F.col("lang") == "en").cast("long"))
+        got = sorted(
+            (r.feature, r.weight_micro, r.grad_sum_last)
+            for r in train_quality_logreg(
+                docs, "doc_id", "text", "y", n_rounds=3,
+                lr_milli=2000).collect())
+        assert got == want
+
+    def test_quality_gate_parity_with_empty_docs(self, spark, tmp_path):
+        from dativo_ingest_spark.operators.training import (
+            quality_score_milli)
+        from dativo_ingest_spark.queries import _QUALITY_GATE_W, \
+            _quality_gate_oracle
+        con = self._duck(tmp_path, spark)
+        want = sorted(r[0] for r in con.execute(
+            _quality_gate_oracle(_QUALITY_GATE_W)).fetchall())
+        docs = spark.createDataFrame(
+            self.ROWS, "doc_id string, text string, lang string")
+        got = sorted(
+            r.doc_id for r in docs.filter(
+                quality_score_milli("text", _QUALITY_GATE_W) >= 500
+            ).select("doc_id").collect())
+        assert got == want

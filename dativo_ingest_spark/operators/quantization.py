@@ -236,6 +236,32 @@ def pq_encode(
         "id", _pq_assign_udf(codebooks)(F.col("qvec")).alias("codes"))
 
 
+def pq_reconstruct(codes, codebooks: Sequence[Sequence[Sequence[float]]],
+                   scale: int = 10_000):
+    """Decode a PQ ``codes`` array Column back to its reconstruction
+    ``x̂`` in RAW (unscaled) units — the concatenation of each
+    subspace's centroid divided by the training grid ``scale``.
+
+    A pure Catalyst expression: the m×k×sub codebook rides as one
+    nested array literal (KBs — the same budget pq_adc_topk's LUT uses)
+    and each row costs m ``element_at`` lookups plus one flatten; no
+    Python, no shuffle. This is the serving half of the PQ-coded
+    persistent embedding index (similarity.index_entries_pq): codes are
+    ~m·1B against dim·8B raw vectors, and reconstruction happens only on
+    the index slice a batch's cells actually touch."""
+    m = len(codebooks)
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(x) / scale) for x in cvec])
+                  for cvec in codebooks[j]])
+        for j in range(m)
+    ])
+    return F.flatten(F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.element_at(
+            F.element_at(cb_lit, (j + 1).cast("int")),
+            (F.element_at(codes, (j + 1).cast("int")) + 1).cast("int"))))
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: dict,

@@ -512,6 +512,9 @@ def dedup_embeddings_against_index(
     branch: str = "main",
     commit: bool = True,
     max_cell_size: int | None = MAX_CELL_SIZE_DEFAULT,
+    index_codec: str = "raw",
+    codebooks=None,
+    scale: int = 10_000,
 ):
     """Embedding near-dup-on-ingest: drop batch rows whose embedding the
     corpus has already (approximately) seen, then record the survivors —
@@ -558,11 +561,30 @@ def dedup_embeddings_against_index(
     log2(N_index / target_cell) (e.g. 20 bits ≈ 1M cells/band for a
     billion-row index) so per-band cells stay constant-sized; wider
     bands trade near-dup recall, which ``bands`` buys back linearly.
+
+    ``index_codec="pq"`` (r11 verdict Next #5 — the FAISS storage leg):
+    the persistent index stores PQ CODES instead of raw vectors
+    (``index_entries_pq`` — m small ints + the true norm per row vs
+    dim doubles, ~8–16× smaller on disk), and index-side scoring uses
+    the reconstruction ``x̂`` (``quantization.pq_reconstruct``, decoded
+    IN-PLAN only on the index slice the batch's cells touch) with the
+    STORED true norm in the denominator:
+    ``cos ≈ <q, x̂> / (|q| · |x|)``. Within-batch dedup still scores
+    exact raw cosines (the batch carries its vectors). Pass the
+    ``codebooks``/``scale`` the index was encoded under — mismatched
+    codebooks silently mis-reconstruct. Recall vs the raw index is
+    bounded by quantization error (pinned by tests); the band/cell
+    topology, commit atomicity and counters are codec-independent.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if bands < 1 or band_width < 1:
         raise ValueError("bands and band_width must be >= 1")
+    if index_codec not in ("raw", "pq"):
+        raise ValueError(f"index_codec must be 'raw' or 'pq', got "
+                         f"{index_codec!r}")
+    if index_codec == "pq" and not codebooks:
+        raise ValueError("index_codec='pq' requires trained codebooks")
     staged = batch.withColumn(
         "_vec", vectors.as_double_array(F.col(vec_col)))
     staged = staged.withColumn("_norm", vectors.l2_norm(F.col("_vec")))
@@ -604,9 +626,16 @@ def dedup_embeddings_against_index(
         index_table.create_branch(branch)
     head = index_table.snapshot(index_table.current_version(branch))
     if head.files:
-        index = index_table.read(spark, branch=branch).select(
-            F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
-            F.col("vec").alias("_ix_vec"), F.col("norm").alias("_ix_norm"))
+        if index_codec == "pq":
+            index = index_table.read(spark, branch=branch).select(
+                F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
+                F.col("codes").alias("_ix_codes"),
+                F.col("norm").alias("_ix_norm"))
+        else:
+            index = index_table.read(spark, branch=branch).select(
+                F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
+                F.col("vec").alias("_ix_vec"),
+                F.col("norm").alias("_ix_norm"))
         # prune the index to the cells this batch actually touches BEFORE
         # the scoring join: the batch's distinct band keys broadcast into
         # a semi filter over the index SCAN, so the big index is never
@@ -617,6 +646,17 @@ def dedup_embeddings_against_index(
             index = index.join(
                 F.broadcast(keyed.select("_key").distinct()),
                 "_key", "left_semi")
+        if index_codec == "pq":
+            # decode AFTER the semi prune: only the touched slice pays
+            # the m-lookup reconstruction; the codes column never enters
+            # the scoring exchange
+            from dativo_ingest_spark.operators.quantization import (
+                pq_reconstruct)
+
+            index = index.withColumn(
+                "_ix_vec",
+                pq_reconstruct(F.col("_ix_codes"), codebooks, scale)
+            ).drop("_ix_codes")
         icos = _pair_cosine("_vec", "_ix_vec", "_norm", "_ix_norm")
         index_hits = (
             keyed.join(index, "_key")
@@ -654,9 +694,13 @@ def dedup_embeddings_against_index(
 
         # coalesced append: see dedup.dedup_against_index — avoids one
         # near-empty index file per shuffle partition per batch
+        entries = (
+            index_entries_pq(kept, id_col, vec_col, codebooks,
+                             bands, band_width, scale)
+            if index_codec == "pq"
+            else index_entries(kept, id_col, vec_col, bands, band_width))
         index_table.write_append(
-            index_entries(kept, id_col, vec_col, bands, band_width)
-            .coalesce(index_append_partitions(n_kept * bands)),
+            entries.coalesce(index_append_partitions(n_kept * bands)),
             branch=branch,
         )
     staged.unpersist()
@@ -687,6 +731,69 @@ def index_entries(
         F.explode(sign_band_keys(F.col("_vec"), bands, band_width))
         .alias("key"),
         F.col("_vec").alias("vec"),
+        vectors.l2_norm(F.col("_vec")).alias("norm"),
+    )
+
+
+def index_entries_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    bands: int = 4,
+    band_width: int = 8,
+    scale: int = 10_000,
+) -> DataFrame:
+    """The PQ-coded banded index rows — what
+    :func:`dedup_embeddings_against_index` commits under
+    ``index_codec="pq"`` (``bands`` rows per document: id, band key,
+    PQ ``codes``, TRUE raw-unit L2 ``norm``). Codes store as the
+    narrowest integer type that holds ``k`` (tinyint ≤ 128 codes,
+    else smallint ≤ 32768, else long), so a d=64 float64 vector
+    (512 B) indexes as m small ints + one double — the ~8–16×
+    storage cut that makes a 100 TB embedding index concrete. Same
+    deterministic-expression contract as :func:`index_entries`: pass
+    the SAME bands/band_width/codebooks/scale on every batch."""
+    from dativo_ingest_spark.operators.quantization import (
+        _pq_assign_udf, _subspace_bounds)
+    from dativo_ingest_spark.operators.clustering import (
+        INLINE_LITERAL_BUDGET)
+    from dativo_ingest_spark.operators.quantization import _assign_inline
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = m * sub
+    code_t = "tinyint" if k <= 128 else ("smallint" if k <= 32768
+                                         else "long")
+    staged = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        vectors.as_double_array(F.col(vec_col)).alias("_vec"),
+    ).withColumn(
+        "qvec",
+        F.transform("_vec", lambda x: F.round(x * scale).cast("long")))
+    if k * dim <= INLINE_LITERAL_BUDGET:
+        sliced = staged.select(
+            "id", "_vec",
+            *[F.slice("qvec", s, ln).alias(f"_s{j}")
+              for j, (s, ln) in enumerate(_subspace_bounds(dim, m))])
+        codes = F.array(*[
+            _assign_inline(f"_s{j}", codebooks[j]).cast(code_t)
+            for j in range(m)])
+    else:
+        sliced = staged
+        codes = _pq_assign_udf(codebooks)(F.col("qvec")) \
+            .cast(f"array<{code_t}>")
+    # codes materialize in their OWN projection: a generator (explode)
+    # in the same select rewrites sibling expressions through Generate,
+    # which strips the argmin structs' field aliases and breaks
+    # resolution (FIELD_NOT_FOUND col1/col2)
+    coded = sliced.select("id", "_vec", codes.alias("codes"))
+    return coded.select(
+        "id",
+        F.explode(sign_band_keys(F.col("_vec"), bands, band_width))
+        .alias("key"),
+        "codes",
         vectors.l2_norm(F.col("_vec")).alias("norm"),
     )
 

@@ -866,3 +866,174 @@ class TestEmbeddingIsotropy:
                                    "vec_id bigint, embedding array<double>")
         with _pytest.raises(ValueError, match="scale"):
             embedding_isotropy(df, "vec_id", "embedding", scale=500)
+
+
+class TestPqCodedIndex:
+    """PQ-coded persistent embedding index (r11 verdict Next #5):
+    index_codec='pq' stores codes + true norm instead of raw vectors;
+    scoring reconstructs in-plan. Pins (a) recall vs the raw-vector
+    index on engineered geometry, (b) the on-disk size ratio, (c) the
+    commit/read round-trip through the real FsTable."""
+
+    DIM, M, K = 16, 4, 4
+
+    def _table(self, tmp_path, name):
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        return FsTable.create(str(tmp_path / name))
+
+    @staticmethod
+    def _frame(spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id string, embedding array<double>")
+
+    def _clustered(self, n_per=6):
+        # K well-separated axis clusters with tiny per-point jitter:
+        # quantization reconstructs near-exactly, so pq and raw agree
+        import random
+        rng = random.Random(7)
+        rows = []
+        for c in range(self.K):
+            center = [0.0] * self.DIM
+            for d in range(self.DIM):
+                center[d] = 10.0 if (d % self.K) == c else 1.0 + 0.1 * d
+            for i in range(n_per):
+                # id order interleaves clusters: pq_train seeds from the
+                # k lowest ids, which must span the cluster structure
+                rows.append((f"{i:02d}_c{c}",
+                             [x + rng.uniform(-0.01, 0.01)
+                              for x in center]))
+        return rows
+
+    def _codebooks(self, spark, rows):
+        from dativo_ingest_spark.operators import quantization as Q
+
+        corpus = self._frame(spark, rows)
+        return Q.pq_train(corpus, "doc_id", "embedding",
+                          m=self.M, k=self.K, n_iter=2)
+
+    def test_pq_matches_raw_on_clustered_corpus(self, spark, tmp_path):
+        rows = self._clustered()
+        cbs = self._codebooks(spark, rows)
+        seed = self._frame(spark, rows)
+        t_raw = self._table(tmp_path, "raw")
+        t_pq = self._table(tmp_path, "pq")
+        k1, _, _ = similarity.dedup_embeddings_against_index(
+            spark, seed, "doc_id", "embedding", t_raw, threshold=0.999)
+        k1.unpersist()
+        k2, _, _ = similarity.dedup_embeddings_against_index(
+            spark, seed, "doc_id", "embedding", t_pq, threshold=0.999,
+            index_codec="pq", codebooks=cbs)
+        k2.unpersist()
+
+        # probe batch: one near-dup per cluster + two novel vectors
+        import random
+        rng = random.Random(11)
+        probe = []
+        for c in range(self.K):
+            center = [0.0] * self.DIM
+            for d in range(self.DIM):
+                center[d] = 10.0 if (d % self.K) == c else 1.0 + 0.1 * d
+            probe.append((f"p{c}", [x + rng.uniform(-0.005, 0.005)
+                                    for x in center]))
+        probe.append(("novel0",
+                      [float((-1) ** i) * (i + 1)
+                       for i in range(self.DIM)]))
+        probe.append(("novel1",
+                      [float(i % 5) - 2.0 for i in range(self.DIM)]))
+        pb = self._frame(spark, probe)
+        kr, _, raw_dups = similarity.dedup_embeddings_against_index(
+            spark, pb, "doc_id", "embedding", t_raw, threshold=0.999,
+            commit=False)
+        kp, _, pq_dups = similarity.dedup_embeddings_against_index(
+            spark, pb, "doc_id", "embedding", t_pq, threshold=0.999,
+            index_codec="pq", codebooks=cbs, commit=False)
+        raw_kept = sorted(r.doc_id for r in kr.collect())
+        pq_kept = sorted(r.doc_id for r in kp.collect())
+        kr.unpersist(); kp.unpersist()
+        # the raw index catches every cluster probe, keeps the novels
+        assert raw_kept == ["novel0", "novel1"] and raw_dups == self.K
+        # pq recall vs raw on this geometry: identical admitted set
+        assert pq_kept == raw_kept and pq_dups == raw_dups
+
+    def test_replay_caught_and_committed_codes_roundtrip(
+            self, spark, tmp_path):
+        rows = self._clustered()
+        cbs = self._codebooks(spark, rows)
+        t_pq = self._table(tmp_path, "pq")
+        seed = self._frame(spark, rows)
+        k1, _, _ = similarity.dedup_embeddings_against_index(
+            spark, seed, "doc_id", "embedding", t_pq, threshold=0.99,
+            index_codec="pq", codebooks=cbs)
+        n1 = k1.count(); k1.unpersist()
+        # at 0.99 each cluster batch-dedups to one admitted survivor
+        assert n1 == self.K
+        # replay: the in-batch losers drop first again; every admitted
+        # survivor's exact vector reconstructs within the quantization
+        # error of itself -> caught as an index dup
+        k2, _, index_dups = similarity.dedup_embeddings_against_index(
+            spark, seed, "doc_id", "embedding", t_pq, threshold=0.99,
+            index_codec="pq", codebooks=cbs, commit=False)
+        assert k2.count() == 0 and index_dups == n1
+        k2.unpersist()
+        # index schema: codes are narrow ints, no raw vector column
+        ix = t_pq.read(spark)
+        assert set(ix.columns) == {"id", "key", "codes", "norm"}
+        el = dict(ix.schema["codes"].dataType.jsonValue())
+        assert el["elementType"] in ("byte", "short")
+
+    def test_index_size_ratio(self, spark, tmp_path):
+        import os
+
+        rows = self._clustered(n_per=64)
+        cbs = self._codebooks(spark, rows)
+        df = self._frame(spark, rows)
+        raw = similarity.index_entries(df, "doc_id", "embedding")
+        pq = similarity.index_entries_pq(df, "doc_id", "embedding", cbs)
+        p_raw = str(tmp_path / "raw_ix"); p_pq = str(tmp_path / "pq_ix")
+        raw.coalesce(1).write.parquet(p_raw)
+        pq.coalesce(1).write.parquet(p_pq)
+
+        def _bytes(p):
+            return sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p) if f.endswith(".parquet"))
+
+        ratio = _bytes(p_raw) / _bytes(p_pq)
+        # dim=16 float64 (128 B) vs m=4 codes + norm: parquet overhead
+        # eats some of it, but the cut must stay material; at dim 768
+        # the same codec is ~100x
+        assert ratio >= 3.0, ratio
+
+    def test_pq_validation(self, spark, tmp_path):
+        import pytest
+
+        t = self._table(tmp_path, "v")
+        b = self._frame(spark, [("a", [1.0] * self.DIM)])
+        with pytest.raises(ValueError, match="codebooks"):
+            similarity.dedup_embeddings_against_index(
+                spark, b, "doc_id", "embedding", t, index_codec="pq")
+        with pytest.raises(ValueError, match="index_codec"):
+            similarity.dedup_embeddings_against_index(
+                spark, b, "doc_id", "embedding", t, index_codec="ivf")
+
+    def test_reconstruction_matches_codebook_lookup(self, spark):
+        # pq_reconstruct must equal the driver-side decode exactly
+        import pytest
+
+        from dativo_ingest_spark.operators import quantization as Q
+
+        rows = self._clustered()
+        cbs = self._codebooks(spark, rows)
+        df = self._frame(spark, rows[:5])
+        codes = Q.pq_encode(df, "doc_id", "embedding", cbs)
+        got = {r["id"]: r["xhat"] for r in codes.select(
+            "id", Q.pq_reconstruct(F.col("codes"), cbs).alias("xhat")
+        ).collect()}
+        want = {}
+        for r in codes.collect():
+            flat = []
+            for j, c in enumerate(r["codes"]):
+                flat.extend(x / 10_000 for x in cbs[j][int(c)])
+            want[r["id"]] = flat
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), k

@@ -1,0 +1,133 @@
+"""Empirical scaling probe for the heavy near-dup family (r11 verdict
+Next #4): the no-pair-join / linear-work claims are plan-gated, but plan
+shape is not a growth curve. This module GENERATES synthetic corpora at
+1×, 4× and 8× the sf0.1 documents table (the driver's testdata is
+read-only) and times four operators end-to-end, asserting sub-quadratic
+growth: t(8×) ≤ 12 × t(1×). A quadratic operator would show ≥64× on the
+8× corpus minus fixed overhead — far outside the bound; the 12× slack
+absorbs fixed job overhead, GC and scheduling noise on a 32-thread local
+box.
+
+Skip-marked by default (several minutes of deliberate load): run with
+
+    SPARK_GRAFT_SCALING_PROBE=1 python -m pytest tests/test_scaling_probe.py -s
+
+Numbers from the r12 run are recorded in SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SCALING_PROBE"),
+    reason="deliberate multi-minute load; set SPARK_GRAFT_SCALING_PROBE=1",
+)
+
+#: sf0.1 documents is 5 000 rows × ~50 words; the probe scales that shape
+BASE_DOCS = 5_000
+SCALES = (1, 4, 8)
+GROWTH_BOUND = 12.0  # t(8x) / t(1x) must stay under this
+
+
+def _synth_docs(spark, n_docs: int, seed: int = 20260816):
+    """Deterministic corpus with the duplication structure the operators
+    are built for: a 250-word vocabulary, ~50-word documents, 20% of
+    rows are near-duplicates of an earlier row (3 words swapped) and 5%
+    exact duplicates — so candidate generation, CC resolution and
+    passage stitching all do real work at every scale."""
+    rng = random.Random(seed)
+    vocab = [f"w{i:03d}" for i in range(250)]
+    rows = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < 0.05:
+            src = rows[rng.randrange(len(rows))][1]
+            rows.append((f"d{i:06d}", src))
+        elif i > 10 and r < 0.25:
+            words = rows[rng.randrange(len(rows))][1].split(" ")
+            for _ in range(3):
+                words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((f"d{i:06d}", " ".join(words)))
+        else:
+            rows.append((f"d{i:06d}",
+                         " ".join(rng.choice(vocab) for _ in range(50))))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def _probe(spark, tmp_path, build):
+    # untimed warmup on a tenth-size corpus: the first execution of each
+    # operator pays ~10s of codegen/JIT that would otherwise inflate the
+    # 1x point and flatter the ratio (measured: 19.9s cold vs 5.3s warm)
+    warm = _synth_docs(spark, BASE_DOCS // 10, seed=1).persist()
+    warm.count()
+    build(warm, 0)
+    warm.unpersist()
+    spark.catalog.clearCache()
+    timings = {}
+    for scale in SCALES:
+        df = _synth_docs(spark, BASE_DOCS * scale).persist()
+        df.count()  # materialize generation outside the timer
+        timings[scale] = _time(lambda: build(df, scale))
+        df.unpersist()
+        spark.catalog.clearCache()
+    ratio = timings[8] / max(timings[1], 0.5)  # floor tiny denominators
+    print(f"  timings {timings}  ratio(8x/1x) {ratio:.1f}")
+    assert ratio <= GROWTH_BOUND, timings
+    return timings
+
+
+def test_ngram_jaccard_plus_cc_scaling(spark, tmp_path):
+    from dativo_ingest_spark.operators import dedup
+
+    def run(df, scale):
+        pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text",
+                                          threshold=0.5)
+        comps = dedup.connected_components(pairs)
+        comps.write.format("noop").mode("overwrite").save()
+
+    _probe(spark, tmp_path, run)
+
+
+def test_setsim_prefix_pairs_scaling(spark, tmp_path):
+    from dativo_ingest_spark.operators import dedup
+
+    def run(df, scale):
+        sets = dedup.gram_sets(df, "doc_id", "text")
+        dedup.setsim_prefix_pairs(sets, "id", "grams", threshold=0.7) \
+            .write.format("noop").mode("overwrite").save()
+
+    _probe(spark, tmp_path, run)
+
+
+def test_remove_duplicate_passages_scaling(spark, tmp_path):
+    from dativo_ingest_spark.operators import dedup
+
+    def run(df, scale):
+        dedup.remove_duplicate_passages(df, "doc_id", "text", n=8) \
+            .write.format("noop").mode("overwrite").save()
+
+    _probe(spark, tmp_path, run)
+
+
+def test_minhash_ingest_dedup_scaling(spark, tmp_path):
+    from dativo_ingest_spark.operators import dedup
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    def run(df, scale):
+        table = FsTable.create(str(tmp_path / f"mh_ix_{scale}_{df.count()}"))
+        kept, _, _ = dedup.dedup_minhash_against_index(
+            df.sparkSession, df, "doc_id", "text", table)
+        kept.unpersist()
+
+    _probe(spark, tmp_path, run)

@@ -253,6 +253,9 @@ EXTENDED = [
     # two-epoch writeStream; one-vs-rest multiclass grade training
     "streaming_quality_admission_docs",
     "multiclass_grades_train_docs",
+    # r12: PQ-coded persistent embedding index (train + two ingest
+    # lifecycles with in-plan reconstruction scoring)
+    "dedup_ingest_embedding_pq",
 ]
 
 

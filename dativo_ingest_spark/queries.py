@@ -11654,17 +11654,18 @@ def _pq_dist_sql(vec: str, cv: str) -> str:
             " (x, y) -> x + y), 9)")
 
 
-def _pq_subspace_ctes() -> list[str]:
+def _pq_subspace_ctes(m: int = _PQ_M, k: int = _PQ_K) -> list[str]:
     """Per-subspace PQ replica CTEs (training + encoding + query LUTs)
-    shared by the PQ and IVF-PQ oracles — see _pq_oracle."""
-    sub = _PQ_DIM // _PQ_M
+    shared by the PQ and IVF-PQ oracles (defaults) and, at a finer
+    m/k grain, by the PQ-coded ingest-index oracle — see _pq_oracle."""
+    sub = _PQ_DIM // m
     dist = _pq_dist_sql
     ctes = [f"""e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                             x -> CAST(round(x * 10000) AS BIGINT)) AS q
       FROM embeddings)"""]
-    for j in range(_PQ_M):
+    for j in range(m):
         a, b = j * sub + 1, (j + 1) * sub
         ctes.append(f"""s{j} AS (
       SELECT vec_id, q[{a}:{b}] AS sq FROM e)""")
@@ -11673,7 +11674,7 @@ def _pq_subspace_ctes() -> list[str]:
                AS cid,
              list_transform(sq, x -> CAST(x AS DOUBLE)) AS cv
       FROM (SELECT vec_id, sq FROM s{j} ORDER BY vec_id
-            LIMIT {_PQ_K}))""")
+            LIMIT {k}))""")
         ctes.append(f"""a0_{j} AS (
       SELECT vec_id, sq, cid FROM (
         SELECT s.vec_id, s.sq, c.cid,
@@ -11975,6 +11976,139 @@ def _ivfpq_residual_oracle() -> str:
     return ("WITH " + ",\n    ".join(ctes) + f"""
     SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id AS id, adc
     FROM r WHERE rank <= {_PQ_TOPK}""")
+
+
+_PQINGEST_M, _PQINGEST_K = 16, 8  # 4-dim subspaces: reconstruction is
+# faithful enough that replayed vectors hit their own index entries at
+# the gate's 0.5 threshold (the module-default m=2 grain reconstructs
+# random 64-dim vectors too coarsely to catch even exact replays)
+
+
+def _dedup_ingest_embedding_pq_oracle() -> str:
+    """Replica of the PQ-CODED ingest-dedup lifecycle: the PQ subspace
+    CTEs (training + encoding — _pq_subspace_ctes, shared with the
+    PQ/IVF-PQ oracles) feed a per-vector reconstruction x̂ =
+    concat_j(codebook_j[code_j]) / scale; the two-batch banded-cell
+    lifecycle then mirrors _dedup_ingest_embedding_oracle, except the
+    INDEX side of batch 2 scores round(<a.v, x̂> / (|a.v|·|x.v|), 6) —
+    the approximate cosine the pq codec serves (dot over the
+    reconstruction, norms exact: the batch's own and the STORED true
+    index norm)."""
+    cos_ab = _COS_SQL.format(a="a.v", b="b.v")
+    fold = ("list_reduce(list_transform(range(1, len({a})+1),"
+            " i -> {a}[i]*{b}[i]), (x, y) -> x + y)")
+    approx_cos = (
+        "round(" + fold.format(a="a.v", b="xh.xhat")
+        + " / (sqrt(" + fold.format(a="a.v", b="a.v")
+        + ") * sqrt(" + fold.format(a="x.v", b="x.v") + ")), 6)")
+    key_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, m, v, {_band_key_sql('v', t)} AS key"
+        " FROM ee"
+        for t in range(4))
+    recon = " || ".join(
+        f"list_transform(c1_{j}.cv, x -> x / 10000)"
+        for j in range(_PQINGEST_M))
+    xh_joins = " ".join(
+        f"JOIN enc_{j} USING (vec_id) "
+        f"JOIN c1_{j} ON c1_{j}.cid = enc_{j}.code{j}"
+        for j in range(_PQINGEST_M))
+    pq_ctes = ",\n    ".join(
+        _pq_subspace_ctes(_PQINGEST_M, _PQINGEST_K))
+    return f"""
+    WITH {pq_ctes},
+    xh AS (
+      SELECT e.vec_id, {recon} AS xhat
+      FROM e {xh_joins}),
+    ee AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 8 AS m
+      FROM embeddings),
+    kk AS (
+{key_selects}),
+    bl1 AS (
+      SELECT DISTINCT a.vec_id FROM kk a JOIN kk b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m <= 1 AND b.m <= 1 AND {cos_ab} >= 0.5),
+    sv1 AS (SELECT vec_id FROM ee WHERE m <= 1
+           AND vec_id NOT IN (SELECT vec_id FROM bl1)),
+    bl2 AS (
+      SELECT DISTINCT a.vec_id FROM kk a JOIN kk b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m BETWEEN 1 AND 2 AND b.m BETWEEN 1 AND 2
+        AND {cos_ab} >= 0.5),
+    hx2 AS (
+      SELECT DISTINCT a.vec_id FROM kk a
+      JOIN kk x ON a.key = x.key
+      JOIN sv1 ON x.vec_id = sv1.vec_id
+      JOIN xh ON xh.vec_id = x.vec_id
+      WHERE a.m BETWEEN 1 AND 2
+        AND a.vec_id NOT IN (SELECT vec_id FROM bl2)
+        AND {approx_cos} >= 0.5),
+    agg1 AS (SELECT (SELECT count(*) FROM ee WHERE m <= 1) AS n,
+                    (SELECT count(*) FROM bl1) AS bd),
+    agg2 AS (SELECT (SELECT count(*) FROM ee
+                     WHERE m BETWEEN 1 AND 2) AS n,
+                    (SELECT count(*) FROM bl2) AS bd,
+                    (SELECT count(*) FROM hx2) AS hits)
+    SELECT 'batch1' AS batch, CAST(n - bd AS BIGINT) AS n_kept,
+           CAST(bd AS BIGINT) AS n_batch_dups,
+           CAST(0 AS BIGINT) AS n_index_dups
+    FROM agg1
+    UNION ALL
+    SELECT 'batch2', CAST(n - bd - hits AS BIGINT), CAST(bd AS BIGINT),
+           CAST(hits AS BIGINT)
+    FROM agg2
+    """
+
+
+@register(
+    "dedup_ingest_embedding_pq",
+    _dedup_ingest_embedding_pq_oracle(),
+    doc="embedding near-dup-on-ingest with the PQ-CODED persistent "
+        "index (operators/similarity.py:dedup_embeddings_against_index "
+        "index_codec='pq' + index_entries_pq + "
+        "quantization.pq_reconstruct — r11 verdict Next #5): codebooks "
+        "train in-engine (pq_train, k lowest-id seeds + one exact "
+        "integer-mean Lloyd round), the index stores m tinyint codes + "
+        "the true norm instead of raw vectors (~8-16x smaller at "
+        "production dims), and batch-2 index hits score the "
+        "reconstruction <q, x_hat>/(|q|·|x|) decoded IN-PLAN on only "
+        "the touched cell slice. The oracle replays training, "
+        "encoding, reconstruction and both batch lifecycles in SQL "
+        "(the _pq_subspace_ctes shared with the PQ/IVF-PQ gates).",
+)
+def dedup_ingest_embedding_pq(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.operators import similarity
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    cbs = pq.pq_train(emb, "vec_id", "embedding",
+                      m=_PQINGEST_M, k=_PQINGEST_K, n_iter=_PQ_ITER)
+    b1 = emb.filter(F.col("vec_id") % 8 <= 1)
+    b2 = emb.filter((F.col("vec_id") % 8 >= 1) & (F.col("vec_id") % 8 <= 2))
+    root = tempfile.mkdtemp(prefix="sg_emb_ixpq_")
+    try:
+        table = FsTable.create(root + "/ix")
+        k1, bd1, id1 = similarity.dedup_embeddings_against_index(
+            spark, b1, "vec_id", "embedding", table, threshold=0.5,
+            index_codec="pq", codebooks=cbs)
+        n1 = k1.count()
+        k1.unpersist()
+        k2, bd2, id2 = similarity.dedup_embeddings_against_index(
+            spark, b2, "vec_id", "embedding", table, threshold=0.5,
+            index_codec="pq", codebooks=cbs)
+        n2 = k2.count()
+        k2.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
+        "batch string, n_kept bigint, n_batch_dups bigint, "
+        "n_index_dups bigint")
 
 
 @register(
@@ -13258,6 +13392,12 @@ _GATE_DEMOTED = [
     # secrets_resolve_config is in-window r12).
     "retry_backoff_plan",
     "secrets_env_manager",
+    # NEW r12 (r11 verdict Next #5): the PQ-coded persistent embedding
+    # index lifecycle — registered with a full SQL replay (training +
+    # encoding + reconstruction + both batches) and queued for r13; the
+    # persistent-ingest-index family keeps forget_readmit_docs and the
+    # quantization family keeps ann_recall_ivfpq_embeddings in-window
+    "dedup_ingest_embedding_pq",
     # --- r12 demotions (green-row history in parentheses) -------------
     # warn-mode column union + validation filter (r1-r11, 11 straight
     # greens — the longest-proven query in the registry); the CSV /
@@ -13592,6 +13732,7 @@ _DEMOTION_ANCHOR: dict[str, str] = {
     # -- r13 queue: each anchored by the sibling landing in-window r12
     "retry_backoff_plan": "cron_next_fires",
     "secrets_env_manager": "secrets_resolve_config",
+    "dedup_ingest_embedding_pq": "forget_readmit_docs",
 }
 
 # the registration-order footgun, made loud: a new @register without a

@@ -977,3 +977,42 @@ def test_multiclass_round_is_one_aggregate_no_python(spark):
     assert "Window" not in plan
     assert "Join" not in plan, plan[:900]
     assert plan.count("Exchange") <= 1, plan[:900]
+
+
+def test_pq_index_reconstruct_scoring_no_python(spark, tmp_path):
+    # the PQ-coded ingest index (r12): decode is pure Catalyst —
+    # codebook literals + m element_at lookups ABOVE the index scan —
+    # so scoring a batch against the codes index keeps zero Python,
+    # no Cartesian, and a broadcast (not shuffled-index) join for a
+    # small batch, exactly like the raw-vector codec
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.operators import similarity
+    from dativo_ingest_spark.functions import vectors
+    from dativo_ingest_spark.queries import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    cbs = pq.pq_train(emb, "vec_id", "embedding", m=2, k=4, n_iter=1)
+    path = str(tmp_path / "pq_ix")
+    similarity.index_entries_pq(emb, "vec_id", "embedding", cbs) \
+        .write.parquet(path)
+    ix = spark.read.parquet(path)
+
+    batch = emb.limit(8).select(
+        F.col("vec_id").cast("string").alias("qid"),
+        vectors.as_double_array(F.col("embedding")).alias("_vec"))
+    batch = batch.select(
+        "qid", "_vec", vectors.l2_norm(F.col("_vec")).alias("_norm"))
+    keyed = batch.select(
+        "qid", "_vec", "_norm",
+        F.explode(similarity.sign_band_keys(F.col("_vec"))).alias("key"))
+    scored = keyed.join(ix, "key").withColumn(
+        "_ix_vec", pq.pq_reconstruct(F.col("codes"), cbs)).select(
+        "qid",
+        F.round(vectors.dot(F.col("_vec"), F.col("_ix_vec"))
+                / (F.col("_norm") * F.col("norm")), 6).alias("cos"))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:800]
+    assert "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:800]

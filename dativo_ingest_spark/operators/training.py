@@ -314,6 +314,7 @@ def train_quality_grades(
     n_classes: int = 4,
     n_rounds: int = 4,
     lr_milli: int = 2000,
+    two_level: int | None = None,
 ) -> DataFrame:
     """One-vs-rest multiclass trainer for the grade head — produces the
     SAME (n_classes × 5) integer weight-matrix shape the vendored
@@ -334,11 +335,18 @@ def train_quality_grades(
     driver-side with DuckDB's truncation semantics. Labels outside
     [0, n_classes) raise before any pass (a silent all-rest class
     would train a head nobody asked for).
+
+    ``two_level`` mirrors :func:`train_quality_logreg`'s flag: bucket
+    the round's aggregate on hash(id) mod B and combine the B partial
+    rows driver-side with unbounded Python ints — bit-identical
+    weights, corpus bound ×B per class.
     """
     if n_classes < 2:
         raise ValueError("n_classes must be >= 2")
     if n_rounds < 0 or lr_milli < 0:
         raise ValueError("n_rounds and lr_milli must be >= 0")
+    if two_level is not None and two_level < 1:
+        raise ValueError("two_level bucket count must be >= 1")
     w = [[0] * len(FEATURES) for _ in range(n_classes)]
 
     fixed = fixed_point_features(df, id_col, text_col, label_col) \
@@ -349,6 +357,12 @@ def train_quality_grades(
         raise ValueError(
             f"{bad} labels outside [0, {n_classes}); fix the label "
             "column before training")
+    if two_level is not None:
+        fixed = fixed.withColumn(
+            "_tl_bucket",
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                    16, 10).cast("long") % F.lit(int(two_level)))
+            .cast("long"))
     fixed = fixed.persist()
     try:
         for _ in range(n_rounds):
@@ -359,18 +373,21 @@ def train_quality_grades(
                 for k in range(n_classes)
             ]
             scored = fixed.select("*", *errs)
-            row = scored.agg(
-                *[F.sum(F.col(f"x{j}") * F.col(f"_e{k}"))
-                  .alias(f"g{k}_{j}")
-                  for k in range(n_classes)
-                  for j in range(len(FEATURES))],
-                F.count(F.lit(1)).alias("n")).first()
-            n = int(row["n"])
+            aggs = [F.sum(F.col(f"x{j}") * F.col(f"_e{k}"))
+                    .alias(f"g{k}_{j}")
+                    for k in range(n_classes)
+                    for j in range(len(FEATURES))]
+            aggs.append(F.count(F.lit(1)).alias("n"))
+            if two_level is None:
+                rows = [scored.agg(*aggs).first()]
+            else:
+                rows = scored.groupBy("_tl_bucket").agg(*aggs).collect()
+            n = sum(int(r["n"]) for r in rows)
             if n == 0:
                 break
             for k in range(n_classes):
                 for j in range(len(FEATURES)):
-                    g = int(row[f"g{k}_{j}"])
+                    g = sum(int(r[f"g{k}_{j}"]) for r in rows)
                     delta = _tdiv(lr_milli * _tdiv(g, n), X_SCALE)
                     w[k][j] = max(-W_MAX, min(W_MAX, w[k][j] - delta))
     finally:

@@ -486,3 +486,26 @@ class TestEmptyDocOracleParity:
                 quality_score_milli("text", _QUALITY_GATE_W) >= 500
             ).select("doc_id").collect())
         assert got == want
+
+
+class TestTwoLevelGrades:
+    def test_bit_identical_to_single_aggregate(self, spark):
+        docs = spark.createDataFrame(
+            [(f"d{i}", ("the of and " * (i % 6 + 1)) + "qq " * (i % 3),
+              i % 3) for i in range(36)],
+            "doc_id string, text string, y long")
+        single = sorted(training.train_quality_grades(
+            docs, "doc_id", "text", "y", n_classes=3,
+            n_rounds=2).collect())
+        for buckets in (1, 5):
+            two = sorted(training.train_quality_grades(
+                docs, "doc_id", "text", "y", n_classes=3, n_rounds=2,
+                two_level=buckets).collect())
+            assert two == single, buckets
+
+    def test_bucket_count_validated(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "x", 0)], "doc_id string, text string, y long")
+        with pytest.raises(ValueError, match="two_level"):
+            training.train_quality_grades(docs, "doc_id", "text", "y",
+                                          n_classes=2, two_level=0)

@@ -288,7 +288,12 @@ IDLE_WAIT_MAX_S = 600.0
 #: the gate, re-run instead of booking (up to MAX_HEADLINE_PASSES).
 HEADLINE_MIN_PASSES = 2
 HEADLINE_MAX_PASSES = 4
-HEADLINE_WAIT_POOL_S = 600.0
+#: 300 s, not another 600: self-load decays with the 1-minute loadavg
+#: time constant (measured 100 s + 45 s waits sufficed from a full
+#: full-load ingest phase), while external load that outlives 300 s would
+#: outlive 600 s too — the smaller pool bounds the bench's worst-case
+#: wall-clock on a hot box (the start gate already spends up to 600 s)
+HEADLINE_WAIT_POOL_S = 300.0
 
 
 def wait_for_idle(threshold: float = IDLE_LOADAVG_THRESHOLD,

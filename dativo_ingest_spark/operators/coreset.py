@@ -9,22 +9,27 @@ far) is the classic 2-approximation (Gonzalez 1985) and needs no fitted
 state: each round is one full pass computing every point's distance to
 its NEAREST selected center, then an argmax.
 
-Spark shape per round: the selected centers ride the plan as inline
-integer literals (k * d longs — tiny), the per-row min-distance is a
-Catalyst higher-order fold (`functions/vectors.py:int_sqdist` over
-micro-unit codes — exact BIGINTs, so the argmax is engine-portable with
-no float tie ambiguity), and the argmax itself is a
-``max(struct(dist, -id))`` single-row aggregate. Total cost: k scans, the
-irreducible price of exact greedy k-center; the driver holds only the
-k selected rows (control plane, not data).
+Spark shape per round (INCREMENTAL since r12): the frame carries a
+running ``_d`` = exact squared distance to the nearest selected
+center; each round folds in ONLY the newest center
+(``least(_d, int_sqdist(codes, new_center))`` — one O(d) Catalyst
+higher-order fold over exact BIGINT micro-unit codes) and takes the
+argmax with a per-partition top-1 (``TakeOrderedAndProject``, no
+shuffle). ``least`` over exact integers is associative, so the
+running minimum is BIT-IDENTICAL to re-evaluating all centers (the
+pre-r12 form — which cost O(n·k²) distance folds and an O(k·d) plan
+per round; pinned by tests). Total cost: k cached scans with O(d)
+plan size per round — the irreducible price of exact greedy
+k-center; the driver holds only the k selected rows (control plane,
+not data). The working frame persists between rounds
+(MEMORY_AND_DISK; each round's frame unpersists one round late so
+the update never recomputes lineage).
 
-At 100 TB: k passes over the corpus is the real cost model — use this
-for modest k (10s-100s). Beyond that, compose with IVF/k-means
-(operators/clustering.py) to pre-partition and run greedy selection per
-cell, or sample-then-select (the standard coreset-of-coreset cascade).
-The inline-literal plan grows O(k*d); past the shared
-``INLINE_LITERAL_BUDGET`` discipline (clustering.py) an Arrow argmin
-kernel is the swap — documented, not needed at selection-scale k.
+At 100 TB: k cached passes over the corpus is the real cost model —
+use this for modest k (10s-100s). Beyond that, compose with
+IVF/k-means (operators/clustering.py) to pre-partition and run
+greedy selection per cell, or sample-then-select (the standard
+coreset-of-coreset cascade).
 
 No reference analog; standard technique (Gonzalez's farthest-point
 traversal; used for SemDeDup-style curation seeds and active-learning
@@ -72,20 +77,43 @@ def kcenter_select(
         return []
     selections: list[tuple[int, object, int]] = [(0, seed[0]._id, 0)]
     centers = [list(seed[0]._codes)]
-    for rnd in range(1, k):
-        dmin = _sqdist_to_literal(F.col("_codes"), centers[0])
-        for c in centers[1:]:
-            dmin = F.least(dmin, _sqdist_to_literal(F.col("_codes"), c))
-        far = (
-            base.select("_id", "_codes", dmin.alias("_d"))
-            .orderBy(F.desc("_d"), F.asc("_id"))
-            .limit(1)
-            .collect()
-        )
-        if not far or far[0]._d == 0:
-            break  # fewer than k distinct points — selection is complete
-        selections.append((rnd, far[0]._id, far[0]._d))
-        centers.append(list(far[0]._codes))
+    # incremental farthest-point: cur carries _d = min distance to all
+    # selected centers; each round folds in only the NEWEST center.
+    # cur materializes via the round's argmax collect; the superseded
+    # frame unpersists one round late so the update reads the cache,
+    # never recomputed lineage.
+    cur = base.select(
+        "_id", "_codes",
+        _sqdist_to_literal(F.col("_codes"), centers[0]).alias("_d"),
+    ).persist()
+    stale = None
+    try:
+        for rnd in range(1, k):
+            far = (
+                cur.orderBy(F.desc("_d"), F.asc("_id"))
+                .limit(1)
+                .collect()
+            )
+            if stale is not None:
+                stale.unpersist()
+                stale = None
+            if not far or far[0]._d == 0:
+                break  # fewer than k distinct points — selection done
+            selections.append((rnd, far[0]._id, far[0]._d))
+            centers.append(list(far[0]._codes))
+            if rnd < k - 1:
+                nxt = cur.select(
+                    "_id", "_codes",
+                    F.least(
+                        F.col("_d"),
+                        _sqdist_to_literal(F.col("_codes"), centers[-1]),
+                    ).alias("_d"),
+                ).persist()
+                stale, cur = cur, nxt
+    finally:
+        cur.unpersist()
+        if stale is not None:
+            stale.unpersist()
     return selections
 
 

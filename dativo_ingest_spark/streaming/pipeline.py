@@ -902,10 +902,19 @@ def dedup_epoch_writer(out_table, index_table, id_col: str,
             kept, _, _ = similarity.dedup_embeddings_against_index(
                 spark, batch_df, id_col, content_col, index_table,
                 branch=branch, commit=False, **dedup_opts)
-            entries = similarity.index_entries(
-                kept, id_col, content_col,
-                **{k: v for k, v in dedup_opts.items()
-                   if k in ("bands", "band_width")})
+            if dedup_opts.get("index_codec") == "pq":
+                # PQ-coded index (r12): the deferred entries must carry
+                # codes, not raw vectors, or the next epoch's reader
+                # finds the wrong schema
+                entries = similarity.index_entries_pq(
+                    kept, id_col, content_col, dedup_opts["codebooks"],
+                    **{k: v for k, v in dedup_opts.items()
+                       if k in ("bands", "band_width", "scale")})
+            else:
+                entries = similarity.index_entries(
+                    kept, id_col, content_col,
+                    **{k: v for k, v in dedup_opts.items()
+                       if k in ("bands", "band_width")})
         elif mode == "minhash":
             kept, _, _ = dedup_mod.dedup_minhash_against_index(
                 spark, batch_df, id_col, content_col, index_table,

@@ -1354,3 +1354,63 @@ def test_shard_epoch_writer_refuses_second_query(spark, tmp_path):
     # the original owner keeps appending fine
     pipeline.shard_epoch_writer(out, "doc_id", "n_tokens", n_shards=2,
                                 query_id="q1")(mk(), 1)
+
+
+class TestStreamDedupPqIndex:
+    """Streaming embedding dedup over the PQ-CODED persistent index
+    (r12): dedup_epoch_writer(mode='embedding', index_codec='pq')
+    must commit CODES entries, drop replayed vectors against their
+    reconstructions, and stay exactly-once across epoch replays."""
+
+    DIM, M, K = 16, 4, 4
+
+    def _clustered(self, n_per=5):
+        import random
+        rng = random.Random(3)
+        rows = []
+        for c in range(self.K):
+            center = [10.0 if (d % self.K) == c else 1.0 + 0.1 * d
+                      for d in range(self.DIM)]
+            for i in range(n_per):
+                rows.append((f"{i:02d}_c{c}",
+                             [x + rng.uniform(-0.01, 0.01)
+                              for x in center]))
+        return rows
+
+    def test_two_epochs_commit_codes_and_drop_replays(
+            self, spark, tmp_path):
+        from dativo_ingest_spark.operators import quantization as Q
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import (
+            dedup_epoch_writer)
+
+        rows = self._clustered()
+        schema = "doc_id string, embedding array<double>"
+        corpus = spark.createDataFrame(rows, schema)
+        cbs = Q.pq_train(corpus, "doc_id", "embedding",
+                         m=self.M, k=self.K, n_iter=2)
+
+        out = FsTable.create(str(tmp_path / "corpus_pq"))
+        ix = FsTable.create(str(tmp_path / "ix_pq"))
+        writer = dedup_epoch_writer(
+            out, ix, "doc_id", "embedding", mode="embedding",
+            query_id="qpq", threshold=0.99, index_codec="pq",
+            codebooks=cbs)
+
+        # epoch 0: one row per cluster survives in-batch dedup
+        writer(corpus, 0)
+        n0 = out.read(spark).count()
+        assert n0 == self.K
+        ixdf = ix.read(spark)
+        assert set(ixdf.columns) == {"id", "key", "codes", "norm"}
+        assert ixdf.count() == self.K * 4   # bands per survivor
+
+        # epoch 1 replays the same content: everything drops against
+        # the committed codes (reconstruction self-hit)
+        writer(corpus.limit(8), 1)
+        assert out.read(spark).count() == n0
+
+        # epoch replay is a no-op (exactly-once markers)
+        writer(corpus, 0)
+        assert out.read(spark).count() == n0
+        assert ix.read(spark).count() == self.K * 4

@@ -373,6 +373,46 @@ def run_job(
                 raise ConfigError(
                     "target.options.dedup.rows_per_band must divide "
                     f"num_hashes (got {_rpb} / {_nh})")
+        # PQ-coded embedding index (r12): codebooks ship as a JSON
+        # artifact (the classifier-model pattern) since a trained
+        # m x k x sub float tensor cannot ride YAML
+        _dd["index_codec"] = str(_dd.get("index_codec", "raw"))
+        if _dd["index_codec"] not in ("raw", "pq"):
+            raise ConfigError(
+                "target.options.dedup.index_codec must be raw or pq, "
+                f"got {_dd['index_codec']!r}")
+        if _dd["index_codec"] == "pq":
+            if _dd["mode"] != "embedding":
+                raise ConfigError(
+                    "target.options.dedup.index_codec=pq applies only "
+                    "to mode=embedding")
+            _cb_path = _dd.get("codebooks")
+            if not _cb_path:
+                raise ConfigError(
+                    "target.options.dedup.index_codec=pq needs "
+                    "codebooks (path to a JSON artifact holding the "
+                    "trained m x k x sub codebook tensor under key "
+                    "'codebooks', e.g. quantization.pq_train output)")
+            import json as _json
+            try:
+                with open(str(_cb_path)) as _fh:
+                    _cb = _json.load(_fh)
+            except (OSError, ValueError) as exc:
+                raise ConfigError(
+                    f"target.options.dedup.codebooks: cannot load "
+                    f"{_cb_path!r}: {exc}") from exc
+            _cb_t = _cb.get("codebooks") if isinstance(_cb, dict) else _cb
+            if (not isinstance(_cb_t, list) or not _cb_t
+                    or not isinstance(_cb_t[0], list) or not _cb_t[0]
+                    or not isinstance(_cb_t[0][0], list)):
+                raise ConfigError(
+                    "target.options.dedup.codebooks artifact must hold "
+                    "an m x k x sub nested list (optionally under key "
+                    "'codebooks')")
+            _dd["_codebooks"] = _cb_t
+            _dd["_pq_scale"] = int(
+                (_cb.get("scale") if isinstance(_cb, dict) else None)
+                or 10_000)
         if _wm in ("overwrite", "overwrite_partitions"):
             raise ConfigError(
                 "target.options.dedup cannot combine with mode="
@@ -474,6 +514,9 @@ def run_job(
                 bands=int(_dd.get("bands", 4)),
                 band_width=int(_dd.get("band_width", 8)),
                 commit=False,
+                index_codec=_dd.get("index_codec", "raw"),
+                codebooks=_dd.get("_codebooks"),
+                scale=int(_dd.get("_pq_scale", 10_000)),
             )
         elif _dd["mode"] == "minhash":
             from dativo_ingest_spark.operators import dedup as dedup_mod
@@ -1088,10 +1131,18 @@ def run_job(
             from dativo_ingest_spark.operators import (
                 similarity as similarity_mod)
 
-            entries = similarity_mod.index_entries(
-                published, _dd["id_field"], _dd["content_field"],
-                bands=int(_dd.get("bands", 4)),
-                band_width=int(_dd.get("band_width", 8)))
+            if _dd.get("index_codec") == "pq":
+                entries = similarity_mod.index_entries_pq(
+                    published, _dd["id_field"], _dd["content_field"],
+                    _dd["_codebooks"],
+                    bands=int(_dd.get("bands", 4)),
+                    band_width=int(_dd.get("band_width", 8)),
+                    scale=int(_dd.get("_pq_scale", 10_000)))
+            else:
+                entries = similarity_mod.index_entries(
+                    published, _dd["id_field"], _dd["content_field"],
+                    bands=int(_dd.get("bands", 4)),
+                    band_width=int(_dd.get("band_width", 8)))
         elif _dd["mode"] == "minhash":
             from dativo_ingest_spark.operators import dedup as dedup_mod
 

@@ -795,6 +795,84 @@ class TestDedupOnIngestOption:
         assert "embedding" not in back.columns   # contract projection
         assert [r.name for r in back.collect()] == ["d"]
 
+    def test_embedding_mode_pq_codec_end_to_end(self, spark, tmp_path):
+        # r12: the PQ-coded index through the runner config seam —
+        # codebooks load from a JSON artifact (the classifier-model
+        # pattern), the deferred append commits CODES, and a scaled
+        # re-encode still drops against the reconstruction
+        import json
+
+        from dativo_ingest_spark.operators import quantization as Q
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        def write_batch(path, rows):
+            spark.createDataFrame(
+                rows, "id long, name string, active boolean, "
+                      "embedding array<double>"
+            ).write.parquet(path)
+
+        v1 = [0.5, -1.5, 2.5, 0.25, 3.0, -0.75, 1.0, 4.0]
+        v2 = [float((-1) ** i) * (i + 1) for i in range(8)]
+        b1 = str(tmp_path / "b1"); b2 = str(tmp_path / "b2")
+        write_batch(b1, [(1, "a", True, v1), (2, "b", True, v2)])
+        write_batch(b2, [(3, "c", True, [x * 2.0 for x in v1]),
+                         (4, "d", True, [1.0] * 8)])
+        cbs = Q.pq_train(
+            spark.read.parquet(b1), "id", "embedding", m=4, k=2,
+            n_iter=2)
+        art = tmp_path / "pq_codebooks.json"
+        art.write_text(json.dumps({"codebooks": cbs, "scale": 10000}))
+        index = str(tmp_path / "ix_pq")
+
+        def job(src, out):
+            d = job_dict(src, out)
+            d["source"] = {"type": "parquet", "path": src}
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id",
+                "content_field": "embedding", "mode": "embedding",
+                "threshold": 0.9, "index_codec": "pq",
+                "codebooks": str(art)}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(b1, str(tmp_path / "o1")))
+        assert r1.exit_code == runner.EXIT_SUCCESS and r1.records_in == 2
+        ix = FsTable.create(index).read(spark)
+        assert set(ix.columns) == {"id", "key", "codes", "norm"}
+        r2 = runner.run_job(spark, job(b2, str(tmp_path / "o2")))
+        # the scaled re-encode of v1 reconstructs onto v1's codes and
+        # drops; the orthogonal all-ones vector publishes
+        assert r2.records_in == 1
+        assert r2.dedup_dropped == {"batch": 0, "index": 1}
+
+    def test_pq_codec_config_validation(self, spark, tmp_path):
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+        out = str(tmp_path / "o")
+
+        def bad(extra):
+            d = job_dict(str(src), out)
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = dict(
+                {"index": str(tmp_path / "ix"), "id_field": "id",
+                 "content_field": "name"}, **extra)
+            return JobConfig.from_dict(d)
+
+        with pytest.raises(ConfigError, match="index_codec"):
+            runner.run_job(spark, bad({"index_codec": "zstd"}))
+        with pytest.raises(ConfigError, match="only"):
+            runner.run_job(spark, bad({"index_codec": "pq"}))
+        with pytest.raises(ConfigError, match="codebooks"):
+            runner.run_job(spark, bad(
+                {"index_codec": "pq", "mode": "embedding",
+                 "content_field": "name"}))
+        art = tmp_path / "bad.json"
+        art.write_text("{\"codebooks\": 3}")
+        with pytest.raises(ConfigError, match="nested list"):
+            runner.run_job(spark, bad(
+                {"index_codec": "pq", "mode": "embedding",
+                 "content_field": "name", "codebooks": str(art)}))
+
     def test_overwrite_mode_rejected_with_dedup(self, spark, tmp_path):
         src = tmp_path / "b.csv"
         src.write_text("id,name,active\n1,alice,true\n")

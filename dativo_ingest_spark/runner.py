@@ -327,6 +327,10 @@ def run_job(
             raise ConfigError(
                 "shard_export derives its own shard partitioning; "
                 "target.partition_by must be empty")
+        if str(_sh.get("format", "parquet")) not in ("parquet", "jsonl"):
+            raise ConfigError(
+                "target.options.shard.format must be parquet or jsonl, "
+                f"got {_sh.get('format')!r}")
         _mx = _sh.get("mixture")
         if _mx is not None:
             _mx = dict(_mx)
@@ -863,7 +867,8 @@ def run_job(
             to_write, str(_sh["id_field"]), str(_sh["token_field"]),
             stage,
             n_shards=int(_sh.get("n_shards", 8)),
-            seed=str(_sh.get("seed", "epoch0")))
+            seed=str(_sh.get("seed", "epoch0")),
+            fmt=str(_sh.get("format", "parquet")))
         manifest.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(stage, "manifest"))
         pcols = ["shard"]

@@ -47,6 +47,7 @@ def export_training_shards(
     out_dir: str,
     n_shards: int = 8,
     seed: str = "epoch0",
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Write ``df`` as ``n_shards`` deterministic shards under
     ``out_dir`` (hive layout ``shard=K``) and return the read-back
@@ -58,9 +59,17 @@ def export_training_shards(
     BIGINT (uint32 sums stay under 2^53 past 10^9 rows/shard), so any
     engine can recompute it from the logical corpus and any later
     reader can audit a shard without trusting this writer.
+
+    ``fmt``: ``parquet`` (snappy — the serving/audit default) or
+    ``jsonl`` (newline-delimited JSON, the container most tokenizer /
+    trainer loaders stream directly). Assignment, intra-shard order,
+    the manifest contract and :func:`audit_shards` are format-neutral;
+    jsonl trades size for zero-dependency readability.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     spark = df.sparkSession
     h = _shard_hash(id_col, seed)
     staged = df.select(
@@ -74,11 +83,20 @@ def export_training_shards(
     # writer re-sorts rows by partition columns (non-stably) when the
     # incoming order doesn't already satisfy it, which would silently
     # destroy the deterministic (_h, id) order inside each shard file
-    (staged.repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", "_h", "id")
-     .write.mode("overwrite").partitionBy("shard")
-     .option("compression", "snappy").parquet(out_dir))
-    back = spark.read.parquet(out_dir)
+    writer = (staged.repartition(n_shards, "shard")
+              .sortWithinPartitions("shard", "_h", "id")
+              .write.mode("overwrite").partitionBy("shard"))
+    if fmt == "jsonl":
+        writer.json(out_dir)
+        # explicit schema: JSON round-trips longs fine, but inference
+        # would cost an extra pass and could widen id's type
+        back = (spark.read
+                .schema(staged.drop("shard").schema)
+                .option("basePath", out_dir)
+                .json(f"{out_dir}/shard=*"))
+    else:
+        writer.option("compression", "snappy").parquet(out_dir)
+        back = spark.read.parquet(out_dir)
     return (back.groupBy("shard")
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("n_tokens").alias("n_tokens"),
@@ -181,16 +199,28 @@ def audit_shards(spark, out_dir: str) -> dict:
     {"shards": N, "ok": bool, "mismatches": [...]}; metadata plus one
     scan of the shard frame, no re-hash of content (the md5-uint32
     column was persisted precisely so auditors fold it cheaply)."""
+    import glob as _glob
+    import os as _os
+
     manifest = {
         int(r.shard): (int(r.n_rows), int(r.n_tokens), int(r.hash_sum))
         for r in spark.read.parquet(f"{out_dir}/manifest").collect()}
+    # format sniff: a jsonl export's shard dirs hold .json part files
+    # (export_training_shards fmt="jsonl"); the audit aggregates only
+    # need the numeric columns, which JSON inference types as BIGINT
+    _is_jsonl = any(
+        f.endswith(".json")
+        for d in _glob.glob(_os.path.join(out_dir, "shard=*"))
+        for f in _os.listdir(d))
+    _reader = spark.read.option("basePath", out_dir)
+    _frame = (_reader.json(f"{out_dir}/shard=*") if _is_jsonl
+              else _reader.parquet(f"{out_dir}/shard=*"))
     actual = {
         int(r.shard): (int(r.n_rows), int(r.n_tokens), int(r.hash_sum))
         # glob the shard dirs only (basePath keeps the partition
         # column): a bare read of out_dir would union in the published
         # manifest/ files themselves
-        for r in (spark.read.option("basePath", out_dir)
-                  .parquet(f"{out_dir}/shard=*")
+        for r in (_frame
                   .groupBy("shard")
                   .agg(F.count(F.lit(1)).alias("n_rows"),
                        F.sum("n_tokens").alias("n_tokens"),

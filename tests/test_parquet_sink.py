@@ -125,6 +125,46 @@ class TestShardExport:
                sorted((r["_h"], r.id) for r in rows)
         assert len(rows) > 0
 
+    def test_jsonl_format_manifest_matches_parquet(self, spark, tmp_path):
+        # r12: fmt="jsonl" — same assignment, order and manifest as the
+        # parquet container; audit_shards sniffs the format
+        import json
+        import os
+
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.sinks.shard_export import (
+            audit_shards, export_training_shards)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        mp = sorted(map(tuple, export_training_shards(
+            docs, "doc_id", "n_chars", str(tmp_path / "pq"),
+            n_shards=4).collect()))
+        out = str(tmp_path / "jl")
+        mj_df = export_training_shards(
+            docs, "doc_id", "n_chars", out, n_shards=4, fmt="jsonl")
+        mj = sorted(map(tuple, mj_df.collect()))
+        assert mj == mp
+        # the shard files are real newline-delimited JSON in (_h, id)
+        # order — a zero-dependency trainer loader can stream them
+        sdir = os.path.join(out, "shard=0")
+        fname = next(f for f in os.listdir(sdir) if f.endswith(".json"))
+        lines = [json.loads(ln) for ln in
+                 open(os.path.join(sdir, fname)) if ln.strip()]
+        assert lines and all({"id", "n_tokens", "_h"} <= set(d)
+                             for d in lines)
+        assert [d["_h"] for d in lines] ==                sorted(d["_h"] for d in lines)
+        # format-sniffing audit: publish the manifest where the auditor
+        # looks, then verify the round trip over the JSON files
+        mj_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/manifest")
+        rep = audit_shards(spark, out)
+        assert rep["ok"] and rep["shards"] == 4
+
+        with pytest.raises(ValueError, match="fmt"):
+            export_training_shards(docs, "doc_id", "n_chars",
+                                   str(tmp_path / "x"), fmt="csv")
+
     def test_invalid_shard_count(self, spark):
         import pytest as _pytest
 

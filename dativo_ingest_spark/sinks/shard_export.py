@@ -261,8 +261,16 @@ def audit_streaming_shards(spark, out_dir: str) -> dict:
                    if os.path.isdir(os.path.join(out_dir, f"epoch={e}"))]
     actual: dict = {}
     if data_epochs:
-        df = (spark.read.option("basePath", out_dir)
-              .parquet(*[f"{out_dir}/epoch={e}" for e in data_epochs]))
+        # format sniff (see audit_shards): jsonl epochs hold .json parts
+        first = os.path.join(out_dir, f"epoch={data_epochs[0]}")
+        is_jsonl = any(
+            f.endswith(".json")
+            for root, _dirs, files in os.walk(first) for f in files)
+        reader = spark.read.option("basePath", out_dir)
+        paths = [f"{out_dir}/epoch={e}" for e in data_epochs]
+        # NB: DataFrameReader.json takes a LIST (a second positional
+        # arg would be parsed as a schema); .parquet takes varargs
+        df = reader.json(paths) if is_jsonl else reader.parquet(*paths)
         actual = {
             int(r.shard): (int(r.n_rows), int(r.n_tokens),
                            int(r.hash_sum))

@@ -475,7 +475,8 @@ def hive_epoch_writer(path, partitioning, target_file_size_mb=150,
 def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
                        n_shards: int = 8, seed: str = "epoch0",
                        query_id: str | None = None,
-                       checkpoint_dir: str | None = None):
+                       checkpoint_dir: str | None = None,
+                       fmt: str = "parquet"):
     """foreachBatch callable: the streaming sibling of
     sinks/shard_export.export_training_shards — append each micro-batch
     to the SAME deterministic ``md5(seed || id) % n_shards`` layout and
@@ -512,6 +513,8 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
 
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be parquet or jsonl, got {fmt!r}")
     from dativo_ingest_spark.sinks.shard_export import _shard_hash
 
     qid = _query_id_resolver(query_id, checkpoint_dir)
@@ -581,14 +584,27 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
                 .alias("n_tokens"),
                 h.alias("_h"),
                 (h % n_shards).cast("long").alias("shard"))
-            (staged.repartition(n_shards, "shard")
-             .sortWithinPartitions("shard", "_h", "id")
-             .write.mode("overwrite").partitionBy("shard")
-             .option("compression", "snappy").parquet(epoch_dir))
+            writer = (staged.repartition(n_shards, "shard")
+                      .sortWithinPartitions("shard", "_h", "id")
+                      .write.mode("overwrite").partitionBy("shard"))
+            if fmt == "jsonl":
+                # same container option as the batch exporter
+                # (sinks/shard_export.export_training_shards fmt) —
+                # newline-delimited JSON epochs a trainer loader streams
+                # directly; the read-back uses the staged schema so the
+                # stats stay exact longs
+                writer.json(epoch_dir)
+                back = (spark.read
+                        .schema(staged.drop("shard").schema)
+                        .option("basePath", epoch_dir)
+                        .json(f"{epoch_dir}/shard=*"))
+            else:
+                writer.option("compression", "snappy").parquet(epoch_dir)
+                back = spark.read.parquet(epoch_dir)
             stats = [
                 {"shard": int(r.shard), "n_rows": int(r.n_rows),
                  "n_tokens": int(r.n_tokens), "hash_sum": int(r.hash_sum)}
-                for r in (spark.read.parquet(epoch_dir)
+                for r in (back
                           .groupBy("shard")
                           .agg(F.count(F.lit(1)).alias("n_rows"),
                                F.sum("n_tokens").alias("n_tokens"),

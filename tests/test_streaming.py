@@ -1414,3 +1414,50 @@ class TestStreamDedupPqIndex:
         writer(corpus, 0)
         assert out.read(spark).count() == n0
         assert ix.read(spark).count() == self.K * 4
+
+
+def test_shard_epoch_writer_jsonl_container(spark, tmp_path):
+    """r12: fmt='jsonl' — the streaming sibling of the batch exporter's
+    container option: epochs land as newline-delimited JSON, the marker
+    stats recompute from the JSON files read back, replays stay
+    byte-idempotent, and audit_streaming_shards recounts them."""
+    import json
+    import os
+
+    from dativo_ingest_spark.sinks.shard_export import (
+        audit_streaming_shards)
+
+    out = str(tmp_path / "shards_jl")
+    writer = pipeline.shard_epoch_writer(
+        out, "doc_id", "n_tokens", n_shards=4, query_id="qjl",
+        fmt="jsonl")
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, 10 + i) for i in ids], "doc_id long, n_tokens long")
+
+    writer(mk(range(80)), 0)
+    writer(mk(range(80, 120)), 1)
+    man = json.load(open(f"{out}/manifest.json"))
+    assert man["epochs"] == [0, 1]
+    assert sum(v["n_rows"] for v in man["shards"].values()) == 120
+
+    # the epoch files are real JSON lines
+    sdir = next(d for d in sorted(os.listdir(out))
+                if d.startswith("epoch="))
+    shard0 = os.path.join(out, sdir, "shard=0")
+    fname = next(f for f in os.listdir(shard0) if f.endswith(".json"))
+    lines = [json.loads(ln)
+             for ln in open(os.path.join(shard0, fname)) if ln.strip()]
+    assert lines and all("_h" in d for d in lines)
+
+    # replay is a no-op; the audit recounts the JSON epochs green
+    writer(mk(range(80)), 0)
+    man2 = json.load(open(f"{out}/manifest.json"))
+    assert man2["shards"] == man["shards"]
+    rep = audit_streaming_shards(spark, out)
+    assert rep["ok"] and rep["epochs"] == 2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="fmt"):
+        pipeline.shard_epoch_writer("/tmp/x", "id", "t", fmt="csv")

@@ -13745,4 +13745,19 @@ if len(QUERIES) - len(_GATE_DEMOTED) > 50:
         f"{len(QUERIES) - len(_GATE_DEMOTED)} non-demoted queries exceed "
         "the 50-row driver proof window: demote a proven sibling per "
         "addition (see the rotation notes above)")
+# the anchor-map guard is equally loud at import (r12): a demotion
+# without a family anchor, or an anchor that itself got demoted, decays
+# the keep-each-family-in-window discipline silently — raise before the
+# driver can record a window that violates it
+_anchorless = set(_GATE_DEMOTED) - set(_DEMOTION_ANCHOR)
+if _anchorless:
+    raise RuntimeError(
+        f"demoted without a family anchor in _DEMOTION_ANCHOR: "
+        f"{sorted(_anchorless)}")
+_bad_anchor = {d: a for d, a in _DEMOTION_ANCHOR.items()
+               if a not in QUERIES or a in set(_GATE_DEMOTED)}
+if _bad_anchor:
+    raise RuntimeError(
+        "anchors must be registered, NON-demoted queries (re-point the "
+        f"map when demoting an anchor): {_bad_anchor}")
 del _name

@@ -47,6 +47,20 @@ from dativo_ingest_spark.operators.clustering import (
 )
 
 
+#: the inline argmin path additionally caps the NUMBER of struct-argmin
+#: fold expressions (m·k): the k·dim literal budget alone admits shapes
+#: like m=16/k=8 (512 literals) whose 128 generated fold expressions
+#: blow whole-stage codegen past usefulness — measured 6.9 s inline vs
+#: 1.2 s through the (bit-identical, test-pinned) Arrow kernel on the
+#: sf0.1 encode. m=2-4 PQ stays inline (8-16 folds, the sweet spot).
+PQ_INLINE_ARGMIN_BUDGET = 32
+
+
+def _pq_use_inline(m: int, k: int, dim: int) -> bool:
+    return (k * dim <= INLINE_LITERAL_BUDGET
+            and m * k <= PQ_INLINE_ARGMIN_BUDGET)
+
+
 def _quantize_driver(x: float, scale: int) -> float:
     """Replicate ``F.round(x * scale)`` (HALF_UP on the shortest decimal
     repr — half away from zero, the Spark/DuckDB agreement the kmeans
@@ -169,8 +183,7 @@ def pq_train(
         ]
 
         def encode_cols(frame: DataFrame) -> list[F.Column]:
-            inline = k * dim <= INLINE_LITERAL_BUDGET
-            if inline:
+            if _pq_use_inline(m, k, dim):
                 return [
                     _assign_inline(f"_s{j}", codebooks[j]).alias(f"_c{j}")
                     for j in range(m)
@@ -224,7 +237,7 @@ def pq_encode(
     sub = len(codebooks[0][0])
     dim = m * sub
     quantized = _quantized(df, id_col, vec_col, scale)
-    if k * dim <= INLINE_LITERAL_BUDGET:
+    if _pq_use_inline(m, k, dim):
         sliced = quantized.select(
             "id", *[F.slice("qvec", j * sub + 1, sub).alias(f"_s{j}")
                     for j in range(m)])

@@ -755,10 +755,7 @@ def index_entries_pq(
     deterministic-expression contract as :func:`index_entries`: pass
     the SAME bands/band_width/codebooks/scale on every batch."""
     from dativo_ingest_spark.operators.quantization import (
-        _pq_assign_udf, _subspace_bounds)
-    from dativo_ingest_spark.operators.clustering import (
-        INLINE_LITERAL_BUDGET)
-    from dativo_ingest_spark.operators.quantization import _assign_inline
+        _assign_inline, _pq_assign_udf, _pq_use_inline, _subspace_bounds)
 
     m = len(codebooks)
     k = len(codebooks[0])
@@ -772,7 +769,7 @@ def index_entries_pq(
     ).withColumn(
         "qvec",
         F.transform("_vec", lambda x: F.round(x * scale).cast("long")))
-    if k * dim <= INLINE_LITERAL_BUDGET:
+    if _pq_use_inline(m, k, dim):
         sliced = staged.select(
             "id", "_vec",
             *[F.slice("qvec", s, ln).alias(f"_s{j}")

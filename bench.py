@@ -495,7 +495,8 @@ def main() -> None:
     # while a sf0.001 warm absorbs the same compile for pennies of data
     for warm in ("mdkv_row_per_kv", "dedup_exact_docs", "dedup_minhash_lsh",
                  "dedup_simhash", "ann_topk_ivf", "dedup_ingest_exact",
-                 "dedup_ingest_minhash", "dedup_ingest_embedding"):
+                 "dedup_ingest_minhash", "dedup_ingest_embedding",
+                 "dedup_ingest_embedding_pq"):
         QUERIES[warm].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()

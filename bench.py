@@ -296,6 +296,46 @@ HEADLINE_MAX_PASSES = 4
 HEADLINE_WAIT_POOL_S = 300.0
 
 
+#: r13 (r12 verdict "What's wrong #1"): loadavg alone cannot see a host
+#: whose CPUs are simply SLOWER (cgroup throttling, co-tenant steal) — r12
+#: stamped an 87s headline "clean" at loadavg 1.39 while the same record's
+#: CSV trial ran 21x the idle band. The canary is an in-band host-SPEED
+#: probe: a fixed, pure-JVM, whole-stage-codegen workload (range + modulo
+#: fold, 32 partitions, no I/O, no Python, no shuffle) timed best-of-3
+#: immediately before each headline pass and each ingest phase. A pass
+#: whose canary exceeds the in-repo reference band is stamped dirty even
+#: if loadavg is quiet. Reference = best-of-3 on the calibration host,
+#: idle (r13: trials 1.06-1.28s, best-of-3 stable at 1.06 across windows).
+#: Gate at 1.5x, not the verdict's literal 15%: single trials on the SAME
+#: idle host measured a 1.8x spread (0.44-1.13s at 2e9 scale), so a 15%
+#: gate on best-of-3 would false-positive on scheduler jitter; 1.5x still
+#: catches every real degradation seen to date (the r12 slow host ran 21x).
+CANARY_ROWS = 8_000_000_000
+CANARY_REF_S = 1.06
+CANARY_SLOW_RATIO = 1.5
+CANARY_TRIALS = 3
+
+
+def run_canary(spark) -> float:
+    """Best-of-3 wall time of the fixed pure-JVM canary workload; the
+    codegen-compile warm runs once per JVM (tracked on the session)."""
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, CANARY_ROWS, 1, 32).selectExpr(
+            "sum(id % 1000003) as s"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    if not getattr(spark, "_canary_warm", False):
+        one()  # codegen compile + executor-thread spin-up, untimed
+        spark._canary_warm = True
+    return round(min(one() for _ in range(CANARY_TRIALS)), 3)
+
+
+def canary_slow(canary_s: float) -> bool:
+    return canary_s > CANARY_REF_S * CANARY_SLOW_RATIO
+
+
 def wait_for_idle(threshold: float = IDLE_LOADAVG_THRESHOLD,
                   max_wait_s: float = IDLE_WAIT_MAX_S) -> float:
     """Block (bounded) until the 1-minute loadavg drops under
@@ -371,6 +411,9 @@ def run_ingest(spark, sf_dir: str) -> dict:
         # the box MID-RUN (trial loadavgs 2.3-8.6) — re-check idleness
         # before EACH trial phase, bounded like the start gate
         wait_for_idle()
+        # r13: host-SPEED probe per phase — loadavg can be quiet on a
+        # throttled host (see run_canary docstring)
+        csv_canary_s = run_canary(spark)
         csv_trials, csv_loads = [], []
         for _ in range(5):
             csv_loads.append(loadavg1())
@@ -387,6 +430,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
         staged.limit(100_000).write.mode("overwrite").parquet(
             f"{work}/pq_warm")  # warm the writer path, untimed
         wait_for_idle()         # idle re-check between phases (r10)
+        pq_canary_s = run_canary(spark)
         pq_trials, pq_loads = [], []
         for i in range(5):
             out = f"{work}/pq_out{i}"
@@ -400,7 +444,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    def _clean_best(trials, loads):
+    def _clean_best(trials, loads, phase_canary_s):
         """(best-trial contaminated?, best among gate-clean trials).
 
         'best-of-N' must not silently elect a trial that ran above the
@@ -408,15 +452,18 @@ def run_ingest(spark, sf_dir: str) -> dict:
         pure external load): the record keeps the official min AND a
         contamination stamp plus the best CLEAN trial alongside, so a
         dirty round can never masquerade as a regression — or a clean
-        one as a record."""
+        one as a record. r13: a phase whose canary ran slow has NO clean
+        trials — the host itself was degraded, loadavg notwithstanding."""
+        if canary_slow(phase_canary_s):
+            return True, None
         best_i = trials.index(min(trials))
         clean = [t for t, l in zip(trials, loads)
                  if l <= IDLE_LOADAVG_THRESHOLD]
         return loads[best_i] > IDLE_LOADAVG_THRESHOLD, \
             (min(clean) if clean else None)
 
-    csv_dirty, csv_clean_s = _clean_best(csv_trials, csv_loads)
-    pq_dirty, pq_clean_s = _clean_best(pq_trials, pq_loads)
+    csv_dirty, csv_clean_s = _clean_best(csv_trials, csv_loads, csv_canary_s)
+    pq_dirty, pq_clean_s = _clean_best(pq_trials, pq_loads, pq_canary_s)
     return {
         "rows": n_rows,
         "csv_scan_s": csv_scan_s,
@@ -436,6 +483,10 @@ def run_ingest(spark, sf_dir: str) -> dict:
         "parquet_write_rows_per_s_clean": (
             round(n_rows / pq_clean_s) if pq_clean_s else None),
         "ingest_contaminated": csv_dirty or pq_dirty,
+        "canary_s_csv": csv_canary_s,
+        "canary_s_parquet": pq_canary_s,
+        "canary_ref_s": CANARY_REF_S,
+        "canary_slow_ratio": CANARY_SLOW_RATIO,
         "isolated_jvm": os.environ.get("SPARK_GRAFT_INGEST_CHILD") == "1",
     }
 
@@ -485,21 +536,24 @@ def main() -> None:
     # Warm the JVM/codegen paths and the Python worker pool once on the
     # smallest inputs so per-query numbers measure the plan, not first-call
     # JIT or the 32 Python daemon spawns (one-time costs on a long-lived
-    # cluster).
-    QUERIES["q6_revenue_forecast"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # the ingest-dedup trio compiles ~14s of unique codegen (signature
-    # chains, agreement lambdas, FsTable commit plans) spread over many
-    # stages — measured: first sf0.1 call 19.4s vs 5.2-6.6s steady-state,
-    # while a sf0.001 warm absorbs the same compile for pennies of data
-    for warm in ("mdkv_row_per_kv", "dedup_exact_docs", "dedup_minhash_lsh",
-                 "dedup_simhash", "ann_topk_ivf", "dedup_ingest_exact",
-                 "dedup_ingest_minhash", "dedup_ingest_embedding",
-                 "dedup_ingest_embedding_pq"):
-        QUERIES[warm].fn(spark, "/root/testdata/sf0.001").write.format(
-            "noop"
-        ).mode("overwrite").save()
+    # cluster). r13 (r12 verdict "What's wrong #2"): warm EVERY timed row
+    # at sf0.001 — pennies of data, uniform treatment. The old 9-name warm
+    # list left 130+ extended rows paying first-call plan compile inside
+    # their timed run: the r12 record booked rrf_fusion_topk at 33.7s
+    # where the warm-path cost is 2.1s. One sf0.001 pass per row absorbs
+    # codegen compile + Arrow/Python worker spin-up for every family.
+    warm_failures: dict[str, str] = {}
+    warm_names = list(HEADLINE)
+    if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
+        warm_names += EXTENDED
+    for warm in list(dict.fromkeys(warm_names)):
+        try:
+            QUERIES[warm].fn(spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as ex:  # a warm failure must not kill the bench
+            warm_failures[warm] = f"{type(ex).__name__}: {ex}"[:200]
+    spark.catalog.clearCache()
 
     def run_once(name: str) -> float:
         # per-query isolation: drop caches left by prior queries (dedup
@@ -526,27 +580,34 @@ def main() -> None:
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     headline_loads: list[float] = []
     headline_waits: list[float] = []
+    headline_canaries: list[float] = []
     wait_pool = HEADLINE_WAIT_POOL_S
+
+    def _pass_clean(i: int) -> bool:
+        return (headline_loads[i] <= IDLE_LOADAVG_THRESHOLD
+                and not canary_slow(headline_canaries[i]))
+
     while len(headline_loads) < HEADLINE_MAX_PASSES:
         waited = wait_for_idle(max_wait_s=min(IDLE_WAIT_MAX_S, wait_pool))
         wait_pool = max(0.0, wait_pool - waited)
         headline_waits.append(waited)
         headline_loads.append(loadavg1())
+        # r13: host-speed canary per pass — a pass on a throttled/slow
+        # host is dirty even at loadavg 0 (r12's 87s "clean" headline)
+        headline_canaries.append(run_canary(spark))
         for name in HEADLINE:
             runs[name].append(run_once(name))
         done_min = len(headline_loads) >= HEADLINE_MIN_PASSES
-        any_clean = any(
-            load <= IDLE_LOADAVG_THRESHOLD for load in headline_loads)
+        any_clean = any(_pass_clean(i) for i in range(len(headline_loads)))
         if done_min and (any_clean or wait_pool <= 0.0):
             break
     timings = {name: min(ts) for name, ts in runs.items()}
-    headline_contaminated = all(
-        load > IDLE_LOADAVG_THRESHOLD for load in headline_loads)
+    headline_contaminated = not any(
+        _pass_clean(i) for i in range(len(headline_loads)))
     # best CLEAN total: per-query min restricted to passes that started
-    # under the gate — the defensible round-over-round number when the
-    # official min happens to ride a dirty pass
-    clean_ix = [i for i, load in enumerate(headline_loads)
-                if load <= IDLE_LOADAVG_THRESHOLD]
+    # under the loadavg gate AND whose canary ran in-band — the defensible
+    # round-over-round number when the official min rides a dirty pass
+    clean_ix = [i for i in range(len(headline_loads)) if _pass_clean(i)]
     total_clean = (
         round(sum(min(ts[i] for i in clean_ix) for ts in runs.values()), 3)
         if clean_ix else None)
@@ -560,31 +621,45 @@ def main() -> None:
             extended[name] = run_once(name)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_runs": runs,
-                "extended": extended,
-                "extended_total_s": round(sum(extended.values()), 3),
-                "sf": sf,
-                "ingest": ingest,
-                "headline_contaminated": headline_contaminated,
-                "headline_total_s_clean": total_clean,
-                "loadavg": {
-                    "start": la_start,
-                    "idle_waited_s": idle_waited,
-                    "headline_runs": headline_loads,
-                    "headline_waits_s": headline_waits,
-                    "end": loadavg1(),
-                    "ncpu": os.cpu_count(),
-                },
-            }
-        )
-    )
+    full_record = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "query_runs": runs,
+        "extended": extended,
+        "extended_total_s": round(sum(extended.values()), 3),
+        "sf": sf,
+        "ingest": ingest,
+        "headline_contaminated": headline_contaminated,
+        "headline_total_s_clean": total_clean,
+        "canary": {
+            "headline_passes_s": headline_canaries,
+            "ref_s": CANARY_REF_S,
+            "slow_ratio": CANARY_SLOW_RATIO,
+            "rows": CANARY_ROWS,
+        },
+        "warm_failures": warm_failures,
+        "loadavg": {
+            "start": la_start,
+            "idle_waited_s": idle_waited,
+            "headline_runs": headline_loads,
+            "headline_waits_s": headline_waits,
+            "end": loadavg1(),
+            "ncpu": os.cpu_count(),
+        },
+    }
+    print(json.dumps(full_record))
+    # r13 (r12 verdict "What's wrong #3"): the driver's tail capture
+    # truncates the stdout dump, losing the per-row `extended` dict from
+    # the official BENCH_r{N} artifact — persist the COMPLETE record
+    # in-repo so every round keeps its full evidence.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_full_latest.json"), "w") as fh:
+            json.dump(full_record, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout record still carries the summary
     # Compact summary as the LAST stdout line: the driver's tail capture
     # truncates the full dump above (BENCH_r8 AND r9 both recorded
     # parsed: null), so the headline numbers must also ride in a line
@@ -611,8 +686,13 @@ def main() -> None:
                 "headline_total_s_clean": total_clean,
                 "isolated_jvm": ingest.get("isolated_jvm"),
                 "loadavg_start": la_start,
+                "canary_headline_s": headline_canaries,
+                "canary_ingest_s": [ingest.get("canary_s_csv"),
+                                    ingest.get("canary_s_parquet")],
+                "canary_ref_s": CANARY_REF_S,
                 "n_headline": len(timings),
                 "n_extended": len(extended),
+                "n_warm_failures": len(warm_failures),
             }
         )
     )

@@ -275,6 +275,32 @@ def pq_reconstruct(codes, codebooks: Sequence[Sequence[Sequence[float]]],
             (F.element_at(codes, (j + 1).cast("int")) + 1).cast("int"))))
 
 
+def pq_reconstruct_residual(
+    cell,
+    codes,
+    cells: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    scale: int = 10_000,
+):
+    """Decode a RESIDUAL-coded row back to its reconstruction ``x̂`` in
+    RAW units: ``x̂[i] = (cell_centroid[i] + decoded_residual[i]) /
+    scale``. Residual codebooks train on the integer residual grid
+    (scale=1 — see ivfpq_train_artifact), so :func:`pq_reconstruct`
+    at scale=1 yields the residual and the coarse centroid restores the
+    global position. Pure Catalyst like :func:`pq_reconstruct`: the
+    coarse cells ride as one more nested literal, each row pays one
+    extra element_at + zip_with. Spends the same m·k code budget as the
+    raw-vector PQ codec but only on WITHIN-CELL geometry — measurably
+    lower reconstruction error at equal storage (pinned by tests)."""
+    cells_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cv]) for cv in cells])
+    resid = pq_reconstruct(codes, codebooks, scale=1)
+    return F.zip_with(
+        F.element_at(cells_lit, (cell + 1).cast("int")),
+        resid,
+        lambda c, r: (c + r) / F.lit(float(scale)))
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: dict,
@@ -506,105 +532,308 @@ def ivfpq_residual_topk(
         raise ValueError("queries must be non-empty")
     quantized = _quantized(df, id_col, vec_col, scale).cache()
     try:
-        cents = [[float(x) for x in r["qvec"]]
-                 for r in quantized.orderBy("id").limit(n_cells).collect()]
-        if len(cents) < n_cells:
-            raise ValueError(f"need {n_cells} rows for cell centroids")
-        dim = len(cents[0])
-        sub = dim // m
-
-        cell_col = _assign_inline("qvec", cents) \
-            if n_cells * dim <= INLINE_LITERAL_BUDGET else \
-            F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
-        cells_lit = F.array(*[
-            F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
-        with_res = quantized.select(
-            "id", cell_col.alias("cell"),
-            F.zip_with("qvec",
-                       F.element_at(cells_lit,
-                                    (cell_col + 1).cast("int")),
-                       lambda a, b: (a - b).cast("long")).alias("qvec"))
+        cents = _coarse_cells(quantized, n_cells)
+        with_res = _with_residuals(quantized, cents)
         res_frame = with_res.select("id", "qvec").localCheckpoint(
             eager=True)
         codebooks = pq_train(res_frame, "id", "qvec",
                              m=m, k=k_codes, n_iter=n_iter, scale=1)
         coded = (pq_encode(res_frame, "id", "qvec", codebooks, scale=1)
                  .join(with_res.select("id", "cell"), "id"))
-
-        qids = sorted(queries)
-        probes, luts = [], []
-        for qid in qids:
-            qq = [_quantize_driver(x, scale) for x in queries[qid]]
-            dists = []
-            for cid, cvec in enumerate(cents):
-                acc = 0.0
-                for a, b in zip(qq, cvec):
-                    acc = acc + (a - b) * (a - b)
-                dists.append((_spark_round9(acc), cid))
-            dists.sort()
-            probed = sorted(c for _, c in dists[:n_probe])
-            probes.append(probed)
-            # per probed cell: LUT over the query's RESIDUAL in that
-            # cell's frame
-            lut_q = []
-            for cid in probed:
-                qres = [a - b for a, b in zip(qq, cents[cid])]
-                lut_c = []
-                for j in range(m):
-                    qs = qres[j * sub:(j + 1) * sub]
-                    row = []
-                    for cvec in codebooks[j]:
-                        acc = 0.0
-                        for a, b in zip(qs, cvec):
-                            acc = acc + (a - b) * (a - b)
-                        row.append(_spark_round9(acc))
-                    lut_c.append(row)
-                lut_q.append(lut_c)
-            luts.append(lut_q)
-
-        probe_lit = F.array(*[
-            F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
-        lut_lit = F.array(*[
-            F.array(*[
-                F.array(*[
-                    F.array(*[F.lit(float(x)) for x in row])
-                    for row in lut_c])
-                for lut_c in lut_q])
-            for lut_q in luts])
-        qid_lit = F.array(*[F.lit(q) for q in qids])
-
-        routed = (coded
-                  .select("id", "codes", "cell",
-                          F.posexplode(qid_lit).alias("qi", "query_id"))
-                  .withColumn(
-                      "slot",
-                      F.array_position(
-                          F.element_at(probe_lit, F.col("qi") + 1),
-                          F.col("cell").cast("int")))
-                  .filter(F.col("slot") > 0))
-        scored = routed.select(
-            "query_id", "id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc + F.element_at(
-                    F.element_at(
-                        F.element_at(
-                            F.element_at(lut_lit, F.col("qi") + 1),
-                            F.col("slot").cast("int")),
-                        j + 1),
-                    (F.element_at("codes", j + 1) + 1).cast("int")))
-            .alias("adc"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc").asc(), F.col("id").asc())
-        out = (scored.withColumn("rank", F.row_number().over(w))
-               .filter(F.col("rank") <= k)
-               .select("query_id",
-                       F.col("rank").cast("long").alias("rank"),
-                       "id", "adc"))
+        out = _residual_adc_topk(coded, cents, codebooks, queries,
+                                 n_probe=n_probe, k=k, scale=scale)
         return out.localCheckpoint(eager=True)
     finally:
         quantized.unpersist()
+
+
+def _coarse_cells(quantized: DataFrame, n_cells: int) -> list[list[float]]:
+    """The coarse cell centroids: the n_cells lowest-id QUANTIZED
+    vectors — integer grid points, so residuals stay exact BIGINTs."""
+    cents = [[float(x) for x in r["qvec"]]
+             for r in quantized.orderBy("id").limit(n_cells).collect()]
+    if len(cents) < n_cells:
+        raise ValueError(f"need {n_cells} rows for cell centroids")
+    return cents
+
+
+def _with_residuals(quantized: DataFrame,
+                    cents: Sequence[Sequence[float]]) -> DataFrame:
+    """(id, cell, qvec=residual) — assign each quantized vector its
+    nearest coarse cell (inline argmin under the literal budget, Arrow
+    kernel above) and subtract that cell's centroid."""
+    n_cells, dim = len(cents), len(cents[0])
+    cell_col = _assign_inline("qvec", cents) \
+        if n_cells * dim <= INLINE_LITERAL_BUDGET else \
+        F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
+    cells_lit = F.array(*[
+        F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
+    return quantized.select(
+        "id", cell_col.alias("cell"),
+        F.zip_with("qvec",
+                   F.element_at(cells_lit,
+                                (cell_col + 1).cast("int")),
+                   lambda a, b: (a - b).cast("long")).alias("qvec"))
+
+
+def _residual_adc_topk(
+    coded: DataFrame,
+    cents: Sequence[Sequence[float]],
+    codebooks: Sequence[Sequence[Sequence[float]]],
+    queries: dict,
+    n_probe: int,
+    k: int,
+    scale: int,
+) -> DataFrame:
+    """The residual-IVFPQ SERVING stage over an (id, cell, codes) frame:
+    driver-side coarse probing + per-(query, probed cell) residual LUTs
+    riding as plan literals, one routed scan of the codes frame, m
+    lookups per row, per-query top-k window. Factored out of
+    :func:`ivfpq_residual_topk` (r13) so the PERSISTED index
+    (:func:`ivfpq_index_topk`) serves through the byte-identical plan."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qids = sorted(queries)
+    probes, luts = [], []
+    for qid in qids:
+        qq = [_quantize_driver(x, scale) for x in queries[qid]]
+        dists = []
+        for cid, cvec in enumerate(cents):
+            acc = 0.0
+            for a, b in zip(qq, cvec):
+                acc = acc + (a - b) * (a - b)
+            dists.append((_spark_round9(acc), cid))
+        dists.sort()
+        probed = sorted(c for _, c in dists[:n_probe])
+        probes.append(probed)
+        # per probed cell: LUT over the query's RESIDUAL in that
+        # cell's frame
+        lut_q = []
+        for cid in probed:
+            qres = [a - b for a, b in zip(qq, cents[cid])]
+            lut_c = []
+            for j in range(m):
+                qs = qres[j * sub:(j + 1) * sub]
+                row = []
+                for cvec in codebooks[j]:
+                    acc = 0.0
+                    for a, b in zip(qs, cvec):
+                        acc = acc + (a - b) * (a - b)
+                    row.append(_spark_round9(acc))
+                lut_c.append(row)
+            lut_q.append(lut_c)
+        luts.append(lut_q)
+
+    probe_lit = F.array(*[
+        F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
+    lut_lit = F.array(*[
+        F.array(*[
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in lut_c])
+            for lut_c in lut_q])
+        for lut_q in luts])
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+
+    routed = (coded
+              .select("id", "codes", "cell",
+                      F.posexplode(qid_lit).alias("qi", "query_id"))
+              .withColumn(
+                  "slot",
+                  F.array_position(
+                      F.element_at(probe_lit, F.col("qi") + 1),
+                      F.col("cell").cast("int")))
+              .filter(F.col("slot") > 0))
+    scored = routed.select(
+        "query_id", "id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc + F.element_at(
+                F.element_at(
+                    F.element_at(
+                        F.element_at(lut_lit, F.col("qi") + 1),
+                        F.col("slot").cast("int")),
+                    j + 1),
+                (F.element_at("codes", j + 1) + 1).cast("int")))
+        .alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    "id", "adc"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ retrieval index (r12 verdict Next #5): the retrieval
+# sibling of the PQ-coded dedup ingest index. ivfpq_residual_topk builds
+# codebooks/codes in-frame per call; here the codes + coarse cell ids
+# COMMIT to an FsTable once (sorted by cell, per-file cell stats), new
+# corpus batches append incrementally under the FROZEN artifact, and
+# top-k serves against the committed table reading ONLY the files whose
+# [min,max] cell range intersects the probed cells — at 100 TB with
+# thousands of cells a query touches n_probe cells' worth of files, not
+# the corpus. Serving is _residual_adc_topk, byte-identical to the
+# in-frame operator's plan, so the proven residual oracle pins the whole
+# persistent lifecycle.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_train_artifact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 2,
+    k_codes: int = 4,
+    n_cells: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+) -> dict:
+    """Train the frozen IVF-PQ artifact — coarse cells (the n_cells
+    lowest-id quantized vectors) + RESIDUAL codebooks — and return it
+    as a JSON-safe dict (the codebooks-as-artifact pattern the PQ
+    ingest runner mode uses: persist it next to the index; every later
+    append and every serve must run under the SAME artifact, since
+    mismatched codebooks silently mis-encode). Train on a SAMPLE at
+    corpus scale — FAISS trains on ~1M points, not 100 TB."""
+    quantized = _quantized(df, id_col, vec_col, scale).cache()
+    try:
+        cents = _coarse_cells(quantized, n_cells)
+        res_frame = _with_residuals(quantized, cents) \
+            .select("id", "qvec").localCheckpoint(eager=True)
+        codebooks = pq_train(res_frame, "id", "qvec",
+                             m=m, k=k_codes, n_iter=n_iter, scale=1)
+    finally:
+        quantized.unpersist()
+    return {"kind": "ivfpq_residual", "m": m, "k": k_codes,
+            "n_cells": n_cells, "scale": scale,
+            "dim": len(cents[0]),
+            "cells": [[int(x) for x in cv] for cv in cents],
+            "codebooks": [[[float(x) for x in cvec] for cvec in cb]
+                          for cb in codebooks]}
+
+
+def ivfpq_encode(df: DataFrame, id_col: str, vec_col: str,
+                 artifact: dict) -> DataFrame:
+    """Encode rows under a FROZEN artifact: (id, cell, codes). The
+    identical assign/residual/encode expressions the trainer used, so
+    appended batches code exactly as a from-scratch build would. Codes
+    store as the narrowest integer type that holds k (the
+    index_entries_pq discipline); cell as int."""
+    cents = artifact["cells"]
+    codebooks = artifact["codebooks"]
+    k = len(codebooks[0])
+    code_t = "tinyint" if k <= 128 else ("smallint" if k <= 32768
+                                         else "long")
+    quantized = _quantized(df, id_col, vec_col, int(artifact["scale"]))
+    with_res = _with_residuals(quantized, cents)
+    coded = pq_encode(with_res.select("id", "qvec"), "id", "qvec",
+                      codebooks, scale=1)
+    return (coded.join(with_res.select("id", "cell"), "id")
+            .select("id", F.col("cell").cast("int").alias("cell"),
+                    F.col("codes").cast(f"array<{code_t}>")
+                    .alias("codes")))
+
+
+def ivfpq_index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_table,
+    artifact: dict | None = None,
+    m: int = 2,
+    k_codes: int = 4,
+    n_cells: int = 4,
+    n_iter: int = 1,
+    scale: int = 10_000,
+    branch: str = "main",
+) -> dict:
+    """Build the persistent retrieval index: train the artifact (or
+    take a pre-trained one — the production shape: train on a sample,
+    encode everything) and commit ``df``'s coded entries. Returns the
+    artifact; persist it WITH the table (it is the decoder)."""
+    if artifact is None:
+        artifact = ivfpq_train_artifact(
+            df, id_col, vec_col, m=m, k_codes=k_codes,
+            n_cells=n_cells, n_iter=n_iter, scale=scale)
+    _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
+                  operation="overwrite")
+    return artifact
+
+
+def ivfpq_index_append(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_table,
+    artifact: dict,
+    branch: str = "main",
+) -> None:
+    """Incrementally append a corpus batch to the committed index under
+    the FROZEN artifact (atomic snapshot append — a crash re-appends,
+    never half-publishes)."""
+    _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
+                  operation="append")
+
+
+def _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
+                  operation) -> None:
+    coded = ivfpq_encode(df, id_col, vec_col, artifact)
+    n_cells = int(artifact["n_cells"])
+    # cluster the files BY CELL RANGE before committing: each file then
+    # spans a contiguous cell interval, so its recorded [min,max] cell
+    # stats prune serving reads to the probed slice (hash partitioning
+    # would interleave cells across files and gut the prune). Partition
+    # count follows the cell count, not the session shuffle default — a
+    # 4-cell index should be ~4 files, not 32 near-empty ones.
+    staged = (coded.repartitionByRange(min(n_cells, 200), "cell")
+              .sortWithinPartitions("cell", "id"))
+    index_table.write_append(staged, branch=branch, operation=operation,
+                             stats_columns=["cell"])
+
+
+def ivfpq_index_topk(
+    spark,
+    index_table,
+    artifact: dict,
+    queries: dict,
+    n_probe: int = 2,
+    k: int = 10,
+    branch: str = "main",
+) -> DataFrame:
+    """Serve top-k against the COMMITTED index: probe the artifact's
+    coarse cells driver-side, read only the files whose cell stats
+    intersect the probed range (manifest pruning — the 100 TB win),
+    row-filter to the probed cells, then the byte-identical
+    _residual_adc_topk serving plan. Same (query_id, rank, id, adc)
+    contract as :func:`ivfpq_residual_topk`."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cents = artifact["cells"]
+    scale = int(artifact["scale"])
+    probed: set[int] = set()
+    for qvecf in queries.values():
+        qq = [_quantize_driver(x, scale) for x in qvecf]
+        dists = []
+        for cid, cvec in enumerate(cents):
+            acc = 0.0
+            for a, b in zip(qq, cvec):
+                acc = acc + (a - b) * (a - b)
+            dists.append((_spark_round9(acc), cid))
+        dists.sort()
+        probed.update(c for _, c in dists[:n_probe])
+    # file-granular prune on the conjunctive [min,max] hull of the
+    # probed cells; _residual_adc_topk's slot filter re-applies the
+    # exact per-query routing row-level, so hull false-positives only
+    # cost I/O, never correctness
+    coded = index_table.read(
+        spark, branch=branch,
+        where=[("cell", ">=", min(probed)), ("cell", "<=", max(probed))]
+    ).filter(F.col("cell").isin(*[int(c) for c in probed]))
+    return _residual_adc_topk(coded, cents, artifact["codebooks"],
+                              queries, n_probe=n_probe, k=k, scale=scale)
 
 
 def exact_grid_topk(

@@ -515,6 +515,7 @@ def dedup_embeddings_against_index(
     index_codec: str = "raw",
     codebooks=None,
     scale: int = 10_000,
+    artifact: dict | None = None,
 ):
     """Embedding near-dup-on-ingest: drop batch rows whose embedding the
     corpus has already (approximately) seen, then record the survivors —
@@ -575,16 +576,27 @@ def dedup_embeddings_against_index(
     codebooks silently mis-reconstruct. Recall vs the raw index is
     bounded by quantization error (pinned by tests); the band/cell
     topology, commit atomicity and counters are codec-independent.
+
+    ``index_codec="pq_residual"`` (r12 verdict Next #3 — the actual
+    FAISS IVFPQ storage shape): same contract as ``"pq"`` but entries
+    store a coarse ``cell`` id plus RESIDUAL codes
+    (:func:`index_entries_pq_residual`), decoded as centroid +
+    residual (``quantization.pq_reconstruct_residual``) — measurably
+    lower reconstruction error at the same m·k code budget. Pass the
+    frozen ``artifact`` from ``quantization.ivfpq_train_artifact``.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if bands < 1 or band_width < 1:
         raise ValueError("bands and band_width must be >= 1")
-    if index_codec not in ("raw", "pq"):
-        raise ValueError(f"index_codec must be 'raw' or 'pq', got "
-                         f"{index_codec!r}")
+    if index_codec not in ("raw", "pq", "pq_residual"):
+        raise ValueError(f"index_codec must be 'raw', 'pq' or "
+                         f"'pq_residual', got {index_codec!r}")
     if index_codec == "pq" and not codebooks:
         raise ValueError("index_codec='pq' requires trained codebooks")
+    if index_codec == "pq_residual" and not artifact:
+        raise ValueError("index_codec='pq_residual' requires the "
+                         "ivfpq_train_artifact dict")
     staged = batch.withColumn(
         "_vec", vectors.as_double_array(F.col(vec_col)))
     staged = staged.withColumn("_norm", vectors.l2_norm(F.col("_vec")))
@@ -626,7 +638,13 @@ def dedup_embeddings_against_index(
         index_table.create_branch(branch)
     head = index_table.snapshot(index_table.current_version(branch))
     if head.files:
-        if index_codec == "pq":
+        if index_codec == "pq_residual":
+            index = index_table.read(spark, branch=branch).select(
+                F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
+                F.col("cell").alias("_ix_cell"),
+                F.col("codes").alias("_ix_codes"),
+                F.col("norm").alias("_ix_norm"))
+        elif index_codec == "pq":
             index = index_table.read(spark, branch=branch).select(
                 F.col("id").alias("_ix_id"), F.col("key").alias("_key"),
                 F.col("codes").alias("_ix_codes"),
@@ -657,6 +675,19 @@ def dedup_embeddings_against_index(
                 "_ix_vec",
                 pq_reconstruct(F.col("_ix_codes"), codebooks, scale)
             ).drop("_ix_codes")
+        elif index_codec == "pq_residual":
+            # same post-prune decode discipline; reconstruction =
+            # coarse centroid + decoded residual, all plan literals
+            from dativo_ingest_spark.operators.quantization import (
+                pq_reconstruct_residual)
+
+            index = index.withColumn(
+                "_ix_vec",
+                pq_reconstruct_residual(
+                    F.col("_ix_cell"), F.col("_ix_codes"),
+                    artifact["cells"], artifact["codebooks"],
+                    int(artifact["scale"]))
+            ).drop("_ix_codes", "_ix_cell")
         icos = _pair_cosine("_vec", "_ix_vec", "_norm", "_ix_norm")
         index_hits = (
             keyed.join(index, "_key")
@@ -694,11 +725,15 @@ def dedup_embeddings_against_index(
 
         # coalesced append: see dedup.dedup_against_index — avoids one
         # near-empty index file per shuffle partition per batch
-        entries = (
-            index_entries_pq(kept, id_col, vec_col, codebooks,
-                             bands, band_width, scale)
-            if index_codec == "pq"
-            else index_entries(kept, id_col, vec_col, bands, band_width))
+        if index_codec == "pq":
+            entries = index_entries_pq(kept, id_col, vec_col, codebooks,
+                                       bands, band_width, scale)
+        elif index_codec == "pq_residual":
+            entries = index_entries_pq_residual(
+                kept, id_col, vec_col, artifact, bands, band_width)
+        else:
+            entries = index_entries(kept, id_col, vec_col, bands,
+                                    band_width)
         index_table.write_append(
             entries.coalesce(index_append_partitions(n_kept * bands)),
             branch=branch,
@@ -791,6 +826,78 @@ def index_entries_pq(
         F.explode(sign_band_keys(F.col("_vec"), bands, band_width))
         .alias("key"),
         "codes",
+        vectors.l2_norm(F.col("_vec")).alias("norm"),
+    )
+
+
+def index_entries_pq_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    artifact: dict,
+    bands: int = 4,
+    band_width: int = 8,
+) -> DataFrame:
+    """RESIDUAL-coded banded index rows (r12 verdict Next #3 — the
+    FAISS IVFPQ storage shape for the persistent dedup index): id, band
+    key, coarse ``cell`` id, residual PQ ``codes``, TRUE raw-unit L2
+    ``norm``. One small int more per row than :func:`index_entries_pq`
+    (the cell id), but the m·k code budget now describes only the
+    within-cell offset, so reconstruction error — and therefore the
+    codec's cosine drift vs raw — drops at the same storage (pinned by
+    tests). ``artifact`` is quantization.ivfpq_train_artifact's dict;
+    pass the SAME artifact on every batch — mismatched cells or
+    codebooks silently mis-encode. ONE scan like its siblings (cell
+    assign + residual encode are scan-stage expressions — the same
+    assign/zip_with/argmin exprs ivfpq_encode composes, so codes here
+    and in the retrieval index agree bit-for-bit)."""
+    from dativo_ingest_spark.operators.quantization import (
+        INLINE_LITERAL_BUDGET, _assign_inline, _pq_assign_udf,
+        _pq_use_inline, _subspace_bounds)
+
+    cents = artifact["cells"]
+    codebooks = artifact["codebooks"]
+    scale = int(artifact["scale"])
+    m, k = len(codebooks), len(codebooks[0])
+    dim = len(cents[0])
+    code_t = "tinyint" if k <= 128 else ("smallint" if k <= 32768
+                                         else "long")
+    cells_lit = F.array(*[
+        F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
+    staged = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        vectors.as_double_array(F.col(vec_col)).alias("_vec"),
+    ).withColumn(
+        "qvec",
+        F.transform("_vec", lambda x: F.round(x * scale).cast("long")))
+    cell_col = _assign_inline("qvec", cents) \
+        if len(cents) * dim <= INLINE_LITERAL_BUDGET else \
+        F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
+    with_res = staged.select(
+        "id", "_vec", cell_col.cast("int").alias("cell"),
+        F.zip_with("qvec",
+                   F.element_at(cells_lit, (cell_col + 1).cast("int")),
+                   lambda a, b: (a - b).cast("long")).alias("rvec"))
+    if _pq_use_inline(m, k, dim):
+        sliced = with_res.select(
+            "id", "_vec", "cell",
+            *[F.slice("rvec", s, ln).alias(f"_s{j}")
+              for j, (s, ln) in enumerate(_subspace_bounds(dim, m))])
+        codes = F.array(*[
+            _assign_inline(f"_s{j}", codebooks[j]).cast(code_t)
+            for j in range(m)])
+    else:
+        sliced = with_res
+        codes = _pq_assign_udf(codebooks)(F.col("rvec")) \
+            .cast(f"array<{code_t}>")
+    # codes in their OWN projection before the explode (the Generate
+    # rewrite strips argmin-struct field aliases — see index_entries_pq)
+    coded = sliced.select("id", "_vec", "cell", codes.alias("codes"))
+    return coded.select(
+        "id",
+        F.explode(sign_band_keys(F.col("_vec"), bands, band_width))
+        .alias("key"),
+        "cell", "codes",
         vectors.l2_norm(F.col("_vec")).alias("norm"),
     )
 

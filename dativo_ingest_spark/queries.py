@@ -782,12 +782,17 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_counts_docs",
     """
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents)
     SELECT doc_id AS id,
-           CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           CAST(CASE WHEN t = '' THEN 0
+                     ELSE len(string_split(t, ' ')) END
              AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
              AS BIGINT) AS n_bpe_tokens
-    FROM documents
+    FROM norm
     """,
     doc="whitespace + BPE-ish regex token counting (regexp_extract_all).",
 )
@@ -894,7 +899,10 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
-      SELECT doc_id, string_split(t, ' ') AS words FROM norm),
+      SELECT doc_id,
+             CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
     b AS (
       SELECT doc_id, words,
              CASE WHEN len(words) >= 2
@@ -930,8 +938,10 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(max(n) / sum(n), 4) AS top_word_fraction
       FROM tw GROUP BY doc_id)
     SELECT r.doc_id AS id, r.n_words, r.dup_word_ratio, r.dup_bigram_ratio,
-           r.repetition_ok, t.top_word_count, t.top_word_fraction
-    FROM rep r JOIN tws t ON r.doc_id = t.doc_id
+           r.repetition_ok,
+           coalesce(t.top_word_count, 0) AS top_word_count,
+           coalesce(t.top_word_fraction, 0.0) AS top_word_fraction
+    FROM rep r LEFT JOIN tws t ON r.doc_id = t.doc_id
     """,
     doc="Gopher-style repetition filters (operators/textops.py): "
         "duplicate-word/bigram ratios as scan-stage array expressions plus "
@@ -960,7 +970,8 @@ def repetition_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
-      SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm),
+      SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+      WHERE t <> ''),
     tf AS (
       SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
       FROM w GROUP BY doc_id, term),
@@ -2128,7 +2139,9 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok AS (
       SELECT doc_id,
              CAST(doc_id % 8 AS BIGINT) AS shard,
-             CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+             CAST(CASE WHEN t = '' THEN 0
+                       ELSE len(string_split(t, ' ')) END
+               AS BIGINT) AS n_tokens
       FROM norm)
     SELECT doc_id AS id, shard, n_tokens,
            CAST(floor(coalesce(sum(n_tokens) OVER (
@@ -4420,8 +4433,9 @@ def dedup_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gopher_rules_docs",
     r"""
     WITH base AS (
-      SELECT doc_id, text,
-             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      SELECT doc_id, coalesce(text, '') AS text,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
       SELECT doc_id, text, t,
@@ -4498,7 +4512,7 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH p AS (
       SELECT doc_id,
-             regexp_replace(text, '(value|table|query) ',
+             regexp_replace(coalesce(text, ''), '(value|table|query) ',
                             '\1' || chr(10), 'g') AS t
       FROM documents),
     l AS (
@@ -10062,8 +10076,9 @@ def cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH
     norm AS (
-      SELECT doc_id, text,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      SELECT doc_id, coalesce(text, '') AS text,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '\\s+', ' ', 'g')) AS t
       FROM documents),
     w AS (
       SELECT doc_id, text, t,
@@ -11877,13 +11892,19 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(codes, queries, cbs, k=_PQ_TOPK)
 
 
-def _ivfpq_residual_oracle() -> str:
-    """Residual IVF-PQ replica: integer cell centroids (the n_cells
-    lowest-id quantized vectors), exact BIGINT residuals, per-subspace
-    training/encoding over the residual frame, and an ADC whose lookup
-    table is keyed by (query, PROBED cell, code) — the query's residual
-    differs per cell frame."""
-    sub = _PQ_DIM // _PQ_M
+def _pq_residual_ctes(m: int, k: int, n_cells: int,
+                      with_queries: bool = True,
+                      n_probe: int = 2) -> list[str]:
+    """Parameterized residual-PQ replica CTEs (r13): coarse integer
+    cell centroids (the n_cells lowest-id quantized vectors), exact
+    BIGINT residuals, per-subspace training/encoding over the RESIDUAL
+    frame. ``with_queries`` adds the probe/qres/lut serving CTEs
+    (ivfpq_residual/persistent-serve oracles); the residual INGEST
+    oracle skips them (its scoring is a reconstruction cosine, not
+    ADC). Factored verbatim out of the r12-proven
+    _ivfpq_residual_oracle so the dedup-ingest residual codec and the
+    persisted retrieval index replay the same training text."""
+    sub = _PQ_DIM // m
     dist = _pq_dist_sql
     ctes = [f"""e AS (
       SELECT vec_id,
@@ -11894,7 +11915,7 @@ def _ivfpq_residual_oracle() -> str:
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS cellid, q AS cv
       FROM (SELECT vec_id, q FROM e ORDER BY vec_id
-            LIMIT {_IVFPQ_CELLS}))""",
+            LIMIT {n_cells}))""",
         f"""cella AS (
       SELECT vec_id, cellid FROM (
         SELECT e.vec_id, c.cellid,
@@ -11906,22 +11927,23 @@ def _ivfpq_residual_oracle() -> str:
              list_transform(range(1, len(e.q) + 1),
                             i -> e.q[i] - c.cv[i]) AS r
       FROM e JOIN cella ca USING (vec_id)
-      JOIN cells c ON c.cellid = ca.cellid)""",
-        f"""probe AS (
+      JOIN cells c ON c.cellid = ca.cellid)"""]
+    if with_queries:
+        ctes += [f"""probe AS (
       SELECT qid, cellid FROM (
         SELECT qv.vec_id AS qid, c.cellid,
                row_number() OVER (PARTITION BY qv.vec_id
                  ORDER BY {dist('qv.q', 'c.cv')} ASC, c.cellid ASC) AS rn
         FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
-        CROSS JOIN cells c) t WHERE rn <= {_IVFPQ_PROBE})""",
-        """qres AS (
+        CROSS JOIN cells c) t WHERE rn <= {n_probe})""",
+            """qres AS (
       SELECT qv.vec_id AS qid, p.cellid,
              list_transform(range(1, len(qv.q) + 1),
                             i -> qv.q[i] - c.cv[i]) AS qr
       FROM (SELECT vec_id, q FROM e WHERE vec_id IN (0, 1)) qv
       JOIN probe p ON p.qid = qv.vec_id
       JOIN cells c ON c.cellid = p.cellid)"""]
-    for j in range(_PQ_M):
+    for j in range(m):
         a, b = j * sub + 1, (j + 1) * sub
         ctes.append(f"""s{j} AS (
       SELECT vec_id, r[{a}:{b}] AS sq FROM resid)""")
@@ -11930,7 +11952,7 @@ def _ivfpq_residual_oracle() -> str:
                AS cid,
              list_transform(sq, x -> CAST(x AS DOUBLE)) AS cv
       FROM (SELECT vec_id, sq FROM s{j} ORDER BY vec_id
-            LIMIT {_PQ_K}))""")
+            LIMIT {k}))""")
         ctes.append(f"""a0_{j} AS (
       SELECT vec_id, sq, cid FROM (
         SELECT s.vec_id, s.sq, c.cid,
@@ -11954,10 +11976,22 @@ def _ivfpq_residual_oracle() -> str:
                row_number() OVER (PARTITION BY s.vec_id
                  ORDER BY {dist('s.sq', 'c.cv')} ASC, c.cid ASC) AS rn
         FROM s{j} s CROSS JOIN c1_{j} c) t WHERE rn = 1)""")
-        ctes.append(f"""lut_{j} AS (
+        if with_queries:
+            ctes.append(f"""lut_{j} AS (
       SELECT qr.qid, qr.cellid, c.cid,
              {dist(f'qr.qr[{a}:{b}]', 'c.cv')} AS pd
       FROM qres qr CROSS JOIN c1_{j} c)""")
+    return ctes
+
+
+def _ivfpq_residual_oracle() -> str:
+    """Residual IVF-PQ replica: integer cell centroids (the n_cells
+    lowest-id quantized vectors), exact BIGINT residuals, per-subspace
+    training/encoding over the residual frame, and an ADC whose lookup
+    table is keyed by (query, PROBED cell, code) — the query's residual
+    differs per cell frame."""
+    ctes = _pq_residual_ctes(_PQ_M, _PQ_K, _IVFPQ_CELLS,
+                             with_queries=True, n_probe=_IVFPQ_PROBE)
     joins = "enc_0 e0"
     adc_sum = "l0.pd"
     for j in range(1, _PQ_M):
@@ -12109,6 +12143,190 @@ def dedup_ingest_embedding_pq(spark: SparkSession, sf_dir: str
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
+
+
+_PQINGEST_CELLS = 4  # coarse cells for the residual ingest codec
+
+
+def _dedup_ingest_embedding_pqr_oracle() -> str:
+    """Replica of the RESIDUAL-coded ingest-dedup lifecycle (r12
+    verdict Next #3): the parameterized residual CTEs
+    (_pq_residual_ctes — coarse integer cells, exact BIGINT residuals,
+    per-subspace residual training/encoding, shared verbatim with the
+    proven ivfpq_residual oracle) feed a reconstruction x̂[i] =
+    (cell_centroid[i] + decoded_residual[i]) / scale; the two-batch
+    banded-cell lifecycle then mirrors the pq-codec oracle exactly —
+    batch 2's index side scores round(<a.v, x̂>/(|a.v|·|x.v|), 6)."""
+    cos_ab = _COS_SQL.format(a="a.v", b="b.v")
+    fold = ("list_reduce(list_transform(range(1, len({a})+1),"
+            " i -> {a}[i]*{b}[i]), (x, y) -> x + y)")
+    approx_cos = (
+        "round(" + fold.format(a="a.v", b="xh.xhat")
+        + " / (sqrt(" + fold.format(a="a.v", b="a.v")
+        + ") * sqrt(" + fold.format(a="x.v", b="x.v") + ")), 6)")
+    key_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, m, v, {_band_key_sql('v', t)} AS key"
+        " FROM ee"
+        for t in range(4))
+    rr = " || ".join(f"c1_{j}.cv" for j in range(_PQINGEST_M))
+    xh_joins = " ".join(
+        f"JOIN enc_{j} USING (vec_id) "
+        f"JOIN c1_{j} ON c1_{j}.cid = enc_{j}.code{j}"
+        for j in range(_PQINGEST_M))
+    res_ctes = ",\n    ".join(_pq_residual_ctes(
+        _PQINGEST_M, _PQINGEST_K, _PQINGEST_CELLS, with_queries=False))
+    return f"""
+    WITH {res_ctes},
+    xh AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(c.cv) + 1),
+                            i -> (c.cv[i] + ({rr})[i]) / 10000) AS xhat
+      FROM e
+      JOIN cella ca USING (vec_id)
+      JOIN cells c ON c.cellid = ca.cellid
+      {xh_joins}),
+    ee AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 8 AS m
+      FROM embeddings),
+    kk AS (
+{key_selects}),
+    bl1 AS (
+      SELECT DISTINCT a.vec_id FROM kk a JOIN kk b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m <= 1 AND b.m <= 1 AND {cos_ab} >= 0.5),
+    sv1 AS (SELECT vec_id FROM ee WHERE m <= 1
+           AND vec_id NOT IN (SELECT vec_id FROM bl1)),
+    bl2 AS (
+      SELECT DISTINCT a.vec_id FROM kk a JOIN kk b
+        ON a.key = b.key AND b.vec_id < a.vec_id
+      WHERE a.m BETWEEN 1 AND 2 AND b.m BETWEEN 1 AND 2
+        AND {cos_ab} >= 0.5),
+    hx2 AS (
+      SELECT DISTINCT a.vec_id FROM kk a
+      JOIN kk x ON a.key = x.key
+      JOIN sv1 ON x.vec_id = sv1.vec_id
+      JOIN xh ON xh.vec_id = x.vec_id
+      WHERE a.m BETWEEN 1 AND 2
+        AND a.vec_id NOT IN (SELECT vec_id FROM bl2)
+        AND {approx_cos} >= 0.5),
+    agg1 AS (SELECT (SELECT count(*) FROM ee WHERE m <= 1) AS n,
+                    (SELECT count(*) FROM bl1) AS bd),
+    agg2 AS (SELECT (SELECT count(*) FROM ee
+                     WHERE m BETWEEN 1 AND 2) AS n,
+                    (SELECT count(*) FROM bl2) AS bd,
+                    (SELECT count(*) FROM hx2) AS hits)
+    SELECT 'batch1' AS batch, CAST(n - bd AS BIGINT) AS n_kept,
+           CAST(bd AS BIGINT) AS n_batch_dups,
+           CAST(0 AS BIGINT) AS n_index_dups
+    FROM agg1
+    UNION ALL
+    SELECT 'batch2', CAST(n - bd - hits AS BIGINT), CAST(bd AS BIGINT),
+           CAST(hits AS BIGINT)
+    FROM agg2
+    """
+
+
+@register(
+    "dedup_ingest_embedding_pqr",
+    _dedup_ingest_embedding_pqr_oracle(),
+    doc="embedding near-dup-on-ingest with the RESIDUAL-coded "
+        "persistent index — the actual FAISS IVFPQ storage shape (r12 "
+        "verdict Next #3; operators/similarity.py:"
+        "index_entries_pq_residual + quantization."
+        "pq_reconstruct_residual): entries store a coarse cell id + "
+        "residual PQ codes + the true norm, so the same m*k code "
+        "budget describes only within-cell offsets (measured "
+        ">=4x lower reconstruction MSE vs the plain pq codec at equal "
+        "budget — tests/test_pq_residual_index.py). The frozen "
+        "artifact (quantization.ivfpq_train_artifact) trains "
+        "in-engine; batch-2 index hits score the reconstruction "
+        "centroid+residual decoded IN-PLAN on the touched cell slice. "
+        "The oracle replays coarse assignment, residual training, "
+        "encoding, reconstruction and both batch lifecycles in SQL "
+        "via the _pq_residual_ctes shared with the proven "
+        "ivfpq_residual gate.",
+)
+def dedup_ingest_embedding_pqr(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.operators import similarity
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    art = pq.ivfpq_train_artifact(
+        emb, "vec_id", "embedding", m=_PQINGEST_M, k_codes=_PQINGEST_K,
+        n_cells=_PQINGEST_CELLS, n_iter=_PQ_ITER)
+    b1 = emb.filter(F.col("vec_id") % 8 <= 1)
+    b2 = emb.filter((F.col("vec_id") % 8 >= 1) & (F.col("vec_id") % 8 <= 2))
+    root = tempfile.mkdtemp(prefix="sg_emb_ixpqr_")
+    try:
+        table = FsTable.create(root + "/ix")
+        k1, bd1, id1 = similarity.dedup_embeddings_against_index(
+            spark, b1, "vec_id", "embedding", table, threshold=0.5,
+            index_codec="pq_residual", artifact=art)
+        n1 = k1.count()
+        k1.unpersist()
+        k2, bd2, id2 = similarity.dedup_embeddings_against_index(
+            spark, b2, "vec_id", "embedding", table, threshold=0.5,
+            index_codec="pq_residual", artifact=art)
+        n2 = k2.count()
+        k2.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
+        "batch string, n_kept bigint, n_batch_dups bigint, "
+        "n_index_dups bigint")
+
+
+@register(
+    "ivfpq_persistent_serve",
+    _ivfpq_residual_oracle(),
+    doc="PERSISTED IVF-PQ retrieval serving (r12 verdict Next #5; "
+        "operators/quantization.py:ivfpq_index_build/append/topk): the "
+        "frozen artifact (coarse cells + residual codebooks) trains "
+        "in-engine, HALF the corpus commits as (cell, codes) rows to a "
+        "real FsTable clustered by cell with per-file cell stats, the "
+        "other half APPENDS incrementally under the same artifact, and "
+        "top-k serves against the committed snapshot reading only "
+        "files whose [min,max] cell range intersects the probed cells "
+        "(manifest pruning — at 100 TB a query touches n_probe cells' "
+        "files, not the corpus). Serving runs the byte-identical "
+        "_residual_adc_topk plan the in-frame operator uses, so the "
+        "PROVEN ivfpq_residual oracle pins the entire persistent "
+        "lifecycle: same training, same codes, same ADC, same top-k.",
+)
+def ivfpq_persistent_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    art = pq.ivfpq_train_artifact(
+        emb, "vec_id", "embedding", m=_PQ_M, k_codes=_PQ_K,
+        n_cells=_IVFPQ_CELLS, n_iter=_PQ_ITER)
+    root = tempfile.mkdtemp(prefix="sg_ivfpq_serve_")
+    try:
+        table = FsTable.create(root + "/ix")
+        pq.ivfpq_index_build(emb.filter(F.col("vec_id") % 2 == 0),
+                             "vec_id", "embedding", table, artifact=art)
+        pq.ivfpq_index_append(emb.filter(F.col("vec_id") % 2 == 1),
+                              "vec_id", "embedding", table, art)
+        out = pq.ivfpq_index_topk(spark, table, art, queries,
+                                  n_probe=_IVFPQ_PROBE, k=_PQ_TOPK)
+        rows = [(int(r["query_id"]), int(r["rank"]), int(r["id"]),
+                 float(r["adc"])) for r in out.collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id bigint, rank bigint, id bigint, adc double")
 
 
 @register(
@@ -13385,19 +13603,12 @@ _GATE_DEMOTED = [
     # round; the 29 demotions below are all multi-round driver-proven
     # (green rows listed per entry) and each leaves its family anchored
     # in-window — the anchor is MACHINE-CHECKED via _DEMOTION_ANCHOR
-    # below (r11 verdict Next #3). The two entries that stay queued for
-    # r13 each have an in-window family sibling landing THIS round:
-    # retry_backoff_plan (scheduling family — cron_next_fires is
-    # in-window r12) and secrets_env_manager (secrets family —
-    # secrets_resolve_config is in-window r12).
-    "retry_backoff_plan",
-    "secrets_env_manager",
-    # NEW r12 (r11 verdict Next #5): the PQ-coded persistent embedding
-    # index lifecycle — registered with a full SQL replay (training +
-    # encoding + reconstruction + both batches) and queued for r13; the
-    # persistent-ingest-index family keeps forget_readmit_docs and the
-    # quantization family keeps ann_recall_ivfpq_embeddings in-window
-    "dedup_ingest_embedding_pq",
+    # below (r11 verdict Next #3). r13 ROTATION: the three r12-queued
+    # entries (retry_backoff_plan, secrets_env_manager,
+    # dedup_ingest_embedding_pq) rotate INTO the window this round —
+    # their demotion entries were removed and three r12-proven queries
+    # rotate out below (see "r13 demotions"), completing the 241/241
+    # ever-proven ledger the r12 verdict asked for (Next #2).
     # --- r12 demotions (green-row history in parentheses) -------------
     # warn-mode column union + validation filter (r1-r11, 11 straight
     # greens — the longest-proven query in the registry); the CSV /
@@ -13490,6 +13701,30 @@ _GATE_DEMOTED = [
     # multiclass_grades_train_docs), which re-serve the identical
     # featurize+weights seam — training is a superset of inference
     "classifier_infer_docs",
+    # --- r13 demotions (family-symmetric swaps for the 3 promotions) --
+    # cron-schedule next-fire computation (r12 green); the scheduling
+    # family stays in-window through the PROMOTED retry_backoff_plan,
+    # which exercises the same orchestrate/retry planning surface
+    "cron_next_fires",
+    # secrets resolution across the manager matrix (r12 green); the
+    # secrets family stays in-window through the PROMOTED
+    # secrets_env_manager (same resolver registry + config plumbing)
+    "secrets_resolve_config",
+    # cross-encoder reranker (r12 green); the rerank family stays
+    # in-window through rerank_quality_embeddings (r12 green), which
+    # scores the same fused-candidate Arrow batch topology
+    "cross_encoder_rerank_docs",
+    # --- r13 demotions (batch 2): admit the two NEW r13 gates
+    # (dedup_ingest_embedding_pqr — the residual ingest codec;
+    # ivfpq_persistent_serve — the persisted retrieval index) ----------
+    # Singer wrapper engine (r12 green); the subprocess-engine family
+    # stays in-window through stripe_engine_read AND airbyte_engine_read
+    # (the protocol superset both wrappers ride)
+    "singer_engine_read",
+    # JDBC catalog probe SQL (r12 green); the JDBC family stays
+    # in-window through jdbc_cursor_read_nation — the LIVE Derby
+    # round-trip that drives the same connection/quoting machinery
+    "jdbc_probe_sql",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)
@@ -13729,10 +13964,13 @@ _DEMOTION_ANCHOR: dict[str, str] = {
     "streaming_watermark_rollup_events": "streaming_quality_admission_docs",
     "streaming_interval_join_events": "streaming_quality_admission_docs",
     "streaming_sessionize_events": "streaming_quality_admission_docs",
-    # -- r13 queue: each anchored by the sibling landing in-window r12
-    "retry_backoff_plan": "cron_next_fires",
-    "secrets_env_manager": "secrets_resolve_config",
-    "dedup_ingest_embedding_pq": "forget_readmit_docs",
+    # -- r13 demotions: family-symmetric swaps — each anchored by the
+    #    query promoted in its place (or its r12-green sibling)
+    "cron_next_fires": "retry_backoff_plan",
+    "secrets_resolve_config": "secrets_env_manager",
+    "cross_encoder_rerank_docs": "rerank_quality_embeddings",
+    "singer_engine_read": "stripe_engine_read",
+    "jdbc_probe_sql": "jdbc_cursor_read_nation",
 }
 
 # the registration-order footgun, made loud: a new @register without a

@@ -642,7 +642,14 @@ def learned_classifier_infer(
         model = load_quality_grade_model()
     W = np.asarray(model["weights_milli"], dtype=np.int64)
 
-    feats = quality_features(df, id_col, text_col)
+    # total on NULL text (scores as empty — the quality_score_milli
+    # contract): quality_features propagates NULL features, which the
+    # Arrow kernel's int64 cast would turn into platform-dependent
+    # garbage logits (NaN->int64 is undefined; caught by the empty-doc
+    # parity probe, r13)
+    feats = quality_features(
+        df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit(""))),
+        id_col, text_col)
     fixed = feats.select(
         "id",
         F.lit(10000).cast("long").alias("f_bias"),

@@ -137,6 +137,7 @@ def train_quality_logreg(
     lr_milli: int = 2000,
     init_micro: list[int] | None = None,
     two_level: int | None = None,
+    minibatch: int | None = None,
 ) -> DataFrame:
     """Train the binary quality head by full-batch gradient descent under
     the hard-sigmoid surrogate; returns one row per feature:
@@ -172,6 +173,20 @@ def train_quality_logreg(
     commutative and associative, so the trained weights are
     BIT-IDENTICAL to the single-aggregate path (pinned by a test);
     still one map-side-combinable aggregate per round, now keyed.
+
+    ``minibatch`` (r12 verdict Next #6): passing ``minibatch=B`` (B>1)
+    makes round ``r`` aggregate over ONLY the md5-shard bucket
+    ``hash(id) % B == r % B`` — a deterministic, layout-independent
+    mini-batch schedule with a fixed visit order (bucket 0, 1, …,
+    wrapping), so per-round aggregate work drops ~B× while the result
+    stays bit-reproducible across partitionings/retries/engines (the
+    bucket is id-derived, never partition-derived — pinned by a test).
+    On a columnar store the bucket predicate prunes the round's scan;
+    on the cached path it prunes the aggregate's input. An EMPTY bucket
+    skips its update (the round is a no-op) rather than ending
+    training. ``minibatch=1`` is exactly full-batch (bit-identical).
+    Composes with ``two_level`` (different md5 salt, so the two bucket
+    keys are independent).
     """
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
@@ -179,35 +194,58 @@ def train_quality_logreg(
         raise ValueError("lr_milli must be >= 0")
     if two_level is not None and two_level < 1:
         raise ValueError("two_level bucket count must be >= 1")
+    if minibatch is not None and minibatch < 1:
+        raise ValueError("minibatch bucket count must be >= 1")
     w = list(init_micro) if init_micro is not None \
         else [0] * len(FEATURES)
     if len(w) != len(FEATURES):
         raise ValueError(f"init_micro needs {len(FEATURES)} entries")
     w = [max(-W_MAX, min(W_MAX, int(v))) for v in w]
 
-    fixed = fixed_point_features(df, id_col, text_col, label_col) \
-        .filter(F.col("y").isNotNull())
-    bad = fixed.filter(~F.col("y").isin(0, 1)).count()
-    if bad:
-        raise ValueError(
-            f"{bad} labels outside {{0, 1}}; pre-binarize the label "
-            "column before training")
-    if two_level is not None:
-        # md5-uniform bucket key: deterministic, id-derived, and
-        # irrelevant to the result (integer addition is exact and
-        # commutative — bucketing only bounds each partial sum)
-        fixed = fixed.withColumn(
-            "_tl_bucket",
-            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
-                    16, 10).cast("long") % F.lit(int(two_level)))
-            .cast("long"))
-    fixed = fixed.persist()
+    # persist BEFORE the label guard (ADVICE r12): the guard's count()
+    # is then the featurization pass that fills the cache the gradient
+    # rounds read, instead of a full throwaway scan
+    base = fixed_point_features(df, id_col, text_col, label_col) \
+        .filter(F.col("y").isNotNull()).persist()
+    fixed = base
     try:
+        bad = fixed.filter(~F.col("y").isin(0, 1)).count()
+        if bad:
+            raise ValueError(
+                f"{bad} labels outside {{0, 1}}; pre-binarize the label "
+                "column before training")
+        if two_level is not None:
+            # md5-uniform bucket key: deterministic, id-derived, and
+            # irrelevant to the result (integer addition is exact and
+            # commutative — bucketing only bounds each partial sum).
+            # Derived on top of the persisted base: the cached subtree
+            # still serves the bucketed plan's scan.
+            fixed = fixed.withColumn(
+                "_tl_bucket",
+                (F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                    1, 8),
+                        16, 10).cast("long") % F.lit(int(two_level)))
+                .cast("long"))
+        if minibatch is not None and minibatch > 1:
+            # id-derived (NOT partition-derived) shard key, salted so it
+            # is independent of the two_level key — deterministic across
+            # layouts, retries and engines
+            fixed = fixed.withColumn(
+                "_mb_bucket",
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.lit("mb:"),
+                                   F.col("id").cast("string"))), 1, 8),
+                        16, 10).cast("long") % F.lit(int(minibatch)))
+                .cast("long"))
         grads = [0] * len(FEATURES)
-        for _ in range(n_rounds):
+        for rnd in range(n_rounds):
             err = (hard_sigmoid_milli(margin_micro(w))
                    - F.col("y") * F.lit(1000)).alias("_err")
             scored = fixed.select("*", err)
+            if minibatch is not None and minibatch > 1:
+                # fixed visit order: round r reads bucket r mod B
+                scored = scored.filter(
+                    F.col("_mb_bucket") == F.lit(rnd % minibatch))
             aggs = [F.sum(F.col(f"x{j}") * F.col("_err")).alias(f"g{j}")
                     for j in range(len(FEATURES))]
             aggs.append(F.count(F.lit(1)).alias("n"))
@@ -219,14 +257,16 @@ def train_quality_logreg(
                 rows = scored.groupBy("_tl_bucket").agg(*aggs).collect()
             n = sum(int(r["n"]) for r in rows)
             if n == 0:
-                break
+                if minibatch is not None and minibatch > 1:
+                    continue  # empty SHARD: skip the round, keep going
+                break  # empty corpus: no later round can be non-empty
             grads = [sum(int(r[f"g{j}"]) for r in rows)
                      for j in range(len(FEATURES))]
             for j in range(len(FEATURES)):
                 delta = _tdiv(lr_milli * _tdiv(grads[j], n), X_SCALE)
                 w[j] = max(-W_MAX, min(W_MAX, w[j] - delta))
     finally:
-        fixed.unpersist()
+        base.unpersist()
     out = [(FEATURES[j], w[j], grads[j]) for j in range(len(FEATURES))]
     return df.sparkSession.createDataFrame(
         out, "feature string, weight_micro bigint, grad_sum_last bigint")
@@ -349,22 +389,25 @@ def train_quality_grades(
         raise ValueError("two_level bucket count must be >= 1")
     w = [[0] * len(FEATURES) for _ in range(n_classes)]
 
-    fixed = fixed_point_features(df, id_col, text_col, label_col) \
-        .filter(F.col("y").isNotNull())
-    bad = fixed.filter((F.col("y") < 0) | (F.col("y") >= n_classes)) \
-        .count()
-    if bad:
-        raise ValueError(
-            f"{bad} labels outside [0, {n_classes}); fix the label "
-            "column before training")
-    if two_level is not None:
-        fixed = fixed.withColumn(
-            "_tl_bucket",
-            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
-                    16, 10).cast("long") % F.lit(int(two_level)))
-            .cast("long"))
-    fixed = fixed.persist()
+    # persist BEFORE the label guard (ADVICE r12): the guard count fills
+    # the cache the gradient rounds read (same shape as the binary trainer)
+    base = fixed_point_features(df, id_col, text_col, label_col) \
+        .filter(F.col("y").isNotNull()).persist()
+    fixed = base
     try:
+        bad = fixed.filter((F.col("y") < 0) | (F.col("y") >= n_classes)) \
+            .count()
+        if bad:
+            raise ValueError(
+                f"{bad} labels outside [0, {n_classes}); fix the label "
+                "column before training")
+        if two_level is not None:
+            fixed = fixed.withColumn(
+                "_tl_bucket",
+                (F.conv(F.substring(F.md5(F.col("id").cast("string")),
+                                    1, 8),
+                        16, 10).cast("long") % F.lit(int(two_level)))
+                .cast("long"))
         for _ in range(n_rounds):
             errs = [
                 (hard_sigmoid_milli(margin_micro(w[k]))
@@ -391,7 +434,7 @@ def train_quality_grades(
                     delta = _tdiv(lr_milli * _tdiv(g, n), X_SCALE)
                     w[k][j] = max(-W_MAX, min(W_MAX, w[k][j] - delta))
     finally:
-        fixed.unpersist()
+        base.unpersist()
     out = [(k, FEATURES[j], w[k][j])
            for k in range(n_classes) for j in range(len(FEATURES))]
     return df.sparkSession.createDataFrame(

@@ -381,22 +381,25 @@ def run_job(
         # artifact (the classifier-model pattern) since a trained
         # m x k x sub float tensor cannot ride YAML
         _dd["index_codec"] = str(_dd.get("index_codec", "raw"))
-        if _dd["index_codec"] not in ("raw", "pq"):
+        if _dd["index_codec"] not in ("raw", "pq", "pq_residual"):
             raise ConfigError(
-                "target.options.dedup.index_codec must be raw or pq, "
-                f"got {_dd['index_codec']!r}")
-        if _dd["index_codec"] == "pq":
+                "target.options.dedup.index_codec must be raw, pq or "
+                f"pq_residual, got {_dd['index_codec']!r}")
+        if _dd["index_codec"] in ("pq", "pq_residual"):
             if _dd["mode"] != "embedding":
                 raise ConfigError(
-                    "target.options.dedup.index_codec=pq applies only "
-                    "to mode=embedding")
+                    f"target.options.dedup.index_codec="
+                    f"{_dd['index_codec']} applies only to "
+                    "mode=embedding")
             _cb_path = _dd.get("codebooks")
             if not _cb_path:
                 raise ConfigError(
-                    "target.options.dedup.index_codec=pq needs "
-                    "codebooks (path to a JSON artifact holding the "
-                    "trained m x k x sub codebook tensor under key "
-                    "'codebooks', e.g. quantization.pq_train output)")
+                    f"target.options.dedup.index_codec="
+                    f"{_dd['index_codec']} needs codebooks (path to a "
+                    "JSON artifact: quantization.pq_train output under "
+                    "key 'codebooks' for pq, the full "
+                    "quantization.ivfpq_train_artifact dict for "
+                    "pq_residual)")
             import json as _json
             try:
                 with open(str(_cb_path)) as _fh:
@@ -417,6 +420,18 @@ def run_job(
             _dd["_pq_scale"] = int(
                 (_cb.get("scale") if isinstance(_cb, dict) else None)
                 or 10_000)
+            if _dd["index_codec"] == "pq_residual":
+                # the residual codec needs the coarse cells too — the
+                # artifact is the whole ivfpq_train_artifact dict
+                if not (isinstance(_cb, dict)
+                        and isinstance(_cb.get("cells"), list)
+                        and _cb["cells"]):
+                    raise ConfigError(
+                        "target.options.dedup.index_codec=pq_residual "
+                        "needs the codebooks artifact to be the FULL "
+                        "quantization.ivfpq_train_artifact dict "
+                        "(keys cells + codebooks + scale)")
+                _dd["_artifact"] = _cb
         if _wm in ("overwrite", "overwrite_partitions"):
             raise ConfigError(
                 "target.options.dedup cannot combine with mode="
@@ -521,6 +536,7 @@ def run_job(
                 index_codec=_dd.get("index_codec", "raw"),
                 codebooks=_dd.get("_codebooks"),
                 scale=int(_dd.get("_pq_scale", 10_000)),
+                artifact=_dd.get("_artifact"),
             )
         elif _dd["mode"] == "minhash":
             from dativo_ingest_spark.operators import dedup as dedup_mod
@@ -1143,6 +1159,12 @@ def run_job(
                     bands=int(_dd.get("bands", 4)),
                     band_width=int(_dd.get("band_width", 8)),
                     scale=int(_dd.get("_pq_scale", 10_000)))
+            elif _dd.get("index_codec") == "pq_residual":
+                entries = similarity_mod.index_entries_pq_residual(
+                    published, _dd["id_field"], _dd["content_field"],
+                    _dd["_artifact"],
+                    bands=int(_dd.get("bands", 4)),
+                    band_width=int(_dd.get("band_width", 8)))
             else:
                 entries = similarity_mod.index_entries(
                     published, _dd["id_field"], _dd["content_field"],

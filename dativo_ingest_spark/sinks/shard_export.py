@@ -103,7 +103,12 @@ def export_training_shards(
                  F.sum("_h").alias("hash_sum"),
                  F.min("id").alias("min_id"))
             .select(F.col("shard").cast("long").alias("shard"),
-                    "n_rows", "n_tokens", "hash_sum", "min_id"))
+                    "n_rows", "n_tokens", "hash_sum", "min_id",
+                    # container format recorded IN the manifest (ADVICE
+                    # r12): the audit reads it from here instead of
+                    # sniffing part-file extensions with os.listdir,
+                    # which bound audits to local filesystem paths
+                    F.lit(fmt).alias("fmt")))
 
 
 def export_sorted_shards(
@@ -191,6 +196,24 @@ def export_sorted_shards(
     return out
 
 
+def _container_is_jsonl(spark, recorded_fmt, glob_pattern: str) -> bool:
+    """True when the shard layout's container is jsonl. Prefers the
+    format RECORDED in the manifest at export time (r13, ADVICE r12);
+    legacy layouts without it are sniffed through the Hadoop FileSystem
+    API — URI-neutral (s3a://, hdfs://, file:/), unlike the old
+    glob/os.listdir sniff which only worked on local paths even though
+    the actual data reads always went through Spark."""
+    if recorded_fmt in ("parquet", "jsonl"):
+        return recorded_fmt == "jsonl"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(glob_pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    names = ([str(s.getPath().getName()) for s in statuses]
+             if statuses is not None else [])
+    return any(n.endswith(".json") for n in names)
+
+
 def audit_shards(spark, out_dir: str) -> dict:
     """Trainer-side shard audit: recompute every shard's (n_rows,
     n_tokens, hash_sum) from the SHARD FILES and compare against the
@@ -199,19 +222,18 @@ def audit_shards(spark, out_dir: str) -> dict:
     {"shards": N, "ok": bool, "mismatches": [...]}; metadata plus one
     scan of the shard frame, no re-hash of content (the md5-uint32
     column was persisted precisely so auditors fold it cheaply)."""
-    import glob as _glob
-    import os as _os
-
+    mdf = spark.read.parquet(f"{out_dir}/manifest")
     manifest = {
         int(r.shard): (int(r.n_rows), int(r.n_tokens), int(r.hash_sum))
-        for r in spark.read.parquet(f"{out_dir}/manifest").collect()}
-    # format sniff: a jsonl export's shard dirs hold .json part files
-    # (export_training_shards fmt="jsonl"); the audit aggregates only
-    # need the numeric columns, which JSON inference types as BIGINT
-    _is_jsonl = any(
-        f.endswith(".json")
-        for d in _glob.glob(_os.path.join(out_dir, "shard=*"))
-        for f in _os.listdir(d))
+        for r in mdf.collect()}
+    # container format: recorded in the manifest at export time (r13);
+    # legacy layouts without the column fall back to a URI-neutral
+    # Hadoop-FS sniff — the audit aggregates only need the numeric
+    # columns, which JSON inference types as BIGINT
+    recorded = (str(mdf.select("fmt").first()["fmt"])
+                if "fmt" in mdf.columns and mdf.head(1) else None)
+    _is_jsonl = _container_is_jsonl(
+        spark, recorded, f"{out_dir}/shard=*/*")
     _reader = spark.read.option("basePath", out_dir)
     _frame = (_reader.json(f"{out_dir}/shard=*") if _is_jsonl
               else _reader.parquet(f"{out_dir}/shard=*"))
@@ -261,11 +283,11 @@ def audit_streaming_shards(spark, out_dir: str) -> dict:
                    if os.path.isdir(os.path.join(out_dir, f"epoch={e}"))]
     actual: dict = {}
     if data_epochs:
-        # format sniff (see audit_shards): jsonl epochs hold .json parts
-        first = os.path.join(out_dir, f"epoch={data_epochs[0]}")
-        is_jsonl = any(
-            f.endswith(".json")
-            for root, _dirs, files in os.walk(first) for f in files)
+        # container format: recorded in manifest.json at export time
+        # (r13); legacy manifests fall back to the Hadoop-FS sniff
+        is_jsonl = _container_is_jsonl(
+            spark, man.get("format"),
+            f"{out_dir}/epoch={data_epochs[0]}/shard=*/*")
         reader = spark.read.option("basePath", out_dir)
         paths = [f"{out_dir}/epoch={e}" for e in data_epochs]
         # NB: DataFrameReader.json takes a LIST (a second positional

@@ -545,6 +545,10 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
         with open(tmp, "w") as fh:
             _json.dump({"version": epoch_id, "query_id": qid(),
                         "n_shards": n_shards, "seed": seed,
+                        # recorded at export time so the audit never
+                        # has to sniff part-file extensions (ADVICE r12
+                        # — sniffing bound audits to local paths)
+                        "format": fmt,
                         "epochs": sorted(epochs),
                         "shards": {str(k): v
                                    for k, v in sorted(totals.items())}},

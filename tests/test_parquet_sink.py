@@ -127,7 +127,8 @@ class TestShardExport:
 
     def test_jsonl_format_manifest_matches_parquet(self, spark, tmp_path):
         # r12: fmt="jsonl" — same assignment, order and manifest as the
-        # parquet container; audit_shards sniffs the format
+        # parquet container; r13: the manifest RECORDS the container
+        # format so the audit reads it instead of sniffing extensions
         import json
         import os
 
@@ -137,14 +138,17 @@ class TestShardExport:
         from tests.conftest import SF_DIR
 
         docs = load(spark, SF_DIR, "documents")
-        mp = sorted(map(tuple, export_training_shards(
-            docs, "doc_id", "n_chars", str(tmp_path / "pq"),
-            n_shards=4).collect()))
+        mp_df = export_training_shards(
+            docs, "doc_id", "n_chars", str(tmp_path / "pq"), n_shards=4)
+        mp = sorted(map(tuple, mp_df.drop("fmt").collect()))
         out = str(tmp_path / "jl")
         mj_df = export_training_shards(
             docs, "doc_id", "n_chars", out, n_shards=4, fmt="jsonl")
-        mj = sorted(map(tuple, mj_df.collect()))
+        mj = sorted(map(tuple, mj_df.drop("fmt").collect()))
         assert mj == mp
+        # the container format rides in the manifest itself (ADVICE r12)
+        assert {r.fmt for r in mp_df.select("fmt").collect()} == {"parquet"}
+        assert {r.fmt for r in mj_df.select("fmt").collect()} == {"jsonl"}
         # the shard files are real newline-delimited JSON in (_h, id)
         # order — a zero-dependency trainer loader can stream them
         sdir = os.path.join(out, "shard=0")
@@ -157,6 +161,12 @@ class TestShardExport:
         # format-sniffing audit: publish the manifest where the auditor
         # looks, then verify the round trip over the JSON files
         mj_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/manifest")
+        rep = audit_shards(spark, out)
+        assert rep["ok"] and rep["shards"] == 4
+        # legacy layout (manifest without the fmt column): the audit
+        # falls back to the Hadoop-FS extension sniff, URI-neutral
+        mj_df.drop("fmt").coalesce(1).write.mode("overwrite").parquet(
             f"{out}/manifest")
         rep = audit_shards(spark, out)
         assert rep["ok"] and rep["shards"] == 4

@@ -131,3 +131,104 @@ def test_minhash_ingest_dedup_scaling(spark, tmp_path):
         kept.unpersist()
 
     _probe(spark, tmp_path, run)
+
+
+# --- embedding family (r12 verdict Next #4) --------------------------------
+
+#: sf0.1 embeddings is 2 000 rows × 64 dims; the probe scales that shape
+BASE_EMB = 2_000
+EMB_DIM = 64
+
+
+def _synth_emb(spark, n_rows: int, seed: int = 20260816):
+    """Deterministic embeddings with the near-dup structure the banded
+    index is built for: 16 loose cluster directions, 20% of rows are
+    tiny-jitter copies of an earlier row (real near-dups for the cosine
+    joins), ids interleave so trainer seeds span the structure."""
+    rng = random.Random(seed)
+    dirs = [[rng.uniform(-1, 1) for _ in range(EMB_DIM)]
+            for _ in range(16)]
+    rows = []
+    for i in range(n_rows):
+        if i > 10 and rng.random() < 0.2:
+            src = rows[rng.randrange(len(rows))][1]
+            rows.append((i, [x + rng.uniform(-1e-4, 1e-4) for x in src]))
+        else:
+            base = dirs[rng.randrange(16)]
+            rows.append((i, [x + rng.uniform(-0.3, 0.3) for x in base]))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+
+
+def _probe_emb(spark, build):
+    warm = _synth_emb(spark, BASE_EMB // 10, seed=1).persist()
+    warm.count()
+    build(warm, 0)
+    warm.unpersist()
+    spark.catalog.clearCache()
+    timings = {}
+    for scale in SCALES:
+        df = _synth_emb(spark, BASE_EMB * scale).persist()
+        df.count()
+        timings[scale] = _time(lambda: build(df, scale))
+        df.unpersist()
+        spark.catalog.clearCache()
+    ratio = timings[8] / max(timings[1], 0.5)
+    print(f"  timings {timings}  ratio(8x/1x) {ratio:.1f}")
+    assert ratio <= GROWTH_BOUND, timings
+    return timings
+
+
+@pytest.mark.parametrize("codec", ["raw", "pq", "pq_residual"])
+def test_embedding_ingest_dedup_scaling(spark, tmp_path, codec):
+    from dativo_ingest_spark.operators import quantization as Q
+    from dativo_ingest_spark.operators import similarity
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    def run(df, scale):
+        table = FsTable.create(
+            str(tmp_path / f"emb_ix_{codec}_{scale}_{df.count()}"))
+        kw: dict = {"index_codec": codec}
+        if codec == "pq":
+            kw["codebooks"] = Q.pq_train(df, "vec_id", "embedding",
+                                         m=4, k=8, n_iter=1)
+        elif codec == "pq_residual":
+            kw["artifact"] = Q.ivfpq_train_artifact(
+                df, "vec_id", "embedding", m=4, k_codes=8, n_cells=8,
+                n_iter=1)
+        kept, _, _ = similarity.dedup_embeddings_against_index(
+            df.sparkSession, df, "vec_id", "embedding", table,
+            threshold=0.95, **kw)
+        kept.unpersist()
+
+    _probe_emb(spark, run)
+
+
+def test_bucketed_neardup_pairs_scaling(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators import similarity
+
+    def run(df, scale):
+        bucketed = df.withColumn("bucket", F.col("vec_id") % 64)
+        similarity.bucketed_neardup_pairs(
+            bucketed, "vec_id", "embedding", "bucket", threshold=0.95
+        ).write.format("noop").mode("overwrite").save()
+
+    _probe_emb(spark, run)
+
+
+def test_kcenter_coreset_scaling_k40(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators import coreset
+
+    def run(df, scale):
+        micro = df.select(
+            "vec_id",
+            F.transform("embedding",
+                        lambda x: F.round(x * 1_000_000).cast("long"))
+            .alias("codes"))
+        coreset.kcenter_select(micro, "codes", "vec_id", k=40)
+
+    _probe_emb(spark, run)

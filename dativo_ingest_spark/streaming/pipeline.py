@@ -930,6 +930,13 @@ def dedup_epoch_writer(out_table, index_table, id_col: str,
                     kept, id_col, content_col, dedup_opts["codebooks"],
                     **{k: v for k, v in dedup_opts.items()
                        if k in ("bands", "band_width", "scale")})
+            elif dedup_opts.get("index_codec") == "pq_residual":
+                # residual codec (r13): deferred entries carry coarse
+                # cell + residual codes under the frozen artifact
+                entries = similarity.index_entries_pq_residual(
+                    kept, id_col, content_col, dedup_opts["artifact"],
+                    **{k: v for k, v in dedup_opts.items()
+                       if k in ("bands", "band_width")})
             else:
                 entries = similarity.index_entries(
                     kept, id_col, content_col,

@@ -845,6 +845,80 @@ class TestDedupOnIngestOption:
         assert r2.records_in == 1
         assert r2.dedup_dropped == {"batch": 0, "index": 1}
 
+    def test_embedding_mode_pq_residual_codec_end_to_end(
+            self, spark, tmp_path):
+        # r13: the RESIDUAL codec through the runner config seam — the
+        # full ivfpq_train_artifact dict rides the codebooks JSON path,
+        # the deferred append commits (cell, codes), and a scaled
+        # re-encode still drops against the centroid+residual decode
+        import json
+
+        from dativo_ingest_spark.operators import quantization as Q
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+
+        def write_batch(path, rows):
+            spark.createDataFrame(
+                rows, "id long, name string, active boolean, "
+                      "embedding array<double>"
+            ).write.parquet(path)
+
+        v1 = [0.5, -1.5, 2.5, 0.25, 3.0, -0.75, 1.0, 4.0]
+        v2 = [float((-1) ** i) * (i + 1) for i in range(8)]
+        b1 = str(tmp_path / "b1"); b2 = str(tmp_path / "b2")
+        write_batch(b1, [(1, "a", True, v1), (2, "b", True, v2)])
+        write_batch(b2, [(3, "c", True, [x * 2.0 for x in v1]),
+                         (4, "d", True, [1.0] * 8)])
+        artifact = Q.ivfpq_train_artifact(
+            spark.read.parquet(b1), "id", "embedding", m=4, k_codes=2,
+            n_cells=2, n_iter=2)
+        art = tmp_path / "ivfpq_artifact.json"
+        art.write_text(json.dumps(artifact))
+        index = str(tmp_path / "ix_pqr")
+
+        def job(src, out):
+            d = job_dict(src, out)
+            d["source"] = {"type": "parquet", "path": src}
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = {
+                "index": index, "id_field": "id",
+                "content_field": "embedding", "mode": "embedding",
+                "threshold": 0.9, "index_codec": "pq_residual",
+                "codebooks": str(art)}
+            return JobConfig.from_dict(d)
+
+        r1 = runner.run_job(spark, job(b1, str(tmp_path / "o1")))
+        assert r1.exit_code == runner.EXIT_SUCCESS and r1.records_in == 2
+        ix = FsTable.create(index).read(spark)
+        assert set(ix.columns) == {"id", "key", "cell", "codes", "norm"}
+        r2 = runner.run_job(spark, job(b2, str(tmp_path / "o2")))
+        assert r2.records_in == 1
+        assert r2.dedup_dropped == {"batch": 0, "index": 1}
+
+    def test_pq_residual_codec_config_validation(self, spark, tmp_path):
+        import json
+
+        src = tmp_path / "b.csv"
+        src.write_text("id,name,active\n1,alice,true\n")
+        out = str(tmp_path / "o")
+
+        def bad(extra):
+            d = job_dict(str(src), out)
+            d["target"]["options"]["mode"] = "append"
+            d["target"]["options"]["dedup"] = dict(
+                {"index": str(tmp_path / "ix"), "id_field": "id",
+                 "content_field": "name"}, **extra)
+            return JobConfig.from_dict(d)
+
+        # a plain pq codebooks artifact (no cells) must be rejected for
+        # the residual codec — it cannot decode without the coarse cells
+        art = tmp_path / "plain_pq.json"
+        art.write_text(json.dumps(
+            {"codebooks": [[[0.0, 0.0]]], "scale": 10000}))
+        with pytest.raises(ConfigError, match="cells"):
+            runner.run_job(spark, bad(
+                {"index_codec": "pq_residual", "mode": "embedding",
+                 "content_field": "name", "codebooks": str(art)}))
+
     def test_pq_codec_config_validation(self, spark, tmp_path):
         src = tmp_path / "b.csv"
         src.write_text("id,name,active\n1,alice,true\n")

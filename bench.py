@@ -621,13 +621,21 @@ def main() -> None:
         round(sum(min(ts[i] for i in clean_ix) for ts in runs.values()), 3)
         if clean_ix else None)
 
-    # Extended sweep: single pass over every other benched operator.
+    # Extended sweep: best-of-2 over every other benched operator (r13:
+    # a single pass booked dedup_ingest_minhash at 38.5 s where direct
+    # re-measurement gives 7-9 s — one slow moment on a 141-row sweep
+    # reads as a 4x regression; min-of-2 kills one-off noise for ~4 min
+    # of extra wall). Both raw runs are recorded.
     extended: dict[str, float] = {}
+    extended_runs: dict[str, list[float]] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_ONLY"):
         for name in EXTENDED:
             if name in timings:
                 continue
-            extended[name] = run_once(name)
+            extended_runs[name] = [run_once(name)]
+        for name in list(extended_runs):
+            extended_runs[name].append(run_once(name))
+            extended[name] = min(extended_runs[name])
 
     total = round(sum(timings.values()), 3)
     full_record = {
@@ -637,6 +645,7 @@ def main() -> None:
         "queries": timings,
         "query_runs": runs,
         "extended": extended,
+        "extended_runs": extended_runs,
         "extended_total_s": round(sum(extended.values()), 3),
         "sf": sf,
         "ingest": ingest,

@@ -10,10 +10,14 @@ Stages (each documented where it is implemented):
                     accent fold so lexical hashing is well-defined
 1. lexical leg      operators/textops.py:bm25_topk — exact-integer
                     Okapi BM25 over the normalized corpus
-2. semantic leg     operators/quantization.py — PQ codebooks train on
-                    the embedding corpus, the corpus encodes to m-code
-                    arrays, queries answer by IVF-PQ (coarse routing +
-                    ADC over probed cells only)
+2. semantic leg     operators/quantization.py — the PERSISTED IVF-PQ
+                    index (r13): a frozen artifact (coarse cells +
+                    residual codebooks) trains once, half the corpus
+                    commits as (cell, codes) rows to an FsTable
+                    range-clustered by cell, the rest APPENDS
+                    incrementally, and top-k serves against the
+                    committed snapshot reading only the probed cells'
+                    files (manifest-stats pruning)
 3. fusion           operators/similarity.py:rrf_fuse — exact-integer
                     reciprocal-rank fusion of the two legs
 4. health gates     operators/similarity.py:embedding_isotropy (the
@@ -56,11 +60,27 @@ def search(spark: SparkSession, sf_dir: str) -> dict:
                    "h1": ["stream", "window", "batch"]}
     lex = textops.bm25_topk(corpus, "doc_id", "text", queries_lex, k=20)
 
-    # 2. semantic candidates through the IVF-PQ index
+    # 2. semantic candidates served from the PERSISTED IVF-PQ index:
+    #    train the frozen artifact, commit half the corpus, append the
+    #    rest (the incremental production shape), then serve from the
+    #    committed snapshot — the read opens only files whose [min,max]
+    #    cell stats intersect the probed cells
+    import shutil
+    import tempfile
+
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
     qvecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
-    sem = pq.ivfpq_topk(emb, "vec_id", "embedding", qvecs,
-                        m=2, k_codes=4, n_cells=4, n_probe=2, k=20)
+    ix_root = tempfile.mkdtemp(prefix="retrieval_ivfpq_ix_")
+    index = FsTable.create(ix_root + "/ix")
+    art = pq.ivfpq_train_artifact(emb, "vec_id", "embedding",
+                                  m=2, k_codes=4, n_cells=4, n_iter=1)
+    pq.ivfpq_index_build(emb.filter(F.col("vec_id") % 2 == 0),
+                         "vec_id", "embedding", index, artifact=art)
+    pq.ivfpq_index_append(emb.filter(F.col("vec_id") % 2 == 1),
+                          "vec_id", "embedding", index, art)
+    sem = pq.ivfpq_index_topk(spark, index, art, qvecs, n_probe=2, k=20)
 
     # 3. fuse: map both legs onto shared hybrid query ids
     lex_r = lex.select("query_id", F.col("id").alias("neighbor_id"),
@@ -75,7 +95,10 @@ def search(spark: SparkSession, sf_dir: str) -> dict:
     iso = similarity.embedding_isotropy(emb, "vec_id", "embedding") \
         .collect()[0]
 
-    results = [r.asDict() for r in fused.collect()]
+    try:
+        results = [r.asDict() for r in fused.collect()]
+    finally:
+        shutil.rmtree(ix_root, ignore_errors=True)
     assert results, "fusion produced no candidates"
     per_q = {}
     for r in results:

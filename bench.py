@@ -256,6 +256,10 @@ EXTENDED = [
     # r12: PQ-coded persistent embedding index (train + two ingest
     # lifecycles with in-plan reconstruction scoring)
     "dedup_ingest_embedding_pq",
+    # r13: residual codec ingest lifecycle; persisted IVF-PQ retrieval
+    # index (build + incremental append + pruned serve)
+    "dedup_ingest_embedding_pqr",
+    "ivfpq_persistent_serve",
 ]
 
 

@@ -794,6 +794,31 @@ def _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
                              stats_columns=["cell"])
 
 
+def ivfpq_index_compact(spark, index_table, branch: str = "main") -> int:
+    """Re-cluster the committed retrieval index by cell range — the
+    maintenance half of the incremental-append story: every
+    :func:`ivfpq_index_append` adds its own cell-sorted file set, so
+    after N appends a probed cell's rows are spread over ~N files and
+    the manifest prune degrades toward a full scan. This reads the
+    snapshot, re-clusters (range partition + sort by cell), and swaps
+    the table contents in ONE atomic snapshot (old files stay
+    time-travelable until vacuum). Returns the new file count.
+
+    At 100 TB this is the Z-order/compact discipline applied to the
+    index table: run it on a schedule or when files-per-cell crosses a
+    threshold; serving reads are never blocked (snapshot isolation) and
+    results are unchanged (codes are data, placement is layout)."""
+    coded = index_table.read(spark, branch=branch)
+    n_cells = (coded.agg(F.max("cell")).first()[0] or 0) + 1
+    staged = (coded.repartitionByRange(min(int(n_cells), 200), "cell")
+              .sortWithinPartitions("cell", "id"))
+    snap = index_table.write_append(
+        staged, branch=branch, operation="overwrite",
+        properties={"compaction": "ivfpq-cell-recluster"},
+        stats_columns=["cell"])
+    return len(snap.files)
+
+
 def ivfpq_index_topk(
     spark,
     index_table,

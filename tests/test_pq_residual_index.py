@@ -274,6 +274,39 @@ class TestPersistentIvfpqIndex:
                                  n_probe=self.N_PROBE, k=self.TOPK)
         assert got.count() == 2 * self.TOPK
 
+    def test_compact_restores_clustering_after_appends(
+            self, spark, tmp_path):
+        # N incremental appends spread each cell over ~N files; compact
+        # re-clusters in one atomic snapshot with identical serving
+        emb = self._emb(spark)
+        queries = self._queries(emb)
+        art = Q.ivfpq_train_artifact(
+            emb, "vec_id", "embedding", m=self.M, k_codes=self.K,
+            n_cells=self.N_CELLS, n_iter=1)
+        t = FsTable.create(str(tmp_path / "frag"))
+        Q.ivfpq_index_build(emb.filter(F.col("vec_id") < 12),
+                            "vec_id", "embedding", t, artifact=art)
+        for lo in (12, 24, 36):
+            Q.ivfpq_index_append(
+                emb.filter((F.col("vec_id") >= lo)
+                           & (F.col("vec_id") < lo + 12)),
+                "vec_id", "embedding", t, art)
+        before = sorted(map(tuple, Q.ivfpq_index_topk(
+            spark, t, art, queries, n_probe=self.N_PROBE,
+            k=self.TOPK).collect()))
+        frag_files = len(t.snapshot(t.current_version()).files)
+        n_after = Q.ivfpq_index_compact(spark, t)
+        assert n_after < frag_files  # fragmentation actually collapsed
+        snap = t.snapshot(t.current_version())
+        assert all("cell" in (f.get("stats") or {}) for f in snap.files
+                   if f.get("num_rows"))
+        after = sorted(map(tuple, Q.ivfpq_index_topk(
+            spark, t, art, queries, n_probe=self.N_PROBE,
+            k=self.TOPK).collect()))
+        assert after == before  # layout changed, answers did not
+        # old files stay time-travelable until vacuum
+        assert len(t.history()) >= 5
+
     def test_empty_queries_raise(self, spark, tmp_path):
         t = FsTable.create(str(tmp_path / "e"))
         with pytest.raises(ValueError, match="queries"):

@@ -1016,3 +1016,38 @@ def test_pq_index_reconstruct_scoring_no_python(spark, tmp_path):
     assert "Python" not in plan, plan[:800]
     assert "Cartesian" not in plan
     assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_ivfpq_persistent_serve_plan(spark, tmp_path):
+    # the persisted retrieval index (r13): serving reads ONLY the files
+    # whose [min,max] cell stats intersect the probed cells, and the
+    # ADC scoring above the pruned scan is pure Catalyst — LUT/probe
+    # literals + a posexplode + m element_at lookups: no Python, no
+    # Cartesian, no join anywhere in the serve plan
+    from pyspark.sql import functions as F
+
+    from dativo_ingest_spark.operators import quantization as pq
+    from dativo_ingest_spark.queries import load
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    emb = load(spark, SF_DIR, "embeddings")
+    t = FsTable.create(str(tmp_path / "serve_ix"))
+    art = pq.ivfpq_index_build(emb, "vec_id", "embedding", t,
+                               m=2, k_codes=4, n_cells=4, n_iter=1)
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    out = pq.ivfpq_index_topk(spark, t, art, queries, n_probe=2, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan[:800]
+    assert "Cartesian" not in plan
+    assert "Join" not in plan, plan[:800]
+    # one Exchange for the per-query top-k window, nothing else
+    assert plan.count("Exchange") <= 1, plan[:800]
+    # the file-level prune is real: a single-cell hull reads fewer
+    # files than the snapshot holds (stats recorded at commit)
+    snap = t.snapshot(t.current_version())
+    statful = [f for f in snap.files if "cell" in (f.get("stats") or {})]
+    lone = statful[0]["stats"]["cell"]["min"]
+    assert len(t.matching_files(snap, [("cell", ">=", lone),
+                                       ("cell", "<=", lone)])) \
+        < len(snap.files)

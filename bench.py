@@ -319,6 +319,77 @@ CANARY_REF_S = 1.06
 CANARY_SLOW_RATIO = 1.5
 CANARY_TRIALS = 3
 
+#: r14 (r13 verdict "What's wrong #1" / Next #4): the CPU canary is
+#: blind to DISK pressure — a 1.3 GB stale tmp dir measurably degraded
+#: r13 parquet writes to 1.73 s under perfectly clean CPU canaries. The
+#: I/O canary is a fixed 256 MiB buffered write + fsync + read-back on
+#: the bench's own work filesystem, best-of-2, bracketing the parquet
+#: WRITE phase the same way the CPU canary brackets compute. Reference
+#: = best-of-2 on the calibration host with a clean tmp (r14: 0.80 to
+#: 0.90 s across four idle trials — fsync-bound, tight spread). Gate at
+#: 3x: write-cache flush timing is noisier than the codegen loop, and
+#: the observed degradation mode (stale-dir page-cache pressure) showed
+#: >5x on the affected write trials.
+IO_CANARY_BYTES = 256 * 1024 * 1024
+IO_CANARY_REF_S = 0.85
+IO_CANARY_SLOW_RATIO = 3.0
+
+
+def run_io_canary(work_dir: str) -> float:
+    """Best-of-2 wall time of the fixed disk probe: 256 MiB buffered
+    write + fsync + sequential read-back under ``work_dir`` (the same
+    filesystem the timed parquet trials hit)."""
+    buf = b"\x5a" * (8 * 1024 * 1024)
+    best = None
+    for i in range(2):
+        path = os.path.join(work_dir, f"_io_canary_{i}.bin")
+        t0 = time.perf_counter()
+        with open(path, "wb") as fh:
+            for _ in range(IO_CANARY_BYTES // len(buf)):
+                fh.write(buf)
+            fh.flush()
+            os.fsync(fh.fileno())
+        with open(path, "rb") as fh:
+            while fh.read(64 * 1024 * 1024):
+                pass
+        dt = time.perf_counter() - t0
+        os.remove(path)
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def io_canary_slow(io_s: float) -> bool:
+    return io_s > IO_CANARY_REF_S * IO_CANARY_SLOW_RATIO
+
+
+def clean_stale_tmp(min_age_s: float = 1800.0) -> int:
+    """Remove leftover bench/query scratch dirs (``dativo_bench_*``,
+    ``sg_*`` — every mkdtemp prefix this repo creates) older than
+    ``min_age_s`` from the system tmp dir. r13 found a 1.3 GB stale dir
+    from a crashed run silently degrading parquet-write trials; the
+    booking recipe said "clean it by hand" — this makes the cleanup
+    part of the harness (r13 verdict Next #4). The age gate protects a
+    CONCURRENT run's live scratch."""
+    import glob
+    import shutil
+    import tempfile
+
+    now = time.time()
+    n = 0
+    for pat in ("dativo_bench_*", "sg_*"):
+        for path in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            try:
+                if now - os.path.getmtime(path) < min_age_s:
+                    continue
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
+                n += 1
+            except OSError:
+                continue
+    return n
+
 
 def run_canary(spark) -> float:
     """Best-of-3 wall time of the fixed pure-JVM canary workload; the
@@ -438,6 +509,9 @@ def run_ingest(spark, sf_dir: str) -> dict:
         wait_for_idle()         # idle re-check between phases (r10)
         pq_start_load = loadavg1()
         pq_canary_s = run_canary(spark)
+        # r14: disk-speed probe bracketing the WRITE phase — CPU
+        # canaries were blind to the stale-tmp disk pressure r13 hit
+        pq_io_s = run_io_canary(work)
         pq_trials, pq_loads = [], []
         for i in range(5):
             out = f"{work}/pq_out{i}"
@@ -446,13 +520,15 @@ def run_ingest(spark, sf_dir: str) -> dict:
             staged.write.option("compression", "snappy").parquet(out)
             pq_trials.append(round(time.perf_counter() - t0, 3))
             shutil.rmtree(out, ignore_errors=True)
+        pq_io_end_s = run_io_canary(work)
         pq_canary_end_s = run_canary(spark)
         pq_write_s = min(pq_trials)
         staged.unpersist()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    def _clean_best(trials, start_load, canary_start, canary_end):
+    def _clean_best(trials, start_load, canary_start, canary_end,
+                    io_brackets=()):
         """(phase contaminated?, best trial if the phase was clean).
 
         A phase is clean iff it STARTED quiet (loadavg gate, after the
@@ -467,13 +543,15 @@ def run_ingest(spark, sf_dir: str) -> dict:
         caught: it would slow the closing canary. Per-trial loadavgs
         stay recorded for transparency; they no longer gate."""
         dirty = (start_load > IDLE_LOADAVG_THRESHOLD
-                 or canary_slow(canary_start) or canary_slow(canary_end))
+                 or canary_slow(canary_start) or canary_slow(canary_end)
+                 or any(io_canary_slow(s) for s in io_brackets))
         return dirty, (None if dirty else min(trials))
 
     csv_dirty, csv_clean_s = _clean_best(
         csv_trials, csv_start_load, csv_canary_s, csv_canary_end_s)
     pq_dirty, pq_clean_s = _clean_best(
-        pq_trials, pq_start_load, pq_canary_s, pq_canary_end_s)
+        pq_trials, pq_start_load, pq_canary_s, pq_canary_end_s,
+        io_brackets=(pq_io_s, pq_io_end_s))
     return {
         "rows": n_rows,
         "csv_scan_s": csv_scan_s,
@@ -497,6 +575,11 @@ def run_ingest(spark, sf_dir: str) -> dict:
         "canary_s_csv_end": csv_canary_end_s,
         "canary_s_parquet": pq_canary_s,
         "canary_s_parquet_end": pq_canary_end_s,
+        "io_canary_s_parquet": pq_io_s,
+        "io_canary_s_parquet_end": pq_io_end_s,
+        "io_canary_ref_s": IO_CANARY_REF_S,
+        "io_canary_slow_ratio": IO_CANARY_SLOW_RATIO,
+        "io_canary_bytes": IO_CANARY_BYTES,
         "phase_start_loadavg1": [csv_start_load, pq_start_load],
         "canary_ref_s": CANARY_REF_S,
         "canary_slow_ratio": CANARY_SLOW_RATIO,
@@ -506,8 +589,11 @@ def run_ingest(spark, sf_dir: str) -> dict:
 
 def _ingest_child_main(sf_dir: str, cpus: str) -> None:
     """Subprocess entry: fresh JVM, ingest phase only, JSON on stdout."""
+    n_cleaned = clean_stale_tmp()  # r14: disk state is part of the phase
     spark = _bench_spark(cpus)
-    print(json.dumps(run_ingest(spark, sf_dir)))
+    rec = run_ingest(spark, sf_dir)
+    rec["stale_tmp_cleaned"] = n_cleaned
+    print(json.dumps(rec))
     spark.stop()
 
 
@@ -711,6 +797,9 @@ def main() -> None:
                 "canary_headline_s": headline_canaries,
                 "canary_ingest_s": [ingest.get("canary_s_csv"),
                                     ingest.get("canary_s_parquet")],
+                "io_canary_parquet_s": [
+                    ingest.get("io_canary_s_parquet"),
+                    ingest.get("io_canary_s_parquet_end")],
                 "canary_ref_s": CANARY_REF_S,
                 "n_headline": len(timings),
                 "n_extended": len(extended),

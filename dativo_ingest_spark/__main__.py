@@ -99,6 +99,15 @@ def main(argv: list[str] | None = None) -> int:
                               "'col=lo:hi,col2=lo:hi' (per-file ranges "
                               "land in the manifest for pruned reads)")
     maint_p.add_argument("--zorder-files", type=int, default=8)
+    maint_p.add_argument("--ivfpq-compact", action="store_true",
+                         help="re-cluster a persisted IVF-PQ retrieval "
+                              "index by cell range (replace_files + "
+                              "re-plan commit — concurrent appends are "
+                              "never dropped)")
+    maint_p.add_argument("--max-files-per-cell", type=int,
+                         help="with --ivfpq-compact: compact ONLY cell "
+                              "ranges covered by more than this many "
+                              "files (default: whole-table recluster)")
     maint_p.add_argument("--aggregate",
                          help="comma-separated columns: print COUNT(*) "
                               "+ per-column MIN/MAX answered from the "
@@ -217,6 +226,16 @@ def main(argv: list[str] | None = None) -> int:
                     raise ConfigError(str(exc))
                 doc["zordered_to_version"] = (
                     snap.version if snap is not None else None)
+            if args.ivfpq_compact:
+                from dativo_ingest_spark.operators.quantization import (
+                    ivfpq_index_compact)
+
+                n_files = ivfpq_index_compact(
+                    spark, table, branch=args.branch,
+                    max_files_per_cell=args.max_files_per_cell)
+                doc["ivfpq_compact"] = (
+                    {"files_after": n_files} if n_files >= 0
+                    else "skipped (nothing fragmented)")
             if args.vacuum_keep is not None:
                 doc["vacuum"] = table.vacuum(
                     keep_history=args.vacuum_keep,

@@ -508,6 +508,8 @@ def ivfpq_residual_topk(
     n_iter: int = 1,
     scale: int = 10_000,
     k: int = 10,
+    coarse_n_iter: int = 0,
+    coarse_init: str = "lowest_id",
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ: each
     vector PQ-encodes its OFFSET from its cell centroid rather than the
@@ -526,13 +528,16 @@ def ivfpq_residual_topk(
     Q·n_probe·m·k doubles, KBs riding as literals.
 
     Returns (query_id, rank, id, adc); same contract as
-    :func:`ivfpq_topk`.
+    :func:`ivfpq_topk`. ``coarse_n_iter`` Lloyd-trains the coarse
+    quantizer on the integer grid (see :func:`_coarse_cells`) — 0 keeps
+    the legacy lowest-id centroids.
     """
     if not queries:
         raise ValueError("queries must be non-empty")
     quantized = _quantized(df, id_col, vec_col, scale).cache()
     try:
-        cents = _coarse_cells(quantized, n_cells)
+        cents = _coarse_cells(quantized, n_cells, n_iter=coarse_n_iter,
+                              init=coarse_init)
         with_res = _with_residuals(quantized, cents)
         res_frame = with_res.select("id", "qvec").localCheckpoint(
             eager=True)
@@ -547,13 +552,96 @@ def ivfpq_residual_topk(
         quantized.unpersist()
 
 
-def _coarse_cells(quantized: DataFrame, n_cells: int) -> list[list[float]]:
-    """The coarse cell centroids: the n_cells lowest-id QUANTIZED
-    vectors — integer grid points, so residuals stay exact BIGINTs."""
+def _snap_mean(s: int, n: int) -> int:
+    """Round-half-AWAY-FROM-ZERO of the exact mean ``s/n`` (n > 0) using
+    only non-negative integer division, so the driver and the DuckDB
+    oracle (``//`` on non-negative operands) agree bit-for-bit — the
+    signed-division discipline operators/training.py pins."""
+    if s >= 0:
+        return (2 * s + n) // (2 * n)
+    return -((-2 * s + n) // (2 * n))
+
+
+def _cell_assign_col(cents: Sequence[Sequence[float]]):
+    """The coarse-cell argmin Column over a ``qvec`` column — inline
+    codegen under the literal budget, the Arrow kernel above it (both
+    bit-identical 9dp-fold/ties-low semantics)."""
+    n_cells, dim = len(cents), len(cents[0])
+    if n_cells * dim <= INLINE_LITERAL_BUDGET:
+        return _assign_inline("qvec", cents)
+    return F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
+
+
+def _coarse_cells(quantized: DataFrame, n_cells: int,
+                  n_iter: int = 0,
+                  init: str = "lowest_id") -> list[list[float]]:
+    """The coarse cell centroids, Lloyd-trained ON THE INTEGER GRID
+    (r13 verdict Next #1).
+
+    Init: ``lowest_id`` takes the n_cells lowest-id QUANTIZED vectors —
+    integer grid points, so residuals stay exact BIGINTs (``n_iter=0``
+    with this init is exactly the legacy behavior every proven oracle
+    replays). ``farthest`` is deterministic Gonzalez/farthest-first
+    seeding (the k-means++-class init every production coarse quantizer
+    uses): seed 0 is the lowest-id vector, each next seed is the vector
+    maximizing its min 9dp-rounded distance to the chosen seeds (ties
+    to the lower id) — one scan + a 1-row top-1 per seed, n_cells
+    driver rounds at SAMPLE-scale train time (the min-distance
+    expression inlines seed literals, so keep farthest-init cell counts
+    in the hundreds and train on a sample — production IVF does both). Lloyd alone cannot split
+    a centroid pair stranded inside one data mode while two real modes
+    share a centroid (the classic local optimum — measured on the
+    adversarial fixture in tests); farthest-first lands one seed per
+    separated mode and Lloyd then converges. Each Lloyd round
+    assigns every vector to its nearest centroid (the module's 9dp
+    sequential fold, ties to the lower cell) in ONE scan, aggregates an
+    exact integer (cell, pos)-keyed sum/count (map-side combinable —
+    n_cells*dim rows to the driver, never the corpus), and SNAPS each
+    coordinate mean back to the integer grid with round-half-away-from-
+    zero (:func:`_snap_mean`) so residuals remain exact BIGINTs and the
+    DuckDB oracle replays every round. Empty cells keep their previous
+    centroid (the pq_train discipline).
+
+    Why it matters at 100 TB: arbitrary data points as centroids give
+    unbalanced cells at realistic cell counts — a hot cell degrades
+    both recall (huge residuals starve the m·k code budget) and the
+    manifest file prune (one cell's files hold half the corpus).
+    Trained centroids move to the data's actual modes. Driver memory is
+    n_cells*dim integers per round — the artifact's own size, corpus-
+    independent; train on a SAMPLE at corpus scale like pq_train."""
+    if init not in ("lowest_id", "farthest"):
+        raise ValueError(
+            f"init must be lowest_id or farthest, got {init!r}")
     cents = [[float(x) for x in r["qvec"]]
              for r in quantized.orderBy("id").limit(n_cells).collect()]
     if len(cents) < n_cells:
         raise ValueError(f"need {n_cells} rows for cell centroids")
+    if init == "farthest":
+        cents = [cents[0]]
+        for _ in range(n_cells - 1):
+            mind = F.least(*[
+                F.round(_sqdist_to_literal("qvec", cv), 9)
+                for cv in cents]) if len(cents) > 1 else \
+                F.round(_sqdist_to_literal("qvec", cents[0]), 9)
+            far = (quantized.select("id", "qvec", mind.alias("d"))
+                   .orderBy(F.desc("d"), F.asc("id")).first())
+            cents.append([float(x) for x in far["qvec"]])
+    sub = len(cents[0])
+    for _ in range(n_iter):
+        rows = (quantized
+                .select(_cell_assign_col(cents).alias("cell"), "qvec")
+                .select("cell", F.posexplode("qvec").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        updated: dict[int, list[float]] = {}
+        for r in rows:
+            vec = updated.setdefault(int(r["cell"]), [0.0] * sub)
+            vec[int(r["pos"])] = float(_snap_mean(int(r["s"]),
+                                                  int(r["n"])))
+        for cell, vec in updated.items():
+            cents[cell] = vec
     return cents
 
 
@@ -562,10 +650,7 @@ def _with_residuals(quantized: DataFrame,
     """(id, cell, qvec=residual) — assign each quantized vector its
     nearest coarse cell (inline argmin under the literal budget, Arrow
     kernel above) and subtract that cell's centroid."""
-    n_cells, dim = len(cents), len(cents[0])
-    cell_col = _assign_inline("qvec", cents) \
-        if n_cells * dim <= INLINE_LITERAL_BUDGET else \
-        F.element_at(_pq_assign_udf([cents])(F.col("qvec")), 1)
+    cell_col = _cell_assign_col(cents)
     cells_lit = F.array(*[
         F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
     return quantized.select(
@@ -690,17 +775,21 @@ def ivfpq_train_artifact(
     n_cells: int = 4,
     n_iter: int = 1,
     scale: int = 10_000,
+    coarse_n_iter: int = 0,
+    coarse_init: str = "lowest_id",
 ) -> dict:
-    """Train the frozen IVF-PQ artifact — coarse cells (the n_cells
-    lowest-id quantized vectors) + RESIDUAL codebooks — and return it
-    as a JSON-safe dict (the codebooks-as-artifact pattern the PQ
-    ingest runner mode uses: persist it next to the index; every later
-    append and every serve must run under the SAME artifact, since
-    mismatched codebooks silently mis-encode). Train on a SAMPLE at
-    corpus scale — FAISS trains on ~1M points, not 100 TB."""
+    """Train the frozen IVF-PQ artifact — coarse cells (lowest-id
+    seeds, Lloyd-trained on the integer grid for ``coarse_n_iter``
+    rounds — see :func:`_coarse_cells`) + RESIDUAL codebooks — and
+    return it as a JSON-safe dict (the codebooks-as-artifact pattern
+    the PQ ingest runner mode uses: persist it next to the index; every
+    later append and every serve must run under the SAME artifact,
+    since mismatched codebooks silently mis-encode). Train on a SAMPLE
+    at corpus scale — FAISS trains on ~1M points, not 100 TB."""
     quantized = _quantized(df, id_col, vec_col, scale).cache()
     try:
-        cents = _coarse_cells(quantized, n_cells)
+        cents = _coarse_cells(quantized, n_cells, n_iter=coarse_n_iter,
+                              init=coarse_init)
         res_frame = _with_residuals(quantized, cents) \
             .select("id", "qvec").localCheckpoint(eager=True)
         codebooks = pq_train(res_frame, "id", "qvec",
@@ -770,16 +859,18 @@ def ivfpq_index_append(
     index_table,
     artifact: dict,
     branch: str = "main",
+    properties: dict | None = None,
 ) -> None:
     """Incrementally append a corpus batch to the committed index under
     the FROZEN artifact (atomic snapshot append — a crash re-appends,
-    never half-publishes)."""
+    never half-publishes). ``properties`` ride the snapshot (the
+    streaming epoch writer stamps its exactly-once marker here)."""
     _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
-                  operation="append")
+                  operation="append", properties=properties)
 
 
 def _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
-                  operation) -> None:
+                  operation, properties=None) -> None:
     coded = ivfpq_encode(df, id_col, vec_col, artifact)
     n_cells = int(artifact["n_cells"])
     # cluster the files BY CELL RANGE before committing: each file then
@@ -791,32 +882,120 @@ def _ivfpq_append(df, id_col, vec_col, index_table, artifact, branch,
     staged = (coded.repartitionByRange(min(n_cells, 200), "cell")
               .sortWithinPartitions("cell", "id"))
     index_table.write_append(staged, branch=branch, operation=operation,
-                             stats_columns=["cell"])
+                             stats_columns=["cell"],
+                             properties=properties)
 
 
-def ivfpq_index_compact(spark, index_table, branch: str = "main") -> int:
+def _fragmented_cell_files(files: list[dict],
+                           max_files_per_cell: int) -> list[dict]:
+    """The manifest files participating in a FRAGMENTED cell range:
+    sweep the per-file [min,max] cell stats (driver-side, manifest
+    only) for cells covered by more than ``max_files_per_cell`` files,
+    then return every file whose range touches such a cell. A statless
+    file counts as covering everything (conservative — it gets
+    compacted, which also restores its stats)."""
+    statful, statless = [], []
+    for f in files:
+        if not f.get("num_rows"):
+            continue  # empty file: nothing to compact, prune-neutral
+        rng = (f.get("stats") or {}).get("cell")
+        (statful if rng else statless).append(f)
+    events: dict[int, int] = {}
+    for f in statful:
+        rng = f["stats"]["cell"]
+        events[int(rng["min"])] = events.get(int(rng["min"]), 0) + 1
+        events[int(rng["max"]) + 1] = events.get(int(rng["max"]) + 1,
+                                                 0) - 1
+    base = len(statless)  # statless files overlap every cell
+    hot: set[int] = set()
+    depth, prev = base, None
+    for cell in sorted(events):
+        if prev is not None and depth > max_files_per_cell:
+            hot.update(range(prev, cell))
+        depth += events[cell]
+        prev = cell
+    if not hot:
+        return list(statless) if base > max_files_per_cell else []
+    picked = list(statless)
+    for f in statful:
+        rng = f["stats"]["cell"]
+        lo, hi = int(rng["min"]), int(rng["max"])
+        if any(lo <= c <= hi for c in hot):
+            picked.append(f)
+    return picked
+
+
+def ivfpq_index_compact(
+    spark,
+    index_table,
+    branch: str = "main",
+    max_files_per_cell: int | None = None,
+    max_replans: int = 3,
+) -> int:
     """Re-cluster the committed retrieval index by cell range — the
     maintenance half of the incremental-append story: every
     :func:`ivfpq_index_append` adds its own cell-sorted file set, so
     after N appends a probed cell's rows are spread over ~N files and
-    the manifest prune degrades toward a full scan. This reads the
-    snapshot, re-clusters (range partition + sort by cell), and swaps
-    the table contents in ONE atomic snapshot (old files stay
-    time-travelable until vacuum). Returns the new file count.
+    the manifest prune degrades toward a full scan.
 
-    At 100 TB this is the Z-order/compact discipline applied to the
-    index table: run it on a schedule or when files-per-cell crosses a
-    threshold; serving reads are never blocked (snapshot isolation) and
-    results are unchanged (codes are data, placement is layout)."""
-    coded = index_table.read(spark, branch=branch)
-    n_cells = (coded.agg(F.max("cell")).first()[0] or 0) + 1
-    staged = (coded.repartitionByRange(min(int(n_cells), 200), "cell")
-              .sortWithinPartitions("cell", "id"))
-    snap = index_table.write_append(
-        staged, branch=branch, operation="overwrite",
-        properties={"compaction": "ivfpq-cell-recluster"},
-        stats_columns=["cell"])
-    return len(snap.files)
+    ``max_files_per_cell=None`` (default) re-clusters the WHOLE table;
+    passing a threshold compacts ONLY the fragmented cell ranges —
+    files covering cells that more than that many files hold — leaving
+    well-clustered files untouched by reference (r13 verdict Next #3:
+    at 100 TB a compaction that rewrites the whole index is itself the
+    bottleneck; touching only the hot ranges makes maintenance
+    O(fragmentation), not O(corpus)).
+
+    Commit discipline (ADVICE r13, the lost-update fix): the rewrite
+    commits through :meth:`FsTable.replace_files` pinned to the
+    snapshot version the plan READ (``expected_base``), and re-plans
+    from the new head on :class:`CommitConflict` — the merge_upsert
+    discipline — so a concurrent :func:`ivfpq_index_append` landing
+    between the read and the commit is NEVER silently dropped (the old
+    ``write_append(operation="overwrite")`` path rebased a stale base
+    with staged-only files, losing the append). Old files stay
+    time-travelable until vacuum; serving reads are never blocked
+    (snapshot isolation); results are unchanged (codes are data,
+    placement is layout). Returns the head's new file count (whole
+    table), or -1 if nothing qualified."""
+    from dativo_ingest_spark.sinks.table_commit import CommitConflict
+
+    last_exc = None
+    for _ in range(max_replans):
+        base_v = index_table.current_version(branch)
+        if base_v is None:
+            raise ValueError(f"unknown branch {branch!r}")
+        base = index_table.snapshot(base_v)
+        if max_files_per_cell is None:
+            victims = [f for f in base.files if f.get("num_rows")]
+        else:
+            victims = _fragmented_cell_files(base.files,
+                                             max_files_per_cell)
+        if len(victims) < 2:
+            return -1  # nothing to gain
+        import os as _os
+
+        coded = spark.read.schema(
+            index_table.read(spark, branch=branch).schema
+        ).parquet(*[_os.path.join(index_table.root, f["path"])
+                    for f in victims])
+        n_cells = (coded.agg(F.max("cell")).first()[0] or 0) + 1
+        stage = index_table.new_stage()
+        (coded.repartitionByRange(min(int(n_cells), 200), "cell")
+         .sortWithinPartitions("cell", "id")
+         .write.option("compression", "snappy")
+         .parquet(_os.path.join(index_table.root, stage)))
+        try:
+            snap = index_table.replace_files(
+                [f["path"] for f in victims],
+                index_table.staged_files(stage, stats_columns=["cell"]),
+                expected_base=base_v, branch=branch,
+                properties={"compaction": "ivfpq-cell-recluster"})
+            return len(snap.files)
+        except CommitConflict as exc:
+            last_exc = exc  # head advanced (e.g. a concurrent append):
+            continue        # re-plan against the new snapshot
+    raise last_exc
 
 
 def ivfpq_index_topk(
@@ -859,6 +1038,41 @@ def ivfpq_index_topk(
     ).filter(F.col("cell").isin(*[int(c) for c in probed]))
     return _residual_adc_topk(coded, cents, artifact["codebooks"],
                               queries, n_probe=n_probe, k=k, scale=scale)
+
+
+def ivfpq_cell_balance(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    artifact: dict,
+) -> DataFrame:
+    """Cell-balance report for a coarse partition under a FROZEN
+    artifact — the number that says whether the coarse quantizer is
+    doing its job (r13 verdict Next #1): one row per NON-EMPTY cell,
+    (cell, n_rows, balance_milli), where ``balance_milli`` is the
+    table-wide max-cell-size over MEAN-cell-size ratio in exact
+    integer milli units (mean over the artifact's n_cells, empty cells
+    included): ``max_n * 1000 * n_cells DIV total``. 1000 = perfectly
+    balanced; n_cells*1000 = everything in one cell. At 100 TB an
+    unbalanced partition degrades both recall (hot cells starve the
+    residual code budget) and the manifest file prune (a hot cell's
+    files hold half the corpus) — monitor this next to recall@k.
+
+    ONE scan + one cell-keyed agg (n_cells rows) + a broadcast of the
+    2-value summary; exact integers throughout, oracle-replayable."""
+    cents = artifact["cells"]
+    n_cells = int(artifact["n_cells"])
+    quantized = _quantized(df, id_col, vec_col, int(artifact["scale"]))
+    per = (quantized.select(_cell_assign_col(cents).alias("cell"))
+           .groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("n_rows")))
+    summary = per.agg(F.max("n_rows").alias("_mx"),
+                      F.sum("n_rows").alias("_tt"))
+    return (per.crossJoin(F.broadcast(summary))
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.col("n_rows").cast("long").alias("n_rows"),
+                    F.expr(f"(_mx * 1000 * {n_cells}) DIV _tt")
+                    .cast("long").alias("balance_milli")))
 
 
 def exact_grid_topk(
@@ -957,6 +1171,8 @@ def ivfpq_recall_report(
     scale: int = 10_000,
     k: int = 10,
     residual: bool = False,
+    coarse_n_iter: int = 0,
+    coarse_init: str = "lowest_id",
 ) -> DataFrame:
     """Recall@k of the IVF-PQ index against the exact integer-grid
     ground truth — the self-measuring quality gate a production index
@@ -969,11 +1185,20 @@ def ivfpq_recall_report(
     same meter, FAISS's actual index shape under test.
 
     One row per query: (query_id, k, n_hits, recall_micro).
+    ``coarse_n_iter`` (residual variant only) Lloyd-trains the coarse
+    quantizer on the integer grid before encoding.
     """
-    index = ivfpq_residual_topk if residual else ivfpq_topk
-    approx = index(df, id_col, vec_col, queries, m=m,
-                   k_codes=k_codes, n_cells=n_cells,
-                   n_probe=n_probe, n_iter=n_iter, scale=scale, k=k)
+    if residual:
+        approx = ivfpq_residual_topk(
+            df, id_col, vec_col, queries, m=m, k_codes=k_codes,
+            n_cells=n_cells, n_probe=n_probe, n_iter=n_iter,
+            scale=scale, k=k, coarse_n_iter=coarse_n_iter,
+            coarse_init=coarse_init)
+    else:
+        approx = ivfpq_topk(df, id_col, vec_col, queries, m=m,
+                            k_codes=k_codes, n_cells=n_cells,
+                            n_probe=n_probe, n_iter=n_iter, scale=scale,
+                            k=k)
     truth = exact_grid_topk(df, id_col, vec_col, list(queries), k=k,
                             scale=scale)
     return recall_at_k(approx.select("query_id",

@@ -1531,6 +1531,7 @@ def char_entropy(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    long_doc_threshold: int | None = None,
 ) -> DataFrame:
     """Per-document character-level Shannon entropy (nats) over the
     normalized text — the classic gibberish/compression quality signal:
@@ -1559,11 +1560,49 @@ def char_entropy(
     shuffle → doc-grain fold → broadcast re-join for empty docs)
     measured 6-7 s at sf0.1; this plan measures sub-second on the same
     corpus, and at 100 TB removes two corpus-scale exchanges entirely.
+
+    Memory bound (ADVICE r13): the one-scan plan materializes one
+    sorted codepoint array per row (plus the fold's struct state), so a
+    single pathological multi-hundred-MB document would concentrate in
+    one row buffer. The supported per-document size for the default
+    plan is ~tens of millions of chars under the executor-memory
+    discipline this repo ships (32 x 4 GiB); corpora that can carry
+    bigger outliers should pass ``long_doc_threshold`` (chars) — docs
+    above it take a fallback explode → (id, char)-keyed partial-agg →
+    per-doc sum branch whose per-row state is O(1) (the Generate's
+    transient array is still O(doc) but is streamed, never sorted or
+    folded in-expression). The two branches union; integer micro-nat
+    terms keep the result bit-identical to the default plan (pinned by
+    a test). Default None = pure one-scan plan (the threshold branch
+    adds a second corpus scan + one bounded shuffle to the plan, so it
+    is opt-in, not free).
     """
     staged = df.select(
         F.col(id_col).alias("id"),
         text.normalize_ws(F.coalesce(F.col(text_col), F.lit("")))
         .alias("t"))
+    if long_doc_threshold is not None:
+        short = char_entropy(
+            staged.filter(F.length("t") <= int(long_doc_threshold)),
+            "id", "t")
+        long_docs = staged.filter(
+            F.length("t") > int(long_doc_threshold))
+        n_long = F.length("t").cast("double")
+        counts = (long_docs
+                  .select("id", F.length("t").cast("long")
+                          .alias("n_chars"), n_long.alias("_n"),
+                          F.explode(F.regexp_extract_all(
+                              "t", F.lit(r"(?s)."), 0)).alias("ch"))
+                  .groupBy("id", "n_chars", "_n", "ch")
+                  .agg(F.count(F.lit(1)).cast("long").alias("run")))
+        p = F.col("run").cast("double") / F.col("_n")
+        term = F.floor(-p * F.log(p) * 1000000 + F.lit(0.5)) \
+            .cast("long")
+        long_out = (counts.select("id", "n_chars", term.alias("_t"))
+                    .groupBy("id", "n_chars")
+                    .agg(F.sum("_t").cast("long")
+                         .alias("entropy_micro")))
+        return short.unionByName(long_out)
 
     n = F.length("t").cast("double")
 

@@ -138,6 +138,7 @@ def train_quality_logreg(
     init_micro: list[int] | None = None,
     two_level: int | None = None,
     minibatch: int | None = None,
+    minibatch_layout_dir: str | None = None,
 ) -> DataFrame:
     """Train the binary quality head by full-batch gradient descent under
     the hard-sigmoid surrogate; returns one row per feature:
@@ -187,6 +188,20 @@ def train_quality_logreg(
     training. ``minibatch=1`` is exactly full-batch (bit-identical).
     Composes with ``two_level`` (different md5 salt, so the two bucket
     keys are independent).
+
+    ``minibatch_layout_dir`` (r13 verdict Next #2 — the at-scale half
+    of the schedule): with ``minibatch=B``, stage the featurized frame
+    ONCE to hive-partitioned parquet keyed by ``_mb_bucket`` under this
+    directory, and run every round against the READ-BACK frame — round
+    ``r``'s bucket filter then partition-prunes the scan to bucket
+    ``r mod B``'s files, so each round reads ~1/B of the corpus FROM
+    STORAGE instead of scanning everything to discard (B−1)/B of it
+    (the cached path is free locally, but at 100 TB the cache doesn't
+    hold and every round re-reads the corpus). Features are exact
+    BIGINTs, so the parquet round-trip is bit-lossless and the trained
+    weights are BIT-IDENTICAL to the in-memory path (pinned by a
+    test). The caller owns the directory (a scratch path or a
+    bucketed FsTable stage); it is left in place for re-runs.
     """
     if n_rounds < 0:
         raise ValueError("n_rounds must be >= 0")
@@ -202,11 +217,32 @@ def train_quality_logreg(
         raise ValueError(f"init_micro needs {len(FEATURES)} entries")
     w = [max(-W_MAX, min(W_MAX, int(v))) for v in w]
 
-    # persist BEFORE the label guard (ADVICE r12): the guard's count()
-    # is then the featurization pass that fills the cache the gradient
-    # rounds read, instead of a full throwaway scan
-    base = fixed_point_features(df, id_col, text_col, label_col) \
-        .filter(F.col("y").isNotNull()).persist()
+    def _mb_bucket_col():
+        # id-derived (NOT partition-derived) shard key, salted so it is
+        # independent of the two_level key — deterministic across
+        # layouts, retries and engines
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit("mb:"),
+                           F.col("id").cast("string"))), 1, 8),
+            16, 10).cast("long") % F.lit(int(minibatch))).cast("long")
+
+    staged_layout = (minibatch is not None and minibatch > 1
+                     and minibatch_layout_dir is not None)
+    feats = fixed_point_features(df, id_col, text_col, label_col) \
+        .filter(F.col("y").isNotNull())
+    if staged_layout:
+        # one featurization pass writes the bucket-partitioned layout;
+        # every round then reads ONLY its bucket's files (hive
+        # partition pruning on the _mb_bucket directory key)
+        (feats.withColumn("_mb_bucket", _mb_bucket_col())
+         .write.mode("overwrite").partitionBy("_mb_bucket")
+         .parquet(minibatch_layout_dir))
+        base = df.sparkSession.read.parquet(minibatch_layout_dir)
+    else:
+        # persist BEFORE the label guard (ADVICE r12): the guard's
+        # count() is then the featurization pass that fills the cache
+        # the gradient rounds read, instead of a full throwaway scan
+        base = feats.persist()
     fixed = base
     try:
         bad = fixed.filter(~F.col("y").isin(0, 1)).count()
@@ -226,17 +262,8 @@ def train_quality_logreg(
                                     1, 8),
                         16, 10).cast("long") % F.lit(int(two_level)))
                 .cast("long"))
-        if minibatch is not None and minibatch > 1:
-            # id-derived (NOT partition-derived) shard key, salted so it
-            # is independent of the two_level key — deterministic across
-            # layouts, retries and engines
-            fixed = fixed.withColumn(
-                "_mb_bucket",
-                (F.conv(F.substring(
-                    F.md5(F.concat(F.lit("mb:"),
-                                   F.col("id").cast("string"))), 1, 8),
-                        16, 10).cast("long") % F.lit(int(minibatch)))
-                .cast("long"))
+        if minibatch is not None and minibatch > 1 and not staged_layout:
+            fixed = fixed.withColumn("_mb_bucket", _mb_bucket_col())
         grads = [0] * len(FEATURES)
         for rnd in range(n_rounds):
             err = (hard_sigmoid_milli(margin_micro(w))

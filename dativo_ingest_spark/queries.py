@@ -11892,30 +11892,106 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(codes, queries, cbs, k=_PQ_TOPK)
 
 
+def _coarse_train_ctes(n_cells: int, coarse_n_iter: int,
+                       init: str = "lowest_id") -> list[str]:
+    """Lloyd-trained coarse-quantizer replica CTEs (r14 — replays
+    operators/quantization._coarse_cells with n_iter rounds): seed from
+    the n_cells lowest-id quantized vectors (``init="farthest"``:
+    deterministic Gonzalez farthest-first — seed 0 lowest-id, each next
+    seed maximizes its min 9dp distance to chosen seeds, ties to the
+    lower id), then per round assign every vector (9dp argmin, ties to
+    the lower cell) and snap each coordinate's exact integer mean back
+    to the grid with round-half-away-from-zero — the
+    non-negative-operand // trick, so DuckDB replays the driver's
+    :func:`_snap_mean` bit-for-bit. Empty cells keep their previous
+    centroid (COALESCE). Emits ``cells_i0 .. cells_i{R}`` and a final
+    ``cells`` alias."""
+    dist = _pq_dist_sql
+    if init == "farthest":
+        ctes = [f"""seed_0 AS (
+      SELECT vec_id, q FROM e ORDER BY vec_id LIMIT 1)"""]
+        for s in range(1, n_cells):
+            joins = " CROSS JOIN ".join(f"seed_{j} s{j}"
+                                        for j in range(s))
+            dists = [dist('e.q', f's{j}.q') for j in range(s)]
+            mind = dists[0] if s == 1 else \
+                "LEAST(" + ", ".join(dists) + ")"
+            ctes.append(f"""seed_{s} AS (
+      SELECT e.vec_id, e.q FROM e CROSS JOIN {joins}
+      ORDER BY {mind} DESC, e.vec_id ASC LIMIT 1)""")
+        union = "\n      UNION ALL ".join(
+            f"SELECT CAST({s} AS BIGINT) AS cellid, q AS cv "
+            f"FROM seed_{s}" for s in range(n_cells))
+        ctes.append(f"""cells_i0 AS (
+      {union})""")
+    else:
+        ctes = [f"""cells_i0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+               AS cellid, q AS cv
+      FROM (SELECT vec_id, q FROM e ORDER BY vec_id
+            LIMIT {n_cells}))"""]
+    for r in range(coarse_n_iter):
+        ctes.append(f"""cella_i{r} AS (
+      SELECT vec_id, cellid FROM (
+        SELECT e.vec_id, c.cellid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM e CROSS JOIN cells_i{r} c) t WHERE rn = 1)""")
+        ctes.append(f"""cells_i{r + 1} AS (
+      SELECT p.cellid, COALESCE(n.cv, p.cv) AS cv
+      FROM cells_i{r} p LEFT JOIN (
+        SELECT cellid, list(mv ORDER BY pos) AS cv FROM (
+          SELECT cellid, pos,
+                 CASE WHEN s >= 0 THEN (2*s + cnt) // (2*cnt)
+                      ELSE -((-2*s + cnt) // (2*cnt)) END AS mv
+          FROM (
+            SELECT cellid, pos, CAST(sum(val) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT a.cellid,
+                         unnest(range(1, len(e.q)+1)) AS pos,
+                         unnest(e.q) AS val
+                  FROM e JOIN cella_i{r} a USING (vec_id))
+            GROUP BY cellid, pos))
+        GROUP BY cellid) n USING (cellid))""")
+    ctes.append(f"""cells AS (
+      SELECT cellid, cv FROM cells_i{coarse_n_iter})""")
+    return ctes
+
+
 def _pq_residual_ctes(m: int, k: int, n_cells: int,
                       with_queries: bool = True,
-                      n_probe: int = 2) -> list[str]:
+                      n_probe: int = 2,
+                      coarse_n_iter: int = 0,
+                      coarse_init: str = "lowest_id",
+                      scale: int = 10_000) -> list[str]:
     """Parameterized residual-PQ replica CTEs (r13): coarse integer
-    cell centroids (the n_cells lowest-id quantized vectors), exact
+    cell centroids (the n_cells lowest-id quantized vectors, Lloyd-
+    trained on the grid for ``coarse_n_iter`` rounds — r14), exact
     BIGINT residuals, per-subspace training/encoding over the RESIDUAL
     frame. ``with_queries`` adds the probe/qres/lut serving CTEs
     (ivfpq_residual/persistent-serve oracles); the residual INGEST
     oracle skips them (its scoring is a reconstruction cosine, not
     ADC). Factored verbatim out of the r12-proven
     _ivfpq_residual_oracle so the dedup-ingest residual codec and the
-    persisted retrieval index replay the same training text."""
+    persisted retrieval index replay the same training text
+    (``coarse_n_iter=0`` keeps that text byte-identical)."""
     sub = _PQ_DIM // m
     dist = _pq_dist_sql
     ctes = [f"""e AS (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
-                            x -> CAST(round(x * 10000) AS BIGINT)) AS q
-      FROM embeddings)""",
-        f"""cells AS (
+                            x -> CAST(round(x * {scale}) AS BIGINT)) AS q
+      FROM embeddings)"""]
+    if coarse_n_iter > 0 or coarse_init != "lowest_id":
+        ctes += _coarse_train_ctes(n_cells, coarse_n_iter,
+                                   init=coarse_init)
+    else:
+        ctes.append(f"""cells AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
                AS cellid, q AS cv
       FROM (SELECT vec_id, q FROM e ORDER BY vec_id
-            LIMIT {n_cells}))""",
+            LIMIT {n_cells}))""")
+    ctes += [
         f"""cella AS (
       SELECT vec_id, cellid FROM (
         SELECT e.vec_id, c.cellid,
@@ -11984,14 +12060,19 @@ def _pq_residual_ctes(m: int, k: int, n_cells: int,
     return ctes
 
 
-def _ivfpq_residual_oracle() -> str:
+def _ivfpq_residual_oracle(coarse_n_iter: int = 0,
+                           coarse_init: str = "lowest_id",
+                           scale: int = 10_000) -> str:
     """Residual IVF-PQ replica: integer cell centroids (the n_cells
-    lowest-id quantized vectors), exact BIGINT residuals, per-subspace
+    lowest-id quantized vectors; Lloyd-trained on the grid when
+    ``coarse_n_iter`` > 0 — r14), exact BIGINT residuals, per-subspace
     training/encoding over the residual frame, and an ADC whose lookup
     table is keyed by (query, PROBED cell, code) — the query's residual
     differs per cell frame."""
     ctes = _pq_residual_ctes(_PQ_M, _PQ_K, _IVFPQ_CELLS,
-                             with_queries=True, n_probe=_IVFPQ_PROBE)
+                             with_queries=True, n_probe=_IVFPQ_PROBE,
+                             coarse_n_iter=coarse_n_iter,
+                             coarse_init=coarse_init, scale=scale)
     joins = "enc_0 e0"
     adc_sum = "l0.pd"
     for j in range(1, _PQ_M):
@@ -12327,6 +12408,107 @@ def ivfpq_persistent_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "query_id bigint, rank bigint, id bigint, adc double")
+
+
+@register(
+    "ivfpq_coarse_trained_topk",
+    _ivfpq_residual_oracle(coarse_n_iter=1, coarse_init="farthest",
+                           scale=100),
+    doc="residual IVF-PQ under a TRAINED coarse quantizer (r13 "
+        "verdict Next #1; operators/quantization.py:_coarse_cells): "
+        "deterministic Gonzalez farthest-first seeding (seed 0 = "
+        "lowest id; each next seed maximizes its min 9dp distance to "
+        "the chosen seeds, ties low — one seed lands in each data "
+        "mode, the local optimum Lloyd alone cannot escape), then one "
+        "exact integer Lloyd round assigns every vector (9dp argmin, "
+        "ties low) and snaps each coordinate mean back to the "
+        "1e2 grid with round-half-away-from-zero — so residuals stay "
+        "exact BIGINTs and the DuckDB oracle replays coarse TRAINING, "
+        "residual codebook training, encoding, routing and ADC "
+        "bit-for-bit. At realistic cell counts arbitrary data points "
+        "as centroids give unbalanced cells (degraded recall AND "
+        "weaker manifest pruning); trained centroids move to the "
+        "data's modes. One scan + one (cell,pos)-keyed exact-integer "
+        "agg per round — n_cells*dim rows to the driver, never the "
+        "corpus. Gate runs at scale=100: rational residual codebooks "
+        "make LUT terms non-integers, and the repo's 9dp-round "
+        "determinism contract holds only below ~4.5e6 magnitude "
+        "(above it 1e-9 is sub-ULP and the two engines' doubles can "
+        "legitimately differ by one bit) — the coarser grid keeps "
+        "every cross-engine float inside the exact band.",
+)
+def ivfpq_coarse_trained_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
+    return pq.ivfpq_residual_topk(
+        emb, "vec_id", "embedding", queries,
+        m=_PQ_M, k_codes=_PQ_K, n_cells=_IVFPQ_CELLS,
+        n_probe=_IVFPQ_PROBE, n_iter=_PQ_ITER, k=_PQ_TOPK,
+        coarse_n_iter=1, coarse_init="farthest", scale=100)
+
+
+def _ivfpq_balance_oracle(coarse_n_iter: int,
+                          coarse_init: str = "lowest_id") -> str:
+    """Cell-balance replica: trained coarse cells + assignment + a
+    per-cell count with the exact integer max/mean balance ratio
+    (milli units, mean over the artifact's n_cells)."""
+    ctes = ["""e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 10000) AS BIGINT)) AS q
+      FROM embeddings)"""]
+    ctes += _coarse_train_ctes(_IVFPQ_CELLS, coarse_n_iter,
+                               init=coarse_init)
+    dist = _pq_dist_sql
+    ctes.append(f"""cella AS (
+      SELECT vec_id, cellid FROM (
+        SELECT e.vec_id, c.cellid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.q', 'c.cv')} ASC, c.cellid ASC) AS rn
+        FROM e CROSS JOIN cells c) t WHERE rn = 1)""")
+    ctes.append("""per AS (
+      SELECT cellid, CAST(count(*) AS BIGINT) AS n_rows
+      FROM cella GROUP BY 1)""")
+    ctes.append("""summ AS (
+      SELECT CAST(max(n_rows) AS BIGINT) AS mx,
+             CAST(sum(n_rows) AS BIGINT) AS tt FROM per)""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(p.cellid AS BIGINT) AS cell, p.n_rows,
+           CAST((s.mx * 1000 * {_IVFPQ_CELLS}) // s.tt AS BIGINT)
+             AS balance_milli
+    FROM per p CROSS JOIN summ s""")
+
+
+@register(
+    "ivfpq_cell_balance_embeddings",
+    _ivfpq_balance_oracle(coarse_n_iter=1, coarse_init="farthest"),
+    doc="coarse-partition cell-balance report under the trained "
+        "quantizer (operators/quantization.py:ivfpq_cell_balance — "
+        "r13 verdict Next #1's monitoring half): one row per non-empty "
+        "cell with its population plus the table-wide max-over-mean "
+        "balance ratio in exact integer milli units (1000 = perfectly "
+        "balanced; n_cells*1000 = everything in one hot cell). At "
+        "100 TB this is the number that says whether the manifest file "
+        "prune and the residual code budget are actually getting the "
+        "balanced cells they were designed around — monitored next to "
+        "recall@k. ONE scan + one cell-keyed agg + a broadcast 2-value "
+        "summary; the oracle replays coarse training, assignment and "
+        "the integer division.",
+)
+def ivfpq_cell_balance_embeddings(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from dativo_ingest_spark.operators import quantization as pq
+
+    emb = load(spark, sf_dir, "embeddings")
+    art = pq.ivfpq_train_artifact(
+        emb, "vec_id", "embedding", m=_PQ_M, k_codes=_PQ_K,
+        n_cells=_IVFPQ_CELLS, n_iter=0, coarse_n_iter=1,
+        coarse_init="farthest")
+    return pq.ivfpq_cell_balance(emb, "vec_id", "embedding", art)
 
 
 @register(
@@ -13725,6 +13907,18 @@ _GATE_DEMOTED = [
     # in-window through jdbc_cursor_read_nation — the LIVE Derby
     # round-trip that drives the same connection/quoting machinery
     "jdbc_probe_sql",
+    # --- r14 demotions: admit the two NEW r14 gates
+    # (ivfpq_coarse_trained_topk — Lloyd-trained coarse quantizer;
+    # ivfpq_cell_balance_embeddings — its balance monitor) -------------
+    # plain-PQ ingest codec (r13 green); the PQ-coded persistent-index
+    # family stays in-window through dedup_ingest_embedding_pqr — the
+    # residual codec whose lifecycle is a superset (same train → encode
+    # → commit → reconstruct-score path, one extra coarse layer)
+    "dedup_ingest_embedding_pq",
+    # MySQL BLOB→utf8/base64 coercion (r13 green); the JDBC family
+    # stays in-window through jdbc_cursor_read_nation — the live Derby
+    # round-trip driving the same connection/typing machinery
+    "mysql_blob_coercion",
 ]
 for _name in _GATE_DEMOTED:
     QUERIES[_name] = QUERIES.pop(_name)
@@ -13971,6 +14165,10 @@ _DEMOTION_ANCHOR: dict[str, str] = {
     "cross_encoder_rerank_docs": "rerank_quality_embeddings",
     "singer_engine_read": "stripe_engine_read",
     "jdbc_probe_sql": "jdbc_cursor_read_nation",
+    # -- r14 demotions: PQ-ingest codec onto its residual superset; the
+    #    MySQL coercion onto the live-JDBC round-trip
+    "dedup_ingest_embedding_pq": "dedup_ingest_embedding_pqr",
+    "mysql_blob_coercion": "jdbc_cursor_read_nation",
 }
 
 # the registration-order footgun, made loud: a new @register without a

@@ -229,9 +229,20 @@ def audit_shards(spark, out_dir: str) -> dict:
     # container format: recorded in the manifest at export time (r13);
     # legacy layouts without the column fall back to a URI-neutral
     # Hadoop-FS sniff — the audit aggregates only need the numeric
-    # columns, which JSON inference types as BIGINT
-    recorded = (str(mdf.select("fmt").first()["fmt"])
-                if "fmt" in mdf.columns and mdf.head(1) else None)
+    # columns, which JSON inference types as BIGINT. ADVICE r13: a
+    # manifest holding MIXED fmt values (e.g. two exports unioned into
+    # one manifest dir) would silently audit every shard under the
+    # first row's format — fail loudly instead; per-format audits must
+    # run per export.
+    recorded = None
+    if "fmt" in mdf.columns:
+        fmts = sorted({str(r["fmt"]) for r in
+                       mdf.select("fmt").distinct().collect()})
+        if len(fmts) > 1:
+            raise ValueError(
+                f"manifest at {out_dir}/manifest records mixed container "
+                f"formats {fmts}; audit each export separately")
+        recorded = fmts[0] if fmts else None
     _is_jsonl = _container_is_jsonl(
         spark, recorded, f"{out_dir}/shard=*/*")
     _reader = spark.read.option("basePath", out_dir)

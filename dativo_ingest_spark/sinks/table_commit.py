@@ -165,14 +165,23 @@ class FsTable:
 
     def current_version(self, branch: str = "main") -> int | None:
         """Branch head = cached ref, advanced along the claim-file chain
-        (the chain is authoritative; the ref file is repaired if stale)."""
+        (the chain is authoritative; the ref file is repaired if stale).
+        The walk is cycle-guarded (r14): a claim chain corrupted by the
+        pre-r14 vacuum version-reuse bug must fail loudly, never spin."""
         try:
             with open(os.path.join(self._refs, branch)) as fh:
                 cached = int(fh.read().strip())
         except FileNotFoundError:
             return None
         head = cached
+        seen = {head}
         while (nxt := self._read_claim(branch, head)) is not None:
+            if nxt in seen:
+                raise RuntimeError(
+                    f"claim-chain cycle at v{nxt} on branch {branch!r} "
+                    "(stale claim files + version-number reuse); repair "
+                    "the refs dir by removing stale .next claim files")
+            seen.add(nxt)
             head = nxt
         if head != cached:
             self._set_ref(branch, head)
@@ -207,14 +216,44 @@ class FsTable:
 
     _version_hint = 0
 
+    def _hint_path(self) -> str:
+        return os.path.join(self._meta, "version-hint.txt")
+
+    def _read_hint_file(self) -> int:
+        try:
+            with open(self._hint_path()) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _bump_hint_file(self, floor: int) -> None:
+        """Monotonically raise the persisted version high-water mark
+        (atomic rename — a torn read can never be observed)."""
+        if self._read_hint_file() >= floor:
+            return
+        tmp = os.path.join(self._meta, f".hint.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(str(floor))
+        os.replace(tmp, self._hint_path())
+
     def _next_version(self) -> int:
         """First unallocated version: probe forward from a per-instance
         hint instead of listing the whole metadata dir (O(#snapshots) per
         commit otherwise — at 100k commits that listdir dominates). The
         hint only ever lags reality; ``_publish``'s O_EXCL create is the
         real arbiter, so a stale hint costs extra probes, never a
-        collision."""
-        v = self._version_hint
+        collision.
+
+        r14: the probe also floors at the PERSISTED high-water mark
+        (``metadata/version-hint.txt``, maintained by ``_publish`` and
+        ``vacuum``) so version numbers are NEVER reused after vacuum
+        expires their manifests. Reuse corrupted the metadata graph two
+        ways: a stale ``.next`` claim file at the reused number splices
+        the old chain into the new one (ref-walk cycle → every reader
+        hangs), and the reused manifest's parent pointer can close a
+        parent-chain cycle (history() hangs). Found by the r14
+        maintain-mode e2e; regression-pinned in test_table_commit."""
+        v = max(self._version_hint, self._read_hint_file())
         while os.path.exists(self._manifest_path(v)):
             v += 1
         self._version_hint = v
@@ -248,6 +287,9 @@ class FsTable:
             ) from None
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
+        # persist the high-water mark so vacuum can never hand this
+        # version number back out (see _next_version, r14)
+        self._bump_hint_file(snap.version + 1)
 
     def _set_ref(self, branch: str, version: int) -> None:
         tmp = os.path.join(self._refs, f".{branch}.{uuid.uuid4().hex}.tmp")
@@ -666,6 +708,17 @@ class FsTable:
         live_paths = {f["path"] for v in keep_versions
                       for f in self.snapshot(v).files}
 
+        # r14: BEFORE any manifest disappears, pin the version
+        # high-water mark past every allocated number — _next_version
+        # re-using an expired number splices stale claim files / parent
+        # pointers into the live chain (ref-walk and history cycles;
+        # every reader of the table then hangs)
+        all_versions = [int(n.split(".")[0].lstrip("v"))
+                        for n in os.listdir(self._meta)
+                        if n.endswith(".json")]
+        if all_versions:
+            self._bump_hint_file(max(all_versions) + 1)
+
         dropped_manifests = 0
         for name in os.listdir(self._meta):
             if not name.endswith(".json"):
@@ -678,6 +731,27 @@ class FsTable:
                 continue
             os.remove(full)
             dropped_manifests += 1
+
+        # expired claim files: each records base→next for a version edge
+        # whose base manifest is now gone — dead weight in refs/ (and,
+        # pre-hint-file, the cycle fuel). Same age guard as manifests so
+        # an in-flight writer's fresh claim is never swept.
+        for name in os.listdir(self._refs):
+            if not (name.startswith(".") and name.endswith(".next")):
+                continue
+            try:
+                base_v = int(name.split(".")[-2])
+            except ValueError:  # pragma: no cover - foreign file
+                continue
+            full = os.path.join(self._refs, name)
+            if base_v in keep_versions:
+                continue
+            if ts - os.path.getmtime(full) < min_age_seconds:
+                continue
+            try:
+                os.remove(full)
+            except FileNotFoundError:  # pragma: no cover - racing vacuum
+                pass
 
         dropped_files = 0
         data_dir = os.path.join(self.root, "data")

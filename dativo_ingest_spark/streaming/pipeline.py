@@ -972,6 +972,78 @@ def dedup_epoch_writer(out_table, index_table, id_col: str,
     return write_batch
 
 
+def ivfpq_index_epoch_writer(index_table, artifact: dict, id_col: str,
+                             vec_col: str, branch: str = "main",
+                             query_id: str | None = None,
+                             checkpoint_dir: str | None = None):
+    """foreachBatch callable: keep the PERSISTED IVF-PQ retrieval index
+    fresh under streaming ingestion (r13 verdict Next #6 — the
+    retrieval sibling of :func:`dedup_epoch_writer`'s index leg). Each
+    micro-batch encodes under the FROZEN ``artifact`` (the identical
+    expressions a batch ``ivfpq_index_append`` uses — mismatched
+    codebooks silently mis-encode, so the artifact rides the closure,
+    never the batch) and appends its (id, cell, codes) rows as ONE
+    cell-clustered snapshot carrying a query-scoped epoch marker
+    (``stream.epoch.{query_id}``): a replayed epoch sees the marker and
+    returns, so a crash between Spark's checkpoint commit and ours
+    never double-appends (exactly-once, the ``table_epoch_writer``
+    recipe). Serving (:func:`ivfpq_index_topk`) keeps its manifest
+    file prune — every epoch's files carry cell stats — and
+    :func:`ivfpq_index_compact` is the scheduled maintenance that
+    collapses the per-epoch fragmentation."""
+    from dativo_ingest_spark.operators.quantization import (
+        ivfpq_index_append)
+
+    qid = _query_id_resolver(query_id, checkpoint_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"stream.epoch.{qid()}"
+        if branch != "main" and \
+                index_table.current_version(branch) is None:
+            index_table.create_branch(branch)
+        head = index_table.snapshot(index_table.current_version(branch))
+        last = head.properties.get(key)
+        if last is not None and int(last) >= epoch_id:
+            return  # replayed epoch: the append already committed
+        ivfpq_index_append(batch_df, id_col, vec_col, index_table,
+                           artifact, branch=branch,
+                           properties={key: str(epoch_id)})
+
+    return write_batch
+
+
+def stream_index_ivfpq(
+    stream_df: DataFrame,
+    index_root: str,
+    id_col: str,
+    vec_col: str,
+    artifact: dict,
+    checkpoint_dir: str,
+    branch: str = "main",
+    available_now: bool = True,
+):
+    """Continuously append a vector stream to a persisted IVF-PQ
+    retrieval index: foreachBatch + :func:`ivfpq_index_epoch_writer`.
+    Returns the index FsTable (train the artifact on a sample FIRST —
+    the index serves only under the artifact it was encoded with)."""
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    index_table = FsTable.create(index_root)
+    writer = (
+        stream_df.writeStream
+        .foreachBatch(ivfpq_index_epoch_writer(
+            index_table, artifact, id_col, vec_col, branch=branch,
+            checkpoint_dir=checkpoint_dir))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:  # pragma: no cover - continuous mode needs a long-lived process
+        writer.start()
+    return index_table
+
+
 def stream_dedup_to_table(
     stream_df: DataFrame,
     out_root: str,

@@ -74,8 +74,12 @@ def search(spark: SparkSession, sf_dir: str) -> dict:
              for r in emb.filter(F.col("vec_id").isin(0, 1)).collect()}
     ix_root = tempfile.mkdtemp(prefix="retrieval_ivfpq_ix_")
     index = FsTable.create(ix_root + "/ix")
+    # coarse_n_iter=1 (r14): Lloyd-train the coarse quantizer on the
+    # integer grid — balanced cells keep the manifest prune and the
+    # residual code budget honest at realistic cell counts
     art = pq.ivfpq_train_artifact(emb, "vec_id", "embedding",
-                                  m=2, k_codes=4, n_cells=4, n_iter=1)
+                                  m=2, k_codes=4, n_cells=4, n_iter=1,
+                                  coarse_n_iter=1)
     pq.ivfpq_index_build(emb.filter(F.col("vec_id") % 2 == 0),
                          "vec_id", "embedding", index, artifact=art)
     pq.ivfpq_index_append(emb.filter(F.col("vec_id") % 2 == 1),

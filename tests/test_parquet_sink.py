@@ -125,6 +125,29 @@ class TestShardExport:
                sorted((r["_h"], r.id) for r in rows)
         assert len(rows) > 0
 
+    def test_mixed_format_manifest_fails_loudly(self, spark, tmp_path):
+        # ADVICE r13: a manifest that ever holds mixed fmt values (e.g.
+        # two exports unioned into one manifest dir) must not audit
+        # every shard under the first row's format
+        import pytest
+
+        from dativo_ingest_spark.queries import load
+        from dativo_ingest_spark.sinks.shard_export import (
+            audit_shards, export_training_shards)
+        from tests.conftest import SF_DIR
+
+        docs = load(spark, SF_DIR, "documents")
+        out = str(tmp_path / "mixed")
+        m = export_training_shards(docs, "doc_id", "n_chars", out,
+                                   n_shards=4)
+        # corrupt the manifest: union a second export's rows recorded
+        # under the other container format
+        mixed = m.unionByName(
+            m.limit(1).withColumn("fmt", F.lit("jsonl")))
+        mixed.write.mode("overwrite").parquet(f"{out}/manifest")
+        with pytest.raises(ValueError, match="mixed container"):
+            audit_shards(spark, out)
+
     def test_jsonl_format_manifest_matches_parquet(self, spark, tmp_path):
         # r12: fmt="jsonl" — same assignment, order and manifest as the
         # parquet container; r13: the manifest RECORDS the container

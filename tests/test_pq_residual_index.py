@@ -313,3 +313,282 @@ class TestPersistentIvfpqIndex:
             Q.ivfpq_index_topk(spark, t, {"cells": [[0.0]],
                                           "codebooks": [[[0.0]]],
                                           "scale": 10_000}, {})
+
+
+def _adversarial_rows(n_clusters=4, n_per=12, seed=3):
+    """Adversarial coarse geometry (r13 verdict Next #1's fixture ask):
+    the LOWEST ids — pq/coarse seeds — all sit in cluster 0, so the
+    untrained quantizer's 4 near-identical centroids scatter every
+    other cluster's points across cells on jitter noise (degraded
+    routing recall, hot/empty cells). Lloyd-trained centroids migrate
+    to the 4 actual modes."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = []
+    vid = 0
+    # seeds first: n_clusters near-identical points in cluster 0
+    centers = []
+    for c in range(n_clusters):
+        center = [0.0] * DIM
+        for d in range(DIM):
+            center[d] = 50.0 * (c + 1) if (d % n_clusters) == c \
+                else 1.0 + 0.1 * d
+        centers.append(center)
+    for _ in range(n_clusters):
+        rows.append((vid, [x + rng.uniform(-0.01, 0.01)
+                           for x in centers[0]]))
+        vid += 1
+    for c in range(n_clusters):
+        for _ in range(n_per):
+            rows.append((vid, [x + rng.uniform(-0.05, 0.05)
+                               for x in centers[c]]))
+            vid += 1
+    return rows
+
+
+class TestCoarseTraining:
+    """Lloyd-trained coarse quantizer on the integer grid (r14).
+
+    The recall meter is ROUTING-pure: k equals the cluster size, so on
+    well-separated clusters the true top-k is exactly the query's
+    cluster and recall@k is 1.0 iff the probed cell holds the whole
+    cluster — ADC ordering inside the cell cannot mask a routing miss
+    (at this m*k code budget ADC cannot rank near-identical
+    within-cluster jitter, nor does it need to)."""
+
+    M, K, N_CELLS, N_PROBE, TOPK = 4, 4, 4, 1, 12
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            _adversarial_rows(self.N_CELLS),
+            "vec_id bigint, embedding array<double>")
+
+    def test_snap_mean_is_half_away_from_zero_and_duckdb_replayable(self):
+        import duckdb
+
+        cases = [(7, 2), (-7, 2), (5, 2), (-5, 2), (1, 3), (-1, 3),
+                 (10, 4), (-10, 4), (0, 5), (9, 3), (-9, 3)]
+        for s, n in cases:
+            from decimal import ROUND_HALF_UP, Decimal
+
+            # ground truth: round half away from zero of the EXACT
+            # ratio (Decimal ROUND_HALF_UP = ties away from zero)
+            want = int((Decimal(s) / Decimal(n)).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP))
+            assert Q._snap_mean(s, n) == want, (s, n)
+            sql = (f"SELECT CASE WHEN {s} >= 0 THEN (2*{s} + {n}) "
+                   f"// (2*{n}) ELSE -((-2*{s} + {n}) // (2*{n})) END")
+            assert duckdb.sql(sql).fetchone()[0] == want, (s, n)
+
+    def test_zero_iter_is_legacy_lowest_id(self, spark):
+        df = self._df(spark)
+        q = Q._quantized(df, "vec_id", "embedding", 10_000)
+        legacy = [[float(x) for x in r["qvec"]]
+                  for r in q.orderBy("id").limit(self.N_CELLS).collect()]
+        assert Q._coarse_cells(q, self.N_CELLS, n_iter=0) == legacy
+
+    def test_trained_centroids_stay_on_integer_grid(self, spark):
+        df = self._df(spark)
+        q = Q._quantized(df, "vec_id", "embedding", 10_000)
+        cents = Q._coarse_cells(q, self.N_CELLS, n_iter=2)
+        assert all(x == float(int(x)) for cv in cents for x in cv)
+
+    def test_trained_recall_beats_lowest_id_on_adversarial_geometry(
+            self, spark):
+        df = self._df(spark)
+        # queries: one point from each cluster that holds EXACTLY k=12
+        # points (cluster 0 holds the 4 seeds too — 16 points — so its
+        # top-12 depends on within-cell ADC order, which this meter
+        # deliberately does not measure)
+        qrows = df.filter(F.col("vec_id").isin(
+            self.N_CELLS + 14, self.N_CELLS + 26,
+            self.N_CELLS + 38)).collect()
+        queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                   for r in qrows}
+
+        def mean_recall(coarse_n_iter, coarse_init="lowest_id"):
+            approx = Q.ivfpq_residual_topk(
+                df, "vec_id", "embedding", queries, m=self.M,
+                k_codes=self.K, n_cells=self.N_CELLS,
+                n_probe=self.N_PROBE, n_iter=1, k=self.TOPK,
+                coarse_n_iter=coarse_n_iter, coarse_init=coarse_init)
+            truth = Q.exact_grid_topk(df, "vec_id", "embedding",
+                                      list(queries), k=self.TOPK)
+            rep = Q.recall_at_k(
+                approx.select("query_id", F.col("id").alias("vec_id")),
+                truth, self.TOPK)
+            rows = rep.collect()
+            return sum(int(r["recall_micro"]) for r in rows) / len(rows)
+
+        untrained = mean_recall(0)
+        lloyd_only = mean_recall(2)
+        trained = mean_recall(2, "farthest")
+        # lowest-id centroids measurably lose recall on this geometry;
+        # TRAINED centroids don't (the verdict's done-criterion). Pure
+        # Lloyd passes THIS meter (a cluster merged into a hot cell is
+        # still intact for routing) but stays stuck in the
+        # all-seeds-in-one-mode local optimum — the BALANCE test below
+        # is where that deficiency shows; farthest-first + Lloyd fixes
+        # both.
+        assert untrained < 900_000, untrained
+        assert lloyd_only >= untrained, (untrained, lloyd_only)
+        assert trained == 1_000_000, trained
+
+    def test_trained_balance_beats_lowest_id(self, spark):
+        df = self._df(spark)
+
+        def balance(coarse_n_iter, coarse_init="lowest_id"):
+            art = Q.ivfpq_train_artifact(
+                df, "vec_id", "embedding", m=self.M, k_codes=self.K,
+                n_cells=self.N_CELLS, n_iter=0,
+                coarse_n_iter=coarse_n_iter, coarse_init=coarse_init)
+            rows = Q.ivfpq_cell_balance(
+                df, "vec_id", "embedding", art).collect()
+            return rows[0]["balance_milli"], len(rows)
+
+        b0, cells0 = balance(0)
+        b_lloyd, _ = balance(2)
+        b2, cells2 = balance(2, "farthest")
+        assert b_lloyd < b0, (b0, b_lloyd)  # Lloyd alone already helps
+        assert b2 < b0, (b0, b2)
+        assert cells2 == self.N_CELLS  # every trained cell is populated
+        # near-balanced: each of the 4 clusters lands in its own cell
+        assert b2 <= 1500, b2
+
+    def test_cell_balance_values_by_hand(self, spark):
+        # 3 rows in cell of v0's cluster, 1 in another: balance =
+        # max(3) * 1000 * n_cells(2) / total(4) = 1500
+        rows = [(0, [0.0] * DIM), (1, [100.0] * DIM),
+                (2, [0.1] * DIM), (3, [0.2] * DIM)]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        art = Q.ivfpq_train_artifact(df, "vec_id", "embedding", m=2,
+                                     k_codes=2, n_cells=2, n_iter=0)
+        got = {(int(r["cell"]), int(r["n_rows"]), int(r["balance_milli"]))
+               for r in Q.ivfpq_cell_balance(
+                   df, "vec_id", "embedding", art).collect()}
+        assert got == {(0, 3, 1500), (1, 1, 1500)}
+
+
+class TestCompactionMaintenance:
+    """Range-scoped compaction + the lost-update fix (r14; ADVICE r13
+    medium + r13 verdict Next #3)."""
+
+    M, K, N_CELLS, N_PROBE, TOPK = 2, 4, 4, 2, 10
+
+    def _emb(self, spark, lo, hi):
+        rows = [(i, [float(((i * 7 + d * 3) % 23) - 11) / 3.0
+                     for d in range(DIM)]) for i in range(lo, hi)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_range_scoped_compaction_rewrites_only_hot_range(
+            self, spark, tmp_path):
+        emb = self._emb(spark, 0, 48)
+        art = Q.ivfpq_train_artifact(
+            emb, "vec_id", "embedding", m=self.M, k_codes=self.K,
+            n_cells=self.N_CELLS, n_iter=1)
+        t = FsTable.create(str(tmp_path / "ix"))
+        Q.ivfpq_index_build(emb, "vec_id", "embedding", t, artifact=art)
+
+        # find a cell to hammer: append 4 batches that all land in the
+        # SAME coarse cell (rows near one committed vector)
+        coded = Q.ivfpq_encode(emb, "vec_id", "embedding", art)
+        hot_cell = int(coded.groupBy("cell").count()
+                       .orderBy(F.desc("count")).first()["cell"])
+        hot_ids = [int(r["id"]) for r in
+                   coded.filter(F.col("cell") == hot_cell).collect()]
+        src = {int(r["vec_id"]): r["embedding"]
+               for r in emb.collect()}
+        for b in range(4):
+            batch = spark.createDataFrame(
+                [(1000 + 10 * b + j, [float(x) for x in src[hot_ids[0]]])
+                 for j in range(3)],
+                "vec_id bigint, embedding array<double>")
+            Q.ivfpq_index_append(batch, "vec_id", "embedding", t, art)
+
+        snap_before = t.snapshot(t.current_version())
+        untouched_before = {
+            f["path"] for f in snap_before.files
+            if f.get("num_rows")
+            and "cell" in (f.get("stats") or {})
+            and not (f["stats"]["cell"]["min"] <= hot_cell
+                     <= f["stats"]["cell"]["max"])}
+        assert untouched_before  # the fixture has cold files to protect
+
+        queries = {i: [float(x) for x in src[i]] for i in (0, 1)}
+        before = sorted(map(tuple, Q.ivfpq_index_topk(
+            spark, t, art, queries, n_probe=self.N_PROBE,
+            k=self.TOPK).collect()))
+        n_after = Q.ivfpq_index_compact(spark, t, max_files_per_cell=3)
+        assert n_after >= 0  # something qualified and committed
+        snap_after = t.snapshot(t.current_version())
+        after_paths = {f["path"] for f in snap_after.files}
+        # every cold-range file carried over BY REFERENCE (not rewritten)
+        assert untouched_before <= after_paths
+        # the hot cell's coverage collapsed below the threshold
+        hot_files = [
+            f for f in snap_after.files
+            if f.get("num_rows") and "cell" in (f.get("stats") or {})
+            and f["stats"]["cell"]["min"] <= hot_cell
+            <= f["stats"]["cell"]["max"]]
+        assert len(hot_files) <= 3
+        after = sorted(map(tuple, Q.ivfpq_index_topk(
+            spark, t, art, queries, n_probe=self.N_PROBE,
+            k=self.TOPK).collect()))
+        assert after == before  # layout changed, answers did not
+
+    def test_whole_table_compaction_skips_when_nothing_to_gain(
+            self, spark, tmp_path):
+        emb = self._emb(spark, 0, 8)
+        t = FsTable.create(str(tmp_path / "ix"))
+        art = Q.ivfpq_train_artifact(emb, "vec_id", "embedding",
+                                     m=self.M, k_codes=self.K,
+                                     n_cells=2, n_iter=0)
+        Q.ivfpq_index_build(
+            emb.coalesce(1), "vec_id", "embedding", t, artifact=art)
+        statful = [f for f in t.snapshot(t.current_version()).files
+                   if f.get("num_rows")]
+        if len(statful) < 2:
+            assert Q.ivfpq_index_compact(spark, t) == -1
+
+    def test_concurrent_append_during_compaction_is_never_lost(
+            self, spark, tmp_path):
+        # ADVICE r13 (medium): the old overwrite-commit rebased a stale
+        # base with staged-only files, silently dropping a concurrent
+        # append. The replace_files + re-plan path must keep it.
+        emb = self._emb(spark, 0, 24)
+        late = self._emb(spark, 100, 106)
+        art = Q.ivfpq_train_artifact(
+            emb, "vec_id", "embedding", m=self.M, k_codes=self.K,
+            n_cells=self.N_CELLS, n_iter=1)
+        t = FsTable.create(str(tmp_path / "ix"))
+        Q.ivfpq_index_build(emb.filter(F.col("vec_id") < 12),
+                            "vec_id", "embedding", t, artifact=art)
+        Q.ivfpq_index_append(emb.filter(F.col("vec_id") >= 12),
+                             "vec_id", "embedding", t, art)
+
+        real_replace = t.replace_files
+        raced = {"n": 0}
+
+        def racing_replace(*a, **kw):
+            if raced["n"] == 0:
+                raced["n"] += 1
+                # a concurrent writer lands between the compaction's
+                # read and its commit
+                Q.ivfpq_index_append(late, "vec_id", "embedding", t,
+                                     art)
+            return real_replace(*a, **kw)
+
+        t.replace_files = racing_replace
+        try:
+            n_files = Q.ivfpq_index_compact(spark, t)
+        finally:
+            t.replace_files = real_replace
+        assert n_files >= 0
+        assert raced["n"] == 1
+        ids = {int(r["id"]) for r in t.read(spark).collect()}
+        # the racing append's rows survived the compaction commit
+        assert {100, 101, 102, 103, 104, 105} <= ids
+        assert len(ids) == 30

@@ -239,3 +239,80 @@ def test_kcenter_coreset_scaling_k40(spark, tmp_path):
         coreset.kcenter_select(df, "embedding", "vec_id", k=40)
 
     _probe_emb(spark, run)
+
+
+def test_ivfpq_persistent_serve_scaling(spark, tmp_path):
+    """Serve-path probe under the operating discipline (r13 verdict
+    Next #5): n_cells grows ~√N with the corpus (constant expected cell
+    size per √N shard, the FAISS rule of thumb), n_probe fixed. Records
+    per scale: serve wall time, files-read fraction after the manifest
+    prune, recall@k vs the exact integer-grid truth. The claims under
+    test: serve latency grows sub-linearly (the probed slice, not the
+    corpus) and the files-read fraction does NOT grow (more cells →
+    smaller probed slice)."""
+    from dativo_ingest_spark.operators import quantization as Q
+    from dativo_ingest_spark.operators.clustering import _spark_round9
+    from dativo_ingest_spark.sinks.table_commit import FsTable
+
+    N_PROBE, TOPK = 4, 10
+    report = {}
+    for scale in SCALES:
+        n = BASE_EMB * scale
+        df = _synth_emb(spark, n).persist()
+        df.count()
+        n_cells = max(8, int(round((n ** 0.5) / 5)))  # ~sqrt(N) cells
+        art = Q.ivfpq_train_artifact(
+            df, "vec_id", "embedding", m=4, k_codes=8,
+            n_cells=n_cells, n_iter=1, coarse_n_iter=1)
+        t = FsTable.create(str(tmp_path / f"serve_ix_{scale}"))
+        # two appends: the realistic incremental shape
+        Q.ivfpq_index_build(df.filter(F.col("vec_id") % 2 == 0),
+                            "vec_id", "embedding", t, artifact=art)
+        Q.ivfpq_index_append(df.filter(F.col("vec_id") % 2 == 1),
+                             "vec_id", "embedding", t, art)
+        queries = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+                   for r in df.filter(F.col("vec_id") < 4).collect()}
+        # warm the serve plan untimed, then time it
+        Q.ivfpq_index_topk(spark, t, art, queries, n_probe=N_PROBE,
+                           k=TOPK).collect()
+        serve_s = _time(lambda: Q.ivfpq_index_topk(
+            spark, t, art, queries, n_probe=N_PROBE, k=TOPK).collect())
+        # files-read fraction: replicate the serve path's probed hull
+        probed: set = set()
+        for qv in queries.values():
+            qq = [Q._quantize_driver(x, art["scale"]) for x in qv]
+            dists = []
+            for cid, cv in enumerate(art["cells"]):
+                acc = 0.0
+                for a, b in zip(qq, cv):
+                    acc += (a - b) * (a - b)
+                dists.append((_spark_round9(acc), cid))
+            dists.sort()
+            probed.update(c for _, c in dists[:N_PROBE])
+        snap = t.snapshot(t.current_version())
+        statful = [f for f in snap.files if f.get("num_rows")]
+        pruned = t.matching_files(snap, [("cell", ">=", min(probed)),
+                                         ("cell", "<=", max(probed))])
+        frac = len([f for f in pruned if f.get("num_rows")]) \
+            / max(len(statful), 1)
+        # recall@k vs the exact grid truth
+        truth = Q.exact_grid_topk(df, "vec_id", "embedding",
+                                  list(queries), k=TOPK)
+        approx = Q.ivfpq_index_topk(spark, t, art, queries,
+                                    n_probe=N_PROBE, k=TOPK)
+        rec = Q.recall_at_k(
+            approx.select("query_id", F.col("id").alias("vec_id")),
+            truth, TOPK).collect()
+        recall = sum(int(r["recall_micro"]) for r in rec) / len(rec) / 1e6
+        report[scale] = {"n": n, "n_cells": n_cells,
+                         "serve_s": serve_s,
+                         "files_frac": round(frac, 3),
+                         "recall": round(recall, 3)}
+        df.unpersist()
+        spark.catalog.clearCache()
+    print(f"  serve probe {report}")
+    assert report[8]["serve_s"] <= GROWTH_BOUND * max(
+        report[1]["serve_s"], 0.5)
+    # the prune's whole point: the read fraction must not grow with N
+    assert report[8]["files_frac"] <= report[1]["files_frac"] + 0.05, \
+        report

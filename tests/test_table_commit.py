@@ -373,6 +373,54 @@ def test_vacuum_expires_history_and_reclaims_files(spark, tmp_path):
     assert remaining == live and remaining < all_files_before
 
 
+def test_vacuum_never_recycles_version_numbers(spark, tmp_path):
+    """r14 regression (found by the maintain-mode e2e): vacuum removed
+    old manifests but left claim files, and a fresh-hinted writer then
+    REUSED an expired version number — the stale ``.next`` claim at the
+    reused number spliced the old chain into the new one and every
+    ``current_version()`` walk cycled forever (the CLI hung). The
+    persisted high-water mark must make post-vacuum version numbers
+    strictly increase, from ANY writer instance."""
+    import time as _time
+
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    for i in range(3):
+        t.write_append(spark.createDataFrame(
+            [(i, "v")], "id long, val string").coalesce(1))
+    head_before = t.current_version()
+    t.vacuum(keep_history=1, min_age_seconds=0, now=_time.time() + 10)
+
+    # a FRESH instance (version hint 0 — the CLI shape) appends next;
+    # pre-fix it allocated the vacuumed v1 and corrupted the ref chain
+    t2 = FsTable.create(root)
+    snap = t2.write_append(spark.createDataFrame(
+        [(99, "w")], "id long, val string").coalesce(1))
+    assert snap.version > head_before  # never a recycled number
+    # every reader path still terminates and reads the full content
+    assert t2.current_version() == snap.version
+    assert t2.history() == [snap.version, head_before]
+    assert FsTable.create(root).read(spark).count() == 4
+    # the expired claim files are gone; the live edge's claim survives
+    claims = [n for n in os.listdir(os.path.join(root, "metadata",
+                                                 "refs"))
+              if n.endswith(".next")]
+    assert claims == [f".main.{head_before}.next"]
+
+
+def test_claim_chain_cycle_fails_loudly(tmp_path):
+    """Defense in depth: a refs dir corrupted by the pre-r14 bug (or by
+    hand) must raise, not hang every reader."""
+    root = str(tmp_path / "t")
+    t = FsTable.create(root)
+    refs = os.path.join(root, "metadata", "refs")
+    for base, nxt in ((0, 1), (1, 0)):
+        with open(os.path.join(refs, f".main.{base}.next"), "w") as fh:
+            fh.write(str(nxt))
+    with pytest.raises(RuntimeError, match="cycle"):
+        t.current_version()
+
+
 def test_vacuum_reclaims_crash_orphan_stages(spark, tmp_path):
     import time as _time
 

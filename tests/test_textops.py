@@ -317,3 +317,27 @@ class TestCharEntropy:
         got = {r.id: r.entropy_micro for r in textops.char_entropy(
             df, "doc_id", "text").collect()}
         assert got[2] > got[1] > got[3] == 0
+
+    def test_long_doc_fallback_is_bit_identical(self, spark):
+        # ADVICE r13: the one-scan plan holds one sorted codepoint array
+        # per row; the opt-in threshold routes oversized docs through an
+        # O(1)-per-row-state explode/agg branch. Integer micro-nat terms
+        # keep the two branches bit-identical.
+        from dativo_ingest_spark.operators import textops
+
+        rows = [
+            (1, "short prose doc"),
+            (2, "the quick brown fox " * 40),     # above the threshold
+            (3, "aGVsbG8xMjM0NTY3ODlBQkNE" * 50),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        default = {r.id: (r.n_chars, r.entropy_micro)
+                   for r in textops.char_entropy(
+                       df, "doc_id", "text").collect()}
+        hybrid = {r.id: (r.n_chars, r.entropy_micro)
+                  for r in textops.char_entropy(
+                      df, "doc_id", "text",
+                      long_doc_threshold=100).collect()}
+        assert hybrid == default
+        assert len(hybrid) == 4  # both branches contribute rows

@@ -467,6 +467,64 @@ class TestMinibatch:
                                  minibatch=0)
 
 
+class TestMinibatchLayout:
+    """Bucket-partitioned featurized layout (r13 verdict Next #2):
+    round r reads ONLY bucket r's files from storage instead of
+    filtering a full scan — the at-scale half of the schedule."""
+
+    def _rows(self):
+        rows = []
+        for i in range(30):
+            rows.append((f"p{i}", "the and of to in is it a " * 4, 1))
+            rows.append((f"n{i}", "xq zk wv jj qqq zzz pft brr " * 4, 0))
+        return rows
+
+    def test_bit_identity_vs_in_memory_path(self, spark, tmp_path):
+        docs = _docs(spark, self._rows())
+        mem = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=8,
+            minibatch=4).collect())
+        staged = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=8, minibatch=4,
+            minibatch_layout_dir=str(tmp_path / "mb")).collect())
+        assert staged == mem  # exact BIGINT features: lossless round-trip
+
+    def test_round_scan_touches_only_its_buckets_files(
+            self, spark, tmp_path):
+        docs = _docs(spark, self._rows())
+        layout = str(tmp_path / "mb")
+        train_quality_logreg(docs, "doc_id", "text", "y", n_rounds=1,
+                             minibatch=4, minibatch_layout_dir=layout)
+        frame = spark.read.parquet(layout)
+        # the layout is hive-partitioned on the bucket key...
+        import os
+
+        assert sorted(d for d in os.listdir(layout)
+                      if d.startswith("_mb_bucket=")) == [
+            f"_mb_bucket={b}" for b in range(4)]
+        # ...so a round's bucket filter partition-prunes the scan to
+        # that bucket's files only (the files-read assertion)
+        for b in (0, 2):
+            files = {r[0] for r in frame
+                     .filter(F.col("_mb_bucket") == b)
+                     .select(F.input_file_name()).distinct().collect()}
+            assert files
+            assert all(f"_mb_bucket={b}/" in f for f in files), files
+
+    def test_layout_ignored_without_minibatch(self, spark, tmp_path):
+        import os
+
+        docs = _docs(spark, self._rows())
+        layout = str(tmp_path / "mb")
+        full = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=2).collect())
+        also = sorted(train_quality_logreg(
+            docs, "doc_id", "text", "y", n_rounds=2,
+            minibatch_layout_dir=layout).collect())
+        assert also == full
+        assert not os.path.exists(layout)  # nothing staged
+
+
 class TestTwoLevel:
     def test_bit_identical_to_single_aggregate(self, spark):
         # r11 verdict Next #6: the (bucket, partial-sums) round must be

@@ -86,4 +86,9 @@ bad = [n for n, r in results.items()
        if r.get("err") or ("rows_only" not in r
                            and not (r.get("hash_match") and r.get("schema_match")
                                     and r.get("rows_match")))]
-print(json.dumps({"n": len(results), "bad": bad}))
+# ADVICE r13: an oracle-less window query must never ride silently on a
+# green run — surface the list and FAIL the process if any exist (the
+# rotation-ledger test forbids them; this is the bare-session backstop)
+rows_only = [n for n, r in results.items() if "rows_only" in r]
+print(json.dumps({"n": len(results), "bad": bad, "rows_only": rows_only}))
+sys.exit(1 if (bad or rows_only) else 0)

@@ -930,10 +930,14 @@ def dedup_against_index(
         # coalesce the append: per-batch fingerprint sets are tiny vs the
         # shuffle partition count, and one near-empty file per partition
         # per batch fragments the index (read/listing cost + compaction
-        # debt for every future anti-join)
+        # debt for every future anti-join). Coalesce the cached INPUT,
+        # not the computed entries — a coalesce above the fingerprint
+        # expressions re-instantiates the whole evaluation chain once
+        # per parent partition inside the single write task (see
+        # similarity.dedup_embedding_against_index).
         index_table.write_append(
-            index_entries(kept, text_col)
-            .coalesce(index_append_partitions(n_kept)),
+            index_entries(kept.coalesce(index_append_partitions(n_kept)),
+                          text_col),
             branch=branch)
     ranked.unpersist()
     return kept, n_batch_dups, n_index_dups
@@ -1111,15 +1115,20 @@ def dedup_minhash_against_index(
         from dativo_ingest_spark.operators.util import (
             index_append_partitions)
 
+        # coalesce BELOW the explode/cast projection (on the semi-joined
+        # cached sig rows) so the single write task evaluates the chain
+        # once, not once per parent partition (see
+        # similarity.dedup_embedding_against_index)
         index_table.write_append(
             sig.join(
                 kept.select(F.col(id_col).alias("id")),
                 "id", "left_semi",
-            ).select(
+            ).coalesce(index_append_partitions(n_kept * num_bands))
+            .select(
                 F.col("id").cast("string").alias("id"),
                 F.explode("_keys").alias("key"),
                 F.col("_sig").alias("sig"),
-            ).coalesce(index_append_partitions(n_kept * num_bands)),
+            ),
             branch=branch)
     base.unpersist()
     sig.unpersist()

@@ -724,20 +724,26 @@ def dedup_embeddings_against_index(
             index_append_partitions)
 
         # coalesced append: see dedup.dedup_against_index — avoids one
-        # near-empty index file per shuffle partition per batch
+        # near-empty index file per shuffle partition per batch. The
+        # coalesce goes on the INPUT, not the computed entries: a
+        # coalesce above the encode chain makes the single write task
+        # evaluate one ArrowEvalPython/expression chain PER PARENT
+        # partition (a fresh Python runner each, serially — measured
+        # 9.3 s vs 1.0 s on a 500-row batch over 32 cached partitions),
+        # while coalescing the cached kept rows first runs the chain
+        # once per output file. Per-task encode work stays bounded by
+        # INDEX_APPEND_ROWS_PER_FILE entry rows.
+        src = kept.coalesce(index_append_partitions(n_kept * bands))
         if index_codec == "pq":
-            entries = index_entries_pq(kept, id_col, vec_col, codebooks,
+            entries = index_entries_pq(src, id_col, vec_col, codebooks,
                                        bands, band_width, scale)
         elif index_codec == "pq_residual":
             entries = index_entries_pq_residual(
-                kept, id_col, vec_col, artifact, bands, band_width)
+                src, id_col, vec_col, artifact, bands, band_width)
         else:
-            entries = index_entries(kept, id_col, vec_col, bands,
+            entries = index_entries(src, id_col, vec_col, bands,
                                     band_width)
-        index_table.write_append(
-            entries.coalesce(index_append_partitions(n_kept * bands)),
-            branch=branch,
-        )
+        index_table.write_append(entries, branch=branch)
     staged.unpersist()
     batch_losers.unpersist()
     if head.files:

@@ -1148,6 +1148,26 @@ def run_job(
             # warn mode publishes every row — index them all directly
             # (a coerced-NULL id would silently fall out of a semi-join)
             published = dedup_kept
+        from dativo_ingest_spark.operators.util import (
+            index_append_partitions)
+
+        # coalesce the cached INPUT below the entry-encode chain (not the
+        # computed entries above it): a top-side coalesce makes the single
+        # write task re-instantiate the encode chain — including its
+        # Arrow Python runner for the PQ codecs — once per parent
+        # partition, serially (see similarity.dedup_embedding_against_index
+        # for the measured 9x). Entry rows = published rows (x bands /
+        # bands-per-sig for the banded modes); the observation's
+        # post-dedup row count is a free upper bound on published rows
+        # (the target only sizes the file count, so an extra count() job
+        # over the semi-join would be pure waste).
+        _entry_mult = (int(_dd.get("bands", 4))
+                       if _dd["mode"] == "embedding"
+                       else (int(_dd.get("num_hashes", 8))
+                             // int(_dd.get("rows_per_band", 2))
+                             if _dd["mode"] == "minhash" else 1))
+        published = published.coalesce(
+            index_append_partitions(n_rows * _entry_mult))
         if _dd["mode"] == "embedding":
             from dativo_ingest_spark.operators import (
                 similarity as similarity_mod)
@@ -1183,22 +1203,7 @@ def run_job(
 
             entries = dedup_mod.index_entries(
                 published, _dd["content_field"])
-        from dativo_ingest_spark.operators.util import (
-            index_append_partitions)
-
-        # coalesced append (see dedup.dedup_against_index): entry rows =
-        # published rows (x bands for the banded modes) — one file per
-        # million entries instead of one near-empty file per partition.
-        # The observation's post-dedup row count is a free upper bound on
-        # published rows (the target only sizes the file count, so an
-        # extra count() job over the semi-join would be pure waste)
-        _entry_mult = (int(_dd.get("bands", 4))
-                       if _dd["mode"] == "embedding"
-                       else (int(_dd.get("num_hashes", 8))
-                             // int(_dd.get("rows_per_band", 2))
-                             if _dd["mode"] == "minhash" else 1))
-        dedup_index_table.write_append(entries.coalesce(
-            index_append_partitions(n_rows * _entry_mult)))
+        dedup_index_table.write_append(entries)
 
     # informational warn-mode sample: capped scan, only when errors exist
     sample = result.error_summary() if (invalid_count and result) else []

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dativo_ingest_spark.operators.util import local_df
 
 #: micros per day — the funnel deadline / cohort bucket arithmetic is
 #: integer micros end to end so engines cannot disagree on rounding
@@ -752,7 +753,7 @@ def sprt_binary(
         StructField("p_prev", LongType(), False),
         StructField("n_prev", LongType(), False)])
     if candidates:
-        cand = spark.createDataFrame(candidates, cand_schema)
+        cand = local_df(spark, candidates, cand_schema)
         w_ord = Window.partitionBy("variant", "bkt") \
             .orderBy("tnum", "succ")
         w_run = w_ord.rowsBetween(Window.unboundedPreceding,
@@ -775,7 +776,7 @@ def sprt_binary(
                           F.min_by("_dec", "gn").alias("decision")))
     else:
         from pyspark.sql.types import StringType
-        first_dec = spark.createDataFrame([], StructType([
+        first_dec = local_df(spark, [], StructType([
             StructField("variant", v_field.dataType, True),
             StructField("decided_at_n", LongType(), True),
             StructField("decision", StringType(), True)]))

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.functions import vectors
+from dativo_ingest_spark.operators.util import local_df
 
 
 def _sqdist_to_literal(codes_col, center: list[int]):
@@ -127,7 +128,7 @@ def kcenter_select_df(
     """DataFrame wrapper over :func:`kcenter_select`:
     ``[sel_round bigint, id, dist2 bigint]`` (id column keeps its name)."""
     sel = kcenter_select(df, vec_col, id_col, k)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(r), i, int(d)) for r, i, d in sel],
         f"sel_round bigint, {id_col} bigint, dist2 bigint")
 

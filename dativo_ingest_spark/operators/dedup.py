@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import hashing, text
 from dativo_ingest_spark.operators.util import widen as _widen
+from dativo_ingest_spark.operators.util import local_df
 
 
 def with_fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
@@ -486,6 +487,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .cache()
     )
+    prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -499,18 +501,20 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
                 ).alias("component"),
+                # changed-flag computed IN the propagation pass: a label
+                # changes iff a neighbor's label beats the current one, so
+                # convergence needs no second join of new vs old labels —
+                # the old per-round check was its own shuffle-join job
+                (F.col("n_min") < F.col("component")).alias("_chg"),
             )
             .localCheckpoint()  # truncates lineage; also caches (eager)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # unpersist the PREVIOUS round's storage (round 1: the seed
+        # cache; later: the prior checkpoint backing labels' projection)
+        prev.unpersist()
+        prev = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels
@@ -896,7 +900,14 @@ def dedup_against_index(
     # was committed even if the batch source is a live directory
     ranked = ranked.persist()
     batch_survivors = ranked.filter(F.col("_rk") == 1).drop("_rk")
-    n_total = ranked.count()
+    # one materializing aggregate gives both the batch size and the
+    # within-batch survivor count — the old separate
+    # batch_survivors.count() was a whole extra (cached-scan) job
+    _tc = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("_rk") == 1, 1)).alias("surv")).collect()[0]
+    n_total = int(_tc["n"])
+    n_survivors = int(_tc["surv"])
     if branch != "main" and index_table.current_version(branch) is None:
         index_table.create_branch(branch)
     head = index_table.snapshot(index_table.current_version(branch))
@@ -921,7 +932,7 @@ def dedup_against_index(
     # (deterministic md5 — identical to what the anti-join filtered on).
     kept = kept.drop("fingerprint").persist()
     n_kept = kept.count()
-    n_batch_dups = n_total - batch_survivors.count()
+    n_batch_dups = n_total - n_survivors
     n_index_dups = n_total - n_batch_dups - n_kept
     if commit and n_kept:
         from dativo_ingest_spark.operators.util import (
@@ -1094,7 +1105,7 @@ def dedup_minhash_against_index(
             .persist()
         )
     else:
-        index_hits = spark.createDataFrame([], "id string").select(
+        index_hits = local_df(spark, [], "id string").select(
             F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
 
     after_batch = base.join(

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.functions import text
+from dativo_ingest_spark.operators.util import local_df
 
 DEFAULT_BUCKETS = 10_000
 MICRO_UNITS = 1_000_000
@@ -324,7 +325,7 @@ def doremi_domain_weights(
             (int(r.n_tokens) * MICRO_UNITS) // max(1, total_tokens),
             weights[r.domain])
            for r in sorted(rows, key=lambda r: r.domain)]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "domain string, n_docs bigint, n_tokens bigint, "
              "nll_micro bigint, baseline_micro bigint, "
              "weight_micro bigint")

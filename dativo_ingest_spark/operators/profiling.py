@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from dativo_ingest_spark.operators.util import local_df
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None,
@@ -350,7 +351,7 @@ def dataset_card(df: DataFrame, id_col: str, text_col: str,
     if lang_col:
         metrics.append(("n_langs", row["n_langs"]))
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(k, int(v)) for k, v in metrics], "metric string, value bigint")
 
 

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.config.contracts import ConfigError
+from dativo_ingest_spark.operators.util import local_df
 
 KINDS = ("not_null", "unique", "accepted_values", "range", "regex",
          "row_count_min", "expression", "freshness")
@@ -193,7 +194,7 @@ def report_df(spark, results: list[ExpectationResult]) -> DataFrame:
     """Report as a small DataFrame (write it next to the output)."""
     rows = [(r.name, r.kind, r.column, r.failed, r.total, r.passed)
             for r in results]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "name string, kind string, column string, failed long, "
               "total long, passed boolean")
 

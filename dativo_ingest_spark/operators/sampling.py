@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from dativo_ingest_spark.operators.util import local_df
 
 _U32_SPAN = float(1 << 32)
 
@@ -640,10 +641,10 @@ def host_cap_sample_bucketed(
                 break               # later buckets are all rejected
 
     h_field = df.schema[host_col]
-    full_df = spark.createDataFrame(full, StructType([
+    full_df = local_df(spark, full, StructType([
         StructField("_hc_host", h_field.dataType, True),
         StructField("_hc_b2", LongType(), False)]))
-    cut_df = spark.createDataFrame(cuts, StructType([
+    cut_df = local_df(spark, cuts, StructType([
         StructField("_hc_host", h_field.dataType, True),
         StructField("_hc_b2", LongType(), False),
         StructField("_need", LongType(), False)]))
@@ -776,8 +777,8 @@ def systematic_sample(
     for b in sorted(totals):
         offsets.append((int(b), off))
         off += int(totals[b])
-    odf = df.sparkSession.createDataFrame(
-        offsets, "_ss_b long, _ss_off long")
+    odf = local_df(df.sparkSession,
+                   offsets, "_ss_b long, _ss_off long")
     kept = (
         local.join(F.broadcast(odf), "_ss_b")
         .filter(

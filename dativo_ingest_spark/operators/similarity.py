@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import vectors
+from dativo_ingest_spark.operators.util import local_df
 
 log = logging.getLogger(__name__)
 
@@ -696,7 +697,7 @@ def dedup_embeddings_against_index(
             .persist()   # one execution of the index join, reused below
         )
     else:
-        index_hits = spark.createDataFrame([], "id string").select(
+        index_hits = local_df(spark, [], "id string").select(
             F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
 
     after_batch = staged.join(
@@ -715,7 +716,10 @@ def dedup_embeddings_against_index(
     n_kept = kept.count()
     # row-accurate counters (an id-keyed count would miscount if a loser
     # id covered several rows): both counts are anti-joins of the cached
-    # staged frame against the cached tiny id lists
+    # staged frame against the cached tiny id lists. (r14 note: folding
+    # these into one agg job was MEASURED SLOWER — kept's cache then
+    # materializes serially inside the commit's single-task coalesce
+    # write instead of in this parallel count.)
     n_after_batch = after_batch.count()
     n_batch_dups = n_total - n_after_batch
     n_index_dups = n_after_batch - n_kept

@@ -27,6 +27,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from dativo_ingest_spark.operators.util import local_df
 
 
 def asof_join(
@@ -469,7 +470,7 @@ def sessionize_incremental(
     bs = sessionize(batch, user_col, ts_col, gap_seconds, tie_col=tie_col)
     cols = ["user", "session_start", "session_end", "n_events"]
     if state is None:
-        state = bs.sparkSession.createDataFrame(
+        state = local_df(bs.sparkSession, 
             [], bs.select(*cols).schema)
     state = state.select(*cols)
     from pyspark.sql.window import Window as _W

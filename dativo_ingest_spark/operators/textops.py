@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dativo_ingest_spark.functions import hashing, text
+from dativo_ingest_spark.operators.util import local_df
 
 #: marker-word sets for the n-gram/stopword language-ID heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -328,7 +329,7 @@ def bm25_topk(
     if not queries or any(not terms for terms in queries.values()):
         raise ValueError("queries must map query_id -> non-empty terms")
     spark = df.sparkSession
-    qterms = spark.createDataFrame(
+    qterms = local_df(spark, 
         [(qid, t) for qid, terms in queries.items()
          for t in dict.fromkeys(terms)],
         "query_id string, term string")
@@ -820,7 +821,7 @@ def unigram_drift(
         )
     finally:
         filled.unpersist()
-    return df_a.sparkSession.createDataFrame(
+    return local_df(df_a.sparkSession, 
         rows, "word string, c_a bigint, c_b bigint, p_a double, "
               "p_b double, kl_contrib double, share double")
 

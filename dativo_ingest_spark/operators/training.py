@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dativo_ingest_spark.operators.textops import quality_features
+from dativo_ingest_spark.operators.util import local_df
 
 MICRO = 1_000_000
 X_SCALE = 10_000          # features are 1e4 fixed point (infer-seam scale)
@@ -295,7 +296,7 @@ def train_quality_logreg(
     finally:
         base.unpersist()
     out = [(FEATURES[j], w[j], grads[j]) for j in range(len(FEATURES))]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "feature string, weight_micro bigint, grad_sum_last bigint")
 
 
@@ -464,7 +465,7 @@ def train_quality_grades(
         base.unpersist()
     out = [(k, FEATURES[j], w[k][j])
            for k in range(n_classes) for j in range(len(FEATURES))]
-    return df.sparkSession.createDataFrame(
+    return local_df(df.sparkSession, 
         out, "class bigint, feature string, weight_micro bigint")
 
 

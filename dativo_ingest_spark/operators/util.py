@@ -15,6 +15,31 @@ def widen(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+#: rows per partition for driver-local result frames — large enough that
+#: every realistic collected result fits in one partition, small enough
+#: that a pathological caller still parallelizes.
+_LOCAL_DF_ROWS_PER_SLICE = 10_000
+
+
+def local_df(spark, rows, schema) -> DataFrame:
+    """``createDataFrame`` for driver-local (collected/fixture) rows with a
+    partition count sized to the DATA, not the core count.
+
+    A bare ``spark.createDataFrame(rows, schema)`` pickles the rows into
+    ``defaultParallelism`` slices; every later evaluation then sets up one
+    Python runner per slice — ~0.4 s per action for an 8-row frame on
+    local[32], and a ``coalesce(1)`` above such a frame pays the 32 runner
+    setups SERIALLY inside one task (measured 5 s). One slice per 10k rows
+    keeps tiny result frames at a single Python runner per action while
+    still splitting genuinely large fixture loads.
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism,
+                          -(-len(rows) // _LOCAL_DF_ROWS_PER_SLICE)))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema)
+
+
 #: target rows per parquet file for incremental index appends — per-batch
 #: entry sets are tiny relative to the shuffle partition count, and an
 #: un-coalesced append fragments the index into one near-empty file per

@@ -34,6 +34,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from dativo_ingest_spark.operators.util import local_df
 
 PLUGIN_SDK_VERSION = "1.0.0"
 
@@ -142,7 +143,7 @@ def reader_to_dataframe(
     rows: list[dict[str, Any]] = []
     for batch in reader.extract(state):
         rows.extend(batch)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def partitioned_read(
@@ -166,8 +167,8 @@ def partitioned_read(
     base_config = dict(source_config or {})
     cols = [f.name for f in schema.fields]
 
-    task_df = spark.createDataFrame(
-        [(json.dumps(t),) for t in tasks], "task_json string"
+    task_df = local_df(
+        spark, [(json.dumps(t),) for t in tasks], "task_json string"
     ).repartition(max(len(tasks), 1))
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

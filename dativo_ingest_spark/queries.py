@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 from dativo_ingest_spark.config.contracts import AssetDefinition, Field
 from dativo_ingest_spark.functions import coercion
 from dativo_ingest_spark.operators import incremental, validation
+from dativo_ingest_spark.operators.util import local_df as _local_df
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -4214,7 +4215,7 @@ def dedup_ingest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
@@ -4315,7 +4316,7 @@ def dedup_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
@@ -4423,7 +4424,7 @@ def dedup_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
@@ -5042,7 +5043,7 @@ def streaming_dedup_ingest_docs(spark: SparkSession, sf_dir: str
                 out.read(spark).select("doc_id").collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+    return _local_df(spark, sorted(rows), "doc_id bigint")
 
 
 #: frozen per-domain admission rates for the streaming-mixture gate
@@ -5113,7 +5114,7 @@ def streaming_mixture_admission_docs(spark: SparkSession, sf_dir: str
                 spark.read.parquet(out).select("id").collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+    return _local_df(spark, sorted(rows), "doc_id bigint")
 
 
 def _dsir_oracle(n_buckets: int = 10_000) -> str:
@@ -5589,7 +5590,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(r.snap, r.o_orderpriority, r.n, r.sum_cents) for r in rows],
         "snap string, o_orderpriority string, n bigint, sum_cents bigint")
 
@@ -5881,7 +5882,7 @@ def streaming_watermark_rollup_events(spark: SparkSession,
                 for r in table.read(spark).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "window_start timestamp, window_end timestamp, "
         "n_events bigint, sum_cents bigint")
@@ -5963,7 +5964,7 @@ def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     learned = train_bpe_merges(docs, "text", n_merges=5)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [(i, l, r, c) for i, (l, r, c) in enumerate(learned)],
         "merge_rank int, l string, r string, cnt bigint")
 
@@ -6025,7 +6026,7 @@ def snapshot_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in ch.collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "o_orderkey bigint, o_custkey bigint, cents bigint, "
         "change_type string")
@@ -6209,7 +6210,7 @@ def streaming_sessionize_events(spark: SparkSession,
                 for r in spark.read.parquet(out).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "user_id bigint, session_start timestamp, "
         "session_end timestamp, n_events bigint")
@@ -6325,7 +6326,7 @@ def cdc_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in out.collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
@@ -6437,7 +6438,7 @@ def wap_publish_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("after_good", snap.n, snap.s))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "phase string, n_rows bigint, sum_cents bigint")
 
 
@@ -6487,7 +6488,7 @@ def delete_where_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cents").alias("s")).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
@@ -6547,7 +6548,7 @@ def compact_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cents").alias("s")).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
@@ -7020,7 +7021,7 @@ def gdrive_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted((r.id, r["a"], r["b"]) for r in res.df.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "id string, a string, b string")
+    return _local_df(spark, rows, "id string, a string, b string")
 
 
 @register(
@@ -7066,7 +7067,7 @@ def jsonl_contract_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for r in df.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "id string, a string, b string, nested string")
 
 
@@ -7182,7 +7183,7 @@ for i in range(n):
         assert states and states[-1] == {"charges": {"cursor": 1199}}
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "id bigint, amount bigint, cursor bigint")
 
 
@@ -7236,7 +7237,7 @@ def jdbc_cursor_read_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for r in df.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "n_nationkey bigint, n_regionkey bigint, n_name string")
 
 
@@ -7296,7 +7297,7 @@ def plugin_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted((r.id, r.val) for r in df.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "id bigint, val bigint")
+    return _local_df(spark, rows, "id bigint, val bigint")
 
 
 @register(
@@ -7374,7 +7375,7 @@ def stripe_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert states == [{"charges": {"created": 1700000119}}], states
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "id bigint, amount bigint, created bigint")
 
 
@@ -7444,7 +7445,7 @@ def secrets_resolve_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     rows = sorted((k, str(v)) for k, v in cfg.items())
-    return spark.createDataFrame(rows, "key string, value string")
+    return _local_df(spark, rows, "key string, value string")
 
 
 @register(
@@ -7518,7 +7519,7 @@ def catalog_push_openmetadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [(i + 1, m, u.split("://", 1)[1].split("/", 1)[1])
             for i, (m, u, _) in enumerate(calls)]
-    return spark.createDataFrame(rows, "seq int, method string, path string")
+    return _local_df(spark, rows, "seq int, method string, path string")
 
 
 @register(
@@ -7577,7 +7578,7 @@ def cron_next_fires(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("cron XOR interval must be enforced")
         except ConfigError:
             pass
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "schedule string, n int, fire string")
 
 
@@ -7636,7 +7637,7 @@ def registry_mode_gate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError("gate must raise")
         except ConfigError:
             pass
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "connector string, mode string, allowed boolean, "
               "category string")
 
@@ -7687,7 +7688,7 @@ def mtime_skip_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(_os.path.basename(p), p in changed) for p in all_files]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "file string, selected boolean")
+    return _local_df(spark, rows, "file string, selected boolean")
 
 
 @register(
@@ -7752,7 +7753,7 @@ def retry_backoff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert result.exit_code == 0
     rows += [("attempts_made", str(attempts)),
              ("sleeps_observed", ",".join(str(s) for s in sleeps))]
-    return spark.createDataFrame(sorted(rows), "item string, value string")
+    return _local_df(spark, sorted(rows), "item string, value string")
 
 
 @register(
@@ -7787,7 +7788,7 @@ def mysql_blob_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (4, bytearray("café".encode("utf-8"))),
             (5, bytearray(b"\x00\x01b")),
             (6, None)]
-    df = spark.createDataFrame(rows, "id int, blob binary")
+    df = _local_df(spark, rows, "id int, blob binary")
     # NUL bytes decode cleanly in the JVM but are not portable through
     # SQL literals; the reference treats control-byte-bearing blobs as
     # binary. Classify NUL-bearing blobs to the base64 leg explicitly.
@@ -7860,7 +7861,7 @@ def plugin_sandbox_jail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted((r.id, r.val) for r in df.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "id bigint, val bigint")
+    return _local_df(spark, rows, "id bigint, val bigint")
 
 
 @register(
@@ -7935,7 +7936,7 @@ def writer_plugin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = sorted((int(r.id), int(r.val)) for r in back.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "id bigint, val bigint")
+    return _local_df(spark, rows, "id bigint, val bigint")
 
 
 @register(
@@ -8007,7 +8008,7 @@ def runner_csv_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for r in back.collect())
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "id int, name string, active boolean")
 
 
@@ -8067,7 +8068,7 @@ def singer_engine_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert states[-1] == {"users": 119}, states
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "id bigint, score bigint")
+    return _local_df(spark, rows, "id bigint, score bigint")
 
 
 @register(
@@ -8139,7 +8140,7 @@ def s3_upload_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
                          md["file-size-bytes"], extra["Tagging"]))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "bucket string, key string, partition string, "
         "size_bytes string, tagging string")
@@ -8251,7 +8252,7 @@ incremental:
         else:
             _os.environ[env_key] = had
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(sorted(rows), "item string, value string")
+    return _local_df(spark, sorted(rows), "item string, value string")
 
 
 @register(
@@ -8327,7 +8328,7 @@ for i in range(n):
         ]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(sorted(rows), "item string, value string")
+    return _local_df(spark, sorted(rows), "item string, value string")
 
 
 @register(
@@ -8377,7 +8378,7 @@ def secrets_env_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("global_excluded_when_disallowed",
          str("region" not in strict.load("acme"))),
     ]
-    return spark.createDataFrame(sorted(rows), "key string, value string")
+    return _local_df(spark, sorted(rows), "key string, value string")
 
 
 @register(
@@ -8432,7 +8433,7 @@ def jdbc_probe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                "users"))),
     ]
     assert "'pub''lic'" in rows[1][1], rows[1]
-    return spark.createDataFrame(sorted(rows), "kind string, sql string")
+    return _local_df(spark, sorted(rows), "kind string, sql string")
 
 
 #: frozen trained-head weights for the streaming quality gate — ONE
@@ -8544,7 +8545,7 @@ def streaming_quality_admission_docs(spark: SparkSession, sf_dir: str
                 spark.read.parquet(out).select("id").collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(sorted(rows), "doc_id bigint")
+    return _local_df(spark, sorted(rows), "doc_id bigint")
 
 
 @register(
@@ -8626,7 +8627,7 @@ def streaming_interval_join_events(spark: SparkSession,
                 for r in spark.read.parquet(out).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "user_id bigint, click_id bigint, purchase_id bigint")
 
@@ -8939,7 +8940,7 @@ def stats_prune_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("cents").alias("s")).collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         sorted(rows),
         "o_orderpriority string, n_orders bigint, sum_cents bigint")
 
@@ -9299,7 +9300,7 @@ def forget_readmit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [("before_forget", n1), ("after_forget", n2)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, "phase string, n_kept bigint")
+    return _local_df(spark, rows, "phase string, n_kept bigint")
 
 
 @register(
@@ -9347,7 +9348,7 @@ def manifest_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  agg["columns"]["cents"]["max"])]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "n_rows bigint, min_cents bigint, max_cents bigint")
 
 
@@ -9711,7 +9712,7 @@ def rollback_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ("bad_still_travels", bad.n, bad.s)]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "phase string, n_rows bigint, sum_cents bigint")
 
 
@@ -9982,7 +9983,7 @@ def time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((f"v{i}", agg.n, agg.s))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "version string, n_rows bigint, sum_cents bigint")
 
 
@@ -11173,7 +11174,7 @@ def sketch_rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .collect()]
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "scope string, grp string, n_exact bigint, hll_ok boolean")
 
 
@@ -11238,7 +11239,7 @@ def sorted_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in manifest.collect()]
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "shard bigint, n_rows bigint, min_key double, "
               "max_key double")
 
@@ -11654,7 +11655,7 @@ def export_shards_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for r in manifest.collect()]
     finally:
         shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "shard bigint, n_rows bigint, n_tokens bigint, "
               "hash_sum bigint, min_id bigint")
 
@@ -12220,7 +12221,7 @@ def dedup_ingest_embedding_pq(spark: SparkSession, sf_dir: str
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
@@ -12357,7 +12358,7 @@ def dedup_ingest_embedding_pqr(spark: SparkSession, sf_dir: str
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         [("batch1", n1, bd1, id1), ("batch2", n2, bd2, id2)],
         "batch string, n_kept bigint, n_batch_dups bigint, "
         "n_index_dups bigint")
@@ -12406,7 +12407,7 @@ def ivfpq_persistent_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  float(r["adc"])) for r in out.collect()]
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "query_id bigint, rank bigint, id bigint, adc double")
 
 
@@ -12805,7 +12806,7 @@ def schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ",".join(added)))
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_df(spark, 
         rows, "version string, n_rows bigint, sum_cents bigint, "
               "n_cols bigint, n_priority bigint, added_cols string")
 

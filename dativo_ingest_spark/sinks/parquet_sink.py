@@ -39,6 +39,7 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from dativo_ingest_spark.operators.util import local_df
 
 TARGET_FILE_SIZE_MB_DEFAULT = 150
 _SAMPLE_ROWS = 1000
@@ -200,5 +201,5 @@ def partition_audit(expected: DataFrame, out_dir: str,
             if r[0] is not None}
     rows = ([(p, "missing") for p in sorted(want - on_disk)]
             + [(p, "extra") for p in sorted(on_disk - want)])
-    return spark.createDataFrame(rows or [],
-                                 "partition string, status string")
+    return local_df(spark, rows or [],
+                    "partition string, status string")

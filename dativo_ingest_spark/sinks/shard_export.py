@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dativo_ingest_spark.operators.util import local_df
 
 
 def _shard_hash(id_col: str, seed: str) -> F.Column:
@@ -186,13 +187,13 @@ def export_sorted_shards(
             raise AssertionError(
                 f"global order violated: shard {lo.shard} max "
                 f"{lo.max_key} > shard {hi.shard} min {hi.min_key}")
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [(r.shard, r.n_rows, r.min_key, r.max_key) for r in rows],
         "shard bigint, n_rows bigint, min_key double, max_key double")
     # persist the manifest next to the shards: range-pruned readers
     # (read_sorted_range) consult it instead of opening every footer
-    out.coalesce(1).write.mode("overwrite").parquet(
-        f"{out_dir}/manifest")
+    out.write.mode("overwrite").parquet(f"{out_dir}/manifest")
     return out
 
 
@@ -337,8 +338,7 @@ def read_sorted_range(spark, out_dir: str, lo: float,
               if r.min_key is not None and r.max_key is not None
               and not (r.max_key < lo or r.min_key > hi)]
     if not picked:
-        return spark.createDataFrame(
-            [], "id bigint, k double, shard bigint")
+        return local_df(spark, [], "id bigint, k double, shard bigint")
     df = (spark.read.option("basePath", out_dir)
           .parquet(*[f"{out_dir}/shard={s}" for s in sorted(picked)]))
     return (df.filter((F.col("k") >= lo) & (F.col("k") <= hi))

@@ -54,6 +54,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from dativo_ingest_spark.operators.util import local_df
 
 
 class CommitConflict(Exception):
@@ -967,7 +968,7 @@ class FsTable:
                 if snap.schema_json
                 else StructType([])
             )
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
         # Schema evolution: the manifest's schema (recorded at commit
         # time) is the read schema, so files written before an added
         # column project it as NULL and files carrying since-dropped
@@ -1000,8 +1001,8 @@ class FsTable:
                 sum(int(f.get("size_bytes", 0)) for f in s.files),
                 json.dumps(s.properties, sort_keys=True),
             ))
-        return spark.createDataFrame(
-            rows,
+        return local_df(
+            spark, rows,
             "version long, parent long, operation string, n_files long, "
             "size_bytes long, properties_json string",
         )
@@ -1018,8 +1019,9 @@ class FsTable:
                  json.dumps(f.get("stats"), sort_keys=True)
                  if f.get("stats") is not None else None)
                 for f in snap.files]
-        return spark.createDataFrame(
-            rows, "path string, size_bytes long, stats_json string")
+        return local_df(
+            spark, rows,
+            "path string, size_bytes long, stats_json string")
 
     def publish_branch(
         self,
@@ -1123,7 +1125,7 @@ class FsTable:
                     *[os.path.join(self.root, p) for p in paths])
             schema = (StructType.fromJson(json.loads(schema_json))
                       if schema_json else StructType([]))
-            return spark.createDataFrame([], schema)
+            return local_df(spark, [], schema)
 
         new_rows = _scan(added)
         old_rows = _scan(removed)

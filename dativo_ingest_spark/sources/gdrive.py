@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from dativo_ingest_spark.config.contracts import AssetDefinition
 from dativo_ingest_spark.sources import csv_source
+from dativo_ingest_spark.operators.util import local_df
 
 PAGE_SIZE = 100  # reference gdrive_csv_extractor.py:192
 
@@ -195,7 +196,7 @@ def extract_sheet(
                          f"{full_range} returned no rows")
     str_rows = [[None if v is None else str(v) for v in r] for r in data]
     schema = ", ".join(f"`{h}` string" for h in headers)
-    return spark.createDataFrame(str_rows, schema)
+    return local_df(spark, str_rows, schema)
 
 
 @dataclass

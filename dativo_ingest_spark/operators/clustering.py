@@ -59,13 +59,22 @@ INLINE_LITERAL_BUDGET = 1024
 
 def _sqdist_to_literal(qvec: str, centroid: Sequence[float]) -> F.Column:
     """Sequential-fold squared L2 distance from a long-vector column to an
-    inlined double centroid — deterministic index-order fold."""
-    clit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(qvec), clit, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    inlined double centroid — deterministic index-order fold.
+
+    Built as ONE ``F.expr`` SQL string: the Column-API construction cost
+    ~dim py4j roundtrips per centroid (~0.5 s per inline argmin at
+    dim=64, measured r14) of pure driver time. ``{x!r}D`` double
+    literals are bit-identical to ``F.lit(float(x))`` (pinned in
+    tests/test_local_df.py's expr-parity suite)."""
+    return F.expr(_sqdist_to_literal_sql(qvec, centroid))
+
+
+def _sqdist_to_literal_sql(qvec: str, centroid: Sequence[float]) -> str:
+    """The SQL fragment behind :func:`_sqdist_to_literal` — shared so
+    argmin builders can compose it into one parsed expression."""
+    arr = ", ".join(f"{float(c)!r}D" for c in centroid)
+    return (f"aggregate(zip_with({qvec}, array({arr}), "
+            f"(x, c) -> (x - c) * (x - c)), 0.0D, (acc, x) -> acc + x)")
 
 
 def _spark_round9(x: float) -> float:

@@ -46,7 +46,10 @@ from dativo_ingest_spark.operators.util import local_df
 
 
 def _sqdist_to_literal(codes_col, center: list[int]):
-    lit = F.array(*[F.lit(int(v)).cast("long") for v in center])
+    # one parsed literal (the per-element F.lit loop cost dim py4j
+    # roundtrips of driver build time per selection round)
+    lit = F.expr("array(" + ", ".join(
+        f"CAST({int(v)} AS BIGINT)" for v in center) + ")")
     return vectors.int_sqdist(codes_col, lit)
 
 

@@ -44,6 +44,7 @@ from dativo_ingest_spark.operators.clustering import (
     INLINE_LITERAL_BUDGET,
     _spark_round9,
     _sqdist_to_literal,
+    _sqdist_to_literal_sql,
 )
 
 
@@ -91,15 +92,16 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str,
 
 def _assign_inline(sub_col: str, centroids: Sequence[Sequence[float]]):
     """Struct-argmin over inlined centroid literals: 9dp-rounded
-    sequential-fold squared L2, ties to the lower code."""
-    entries = [
-        F.struct(
-            F.round(_sqdist_to_literal(sub_col, cvec), 9).alias("a"),
-            F.lit(int(code)).cast("long").alias("i"),
-        )
+    sequential-fold squared L2, ties to the lower code.
+
+    One parsed SQL expression (see _sqdist_to_literal_sql): the Column
+    construction was ~k*dim py4j roundtrips of driver time per call."""
+    entries = ", ".join(
+        f"named_struct('a', round({_sqdist_to_literal_sql(sub_col, cvec)}"
+        f", 9), 'i', CAST({int(code)} AS BIGINT))"
         for code, cvec in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*entries))["i"]
+    )
+    return F.expr(f"array_min(array({entries})).i")
 
 
 def _pq_assign_udf(codebooks: Sequence[Sequence[Sequence[float]]]):
@@ -163,19 +165,18 @@ def pq_train(
     """
     if k <= 0 or n_iter < 0:
         raise ValueError("k must be positive and n_iter non-negative")
-    first = df.select(vectors.as_double_array(
-        F.col(vec_col)).alias("v")).first()
-    if first is None:
-        raise ValueError("empty input — no codebook seeds")
-    dim = len(first["v"])
-    bounds = _subspace_bounds(dim, m)
-    sub = dim // m
-
     quantized = _quantized(df, id_col, vec_col, scale).cache()
     try:
+        # dim comes from the seeds themselves — the old separate
+        # .first() dim probe was a whole extra job per train call
         seeds = quantized.orderBy("id").limit(k).collect()
+        if not seeds:
+            raise ValueError("empty input — no codebook seeds")
         if len(seeds) < k:
             raise ValueError(f"need at least k={k} rows, got {len(seeds)}")
+        dim = len(seeds[0]["qvec"])
+        bounds = _subspace_bounds(dim, m)
+        sub = dim // m
         codebooks: list[list[list[float]]] = [
             [[float(x) for x in r["qvec"][start - 1:start - 1 + length]]
              for r in seeds]
@@ -263,11 +264,13 @@ def pq_reconstruct(codes, codebooks: Sequence[Sequence[Sequence[float]]],
     ~m·1B against dim·8B raw vectors, and reconstruction happens only on
     the index slice a batch's cells actually touch."""
     m = len(codebooks)
-    cb_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(float(x) / scale) for x in cvec])
-                  for cvec in codebooks[j]])
-        for j in range(m)
-    ])
+    # one parsed literal (the nested F.lit loop was m*k*sub py4j
+    # roundtrips of driver build time per call; values bit-identical)
+    cb_lit = F.expr("array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x) / scale!r}D" for x in cvec)
+            + ")" for cvec in codebooks[j]) + ")"
+        for j in range(m)) + ")")
     return F.flatten(F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.element_at(
@@ -292,8 +295,9 @@ def pq_reconstruct_residual(
     extra element_at + zip_with. Spends the same m·k code budget as the
     raw-vector PQ codec but only on WITHIN-CELL geometry — measurably
     lower reconstruction error at equal storage (pinned by tests)."""
-    cells_lit = F.array(*[
-        F.array(*[F.lit(float(x)) for x in cv]) for cv in cells])
+    cells_lit = F.expr("array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in cv) + ")"
+        for cv in cells) + ")")
     resid = pq_reconstruct(codes, codebooks, scale=1)
     return F.zip_with(
         F.element_at(cells_lit, (cell + 1).cast("int")),
@@ -342,10 +346,7 @@ def pq_adc_topk(
             lut_q.append(row)
         luts.append(lut_q)
 
-    lut_lit = F.array(*[
-        F.array(*[F.array(*[F.lit(float(x)) for x in row])
-                  for row in lut_q])
-        for lut_q in luts])
+    lut_lit = _dlit_array(luts)
     qid_lit = F.array(*[F.lit(q) for q in qids])
 
     scored = (codes_df
@@ -445,8 +446,7 @@ def ivfpq_topk(
             dists.sort()
             probes.append(sorted(c for _, c in dists[:n_probe]))
 
-        probe_lit = F.array(*[
-            F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
+        probe_lit = _ilit_array(probes)
         qid_lit = F.array(*[F.lit(q) for q in qids])
         routed = (coded
                   .select("id", "codes", "cell",
@@ -469,10 +469,7 @@ def ivfpq_topk(
                     row.append(_spark_round9(acc))
                 lut_q.append(row)
             luts.append(lut_q)
-        lut_lit = F.array(*[
-            F.array(*[F.array(*[F.lit(float(x)) for x in row])
-                      for row in lut_q])
-            for lut_q in luts])
+        lut_lit = _dlit_array(luts)
 
         scored = routed.select(
             "query_id", "id",
@@ -560,6 +557,38 @@ def _snap_mean(s: int, n: int) -> int:
     if s >= 0:
         return (2 * s + n) // (2 * n)
     return -((-2 * s + n) // (2 * n))
+
+
+
+def _dlit_array(v) -> F.Column:
+    """Arbitrarily nested list of floats as ONE parsed array literal
+    (per-element F.lit loops cost one py4j roundtrip per element of
+    driver time; ``{x!r}D`` doubles are bit-identical to F.lit)."""
+    return F.expr(_dlit_sql(v))
+
+
+def _dlit_sql(v) -> str:
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_dlit_sql(x) for x in v) + ")"
+    return f"{float(v)!r}D"
+
+
+def _ilit_array(v) -> F.Column:
+    """Nested list of ints as ONE parsed array literal."""
+    def sql(x):
+        if isinstance(x, (list, tuple)):
+            return "array(" + ", ".join(sql(e) for e in x) + ")"
+        return str(int(x))
+    return F.expr(sql(v))
+
+
+def _cells_literal(cents: Sequence[Sequence[float]]):
+    """``array<array<int>>`` literal of the coarse centroids, parsed as
+    ONE SQL expression (the per-element ``F.lit`` loop was n_cells*dim
+    py4j roundtrips of driver time per call)."""
+    return F.expr("array(" + ", ".join(
+        "array(" + ", ".join(str(int(x)) for x in cv) + ")"
+        for cv in cents) + ")")
 
 
 def _cell_assign_col(cents: Sequence[Sequence[float]]):
@@ -651,8 +680,7 @@ def _with_residuals(quantized: DataFrame,
     nearest coarse cell (inline argmin under the literal budget, Arrow
     kernel above) and subtract that cell's centroid."""
     cell_col = _cell_assign_col(cents)
-    cells_lit = F.array(*[
-        F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
+    cells_lit = _cells_literal(cents)
     return quantized.select(
         "id", cell_col.alias("cell"),
         F.zip_with("qvec",
@@ -709,15 +737,8 @@ def _residual_adc_topk(
             lut_q.append(lut_c)
         luts.append(lut_q)
 
-    probe_lit = F.array(*[
-        F.array(*[F.lit(int(c)) for c in cells]) for cells in probes])
-    lut_lit = F.array(*[
-        F.array(*[
-            F.array(*[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in lut_c])
-            for lut_c in lut_q])
-        for lut_q in luts])
+    probe_lit = _ilit_array(probes)
+    lut_lit = _dlit_array(luts)
     qid_lit = F.array(*[F.lit(q) for q in qids])
 
     routed = (coded

@@ -331,7 +331,10 @@ def ivf_topk(
             """array<struct<a: cos-to-centroid (9dp), i: centroid id>>."""
             entries = []
             for cid, cvec in cents:
-                clit = F.array(*[F.lit(float(x)) for x in cvec])
+                # one parsed literal — the per-element F.lit loop was
+                # dim py4j roundtrips of driver build time per centroid
+                clit = F.expr("array(" + ", ".join(
+                    f"{float(x)!r}D" for x in cvec) + ")")
                 cnorm = math.sqrt(sum(float(x) * float(x) for x in cvec))
                 cos = F.round(
                     vectors.dot(F.col(vec), clit) / (F.col(norm) * cnorm), 9
@@ -488,17 +491,27 @@ def sign_band_keys(
     band unless one of its compared pairs straddles the perturbation —
     multiple bands are the standard LSH recall amplifier.
     """
+    # built as ONE SQL string: the per-bit Column construction was
+    # ~bands*band_width*8 py4j roundtrips = ~0.9 s of DRIVER time per
+    # call (measured, r14) — this expression is built per batch per
+    # ingest and per index-entry encode, so build cost was rivaling the
+    # jobs themselves. F.expr parses in a single roundtrip; the analyzed
+    # tree (element_at/pmod-free %/CaseWhen/concat) is identical to what
+    # the Column API produced, so keys are bit-identical.
+    frag = str(vec) if not isinstance(vec, str) else vec
+    if frag.startswith("Column<'"):
+        frag = frag[len("Column<'"):-len("'>")]
     keys = []
     for t in range(bands):
         bits = []
         for i in range(band_width):
-            ia = F.lit(2 * t * band_width + 2 * i)
-            ib = F.lit(2 * t * band_width + 2 * i + 1 + t)
-            a = F.element_at(vec, (ia % F.size(vec)) + 1)
-            b = F.element_at(vec, (ib % F.size(vec)) + 1)
-            bits.append(F.when(a > b, F.lit("1")).otherwise(F.lit("0")))
-        keys.append(F.concat(F.lit(f"{t}:"), *bits))
-    return F.array(*keys)
+            ia = 2 * t * band_width + 2 * i
+            ib = 2 * t * band_width + 2 * i + 1 + t
+            a = f"element_at({frag}, ({ia} % size({frag})) + 1)"
+            b = f"element_at({frag}, ({ib} % size({frag})) + 1)"
+            bits.append(f"CASE WHEN {a} > {b} THEN '1' ELSE '0' END")
+        keys.append(f"concat('{t}:', " + ", ".join(bits) + ")")
+    return F.expr("array(" + ", ".join(keys) + ")")
 
 
 def dedup_embeddings_against_index(
@@ -872,8 +885,8 @@ def index_entries_pq_residual(
     dim = len(cents[0])
     code_t = "tinyint" if k <= 128 else ("smallint" if k <= 32768
                                          else "long")
-    cells_lit = F.array(*[
-        F.array(*[F.lit(int(x)) for x in cv]) for cv in cents])
+    from dativo_ingest_spark.operators.quantization import _cells_literal
+    cells_lit = _cells_literal(cents)
     staged = df.select(
         F.col(id_col).cast("string").alias("id"),
         vectors.as_double_array(F.col(vec_col)).alias("_vec"),

@@ -11289,12 +11289,9 @@ def sorted_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a plain fingerprint groupBy (or the banded Hamming join).",
 )
 def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import io
     import struct
     import wave
-
-    import pandas as pd
 
     from dativo_ingest_spark.operators import multimodal as mm
 
@@ -11307,28 +11304,32 @@ def audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 10000000).cast("string").alias("id"),
             F.col("doc_id").alias("src"), F.lit(2).alias("gain")))
 
-    def build(batches):
-        # harness-side synthesis: PCM WAVs whose int16 samples come
-        # from the same md5 formula the oracle replays in SQL
-        for pdf in batches:
-            payloads = []
-            for src, gain in zip(pdf["src"], pdf["gain"]):
-                samples = [
-                    ((int(hashlib.md5(
-                        f"au_{src}_{i}".encode()).hexdigest()[:4], 16)
-                      % 2000) - 1000) * int(gain)
-                    for i in range(330)]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(8000)
-                    w.writeframes(struct.pack(
-                        "<%dh" % len(samples), *samples))
-                payloads.append(buf.getvalue())
-            yield pd.DataFrame({"id": pdf["id"], "media": payloads})
-
-    clips = ids.mapInPandas(build, "id string, media binary")
+    # harness-side synthesis: PCM WAVs whose int16 samples come from the
+    # same md5 formula the oracle replays in SQL. Pure Catalyst (r14):
+    # the old mapInPandas builder ran ~1.8M Python hashlib.md5 calls plus
+    # per-row wave-module packing; the JVM md5 + little-endian int16 hex
+    # assembly below is byte-identical (pinned in tests/test_local_df.py)
+    # with no Python stage. The 44-byte RIFF header still comes from the
+    # wave module itself, so the container bytes can never drift from
+    # what a real writer emits.
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<330h", *([0] * 330)))
+    hdr_hex = buf.getvalue()[:44].hex()
+    samp_sql = (
+        "transform(sequence(0, 329), i -> pmod(((CAST(conv(substring("
+        "md5(concat('au_', CAST(src AS STRING), '_', CAST(i AS STRING))), "
+        "1, 4), 16, 10) AS INT) % 2000) - 1000) * gain, 65536))")
+    clips = ids.select(
+        "id",
+        F.expr(
+            f"concat(X'{hdr_hex}', unhex(concat_ws('', "
+            f"transform({samp_sql}, v -> concat(lpad(hex(v % 256), 2, "
+            f"'0'), lpad(hex(CAST(v / 256 AS INT) % 256), 2, '0'))))))"
+        ).alias("media"))
     return mm.audio_fingerprints(clips, "id", "media", n_frames=32)
 
 
@@ -11532,10 +11533,6 @@ def sliding_distinct_hll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pigeonhole) + popcount verify — never an all-pairs join.",
 )
 def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    import pandas as pd
-
     from dativo_ingest_spark.operators import multimodal as mm
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -11547,21 +11544,20 @@ def image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 10000000).cast("string").alias("id"),
             F.col("doc_id").alias("src"), F.lit(1).alias("shift")))
 
-    def build(batches):
-        # harness-side payload synthesis: P5 16x16 images whose pixels
-        # come from the same md5 formula the oracle replays in SQL
-        for pdf in batches:
-            payloads = []
-            for src, shift in zip(pdf["src"], pdf["shift"]):
-                pix = bytes(
-                    min(int(hashlib.md5(
-                        f"px_{src}_{i}".encode()).hexdigest()[:2], 16)
-                        + int(shift), 255)
-                    for i in range(256))
-                payloads.append(b"P5\n16 16\n255\n" + pix)
-            yield pd.DataFrame({"id": pdf["id"], "media": payloads})
-
-    imgs = ids.mapInPandas(build, "id string, media binary")
+    # harness-side payload synthesis: P5 16x16 images whose pixels come
+    # from the same md5 formula the oracle replays in SQL. Pure Catalyst
+    # (r14): the old mapInPandas builder ran ~1.4M Python hashlib.md5
+    # calls per pass through a row-at-a-time loop; the JVM md5 + hex
+    # assembly below produces byte-identical payloads (pinned in
+    # tests/test_local_df.py) with no Python stage at all.
+    imgs = ids.select(
+        "id",
+        F.expr(
+            "concat(X'50350A31362031360A3235350A', unhex(concat_ws('', "
+            "transform(sequence(0, 255), i -> lpad(hex(least("
+            "CAST(conv(substring(md5(concat('px_', CAST(src AS STRING), "
+            "'_', CAST(i AS STRING))), 1, 2), 16, 10) AS INT) + shift, "
+            "255)), 2, '0')))))").alias("media"))
     # persist: the hot-band guard resolves with an eager count job —
     # without the cache the netpbm decode would run twice
     hashes = mm.dhash_images(imgs, "id", "media").persist()

@@ -55,6 +55,136 @@ def test_local_df_accepts_generators(spark):
     assert sorted(map(tuple, out.collect())) == [(0, "0"), (1, "1"), (2, "2")]
 
 
+@pytest.mark.parametrize("x", [0.0, -0.0, 1.5, -2.25, 1e-05, -1e-05, 0.1,
+                               12345.6789, 1e300, 5e-324,
+                               3.141592653589793])
+def test_expr_double_literal_bit_identical(spark, x):
+    """r14: expression builders now emit `{x!r}D` SQL literals instead of
+    per-element F.lit py4j loops — pin bit-identity across the repr zoo
+    (subnormals, huge, negative zero)."""
+    import struct
+
+    r = spark.range(1).select(
+        F.lit(float(x)).alias("l"),
+        F.expr(f"{float(x)!r}D").alias("e")).collect()[0]
+    assert struct.pack("<d", r["l"]) == struct.pack("<d", r["e"])
+
+
+def test_sign_band_keys_matches_column_construction(spark):
+    """The SQL-string sign_band_keys must reproduce the old Column-API
+    keys exactly (the committed dedup indexes depend on key stability)."""
+    from dativo_ingest_spark.operators.similarity import sign_band_keys
+
+    df = spark.range(50).select(
+        F.transform(F.sequence(F.lit(0), F.lit(17)),
+                    lambda i: F.sin(F.col("id") * (i + 1)))
+        .alias("_vec"))
+
+    def legacy(vec, bands, band_width):
+        keys = []
+        for t in range(bands):
+            bits = []
+            for i in range(band_width):
+                ia = F.lit(2 * t * band_width + 2 * i)
+                ib = F.lit(2 * t * band_width + 2 * i + 1 + t)
+                a = F.element_at(vec, (ia % F.size(vec)) + 1)
+                b = F.element_at(vec, (ib % F.size(vec)) + 1)
+                bits.append(F.when(a > b, F.lit("1")).otherwise(F.lit("0")))
+            keys.append(F.concat(F.lit(f"{t}:"), *bits))
+        return F.array(*keys)
+
+    got = df.select(
+        sign_band_keys(F.col("_vec"), 4, 8).alias("n"),
+        legacy(F.col("_vec"), 4, 8).alias("o")).collect()
+    assert all(r["n"] == r["o"] for r in got)
+
+
+def test_assign_inline_matches_legacy_argmin(spark):
+    """The SQL-string struct-argmin must reproduce the old Column
+    construction (codes feed committed PQ indexes)."""
+    from dativo_ingest_spark.operators.quantization import _assign_inline
+
+    cents = [[1.0, -2.5, 0.125, 7.75], [0.0, 0.0, 0.0, 0.0],
+             [1e-05, 3.5, -4.25, 2.0]]
+    df = spark.range(40).select(
+        F.transform(F.sequence(F.lit(0), F.lit(3)),
+                    lambda i: F.round(F.sin(F.col("id") * (i + 1)) * 8, 0)
+                    .cast("long")).alias("qvec"))
+
+    def legacy_sqdist(qvec, centroid):
+        clit = F.array(*[F.lit(float(c)) for c in centroid])
+        return F.aggregate(
+            F.zip_with(F.col(qvec), clit, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def legacy(sub_col, centroids):
+        entries = [
+            F.struct(
+                F.round(legacy_sqdist(sub_col, cvec), 9).alias("a"),
+                F.lit(int(code)).cast("long").alias("i"))
+            for code, cvec in enumerate(centroids)]
+        return F.array_min(F.array(*entries))["i"]
+
+    got = df.select(_assign_inline("qvec", cents).alias("n"),
+                    legacy("qvec", cents).alias("o")).collect()
+    assert all(r["n"] == r["o"] for r in got)
+
+
+def test_catalyst_fixture_synthesis_byte_identical(spark):
+    """r14: the image/audio fixture payloads are built in Catalyst (JVM
+    md5 + hex assembly) instead of mapInPandas Python loops — pin byte
+    identity against the original Python builders."""
+    import hashlib
+    import io
+    import struct
+    import wave
+
+    ids = spark.range(20).select(
+        F.col("id").alias("src"),
+        (F.col("id") % 3).cast("int").alias("shift"),
+        ((F.col("id") % 2) + 1).cast("int").alias("gain"))
+    img = ids.select("src", "shift", F.expr(
+        "concat(X'50350A31362031360A3235350A', unhex(concat_ws('', "
+        "transform(sequence(0, 255), i -> lpad(hex(least("
+        "CAST(conv(substring(md5(concat('px_', CAST(src AS STRING), '_', "
+        "CAST(i AS STRING))), 1, 2), 16, 10) AS INT) + shift, 255)), 2, "
+        "'0')))))").alias("media")).collect()
+    for r in img:
+        pix = bytes(
+            min(int(hashlib.md5(f"px_{r.src}_{i}".encode())
+                    .hexdigest()[:2], 16) + int(r.shift), 255)
+            for i in range(256))
+        assert r.media == b"P5\n16 16\n255\n" + pix
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<330h", *([0] * 330)))
+    hdr_hex = buf.getvalue()[:44].hex()
+    samp_sql = (
+        "transform(sequence(0, 329), i -> pmod(((CAST(conv(substring("
+        "md5(concat('au_', CAST(src AS STRING), '_', CAST(i AS STRING))), "
+        "1, 4), 16, 10) AS INT) % 2000) - 1000) * gain, 65536))")
+    wav = ids.select("src", "gain", F.expr(
+        f"concat(X'{hdr_hex}', unhex(concat_ws('', "
+        f"transform({samp_sql}, v -> concat(lpad(hex(v % 256), 2, '0'), "
+        f"lpad(hex(CAST(v / 256 AS INT) % 256), 2, '0'))))))"
+    ).alias("media")).collect()
+    for r in wav:
+        samples = [((int(hashlib.md5(f"au_{r.src}_{i}".encode())
+                         .hexdigest()[:4], 16) % 2000) - 1000) * int(r.gain)
+                   for i in range(330)]
+        b2 = io.BytesIO()
+        with wave.open(b2, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack("<330h", *samples))
+        assert r.media == b2.getvalue()
+
+
 def test_connected_components_flagged_convergence(spark):
     """The in-pass _chg flag must reproduce the old join-check labels:
     chain + clique + singleton-free edge set, known min-label result."""

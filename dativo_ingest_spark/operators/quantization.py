@@ -811,8 +811,11 @@ def ivfpq_train_artifact(
     try:
         cents = _coarse_cells(quantized, n_cells, n_iter=coarse_n_iter,
                               init=coarse_init)
-        res_frame = _with_residuals(quantized, cents) \
-            .select("id", "qvec").localCheckpoint(eager=True)
+        # no eager checkpoint: pq_train caches its own quantized view of
+        # this frame, so its seeds collect is the materialization barrier
+        # — the old localCheckpoint was a whole extra pass (r14; the
+        # residual plan itself is one parsed expr now, cheap to carry)
+        res_frame = _with_residuals(quantized, cents).select("id", "qvec")
         codebooks = pq_train(res_frame, "id", "qvec",
                              m=m, k=k_codes, n_iter=n_iter, scale=1)
     finally:

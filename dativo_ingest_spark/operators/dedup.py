@@ -509,7 +509,13 @@ def connected_components(
             )
             .localCheckpoint()  # truncates lineage; also caches (eager)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        # one PARALLEL aggregate over the cached checkpoint: a
+        # filter+limit(1)+count here runs CollectLimit's sequential
+        # partition ramp-up (several one-partition mini-jobs per round —
+        # measured ~0.7 s/query slower than the old join check); max()
+        # scans all partitions in a single job
+        changed = bool(new_labels.agg(
+            F.max(F.col("_chg"))).collect()[0][0])
         # unpersist the PREVIOUS round's storage (round 1: the seed
         # cache; later: the prior checkpoint backing labels' projection)
         prev.unpersist()

@@ -634,9 +634,17 @@ def duplicate_passages(
         F.col(id_col).alias("id"),
         text.words(F.col(text_col)).alias("_words"),
     )
+    # cache: the positioned-gram frame has FOUR consumers (the df-cut
+    # aggregate, the cross-doc dup aggregate, the flagged semi-join's
+    # probe side, and the per-doc gram counts) — uncached, each one
+    # re-evaluates the full tokenize+ngram+hash subtree (no
+    # ReusedExchange fires across the branches): three extra corpus
+    # passes. The cache is the positioned-gram volume (#words rows of
+    # fixed-width hashes), the same materialization the pair-mining
+    # paths make of their gram sets.
     grams = tokens.select(
         "id", F.explode(text.word_ngrams(F.col("_words"), n)).alias("g")
-    ).select("id", hasher(F.col("g")).alias("gram"))
+    ).select("id", hasher(F.col("g")).alias("gram")).cache()
     if max_gram_df is not None:
         # positioned grams repeat within a doc, so the df-cut must count
         # DISTINCT docs per gram (drop_hot_grams counts rows — correct for
@@ -738,19 +746,27 @@ def remove_duplicate_passages(
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': {hash_fn!r}")
     hasher = F.xxhash64 if hash_fn == "xxhash64" else F.md5
     # NULL text normalizes to the empty document (the line remover's
-    # rule): every input row appears in the output
+    # rule): every input row appears in the output.
+    # cache: the tokenized frame has THREE consumers (the gram explode,
+    # the positioned-word explode for reassembly, and the per-doc word
+    # counts) and the positioned-gram frame two more (the gram-key stats
+    # aggregate and the loser join) — uncached, every consumer
+    # re-evaluates the full normalize/tokenize subtree from the scan (no
+    # ReusedExchange fires across branches): three extra corpus passes.
+    # Both caches are bounded by the corpus token volume, the same
+    # materialization the pair-mining paths make of their gram sets.
     tokens = _widen(df).select(
         F.col(id_col).alias("id"),
         text.words(F.coalesce(F.col(text_col), F.lit("")))
         .alias("_words"),
-    )
+    ).cache()
     # pos is 0-based: gram at pos covers 1-based word indices
     # [pos+1, pos+n]
     grams = tokens.select(
         "id",
         F.posexplode(text.word_ngrams(F.col("_words"), n))
         .alias("pos", "g"),
-    ).select("id", "pos", hasher(F.col("g")).alias("gram"))
+    ).select("id", "pos", hasher(F.col("g")).alias("gram")).cache()
     if max_gram_df is not None:
         hot = (
             grams.groupBy("gram")

@@ -93,17 +93,28 @@ def importance_weights(
     # fold occurrences to (doc, bucket) grain FIRST: the md5 explode runs
     # once (not once per consumer), and both the corpus model and the
     # weight join downstream operate on the much smaller folded grain
+    # cache the folded grain: doc_b feeds BOTH the corpus model (raw)
+    # and the per-doc weight join — uncached, the md5 feature explode
+    # over the full corpus evaluates once per consumer (no ReusedExchange
+    # fires across the branches; the plan showed THREE corpus Generate
+    # passes). The cache is (doc, bucket) grain — bounded by corpus
+    # tokens and by docs*n_buckets, the same materialization the dedup
+    # pipelines make of their gram frames.
     doc_b = (
         _features(df, text_col, id_col)
         .select("id", _bucket(F.col("f"), n_buckets).alias("bucket"))
         .groupBy("id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     tgt_b = _features(target, target_text_col or text_col).select(
         _bucket(F.col("f"), n_buckets).alias("bucket"))
 
-    raw = doc_b.groupBy("bucket").agg(F.sum("c").alias("cr"))
-    tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    # model tables: <= n_buckets rows each, but each has two consumers
+    # (the ratio join and its own total) — cache so the corpus/target
+    # subtree under them runs once, not once per consumer
+    raw = doc_b.groupBy("bucket").agg(F.sum("c").alias("cr")).cache()
+    tgt = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).cache()
     t_raw = raw.agg(F.sum("cr").alias("tr"))
     t_tgt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
 

@@ -720,7 +720,12 @@ def unigram_logprob(
     """
     words = _tokenized(df, id_col, text_col).select(
         "id", F.explode("_words").alias("word"))
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # cache: the vocabulary table feeds BOTH the total aggregate and the
+    # scoring join — uncached, Spark plans no ReusedExchange across the
+    # two branches and the full corpus tokenize+explode subtree under
+    # ``counts`` evaluates twice (one extra corpus pass at any scale);
+    # the cache is vocabulary-sized, never corpus-sized
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).cache()
     total = counts.agg(F.sum("c").alias("total"))
     lp = (
         counts.join(F.broadcast(total))
@@ -1144,7 +1149,12 @@ def bigram_logprob(
 
     m_words = _tokenized(model_df, id_col, text_col).select(
         F.explode("_words").alias("word"))
-    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # cache: the unigram model table has THREE consumers (the scalar
+    # totals and the c1/c2 scoring joins) — uncached, each consumer
+    # re-evaluates the full model-slice tokenize+explode subtree (no
+    # ReusedExchange fires across the branches), i.e. two extra model
+    # passes; the cache is vocabulary-sized, never corpus-sized
+    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).cache()
     scalars = uc.agg(
         F.sum("c").alias("total"),
         F.count(F.lit(1)).alias("vocab"),
@@ -1239,9 +1249,16 @@ def kneser_ney_logprob(
 
     m_words = _tokenized(model_df, id_col, text_col).select(
         F.explode("_words").alias("word"))
-    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # cache both model tables: ``uc`` has three consumers (c1/c2 joins +
+    # the scalar totals) and ``bc`` FOUR (the bigram join, both
+    # continuation-type counts, and the b_types scalar) — uncached, each
+    # consumer re-evaluates the full model-slice tokenize/bigram subtree
+    # (no ReusedExchange fires across branches): five extra model passes
+    # per scoring run. Both caches are vocabulary-sized (uc) /
+    # bigram-TYPE-sized (bc), never corpus-sized.
+    uc = m_words.groupBy("word").agg(F.count(F.lit(1)).alias("c")).cache()
     bc = _bigrams(model_df).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12"))
+        F.count(F.lit(1)).alias("c12")).cache()
     n1f = bc.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
     n1p = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
     scalars = uc.agg(

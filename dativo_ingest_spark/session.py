@@ -37,6 +37,15 @@ DEFAULT_CONF: dict[str, str] = {
     # an O(files) serial driver step removed at production scale. Object
     # stores replace this wholesale via sinks/object_store.s3a_conf.
     "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # Bound every plan-tree render (UI strings, CachedRDDBuilder's cache
+    # name, explain output) to 1M chars. Plan strings are debug-only, but
+    # the default bound is 2^31: persisting a frame deep inside a long
+    # composed pipeline (examples/curate_corpus.py stacks the full
+    # operator funnel lazily) made CacheManager stringify a plan tree
+    # whose render alone exceeded the driver heap — a driver OOM from a
+    # LOG STRING. 1M chars keeps any human-readable prefix while capping
+    # the allocation at a few MB.
+    "spark.sql.maxPlanStringLength": str(1_000_000),
 }
 
 

@@ -481,14 +481,36 @@ def connected_components(
         .distinct()
         .cache()
     )
+    if max_iterations < 1:
+        return (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+        )
+    # Round 1 fused into the seed: against the trivial labels (every
+    # node labels itself), a neighbor's label IS its id, so the first
+    # propagation is just min(dst) per src — one aggregate over the
+    # cached edges instead of a seed-distinct shuffle PLUS a
+    # labels-vs-edges join round. Result identical to running the loop
+    # body once over identity labels by construction. Since edges are
+    # symmetrized, every node appears as src, so coverage matches the
+    # old distinct seed.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .cache()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_nmin")).alias("component"),
+            (F.col("_nmin") < F.col("src")).alias("_chg"),
+        )
+        .localCheckpoint()
     )
+    changed = bool(labels.agg(F.max(F.col("_chg"))).collect()[0][0])
     prev = labels
-    for _ in range(max_iterations):
+    labels = labels.select("id", "component")
+    if not changed:
+        return labels
+    for _ in range(max_iterations - 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")

@@ -120,7 +120,8 @@ MAX_INLINE_HOT_KEYS = 1024
 
 def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
                       max_inline: int = MAX_INLINE_HOT_KEYS,
-                      stats: dict | None = None) -> DataFrame:
+                      stats: dict | None = None,
+                      collect_keys: int = 0) -> DataFrame:
     """Heavy-hitter cut with a driver-resolved fast path.
 
     The r3 guards kept the key-count aggregate + broadcast anti-join as
@@ -147,13 +148,41 @@ def _without_hot_keys(df: DataFrame, key_col: str, max_count: int,
     ``stats`` (optional out-param): mutated with ``hot_keys`` = the exact
     number of keys the cut removed (one extra count job only in the
     rare >``max_inline`` regime), so callers can expose the recall
-    effect programmatically instead of relying on log lines."""
-    big = (
-        df.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .filter(F.col("_sz") > max_count)
-        .select(key_col)
-    )
+    effect programmatically instead of relying on log lines.
+
+    ``collect_keys`` (requires ``stats``): harvest the batch's DISTINCT
+    key list from the SAME aggregate job — when the batch has at most
+    that many distinct keys, ``stats['keys']`` is set to the surviving
+    (non-hot) keys, letting ingest callers prune their index scan with
+    an inlined pushdown predicate instead of running a separate
+    distinct + broadcast-exchange job over the cached upstream. Above
+    the bound ``stats['keys']`` is absent and one extra (cached-scan)
+    job resolves the hot list exactly as before."""
+    agg = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_sz"))
+    big = agg.filter(F.col("_sz") > max_count).select(key_col)
+    if collect_keys and stats is not None:
+        bound = max(int(collect_keys), max_inline)
+        rows = agg.limit(bound + 1).collect()
+        if len(rows) <= bound:
+            hot = [r[0] for r in rows if r[1] > max_count]
+            stats["hot_keys"] = len(hot)
+            stats["keys"] = [r[0] for r in rows if r[1] <= max_count]
+            if not hot:
+                return df
+            if len(hot) <= max_inline:
+                return df.filter(~F.col(key_col).isin(hot))
+            # degenerate regime: the hot list is in hand but too long to
+            # inline — anti-join against a driver-local frame (no second
+            # aggregate job over df)
+            from dativo_ingest_spark.operators.util import local_df
+
+            hot_df = local_df(
+                df.sparkSession, [(k,) for k in hot], "k string"
+            ).select(F.col("k").cast(df.schema[key_col].dataType)
+                     .alias(key_col))
+            return df.join(F.broadcast(hot_df), key_col, "left_anti")
+        # more distinct keys than the harvest bound: fall through to the
+        # classic hot-only collect (one more small job over the agg)
     hot = [r[0] for r in big.limit(max_inline + 1).collect()]
     if stats is not None:
         stats["hot_keys"] = (
@@ -910,6 +939,7 @@ def dedup_against_index(
     branch: str = "main",
     commit: bool = True,
     broadcast_batch_limit: int = BROADCAST_BATCH_FP_LIMIT,
+    stats: dict | None = None,
 ):
     """Dedup-on-ingest: drop batch rows whose content the corpus has
     already seen, then record the batch's new fingerprints.
@@ -933,7 +963,9 @@ def dedup_against_index(
     scan materializes once, so the counters, the committed fingerprints
     and the returned rows all come from the same snapshot of the input
     even when the batch reads a live directory. A non-``main`` branch is
-    bootstrapped on first use.
+    bootstrapped on first use. ``stats`` (optional out-param) receives
+    ``n_kept`` so callers that need the kept-row count skip an extra
+    (cached-scan) count job.
     """
     fp = with_fingerprint(_widen(batch), text_col)
     first = Window.partitionBy("fingerprint").orderBy(F.col(id_col))
@@ -978,6 +1010,8 @@ def dedup_against_index(
     n_kept = kept.count()
     n_batch_dups = n_total - n_survivors
     n_index_dups = n_total - n_batch_dups - n_kept
+    if stats is not None:
+        stats["n_kept"] = n_kept
     if commit and n_kept:
         from dativo_ingest_spark.operators.util import (
             index_append_partitions)
@@ -1017,6 +1051,43 @@ INGEST_MAX_CELL_SIZE = 10_000
 #: above this many (row, band) keys the MinHash index dedup skips the
 #: broadcast cell pre-filter and lets the scoring join shuffle both sides.
 _MINHASH_INDEX_BROADCAST_LIMIT = 4_000_000
+
+#: up to this many distinct batch band keys are harvested driver-side from
+#: the hot-cell guard's aggregate (a bounded collect over key-grain rows)
+#: and inlined as ONE parsed IN predicate pruning the index scan —
+#: replacing the separate distinct + broadcast-exchange job AND giving the
+#: parquet reader a pushable filter. Larger batches fall back to the
+#: broadcast semi-join (same O(batch)-exchange contract).
+_INLINE_TOUCHED_KEYS_LIMIT = 16_384
+
+
+def _observed_count(obs, frame: DataFrame) -> int:
+    """Row count from an ``observe()`` metric, falling back to a real
+    ``count()`` job when the optimizer eliminated the CollectMetrics
+    node. Constant folding over driver-local relations (tiny
+    ``createDataFrame`` batches) can fold the observed subtree into a
+    LocalRelation, in which case the observation completes with a
+    schemaless empty row and ``.get`` raises — scan-backed batches (the
+    production shape) always keep the node and never pay the fallback."""
+    try:
+        return int(obs.get["n"])
+    except Exception:  # noqa: BLE001 — py4j assertion from the JVM
+        return frame.count()
+
+
+def _inline_key_filter(key_col: str, keys: list):
+    """One parsed ``key IN (...)`` predicate over literal strings.
+
+    ``Column.isin(list)`` builds one ``lit`` Column per element — a py4j
+    roundtrip each, ~1 s of pure driver time at a few thousand keys (the
+    r14 expression-builder lesson) — while a single SQL string parses in
+    one call and reaches the data source as a pushable In/InSet filter.
+    """
+    if not keys:
+        return F.lit(False)
+    quoted = ",".join(
+        "'" + str(k).replace("'", "''") + "'" for k in keys)
+    return F.expr(f"{key_col} IN ({quoted})")
 
 
 def _minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
@@ -1063,6 +1134,7 @@ def dedup_minhash_against_index(
     commit: bool = True,
     max_cell_size: int | None = INGEST_MAX_CELL_SIZE,
     broadcast_limit: int = _MINHASH_INDEX_BROADCAST_LIMIT,
+    stats: dict | None = None,
 ):
     """Text NEAR-dup-on-ingest against a persistent MinHash band index —
     the third leg of the ingest-dedup triad (``dedup_against_index``
@@ -1087,15 +1159,27 @@ def dedup_minhash_against_index(
     mirroring the embedding twin's zero-norm vectors).
 
     100 TB shape: everything shuffles on the band key; the batch's
-    distinct band keys broadcast as a left-semi filter over the index
-    SCAN (under ``broadcast_limit``), so the index is never shuffled and
-    per-batch exchange cost is O(batch) — flat as history grows.
-    ``max_cell_size`` guards degenerate cells exactly like the embedding
-    twin (hot-cell rows admit un-deduped, logged). Returns
-    ``(kept_df, n_batch_dups, n_index_dups)`` with ``kept_df`` persisted
-    (caller unpersists), original batch schema.
+    distinct band keys prune the index SCAN — inlined as a pushdown
+    predicate when the hot-cell guard's aggregate already harvested
+    them (no separate distinct/broadcast job), else broadcast as a
+    left-semi filter (under ``broadcast_limit``) — so the index is
+    never shuffled and per-batch exchange cost is O(batch), flat as
+    history grows. ``max_cell_size`` guards degenerate cells exactly
+    like the embedding twin (hot-cell rows admit un-deduped, logged).
+    Returns ``(kept_df, n_batch_dups, n_index_dups)`` with ``kept_df``
+    persisted (caller unpersists), original batch schema.
+
+    Per-batch job shape (r15): the batch size rides the hot-cell
+    guard's aggregate as an ``observe()`` metric and the within-batch
+    survivor count rides the ``kept`` materialization the same way, so
+    a committed batch costs three jobs — guard/signature
+    materialization, verify+count, index append — instead of six.
+    ``stats`` (optional out-param) receives ``n_kept`` so callers that
+    need the kept-row count skip a fourth (cached-scan) job.
     """
     import logging as _logging
+
+    from pyspark.sql import Observation
 
     log = _logging.getLogger(__name__)
     if not (0.0 < threshold <= 1.0):
@@ -1104,15 +1188,24 @@ def dedup_minhash_against_index(
     if rem or num_bands < 1:
         raise ValueError("rows_per_band must divide num_hashes")
 
-    base = _widen(batch).persist()
-    n_total = base.count()
+    obs_total = Observation()
+    base = _widen(batch).observe(
+        obs_total, F.count(F.lit(1)).alias("n")).persist()
     sig = _minhash_sig_frame(
         base, id_col, text_col, n, num_hashes, rows_per_band).persist()
     keyed = sig.select("id", "_sig", F.explode("_keys").alias("_key"))
+    touched_keys = None
     if max_cell_size is not None:
         # sig is persisted, so the cell count is one cached pass; on a
-        # clean batch the join plans stay untouched
-        guarded = _without_hot_keys(keyed, "_key", max_cell_size)
+        # clean batch the join plans stay untouched. The same job
+        # materializes base (the observe() above yields n_total — no
+        # separate count job) and harvests the batch's distinct band
+        # keys for the index-scan prune below.
+        gstats: dict = {}
+        guarded = _without_hot_keys(
+            keyed, "_key", max_cell_size, stats=gstats,
+            collect_keys=_INLINE_TOUCHED_KEYS_LIMIT)
+        touched_keys = gstats.get("keys")
         if guarded is not keyed:
             log.warning(
                 "dedup_minhash_against_index: batch cells over "
@@ -1120,15 +1213,20 @@ def dedup_minhash_against_index(
                 "admit un-deduped); raise rows_per_band or the cap",
                 max_cell_size)
         keyed = guarded
+        n_total = _observed_count(obs_total, base)
+    else:
+        n_total = base.count()
 
     a, b = keyed.alias("a"), keyed.alias("b")
     est = _sig_agreement(F.col("a._sig"), F.col("b._sig"), num_hashes)
+    # evaluated exactly once, inside the kept materialization below (the
+    # after-batch counter rides that same job as an observe() metric, so
+    # no second consumer needs a persist here)
     batch_losers = (
         a.join(b, (F.col("a._key") == F.col("b._key"))
                & (F.col("b.id") < F.col("a.id")))
         .filter(est >= threshold)
         .select(F.col("a.id").alias("id")).distinct()
-        .persist()
     )
 
     if branch != "main" and index_table.current_version(branch) is None:
@@ -1137,7 +1235,14 @@ def dedup_minhash_against_index(
     if head.files:
         index = index_table.read(spark, branch=branch).select(
             F.col("key").alias("_key"), F.col("sig").alias("_ix_sig"))
-        if n_total * num_bands <= broadcast_limit:
+        if touched_keys is not None:
+            # the guard job already resolved the batch's (non-hot) band
+            # keys: prune the index scan with one parsed IN predicate —
+            # a pushdown filter on the scan instead of a distinct
+            # aggregate + broadcast exchange over the cached signatures
+            index = index.filter(
+                _inline_key_filter("_key", touched_keys))
+        elif n_total * num_bands <= broadcast_limit:
             index = index.join(
                 F.broadcast(keyed.select("_key").distinct()),
                 "_key", "left_semi")
@@ -1146,23 +1251,26 @@ def dedup_minhash_against_index(
             keyed.join(index, "_key")
             .filter(iest >= threshold)
             .select("id").distinct()
-            .persist()
         )
     else:
         index_hits = local_df(spark, [], "id string").select(
             F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
 
+    obs_after = Observation()
     after_batch = base.join(
-        batch_losers, base[id_col] == batch_losers["id"], "left_anti")
+        batch_losers, base[id_col] == batch_losers["id"], "left_anti"
+    ).observe(obs_after, F.count(F.lit(1)).alias("n"))
     kept = (
         after_batch
         .join(index_hits, base[id_col] == index_hits["id"], "left_anti")
         .persist()
     )
     n_kept = kept.count()
-    n_after_batch = after_batch.count()
+    n_after_batch = _observed_count(obs_after, after_batch)
     n_batch_dups = n_total - n_after_batch
     n_index_dups = n_after_batch - n_kept
+    if stats is not None:
+        stats["n_kept"] = n_kept
     if commit and n_kept:
         # entries come off the PERSISTED sig frame (semi-joined to the
         # kept ids) — no signature recompute, and identical by
@@ -1187,9 +1295,6 @@ def dedup_minhash_against_index(
             branch=branch)
     base.unpersist()
     sig.unpersist()
-    batch_losers.unpersist()
-    if head.files:
-        index_hits.unpersist()
     return kept, n_batch_dups, n_index_dups
 
 

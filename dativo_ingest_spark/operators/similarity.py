@@ -530,6 +530,7 @@ def dedup_embeddings_against_index(
     codebooks=None,
     scale: int = 10_000,
     artifact: dict | None = None,
+    stats: dict | None = None,
 ):
     """Embedding near-dup-on-ingest: drop batch rows whose embedding the
     corpus has already (approximately) seen, then record the survivors —
@@ -560,7 +561,11 @@ def dedup_embeddings_against_index(
     twin (or a keyed dropDuplicates) first if the source can repeat ids.
     Returns ``(kept_df, n_batch_dups, n_index_dups)`` — row counts, with
     ``kept_df`` persisted (caller unpersists when done), original batch
-    schema.
+    schema. ``stats`` (optional out-param) receives ``n_kept`` so
+    callers that need the kept-row count skip an extra (cached-scan)
+    count job; the batch-size and after-batch counters ride the guard
+    and verify jobs as ``observe()`` metrics (r15) — a committed batch
+    is three jobs, not six.
 
     100 TB shape: everything shuffles on the band key; the index is
     ``bands ×`` the admitted corpus in (key, vec, norm) rows — compact
@@ -611,23 +616,35 @@ def dedup_embeddings_against_index(
     if index_codec == "pq_residual" and not artifact:
         raise ValueError("index_codec='pq_residual' requires the "
                          "ivfpq_train_artifact dict")
+    from pyspark.sql import Observation
+
+    obs_total = Observation()
     staged = batch.withColumn(
         "_vec", vectors.as_double_array(F.col(vec_col)))
     staged = staged.withColumn("_norm", vectors.l2_norm(F.col("_vec")))
     staged = staged.withColumn(
-        "_keys", sign_band_keys(F.col("_vec"), bands, band_width)).persist()
-    n_total = staged.count()
+        "_keys", sign_band_keys(F.col("_vec"), bands, band_width)
+    ).observe(obs_total, F.count(F.lit(1)).alias("n")).persist()
 
     keyed = staged.select(
         F.col(id_col).alias("id"), "_vec", "_norm",
         F.explode("_keys").alias("_key"),
     )
+    touched_keys = None
     if max_cell_size is not None:
-        from dativo_ingest_spark.operators.dedup import _without_hot_keys
+        from dativo_ingest_spark.operators.dedup import (
+            _INLINE_TOUCHED_KEYS_LIMIT, _without_hot_keys)
 
         # staged is persisted above, so the cell-size count is one cached
-        # pass; on a clean batch the joins' plans stay untouched
-        guarded = _without_hot_keys(keyed, "_key", max_cell_size)
+        # pass; on a clean batch the joins' plans stay untouched. The
+        # same job materializes staged (the observe() above yields
+        # n_total — no separate count job) and harvests the batch's
+        # distinct cell keys for the index-scan prune below.
+        gstats: dict = {}
+        guarded = _without_hot_keys(
+            keyed, "_key", max_cell_size, stats=gstats,
+            collect_keys=_INLINE_TOUCHED_KEYS_LIMIT)
+        touched_keys = gstats.get("keys")
         if guarded is not keyed:
             log.warning(
                 "dedup_embeddings_against_index: batch cells over "
@@ -635,17 +652,21 @@ def dedup_embeddings_against_index(
                 "un-deduped); widen band_width or raise the cap",
                 max_cell_size)
         keyed = guarded
+        from dativo_ingest_spark.operators.dedup import _observed_count
+
+        n_total = _observed_count(obs_total, staged)
+    else:
+        n_total = staged.count()
     cos = _pair_cosine("a._vec", "b._vec", "a._norm", "b._norm")
     a, b = keyed.alias("a"), keyed.alias("b")
-    # persist the small loser-id list: materializes the cell self-join
-    # exactly once (the counters and both anti-joins below reuse it
-    # instead of re-running the scoring join per action)
+    # evaluated exactly once, inside the kept materialization below (the
+    # after-batch counter rides that same job as an observe() metric, so
+    # no second consumer needs a persist here)
     batch_losers = (
         a.join(b, (F.col("a._key") == F.col("b._key"))
                & (F.col("b.id") < F.col("a.id")))
         .filter(cos >= threshold)
         .select(F.col("a.id").alias("id")).distinct()
-        .persist()
     )
 
     if branch != "main" and index_table.current_version(branch) is None:
@@ -669,12 +690,20 @@ def dedup_embeddings_against_index(
                 F.col("vec").alias("_ix_vec"),
                 F.col("norm").alias("_ix_norm"))
         # prune the index to the cells this batch actually touches BEFORE
-        # the scoring join: the batch's distinct band keys broadcast into
-        # a semi filter over the index SCAN, so the big index is never
-        # shuffled — only the touched slice (bounded by batch cells x
-        # per-cell population) enters the exchange. Same
-        # O(batch)-exchange contract as dedup.index_anti_join.
-        if n_total * bands <= _INDEX_CELL_BROADCAST_LIMIT:
+        # the scoring join, so the big index is never shuffled — only the
+        # touched slice (bounded by batch cells x per-cell population)
+        # enters the exchange. When the hot-cell guard's aggregate
+        # already harvested the batch's keys, the prune inlines as ONE
+        # parsed IN predicate (a pushdown filter on the index scan — no
+        # distinct aggregate, no broadcast exchange); else the distinct
+        # keys broadcast into a semi filter. Same O(batch)-exchange
+        # contract as dedup.index_anti_join.
+        if touched_keys is not None:
+            from dativo_ingest_spark.operators.dedup import (
+                _inline_key_filter)
+
+            index = index.filter(_inline_key_filter("_key", touched_keys))
+        elif n_total * bands <= _INDEX_CELL_BROADCAST_LIMIT:
             index = index.join(
                 F.broadcast(keyed.select("_key").distinct()),
                 "_key", "left_semi")
@@ -707,14 +736,15 @@ def dedup_embeddings_against_index(
             keyed.join(index, "_key")
             .filter(icos >= threshold)
             .select("id").distinct()
-            .persist()   # one execution of the index join, reused below
         )
     else:
         index_hits = local_df(spark, [], "id string").select(
             F.col("id").cast(keyed.schema["id"].dataType).alias("id"))
 
+    obs_after = Observation()
     after_batch = staged.join(
-        batch_losers, staged[id_col] == batch_losers["id"], "left_anti")
+        batch_losers, staged[id_col] == batch_losers["id"], "left_anti"
+    ).observe(obs_after, F.count(F.lit(1)).alias("n"))
     # persist the frame we RETURN (post-drop of the staging columns) —
     # persisting a parent and returning a child would make the caller's
     # unpersist() a no-op and leak a cache entry per call; the commit
@@ -726,16 +756,21 @@ def dedup_embeddings_against_index(
         .drop("_vec", "_norm", "_keys")
         .persist()
     )
-    n_kept = kept.count()
     # row-accurate counters (an id-keyed count would miscount if a loser
-    # id covered several rows): both counts are anti-joins of the cached
-    # staged frame against the cached tiny id lists. (r14 note: folding
-    # these into one agg job was MEASURED SLOWER — kept's cache then
-    # materializes serially inside the commit's single-task coalesce
-    # write instead of in this parallel count.)
-    n_after_batch = after_batch.count()
+    # id covered several rows): n_kept's PARALLEL count materializes the
+    # kept cache (r14 note: folding it into the commit write was MEASURED
+    # SLOWER — the cache then materializes serially inside the
+    # single-task coalesce), and the after-batch count rides that same
+    # job as an observe() metric on the anti-join's output instead of a
+    # second cached-scan job.
+    from dativo_ingest_spark.operators.dedup import _observed_count
+
+    n_kept = kept.count()
+    n_after_batch = _observed_count(obs_after, after_batch)
     n_batch_dups = n_total - n_after_batch
     n_index_dups = n_after_batch - n_kept
+    if stats is not None:
+        stats["n_kept"] = n_kept
     if commit and n_kept:
         from dativo_ingest_spark.operators.util import (
             index_append_partitions)
@@ -762,9 +797,6 @@ def dedup_embeddings_against_index(
                                     band_width)
         index_table.write_append(entries, branch=branch)
     staged.unpersist()
-    batch_losers.unpersist()
-    if head.files:
-        index_hits.unpersist()
     return kept, n_batch_dups, n_index_dups
 
 

@@ -4205,13 +4205,15 @@ def dedup_ingest_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sg_fp_ix_")
     try:
         table = FsTable.create(root + "/ix")
+        s1: dict = {}
         k1, bd1, id1 = dedup.dedup_against_index(
-            spark, b1, "doc_id", "text", table)
-        n1 = k1.count()
+            spark, b1, "doc_id", "text", table, stats=s1)
+        n1 = s1["n_kept"]
         k1.unpersist()
+        s2: dict = {}
         k2, bd2, id2 = dedup.dedup_against_index(
-            spark, b2, "doc_id", "text", table)
-        n2 = k2.count()
+            spark, b2, "doc_id", "text", table, stats=s2)
+        n2 = s2["n_kept"]
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4306,13 +4308,17 @@ def dedup_ingest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sg_emb_ix_")
     try:
         table = FsTable.create(root + "/ix")
+        s1: dict = {}
         k1, bd1, id1 = similarity.dedup_embeddings_against_index(
-            spark, b1, "vec_id", "embedding", table, threshold=0.5)
-        n1 = k1.count()
+            spark, b1, "vec_id", "embedding", table, threshold=0.5,
+            stats=s1)
+        n1 = s1["n_kept"]
         k1.unpersist()
+        s2: dict = {}
         k2, bd2, id2 = similarity.dedup_embeddings_against_index(
-            spark, b2, "vec_id", "embedding", table, threshold=0.5)
-        n2 = k2.count()
+            spark, b2, "vec_id", "embedding", table, threshold=0.5,
+            stats=s2)
+        n2 = s2["n_kept"]
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -4414,13 +4420,15 @@ def dedup_ingest_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="sg_mh_ix_")
     try:
         table = FsTable.create(root + "/ix")
+        s1: dict = {}
         k1, bd1, id1 = dedup.dedup_minhash_against_index(
-            spark, b1, "doc_id", "text", table, threshold=0.5)
-        n1 = k1.count()
+            spark, b1, "doc_id", "text", table, threshold=0.5, stats=s1)
+        n1 = s1["n_kept"]
         k1.unpersist()
+        s2: dict = {}
         k2, bd2, id2 = dedup.dedup_minhash_against_index(
-            spark, b2, "doc_id", "text", table, threshold=0.5)
-        n2 = k2.count()
+            spark, b2, "doc_id", "text", table, threshold=0.5, stats=s2)
+        n2 = s2["n_kept"]
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -9285,17 +9293,19 @@ def forget_readmit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed = docs.filter(F.col("doc_id") % 5 == 0)
         dedup.dedup_against_index(spark, seed, "doc_id", "text", t)
         resub = docs.filter(F.col("doc_id") % 10 == 0)
+        s1: dict = {}
         kept1, _, _ = dedup.dedup_against_index(
-            spark, resub, "doc_id", "text", t, commit=False)
-        n1 = kept1.count()
+            spark, resub, "doc_id", "text", t, commit=False, stats=s1)
+        n1 = s1["n_kept"]
         kept1.unpersist()
         fps = [r.fingerprint for r in dedup.index_entries(
             docs.filter(F.col("doc_id") % 20 == 0), "text")
             .distinct().collect()]
         dedup.forget_fingerprints(spark, t, fps)
+        s2: dict = {}
         kept2, _, _ = dedup.dedup_against_index(
-            spark, resub, "doc_id", "text", t, commit=False)
-        n2 = kept2.count()
+            spark, resub, "doc_id", "text", t, commit=False, stats=s2)
+        n2 = s2["n_kept"]
         kept2.unpersist()
         rows = [("before_forget", n1), ("after_forget", n2)]
     finally:
@@ -12205,15 +12215,17 @@ def dedup_ingest_embedding_pq(spark: SparkSession, sf_dir: str
     root = tempfile.mkdtemp(prefix="sg_emb_ixpq_")
     try:
         table = FsTable.create(root + "/ix")
+        s1: dict = {}
         k1, bd1, id1 = similarity.dedup_embeddings_against_index(
             spark, b1, "vec_id", "embedding", table, threshold=0.5,
-            index_codec="pq", codebooks=cbs)
-        n1 = k1.count()
+            index_codec="pq", codebooks=cbs, stats=s1)
+        n1 = s1["n_kept"]
         k1.unpersist()
+        s2: dict = {}
         k2, bd2, id2 = similarity.dedup_embeddings_against_index(
             spark, b2, "vec_id", "embedding", table, threshold=0.5,
-            index_codec="pq", codebooks=cbs)
-        n2 = k2.count()
+            index_codec="pq", codebooks=cbs, stats=s2)
+        n2 = s2["n_kept"]
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -12342,15 +12354,17 @@ def dedup_ingest_embedding_pqr(spark: SparkSession, sf_dir: str
     root = tempfile.mkdtemp(prefix="sg_emb_ixpqr_")
     try:
         table = FsTable.create(root + "/ix")
+        s1: dict = {}
         k1, bd1, id1 = similarity.dedup_embeddings_against_index(
             spark, b1, "vec_id", "embedding", table, threshold=0.5,
-            index_codec="pq_residual", artifact=art)
-        n1 = k1.count()
+            index_codec="pq_residual", artifact=art, stats=s1)
+        n1 = s1["n_kept"]
         k1.unpersist()
+        s2: dict = {}
         k2, bd2, id2 = similarity.dedup_embeddings_against_index(
             spark, b2, "vec_id", "embedding", table, threshold=0.5,
-            index_codec="pq_residual", artifact=art)
-        n2 = k2.count()
+            index_codec="pq_residual", artifact=art, stats=s2)
+        n2 = s2["n_kept"]
         k2.unpersist()
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1508,9 +1508,16 @@ def setsim_prefix_pairs(
     ).cache()
     sized = cached.filter(F.col("sz") > 0)
     inv = sized.select("id", "sz", F.explode("toks").alias("tok"))
-    dfc = inv.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency as a COUNT window over the token exchange, not a
+    # groupBy + join-back: the old shape shuffled inv twice (once into
+    # the df aggregate, once into the join) before the per-doc rank
+    # window; a count() over (partition by tok) yields the identical _df
+    # per row (every inv row's tok is in the df table by construction)
+    # with ONE exchange on tok, then the rank window re-keys on id
     ranked = (
-        inv.join(dfc, "tok")
+        inv.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(_W.partitionBy("tok")))
         .withColumn(
             "_rk",
             F.row_number().over(

@@ -54,6 +54,14 @@ DELETION_VARIANT_CAP = 64
 #: the join linear under degenerate keys.
 MAX_BLOCK_SIZE_DEFAULT = 10_000
 
+#: variant-index rows up to which the candidate join broadcasts the
+#: indexed side instead of shuffling both explosions (guide §3.1: pick
+#: the strategy deliberately — a reference table of ~100k keys explodes
+#: to ~2M short variant rows, well inside one executor's broadcast
+#: budget, and the probe side then never shuffles on the variant key).
+#: Above the limit the plain equi-join shuffle applies unchanged.
+EDIT1_BROADCAST_VARIANT_LIMIT = 2_000_000
+
 
 def deletion_variants(col: Column | str,
                       max_len: int = DELETION_VARIANT_CAP) -> Column:
@@ -106,31 +114,51 @@ def edit1_candidate_pairs(
     variant. Edits beyond the cap are missed (documented recall bound;
     raise the cap for long keys).
     """
-    from dativo_ingest_spark.operators.dedup import _without_hot_keys
+    from pyspark.sql import Observation
+
+    from dativo_ingest_spark.operators.dedup import (_observed_count,
+                                                     _without_hot_keys)
 
     lv = left.select(
         F.col(left_id),
         F.col(left_col).alias("left_val"),
         F.explode(deletion_variants(left_col)).alias("_var"),
     )
+    obs = Observation()
     rv = right.select(
         F.col(right_id),
         F.col(right_col).alias("right_val"),
         F.explode(deletion_variants(right_col)).alias("_var"),
-    ).persist()
+    ).observe(obs, F.count(F.lit(1)).alias("n")).persist()
     try:
         if max_block_size is not None:
             rv_g = _without_hot_keys(rv, "_var", max_block_size, stats=stats)
+            # the guard job materialized rv; its row count rides it as an
+            # observe() metric and picks the join strategy below
+            n_var = _observed_count(obs, rv)
         else:
             rv_g = rv
+            n_var = rv.count()
+        # join strategy (guide §3.1): an index side under the broadcast
+        # limit ships to every task — the probe side's variant explosion
+        # is then never shuffled at all; above it, the plain equi-join
+        # shuffle. De-dup of multi-variant pairs runs on a left_id-keyed
+        # exchange (hashpartitioning(left_id) satisfies the aggregate's
+        # clustered distribution over the full pair tuple), so the whole
+        # candidate pass costs ONE exchange under broadcast — the old
+        # shape paid three (both explosions into the join, plus the
+        # 4-column distinct).
+        rv_j = F.broadcast(rv_g) \
+            if n_var <= EDIT1_BROADCAST_VARIANT_LIMIT else rv_g
         pairs = (
-            lv.join(rv_g, "_var")
+            lv.join(rv_j, "_var")
             .select(left_id, right_id, "left_val", "right_val")
-            .distinct()
+            .repartition(left_id)
+            .dropDuplicates()
             .withColumn("lev", F.levenshtein("left_val", "right_val"))
             .filter(F.col("lev") <= 1)
         )
-        # the join and distinct must run before rv is released
+        # the join and dedup must run before rv is released
         pairs = pairs.localCheckpoint(eager=True)
     finally:
         rv.unpersist()
@@ -168,21 +196,24 @@ def rare_token_block_key(df: DataFrame, id_col: str, text_col: str,
     """Assign each record its rarest (lowest document frequency) token as
     the block key; ties break to the lexicographically smallest token.
 
-    Shape: tokens explode (scan-stage) -> one word-count aggregate (the
-    df table, map-side combined) -> join back -> min_by per record. The
-    df table is vocabulary-sized; Zipf makes it tiny relative to the
-    corpus, and the subsequent per-record min is a partial-aggregable
-    ``min(struct(df, token))``.
+    Shape: tokens explode (scan-stage) -> document frequency as a COUNT
+    window over the token exchange (one shuffle on the token — the old
+    aggregate + join-back shuffled the token frame twice for the
+    identical per-row df, the setsim_prefix_pairs lesson) -> min_by per
+    record, a partial-aggregable ``min(struct(df, token))`` on a second
+    (id-keyed) exchange.
     """
+    from pyspark.sql.window import Window as _W
+
     toks = df.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
         ).alias("_tok"),
     ).filter(F.col("_tok") != "")
-    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     best = (
-        toks.join(dfreq, "_tok")
+        toks.withColumn(
+            "_df", F.count(F.lit(1)).over(_W.partitionBy("_tok")))
         .groupBy(id_col)
         .agg(F.min(F.struct("_df", "_tok")).alias("_best"))
         .select(id_col, F.col("_best._tok").alias(out_col))

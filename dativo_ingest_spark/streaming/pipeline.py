@@ -581,6 +581,8 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
         epoch_dir = os.path.join(out_dir, f"epoch={epoch_id}")
         stats: list = []
         if not batch_df.isEmpty():
+            from pyspark.sql import Observation
+
             h = _shard_hash(id_col, seed)
             staged = batch_df.select(
                 F.col(id_col).alias("id"),
@@ -588,32 +590,64 @@ def shard_epoch_writer(out_dir: str, id_col: str, token_col: str,
                 .alias("n_tokens"),
                 h.alias("_h"),
                 (h % n_shards).cast("long").alias("shard"))
-            writer = (staged.repartition(n_shards, "shard")
-                      .sortWithinPartitions("shard", "_h", "id")
-                      .write.mode("overwrite").partitionBy("shard"))
+            # per-shard stats ride the epoch write itself as observe()
+            # metrics (n_shards x 3 conditional aggregates over the rows
+            # the writer emits — identical values to the old post-write
+            # read-back, which cost one extra full-epoch job per batch).
+            # observe() discards updates from failed/retried tasks, and
+            # the marker below still publishes only AFTER the write
+            # returned, so the exactly-once contract is untouched.
+            obs = Observation()
+            metrics = []
+            for k in range(n_shards):
+                is_k = F.col("shard") == k
+                metrics += [
+                    F.count(F.when(is_k, 1)).alias(f"r{k}"),
+                    F.sum(F.when(is_k, F.col("n_tokens"))
+                          .otherwise(F.lit(0))).alias(f"t{k}"),
+                    F.sum(F.when(is_k, F.col("_h"))
+                          .otherwise(F.lit(0))).alias(f"h{k}"),
+                ]
+            observed = (staged.repartition(n_shards, "shard")
+                        .sortWithinPartitions("shard", "_h", "id")
+                        .observe(obs, metrics[0], *metrics[1:]))
+            writer = observed.write.mode("overwrite").partitionBy("shard")
             if fmt == "jsonl":
                 # same container option as the batch exporter
                 # (sinks/shard_export.export_training_shards fmt) —
                 # newline-delimited JSON epochs a trainer loader streams
-                # directly; the read-back uses the staged schema so the
-                # stats stay exact longs
+                # directly
                 writer.json(epoch_dir)
-                back = (spark.read
-                        .schema(staged.drop("shard").schema)
-                        .option("basePath", epoch_dir)
-                        .json(f"{epoch_dir}/shard=*"))
             else:
                 writer.option("compression", "snappy").parquet(epoch_dir)
-                back = spark.read.parquet(epoch_dir)
-            stats = [
-                {"shard": int(r.shard), "n_rows": int(r.n_rows),
-                 "n_tokens": int(r.n_tokens), "hash_sum": int(r.hash_sum)}
-                for r in (back
-                          .groupBy("shard")
-                          .agg(F.count(F.lit(1)).alias("n_rows"),
-                               F.sum("n_tokens").alias("n_tokens"),
-                               F.sum("_h").alias("hash_sum"))
-                          .collect())]
+            try:
+                got = obs.get
+                stats = [
+                    {"shard": k, "n_rows": int(got[f"r{k}"]),
+                     "n_tokens": int(got[f"t{k}"]),
+                     "hash_sum": int(got[f"h{k}"])}
+                    for k in range(n_shards) if int(got[f"r{k}"])]
+            except Exception:  # noqa: BLE001 — CollectMetrics folded
+                # away over a driver-local batch frame: recount from the
+                # epoch's files (the pre-r15 read-back), exact either way
+                if fmt == "jsonl":
+                    back = (spark.read
+                            .schema(staged.drop("shard").schema)
+                            .option("basePath", epoch_dir)
+                            .json(f"{epoch_dir}/shard=*"))
+                else:
+                    back = spark.read.parquet(epoch_dir)
+                stats = [
+                    {"shard": int(r.shard), "n_rows": int(r.n_rows),
+                     "n_tokens": int(r.n_tokens),
+                     "hash_sum": int(r.hash_sum)}
+                    for r in (back
+                              .groupBy("shard")
+                              .agg(F.count(F.lit(1)).alias("n_rows"),
+                                   F.sum("n_tokens").alias("n_tokens"),
+                                   F.sum("_h").alias("hash_sum"))
+                              .collect())]
+                stats.sort(key=lambda s: s["shard"])
         os.makedirs(marker_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
